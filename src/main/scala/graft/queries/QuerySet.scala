@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One gate query: a Spark implementation plus (usually) a DuckDB oracle
+  * reimplementation of the same semantics. `sql == None` → the driver
+  * records a weaker rows-only check (used for ops not expressible in
+  * portable SQL).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String])
+
+trait QuerySet { def all: Seq[Q] }
+
+object QueryUtil {
+  /** Read one driver testdata table. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Decimal-exact view of a double column: double→decimal(18,6) rounds to
+    * the nearest 6-dp value identically in Spark and DuckDB, and every
+    * subsequent +/- / sum is exact, so aggregation order can't flip bits.
+    */
+  def dec(c: String): Column = col(c).cast("decimal(18,6)")
+  def dec(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** Deterministic fixed-point projection of a double: floor(x*1e6) as a
+    * BIGINT. Both engines do the identical double multiply + floor, so the
+    * result is bit-exact — unlike round(), whose half-up tie handling
+    * differs between engines.
+    */
+  def micro(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
+  /** DuckDB spelling of [[micro]]. */
+  def microSql(e: String): String = s"CAST(floor(($e) * 1000000.0) AS BIGINT)"
+
+  /** Exact-decimal aggregate → bit-deterministic double. Rounding to scale
+    * 2 first keeps the decimal's integer mantissa < 2^53, so the final
+    * decimal→double conversion is a single correctly-rounded IEEE divide
+    * in BOTH engines (DuckDB casts decimal→double as mantissa/10^scale —
+    * with a wide scale that double-rounds and drifts a ulp from Spark's
+    * BigDecimal.doubleValue).
+    */
+  def money(c: Column): Column = round(c, 2).cast("double")
+  def moneySql(e: String): String = s"CAST(round($e, 2) AS DOUBLE)"
+
+  /** Deterministic average: numerator rounded to scale 6 (mantissa still
+    * < 2^53 for our magnitudes) then one IEEE divide by the exact count.
+    */
+  def avg6(sum: Column, n: Column): Column = round(sum, 6).cast("double") / n
+  def avg6Sql(sum: String, n: String): String =
+    s"CAST(round($sum, 6) AS DOUBLE) / $n"
+}

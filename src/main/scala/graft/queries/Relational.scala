@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Relational core — the query engine that sits under the reference's
+  * interactive analysis (pandas groupby/join/sort/window idioms from
+  * /root/reference/ipynb/pandasVCF_example.ipynb), expressed as Catalyst
+  * plans over the driver's TPC-H-ish tables.
+  *
+  * Oracle discipline (see SURVEY.md §5): decimal-exact internal sums,
+  * bit-deterministic double outputs, total-order ORDER BY, explicit
+  * NULLS FIRST on the DuckDB side.
+  */
+object Relational extends QuerySet {
+
+  private val one = expr("CAST(1 AS DECIMAL(18,6))")
+
+  /** Pricing-summary aggregate (TPC-H Q1 shape): scan + filter pushdown +
+    * partial-aggregated groupBy. One shuffle on the (tiny-cardinality)
+    * group key; at 100 TB this is map-side combined to ~nothing.
+    */
+  private val q01 = Q(
+    "q01_pricing_agg",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).as("dq"),
+          sum(dec("l_extendedprice")).as("dp"),
+          sum(dec("l_extendedprice") * (one - dec("l_discount"))).as("ddp"),
+          sum(dec("l_discount")).as("dd"),
+          count(lit(1)).as("count_order"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          money(col("dq")).as("sum_qty"),
+          money(col("dp")).as("sum_base_price"),
+          money(col("ddp")).as("sum_disc_price"),
+          avg6(col("dq"), col("count_order")).as("avg_qty"),
+          avg6(col("dd"), col("count_order")).as("avg_disc"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${moneySql("sum(CAST(l_quantity AS DECIMAL(18,6)))")} AS sum_qty,
+        ${moneySql("sum(CAST(l_extendedprice AS DECIMAL(18,6)))")} AS sum_base_price,
+        ${moneySql("sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))")} AS sum_disc_price,
+        ${avg6Sql("sum(CAST(l_quantity AS DECIMAL(18,6)))", "count(*)")} AS avg_qty,
+        ${avg6Sql("sum(CAST(l_discount AS DECIMAL(18,6)))", "count(*)")} AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  /** Selective filter + narrow projection: both the predicate and the
+    * 4-column ReadSchema must reach the parquet scan (checked in
+    * PlanSpec). No shuffle at all — embarrassingly parallel at any scale.
+    */
+  private val q02 = Q(
+    "q02_filter_project",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
+  /** 3-way join + aggregate: fact-fact shuffle join (orders⋈lineitem on
+    * orderkey) with the two dimension joins broadcast. nation is 25 rows
+    * at any SF — broadcast; customer is broadcast below the driver's AQE
+    * threshold and shuffles cleanly beyond it.
+    */
+  private val q03 = Q(
+    "q03_join_agg",
+    (s, dir) => {
+      val rev = dec("l_extendedprice") * (one - dec("l_discount"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(rev).as("drev"), count(lit(1)).as("n_items"))
+        .select(col("n_name"), money(col("drev")).as("revenue"), col("n_items"))
+        .orderBy("n_name")
+    },
+    Some(s"""
+      SELECT n_name,
+        ${moneySql("sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))")} AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name
+    """))
+
+  /** Top-k: order + limit compiles to TakeOrderedAndProject — per-partition
+    * heap + single-driver merge of k rows, never a full sort at scale.
+    * o_orderkey tiebreak keeps the cut deterministic.
+    */
+  private val q04 = Q(
+    "q04_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """))
+
+  /** Distinct on a composite key — hash aggregate, map-side combined. */
+  private val q05 = Q(
+    "q05_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  /** Window functions: row_number + lag over a per-customer window, top-3
+    * retained. One shuffle on the partition key; the filter on rn is
+    * evaluated streaming inside the window operator.
+    */
+  private val q06 = Q(
+    "q06_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          lag("o_totalprice", 1).over(w).as("prev_price"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, rn, prev_price FROM (
+        SELECT o_custkey, o_orderkey,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+          lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
+        FROM orders) sub
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """))
+
+  /** Anti join: customers with no order after a cutoff. The filtered
+    * orders side is aggregated to distinct keys by Spark's
+    * LeftAnti+broadcast planning; at scale AQE picks broadcast vs
+    * shuffled-hash from runtime stats.
+    */
+  private val q07 = Q(
+    "q07_anti_join",
+    (s, dir) => {
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-06-01 00:00:00").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+      ORDER BY c_custkey
+    """))
+
+  /** Rollup (grouping sets): subtotal + grand-total rows; NULL group keys
+    * sort NULLS FIRST on both engines (Spark asc default = nulls first;
+    * DuckDB told so explicitly).
+    */
+  private val q08 = Q(
+    "q08_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec("l_quantity")).as("dq"), count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          money(col("dq")).as("sum_qty"), col("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${moneySql("sum(CAST(l_quantity AS DECIMAL(18,6)))")} AS sum_qty,
+        count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """))
+
+  /** Tumbling-window event aggregation — the batch twin of the
+    * Structured Streaming path (graft.streaming); window(ts, 300s) starts
+    * align to the epoch, so the oracle recomputes buckets arithmetically.
+    */
+  private val q50 = Q(
+    "q50_event_window",
+    (s, dir) => {
+      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
+      // read the raw int64 and truncate to micros — the same µs value
+      // DuckDB sees after its ns→µs cast.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+      s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      ev.groupBy(window(col("ts"), "300 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec("value")).as("dv"))
+        .select(
+          unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"),
+          money(col("dv")).as("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+    Some(s"""
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS win_start,
+        event_type, count(*) AS n,
+        ${moneySql("sum(CAST(value AS DECIMAL(18,6)))")} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type
+    """))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q50)
+}
