@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VariantFunctions._
+
+/** Spark-native re-expression of the reference's flagship
+  * `add_variant_annotations` (pandasvcf.py:186-288,
+  * variant_annotations.py:534-768).
+  *
+  * The reference loops FORMAT groups in Python, stacks with pandas, and
+  * multiprocess-forks per chunk. Here the whole thing is ONE declarative
+  * plan:
+  *
+  *   explode(genotypes map)                      -- wide→long, narrow
+  *   map_from_arrays(split(format), split(call)) -- per-row FORMAT parse,
+  *                                                  handles mixed FORMATs
+  *                                                  without grouping
+  *   case-when classifiers (VariantFunctions)    -- all codegen'd
+  *   window count over the site key              -- hom_ref_counts
+  *
+  * The window is the ONLY shuffle. At cluster scale, pre-partitioning the
+  * input by (chrom) lets that exchange reuse the ingest partitioning
+  * (see VcfReader.toParquet), and everything else is embarrassingly
+  * parallel.
+  */
+object VariantAnnotator {
+
+  /** @param splitColumns reference `split_columns` — FORMAT key → expected
+    *                     field count; `AD -> 2` yields `AD_0, AD_1`.
+    * @param dropHomRef   reference `drop_hom_ref`: drop hom-ref rows
+    *                     AFTER counting them into hom_ref_counts.
+    * @param formatKeys   FORMAT subfield keys to materialize as columns
+    *                     (beyond GT). None = discover with a small
+    *                     distinct scan (schema-inference pass).
+    */
+  final case class Options(
+      splitColumns: Map[String, Int] = Map.empty,
+      dropHomRef: Boolean = true,
+      formatKeys: Option[Seq[String]] = None)
+
+  /** Wide graft VCF frame (chrom, pos, ref, alt, format,
+    * genotypes MAP<sample,call>) → long annotated frame keyed
+    * (chrom, pos, ref, alt, sample_id) with columns
+    * gt, phase, gt1, gt2, a1, a2, multiallele, vartype1, vartype2,
+    * zygosity, hom_ref_counts (+ FORMAT subfields).
+    */
+  def annotate(df: DataFrame, opts: Options = Options()): DataFrame = {
+    val keys = opts.formatKeys.getOrElse(discoverFormatKeys(df))
+
+    // wide→long; drop missing-ALT sites (variant_annotations.py:568)
+    val long = df
+      .filter(col("alt") =!= ".")
+      .select(
+        col("chrom"), col("pos"), col("ref"), col("alt"), col("format"),
+        explode(col("genotypes")).as(Seq("sample_id", "call")))
+
+    // FORMAT parse: call "0/1:12:3,9" against format "GT:DP:AD"
+    val fmtMap = map_from_arrays(split(col("format"), ":"), split(col("call"), ":"))
+    val withGt = long
+      .withColumn("fmt", fmtMap)
+      .withColumn("gt", element_at(split(col("call"), ":"), 1))
+      .filter(!isMissingCall(col("gt")))
+
+    val annotated = withGt
+      .withColumn("phase", phase(col("gt")))
+      .withColumn("gt1", gt1(col("gt")))
+      .withColumn("gt2", gt2(col("gt")))
+      .withColumn("a1", alleleBase(col("ref"), col("alt"), col("gt1")))
+      .withColumn("a2", alleleBase(col("ref"), col("alt"), col("gt2")))
+      .withColumn("multiallele", multiallele(col("alt")))
+      .withColumn("vartype1", vartype(col("ref"), col("a1")))
+      .withColumn("vartype2", vartype(col("ref"), col("a2")))
+      .withColumn("zygosity", zygosity(col("ref"), col("a1"), col("a2")))
+
+    // hom_ref_counts per site (variant_annotations.py:165-180): count
+    // BEFORE the optional hom-ref drop. Reference emits -1 when a chunk
+    // had no hom-ref at all — a chunking artifact we replace with the
+    // true count (0).
+    val site = Window.partitionBy("chrom", "pos", "ref", "alt")
+    val counted = annotated.withColumn(
+      "hom_ref_counts",
+      sum(when(col("zygosity") === "hom-ref", 1).otherwise(0)).over(site))
+
+    val dropped =
+      if (opts.dropHomRef) counted.filter(col("zygosity") =!= "hom-ref")
+      else counted
+
+    // FORMAT subfields as typed columns; split_columns exploded by comma
+    val withFields = keys.filter(_ != "GT").foldLeft(dropped) { (d, k) =>
+      opts.splitColumns.get(k) match {
+        case Some(n) =>
+          val parts = split(element_at(col("fmt"), k), ",")
+          (0 until n).foldLeft(d)((dd, i) =>
+            dd.withColumn(s"${k}_$i", try_element_at(parts, lit(i + 1))))
+        case None =>
+          d.withColumn(k, element_at(col("fmt"), k))
+      }
+    }
+
+    withFields.drop("fmt", "call", "format")
+  }
+
+  /** One cheap pass to learn the FORMAT vocabulary (like csv schema
+    * inference; avoid at scale by passing Options.formatKeys).
+    */
+  private def discoverFormatKeys(df: DataFrame): Seq[String] =
+    df.select(explode(split(col("format"), ":")).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+
+  /** Long annotated frame → per-site zygosity profile; the groupBy twin
+    * of the window above for aggregate-style consumers.
+    */
+  def siteSummary(annotated: DataFrame): DataFrame =
+    annotated
+      .groupBy("chrom", "pos", "ref", "alt")
+      .pivot("zygosity",
+        Seq("hom-ref", "het-ref", "hom-alt", "het-alt", "het-miss", "hom-miss"))
+      .count()
+}

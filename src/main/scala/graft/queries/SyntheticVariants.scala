@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VariantFunctions
+
+/** Deterministic VCF-shaped data derived from the driver's lineitem table,
+  * written once as SQL text that BOTH Spark SQL and DuckDB evaluate
+  * identically (functions restricted to the common dialect: substr, ||,
+  * CASE, CAST, %). The correctness gate then has DuckDB independently
+  * recompute the derivation AND reimplement the reference's annotation
+  * semantics in portable SQL — a true oracle for the VCF operators.
+  *
+  * Case coverage engineered in: `chr`-prefixed chroms, multi-base REF
+  * (del/indel/mnp), multiallelic ALT, missing ALT (`.`), phased/unphased,
+  * haploid calls, half-missing (`./1`) and fully-missing calls, hom/het
+  * ref/alt, and `GT:DP:AD` FORMAT payloads.
+  */
+object SyntheticVariants {
+
+  val refLenSql = "CASE WHEN k % 11 = 0 THEN 3 WHEN k % 7 = 3 THEN 2 ELSE 1 END"
+
+  val chromRawSql: String =
+    "CASE WHEN k % 7 = 0 THEN 'chr' || CAST(1 + (k % 22) AS VARCHAR(8)) " +
+      "ELSE CAST(1 + (k % 22) AS VARCHAR(8)) END"
+
+  val posSql = "CAST(1000 + (k % 100000) AS INT)"
+
+  val refSql = s"substr('ACGTACG', CAST(1 + (k % 4) AS INT), $refLenSql)"
+
+  val altSql: String =
+    s"""CASE
+        WHEN k % 17 = 0 THEN '.'
+        WHEN k % 13 = 0 THEN substr('TGCA', CAST(1 + (k % 4) AS INT), 1) || ',' || substr('GTAC', CAST(1 + (k % 4) AS INT), 1)
+        WHEN k % 11 = 0 THEN substr('ACGTACG', CAST(1 + (k % 4) AS INT), 1)
+        WHEN k % 9 = 0 THEN substr('ACGTACG', CAST(1 + (k % 4) AS INT), 1) || 'TT'
+        WHEN k % 5 = 0 THEN substr('TTTTT', 1, $refLenSql)
+        ELSE substr('TGCA', CAST(1 + (k % 4) AS INT), 1)
+      END"""
+
+  val idSql = "'rs' || CAST(k AS VARCHAR(20))"
+  val qualSql = "CAST(k % 100 AS VARCHAR(8))"
+  val filtSql = "CASE WHEN k % 2 = 0 THEN 'PASS' ELSE 'q10' END"
+  val infoSql: String =
+    "'NS=' || CAST(k % 100 AS VARCHAR(8)) || ';DP=' || CAST(k % 1000 AS VARCHAR(8)) || " +
+      "';AF=0.' || CAST(k % 97 AS VARCHAR(8))"
+
+  /** Genotype call for sample term `g` (an SQL int expression). */
+  private def gtSql(g: String): String =
+    s"""CASE
+        WHEN ($g) % 23 = 0 THEN './.'
+        WHEN ($g) % 19 = 0 THEN '.'
+        WHEN ($g) % 29 = 0 THEN './1'
+        WHEN ($g) % 17 = 0 THEN '1|1'
+        WHEN k % 13 = 0 AND ($g) % 4 = 1 THEN '1/2'
+        WHEN k % 13 = 0 AND ($g) % 4 = 2 THEN '2|2'
+        WHEN ($g) % 7 = 0 THEN '0/0'
+        WHEN ($g) % 5 = 0 THEN '0|1'
+        WHEN ($g) % 3 = 0 THEN '1/1'
+        WHEN ($g) % 2 = 0 THEN '0/1'
+        ELSE '0'
+      END"""
+
+  /** Full `GT:DP:AD` sample call for sample term `si`. */
+  def callSql(si: String): String = {
+    val g = s"k + ($si) * 31"
+    s"${gtSql(g)} || ':' || CAST(($g) % 100 AS VARCHAR(8)) || ':' || " +
+      s"CAST(($g) % 50 AS VARCHAR(8)) || ',' || CAST(($g) % 30 AS VARCHAR(8))"
+  }
+
+  val sampleIds: Seq[String] = (1 to 4).map(i => s"g$i")
+
+  /** Spark side: the wide graft-VCF frame (plus k and chrom_raw). */
+  def wide(s: SparkSession, dir: String): DataFrame = {
+    val exprs = Seq(
+      "k",
+      s"$chromRawSql AS chrom_raw",
+      s"$posSql AS pos",
+      s"$idSql AS id",
+      s"$refSql AS ref",
+      s"$altSql AS alt",
+      s"$qualSql AS qual",
+      s"$filtSql AS filt",
+      s"$infoSql AS info",
+      "'GT:DP:AD' AS format") ++
+      (1 to 4).map(i => s"${callSql(i.toString)} AS call_g$i")
+    val base = QueryUtil.t(s, dir, "lineitem")
+      .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+      .selectExpr(exprs: _*)
+    val gmap = map(
+      (1 to 4).flatMap(i => Seq(lit(s"g$i"), col(s"call_g$i"))): _*)
+    base.select(
+      col("k"),
+      col("chrom_raw"),
+      VariantFunctions.normalizeChrom(col("chrom_raw")).as("chrom"),
+      col("pos"), col("id"), col("ref"), col("alt"), col("qual"),
+      col("filt"), col("info"), col("format"),
+      gmap.as("genotypes"))
+  }
+
+  /** DuckDB side: CTEs `ln` (keys), `v` (variant sites), `sm` (per-sample
+    * calls, 4 rows/site).
+    */
+  val duckCtes: String =
+    s"""ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        v AS (SELECT k, $chromRawSql AS chrom_raw, $posSql AS pos,
+                     $idSql AS id, $refSql AS ref, $altSql AS alt,
+                     $qualSql AS qual, $filtSql AS filt, $infoSql AS info
+              FROM ln),
+        sm AS (SELECT v.*, u.si, ${callSql("u.si")} AS call
+               FROM v CROSS JOIN (SELECT unnest([1,2,3,4]) AS si) u)"""
+
+  /** DuckDB reimplementation of VariantFunctions.vartype — the count of
+    * differing characters over the allele's span, length-diff driven
+    * (reference variant_annotations.py:130-162).
+    */
+  def vartypeSql(ref: String, a: String): String = {
+    def diff =
+      s"""coalesce(list_sum(list_transform(range(1, CAST(length($a) AS INT) + 1),
+            i -> CASE WHEN substr($ref, CAST(i AS INT), 1) <> substr($a, CAST(i AS INT), 1) THEN 1 ELSE 0 END)), 0)"""
+    s"""CASE WHEN $ref = $a THEN 'ref'
+         WHEN length($ref) = length($a) THEN CASE WHEN $diff = 1 THEN 'snp' ELSE 'mnp' END
+         WHEN length($ref) > length($a) THEN CASE WHEN $diff > 0 THEN 'indel' ELSE 'del' END
+         ELSE 'ins' END"""
+  }
+
+  /** DuckDB reimplementation of VariantFunctions.zygosity (branch order
+    * mirrors reference variant_annotations.py:64-127).
+    */
+  def zygositySql(ref: String, a1: String, a2: String): String =
+    s"""CASE WHEN $a1 = $ref AND $a2 = $ref THEN 'hom-ref'
+         WHEN $a1 = '.' AND $a2 = '.' THEN 'hom-miss'
+         WHEN $a1 = '.' OR $a2 = '.' THEN 'het-miss'
+         WHEN $a1 <> $ref AND $a2 <> $ref AND $a1 <> $a2 THEN 'het-alt'
+         WHEN $a1 <> $ref AND $a2 <> $ref AND $a1 = $a2 THEN 'hom-alt'
+         ELSE 'het-ref' END"""
+
+  /** DuckDB CTE chain reproducing VariantAnnotator.annotate output
+    * (appended after [[duckCtes]]): long → non-missing → parts/bases →
+    * alleles → annotations (+ hom_ref_counts window).
+    */
+  val duckAnnotateCtes: String =
+    s"""lng AS (
+          SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref, alt,
+                 'g' || CAST(si AS VARCHAR(4)) AS sample_id,
+                 string_split(call, ':')[1] AS gt,
+                 CAST(string_split(call, ':')[2] AS BIGINT) AS dp,
+                 string_split(call, ':')[3] AS ad
+          FROM sm WHERE alt <> '.'),
+        nm AS (SELECT * FROM lng WHERE gt NOT IN ('./.', '.|.', '.')),
+        pp AS (
+          SELECT *,
+            CASE WHEN contains(gt, '|') THEN '|' WHEN contains(gt, '/') THEN '/' ELSE '-' END AS phase,
+            string_split_regex(gt, '[/|]') AS parts,
+            list_prepend(ref, string_split(alt, ',')) AS bases
+          FROM nm),
+        al AS (
+          SELECT *, parts[1] AS gt1,
+            CASE WHEN len(parts) >= 2 THEN parts[2] ELSE NULL END AS gt2,
+            CASE WHEN parts[1] = '.' THEN '.' ELSE bases[CAST(parts[1] AS INT) + 1] END AS a1,
+            CASE WHEN len(parts) < 2 THEN '.'
+                 WHEN parts[2] = '.' THEN '.'
+                 ELSE bases[CAST(parts[2] AS INT) + 1] END AS a2
+          FROM pp),
+        ann AS (
+          SELECT chrom, pos, ref, alt, sample_id, gt, phase, gt1, gt2, a1, a2,
+            CAST(len(string_split(alt, ',')) - 1 AS INT) AS multiallele,
+            ${vartypeSql("ref", "a1")} AS vartype1,
+            ${vartypeSql("ref", "a2")} AS vartype2,
+            ${zygositySql("ref", "a1", "a2")} AS zygosity,
+            dp, ad
+          FROM al),
+        cnt AS (
+          SELECT *,
+            CAST(SUM(CASE WHEN zygosity = 'hom-ref' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY chrom, pos, ref, alt) AS BIGINT) AS hom_ref_counts
+          FROM ann)"""
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VariantFunctions
+import graft.functions.VariantFunctions._
+import graft.operators.VariantAnnotator
+import graft.sources.VcfReader
+import QueryUtil._
+import SyntheticVariants._
+
+/** Gate queries for the VCF surface (SURVEY.md §2.A), over the synthetic
+  * variants derivation — DuckDB independently recomputes both the data
+  * and the reference semantics.
+  */
+object VcfQueries extends QuerySet {
+
+  private val fmtKeys = Some(Seq("AD", "DP", "GT"))
+
+  /** Raw line → typed columns, exercising VcfReader.parseLines against a
+    * direct columnar derivation in the oracle.
+    */
+  private val q10 = Q(
+    "q10_vcf_parse_lines",
+    (s, dir) => {
+      val pieces = Seq(
+        s"($chromRawSql)", s"CAST($posSql AS VARCHAR(12))", s"($idSql)",
+        s"($refSql)", s"($altSql)", s"($qualSql)", s"($filtSql)",
+        s"($infoSql)", "'GT:DP:AD'",
+        s"(${callSql("1")})", s"(${callSql("2")})",
+        s"(${callSql("3")})", s"(${callSql("4")})")
+      val lines = t(s, dir, "lineitem")
+        .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+        .selectExpr(pieces.mkString(" || chr(9) || ") + " AS value")
+      val cols = Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+        "INFO", "FORMAT") ++ sampleIds
+      VcfReader.parseLines(lines, cols, sampleIds)
+        .select(
+          col("chrom"), col("pos"), col("id"), col("ref"), col("alt"),
+          col("qual"), col("filter").as("filt"), col("info"), col("format"),
+          element_at(col("genotypes"), "g2").as("call_g2"))
+        .orderBy("chrom", "pos", "id")
+    },
+    Some(s"""
+      WITH $duckCtes
+      SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, id, ref,
+             alt, qual, filt, info, 'GT:DP:AD' AS format,
+             ${callSql("2")} AS call_g2
+      FROM v ORDER BY chrom, pos, id
+    """))
+
+  /** CHROM normalization + site dedup (reference pandasvcf.py:175-179). */
+  private val q11 = Q(
+    "q11_chrom_norm",
+    (s, dir) =>
+      wide(s, dir).select("chrom").distinct().orderBy("chrom"),
+    Some(s"""
+      WITH $duckCtes
+      SELECT DISTINCT regexp_replace(chrom_raw, '^chr', '') AS chrom
+      FROM v ORDER BY chrom
+    """))
+
+  /** vartype classifier over (REF, first ALT allele). */
+  private val q12 = Q(
+    "q12_vartype",
+    (s, dir) =>
+      wide(s, dir)
+        .filter(col("alt") =!= ".")
+        .select(col("k"), col("ref"),
+          element_at(split(col("alt"), ","), 1).as("a"))
+        .withColumn("vartype", vartype(col("ref"), col("a")))
+        .orderBy("k"),
+    Some(s"""
+      WITH $duckCtes
+      SELECT k, ref, string_split(alt, ',')[1] AS a,
+             ${vartypeSql("ref", "string_split(alt, ',')[1]")} AS vartype
+      FROM v WHERE alt <> '.' ORDER BY k
+    """))
+
+  /** Allele extraction: phase / GT1 / GT2 / a1 / a2 per sample call. */
+  private val q13 = Q(
+    "q13_gt_alleles",
+    (s, dir) =>
+      wide(s, dir)
+        .filter(col("alt") =!= ".")
+        .select(col("k"), col("ref"), col("alt"),
+          explode(col("genotypes")).as(Seq("sample_id", "call")))
+        .withColumn("gt", element_at(split(col("call"), ":"), 1))
+        .filter(!isMissingCall(col("gt")))
+        .select(
+          col("k"), col("sample_id"), col("gt"),
+          VariantFunctions.phase(col("gt")).as("phase"),
+          gt1(col("gt")).as("gt1"),
+          gt2(col("gt")).as("gt2"),
+          alleleBase(col("ref"), col("alt"), gt1(col("gt"))).as("a1"),
+          alleleBase(col("ref"), col("alt"), gt2(col("gt"))).as("a2"))
+        .orderBy("k", "sample_id"),
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes
+      SELECT k, sample_id, gt, phase, gt1, gt2, a1, a2
+      FROM al ORDER BY k, sample_id
+    """))
+
+  /** Zygosity distribution over every non-missing call. */
+  private val q14 = Q(
+    "q14_zygosity",
+    (s, dir) =>
+      VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+        .groupBy("zygosity").agg(count(lit(1)).as("n"))
+        .orderBy("zygosity"),
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes
+      SELECT zygosity, count(*) AS n FROM ann
+      GROUP BY zygosity ORDER BY zygosity
+    """))
+
+  /** The flagship: full long annotation matrix with hom_ref_counts,
+    * drop_hom_ref=true and split_columns={AD:2} — the reference's
+    * add_variant_annotations end to end.
+    */
+  private val q15 = Q(
+    "q15_vcf_annotate",
+    (s, dir) =>
+      VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(
+            splitColumns = Map("AD" -> 2),
+            dropHomRef = true,
+            formatKeys = fmtKeys))
+        .select(
+          col("chrom"), col("pos"), col("ref"), col("alt"), col("sample_id"),
+          col("gt"), col("phase"), col("gt1"), col("gt2"), col("a1"), col("a2"),
+          col("multiallele"), col("vartype1"), col("vartype2"), col("zygosity"),
+          col("hom_ref_counts"),
+          col("DP").cast("long").as("dp"),
+          col("AD_0").as("ad_0"), col("AD_1").as("ad_1"))
+        .orderBy("chrom", "pos", "ref", "alt", "sample_id"),
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes
+      SELECT chrom, pos, ref, alt, sample_id, gt, phase, gt1, gt2, a1, a2,
+             multiallele, vartype1, vartype2, zygosity, hom_ref_counts, dp,
+             string_split(ad, ',')[1] AS ad_0,
+             string_split(ad, ',')[2] AS ad_1
+      FROM cnt WHERE zygosity <> 'hom-ref'
+      ORDER BY chrom, pos, ref, alt, sample_id
+    """))
+
+  /** FORMAT subfield extraction used numerically (sum of DP per chrom). */
+  private val q16 = Q(
+    "q16_format_fields",
+    (s, dir) =>
+      VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+        .groupBy("chrom")
+        .agg(sum(col("DP").cast("long")).as("sum_dp"), count(lit(1)).as("n"))
+        .orderBy("chrom"),
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes
+      SELECT chrom, sum(dp) AS sum_dp, count(*) AS n FROM ann
+      GROUP BY chrom ORDER BY chrom
+    """))
+
+  /** INFO key=value parsing via str_to_map (reference keeps INFO opaque;
+    * this is the typed upgrade its notebooks do by hand).
+    */
+  private val q17 = Q(
+    "q17_info_fields",
+    (s, dir) => {
+      val m = VcfReader.infoMap(col("info"))
+      wide(s, dir)
+        .select(
+          col("k"),
+          element_at(m, "NS").cast("long").as("ns"),
+          element_at(m, "DP").cast("long").as("dpi"),
+          element_at(m, "AF").as("af"))
+        .orderBy("k")
+    },
+    Some(s"""
+      WITH $duckCtes
+      SELECT k,
+        CAST(regexp_extract(info, 'NS=([0-9]+)', 1) AS BIGINT) AS ns,
+        CAST(regexp_extract(info, 'DP=([0-9]+)', 1) AS BIGINT) AS dpi,
+        regexp_extract(info, 'AF=([0-9.]+)', 1) AS af
+      FROM v ORDER BY k
+    """))
+
+  val all: Seq[Q] = Seq(q10, q11, q12, q13, q14, q15, q16, q17)
+}

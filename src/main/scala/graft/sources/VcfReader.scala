@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VariantFunctions
+
+/** Distributed VCF ingestion.
+  *
+  * The reference (pandasvcf.py:76-99 + vcf_metadata.py) streams a VCF
+  * through a pandas chunked csv reader on one core. Here the header is a
+  * driver-side peek at the first lines (VCF headers must precede data) and
+  * the body is a plain distributed text scan — line-splittable, so a
+  * 100 TB uncompressed/bgzip-sharded VCF parallelizes per file-split.
+  * Plain `.gz` is one task per file (not splittable) — land such data as
+  * many shards or convert to parquet via [[toParquet]].
+  */
+object VcfReader {
+
+  /** Parsed `##key=value` header + the `#CHROM...` column line
+    * (reference: pandasvcf.py:102-120, VCF.header_df / samples /
+    * all_columns).
+    */
+  final case class VcfMetadata(
+      headerKv: Seq[(String, String)],
+      columns: Seq[String],
+      samples: Seq[String])
+
+  /** Standard leading VCF columns; everything after FORMAT is a sample. */
+  private val FixedCols =
+    Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT")
+
+  /** Driver-side header parse: reads only the leading `#` lines (the
+    * reference likewise assumes ≤5000 header lines, vcf_metadata.py:8).
+    */
+  def metadata(spark: SparkSession, path: String): VcfMetadata = {
+    import spark.implicits._
+    val head = spark.read.textFile(path).limit(5000).collect()
+      .takeWhile(_.startsWith("#"))
+    fromHeaderLines(head.toSeq)
+  }
+
+  private[graft] def fromHeaderLines(lines: Seq[String]): VcfMetadata = {
+    val kv = lines.filter(_.startsWith("##")).map { l =>
+      val s = l.stripPrefix("##").split("=", 2)
+      (s(0), if (s.length > 1) s(1) else "")
+    }
+    val colLine = lines.lastOption.filter(_.startsWith("#CHROM"))
+      .getOrElse(throw new IllegalArgumentException(
+        "VCF header has no #CHROM column line"))
+    val cols = colLine.split("\t").toSeq
+    VcfMetadata(kv, cols, cols.drop(FixedCols.length))
+  }
+
+  /** Read a VCF file/glob into the wide graft schema:
+    * `chrom, pos, id, ref, alt, qual, filter, info, format,
+    * genotypes MAP<sample,call>`. A map column keeps the schema fixed for
+    * any sample count — a 2500-sample VCF (reference README workload)
+    * would otherwise blow up codegen with 2500 string columns.
+    *
+    * @param sampleIds subset of samples to keep (reference `sample_id=`,
+    *                  pandasvcf.py:122-132); None = all.
+    * @param dedupe    drop fully duplicated rows like the reference's
+    *                  get_vcf_df_chunk (pandasvcf.py:175) — opt-in since
+    *                  it costs a shuffle at scale.
+    */
+  def read(
+      spark: SparkSession,
+      path: String,
+      sampleIds: Option[Seq[String]] = None,
+      dedupe: Boolean = false): DataFrame = {
+    val meta = metadata(spark, path)
+    val samples = sampleIds.getOrElse(meta.samples)
+    val lines = spark.read.text(path)
+      .filter(!col("value").startsWith("#"))
+    val parsed = parseLines(lines, meta.columns, samples)
+    if (dedupe) parsed.dropDuplicates() else parsed
+  }
+
+  /** Parse raw VCF body lines (column `value`) given the header's column
+    * list. Pure narrow projection — stays in WholeStageCodegen.
+    */
+  def parseLines(
+      lines: DataFrame,
+      columns: Seq[String],
+      samples: Seq[String]): DataFrame = {
+    val idx = columns.zipWithIndex.toMap
+    val f = split(col("value"), "\t")
+    def fc(name: String) = element_at(f, idx(name) + 1)
+    def opt(name: String) =
+      if (idx.contains(name)) fc(name) else lit(null).cast("string")
+
+    val gmap = map_from_arrays(
+      array(samples.map(lit(_)): _*),
+      array(samples.map(sm => fc(sm)): _*))
+
+    lines.select(
+      VariantFunctions.normalizeChrom(fc("#CHROM")).as("chrom"),
+      fc("POS").cast("int").as("pos"),
+      opt("ID").as("id"),
+      fc("REF").as("ref"),
+      fc("ALT").as("alt"),
+      opt("QUAL").as("qual"),
+      opt("FILTER").as("filter"),
+      opt("INFO").as("info"),
+      opt("FORMAT").as("format"),
+      gmap.as("genotypes"))
+  }
+
+  /** INFO `key=value;...` → MAP (flag-style keys get value ""). */
+  def infoMap(info: Column): Column = str_to_map(info, lit(";"), lit("="))
+
+  /** Recommended landing path for huge VCFs: one pass text→parquet,
+    * partitioned by chromosome so downstream site-keyed work prunes and
+    * co-locates.
+    */
+  def toParquet(spark: SparkSession, vcfPath: String, outPath: String): Unit =
+    read(spark, vcfPath)
+      .repartition(col("chrom"))
+      .write.mode("overwrite")
+      .partitionBy("chrom")
+      .parquet(outPath)
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VariantAnnotator
+import graft.sources.VcfReader
+
+/** End-to-end annotate matrix pinned to what the reference's
+  * add_variant_annotations emits for the same mini VCF
+  * (pandasvcf.py:186-288, variant_annotations.py:534-768).
+  */
+class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val wide = VcfReader.read(spark, VcfFixture.write().toString)
+
+  private lazy val full = VariantAnnotator.annotate(
+    wide,
+    VariantAnnotator.Options(
+      splitColumns = Map("AD" -> 2),
+      dropHomRef = false,
+      formatKeys = Some(Seq("GT", "DP", "AD"))))
+
+  private def row(pos: Int, sample: String) =
+    full.filter(col("pos") === pos && col("sample_id") === sample)
+      .collect() match {
+      case Array(r) => r
+      case other => fail(s"expected 1 row for ($pos,$sample), got ${other.length}")
+    }
+
+  private def f(pos: Int, sample: String, field: String): Any = {
+    val r = row(pos, sample)
+    r.get(r.fieldIndex(field))
+  }
+
+  test("wide→long explode with missing-call and missing-ALT drops") {
+    // 7 sites × 2 samples = 14 calls; minus ./., minus 2 calls on ALT='.'
+    assert(full.count() === 11)
+    assert(full.filter(col("pos") === 600).count() === 0) // ALT='.' dropped
+    assert(full.filter(col("pos") === 200).count() === 1) // ./. dropped
+  }
+
+  test("snp site with FORMAT payload") {
+    assert(f(100, "NA1", "zygosity") === "het-ref")
+    assert(f(100, "NA1", "phase") === "/")
+    assert(f(100, "NA1", "a1") === "A")
+    assert(f(100, "NA1", "a2") === "G")
+    assert(f(100, "NA1", "vartype1") === "ref")
+    assert(f(100, "NA1", "vartype2") === "snp")
+    assert(f(100, "NA1", "DP") === "12")
+    assert(f(100, "NA1", "AD_0") === "3")
+    assert(f(100, "NA1", "AD_1") === "9")
+    assert(f(100, "NA2", "zygosity") === "hom-alt")
+    assert(f(100, "NA2", "phase") === "|")
+  }
+
+  test("deletion and insertion vartypes") {
+    assert(f(200, "NA1", "vartype2") === "del") // AC→A
+    assert(f(300, "NA1", "vartype2") === "ins") // T→TTG
+    assert(f(500, "NA1", "vartype2") === "mnp") // TTC→TAG
+  }
+
+  test("multiallelic site: indices into [REF ++ ALTs]") {
+    assert(f(400, "NA1", "a1") === "A")
+    assert(f(400, "NA1", "a2") === "C")
+    assert(f(400, "NA1", "zygosity") === "het-alt")
+    assert(f(400, "NA1", "multiallele") === 1)
+    assert(f(400, "NA2", "a1") === "C")
+    assert(f(400, "NA2", "zygosity") === "hom-alt")
+  }
+
+  test("half-missing and haploid calls") {
+    assert(f(500, "NA2", "zygosity") === "het-miss") // ./1
+    assert(f(500, "NA2", "a1") === ".")
+    assert(f(700, "NA1", "phase") === "-") // haploid '1'
+    assert(f(700, "NA1", "a1") === "A")
+    assert(f(700, "NA1", "a2") === ".")
+    assert(f(700, "NA1", "zygosity") === "het-miss")
+    assert(row(700, "NA1").isNullAt(row(700, "NA1").fieldIndex("gt2")))
+  }
+
+  test("hom_ref_counts per site, counted before drop_hom_ref") {
+    assert(f(300, "NA1", "hom_ref_counts") === 1L) // NA2's 0/0
+    assert(f(300, "NA2", "zygosity") === "hom-ref")
+    assert(f(100, "NA1", "hom_ref_counts") === 0L)
+    val dropped = VariantAnnotator.annotate(
+      wide,
+      VariantAnnotator.Options(dropHomRef = true,
+        formatKeys = Some(Seq("GT", "DP", "AD"))))
+    assert(dropped.filter(col("zygosity") === "hom-ref").count() === 0)
+    // counts survive the drop
+    assert(dropped.filter(col("pos") === 300).head()
+      .getAs[Long]("hom_ref_counts") === 1L)
+  }
+
+  test("siteSummary pivots zygosity per site") {
+    val s = VariantAnnotator.siteSummary(full)
+    val r300 = s.filter(col("pos") === 300).head()
+    assert(r300.getAs[Long]("hom-ref") === 1L)
+    assert(r300.getAs[Long]("hom-alt") === 1L)
+  }
+}
