@@ -6,7 +6,7 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  private def sets: Seq[QuerySet] = Seq(Relational, VcfQueries)
+  private def sets: Seq[QuerySet] = Seq(Relational, VcfQueries, LlmQueries)
 
   private lazy val allQ: Seq[Q] = sets.flatMap(_.all)
 

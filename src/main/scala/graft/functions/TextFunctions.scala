@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM-data pipelines — all builtins/HOFs,
+  * codegen-friendly, no UDFs. Hash arithmetic is explicit polynomial
+  * rolling-hash (never engine-native hash()) so results are reproducible
+  * across engines — the DuckDB oracle recomputes them bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Printable-ASCII projection — canonicalization step before hashing /
+    * shingling so codepoint arithmetic is engine-portable.
+    */
+  def cleanAscii(c: Column): Column = regexp_replace(c, "[^\\x20-\\x7E]", "")
+
+  /** Whitespace tokens; empty/blank text → empty array (not [""]). */
+  def wsTokens(c: Column): Column = {
+    val t = trim(c)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  def tokenCount(c: Column): Column = size(wsTokens(c))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    * punctuation — the usual pre-tokenization granularity.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpePattern))
+
+  def punctCount(c: Column): Column = regexp_count(c, lit("[.,;:!?]"))
+  def upperCount(c: Column): Column = regexp_count(c, lit("[A-Z]"))
+
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    size(filter(wsTokens(lower(c)), w => w.isin(words: _*)))
+
+  /** Character array without Spark's trailing "" from split-by-empty. */
+  def chars(c: Column): Column = filter(split(c, ""), ch => ch =!= lit(""))
+
+  /** Polynomial rolling hash h = (h*31 + codepoint) mod 1e9+7 — the
+    * document-fingerprint primitive; sequential fold, deterministic.
+    */
+  val HashMod = 1000000007L
+  def rollingHash(c: Column): Column =
+    aggregate(chars(c), lit(0L), (h, ch) => (h * 31 + ascii(ch)) % HashMod)
+
+  /** Word n-gram shingles: ["a","b","c","d"],3 → ["a b c","b c d"]. */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))))
+
+  /** Distinct shingle hash set of a document: canonicalize → tokenize →
+    * n-gram → rolling-hash each shingle. The unit record for
+    * minhash/jaccard dedup.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(
+      wordNgrams(wsTokens(lower(cleanAscii(text))), n),
+      s => rollingHash(s)))
+
+  /** Fixed MinHash parameter banks (16 permutations of
+    * h_j(x) = (a_j·x + b_j) mod 1e9+7) — shared with the DuckDB oracle.
+    */
+  val MinhashA: Seq[Long] =
+    Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L, 67L)
+  val MinhashB: Seq[Long] =
+    Seq(3L, 5L, 17L, 23L, 29L, 31L, 41L, 43L, 47L, 53L, 59L, 61L, 67L, 71L, 73L, 79L)
+
+  /** MinHash signature (array of MinhashA.size mins) over a shingle-hash
+    * array; NULL entries if the doc has no shingles.
+    */
+  def minhashSignature(shingles: Column): Column =
+    array(MinhashA.indices.map { j =>
+      array_min(transform(shingles,
+        x => (x * MinhashA(j) + MinhashB(j)) % HashMod))
+    }: _*)
+
+  /** 32-bit SimHash over token hashes: bit b of the result is set when
+    * the b-th bit majority over token hashes is positive.
+    */
+  def simhash32(tokenHashes: Column): Column =
+    (0 until 32).map { b =>
+      val vote = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over embedding columns (Array[Float]).
+  *
+  * Dot/cosine are strict left-to-right folds in DOUBLE — deterministic
+  * and engine-portable (the DuckDB oracle reproduces them exactly), and
+  * codegen'd by Catalyst (HOFs, no UDF).
+  */
+object Similarity {
+
+  /** Σ a_i·b_i with a double accumulator in element order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every probe against the whole corpus.
+    * The probe side is small by construction and broadcast, so the scan
+    * side never shuffles — at 100 TB this is one pass over the corpus
+    * per probe batch. Rank ties break on candidate id (deterministic).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(p))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine(col("cv"), col("pv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "cand_id", "rnk", "cosine")
+  }
+
+  /** Scale path: random-hyperplane LSH bucket id (sign bits of `planes`
+    * dot products packed into a long). Equal buckets → candidate set;
+    * probe only its bucket instead of the corpus. Planes are fixed
+    * literals so bucketing is reproducible.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = aggregate(
+        zip_with(vec, array(p.map(lit): _*), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document quality / language heuristics for corpus filtering — pure
+  * column expressions, usable inside any filter or projection and fully
+  * pushdown-transparent.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Stopword hit count for one language profile. */
+  def stopwordHits(text: Column, lang: String): Column =
+    stopwordCount(text, Stopwords.toMap.apply(lang))
+
+  /** Predicted language: argmax of profile hits, ties resolved by the
+    * fixed profile order (en > de > fr > es) — deterministic.
+    */
+  def langId(text: Column): Column = {
+    val hits = Stopwords.map { case (l, ws) => l -> stopwordCount(text, ws) }
+    hits.zipWithIndex.foldRight(lit(Stopwords.last._1)) {
+      case (((lang, h), i), alt) =>
+        val rest = hits.drop(i + 1)
+        if (rest.isEmpty) lit(lang)
+        else when(rest.map(r => h >= r._2).reduce(_ && _), lang).otherwise(alt)
+    }
+  }
+
+  /** Punctuation density over characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(punctCount(text).cast("double") / length(text))
+
+  /** Stopword (en) density over whitespace tokens — the classic
+    * "natural language vs boilerplate" signal.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0)
+      .otherwise(stopwordCount(text, Stopwords.toMap.apply("en")).cast("double") / n)
+  }
+
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(upperCount(text).cast("double") / length(text))
+
+  /** Document fingerprint: rolling hash of the ASCII-canonicalized text. */
+  def fingerprint(text: Column): Column = rollingHash(cleanAscii(text))
+}

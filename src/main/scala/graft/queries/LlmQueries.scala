@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import QueryUtil._
+
+/** Gate queries for the LLM-data-pipeline operators (SURVEY.md §2.C):
+  * text analysis, dedup (exact / jaccard / minhash-LSH / simhash /
+  * embedding), and ANN similarity. Near-duplicates are PLANTED via
+  * deterministic transforms written identically on both engines, so
+  * recall is observable and still hash-exact.
+  */
+object LlmQueries extends QuerySet {
+
+  // ---- shared Spark-side builders -------------------------------------
+
+  /** documents ∪ perturbed copies (id+1e6, ' zz yy xx' appended),
+    * canonicalized — the near-dup corpus for jaccard/minhash/simhash.
+    */
+  private def docs2(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val canon = lower(cleanAscii(col("text")))
+    d.select(col("doc_id").as("id"), canon.as("text"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(canon, lit(" zz yy xx")).as("text")))
+  }
+
+  /** DuckDB twin of [[docs2]] ('g' flag: replace ALL non-ASCII). */
+  private val docs2Sql =
+    """docs2 AS (
+         SELECT doc_id AS id, lower(regexp_replace(text, '[^\x20-\x7E]', '', 'g')) AS text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS id,
+                lower(regexp_replace(text, '[^\x20-\x7E]', '', 'g')) || ' zz yy xx' AS text
+         FROM documents WHERE doc_id % 10 = 0)"""
+
+  /** DuckDB rolling hash h=(h*31+cp)%1e9+7 over a string expression. */
+  private def rollSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, CAST(length($e) AS INT) + 1),
+            i -> CAST(unicode(substr($e, CAST(i AS INT), 1)) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007)"""
+
+  /** DuckDB shingle-hash table (id, x): tokenize → 3-gram → roll → distinct. */
+  private val shxSql =
+    s"""toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM docs2),
+        shing AS (SELECT id, unnest(list_transform(range(1, CAST(len(w) AS INT) - 1),
+            i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS s
+          FROM toks),
+        shx AS (SELECT DISTINCT id, ${rollSql("s")} AS x FROM shing)"""
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private def stopSql(lang: String): String =
+    s"""len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+          t -> t IN (${inList(TextAnalysis.Stopwords.toMap.apply(lang))})))"""
+
+  // ---- text analysis ---------------------------------------------------
+
+  private val q20 = Q(
+    "q20_token_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("tok_ws"),
+          sum(bpeTokenCount(col("text"))).as("tok_bpe"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang"),
+    Some(s"""
+      SELECT lang, count(*) AS n_docs,
+        sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS tok_ws,
+        sum(len(regexp_extract_all(text, '${TextFunctions.BpePattern}'))) AS tok_bpe,
+        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang
+    """))
+
+  private val q21 = Q(
+    "q21_quality",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tok"),
+          micro(TextAnalysis.punctRatio(col("text"))).as("punct_micro"),
+          micro(TextAnalysis.stopwordRatio(col("text"))).as("stop_micro"),
+          micro(TextAnalysis.upperRatio(col("text"))).as("upper_micro"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+        ${microSql("CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) END")} AS punct_micro,
+        ${microSql(s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST(${stopSql("en")} AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) END")} AS stop_micro,
+        ${microSql("CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / length(text) END")} AS upper_micro
+      FROM documents ORDER BY doc_id
+    """))
+
+  private val q22 = Q(
+    "q22_langid",
+    (s, dir) => {
+      val hits = TextAnalysis.Stopwords.map { case (l, _) =>
+        TextAnalysis.stopwordHits(col("text"), l).as(s"h_$l")
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id") +: hits :+
+          TextAnalysis.langId(col("text")).as("pred") :+
+          col("lang").as("actual"): _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, h_en, h_de, h_fr, h_es,
+        CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+             WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+             WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS pred,
+        lang AS actual
+      FROM (SELECT doc_id, lang,
+              ${stopSql("en")} AS h_en, ${stopSql("de")} AS h_de,
+              ${stopSql("fr")} AS h_fr, ${stopSql("es")} AS h_es
+            FROM documents) h
+      ORDER BY doc_id
+    """))
+
+  private val q23 = Q(
+    "q23_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, ${rollSql("c")} AS fp
+      FROM (SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS c
+            FROM documents) t
+      ORDER BY doc_id
+    """))
+
+  // ---- dedup ----------------------------------------------------------
+
+  private val q30 = Q(
+    "q30_exact_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val both = d.select(col("doc_id").as("id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("id"), col("text")))
+      Dedup.exact(both, "id", "text")
+        .filter(col("dup_count") > 1)
+        .select(col("id").as("keep_id"), col("dup_count").as("n"))
+        .orderBy("keep_id")
+    },
+    Some("""
+      WITH docs2 AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 10 = 0)
+      SELECT min(id) AS keep_id, count(*) AS n
+      FROM docs2 GROUP BY md5(text) HAVING count(*) > 1
+      ORDER BY keep_id
+    """))
+
+  private val q31 = Q(
+    "q31_ngram_jaccard",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(docs2(s, dir), "id", "text", n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), micro(col("jaccard")).as("jac_micro"))
+        .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH $docs2Sql, $shxSql,
+      sizes AS (SELECT id, count(*) AS n_sh FROM shx GROUP BY id),
+      inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+                FROM shx a JOIN shx b ON a.x = b.x AND a.id < b.id
+                GROUP BY 1, 2),
+      j AS (SELECT id_a, id_b,
+              CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b)
+      SELECT id_a, id_b, ${microSql("jaccard")} AS jac_micro
+      FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+    """))
+
+  private val q32 = {
+    val bands = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+      s"${cols.mkString(" || '_' || ")} AS b$b"
+    }
+    val mins = MinhashA.indices.map(j =>
+      s"min((x * ${MinhashA(j)} + ${MinhashB(j)}) % 1000000007) AS m$j")
+    val unions = (0 until 4).map(b =>
+      s"SELECT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b ON a.id < b.id AND a.b$b = b.b$b")
+    Q(
+      "q32_minhash_lsh",
+      (s, dir) =>
+        Dedup.minhashLshPairs(docs2(s, dir), "id", "text", n = 3, bands = 4)
+          .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH $docs2Sql, $shxSql,
+        mh AS (SELECT id, ${mins.mkString(", ")} FROM shx GROUP BY id),
+        bands AS (SELECT id, ${bands.mkString(", ")} FROM mh),
+        cand AS (${unions.mkString(" UNION ")})
+        SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
+      """))
+  }
+
+  private val q33 = Q(
+    "q33_simhash",
+    (s, dir) =>
+      Dedup.simhashTable(docs2(s, dir), "id", "text").orderBy("id"),
+    Some(s"""
+      WITH $docs2Sql,
+      toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM docs2),
+      tokh AS (SELECT DISTINCT id, ${rollSql("s")} AS x
+               FROM (SELECT id, unnest(w) AS s FROM toks) u),
+      bits AS (SELECT unnest(range(0, 32)) AS b),
+      votes AS (SELECT id, b,
+                  SUM(CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM tokh CROSS JOIN bits GROUP BY id, b),
+      sim AS (SELECT id,
+                SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                         ELSE 0 END) AS simhash
+              FROM votes GROUP BY id)
+      SELECT id, simhash FROM sim ORDER BY id
+    """))
+
+  // ---- similarity -----------------------------------------------------
+
+  /** DuckDB double dot product of list expressions (dim 64). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 65), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])),
+          (x, y) -> x + y)"""
+
+  private val embSql =
+    """emb2 AS (
+         SELECT vec_id AS id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000 AS id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.02 + 0.01) AS v
+         FROM embeddings WHERE vec_id % 20 = 0)"""
+
+  private def emb2(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.select(col("vec_id").as("id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .unionAll(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("id"), col("label"),
+          transform(col("embedding"), x => x.cast("double") * 1.02 + 0.01).as("v")))
+  }
+
+  private val q34 = Q(
+    "q34_embed_neardup",
+    (s, dir) =>
+      Dedup.embeddingNearDupPairs(emb2(s, dir), "id", "v", "label", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), micro(col("cosine")).as("cos_micro"))
+        .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH $embSql,
+      en AS (SELECT id, label, v, sqrt(${dotSql("v", "v")}) AS nrm FROM emb2),
+      pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+                  ${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS cosine
+                FROM en a JOIN en b ON a.label = b.label AND a.id < b.id)
+      SELECT id_a, id_b, ${microSql("cosine")} AS cos_micro
+      FROM pairs WHERE cosine >= 0.8 ORDER BY id_a, id_b
+    """))
+
+  private val q40 = Q(
+    "q40_cosine_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .select(col("probe_id"), col("cand_id"), col("rnk"),
+          micro(col("cosine")).as("cos_micro"))
+        .orderBy("probe_id", "rnk")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      pr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.v", "p.v")})) AS cosine
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) p
+             WHERE c.vec_id <> p.vec_id),
+      rk AS (SELECT probe_id, cand_id, cosine,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+             FROM pr)
+      SELECT probe_id, cand_id, rnk, ${microSql("cosine")} AS cos_micro
+      FROM rk WHERE rnk <= 10 ORDER BY probe_id, rnk
+    """))
+
+  val all: Seq[Q] =
+    Seq(q20, q21, q22, q23, q30, q31, q32, q33, q34, q40)
+}

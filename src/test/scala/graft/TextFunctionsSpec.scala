@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("rollingHash is the documented polynomial (engine-portable)") {
+    // h("AB") = (0*31+65)*31+66 = 2081
+    val h = Seq("AB").toDF("t").select(rollingHash(col("t"))).as[Long].head()
+    assert(h === 2081L)
+    val empty = Seq("").toDF("t").select(rollingHash(col("t"))).as[Long].head()
+    assert(empty === 0L)
+  }
+
+  test("wsTokens handles blank and multi-space text") {
+    val r = Seq("  a  b c ", "", "   ").toDF("t")
+      .select(tokenCount(col("t"))).as[Int].collect()
+    assert(r.toSeq === Seq(3, 0, 0))
+  }
+
+  test("bpe tokenizer counts letter runs, digit runs, punctuation") {
+    val r = Seq("ab12 cd, e!").toDF("t")
+      .select(bpeTokenCount(col("t"))).as[Int].head()
+    // ab | 12 | cd | , | e | !
+    assert(r === 6)
+  }
+
+  test("wordNgrams produces sliding windows") {
+    val r = Seq("a b c d").toDF("t")
+      .select(wordNgrams(wsTokens(col("t")), 3)).as[Seq[String]].head()
+    assert(r === Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(wordNgrams(wsTokens(col("t")), 3)).as[Seq[String]].head()
+    assert(short === Seq.empty)
+  }
+
+  test("cleanAscii strips non-printable-ascii, keeps structure") {
+    val r = Seq("héllo wörld").toDF("t")
+      .select(cleanAscii(col("t"))).as[String].head()
+    assert(r === "hllo wrld")
+  }
+
+  test("minhash signature: identical text → identical signature") {
+    val df = Seq(("a", "x y z w v u t s"), ("b", "x y z w v u t s"),
+      ("c", "p q r s t u v w")).toDF("id", "t")
+      .select(col("id"), minhashSignature(shingleHashes(col("t"), 3)).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("a") === m("b"))
+    assert(m("a") !== m("c"))
+    assert(m("a").length === MinhashA.size)
+  }
+
+  test("simhash: near-dup texts land at small hamming distance") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base + " extra1 extra2"
+    val far = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = Seq(("a", base), ("b", near), ("c", far)).toDF("id", "t")
+    val sh = graft.operators.Dedup.simhashTable(df, "id", "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sh("a"), sh("b")) < ham(sh("a"), sh("c")))
+    assert(ham(sh("a"), sh("b")) <= 6)
+  }
+}
