@@ -40,11 +40,12 @@ object TextFunctions {
   def chars(c: Column): Column = filter(split(c, ""), ch => ch =!= lit(""))
 
   /** Polynomial rolling hash h = (h*31 + codepoint) mod 1e9+7 — the
-    * document-fingerprint primitive; sequential fold, deterministic.
+    * document-fingerprint primitive; deterministic and engine-portable.
+    * Backed by a native codegen expression (RollingHashExpr).
     */
   val HashMod = 1000000007L
   def rollingHash(c: Column): Column =
-    aggregate(chars(c), lit(0L), (h, ch) => (h * 31 + ascii(ch)) % HashMod)
+    graft.expressions.StringExprs.rollingHash(c)
 
   /** Word n-gram shingles: ["a","b","c","d"],3 → ["a b c","b c d"]. */
   def wordNgrams(tokens: Column, n: Int): Column =

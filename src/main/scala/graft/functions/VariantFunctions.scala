@@ -56,28 +56,15 @@ object VariantFunctions {
     when(gtIdx.isNull || gtIdx === ".", lit("."))
       .otherwise(try_element_at(alleleBases(ref, alt), gtIdx.cast("int") + 1))
 
-  /** Character array without the trailing "" Spark's split-by-empty adds. */
-  private def chars(c: Column): Column =
-    filter(split(c, ""), ch => ch =!= lit(""))
-
   /** Variant type of one allele vs REF: ref | snp | mnp | del | indel |
     * ins — exact algorithm of variant_annotations.py:130-162 (prefix
-    * character comparison, length-difference driven).
+    * character comparison, length-difference driven). Backed by a native
+    * codegen expression (graft.expressions.VartypeExpr) — the HOF
+    * formulation fell out of WholeStageCodegen and dominated annotate
+    * time at bench scale.
     */
-  def vartype(ref: Column, allele: Column): Column = {
-    val rc = chars(ref)
-    val ac = chars(allele)
-    val lr = length(ref)
-    val la = length(allele)
-    // differing positions over the common (equal-length) span
-    val diffEq = size(filter(zip_with(rc, ac, (r, a) => r =!= a), b => b))
-    // differing positions over the allele prefix (REF longer case)
-    val diffPre = size(filter(zip_with(ac, slice(rc, lit(1), la), (a, r) => a =!= r), b => b))
-    when(ref === allele, lit("ref"))
-      .when(lr === la, when(diffEq === 1, lit("snp")).otherwise(lit("mnp")))
-      .when(lr > la, when(diffPre > 0, lit("indel")).otherwise(lit("del")))
-      .otherwise(lit("ins"))
-  }
+  def vartype(ref: Column, allele: Column): Column =
+    graft.expressions.StringExprs.vartype(ref, allele)
 
   /** Zygosity of a diploid call — branch ORDER matters and mirrors
     * variant_annotations.py:64-127 exactly (hom-ref wins over missing).

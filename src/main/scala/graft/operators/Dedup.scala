@@ -27,11 +27,15 @@ object Dedup {
       .drop("__h")
 
   /** (id, shingle-hash) long table: the join substrate for jaccard and
-    * minhash. Distinct per doc.
+    * minhash. Long form on purpose: explode the n-grams FIRST, then hash
+    * each as a scalar codegen expression — hashing inside nested array
+    * HOFs falls back to interpreted evaluation and was the dominant
+    * bench cost. Distinct per doc.
     */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(shingleHashes(col(textCol), n)).as("sh"))
+        explode(wordNgrams(wsTokens(lower(cleanAscii(col(textCol)))), n)).as("s"))
+      .select(col("id"), rollingHash(col("s")).as("sh"))
       .distinct()
 
   /** n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
@@ -68,15 +72,21 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int): DataFrame = {
     val rows = MinhashA.size / bands
-    val sig = df
-      .select(col(idCol).as("id"),
-        minhashSignature(shingleHashes(col(textCol), n)).as("sig"))
-      .filter(element_at(col("sig"), 1).isNotNull) // docs with ≥1 shingle
+    // long form: one aggregation computes all 16 permutation-mins as
+    // scalar arithmetic over the exploded shingle table (fully codegen'd,
+    // one shuffle) — the array-HOF formulation recomputed the shingle
+    // pipeline per permutation, interpreted.
+    val sig = shingleTable(df, idCol, textCol, n)
+      .groupBy("id")
+      .agg(
+        min((col("sh") * MinhashA.head + MinhashB.head) % HashMod).as("m0"),
+        MinhashA.indices.tail.map(j =>
+          min((col("sh") * MinhashA(j) + MinhashB(j)) % HashMod).as(s"m$j")): _*)
     val banded = sig.select(
       col("id"),
       posexplode(array((0 until bands).map(b =>
         concat_ws("_", (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)): _*)): _*))
+          col(s"m${b * rows + r}")): _*)): _*))
         .as(Seq("band", "key")))
     banded.as("a")
       .join(banded.as("b"),
@@ -90,12 +100,24 @@ object Dedup {
     * candidate pairs; candidates at scale come from banding the simhash
     * bytes (same LSH-join shape as minhash).
     */
-  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).as("id"),
-      simhash32(array_distinct(transform(
-        wsTokens(lower(cleanAscii(col(textCol)))),
-        t => rollingHash(t)))).as("simhash"))
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // long form again: explode tokens, hash scalar, one aggregation with
+    // 32 conditional sums (bit votes), then assemble the bits.
+    val tok = df
+      .select(col(idCol).as("id"),
+        explode(wsTokens(lower(cleanAscii(col(textCol))))).as("t"))
+      .select(col("id"), rollingHash(col("t")).as("x"))
+      .distinct()
+    val votes = tok.groupBy("id").agg(
+      sum(when(shiftright(col("x"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+      (1 until 32).map(b =>
+        sum(when(shiftright(col("x"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+    votes.select(
+      col("id"),
+      (0 until 32).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
 
   /** Embedding-cosine near-dup pairs within a blocking key (e.g. label,
     * LSH bucket): join on the block, cosine in-line, threshold filter.

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travel as opaque `BINARY` columns + typed metadata, processed
+  * per-partition in batches (the Scala analog of mapInPandas: one
+  * decoder instance per partition, amortized over its rows — NOT one
+  * per row). The actual codec is behind [[Decoder]]; this container has
+  * no media libraries, so [[FakeDecoder]] provides a deterministic
+  * stand-in and the Spark-side plumbing (schema, partitioning, batch
+  * shape, column contracts) is real and tested.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record schema: content-addressed id, modality
+    * tag, raw bytes, and open metadata map. Partition media tables by
+    * modality (and date at scale) so modality-specific stages prune.
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Decoded-feature schema appended by [[extractFeatures]]. */
+  val featureSchema: StructType = StructType(mediaSchema.fields ++ Seq(
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("feature", ArrayType(FloatType), nullable = true)))
+
+  /** Per-partition decoder contract: construct once per partition,
+    * called per record. Implementations wrap a real codec (JNI/ffmpeg/
+    * javax.imageio) at deploy time.
+    */
+  trait Decoder extends Serializable {
+    def decode(modality: String, bytes: Array[Byte],
+        meta: Map[String, String]): Decoded
+  }
+
+  final case class Decoded(
+      width: Option[Int], height: Option[Int], nFrames: Option[Int],
+      feature: Array[Float])
+
+  /** Deterministic stand-in: dimensions from a stable byte hash, feature
+    * = `dim`-bucket byte histogram (so tests get reproducible vectors
+    * with real batch mechanics). Replace with a codec-backed Decoder in
+    * production — the plumbing is identical.
+    */
+  final class FakeDecoder(dim: Int = 8) extends Decoder {
+    def decode(modality: String, bytes: Array[Byte],
+        meta: Map[String, String]): Decoded = {
+      val h = bytes.foldLeft(7L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+      val hist = new Array[Float](dim)
+      bytes.foreach(b => hist((b & 0xff) % dim) += 1f)
+      val frames = modality match {
+        case "video" => Some(1 + (h % 32).toInt)
+        case _ => None
+      }
+      Decoded(
+        width = Some(16 + (h % 1024).toInt),
+        height = Some(16 + ((h / 1024) % 1024).toInt),
+        nFrames = frames,
+        feature = hist)
+    }
+  }
+
+  /** Batch feature extraction: one [[Decoder]] per partition, rows
+    * streamed through it (constant memory, no driver collect). The
+    * output keeps the input columns and appends typed features — the
+    * exact mapInPandas contract, in JVM form.
+    */
+  def extractFeatures(
+      media: DataFrame,
+      decoder: Decoder = new FakeDecoder()): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.mapPartitions { rows =>
+      // decoder is deserialized once per partition here
+      rows.map { r =>
+        val d = decoder.decode(
+          r.getAs[String]("modality"),
+          r.getAs[Array[Byte]]("bytes"),
+          Option(r.getAs[Map[String, String]]("meta")).getOrElse(Map.empty))
+        Row.fromSeq(r.toSeq ++ Seq(
+          d.width.orNull, d.height.orNull, d.nFrames.orNull, d.feature.toSeq))
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling for video byte streams: byte-range
+    * slices at `n` evenly spaced offsets (stand-in for keyframe seeks —
+    * the partition/batch mechanics are what carry to the real codec).
+    */
+  def sampleFrames(media: DataFrame, n: Int, frameBytes: Int = 256): DataFrame =
+    media
+      .filter(col("modality") === "video")
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)), i => i))
+          .as(Seq("frame_idx", "i")))
+      .drop("i")
+      .join(media.select("media_id", "bytes"), "media_id")
+      .select(
+        col("media_id"), col("frame_idx"),
+        expr(s"substring(bytes, CAST(frame_idx AS INT) * $frameBytes + 1, $frameBytes)")
+          .as("frame_bytes"))
+
+  /** Build a media table from any keyed source of raw bytes. */
+  def asMediaTable(
+      rows: Dataset[(String, String, Array[Byte])]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.toDF("media_id", "modality", "bytes")
+      .withColumn("meta", map(lit("src"), lit("synthetic")))
+      .repartition(col("modality"))
+  }
+}

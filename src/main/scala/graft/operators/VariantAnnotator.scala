@@ -64,6 +64,10 @@ object VariantAnnotator {
       .withColumn("gt", element_at(split(col("call"), ":"), 1))
       .filter(!isMissingCall(col("gt")))
 
+    // Stage 1 (pre-shuffle): allele extraction + zygosity. These columns
+    // are MATERIALIZED by the window exchange below, so downstream
+    // classifiers read attributes instead of re-evaluating the (large)
+    // inlined allele expression trees.
     val annotated = withGt
       .withColumn("phase", phase(col("gt")))
       .withColumn("gt1", gt1(col("gt")))
@@ -71,18 +75,20 @@ object VariantAnnotator {
       .withColumn("a1", alleleBase(col("ref"), col("alt"), col("gt1")))
       .withColumn("a2", alleleBase(col("ref"), col("alt"), col("gt2")))
       .withColumn("multiallele", multiallele(col("alt")))
-      .withColumn("vartype1", vartype(col("ref"), col("a1")))
-      .withColumn("vartype2", vartype(col("ref"), col("a2")))
       .withColumn("zygosity", zygosity(col("ref"), col("a1"), col("a2")))
 
     // hom_ref_counts per site (variant_annotations.py:165-180): count
     // BEFORE the optional hom-ref drop. Reference emits -1 when a chunk
     // had no hom-ref at all — a chunking artifact we replace with the
-    // true count (0).
+    // true count (0). This window is the plan's only shuffle.
     val site = Window.partitionBy("chrom", "pos", "ref", "alt")
-    val counted = annotated.withColumn(
-      "hom_ref_counts",
-      sum(when(col("zygosity") === "hom-ref", 1).otherwise(0)).over(site))
+    val counted = annotated
+      .withColumn(
+        "hom_ref_counts",
+        sum(when(col("zygosity") === "hom-ref", 1).otherwise(0)).over(site))
+      // Stage 2 (post-shuffle): vartype classifiers on materialized a1/a2.
+      .withColumn("vartype1", vartype(col("ref"), col("a1")))
+      .withColumn("vartype2", vartype(col("ref"), col("a2")))
 
     val dropped =
       if (opts.dropHomRef) counted.filter(col("zygosity") =!= "hom-ref")

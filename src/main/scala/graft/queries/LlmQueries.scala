@@ -22,7 +22,8 @@ object LlmQueries extends QuerySet {
     * canonicalized — the near-dup corpus for jaccard/minhash/simhash.
     */
   private def docs2(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    // tiny single-split source + heavy downstream shingling → fan out
+    val d = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
     val canon = lower(cleanAscii(col("text")))
     d.select(col("doc_id").as("id"), canon.as("text"))
       .unionAll(d.filter(col("doc_id") % 10 === 0)

@@ -85,8 +85,13 @@ object SyntheticVariants {
       s"$infoSql AS info",
       "'GT:DP:AD' AS format") ++
       (1 to 4).map(i => s"${callSql(i.toString)} AS call_g$i")
+    // The testdata files are tiny (1-3 input splits) while the derived
+    // per-row work below is heavy — fan out to full parallelism first.
+    // At production scale the scan has ample splits and this is a no-op
+    // to remove.
     val base = QueryUtil.t(s, dir, "lineitem")
       .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+      .repartition(s.sparkContext.defaultParallelism)
       .selectExpr(exprs: _*)
     val gmap = map(
       (1 to 4).flatMap(i => Seq(lit(s"g$i"), col(s"call_g$i"))): _*)

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private val events = Seq(
+    Event(ts(0), 1L, "click", 1.0),
+    Event(ts(1), 1L, "click", 2.0),
+    Event(ts(4, 59), 2L, "view", 3.0),
+    Event(ts(5), 1L, "click", 4.0),  // next 5-min window
+    Event(ts(40), 1L, "click", 5.0), // new session for user 1
+    Event(ts(41), 2L, "view", 6.0))
+
+  test("streaming windowed counts equal the batch q50 semantics") {
+    val out = EventStreams.runBoundedWindowed(spark, events)
+      .select(unix_timestamp(col("win_start")).as("w"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(out === Set(
+      (base, "click", 2L, 3.0),
+      (base, "view", 1L, 3.0),
+      (base + 300, "click", 1L, 4.0),
+      (base + 2400, "click", 1L, 5.0),
+      (base + 2400, "view", 1L, 6.0)))
+  }
+
+  test("batch sessionization: gap splits sessions per user") {
+    val s = EventStreams.sessionizeBatch(events.toDF(), gapSeconds = 1800)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("n_events")),
+        r.getDouble(r.fieldIndex("total_value"))))
+    // user1: [0,1,5min]=3 events, then [40min]; user2: [4:59] and [41] split
+    assert(s.toSeq === Seq((1L, 3L, 7.0), (1L, 1L, 5.0), (2L, 1L, 3.0), (2L, 1L, 6.0)))
+  }
+
+  test("stateful flatMapGroupsWithState sessionization agrees with batch") {
+    // bounded drain: run the stateful operator on a memory stream and
+    // compare closed sessions against sessionizeBatch (open sessions at
+    // end-of-stream stay in state; compare only the closed ones)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    mem.addData(events)
+    val q = EventStreams.sessionize(mem.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("graft_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table("graft_sessions")
+      .select("user_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // user1's first session (3 events, value 7.0) must close when the
+    // 40-min event arrives past the 30-min gap
+    assert(closed.contains((1L, 3L, 7.0)))
+  }
+}
