@@ -297,6 +297,60 @@ object LlmQueries extends QuerySet {
       FROM rk WHERE rnk <= 10 ORDER BY probe_id, rnk
     """))
 
+  /** LSH-bucketed ANN (the scale path next to q40's brute force):
+    * 6 random-hyperplane sign bits → 64 buckets; probes only scan their
+    * bucket. Plane values come from one integer formula so both engines
+    * build bit-identical planes: plane[p][i] = ((p*7+i*13)%17 - 8)/8.
+    */
+  private val q41 = {
+    val nPlanes = 6
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map(p =>
+      (0 until 64).map(i => ((p * 7 + i * 13) % 17 - 8) / 8.0))
+    // DuckDB: bucket = Σ_p (dot(v, plane_p) > 0 ? 2^p : 0), dot as an
+    // ordered fold to match Spark's aggregate()
+    def planeDotSql(p: Int): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 65),
+              i -> v[CAST(i AS INT)] * (CAST((($p * 7 + (CAST(i AS INT) - 1) * 13) % 17) - 8 AS DOUBLE) / 8.0))),
+            (x, y) -> x + y)"""
+    val bucketSql = (0 until nPlanes).map(p =>
+      s"CASE WHEN ${planeDotSql(p)} > 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+    Q(
+      "q41_lsh_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
+        e.join(broadcast(probes), "bucket")
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cosine", Similarity.cosine(col("v"), col("pv")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("probe_id"), col("vec_id").as("cand_id"), col("rnk"),
+            micro(col("cosine")).as("cos_micro"))
+          .orderBy("probe_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        eb AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+        pr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.v", "p.v")})) AS cosine
+               FROM eb c JOIN (SELECT * FROM eb WHERE vec_id < 5) p USING (bucket)
+               WHERE c.vec_id <> p.vec_id),
+        rk AS (SELECT probe_id, cand_id, cosine,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+               FROM pr)
+        SELECT probe_id, cand_id, rnk, ${microSql("cosine")} AS cos_micro
+        FROM rk WHERE rnk <= 5 ORDER BY probe_id, rnk
+      """))
+  }
+
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q30, q31, q32, q33, q34, q40)
+    Seq(q20, q21, q22, q23, q30, q31, q32, q33, q34, q40, q41)
 }

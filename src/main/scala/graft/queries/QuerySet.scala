@@ -20,6 +20,18 @@ object QueryUtil {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+    * rejects; read the raw int64 and truncate to the same µs value
+    * DuckDB produces with its ns→µs cast.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    ev
+  }
+
   /** Decimal-exact view of a double column: double→decimal(18,6) rounds to
     * the nearest 6-dp value identically in Spark and DuckDB, and every
     * subsequent +/- / sum is exact, so aggregation order can't flip bits.

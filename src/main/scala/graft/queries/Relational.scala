@@ -214,22 +214,15 @@ object Relational extends QuerySet {
     */
   private val q50 = Q(
     "q50_event_window",
-    (s, dir) => {
-      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
-      // read the raw int64 and truncate to micros — the same µs value
-      // DuckDB sees after its ns→µs cast.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
-      s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      ev.groupBy(window(col("ts"), "300 seconds"), col("event_type"))
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(dec("value")).as("dv"))
         .select(
           unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"), col("n"),
           money(col("dv")).as("sum_value"))
-        .orderBy("win_start", "event_type")
-    },
+        .orderBy("win_start", "event_type"),
     Some(s"""
       SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS win_start,
         event_type, count(*) AS n,
@@ -239,5 +232,62 @@ object Relational extends QuerySet {
       ORDER BY win_start, event_type
     """))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q50)
+  /** As-of join: latest order (per derived customer key) at or before
+    * each event's timestamp. One key-shuffle join + one partial-merged
+    * aggregation (AsOfJoin.lastBefore); the oracle recomputes via a
+    * window rank.
+    */
+  private val q09 = Q(
+    "q09_asof_join",
+    (s, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = events(s, dir)
+        .withColumn("uk", col("user_id") % 1500 + 1)
+        .select("event_id", "uk", "ts")
+      AsOfJoin.lastBefore(
+        ev, t(s, dir, "orders"),
+        leftKey = col("uk"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        tiebreak = col("o_orderkey"),
+        payload = Seq((col("o_totalprice"), "price")))
+        .select(col("event_id"), col("uk"),
+          unix_timestamp(col("asof_time")).as("order_epoch"),
+          col("asof_tiebreak").as("o_orderkey"), col("price"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (SELECT event_id, user_id % 1500 + 1 AS uk, ts FROM events),
+      ranked AS (
+        SELECT e.event_id, e.uk,
+          CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_epoch,
+          o.o_orderkey, o.o_totalprice AS price,
+          row_number() OVER (PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM ev e JOIN orders o
+          ON o.o_custkey = e.uk AND o.o_orderdate <= e.ts)
+      SELECT event_id, uk, order_epoch, o_orderkey, price
+      FROM ranked WHERE rn = 1 ORDER BY event_id
+    """))
+
+  /** Set operations: (BUILDING ∪ rich) ∖ customers-with-finished-orders. */
+  private val q18 = Q(
+    "q18_union_except",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      a.union(b).distinct().except(f).orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY c_custkey
+    """))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q50)
 }

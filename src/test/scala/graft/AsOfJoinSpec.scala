@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("lastBefore picks the latest right row at or before left time") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L, 100.0),
+      ("A", ts("2024-01-01 11:00:00"), 2L, 110.0),
+      ("A", ts("2024-01-01 12:00:00"), 3L, 120.0),
+      ("B", ts("2024-01-01 10:30:00"), 4L, 200.0))
+      .toDF("sym", "qts", "qid", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 11:30:00"), "t1"),
+      ("A", ts("2024-01-01 09:00:00"), "t2"), // before any quote → dropped
+      ("B", ts("2024-01-01 23:00:00"), "t3"))
+      .toDF("sym", "tts", "tid")
+
+    val out = AsOfJoin.lastBefore(
+      trades, quotes,
+      leftKey = col("sym"), rightKey = col("sym"),
+      leftTime = col("tts"), rightTime = col("qts"),
+      tiebreak = col("qid"),
+      payload = Seq((col("px"), "px")))
+      .select("tid", "asof_tiebreak", "px")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(out === Set(("t1", 2L, 110.0), ("t3", 4L, 200.0)))
+  }
+
+  test("time ties break on the tiebreak column, deterministically") {
+    val right = Seq(
+      (1, ts("2024-01-01 10:00:00"), 7L, "low"),
+      (1, ts("2024-01-01 10:00:00"), 9L, "high"))
+      .toDF("k", "rt", "tb", "tag")
+    val left = Seq((1, ts("2024-01-01 10:00:00"), "x")).toDF("k", "lt", "id")
+    val out = AsOfJoin.lastBefore(
+      left, right, col("k"), col("k"), col("lt"), col("rt"),
+      tiebreak = col("tb"), payload = Seq((col("tag"), "tag")))
+      .select("asof_tiebreak", "tag").head()
+    assert((out.getLong(0), out.getString(1)) === (9L, "high"))
+  }
+}

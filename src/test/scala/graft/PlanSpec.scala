@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gates: these assert the *physical plan properties* that
+  * make the operators scale — pushdown reaching the scan, broadcast on
+  * small dims, bounded shuffle counts — so a regression in plan shape
+  * fails CI even while results stay correct.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02 filter and projection reach the parquet scan") {
+    val p = formatted("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // pruned read schema: only the 4 needed columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"))
+  }
+
+  test("q03 joins broadcast the dimension tables") {
+    val p = planOf("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01 aggregate is partial-merged (map-side combine)") {
+    val p = planOf("q01_pricing_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("annotate plan has exactly one exchange (the site window)") {
+    import graft.operators.VariantAnnotator
+    val ann = VariantAnnotator.annotate(
+      graft.queries.SyntheticVariants.wide(spark, dir),
+      VariantAnnotator.Options(formatKeys = Some(Seq("GT", "DP", "AD"))))
+    val plan = ann.queryExecution.executedPlan.toString
+    // one exchange from the deliberate repartition of the tiny source,
+    // one for the window — and nothing else
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"unexpected shuffles:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("custom expressions appear codegen'd, not as BatchEvalPython/UDF") {
+    val df = graft.queries.SyntheticVariants.wide(spark, dir)
+      .select(graft.functions.VariantFunctions.vartype(col("ref"), col("alt")).as("v"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("vartype"), p)
+    assert(!p.contains("BatchEval"), p)
+    df.collect() // finalize AQE so codegen spans are visible
+    val wsc = df.queryExecution.executedPlan.toString
+    // '*(n)' prefix = inside a WholeStageCodegen stage
+    val vartypeLine = wsc.linesIterator.find(_.contains("vartype(")).get
+    assert(vartypeLine.trim.matches("""^\+?-?\s*\*\(\d+\).*"""), wsc)
+  }
+
+  test("q40 brute-force top-k broadcasts the probe side") {
+    val p = planOf("q40_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
