@@ -1,0 +1,267 @@
+package graft.sources.v2
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 VCF reader: `spark.read.format("vcf").load(path)`.
+  *
+  * Spark-first replacement for the reference's pandas csv chunking
+  * (pandasvcf.py:94-99):
+  *  - plain-text files split by BYTE RANGE (workers align to line
+  *    boundaries), so one 100 GB VCF parallelizes like any text scan;
+  *    `.gz` files fall back to one partition each (codec not splittable)
+  *  - column pruning reaches the scan (only requested fields are built)
+  *  - chrom/pos predicates are evaluated pre-parse inside the reader
+  *    (reported as pushed filters), skipping rows before row assembly
+  *
+  * Schema is FIXED — samples live in a `genotypes` map — so 2 or 2500
+  * samples produce the same 10-column scan.
+  */
+class VcfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "vcf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VcfDataSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val paths = Option(properties.get("path")).toSeq ++
+      Option(properties.get("paths")).toSeq.flatMap(_.split(","))
+    new VcfTable(paths)
+  }
+}
+
+object VcfDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("chrom", StringType),
+    StructField("pos", IntegerType),
+    StructField("id", StringType),
+    StructField("ref", StringType),
+    StructField("alt", StringType),
+    StructField("qual", StringType),
+    StructField("filter", StringType),
+    StructField("info", StringType),
+    StructField("format", StringType),
+    StructField("genotypes", MapType(StringType, StringType))))
+}
+
+final class VcfTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"vcf(${paths.mkString(",")})"
+  override def schema(): StructType = VcfDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VcfScanBuilder(paths)
+}
+
+final class VcfScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = VcfDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept chrom/pos comparisons — evaluated pre-parse in the reader. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition {
+      case EqualTo("chrom", _) => true
+      case EqualTo("pos", _) | GreaterThan("pos", _) | GreaterThanOrEqual("pos", _) |
+           LessThan("pos", _) | LessThanOrEqual("pos", _) => true
+      case _ => false
+    }
+    pushed = supported
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new VcfScan(paths, required, pushed)
+}
+
+final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"VcfScan[${required.fieldNames.mkString(",")}] pushed=${filters.mkString(",")}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    paths.foreach { p =>
+      val fs = new Path(p).getFileSystem(conf)
+      val statuses = fs.globStatus(new Path(p)) match {
+        case null | Array() =>
+          throw new IllegalArgumentException(s"[PATH_NOT_FOUND] vcf path does not exist: $p")
+        case s => s.flatMap(st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st))
+      }
+      statuses.foreach { st =>
+        val len = st.getLen
+        val splittable = !st.getPath.getName.endsWith(".gz")
+        if (!splittable || len <= maxSplit) {
+          parts += VcfPartition(st.getPath.toString, 0L, len)
+        } else {
+          var off = 0L
+          while (off < len) {
+            parts += VcfPartition(st.getPath.toString, off, math.min(maxSplit, len - off))
+            off += maxSplit
+          }
+        }
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VcfReaderFactory(required, filters)
+}
+
+final case class VcfPartition(path: String, start: Long, length: Long)
+    extends InputPartition
+
+final class VcfReaderFactory(required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new VcfPartitionReader(partition.asInstanceOf[VcfPartition], required, filters)
+}
+
+/** Reads [start, start+length) of one file, aligned to line boundaries:
+  * a non-zero start skips the (partial) first line — owned by the
+  * previous split — and the reader finishes the line that straddles the
+  * end offset. Standard text-split semantics, so no line is lost or
+  * duplicated across partitions.
+  */
+final class VcfPartitionReader(
+    part: VcfPartition, required: StructType, filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val hPath = new Path(part.path)
+  private val fs = hPath.getFileSystem(conf)
+  private val codec = new CompressionCodecFactory(conf).getCodec(hPath)
+
+  // samples come from this file's own header (cheap driver-of-one read
+  // of the leading '#' lines from the file start)
+  private val samples: Array[String] = {
+    val in = fs.open(hPath)
+    val stream = if (codec != null) codec.createInputStream(in) else in
+    val br = new BufferedReader(new InputStreamReader(stream, StandardCharsets.UTF_8))
+    try {
+      Iterator.continually(br.readLine()).takeWhile(l => l != null && l.startsWith("#"))
+        .foldLeft(Array.empty[String]) { (acc, l) =>
+          if (l.startsWith("#CHROM")) l.split("\t").drop(9) else acc
+        }
+    } finally br.close()
+  }
+
+  // consumed bytes relative to part.start, for split-end detection
+  // (uncompressed only). Hadoop LineRecordReader rule: a split owns the
+  // lines that START at positions in (start, end]; a non-zero start
+  // discards the line in progress (its bytes still count toward the
+  // budget so this split's end stays aligned with the next split's skip).
+  private var consumed: Long = 0L
+  private val raw = fs.open(hPath)
+  private val reader: BufferedReader = {
+    if (codec != null) {
+      new BufferedReader(new InputStreamReader(
+        codec.createInputStream(raw), StandardCharsets.UTF_8))
+    } else {
+      raw.seek(part.start)
+      val br = new BufferedReader(new InputStreamReader(raw, StandardCharsets.UTF_8))
+      if (part.start > 0) {
+        val skipped = br.readLine() // partial line owned by previous split
+        if (skipped != null) {
+          consumed += skipped.getBytes(StandardCharsets.UTF_8).length + 1
+        }
+      }
+      br
+    }
+  }
+  private var current: InternalRow = _
+  private val end = part.length
+
+  private val fieldIdx = Map(
+    "chrom" -> 0, "pos" -> 1, "id" -> 2, "ref" -> 3, "alt" -> 4,
+    "qual" -> 5, "filter" -> 6, "info" -> 7, "format" -> 8)
+
+  private def passesFilters(f: Array[String]): Boolean = filters.forall {
+    case EqualTo("chrom", v) => normChrom(f(0)) == v.toString
+    case EqualTo("pos", v) => f(1).toInt == v.toString.toInt
+    case GreaterThan("pos", v) => f(1).toInt > v.toString.toInt
+    case GreaterThanOrEqual("pos", v) => f(1).toInt >= v.toString.toInt
+    case LessThan("pos", v) => f(1).toInt < v.toString.toInt
+    case LessThanOrEqual("pos", v) => f(1).toInt <= v.toString.toInt
+    case _ => true
+  }
+
+  private def normChrom(c: String): String =
+    if (c.startsWith("chr")) c.substring(3) else c
+
+  override def next(): Boolean = {
+    while (true) {
+      if (codec == null && consumed > end) { current = null; return false }
+      val line = reader.readLine()
+      if (line == null) { current = null; return false }
+      consumed += line.getBytes(StandardCharsets.UTF_8).length + 1
+      if (!line.startsWith("#") && line.nonEmpty) {
+        val f = line.split("\t", -1)
+        if (f.length > 8 && passesFilters(f)) {
+          current = buildRow(f)
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  private def buildRow(f: Array[String]): InternalRow = {
+    val values = required.fields.map { sf =>
+      sf.name match {
+        case "pos" => f(1).toInt
+        case "chrom" => UTF8String.fromString(normChrom(f(0)))
+        case "genotypes" =>
+          val n = math.min(samples.length, math.max(0, f.length - 9))
+          val keys = new Array[AnyRef](n)
+          val vals = new Array[AnyRef](n)
+          var i = 0
+          while (i < n) {
+            keys(i) = UTF8String.fromString(samples(i))
+            vals(i) = UTF8String.fromString(f(9 + i))
+            i += 1
+          }
+          ArrayBasedMapData(keys, vals)
+        case other => UTF8String.fromString(f(fieldIdx(other)))
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

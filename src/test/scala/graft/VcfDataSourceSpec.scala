@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VcfReader
+
+class VcfDataSourceSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val path = VcfFixture.write().toString
+
+  test("format(\"vcf\") reads the fixture identically to VcfReader") {
+    val v2 = spark.read.format("vcf").load(path)
+    val v1 = VcfReader.read(spark, path)
+    assert(v2.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      v1.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(v2.count() === 7)
+    val a = v2.orderBy("pos").collect().map(_.toSeq).toSeq
+    val b = v1.orderBy("pos").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("column pruning reaches the scan") {
+    val df = spark.read.format("vcf").load(path).select("chrom", "pos")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("VcfScan[chrom,pos]"), scan)
+    assert(df.count() === 7)
+  }
+
+  test("pos/chrom predicates are pushed and applied") {
+    val df = spark.read.format("vcf").load(path)
+      .filter(col("pos") >= 300 && col("pos") < 600 && col("chrom") === "2")
+    assert(df.queryExecution.executedPlan.toString.contains("pushed="), df.queryExecution.executedPlan.toString)
+    assert(df.select("pos").collect().map(_.getInt(0)).sorted.toSeq === Seq(300, 400))
+  }
+
+  test("byte-range splits lose no lines and duplicate none") {
+    // 5000-line uncompressed VCF, forced into many small splits
+    val big = Files.createTempFile("graft-big", ".vcf")
+    val header = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+    val body = (1 to 5000).map(i =>
+      s"chr${1 + i % 22}\t$i\trs$i\tA\tG\t50\tPASS\tNS=1\tGT\t0/1").mkString("\n")
+    Files.writeString(big, "##fileformat=VCFv4.2\n" + header + body + "\n")
+    big.toFile.deleteOnExit()
+
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384") // 16 KB splits
+    try {
+      val df = spark.read.format("vcf").load(big.toString)
+      assert(df.rdd.getNumPartitions > 3, s"expected many splits, got ${df.rdd.getNumPartitions}")
+      assert(df.count() === 5000)
+      assert(df.select(sum("pos")).head().getLong(0) === (1L to 5000L).sum)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("reads the real 1000-genomes .gz through format(\"vcf\")") {
+    val real =
+      "/root/reference/test_data/ALL.chr22.phase3_shapeit2_mvncall_integrated_v4.20130502.genotypes_10k.vcf.gz"
+    val df = spark.read.format("vcf").load(real)
+    val n = df.count()
+    assert(n > 9000)
+    val row = df.select("chrom", "genotypes").head()
+    assert(row.getString(0) === "22")
+    assert(row.getMap[String, String](1).size > 2000)
+  }
+}
