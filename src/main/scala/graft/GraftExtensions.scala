@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{RollingHashExpr, VartypeExpr}
+
+/** SparkSessionExtensions injector: registers graft's native expressions
+  * as SQL functions, so pure-SQL users get them too:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * ...
+  * spark.sql("SELECT vartype(ref, alt), rolling_hash(text) FROM t")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vartype",
+      new ExpressionInfo(classOf[VartypeExpr].getName, "vartype"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vartype(ref, allele) takes 2 arguments")
+        VartypeExpr(children.head, children(1))
+      }),
+    ("rolling_hash",
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "rolling_hash(str) takes 1 argument")
+        RollingHashExpr(children.head)
+      }))
+
+  /** Register on an already-running session (extensions only take effect
+    * at builder time; use this from notebooks / existing apps).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, info, builder)
+    }
+}

@@ -125,4 +125,19 @@ object VariantAnnotator {
       .pivot("zygosity",
         Seq("hom-ref", "het-ref", "hom-alt", "het-alt", "het-miss", "hom-miss"))
       .count()
+
+  /** Long → wide: one column per sample holding `field` (the notebook's
+    * `unstack(level=4)`, ipynb/pandasVCF_example.ipynb). Pass `samples`
+    * to skip pivot's value-discovery scan (mandatory at scale — and
+    * beware: 2500 samples = 2500 columns; prefer the long form for
+    * anything but small cohorts).
+    */
+  def unstackBySample(
+      annotated: DataFrame,
+      field: String = "gt",
+      samples: Option[Seq[String]] = None): DataFrame = {
+    val g = annotated.groupBy("chrom", "pos", "ref", "alt")
+    val p = samples.fold(g.pivot("sample_id"))(ss => g.pivot("sample_id", ss))
+    p.agg(first(col(field)))
+  }
 }

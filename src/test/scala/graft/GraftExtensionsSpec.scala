@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VariantAnnotator
+import graft.sources.VcfReader
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("SQL users can call vartype and rolling_hash via extensions") {
+    // register on the already-running shared session — the builder-time
+    // path (withExtensions / spark.sql.extensions) runs the same
+    // injections at session construction
+    val s2 = spark
+    GraftExtensions.register(s2)
+    val r = s2.sql(
+      "SELECT vartype('AC', 'A') AS vt, rolling_hash('AB') AS rh").head()
+    assert(r.getString(0) === "del")
+    assert(r.getLong(1) === 2081L)
+    val agg = s2.sql(
+      """SELECT vartype(r, a) AS vt, count(*) AS n FROM VALUES
+         ('A','G'), ('A','A'), ('TTC','TAG'), ('T','TTG') AS t(r, a)
+         GROUP BY 1 ORDER BY 1""").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(agg === Seq(("ins", 1L), ("mnp", 1L), ("ref", 1L), ("snp", 1L)))
+  }
+
+  test("unstackBySample pivots the long frame back to wide (notebook parity)") {
+    val ann = VariantAnnotator.annotate(
+      VcfReader.read(spark, VcfFixture.write().toString),
+      VariantAnnotator.Options(dropHomRef = false, formatKeys = Some(Seq("GT"))))
+    val wideAgain = VariantAnnotator.unstackBySample(
+      ann, "zygosity", samples = Some(Seq("NA1", "NA2")))
+    assert(wideAgain.columns.toSeq === Seq("chrom", "pos", "ref", "alt", "NA1", "NA2"))
+    val r400 = wideAgain.filter(wideAgain("pos") === 400).head()
+    assert(r400.getString(4) === "het-alt") // NA1 1/2
+    assert(r400.getString(5) === "hom-alt") // NA2 2|2
+  }
+}
