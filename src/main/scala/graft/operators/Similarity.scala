@@ -42,6 +42,32 @@ object Similarity {
       .select("probe_id", "cand_id", "rnk", "cosine")
   }
 
+  /** Squared L2 distance, deterministic ordered fold. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF cell assignment: nearest centroid (L2, centroid-id tiebreak)
+    * per vector. Centroids broadcast; one narrow pass over the corpus —
+    * the coarse quantizer of an IVF index. Search = assign the probe,
+    * scan only its cell (`nprobe=1`; widen by taking top-n cells).
+    */
+  def ivfAssign(
+      vecs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("__d").asc, col(centIdCol).asc)
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2sq(col(vecCol), col(centVecCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
+  }
+
   /** Scale path: random-hyperplane LSH bucket id (sign bits of `planes`
     * dot products packed into a long). Equal buckets → candidate set;
     * probe only its bucket instead of the corpus. Planes are fixed

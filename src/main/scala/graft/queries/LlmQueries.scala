@@ -351,6 +351,60 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** IVF ANN (nprobe=1): 8 fixed centroids (vec_id 100..107), every
+    * vector assigned to its nearest cell by L2, probes scan only their
+    * own cell. The coarse-quantizer shape of a production ANN index,
+    * fully oracle-checked.
+    */
+  private val q42 = {
+    def l2Sql(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 65),
+              i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))),
+            (x, y) -> x + y)"""
+    Q(
+      "q42_ivf_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        val cents = e.filter(col("vec_id").between(100, 107))
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val assigned = Similarity.ivfAssign(e, cents)
+        val probes = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cell"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
+        assigned.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cosine", Similarity.cosine(col("v"), col("pv")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("probe_id"), col("vec_id").as("cand_id"), col("rnk"),
+            micro(col("cosine")).as("cos_micro"))
+          .orderBy("probe_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 100 AND 107),
+        asg AS (SELECT vec_id, v, cid AS cell FROM (
+                  SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${l2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+                  FROM e CROSS JOIN cent c) x WHERE rn = 1),
+        pr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.v", "p.v")})) AS cosine
+               FROM asg c JOIN (SELECT * FROM asg WHERE vec_id < 5) p USING (cell)
+               WHERE c.vec_id <> p.vec_id),
+        rk AS (SELECT probe_id, cand_id, cosine,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+               FROM pr)
+        SELECT probe_id, cand_id, rnk, ${microSql("cosine")} AS cos_micro
+        FROM rk WHERE rnk <= 5 ORDER BY probe_id, rnk
+      """))
+  }
+
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q30, q31, q32, q33, q34, q40, q41)
+    Seq(q20, q21, q22, q23, q30, q31, q32, q33, q34, q40, q41, q42)
 }

@@ -289,5 +289,44 @@ object Relational extends QuerySet {
       ORDER BY c_custkey
     """))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q50)
+  /** INTERSECT: building-segment customers who also placed a big order. */
+  private val q19 = Q(
+    "q19_intersect",
+    (s, dir) => {
+      val a = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("c_custkey"))
+      a.intersect(b).orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+      ORDER BY c_custkey
+    """))
+
+  /** Semi-structured JSON props: typed extraction + aggregation. Spark
+    * side uses the real JSON path operator; the oracle re-extracts with
+    * a regex (DuckDB's json extension may not autoload offline).
+    */
+  private val q51 = Q(
+    "q51_json_props",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, count(*) AS n,
+        sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type
+    """))
+
+  val all: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51)
 }

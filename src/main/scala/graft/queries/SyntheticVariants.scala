@@ -86,13 +86,17 @@ object SyntheticVariants {
       "'GT:DP:AD' AS format") ++
       (1 to 4).map(i => s"${callSql(i.toString)} AS call_g$i")
     // The testdata files are tiny (1-3 input splits) while the derived
-    // per-row work below is heavy — fan out to full parallelism first.
+    // per-row work below is heavy — fan out to full parallelism, AFTER
+    // the derivation projection: the exchange then materializes the
+    // derived string columns, so downstream filters/explodes reference
+    // attributes instead of re-evaluating the big CASE trees (predicate
+    // pushdown would otherwise inline them into the scan-side filter).
     // At production scale the scan has ample splits and this is a no-op
     // to remove.
     val base = QueryUtil.t(s, dir, "lineitem")
       .selectExpr("l_orderkey * 8 + l_linenumber AS k")
-      .repartition(s.sparkContext.defaultParallelism)
       .selectExpr(exprs: _*)
+      .repartition(s.sparkContext.defaultParallelism)
     val gmap = map(
       (1 to 4).flatMap(i => Seq(lit(s"g$i"), col(s"call_g$i"))): _*)
     base.select(

@@ -110,6 +110,17 @@ object VcfReader {
   /** INFO `key=value;...` → MAP (flag-style keys get value ""). */
   def infoMap(info: Column): Column = str_to_map(info, lit(";"), lit("="))
 
+  /** Header key/values as a DataFrame — parity with the reference's
+    * `VCF.header_df` (pandasvcf.py:102-120).
+    */
+  def headerDf(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val m = metadata(spark, path)
+    (m.headerKv :+ ("SampleIDs" -> m.samples.mkString(",")) :+
+      ("ColumnHeader" -> m.columns.mkString(",")))
+      .toDF("header_key", "header_value")
+  }
+
   /** Recommended landing path for huge VCFs: one pass text→parquet,
     * partitioned by chromosome so downstream site-keyed work prunes and
     * co-locates.
