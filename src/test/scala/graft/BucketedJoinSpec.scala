@@ -14,6 +14,16 @@ class BucketedJoinSpec extends AnyFunSuite with SparkSpec {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS g_orders_b")
     spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse dirs persist — remove orphans or saveAsTable refuses
+    Seq("g_orders_b", "g_lineitem_b").foreach { t =>
+      val p = java.nio.file.Paths.get(s"/tmp/graft-test-warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     spark.read.parquet(s"$dir/orders.parquet")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("g_orders_b")
