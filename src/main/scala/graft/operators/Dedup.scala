@@ -119,6 +119,30 @@ object Dedup {
         .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs: band the 32-bit hash into 4 bytes — two
+    * docs within hamming ≤ 4-ish must share at least one byte-band
+    * (pigeonhole) — equi-join on (band, byte), then exact hamming
+    * filter. Same sub-quadratic join shape as minhash-LSH.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sim = simhashTable(df, idCol, textCol)
+    val banded = sim.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*))
+        .as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (e.g. label,
     * LSH bucket): join on the block, cosine in-line, threshold filter.
     */

@@ -230,6 +230,40 @@ object LlmQueries extends QuerySet {
       SELECT id, simhash FROM sim ORDER BY id
     """))
 
+  /** SimHash near-dup pairs via byte-banding + exact hamming filter.
+    * This corpus shares one small vocabulary, so hamming ≤6 matches most
+    * pairs — the gate aggregates the pair distribution rather than
+    * materializing ~100k pair rows (the operator itself returns pairs).
+    */
+  private val q35 = Q(
+    "q35_simhash_pairs",
+    (s, dir) =>
+      Dedup.simhashNearDupPairs(docs2(s, dir), "id", "text", maxHamming = 6)
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("hamming"),
+    Some(s"""
+      WITH $docs2Sql,
+      toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM docs2),
+      tokh AS (SELECT DISTINCT id, ${rollSql("s")} AS x
+               FROM (SELECT id, unnest(w) AS s FROM toks) u),
+      bits AS (SELECT unnest(range(0, 32)) AS b),
+      votes AS (SELECT id, b,
+                  SUM(CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM tokh CROSS JOIN bits GROUP BY id, b),
+      sim AS (SELECT id,
+                SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                         ELSE 0 END) AS simhash
+              FROM votes GROUP BY id),
+      banded AS (SELECT id, simhash, band, (simhash >> (band * 8)) & 255 AS key
+                 FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+      SELECT hamming, count(*) AS n_pairs FROM cand
+      WHERE hamming <= 6 GROUP BY hamming ORDER BY hamming
+    """))
+
   // ---- similarity -----------------------------------------------------
 
   /** DuckDB double dot product of list expressions (dim 64). */
@@ -406,5 +440,5 @@ object LlmQueries extends QuerySet {
   }
 
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q30, q31, q32, q33, q34, q40, q41, q42)
+    Seq(q20, q21, q22, q23, q30, q31, q32, q33, q34, q35, q40, q41, q42)
 }
