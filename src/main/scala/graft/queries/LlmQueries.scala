@@ -264,6 +264,43 @@ object LlmQueries extends QuerySet {
       WHERE hamming <= 6 GROUP BY hamming ORDER BY hamming
     """))
 
+  /** End-to-end corpus cleaning: exact-dedup (keep min id per digest)
+    * then quality filter — the composed pipeline shape, with a funnel
+    * summary as output.
+    */
+  private val q36 = Q(
+    "q36_corpus_clean",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val both = d.select(col("doc_id").as("id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("id"), col("text")))
+      val total = both.count()
+      val deduped = both
+        .groupBy(Dedup.contentHash(col("text")).as("__h"))
+        .agg(min(col("id")).as("id"), first(col("text")).as("text"))
+        .drop("__h")
+      val kept = deduped.filter(tokenCount(col("text")) >= lit(30))
+      val nDedup = deduped.count()
+      val nKept = kept.count()
+      import s.implicits._
+      Seq((total, nDedup, nKept)).toDF("n_total", "n_after_dedup", "n_after_quality")
+    },
+    Some("""
+      WITH both_docs AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 10 = 0),
+      deduped AS (
+        SELECT min(id) AS id, any_value(text) AS text
+        FROM both_docs GROUP BY md5(text)),
+      kept AS (SELECT * FROM deduped
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 30)
+      SELECT (SELECT count(*) FROM both_docs) AS n_total,
+             (SELECT count(*) FROM deduped) AS n_after_dedup,
+             (SELECT count(*) FROM kept) AS n_after_quality
+    """))
+
   // ---- similarity -----------------------------------------------------
 
   /** DuckDB double dot product of list expressions (dim 64). */
@@ -440,5 +477,5 @@ object LlmQueries extends QuerySet {
   }
 
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q30, q31, q32, q33, q34, q35, q40, q41, q42)
+    Seq(q20, q21, q22, q23, q30, q31, q32, q33, q34, q35, q36, q40, q41, q42)
 }
