@@ -75,9 +75,9 @@ object LlmQueries extends QuerySet {
         .orderBy("lang"),
     Some(s"""
       SELECT lang, count(*) AS n_docs,
-        sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS tok_ws,
-        sum(len(regexp_extract_all(text, '${TextFunctions.BpePattern}'))) AS tok_bpe,
+        CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS tok_ws,
+        CAST(sum(len(regexp_extract_all(text, '${TextFunctions.BpePattern}'))) AS BIGINT) AS tok_bpe,
         CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
       FROM documents GROUP BY lang ORDER BY lang
     """))
@@ -224,8 +224,8 @@ object LlmQueries extends QuerySet {
                   SUM(CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
                 FROM tokh CROSS JOIN bits GROUP BY id, b),
       sim AS (SELECT id,
-                SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
-                         ELSE 0 END) AS simhash
+                CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                         ELSE 0 END) AS BIGINT) AS simhash
               FROM votes GROUP BY id)
       SELECT id, simhash FROM sim ORDER BY id
     """))

@@ -322,7 +322,7 @@ object Relational extends QuerySet {
         .orderBy("event_type"),
     Some("""
       SELECT event_type, count(*) AS n,
-        sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type
     """))

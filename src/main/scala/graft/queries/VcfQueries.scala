@@ -159,7 +159,7 @@ object VcfQueries extends QuerySet {
         .orderBy("chrom"),
     Some(s"""
       WITH $duckCtes, $duckAnnotateCtes
-      SELECT chrom, sum(dp) AS sum_dp, count(*) AS n FROM ann
+      SELECT chrom, CAST(sum(dp) AS BIGINT) AS sum_dp, count(*) AS n FROM ann
       GROUP BY chrom ORDER BY chrom
     """))
 

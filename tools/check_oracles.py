@@ -54,6 +54,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(mine)} != {len(theirs)}")
             n_fail += 1
             continue
+        # dtype-kind-strict: the driver's hash tolerates integer-width
+        # differences (int32 vs int64 passed in round 1) but fails on kind
+        # changes — DuckDB HUGEINT sums land in pandas as float64, which
+        # broke q16/q20/q33/q51 against Spark's int64. Compare dtype.kind.
+        dtdiffs = [f"{c}: {mine[c].dtype} != {theirs[c].dtype}"
+                   for c in mcols if mine[c].dtype.kind != theirs[c].dtype.kind]
+        if dtdiffs:
+            print(f"FAIL {name}: dtype {'; '.join(dtdiffs[:4])}")
+            n_fail += 1
+            continue
         a = mine[mcols].sort_values(mcols).reset_index(drop=True)
         b = theirs[tcols].sort_values(tcols).reset_index(drop=True)
         # exact compare incl. dtype-insensitive value equality
