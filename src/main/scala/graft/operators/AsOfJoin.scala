@@ -26,7 +26,11 @@ object AsOfJoin {
       leftTime: Column, rightTime: Column,
       tiebreak: Column,
       payload: Seq[(Column, String)] = Seq.empty): DataFrame = {
-    val l = left.withColumn("__lk", leftKey).withColumn("__lt", leftTime)
+    // Unique per-row id so fully-duplicate left rows each produce their
+    // own output row (grouping by the left columns alone would collapse
+    // them — a multiplicity change an as-of join must not make).
+    val l = left.withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__lk", leftKey).withColumn("__lt", leftTime)
     val r = right.select(
       rightKey.as("__rk") +: rightTime.as("__rt") +: tiebreak.as("__tb") +:
         payload.map { case (c, n) => c.as(s"__p_$n") }: _*)
@@ -36,7 +40,7 @@ object AsOfJoin {
       .as("__best")
     val leftCols = left.columns.map(col) :+ col("__lt")
     joined
-      .groupBy(col("__lk") +: leftCols: _*)
+      .groupBy(col("__rid") +: col("__lk") +: leftCols: _*)
       .agg(pick)
       .select(left.columns.map(col) ++ Seq(
         col("__best.__rt").as("asof_time"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -38,16 +39,31 @@ object Dedup {
       .select(col("id"), rollingHash(col("s")).as("sh"))
       .distinct()
 
+  /** Drop shingles appearing in more than `cap` docs — boilerplate
+    * n-grams ("all rights reserved") that otherwise create a quadratic
+    * join bucket: one shingle shared by a million docs is 10^12 pair
+    * rows. The window count rides the shingle-hash shuffle the join
+    * needs anyway; semantically this is stopword removal at the shingle
+    * level, applied BEFORE set sizes so jaccard stays consistent
+    * (|∩| and |∪| over the same filtered sets).
+    */
+  private def capDocFreq(sh: DataFrame, cap: Int): DataFrame =
+    sh.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= cap)
+      .drop("__df")
+
   /** n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
     * Pairs are generated ONLY for docs sharing ≥1 shingle (equi-join on
     * the shingle hash), then |∩| counted and |∪| derived from per-doc
-    * set sizes — no quadratic blowup; hot shingles are the skew to watch
-    * (AQE skew-join handles, or cap shingle doc-frequency upstream).
+    * set sizes — no quadratic blowup; `maxDocFreq` caps hot-shingle
+    * skew (the viral-boilerplate bucket), AQE handles the residual tail.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n).cache()
+      n: Int, threshold: Double,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val raw = shingleTable(df, idCol, textCol, n)
+    val sh = maxDocFreq.fold(raw)(capDocFreq(raw, _)).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -70,13 +86,19 @@ object Dedup {
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int): DataFrame = {
+      n: Int, bands: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    require(bands > 0 && MinhashA.size % bands == 0,
+      s"bands must divide the signature size ${MinhashA.size}, got $bands " +
+        "(otherwise trailing permutations are silently ignored, and " +
+        "bands > size gives every doc one empty band key = quadratic join)")
     val rows = MinhashA.size / bands
     // long form: one aggregation computes all 16 permutation-mins as
     // scalar arithmetic over the exploded shingle table (fully codegen'd,
     // one shuffle) — the array-HOF formulation recomputed the shingle
     // pipeline per permutation, interpreted.
-    val sig = shingleTable(df, idCol, textCol, n)
+    val raw = shingleTable(df, idCol, textCol, n)
+    val sig = maxDocFreq.fold(raw)(capDocFreq(raw, _))
       .groupBy("id")
       .agg(
         min((col("sh") * MinhashA.head + MinhashB.head) % HashMod).as("m0"),
@@ -96,45 +118,72 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash per doc (token-level). Near-dup = hamming ≤ k over
+  /** 64-bit SimHash per doc (token-level). Near-dup = hamming ≤ k over
     * candidate pairs; candidates at scale come from banding the simhash
-    * bytes (same LSH-join shape as minhash).
+    * into 16-bit quarters (same LSH-join shape as minhash).
+    *
+    * Bit sources: the 30-bit polynomial rolling hash supplies bits 0-29;
+    * bits 30-59 and 60-63 come from two affine rehashes mod a second
+    * prime (x*48271+11 mod 999999937 — a bijection, so bits stay
+    * pseudo-random). All intermediates < 2^46: no overflow under ANSI
+    * Spark or DuckDB BIGINT. Bit 63 is set via Long.MinValue, keeping
+    * the full 64-bit space (oracle converts two's-complement in HUGEINT).
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // long form again: explode tokens, hash scalar, one aggregation with
-    // 32 conditional sums (bit votes), then assemble the bits.
+    // 64 conditional sums (bit votes), then assemble the bits.
     val tok = df
       .select(col(idCol).as("id"),
         explode(wsTokens(lower(cleanAscii(col(textCol))))).as("t"))
-      .select(col("id"), rollingHash(col("t")).as("x"))
+      .select(col("id"), rollingHash(col("t")).as("x1"))
       .distinct()
+      .withColumn("x2", (col("x1") * lit(48271L) + lit(11L)) % lit(999999937L))
+      .withColumn("x3", (col("x2") * lit(48271L) + lit(11L)) % lit(999999937L))
+    def bitOf(b: Int): Column =
+      if (b < 30) shiftright(col("x1"), b).bitwiseAND(1)
+      else if (b < 60) shiftright(col("x2"), b - 30).bitwiseAND(1)
+      else shiftright(col("x3"), b - 60).bitwiseAND(1)
     val votes = tok.groupBy("id").agg(
-      sum(when(shiftright(col("x"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
-      (1 until 32).map(b =>
-        sum(when(shiftright(col("x"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+      sum(when(bitOf(0) === 1, 1).otherwise(-1)).as("v0"),
+      (1 until 64).map(b =>
+        sum(when(bitOf(b) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
     votes.select(
       col("id"),
-      (0 until 32).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(if (b == 63) Long.MinValue else 1L << b))
+          .otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 32-bit hash into 4 bytes — two
-    * docs within hamming ≤ 4-ish must share at least one byte-band
-    * (pigeonhole) — equi-join on (band, byte), then exact hamming
-    * filter. Same sub-quadratic join shape as minhash-LSH.
+  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys —
+    * two docs within hamming ≤ 4-ish must share at least one band
+    * (pigeonhole) — equi-join on (band, key), then exact hamming
+    * filter. Same sub-quadratic join shape as minhash-LSH. 65,536 keys
+    * per band keeps buckets ~N/262k, and `maxBucket` drops degenerate
+    * buckets (boilerplate-heavy corpora collapse onto few simhashes)
+    * before they go quadratic — candidate recall loss is documented,
+    * pairs inside a dropped bucket are usually found via another band.
     */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
     val sim = simhashTable(df, idCol, textCol)
     val banded = sim.select(
       col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*))
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffff)): _*))
         .as(Seq("band", "key")))
-    banded.as("a")
-      .join(banded.as("b"),
+    val capped = maxBucket.fold(banded) { cap =>
+      // window count per (band,key) rides the same hash-shuffle the
+      // self-join needs; buckets over the cap are dropped entirely
+      banded.withColumn("__bn",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+        .filter(col("__bn") <= cap)
+        .drop("__bn")
+    }
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

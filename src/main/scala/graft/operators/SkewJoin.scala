@@ -22,6 +22,12 @@ object SkewJoin {
       buckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // Salting replicates the right side once per salt value, so only
+    // left-preserving join types keep multiplicity exact; a right/full
+    // outer join would emit unmatched right rows once per replica.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+      .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/left_semi join types, got '$joinType'")
     val salted = left
       .withColumn("__salt", (rand(seed = 42) * buckets).cast("int"))
     val replicated = right

@@ -210,30 +210,52 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** DuckDB twin of Dedup.simhashTable's 64-bit construction: bits 0-29
+    * from the rolling hash, 30-59 / 60-63 from two affine rehashes mod
+    * 999999937; the unsigned value is accumulated as HUGEINT and
+    * converted two's-complement to signed BIGINT (bit 63 = sign) to
+    * match Spark's LongType exactly. `usim` (the unsigned HUGEINT) is
+    * kept for sign-safe banding in q35.
+    */
+  private val simSql =
+    s"""toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM docs2),
+      tokh AS (SELECT DISTINCT id, ${rollSql("s")} AS x1
+               FROM (SELECT id, unnest(w) AS s FROM toks) u),
+      tokh3 AS (SELECT id, x1, (x1 * 48271 + 11) % 999999937 AS x2,
+                  (((x1 * 48271 + 11) % 999999937) * 48271 + 11) % 999999937 AS x3
+                FROM tokh),
+      bits AS (SELECT unnest(range(0, 64)) AS b),
+      votes AS (SELECT id, b,
+                  SUM(CASE WHEN (CASE WHEN b < 30 THEN x1 >> CAST(b AS INT)
+                                      WHEN b < 60 THEN x2 >> CAST(b - 30 AS INT)
+                                      ELSE x3 >> CAST(b - 60 AS INT) END) & 1 = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM tokh3 CROSS JOIN bits GROUP BY id, b),
+      simu AS (SELECT id,
+                 SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+                          ELSE CAST(0 AS HUGEINT) END) AS usim
+               FROM votes GROUP BY id),
+      sim AS (SELECT id, usim,
+                CAST(CASE WHEN usim >= CAST(1 AS HUGEINT) << 63
+                          THEN usim - (CAST(1 AS HUGEINT) << 64)
+                          ELSE usim END AS BIGINT) AS simhash
+              FROM simu)"""
+
   private val q33 = Q(
     "q33_simhash",
     (s, dir) =>
       Dedup.simhashTable(docs2(s, dir), "id", "text").orderBy("id"),
     Some(s"""
       WITH $docs2Sql,
-      toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM docs2),
-      tokh AS (SELECT DISTINCT id, ${rollSql("s")} AS x
-               FROM (SELECT id, unnest(w) AS s FROM toks) u),
-      bits AS (SELECT unnest(range(0, 32)) AS b),
-      votes AS (SELECT id, b,
-                  SUM(CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-                FROM tokh CROSS JOIN bits GROUP BY id, b),
-      sim AS (SELECT id,
-                CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
-                         ELSE 0 END) AS BIGINT) AS simhash
-              FROM votes GROUP BY id)
+      $simSql
       SELECT id, simhash FROM sim ORDER BY id
     """))
 
-  /** SimHash near-dup pairs via byte-banding + exact hamming filter.
-    * This corpus shares one small vocabulary, so hamming ≤6 matches most
-    * pairs — the gate aggregates the pair distribution rather than
-    * materializing ~100k pair rows (the operator itself returns pairs).
+  /** SimHash near-dup pairs via 16-bit banding + exact hamming filter.
+    * The gate aggregates the pair distribution rather than materializing
+    * pair rows (the operator itself returns pairs). Banding happens on
+    * the unsigned HUGEINT (`usim`) because DuckDB's BIGINT >> is an
+    * arithmetic (sign-extending) shift.
     */
   private val q35 = Q(
     "q35_simhash_pairs",
@@ -243,18 +265,9 @@ object LlmQueries extends QuerySet {
         .orderBy("hamming"),
     Some(s"""
       WITH $docs2Sql,
-      toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM docs2),
-      tokh AS (SELECT DISTINCT id, ${rollSql("s")} AS x
-               FROM (SELECT id, unnest(w) AS s FROM toks) u),
-      bits AS (SELECT unnest(range(0, 32)) AS b),
-      votes AS (SELECT id, b,
-                  SUM(CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-                FROM tokh CROSS JOIN bits GROUP BY id, b),
-      sim AS (SELECT id,
-                SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
-                         ELSE 0 END) AS simhash
-              FROM votes GROUP BY id),
-      banded AS (SELECT id, simhash, band, (simhash >> (band * 8)) & 255 AS key
+      $simSql,
+      banded AS (SELECT id, simhash,
+                   CAST((usim >> CAST(band * 16 AS INT)) & 65535 AS BIGINT) AS key, band
                  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb),
       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                  bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming

@@ -46,8 +46,15 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val paths = Option(properties.get("path")).toSeq ++
-      Option(properties.get("paths")).toSeq.flatMap(_.split(","))
+    // Spark serializes load(p1, p2, ...) into the "paths" property as a
+    // JSON array string (see FileDataSourceV2.getPaths); "path" holds a
+    // single bare path. Parse accordingly — splitting on ',' would break
+    // both multi-path loads and paths containing commas.
+    val multi = Option(properties.get("paths")).toSeq.flatMap { s =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(s, classOf[Array[String]]).toSeq
+    }
+    val paths = Option(properties.get("path")).toSeq ++ multi
     new VcfTable(paths)
   }
 }
@@ -185,24 +192,22 @@ final class VcfPartitionReader(
   // lines that START at positions in (start, end]; a non-zero start
   // discards the line in progress (its bytes still count toward the
   // budget so this split's end stays aligned with the next split's skip).
+  // Byte accounting uses Hadoop's LineReader, whose readLine returns the
+  // EXACT bytes consumed per line (terminator included — \n, \r\n, or a
+  // final unterminated line), so CRLF files cannot drift split ends.
   private var consumed: Long = 0L
   private val raw = fs.open(hPath)
-  private val reader: BufferedReader = {
-    if (codec != null) {
-      new BufferedReader(new InputStreamReader(
-        codec.createInputStream(raw), StandardCharsets.UTF_8))
-    } else {
-      raw.seek(part.start)
-      val br = new BufferedReader(new InputStreamReader(raw, StandardCharsets.UTF_8))
-      if (part.start > 0) {
-        val skipped = br.readLine() // partial line owned by previous split
-        if (skipped != null) {
-          consumed += skipped.getBytes(StandardCharsets.UTF_8).length + 1
-        }
-      }
-      br
+  private val reader: org.apache.hadoop.util.LineReader = {
+    val stream: java.io.InputStream =
+      if (codec != null) codec.createInputStream(raw)
+      else { raw.seek(part.start); raw }
+    val lr = new org.apache.hadoop.util.LineReader(stream)
+    if (codec == null && part.start > 0) {
+      consumed += lr.readLine(new org.apache.hadoop.io.Text()) // partial line owned by previous split
     }
+    lr
   }
+  private val lineText = new org.apache.hadoop.io.Text()
   private var current: InternalRow = _
   private val end = part.length
 
@@ -226,9 +231,10 @@ final class VcfPartitionReader(
   override def next(): Boolean = {
     while (true) {
       if (codec == null && consumed > end) { current = null; return false }
-      val line = reader.readLine()
-      if (line == null) { current = null; return false }
-      consumed += line.getBytes(StandardCharsets.UTF_8).length + 1
+      val n = reader.readLine(lineText)
+      if (n == 0) { current = null; return false }
+      consumed += n
+      val line = lineText.toString
       if (!line.startsWith("#") && line.nonEmpty) {
         val f = line.split("\t", -1)
         if (f.length > 8 && passesFilters(f)) {
