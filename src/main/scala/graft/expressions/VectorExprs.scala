@@ -1,0 +1,157 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen kernels for the ANN hot path (dot / squared-L2 /
+  * cosine over embedding arrays).
+  *
+  * The HOF formulation (`aggregate(zip_with(...))`) is NOT codegen'd —
+  * higher-order functions are CodegenFallback in Spark, so every probe
+  * comparison ran an interpreted fold over 64-element arrays (SURVEY §8
+  * learned the same lesson on minhash). These expressions compile to one
+  * static-method call inside WholeStageCodegen; cosine is additionally
+  * FUSED (a·b, a·a, b·b in a single pass instead of three).
+  *
+  * Semantics preserved from the fold form, so the DuckDB oracles keep
+  * matching bit-for-bit: strict left-to-right double accumulation,
+  * float elements widened per-element, NULL result on length mismatch
+  * or any NULL element (zip_with pads / null-propagates the same way).
+  */
+object VectorExprs {
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def l2sq(a: Column, b: Column): Column =
+    Bridge.column(L2SqExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  // ---- scalar kernels (called from generated code) ---------------------
+  // Boxed Double returns: null encodes "invalid input" (length mismatch /
+  // null element) so codegen can set isNull — one small box per row is
+  // noise next to the interpreted-fold alternative.
+
+  def dotK(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  def l2sqK(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Fused cosine: ab / (sqrt(aa) * sqrt(bb)), each sum its own strict
+    * left-to-right accumulator — bit-identical to three separate folds.
+    */
+  def cosineK(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var ab = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      ab += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(ab / (math.sqrt(aa) * math.sqrt(bb)))
+  }
+}
+
+/** Shared shape of the three vector kernels: array<float|double> ×2 →
+  * double, nullable (length mismatch / null element → NULL).
+  */
+abstract class VectorBinaryExpr extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** Kernel name in [[VectorExprs]]. */
+  protected def kernel: String
+
+  protected def call(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double
+
+  /** Whether a child's elements are FloatType (resolved by eval time). */
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"$prettyName expects array<float>/array<double> inputs, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    call(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val af = isFloat(left)
+    val bf = isFloat(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecRes")
+      s"""
+      java.lang.Double $r = graft.expressions.VectorExprs.$kernel($a, $b, $af, $bf);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+      """
+    })
+  }
+}
+
+case class DotExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def prettyName: String = "vec_dot"
+  override protected def kernel: String = "dotK"
+  override protected def call(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double =
+    VectorExprs.dotK(a, b, af, bf)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
+    copy(left = l, right = r)
+}
+
+case class L2SqExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def prettyName: String = "vec_l2sq"
+  override protected def kernel: String = "l2sqK"
+  override protected def call(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double =
+    VectorExprs.l2sqK(a, b, af, bf)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqExpr =
+    copy(left = l, right = r)
+}
+
+case class CosineExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def prettyName: String = "vec_cosine"
+  override protected def kernel: String = "cosineK"
+  override protected def call(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double =
+    VectorExprs.cosineK(a, b, af, bf)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
+    copy(left = l, right = r)
+}

@@ -124,8 +124,9 @@ object Dedup {
     *
     * Bit sources: the 30-bit polynomial rolling hash supplies bits 0-29;
     * bits 30-59 and 60-63 come from two affine rehashes mod a second
-    * prime (x*48271+11 mod 999999937 — a bijection, so bits stay
-    * pseudo-random). All intermediates < 2^46: no overflow under ANSI
+    * prime (x*48271+11 mod 999999937 — pseudo-random mixing; not
+    * injective across the mod-1e9+7 input domain, which is fine: the
+    * bits only need to look uniform). All intermediates < 2^46: no overflow under ANSI
     * Spark or DuckDB BIGINT. Bit 63 is set via Long.MinValue, keeping
     * the full 64-bit space (oracle converts two's-complement in HUGEINT).
     */

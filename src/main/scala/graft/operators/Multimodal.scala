@@ -99,11 +99,12 @@ object Multimodal {
   def sampleFrames(media: DataFrame, n: Int, frameBytes: Int = 256): DataFrame =
     media
       .filter(col("modality") === "video")
-      .select(col("media_id"),
+      // posexplode with `bytes` carried through the Generate — a pure
+      // narrow pipeline (the round-2 version self-joined media on
+      // media_id, shuffling the byte column both ways)
+      .select(col("media_id"), col("bytes"),
         posexplode(transform(sequence(lit(0), lit(n - 1)), i => i))
           .as(Seq("frame_idx", "i")))
-      .drop("i")
-      .join(media.select("media_id", "bytes"), "media_id")
       .select(
         col("media_id"), col("frame_idx"),
         expr(s"substring(bytes, CAST(frame_idx AS INT) * $frameBytes + 1, $frameBytes)")

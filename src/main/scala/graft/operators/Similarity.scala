@@ -4,23 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Vector similarity over embedding columns (Array[Float]).
+/** Vector similarity over embedding columns (Array[Float]/Array[Double]).
   *
-  * Dot/cosine are strict left-to-right folds in DOUBLE — deterministic
-  * and engine-portable (the DuckDB oracle reproduces them exactly), and
-  * codegen'd by Catalyst (HOFs, no UDF).
+  * Dot/cosine/L2 are strict left-to-right folds in DOUBLE — deterministic
+  * and engine-portable (the DuckDB oracle reproduces them exactly) —
+  * implemented as native codegen expressions (graft.expressions
+  * .VectorExprs). The previous HOF form (`aggregate(zip_with(...))`) was
+  * NOT codegen'd — array HOFs are CodegenFallback — so every probe
+  * comparison ran an interpreted fold; the native kernels are one static
+  * call inside WholeStageCodegen, and cosine fuses its three sums into a
+  * single pass.
   */
 object Similarity {
 
   /** Σ a_i·b_i with a double accumulator in element order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.expressions.VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExprs.cosine(a, b)
 
   /** Brute-force cosine top-k: every probe against the whole corpus.
     * The probe side is small by construction and broadcast, so the scan
@@ -43,13 +46,7 @@ object Similarity {
   }
 
   /** Squared L2 distance, deterministic ordered fold. */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+  def l2sq(a: Column, b: Column): Column = graft.expressions.VectorExprs.l2sq(a, b)
 
   /** IVF cell assignment: nearest centroid (L2, centroid-id tiebreak)
     * per vector. Centroids broadcast; one narrow pass over the corpus —

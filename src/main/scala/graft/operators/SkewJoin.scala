@@ -25,9 +25,12 @@ object SkewJoin {
     // Salting replicates the right side once per salt value, so only
     // left-preserving join types keep multiplicity exact; a right/full
     // outer join would emit unmatched right rows once per replica.
-    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+    // left_anti is exact too: each (key, salt) bucket sees a full right
+    // replica, so a left row survives iff its key is absent from right.
+    require(Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
       .contains(joinType.toLowerCase.replace(" ", "")),
-      s"saltedJoin supports inner/left/left_semi join types, got '$joinType'")
+      s"saltedJoin supports inner/left/left_semi/left_anti join types, got '$joinType'")
     val salted = left
       .withColumn("__salt", (rand(seed = 42) * buckets).cast("int"))
     val replicated = right

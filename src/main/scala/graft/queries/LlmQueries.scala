@@ -218,7 +218,11 @@ object LlmQueries extends QuerySet {
     * kept for sign-safe banding in q35.
     */
   private val simSql =
-    s"""toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM docs2),
+    // the WHERE guard mirrors Spark's wsTokens: an empty/whitespace-only
+    // doc has NO tokens (DuckDB's split of '' yields [''], which would
+    // fabricate a hash-0 token and a spurious simhash row)
+    s"""toks AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w
+               FROM docs2 WHERE length(trim(text)) > 0),
       tokh AS (SELECT DISTINCT id, ${rollSql("s")} AS x1
                FROM (SELECT id, unnest(w) AS s FROM toks) u),
       tokh3 AS (SELECT id, x1, (x1 * 48271 + 11) % 999999937 AS x2,
@@ -280,6 +284,15 @@ object LlmQueries extends QuerySet {
   /** End-to-end corpus cleaning: exact-dedup (keep min id per digest)
     * then quality filter — the composed pipeline shape, with a funnel
     * summary as output.
+    *
+    * ONE lazy plan, ONE pass over the corpus: the per-digest aggregate
+    * carries each stage's contribution (dup_count for the pre-dedup
+    * total, the row itself for post-dedup, a conditional flag for
+    * post-quality), and a final global aggregate rolls the funnel up.
+    * No driver actions inside the builder — the round-2 version ran
+    * three count() jobs, recomputing the union+dedup lineage thrice
+    * (3× the I/O at 100 TB). Q36SingleJobSpec pins the zero-action
+    * contract.
     */
   private val q36 = Q(
     "q36_corpus_clean",
@@ -288,16 +301,16 @@ object LlmQueries extends QuerySet {
       val both = d.select(col("doc_id").as("id"), col("text"))
         .unionAll(d.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("id"), col("text")))
-      val total = both.count()
-      val deduped = both
+      both
         .groupBy(Dedup.contentHash(col("text")).as("__h"))
-        .agg(min(col("id")).as("id"), first(col("text")).as("text"))
-        .drop("__h")
-      val kept = deduped.filter(tokenCount(col("text")) >= lit(30))
-      val nDedup = deduped.count()
-      val nKept = kept.count()
-      import s.implicits._
-      Seq((total, nDedup, nKept)).toDF("n_total", "n_after_dedup", "n_after_quality")
+        // texts within a digest group are identical, so first() is
+        // deterministic here; dup_count feeds the pre-dedup total
+        .agg(count(lit(1)).as("__dups"), first(col("text")).as("text"))
+        .agg(
+          sum(col("__dups")).as("n_total"),
+          count(lit(1)).as("n_after_dedup"),
+          sum(when(tokenCount(col("text")) >= lit(30), 1L).otherwise(0L))
+            .as("n_after_quality"))
     },
     Some("""
       WITH both_docs AS (

@@ -86,17 +86,21 @@ object SyntheticVariants {
       "'GT:DP:AD' AS format") ++
       (1 to 4).map(i => s"${callSql(i.toString)} AS call_g$i")
     // The testdata files are tiny (1-3 input splits) while the derived
-    // per-row work below is heavy — fan out to full parallelism, AFTER
-    // the derivation projection: the exchange then materializes the
-    // derived string columns, so downstream filters/explodes reference
-    // attributes instead of re-evaluating the big CASE trees (predicate
-    // pushdown would otherwise inline them into the scan-side filter).
-    // At production scale the scan has ample splits and this is a no-op
-    // to remove.
+    // per-row work below is heavy — fan out to full parallelism BEFORE
+    // the derivation projection, shuffling only the 8-byte key. Round 2
+    // repartitioned after the projection (to materialize the derived
+    // columns); that computed every big CASE tree on the 3 scan-side
+    // tasks and was the annotate family's real bottleneck — the whole
+    // derivation ran on 3 of 32 cores. Downstream of the exchange the
+    // derivation and everything after it share one codegen stage, so
+    // the derived values flow through as local variables (no
+    // re-evaluation); only the small `alt` filter can sink below the
+    // exchange. At production scale the scan has ample splits and the
+    // repartition is a no-op to remove.
     val base = QueryUtil.t(s, dir, "lineitem")
       .selectExpr("l_orderkey * 8 + l_linenumber AS k")
-      .selectExpr(exprs: _*)
       .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr(exprs: _*)
     val gmap = map(
       (1 to 4).flatMap(i => Seq(lit(s"g$i"), col(s"call_g$i"))): _*)
     base.select(

@@ -51,8 +51,14 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
     // single bare path. Parse accordingly — splitting on ',' would break
     // both multi-path loads and paths containing commas.
     val multi = Option(properties.get("paths")).toSeq.flatMap { s =>
-      new com.fasterxml.jackson.databind.ObjectMapper()
+      try new com.fasterxml.jackson.databind.ObjectMapper()
         .readValue(s, classOf[Array[String]]).toSeq
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          "vcf option 'paths' must be a JSON array of strings (Spark's " +
+            "load(p1, p2, ...) serializes it that way), e.g. " +
+            """["/a.vcf","/b.vcf"] — got: """ + s, e)
+      }
     }
     val paths = Option(properties.get("path")).toSeq ++ multi
     new VcfTable(paths)

@@ -37,6 +37,22 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out === Set(("t1", 2L, 110.0), ("t3", 4L, 200.0)))
   }
 
+  test("fully-duplicate left rows each keep their own output row") {
+    // two byte-identical left rows: an as-of join must emit two rows
+    // (round-2 regression: grouping without a row id collapsed them)
+    val left = Seq(
+      ("A", ts("2024-01-01 12:00:00"), "same"),
+      ("A", ts("2024-01-01 12:00:00"), "same"))
+      .toDF("sym", "tts", "tag")
+    val right = Seq(("A", ts("2024-01-01 10:00:00"), 1L, 100.0))
+      .toDF("sym", "qts", "qid", "px")
+    val out = AsOfJoin.lastBefore(
+      left, right, col("sym"), col("sym"), col("tts"), col("qts"),
+      tiebreak = col("qid"), payload = Seq((col("px"), "px")))
+    assert(out.count() === 2)
+    assert(out.select("px").collect().map(_.getDouble(0)).toSeq === Seq(100.0, 100.0))
+  }
+
   test("time ties break on the tiebreak column, deterministically") {
     val right = Seq(
       (1, ts("2024-01-01 10:00:00"), 7L, "low"),

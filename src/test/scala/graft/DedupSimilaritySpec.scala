@@ -40,6 +40,75 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists(p => p._1 == "d3" || p._2 == "d3"))
   }
 
+  test("maxDocFreq drops viral shingles before the pair join") {
+    // plant one boilerplate suffix shared by many docs plus one true
+    // near-dup pair that shares plenty of non-viral shingles
+    val viral = "all rights reserved contact us for details"
+    val many = (1 to 20).map(i => (f"v$i%02d", s"document number $i unique body text $i $i $viral"))
+    val pair = Seq(
+      ("p1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("p2", "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"))
+    val corpus = (many ++ pair).toDF("id", "text")
+
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // cap = 5: the viral shingles (doc freq 20) are dropped, the pair's
+    // shingles (doc freq 2) survive
+    val capped = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.5,
+      maxDocFreq = Some(5))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped.contains(("p1", "p2")))
+    assert(capped.contains(("p1", "p2")))
+    // the viral tail no longer reaches the join at all: no v-v candidate
+    // can pass the jaccard gate AND the capped shingle table has no
+    // shingle shared by >5 docs
+    val shCapped = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.0,
+      maxDocFreq = Some(5))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!shCapped.exists(p => p._1.startsWith("v") && p._2.startsWith("v")),
+      s"viral bucket leaked into candidates: $shCapped")
+    // minhash path honors the same cap
+    val mh = Dedup.minhashLshPairs(corpus, "id", "text", 3, 4, maxDocFreq = Some(5))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mh.contains(("p1", "p2")))
+    assert(!mh.exists(p => p._1.startsWith("v") && p._2.startsWith("v")), mh.toString)
+  }
+
+  test("simhash near-dup pairs: exact dup at hamming 0, banding finds planted pair") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "id", "text", maxHamming = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getInt(2))).toMap
+    assert(pairs(("d1", "d4")) === 0) // exact dup: identical simhash
+    assert(pairs.contains(("d1", "d2"))) // near-dup within 10 bits
+    assert(!pairs.keys.exists(p => p._1 == "d3" || p._2 == "d3"))
+  }
+
+  test("simhash bands are 4 x 16-bit keys; maxBucket drops degenerate buckets") {
+    // 30 byte-identical docs collapse onto ONE simhash → every band
+    // bucket holds all 30 → 435 pairs/band uncapped; maxBucket kills it
+    val clones = (1 to 30).map(i => (f"c$i%02d", "same exact text in every clone"))
+      .toDF("id", "text")
+    val uncapped = Dedup.simhashNearDupPairs(clones, "id", "text", maxHamming = 0)
+    assert(uncapped.count() === 30L * 29 / 2)
+    val capped = Dedup.simhashNearDupPairs(clones, "id", "text", maxHamming = 0,
+      maxBucket = Some(10))
+    assert(capped.count() === 0, "capped degenerate bucket must emit no pairs")
+
+    // band-key shape: the banding used by the pair join must produce
+    // exactly 4 bands with keys in [0, 65536) — the 64-bit/16-bit-band
+    // layout (round 1 shipped 1,024 keys total, a scale killer)
+    val sim = Dedup.simhashTable(docs, "id", "text")
+    val banded = sim.select(
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffff)): _*))
+        .as(Seq("band", "key")))
+    val rows = banded.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.map(_._1).toSet === Set(0, 1, 2, 3))
+    assert(rows.forall { case (_, k) => k >= 0 && k < 65536 }, rows.mkString(","))
+    // 64-bit coverage: across docs, the high band is not constant-zero
+    assert(rows.filter(_._1 == 3).map(_._2).toSet.size > 1,
+      "bits 48-63 look unused — simhash regressed below 64 bits")
+  }
+
   test("embedding near-dup within block") {
     val vecs = Seq(
       ("v1", Seq(1.0, 0.0, 0.0), 0),

@@ -26,6 +26,24 @@ class SkewJoinSpec extends AnyFunSuite with SparkSpec {
     assert(salted.filter(col("k") === "c").count() === 0)
   }
 
+  test("right/full join types are rejected; left_anti is allowed and exact") {
+    val left = Seq(("a", 1), ("x", 2), ("x", 3)).toDF("k", "row_id")
+    val right = Seq(("a", 10)).toDF("k", "v")
+    // right-preserving types would emit unmatched right rows once per
+    // salt replica — the guard must refuse them
+    for (bad <- Seq("right", "right_outer", "full", "full_outer", "cross")) {
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(left, right, "k", "k", buckets = 4, joinType = bad)
+      }
+      assert(e.getMessage.contains("saltedJoin"), e.getMessage)
+    }
+    // anti join is left-preserving: every (key, salt) bucket holds a full
+    // right replica, so a left row survives iff its key is absent
+    val anti = SkewJoin.saltedJoin(left, right, "k", "k",
+      buckets = 4, joinType = "left_anti")
+    assert(anti.select("row_id").collect().map(_.getInt(0)).sorted.toSeq === Seq(2, 3))
+  }
+
   test("left joins keep unmatched rows exactly once") {
     val left = Seq(("a", 1), ("x", 2)).toDF("k", "row_id")
     val right = Seq(("a", 10)).toDF("k", "v")

@@ -55,6 +55,51 @@ class VcfDataSourceSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("multi-path load(p1, p2) reads both files (JSON 'paths' property)") {
+    val p2 = Files.createTempFile("graft-second", ".vcf")
+    Files.writeString(p2,
+      "##fileformat=VCFv4.2\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tZ1\n" +
+        "9\t900\trs9\tA\tT\t50\tPASS\tNS=1\tGT\t0/1\n")
+    p2.toFile.deleteOnExit()
+    val df = spark.read.format("vcf").load(path, p2.toString)
+    assert(df.count() === 8) // 7 fixture rows + 1
+    assert(df.filter(col("pos") === 900).count() === 1)
+  }
+
+  test("hand-set non-JSON 'paths' option fails with a clear message") {
+    val e = intercept[Exception] {
+      spark.read.format("vcf").option("paths", "a.vcf,b.vcf").load()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("JSON array")), e.toString)
+  }
+
+  test("CRLF line endings + no trailing newline survive byte-range splits") {
+    // CRLF accounting drift would misplace split boundaries → lost or
+    // duplicated rows; the last line is deliberately unterminated
+    val crlf = Files.createTempFile("graft-crlf", ".vcf")
+    val header = "##fileformat=VCFv4.2\r\n" +
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\r\n"
+    val body = (1 to 2000).map(i =>
+      s"chr${1 + i % 22}\t$i\trs$i\tA\tG\t50\tPASS\tNS=1\tGT\t0/1")
+      .mkString("\r\n") // no trailing newline
+    Files.writeString(crlf, header + body)
+    crlf.toFile.deleteOnExit()
+
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192") // 8 KB splits
+    try {
+      val df = spark.read.format("vcf").load(crlf.toString)
+      assert(df.rdd.getNumPartitions > 3)
+      assert(df.count() === 2000)
+      assert(df.select(sum("pos")).head().getLong(0) === (1L to 2000L).sum)
+      assert(df.select("pos").distinct().count() === 2000) // no duplicates either
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("reads the real 1000-genomes .gz through format(\"vcf\")") {
     val real =
       "/root/reference/test_data/ALL.chr22.phase3_shapeit2_mvncall_integrated_v4.20130502.genotypes_10k.vcf.gz"
