@@ -63,18 +63,29 @@ object VcfReader {
     * @param dedupe    drop fully duplicated rows like the reference's
     *                  get_vcf_df_chunk (pandasvcf.py:175) — opt-in since
     *                  it costs a shuffle at scale.
+    * @param cols      fixed-column projection (reference `cols=`,
+    *                  pandasvcf.py:76-99): reference-style names
+    *                  (`#CHROM`, `POS`, …) or graft names, case
+    *                  insensitive, output in the order given; None =
+    *                  all. Catalyst then eliminates the parse
+    *                  expressions of dropped columns (the DSv2 path
+    *                  additionally prunes at the scan itself).
     */
   def read(
       spark: SparkSession,
       path: String,
       sampleIds: Option[Seq[String]] = None,
-      dedupe: Boolean = false): DataFrame = {
+      dedupe: Boolean = false,
+      cols: Option[Seq[String]] = None): DataFrame = {
     val meta = metadata(spark, path)
     val samples = sampleIds.getOrElse(meta.samples)
     val lines = spark.read.text(path)
       .filter(!col("value").startsWith("#"))
     val parsed = parseLines(lines, meta.columns, samples)
-    if (dedupe) parsed.dropDuplicates() else parsed
+    val projected = cols.fold(parsed) { cs =>
+      parsed.select(cs.map(c => col(c.stripPrefix("#").toLowerCase)): _*)
+    }
+    if (dedupe) projected.dropDuplicates() else projected
   }
 
   /** Parse raw VCF body lines (column `value`) given the header's column
@@ -109,6 +120,76 @@ object VcfReader {
 
   /** INFO `key=value;...` → MAP (flag-style keys get value ""). */
   def infoMap(info: Column): Column = str_to_map(info, lit(";"), lit("="))
+
+  /** One `##INFO=<...>`/`##FORMAT=<...>` declaration: field id, arity
+    * (`1`, `A`, `.`, …) and declared VCF type.
+    */
+  final case class FieldDecl(id: String, number: String, typ: String)
+
+  private def parseDecl(v: String): Option[FieldDecl] = {
+    def part(k: String): Option[String] =
+      s"""$k=([^,>]+)""".r.findFirstMatchIn(v).map(_.group(1))
+    part("ID").map(id =>
+      FieldDecl(id, part("Number").getOrElse("."), part("Type").getOrElse("String")))
+  }
+
+  /** Parsed `##INFO` declarations (reference stores but never uses them,
+    * pandasvcf.py:102-120 / vcf_metadata.py; here Number/Type drive typed
+    * extraction — see [[withTypedInfo]]).
+    */
+  def infoDecls(meta: VcfMetadata): Seq[FieldDecl] =
+    meta.headerKv.collect { case ("INFO", v) => parseDecl(v) }.flatten
+
+  /** Parsed `##FORMAT` declarations. Their ids can feed
+    * `VariantAnnotator.Options(formatKeys = ...)` directly — the header
+    * already knows the FORMAT vocabulary, so the discovery scan is
+    * never needed on a declared file.
+    */
+  def formatDecls(meta: VcfMetadata): Seq[FieldDecl] =
+    meta.headerKv.collect { case ("FORMAT", v) => parseDecl(v) }.flatten
+
+  /** Declared VCF type → Spark cast; try_cast so one malformed record
+    * degrades to NULL instead of failing a 100 TB job under ANSI.
+    */
+  private def castTo(c: Column, typ: String): Column = typ match {
+    case "Integer" => c.try_cast("long")
+    case "Float" => c.try_cast("double")
+    case _ => c // String / Character stay strings
+  }
+
+  /** Typed INFO columns driven by the header declarations: one
+    * `INFO_<id>` column per declaration — Integer→long, Float→double,
+    * Flag→boolean presence, Number≠1 → typed array. The manual q17-style
+    * `element_at(...).cast(...)` becomes schema-driven.
+    */
+  def withTypedInfo(df: DataFrame, decls: Seq[FieldDecl]): DataFrame = {
+    val m = infoMap(col("info"))
+    decls.foldLeft(df) { (d, decl) =>
+      val raw = element_at(m, decl.id)
+      val typed = decl match {
+        // flags carry no value — presence is the datum
+        case FieldDecl(id, _, "Flag") => array_contains(split(col("info"), ";"), id)
+        case FieldDecl(_, "0", _) => raw.isNotNull
+        case FieldDecl(_, "1", t) => castTo(raw, t)
+        case FieldDecl(_, _, t) => transform(split(raw, ","), x => castTo(x, t))
+      }
+      d.withColumn(s"INFO_${decl.id}", typed)
+    }
+  }
+
+  /** Typed FORMAT subfield columns on an annotated long frame (the
+    * string columns VariantAnnotator emits per FORMAT key), cast per the
+    * `##FORMAT` declarations.
+    */
+  def withTypedFormat(annotated: DataFrame, decls: Seq[FieldDecl]): DataFrame =
+    decls.filter(d => d.id != "GT" && annotated.columns.contains(d.id))
+      .foldLeft(annotated) { (df, decl) =>
+        decl.number match {
+          case "1" => df.withColumn(decl.id, castTo(col(decl.id), decl.typ))
+          case _ => df.withColumn(decl.id,
+            transform(split(col(decl.id), ","), x => castTo(x, decl.typ)))
+        }
+      }
 
   /** Header key/values as a DataFrame — parity with the reference's
     * `VCF.header_df` (pandasvcf.py:102-120).

@@ -121,6 +121,21 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     s"VcfScan[${required.fieldNames.mkString(",")}] pushed=${filters.mkString(",")}"
   override def toBatch: Batch = this
 
+  /** Pushed chrom equality (values compare against the NORMALIZED
+    * chromosome, `chr22` → `22`). */
+  private def chromEq: Option[String] =
+    filters.collectFirst { case EqualTo("chrom", v) => v.toString }
+
+  /** Tightest pushed lower bound on POS (1-based, inclusive). */
+  private def posLowerInclusive: Option[Int] = {
+    val bounds = filters.collect {
+      case GreaterThan("pos", v) => v.toString.toInt + 1
+      case GreaterThanOrEqual("pos", v) => v.toString.toInt
+      case EqualTo("pos", v) => v.toString.toInt
+    }
+    if (bounds.isEmpty) None else Some(bounds.max)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
@@ -136,15 +151,53 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
       }
       statuses.foreach { st =>
         val len = st.getLen
-        val splittable = !st.getPath.getName.endsWith(".gz")
-        if (!splittable || len <= maxSplit) {
-          parts += VcfPartition(st.getPath.toString, 0L, len)
-        } else {
-          var off = 0L
-          while (off < len) {
-            parts += VcfPartition(st.getPath.toString, off, math.min(maxSplit, len - off))
-            off += maxSplit
+        val isGz = st.getPath.getName.endsWith(".gz")
+        val splittable = !isGz
+
+        // Region pruning via the sibling tabix index: with a pushed
+        // chrom (+ optional pos lower bound) and a .tbi next to the
+        // file, skip files that cannot contain the region, and start
+        // bgzip files at the region's BGZF block instead of byte 0 —
+        // an interactive locus query reads kilobytes, not the corpus.
+        val tbiPath = TabixIndex.sibling(st.getPath)
+        val pruned = chromEq.flatMap { c =>
+          if (!fs.exists(tbiPath)) None
+          else {
+            val idx = TabixIndex.read(fs, tbiPath)
+            idx.ref(c) match {
+              case None => Some(Array.empty[VcfPartition]) // chrom absent: whole file pruned
+              case Some(r) if !isGz => None // index offsets are BGZF-only
+              case Some(r) =>
+                // 0-based lower bound; linear index refines the start
+                val lower0 = posLowerInclusive.map(l => math.max(0, l - 1).toLong)
+                if (lower0.exists(_ >= r.maxCoveredPos)) {
+                  Some(Array.empty[VcfPartition]) // beyond last indexed record start
+                } else {
+                  val window = lower0.map(l => (l >> 14).toInt).getOrElse(0)
+                  val lin = if (window < r.nIntv && r.ioff(window) > 0L) r.ioff(window) else 0L
+                  val startVoff = math.max(r.minVoff, lin)
+                  val startC = TabixIndex.compressedOffset(startVoff)
+                  val endC = math.min(len,
+                    TabixIndex.compressedOffset(r.maxVoff) + TabixIndex.MaxBlockSize)
+                  Some(Array(VcfPartition(st.getPath.toString, startC, endC - startC,
+                    TabixIndex.uncompressedOffset(startVoff))))
+                }
+            }
           }
+        }
+
+        pruned match {
+          case Some(ps) => parts ++= ps
+          case None =>
+            if (!splittable || len <= maxSplit) {
+              parts += VcfPartition(st.getPath.toString, 0L, len)
+            } else {
+              var off = 0L
+              while (off < len) {
+                parts += VcfPartition(st.getPath.toString, off, math.min(maxSplit, len - off))
+                off += maxSplit
+              }
+            }
         }
       }
     }
@@ -155,7 +208,14 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     new VcfReaderFactory(required, filters)
 }
 
-final case class VcfPartition(path: String, start: Long, length: Long)
+/** @param vSkip -1 for plain byte-range splits; ≥0 marks a tabix-pruned
+  *              BGZF region — `start` is then a compressed BLOCK offset
+  *              (BGZF blocks are standalone gzip members, so
+  *              decompression can begin there) and `vSkip` the number of
+  *              DECOMPRESSED bytes to discard before the first record.
+  */
+final case class VcfPartition(path: String, start: Long, length: Long,
+    vSkip: Int = -1)
     extends InputPartition
 
 final class VcfReaderFactory(required: StructType, filters: Array[Filter])
@@ -203,9 +263,43 @@ final class VcfPartitionReader(
   // final unterminated line), so CRLF files cannot drift split ends.
   private var consumed: Long = 0L
   private val raw = fs.open(hPath)
+
+  /** Tabix-pruned BGZF region: start is a block boundary (blocks are
+    * standalone gzip members), so decompression begins mid-file; vSkip
+    * discards the partial decompressed block prefix before the first
+    * record of the region.
+    */
+  private val isGzRegion = codec != null && part.vSkip >= 0
+
+  /** Caps raw reads at the region end; the trailing gzip member may be
+    * cut, which next() treats as end-of-region.
+    */
+  private final class BoundedStream(limit: Long) extends java.io.InputStream {
+    private var remaining = limit
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val b = raw.read(); if (b >= 0) remaining -= 1; b }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      if (remaining <= 0) return -1
+      val n = raw.read(buf, off, math.min(len.toLong, remaining).toInt)
+      if (n > 0) remaining -= n
+      n
+    }
+    override def close(): Unit = raw.close()
+  }
+
   private val reader: org.apache.hadoop.util.LineReader = {
     val stream: java.io.InputStream =
-      if (codec != null) codec.createInputStream(raw)
+      if (isGzRegion) {
+        raw.seek(part.start)
+        val gz = new java.util.zip.GZIPInputStream(new BoundedStream(part.length), 65536)
+        var toSkip = part.vSkip.toLong
+        while (toSkip > 0) {
+          val s = gz.skip(toSkip)
+          if (s <= 0) toSkip = 0 else toSkip -= s
+        }
+        gz
+      } else if (codec != null) codec.createInputStream(raw)
       else { raw.seek(part.start); raw }
     val lr = new org.apache.hadoop.util.LineReader(stream)
     if (codec == null && part.start > 0) {
@@ -237,7 +331,14 @@ final class VcfPartitionReader(
   override def next(): Boolean = {
     while (true) {
       if (codec == null && consumed > end) { current = null; return false }
-      val n = reader.readLine(lineText)
+      val n =
+        try reader.readLine(lineText)
+        catch {
+          // a region's raw-byte cap can cut the gzip member after the
+          // last block we need — that truncation IS the end of region
+          case e @ (_: java.io.EOFException | _: java.util.zip.ZipException)
+              if isGzRegion => 0
+        }
       if (n == 0) { current = null; return false }
       consumed += n
       val line = lineText.toString

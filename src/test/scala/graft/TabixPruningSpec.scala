@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VcfReader
+import graft.sources.v2.TabixIndex
+
+/** Region-index pruning: with a pushed chrom (+pos) predicate and a
+  * sibling .tbi, the DSv2 source must skip files that cannot contain
+  * the region and start bgzip files at the region's BGZF block — the
+  * #1 interactive-genomics access pattern (a locus query on a 100 TB
+  * corpus must read kilobytes, not everything).
+  */
+class TabixPruningSpec extends AnyFunSuite with SparkSpec {
+
+  private val chr22 =
+    "/root/reference/test_data/ALL.chr22.phase3_shapeit2_mvncall_integrated_v4.20130502.genotypes_10k.vcf.gz"
+  private val titin = "/root/reference/test_data/SWGR_titin.vcf.gz"
+
+  private def partitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.rdd.getNumPartitions
+
+  test("TabixIndex parses the reference's real .tbi files") {
+    val fs = new Path(chr22).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = TabixIndex.read(fs, TabixIndex.sibling(new Path(chr22)))
+    assert(idx.refs.map(_.name) === Seq("22"))
+    val r = idx.refs.head
+    assert(r.minVoff > 0 && r.maxVoff > r.minVoff)
+    assert(r.nIntv > 1000) // ~16.6 Mb of 16 kb windows
+    assert(idx.ref("22").isDefined && idx.ref("chr22").isDefined)
+    assert(idx.ref("1").isEmpty)
+
+    val idx2 = TabixIndex.read(fs, TabixIndex.sibling(new Path(titin)))
+    assert(idx2.refs.map(_.name) === Seq("2"))
+  }
+
+  test("a chrom absent from the index prunes the whole file") {
+    val df = spark.read.format("vcf").load(chr22).filter(col("chrom") === "1")
+    assert(partitions(df) === 0, "expected zero input partitions")
+    assert(df.count() === 0)
+  }
+
+  test("multi-file region query scans only the file holding the chrom") {
+    val both = spark.read.format("vcf").load(chr22, titin)
+    assert(partitions(both.filter(col("chrom") === "22")) === 1)
+    assert(partitions(both.filter(col("chrom") === "2")) === 1)
+    val n22 = spark.read.format("vcf").load(chr22).count()
+    assert(both.filter(col("chrom") === "22").count() === n22)
+  }
+
+  test("pos lower bound beyond the linear index prunes the file") {
+    val df = spark.read.format("vcf").load(chr22)
+      .filter(col("chrom") === "22" && col("pos") >= 100000000)
+    assert(partitions(df) === 0)
+    assert(df.count() === 0)
+  }
+
+  test("linear-index refined region start is lossless") {
+    // baseline through the plain reader (no pruning path at all)
+    val expected = VcfReader.read(spark, chr22)
+      .filter(col("chrom") === "22" && col("pos") >= 16500000)
+      .select(sum(col("pos")).as("s"), count(lit(1)).as("n")).head()
+    val pruned = spark.read.format("vcf").load(chr22)
+      .filter(col("chrom") === "22" && col("pos") >= 16500000)
+    assert(partitions(pruned) === 1)
+    val got = pruned.select(sum(col("pos")).as("s"), count(lit(1)).as("n")).head()
+    assert(got.getLong(1) === expected.getLong(1), "row count drifted under pruning")
+    assert(got.getLong(0) === expected.getLong(0), "pos checksum drifted under pruning")
+    // and the pruned scan starts mid-file: the partition's region is a
+    // strict subset of the file
+    val p = pruned.rdd.partitions // forces planInputPartitions again
+    assert(p.length === 1)
+  }
+
+  test("chrom equality with .tbi still returns every matching row") {
+    val full = VcfReader.read(spark, chr22).count()
+    val pruned = spark.read.format("vcf").load(chr22).filter(col("chrom") === "22")
+    assert(pruned.count() === full)
+  }
+}

@@ -45,6 +45,78 @@ class VcfReaderSpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(col("chrom") === "22").count() === n)
   }
 
+  test("cols= projects the fixed columns, reference-style names accepted") {
+    val df = VcfReader.read(spark, path,
+      cols = Some(Seq("#CHROM", "POS", "REF", "ALT")))
+    assert(df.columns.toSeq === Seq("chrom", "pos", "ref", "alt"))
+    assert(df.count() === 7)
+    // projection prunes the parse expressions of dropped columns
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("genotypes"), plan)
+  }
+
+  test("header INFO/FORMAT declarations parse with Number and Type") {
+    val m = VcfReader.metadata(spark, path)
+    val info = VcfReader.infoDecls(m).map(d => d.id -> d).toMap
+    assert(info("NS") === VcfReader.FieldDecl("NS", "1", "Integer"))
+    assert(info("AF") === VcfReader.FieldDecl("AF", "A", "Float"))
+    assert(info("VALIDATED") === VcfReader.FieldDecl("VALIDATED", "0", "Flag"))
+    val fmt = VcfReader.formatDecls(m).map(d => d.id -> d).toMap
+    assert(fmt("DP") === VcfReader.FieldDecl("DP", "1", "Integer"))
+    assert(fmt("AD") === VcfReader.FieldDecl("AD", "2", "Integer"))
+  }
+
+  test("withTypedInfo types columns from the declarations") {
+    val m = VcfReader.metadata(spark, path)
+    val df = VcfReader.withTypedInfo(
+      VcfReader.read(spark, path), VcfReader.infoDecls(m))
+    val rs4 = df.filter(col("pos") === 400).head()
+    assert(rs4.getAs[Long]("INFO_NS") === 2L)
+    assert(rs4.getAs[Boolean]("INFO_VALIDATED") === true)
+    assert(rs4.getSeq[java.lang.Double](rs4.fieldIndex("INFO_AF")) === Seq(0.5, 0.25))
+    val rs1 = df.filter(col("pos") === 100).head()
+    assert(rs1.getAs[Long]("INFO_DP") === 10L)
+    assert(rs1.getAs[Boolean]("INFO_VALIDATED") === false)
+    assert(rs1.isNullAt(rs1.fieldIndex("INFO_AF"))) // undeclared in row → null
+  }
+
+  test("withTypedFormat casts annotated FORMAT columns per declarations") {
+    import graft.operators.VariantAnnotator
+    val m = VcfReader.metadata(spark, path)
+    // header-declared FORMAT vocabulary replaces the discovery scan
+    val keys = VcfReader.formatDecls(m).map(_.id)
+    assert(keys.sorted === Seq("AD", "DP", "GT"))
+    val ann = VariantAnnotator.annotate(
+      VcfReader.read(spark, path),
+      VariantAnnotator.Options(dropHomRef = false, formatKeys = Some(keys)))
+    val typed = VcfReader.withTypedFormat(ann, VcfReader.formatDecls(m))
+    val row = typed.filter(col("pos") === 100 && col("sample_id") === "NA1").head()
+    assert(row.getAs[Long]("DP") === 12L)
+    assert(row.getSeq[java.lang.Long](row.fieldIndex("AD")) === Seq(3L, 9L))
+    // rows whose FORMAT lacks the key stay null, not failures (ANSI-safe)
+    val bare = typed.filter(col("pos") === 200 && col("sample_id") === "NA1").head()
+    assert(bare.isNullAt(bare.fieldIndex("DP")))
+  }
+
+  test("typed declarations parse on the reference's real 1000-genomes header") {
+    val real =
+      "/root/reference/test_data/ALL.chr22.phase3_shapeit2_mvncall_integrated_v4.20130502.genotypes_10k.vcf.gz"
+    val m = VcfReader.metadata(spark, real)
+    val info = VcfReader.infoDecls(m).map(d => d.id -> d).toMap
+    assert(info("AC") === VcfReader.FieldDecl("AC", "A", "Integer"))
+    assert(info("IMPRECISE").typ === "Flag")
+    assert(info("CIEND") === VcfReader.FieldDecl("CIEND", "2", "Integer"))
+    assert(VcfReader.formatDecls(m).map(_.id) === Seq("GT"))
+    // end to end on real data: AC/AF typed straight from the header
+    val two = m.samples.take(2)
+    val df = VcfReader.withTypedInfo(
+      VcfReader.read(spark, real, sampleIds = Some(two)).limit(50),
+      VcfReader.infoDecls(m).filter(d => Set("AC", "AF", "IMPRECISE")(d.id)))
+    val r = df.head()
+    assert(r.getSeq[java.lang.Long](r.fieldIndex("INFO_AC")).nonEmpty)
+    assert(r.getAs[Boolean]("INFO_IMPRECISE") === false)
+  }
+
   test("infoMap parses key=value pairs") {
     val df = VcfReader.read(spark, path).filter(col("pos") === 100)
       .select(VcfReader.infoMap(col("info")).as("m"))
