@@ -291,7 +291,7 @@ object LlmQueries extends QuerySet {
     * post-quality), and a final global aggregate rolls the funnel up.
     * No driver actions inside the builder — the round-2 version ran
     * three count() jobs, recomputing the union+dedup lineage thrice
-    * (3× the I/O at 100 TB). Q36SingleJobSpec pins the zero-action
+    * (3× the I/O at 100 TB). CorpusCleanSpec pins the zero-action
     * contract.
     */
   private val q36 = Q(
