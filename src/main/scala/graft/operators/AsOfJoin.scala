@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
 
 /** As-of join: for each left row, the single most recent right row with
   * matching key and right_time <= left_time.
@@ -47,4 +49,65 @@ object AsOfJoin {
         col("__best.__tb").as("asof_tiebreak")) ++
         payload.map { case (_, n) => col(s"__best.__p_$n").as(n) }: _*)
   }
+
+  /** Same contract as [[lastBefore]], sort-based: union both sides tagged,
+    * ONE shuffle on the key, then a running `last(right_value)` over
+    * (key, time, tag) order. The join+agg variant materializes every
+    * (left, earlier-right) pair before aggregating — O(left × history)
+    * rows through the join; this variant is O(left + right) rows through
+    * one sort, the scale-safe shape when right histories are long (the
+    * 100 TB case: years of orders per customer). Right rows sort before
+    * left rows at equal times (inclusive `<=`), and among tied right
+    * rows ascending struct order makes `last` pick exactly
+    * `max(struct(time, tiebreak, payload…))` — bit-identical to
+    * [[lastBefore]] (AsOfJoinSpec proves equivalence on random data).
+    */
+  def lastBeforeSorted(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      tiebreak: Column,
+      payload: Seq[(Column, String)] = Seq.empty): DataFrame = {
+    def dt(df: DataFrame, c: Column): DataType = df.select(c).schema.head.dataType
+    // union needs one exact type per slot; date/timestamp mixes widen to
+    // timestamp (what the join version's `<=` coercion does implicitly)
+    def widen(a: DataType, b: DataType): DataType =
+      if (a == b) a
+      else if (Set[DataType](DateType, TimestampType) == Set(a, b)) TimestampType
+      else throw new IllegalArgumentException(
+        s"asOf sorted variant needs union-compatible types, got $a vs $b")
+    val keyT = widen(dt(left, leftKey), dt(right, rightKey))
+    val timeT = widen(dt(left, leftTime), dt(right, rightTime))
+
+    val rv = struct(
+      rightTime.as("__rt") +: tiebreak.as("__tb") +:
+        payload.map { case (c, n) => c.as(s"__p_$n") }: _*)
+    // null-key/time rows can never match (SQL `<=`/`=` semantics); drop
+    // them up front so the null partition can't cross-match in the window
+    val l = left
+      .where(leftKey.isNotNull && leftTime.isNotNull)
+      .select(left.columns.map(col) ++ Seq(
+        leftKey.cast(keyT).as("__k"), leftTime.cast(timeT).as("__t"),
+        lit(1).as("__tag"), lit(null).cast(l_rvType(right, rv)).as("__rv")): _*)
+    val r = right
+      .where(rightKey.isNotNull && rightTime.isNotNull)
+      .select(left.schema.fields.map(f =>
+        lit(null).cast(f.dataType).as(f.name)) ++ Seq(
+        rightKey.cast(keyT).as("__k"), rightTime.cast(timeT).as("__t"),
+        lit(0).as("__tag"), rv.as("__rv")): _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__tag").asc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__best", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1 && col("__best").isNotNull)
+      .select(left.columns.map(col) ++ Seq(
+        col("__best.__rt").as("asof_time"),
+        col("__best.__tb").as("asof_tiebreak")) ++
+        payload.map { case (_, n) => col(s"__best.__p_$n").as(n) }: _*)
+  }
+
+  private def l_rvType(right: DataFrame, rv: Column): DataType =
+    right.select(rv).schema.head.dataType
 }

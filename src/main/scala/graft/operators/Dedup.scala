@@ -193,6 +193,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Train/eval decontamination: flag training docs sharing ≥ `minShared`
+    * distinct n-gram shingles with any eval doc (the benchmark-leakage
+    * check every training corpus needs before a run).
+    *
+    * Scale shape: the eval set is small (thousands of docs) next to a
+    * 100 TB training corpus, so its shingle table is BROADCAST — the
+    * train side never shuffles for the probe; the only exchange is the
+    * per-train-doc aggregation of matched rows, which is bounded by
+    * matches (rare), not corpus size. Boilerplate shingles ("all rights
+    * reserved") are capped by doc-frequency measured on the EVAL side —
+    * computable on the small side, so the cap costs nothing at scale and
+    * removes the false-contamination n-grams before the join.
+    */
+  def contaminationReport(
+      train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      n: Int, minShared: Int = 1,
+      maxEvalDocFreq: Option[Int] = None): DataFrame = {
+    val tr = shingleTable(train, idCol, textCol, n)
+    val evRaw = shingleTable(eval_, idCol, textCol, n)
+      .withColumnRenamed("id", "eval_id")
+    val ev = maxEvalDocFreq.fold(evRaw) { cap =>
+      evRaw.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__df") <= cap).drop("__df")
+    }
+    tr.join(broadcast(ev), "sh")
+      .groupBy(col("id").as("train_id"))
+      .agg(
+        countDistinct(col("sh")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_shared_shingles") >= minShared)
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (e.g. label,
     * LSH bucket): join on the block, cosine in-line, threshold filter.
     */

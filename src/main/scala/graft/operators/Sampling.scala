@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing: pick a per-stratum
+  * fraction of rows (domain/language mixing weights) with a hash gate
+  * instead of rand(), so the sample is reproducible run-to-run, stable
+  * under repartitioning, and identically computable by any engine — the
+  * properties a 100 TB data pipeline needs (rand() resamples on every
+  * retry/recompute of a task, silently changing the corpus).
+  *
+  * Execution shape: a narrow filter — no shuffle, no state; at scale it
+  * streams through the scan at I/O speed and composes with predicate
+  * pushdown on the stratum column.
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash → uniform bucket in [0, buckets).
+    * All intermediates < 2^63 for ids < ~3.4e9 (mod-reduce first for
+    * bigger id domains); exact integer arithmetic in any engine.
+    */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod((id % lit(1000000007L)) * lit(2654435761L), lit(buckets.toLong))
+
+  /** Keep a deterministic `rates(stratum)` fraction of each stratum
+    * (unlisted strata are dropped). Rates are in [0,1], resolved at
+    * 1/`buckets` granularity.
+    */
+  def stratified(
+      df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], buckets: Int = 1000): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), s"rates must be in [0,1]: $rates")
+    val threshold: Column = rates.foldLeft(lit(-1L)) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, lit(math.round(r * buckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), buckets) < threshold)
+  }
+}

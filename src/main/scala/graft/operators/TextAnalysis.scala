@@ -55,4 +55,27 @@ object TextAnalysis {
 
   /** Document fingerprint: rolling hash of the ASCII-canonicalized text. */
   def fingerprint(text: Column): Column = rollingHash(cleanAscii(text))
+
+  // ---- PII scrubbing ---------------------------------------------------
+  // Patterns stay in the RE2 ∩ java.util.regex dialect (no lookaround, no
+  // backrefs) so the DuckDB oracle applies the byte-identical regex.
+
+  /** Email addresses (pragmatic pattern, not RFC 5322). */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style phone numbers: 555-867-5309 / 555.867.5309. */
+  val PhoneRx = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRx))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRx))
+
+  /** Replace PII spans with typed placeholder tags. Order matters: emails
+    * first, so a digit-bearing local part can't be half-eaten by the
+    * phone pass. Narrow projection — no shuffle; at 100 TB this runs in
+    * the scan stage at I/O speed.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRx, "<EMAIL>"),
+      PhoneRx, "<PHONE>")
 }

@@ -142,6 +142,157 @@ object LlmQueries extends QuerySet {
       ORDER BY doc_id
     """))
 
+  /** PII scrub: emails/phones are PLANTED deterministically (doc_id %
+    * 7 == 0 gets one of each, value derived from the id) so redaction
+    * recall is observable; the gate checks counts per lang AND a rolling
+    * hash of every redacted text, proving byte-identical replacement.
+    */
+  private val q24 = {
+    val plantedSql =
+      """CASE WHEN doc_id % 7 = 0
+           THEN text || ' reach u' || CAST(doc_id AS VARCHAR) || '@ex.com or 555-'
+             || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+             || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+           ELSE text END"""
+    Q(
+      "q24_pii_redact",
+      (s, dir) => {
+        import TextAnalysis._
+        val planted = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" reach u"), col("doc_id").cast("string"),
+            lit("@ex.com or 555-"), (col("doc_id") % 900 + 100).cast("string"),
+            lit("-"), (col("doc_id") % 9000 + 1000).cast("string")))
+          .otherwise(col("text"))
+        t(s, dir, "documents")
+          .select(col("lang"), planted.as("t"))
+          .select(col("lang"), emailCount(col("t")).as("ne"),
+            phoneCount(col("t")).as("np"),
+            TextFunctions.rollingHash(redactPii(col("t"))).as("fp"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("ne") + col("np") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+            sum(col("ne")).as("n_emails"),
+            sum(col("np")).as("n_phones"),
+            sum(col("fp")).as("redacted_fp"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH p AS (SELECT lang, $plantedSql AS t FROM documents),
+        r AS (SELECT lang,
+                len(regexp_extract_all(t, '${TextAnalysis.EmailRx}')) AS ne,
+                len(regexp_extract_all(t, '${TextAnalysis.PhoneRx}')) AS np,
+                regexp_replace(regexp_replace(t, '${TextAnalysis.EmailRx}', '<EMAIL>', 'g'),
+                  '${TextAnalysis.PhoneRx}', '<PHONE>', 'g') AS red
+              FROM p)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+          CAST(sum(ne) AS BIGINT) AS n_emails,
+          CAST(sum(np) AS BIGINT) AS n_phones,
+          CAST(sum(${rollSql("red")}) AS BIGINT) AS redacted_fp
+        FROM r GROUP BY lang ORDER BY lang
+      """))
+  }
+
+  /** Train/eval decontamination: eval = doc_id % 50 == 0; train = the
+    * rest PLUS perturbed eval copies (id + 2e6, ' zz yy xx' tail) so
+    * leakage is present and its detection observable. Gate = per-train-doc
+    * shared-shingle report (Dedup.contaminationReport — broadcast eval,
+    * train side never shuffles).
+    */
+  private val q25 = Q(
+    "q25_decontaminate",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val ev = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id"), col("text"))
+      val train = d.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .unionAll(ev.select((col("id") + 2000000L).as("id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")))
+      graft.operators.Dedup.contaminationReport(
+          train, ev, "id", "text", n = 3, minShared = 3)
+        .orderBy("train_id")
+    },
+    Some(s"""
+      WITH ev AS (SELECT doc_id AS id,
+              lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) AS text
+            FROM documents WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id AS id,
+              lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) AS text
+            FROM documents WHERE doc_id % 50 <> 0
+            UNION ALL
+            SELECT id + 2000000, text || ' zz yy xx' FROM ev),
+      trt AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM tr
+              WHERE length(trim(text)) > 0),
+      trs AS (SELECT DISTINCT id, x FROM (
+                SELECT id, ${rollSql("s")} AS x FROM (
+                  SELECT id, unnest(list_transform(range(1, CAST(len(w) AS INT) - 1),
+                    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS s
+                  FROM trt) a) b),
+      evt AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM ev
+              WHERE length(trim(text)) > 0),
+      evs AS (SELECT DISTINCT id AS eval_id, x FROM (
+                SELECT id, ${rollSql("s")} AS x FROM (
+                  SELECT id, unnest(list_transform(range(1, CAST(len(w) AS INT) - 1),
+                    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS s
+                  FROM evt) a) b)
+      SELECT t.id AS train_id,
+        count(DISTINCT t.x) AS n_shared_shingles,
+        count(DISTINCT e.eval_id) AS n_eval_docs
+      FROM trs t JOIN evs e ON t.x = e.x
+      GROUP BY t.id HAVING count(DISTINCT t.x) >= 3
+      ORDER BY train_id
+    """))
+
+  /** Deterministic stratified sampling (domain-mixing weights): keep
+    * 50% en / 25% de / 10% zh via the hash gate; es/fr dropped. The
+    * id-sum per stratum pins exact membership, not just counts.
+    */
+  private val q26 = Q(
+    "q26_stratified_sample",
+    (s, dir) =>
+      graft.operators.Sampling.stratified(
+          t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM documents
+      WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
+        CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE -1 END
+      GROUP BY lang ORDER BY lang
+    """))
+
+  /** Corpus-wide top-20 bigrams by document frequency — the boilerplate
+    * mining pass that feeds dedup's maxDocFreq caps. One shuffle
+    * (partial-aggregated map-side); top-k is per-partition take + driver
+    * merge, no global sort.
+    */
+  private val q27 = Q(
+    "q27_top_ngrams",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(array_distinct(
+          wordNgrams(wsTokens(lower(cleanAscii(col("text")))), 2))).as("ngram"))
+        .groupBy("ngram")
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram"))
+        .limit(20),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+              string_split_regex(trim(lower(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0),
+      ng AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, CAST(len(w) AS INT)),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS ngram
+            FROM toks)
+      SELECT ngram, count(*) AS df FROM ng
+      GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20
+    """))
+
   // ---- dedup ----------------------------------------------------------
 
   private val q30 = Q(
@@ -503,5 +654,6 @@ object LlmQueries extends QuerySet {
   }
 
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q30, q31, q32, q33, q34, q35, q36, q40, q41, q42)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27,
+      q30, q31, q32, q33, q34, q35, q36, q40, q41, q42)
 }

@@ -53,6 +53,44 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out.select("px").collect().map(_.getDouble(0)).toSeq === Seq(100.0, 100.0))
   }
 
+  test("lastBeforeSorted ≡ lastBefore on random data (dups, ties, no-match, nulls)") {
+    val rnd = new scala.util.Random(42)
+    // small key/time domains force collisions: duplicate left rows, tied
+    // right times, keys with no history, null keys/times
+    def key() = if (rnd.nextInt(20) == 0) null else s"k${rnd.nextInt(8)}"
+    def t() = if (rnd.nextInt(25) == 0) null
+      else ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:00:00")
+    val left = Seq.fill(300)((key(), t(), rnd.nextInt(5).toLong))
+      .toDF("k", "lt", "attr")
+    val right = Seq.fill(200)((key(), t(), rnd.nextInt(10).toLong, rnd.nextInt(3) * 1.5))
+      .toDF("k", "rt", "tb", "px")
+
+    def run(f: AsOfJoin.type => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        Seq[(org.apache.spark.sql.Column, String)]) => org.apache.spark.sql.DataFrame) =
+      f(AsOfJoin)(left, right, col("k"), col("k"), col("lt"), col("rt"),
+        col("tb"), Seq((col("px"), "px")))
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+    val a = run(_.lastBefore)
+    val b = run(_.lastBeforeSorted)
+    assert(a === b) // same multiset of rows, multiplicities included
+  }
+
+  test("lastBeforeSorted widens date vs timestamp and plans one exchange") {
+    val left = Seq(("A", ts("2024-03-02 00:00:00"), "x")).toDF("k", "lt", "id")
+    val right = Seq(("A", java.sql.Date.valueOf("2024-03-01"), 1L, 9.0))
+      .toDF("k", "rd", "tb", "px")
+    val out = AsOfJoin.lastBeforeSorted(
+      left, right, col("k"), col("k"), col("lt"), col("rd"),
+      tiebreak = col("tb"), payload = Seq((col("px"), "px")))
+    assert(out.select("px").head().getDouble(0) === 9.0)
+    val exchanges = out.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, "sorted as-of must shuffle exactly once")
+  }
+
   test("time ties break on the tiebreak column, deterministically") {
     val right = Seq(
       (1, ts("2024-01-01 10:00:00"), 7L, "low"),

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 4000L).map(i =>
+    (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
+    .toDF("id", "lang")
+
+  test("stratified keeps ~rate per stratum and drops unlisted strata") {
+    val out = Sampling.stratified(corpus, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.2))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 1000 docs per listed stratum; hash gate is uniform so expect
+    // rate ± a few percent
+    assert(byLang("en") > 420 && byLang("en") < 580, s"en=${byLang.get("en")}")
+    assert(byLang("de") > 140 && byLang("de") < 260, s"de=${byLang.get("de")}")
+    assert(!byLang.contains("fr"), "unlisted stratum must be dropped")
+  }
+
+  test("sample is deterministic and stable under repartitioning") {
+    val rates = Map("en" -> 0.3, "de" -> 0.7)
+    val a = Sampling.stratified(corpus, "lang", "id", rates)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.stratified(corpus.repartition(13), "lang", "id", rates)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b, "rand()-free gate must not depend on partitioning")
+  }
+
+  test("rate 1.0 keeps everything, 0.0 keeps nothing") {
+    val out = Sampling.stratified(corpus, "lang", "id",
+      Map("en" -> 1.0, "de" -> 0.0))
+    assert(out.filter(col("lang") === "en").count() === 1000)
+    assert(out.filter(col("lang") === "de").count() === 0)
+  }
+
+  test("out-of-range rates are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.stratified(corpus, "lang", "id", Map("en" -> 1.5))
+    }
+  }
+
+  test("sampling is a narrow plan — no exchange") {
+    val out = Sampling.stratified(corpus, "lang", "id", Map("en" -> 0.5))
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"stratified sampling must not shuffle:\n$plan")
+  }
+}

@@ -54,6 +54,30 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(m("a").length === MinhashA.size)
   }
 
+  test("redactPii replaces emails and phones with typed tags") {
+    import graft.operators.TextAnalysis._
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "call 555-867-5309 or 555.123.4567",
+      "user42@ex.com then 555-100-2000",
+      "no pii here").toDF("t")
+      .select(col("t"), redactPii(col("t")).as("r"),
+        emailCount(col("t")).as("ne"), phoneCount(col("t")).as("np"))
+    val rows = df.collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(rows(0) === ("mail me at <EMAIL> today", 1, 0))
+    assert(rows(1) === ("call <PHONE> or <PHONE>", 0, 2))
+    assert(rows(2) === ("<EMAIL> then <PHONE>", 1, 1))
+    assert(rows(3) === ("no pii here", 0, 0))
+  }
+
+  test("redaction order: digit-bearing email local parts survive the phone pass") {
+    import graft.operators.TextAnalysis._
+    // 555-867-5309@ex.com is an email; phone regex must not half-eat it
+    val r = Seq("send to 555-867-5309@ex.com now").toDF("t")
+      .select(redactPii(col("t"))).as[String].head()
+    assert(r === "send to <EMAIL> now")
+  }
+
   test("simhash: near-dup texts land at small hamming distance") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = base + " extra1 extra2"
