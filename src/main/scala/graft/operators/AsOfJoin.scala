@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
 
 /** As-of join: for each left row, the single most recent right row with
   * matching key and right_time <= left_time.
@@ -69,11 +69,13 @@ object AsOfJoin {
       tiebreak: Column,
       payload: Seq[(Column, String)] = Seq.empty): DataFrame = {
     def dt(df: DataFrame, c: Column): DataType = df.select(c).schema.head.dataType
-    // union needs one exact type per slot; date/timestamp mixes widen to
-    // timestamp (what the join version's `<=` coercion does implicitly)
+    // union needs one exact type per slot; date/timestamp/timestamp_ntz
+    // mixes widen to timestamp (what the join version's `<=` coercion
+    // does implicitly, interpreting NTZ wall-clock in the session TZ)
+    val temporal = Set[DataType](DateType, TimestampType, TimestampNTZType)
     def widen(a: DataType, b: DataType): DataType =
       if (a == b) a
-      else if (Set[DataType](DateType, TimestampType) == Set(a, b)) TimestampType
+      else if (temporal(a) && temporal(b)) TimestampType
       else throw new IllegalArgumentException(
         s"asOf sorted variant needs union-compatible types, got $a vs $b")
     val keyT = widen(dt(left, leftKey), dt(right, rightKey))

@@ -244,7 +244,10 @@ object Relational extends QuerySet {
       val ev = events(s, dir)
         .withColumn("uk", col("user_id") % 1500 + 1)
         .select("event_id", "uk", "ts")
-      AsOfJoin.lastBefore(
+      // sorted variant: 2.3× faster here than join+agg (ProfileAsOf at
+      // sf0.1) and O(left+right) through one sort vs O(left × history)
+      // pair fanout — the margin grows with history length
+      AsOfJoin.lastBeforeSorted(
         ev, t(s, dir, "orders"),
         leftKey = col("uk"), rightKey = col("o_custkey"),
         leftTime = col("ts"), rightTime = col("o_orderdate"),
