@@ -193,6 +193,67 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected near-dup pair list:
+    * (id_a, id_b) → (id, comp), comp = min node id of the component.
+    * The step near-dup pipelines need between "pairs found" and "corpus
+    * deduplicated": transitive closure groups a↔b↔c into one cluster so
+    * exactly one representative survives.
+    *
+    * Iterative min-label propagation (the GraphX shape without the
+    * dependency): each round every node adopts the min label in its
+    * neighborhood; converges in O(max component diameter) rounds —
+    * near-dup clusters are shallow stars around a template doc, so
+    * usually ≤5. Each round is one shuffle over the (id, comp) table
+    * (never the corpus), lineage truncated per round via localCheckpoint
+    * so the plan stays constant-size. The per-round convergence count is
+    * a driver action by design: the standard fixed-point pattern for
+    * iterative graph algorithms on Spark.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("src"), col("comp")), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("__nc"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "__prev"), "id")
+        .filter(col("comp") < col("__prev")).count()
+      labels = next
+      done = changed == 0
+      i += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter rounds " +
+      "(component diameter exceeds maxIter); raise maxIter")
+    labels
+  }
+
+  /** One representative per near-dup cluster: docs joined to their
+    * component (docs not in any pair keep themselves), representative =
+    * min id within the cluster. The join is on the doc id — broadcast
+    * when the pair graph is small relative to the corpus (the common
+    * case), one hash-shuffle otherwise.
+    */
+  def representatives(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("comp"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("comp"), col(idCol))).drop("comp")
+      .withColumn("is_rep",
+        col(idCol) === min(col(idCol)).over(Window.partitionBy(col("cluster"))))
+  }
+
   /** Train/eval decontamination: flag training docs sharing ≥ `minShared`
     * distinct n-gram shingles with any eval doc (the benchmark-leakage
     * check every training corpus needs before a run).

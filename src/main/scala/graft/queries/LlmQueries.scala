@@ -338,7 +338,10 @@ object LlmQueries extends QuerySet {
       FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
     """))
 
-  private val q32 = {
+  /** DuckDB CTE chain `mh → bands → cand`: minhash-LSH candidate pairs
+    * over `shx` (shared by q32 and q38's clustering oracle).
+    */
+  private val mhCandSql = {
     val bands = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
       s"${cols.mkString(" || '_' || ")} AS b$b"
@@ -347,19 +350,50 @@ object LlmQueries extends QuerySet {
       s"min((x * ${MinhashA(j)} + ${MinhashB(j)}) % 1000000007) AS m$j")
     val unions = (0 until 4).map(b =>
       s"SELECT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b ON a.id < b.id AND a.b$b = b.b$b")
-    Q(
-      "q32_minhash_lsh",
-      (s, dir) =>
-        Dedup.minhashLshPairs(docs2(s, dir), "id", "text", n = 3, bands = 4)
-          .orderBy("id_a", "id_b"),
-      Some(s"""
-        WITH $docs2Sql, $shxSql,
-        mh AS (SELECT id, ${mins.mkString(", ")} FROM shx GROUP BY id),
+    s"""mh AS (SELECT id, ${mins.mkString(", ")} FROM shx GROUP BY id),
         bands AS (SELECT id, ${bands.mkString(", ")} FROM mh),
-        cand AS (${unions.mkString(" UNION ")})
-        SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
-      """))
+        cand AS (${unions.mkString(" UNION ")})"""
   }
+
+  private val q32 = Q(
+    "q32_minhash_lsh",
+    (s, dir) =>
+      Dedup.minhashLshPairs(docs2(s, dir), "id", "text", n = 3, bands = 4)
+        .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH $docs2Sql, $shxSql, $mhCandSql
+      SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
+    """))
+
+  /** Near-dup clustering: minhash-LSH pairs → connected components →
+    * per-cluster summary. Closes the dedup loop: transitive a↔b↔c
+    * groups become ONE cluster (one survivor), which pair lists alone
+    * can't express. Oracle = recursive reachability in DuckDB (min
+    * reachable id ≡ the min-label fixed point).
+    */
+  private val q38 = Q(
+    "q38_dedup_cluster",
+    (s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs2(s, dir), "id", "text", n = 3, bands = 4)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("comp").as("cluster"))
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_sum"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH RECURSIVE $docs2Sql, $shxSql, $mhCandSql,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      SELECT comp AS cluster, count(*) AS n_members,
+        CAST(sum(id) AS BIGINT) AS id_sum
+      FROM cc GROUP BY comp ORDER BY cluster
+    """))
 
   /** DuckDB twin of Dedup.simhashTable's 64-bit construction: bits 0-29
     * from the rolling hash, 30-59 / 60-63 from two affine rehashes mod
@@ -655,5 +689,5 @@ object LlmQueries extends QuerySet {
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-      q30, q31, q32, q33, q34, q35, q36, q40, q41, q42)
+      q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42)
 }

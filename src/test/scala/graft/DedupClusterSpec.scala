@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupClusterSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("transitive chain collapses to one component with min-id label") {
+    // path graph 1-2-3-4-5 plus separate pair 10-11: diameter forces
+    // several propagation rounds
+    val m = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("pair order does not matter (undirected)") {
+    val m = comps(Seq((5L, 4L), (3L, 4L), (2L, 3L)))
+    assert(m.values.toSet === Set(2L))
+  }
+
+  test("representatives keeps min id per cluster and singletons themselves") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "lonely"))
+      .toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.representatives(docs, "id", pairs)
+      .select("id", "cluster", "is_rep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
+  }
+
+  test("maxIter too small for the diameter fails loudly instead of silently") {
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 2)
+    }
+  }
+}
