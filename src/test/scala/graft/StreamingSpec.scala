@@ -66,4 +66,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // 40-min event arrives past the 30-min gap
     assert(closed.contains((1L, 3L, 7.0)))
   }
+
+  test("streaming ingest-clean: dedup + quality + PII agree with the batch twin") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val docs = Seq(
+      Doc(ts(0), 1L, "alpha beta gamma delta epsilon with jane@ex.com inside"),
+      Doc(ts(1), 2L, "alpha beta gamma delta epsilon with jane@ex.com inside"), // dup of 1
+      Doc(ts(2), 3L, "short text"),                                             // fails quality
+      Doc(ts(3), 4L, "call 555-867-5309 for five more words today"),
+      Doc(ts(4), 5L, "a wholly distinct document with enough tokens"))
+    val streamed = DocStreams.runBoundedClean(spark, docs)
+      .select("digest", "text").as[(String, String)].collect().toSet
+    val batch = DocStreams.ingestCleanBatch(docs.toDF())
+      .select("digest", "text").as[(String, String)].collect().toSet
+    // same surviving digests with identically redacted text
+    assert(streamed === batch)
+    assert(streamed.size === 3)
+    val texts = streamed.map(_._2)
+    assert(texts.exists(_.contains("<EMAIL>")))
+    assert(texts.exists(_.contains("<PHONE>")))
+    assert(!texts.exists(t => t.contains("@ex.com") || t.contains("555-")))
+  }
 }
