@@ -72,9 +72,46 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val d = aggregate(
-        zip_with(vec, array(p.map(lit): _*), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      // same strict left-to-right fold as the old aggregate(zip_with(…))
+      // form, but codegen'd (HOFs are CodegenFallback; this was the last
+      // interpreted fold in the ANN path)
+      val d = dot(vec, array(p.map(lit): _*))
       when(d > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** One Lloyd (k-means) iteration — how IVF centroids are actually
+    * learned before [[ivfAssign]] serves queries: assign every vector to
+    * its nearest centroid, re-estimate each centroid as the per-cell
+    * per-dimension mean. Emitted long-form (cell, dim, n, c): the shape
+    * that aggregates distributedly with ONE shuffle (groupBy cell+dim
+    * after a narrow posexplode) and no array rebuild on the hot path.
+    *
+    * Determinism at scale: per-dim values are projected to decimal(18,6)
+    * BEFORE summing (exact decimal addition — aggregation order can't
+    * flip bits), and the mean is one IEEE divide of the rounded sum —
+    * the same avg6 contract the relational oracles use, so the result is
+    * bit-identical on any partitioning and in DuckDB.
+    */
+  def kmeansStep(
+      vecs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
+    import graft.queries.QueryUtil.{avg6, dec}
+    ivfAssign(vecs, centroids, idCol, vecCol, centIdCol, centVecCol)
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col("cell"), (col("__p") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__x"))).as("__s"))
+      .select(col("cell"), col("dim"), col("n"),
+        avg6(col("__s"), col("n")).as("c"))
+  }
+
+  /** Widen a [[kmeansStep]] result back to (cid, cv) centroid vectors —
+    * the feedback edge of the training loop. Small output (k rows); the
+    * sort-by-dim array rebuild happens per cell, off the hot path.
+    */
+  def kmeansCentroids(step: DataFrame): DataFrame =
+    step.groupBy(col("cell").as("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s("c")).as("cv"))
 }

@@ -638,12 +638,26 @@ object LlmQueries extends QuerySet {
     * own cell. The coarse-quantizer shape of a production ANN index,
     * fully oracle-checked.
     */
-  private val q42 = {
+  /** DuckDB CTE chain `e → cent → asg`: IVF cell assignment (nearest
+    * centroid by L2, cid tiebreak) — shared by q42 and q43.
+    */
+  private val ivfAsgSql = {
     def l2Sql(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(range(1, 65),
               i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))),
             (x, y) -> x + y)"""
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 100 AND 107),
+        asg AS (SELECT vec_id, v, cid AS cell FROM (
+                  SELECT e.vec_id, e.v, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${l2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+                  FROM e CROSS JOIN cent c) x WHERE rn = 1)"""
+  }
+
+  private val q42 = {
     Q(
       "q42_ivf_ann",
       (s, dir) => {
@@ -667,14 +681,7 @@ object LlmQueries extends QuerySet {
           .orderBy("probe_id", "rnk")
       },
       Some(s"""
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings),
-        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 100 AND 107),
-        asg AS (SELECT vec_id, v, cid AS cell FROM (
-                  SELECT e.vec_id, e.v, c.cid,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY ${l2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
-                  FROM e CROSS JOIN cent c) x WHERE rn = 1),
+        WITH $ivfAsgSql,
         pr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                  ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.v", "p.v")})) AS cosine
                FROM asg c JOIN (SELECT * FROM asg WHERE vec_id < 5) p USING (cell)
@@ -687,7 +694,34 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** One Lloyd iteration of IVF centroid training (Similarity.kmeansStep):
+    * long-form per-(cell, dim) means with decimal-exact sums so the
+    * result is bit-deterministic under any partitioning.
+    */
+  private val q43 = Q(
+    "q43_kmeans_step",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cents = e.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      Similarity.kmeansStep(e, cents)
+        .select(col("cell"), col("dim"), col("n"), micro(col("c")).as("c_micro"))
+        .orderBy("cell", "dim")
+    },
+    Some(s"""
+      WITH $ivfAsgSql,
+      grid AS (SELECT unnest(range(1, 65)) AS dim),
+      lf AS (SELECT cell, CAST(dim AS INT) AS dim,
+               CAST(v[CAST(dim AS INT)] AS DECIMAL(18,6)) AS x
+             FROM asg CROSS JOIN grid)
+      SELECT cell, dim, count(*) AS n,
+        ${microSql(avg6Sql("sum(x)", "count(*)"))} AS c_micro
+      FROM lf GROUP BY cell, dim ORDER BY cell, dim
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-      q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42)
+      q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42, q43)
 }

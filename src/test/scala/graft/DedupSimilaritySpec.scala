@@ -133,6 +133,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((4L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("kmeansStep moves centroids to cluster means; feedback loop stabilizes") {
+    // two tight clusters around (1,0) and (0,1); seed centroids offset
+    val vecs = Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(1.1, -0.1)), (3L, Seq(1.0, 0.0)),
+      (4L, Seq(0.1, 0.9)), (5L, Seq(-0.1, 1.1)), (6L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "v")
+    val seeds = Seq((100L, Seq(0.8, 0.2)), (101L, Seq(0.2, 0.8)))
+      .toDF("cid", "cv")
+    val step = Similarity.kmeansStep(vecs, seeds)
+    val got = step.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // cell 100 ← vecs 1-3: mean dim1 = 1.0, dim2 = 0.0 (3 members)
+    assert(got((100L, 1)) === ((3L, 1.0)))
+    assert(got((100L, 2)) === ((3L, 0.0)))
+    assert(math.abs(got((101L, 1))._2 - 0.0) < 1e-9)
+    assert(math.abs(got((101L, 2))._2 - 1.0) < 1e-9)
+
+    // feed the learned centroids back: assignment must be unchanged
+    val learned = Similarity.kmeansCentroids(step)
+    val assign2 = Similarity.ivfAssign(vecs, learned)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(assign2 === Map(1L -> 100L, 2L -> 100L, 3L -> 100L,
+      4L -> 101L, 5L -> 101L, 6L -> 101L))
+  }
+
   test("lshBucket is deterministic and separates opposite vectors") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val df = Seq((1L, Seq(5.0, 3.0)), (2L, Seq(-5.0, -3.0)), (3L, Seq(5.1, 2.9)))
