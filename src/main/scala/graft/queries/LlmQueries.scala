@@ -293,6 +293,40 @@ object LlmQueries extends QuerySet {
       GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20
     """))
 
+  /** Exact per-stratum length quantiles (p50/p90/p99, discrete): corpus
+    * length profiling for filter-threshold tuning. percentile_disc
+    * semantics implemented with ONE sort-shuffle per stratum (window
+    * rank + conditional aggregate) — exact and type-preserving, unlike
+    * interpolating percentile() whose float arithmetic is engine-
+    * specific. At scale the stratum count bounds parallelism here;
+    * for global quantiles over 100 TB the move is quantile sketches —
+    * this operator is the exact per-group profile.
+    */
+  private val q28 = Q(
+    "q28_length_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      val cw = Window.partitionBy("lang")
+      def pick(p: Double) =
+        max(when(col("rn") === ceil(col("n") * p), col("n_chars")))
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS p50,
+        percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS p90,
+        percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS p99
+      FROM documents GROUP BY lang ORDER BY lang
+    """))
+
   // ---- dedup ----------------------------------------------------------
 
   private val q30 = Q(
@@ -722,6 +756,6 @@ object LlmQueries extends QuerySet {
     """))
 
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27,
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
       q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42, q43)
 }
