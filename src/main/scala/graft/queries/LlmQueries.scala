@@ -206,10 +206,14 @@ object LlmQueries extends QuerySet {
       val d = t(s, dir, "documents")
       val ev = d.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("id"), col("text"))
+      // tiny single-split scan + heavy shingling → fan out FIRST so the
+      // hash work uses every core (same as docs2; bench showed the
+      // unfanned version running 1-threaded: wall ≈ exec ≈ 8.5 s)
       val train = d.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id").as("id"), col("text"))
         .unionAll(ev.select((col("id") + 2000000L).as("id"),
           concat(col("text"), lit(" zz yy xx")).as("text")))
+        .repartition(s.sparkContext.defaultParallelism)
       graft.operators.Dedup.contaminationReport(
           train, ev, "id", "text", n = 3, minShared = 3)
         .orderBy("train_id")
@@ -274,7 +278,10 @@ object LlmQueries extends QuerySet {
   private val q27 = Q(
     "q27_top_ngrams",
     (s, dir) =>
+      // fan out the single-split scan before the ngram explode (1-threaded
+      // otherwise: bench wall ≈ exec ≈ 6 s)
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(array_distinct(
           wordNgrams(wsTokens(lower(cleanAscii(col("text")))), 2))).as("ngram"))
         .groupBy("ngram")

@@ -330,6 +330,41 @@ object Relational extends QuerySet {
       FROM events GROUP BY event_type ORDER BY event_type
     """))
 
+  /** Skew-salted join as an oracle-gated query (was spec-only): events
+    * fan onto 100 hot keys, the right side (per-key order aggregates) is
+    * replicated across 8 salt buckets so each hot key spreads over 8
+    * reducers. The aggregate result is salt-invariant — each left row
+    * joins exactly the one replica matching its salt — so the oracle is
+    * the plain unsalted join.
+    */
+  private val q52 = Q(
+    "q52_salted_join",
+    (s, dir) => {
+      import graft.operators.SkewJoin
+      val ev = events(s, dir)
+        .select(col("event_type"), (col("user_id") % 100 + 1).as("uk"))
+      val ord = t(s, dir, "orders")
+        .groupBy((col("o_custkey") % 100 + 1).as("uk"))
+        .agg(sum(dec(col("o_totalprice"))).as("tot"), count(lit(1)).as("n_ord"))
+      SkewJoin.saltedJoin(ev, ord, "uk", "uk", buckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), money(sum(col("tot"))).as("sum_tot"),
+          sum(col("n_ord")).as("n_ord_sum"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_type, user_id % 100 + 1 AS uk FROM events),
+      ord AS (SELECT o_custkey % 100 + 1 AS uk,
+                sum(CAST(o_totalprice AS DECIMAL(18,6))) AS tot,
+                count(*) AS n_ord
+              FROM orders GROUP BY 1)
+      SELECT event_type, count(*) AS n,
+        ${moneySql("sum(tot)")} AS sum_tot,
+        CAST(sum(n_ord) AS BIGINT) AS n_ord_sum
+      FROM ev JOIN ord USING (uk)
+      GROUP BY event_type ORDER BY event_type
+    """))
+
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51, q52)
 }
