@@ -625,54 +625,111 @@ object LlmQueries extends QuerySet {
     * bucket. Plane values come from one integer formula so both engines
     * build bit-identical planes: plane[p][i] = ((p*7+i*13)%17 - 8)/8.
     */
-  private val q41 = {
-    val nPlanes = 6
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map(p =>
-      (0 until 64).map(i => ((p * 7 + i * 13) % 17 - 8) / 8.0))
-    // DuckDB: bucket = Σ_p (dot(v, plane_p) > 0 ? 2^p : 0), dot as an
-    // ordered fold to match Spark's aggregate()
+  private val LshPlanes: Seq[Seq[Double]] = (0 until 6).map(p =>
+    (0 until 64).map(i => ((p * 7 + i * 13) % 17 - 8) / 8.0))
+
+  /** Spark side of the LSH-ANN search: bucket everything, probe only
+    * within the bucket, top-k by cosine with id tiebreak. Shared by q41
+    * and the q44 recall evaluation.
+    */
+  private def lshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings").select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), LshPlanes))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    e.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", Similarity.cosine(col("v"), col("pv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("cand_id"), col("rnk"), col("cosine"))
+  }
+
+  /** DuckDB CTE chain `e → eb → lpr → lrk`: LSH-bucketed top-k ranking
+    * (bucket = Σ_p (dot(v, plane_p) > 0 ? 2^p : 0), dot as an ordered
+    * fold to match Spark). Shared by q41 and q44.
+    */
+  private val lshRankSql = {
     def planeDotSql(p: Int): String =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(range(1, 65),
               i -> v[CAST(i AS INT)] * (CAST((($p * 7 + (CAST(i AS INT) - 1) * 13) % 17) - 8 AS DOUBLE) / 8.0))),
             (x, y) -> x + y)"""
-    val bucketSql = (0 until nPlanes).map(p =>
+    val bucketSql = (0 until 6).map(p =>
       s"CASE WHEN ${planeDotSql(p)} > 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
-    Q(
-      "q41_lsh_ann",
-      (s, dir) => {
-        val e = t(s, dir, "embeddings").select(
-          col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-          .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
-        val probes = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
-        e.join(broadcast(probes), "bucket")
-          .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("cosine", Similarity.cosine(col("v"), col("pv")))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .select(col("probe_id"), col("vec_id").as("cand_id"), col("rnk"),
-            micro(col("cosine")).as("cos_micro"))
-          .orderBy("probe_id", "rnk")
-      },
-      Some(s"""
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings),
-        eb AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
-        pr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+    s"""eb AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+        lpr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                  ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.v", "p.v")})) AS cosine
                FROM eb c JOIN (SELECT * FROM eb WHERE vec_id < 5) p USING (bucket)
                WHERE c.vec_id <> p.vec_id),
-        rk AS (SELECT probe_id, cand_id, cosine,
+        lrk AS (SELECT probe_id, cand_id, cosine,
                  row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
-               FROM pr)
-        SELECT probe_id, cand_id, rnk, ${microSql("cosine")} AS cos_micro
-        FROM rk WHERE rnk <= 5 ORDER BY probe_id, rnk
-      """))
+               FROM lpr)"""
   }
+
+  private val q41 = Q(
+    "q41_lsh_ann",
+    (s, dir) =>
+      lshTopK(s, dir, 5)
+        .select(col("probe_id"), col("cand_id"), col("rnk"),
+          micro(col("cosine")).as("cos_micro"))
+        .orderBy("probe_id", "rnk"),
+    Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      $lshRankSql
+      SELECT probe_id, cand_id, rnk, ${microSql("cosine")} AS cos_micro
+      FROM lrk WHERE rnk <= 5 ORDER BY probe_id, rnk
+    """))
+
+  /** ANN quality evaluation: recall@5 of the LSH index against the
+    * brute-force ground truth, per probe — the metric that decides
+    * whether a bucketing scheme is shippable. Both sides reuse the
+    * gate-checked search paths; matching is an equi-join on
+    * (probe, candidate).
+    */
+  private val q44 = Q(
+    "q44_ann_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val brute = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 5)
+        .select(col("probe_id"), col("cand_id"))
+      val lsh = lshTopK(s, dir, 5).select(col("probe_id"), col("cand_id"))
+      val matches = brute.join(lsh, Seq("probe_id", "cand_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+      brute.select("probe_id").distinct()
+        .join(matches, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          micro(coalesce(col("n_match"), lit(0L)) / 5.0).as("recall_micro"))
+        .orderBy("probe_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      bpr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.v", "p.v")})) AS cosine
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) p
+             WHERE c.vec_id <> p.vec_id),
+      brk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+             FROM bpr),
+      b5 AS (SELECT probe_id, cand_id FROM brk WHERE rnk <= 5),
+      $lshRankSql,
+      l5 AS (SELECT probe_id, cand_id FROM lrk WHERE rnk <= 5),
+      mc AS (SELECT probe_id, count(*) AS n_match
+             FROM (SELECT * FROM b5 INTERSECT SELECT * FROM l5) i GROUP BY probe_id)
+      SELECT p.probe_id,
+        CAST(COALESCE(mc.n_match, 0) AS BIGINT) AS n_match,
+        ${microSql("COALESCE(mc.n_match, 0) / 5.0")} AS recall_micro
+      FROM (SELECT DISTINCT probe_id FROM b5) p LEFT JOIN mc USING (probe_id)
+      ORDER BY probe_id
+    """))
 
   /** IVF ANN (nprobe=1): 8 fixed centroids (vec_id 100..107), every
     * vector assigned to its nearest cell by L2, probes scan only their
@@ -764,5 +821,5 @@ object LlmQueries extends QuerySet {
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42, q43)
+      q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42, q43, q44)
 }
