@@ -671,6 +671,35 @@ object LlmQueries extends QuerySet {
                FROM lpr)"""
   }
 
+  /** Multi-probe LSH top-k: each probe also scans the buckets at
+    * Hamming distance 1 from its own (one sign-bit flip per plane) —
+    * 7 buckets instead of 1. The standard recall lever when the
+    * single-bucket index is too coarse (q44 measures it at 0-40% here):
+    * candidates near a hyperplane land across the boundary, and the
+    * flip probes recover them. Cost: probe side fans out 7× (still
+    * broadcast); the corpus is still scanned once, narrowly.
+    */
+  private def lshTopKMultiProbe(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val flips: Seq[Long] = 0L +: (0 until LshPlanes.size).map(p => 1L << p)
+    val e = t(s, dir, "embeddings").select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), LshPlanes))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    // buckets partition the corpus, so a candidate appears under at most
+    // one probed bucket — no dedup needed before ranking
+    e.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", Similarity.cosine(col("v"), col("pv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("cand_id"), col("rnk"), col("cosine"))
+  }
+
   private val q41 = Q(
     "q41_lsh_ann",
     (s, dir) =>
@@ -724,6 +753,59 @@ object LlmQueries extends QuerySet {
       l5 AS (SELECT probe_id, cand_id FROM lrk WHERE rnk <= 5),
       mc AS (SELECT probe_id, count(*) AS n_match
              FROM (SELECT * FROM b5 INTERSECT SELECT * FROM l5) i GROUP BY probe_id)
+      SELECT p.probe_id,
+        CAST(COALESCE(mc.n_match, 0) AS BIGINT) AS n_match,
+        ${microSql("COALESCE(mc.n_match, 0) / 5.0")} AS recall_micro
+      FROM (SELECT DISTINCT probe_id FROM b5) p LEFT JOIN mc USING (probe_id)
+      ORDER BY probe_id
+    """))
+
+  /** Multi-probe LSH recall@5: q44's metric re-measured with Hamming-1
+    * bucket probing — the tuning move q44's low recall calls for,
+    * verified to help by the same ground-truth comparison.
+    */
+  private val q45 = Q(
+    "q45_multiprobe_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val brute = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 5)
+        .select(col("probe_id"), col("cand_id"))
+      val multi = lshTopKMultiProbe(s, dir, 5).select(col("probe_id"), col("cand_id"))
+      val matches = brute.join(multi, Seq("probe_id", "cand_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+      brute.select("probe_id").distinct()
+        .join(matches, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          micro(coalesce(col("n_match"), lit(0L)) / 5.0).as("recall_micro"))
+        .orderBy("probe_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      bpr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.v", "p.v")})) AS cosine
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) p
+             WHERE c.vec_id <> p.vec_id),
+      brk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+             FROM bpr),
+      b5 AS (SELECT probe_id, cand_id FROM brk WHERE rnk <= 5),
+      $lshRankSql,
+      flips AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f),
+      mpr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.v", "p.v")})) AS cosine
+             FROM (SELECT * FROM eb WHERE vec_id < 5) p
+             CROSS JOIN flips
+             JOIN eb c ON c.bucket = xor(p.bucket, flips.f)
+             WHERE c.vec_id <> p.vec_id),
+      mrk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+             FROM mpr),
+      m5 AS (SELECT probe_id, cand_id FROM mrk WHERE rnk <= 5),
+      mc AS (SELECT probe_id, count(*) AS n_match
+             FROM (SELECT * FROM b5 INTERSECT SELECT * FROM m5) i GROUP BY probe_id)
       SELECT p.probe_id,
         CAST(COALESCE(mc.n_match, 0) AS BIGINT) AS n_match,
         ${microSql("COALESCE(mc.n_match, 0) / 5.0")} AS recall_micro
@@ -821,5 +903,5 @@ object LlmQueries extends QuerySet {
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42, q43, q44)
+      q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42, q43, q44, q45)
 }
