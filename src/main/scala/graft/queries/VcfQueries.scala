@@ -187,5 +187,97 @@ object VcfQueries extends QuerySet {
       FROM v ORDER BY k
     """))
 
-  val all: Seq[Q] = Seq(q10, q11, q12, q13, q14, q15, q16, q17)
+  /** Transition/transversion ratio per chrom — the first-line VCF QC
+    * metric (a callset far from Ts/Tv ≈ 2 is suspect). Site-level over
+    * single-base substitutions; multi-allelic ALTs explode to one row
+    * per alt allele. Narrow pipeline + one tiny-key aggregation.
+    */
+  private val q60 = Q(
+    "q60_tstv",
+    (s, dir) => {
+      val isTs =
+        (col("ref") === "A" && col("a") === "G") ||
+        (col("ref") === "G" && col("a") === "A") ||
+        (col("ref") === "C" && col("a") === "T") ||
+        (col("ref") === "T" && col("a") === "C")
+      wide(s, dir)
+        .filter(col("alt") =!= ".")
+        .select(col("chrom"), col("ref"), explode(split(col("alt"), ",")).as("a"))
+        .filter(length(col("ref")) === 1 && length(col("a")) === 1 &&
+          col("ref") =!= col("a"))
+        .select(col("chrom"), when(isTs, 1L).otherwise(0L).as("ts"))
+        .groupBy("chrom")
+        .agg(sum(col("ts")).as("n_ts"), sum(lit(1L) - col("ts")).as("n_tv"))
+        .select(col("chrom"), col("n_ts"), col("n_tv"),
+          when(col("n_tv") > 0,
+            micro(col("n_ts").cast("double") / col("n_tv"))).as("tstv_micro"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      sa AS (SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom, ref,
+               unnest(string_split(alt, ',')) AS a
+             FROM v WHERE alt <> '.'),
+      t AS (SELECT chrom,
+              CASE WHEN (ref = 'A' AND a = 'G') OR (ref = 'G' AND a = 'A')
+                     OR (ref = 'C' AND a = 'T') OR (ref = 'T' AND a = 'C')
+                   THEN 1 ELSE 0 END AS ts
+            FROM sa WHERE length(ref) = 1 AND length(a) = 1 AND ref <> a)
+      SELECT chrom, CAST(sum(ts) AS BIGINT) AS n_ts,
+        CAST(sum(1 - ts) AS BIGINT) AS n_tv,
+        CASE WHEN sum(1 - ts) > 0
+             THEN ${microSql("CAST(sum(ts) AS DOUBLE) / sum(1 - ts)")}
+             ELSE NULL END AS tstv_micro
+      FROM t GROUP BY chrom ORDER BY chrom
+    """))
+
+  /** Site-frequency spectrum: allele count / allele number per site
+    * (AC/AN over non-missing calls), sites histogrammed into 10 AF bins.
+    * The popgen summary every callset QC runs; binning uses integer
+    * floor-division so the bin edge arithmetic is engine-exact. Two
+    * shuffles: per-site aggregation (high-cardinality uniform key) then
+    * the 10-key histogram (map-side combined to nothing).
+    */
+  private val q61 = Q(
+    "q61_af_spectrum",
+    (s, dir) => {
+      val called = wide(s, dir)
+        .filter(col("alt") =!= ".")
+        .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+          explode(col("genotypes")).as(Seq("sample_id", "call")))
+        .withColumn("gt", element_at(split(col("call"), ":"), 1))
+        .filter(!isMissingCall(col("gt")))
+        .withColumn("a1", alleleBase(col("ref"), col("alt"), gt1(col("gt"))))
+        .withColumn("a2", alleleBase(col("ref"), col("alt"), gt2(col("gt"))))
+      def called1(a: org.apache.spark.sql.Column) = when(a =!= ".", 1L).otherwise(0L)
+      def alt1(a: org.apache.spark.sql.Column) =
+        when(a =!= "." && a =!= col("ref"), 1L).otherwise(0L)
+      called
+        .groupBy("chrom", "pos", "ref", "alt")
+        .agg(
+          sum(called1(col("a1")) + called1(col("a2"))).as("an"),
+          sum(alt1(col("a1")) + alt1(col("a2"))).as("ac"))
+        .filter(col("an") > 0)
+        .withColumn("bin", least(expr("ac * 10 div an"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_sites"), sum(col("ac")).as("sum_ac"),
+          sum(col("an")).as("sum_an"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes,
+      site AS (SELECT chrom, pos, ref, alt,
+                 CAST(SUM((CASE WHEN a1 <> '.' THEN 1 ELSE 0 END)
+                   + (CASE WHEN a2 <> '.' THEN 1 ELSE 0 END)) AS BIGINT) AS an,
+                 CAST(SUM((CASE WHEN a1 <> '.' AND a1 <> ref THEN 1 ELSE 0 END)
+                   + (CASE WHEN a2 <> '.' AND a2 <> ref THEN 1 ELSE 0 END)) AS BIGINT) AS ac
+               FROM ann GROUP BY chrom, pos, ref, alt),
+      b AS (SELECT least((ac * 10) // an, 9) AS bin, ac, an
+            FROM site WHERE an > 0)
+      SELECT bin, count(*) AS n_sites, CAST(sum(ac) AS BIGINT) AS sum_ac,
+        CAST(sum(an) AS BIGINT) AS sum_an
+      FROM b GROUP BY bin ORDER BY bin
+    """))
+
+  val all: Seq[Q] = Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61)
 }
