@@ -41,11 +41,12 @@ object Bench {
         execMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
     })
 
-    // optional local-iteration filter, e.g. SPARK_GRAFT_BENCH_ONLY=q14,q15
+    // optional local-iteration filter, prefix-matched so both
+    // SPARK_GRAFT_BENCH_ONLY=q14,q15 and full names select queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val samples = (1 to runs).map { _ =>

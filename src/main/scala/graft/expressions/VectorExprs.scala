@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native codegen kernels for the ANN hot path (dot / squared-L2 /
   * cosine over embedding arrays).
@@ -38,30 +39,41 @@ object VectorExprs {
   // null element) so codegen can set isNull — one small box per row is
   // noise next to the interpreted-fold alternative.
 
-  def dotK(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
+  /** Element accessor by type code: 0=double 1=float 2=long 3=int —
+    * integral embeddings (quantized int8/int32 stored as int/long) widen
+    * per element exactly like the old HOF form's cast did.
+    */
+  @inline private def elem(a: ArrayData, i: Int, code: Int): Double = code match {
+    case 0 => a.getDouble(i)
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getLong(i).toDouble
+    case _ => a.getInt(i).toDouble
+  }
+
+  def dotK(a: ArrayData, b: ArrayData, af: Int, bf: Int): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = elem(a, i, af)
+      val y = elem(b, i, bf)
       s += x * y
       i += 1
     }
     java.lang.Double.valueOf(s)
   }
 
-  def l2sqK(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
+  def l2sqK(a: ArrayData, b: ArrayData, af: Int, bf: Int): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = elem(a, i, af)
+      val y = elem(b, i, bf)
       val d = x - y
       s += d * d
       i += 1
@@ -72,7 +84,7 @@ object VectorExprs {
   /** Fused cosine: ab / (sqrt(aa) * sqrt(bb)), each sum its own strict
     * left-to-right accumulator — bit-identical to three separate folds.
     */
-  def cosineK(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
+  def cosineK(a: ArrayData, b: ArrayData, af: Int, bf: Int): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var ab = 0.0
@@ -81,8 +93,8 @@ object VectorExprs {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = elem(a, i, af)
+      val y = elem(b, i, bf)
       ab += x * y
       aa += x * x
       bb += y * y
@@ -92,8 +104,11 @@ object VectorExprs {
   }
 }
 
-/** Shared shape of the three vector kernels: array<float|double> ×2 →
-  * double, nullable (length mismatch / null element → NULL).
+/** Shared shape of the three vector kernels: array of any numeric
+  * fixed-width element (double/float/long/int — ints cover quantized
+  * embeddings) ×2 → double, nullable (length mismatch / null element →
+  * NULL). Unsupported element types fail at ANALYSIS time via
+  * checkInputDataTypes, not mid-job.
   */
 abstract class VectorBinaryExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -102,23 +117,37 @@ abstract class VectorBinaryExpr extends BinaryExpression {
   /** Kernel name in [[VectorExprs]]. */
   protected def kernel: String
 
-  protected def call(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double
+  protected def call(a: ArrayData, b: ArrayData, af: Int, bf: Int): java.lang.Double
 
-  /** Whether a child's elements are FloatType (resolved by eval time). */
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
+  /** Element-type code for the kernels (resolved by eval time). */
+  private def elemCode(e: Expression): Int = e.dataType match {
+    case ArrayType(DoubleType, _) => 0
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case ArrayType(IntegerType, _) => 3
     case other => throw new IllegalArgumentException(
-      s"$prettyName expects array<float>/array<double> inputs, got $other")
+      s"$prettyName expects array<double|float|long|int> inputs, got $other")
   }
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType | FloatType | LongType | IntegerType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (supported(left.dataType) && supported(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double|float|long|int> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     call(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+      elemCode(left), elemCode(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val af = isFloat(left)
-    val bf = isFloat(right)
+    val af = elemCode(left)
+    val bf = elemCode(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("vecRes")
       s"""
@@ -132,7 +161,7 @@ abstract class VectorBinaryExpr extends BinaryExpression {
 case class DotExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
   override def prettyName: String = "vec_dot"
   override protected def kernel: String = "dotK"
-  override protected def call(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double =
+  override protected def call(a: ArrayData, b: ArrayData, af: Int, bf: Int): java.lang.Double =
     VectorExprs.dotK(a, b, af, bf)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
     copy(left = l, right = r)
@@ -141,7 +170,7 @@ case class DotExpr(left: Expression, right: Expression) extends VectorBinaryExpr
 case class L2SqExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
   override def prettyName: String = "vec_l2sq"
   override protected def kernel: String = "l2sqK"
-  override protected def call(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double =
+  override protected def call(a: ArrayData, b: ArrayData, af: Int, bf: Int): java.lang.Double =
     VectorExprs.l2sqK(a, b, af, bf)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqExpr =
     copy(left = l, right = r)
@@ -150,7 +179,7 @@ case class L2SqExpr(left: Expression, right: Expression) extends VectorBinaryExp
 case class CosineExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
   override def prettyName: String = "vec_cosine"
   override protected def kernel: String = "cosineK"
-  override protected def call(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double =
+  override protected def call(a: ArrayData, b: ArrayData, af: Int, bf: Int): java.lang.Double =
     VectorExprs.cosineK(a, b, af, bf)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
     copy(left = l, right = r)

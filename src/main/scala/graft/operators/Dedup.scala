@@ -229,6 +229,10 @@ object Dedup {
       val changed = next
         .join(labels.withColumnRenamed("comp", "__prev"), "id")
         .filter(col("comp") < col("__prev")).count()
+      // the previous round's checkpoint blocks are released by Spark's
+      // ContextCleaner once this reassignment drops the last reference
+      // (localCheckpoint persists RDD-side; Dataset.unpersist can't reach
+      // it) — storage holds at most ~2 rounds of the label table
       labels = next
       done = changed == 0
       i += 1

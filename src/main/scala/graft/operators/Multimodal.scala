@@ -103,7 +103,7 @@ object Multimodal {
       // narrow pipeline (the round-2 version self-joined media on
       // media_id, shuffling the byte column both ways)
       .select(col("media_id"), col("bytes"),
-        posexplode(transform(sequence(lit(0), lit(n - 1)), i => i))
+        posexplode(sequence(lit(0), lit(n - 1)))
           .as(Seq("frame_idx", "i")))
       .select(
         col("media_id"), col("frame_idx"),

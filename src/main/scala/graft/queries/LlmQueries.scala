@@ -265,7 +265,7 @@ object LlmQueries extends QuerySet {
     Some("""
       SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
       FROM documents
-      WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
+      WHERE ((((doc_id % 1000000007) * 2654435761) % 1000) + 1000) % 1000 <
         CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE -1 END
       GROUP BY lang ORDER BY lang
     """))
@@ -628,17 +628,24 @@ object LlmQueries extends QuerySet {
   private val LshPlanes: Seq[Seq[Double]] = (0 until 6).map(p =>
     (0 until 64).map(i => ((p * 7 + i * 13) % 17 - 8) / 8.0))
 
-  /** Spark side of the LSH-ANN search: bucket everything, probe only
-    * within the bucket, top-k by cosine with id tiebreak. Shared by q41
-    * and the q44 recall evaluation.
+  /** Spark side of the LSH-ANN search: bucket everything, each probe
+    * scans the buckets at `bucket XOR flip` for every flip (flip 0 = its
+    * own bucket; one-bit flips = Hamming-1 multi-probe), top-k by cosine
+    * with id tiebreak. Single-probe q41 and multi-probe q45 are the same
+    * builder with different flip sets — they can't drift apart.
+    * Buckets partition the corpus and flips are distinct, so a candidate
+    * appears under at most one probed bucket: no dedup before ranking.
     */
-  private def lshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private def lshTopK(
+      s: SparkSession, dir: String, k: Int,
+      flips: Seq[Long] = Seq(0L)): DataFrame = {
     val e = t(s, dir, "embeddings").select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("bucket", Similarity.lshBucket(col("v"), LshPlanes))
     val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
     e.join(broadcast(probes), "bucket")
@@ -671,34 +678,13 @@ object LlmQueries extends QuerySet {
                FROM lpr)"""
   }
 
-  /** Multi-probe LSH top-k: each probe also scans the buckets at
-    * Hamming distance 1 from its own (one sign-bit flip per plane) —
-    * 7 buckets instead of 1. The standard recall lever when the
-    * single-bucket index is too coarse (q44 measures it at 0-40% here):
-    * candidates near a hyperplane land across the boundary, and the
-    * flip probes recover them. Cost: probe side fans out 7× (still
-    * broadcast); the corpus is still scanned once, narrowly.
+  /** Hamming-1 multi-probe flip set: own bucket + one sign-bit flip per
+    * plane (7 buckets/probe) — the recall lever q44's measurement calls
+    * for; probe side fans out 7× but stays broadcast, the corpus is
+    * still scanned once, narrowly.
     */
-  private def lshTopKMultiProbe(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val flips: Seq[Long] = 0L +: (0 until LshPlanes.size).map(p => 1L << p)
-    val e = t(s, dir, "embeddings").select(
-      col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), LshPlanes))
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    // buckets partition the corpus, so a candidate appears under at most
-    // one probed bucket — no dedup needed before ranking
-    e.join(broadcast(probes), "bucket")
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", Similarity.cosine(col("v"), col("pv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("vec_id").as("cand_id"), col("rnk"), col("cosine"))
-  }
+  private val MultiProbeFlips: Seq[Long] =
+    0L +: (0 until LshPlanes.size).map(p => 1L << p)
 
   private val q41 = Q(
     "q41_lsh_ann",
@@ -771,7 +757,8 @@ object LlmQueries extends QuerySet {
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val brute = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 5)
         .select(col("probe_id"), col("cand_id"))
-      val multi = lshTopKMultiProbe(s, dir, 5).select(col("probe_id"), col("cand_id"))
+      val multi = lshTopK(s, dir, 5, MultiProbeFlips)
+        .select(col("probe_id"), col("cand_id"))
       val matches = brute.join(multi, Seq("probe_id", "cand_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
       brute.select("probe_id").distinct()

@@ -83,7 +83,8 @@ object VcfReader {
       .filter(!col("value").startsWith("#"))
     val parsed = parseLines(lines, meta.columns, samples)
     val projected = cols.fold(parsed) { cs =>
-      parsed.select(cs.map(c => col(c.stripPrefix("#").toLowerCase)): _*)
+      parsed.select(cs.map(c =>
+        col(c.stripPrefix("#").toLowerCase(java.util.Locale.ROOT))): _*)
     }
     if (dedupe) projected.dropDuplicates() else projected
   }

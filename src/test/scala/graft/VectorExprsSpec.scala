@@ -59,6 +59,26 @@ class VectorExprsSpec extends AnyFunSuite with SparkSpec {
     assert(line.trim.matches("""^\+?-?\s*\*\(\d+\).*"""), plan)
   }
 
+  test("integral element arrays (quantized embeddings) widen per element") {
+    val df = Seq((Seq(1, 2, 3), Seq(4L, 5L, 6L))).toDF("ia", "la")
+    val r = df.select(
+      Similarity.dot(col("ia"), col("la")).as("d"),
+      Similarity.l2sq(col("ia"), col("la")).as("l"),
+      Similarity.cosine(col("ia"), col("ia")).as("c")).head()
+    assert(r.getDouble(0) === 32.0) // 4 + 10 + 18
+    assert(r.getDouble(1) === 27.0) // 9 + 9 + 9
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("unsupported element types fail at analysis time, not mid-job") {
+    val df = Seq((Seq("a"), Seq("b"))).toDF("x", "y")
+    val e = intercept[Exception] {
+      df.select(Similarity.dot(col("x"), col("y"))).collect()
+    }
+    assert(e.getMessage.contains("vec_dot") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
+  }
+
   test("lshBucket on the native dot matches the round-2 HOF buckets") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val df = Seq((1L, Seq(5.0, 3.0)), (2L, Seq(-5.0, -3.0)), (3L, Seq(0.1, -9.0)))
