@@ -49,20 +49,33 @@ object Similarity {
   def l2sq(a: Column, b: Column): Column = graft.expressions.VectorExprs.l2sq(a, b)
 
   /** IVF cell assignment: nearest centroid (L2, centroid-id tiebreak)
-    * per vector. Centroids broadcast; one narrow pass over the corpus —
-    * the coarse quantizer of an IVF index. Search = assign the probe,
-    * scan only its cell (`nprobe=1`; widen by taking top-n cells).
+    * per vector — the coarse quantizer of an IVF index. Search = assign
+    * the probe, scan only its cell (`nprobe=1`; widen by taking top-n
+    * cells).
+    *
+    * The centroid set is collected to the driver (it is small by
+    * definition — the same rows a join would broadcast) and the argmin
+    * becomes ONE narrow projection: `least` over per-centroid
+    * (distance, cid) structs, lexicographic struct order giving the
+    * L2-then-cid tiebreak. Zero shuffle, fully codegen. The previous
+    * cross-join + row_number-window formulation hash-shuffled the ENTIRE
+    * corpus on the vector id just to reduce k rows back to one — a full
+    * 100 TB exchange the plan gate now forbids.
     */
   def ivfAssign(
       vecs: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "v",
       centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("__d").asc, col(centIdCol).asc)
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("__d", l2sq(col(vecCol), col(centVecCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
+    val cents = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign needs at least one centroid")
+    val best = cents.map { case (cid, cv) =>
+      struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cid"))
+    }.reduceLeft((a, b) => least(a, b))
+    vecs.select(col(idCol), col(vecCol), best.getField("cid").as("cell"))
   }
 
   /** Scale path: random-hyperplane LSH bucket id (sign bits of `planes`

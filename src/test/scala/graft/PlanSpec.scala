@@ -67,6 +67,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(vartypeLine.trim.matches("""^\+?-?\s*\*\(\d+\).*"""), wsc)
   }
 
+  test("q43 kmeans assign is a narrow projection: no join, no corpus shuffle") {
+    val p = planOf("q43_kmeans_step")
+    // centroids are inlined as literals into one least(struct…) argmin
+    // projection — no join operator at all, and the only exchanges are
+    // the (cell, dim) aggregation and the tiny ordered output. The
+    // cross-join + window formulation this replaced shuffled the whole
+    // corpus on vec_id.
+    assert(!p.contains("Join"), s"assign must not join:\n$p")
+    assert(!p.contains("Window"), s"assign must not window:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"assign must be narrow:\n$p")
+  }
+
+  test("q26 stratified sample stays narrow: only agg + output exchanges") {
+    val p = planOf("q26_stratified_sample")
+    // the hash-gate filter itself is narrow; the plan's only exchanges
+    // are the groupBy aggregation and the ordered tiny output
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"sampling filter must not add a shuffle:\n$p")
+  }
+
   test("q40 brute-force top-k broadcasts the probe side") {
     val p = planOf("q40_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
