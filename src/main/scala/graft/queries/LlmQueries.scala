@@ -334,6 +334,36 @@ object LlmQueries extends QuerySet {
       FROM documents GROUP BY lang ORDER BY lang
     """))
 
+  /** Sequence packing into 2048-token context windows, sharded by lang
+    * (Packing.packByBudget): per-pack doc counts and token totals. The
+    * deterministic running-sum assignment makes the pack layout itself
+    * oracle-checkable.
+    */
+  private val q29 = Q(
+    "q29_seq_packing",
+    (s, dir) =>
+      graft.operators.Packing.packByBudget(
+          t(s, dir, "documents").select(col("lang"), col("doc_id"), col("text")),
+          "lang", "doc_id", tokenCount(col("text")).cast("long"), capacity = 2048L)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "pack_id"),
+    Some("""
+      WITH dt AS (SELECT lang, doc_id,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+            FROM documents),
+      cb AS (SELECT lang, doc_id, n_tok,
+              COALESCE(CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+            FROM dt)
+      SELECT lang, cum_before // 2048 AS pack_id, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM cb GROUP BY lang, cum_before // 2048 ORDER BY lang, pack_id
+    """))
+
   // ---- dedup ----------------------------------------------------------
 
   private val q30 = Q(
@@ -889,6 +919,6 @@ object LlmQueries extends QuerySet {
     """))
 
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28,
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
       q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42, q43, q44, q45)
 }
