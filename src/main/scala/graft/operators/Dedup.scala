@@ -244,18 +244,25 @@ object Dedup {
 
   /** One representative per near-dup cluster: docs joined to their
     * component (docs not in any pair keep themselves), representative =
-    * min id within the cluster. The join is on the doc id — broadcast
-    * when the pair graph is small relative to the corpus (the common
-    * case), one hash-shuffle otherwise.
+    * min id within the cluster — which for min-label components is the
+    * cluster label itself, so no per-cluster aggregation over the corpus
+    * is needed at all. The only corpus-side op is the left join against
+    * the component table, which is bounded by the PAIRED docs (small
+    * next to the corpus → broadcast); singletons are their own cluster
+    * and representative. A window partitioned by cluster here would
+    * sort-shuffle the entire corpus for information the label already
+    * carries.
     */
   def representatives(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comp = connectedComponents(pairs)
       .select(col("id").as(idCol), col("comp"))
+    // join strategy left to AQE: comp is usually broadcast-small, but a
+    // heavily-duplicated corpus can make it arbitrarily large — forcing
+    // broadcast here would OOM exactly when dedup matters most
     docs.join(comp, Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("comp"), col(idCol))).drop("comp")
-      .withColumn("is_rep",
-        col(idCol) === min(col(idCol)).over(Window.partitionBy(col("cluster"))))
+      .withColumn("is_rep", col(idCol) === col("cluster"))
   }
 
   /** Train/eval decontamination: flag training docs sharing ≥ `minShared`
