@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{RollingHashExpr, VartypeExpr}
+import graft.expressions.{CosineExpr, DotExpr, L2SqExpr, RollingHashExpr, VartypeExpr}
 
 /** SparkSessionExtensions injector: registers graft's native expressions
   * as SQL functions, so pure-SQL users get them too:
@@ -37,6 +37,24 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "rolling_hash(str) takes 1 argument")
         RollingHashExpr(children.head)
+      }),
+    ("vec_dot",
+      new ExpressionInfo(classOf[DotExpr].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot(a, b) takes 2 arguments")
+        DotExpr(children.head, children(1))
+      }),
+    ("vec_l2sq",
+      new ExpressionInfo(classOf[L2SqExpr].getName, "vec_l2sq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_l2sq(a, b) takes 2 arguments")
+        L2SqExpr(children.head, children(1))
+      }),
+    ("vec_cosine",
+      new ExpressionInfo(classOf[CosineExpr].getName, "vec_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_cosine(a, b) takes 2 arguments")
+        CosineExpr(children.head, children(1))
       }))
 
   /** Register on an already-running session (extensions only take effect

@@ -26,6 +26,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(agg === Seq(("ins", 1L), ("mnp", 1L), ("ref", 1L), ("snp", 1L)))
   }
 
+  test("SQL users get the vector kernels too (vec_dot/l2sq/cosine)") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_l2sq(a, b) AS l, vec_cosine(a, a) AS c
+         FROM VALUES (array(1.0D, 2.0D), array(3.0D, 4.0D)) AS t(a, b)""").head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 8.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("unstackBySample pivots the long frame back to wide (notebook parity)") {
     val ann = VariantAnnotator.annotate(
       VcfReader.read(spark, VcfFixture.write().toString),
