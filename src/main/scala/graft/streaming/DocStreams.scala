@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.tokenCount
@@ -59,6 +59,78 @@ object DocStreams {
       .start()
     q.awaitTermination()
     spark.table("graft_clean_test")
+  }
+
+  /** Per-doc 32-bit simhash + its 4×8-bit LSH bands — the stateless
+    * front half of streaming near-dup detection.
+    */
+  private def withSimBands(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    docs
+      .withColumn("sim", simhash32(
+        transform(wsTokens(lower(cleanAscii(col("text")))), t => rollingHash(t))))
+      .select(col("*"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sim"), b * 8).bitwiseAND(0xff)
+            .cast("int").as("key"))): _*))
+        .as("bk"))
+      .select(col("ts"), col("doc_id"), col("sim"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Per-bucket running state: recent (doc_id, simhash) pairs, newest
+    * last, capped. Public for the encoder's generated accessors.
+    */
+  final case class BandState(entries: List[(Long, Long)])
+
+  /** One near-dup flag: `doc_id` matched `matched_id` in bucket
+    * (band, key) at hamming ≤ k.
+    */
+  final case class NearDupFlag(doc_id: Long, matched_id: Long, band: Int, hamming: Int)
+
+  /** Streaming near-dup detection: simhash each arriving doc, route it
+    * to its 4 LSH buckets, and compare only against the recent hashes
+    * HELD IN THAT BUCKET's state — the streaming twin of
+    * Dedup.simhashNearDupPairs' band join. Two docs within hamming ≤ 3
+    * of a 32-bit hash share at least one 8-bit band (pigeonhole), so
+    * bucket-local comparison finds them without any all-pairs work.
+    *
+    * State is per (band, key) — 1024 buckets spread across executors —
+    * and CAPPED at `maxPerBand` recent entries (oldest evicted): the
+    * stream layer flags near-in-time duplicates; corpus-wide dedup
+    * stays in the batch layer. A doc appears in 4 buckets, so downstream
+    * consumers OR the flags per doc_id (one tiny batch aggregate, see
+    * the spec).
+    */
+  def nearDupFlags(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      maxPerBand: Int = 64,
+      watermark: String = "1 hour"): Dataset[NearDupFlag] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    withSimBands(docs)
+      .withWatermark("ts", watermark)
+      .as[(Timestamp, Long, Long, Int, Int)]
+      .groupByKey { case (_, _, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[BandState, NearDupFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: (Int, Int), rows: Iterator[(Timestamp, Long, Long, Int, Int)],
+         state: GroupState[BandState]) =>
+          val sorted = rows.toSeq.sortBy { case (ts, id, _, _, _) => (ts.getTime, id) }
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+          val flags = Seq.newBuilder[NearDupFlag]
+          sorted.foreach { case (_, id, sim, band, _) =>
+            entries.reverseIterator
+              .map { case (mid, msim) =>
+                (mid, java.lang.Long.bitCount(sim ^ msim)) }
+              .find(_._2 <= maxHamming)
+              .foreach { case (mid, h) => flags += NearDupFlag(id, mid, band, h) }
+            entries = (entries :+ (id, sim)).takeRight(maxPerBand)
+          }
+          state.update(BandState(entries))
+          flags.result().iterator
+      }
   }
 
   /** Batch twin of [[ingestClean]] (keep the earliest copy per digest). */

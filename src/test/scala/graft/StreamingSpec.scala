@@ -88,4 +88,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(texts.exists(_.contains("<PHONE>")))
     assert(!texts.exists(t => t.contains("@ex.com") || t.contains("555-")))
   }
+
+  test("streaming near-dup flags: banded simhash state catches the late copy") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      Doc(ts(0), 1L, base),
+      Doc(ts(1), 2L, base + " extra1 extra2"),         // near-dup of 1, later
+      Doc(ts(2), 3L, (100 to 140).map(i => s"other$i").mkString(" ")), // distinct
+      Doc(ts(3), 4L, base))                            // exact dup of 1
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(docs)
+    val q = DocStreams.nearDupFlags(mem.toDF())
+      .writeStream.format("memory").queryName("graft_neardup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // OR the per-bucket flags per doc (the documented downstream step)
+    val flagged = spark.table("graft_neardup_test")
+      .groupBy("doc_id").agg(min("matched_id").as("m"))
+      .as[(Long, Long)].collect().toMap
+    // 2 and 4 are flagged; the match target is whichever near-dup the
+    // newest-first state probe hit (1 or 2) — both are true duplicates
+    assert(flagged.keySet === Set(2L, 4L), s"got $flagged")
+    assert(flagged(2L) === 1L)
+    assert(Set(1L, 2L).contains(flagged(4L)), s"got $flagged")
+    assert(!flagged.contains(3L))
+  }
 }
