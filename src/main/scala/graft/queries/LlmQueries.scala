@@ -334,6 +334,47 @@ object LlmQueries extends QuerySet {
       FROM documents GROUP BY lang ORDER BY lang
     """))
 
+  /** Top-5 distinctive terms per lang: term frequency weighted by
+    * cross-stratum rarity (tf × (n_strata − df)) — TF-IDF's shape with
+    * integer arithmetic instead of ln(), so the score is engine-exact.
+    * Shuffle budget: token explode → (lang, term) count, a vocab-sized
+    * df aggregate joined back, one window over per-lang vocab for the
+    * top-k. The boilerplate/contamination cousin of q27.
+    */
+  private val q37 = Q(
+    "q37_distinctive_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"),
+          explode(wsTokens(lower(cleanAscii(col("text"))))).as("term"))
+      val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nLangs = lit(5L)
+      val w = Window.partitionBy("lang")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df_, "term")
+        .withColumn("score", col("tf") * (nLangs - col("df")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy("lang", "rnk")
+    },
+    Some("""
+      WITH tok AS (SELECT lang,
+              unnest(string_split_regex(trim(lower(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))), '\s+')) AS term
+            FROM documents WHERE length(trim(text)) > 0),
+      tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (SELECT lang, term, tf, df, tf * (5 - df) AS score,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY tf * (5 - df) DESC, term) AS rnk
+             FROM tf JOIN df USING (term))
+      SELECT lang, rnk, term, tf, df, score
+      FROM sc WHERE rnk <= 5 ORDER BY lang, rnk
+    """))
+
   /** Sequence packing into 2048-token context windows, sharded by lang
     * (Packing.packByBudget): per-pack doc counts and token totals. The
     * deterministic running-sum assignment makes the pack layout itself
@@ -919,6 +960,6 @@ object LlmQueries extends QuerySet {
     """))
 
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37,
       q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42, q43, q44, q45)
 }
