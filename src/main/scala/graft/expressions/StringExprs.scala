@@ -24,6 +24,10 @@ object StringExprs {
   def rollingHash(s: Column): Column =
     Bridge.column(RollingHashExpr(Bridge.expression(s)))
 
+  /** One-pass 32-bit simhash over an array<long> of token hashes. */
+  def simhash32(tokenHashes: Column): Column =
+    Bridge.column(Simhash32Expr(Bridge.expression(tokenHashes)))
+
   val HashMod = 1000000007L
 
   // ---- shared scalar kernels (called from generated code) -------------

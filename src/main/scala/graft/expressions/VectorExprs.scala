@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -102,6 +102,31 @@ object VectorExprs {
     }
     java.lang.Double.valueOf(ab / (math.sqrt(aa) * math.sqrt(bb)))
   }
+
+  /** One-pass 32-bit simhash kernel over long token hashes. */
+  def simhash32K(a: ArrayData): Long = {
+    val n = a.numElements()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val h = a.getLong(i)
+        var b = 0
+        while (b < 32) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }
 
 /** Shared shape of the three vector kernels: array of any numeric
@@ -183,4 +208,27 @@ case class CosineExpr(left: Expression, right: Expression) extends VectorBinaryE
     VectorExprs.cosineK(a, b, af, bf)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
     copy(left = l, right = r)
+}
+
+/** 32-bit SimHash over an array of token hashes: bit b of the result is
+  * set when the per-bit ±1 majority vote over elements is positive — one
+  * pass with 32 counters, codegen'd. Replaces the HOF formulation
+  * (32 interpreted aggregate() folds per row: the streaming near-dup
+  * path's dominant cost, and the same CodegenFallback lesson as dot).
+  * NULL elements are skipped (vote 0), matching the HOF's null-addition
+  * semantics closely enough for fingerprinting; a NULL array → NULL.
+  */
+case class Simhash32Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExprs.simhash32K(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.VectorExprs.simhash32K($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
+    copy(child = newChild)
 }

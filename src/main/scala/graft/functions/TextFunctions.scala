@@ -81,14 +81,12 @@ object TextFunctions {
     }: _*)
 
   /** 32-bit SimHash over token hashes: bit b of the result is set when
-    * the b-th bit majority over token hashes is positive.
+    * the b-th bit majority over token hashes is positive. Backed by a
+    * native one-pass codegen kernel (Simhash32Expr) — the HOF
+    * formulation ran 32 interpreted aggregate() folds per row.
     */
   def simhash32(tokenHashes: Column): Column =
-    (0 until 32).map { b =>
-      val vote = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.expressions.StringExprs.simhash32(tokenHashes)
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -244,25 +244,27 @@ object Dedup {
 
   /** One representative per near-dup cluster: docs joined to their
     * component (docs not in any pair keep themselves), representative =
-    * min id within the cluster — which for min-label components is the
-    * cluster label itself, so no per-cluster aggregation over the corpus
-    * is needed at all. The only corpus-side op is the left join against
-    * the component table, which is bounded by the PAIRED docs (small
-    * next to the corpus → broadcast); singletons are their own cluster
-    * and representative. A window partitioned by cluster here would
-    * sort-shuffle the entire corpus for information the label already
-    * carries.
+    * min id within the cluster AMONG DOCS PRESENT — docs may be a
+    * filtered view of the corpus the pairs were computed on, and a
+    * cluster whose label-doc was filtered out must still elect a
+    * survivor. The rep aggregation runs on the component-matched subset
+    * only (bounded by paired docs, tiny next to the corpus); the
+    * corpus-side cost is two joins whose strategy is left to AQE — comp
+    * is usually broadcast-small, but a heavily-duplicated corpus can
+    * make it arbitrarily large, and forcing broadcast would OOM exactly
+    * when dedup matters most. Never a corpus-wide window/sort.
     */
   def representatives(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comp = connectedComponents(pairs)
       .select(col("id").as(idCol), col("comp"))
-    // join strategy left to AQE: comp is usually broadcast-small, but a
-    // heavily-duplicated corpus can make it arbitrarily large — forcing
-    // broadcast here would OOM exactly when dedup matters most
+    val present = docs.select(col(idCol)).join(comp, Seq(idCol))
+    val reps = present.groupBy("comp").agg(min(col(idCol)).as("__rep"))
     docs.join(comp, Seq(idCol), "left")
+      .join(reps, Seq("comp"), "left")
       .withColumn("cluster", coalesce(col("comp"), col(idCol))).drop("comp")
-      .withColumn("is_rep", col(idCol) === col("cluster"))
+      .withColumn("is_rep", col(idCol) === coalesce(col("__rep"), col(idCol)))
+      .drop("__rep")
   }
 
   /** Train/eval decontamination: flag training docs sharing ≥ `minShared`

@@ -24,6 +24,10 @@ object Packing {
       docs: DataFrame, shardCol: String, orderCol: String,
       tokens: Column, capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(!docs.columns.contains("n_tok") && !docs.columns.contains("pack_id"),
+      "packByBudget emits n_tok and pack_id columns; rename the existing ones first")
+    // NOTE: orderCol must be unique within a shard — a tied running-sum
+    // order would make pack assignment partitioning-dependent
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs

@@ -62,20 +62,41 @@ object Similarity {
     * corpus on the vector id just to reduce k rows back to one — a full
     * 100 TB exchange the plan gate now forbids.
     */
+  /** Above this centroid count the inlined-literal plan gets unwieldy
+    * (codegen method size, plan bytes shipped per task) and the
+    * broadcast-join path wins despite its shuffle.
+    */
+  private val InlineCentroidLimit = 256
+
   def ivfAssign(
       vecs: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "v",
       centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
+    // NOTE: counting/collecting the centroid side runs a (tiny) job at
+    // plan-build time — the training-loop semantics callers want:
+    // centroid values freeze when the assignment is built.
     val cents = centroids
       .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "ivfAssign needs at least one centroid")
-    val best = cents.map { case (cid, cv) =>
-      struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cid"))
-    }.reduceLeft((a, b) => least(a, b))
-    vecs.select(col(idCol), col(vecCol), best.getField("cid").as("cell"))
+    if (cents.length <= InlineCentroidLimit) {
+      val best = cents.map { case (cid, cv) =>
+        struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cid"))
+      }.reduceLeft((a, b) => least(a, b))
+      vecs.select(col(idCol), col(vecCol), best.getField("cid").as("cell"))
+    } else {
+      // big-nlist fallback: broadcast join + per-vector top-1; Spark's
+      // partial WindowGroupLimit reduces to one row per vector BEFORE
+      // the exchange, so the shuffle moves ~|vecs| rows, not |vecs|×k
+      val w = Window.partitionBy(idCol).orderBy(col("__d").asc, col(centIdCol).asc)
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("__d", l2sq(col(vecCol), col(centVecCol)))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
+    }
   }
 
   /** Scale path: random-hyperplane LSH bucket id (sign bits of `planes`

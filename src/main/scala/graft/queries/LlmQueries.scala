@@ -362,9 +362,14 @@ object LlmQueries extends QuerySet {
         .orderBy("lang", "rnk")
     },
     Some("""
-      WITH tok AS (SELECT lang,
-              unnest(string_split_regex(trim(lower(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))), '\s+')) AS term
-            FROM documents WHERE length(trim(text)) > 0),
+      WITH cl AS (SELECT lang,
+              trim(lower(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))) AS c
+            FROM documents),
+      -- guard on the CLEANED text: a doc that is non-empty but has no
+      -- printable ASCII would otherwise fabricate a '' term (split of ''
+      -- yields ['']) that Spark's wsTokens never produces
+      tok AS (SELECT lang, unnest(string_split_regex(c, '\s+')) AS term
+            FROM cl WHERE length(c) > 0),
       tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term),
       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       sc AS (SELECT lang, term, tf, df, tf * (5 - df) AS score,

@@ -1,8 +1,8 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,20 +33,30 @@ object VcfWriter {
   }
 
   /** `##key=value` lines + the `#CHROM…` column line from parsed
-    * metadata — byte-faithful to what [[VcfReader.fromHeaderLines]] read.
+    * metadata. A bare `##line` (no `=`; parsed as an empty value) is
+    * re-emitted bare rather than as `##line=`.
     */
   def headerLines(meta: VcfMetadata): Seq[String] =
-    meta.headerKv.map { case (k, v) => s"##$k=$v" } :+
-      meta.columns.mkString("\t")
+    meta.headerKv.map {
+      case (k, "") => s"##$k"
+      case (k, v) => s"##$k=$v"
+    } :+ meta.columns.mkString("\t")
 
-  /** Write `outDir/header.vcf` (driver-side, tiny) plus
+  /** Write `outDir/header.vcf` (tiny, driver-written) plus
     * `outDir/shards/part-*` data shards (distributed text write).
-    * Concatenating header + shards yields one valid VCF.
+    * Concatenating header + shards yields one valid VCF. Both go
+    * through the Hadoop filesystem of `outDir`, so hdfs://, s3a://,
+    * and local paths all work — the shards and the header can't land
+    * on different filesystems.
     */
   def writeSharded(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
     toVcfLines(df, meta.samples).write.mode("overwrite").text(s"$outDir/shards")
-    Files.createDirectories(Paths.get(outDir))
-    Files.write(Paths.get(outDir, "header.vcf"),
-      (headerLines(meta).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val headerPath = new Path(outDir, "header.vcf")
+    val fs = headerPath.getFileSystem(conf)
+    val out = fs.create(headerPath, true)
+    try out.write((headerLines(meta).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

@@ -67,8 +67,11 @@ object DocStreams {
   private def withSimBands(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions._
     docs
-      .withColumn("sim", simhash32(
-        transform(wsTokens(lower(cleanAscii(col("text")))), t => rollingHash(t))))
+      // DISTINCT token hashes — the same set-of-tokens vote
+      // Dedup.simhashTable uses, so stream and batch agree on repeated-
+      // token boilerplate; simhash32 itself is a one-pass codegen kernel
+      .withColumn("sim", simhash32(array_distinct(
+        transform(wsTokens(lower(cleanAscii(col("text")))), t => rollingHash(t)))))
       .select(col("*"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sim"), b * 8).bitwiseAND(0xff)
@@ -96,9 +99,11 @@ object DocStreams {
     * bucket-local comparison finds them without any all-pairs work.
     *
     * State is per (band, key) — 1024 buckets spread across executors —
-    * and CAPPED at `maxPerBand` recent entries (oldest evicted): the
-    * stream layer flags near-in-time duplicates; corpus-wide dedup
-    * stays in the batch layer. A doc appears in 4 buckets, so downstream
+    * CAPPED at `maxPerBand` recent entries (oldest evicted), and
+    * EXPIRED `horizonSeconds` of event time after a bucket's last
+    * arrival (EventTimeTimeout keyed off the watermark): the stream
+    * layer flags near-in-time duplicates; corpus-wide dedup stays in
+    * the batch layer. A doc appears in 4 buckets, so downstream
     * consumers OR the flags per doc_id (one tiny batch aggregate, see
     * the spec).
     */
@@ -106,30 +111,39 @@ object DocStreams {
       docs: DataFrame,
       maxHamming: Int = 3,
       maxPerBand: Int = 64,
-      watermark: String = "1 hour"): Dataset[NearDupFlag] = {
+      horizonSeconds: Long = 3600L): Dataset[NearDupFlag] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     withSimBands(docs)
-      .withWatermark("ts", watermark)
+      .withWatermark("ts", s"$horizonSeconds seconds")
       .as[(Timestamp, Long, Long, Int, Int)]
       .groupByKey { case (_, _, _, band, key) => (band, key) }
       .flatMapGroupsWithState[BandState, NearDupFlag](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (bucket: (Int, Int), rows: Iterator[(Timestamp, Long, Long, Int, Int)],
          state: GroupState[BandState]) =>
-          val sorted = rows.toSeq.sortBy { case (ts, id, _, _, _) => (ts.getTime, id) }
-          var entries = state.getOption.map(_.entries).getOrElse(Nil)
-          val flags = Seq.newBuilder[NearDupFlag]
-          sorted.foreach { case (_, id, sim, band, _) =>
-            entries.reverseIterator
-              .map { case (mid, msim) =>
-                (mid, java.lang.Long.bitCount(sim ^ msim)) }
-              .find(_._2 <= maxHamming)
-              .foreach { case (mid, h) => flags += NearDupFlag(id, mid, band, h) }
-            entries = (entries :+ (id, sim)).takeRight(maxPerBand)
+          if (state.hasTimedOut) {
+            // horizon passed with no arrivals: the bucket's history is
+            // stale by definition — drop it entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy { case (ts, id, _, _, _) => (ts.getTime, id) }
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val flags = Seq.newBuilder[NearDupFlag]
+            sorted.foreach { case (_, id, sim, band, _) =>
+              entries.reverseIterator
+                .map { case (mid, msim) =>
+                  (mid, java.lang.Long.bitCount(sim ^ msim)) }
+                .find(_._2 <= maxHamming)
+                .foreach { case (mid, h) => flags += NearDupFlag(id, mid, band, h) }
+              entries = (entries :+ (id, sim)).takeRight(maxPerBand)
+            }
+            state.update(BandState(entries))
+            val lastTs = sorted.map(_._1.getTime).max
+            state.setTimeoutTimestamp(lastTs + horizonSeconds * 1000)
+            flags.result().iterator
           }
-          state.update(BandState(entries))
-          flags.result().iterator
       }
   }
 

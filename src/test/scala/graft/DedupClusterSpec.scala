@@ -36,6 +36,17 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
   }
 
+  test("a cluster whose min-id doc was filtered out still elects a survivor") {
+    // pairs computed on the full corpus, docs is a filtered view missing
+    // doc 1 (e.g. a quality gate removed it): doc 2 must become the rep
+    val docs = Seq((2L, "b"), (3L, "c")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.representatives(docs, "id", pairs)
+      .select("id", "cluster", "is_rep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set((2L, 1L, true), (3L, 1L, false)))
+  }
+
   test("maxIter too small for the diameter fails loudly instead of silently") {
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
