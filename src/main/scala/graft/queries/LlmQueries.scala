@@ -334,6 +334,104 @@ object LlmQueries extends QuerySet {
       FROM documents GROUP BY lang ORDER BY lang
     """))
 
+  /** Repetition metrics per doc — the duplicate-n-gram fractions used
+    * by published corpus-quality rule sets to catch degenerate/looping
+    * text. 1 − distinct/total for words, 2-grams, 3-grams; micro-exact
+    * (integer counts, one IEEE divide). Narrow projection.
+    */
+  private val q46 = Q(
+    "q46_repetition",
+    (s, dir) => {
+      val toks = wsTokens(lower(cleanAscii(col("text"))))
+      def dupFrac(arr: org.apache.spark.sql.Column) =
+        when(size(arr) === 0, 0.0)
+          .otherwise(lit(1.0) -
+            size(array_distinct(arr)).cast("double") / size(arr))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          micro(dupFrac(toks)).as("dup_word_micro"),
+          micro(dupFrac(wordNgrams(toks, 2))).as("dup_2gram_micro"),
+          micro(dupFrac(wordNgrams(toks, 3))).as("dup_3gram_micro"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH cl AS (SELECT doc_id,
+              trim(lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'))) AS c
+            FROM documents),
+      tk AS (SELECT doc_id,
+              CASE WHEN length(c) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(c, '\\s+') END AS w
+            FROM cl),
+      ng AS (SELECT doc_id, w,
+              list_transform(range(1, CAST(len(w) AS INT)),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]) AS w2,
+              list_transform(range(1, CAST(len(w) AS INT) - 1),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]) AS w3
+            FROM tk)
+      SELECT doc_id,
+        ${microSql("CASE WHEN len(w) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END")} AS dup_word_micro,
+        ${microSql("CASE WHEN len(w2) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(w2)) AS DOUBLE) / len(w2) END")} AS dup_2gram_micro,
+        ${microSql("CASE WHEN len(w3) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(w3)) AS DOUBLE) / len(w3) END")} AS dup_3gram_micro
+      FROM ng ORDER BY doc_id
+    """))
+
+  /** Composite rule-based quality filter (the published-rule-set shape:
+    * token-count bounds, mean word length, stopword floor, alpha-word
+    * fraction): per-lang funnel of docs surviving each rule and all
+    * rules — ONE conditional-aggregation pass, no per-rule jobs (the
+    * q36 lesson applied to filtering).
+    */
+  private val q47 = Q(
+    "q47_rule_filter",
+    (s, dir) => {
+      val toks = wsTokens(lower(cleanAscii(col("text"))))
+      val nTok = size(toks)
+      val meanLen = when(nTok === 0, 0.0)
+        .otherwise(aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / nTok)
+      val alphaFrac = when(nTok === 0, 0.0)
+        .otherwise(size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nTok)
+      val stops = TextAnalysis.stopwordHits(col("text"), "en")
+      val okTok = nTok >= 30 && nTok <= 50000
+      val okLen = meanLen >= 3.0 && meanLen <= 10.0
+      val okStop = stops >= 2
+      val okAlpha = alphaFrac >= lit(0.8)
+      def n(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          n(okTok).as("ok_tok"), n(okLen).as("ok_len"),
+          n(okStop).as("ok_stop"), n(okAlpha).as("ok_alpha"),
+          n(okTok && okLen && okStop && okAlpha).as("kept"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH cl AS (SELECT lang,
+              trim(lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'))) AS c,
+              text
+            FROM documents),
+      m AS (SELECT lang,
+              CASE WHEN length(c) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(c, '\\s+') END AS w,
+              text
+            FROM cl),
+      f AS (SELECT lang,
+              len(w) AS n_tok,
+              CASE WHEN len(w) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END AS mean_len,
+              CASE WHEN len(w) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) END AS alpha_frac,
+              ${stopSql("en")} AS stops
+            FROM m)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(CASE WHEN n_tok BETWEEN 30 AND 50000 THEN 1 ELSE 0 END) AS BIGINT) AS ok_tok,
+        CAST(sum(CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS ok_len,
+        CAST(sum(CASE WHEN stops >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ok_stop,
+        CAST(sum(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS ok_alpha,
+        CAST(sum(CASE WHEN n_tok BETWEEN 30 AND 50000 AND mean_len BETWEEN 3.0 AND 10.0
+                       AND stops >= 2 AND alpha_frac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+      FROM f GROUP BY lang ORDER BY lang
+    """))
+
   /** Top-5 distinctive terms per lang: term frequency weighted by
     * cross-stratum rarity (tf × (n_strata − df)) — TF-IDF's shape with
     * integer arithmetic instead of ln(), so the score is engine-exact.
@@ -965,6 +1063,6 @@ object LlmQueries extends QuerySet {
     """))
 
   val all: Seq[Q] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37,
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42, q43, q44, q45)
 }
