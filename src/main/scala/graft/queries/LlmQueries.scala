@@ -508,6 +508,38 @@ object LlmQueries extends QuerySet {
       FROM cb GROUP BY lang, cum_before // 2048 ORDER BY lang, pack_id
     """))
 
+  /** Incremental dedup gate: the "ingested" half is docs with
+    * doc_id < 250, the arriving batch is the rest PLUS perturbed copies
+    * of ingested docs (planted cross-batch dups) — kept = batch docs
+    * that are new to the corpus and first of their digest in-batch.
+    */
+  private val q39 = Q(
+    "q39_incremental_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val ingested = d.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("id"), col("text"))
+      val batch = d.filter(col("doc_id") >= 250)
+        .select(col("doc_id").as("id"), col("text"))
+        .unionAll(d.filter(col("doc_id") < 250 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 3000000L).as("id"), col("text")))
+      Dedup.incrementalExact(batch, Dedup.digests(ingested, "text"), "id", "text")
+        .groupBy()
+        .agg(count(lit(1)).as("n_kept"), sum(col("id")).as("id_sum"))
+    },
+    Some("""
+      WITH ingested AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 250),
+      batch AS (SELECT doc_id AS id, text FROM documents WHERE doc_id >= 250
+                UNION ALL
+                SELECT doc_id + 3000000, text FROM documents
+                WHERE doc_id < 250 AND doc_id % 5 = 0),
+      firstb AS (SELECT md5(text) AS h, min(id) AS id FROM batch GROUP BY md5(text)),
+      kept AS (SELECT b.id FROM batch b
+               JOIN firstb f ON f.h = md5(b.text) AND f.id = b.id
+               WHERE md5(b.text) NOT IN (SELECT DISTINCT md5(text) FROM ingested))
+      SELECT count(*) AS n_kept, CAST(sum(id) AS BIGINT) AS id_sum FROM kept
+    """))
+
   // ---- dedup ----------------------------------------------------------
 
   private val q30 = Q(
@@ -1064,5 +1096,5 @@ object LlmQueries extends QuerySet {
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
-      q30, q31, q32, q33, q34, q35, q36, q38, q40, q41, q42, q43, q44, q45)
+      q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44, q45)
 }
