@@ -342,16 +342,37 @@ object LlmQueries extends QuerySet {
   private val q46 = Q(
     "q46_repetition",
     (s, dir) => {
-      val toks = wsTokens(lower(cleanAscii(col("text"))))
-      def dupFrac(arr: org.apache.spark.sql.Column) =
-        when(size(arr) === 0, 0.0)
-          .otherwise(lit(1.0) -
-            size(array_distinct(arr)).cast("double") / size(arr))
-      t(s, dir, "documents")
+      // long form, not array HOFs: the first cut computed the token
+      // chain 5× per row through interpreted transform/slice lambdas
+      // (67 s exec at sf0.1, single-threaded to boot). Here the chain
+      // runs once into an explode, n-grams come from window leads over
+      // (doc, pos) — one shuffle the aggregation then rides — and
+      // everything stays codegen. 67 s exec → ~2 s.
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val tok = d.repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          micro(dupFrac(toks)).as("dup_word_micro"),
-          micro(dupFrac(wordNgrams(toks, 2))).as("dup_2gram_micro"),
-          micro(dupFrac(wordNgrams(toks, 3))).as("dup_3gram_micro"))
+          posexplode(wsTokens(lower(cleanAscii(col("text"))))).as(Seq("pos", "w")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      // concat (not concat_ws): a null lead must void the n-gram, not
+      // shorten it
+      val grams = tok
+        .withColumn("w2", concat(col("w"), lit(" "), lead("w", 1).over(byDoc)))
+        .withColumn("w3", concat(col("w2"), lit(" "), lead("w", 2).over(byDoc)))
+      def frac(total: org.apache.spark.sql.Column, distinct: org.apache.spark.sql.Column) =
+        when(total === 0, 0.0)
+          .otherwise(lit(1.0) - distinct.cast("double") / total)
+      val metrics = grams.groupBy("doc_id").agg(
+        frac(count(col("w")), countDistinct(col("w"))).as("f1"),
+        frac(count(col("w2")), countDistinct(col("w2"))).as("f2"),
+        frac(count(col("w3")), countDistinct(col("w3"))).as("f3"))
+      // explode drops token-less docs; restore them with zero fractions
+      d.select(col("doc_id"))
+        .join(metrics, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          micro(coalesce(col("f1"), lit(0.0))).as("dup_word_micro"),
+          micro(coalesce(col("f2"), lit(0.0))).as("dup_2gram_micro"),
+          micro(coalesce(col("f3"), lit(0.0))).as("dup_3gram_micro"))
         .orderBy("doc_id")
     },
     Some(s"""
