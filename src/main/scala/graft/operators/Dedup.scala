@@ -193,31 +193,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Incremental exact dedup: keep the rows of a NEW batch whose content
-    * digest is neither in the already-ingested index nor duplicated
-    * earlier (by min id) within the batch itself — the delta-ingestion
-    * shape, so yesterday's corpus is never re-read. The index side
-    * carries digests only (16 bytes/doc); the anti-join shuffles on the
-    * digest like exact() does, and at steady state the new batch is the
-    * small side. Emit `digests(kept)` unioned into the index as the next
-    * batch's state.
+  /** 16-byte binary digest for the incremental-dedup state (md5 bytes,
+    * not the 32-char hex [[contentHash]] renders).
+    */
+  private def binaryHash(text: Column): Column = unhex(contentHash(text))
+
+  /** Incremental exact dedup: keep ONE row per content digest of a NEW
+    * batch — the first by id — whose digest is not in the
+    * already-ingested index. The delta-ingestion shape: yesterday's
+    * corpus is never re-read, the index carries 16-byte binary digests
+    * only. One scan of the batch, one shuffle on the digest (the
+    * row_number window; the anti-join reuses its partitioning), exactly
+    * like exact()'s budget. Emit `digests(kept)` unioned into the index
+    * as the next batch's state.
     */
   def incrementalExact(
       newDocs: DataFrame, seenDigests: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val withH = newDocs.withColumn("__h", contentHash(col(textCol)))
-    val firstInBatch = withH
-      .groupBy("__h").agg(min(col(idCol)).as(idCol))
-    withH.join(firstInBatch, Seq("__h", idCol), "left_semi")
+      idCol: String, textCol: String): DataFrame =
+    newDocs.withColumn("__h", binaryHash(col(textCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
       .join(seenDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti")
       .drop("__h")
-  }
 
-  /** Digest index of a corpus — the state [[incrementalExact]] joins
-    * against; union with the previous index after each batch.
+  /** Binary digest index of a corpus (16 B/doc) — the state
+    * [[incrementalExact]] joins against; union with the previous index
+    * after each batch.
     */
   def digests(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(contentHash(col(textCol)).as("digest")).distinct()
+    docs.select(binaryHash(col(textCol)).as("digest")).distinct()
 
   /** Connected components over an undirected near-dup pair list:
     * (id_a, id_b) → (id, comp), comp = min node id of the component.

@@ -405,24 +405,41 @@ object LlmQueries extends QuerySet {
   private val q47 = Q(
     "q47_rule_filter",
     (s, dir) => {
-      val toks = wsTokens(lower(cleanAscii(col("text"))))
-      val nTok = size(toks)
-      val meanLen = when(nTok === 0, 0.0)
-        .otherwise(aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / nTok)
-      val alphaFrac = when(nTok === 0, 0.0)
-        .otherwise(size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nTok)
-      val stops = TextAnalysis.stopwordHits(col("text"), "en")
-      val okTok = nTok >= 30 && nTok <= 50000
-      val okLen = meanLen >= 3.0 && meanLen <= 10.0
-      val okStop = stops >= 2
-      val okAlpha = alphaFrac >= lit(0.8)
+      import org.apache.spark.sql.expressions.Window
+      // long form (the q46 lesson): explode the cleaned-token chain ONCE
+      // and aggregate the per-doc stats; inlining it into each rule
+      // boolean would re-run the regex+split+HOF chain ~6× per row.
+      // stopwordHits stays a single per-row filter (raw-text
+      // tokenization, matching the oracle's stopSql).
+      val d = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val tokAgg = d
+        .select(col("doc_id"),
+          posexplode(wsTokens(lower(cleanAscii(col("text"))))).as(Seq("p", "w")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(length(col("w"))).as("len_sum"),
+          sum(when(col("w").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"))
+      val rules = d
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.stopwordHits(col("text"), "en").as("stops"))
+        .join(tokAgg, Seq("doc_id"), "left")
+        .select(col("lang"),
+          (coalesce(col("n_tok"), lit(0L)) >= 30 &&
+            coalesce(col("n_tok"), lit(0L)) <= 50000).as("ok_tok_b"),
+          (col("n_tok").isNotNull &&
+            col("len_sum").cast("double") / col("n_tok") >= 3.0 &&
+            col("len_sum").cast("double") / col("n_tok") <= 10.0).as("ok_len_b"),
+          (col("stops") >= 2).as("ok_stop_b"),
+          (col("n_alpha").isNotNull &&
+            col("n_alpha").cast("double") / col("n_tok") >= 0.8).as("ok_alpha_b"))
       def n(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
-      t(s, dir, "documents")
+      rules
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          n(okTok).as("ok_tok"), n(okLen).as("ok_len"),
-          n(okStop).as("ok_stop"), n(okAlpha).as("ok_alpha"),
-          n(okTok && okLen && okStop && okAlpha).as("kept"))
+          n(col("ok_tok_b")).as("ok_tok"), n(col("ok_len_b")).as("ok_len"),
+          n(col("ok_stop_b")).as("ok_stop"), n(col("ok_alpha_b")).as("ok_alpha"),
+          n(col("ok_tok_b") && col("ok_len_b") && col("ok_stop_b") &&
+            col("ok_alpha_b")).as("kept"))
         .orderBy("lang")
     },
     Some(s"""
@@ -530,9 +547,10 @@ object LlmQueries extends QuerySet {
     """))
 
   /** Incremental dedup gate: the "ingested" half is docs with
-    * doc_id < 250, the arriving batch is the rest PLUS perturbed copies
-    * of ingested docs (planted cross-batch dups) — kept = batch docs
-    * that are new to the corpus and first of their digest in-batch.
+    * doc_id < 250, the arriving batch is the rest PLUS exact copies of
+    * ingested docs under new ids (exact dedup can only catch exact
+    * text) — kept = batch docs whose text is new to the corpus, first
+    * of their digest in-batch.
     */
   private val q39 = Q(
     "q39_incremental_dedup",
