@@ -113,6 +113,32 @@ object Similarity {
       when(d > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Top-n cell assignment for PROBES (`nprobe > 1` search): each input
+    * row fans out to its n nearest cells. Narrow like [[ivfAssign]] —
+    * per-centroid distances are inlined, ranked in a sorted struct
+    * array, and the top n explode. Meant for the probe side (small);
+    * corpus rows keep single-cell assignment.
+    */
+  def ivfAssignTopN(
+      vecs: DataFrame, centroids: DataFrame, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
+    require(nprobe > 0)
+    val cents = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssignTopN needs at least one centroid")
+    val ranked = array_sort(array(cents.map { case (cid, cv) =>
+      struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cid"))
+    }: _*))
+    vecs
+      .select(col(idCol), col(vecCol),
+        explode(slice(ranked, 1, math.min(nprobe, cents.length))).as("__c"))
+      .select(col(idCol), col(vecCol), col("__c.cid").as("cell"))
+  }
+
   /** One Lloyd (k-means) iteration — how IVF centroids are actually
     * learned before [[ivfAssign]] serves queries: assign every vector to
     * its nearest centroid, re-estimate each centroid as the per-cell

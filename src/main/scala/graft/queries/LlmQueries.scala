@@ -991,6 +991,77 @@ object LlmQueries extends QuerySet {
       ORDER BY probe_id
     """))
 
+  /** IVF nprobe=2 recall@5: probes scan their TWO nearest cells instead
+    * of one — the IVF counterpart of q45's multi-probe flip set, closing
+    * the evaluation loop for the coarse quantizer too. Probe-side cell
+    * fan-out only (2 rows per probe, broadcast); the corpus is still
+    * assigned narrowly and scanned once.
+    */
+  private val q48 = Q(
+    "q48_ivf_nprobe_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val brute = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 5)
+        .select(col("probe_id"), col("cand_id"))
+
+      val ev = e.select(col("vec_id"), col("embedding").as("v"))
+      val cents = ev.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = Similarity.ivfAssign(ev, cents)
+      val probes2 = Similarity.ivfAssignTopN(
+          ev.filter(col("vec_id") < 5), cents, nprobe = 2)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      val ivf5 = assigned.join(broadcast(probes2), "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine", Similarity.cosine(col("v"), col("pv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("vec_id").as("cand_id"))
+
+      val matches = brute.join(ivf5, Seq("probe_id", "cand_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+      brute.select("probe_id").distinct()
+        .join(matches, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          micro(coalesce(col("n_match"), lit(0L)) / 5.0).as("recall_micro"))
+        .orderBy("probe_id")
+    },
+    Some(s"""
+      WITH $ivfAsgSql,
+      bpr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.v", "p.v")})) AS cosine
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) p
+             WHERE c.vec_id <> p.vec_id),
+      brk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+             FROM bpr),
+      b5 AS (SELECT probe_id, cand_id FROM brk WHERE rnk <= 5),
+      p2 AS (SELECT vec_id AS probe_id, v AS pv, cid AS cell FROM (
+               SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${l2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+               FROM e CROSS JOIN cent c WHERE e.vec_id < 5) x WHERE rn <= 2),
+      ipr AS (SELECT p.probe_id, c.vec_id AS cand_id,
+               ${dotSql("c.v", "p.pv")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.pv", "p.pv")})) AS cosine
+             FROM asg c JOIN p2 p USING (cell)
+             WHERE c.vec_id <> p.probe_id),
+      irk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+             FROM ipr),
+      i5 AS (SELECT probe_id, cand_id FROM irk WHERE rnk <= 5),
+      mc AS (SELECT probe_id, count(*) AS n_match
+             FROM (SELECT * FROM b5 INTERSECT SELECT * FROM i5) i GROUP BY probe_id)
+      SELECT p.probe_id,
+        CAST(COALESCE(mc.n_match, 0) AS BIGINT) AS n_match,
+        ${microSql("COALESCE(mc.n_match, 0) / 5.0")} AS recall_micro
+      FROM (SELECT DISTINCT probe_id FROM b5) p LEFT JOIN mc USING (probe_id)
+      ORDER BY probe_id
+    """))
+
   /** Multi-probe LSH recall@5: q44's metric re-measured with Hamming-1
     * bucket probing — the tuning move q44's low recall calls for,
     * verified to help by the same ground-truth comparison.
@@ -1053,12 +1124,15 @@ object LlmQueries extends QuerySet {
   /** DuckDB CTE chain `e → cent → asg`: IVF cell assignment (nearest
     * centroid by L2, cid tiebreak) — shared by q42 and q43.
     */
-  private val ivfAsgSql = {
-    def l2Sql(a: String, b: String): String =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(1, 65),
-              i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))),
-            (x, y) -> x + y)"""
+  /** DuckDB ordered-fold squared L2 (dim 64) — matches VectorExprs.l2sq. */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 65),
+            i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))),
+          (x, y) -> x + y)"""
+
+  // lazy: referenced by q48, which is declared earlier in the file
+  private lazy val ivfAsgSql = {
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings),
         cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 100 AND 107),
@@ -1135,5 +1209,5 @@ object LlmQueries extends QuerySet {
 
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
-      q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44, q45)
+      q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44, q45, q48)
 }
