@@ -133,6 +133,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((4L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("incrementalExact: cross-batch dups dropped, in-batch keep min id, replays collapse") {
+    val ingested = Seq((1L, "seen before")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // cross-batch dup → dropped
+      (11L, "fresh text a"),
+      (12L, "fresh text a"),  // in-batch dup → min id 11 survives
+      (13L, "fresh text b"),
+      (13L, "fresh text b"))  // replayed row → exactly one survivor
+      .toDF("id", "text")
+    val kept = Dedup.incrementalExact(
+        batch, Dedup.digests(ingested, "text"), "id", "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(11L, 13L))
+  }
+
   test("kmeansStep moves centroids to cluster means; feedback loop stabilizes") {
     // two tight clusters around (1,0) and (0,1); seed centroids offset
     val vecs = Seq(
