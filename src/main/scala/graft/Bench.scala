@@ -60,15 +60,22 @@ object Bench {
         val exec = (execMs.get() - e0) / 1e3
         (if (ok) wall else -1.0, exec)
       }
-      val byWall = samples.sortBy(_._1)
-      name -> byWall(samples.size / 2) // median by wall
+      // median over SUCCESSFUL runs only: a failed run's -1 sentinel
+      // would sort first and bias the "median" toward the fast sample;
+      // -1 is reported only when every run failed, with the failure
+      // count carried separately so partial failures stay visible.
+      val good = samples.filter(_._1 >= 0).sortBy(_._1)
+      val median = if (good.isEmpty) (-1.0, -1.0) else good(good.size / 2)
+      (name, median, runs - good.size)
     }
     def fmt(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = fmt(results.map { case (k, (w, _)) => k -> w })
-    val ex = fmt(results.map { case (k, (_, e)) => k -> e })
+    val qs = fmt(results.map { case (k, (w, _), _) => k -> w })
+    val ex = fmt(results.map { case (k, (_, e), _) => k -> e })
+    val failed = results.filter(_._3 > 0)
+    val fails = failed.map { case (k, _, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_sec":$ex,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec_sec":$ex,"failed_runs":$fails,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -223,6 +223,15 @@ case class Simhash32Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash32"
   override def nullable: Boolean = true
 
+  // ArrayData.getLong reads raw 8-byte slots: a non-long element type
+  // (array<int> is 4-byte-packed) would yield garbage, so reject it at
+  // analysis time like VectorBinaryExpr does.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> input, got ${other.simpleString}")
+  }
+
   override protected def nullSafeEval(a: Any): Any =
     VectorExprs.simhash32K(a.asInstanceOf[ArrayData])
 

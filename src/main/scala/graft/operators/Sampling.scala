@@ -16,12 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth multiplicative hash → uniform bucket in [0, buckets).
-    * All intermediates < 2^63 for ids < ~3.4e9 (mod-reduce first for
-    * bigger id domains); exact integer arithmetic in any engine.
+  /** Multiplicative-congruential hash → uniform bucket in [0, buckets).
+    * The mod-p reduction BETWEEN the multiply and the bucket mod is
+    * load-bearing: without it, `(id * A) mod buckets` collapses to
+    * `(id mod buckets) * A mod buckets` — a fixed bijection of the id's
+    * low residue, so structured ids (multiples of 1000, fixed low
+    * digits) sample all-or-nothing. `(id mod p) * A mod p` is a full
+    * bijection of [0, p) (gcd(A, p) = 1), whose low residues mix all of
+    * the id's bits. Max intermediate (p-1)·A ≈ 2.65e18 < 2^63; exact
+    * integer arithmetic in any engine.
     */
+  val HashPrime = 1000000007L
+  val HashMult  = 2654435761L
+
   def hashBucket(id: Column, buckets: Int): Column =
-    pmod((id % lit(1000000007L)) * lit(2654435761L), lit(buckets.toLong))
+    pmod(pmod(pmod(id, lit(HashPrime)) * lit(HashMult), lit(HashPrime)),
+      lit(buckets.toLong))
 
   /** Keep a deterministic `rates(stratum)` fraction of each stratum
     * (unlisted strata are dropped). Rates are in [0,1], resolved at

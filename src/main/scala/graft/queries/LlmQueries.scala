@@ -265,7 +265,7 @@ object LlmQueries extends QuerySet {
     Some("""
       SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
       FROM documents
-      WHERE ((((doc_id % 1000000007) * 2654435761) % 1000) + 1000) % 1000 <
+      WHERE ((((doc_id % 1000000007) * 2654435761) % 1000000007) % 1000 + 1000) % 1000 <
         CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE -1 END
       GROUP BY lang ORDER BY lang
     """))

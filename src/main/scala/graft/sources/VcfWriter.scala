@@ -35,10 +35,17 @@ object VcfWriter {
   /** `##key=value` lines + the `#CHROM…` column line from parsed
     * metadata. A bare `##line` (no `=`; parsed as an empty value) is
     * re-emitted bare rather than as `##line=`.
+    *
+    * `##contig` IDs are normalized the same way the reader normalizes
+    * CHROM (strip the leading `chr` — VariantFunctions.normalizeChrom):
+    * the data lines carry normalized chrom values, so a byte-faithful
+    * `<ID=chr22,…>` contig line would make the emitted file internally
+    * inconsistent (header names no chromosome the body uses).
     */
   def headerLines(meta: VcfMetadata): Seq[String] =
     meta.headerKv.map {
       case (k, "") => s"##$k"
+      case ("contig", v) => s"##contig=${v.replaceFirst("<ID=chr", "<ID=")}"
       case (k, v) => s"##$k=$v"
     } :+ meta.columns.mkString("\t")
 

@@ -112,6 +112,11 @@ object DocStreams {
       maxHamming: Int = 3,
       maxPerBand: Int = 64,
       horizonSeconds: Long = 3600L): Dataset[NearDupFlag] = {
+    // 4 bands × 8 bits guarantee a shared band only up to hamming 3
+    // (pigeonhole); a larger maxHamming would silently lose the recall
+    // guarantee this docstring promises, so refuse it.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x8-bit banding is pigeonhole-complete only for hamming <= 3; got $maxHamming")
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     withSimBands(docs)

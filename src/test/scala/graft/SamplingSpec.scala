@@ -39,6 +39,18 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("lang") === "de").count() === 0)
   }
 
+  test("structured ids (multiples of 1000) still sample at ~rate") {
+    // The pre-fix hash collapsed to a bijection of id % buckets, so ids
+    // that are all ≡ 0 (mod 1000) landed in ONE bucket: rate 0.5 kept
+    // either all 2000 or none. The mod-p MCG must mix the high digits.
+    val structured = (0L until 2000L).map(i => (i * 1000L, "en")).toDF("id", "lang")
+    val kept = Sampling.stratified(structured, "lang", "id", Map("en" -> 0.5)).count()
+    assert(kept > 840 && kept < 1160, s"multiples-of-1000 ids kept $kept of 2000 at rate 0.5")
+    val fixedLow = (0L until 2000L).map(i => (i * 1000L + 7L, "en")).toDF("id", "lang")
+    val kept7 = Sampling.stratified(fixedLow, "lang", "id", Map("en" -> 0.25)).count()
+    assert(kept7 > 380 && kept7 < 620, s"fixed-low-digit ids kept $kept7 of 2000 at rate 0.25")
+  }
+
   test("out-of-range rates are rejected") {
     intercept[IllegalArgumentException] {
       Sampling.stratified(corpus, "lang", "id", Map("en" -> 1.5))

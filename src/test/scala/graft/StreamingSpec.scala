@@ -118,4 +118,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(Set(1L, 2L).contains(flagged(4L)), s"got $flagged")
     assert(!flagged.contains(3L))
   }
+
+  test("nearDupFlags refuses maxHamming beyond the pigeonhole guarantee") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    intercept[IllegalArgumentException] {
+      DocStreams.nearDupFlags(mem.toDF(), maxHamming = 4)
+    }
+  }
 }

@@ -31,6 +31,18 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
     assert(hdr.count(_.startsWith("##INFO=")) === 4)
   }
 
+  test("##contig IDs are normalized to match the normalized data lines") {
+    val meta = VcfReader.fromHeaderLines(Seq(
+      "##fileformat=VCFv4.2",
+      "##contig=<ID=chr22,length=50818468>",
+      "##contig=<ID=X,length=156040895>",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1"))
+    val hdr = VcfWriter.headerLines(meta)
+    // the reader emits chrom '22', so the header must name '22', not 'chr22'
+    assert(hdr.contains("##contig=<ID=22,length=50818468>"), hdr.mkString("\n"))
+    assert(hdr.contains("##contig=<ID=X,length=156040895>"))
+  }
+
   test("writeSharded lays down header + shards that concatenate to a valid VCF") {
     val p = VcfFixture.write().toString
     val meta = VcfReader.metadata(spark, p)

@@ -79,6 +79,21 @@ class VectorExprsSpec extends AnyFunSuite with SparkSpec {
       e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
   }
 
+  test("simhash32 rejects non-array<long> input at analysis time") {
+    // ArrayData.getLong on an int-packed array would read garbage bytes;
+    // the type check must catch it before any task runs
+    val df = Seq(Tuple1(Seq(1, 2, 3))).toDF("ints")
+    val e = intercept[Exception] {
+      df.select(graft.functions.TextFunctions.simhash32(col("ints"))).collect()
+    }
+    assert(e.getMessage.contains("simhash32") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
+    // and the valid type still works
+    val ok = Seq(Tuple1(Seq(0xFFFFFFFFL))).toDF("hs")
+      .select(graft.functions.TextFunctions.simhash32(col("hs"))).head().getLong(0)
+    assert(ok === 0xFFFFFFFFL)
+  }
+
   test("lshBucket on the native dot matches the round-2 HOF buckets") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val df = Seq((1L, Seq(5.0, 3.0)), (2L, Seq(-5.0, -3.0)), (3L, Seq(0.1, -9.0)))
