@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Minimal tabix (.tbi) index reader — enough to PRUNE: which reference
   * sequences a bgzip-compressed VCF contains, and where (as BGZF virtual
-  * offsets) each sequence's records live.
+  * offsets) the records of a `chrom:beg-end` region live.
   *
   * Format is the public tabix spec (htslib "Tabix index file format",
   * samtools.github.io/hts-specs/tabix.pdf): a BGZF-compressed block of
@@ -19,6 +19,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * index (16 kb windows → smallest virtual offset of records
   * overlapping the window). A virtual offset packs
   * (compressed block start) << 16 | (offset within decompressed block).
+  *
+  * The binning index is the part that bounds BOTH ends of a region
+  * scan: [[regionChunks]] unions the chunk lists of the bins covering
+  * the region (spec `reg2bins`), floors them with the linear index,
+  * and coalesces — so a mid-chromosome locus query decompresses
+  * O(region) bytes, not from the locus to the end of the chromosome.
   *
   * The reference ships .tbi files with both of its test VCFs
   * (reference: vcf_metadata.py:8-15 assumes tabix-indexed input).
@@ -31,6 +37,9 @@ object TabixIndex {
     */
   private val PseudoBin = 37450
 
+  /** One [cnk_beg, cnk_end) file range of records, as virtual offsets. */
+  final case class Chunk(beg: Long, end: Long)
+
   /** One indexed reference sequence.
     *
     * @param minVoff smallest record virtual offset (start of this ref's
@@ -39,8 +48,11 @@ object TabixIndex {
     * @param ioff    linear index: ioff(w) = smallest virtual offset of
     *                records overlapping window [w*16kb, (w+1)*16kb); 0
     *                entries mean "no update" (fall back to minVoff)
+    * @param bins    binning index: bin number → file chunks of records
+    *                assigned to that bin
     */
-  final case class Ref(name: String, minVoff: Long, maxVoff: Long, ioff: Array[Long]) {
+  final case class Ref(name: String, minVoff: Long, maxVoff: Long,
+      ioff: Array[Long], bins: Map[Int, Array[Chunk]]) {
     def nIntv: Int = ioff.length
     /** Max record start position covered: every record STARTS in some
       * indexed window, so pos lower bounds at or beyond this prune the
@@ -87,6 +99,7 @@ object TabixIndex {
     for (i <- 0 until nRef) {
       var minV = Long.MaxValue
       var maxV = 0L
+      val binMap = mutable.Map.empty[Int, mutable.ArrayBuffer[Chunk]]
       val nBin = bb.getInt
       for (_ <- 0 until nBin) {
         val bin = bb.getInt
@@ -97,14 +110,73 @@ object TabixIndex {
           if (bin != PseudoBin) {
             if (beg < minV) minV = beg
             if (end > maxV) maxV = end
+            binMap.getOrElseUpdate(bin, mutable.ArrayBuffer.empty) += Chunk(beg, end)
           }
         }
       }
       val nIntv = bb.getInt
       val ioff = Array.fill(nIntv)(bb.getLong)
-      refs += Ref(names(i), if (minV == Long.MaxValue) 0L else minV, maxV, ioff)
+      refs += Ref(names(i), if (minV == Long.MaxValue) 0L else minV, maxV, ioff,
+        binMap.view.mapValues(_.toArray).toMap)
     }
     Index(refs.toSeq)
+  }
+
+  /** Bins whose windows overlap the 0-based half-open region
+    * [beg0, end0Ex) — the tabix spec's `reg2bins` (6 levels, 16 kb
+    * finest windows, positions < 2^29).
+    */
+  def reg2bins(beg0: Long, end0Ex: Long): Seq[Int] = {
+    val beg = math.max(0L, math.min(beg0, (1L << 29) - 1))
+    val end = math.max(beg, math.min(end0Ex, 1L << 29) - 1) // inclusive
+    val out = mutable.ArrayBuffer(0)
+    for ((shift, offset) <- Seq((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)))
+      for (k <- (offset + (beg >> shift)).toInt to (offset + (end >> shift)).toInt)
+        out += k
+    out.toSeq
+  }
+
+  /** File chunks containing every record whose START lies in the
+    * 0-based half-open region [beg0, end0Ex): union of the covering
+    * bins' chunk lists, floored by the linear index, sorted and
+    * coalesced ([[coalesce]]). The result bounds BOTH ends of the scan
+    * — its last chunk end is the region's end in the file, not the
+    * chromosome's.
+    *
+    * (Bin membership covers interval OVERLAP, a superset of interval
+    * start — pos-predicate evaluation in the reader drops the rest.)
+    */
+  def regionChunks(r: Ref, beg0: Long, end0Ex: Long): Seq[Chunk] = {
+    if (end0Ex <= beg0) return Nil
+    val window = (beg0 >> 14).toInt
+    val minOff =
+      if (window < r.nIntv && r.ioff(window) > 0L) r.ioff(window) else r.minVoff
+    val cs = reg2bins(beg0, end0Ex).iterator
+      .flatMap(b => r.bins.getOrElse(b, Array.empty[Chunk]))
+      .filter(_.end > minOff)
+      .map(c => Chunk(math.max(c.beg, minOff), c.end))
+      .toArray
+    coalesce(cs)
+  }
+
+  /** Sort chunks and merge any pair closer than one BGZF block in
+    * COMPRESSED space. The block-gap guarantee is load-bearing for the
+    * reader: a partition's raw read overshoots its last chunk's end by
+    * at most [[MaxBlockSize]] (to finish that block), so ranges ≥ one
+    * block apart never double-read a record.
+    */
+  def coalesce(chunks: Array[Chunk]): Seq[Chunk] = {
+    val sorted = chunks.sortBy(c => (c.beg, c.end))
+    val out = mutable.ArrayBuffer.empty[Chunk]
+    sorted.foreach { c =>
+      out.lastOption match {
+        case Some(p) if compressedOffset(c.beg) <=
+            compressedOffset(p.end) + MaxBlockSize =>
+          if (c.end > p.end) out(out.length - 1) = Chunk(p.beg, c.end)
+        case _ => out += c
+      }
+    }
+    out.toSeq
   }
 
   def compressedOffset(voff: Long): Long = voff >>> 16

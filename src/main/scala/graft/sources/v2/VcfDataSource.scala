@@ -21,6 +21,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, Greate
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.LongAccumulator
 
 /** DataSource V2 VCF reader: `spark.read.format("vcf").load(path)`.
   *
@@ -32,9 +33,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - column pruning reaches the scan (only requested fields are built)
   *  - chrom/pos predicates are evaluated pre-parse inside the reader
   *    (reported as pushed filters), skipping rows before row assembly
+  *  - a pushed chrom (+pos) region with a sibling `.tbi` prunes to the
+  *    region's BGZF chunks — BOTH ends bounded by the binning index
+  *  - malformed data lines are PERMISSIVE: skipped and counted (the
+  *    reference coerces dtypes leniently, pandasvcf.py:94-99; one bad
+  *    line in a 100 TB crawl must not kill the job)
   *
   * Schema is FIXED — samples live in a `genotypes` map — so 2 or 2500
-  * samples produce the same 10-column scan.
+  * samples produce the same 10-column scan. The sample list is parsed
+  * from each file's header ONCE at planning time and shipped inside the
+  * partitions; reader tasks never re-open the header (on a 100k-split
+  * file that would be 100k redundant reads of the same leading bytes).
   */
 class VcfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "vcf"
@@ -77,6 +86,13 @@ object VcfDataSource {
     StructField("info", StringType),
     StructField("format", StringType),
     StructField("genotypes", MapType(StringType, StringType))))
+
+  /** Accumulator counting PERMISSIVE-skipped malformed lines of the most
+    * recently planned vcf scan (also visible in the Spark UI under
+    * "vcf malformed lines"). Observability hook for tests/monitoring.
+    */
+  @volatile private[v2] var lastMalformedAcc: Option[LongAccumulator] = None
+  def lastMalformedCount: Option[Long] = lastMalformedAcc.map(_.value)
 }
 
 final class VcfTable(paths: Seq[String]) extends Table with SupportsRead {
@@ -136,6 +152,34 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     if (bounds.isEmpty) None else Some(bounds.max)
   }
 
+  /** Tightest pushed upper bound on POS (1-based, inclusive). */
+  private def posUpperInclusive: Option[Int] = {
+    val bounds = filters.collect {
+      case LessThan("pos", v) => v.toString.toInt - 1
+      case LessThanOrEqual("pos", v) => v.toString.toInt
+      case EqualTo("pos", v) => v.toString.toInt
+    }
+    if (bounds.isEmpty) None else Some(bounds.min)
+  }
+
+  /** One header read per FILE, at planning time: the sample list rides
+    * inside every [[VcfPartition]], so no reader task re-opens the
+    * leading `#` lines (for pruned `.gz` regions that read would even
+    * decompress from byte zero).
+    */
+  private def headerSamples(fs: FileSystem, conf: Configuration, p: Path): Array[String] = {
+    val codec = new CompressionCodecFactory(conf).getCodec(p)
+    val in = fs.open(p)
+    val stream = if (codec != null) codec.createInputStream(in) else in
+    val br = new BufferedReader(new InputStreamReader(stream, StandardCharsets.UTF_8))
+    try {
+      Iterator.continually(br.readLine()).takeWhile(l => l != null && l.startsWith("#"))
+        .foldLeft(Array.empty[String]) { (acc, l) =>
+          if (l.startsWith("#CHROM")) l.split("\t").drop(9) else acc
+        }
+    } finally br.close()
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
@@ -153,35 +197,37 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
         val len = st.getLen
         val isGz = st.getPath.getName.endsWith(".gz")
         val splittable = !isGz
+        lazy val samples = headerSamples(fs, conf, st.getPath)
 
         // Region pruning via the sibling tabix index: with a pushed
-        // chrom (+ optional pos lower bound) and a .tbi next to the
-        // file, skip files that cannot contain the region, and start
-        // bgzip files at the region's BGZF block instead of byte 0 —
-        // an interactive locus query reads kilobytes, not the corpus.
+        // chrom (+ optional pos bounds) and a .tbi next to the file,
+        // skip files that cannot contain the region, and scan ONLY the
+        // region's BGZF chunks — the binning index bounds both ends, so
+        // an interactive locus query reads O(region) bytes, not
+        // O(chromosome).
         val tbiPath = TabixIndex.sibling(st.getPath)
         val pruned = chromEq.flatMap { c =>
           if (!fs.exists(tbiPath)) None
           else {
             val idx = TabixIndex.read(fs, tbiPath)
             idx.ref(c) match {
-              case None => Some(Array.empty[VcfPartition]) // chrom absent: whole file pruned
+              case None => Some(Seq.empty[VcfPartition]) // chrom absent: whole file pruned
               case Some(r) if !isGz => None // index offsets are BGZF-only
               case Some(r) =>
-                // 0-based lower bound; linear index refines the start
-                val lower0 = posLowerInclusive.map(l => math.max(0, l - 1).toLong)
-                if (lower0.exists(_ >= r.maxCoveredPos)) {
-                  Some(Array.empty[VcfPartition]) // beyond last indexed record start
-                } else {
-                  val window = lower0.map(l => (l >> 14).toInt).getOrElse(0)
-                  val lin = if (window < r.nIntv && r.ioff(window) > 0L) r.ioff(window) else 0L
-                  val startVoff = math.max(r.minVoff, lin)
-                  val startC = TabixIndex.compressedOffset(startVoff)
+                // 0-based half-open query region on record STARTS; the
+                // linear index caps the no-upper-bound default (every
+                // record starts inside an indexed window)
+                val maxPos = if (r.nIntv > 0) r.maxCoveredPos else 1L << 29
+                val lower0 = posLowerInclusive.map(l => math.max(0, l - 1).toLong).getOrElse(0L)
+                val upper0Ex = math.min(maxPos,
+                  posUpperInclusive.map(_.toLong).getOrElse(maxPos))
+                Some(TabixIndex.regionChunks(r, lower0, upper0Ex).map { ch =>
+                  val startC = TabixIndex.compressedOffset(ch.beg)
                   val endC = math.min(len,
-                    TabixIndex.compressedOffset(r.maxVoff) + TabixIndex.MaxBlockSize)
-                  Some(Array(VcfPartition(st.getPath.toString, startC, endC - startC,
-                    TabixIndex.uncompressedOffset(startVoff))))
-                }
+                    TabixIndex.compressedOffset(ch.end) + TabixIndex.MaxBlockSize)
+                  VcfPartition(st.getPath.toString, startC, endC - startC, samples,
+                    TabixIndex.uncompressedOffset(ch.beg))
+                })
             }
           }
         }
@@ -190,11 +236,12 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
           case Some(ps) => parts ++= ps
           case None =>
             if (!splittable || len <= maxSplit) {
-              parts += VcfPartition(st.getPath.toString, 0L, len)
+              parts += VcfPartition(st.getPath.toString, 0L, len, samples)
             } else {
               var off = 0L
               while (off < len) {
-                parts += VcfPartition(st.getPath.toString, off, math.min(maxSplit, len - off))
+                parts += VcfPartition(st.getPath.toString, off,
+                  math.min(maxSplit, len - off), samples)
                 off += maxSplit
               }
             }
@@ -204,24 +251,31 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     parts.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new VcfReaderFactory(required, filters)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val acc = SparkSession.active.sparkContext.longAccumulator("vcf malformed lines")
+    VcfDataSource.lastMalformedAcc = Some(acc)
+    new VcfReaderFactory(required, filters, acc)
+  }
 }
 
-/** @param vSkip -1 for plain byte-range splits; ≥0 marks a tabix-pruned
+/** @param samples sample names from this file's header (parsed once at
+  *                planning time), in genotype-column order
+  * @param vSkip -1 for plain byte-range splits; ≥0 marks a tabix-pruned
   *              BGZF region — `start` is then a compressed BLOCK offset
   *              (BGZF blocks are standalone gzip members, so
   *              decompression can begin there) and `vSkip` the number of
   *              DECOMPRESSED bytes to discard before the first record.
   */
 final case class VcfPartition(path: String, start: Long, length: Long,
-    vSkip: Int = -1)
+    samples: Array[String] = Array.empty, vSkip: Int = -1)
     extends InputPartition
 
-final class VcfReaderFactory(required: StructType, filters: Array[Filter])
+final class VcfReaderFactory(required: StructType, filters: Array[Filter],
+    malformed: LongAccumulator)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new VcfPartitionReader(partition.asInstanceOf[VcfPartition], required, filters)
+    new VcfPartitionReader(partition.asInstanceOf[VcfPartition], required, filters,
+      malformed)
 }
 
 /** Reads [start, start+length) of one file, aligned to line boundaries:
@@ -229,29 +283,22 @@ final class VcfReaderFactory(required: StructType, filters: Array[Filter])
   * previous split — and the reader finishes the line that straddles the
   * end offset. Standard text-split semantics, so no line is lost or
   * duplicated across partitions.
+  *
+  * PERMISSIVE posture: a data line with fewer than 9 tab-separated
+  * fields or a non-integer POS is counted into the `malformed`
+  * accumulator and skipped — never an exception (one corrupt line in a
+  * 100 TB crawl must not fail the job; the reference's pandas path
+  * likewise coerces leniently, pandasvcf.py:94-99).
   */
 final class VcfPartitionReader(
-    part: VcfPartition, required: StructType, filters: Array[Filter])
+    part: VcfPartition, required: StructType, filters: Array[Filter],
+    malformed: LongAccumulator)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
   private val hPath = new Path(part.path)
   private val fs = hPath.getFileSystem(conf)
   private val codec = new CompressionCodecFactory(conf).getCodec(hPath)
-
-  // samples come from this file's own header (cheap driver-of-one read
-  // of the leading '#' lines from the file start)
-  private val samples: Array[String] = {
-    val in = fs.open(hPath)
-    val stream = if (codec != null) codec.createInputStream(in) else in
-    val br = new BufferedReader(new InputStreamReader(stream, StandardCharsets.UTF_8))
-    try {
-      Iterator.continually(br.readLine()).takeWhile(l => l != null && l.startsWith("#"))
-        .foldLeft(Array.empty[String]) { (acc, l) =>
-          if (l.startsWith("#CHROM")) l.split("\t").drop(9) else acc
-        }
-    } finally br.close()
-  }
 
   // consumed bytes relative to part.start, for split-end detection
   // (uncompressed only). Hadoop LineRecordReader rule: a split owns the
@@ -315,18 +362,22 @@ final class VcfPartitionReader(
     "chrom" -> 0, "pos" -> 1, "id" -> 2, "ref" -> 3, "alt" -> 4,
     "qual" -> 5, "filter" -> 6, "info" -> 7, "format" -> 8)
 
-  private def passesFilters(f: Array[String]): Boolean = filters.forall {
+  private def passesFilters(f: Array[String], pos: Int): Boolean = filters.forall {
     case EqualTo("chrom", v) => normChrom(f(0)) == v.toString
-    case EqualTo("pos", v) => f(1).toInt == v.toString.toInt
-    case GreaterThan("pos", v) => f(1).toInt > v.toString.toInt
-    case GreaterThanOrEqual("pos", v) => f(1).toInt >= v.toString.toInt
-    case LessThan("pos", v) => f(1).toInt < v.toString.toInt
-    case LessThanOrEqual("pos", v) => f(1).toInt <= v.toString.toInt
+    case EqualTo("pos", v) => pos == v.toString.toInt
+    case GreaterThan("pos", v) => pos > v.toString.toInt
+    case GreaterThanOrEqual("pos", v) => pos >= v.toString.toInt
+    case LessThan("pos", v) => pos < v.toString.toInt
+    case LessThanOrEqual("pos", v) => pos <= v.toString.toInt
     case _ => true
   }
 
   private def normChrom(c: String): String =
     if (c.startsWith("chr")) c.substring(3) else c
+
+  private def parsePos(s: String): Int =
+    try java.lang.Integer.parseInt(s)
+    catch { case _: NumberFormatException => Int.MinValue }
 
   override def next(): Boolean = {
     while (true) {
@@ -344,8 +395,11 @@ final class VcfPartitionReader(
       val line = lineText.toString
       if (!line.startsWith("#") && line.nonEmpty) {
         val f = line.split("\t", -1)
-        if (f.length > 8 && passesFilters(f)) {
-          current = buildRow(f)
+        val pos = if (f.length > 8) parsePos(f(1)) else Int.MinValue
+        if (pos == Int.MinValue) {
+          malformed.add(1L) // PERMISSIVE: count and skip, never throw
+        } else if (passesFilters(f, pos)) {
+          current = buildRow(f, pos)
           return true
         }
       }
@@ -353,10 +407,11 @@ final class VcfPartitionReader(
     false
   }
 
-  private def buildRow(f: Array[String]): InternalRow = {
+  private def buildRow(f: Array[String], pos: Int): InternalRow = {
+    val samples = part.samples
     val values = required.fields.map { sf =>
       sf.name match {
-        case "pos" => f(1).toInt
+        case "pos" => pos
         case "chrom" => UTF8String.fromString(normChrom(f(0)))
         case "genotypes" =>
           val n = math.min(samples.length, math.max(0, f.length - 9))

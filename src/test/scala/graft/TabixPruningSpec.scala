@@ -79,4 +79,63 @@ class TabixPruningSpec extends AnyFunSuite with SparkSpec {
     val pruned = spark.read.format("vcf").load(chr22).filter(col("chrom") === "22")
     assert(pruned.count() === full)
   }
+
+  test("reg2bins covers the bins of the spec's 6 levels") {
+    // whole coordinate space touches every level's first/last bins
+    val all = TabixIndex.reg2bins(0L, 1L << 29)
+    assert(all.head === 0 && all.contains(1) && all.contains(8) &&
+      all.contains(9) && all.contains(4681) && all.max === 37448)
+    // a single 16 kb window yields exactly one bin per level
+    val one = TabixIndex.reg2bins(16300000L, 16300001L)
+    assert(one.size === 6, s"got $one")
+    assert(one === Seq(0, 1 + (16300000 >> 26), 9 + (16300000 >> 23),
+      73 + (16300000 >> 20), 585 + (16300000 >> 17), 4681 + (16300000 >> 14)))
+  }
+
+  test("binning index bounds BOTH ends: a locus query reads O(region) bytes") {
+    import graft.sources.v2.{VcfPartition, VcfScanBuilder}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+    val fs = new Path(chr22).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileLen = fs.getFileStatus(new Path(chr22)).getLen
+    val r = TabixIndex.read(fs, TabixIndex.sibling(new Path(chr22))).refs.head
+
+    def plannedBytes(lo: Int, hi: Int): Long = {
+      val b = new VcfScanBuilder(Seq(chr22))
+      b.pushFilters(Array(EqualTo("chrom", "22"),
+        GreaterThanOrEqual("pos", lo), LessThanOrEqual("pos", hi)))
+      val parts = b.build().toBatch.planInputPartitions()
+      assert(parts.nonEmpty, s"region $lo-$hi planned no partitions")
+      parts.map(_.asInstanceOf[VcfPartition].length).sum
+    }
+
+    // the pre-binning behavior read from the region start to the END of
+    // the chromosome's data; the chunk-pruned scan must beat that span
+    // by a wide margin for a mid-chromosome locus
+    val locusBytes = plannedBytes(16300000, 16320000)
+    val startBlock = TabixIndex.compressedOffset(r.minVoff)
+    val chromSpan = TabixIndex.compressedOffset(r.maxVoff) +
+      TabixIndex.MaxBlockSize - startBlock
+    assert(locusBytes < chromSpan / 4,
+      s"locus scan reads $locusBytes of $chromSpan chrom bytes (file $fileLen)")
+    // and widening the region monotonically widens the scan
+    assert(plannedBytes(16300000, 16600000) > locusBytes)
+  }
+
+  test("region-END bounded scan is lossless vs the unpruned reader") {
+    val lo = 16300000
+    val hi = 16320000
+    val expected = VcfReader.read(spark, chr22)
+      .filter(col("chrom") === "22" && col("pos") >= lo && col("pos") <= hi)
+      .select(sum(col("pos")).as("s"), count(lit(1)).as("n")).head()
+    assert(expected.getLong(1) > 0, "test region is empty — pick another")
+    val pruned = spark.read.format("vcf").load(chr22)
+      .filter(col("chrom") === "22" && col("pos") >= lo && col("pos") <= hi)
+    val got = pruned.select(sum(col("pos")).as("s"), count(lit(1)).as("n")).head()
+    assert(got.getLong(1) === expected.getLong(1), "row count drifted under chunk pruning")
+    assert(got.getLong(0) === expected.getLong(0), "pos checksum drifted under chunk pruning")
+    // pos equality pushes both bounds at once
+    val eq = spark.read.format("vcf").load(chr22)
+      .filter(col("chrom") === "22" && col("pos") === 16050075)
+    assert(eq.count() === 1)
+  }
 }

@@ -100,6 +100,45 @@ class VcfDataSourceSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("PERMISSIVE: corrupt lines across split boundaries are counted and skipped") {
+    import graft.sources.v2.VcfDataSource
+    // 3000 good rows with two planted corruptions: a non-integer POS and
+    // a truncated (<9 field) line, placed mid-file so small splits put
+    // them near boundaries
+    val bad = Files.createTempFile("graft-corrupt", ".vcf")
+    val header = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+    val rows = (1 to 3000).map {
+      case 1500 => "chr1\tnotanint\trsX\tA\tG\t50\tPASS\tNS=1\tGT\t0/1"
+      case 1501 => "chr1\t999" // truncated record
+      case i => s"chr${1 + i % 22}\t$i\trs$i\tA\tG\t50\tPASS\tNS=1\tGT\t0/1"
+    }.mkString("\n")
+    Files.writeString(bad, "##fileformat=VCFv4.2\n" + header + rows + "\n")
+    bad.toFile.deleteOnExit()
+
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try {
+      val df = spark.read.format("vcf").load(bad.toString)
+      assert(df.rdd.getNumPartitions > 3)
+      assert(df.count() === 2998, "good rows must all survive, bad rows must drop")
+      assert(VcfDataSource.lastMalformedCount.exists(_ >= 2),
+        s"malformed counter = ${VcfDataSource.lastMalformedCount}")
+      // a pushed pos filter over the corrupt region must not throw either
+      assert(df.filter(col("pos") >= 1400 && col("pos") <= 1600).count() === 199)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("sample names are planned once and shipped in partitions") {
+    import graft.sources.v2.{VcfPartition, VcfScanBuilder}
+    val b = new VcfScanBuilder(Seq(path))
+    val parts = b.build().toBatch.planInputPartitions()
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      assert(p.asInstanceOf[VcfPartition].samples.toSeq === Seq("NA1", "NA2"),
+        "reader tasks must receive the header's sample list pre-parsed")
+    }
+  }
+
   test("reads the real 1000-genomes .gz through format(\"vcf\")") {
     val real =
       "/root/reference/test_data/ALL.chr22.phase3_shapeit2_mvncall_integrated_v4.20130502.genotypes_10k.vcf.gz"
