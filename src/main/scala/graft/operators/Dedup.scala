@@ -37,6 +37,11 @@ object Dedup {
     df.select(col(idCol).as("id"),
         explode(wordNgrams(wsTokens(lower(cleanAscii(col(textCol)))), n)).as("s"))
       .select(col("id"), rollingHash(col("s")).as("sh"))
+      // explicit (vacuously true) not-null: downstream equi-joins on sh
+      // infer this filter on THEIR branches, and a consumer without it
+      // (the set-size aggregation) would fail sameResult against them —
+      // breaking the ReusedExchange sharing of the distinct's shuffle
+      .filter(col("sh").isNotNull)
       .distinct()
 
   /** Drop shingles appearing in more than `cap` docs — boilerplate
@@ -57,13 +62,27 @@ object Dedup {
     * the shingle hash), then |∩| counted and |∪| derived from per-doc
     * set sizes — no quadratic blowup; `maxDocFreq` caps hot-shingle
     * skew (the viral-boilerplate bucket), AQE handles the residual tail.
+    *
+    * The shingle table is NOT cached by default: its distinct() shuffle
+    * is the sharing point — Spark's ReusedExchange feeds both self-join
+    * sides and the set-size aggregation from that one shuffle output, so
+    * the scan/explode/hash subtree runs once regardless (PlanSpec pins
+    * this). Caching a table strictly larger than the corpus is a
+    * multi-corpus memory/disk footprint at 100 TB — opt in via
+    * `shingleStorage` only when iterating over thresholds on a corpus
+    * that fits.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = None,
+      shingleStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
     val raw = shingleTable(df, idCol, textCol, n)
-    val sh = maxDocFreq.fold(raw)(capDocFreq(raw, _)).cache()
+    val capped = maxDocFreq.fold(raw)(capDocFreq(raw, _))
+    val sh =
+      if (shingleStorage == org.apache.spark.storage.StorageLevel.NONE) capped
+      else capped.persist(shingleStorage)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -92,4 +92,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = planOf("q40_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("jaccard shingle table is shared via ReusedExchange, not a cache") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.5)
+    pairs.collect() // finalize AQE so reuse nodes are visible
+    // executedPlan.toString appends the pre-AQE "Initial Plan" where the
+    // subtree textually repeats — assert on the final plan only
+    val p = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the expensive scan→explode→hash→distinct subtree must run ONCE:
+    // its shuffle output feeds both self-join sides and the set-size
+    // aggregation through reuse nodes, with no InMemory relation pinned
+    assert(!p.contains("InMemoryTableScan"),
+      s"shingle table must not be cached by default:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
+      p.contains("ShuffleQueryStage"),
+      s"expected shared shuffle stages:\n$p")
+    // only one scan of the documents parquet in the whole plan
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans <= 1, s"shingle subtree must not be recomputed per consumer:\n$p")
+  }
 }
