@@ -42,9 +42,15 @@ object SyntheticVariants {
   val idSql = "'rs' || CAST(k AS VARCHAR(20))"
   val qualSql = "CAST(k % 100 AS VARCHAR(8))"
   val filtSql = "CASE WHEN k % 2 = 0 THEN 'PASS' ELSE 'q10' END"
+  /** INFO string; AF is `Number=A` (one value per ALT allele — comma
+    * list on the multiallelic k%13 sites), the substrate for per-allele
+    * alignment (q62).
+    */
   val infoSql: String =
     "'NS=' || CAST(k % 100 AS VARCHAR(8)) || ';DP=' || CAST(k % 1000 AS VARCHAR(8)) || " +
-      "';AF=0.' || CAST(k % 97 AS VARCHAR(8))"
+      "';AF=0.' || CAST(k % 97 AS VARCHAR(8)) || " +
+      "CASE WHEN k % 17 <> 0 AND k % 13 = 0 " +
+      "THEN ',0.' || CAST(k % 89 AS VARCHAR(8)) ELSE '' END"
 
   /** Genotype call for sample term `g` (an SQL int expression). */
   private def gtSql(g: String): String =

@@ -183,7 +183,7 @@ object VcfQueries extends QuerySet {
       SELECT k,
         CAST(regexp_extract(info, 'NS=([0-9]+)', 1) AS BIGINT) AS ns,
         CAST(regexp_extract(info, 'DP=([0-9]+)', 1) AS BIGINT) AS dpi,
-        regexp_extract(info, 'AF=([0-9.]+)', 1) AS af
+        regexp_extract(info, 'AF=([0-9.,]+)', 1) AS af
       FROM v ORDER BY k
     """))
 
@@ -279,5 +279,44 @@ object VcfQueries extends QuerySet {
       FROM b GROUP BY bin ORDER BY bin
     """))
 
-  val all: Seq[Q] = Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61)
+  /** Per-allele INFO alignment (`Number=A`): split ALTs posexploded and
+    * joined positionally to the header-typed AF array — the i-th AF
+    * belongs to the i-th ALT allele, the alignment the reference's
+    * notebooks do by hand after a multi-allelic explode. Exercises
+    * [[VcfReader.withTypedInfo]]'s array (`Number=A`) and scalar
+    * (`Number=1`) paths under an oracle; narrow (generator + projection,
+    * no shuffle before the ordered output).
+    */
+  private val q62 = Q(
+    "q62_allele_info",
+    (s, dir) => {
+      import graft.sources.VcfReader.FieldDecl
+      val typed = VcfReader.withTypedInfo(
+        wide(s, dir).filter(col("alt") =!= "."),
+        Seq(FieldDecl("AF", "A", "Float"), FieldDecl("NS", "1", "Integer")))
+      typed
+        .select(col("k"), col("chrom"), col("pos"), col("ref"),
+          col("INFO_NS").as("ns"), col("INFO_AF"),
+          posexplode(split(col("alt"), ",")).as(Seq("ai", "a")))
+        .select(col("k"), col("chrom"), col("pos"), col("ref"), col("a"),
+          (col("ai") + 1).cast("int").as("allele_idx"), col("ns"),
+          micro(try_element_at(col("INFO_AF"), col("ai") + 1)).as("af_micro"),
+          vartype(col("ref"), col("a")).as("vartype"))
+        .orderBy("k", "allele_idx")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      ax AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref,
+               unnest(string_split(alt, ',')) AS a,
+               unnest(range(1, CAST(len(string_split(alt, ',')) AS INT) + 1)) AS allele_idx,
+               CAST(regexp_extract(info, 'NS=([0-9]+)', 1) AS BIGINT) AS ns,
+               string_split(regexp_extract(info, 'AF=([0-9.,]+)', 1), ',') AS afs
+             FROM v WHERE alt <> '.')
+      SELECT k, chrom, pos, ref, a, CAST(allele_idx AS INT) AS allele_idx, ns,
+        ${microSql("CAST(afs[CAST(allele_idx AS INT)] AS DOUBLE)")} AS af_micro,
+        ${vartypeSql("ref", "a")} AS vartype
+      FROM ax ORDER BY k, allele_idx
+    """))
+
+  val all: Seq[Q] = Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62)
 }
