@@ -116,28 +116,24 @@ object VcfQueries extends QuerySet {
       GROUP BY zygosity ORDER BY zygosity
     """))
 
-  /** The flagship: full long annotation matrix with hom_ref_counts,
-    * drop_hom_ref=true and split_columns={AD:2} — the reference's
-    * add_variant_annotations end to end.
-    */
-  private val q15 = Q(
-    "q15_vcf_annotate",
-    (s, dir) =>
-      VariantAnnotator
-        .annotate(wide(s, dir),
-          VariantAnnotator.Options(
-            splitColumns = Map("AD" -> 2),
-            dropHomRef = true,
-            formatKeys = fmtKeys))
-        .select(
-          col("chrom"), col("pos"), col("ref"), col("alt"), col("sample_id"),
-          col("gt"), col("phase"), col("gt1"), col("gt2"), col("a1"), col("a2"),
-          col("multiallele"), col("vartype1"), col("vartype2"), col("zygosity"),
-          col("hom_ref_counts"),
-          col("DP").cast("long").as("dp"),
-          col("AD_0").as("ad_0"), col("AD_1").as("ad_1"))
-        .orderBy("chrom", "pos", "ref", "alt", "sample_id"),
-    Some(s"""
+  /** Shared full-annotate projection (q15 in-memory, q63 file path). */
+  private def annotateProjection(df: org.apache.spark.sql.DataFrame) =
+    VariantAnnotator
+      .annotate(df,
+        VariantAnnotator.Options(
+          splitColumns = Map("AD" -> 2),
+          dropHomRef = true,
+          formatKeys = fmtKeys))
+      .select(
+        col("chrom"), col("pos"), col("ref"), col("alt"), col("sample_id"),
+        col("gt"), col("phase"), col("gt1"), col("gt2"), col("a1"), col("a2"),
+        col("multiallele"), col("vartype1"), col("vartype2"), col("zygosity"),
+        col("hom_ref_counts"),
+        col("DP").cast("long").as("dp"),
+        col("AD_0").as("ad_0"), col("AD_1").as("ad_1"))
+      .orderBy("chrom", "pos", "ref", "alt", "sample_id")
+
+  private val annotateOracle = s"""
       WITH $duckCtes, $duckAnnotateCtes
       SELECT chrom, pos, ref, alt, sample_id, gt, phase, gt1, gt2, a1, a2,
              multiallele, vartype1, vartype2, zygosity, hom_ref_counts, dp,
@@ -145,7 +141,16 @@ object VcfQueries extends QuerySet {
              string_split(ad, ',')[2] AS ad_1
       FROM cnt WHERE zygosity <> 'hom-ref'
       ORDER BY chrom, pos, ref, alt, sample_id
-    """))
+    """
+
+  /** The flagship: full long annotation matrix with hom_ref_counts,
+    * drop_hom_ref=true and split_columns={AD:2} — the reference's
+    * add_variant_annotations end to end.
+    */
+  private val q15 = Q(
+    "q15_vcf_annotate",
+    (s, dir) => annotateProjection(wide(s, dir)),
+    Some(annotateOracle))
 
   /** FORMAT subfield extraction used numerically (sum of DP per chrom). */
   private val q16 = Q(
@@ -318,5 +323,49 @@ object VcfQueries extends QuerySet {
       FROM ax ORDER BY k, allele_idx
     """))
 
-  val all: Seq[Q] = Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62)
+  /** Write-once sharded VCF corpus for the file-path gate (q63): the
+    * synthetic wide frame emitted via [[graft.sources.VcfWriter]] under
+    * a derivation-hashed /tmp dir — a changed derivation auto-
+    * invalidates the cache. Returns the headerless shard directory.
+    */
+  private def vcfCorpusShards(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val ver = java.lang.Integer.toHexString(
+      (chromRawSql + posSql + refSql + altSql + idSql + qualSql + filtSql +
+        infoSql + callSql("1")).hashCode)
+    val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"/tmp/graft_vcf_corpus_${sf}_$ver"
+    val marker = new org.apache.hadoop.fs.Path(s"$out/shards/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val meta = graft.sources.VcfReader.VcfMetadata(
+        Seq("fileformat" -> "VCFv4.2"),
+        Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+          "FORMAT") ++ sampleIds,
+        sampleIds)
+      graft.sources.VcfWriter.writeSharded(
+        wide(s, dir).withColumnRenamed("filt", "filter"), meta, out)
+    }
+    s"$out/shards"
+  }
+
+  /** The annotate a 100 TB user actually pays for: real sharded VCF
+    * files → `format("vcf")` (headerless shards, `samples` option) →
+    * full annotate. Parallelism comes from file SPLITS — no repartition
+    * fan-out anywhere on this path (the in-memory gates need one only
+    * because the synthetic derivation sits on a 1-3-split parquet).
+    * Same oracle as q15: the emitted corpus is byte-faithful
+    * (VcfWriterSpec round-trip), so the file path must annotate to the
+    * identical matrix.
+    */
+  private val q63 = Q(
+    "q63_file_annotate",
+    (s, dir) => {
+      val df = s.read.format("vcf")
+        .option("samples", sampleIds.mkString(","))
+        .load(vcfCorpusShards(s, dir))
+      annotateProjection(df)
+    },
+    Some(annotateOracle))
+
+  val all: Seq[Q] = Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63)
 }

@@ -102,10 +102,19 @@ final class VcfTable(paths: Seq[String]) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VcfScanBuilder(paths)
+    new VcfScanBuilder(paths,
+      Option(options.get("samples")).map(_.split(",").map(_.trim)))
 }
 
-final class VcfScanBuilder(paths: Seq[String])
+/** @param samplesOverride `.option("samples", "s1,s2,…")` — the sample
+  *                        list for HEADERLESS data shards (distributed
+  *                        writers emit header-free shards + one header
+  *                        file, the bgzip/bcftools convention VcfWriter
+  *                        follows); without it the list is parsed from
+  *                        each file's own leading `#` lines.
+  */
+final class VcfScanBuilder(paths: Seq[String],
+    samplesOverride: Option[Array[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = VcfDataSource.schema
@@ -127,10 +136,11 @@ final class VcfScanBuilder(paths: Seq[String])
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new VcfScan(paths, required, pushed)
+  override def build(): Scan = new VcfScan(paths, required, pushed, samplesOverride)
 }
 
-final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Filter])
+final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Filter],
+    samplesOverride: Option[Array[String]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -197,7 +207,8 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
         val len = st.getLen
         val isGz = st.getPath.getName.endsWith(".gz")
         val splittable = !isGz
-        lazy val samples = headerSamples(fs, conf, st.getPath)
+        lazy val samples =
+          samplesOverride.getOrElse(headerSamples(fs, conf, st.getPath))
 
         // Region pruning via the sibling tabix index: with a pushed
         // chrom (+ optional pos bounds) and a .tbi next to the file,
