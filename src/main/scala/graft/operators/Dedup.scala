@@ -243,6 +243,61 @@ object Dedup {
   def digests(docs: DataFrame, textCol: String): DataFrame =
     docs.select(binaryHash(col(textCol)).as("digest")).distinct()
 
+  /** Serialized Bloom filter over a digest index (`xxhash64` of each
+    * digest, inserted as longs) — the broadcastable front for
+    * [[incrementalExactBloom]]. ~1.2 B per item at fpp 1%; build once
+    * when the index is (re)compacted and carry it batch to batch
+    * (`org.apache.spark.util.sketch.BloomFilter.mergeInPlace` unions
+    * two fronts), rather than rebuilding per batch.
+    */
+  def digestBloom(digestIndex: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    val bf = digestIndex.select(xxhash64(col("digest")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[incrementalExact]] with a Bloom front: the common no-hit case
+    * never touches the digest index AT ALL — a bloom-negative row is
+    * definitely new (no false negatives) and bypasses straight to the
+    * output, narrow. Only the bloom-POSITIVE sliver (true dups + fpp
+    * false positives) is checked exactly, and even that check never
+    * shuffles the index: the sliver's digests broadcast-semi-join the
+    * index down to the actual hits (a narrow index scan), and the
+    * sliver anti-joins the broadcast hit set. Shuffle budget at 100 TB:
+    * ONE batch shuffle (the in-batch first-of-digest window, inherent)
+    * + zero index shuffles, vs [[incrementalExact]]'s index-wide
+    * anti-join exchange.
+    *
+    * Degenerate case: a batch that is MOSTLY duplicates makes the
+    * sliver ≈ the batch and the hit set large — fall back to
+    * [[incrementalExact]] there (broadcasts would balloon).
+    */
+  def incrementalExactBloom(
+      newDocs: DataFrame, seenDigests: DataFrame,
+      idCol: String, textCol: String, bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val first = newDocs.withColumn("__h", binaryHash(col(textCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val might = Bridge.column(BloomFilterMightContain(
+      Literal.create(bloom, BinaryType),
+      Bridge.expression(xxhash64(col("__h")))))
+    val flagged = first.withColumn("__maybe", might)
+    val sliver = flagged.filter(col("__maybe"))
+    val hits = seenDigests.select(col("digest").as("__h"))
+      .join(broadcast(sliver.select(col("__h")).distinct()), Seq("__h"), "left_semi")
+    val keepCols = newDocs.columns.map(col(_))
+    flagged.filter(!col("__maybe")).select(keepCols: _*)
+      .unionAll(sliver.join(broadcast(hits), Seq("__h"), "left_anti")
+        .select(keepCols: _*))
+  }
+
   /** Connected components over an undirected near-dup pair list:
     * (id_a, id_b) → (id, comp), comp = min node id of the component.
     * The step near-dup pipelines need between "pairs found" and "corpus

@@ -562,7 +562,12 @@ object LlmQueries extends QuerySet {
         .select(col("doc_id").as("id"), col("text"))
         .unionAll(d.filter(col("doc_id") < 250 && col("doc_id") % 5 === 0)
           .select((col("doc_id") + 3000000L).as("id"), col("text")))
-      Dedup.incrementalExact(batch, Dedup.digests(ingested, "text"), "id", "text")
+      // Bloom-fronted path (exact — no false negatives): bloom-negative
+      // batch rows bypass the index entirely; the positive sliver is
+      // checked via broadcast semi/anti joins, never an index shuffle
+      val seen = Dedup.digests(ingested, "text")
+      Dedup.incrementalExactBloom(batch, seen, "id", "text",
+          Dedup.digestBloom(seen, expectedItems = 1000))
         .groupBy()
         .agg(count(lit(1)).as("n_kept"), sum(col("id")).as("id_sum"))
     },

@@ -148,6 +148,53 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(kept === Seq(11L, 13L))
   }
 
+  test("incrementalExactBloom matches the plain path and never shuffles the index") {
+    val ingested = Seq((1L, "seen before"), (2L, "also seen")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // cross-batch dup → dropped
+      (11L, "fresh text a"),
+      (12L, "fresh text a"),  // in-batch dup → min id 11 survives
+      (13L, "also seen"),     // cross-batch dup → dropped
+      (14L, "fresh text b"))
+      .toDF("id", "text")
+    val seen = Dedup.digests(ingested, "text")
+    val bloom = Dedup.digestBloom(seen, expectedItems = 100)
+    val out = Dedup.incrementalExactBloom(batch, seen, "id", "text", bloom)
+    val kept = out.collect().map(_.getLong(0)).sorted.toSeq
+    val plain = Dedup.incrementalExact(batch, seen, "id", "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(11L, 14L))
+    assert(kept === plain, "bloom front must stay exact")
+    // the index side must appear only under broadcast joins — a bloom
+    // front that still sort-merge/shuffle-joins the index is pointless
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"index must never shuffle behind the bloom front:\n$plan")
+    // a local-Seq batch constant-folds the probe (ConvertToLocalRelation)
+    // — assert the might_contain expression on a non-local batch
+    val batch2 = spark.range(0, 100)
+      .select(col("id"), concat(lit("t"), col("id") % 50).as("text"))
+    val out2 = Dedup.incrementalExactBloom(batch2, seen, "id", "text", bloom)
+    val plan2 = out2.queryExecution.executedPlan.toString
+    assert(plan2.contains("might_contain"), s"bloom probe missing from plan:\n$plan2")
+  }
+
+  test("bloom false positives survive via the exact check") {
+    // plant a guaranteed 'false positive': the bloom contains a digest
+    // (of 'fresh text a') that is NOT in the exact index — the row is
+    // bloom-positive, must NOT be dropped by the exact anti-join
+    val ingested = Seq((1L, "seen before")).toDF("id", "text")
+    val seen = Dedup.digests(ingested, "text")
+    val bloomSuperset = Dedup.digestBloom(
+      Dedup.digests(Seq((0L, "fresh text a")).toDF("id", "text"), "text")
+        .unionAll(seen), expectedItems = 100)
+    val batch = Seq((10L, "seen before"), (11L, "fresh text a")).toDF("id", "text")
+    val kept = Dedup.incrementalExactBloom(batch, seen, "id", "text", bloomSuperset)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(11L), "a bloom false positive must survive the exact check")
+  }
+
   test("kmeansStep moves centroids to cluster means; feedback loop stabilizes") {
     // two tight clusters around (1,0) and (0,1); seed centroids offset
     val vecs = Seq(
