@@ -28,6 +28,13 @@ object StringExprs {
   def simhash32(tokenHashes: Column): Column =
     Bridge.column(Simhash32Expr(Bridge.expression(tokenHashes)))
 
+  /** One-pass k-permutation minhash signature over an array<long> of
+    * shingle hashes.
+    */
+  def minhashSig(shingleHashes: Column, as: Seq[Long], bs: Seq[Long],
+      mod: Long): Column =
+    Bridge.column(MinhashSigExpr(Bridge.expression(shingleHashes), as, bs, mod))
+
   val HashMod = 1000000007L
 
   // ---- shared scalar kernels (called from generated code) -------------

@@ -103,6 +103,34 @@ object VectorExprs {
     java.lang.Double.valueOf(ab / (math.sqrt(aa) * math.sqrt(bb)))
   }
 
+  /** One-pass k-permutation minhash kernel: for each j,
+    * min over x of (x·a(j) + b(j)) mod m. Null elements skipped; an
+    * empty/all-null input yields null (no shingles → no signature).
+    */
+  def minhashK(arr: ArrayData, as: Array[Long], bs: Array[Long],
+      mod: Long): ArrayData = {
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val x = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val h = (x * as(j) + bs(j)) % mod
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** One-pass 32-bit simhash kernel over long token hashes. */
   def simhash32K(a: ArrayData): Long = {
     val n = a.numElements()
@@ -239,5 +267,51 @@ case class Simhash32Expr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.expressions.VectorExprs.simhash32K($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
+    copy(child = newChild)
+}
+
+/** k-permutation MinHash signature over an array of shingle hashes —
+  * one pass with k running mins (h_j(x) = (a_j·x + b_j) mod m), codegen'd.
+  * Replaces the HOF formulation (k interpreted array_min(transform(…))
+  * folds per row — k passes over the array, all CodegenFallback: the
+  * same lesson as dot/simhash32, SURVEY §8). Coefficient banks are
+  * Seq in the case class (array fields break expression equality) and
+  * shipped into generated code as reference objects. NULL array or a
+  * shingle-less doc → NULL signature.
+  */
+case class MinhashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
+    mod: Long) extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty,
+    s"coefficient banks must align: ${as.length} vs ${bs.length}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> input, got ${other.simpleString}")
+  }
+
+  @transient private lazy val asArr = as.toArray
+  @transient private lazy val bsArr = bs.toArray
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExprs.minhashK(a.asInstanceOf[ArrayData], asArr, bsArr, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashAs", asArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashBs", bsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sig")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
+        graft.expressions.VectorExprs.minhashK($c, $aRef, $bRef, ${mod}L);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
     copy(child = newChild)
 }

@@ -72,13 +72,12 @@ object TextFunctions {
     Seq(3L, 5L, 17L, 23L, 29L, 31L, 41L, 43L, 47L, 53L, 59L, 61L, 67L, 71L, 73L, 79L)
 
   /** MinHash signature (array of MinhashA.size mins) over a shingle-hash
-    * array; NULL entries if the doc has no shingles.
+    * array; NULL if the doc has no shingles. Backed by a native one-pass
+    * codegen kernel (MinhashSigExpr) — the HOF form ran 16 interpreted
+    * array_min(transform(…)) folds per row.
     */
   def minhashSignature(shingles: Column): Column =
-    array(MinhashA.indices.map { j =>
-      array_min(transform(shingles,
-        x => (x * MinhashA(j) + MinhashB(j)) % HashMod))
-    }: _*)
+    graft.expressions.StringExprs.minhashSig(shingles, MinhashA, MinhashB, HashMod)
 
   /** 32-bit SimHash over token hashes: bit b of the result is set when
     * the b-th bit majority over token hashes is positive. Backed by a

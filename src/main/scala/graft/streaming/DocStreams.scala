@@ -152,6 +152,74 @@ object DocStreams {
       }
   }
 
+  /** Per-bucket minhash state: recent doc ids, newest last, capped. */
+  final case class MinhashState(entries: List[Long])
+
+  /** One minhash candidate flag: `doc_id` shares LSH band `band` with
+    * the earlier `matched_id`.
+    */
+  final case class MinhashFlag(doc_id: Long, matched_id: Long, band: Int)
+
+  /** Streaming MINHASH near-dup candidates — the streaming twin of
+    * Dedup.minhashLshPairs, closing the streaming dedup family next to
+    * the simhash path ([[nearDupFlags]]): each arriving doc's 16-min
+    * signature (native one-pass kernel) is split into `bands` band
+    * keys — the EXACT keys the batch operator joins on, so stream
+    * candidates agree with the batch pair list — and compared only
+    * against the recent doc ids held in that band bucket's state.
+    *
+    * Same state discipline as the simhash path: per-(band, key) state
+    * CAPPED at `maxPerBand` ids (oldest evicted) and EXPIRED
+    * `horizonSeconds` after a bucket's last arrival (EventTimeTimeout):
+    * the stream flags near-in-time duplicates, corpus-wide dedup stays
+    * in the batch layer. A doc can flag in several bands — consumers
+    * dedup (doc_id, matched_id) downstream.
+    */
+  def minhashDupFlags(
+      docs: DataFrame,
+      bands: Int = 4,
+      maxPerBand: Int = 64,
+      horizonSeconds: Long = 3600L): Dataset[MinhashFlag] = {
+    import graft.functions.TextFunctions._
+    require(bands > 0 && MinhashA.size % bands == 0,
+      s"bands must divide the signature size ${MinhashA.size}, got $bands")
+    val rows = MinhashA.size / bands
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val banded = docs
+      .withColumn("__sig", minhashSignature(shingleHashes(col("text"), 3)))
+      .filter(col("__sig").isNotNull) // shingle-less docs have no signature
+      .select(col("ts"), col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          concat_ws("_", (0 until rows).map(r =>
+            element_at(col("__sig"), b * rows + r + 1)): _*)): _*))
+          .as(Seq("band", "key")))
+    banded.withWatermark("ts", s"$horizonSeconds seconds")
+      .as[(Timestamp, Long, Int, String)]
+      .groupByKey { case (_, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[MinhashState, MinhashFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: (Int, String), rowsIt: Iterator[(Timestamp, Long, Int, String)],
+         state: GroupState[MinhashState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rowsIt.toSeq.sortBy { case (ts, id, _, _) => (ts.getTime, id) }
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val flags = Seq.newBuilder[MinhashFlag]
+            sorted.foreach { case (_, id, band, _) =>
+              entries.lastOption.foreach(mid => flags += MinhashFlag(id, mid, band))
+              entries = (entries :+ id).takeRight(maxPerBand)
+            }
+            state.update(MinhashState(entries))
+            val lastTs = sorted.map(_._1.getTime).max
+            state.setTimeoutTimestamp(lastTs + horizonSeconds * 1000)
+            flags.result().iterator
+          }
+      }
+  }
+
   /** Batch twin of [[ingestClean]] (keep the earliest copy per digest). */
   def ingestCleanBatch(docs: DataFrame, minTokens: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -119,6 +119,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!flagged.contains(3L))
   }
 
+  test("streaming minhash flags agree with the batch LSH pair list") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      Doc(ts(0), 1L, base),
+      Doc(ts(1), 2L, base + " tail1 tail2"),         // near-dup of 1, later
+      Doc(ts(2), 3L, (100 to 140).map(i => s"other$i").mkString(" ")), // distinct
+      Doc(ts(3), 4L, base))                          // exact dup of 1
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(docs)
+    val q = DocStreams.minhashDupFlags(mem.toDF())
+      .writeStream.format("memory").queryName("graft_minhash_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamPairs = spark.table("graft_minhash_test")
+      .select(least(col("doc_id"), col("matched_id")).as("a"),
+        greatest(col("doc_id"), col("matched_id")).as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val batchPairs = Dedup.minhashLshPairs(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    // stream candidates use the batch operator's EXACT band keys, so
+    // every stream pair must be a batch pair; the dup family {1,2,4} is
+    // fully flagged, the distinct doc never
+    assert(streamPairs.nonEmpty && streamPairs.subsetOf(batchPairs),
+      s"stream $streamPairs vs batch $batchPairs")
+    val flaggedDocs = spark.table("graft_minhash_test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(flaggedDocs === Set(2L, 4L), s"got $flaggedDocs")
+    assert(!streamPairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("nearDupFlags refuses maxHamming beyond the pigeonhole guarantee") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc

@@ -94,6 +94,28 @@ class VectorExprsSpec extends AnyFunSuite with SparkSpec {
     assert(ok === 0xFFFFFFFFL)
   }
 
+  test("minhash_sig runs inside WholeStageCodegen and matches the HOF fold") {
+    import graft.functions.TextFunctions._
+    val df = spark.range(3).select(
+      array(col("id") + 1, col("id") + 2, col("id") * 1000 + 7).as("hs"))
+      .select(col("hs"), minhashSignature(col("hs")).as("sig"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](0)
+      val sig = r.getSeq[Long](1)
+      val expect = MinhashA.indices.map(j =>
+        hs.map(x => (x * MinhashA(j) + MinhashB(j)) % HashMod).min)
+      assert(sig === expect)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("minhash_sig")).get
+    assert(line.trim.matches("""^\+?-?\s*\*\(\d+\).*"""), plan)
+    // empty / null input → null signature
+    val empty = spark.range(1)
+      .select(minhashSignature(array().cast("array<long>")).as("s")).head()
+    assert(empty.isNullAt(0))
+  }
+
   test("lshBucket on the native dot matches the round-2 HOF buckets") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val df = Seq((1L, Seq(5.0, 3.0)), (2L, Seq(-5.0, -3.0)), (3L, Seq(0.1, -9.0)))
