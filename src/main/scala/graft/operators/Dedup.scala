@@ -314,23 +314,33 @@ object Dedup {
     * a driver action by design: the standard fixed-point pattern for
     * iterative graph algorithms on Spark.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      reliable: Boolean = false): DataFrame = {
+    // localCheckpoint blocks live on executors: one executor death
+    // mid-iteration kills a long CC run. For 100 TB dedup jobs pass
+    // reliable = true (requires sparkContext.setCheckpointDir) to cut
+    // lineage through the checkpoint DIRECTORY instead — restartable at
+    // the cost of one fs round-trip per iteration.
+    require(!reliable ||
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable = true needs spark.sparkContext.setCheckpointDir(...)")
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = cp(pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+      .distinct())
+    var labels = cp(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     var done = false
     var i = 0
     while (!done && i < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("id")).agg(min("comp").as("__nc"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val next = cp(labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp")))
       val changed = next
         .join(labels.withColumnRenamed("comp", "__prev"), "id")
         .filter(col("comp") < col("__prev")).count()

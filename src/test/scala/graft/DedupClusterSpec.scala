@@ -47,6 +47,30 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(out === Set((2L, 1L, true), (3L, 1L, false)))
   }
 
+  test("reliable without a checkpoint dir is refused up front") {
+    // declared before the test that sets the dir (shared session)
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, reliable = true)
+      }
+    }
+  }
+
+  test("reliable checkpointing reaches the same fixed point") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val rel = Dedup.connectedComponents(pairs, reliable = true)
+      .as[(Long, Long)].collect().toMap
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(rel === local)
+    assert(rel === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("maxIter too small for the diameter fails loudly instead of silently") {
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
