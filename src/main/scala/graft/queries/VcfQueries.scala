@@ -367,5 +367,36 @@ object VcfQueries extends QuerySet {
     },
     Some(annotateOracle))
 
-  val all: Seq[Q] = Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63)
+  /** Header-declared FORMAT typing ([[VcfReader.withTypedFormat]]):
+    * DP (`Number=1`, Integer) becomes a long scalar and AD (`Number=.`,
+    * Integer) a long array on the annotated long frame, then both are
+    * used NUMERICALLY per chrom — the schema-driven replacement for
+    * q15/q16's manual casts, oracle-gated.
+    */
+  private val q64 = Q(
+    "q64_typed_format",
+    (s, dir) => {
+      import graft.sources.VcfReader.FieldDecl
+      val ann = VariantAnnotator.annotate(wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val typed = VcfReader.withTypedFormat(ann,
+        Seq(FieldDecl("DP", "1", "Integer"), FieldDecl("AD", ".", "Integer")))
+      typed.groupBy("chrom")
+        .agg(sum(col("DP")).as("sum_dp"),
+          sum(try_element_at(col("AD"), lit(1))).as("sum_ad0"),
+          sum(try_element_at(col("AD"), lit(2))).as("sum_ad1"),
+          count(lit(1)).as("n"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes
+      SELECT chrom, CAST(sum(dp) AS BIGINT) AS sum_dp,
+        CAST(sum(CAST(string_split(ad, ',')[1] AS BIGINT)) AS BIGINT) AS sum_ad0,
+        CAST(sum(CAST(string_split(ad, ',')[2] AS BIGINT)) AS BIGINT) AS sum_ad1,
+        count(*) AS n
+      FROM ann GROUP BY chrom ORDER BY chrom
+    """))
+
+  val all: Seq[Q] =
+    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64)
 }

@@ -47,17 +47,24 @@ object TabixIndex {
     * @param maxVoff largest chunk-end virtual offset (end of data)
     * @param ioff    linear index: ioff(w) = smallest virtual offset of
     *                records overlapping window [w*16kb, (w+1)*16kb); 0
-    *                entries mean "no update" (fall back to minVoff)
+    *                entries mean "no update" (fall back to minVoff).
+    *                Empty for `.csi` (CSI carries no linear index).
     * @param bins    binning index: bin number → file chunks of records
     *                assigned to that bin
+    * @param minShift finest window bit width (14 = 16 kb for tabix;
+    *                 `.csi` declares its own)
+    * @param depth    binning tree depth (5 for tabix)
     */
   final case class Ref(name: String, minVoff: Long, maxVoff: Long,
-      ioff: Array[Long], bins: Map[Int, Array[Chunk]]) {
+      ioff: Array[Long], bins: Map[Int, Array[Chunk]],
+      minShift: Int = 14, depth: Int = 5) {
     def nIntv: Int = ioff.length
     /** Max record start position covered: every record STARTS in some
       * indexed window, so pos lower bounds at or beyond this prune the
       * whole ref. */
-    def maxCoveredPos: Long = ioff.length.toLong << 14
+    def maxCoveredPos: Long = ioff.length.toLong << minShift
+    /** Largest representable position + 1 under this tree shape. */
+    def maxPos: Long = 1L << (minShift + 3 * depth)
   }
 
   final case class Index(refs: Seq[Ref]) {
@@ -72,6 +79,22 @@ object TabixIndex {
   /** Sibling index path convention: `<data file>.tbi`. */
   def sibling(dataPath: Path): Path =
     new Path(dataPath.getParent, dataPath.getName + ".tbi")
+
+  /** Sibling `.csi` (the 64-bit successor format; htslib writes it when
+    * a chromosome outgrows tabix's 2^29 limit). */
+  def csiSibling(dataPath: Path): Path =
+    new Path(dataPath.getParent, dataPath.getName + ".csi")
+
+  /** Read whichever sibling index exists — `.tbi` preferred, `.csi`
+    * fallback; None when the file is unindexed.
+    */
+  def readSibling(fs: FileSystem, dataPath: Path): Option[Index] = {
+    val tbi = sibling(dataPath)
+    val csi = csiSibling(dataPath)
+    if (fs.exists(tbi)) Some(read(fs, tbi))
+    else if (fs.exists(csi)) Some(readCsi(fs, csi))
+    else None
+  }
 
   def read(fs: FileSystem, tbiPath: Path): Index = {
     val in = new GZIPInputStream(fs.open(tbiPath), 65536)
@@ -123,16 +146,24 @@ object TabixIndex {
   }
 
   /** Bins whose windows overlap the 0-based half-open region
-    * [beg0, end0Ex) — the tabix spec's `reg2bins` (6 levels, 16 kb
-    * finest windows, positions < 2^29).
+    * [beg0, end0Ex) — the tabix/CSI spec's `reg2bins`. Level l of a
+    * (minShift, depth) tree has bin offset (8^l - 1)/7 and window width
+    * 2^(minShift + 3·(depth - l)); the tabix defaults (14, 5) give the
+    * familiar 0 / 1-8 / 9-72 / 73-584 / 585-4680 / 4681-37448 layout
+    * with 16 kb finest windows and positions < 2^29.
     */
-  def reg2bins(beg0: Long, end0Ex: Long): Seq[Int] = {
-    val beg = math.max(0L, math.min(beg0, (1L << 29) - 1))
-    val end = math.max(beg, math.min(end0Ex, 1L << 29) - 1) // inclusive
-    val out = mutable.ArrayBuffer(0)
-    for ((shift, offset) <- Seq((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)))
+  def reg2bins(beg0: Long, end0Ex: Long, minShift: Int = 14,
+      depth: Int = 5): Seq[Int] = {
+    val maxPos = 1L << (minShift + 3 * depth)
+    val beg = math.max(0L, math.min(beg0, maxPos - 1))
+    val end = math.max(beg, math.min(end0Ex, maxPos) - 1) // inclusive
+    val out = mutable.ArrayBuffer.empty[Int]
+    for (l <- 0 to depth) {
+      val offset = ((1L << (3 * l)) - 1) / 7
+      val shift = minShift + 3 * (depth - l)
       for (k <- (offset + (beg >> shift)).toInt to (offset + (end >> shift)).toInt)
         out += k
+    }
     out.toSeq
   }
 
@@ -148,15 +179,85 @@ object TabixIndex {
     */
   def regionChunks(r: Ref, beg0: Long, end0Ex: Long): Seq[Chunk] = {
     if (end0Ex <= beg0) return Nil
-    val window = (beg0 >> 14).toInt
+    val window = (beg0 >> r.minShift).toInt
     val minOff =
       if (window < r.nIntv && r.ioff(window) > 0L) r.ioff(window) else r.minVoff
-    val cs = reg2bins(beg0, end0Ex).iterator
+    val cs = reg2bins(beg0, end0Ex, r.minShift, r.depth).iterator
       .flatMap(b => r.bins.getOrElse(b, Array.empty[Chunk]))
       .filter(_.end > minOff)
       .map(c => Chunk(math.max(c.beg, minOff), c.end))
       .toArray
     coalesce(cs)
+  }
+
+  /** Minimal `.csi` reader (htslib "CSI index file format v1",
+    * samtools.github.io/hts-specs/CSIv1.pdf): gzip-compressed
+    * little-endian binary — magic "CSI\1", min_shift, depth, then an
+    * aux block that for tabix-style CSI carries the tabix header
+    * (format/columns/meta/skip + NUL-terminated names), then per
+    * reference a binning index whose bins carry a 64-bit `loffset`
+    * (the linear-index replacement) and chunk lists. Parsed into the
+    * same [[Ref]] shape as `.tbi` — no linear index (empty ioff; the
+    * floor falls back to minVoff) but the tree shape (min_shift,
+    * depth) drives [[reg2bins]], so offsets beyond tabix's 2^29
+    * position limit still prune.
+    */
+  def readCsi(fs: FileSystem, csiPath: Path): Index = {
+    val in = new GZIPInputStream(fs.open(csiPath), 65536)
+    val bytes = try in.readAllBytes() finally in.close()
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+
+    val magic = Array.fill(4)(bb.get())
+    require(magic.sameElements(Array('C'.toByte, 'S'.toByte, 'I'.toByte, 1.toByte)),
+      s"$csiPath is not a CSI index (bad magic)")
+    val minShift = bb.getInt
+    val depth = bb.getInt
+    val lAux = bb.getInt
+    val aux = new Array[Byte](lAux)
+    bb.get(aux)
+    // tabix-style aux: 7 little-endian ints (format, col_seq, col_beg,
+    // col_end, meta, skip, l_nm) then the concatenated NUL-terminated
+    // names; non-tabix CSI (e.g. BCF) has no names — refs get indices
+    val names: Array[String] =
+      if (lAux >= 28) {
+        val ab = ByteBuffer.wrap(aux).order(ByteOrder.LITTLE_ENDIAN)
+        ab.position(24)
+        val lNm = ab.getInt
+        if (lNm > 0 && 28 + lNm <= lAux) {
+          val nm = new Array[Byte](lNm)
+          ab.get(nm)
+          new String(nm, "UTF-8").split('\u0000').filter(_.nonEmpty)
+        } else Array.empty
+      } else Array.empty
+
+    val nRef = bb.getInt
+    val refs = mutable.ArrayBuffer.empty[Ref]
+    for (i <- 0 until nRef) {
+      var minV = Long.MaxValue
+      var maxV = 0L
+      val binMap = mutable.Map.empty[Int, mutable.ArrayBuffer[Chunk]]
+      val nBin = bb.getInt
+      for (_ <- 0 until nBin) {
+        val bin = bb.getInt
+        bb.getLong // loffset: unused (minVoff floor is safe without it)
+        val nChunk = bb.getInt
+        for (_ <- 0 until nChunk) {
+          val beg = bb.getLong
+          val end = bb.getLong
+          // CSI's stats pseudo-bin is the max bin + 1 of its tree shape
+          val pseudo = (((1L << (3 * (depth + 1))) - 1) / 7).toInt
+          if (bin < pseudo) {
+            if (beg < minV) minV = beg
+            if (end > maxV) maxV = end
+            binMap.getOrElseUpdate(bin, mutable.ArrayBuffer.empty) += Chunk(beg, end)
+          }
+        }
+      }
+      val name = if (i < names.length) names(i) else i.toString
+      refs += Ref(name, if (minV == Long.MaxValue) 0L else minV, maxV,
+        Array.empty[Long], binMap.view.mapValues(_.toArray).toMap, minShift, depth)
+    }
+    Index(refs.toSeq)
   }
 
   /** Sort chunks and merge any pair closer than one BGZF block in

@@ -210,25 +210,24 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
         lazy val samples =
           samplesOverride.getOrElse(headerSamples(fs, conf, st.getPath))
 
-        // Region pruning via the sibling tabix index: with a pushed
-        // chrom (+ optional pos bounds) and a .tbi next to the file,
-        // skip files that cannot contain the region, and scan ONLY the
+        // Region pruning via the sibling index (.tbi, or .csi for
+        // chromosomes beyond tabix's 2^29 limit): with a pushed chrom
+        // (+ optional pos bounds) and an index next to the file, skip
+        // files that cannot contain the region, and scan ONLY the
         // region's BGZF chunks — the binning index bounds both ends, so
         // an interactive locus query reads O(region) bytes, not
         // O(chromosome).
-        val tbiPath = TabixIndex.sibling(st.getPath)
         val pruned = chromEq.flatMap { c =>
-          if (!fs.exists(tbiPath)) None
-          else {
-            val idx = TabixIndex.read(fs, tbiPath)
+          TabixIndex.readSibling(fs, st.getPath).flatMap { idx =>
             idx.ref(c) match {
               case None => Some(Seq.empty[VcfPartition]) // chrom absent: whole file pruned
               case Some(r) if !isGz => None // index offsets are BGZF-only
               case Some(r) =>
                 // 0-based half-open query region on record STARTS; the
                 // linear index caps the no-upper-bound default (every
-                // record starts inside an indexed window)
-                val maxPos = if (r.nIntv > 0) r.maxCoveredPos else 1L << 29
+                // record starts inside an indexed window); CSI has no
+                // linear index — its tree's position ceiling caps
+                val maxPos = if (r.nIntv > 0) r.maxCoveredPos else r.maxPos
                 val lower0 = posLowerInclusive.map(l => math.max(0, l - 1).toLong).getOrElse(0L)
                 val upper0Ex = math.min(maxPos,
                   posUpperInclusive.map(_.toLong).getOrElse(maxPos))

@@ -121,6 +121,66 @@ class TabixPruningSpec extends AnyFunSuite with SparkSpec {
     assert(plannedBytes(16300000, 16600000) > locusBytes)
   }
 
+  /** Re-encode a parsed .tbi as a tabix-style .csi (min_shift 14,
+    * depth 5, loffset 0): same bins/chunks, no linear index — the
+    * fixture for the fallback-format test, built from the reference's
+    * REAL index so chunk layout is authentic.
+    */
+  private def writeCsi(idx: TabixIndex.Index, out: java.nio.file.Path): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit =
+      (0 until 4).foreach(b => bos.write((v >>> (8 * b)) & 0xff))
+    def i64(v: Long): Unit =
+      (0 until 8).foreach(b => bos.write(((v >>> (8 * b)) & 0xff).toInt))
+    bos.write('C'); bos.write('S'); bos.write('I'); bos.write(1)
+    i32(14); i32(5) // min_shift, depth
+    val names = idx.refs.map(_.name + "\u0000").mkString.getBytes("UTF-8")
+    i32(28 + names.length) // l_aux
+    i32(2); i32(1); i32(2); i32(0); i32('#'); i32(0) // tabix aux header
+    i32(names.length); bos.write(names)
+    i32(idx.refs.length)
+    idx.refs.foreach { r =>
+      i32(r.bins.size)
+      r.bins.toSeq.sortBy(_._1).foreach { case (bin, chunks) =>
+        i32(bin); i64(0L); i32(chunks.length)
+        chunks.foreach { c => i64(c.beg); i64(c.end) }
+      }
+    }
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(out))
+    try gz.write(bos.toByteArray) finally gz.close()
+  }
+
+  test(".csi fallback prunes a region identically to the .tbi") {
+    // a copy of the real chr22 file with ONLY a .csi sibling (converted
+    // from its real .tbi, so the chunk layout is authentic)
+    val dir = java.nio.file.Files.createTempDirectory("graft_csi")
+    val copy = dir.resolve("chr22.vcf.gz")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(chr22), copy)
+    val fs = new Path(chr22).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tbi = TabixIndex.read(fs, TabixIndex.sibling(new Path(chr22)))
+    writeCsi(tbi, dir.resolve("chr22.vcf.gz.csi"))
+
+    val parsed = TabixIndex.readCsi(fs, new Path(dir.resolve("chr22.vcf.gz.csi").toString))
+    assert(parsed.refs.map(_.name) === Seq("22"))
+    assert(parsed.refs.head.bins.keySet === tbi.refs.head.bins.keySet)
+
+    val lo = 16300000
+    val hi = 16320000
+    val expected = VcfReader.read(spark, chr22)
+      .filter(col("chrom") === "22" && col("pos") >= lo && col("pos") <= hi)
+      .select(sum(col("pos")).as("s"), count(lit(1)).as("n")).head()
+    val viaCsi = spark.read.format("vcf").load(copy.toString)
+      .filter(col("chrom") === "22" && col("pos") >= lo && col("pos") <= hi)
+    assert(partitions(viaCsi) >= 1)
+    val got = viaCsi.select(sum(col("pos")).as("s"), count(lit(1)).as("n")).head()
+    assert(got.getLong(1) === expected.getLong(1), "row count drifted under csi pruning")
+    assert(got.getLong(0) === expected.getLong(0), "pos checksum drifted under csi pruning")
+    // absent chrom prunes through the csi path too
+    assert(partitions(spark.read.format("vcf").load(copy.toString)
+      .filter(col("chrom") === "1")) === 0)
+  }
+
   test("region-END bounded scan is lossless vs the unpruned reader") {
     val lo = 16300000
     val hi = 16320000
