@@ -174,4 +174,82 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s("c")).as("cv"))
+
+  // ---- product quantization ------------------------------------------
+
+  /** PQ codebooks from a driver-small seed frame: codeword k of
+    * subspace m = the m-th subvector of the k-th seed (sorted by id).
+    * Real systems train each subspace with k-means ([[kmeansStep]] runs
+    * per subspace unchanged); the seed form keeps the gate queries
+    * deterministic, exactly like ivfAssign's seeded centroids.
+    * Result shape: codebooks(m)(k) = codeword vector.
+    */
+  def pqCodebooks(
+      seeds: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): Seq[Seq[Seq[Double]]] = {
+    val rows = seeds
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).map(_._2)
+    require(rows.nonEmpty, "pqCodebooks needs at least one seed vector")
+    val d = rows.head.length
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    val sub = d / m
+    (0 until m).map(mi => rows.map(v => v.slice(mi * sub, (mi + 1) * sub)).toSeq)
+  }
+
+  private def subVec(vec: Column, mi: Int, sub: Int): Column =
+    slice(vec, mi * sub + 1, sub)
+
+  /** PQ encoding — the 100 TB ANN memory story: each vector compresses
+    * to M small codes (M bytes at K ≤ 256), so a billion-vector index
+    * fits where raw floats never would. Per subspace the nearest
+    * codeword is an inlined-literal argmin (`least` over (dist, k)
+    * structs — the same narrow zero-shuffle shape as [[ivfAssign]]);
+    * output carries only (id, code_0..code_{M-1}).
+    */
+  def pqEncode(
+      vecs: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { mi =>
+      codebooks(mi).zipWithIndex.map { case (cw, k) =>
+        struct(l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)).as("d"),
+          lit(k).as("k"))
+      }.reduceLeft((a, b) => least(a, b)).getField("k").as(s"code_$mi")
+    }
+    vecs.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    * probe precomputes its M×K distance table ONCE (narrow, broadcast
+    * with the probe), and the corpus scan reduces to M array lookups +
+    * (M-1) adds per row — no float vector is ever read at search time.
+    * Approximate L2 ranking; ties break on candidate id. The corpus
+    * side never shuffles (probe side broadcast, window partitioned by
+    * probe over k·|probes| rows).
+    */
+  def pqAdcTopK(
+      codes: DataFrame, probes: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val dtCols = (0 until m).map { mi =>
+      array(codebooks(mi).map(cw =>
+        l2sq(subVec(col(vecCol), mi, sub), typedLit(cw))): _*).as(s"__dt$mi")
+    }
+    val p = probes.select(col(idCol).as("probe_id") +: dtCols: _*)
+    // fixed left-to-right add order — deterministic, oracle-replicable
+    val adc = (0 until m).map(mi =>
+      element_at(col(s"__dt$mi"), col(s"code_$mi") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("cand_id").asc)
+    codes.withColumnRenamed(idCol, "cand_id")
+      .crossJoin(broadcast(p))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "cand_id", "rnk", "adc")
+  }
 }

@@ -220,6 +220,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       4L -> 101L, 5L -> 101L, 6L -> 101L))
   }
 
+  test("pq encode + adc: codes quantize subspaces, lookup ranking orders by closeness") {
+    val seeds = Seq(
+      (0L, Seq(0.0, 0.0, 1.0, 1.0)),
+      (1L, Seq(5.0, 5.0, -1.0, -1.0))).toDF("vec_id", "v")
+    val books = Similarity.pqCodebooks(seeds, m = 2)
+    assert(books === Seq(
+      Seq(Seq(0.0, 0.0), Seq(5.0, 5.0)),
+      Seq(Seq(1.0, 1.0), Seq(-1.0, -1.0))))
+    val corpus = Seq(
+      (10L, Seq(0.1, 0.1, 0.9, 0.9)),   // codes (0, 0)
+      (11L, Seq(4.9, 5.1, -0.9, -1.1)), // codes (1, 1)
+      (12L, Seq(0.0, 0.0, -1.0, -1.0))) // codes (0, 1)
+      .toDF("vec_id", "v")
+    val codes = Similarity.pqEncode(corpus, books)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(codes === Map(10L -> ((0, 0)), 11L -> ((1, 1)), 12L -> ((0, 1))))
+    // probe 10: cand 12 shares the subspace-0 code → smaller ADC than 11
+    val top = Similarity.pqAdcTopK(
+        Similarity.pqEncode(corpus, books),
+        corpus.filter(col("vec_id") === 10), books, k = 2)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(top === Seq(12L, 11L))
+  }
+
   test("lshBucket is deterministic and separates opposite vectors") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val df = Seq((1L, Seq(5.0, 3.0)), (2L, Seq(-5.0, -3.0)), (3L, Seq(5.1, 2.9)))
