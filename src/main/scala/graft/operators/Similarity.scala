@@ -226,9 +226,12 @@ object Similarity {
     * probe precomputes its M×K distance table ONCE (narrow, broadcast
     * with the probe), and the corpus scan reduces to M array lookups +
     * (M-1) adds per row — no float vector is ever read at search time.
-    * Approximate L2 ranking; ties break on candidate id. The corpus
-    * side never shuffles (probe side broadcast, window partitioned by
-    * probe over k·|probes| rows).
+    * Approximate L2 ranking; ties break on candidate id. The probe
+    * side is broadcast, and the `rnk <= k` filter over row_number
+    * triggers Spark's PARTIAL WindowGroupLimit below the exchange
+    * (PlanSpec-pinned), so each map partition pre-reduces to k rows
+    * per probe before the shuffle — the exchange moves at most
+    * k·|probes| rows per input partition, never the cross-join.
     */
   def pqAdcTopK(
       codes: DataFrame, probes: DataFrame, codebooks: Seq[Seq[Seq[Double]]],

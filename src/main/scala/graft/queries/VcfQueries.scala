@@ -329,9 +329,13 @@ object VcfQueries extends QuerySet {
     * invalidates the cache. Returns the headerless shard directory.
     */
   private def vcfCorpusShards(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    // cache key covers the derivation SQL, the sample list, and a
+    // manual writer-version token — bump it when VcfWriter's emission
+    // format changes, or q63 gates against stale shards
+    val writerVersion = "w1"
     val ver = java.lang.Integer.toHexString(
       (chromRawSql + posSql + refSql + altSql + idSql + qualSql + filtSql +
-        infoSql + callSql("1")).hashCode)
+        infoSql + callSql("1") + sampleIds.mkString(",") + writerVersion).hashCode)
     val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val out = s"/tmp/graft_vcf_corpus_${sf}_$ver"
     val marker = new org.apache.hadoop.fs.Path(s"$out/shards/_SUCCESS")

@@ -45,7 +45,8 @@ object VcfWriter {
   def headerLines(meta: VcfMetadata): Seq[String] =
     meta.headerKv.map {
       case (k, "") => s"##$k"
-      case ("contig", v) => s"##contig=${v.replaceFirst("<ID=chr", "<ID=")}"
+      // the VCF spec fixes no attribute order — match ID= after '<' or ','
+      case ("contig", v) => s"##contig=${v.replaceFirst("([<,])ID=chr", "$1ID=")}"
       case (k, v) => s"##$k=$v"
     } :+ meta.columns.mkString("\t")
 

@@ -231,6 +231,8 @@ object TabixIndex {
       } else Array.empty
 
     val nRef = bb.getInt
+    // bins at or past the tree's real-bin count are stats pseudo-bins
+    val pseudo = (((1L << (3 * (depth + 1))) - 1) / 7).toInt
     val refs = mutable.ArrayBuffer.empty[Ref]
     for (i <- 0 until nRef) {
       var minV = Long.MaxValue
@@ -244,8 +246,6 @@ object TabixIndex {
         for (_ <- 0 until nChunk) {
           val beg = bb.getLong
           val end = bb.getLong
-          // CSI's stats pseudo-bin is the max bin + 1 of its tree shape
-          val pseudo = (((1L << (3 * (depth + 1))) - 1) / 7).toInt
           if (bin < pseudo) {
             if (beg < minV) minV = beg
             if (end > maxV) maxV = end

@@ -194,7 +194,10 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val parts = mutable.ArrayBuffer.empty[InputPartition]
+
+    // pass 1: byte ranges per file — (start, length, vSkip); pruning
+    // decisions never need the sample list
+    val ranges = mutable.ArrayBuffer.empty[(FileSystem, Path, Seq[(Long, Long, Int)])]
     paths.foreach { p =>
       val fs = new Path(p).getFileSystem(conf)
       val statuses = fs.globStatus(new Path(p)) match {
@@ -206,9 +209,6 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
       statuses.foreach { st =>
         val len = st.getLen
         val isGz = st.getPath.getName.endsWith(".gz")
-        val splittable = !isGz
-        lazy val samples =
-          samplesOverride.getOrElse(headerSamples(fs, conf, st.getPath))
 
         // Region pruning via the sibling index (.tbi, or .csi for
         // chromosomes beyond tabix's 2^29 limit): with a pushed chrom
@@ -217,10 +217,10 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
         // region's BGZF chunks — the binning index bounds both ends, so
         // an interactive locus query reads O(region) bytes, not
         // O(chromosome).
-        val pruned = chromEq.flatMap { c =>
+        val pruned: Option[Seq[(Long, Long, Int)]] = chromEq.flatMap { c =>
           TabixIndex.readSibling(fs, st.getPath).flatMap { idx =>
             idx.ref(c) match {
-              case None => Some(Seq.empty[VcfPartition]) // chrom absent: whole file pruned
+              case None => Some(Seq.empty) // chrom absent: whole file pruned
               case Some(r) if !isGz => None // index offsets are BGZF-only
               case Some(r) =>
                 // 0-based half-open query region on record STARTS; the
@@ -235,30 +235,49 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
                   val startC = TabixIndex.compressedOffset(ch.beg)
                   val endC = math.min(len,
                     TabixIndex.compressedOffset(ch.end) + TabixIndex.MaxBlockSize)
-                  VcfPartition(st.getPath.toString, startC, endC - startC, samples,
-                    TabixIndex.uncompressedOffset(ch.beg))
+                  (startC, endC - startC, TabixIndex.uncompressedOffset(ch.beg))
                 })
             }
           }
         }
 
-        pruned match {
-          case Some(ps) => parts ++= ps
-          case None =>
-            if (!splittable || len <= maxSplit) {
-              parts += VcfPartition(st.getPath.toString, 0L, len, samples)
-            } else {
-              var off = 0L
-              while (off < len) {
-                parts += VcfPartition(st.getPath.toString, off,
-                  math.min(maxSplit, len - off), samples)
-                off += maxSplit
-              }
-            }
+        val fileRanges = pruned.getOrElse {
+          if (isGz || len <= maxSplit) Seq((0L, len, -1))
+          else (0L until len by maxSplit).map(off =>
+            (off, math.min(maxSplit, len - off), -1))
         }
+        if (fileRanges.nonEmpty) ranges += ((fs, st.getPath, fileRanges))
       }
     }
-    parts.toArray
+
+    // pass 2: sample lists — the override serves every file; otherwise
+    // headers are fetched with a bounded thread pool so a many-file
+    // load is not a serial driver-side open per file (only files that
+    // actually contribute partitions are read at all)
+    val samplesByPath: Map[String, Array[String]] = samplesOverride match {
+      case Some(s) => ranges.map { case (_, path, _) => path.toString -> s }.toMap
+      case None if ranges.isEmpty => Map.empty
+      case None =>
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, ranges.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks = ranges.map { case (fs, path, _) =>
+            new java.util.concurrent.Callable[(String, Array[String])] {
+              override def call(): (String, Array[String]) =
+                path.toString -> headerSamples(fs, conf, path)
+            }
+          }
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+    }
+
+    ranges.flatMap { case (_, path, rs) =>
+      val samples = samplesByPath(path.toString)
+      rs.map { case (start, length, vSkip) =>
+        VcfPartition(path.toString, start, length, samples, vSkip)
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

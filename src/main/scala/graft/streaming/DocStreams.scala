@@ -152,8 +152,14 @@ object DocStreams {
       }
   }
 
-  /** Per-bucket minhash state: recent doc ids, newest last, capped. */
-  final case class MinhashState(entries: List[Long])
+  /** Per-bucket minhash state: the most recent doc id. One id suffices
+    * — every doc in a (band, key) bucket shares the band key by
+    * construction, so ANY retained entry is a valid match and the
+    * newest is kept. (The simhash path's multi-entry state exists
+    * because ITS bucket members still need a hamming check; a minhash
+    * band hit needs none.)
+    */
+  final case class MinhashState(last: Long)
 
   /** One minhash candidate flag: `doc_id` shares LSH band `band` with
     * the earlier `matched_id`.
@@ -165,20 +171,18 @@ object DocStreams {
     * the simhash path ([[nearDupFlags]]): each arriving doc's 16-min
     * signature (native one-pass kernel) is split into `bands` band
     * keys — the EXACT keys the batch operator joins on, so stream
-    * candidates agree with the batch pair list — and compared only
-    * against the recent doc ids held in that band bucket's state.
+    * candidates agree with the batch pair list — and flagged against
+    * the most recent doc id held in that band bucket's state (8 bytes
+    * per live bucket).
     *
-    * Same state discipline as the simhash path: per-(band, key) state
-    * CAPPED at `maxPerBand` ids (oldest evicted) and EXPIRED
-    * `horizonSeconds` after a bucket's last arrival (EventTimeTimeout):
-    * the stream flags near-in-time duplicates, corpus-wide dedup stays
-    * in the batch layer. A doc can flag in several bands — consumers
-    * dedup (doc_id, matched_id) downstream.
+    * State EXPIRES `horizonSeconds` after a bucket's last arrival
+    * (EventTimeTimeout): the stream flags near-in-time duplicates,
+    * corpus-wide dedup stays in the batch layer. A doc can flag in
+    * several bands — consumers dedup (doc_id, matched_id) downstream.
     */
   def minhashDupFlags(
       docs: DataFrame,
       bands: Int = 4,
-      maxPerBand: Int = 64,
       horizonSeconds: Long = 3600L): Dataset[MinhashFlag] = {
     import graft.functions.TextFunctions._
     require(bands > 0 && MinhashA.size % bands == 0,
@@ -206,13 +210,13 @@ object DocStreams {
             Iterator.empty
           } else {
             val sorted = rowsIt.toSeq.sortBy { case (ts, id, _, _) => (ts.getTime, id) }
-            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            var last = state.getOption.map(_.last)
             val flags = Seq.newBuilder[MinhashFlag]
             sorted.foreach { case (_, id, band, _) =>
-              entries.lastOption.foreach(mid => flags += MinhashFlag(id, mid, band))
-              entries = (entries :+ id).takeRight(maxPerBand)
+              last.foreach(mid => flags += MinhashFlag(id, mid, band))
+              last = Some(id)
             }
-            state.update(MinhashState(entries))
+            last.foreach(id => state.update(MinhashState(id)))
             val lastTs = sorted.map(_._1.getTime).max
             state.setTimeoutTimestamp(lastTs + horizonSeconds * 1000)
             flags.result().iterator

@@ -93,6 +93,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pq ADC top-k pre-reduces below the exchange (partial WindowGroupLimit)") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val books = Similarity.pqCodebooks(e.filter(col("vec_id").between(200, 207)), m = 4)
+    val top = Similarity.pqAdcTopK(
+      Similarity.pqEncode(e, books), e.filter(col("vec_id") < 5), books, k = 5)
+    top.collect()
+    val p = top.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // rnk<=5 over row_number must trigger the partial top-k BELOW the
+    // shuffle: the exchange then moves ≤ k·|probes| rows per partition,
+    // not the broadcast cross-join output
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial WindowGroupLimit before the exchange:\n$p")
+  }
+
   test("jaccard shingle table is shared via ReusedExchange, not a cache") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")

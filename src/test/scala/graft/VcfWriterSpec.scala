@@ -41,6 +41,14 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
     // the reader emits chrom '22', so the header must name '22', not 'chr22'
     assert(hdr.contains("##contig=<ID=22,length=50818468>"), hdr.mkString("\n"))
     assert(hdr.contains("##contig=<ID=X,length=156040895>"))
+    // the spec fixes no attribute order: ID after another attribute
+    // must normalize too
+    val meta2 = VcfReader.fromHeaderLines(Seq(
+      "##fileformat=VCFv4.2",
+      "##contig=<length=50818468,ID=chr22>",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1"))
+    assert(VcfWriter.headerLines(meta2)
+      .contains("##contig=<length=50818468,ID=22>"))
   }
 
   test("writeSharded lays down header + shards that concatenate to a valid VCF") {
