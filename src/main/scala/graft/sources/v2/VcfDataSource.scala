@@ -424,7 +424,10 @@ final class VcfPartitionReader(
       val line = lineText.toString
       if (!line.startsWith("#") && line.nonEmpty) {
         val f = line.split("\t", -1)
-        val pos = if (f.length > 8) parsePos(f(1)) else Int.MinValue
+        // 8 fixed fields are mandatory; FORMAT + samples are optional
+        // (sites-only VCFs) — those rows get a null format and an
+        // empty genotypes map
+        val pos = if (f.length >= 8) parsePos(f(1)) else Int.MinValue
         if (pos == Int.MinValue) {
           malformed.add(1L) // PERMISSIVE: count and skip, never throw
         } else if (passesFilters(f, pos)) {
@@ -453,7 +456,9 @@ final class VcfPartitionReader(
             i += 1
           }
           ArrayBasedMapData(keys, vals)
-        case other => UTF8String.fromString(f(fieldIdx(other)))
+        case other =>
+          val i = fieldIdx(other)
+          if (i < f.length) UTF8String.fromString(f(i)) else null
       }
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])

@@ -128,6 +128,28 @@ class VcfDataSourceSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("sites-only VCF (8 columns, no FORMAT/samples) reads with null format") {
+    import graft.sources.v2.VcfDataSource
+    val sites = Files.createTempFile("graft-sites", ".vcf")
+    Files.writeString(sites,
+      "##fileformat=VCFv4.2\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n" +
+        "chr7\t700\trs7\tA\tG\t50\tPASS\tNS=1\n" +
+        "7\t701\trs8\tC\tT\t60\tPASS\tNS=2\n")
+    sites.toFile.deleteOnExit()
+    val rows = spark.read.format("vcf").load(sites.toString)
+      .orderBy("pos").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(0)).toSeq === Seq("7", "7"))
+    assert(rows.map(_.getInt(1)).toSeq === Seq(700, 701))
+    rows.foreach { r =>
+      assert(r.isNullAt(8), "sites-only rows must carry null format")
+      assert(r.getMap[String, String](9).isEmpty, "…and an empty genotypes map")
+    }
+    assert(VcfDataSource.lastMalformedCount.contains(0L),
+      "spec-legal sites-only rows must not count as malformed")
+  }
+
   test("sample names are planned once and shipped in partitions") {
     import graft.sources.v2.{VcfPartition, VcfScanBuilder}
     val b = new VcfScanBuilder(Seq(path))
