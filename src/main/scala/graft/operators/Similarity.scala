@@ -201,6 +201,34 @@ object Similarity {
   private def subVec(vec: Column, mi: Int, sub: Int): Column =
     slice(vec, mi * sub + 1, sub)
 
+  /** One Lloyd iteration per PQ subspace — how real PQ codebooks are
+    * trained: each subspace's subvectors run the SAME decimal-exact
+    * [[kmeansStep]] the IVF quantizer uses (assign to nearest codeword,
+    * re-estimate codewords as per-cell means), so the refined books are
+    * bit-deterministic and oracle-replicable. Codewords that captured
+    * no vectors keep their previous value. M driver-side jobs over
+    * narrow sliced projections; iterate to taste, re-measure with the
+    * q65-style recall gate after each step.
+    */
+  def pqTrainStep(
+      vecs: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "v"): Seq[Seq[Seq[Double]]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    (0 until m).map { mi =>
+      val seeds = codebooks(mi).zipWithIndex
+        .map { case (cw, k) => (k.toLong, cw) }.toDF("cid", "cv")
+      val subVecs = vecs.select(col(idCol), subVec(col(vecCol), mi, sub).as("v"))
+      val learned = kmeansCentroids(kmeansStep(subVecs, seeds))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      codebooks(mi).zipWithIndex.map { case (old, k) =>
+        learned.getOrElse(k.toLong, old)
+      }
+    }
+  }
+
   /** PQ encoding — the 100 TB ANN memory story: each vector compresses
     * to M small codes (M bytes at K ≤ 256), so a billion-vector index
     * fits where raw floats never would. Per subspace the nearest

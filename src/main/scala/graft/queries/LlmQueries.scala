@@ -1297,8 +1297,116 @@ object LlmQueries extends QuerySet {
       ORDER BY probe_id
     """))
 
+  /** One DuckDB Lloyd step over PQ codebooks: assignment under the
+    * previous books (`tcw${i-1}`) → decimal-exact per-(m, k, dim)
+    * means → refreshed `tcw$i` (empty cells keep the old codeword).
+    * Mirrors [[Similarity.pqTrainStep]] CTE for CTE.
+    */
+  private def pqTrainCteSql(i: Int): String =
+    s"""cd$i AS (SELECT e.vec_id, t.m, t.k,
+             ${l2Slice16Sql(s"list_slice(e.v, t.m * 16 + 1, t.m * 16 + 16)", "t.v")} AS d
+           FROM e CROSS JOIN tcw${i - 1} t),
+        cc$i AS (SELECT vec_id, m, k FROM (
+             SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+             FROM cd$i) x WHERE rn = 1),
+        mean$i AS (SELECT cc$i.m, cc$i.k, dims.dim, count(*) AS n,
+             ${avg6Sql(s"sum(CAST(e.v[cc$i.m * 16 + dims.dim] AS DECIMAL(18,6)))", "count(*)")} AS c
+           FROM cc$i JOIN e USING (vec_id) CROSS JOIN dims
+           GROUP BY cc$i.m, cc$i.k, dims.dim),
+        tcw$i AS (SELECT t.m, t.k, list(COALESCE(mn.c, t.v[d.dim]) ORDER BY d.dim) AS v
+           FROM tcw${i - 1} t CROSS JOIN dims d
+           LEFT JOIN mean$i mn ON mn.m = t.m AND mn.k = t.k AND mn.dim = d.dim
+           GROUP BY t.m, t.k)"""
+
+  /** Trained-PQ recall@5: three per-subspace Lloyd iterations refine
+    * the seed codebooks (decimal-exact means — bit-deterministic),
+    * then the SAME encode/ADC/recall pipeline as q65 re-measures:
+    * recall@5 triples vs q65's seeded books (0.04 → 0.12 at sf0.001).
+    * The tuning loop q65's low seeded recall calls for, closed and
+    * oracle-checked end to end — DuckDB recomputes all three training
+    * steps too (generated CTE chain, one per step).
+    */
+  private val PqTrainSteps = 3
+  private val q66 = Q(
+    "q66_pq_trained_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      var books = Similarity.pqCodebooks(
+        e.filter(col("vec_id").between(200, 207)), m = 4)
+      for (_ <- 0 until PqTrainSteps) books = Similarity.pqTrainStep(e, books)
+      val codes = Similarity.pqEncode(e, books)
+      val pq5 = Similarity.pqAdcTopK(codes, e.filter(col("vec_id") < 5), books, k = 5)
+        .select(col("probe_id"), col("cand_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("d").asc, col("cand_id").asc)
+      val brute = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+        .crossJoin(broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("d", Similarity.l2sq(col("cv"), col("pv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("probe_id", "cand_id")
+      val matches = brute.join(pq5, Seq("probe_id", "cand_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+      brute.select("probe_id").distinct()
+        .join(matches, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          micro(coalesce(col("n_match"), lit(0L)) / 5.0).as("recall_micro"))
+        .orderBy("probe_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      cw AS (SELECT vec_id - 200 AS k, v FROM e WHERE vec_id BETWEEN 200 AND 207),
+      ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      dims AS (SELECT CAST(unnest(range(1, 17)) AS INT) AS dim),
+      tcw0 AS (SELECT ms.m, cw.k,
+                list_slice(cw.v, ms.m * 16 + 1, ms.m * 16 + 16) AS v
+              FROM ms CROSS JOIN cw),
+      ${(1 to PqTrainSteps).map(pqTrainCteSql).mkString(",\n      ")},
+      cdF AS (SELECT e.vec_id, t.m, t.k,
+               ${l2Slice16Sql("list_slice(e.v, t.m * 16 + 1, t.m * 16 + 16)", "t.v")} AS d
+             FROM e CROSS JOIN tcw$PqTrainSteps t),
+      ccF AS (SELECT vec_id, m, k FROM (
+               SELECT vec_id, m, k,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+               FROM cdF) x WHERE rn = 1),
+      adc AS (SELECT pd.vec_id AS probe_id, cc.vec_id AS cand_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(pd.d ORDER BY pd.m)), (x, y) -> x + y) AS adc
+             FROM ccF cc
+             JOIN (SELECT * FROM cdF WHERE vec_id < 5) pd
+               ON pd.m = cc.m AND pd.k = cc.k
+             WHERE cc.vec_id <> pd.vec_id
+             GROUP BY pd.vec_id, cc.vec_id),
+      prk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) AS rnk
+             FROM adc),
+      p5 AS (SELECT probe_id, cand_id FROM prk WHERE rnk <= 5),
+      bpr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${l2Sql("c.v", "p.v")} AS d
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) p
+             WHERE c.vec_id <> p.vec_id),
+      brk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY d, cand_id) AS rnk
+             FROM bpr),
+      b5 AS (SELECT probe_id, cand_id FROM brk WHERE rnk <= 5),
+      mc AS (SELECT probe_id, count(*) AS n_match
+             FROM (SELECT * FROM b5 INTERSECT SELECT * FROM p5) i GROUP BY probe_id)
+      SELECT p.probe_id,
+        CAST(COALESCE(mc.n_match, 0) AS BIGINT) AS n_match,
+        ${microSql("COALESCE(mc.n_match, 0) / 5.0")} AS recall_micro
+      FROM (SELECT DISTINCT probe_id FROM b5) p LEFT JOIN mc USING (probe_id)
+      ORDER BY probe_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65)
+      q45, q48, q65, q66)
 }

@@ -244,6 +244,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(top === Seq(12L, 11L))
   }
 
+  test("pqTrainStep moves codewords to subspace cluster means, keeps empty cells") {
+    // subspace 0 has two tight clusters near (0,0) and (10,10); seeds
+    // offset; subspace 1's second codeword captures nothing
+    val seeds = Seq(
+      (0L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (1L, Seq(9.0, 9.0, 100.0, 100.0))).toDF("vec_id", "v")
+    val corpus = Seq(
+      (10L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (11L, Seq(0.2, 0.2, 0.2, 0.2)),
+      (12L, Seq(10.0, 10.0, 0.4, 0.4)),
+      (13L, Seq(9.8, 9.8, 0.6, 0.6))).toDF("vec_id", "v")
+    val books0 = Similarity.pqCodebooks(seeds, m = 2)
+    val books1 = Similarity.pqTrainStep(corpus, books0)
+    assert(books1(0)(0) === Seq(0.1, 0.1))   // mean of cluster A
+    assert(books1(0)(1) === Seq(9.9, 9.9))   // mean of cluster B
+    assert(books1(1)(0) === Seq(0.3, 0.3))   // all four subvectors
+    assert(books1(1)(1) === Seq(100.0, 100.0), "empty cell keeps its codeword")
+  }
+
   test("lshBucket is deterministic and separates opposite vectors") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val df = Seq((1L, Seq(5.0, 3.0)), (2L, Seq(-5.0, -3.0)), (3L, Seq(5.1, 2.9)))
