@@ -414,6 +414,26 @@ object Dedup {
       .filter(col("n_shared_shingles") >= minShared)
   }
 
+  /** Serialized Bloom filter over a doc set's distinct shingle hashes
+    * (inserted as raw longs) — the broadcastable probe for STREAMING
+    * decontamination (graft.streaming.DocStreams.decontaminateStream).
+    * No false negatives: a shingle actually in the eval set always
+    * hits, so dropping flagged docs can never LEAK contamination;
+    * false positives only over-drop at the fpp rate.
+    */
+  def shingleBloom(
+      docs: DataFrame, textCol: String, n: Int,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bf = docs
+      .select(explode(graft.functions.TextFunctions
+        .shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (e.g. label,
     * LSH bucket): join on the block, cosine in-line, threshold filter.
     */

@@ -224,6 +224,33 @@ object DocStreams {
       }
   }
 
+  /** Streaming train/eval decontamination: each arriving doc's shingle
+    * hashes probe a BROADCAST Bloom built over the eval corpus's
+    * shingles (Dedup.shingleBloom); docs with ≥ `minShared` hits are
+    * dropped. Fully STATELESS — the eval set is a static byte-array
+    * literal, the probe a codegen'd might_contain per shingle — so the
+    * stage streams at scan speed with zero state store.
+    *
+    * Guarantee direction matters here: the Bloom has NO false
+    * negatives, so a truly contaminated doc (≥ minShared real eval
+    * shingles) is ALWAYS dropped — contamination cannot leak past the
+    * stream layer. False positives over-drop clean docs at the fpp
+    * rate; the batch layer's exact contaminationReport (q25) remains
+    * the audit of record.
+    */
+  def decontaminateStream(
+      docs: DataFrame, evalBloom: Array[Byte],
+      n: Int = 3, minShared: Int = 1): DataFrame = {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val hits = size(filter(shingleHashes(col("text"), n), sh =>
+      Bridge.column(BloomFilterMightContain(
+        Literal.create(evalBloom, BinaryType), Bridge.expression(sh)))))
+    docs.filter(hits < minShared)
+  }
+
   /** Batch twin of [[ingestClean]] (keep the earliest copy per digest). */
   def ingestCleanBatch(docs: DataFrame, minTokens: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -157,6 +157,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!streamPairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("streaming decontamination drops eval-overlapping docs, agrees with batch") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "the quick brown fox jumps over the lazy dog every day"
+    val evalDf = Seq((900L, evalText)).toDF("id", "text")
+    val bloom = Dedup.shingleBloom(evalDf, "text", n = 3, expectedItems = 1000)
+    val docs = Seq(
+      Doc(ts(0), 1L, "completely unrelated text about spark plans and shuffles here"),
+      Doc(ts(1), 2L, s"prefix words then $evalText then suffix"), // contaminated
+      Doc(ts(2), 3L, "another clean doc with different tokens entirely friends"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(docs)
+    val q = DocStreams.decontaminateStream(mem.toDF(), bloom, n = 3, minShared = 2)
+      .writeStream.format("memory").queryName("graft_decon_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.table("graft_decon_test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L), s"got $kept")
+    // the exact batch report flags the same doc
+    val flagged = Dedup.contaminationReport(
+        docs.map(d => (d.doc_id, d.text)).toDF("id", "text"),
+        evalDf, "id", "text", n = 3, minShared = 2)
+      .select("train_id").as[Long].collect().toSet
+    assert(flagged === Set(2L))
+  }
+
   test("nearDupFlags refuses maxHamming beyond the pigeonhole guarantee") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc
