@@ -212,12 +212,18 @@ object TabixIndex {
       s"$csiPath is not a CSI index (bad magic)")
     val minShift = bb.getInt
     val depth = bb.getInt
+    // Bounds keep all downstream index math exact: bin ids at level l are
+    // < (8^(l+1)-1)/7, Int-safe only for depth ≤ 9, and maxPos shifts
+    // 1L << (minShift + 3·depth). A corrupt header must fail HERE, loudly
+    // — overflowed bin ids would silently mis-prune a scan to zero rows.
+    require(minShift >= 1 && minShift <= 32 && depth >= 0 && depth <= 9,
+      s"$csiPath: implausible CSI tree shape (min_shift=$minShift, depth=$depth)")
     val lAux = bb.getInt
     val aux = new Array[Byte](lAux)
     bb.get(aux)
     // tabix-style aux: 7 little-endian ints (format, col_seq, col_beg,
     // col_end, meta, skip, l_nm) then the concatenated NUL-terminated
-    // names; non-tabix CSI (e.g. BCF) has no names — refs get indices
+    // names; non-tabix CSI (e.g. BCF) has no names and is rejected below
     val names: Array[String] =
       if (lAux >= 28) {
         val ab = ByteBuffer.wrap(aux).order(ByteOrder.LITTLE_ENDIAN)
@@ -231,6 +237,13 @@ object TabixIndex {
       } else Array.empty
 
     val nRef = bb.getInt
+    // The engine prunes BY NAME (pushed chrom vs ref names): an index
+    // whose aux block carries no usable names cannot prune safely —
+    // every lookup would miss and the scan would silently return zero
+    // rows for data that exists. Fail loudly, like the .tbi reader.
+    require(names.length == nRef,
+      s"$csiPath: ${names.length} sequence names in aux block for $nRef references " +
+        "(non-tabix CSI? cannot prune by chromosome name)")
     // bins at or past the tree's real-bin count are stats pseudo-bins
     val pseudo = (((1L << (3 * (depth + 1))) - 1) / 7).toInt
     val refs = mutable.ArrayBuffer.empty[Ref]
@@ -253,8 +266,7 @@ object TabixIndex {
           }
         }
       }
-      val name = if (i < names.length) names(i) else i.toString
-      refs += Ref(name, if (minV == Long.MaxValue) 0L else minV, maxV,
+      refs += Ref(names(i), if (minV == Long.MaxValue) 0L else minV, maxV,
         Array.empty[Long], binMap.view.mapValues(_.toArray).toMap, minShift, depth)
     }
     Index(refs.toSeq)

@@ -87,9 +87,12 @@ object VcfDataSource {
     StructField("format", StringType),
     StructField("genotypes", MapType(StringType, StringType))))
 
-  /** Accumulator counting PERMISSIVE-skipped malformed lines of the most
-    * recently planned vcf scan (also visible in the Spark UI under
-    * "vcf malformed lines"). Observability hook for tests/monitoring.
+  /** TEST-ONLY observability hook: the malformed-line accumulator of the
+    * LAST vcf scan to build a reader factory, process-global — when two
+    * vcf scans plan concurrently the last planner wins, so assertions on
+    * it are single-scan-at-a-time. Production monitoring should read the
+    * per-scan "vcf malformed lines" accumulator from the Spark UI /
+    * listener bus instead (each scan registers exactly one).
     */
   @volatile private[v2] var lastMalformedAcc: Option[LongAccumulator] = None
   def lastMalformedCount: Option[Long] = lastMalformedAcc.map(_.value)
@@ -280,11 +283,17 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  // One accumulator per SCAN, created at first factory request: repeated
+  // createReaderFactory calls on a re-planned scan must not register a
+  // fresh named accumulator for the app's lifetime each time.
+  private lazy val malformedAcc: LongAccumulator = {
     val acc = SparkSession.active.sparkContext.longAccumulator("vcf malformed lines")
     VcfDataSource.lastMalformedAcc = Some(acc)
-    new VcfReaderFactory(required, filters, acc)
+    acc
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VcfReaderFactory(required, filters, malformedAcc)
 }
 
 /** @param samples sample names from this file's header (parsed once at
@@ -313,8 +322,9 @@ final class VcfReaderFactory(required: StructType, filters: Array[Filter],
   * end offset. Standard text-split semantics, so no line is lost or
   * duplicated across partitions.
   *
-  * PERMISSIVE posture: a data line with fewer than 9 tab-separated
-  * fields or a non-integer POS is counted into the `malformed`
+  * PERMISSIVE posture: a data line with fewer than 8 tab-separated
+  * fields (sites-only VCFs carry exactly the 8 fixed columns — no
+  * FORMAT/genotypes) or a non-integer POS is counted into the `malformed`
   * accumulator and skipped — never an exception (one corrupt line in a
   * 100 TB crawl must not fail the job; the reference's pandas path
   * likewise coerces leniently, pandasvcf.py:94-99).

@@ -126,7 +126,8 @@ class TabixPruningSpec extends AnyFunSuite with SparkSpec {
     * fixture for the fallback-format test, built from the reference's
     * REAL index so chunk layout is authentic.
     */
-  private def writeCsi(idx: TabixIndex.Index, out: java.nio.file.Path): Unit = {
+  private def writeCsi(idx: TabixIndex.Index, out: java.nio.file.Path,
+      minShift: Int = 14, depth: Int = 5, withNames: Boolean = true): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     def i32(v: Int): Unit =
       (0 until 4).foreach(b => bos.write((v >>> (8 * b)) & 0xff))
