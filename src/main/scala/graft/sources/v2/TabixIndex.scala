@@ -272,6 +272,41 @@ object TabixIndex {
     Index(refs.toSeq)
   }
 
+  /** Record-start virtual offsets usable as SPLIT boundaries for a
+    * full-file scan: every chunk begin and every non-zero linear-index
+    * entry points at the first byte of some record (the tabix writer
+    * emits both as record starts), so bounding a partition at one of
+    * them never cuts a record in half. Sorted distinct, across all
+    * reference sequences (records of consecutive refs are contiguous in
+    * the file, so one global boundary list serves the whole file).
+    */
+  def splitCandidates(idx: Index): Array[Long] = {
+    val cands = idx.refs.iterator.flatMap { r =>
+      r.bins.valuesIterator.flatten.map(_.beg) ++ r.ioff.iterator.filter(_ > 0L)
+    }.toArray
+    java.util.Arrays.sort(cands)
+    cands.distinct
+  }
+
+  /** Greedy subdivision of the record range [begVoff, endVoffEx) at
+    * candidate record starts spaced ≥ maxSplit COMPRESSED bytes apart —
+    * the voff-bounded sub-ranges a splittable bgzf scan plans as
+    * partitions. `cands` must be sorted ascending. Always returns at
+    * least the undivided range.
+    */
+  def subdivide(begVoff: Long, endVoffEx: Long, cands: Array[Long],
+      maxSplit: Long): Seq[(Long, Long)] = {
+    val bounds = mutable.ArrayBuffer(begVoff)
+    cands.foreach { v =>
+      if (v > begVoff && v < endVoffEx &&
+          compressedOffset(v) >= compressedOffset(bounds.last) + maxSplit)
+        bounds += v
+    }
+    bounds.indices.map { i =>
+      (bounds(i), if (i + 1 < bounds.length) bounds(i + 1) else endVoffEx)
+    }.toSeq
+  }
+
   /** Sort chunks and merge any pair closer than one BGZF block in
     * COMPRESSED space. The block-gap guarantee is load-bearing for the
     * reader: a partition's raw read overshoots its last chunk's end by

@@ -28,8 +28,12 @@ import org.apache.spark.util.LongAccumulator
   * Spark-first replacement for the reference's pandas csv chunking
   * (pandasvcf.py:94-99):
   *  - plain-text files split by BYTE RANGE (workers align to line
-  *    boundaries), so one 100 GB VCF parallelizes like any text scan;
-  *    `.gz` files fall back to one partition each (codec not splittable)
+  *    boundaries), so one 100 GB VCF parallelizes like any text scan
+  *  - bgzipped files WITH a sibling `.tbi`/`.csi` split too: the index's
+  *    record-start virtual offsets become partition boundaries and each
+  *    task inflates only its own BGZF blocks ([[BgzfLineReader]]), so a
+  *    100 GB `.gz` chromosome full-scans on every core instead of one;
+  *    only an unindexed `.gz` falls back to one partition per file
   *  - column pruning reaches the scan (only requested fields are built)
   *  - chrom/pos predicates are evaluated pre-parse inside the reader
   *    (reported as pushed filters), skipping rows before row assembly
@@ -88,9 +92,10 @@ object VcfDataSource {
     StructField("genotypes", MapType(StringType, StringType))))
 
   /** TEST-ONLY observability hook: the malformed-line accumulator of the
-    * LAST vcf scan to build a reader factory, process-global — when two
-    * vcf scans plan concurrently the last planner wins, so assertions on
-    * it are single-scan-at-a-time. Production monitoring should read the
+    * LAST vcf scan to build its FIRST reader factory, process-global —
+    * a scan registers here once (the accumulator is per-scan lazy), so
+    * when two vcf scans plan concurrently the last first-time planner
+    * wins and assertions on it are single-scan-at-a-time. Production monitoring should read the
     * per-scan "vcf malformed lines" accumulator from the Spark UI /
     * listener bus instead (each scan registers exactly one).
     */
@@ -198,9 +203,9 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     val conf = spark.sessionState.newHadoopConf()
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
 
-    // pass 1: byte ranges per file — (start, length, vSkip); pruning
-    // decisions never need the sample list
-    val ranges = mutable.ArrayBuffer.empty[(FileSystem, Path, Seq[(Long, Long, Int)])]
+    // pass 1: byte ranges per file — (start, length, vSkip, endVoff);
+    // pruning decisions never need the sample list
+    val ranges = mutable.ArrayBuffer.empty[(FileSystem, Path, Seq[(Long, Long, Int, Long)])]
     paths.foreach { p =>
       val fs = new Path(p).getFileSystem(conf)
       val statuses = fs.globStatus(new Path(p)) match {
@@ -213,6 +218,31 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
         val len = st.getLen
         val isGz = st.getPath.getName.endsWith(".gz")
 
+        // One sibling-index read per file, shared by region pruning and
+        // full-scan splitting. An unreadable/corrupt index DEGRADES to
+        // the unindexed path (warn + full scan) instead of failing the
+        // query — valid data must stay queryable behind a bad index
+        // (delete or rebuild the sibling to restore pruning).
+        val idx: Option[TabixIndex.Index] =
+          if (isGz || chromEq.isDefined) {
+            try TabixIndex.readSibling(fs, st.getPath)
+            catch {
+              case e: Exception =>
+                VcfScan.log.warn(
+                  s"unusable sibling index for ${st.getPath} — scanning unpruned: $e")
+                None
+            }
+          } else None
+        lazy val splitCands = idx.map(TabixIndex.splitCandidates).getOrElse(Array.empty)
+
+        /** Voff-bounded sub-partitions of one record range (bgzf only). */
+        def voffRanges(begVoff: Long, endVoffEx: Long): Seq[(Long, Long, Int, Long)] =
+          TabixIndex.subdivide(begVoff, endVoffEx, splitCands, maxSplit).map {
+            case (b, e) =>
+              val startC = TabixIndex.compressedOffset(b)
+              (startC, len - startC, TabixIndex.uncompressedOffset(b), e)
+          }
+
         // Region pruning via the sibling index (.tbi, or .csi for
         // chromosomes beyond tabix's 2^29 limit): with a pushed chrom
         // (+ optional pos bounds) and an index next to the file, skip
@@ -220,9 +250,9 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
         // region's BGZF chunks — the binning index bounds both ends, so
         // an interactive locus query reads O(region) bytes, not
         // O(chromosome).
-        val pruned: Option[Seq[(Long, Long, Int)]] = chromEq.flatMap { c =>
-          TabixIndex.readSibling(fs, st.getPath).flatMap { idx =>
-            idx.ref(c) match {
+        val pruned: Option[Seq[(Long, Long, Int, Long)]] = chromEq.flatMap { c =>
+          idx.flatMap { i =>
+            i.ref(c) match {
               case None => Some(Seq.empty) // chrom absent: whole file pruned
               case Some(r) if !isGz => None // index offsets are BGZF-only
               case Some(r) =>
@@ -234,20 +264,32 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
                 val lower0 = posLowerInclusive.map(l => math.max(0, l - 1).toLong).getOrElse(0L)
                 val upper0Ex = math.min(maxPos,
                   posUpperInclusive.map(_.toLong).getOrElse(maxPos))
-                Some(TabixIndex.regionChunks(r, lower0, upper0Ex).map { ch =>
+                Some(TabixIndex.regionChunks(r, lower0, upper0Ex).flatMap { ch =>
                   val startC = TabixIndex.compressedOffset(ch.beg)
                   val endC = math.min(len,
                     TabixIndex.compressedOffset(ch.end) + TabixIndex.MaxBlockSize)
-                  (startC, endC - startC, TabixIndex.uncompressedOffset(ch.beg))
+                  // a whole-chromosome region is one huge coalesced
+                  // chunk — subdivide it at record starts like a full
+                  // scan so a single-chrom 100 GB file still fans out
+                  if (endC - startC > maxSplit && splitCands.nonEmpty)
+                    voffRanges(ch.beg, ch.end)
+                  else
+                    Seq((startC, endC - startC, TabixIndex.uncompressedOffset(ch.beg), -1L))
                 })
             }
           }
         }
 
         val fileRanges = pruned.getOrElse {
-          if (isGz || len <= maxSplit) Seq((0L, len, -1))
+          if (isGz) {
+            // no (usable) region predicate: an indexed bgzf file still
+            // splits — one voff-bounded partition per ~maxSplit of
+            // compressed record bytes; unindexed .gz stays one task
+            if (splitCands.nonEmpty) voffRanges(splitCands.head, Long.MaxValue)
+            else Seq((0L, len, -1, -1L))
+          } else if (len <= maxSplit) Seq((0L, len, -1, -1L))
           else (0L until len by maxSplit).map(off =>
-            (off, math.min(maxSplit, len - off), -1))
+            (off, math.min(maxSplit, len - off), -1, -1L))
         }
         if (fileRanges.nonEmpty) ranges += ((fs, st.getPath, fileRanges))
       }
@@ -277,8 +319,8 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
 
     ranges.flatMap { case (_, path, rs) =>
       val samples = samplesByPath(path.toString)
-      rs.map { case (start, length, vSkip) =>
-        VcfPartition(path.toString, start, length, samples, vSkip)
+      rs.map { case (start, length, vSkip, endVoff) =>
+        VcfPartition(path.toString, start, length, samples, vSkip, endVoff)
       }
     }.toArray
   }
@@ -296,6 +338,10 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     new VcfReaderFactory(required, filters, malformedAcc)
 }
 
+object VcfScan {
+  private[v2] val log = org.slf4j.LoggerFactory.getLogger(classOf[VcfScan])
+}
+
 /** @param samples sample names from this file's header (parsed once at
   *                planning time), in genotype-column order
   * @param vSkip -1 for plain byte-range splits; ≥0 marks a tabix-pruned
@@ -303,9 +349,17 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
   *              (BGZF blocks are standalone gzip members, so
   *              decompression can begin there) and `vSkip` the number of
   *              DECOMPRESSED bytes to discard before the first record.
+  * @param endVoff -1 for truncation-bounded reads (plain splits and
+  *                index-pruned regions, where pushed pos predicates drop
+  *                any overshoot); ≥0 marks a SPLITTABLE bgzf range — the
+  *                reader emits exactly the records whose start virtual
+  *                offset is < endVoff (and ≥ the partition's own start),
+  *                Long.MaxValue on a file's last split. `start+length`
+  *                is then the file length (reads are on-demand).
   */
 final case class VcfPartition(path: String, start: Long, length: Long,
-    samples: Array[String] = Array.empty, vSkip: Int = -1)
+    samples: Array[String] = Array.empty, vSkip: Int = -1,
+    endVoff: Long = -1L)
     extends InputPartition
 
 final class VcfReaderFactory(required: StructType, filters: Array[Filter],
@@ -355,7 +409,13 @@ final class VcfPartitionReader(
     * discards the partial decompressed block prefix before the first
     * record of the region.
     */
-  private val isGzRegion = codec != null && part.vSkip >= 0
+  private val isGzRegion = codec != null && part.vSkip >= 0 && part.endVoff < 0L
+
+  /** Splittable bgzf range: records owned by START virtual offset (see
+    * [[VcfPartition.endVoff]]), read block-by-block so the cursor's voff
+    * is exact ([[BgzfLineReader]]).
+    */
+  private val isBgzfSplit = part.endVoff >= 0L
 
   /** Caps raw reads at the region end; the trailing gzip member may be
     * cut, which next() treats as end-of-region.
@@ -374,7 +434,14 @@ final class VcfPartitionReader(
     override def close(): Unit = raw.close()
   }
 
-  private val reader: org.apache.hadoop.util.LineReader = {
+  private val bgzf: BgzfLineReader =
+    if (isBgzfSplit) {
+      val r = new BgzfLineReader(raw, part.start, part.start + part.length)
+      r.skip(part.vSkip) // partial-block prefix before the first owned record
+      r
+    } else null
+
+  private val reader: org.apache.hadoop.util.LineReader = if (isBgzfSplit) null else {
     val stream: java.io.InputStream =
       if (isGzRegion) {
         raw.seek(part.start)
@@ -418,7 +485,34 @@ final class VcfPartitionReader(
     try java.lang.Integer.parseInt(s)
     catch { case _: NumberFormatException => Int.MinValue }
 
+  /** Parse/filter one data line; true iff it produced `current`. */
+  private def acceptLine(line: String): Boolean = {
+    if (line.startsWith("#") || line.isEmpty) return false
+    val f = line.split("\t", -1)
+    // 8 fixed fields are mandatory; FORMAT + samples are optional
+    // (sites-only VCFs) — those rows get a null format and an
+    // empty genotypes map
+    val pos = if (f.length >= 8) parsePos(f(1)) else Int.MinValue
+    if (pos == Int.MinValue) {
+      malformed.add(1L) // PERMISSIVE: count and skip, never throw
+      false
+    } else if (passesFilters(f, pos)) {
+      current = buildRow(f, pos)
+      true
+    } else false
+  }
+
   override def next(): Boolean = {
+    if (isBgzfSplit) {
+      while (true) {
+        // ownership check BEFORE the read: lines starting at or past
+        // endVoff belong to the next partition (which starts exactly
+        // there, so no record is lost or duplicated)
+        val v = bgzf.nextVoff()
+        if (v < 0L || v >= part.endVoff) { current = null; return false }
+        if (acceptLine(bgzf.readLine())) return true
+      }
+    }
     while (true) {
       if (codec == null && consumed > end) { current = null; return false }
       val n =
@@ -431,20 +525,7 @@ final class VcfPartitionReader(
         }
       if (n == 0) { current = null; return false }
       consumed += n
-      val line = lineText.toString
-      if (!line.startsWith("#") && line.nonEmpty) {
-        val f = line.split("\t", -1)
-        // 8 fixed fields are mandatory; FORMAT + samples are optional
-        // (sites-only VCFs) — those rows get a null format and an
-        // empty genotypes map
-        val pos = if (f.length >= 8) parsePos(f(1)) else Int.MinValue
-        if (pos == Int.MinValue) {
-          malformed.add(1L) // PERMISSIVE: count and skip, never throw
-        } else if (passesFilters(f, pos)) {
-          current = buildRow(f, pos)
-          return true
-        }
-      }
+      if (acceptLine(lineText.toString)) return true
     }
     false
   }
@@ -475,5 +556,5 @@ final class VcfPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (isBgzfSplit) bgzf.close() else reader.close()
 }
