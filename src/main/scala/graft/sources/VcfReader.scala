@@ -203,14 +203,44 @@ object VcfReader {
       .toDF("header_key", "header_value")
   }
 
+  /** ~1 Mb genomic position bucket — the second landing shuffle key.
+    * Coarse enough that a bucket is one locality unit for site-keyed
+    * work, fine enough that one human chromosome fans out over ~250
+    * reducers instead of one.
+    */
+  def posBucket(pos: Column): Column = shiftright(pos, 20).cast("int")
+
   /** Recommended landing path for huge VCFs: one pass text→parquet,
-    * partitioned by chromosome so downstream site-keyed work prunes and
-    * co-locates.
+    * directory-partitioned by chromosome so downstream region queries
+    * prune, but SHUFFLED by (chrom, pos bucket): hashing on chrom alone
+    * would serialize each chromosome through a single reducer — at
+    * 100 TB that is a multi-TB straggler task (and its OOM), not a
+    * layout. ~250 writers per human chromosome keeps every task
+    * bounded while `partitionBy` still lands one directory per chrom.
     */
   def toParquet(spark: SparkSession, vcfPath: String, outPath: String): Unit =
     read(spark, vcfPath)
-      .repartition(col("chrom"))
+      .repartition(col("chrom"), posBucket(col("pos")))
       .write.mode("overwrite")
       .partitionBy("chrom")
       .parquet(outPath)
+
+  /** Bucketed-table landing variant: materializes `pos_bucket` and
+    * `bucketBy(n, chrom, pos_bucket)` so repeated site-keyed work over
+    * the landed table — aggregation or a self/fact join keyed on
+    * (chrom, pos_bucket, …) — plans ZERO exchanges: the table's bucket
+    * layout already satisfies the clustered distribution (the SURVEY §4
+    * co-location promise; mechanism proven generically in
+    * BucketedJoinSpec). Use over [[toParquet]] when the table is read
+    * many times by site.
+    */
+  def toBucketedTable(spark: SparkSession, vcfPath: String, table: String,
+      buckets: Int = 128): Unit =
+    read(spark, vcfPath)
+      .withColumn("pos_bucket", posBucket(col("pos")))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "chrom", "pos_bucket")
+      .sortBy("chrom", "pos_bucket")
+      .format("parquet")
+      .saveAsTable(table)
 }

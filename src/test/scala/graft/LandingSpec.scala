@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VcfReader
+
+/** The 100 TB landing paths: text VCF → parquet. The landing shuffle
+  * must fan each chromosome over MANY writers (hashing on chrom alone
+  * serializes a multi-TB chromosome through one reducer task), and the
+  * bucketed-table variant must let downstream site-keyed aggregation
+  * plan with zero exchanges — the SURVEY §4 co-location promise.
+  */
+class LandingSpec extends AnyFunSuite with SparkSpec {
+
+  /** Two chroms × 40 records spread over ~12 Mb so positions span many
+    * 2^20 pos buckets.
+    */
+  private def writeWideVcf(): java.nio.file.Path = {
+    val header = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1")
+    val records = for {
+      c <- Seq("1", "2")
+      i <- 1 to 40
+    } yield s"$c\t${i * 300000}\trs${c}_$i\tA\tG\t50\tPASS\tDP=$i\tGT\t0/1"
+    val p = Files.createTempFile("graft-landing", ".vcf")
+    Files.writeString(p, (header ++ records).mkString("", "\n", "\n"))
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("toParquet fans one chromosome over multiple writer tasks") {
+    val vcf = writeWideVcf()
+    val out = Files.createTempDirectory("graft_landing").resolve("landed")
+    // AQE rightly coalesces this KB-sized fixture into one reducer; at
+    // landing scale each (chrom, pos_bucket) shard is GBs and stays its
+    // own task — pin coalescing off so the test sees the scale shape
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try VcfReader.toParquet(spark, vcf.toString, out.toString)
+    finally spark.conf.set(key, old)
+
+    // one parquet part-file per (reducer, chrom) pair: with the
+    // (chrom, pos_bucket) shuffle a 12 Mb chromosome lands from >1
+    // reducer; the old repartition(chrom) wrote exactly one
+    val chr1Files = Files.list(out.resolve("chrom=1")).iterator()
+    var parts = 0
+    while (chr1Files.hasNext) {
+      if (chr1Files.next().getFileName.toString.endsWith(".parquet")) parts += 1
+    }
+    assert(parts > 1,
+      s"chrom=1 landed as $parts file(s) — per-chrom repartition straggler is back")
+
+    // and the landed table is lossless + chrom-pruned
+    val landed = spark.read.parquet(out.toString)
+    assert(landed.count() === 80)
+    assert(landed.filter(col("chrom") === "1").count() === 40)
+    assert(landed.select(sum("pos")).head().getLong(0) ===
+      2L * (1 to 40).map(_ * 300000L).sum)
+  }
+
+  test("bucketed landing: site-keyed aggregation over the table plans zero exchanges") {
+    spark.sql("DROP TABLE IF EXISTS g_vcf_bucketed")
+    val wh = java.nio.file.Paths.get("/tmp/graft-test-warehouse/g_vcf_bucketed")
+    if (Files.exists(wh)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(wh).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val vcf = writeWideVcf()
+    VcfReader.toBucketedTable(spark, vcf.toString, "g_vcf_bucketed", buckets = 8)
+
+    val agg = spark.table("g_vcf_bucketed")
+      .groupBy("chrom", "pos_bucket", "pos")
+      .agg(count(lit(1)).as("n_sites"), max("qual").as("max_qual"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"site-keyed agg over the bucketed landing still shuffles:\n$plan")
+    assert(agg.count() === 80)
+
+    // the bucket column is derived, not invented: pos_bucket == pos >> 20
+    val bad = spark.table("g_vcf_bucketed")
+      .filter(col("pos_bucket") =!= shiftright(col("pos"), 20).cast("int"))
+    assert(bad.count() === 0)
+  }
+}
