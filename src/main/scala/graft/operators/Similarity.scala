@@ -238,7 +238,8 @@ object Similarity {
     */
   def pqEncode(
       vecs: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "v",
+      keep: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val codeCols = (0 until m).map { mi =>
@@ -247,7 +248,9 @@ object Similarity {
           lit(k).as("k"))
       }.reduceLeft((a, b) => least(a, b)).getField("k").as(s"code_$mi")
     }
-    vecs.select(col(idCol) +: codeCols: _*)
+    // `keep` carries index metadata (e.g. the IVF cell) through the
+    // encode projection — still one narrow select, no join needed
+    vecs.select(col(idCol) +: keep.map(col) ++: codeCols: _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
@@ -277,6 +280,43 @@ object Similarity {
     val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("cand_id").asc)
     codes.withColumnRenamed(idCol, "cand_id")
       .crossJoin(broadcast(p))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "cand_id", "rnk", "adc")
+  }
+
+  /** IVF+PQ composed search — the standard billion-vector production
+    * layout: IVF bounds the SCAN (only the probe's `nprobe` cells of
+    * the corpus are touched), PQ bounds the MEMORY (M code bytes per
+    * corpus vector at search time). `codes` is the PQ-encoded corpus
+    * carrying its [[ivfAssign]] `cell`; `probes` is one row per
+    * (probe, cell) from [[ivfAssignTopN]]. The probe side — with its
+    * per-probe M×K ADC distance tables — broadcasts into an equi-join
+    * ON `cell`, so the corpus never re-shuffles (same zero-corpus-
+    * exchange shape as the plain IVF search), and the `rnk <= k`
+    * row_number filter pre-reduces below the one probe-keyed exchange
+    * via partial WindowGroupLimit (same as [[pqAdcTopK]]).
+    */
+  def pqAdcTopKInCells(
+      codes: DataFrame, probes: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val dtCols = (0 until m).map { mi =>
+      array(codebooks(mi).map(cw =>
+        l2sq(subVec(col(vecCol), mi, sub), typedLit(cw))): _*).as(s"__dt$mi")
+    }
+    val p = probes.select(
+      col(idCol).as("probe_id") +: col("cell") +: dtCols: _*)
+    val adc = (0 until m).map(mi =>
+      element_at(col(s"__dt$mi"), col(s"code_$mi") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("cand_id").asc)
+    // a corpus vector lives in exactly ONE cell, so the equi-join emits
+    // each (probe, candidate) pair at most once — no dedup needed
+    codes.withColumnRenamed(idCol, "cand_id")
+      .join(broadcast(p), "cell")
       .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("adc", adc)
       .withColumn("rnk", row_number().over(w))

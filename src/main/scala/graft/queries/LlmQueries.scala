@@ -1405,8 +1405,103 @@ object LlmQueries extends QuerySet {
       ORDER BY probe_id
     """))
 
+  /** IVF+PQ composed recall@5 — the production billion-vector layout,
+    * measured: corpus assigned to IVF cells (seed centroids 100-107,
+    * like q42) AND PQ-encoded (seed books 200-207, like q65); search =
+    * probe's top-2 cells (exact probe→centroid L2) + ADC restricted to
+    * those cells (Similarity.pqAdcTopKInCells — probe side broadcast,
+    * corpus never re-shuffles). Gated against exact L2 ground truth;
+    * the spec additionally gates it ≥ plain-PQ q65 on the same data —
+    * the cell restriction prunes quantization false-positives, so
+    * composing the two indexes must not cost recall here.
+    */
+  private val q67 = Q(
+    "q67_ivfpq_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cents = e.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val books = Similarity.pqCodebooks(
+        e.filter(col("vec_id").between(200, 207)), m = 4)
+      // assign + encode compose into ONE narrow projection chain: the
+      // corpus is scanned once and never shuffled
+      val codes = Similarity.pqEncode(
+        Similarity.ivfAssign(e, cents), books, keep = Seq("cell"))
+      val probes = Similarity.ivfAssignTopN(
+        e.filter(col("vec_id") < 5), cents, nprobe = 2)
+      val pq5 = Similarity.pqAdcTopKInCells(codes, probes, books, k = 5)
+        .select(col("probe_id"), col("cand_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("d").asc, col("cand_id").asc)
+      val brute = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+        .crossJoin(broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("d", Similarity.l2sq(col("cv"), col("pv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("probe_id", "cand_id")
+      val matches = brute.join(pq5, Seq("probe_id", "cand_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+      brute.select("probe_id").distinct()
+        .join(matches, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          micro(coalesce(col("n_match"), lit(0L)) / 5.0).as("recall_micro"))
+        .orderBy("probe_id")
+    },
+    Some(s"""
+      WITH $ivfAsgSql,
+      pcell AS (SELECT probe_id, cell FROM (
+               SELECT e.vec_id AS probe_id, c.cid AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${l2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+               FROM e CROSS JOIN cent c WHERE e.vec_id < 5) x WHERE rn <= 2),
+      cw AS (SELECT vec_id - 200 AS k, v FROM e WHERE vec_id BETWEEN 200 AND 207),
+      ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      cdist AS (SELECT e.vec_id, ms.m, cw.k,
+               ${l2Slice16Sql("list_slice(e.v, ms.m * 16 + 1, ms.m * 16 + 16)",
+                              "list_slice(cw.v, ms.m * 16 + 1, ms.m * 16 + 16)")} AS d
+             FROM e CROSS JOIN ms CROSS JOIN cw),
+      ccode AS (SELECT vec_id, m, k FROM (
+               SELECT vec_id, m, k,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+               FROM cdist) x WHERE rn = 1),
+      adc AS (SELECT pd.vec_id AS probe_id, cc.vec_id AS cand_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(pd.d ORDER BY pd.m)), (x, y) -> x + y) AS adc
+             FROM ccode cc
+             JOIN asg a ON a.vec_id = cc.vec_id
+             JOIN pcell pc ON pc.cell = a.cell
+             JOIN (SELECT * FROM cdist WHERE vec_id < 5) pd
+               ON pd.vec_id = pc.probe_id AND pd.m = cc.m AND pd.k = cc.k
+             WHERE cc.vec_id <> pc.probe_id
+             GROUP BY pd.vec_id, cc.vec_id),
+      prk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) AS rnk
+             FROM adc),
+      p5 AS (SELECT probe_id, cand_id FROM prk WHERE rnk <= 5),
+      bpr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${l2Sql("c.v", "p.v")} AS d
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) p
+             WHERE c.vec_id <> p.vec_id),
+      brk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY d, cand_id) AS rnk
+             FROM bpr),
+      b5 AS (SELECT probe_id, cand_id FROM brk WHERE rnk <= 5),
+      mc AS (SELECT probe_id, count(*) AS n_match
+             FROM (SELECT * FROM b5 INTERSECT SELECT * FROM p5) i GROUP BY probe_id)
+      SELECT p.probe_id,
+        CAST(COALESCE(mc.n_match, 0) AS BIGINT) AS n_match,
+        ${microSql("COALESCE(mc.n_match, 0) / 5.0")} AS recall_micro
+      FROM (SELECT DISTINCT probe_id FROM b5) p LEFT JOIN mc USING (probe_id)
+      ORDER BY probe_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65, q66)
+      q45, q48, q65, q66, q67)
 }

@@ -263,6 +263,51 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(books1(1)(1) === Seq(100.0, 100.0), "empty cell keeps its codeword")
   }
 
+  test("pqAdcTopKInCells searches only the probe's cells, ranks like plain ADC within them") {
+    val seeds = Seq(
+      (0L, Seq(0.0, 0.0, 1.0, 1.0)),
+      (1L, Seq(5.0, 5.0, -1.0, -1.0))).toDF("vec_id", "v")
+    val books = Similarity.pqCodebooks(seeds, m = 2)
+    val cents = Seq((0L, Seq(0.0, 0.0, 0.0, 0.0)), (1L, Seq(100.0, 100.0, 0.0, 0.0)))
+      .toDF("cid", "cv")
+    val corpus = Seq(
+      (10L, Seq(0.1, 0.1, 0.9, 0.9)),       // cell 0
+      (11L, Seq(4.9, 5.1, -0.9, -1.1)),     // cell 0
+      (12L, Seq(99.0, 99.0, -1.0, -1.0)))   // cell 1 — outside the probe's cell
+      .toDF("vec_id", "v")
+    val codes = Similarity.pqEncode(
+      Similarity.ivfAssign(corpus, cents), books, keep = Seq("cell"))
+    assert(codes.columns.toSeq === Seq("vec_id", "cell", "code_0", "code_1"))
+    // nprobe=1: probe 10 searches cell 0 only → 12 invisible, 11 found
+    val probes1 = Similarity.ivfAssignTopN(
+      corpus.filter(col("vec_id") === 10), cents, nprobe = 1)
+    val got1 = Similarity.pqAdcTopKInCells(codes, probes1, books, k = 5)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(got1 === Seq(11L))
+    // nprobe=2 covers both cells → full plain-ADC ranking, no dup rows
+    val probes2 = Similarity.ivfAssignTopN(
+      corpus.filter(col("vec_id") === 10), cents, nprobe = 2)
+    val got2 = Similarity.pqAdcTopKInCells(codes, probes2, books, k = 5)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    val plain = Similarity.pqAdcTopK(
+      Similarity.pqEncode(corpus, books),
+      corpus.filter(col("vec_id") === 10), books, k = 5)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(got2 === plain)
+  }
+
+  test("composed ivf+pq recall is not below plain-PQ recall on the gate data") {
+    val dir = "/root/testdata/sf0.001"
+    def meanRecall(q: String): Double = {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      rows.map(_.getLong(2).toDouble).sum / rows.length / 1e6
+    }
+    val pq = meanRecall("q65_pq_recall")
+    val ivfpq = meanRecall("q67_ivfpq_recall")
+    assert(ivfpq >= pq,
+      s"ivf+pq recall $ivfpq fell below plain-PQ recall $pq — cell restriction is losing neighbors")
+  }
+
   test("lshBucket is deterministic and separates opposite vectors") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val df = Seq((1L, Seq(5.0, 3.0)), (2L, Seq(-5.0, -3.0)), (3L, Seq(5.1, 2.9)))

@@ -109,6 +109,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"expected partial WindowGroupLimit before the exchange:\n$p")
   }
 
+  test("ivf+pq composed search: corpus unshuffled, probe side broadcast, partial top-k") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val books = Similarity.pqCodebooks(e.filter(col("vec_id").between(200, 207)), m = 4)
+    val codes = Similarity.pqEncode(Similarity.ivfAssign(e, cents), books, keep = Seq("cell"))
+    val top = Similarity.pqAdcTopKInCells(
+      codes, Similarity.ivfAssignTopN(e.filter(col("vec_id") < 5), cents, nprobe = 2),
+      books, k = 5)
+    top.collect()
+    val p = top.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the cell equi-join must broadcast the (tiny) probe side — the
+    // encoded corpus is the billion-row side and must never move
+    assert(p.contains("BroadcastHashJoin"), s"cell join must broadcast probes:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(cell"),
+      s"corpus must not shuffle on cell:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(cand_id"),
+      s"corpus must not shuffle on cand_id:\n$p")
+    // and the per-probe top-k pre-reduces below the one probe exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial WindowGroupLimit before the exchange:\n$p")
+  }
+
   test("jaccard shingle table is shared via ReusedExchange, not a cache") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
