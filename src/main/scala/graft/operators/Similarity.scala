@@ -201,30 +201,49 @@ object Similarity {
   private def subVec(vec: Column, mi: Int, sub: Int): Column =
     slice(vec, mi * sub + 1, sub)
 
-  /** One Lloyd iteration per PQ subspace — how real PQ codebooks are
-    * trained: each subspace's subvectors run the SAME decimal-exact
-    * [[kmeansStep]] the IVF quantizer uses (assign to nearest codeword,
-    * re-estimate codewords as per-cell means), so the refined books are
-    * bit-deterministic and oracle-replicable. Codewords that captured
-    * no vectors keep their previous value. M driver-side jobs over
-    * narrow sliced projections; iterate to taste, re-measure with the
+  /** One Lloyd iteration over ALL PQ subspaces in a SINGLE corpus scan:
+    * the per-subspace nearest-codeword argmins are M inlined-literal
+    * `least` projections (the [[pqEncode]] shape), the vector then
+    * posexplodes ONCE into (subspace, codeword, dim, x) rows, and one
+    * grouped aggregation re-estimates every codeword of every subspace
+    * together. Same decimal-exact means as [[kmeansStep]] (per-dim
+    * values to decimal(18,6) before summing, one IEEE divide) so the
+    * refined books are bit-deterministic and oracle-replicable; the
+    * previous formulation ran M sequential driver jobs — M scans of the
+    * training sample per iteration. Codewords that captured no vectors
+    * keep their previous value. Iterate to taste, re-measure with the
     * q65-style recall gate after each step.
     */
   def pqTrainStep(
       vecs: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
       idCol: String = "vec_id", vecCol: String = "v"): Seq[Seq[Seq[Double]]] = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
+    import graft.queries.QueryUtil.{avg6, dec}
     val m = codebooks.length
     val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { mi =>
+      codebooks(mi).zipWithIndex.map { case (cw, k) =>
+        struct(l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)).as("d"),
+          lit(k).as("k"))
+      }.reduceLeft((a, b) => least(a, b)).getField("k").as(s"__c$mi")
+    }
+    val mCol = (col("__p") / sub).cast("int")
+    val learned = vecs
+      .select(col(vecCol) +: codeCols: _*)
+      .select(posexplode(col(vecCol)).as(Seq("__p", "__x")),
+        array((0 until m).map(mi => col(s"__c$mi")): _*).as("__codes"))
+      .select(mCol.as("m"),
+        element_at(col("__codes"), mCol + 1).as("k"),
+        (col("__p") % sub + 1).as("dim"), col("__x"))
+      .groupBy("m", "k", "dim")
+      .agg(count(lit(1)).as("n"), sum(dec(col("__x"))).as("__s"))
+      .select(col("m"), col("k"), col("dim"), avg6(col("__s"), col("n")).as("c"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .view.mapValues(_.map(r => r.getInt(2) -> r.getDouble(3)).sortBy(_._1).map(_._2).toSeq)
+      .toMap
     (0 until m).map { mi =>
-      val seeds = codebooks(mi).zipWithIndex
-        .map { case (cw, k) => (k.toLong, cw) }.toDF("cid", "cv")
-      val subVecs = vecs.select(col(idCol), subVec(col(vecCol), mi, sub).as("v"))
-      val learned = kmeansCentroids(kmeansStep(subVecs, seeds))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       codebooks(mi).zipWithIndex.map { case (old, k) =>
-        learned.getOrElse(k.toLong, old)
+        learned.getOrElse((mi, k), old)
       }
     }
   }

@@ -263,6 +263,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(books1(1)(1) === Seq(100.0, 100.0), "empty cell keeps its codeword")
   }
 
+  test("pqTrainStep runs ONE scan for all subspaces, not M driver jobs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val books = Similarity.pqCodebooks(e.filter(col("vec_id").between(200, 207)), m = 4)
+    val group = "graft-pqtrain-jobcount"
+    spark.sparkContext.setJobGroup(group, "pqTrainStep job accounting")
+    try Similarity.pqTrainStep(e, books)
+    finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    // one collect → one AQE query: ≤ 2 jobs (shuffle map stage + result).
+    // The per-subspace formulation this replaced ran 4 sequential
+    // aggregations — ≥ 8 jobs and 4 scans of the training sample.
+    assert(jobs <= 2, s"pqTrainStep submitted $jobs jobs — expected one scan")
+  }
+
   test("pqAdcTopKInCells searches only the probe's cells, ranks like plain ADC within them") {
     val seeds = Seq(
       (0L, Seq(0.0, 0.0, 1.0, 1.0)),
