@@ -401,6 +401,61 @@ object VcfQueries extends QuerySet {
       FROM ann GROUP BY chrom ORDER BY chrom
     """))
 
+  /** Sites-only shard corpus: the 8-column emission (no FORMAT, no
+    * samples) of the synthetic sites — cached like [[vcfCorpusShards]].
+    */
+  private def sitesOnlyShards(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val writerVersion = "w1"
+    val ver = java.lang.Integer.toHexString(
+      (chromRawSql + posSql + refSql + altSql + idSql + qualSql + filtSql +
+        infoSql + "sites-only" + writerVersion).hashCode)
+    val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"/tmp/graft_vcf_sites_${sf}_$ver"
+    val marker = new org.apache.hadoop.fs.Path(s"$out/shards/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val meta = graft.sources.VcfReader.VcfMetadata(
+        Seq("fileformat" -> "VCFv4.2"),
+        Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"),
+        Nil)
+      graft.sources.VcfWriter.writeSharded(
+        wide(s, dir).withColumnRenamed("filt", "filter"), meta, out)
+    }
+    s"$out/shards"
+  }
+
+  /** Sites-only VCF gate: 8-column shards (no FORMAT/genotype columns —
+    * dbSNP/gnomAD-style site lists ship this way) round-trip through the
+    * DSv2 reader's sites-only path and classify identically to the
+    * in-memory derivation. Locks in what was spec-only: 8-field lines
+    * parse with a NULL `format` (asserted per row via n_no_format = n)
+    * and an EMPTY genotypes map (n_geno = 0) — not as malformed skips.
+    */
+  private val q68 = Q(
+    "q68_sites_only",
+    (s, dir) => {
+      val df = s.read.format("vcf").load(sitesOnlyShards(s, dir))
+      df.filter(col("alt") =!= ".")
+        .select(col("chrom"),
+          vartype(col("ref"), element_at(split(col("alt"), ","), 1)).as("vartype"),
+          col("format"), col("genotypes"))
+        .groupBy("chrom", "vartype")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("format").isNull, 1L).otherwise(0L)).as("n_no_format"),
+          sum(size(col("genotypes"))).as("n_geno"))
+        .orderBy("chrom", "vartype")
+    },
+    Some(s"""
+      WITH $duckCtes
+      SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom,
+             ${vartypeSql("ref", "string_split(alt, ',')[1]")} AS vartype,
+             count(*) AS n,
+             count(*) AS n_no_format,
+             CAST(0 AS BIGINT) AS n_geno
+      FROM v WHERE alt <> '.'
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
   val all: Seq[Q] =
-    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64)
+    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64, q68)
 }

@@ -23,10 +23,15 @@ object VcfWriter {
 
   /** Wide graft rows → `value: STRING` VCF data lines; genotype calls
     * in `samples` order, absent samples emitted as the missing call.
+    * With NO samples the emission is SITES-ONLY: exactly the 8 fixed
+    * columns, no FORMAT — per the VCF spec FORMAT exists only when
+    * genotype columns follow it (`format`/`genotypes` columns are then
+    * never referenced, so a sites-only frame can omit them).
     */
   def toVcfLines(df: DataFrame, samples: Seq[String]): DataFrame = {
-    val fixed = Seq("chrom", "pos", "id", "ref", "alt", "qual", "filter",
-      "info", "format").map(c => coalesce(col(c).cast("string"), lit(".")))
+    val fixedNames = Seq("chrom", "pos", "id", "ref", "alt", "qual", "filter",
+      "info") ++ (if (samples.nonEmpty) Seq("format") else Nil)
+    val fixed = fixedNames.map(c => coalesce(col(c).cast("string"), lit(".")))
     val calls = samples.map(sid =>
       coalesce(element_at(col("genotypes"), sid), lit("./.")))
     df.select(concat_ws("\t", fixed ++ calls: _*).as("value"))
