@@ -121,36 +121,16 @@ class TabixPruningSpec extends AnyFunSuite with SparkSpec {
     assert(plannedBytes(16300000, 16600000) > locusBytes)
   }
 
-  /** Re-encode a parsed .tbi as a tabix-style .csi (min_shift 14,
-    * depth 5, loffset 0): same bins/chunks, no linear index — the
-    * fixture for the fallback-format test, built from the reference's
-    * REAL index so chunk layout is authentic.
+  /** Re-encode a parsed .tbi as a tabix-style .csi via the shared
+    * fixture writer ([[BgzfFixture.writeCsi]] — same bins/chunks, no
+    * linear index), built from the reference's REAL index so the chunk
+    * layout is authentic. minShift/depth/withNames land in the emitted
+    * header verbatim, so malformed-header variants drive the negative
+    * tests below.
     */
   private def writeCsi(idx: TabixIndex.Index, out: java.nio.file.Path,
-      minShift: Int = 14, depth: Int = 5, withNames: Boolean = true): Unit = {
-    val bos = new java.io.ByteArrayOutputStream()
-    def i32(v: Int): Unit =
-      (0 until 4).foreach(b => bos.write((v >>> (8 * b)) & 0xff))
-    def i64(v: Long): Unit =
-      (0 until 8).foreach(b => bos.write(((v >>> (8 * b)) & 0xff).toInt))
-    bos.write('C'); bos.write('S'); bos.write('I'); bos.write(1)
-    i32(14); i32(5) // min_shift, depth
-    val names = idx.refs.map(_.name + "\u0000").mkString.getBytes("UTF-8")
-    i32(28 + names.length) // l_aux
-    i32(2); i32(1); i32(2); i32(0); i32('#'); i32(0) // tabix aux header
-    i32(names.length); bos.write(names)
-    i32(idx.refs.length)
-    idx.refs.foreach { r =>
-      i32(r.bins.size)
-      r.bins.toSeq.sortBy(_._1).foreach { case (bin, chunks) =>
-        i32(bin); i64(0L); i32(chunks.length)
-        chunks.foreach { c => i64(c.beg); i64(c.end) }
-      }
-    }
-    val gz = new java.util.zip.GZIPOutputStream(
-      java.nio.file.Files.newOutputStream(out))
-    try gz.write(bos.toByteArray) finally gz.close()
-  }
+      minShift: Int = 14, depth: Int = 5, withNames: Boolean = true): Unit =
+    BgzfFixture.writeCsi(idx, out, minShift, depth, withNames)
 
   test(".csi fallback prunes a region identically to the .tbi") {
     // a copy of the real chr22 file with ONLY a .csi sibling (converted
@@ -180,6 +160,34 @@ class TabixPruningSpec extends AnyFunSuite with SparkSpec {
     // absent chrom prunes through the csi path too
     assert(partitions(spark.read.format("vcf").load(copy.toString)
       .filter(col("chrom") === "1")) === 0)
+  }
+
+  test("readCsi rejects implausible tree shapes and nameless CSI, loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csi_bad")
+    val fs = new Path(chr22).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tbi = TabixIndex.read(fs, TabixIndex.sibling(new Path(chr22)))
+
+    // min_shift=0 would make maxPos math degenerate
+    writeCsi(tbi, dir.resolve("shift.csi"), minShift = 0)
+    val e1 = intercept[IllegalArgumentException] {
+      TabixIndex.readCsi(fs, new Path(dir.resolve("shift.csi").toString))
+    }
+    assert(e1.getMessage.contains("implausible CSI tree shape"))
+
+    // depth=12 overflows Int bin ids at the deepest level
+    writeCsi(tbi, dir.resolve("depth.csi"), depth = 12)
+    val e2 = intercept[IllegalArgumentException] {
+      TabixIndex.readCsi(fs, new Path(dir.resolve("depth.csi").toString))
+    }
+    assert(e2.getMessage.contains("implausible CSI tree shape"))
+
+    // a names-less aux block (non-tabix CSI, e.g. BCF) cannot prune by
+    // chromosome name — silent zero-row scans if accepted
+    writeCsi(tbi, dir.resolve("nameless.csi"), withNames = false)
+    val e3 = intercept[IllegalArgumentException] {
+      TabixIndex.readCsi(fs, new Path(dir.resolve("nameless.csi").toString))
+    }
+    assert(e3.getMessage.contains("cannot prune by chromosome name"))
   }
 
   test("region-END bounded scan is lossless vs the unpruned reader") {
