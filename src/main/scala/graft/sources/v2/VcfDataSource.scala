@@ -336,10 +336,31 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VcfReaderFactory(required, filters, malformedAcc)
+
+  /** Per-scan "malformed lines" as a first-class DSv2 metric: each task
+    * reports its local count ([[VcfPartitionReader.currentMetricsValues]])
+    * and Spark sums them onto the scan node in the UI / QueryExecution
+    * metrics — production monitoring reads it there, per scan, with no
+    * process-global state (the accumulator remains only as the
+    * documented test hook).
+    */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new MalformedLinesMetric)
 }
 
 object VcfScan {
   private[v2] val log = org.slf4j.LoggerFactory.getLogger(classOf[VcfScan])
+}
+
+final class MalformedLinesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "malformedLines"
+  override def description(): String = "malformed VCF data lines (skipped)"
+}
+
+final case class MalformedLinesTaskMetric(value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = "malformedLines"
 }
 
 /** @param samples sample names from this file's header (parsed once at
@@ -495,12 +516,18 @@ final class VcfPartitionReader(
     val pos = if (f.length >= 8) parsePos(f(1)) else Int.MinValue
     if (pos == Int.MinValue) {
       malformed.add(1L) // PERMISSIVE: count and skip, never throw
+      localMalformed += 1L
       false
     } else if (passesFilters(f, pos)) {
       current = buildRow(f, pos)
       true
     } else false
   }
+
+  // task-local count behind the scan's "malformedLines" custom metric
+  private var localMalformed = 0L
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(MalformedLinesTaskMetric(localMalformed))
 
   override def next(): Boolean = {
     if (isBgzfSplit) {

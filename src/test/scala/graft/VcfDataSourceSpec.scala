@@ -128,6 +128,31 @@ class VcfDataSourceSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("malformed-line count surfaces as a per-scan DSv2 custom metric") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val bad = Files.createTempFile("graft-metric", ".vcf")
+    Files.writeString(bad,
+      "##fileformat=VCFv4.2\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n" +
+        "chr1\t100\trs1\tA\tG\t50\tPASS\tNS=1\tGT\t0/1\n" +
+        "chr1\tnotanint\trsX\tA\tG\t50\tPASS\tNS=1\tGT\t0/1\n" + // bad POS
+        "chr1\t300\n" + // truncated
+        "chr1\t400\trs4\tA\tG\t50\tPASS\tNS=1\tGT\t0/1\n")
+    bad.toFile.deleteOnExit()
+    val df = spark.read.format("vcf").load(bad.toString)
+    assert(df.count() === 2)
+    // a scan-only query plans non-adaptively, so the BatchScanExec (and
+    // its task-aggregated custom metrics) is directly reachable
+    df.collect()
+    val scan = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.headOption
+      .getOrElse(fail(s"no BatchScanExec in\n${df.queryExecution.executedPlan}"))
+    val metric = scan.metrics.getOrElse("malformedLines",
+      fail(s"scan exposes no malformedLines metric: ${scan.metrics.keys}"))
+    assert(metric.value === 2,
+      s"per-scan malformedLines metric = ${metric.value}, expected 2")
+  }
+
   test("sites-only VCF (8 columns, no FORMAT/samples) reads with null format") {
     import graft.sources.v2.VcfDataSource
     val sites = Files.createTempFile("graft-sites", ".vcf")
