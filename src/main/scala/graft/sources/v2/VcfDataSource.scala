@@ -274,7 +274,14 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
                   if (endC - startC > maxSplit && splitCands.nonEmpty)
                     voffRanges(ch.beg, ch.end)
                   else
-                    Seq((startC, endC - startC, TabixIndex.uncompressedOffset(ch.beg), -1L))
+                    // voff-bounded like the full-scan splits: the chunk
+                    // end IS the end voff of its last record, so the
+                    // reader stops exactly there instead of inflating
+                    // to a truncation error one block past the region;
+                    // `length` stays endC-startC — every record of the
+                    // chunk ends inside that byte budget by definition
+                    Seq((startC, endC - startC,
+                      TabixIndex.uncompressedOffset(ch.beg), ch.end))
                 })
             }
           }
@@ -365,18 +372,20 @@ final case class MalformedLinesTaskMetric(value: Long)
 
 /** @param samples sample names from this file's header (parsed once at
   *                planning time), in genotype-column order
-  * @param vSkip -1 for plain byte-range splits; ≥0 marks a tabix-pruned
-  *              BGZF region — `start` is then a compressed BLOCK offset
-  *              (BGZF blocks are standalone gzip members, so
-  *              decompression can begin there) and `vSkip` the number of
-  *              DECOMPRESSED bytes to discard before the first record.
-  * @param endVoff -1 for truncation-bounded reads (plain splits and
-  *                index-pruned regions, where pushed pos predicates drop
-  *                any overshoot); ≥0 marks a SPLITTABLE bgzf range — the
+  * @param vSkip -1 for plain byte-range splits; ≥0 marks a BGZF range —
+  *              `start` is then a compressed BLOCK offset (BGZF blocks
+  *              are standalone gzip members, so decompression can begin
+  *              there) and `vSkip` the number of DECOMPRESSED bytes to
+  *              discard before the first record.
+  * @param endVoff -1 for plain byte-range splits; ≥0 marks a BGZF range
+  *                (index-pruned region chunk or full-scan split) — the
   *                reader emits exactly the records whose start virtual
-  *                offset is < endVoff (and ≥ the partition's own start),
-  *                Long.MaxValue on a file's last split. `start+length`
-  *                is then the file length (reads are on-demand).
+  *                offset is < endVoff, Long.MaxValue on a file's last
+  *                full-scan split. `start+length` caps which blocks may
+  *                be LOADED: the file length for full-scan splits (the
+  *                last owned record may run arbitrarily far), the
+  *                chunk's own byte budget for region chunks (their last
+  *                record ends inside it by construction).
   */
 final case class VcfPartition(path: String, start: Long, length: Long,
     samples: Array[String] = Array.empty, vSkip: Int = -1,
@@ -425,35 +434,11 @@ final class VcfPartitionReader(
   private var consumed: Long = 0L
   private val raw = fs.open(hPath)
 
-  /** Tabix-pruned BGZF region: start is a block boundary (blocks are
-    * standalone gzip members), so decompression begins mid-file; vSkip
-    * discards the partial decompressed block prefix before the first
-    * record of the region.
-    */
-  private val isGzRegion = codec != null && part.vSkip >= 0 && part.endVoff < 0L
-
-  /** Splittable bgzf range: records owned by START virtual offset (see
-    * [[VcfPartition.endVoff]]), read block-by-block so the cursor's voff
-    * is exact ([[BgzfLineReader]]).
+  /** BGZF range (pruned region chunk or full-scan split): records owned
+    * by START virtual offset (see [[VcfPartition.endVoff]]), read
+    * block-by-block so the cursor's voff is exact ([[BgzfLineReader]]).
     */
   private val isBgzfSplit = part.endVoff >= 0L
-
-  /** Caps raw reads at the region end; the trailing gzip member may be
-    * cut, which next() treats as end-of-region.
-    */
-  private final class BoundedStream(limit: Long) extends java.io.InputStream {
-    private var remaining = limit
-    override def read(): Int =
-      if (remaining <= 0) -1
-      else { val b = raw.read(); if (b >= 0) remaining -= 1; b }
-    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
-      if (remaining <= 0) return -1
-      val n = raw.read(buf, off, math.min(len.toLong, remaining).toInt)
-      if (n > 0) remaining -= n
-      n
-    }
-    override def close(): Unit = raw.close()
-  }
 
   private val bgzf: BgzfLineReader =
     if (isBgzfSplit) {
@@ -464,16 +449,7 @@ final class VcfPartitionReader(
 
   private val reader: org.apache.hadoop.util.LineReader = if (isBgzfSplit) null else {
     val stream: java.io.InputStream =
-      if (isGzRegion) {
-        raw.seek(part.start)
-        val gz = new java.util.zip.GZIPInputStream(new BoundedStream(part.length), 65536)
-        var toSkip = part.vSkip.toLong
-        while (toSkip > 0) {
-          val s = gz.skip(toSkip)
-          if (s <= 0) toSkip = 0 else toSkip -= s
-        }
-        gz
-      } else if (codec != null) codec.createInputStream(raw)
+      if (codec != null) codec.createInputStream(raw)
       else { raw.seek(part.start); raw }
     val lr = new org.apache.hadoop.util.LineReader(stream)
     if (codec == null && part.start > 0) {
@@ -542,14 +518,7 @@ final class VcfPartitionReader(
     }
     while (true) {
       if (codec == null && consumed > end) { current = null; return false }
-      val n =
-        try reader.readLine(lineText)
-        catch {
-          // a region's raw-byte cap can cut the gzip member after the
-          // last block we need — that truncation IS the end of region
-          case e @ (_: java.io.EOFException | _: java.util.zip.ZipException)
-              if isGzRegion => 0
-        }
+      val n = reader.readLine(lineText)
       if (n == 0) { current = null; return false }
       consumed += n
       if (acceptLine(lineText.toString)) return true
