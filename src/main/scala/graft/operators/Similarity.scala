@@ -306,6 +306,108 @@ object Similarity {
       .select("probe_id", "cand_id", "rnk", "adc")
   }
 
+  // ---- residual IVF+PQ ------------------------------------------------
+
+  /** Per-cell SHIFTED codebooks — how residual PQ stays codegen-narrow:
+    * encoding the residual `v − c[cell]` against codeword `r` minimizes
+    * `‖(v − c) − r‖²  =  ‖v − (c + r)‖²`, so instead of materializing
+    * residual vectors (an array-HOF subtraction on the corpus path —
+    * CodegenFallback, the engine's banned pattern) each cell gets its
+    * codewords PRE-SHIFTED by its centroid, and both encode and ADC run
+    * the same inlined-literal argmin/table shapes as plain PQ on the
+    * ORIGINAL vectors. Driver-side, tiny (nlist × M × K codewords).
+    */
+  private def shiftedBooks(
+      cents: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[Seq[Double]]]): Map[Long, Seq[Seq[Seq[Double]]]] = {
+    val sub = books.head.head.length
+    cents.map { case (cid, cv) =>
+      cid -> books.zipWithIndex.map { case (bk, mi) =>
+        bk.map(cw => cw.zipWithIndex.map { case (x, d) => cv(mi * sub + d) + x })
+      }
+    }.toMap
+  }
+
+  private def collectCents(centroids: DataFrame, centIdCol: String,
+      centVecCol: String): Seq[(Long, Seq[Double])] =
+    centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+  /** RESIDUAL PQ encoding: vectors (already carrying their [[ivfAssign]]
+    * `cell`) encode against their cell's shifted codebooks — one narrow
+    * projection, a `when`-chain over cells of inlined argmins. The codes
+    * approximate `v ≈ c[cell] + r[code]`, the layout every production
+    * IVF+PQ index uses because residuals cluster far tighter than raw
+    * vectors (quantization error drops at the same M×K budget).
+    */
+  def pqEncodeResidual(
+      vecsWithCell: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
+    val cents = collectCents(centroids, centIdCol, centVecCol)
+    require(cents.nonEmpty, "pqEncodeResidual needs at least one centroid")
+    val sb = shiftedBooks(cents, codebooks)
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { mi =>
+      def argmin(cid: Long): Column =
+        sb(cid)(mi).zipWithIndex.map { case (cw, k) =>
+          struct(l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)).as("d"),
+            lit(k).as("k"))
+        }.reduceLeft((a, b) => least(a, b)).getField("k")
+      cents.tail.foldLeft(
+        when(col("cell") === cents.head._1, argmin(cents.head._1))) {
+        case (w, (cid, _)) => w.when(col("cell") === cid, argmin(cid))
+      }.as(s"code_$mi")
+    }
+    vecsWithCell.select(col(idCol) +: col("cell") +: codeCols: _*)
+  }
+
+  /** ADC top-k over a RESIDUAL-encoded corpus, restricted to each
+    * probe's cells: per (probe, cell) row the M×K distance table is
+    * computed against that cell's shifted codewords, so the looked-up
+    * sum approximates `‖probe − (c[cell] + r[code])‖²` — true IVF+PQ
+    * asymmetric distance. Same broadcast equi-join on `cell` and
+    * partial-WindowGroupLimit shape as [[pqAdcTopKInCells]]; the corpus
+    * never re-shuffles.
+    */
+  def pqAdcTopKResidual(
+      codes: DataFrame, probes: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
+    val cents = collectCents(centroids, centIdCol, centVecCol)
+    require(cents.nonEmpty, "pqAdcTopKResidual needs at least one centroid")
+    val sb = shiftedBooks(cents, codebooks)
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val dtCols = (0 until m).map { mi =>
+      def dt(cid: Long): Column =
+        array(sb(cid)(mi).map(cw =>
+          l2sq(subVec(col(vecCol), mi, sub), typedLit(cw))): _*)
+      cents.tail.foldLeft(
+        when(col("cell") === cents.head._1, dt(cents.head._1))) {
+        case (w, (cid, _)) => w.when(col("cell") === cid, dt(cid))
+      }.as(s"__dt$mi")
+    }
+    val p = probes.select(
+      col(idCol).as("probe_id") +: col("cell") +: dtCols: _*)
+    val adc = (0 until m).map(mi =>
+      element_at(col(s"__dt$mi"), col(s"code_$mi") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("cand_id").asc)
+    codes.withColumnRenamed(idCol, "cand_id")
+      .join(broadcast(p), "cell")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "cand_id", "rnk", "adc")
+  }
+
   /** IVF+PQ composed search — the standard billion-vector production
     * layout: IVF bounds the SCAN (only the probe's `nprobe` cells of
     * the corpus are touched), PQ bounds the MEMORY (M code bytes per

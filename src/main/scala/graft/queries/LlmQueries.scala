@@ -1500,8 +1500,133 @@ object LlmQueries extends QuerySet {
       ORDER BY probe_id
     """))
 
+  /** RESIDUAL IVF+PQ recall@5 — q67 upgraded to the encoding every
+    * production IVF+PQ index actually uses: corpus vectors PQ-encode
+    * their residual v − c[cell] (via per-cell SHIFTED codebooks, so the
+    * whole path stays inlined-argmin codegen — no array-HOF residual
+    * materialization), seeds' codewords are their own residuals, and
+    * ADC looks up ‖probe − (c[cell] + r[code])‖². Residuals cluster far
+    * tighter than raw vectors, so recall must not drop vs q67 at the
+    * same M×K budget (spec-gated).
+    */
+  private val q69 = Q(
+    "q69_ivfpq_residual_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cents = e.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // residual seed books: each seed's codeword is (seed − its own
+      // cell centroid), the residual-space analogue of pqCodebooks
+      val centMap = cents.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val seedRows = Similarity.ivfAssign(
+        e.filter(col("vec_id").between(200, 207)), cents)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+        .sortBy(_._1)
+      val m = 4
+      val sub = seedRows.head._2.length / m
+      val books = (0 until m).map { mi =>
+        seedRows.toSeq.map { case (_, v, cell) =>
+          val c = centMap(cell)
+          (mi * sub until (mi + 1) * sub).map(i => v(i) - c(i))
+        }
+      }
+      val codes = Similarity.pqEncodeResidual(
+        Similarity.ivfAssign(e, cents), cents, books)
+      val probes = Similarity.ivfAssignTopN(
+        e.filter(col("vec_id") < 5), cents, nprobe = 2)
+      val pq5 = Similarity.pqAdcTopKResidual(codes, probes, cents, books, k = 5)
+        .select(col("probe_id"), col("cand_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("d").asc, col("cand_id").asc)
+      val brute = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+        .crossJoin(broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("d", Similarity.l2sq(col("cv"), col("pv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("probe_id", "cand_id")
+      val matches = brute.join(pq5, Seq("probe_id", "cand_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+      brute.select("probe_id").distinct()
+        .join(matches, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          micro(coalesce(col("n_match"), lit(0L)) / 5.0).as("recall_micro"))
+        .orderBy("probe_id")
+    },
+    Some(s"""
+      WITH $ivfAsgSql,
+      pcell AS (SELECT probe_id, cell FROM (
+               SELECT e.vec_id AS probe_id, c.cid AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${l2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+               FROM e CROSS JOIN cent c WHERE e.vec_id < 5) x WHERE rn <= 2),
+      scell AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${l2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+               FROM e CROSS JOIN cent c
+               WHERE e.vec_id BETWEEN 200 AND 207) x WHERE rn = 1),
+      rcw AS (SELECT s.vec_id - 200 AS k,
+               list_transform(range(1, 65),
+                 i -> s.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS rv
+             FROM e s
+             JOIN scell sc ON sc.vec_id = s.vec_id
+             JOIN cent c ON c.cid = sc.cid
+             WHERE s.vec_id BETWEEN 200 AND 207),
+      ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      scw AS (SELECT c.cid, ms.m, r.k,
+               list_transform(range(1, 17),
+                 i -> c.cv[CAST(ms.m * 16 + i AS INT)] + r.rv[CAST(ms.m * 16 + i AS INT)]) AS v
+             FROM cent c CROSS JOIN ms CROSS JOIN rcw r),
+      cdist AS (SELECT a.vec_id, s.m, s.k,
+               ${l2Slice16Sql("list_slice(a.v, s.m * 16 + 1, s.m * 16 + 16)", "s.v")} AS d
+             FROM asg a JOIN scw s ON s.cid = a.cell),
+      ccode AS (SELECT vec_id, m, k FROM (
+               SELECT vec_id, m, k,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+               FROM cdist) x WHERE rn = 1),
+      pd AS (SELECT pc.probe_id, pc.cell, s.m, s.k,
+               ${l2Slice16Sql("list_slice(p.v, s.m * 16 + 1, s.m * 16 + 16)", "s.v")} AS d
+             FROM pcell pc
+             JOIN e p ON p.vec_id = pc.probe_id
+             JOIN scw s ON s.cid = pc.cell),
+      adc AS (SELECT pd.probe_id, cc.vec_id AS cand_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(pd.d ORDER BY pd.m)), (x, y) -> x + y) AS adc
+             FROM ccode cc
+             JOIN asg a ON a.vec_id = cc.vec_id
+             JOIN pd ON pd.cell = a.cell AND pd.m = cc.m AND pd.k = cc.k
+             WHERE cc.vec_id <> pd.probe_id
+             GROUP BY pd.probe_id, cc.vec_id),
+      prk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) AS rnk
+             FROM adc),
+      p5 AS (SELECT probe_id, cand_id FROM prk WHERE rnk <= 5),
+      bpr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${l2Sql("c.v", "p.v")} AS d
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) p
+             WHERE c.vec_id <> p.vec_id),
+      brk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY d, cand_id) AS rnk
+             FROM bpr),
+      b5 AS (SELECT probe_id, cand_id FROM brk WHERE rnk <= 5),
+      mc AS (SELECT probe_id, count(*) AS n_match
+             FROM (SELECT * FROM b5 INTERSECT SELECT * FROM p5) i GROUP BY probe_id)
+      SELECT p.probe_id,
+        CAST(COALESCE(mc.n_match, 0) AS BIGINT) AS n_match,
+        ${microSql("COALESCE(mc.n_match, 0) / 5.0")} AS recall_micro
+      FROM (SELECT DISTINCT probe_id FROM b5) p LEFT JOIN mc USING (probe_id)
+      ORDER BY probe_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65, q66, q67)
+      q45, q48, q65, q66, q67, q69)
 }

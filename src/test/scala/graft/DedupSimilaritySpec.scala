@@ -321,6 +321,11 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     val ivfpq = meanRecall("q67_ivfpq_recall")
     assert(ivfpq >= pq,
       s"ivf+pq recall $ivfpq fell below plain-PQ recall $pq — cell restriction is losing neighbors")
+    // residual encoding quantizes tighter at the same M×K budget: the
+    // upgrade must never cost recall vs raw-vector composed PQ
+    val residual = meanRecall("q69_ivfpq_residual_recall")
+    assert(residual >= ivfpq,
+      s"residual ivf+pq recall $residual fell below raw composed recall $ivfpq")
   }
 
   test("lshBucket is deterministic and separates opposite vectors") {
