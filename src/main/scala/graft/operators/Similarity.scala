@@ -367,6 +367,103 @@ object Similarity {
     vecsWithCell.select(col(idCol) +: col("cell") +: codeCols: _*)
   }
 
+  /** One Lloyd iteration over RESIDUAL PQ codebooks, all subspaces in a
+    * SINGLE corpus scan — [[pqTrainStep]]'s shape lifted into residual
+    * space without ever materializing a residual vector: the per-subspace
+    * assignment argmins run against each cell's SHIFTED codewords
+    * (`‖(v−c)−r‖ = ‖v−(c+r)‖`, the [[pqEncodeResidual]] trick) on the
+    * ORIGINAL vectors, and the re-estimation mean subtracts the centroid
+    * component per exploded scalar (`x − c[cell][p]`, a when-chain over
+    * inlined centroid literals) — both stay inside WholeStageCodegen.
+    * Decimal-exact means as everywhere (per-dim residuals to
+    * decimal(18,6) before summing, one IEEE divide) so the trained books
+    * are bit-deterministic and the DuckDB oracle replays every iteration.
+    * Codewords that captured no vectors keep their previous value.
+    */
+  def pqTrainStepResidual(
+      vecsWithCell: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): Seq[Seq[Seq[Double]]] = {
+    import graft.queries.QueryUtil.{avg6, dec}
+    val cents = collectCents(centroids, centIdCol, centVecCol)
+    require(cents.nonEmpty, "pqTrainStepResidual needs at least one centroid")
+    val sb = shiftedBooks(cents, codebooks)
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { mi =>
+      def argmin(cid: Long): Column =
+        sb(cid)(mi).zipWithIndex.map { case (cw, k) =>
+          struct(l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)).as("d"),
+            lit(k).as("k"))
+        }.reduceLeft((a, b) => least(a, b)).getField("k")
+      cents.tail.foldLeft(
+        when(col("cell") === cents.head._1, argmin(cents.head._1))) {
+        case (w, (cid, _)) => w.when(col("cell") === cid, argmin(cid))
+      }.as(s"__c$mi")
+    }
+    // residual component at exploded position __p: x − centroid[cell][p]
+    val centComp = cents.tail.foldLeft(
+      when(col("cell") === cents.head._1,
+        element_at(typedLit(cents.head._2), col("__p") + 1))) {
+      case (w, (cid, cv)) =>
+        w.when(col("cell") === cid, element_at(typedLit(cv), col("__p") + 1))
+    }
+    val mCol = (col("__p") / sub).cast("int")
+    val learned = vecsWithCell
+      .select(col(vecCol) +: col("cell") +: codeCols: _*)
+      .select(col("cell"),
+        posexplode(col(vecCol)).as(Seq("__p", "__x")),
+        array((0 until m).map(mi => col(s"__c$mi")): _*).as("__codes"))
+      .select(mCol.as("m"),
+        element_at(col("__codes"), mCol + 1).as("k"),
+        (col("__p") % sub + 1).as("dim"),
+        (col("__x") - centComp).as("__r"))
+      .groupBy("m", "k", "dim")
+      .agg(count(lit(1)).as("n"), sum(dec(col("__r"))).as("__s"))
+      .select(col("m"), col("k"), col("dim"), avg6(col("__s"), col("n")).as("c"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .view.mapValues(_.map(r => r.getInt(2) -> r.getDouble(3)).sortBy(_._1).map(_._2).toSeq)
+      .toMap
+    (0 until m).map { mi =>
+      codebooks(mi).zipWithIndex.map { case (old, k) =>
+        learned.getOrElse((mi, k), old)
+      }
+    }
+  }
+
+  /** Total residual quantization error `Σ_v Σ_m min_k ‖(v−c[cell])−r_k‖²`
+    * under the given residual books — the Lloyd training objective,
+    * computed via shifted codewords on the ORIGINAL vectors (one narrow
+    * codegen scan, no residual materialization). The training
+    * diagnostic: each [[pqTrainStepResidual]] must not increase it
+    * (assignment and mean steps each minimize it; the decimal-rounded
+    * mean can drift it by at most ~1e-6 per dim).
+    */
+  def pqResidualQuantError(
+      vecsWithCell: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]],
+      vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): Double = {
+    val cents = collectCents(centroids, centIdCol, centVecCol)
+    require(cents.nonEmpty, "pqResidualQuantError needs at least one centroid")
+    val sb = shiftedBooks(cents, codebooks)
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val dCols = (0 until m).map { mi =>
+      def mind(cid: Long): Column =
+        sb(cid)(mi).map(cw => l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)))
+          .reduceLeft((a, b) => least(a, b))
+      cents.tail.foldLeft(
+        when(col("cell") === cents.head._1, mind(cents.head._1))) {
+        case (w, (cid, _)) => w.when(col("cell") === cid, mind(cid))
+      }
+    }
+    vecsWithCell.select(dCols.reduce(_ + _).as("qe"))
+      .agg(sum(col("qe"))).collect()(0).getDouble(0)
+  }
+
   /** ADC top-k over a RESIDUAL-encoded corpus, restricted to each
     * probe's cells: per (probe, cell) row the M×K distance table is
     * computed against that cell's shifted codewords, so the looked-up

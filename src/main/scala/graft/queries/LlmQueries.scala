@@ -1625,8 +1625,177 @@ object LlmQueries extends QuerySet {
       ORDER BY probe_id
     """))
 
+  /** One DuckDB Lloyd step over RESIDUAL PQ codebooks: the previous
+    * books (`tcw${i-1}`) shift per cell (`scw$i = c + r`), assignment
+    * runs on the ORIGINAL vectors against the shifted codewords — the
+    * exact formulation the Spark codegen uses, so IEEE bits agree —
+    * and re-estimation takes decimal-exact means of the residual
+    * components (`rsd`). Mirrors [[Similarity.pqTrainStepResidual]]
+    * CTE for CTE.
+    */
+  private def pqResidTrainCteSql(i: Int): String =
+    s"""scw$i AS (SELECT c.cid, t.m, t.k,
+             list_transform(range(1, 17),
+               j -> c.cv[CAST(t.m * 16 + j AS INT)] + t.v[CAST(j AS INT)]) AS v
+           FROM cent c CROSS JOIN tcw${i - 1} t),
+        cd$i AS (SELECT a.vec_id, s.m, s.k,
+             ${l2Slice16Sql("list_slice(a.v, s.m * 16 + 1, s.m * 16 + 16)", "s.v")} AS d
+           FROM asg a JOIN scw$i s ON s.cid = a.cell),
+        cc$i AS (SELECT vec_id, m, k FROM (
+             SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+             FROM cd$i) x WHERE rn = 1),
+        mean$i AS (SELECT cc$i.m, cc$i.k, dims.dim, count(*) AS n,
+             ${avg6Sql(s"sum(CAST(rsd.rv[cc$i.m * 16 + dims.dim] AS DECIMAL(18,6)))", "count(*)")} AS c
+           FROM cc$i JOIN rsd USING (vec_id) CROSS JOIN dims
+           GROUP BY cc$i.m, cc$i.k, dims.dim),
+        tcw$i AS (SELECT t.m, t.k, list(COALESCE(mn.c, t.v[d.dim]) ORDER BY d.dim) AS v
+           FROM tcw${i - 1} t CROSS JOIN dims d
+           LEFT JOIN mean$i mn ON mn.m = t.m AND mn.k = t.k AND mn.dim = d.dim
+           GROUP BY t.m, t.k)"""
+
+  /** TRAINED residual IVF+PQ recall@5 — q69's seed residual books
+    * refined by [[Similarity.pqTrainStepResidual]] Lloyd iterations
+    * (q66's training loop lifted into residual space; still ONE corpus
+    * scan per iteration, no residual vector ever materialized), then
+    * re-measured with the same composed search and recall gate. This is
+    * the full production IVF+PQ build path: coarse quantizer → residual
+    * codebook training → residual encode → cell-restricted ADC. DuckDB
+    * replays the training chain CTE for CTE; the spec gates the Lloyd
+    * objective itself (quantization error monotone non-increasing per
+    * step) — recall@5 with 5 probes moves in 0.04 quanta, too noisy to
+    * gate training on at this scale.
+    */
+  private val ResidTrainSteps = 3
+  private val q70 = Q(
+    "q70_ivfpq_trained_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cents = e.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // seed books exactly as q69: each seed's codeword is its own
+      // residual vs its cell centroid
+      val centMap = cents.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val seedRows = Similarity.ivfAssign(
+        e.filter(col("vec_id").between(200, 207)), cents)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+        .sortBy(_._1)
+      val m = 4
+      val sub = seedRows.head._2.length / m
+      var books: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+        seedRows.toSeq.map { case (_, v, cell) =>
+          val c = centMap(cell)
+          (mi * sub until (mi + 1) * sub).map(i => v(i) - c(i)): Seq[Double]
+        }
+      }
+      val asg = Similarity.ivfAssign(e, cents)
+      for (_ <- 0 until ResidTrainSteps)
+        books = Similarity.pqTrainStepResidual(asg, cents, books)
+      val codes = Similarity.pqEncodeResidual(asg, cents, books)
+      val probes = Similarity.ivfAssignTopN(
+        e.filter(col("vec_id") < 5), cents, nprobe = 2)
+      val pq5 = Similarity.pqAdcTopKResidual(codes, probes, cents, books, k = 5)
+        .select(col("probe_id"), col("cand_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("d").asc, col("cand_id").asc)
+      val brute = e.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+        .crossJoin(broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"))))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("d", Similarity.l2sq(col("cv"), col("pv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("probe_id", "cand_id")
+      val matches = brute.join(pq5, Seq("probe_id", "cand_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+      brute.select("probe_id").distinct()
+        .join(matches, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          micro(coalesce(col("n_match"), lit(0L)) / 5.0).as("recall_micro"))
+        .orderBy("probe_id")
+    },
+    Some(s"""
+      WITH $ivfAsgSql,
+      pcell AS (SELECT probe_id, cell FROM (
+               SELECT e.vec_id AS probe_id, c.cid AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${l2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+               FROM e CROSS JOIN cent c WHERE e.vec_id < 5) x WHERE rn <= 2),
+      scell AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${l2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+               FROM e CROSS JOIN cent c
+               WHERE e.vec_id BETWEEN 200 AND 207) x WHERE rn = 1),
+      rcw AS (SELECT s.vec_id - 200 AS k,
+               list_transform(range(1, 65),
+                 i -> s.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS rv
+             FROM e s
+             JOIN scell sc ON sc.vec_id = s.vec_id
+             JOIN cent c ON c.cid = sc.cid
+             WHERE s.vec_id BETWEEN 200 AND 207),
+      ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      dims AS (SELECT CAST(unnest(range(1, 17)) AS INT) AS dim),
+      rsd AS (SELECT a.vec_id,
+               list_transform(range(1, 65),
+                 i -> a.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS rv
+             FROM asg a JOIN cent c ON c.cid = a.cell),
+      tcw0 AS (SELECT ms.m, rcw.k,
+                list_slice(rcw.rv, ms.m * 16 + 1, ms.m * 16 + 16) AS v
+              FROM ms CROSS JOIN rcw),
+      ${(1 to ResidTrainSteps).map(pqResidTrainCteSql).mkString(",\n      ")},
+      scw AS (SELECT c.cid, t.m, t.k,
+               list_transform(range(1, 17),
+                 j -> c.cv[CAST(t.m * 16 + j AS INT)] + t.v[CAST(j AS INT)]) AS v
+             FROM cent c CROSS JOIN tcw$ResidTrainSteps t),
+      cdist AS (SELECT a.vec_id, s.m, s.k,
+               ${l2Slice16Sql("list_slice(a.v, s.m * 16 + 1, s.m * 16 + 16)", "s.v")} AS d
+             FROM asg a JOIN scw s ON s.cid = a.cell),
+      ccode AS (SELECT vec_id, m, k FROM (
+               SELECT vec_id, m, k,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+               FROM cdist) x WHERE rn = 1),
+      pd AS (SELECT pc.probe_id, pc.cell, s.m, s.k,
+               ${l2Slice16Sql("list_slice(p.v, s.m * 16 + 1, s.m * 16 + 16)", "s.v")} AS d
+             FROM pcell pc
+             JOIN e p ON p.vec_id = pc.probe_id
+             JOIN scw s ON s.cid = pc.cell),
+      adc AS (SELECT pd.probe_id, cc.vec_id AS cand_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(pd.d ORDER BY pd.m)), (x, y) -> x + y) AS adc
+             FROM ccode cc
+             JOIN asg a ON a.vec_id = cc.vec_id
+             JOIN pd ON pd.cell = a.cell AND pd.m = cc.m AND pd.k = cc.k
+             WHERE cc.vec_id <> pd.probe_id
+             GROUP BY pd.probe_id, cc.vec_id),
+      prk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) AS rnk
+             FROM adc),
+      p5 AS (SELECT probe_id, cand_id FROM prk WHERE rnk <= 5),
+      bpr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${l2Sql("c.v", "p.v")} AS d
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) p
+             WHERE c.vec_id <> p.vec_id),
+      brk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY d, cand_id) AS rnk
+             FROM bpr),
+      b5 AS (SELECT probe_id, cand_id FROM brk WHERE rnk <= 5),
+      mc AS (SELECT probe_id, count(*) AS n_match
+             FROM (SELECT * FROM b5 INTERSECT SELECT * FROM p5) i GROUP BY probe_id)
+      SELECT p.probe_id,
+        CAST(COALESCE(mc.n_match, 0) AS BIGINT) AS n_match,
+        ${microSql("COALESCE(mc.n_match, 0) / 5.0")} AS recall_micro
+      FROM (SELECT DISTINCT probe_id FROM b5) p LEFT JOIN mc USING (probe_id)
+      ORDER BY probe_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65, q66, q67, q69)
+      q45, q48, q65, q66, q67, q69, q70)
 }

@@ -328,6 +328,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"residual ivf+pq recall $residual fell below raw composed recall $ivfpq")
   }
 
+  test("pqTrainStepResidual monotonically reduces the quantization objective") {
+    // the Lloyd guarantee: assignment and mean steps each minimize
+    // Σ min_k ‖(v−c[cell])−r_k‖², so every training step must not
+    // increase it (decimal-rounded means can drift ~1e-6/dim — the
+    // epsilon). recall@5 is NOT the gate here: with 5 probes it moves
+    // in 0.04 quanta, pure noise at this scale.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val centMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val seedRows = Similarity.ivfAssign(e.filter(col("vec_id").between(200, 207)), cents)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).sortBy(_._1)
+    val m = 4
+    val sub = seedRows.head._2.length / m
+    val seedBooks: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      seedRows.toSeq.map { case (_, v, cell) =>
+        val c = centMap(cell)
+        (mi * sub until (mi + 1) * sub).map(i => v(i) - c(i)): Seq[Double]
+      }
+    }
+    val asg = Similarity.ivfAssign(e, cents)
+    val eps = 1e-3 // decimal(18,6) rounding drift bound, generous
+    var books = seedBooks
+    var err = Similarity.pqResidualQuantError(asg, cents, books)
+    for (step <- 1 to 2) {
+      books = Similarity.pqTrainStepResidual(asg, cents, books)
+      val next = Similarity.pqResidualQuantError(asg, cents, books)
+      assert(next <= err + eps,
+        s"training step $step raised quantization error $err -> $next")
+      err = next
+    }
+    // and training must actually move the needle vs the seeds
+    val seedErr = Similarity.pqResidualQuantError(asg, cents, seedBooks)
+    assert(err < seedErr,
+      s"two training steps left quantization error unchanged ($seedErr -> $err)")
+  }
+
   test("lshBucket is deterministic and separates opposite vectors") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val df = Seq((1L, Seq(5.0, 3.0)), (2L, Seq(-5.0, -3.0)), (3L, Seq(5.1, 2.9)))
