@@ -224,6 +224,103 @@ object DocStreams {
       }
   }
 
+  /** The near-dup evidence join shared by [[nearDupRateMetrics]] and its
+    * batch twin: doc `l` is a near-dup iff some earlier doc `r` with
+    * `r.ts ∈ [l.ts − horizon, l.ts)` shares an 8-bit simhash band AND
+    * `bit_count(l.sim ^ r.sim) ≤ maxHamming` (band equality alone is the
+    * candidate filter; the hamming check inside the join condition keeps
+    * false candidates from ever leaving the join). Same-timestamp copies
+    * are the exact-dedup layer's job ([[dedupStream]]); this metric
+    * flags strictly-later reappearances.
+    */
+  private def nearDupEvidence(
+      bands: DataFrame, maxHamming: Int, horizon: String): DataFrame = {
+    val l = bands.alias("l")
+    val r = bands.alias("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") =!= col("r.doc_id") &&
+          col("r.ts") < col("l.ts") &&
+          col("r.ts") >= col("l.ts") - expr(s"INTERVAL $horizon") &&
+          bit_count(col("l.sim").bitwiseXOR(col("r.sim"))) <= maxHamming)
+      .select(col("l.ts").as("ts"), col("l.doc_id").as("doc_id"))
+  }
+
+  /** Windowed near-dup RATE metrics — the monitoring signal a 100 TB
+    * ingest watches: per event-time tumbling window, docs arrived vs
+    * docs that near-duplicate something seen within the preceding
+    * `horizon`. A rising dup_rate means the crawl is re-fetching or a
+    * source started mirroring — caught while streaming, not at the next
+    * batch audit.
+    *
+    * Built ONLY from chainable stateful operators (Spark's
+    * multiple-stateful-operator allowlist): banded simhash →
+    * time-interval stream-stream SELF-JOIN on (band, key) →
+    * dropDuplicatesWithinWatermark per doc → union with the stateless
+    * arrivals branch → ONE windowed aggregation. The
+    * flatMapGroupsWithState detector ([[nearDupFlags]]) cannot sit
+    * under a windowed agg — its state-time emissions can be older than
+    * the global watermark and Spark's correctness check rightly refuses
+    * the chain — but the interval join emits at arrival event-time, so
+    * this chain is watermark-sound with no checks disabled. Join state
+    * is bounded by watermark + horizon and spread across executors by
+    * the (band, key) equi-keys; hamming ≤ 3 keeps the 4×8-bit
+    * pigeonhole recall guarantee of [[nearDupFlags]].
+    *
+    * A window's metric row finalizes (emits, append-mode) once the
+    * watermark passes its end — at cluster scale the row lands roughly
+    * one watermark delay after the window closes. The batch twin
+    * [[nearDupRateMetricsBatch]] computes identical semantics; the spec
+    * asserts stream rows ≡ batch rows on every window the stream emits.
+    */
+  def nearDupRateMetrics(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      horizon: String = "1 hour",
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x8-bit banding is pigeonhole-complete only for hamming <= 3; got $maxHamming")
+    val bands = withSimBands(docs).withWatermark("ts", watermark)
+    val dupDocs = nearDupEvidence(bands, maxHamming, horizon)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("ts"), lit(1L).as("__dup"))
+    val arrivals = docs.select(col("ts"), lit(0L).as("__dup"))
+      .withWatermark("ts", watermark)
+    arrivals.unionByName(dupDocs)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(sum(when(col("__dup") === 0L, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("__dup")).as("n_dup"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("n_docs"), col("n_dup"),
+        (col("n_dup") / col("n_docs")).as("dup_rate"))
+  }
+
+  /** Batch twin of [[nearDupRateMetrics]]: identical evidence join and
+    * window arithmetic over a static frame (exact dropDuplicates in
+    * place of the watermark-scoped one — same result, since a doc's
+    * evidence rows all exist at once in batch).
+    */
+  def nearDupRateMetricsBatch(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      horizon: String = "1 hour",
+      windowDur: String = "10 minutes"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x8-bit banding is pigeonhole-complete only for hamming <= 3; got $maxHamming")
+    val dupDocs = nearDupEvidence(withSimBands(docs), maxHamming, horizon)
+      .dropDuplicates("doc_id")
+      .select(col("ts"), lit(1L).as("__dup"))
+    val arrivals = docs.select(col("ts"), lit(0L).as("__dup"))
+    arrivals.unionByName(dupDocs)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(sum(when(col("__dup") === 0L, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("__dup")).as("n_dup"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("n_docs"), col("n_dup"),
+        (col("n_dup") / col("n_docs")).as("dup_rate"))
+  }
+
   /** Streaming train/eval decontamination: each arriving doc's shingle
     * hashes probe a BROADCAST Bloom built over the eval corpus's
     * shingles (Dedup.shingleBloom); docs with ≥ `minShared` hits are

@@ -188,6 +188,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(flagged === Set(2L))
   }
 
+  test("windowed near-dup rate metrics: stream rows equal the batch twin") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def distinctDoc(seed: Int) =
+      (seed * 100 to seed * 100 + 40).map(i => s"only$i").mkString(" ")
+    val docs = Seq(
+      Doc(ts(0), 1L, base),
+      Doc(ts(1), 2L, distinctDoc(1)),
+      Doc(ts(3), 3L, base + " extra1 extra2"), // near-dup of 1 (3 min back)
+      Doc(ts(5), 4L, distinctDoc(2)),
+      Doc(ts(8), 5L, base),                    // dup of 3 (exactly horizon back)
+      Doc(ts(12), 6L, distinctDoc(3)),
+      Doc(ts(13), 7L, base),                   // dup of 5 (5 min back)
+      Doc(ts(15), 8L, distinctDoc(4)),
+      Doc(ts(22), 9L, base),                   // nearest base copy 9 min back — OUTSIDE horizon
+      Doc(ts(23), 10L, distinctDoc(5)),
+      Doc(ts(29), 11L, distinctDoc(6)))        // pushes the watermark
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(docs)
+    val q = DocStreams.nearDupRateMetrics(mem.toDF(),
+        horizon = "5 minutes", windowDur = "10 minutes", watermark = "2 minutes")
+      .writeStream.format("memory").queryName("graft_duprate_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(unix_timestamp(col("win_start")).as("w"), col("n_docs"), col("n_dup"))
+      .as[(Long, Long, Long)].collect().map { case (w, d, n) => w -> ((d, n)) }.toMap
+    val streamed = rows(spark.table("graft_duprate_test"))
+    val batch = rows(DocStreams.nearDupRateMetricsBatch(docs.toDF(),
+      horizon = "5 minutes", windowDur = "10 minutes"))
+    val w0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    // final watermark 10:27, join output watermark 10:22 → exactly the
+    // first two windows have finalized and emitted
+    assert(streamed.keySet === Set(w0, w0 + 600), s"got $streamed")
+    // [10:00,10:10): 5 arrivals, dups {3, 5}; [10:10,10:20): 3 arrivals, dup {7}
+    assert(streamed(w0) === ((5L, 2L)), s"got $streamed")
+    assert(streamed(w0 + 600) === ((3L, 1L)), s"got $streamed")
+    // every emitted stream row equals the batch twin's row
+    streamed.foreach { case (w, v) => assert(batch(w) === v, s"window $w: $v vs ${batch(w)}") }
+    // the batch twin also proves the horizon bound: doc 9's base copy is
+    // 9 minutes stale, so the third window has zero near-dups
+    assert(batch(w0 + 1200) === ((3L, 0L)), s"got $batch")
+  }
+
   test("nearDupFlags refuses maxHamming beyond the pigeonhole guarantee") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc
