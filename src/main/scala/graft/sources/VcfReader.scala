@@ -243,4 +243,51 @@ object VcfReader {
       .sortBy("chrom", "pos_bucket")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Compact a bucketed landing table in place (generic — any bucketed
+    * parquet table, not just VCF landings). A bucketed write emits one
+    * file per (writer task × bucket), so B append batches leave ≥B
+    * small files per bucket; at 100 TB the scan then pays B× the
+    * file-open/footer overhead and the driver plans B× the splits.
+    *
+    * The rewrite shuffles ONCE on the bucket columns into exactly
+    * `numBuckets` partitions — `repartition(n, cols)`'s
+    * pmod(murmur3, n) is the same function Spark uses for bucket-id
+    * assignment, so each reducer holds exactly one bucket and writes
+    * exactly one file — then lands under the identical bucket/sort
+    * spec and swaps via DROP + RENAME. The bucket layout is preserved
+    * bit-for-bit, so downstream zero-exchange site-keyed plans survive
+    * compaction unchanged (spec-proven). The swap is two catalog
+    * operations, not atomic: run it in the maintenance window, like
+    * any table-rewriting compaction.
+    */
+  def compactBucketedTable(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    val spec = meta.bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table is not bucketed — nothing to compact"))
+    require(meta.partitionColumnNames.isEmpty,
+      s"compactBucketedTable handles bucket-only tables; $table is also " +
+        s"directory-partitioned on ${meta.partitionColumnNames.mkString(",")}")
+    val bcols = spec.bucketColumnNames
+    val tmp = s"${table}__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // read the FILES, not the table: when the repartition expressions
+    // equal the source table's own bucket spec, the planner elides the
+    // exchange as redundant (while also planning the scan un-bucketed —
+    // "Bucketed: false (disabled by query planner)"), and the write
+    // then emits one file per (scan split × bucket), compacting nothing
+    val writer = spark.read.parquet(meta.location.toString)
+      .repartition(spec.numBuckets, bcols.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
+    val sorted = spec.sortColumnNames match {
+      case Nil => writer
+      case s => writer.sortBy(s.head, s.tail: _*)
+    }
+    sorted.format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
 }

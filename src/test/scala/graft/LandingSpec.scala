@@ -87,4 +87,61 @@ class LandingSpec extends AnyFunSuite with SparkSpec {
       .filter(col("pos_bucket") =!= shiftright(col("pos"), 20).cast("int"))
     assert(bad.count() === 0)
   }
+
+  test("compactBucketedTable: one file per bucket, layout and zero-exchange plans preserved") {
+    import scala.jdk.CollectionConverters._
+    val table = "g_vcf_frag"
+    Seq(table, s"${table}__compacting").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq(table, s"${table}__compacting").foreach { t =>
+      val wh = java.nio.file.Paths.get(s"/tmp/graft-test-warehouse/$t")
+      if (Files.exists(wh))
+        Files.walk(wh).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    // simulate multi-batch/multi-writer ingest: 5 round-robin input
+    // tasks, each writing its own file into every bucket it touches
+    val vcf = writeWideVcf()
+    VcfReader.read(spark, vcf.toString)
+      .withColumn("pos_bucket", VcfReader.posBucket(col("pos")))
+      .repartition(5)
+      .write.mode("overwrite")
+      .bucketBy(4, "chrom", "pos_bucket")
+      .sortBy("chrom", "pos_bucket")
+      .format("parquet")
+      .saveAsTable(table)
+
+    // bucketed part files carry their bucket id as the _NNNNN suffix
+    def filesPerBucket(): Map[Int, Int] = {
+      val loc = java.nio.file.Paths.get(java.net.URI.create(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+      val re = ".*_(\\d{5})(?:\\..*)?\\.parquet$".r
+      Files.list(loc).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case re(b) => b.toInt }
+        .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val before = filesPerBucket()
+    assert(before.values.exists(_ > 1),
+      s"fixture failed to fragment the table: $before")
+    val nBefore = spark.table(table).count()
+    val sumBefore = spark.table(table).select(sum("pos")).head().getLong(0)
+
+    VcfReader.compactBucketedTable(spark, table)
+
+    val after = filesPerBucket()
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction left multi-file buckets: $after")
+    // lossless
+    assert(spark.table(table).count() === nBefore)
+    assert(spark.table(table).select(sum("pos")).head().getLong(0) === sumBefore)
+    // the zero-exchange site-keyed plan survives the rewrite
+    val agg = spark.table(table)
+      .groupBy("chrom", "pos_bucket", "pos")
+      .agg(count(lit(1)).as("n_sites"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"site-keyed agg shuffles after compaction:\n$plan")
+  }
 }
