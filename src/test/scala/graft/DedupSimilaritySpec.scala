@@ -278,6 +278,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(jobs <= 2, s"pqTrainStep submitted $jobs jobs — expected one scan")
   }
 
+  test("pqTrainStepResidual runs ONE scan for all subspaces and cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val books = Similarity.pqCodebooks(e.filter(col("vec_id").between(200, 207)), m = 4)
+    val asg = Similarity.ivfAssign(e, cents)
+    val group = "graft-pqtrainres-jobcount"
+    spark.sparkContext.setJobGroup(group, "pqTrainStepResidual job accounting")
+    try Similarity.pqTrainStepResidual(asg, cents, books)
+    finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    // the per-cell shifted books are when-chains in ONE projection, so
+    // residual training costs the same single corpus scan as plain
+    // pqTrainStep, plus one driver-small centroid collect (≤2 AQE jobs
+    // for the grouped agg + 1 for the centroids; an M-scan regression
+    // would be ≥ 8)
+    assert(jobs <= 3, s"pqTrainStepResidual submitted $jobs jobs — expected one corpus scan")
+  }
+
   test("pqAdcTopKInCells searches only the probe's cells, ranks like plain ADC within them") {
     val seeds = Seq(
       (0L, Seq(0.0, 0.0, 1.0, 1.0)),

@@ -134,6 +134,43 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"expected partial WindowGroupLimit before the exchange:\n$p")
   }
 
+  test("residual ivf+pq search keeps the composed shape: corpus unshuffled, probes broadcast") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // seed residual books (the q69 construction), then one training step
+    // so the gate covers the TRAINED-book search plan too (q70's shape)
+    val centMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val seedRows = Similarity.ivfAssign(e.filter(col("vec_id").between(200, 207)), cents)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).sortBy(_._1)
+    val sub = seedRows.head._2.length / 4
+    val seedBooks: Seq[Seq[Seq[Double]]] = (0 until 4).map { mi =>
+      seedRows.toSeq.map { case (_, v, cell) =>
+        val c = centMap(cell)
+        (mi * sub until (mi + 1) * sub).map(i => v(i) - c(i)): Seq[Double]
+      }
+    }
+    val asg = Similarity.ivfAssign(e, cents)
+    val books = Similarity.pqTrainStepResidual(asg, cents, seedBooks)
+    val codes = Similarity.pqEncodeResidual(asg, cents, books)
+    val top = Similarity.pqAdcTopKResidual(
+      codes, Similarity.ivfAssignTopN(e.filter(col("vec_id") < 5), cents, nprobe = 2),
+      cents, books, k = 5)
+    top.collect()
+    val p = top.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // per-cell shifted books are a when-chain INSIDE the projection —
+    // the corpus side must stay an unshuffled scan under a broadcast
+    assert(p.contains("BroadcastHashJoin"), s"cell join must broadcast probes:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(cell"),
+      s"corpus must not shuffle on cell:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(cand_id"),
+      s"corpus must not shuffle on cand_id:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial WindowGroupLimit before the exchange:\n$p")
+  }
+
   test("jaccard shingle table is shared via ReusedExchange, not a cache") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
