@@ -149,7 +149,7 @@ final class VcfScanBuilder(paths: Seq[String],
 
 final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Filter],
     samplesOverride: Option[Array[String]] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"VcfScan[${required.fieldNames.mkString(",")}] pushed=${filters.mkString(",")}"
@@ -198,13 +198,19 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     } finally br.close()
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val hadoopConf: Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  /** Pass 1, shared by partition planning and [[estimateStatistics]]:
+    * index-pruned, voff-subdivided byte ranges per file —
+    * (start, length, vSkip, endVoff). Lazy: one filesystem + sibling-
+    * index pass per scan; pruning decisions never need the sample list.
+    */
+  private lazy val plannedRanges: Seq[(FileSystem, Path, Seq[(Long, Long, Int, Long)])] = {
     val spark = SparkSession.active
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = hadoopConf
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
 
-    // pass 1: byte ranges per file — (start, length, vSkip, endVoff);
-    // pruning decisions never need the sample list
     val ranges = mutable.ArrayBuffer.empty[(FileSystem, Path, Seq[(Long, Long, Int, Long)])]
     paths.foreach { p =>
       val fs = new Path(p).getFileSystem(conf)
@@ -301,6 +307,45 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
         if (fileRanges.nonEmpty) ranges += ((fs, st.getPath, fileRanges))
       }
     }
+    ranges.toSeq
+  }
+
+  /** Heuristic inflation of bgzipped VCF bytes to in-memory row size —
+    * bgzip compresses VCF text ~4-10×; 4 keeps the estimate
+    * conservative (over-reporting never mis-broadcasts a big side).
+    */
+  private val GzInflation = 4L
+
+  /** [[SupportsReportStatistics]]: the bytes this scan will actually
+    * read AFTER index pruning and voff split planning — so a
+    * tabix-pruned locus read reports O(region) bytes and Catalyst can
+    * pick a broadcast join for it, where the raw file size would force
+    * a shuffle. Voff-bounded ranges carry a to-end-of-file byte length
+    * (the reader stops at the end voff, not the byte budget), so the
+    * effective size is capped by the end voff's compressed offset.
+    */
+  override def estimateStatistics(): Statistics = {
+    val total = plannedRanges.iterator.map { case (_, path, rs) =>
+      val isGz = path.getName.endsWith(".gz")
+      val bytes = rs.iterator.map { case (start, length, _, endVoff) =>
+        if (endVoff >= 0)
+          math.min(length,
+            TabixIndex.compressedOffset(endVoff) + TabixIndex.MaxBlockSize - start)
+        else length
+      }.sum
+      if (isGz) bytes * GzInflation else bytes
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(total)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = hadoopConf
+    val ranges = plannedRanges
 
     // pass 2: sample lists — the override serves every file; otherwise
     // headers are fetched with a bounded thread pool so a many-file

@@ -121,6 +121,38 @@ class TabixPruningSpec extends AnyFunSuite with SparkSpec {
     assert(plannedBytes(16300000, 16600000) > locusBytes)
   }
 
+  test("scan statistics report pruned bytes: a locus read becomes broadcast-eligible") {
+    import graft.sources.v2.VcfScanBuilder
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+
+    def statBytes(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val b = new VcfScanBuilder(Seq(chr22))
+      b.pushFilters(filters)
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().sizeInBytes().getAsLong
+    }
+    val full = statBytes(Array.empty)
+    val locus = statBytes(Array(EqualTo("chrom", "22"),
+      GreaterThanOrEqual("pos", 16300000), LessThanOrEqual("pos", 16320000)))
+    // the pruned estimate must shrink with the region — this is what
+    // lets Catalyst broadcast an indexed locus read in a join where the
+    // raw file size would force a shuffle
+    assert(locus < full / 4, s"locus stats $locus vs full $full")
+
+    // and the estimate flows into the optimized plan: the locus scan's
+    // relation stats sit below the default 10 MB broadcast threshold
+    val df = spark.read.format("vcf").load(chr22)
+      .filter(col("chrom") === "22" && col("pos").between(16300000, 16320000))
+    val relStats = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats.sizeInBytes
+    }
+    assert(relStats.nonEmpty && relStats.head.toLong == locus,
+      s"plan stats $relStats != scan estimate $locus")
+    assert(relStats.head.toLong < 10L * 1024 * 1024,
+      s"locus read should be broadcast-eligible, got ${relStats.head}")
+  }
+
   /** Re-encode a parsed .tbi as a tabix-style .csi via the shared
     * fixture writer ([[BgzfFixture.writeCsi]] — same bins/chunks, no
     * linear index), built from the reference's REAL index so the chunk
