@@ -175,6 +175,64 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s("c")).as("cv"))
 
+  /** Total IVF quantization error `Σ_v min_c ‖v − c‖²` — the k-means
+    * objective, evaluated as ONE narrow codegen scan (`least` over
+    * inlined per-centroid distances, the [[ivfAssign]] shape with the
+    * distance kept instead of the id).
+    */
+  def ivfQuantError(
+      vecs: DataFrame, centroids: DataFrame,
+      vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): Double = {
+    val cents = collectCents(centroids, centIdCol, centVecCol)
+    require(cents.nonEmpty, "ivfQuantError needs at least one centroid")
+    val mind = cents.map { case (_, cv) => l2sq(col(vecCol), typedLit(cv)) }
+      .reduceLeft((a, b) => least(a, b))
+    vecs.select(mind.as("qe")).agg(sum(col("qe"))).collect()(0).getDouble(0)
+  }
+
+  /** Train IVF centroids to CONVERGENCE — the production loop upstream
+    * of [[ivfAssign]] serving: iterate [[kmeansStep]], freezing each
+    * round's (driver-small) centroids, until the objective's relative
+    * improvement drops below `relTol` or `maxIters` is hit. Returns the
+    * trained centroids and the objective history (seed value first), so
+    * callers can log the curve and gate on it like the specs do. Each
+    * iteration costs one assignment scan + one grouped aggregation +
+    * one objective scan; nothing iterative lives on the executors.
+    */
+  def kmeansTrain(
+      vecs: DataFrame, seeds: DataFrame,
+      maxIters: Int = 10, relTol: Double = 1e-3,
+      idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): (DataFrame, Seq[Double]) = {
+    require(maxIters >= 0 && relTol >= 0)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def freeze(df: DataFrame): DataFrame = df
+      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1)
+      .toDF(centIdCol, centVecCol)
+    var cents = freeze(seeds)
+    val hist = scala.collection.mutable.ListBuffer(
+      ivfQuantError(vecs, cents, vecCol, centIdCol, centVecCol))
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = freeze(kmeansCentroids(
+        kmeansStep(vecs, cents, idCol, vecCol, centIdCol, centVecCol)))
+      val err = ivfQuantError(vecs, next, vecCol, centIdCol, centVecCol)
+      // decimal-rounded means can drift the objective by ~1e-6/dim, so
+      // "no meaningful improvement" is the stop, not strict decrease
+      converged = hist.last - err <= relTol * math.max(hist.last, Double.MinPositiveValue)
+      cents = next
+      hist += err
+      it += 1
+    }
+    (cents, hist.toSeq)
+  }
+
   // ---- product quantization ------------------------------------------
 
   /** PQ codebooks from a driver-small seed frame: codeword k of

@@ -244,6 +244,24 @@ object VcfReader {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append one ingest batch into a bucketed landing table (created on
+    * first use) — the multi-batch arrival path [[compactBucketedTable]]
+    * exists for: each append lays one file per (writer task × bucket),
+    * so compact on a maintenance cadence once small files accumulate.
+    * Spark validates the declared bucket spec against the existing
+    * table, so a drifted `buckets` count fails loudly instead of
+    * corrupting the layout.
+    */
+  def appendToBucketedTable(spark: SparkSession, vcfPath: String, table: String,
+      buckets: Int = 128): Unit =
+    read(spark, vcfPath)
+      .withColumn("pos_bucket", posBucket(col("pos")))
+      .write.mode("append")
+      .bucketBy(buckets, "chrom", "pos_bucket")
+      .sortBy("chrom", "pos_bucket")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Compact a bucketed landing table in place (generic — any bucketed
     * parquet table, not just VCF landings). A bucketed write emits one
     * file per (writer task × bucket), so B append batches leave ≥B

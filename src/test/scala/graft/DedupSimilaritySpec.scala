@@ -348,6 +348,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"residual ivf+pq recall $residual fell below raw composed recall $ivfpq")
   }
 
+  test("kmeansTrain converges: objective non-increasing, early stop, centroids frozen") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val seeds = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val (trained, hist) = Similarity.kmeansTrain(e, seeds, maxIters = 8, relTol = 1e-3)
+    // Lloyd is monotone up to the documented decimal-rounding drift
+    hist.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-3, s"objective rose: $hist")
+    }
+    assert(hist.last < hist.head, s"training never improved: $hist")
+    // converged before the iteration cap (history = seed + per-iter)
+    assert(hist.size - 1 < 8, s"no early stop in ${hist.size - 1} iters: $hist")
+    // same cell count in, same out; trained centroids serve ivfAssign
+    assert(trained.count() === 8)
+    val assigned = Similarity.ivfAssign(e, trained)
+    assert(assigned.select(countDistinct(col("cell"))).head().getLong(0) <= 8)
+  }
+
   test("pqTrainStepResidual monotonically reduces the quantization objective") {
     // the Lloyd guarantee: assignment and mean steps each minimize
     // Σ min_k ‖(v−c[cell])−r_k‖², so every training step must not

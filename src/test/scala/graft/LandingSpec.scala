@@ -144,4 +144,31 @@ class LandingSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"),
       s"site-keyed agg shuffles after compaction:\n$plan")
   }
+
+  test("appendToBucketedTable: multi-batch ingest keeps the layout queryable") {
+    import scala.jdk.CollectionConverters._
+    val table = "g_vcf_append"
+    Seq(table, s"${table}__compacting").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = java.nio.file.Paths.get(s"/tmp/graft-test-warehouse/$t")
+      if (Files.exists(wh))
+        Files.walk(wh).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val vcf = writeWideVcf()
+    VcfReader.appendToBucketedTable(spark, vcf.toString, table, buckets = 4)
+    VcfReader.appendToBucketedTable(spark, vcf.toString, table, buckets = 4)
+    assert(spark.table(table).count() === 160)
+    // a drifted bucket count fails loudly instead of corrupting layout
+    intercept[Exception] {
+      VcfReader.appendToBucketedTable(spark, vcf.toString, table, buckets = 8)
+    }
+    // the appended table still plans site-keyed work with zero exchanges
+    val agg = spark.table(table)
+      .groupBy("chrom", "pos_bucket", "pos").agg(count(lit(1)).as("n"))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    // and compaction collapses the accumulated batch files
+    VcfReader.compactBucketedTable(spark, table)
+    assert(spark.table(table).count() === 160)
+  }
 }
