@@ -176,29 +176,48 @@ object Similarity {
         s => s("c")).as("cv"))
 
   /** Total IVF quantization error `Σ_v min_c ‖v − c‖²` — the k-means
-    * objective, evaluated as ONE narrow codegen scan (`least` over
-    * inlined per-centroid distances, the [[ivfAssign]] shape with the
-    * distance kept instead of the id).
+    * objective. Below [[InlineCentroidLimit]] it is ONE narrow codegen
+    * scan (`least` over inlined per-centroid distances, the
+    * [[ivfAssign]] shape with the distance kept instead of the id);
+    * above it the same broadcast-join fallback as ivfAssign applies —
+    * the per-(vec, centroid) distances min-aggregate on the vector id
+    * (16-byte rows, one exchange, once per training round). Empty
+    * input scores 0 (an empty set is perfectly quantized).
     */
   def ivfQuantError(
       vecs: DataFrame, centroids: DataFrame,
-      vecCol: String = "v",
+      idCol: String = "vec_id", vecCol: String = "v",
       centIdCol: String = "cid", centVecCol: String = "cv"): Double = {
     val cents = collectCents(centroids, centIdCol, centVecCol)
     require(cents.nonEmpty, "ivfQuantError needs at least one centroid")
-    val mind = cents.map { case (_, cv) => l2sq(col(vecCol), typedLit(cv)) }
-      .reduceLeft((a, b) => least(a, b))
-    vecs.select(mind.as("qe")).agg(sum(col("qe"))).collect()(0).getDouble(0)
+    val summed =
+      if (cents.length <= InlineCentroidLimit) {
+        val mind = cents.map { case (_, cv) => l2sq(col(vecCol), typedLit(cv)) }
+          .reduceLeft((a, b) => least(a, b))
+        vecs.select(mind.as("qe")).agg(sum(col("qe"))).collect()(0)
+      } else {
+        val centsDf = centroids.select(col(centVecCol).as("__cv"))
+        vecs.crossJoin(broadcast(centsDf))
+          .select(col(idCol), l2sq(col(vecCol), col("__cv")).as("__d"))
+          .groupBy(idCol).agg(min(col("__d")).as("qe"))
+          .agg(sum(col("qe"))).collect()(0)
+      }
+    if (summed.isNullAt(0)) 0.0 else summed.getDouble(0)
   }
 
   /** Train IVF centroids to CONVERGENCE — the production loop upstream
     * of [[ivfAssign]] serving: iterate [[kmeansStep]], freezing each
     * round's (driver-small) centroids, until the objective's relative
     * improvement drops below `relTol` or `maxIters` is hit. Returns the
-    * trained centroids and the objective history (seed value first), so
-    * callers can log the curve and gate on it like the specs do. Each
-    * iteration costs one assignment scan + one grouped aggregation +
-    * one objective scan; nothing iterative lives on the executors.
+    * BEST-objective centroids seen and the full objective history (seed
+    * value first), so callers can log the curve and gate on it like the
+    * specs do: a final round whose decimal-rounding drift nudges the
+    * objective up is recorded in the history but its centroids are not
+    * adopted. A cell that captures no vectors in a round keeps its
+    * previous centroid (same contract as [[pqTrainStep]]'s empty
+    * codewords) — k never silently shrinks. Each iteration costs one
+    * assignment scan + one grouped aggregation + one objective scan;
+    * nothing iterative lives on the executors.
     */
   def kmeansTrain(
       vecs: DataFrame, seeds: DataFrame,
@@ -208,29 +227,34 @@ object Similarity {
     require(maxIters >= 0 && relTol >= 0)
     val spark = vecs.sparkSession
     import spark.implicits._
-    def freeze(df: DataFrame): DataFrame = df
-      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .toSeq.sortBy(_._1)
-      .toDF(centIdCol, centVecCol)
-    var cents = freeze(seeds)
+    def collect(df: DataFrame): Seq[(Long, Seq[Double])] =
+      collectCents(df, centIdCol, centVecCol)
+    def freeze(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      cs.toDF(centIdCol, centVecCol)
+    var cents = collect(seeds)
+    require(cents.nonEmpty, "kmeansTrain needs at least one seed centroid")
+    var cdf = freeze(cents)
     val hist = scala.collection.mutable.ListBuffer(
-      ivfQuantError(vecs, cents, vecCol, centIdCol, centVecCol))
+      ivfQuantError(vecs, cdf, idCol, vecCol, centIdCol, centVecCol))
+    var best = cdf
+    var bestErr = hist.head
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      val next = freeze(kmeansCentroids(
-        kmeansStep(vecs, cents, idCol, vecCol, centIdCol, centVecCol)))
-      val err = ivfQuantError(vecs, next, vecCol, centIdCol, centVecCol)
+      val learned = collect(kmeansCentroids(
+        kmeansStep(vecs, cdf, idCol, vecCol, centIdCol, centVecCol))).toMap
+      // empty cells keep their previous centroid — k never shrinks
+      cents = cents.map { case (cid, cv) => cid -> learned.getOrElse(cid, cv) }
+      cdf = freeze(cents)
+      val err = ivfQuantError(vecs, cdf, idCol, vecCol, centIdCol, centVecCol)
+      if (err < bestErr) { best = cdf; bestErr = err }
       // decimal-rounded means can drift the objective by ~1e-6/dim, so
       // "no meaningful improvement" is the stop, not strict decrease
       converged = hist.last - err <= relTol * math.max(hist.last, Double.MinPositiveValue)
-      cents = next
       hist += err
       it += 1
     }
-    (cents, hist.toSeq)
+    (best, hist.toSeq)
   }
 
   // ---- product quantization ------------------------------------------
@@ -518,8 +542,36 @@ object Similarity {
         case (w, (cid, _)) => w.when(col("cell") === cid, mind(cid))
       }
     }
-    vecsWithCell.select(dCols.reduce(_ + _).as("qe"))
-      .agg(sum(col("qe"))).collect()(0).getDouble(0)
+    val summed = vecsWithCell.select(dCols.reduce(_ + _).as("qe"))
+      .agg(sum(col("qe"))).collect()(0)
+    if (summed.isNullAt(0)) 0.0 else summed.getDouble(0)
+  }
+
+  /** Seed residual codebooks — the residual-space analogue of
+    * [[pqCodebooks]], shared by the q69/q70 gates and their specs so
+    * the construction cannot drift between operator, oracle, and spec:
+    * each seed vector's codeword is its residual vs its OWN cell's
+    * centroid (`seed − c[cell]`), seeds ordered by id, M subspaces.
+    */
+  def seedResidualBooks(
+      seeds: DataFrame, centroids: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): Seq[Seq[Seq[Double]]] = {
+    val centMap = collectCents(centroids, centIdCol, centVecCol).toMap
+    val seedRows = ivfAssign(seeds, centroids, idCol, vecCol, centIdCol, centVecCol)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+      .sortBy(_._1)
+    require(seedRows.nonEmpty, "seedResidualBooks needs at least one seed vector")
+    val d = seedRows.head._2.length
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    val sub = d / m
+    (0 until m).map { mi =>
+      seedRows.toSeq.map { case (_, v, cell) =>
+        val c = centMap(cell)
+        (mi * sub until (mi + 1) * sub).map(i => v(i) - c(i)): Seq[Double]
+      }
+    }
   }
 
   /** ADC top-k over a RESIDUAL-encoded corpus, restricted to each

@@ -1519,21 +1519,8 @@ object LlmQueries extends QuerySet {
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       // residual seed books: each seed's codeword is (seed − its own
       // cell centroid), the residual-space analogue of pqCodebooks
-      val centMap = cents.collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-      val seedRows = Similarity.ivfAssign(
-        e.filter(col("vec_id").between(200, 207)), cents)
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
-        .sortBy(_._1)
-      val m = 4
-      val sub = seedRows.head._2.length / m
-      val books = (0 until m).map { mi =>
-        seedRows.toSeq.map { case (_, v, cell) =>
-          val c = centMap(cell)
-          (mi * sub until (mi + 1) * sub).map(i => v(i) - c(i))
-        }
-      }
+      val books = Similarity.seedResidualBooks(
+        e.filter(col("vec_id").between(200, 207)), cents, m = 4)
       val codes = Similarity.pqEncodeResidual(
         Similarity.ivfAssign(e, cents), cents, books)
       val probes = Similarity.ivfAssignTopN(
@@ -1677,21 +1664,8 @@ object LlmQueries extends QuerySet {
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       // seed books exactly as q69: each seed's codeword is its own
       // residual vs its cell centroid
-      val centMap = cents.collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-      val seedRows = Similarity.ivfAssign(
-        e.filter(col("vec_id").between(200, 207)), cents)
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
-        .sortBy(_._1)
-      val m = 4
-      val sub = seedRows.head._2.length / m
-      var books: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
-        seedRows.toSeq.map { case (_, v, cell) =>
-          val c = centMap(cell)
-          (mi * sub until (mi + 1) * sub).map(i => v(i) - c(i)): Seq[Double]
-        }
-      }
+      var books = Similarity.seedResidualBooks(
+        e.filter(col("vec_id").between(200, 207)), cents, m = 4)
       val asg = Similarity.ivfAssign(e, cents)
       for (_ <- 0 until ResidTrainSteps)
         books = Similarity.pqTrainStepResidual(asg, cents, books)

@@ -234,15 +234,22 @@ object VcfReader {
     * BucketedJoinSpec). Use over [[toParquet]] when the table is read
     * many times by site.
     */
-  def toBucketedTable(spark: SparkSession, vcfPath: String, table: String,
-      buckets: Int = 128): Unit =
+  /** The one definition of the bucketed landing layout, shared by the
+    * overwrite and append paths so the spec cannot drift between them.
+    */
+  private def landBucketed(spark: SparkSession, vcfPath: String, table: String,
+      buckets: Int, mode: String): Unit =
     read(spark, vcfPath)
       .withColumn("pos_bucket", posBucket(col("pos")))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .bucketBy(buckets, "chrom", "pos_bucket")
       .sortBy("chrom", "pos_bucket")
       .format("parquet")
       .saveAsTable(table)
+
+  def toBucketedTable(spark: SparkSession, vcfPath: String, table: String,
+      buckets: Int = 128): Unit =
+    landBucketed(spark, vcfPath, table, buckets, "overwrite")
 
   /** Append one ingest batch into a bucketed landing table (created on
     * first use) — the multi-batch arrival path [[compactBucketedTable]]
@@ -254,13 +261,7 @@ object VcfReader {
     */
   def appendToBucketedTable(spark: SparkSession, vcfPath: String, table: String,
       buckets: Int = 128): Unit =
-    read(spark, vcfPath)
-      .withColumn("pos_bucket", posBucket(col("pos")))
-      .write.mode("append")
-      .bucketBy(buckets, "chrom", "pos_bucket")
-      .sortBy("chrom", "pos_bucket")
-      .format("parquet")
-      .saveAsTable(table)
+    landBucketed(spark, vcfPath, table, buckets, "append")
 
   /** Compact a bucketed landing table in place (generic — any bucketed
     * parquet table, not just VCF landings). A bucketed write emits one
@@ -280,8 +281,11 @@ object VcfReader {
     * any table-rewriting compaction.
     */
   def compactBucketedTable(spark: SparkSession, table: String): Unit = {
-    import org.apache.spark.sql.catalyst.TableIdentifier
-    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    // parse (not wrap) the name so qualified identifiers like
+    // `db.events` resolve to the right database instead of being read
+    // as a single-part name in the current one
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"table $table is not bucketed — nothing to compact"))
@@ -289,7 +293,8 @@ object VcfReader {
       s"compactBucketedTable handles bucket-only tables; $table is also " +
         s"directory-partitioned on ${meta.partitionColumnNames.mkString(",")}")
     val bcols = spec.bucketColumnNames
-    val tmp = s"${table}__compacting"
+    val tmpIdent = ident.copy(table = s"${ident.table}__compacting")
+    val tmp = tmpIdent.quotedString
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     // read the FILES, not the table: when the repartition expressions
     // equal the source table's own bucket spec, the planner elides the
@@ -305,7 +310,7 @@ object VcfReader {
       case s => writer.sortBy(s.head, s.tail: _*)
     }
     sorted.format("parquet").saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE ${ident.quotedString}")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO ${ident.quotedString}")
   }
 }

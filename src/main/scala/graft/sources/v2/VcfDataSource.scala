@@ -310,11 +310,13 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     ranges.toSeq
   }
 
-  /** Heuristic inflation of bgzipped VCF bytes to in-memory row size —
-    * bgzip compresses VCF text ~4-10×; 4 keeps the estimate
-    * conservative (over-reporting never mis-broadcasts a big side).
+  /** Heuristic inflation of bgzipped VCF bytes to in-memory row size.
+    * bgzip compresses VCF text ~4-10×: the HIGH end is the safe
+    * estimate, because the failure modes are asymmetric — over-
+    * reporting only forgoes a broadcast, under-reporting broadcasts a
+    * side that decompresses bigger than the threshold promised.
     */
-  private val GzInflation = 4L
+  private val GzInflation = 10L
 
   /** [[SupportsReportStatistics]]: the bytes this scan will actually
     * read AFTER index pruning and voff split planning — so a

@@ -225,26 +225,47 @@ object DocStreams {
   }
 
   /** The near-dup evidence join shared by [[nearDupRateMetrics]] and its
-    * batch twin: doc `l` is a near-dup iff some earlier doc `r` with
-    * `r.ts ∈ [l.ts − horizon, l.ts)` shares an 8-bit simhash band AND
+    * batch twin: doc `l` is a near-dup iff some doc `r` with
+    * `r.ts ∈ [l.ts − horizon, l.ts]` and `(r.ts, r.doc_id) <
+    * (l.ts, l.doc_id)` shares an 8-bit simhash band AND
     * `bit_count(l.sim ^ r.sim) ≤ maxHamming` (band equality alone is the
     * candidate filter; the hamming check inside the join condition keeps
-    * false candidates from ever leaving the join). Same-timestamp copies
-    * are the exact-dedup layer's job ([[dedupStream]]); this metric
-    * flags strictly-later reappearances.
+    * false candidates from ever leaving the join). The (ts, id)
+    * ordering matches [[nearDupFlags]]: same-timestamp near-dups flag
+    * the higher doc id — a strict ts bound would silently skip bursty
+    * same-second copies whose digests differ.
     */
   private def nearDupEvidence(
       bands: DataFrame, maxHamming: Int, horizon: String): DataFrame = {
     val l = bands.alias("l")
     val r = bands.alias("r")
+    // the time interval stays in clean conjuncts (r.ts BETWEEN l.ts −
+    // horizon AND l.ts) so the stream-stream join can derive its state
+    // eviction bounds from them; the (ts, id) tie-break is a separate
+    // non-time conjunct
     l.join(r,
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.doc_id") =!= col("r.doc_id") &&
-          col("r.ts") < col("l.ts") &&
+          col("r.ts") <= col("l.ts") &&
           col("r.ts") >= col("l.ts") - expr(s"INTERVAL $horizon") &&
+          (col("r.ts") < col("l.ts") || col("r.doc_id") < col("l.doc_id")) &&
           bit_count(col("l.sim").bitwiseXOR(col("r.sim"))) <= maxHamming)
       .select(col("l.ts").as("ts"), col("l.doc_id").as("doc_id"))
   }
+
+  /** The windowed rollup shared by stream and batch — one definition,
+    * so the "stream ≡ batch" spec can never pass against diverged
+    * arithmetic: per tumbling window, arrivals, distinct near-dup docs,
+    * and their ratio.
+    */
+  private def rateRollup(
+      arrivals: DataFrame, dupDocs: DataFrame, windowDur: String): DataFrame =
+    arrivals.unionByName(dupDocs)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(sum(when(col("__dup") === 0L, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("__dup")).as("n_dup"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("n_docs"), col("n_dup"),
+        (col("n_dup") / col("n_docs")).as("dup_rate"))
 
   /** Windowed near-dup RATE metrics — the monitoring signal a 100 TB
     * ingest watches: per event-time tumbling window, docs arrived vs
@@ -287,13 +308,7 @@ object DocStreams {
       .select(col("ts"), lit(1L).as("__dup"))
     val arrivals = docs.select(col("ts"), lit(0L).as("__dup"))
       .withWatermark("ts", watermark)
-    arrivals.unionByName(dupDocs)
-      .groupBy(window(col("ts"), windowDur))
-      .agg(sum(when(col("__dup") === 0L, 1L).otherwise(0L)).as("n_docs"),
-        sum(col("__dup")).as("n_dup"))
-      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
-        col("n_docs"), col("n_dup"),
-        (col("n_dup") / col("n_docs")).as("dup_rate"))
+    rateRollup(arrivals, dupDocs, windowDur)
   }
 
   /** Batch twin of [[nearDupRateMetrics]]: identical evidence join and
@@ -312,13 +327,7 @@ object DocStreams {
       .dropDuplicates("doc_id")
       .select(col("ts"), lit(1L).as("__dup"))
     val arrivals = docs.select(col("ts"), lit(0L).as("__dup"))
-    arrivals.unionByName(dupDocs)
-      .groupBy(window(col("ts"), windowDur))
-      .agg(sum(when(col("__dup") === 0L, 1L).otherwise(0L)).as("n_docs"),
-        sum(col("__dup")).as("n_dup"))
-      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
-        col("n_docs"), col("n_dup"),
-        (col("n_dup") / col("n_docs")).as("dup_rate"))
+    rateRollup(arrivals, dupDocs, windowDur)
   }
 
   /** Streaming train/eval decontamination: each arriving doc's shingle

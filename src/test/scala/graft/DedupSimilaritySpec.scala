@@ -377,17 +377,8 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val cents = e.filter(col("vec_id").between(100, 107))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val centMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val seedRows = Similarity.ivfAssign(e.filter(col("vec_id").between(200, 207)), cents)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).sortBy(_._1)
-    val m = 4
-    val sub = seedRows.head._2.length / m
-    val seedBooks: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
-      seedRows.toSeq.map { case (_, v, cell) =>
-        val c = centMap(cell)
-        (mi * sub until (mi + 1) * sub).map(i => v(i) - c(i)): Seq[Double]
-      }
-    }
+    val seedBooks = Similarity.seedResidualBooks(
+      e.filter(col("vec_id").between(200, 207)), cents, m = 4)
     val asg = Similarity.ivfAssign(e, cents)
     val eps = 1e-3 // decimal(18,6) rounding drift bound, generous
     var books = seedBooks

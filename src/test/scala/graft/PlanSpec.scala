@@ -142,16 +142,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     // seed residual books (the q69 construction), then one training step
     // so the gate covers the TRAINED-book search plan too (q70's shape)
-    val centMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val seedRows = Similarity.ivfAssign(e.filter(col("vec_id").between(200, 207)), cents)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).sortBy(_._1)
-    val sub = seedRows.head._2.length / 4
-    val seedBooks: Seq[Seq[Seq[Double]]] = (0 until 4).map { mi =>
-      seedRows.toSeq.map { case (_, v, cell) =>
-        val c = centMap(cell)
-        (mi * sub until (mi + 1) * sub).map(i => v(i) - c(i)): Seq[Double]
-      }
-    }
+    val seedBooks = Similarity.seedResidualBooks(
+      e.filter(col("vec_id").between(200, 207)), cents, m = 4)
     val asg = Similarity.ivfAssign(e, cents)
     val books = Similarity.pqTrainStepResidual(asg, cents, seedBooks)
     val codes = Similarity.pqEncodeResidual(asg, cents, books)

@@ -193,6 +193,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     import graft.streaming.DocStreams.Doc
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val base2 = (200 to 240).map(i => s"two$i").mkString(" ")
     def distinctDoc(seed: Int) =
       (seed * 100 to seed * 100 + 40).map(i => s"only$i").mkString(" ")
     val docs = Seq(
@@ -204,6 +205,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Doc(ts(12), 6L, distinctDoc(3)),
       Doc(ts(13), 7L, base),                   // dup of 5 (5 min back)
       Doc(ts(15), 8L, distinctDoc(4)),
+      Doc(ts(15), 12L, base2),                 // same-ts pair: lower id is the original...
+      Doc(ts(15), 13L, base2 + " extra1 extra2"), // ...higher id flags as the near-dup
       Doc(ts(22), 9L, base),                   // nearest base copy 9 min back — OUTSIDE horizon
       Doc(ts(23), 10L, distinctDoc(5)),
       Doc(ts(29), 11L, distinctDoc(6)))        // pushes the watermark
@@ -226,9 +229,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // final watermark 10:27, join output watermark 10:22 → exactly the
     // first two windows have finalized and emitted
     assert(streamed.keySet === Set(w0, w0 + 600), s"got $streamed")
-    // [10:00,10:10): 5 arrivals, dups {3, 5}; [10:10,10:20): 3 arrivals, dup {7}
+    // [10:00,10:10): 5 arrivals, dups {3, 5}; [10:10,10:20): 5 arrivals,
+    // dups {7, 13} — 13 is the same-timestamp near-dup of 12 (the
+    // (ts, id) tie-break, matching nearDupFlags' ordering)
     assert(streamed(w0) === ((5L, 2L)), s"got $streamed")
-    assert(streamed(w0 + 600) === ((3L, 1L)), s"got $streamed")
+    assert(streamed(w0 + 600) === ((5L, 2L)), s"got $streamed")
     // every emitted stream row equals the batch twin's row
     streamed.foreach { case (w, v) => assert(batch(w) === v, s"window $w: $v vs ${batch(w)}") }
     // the batch twin also proves the horizon bound: doc 9's base copy is
