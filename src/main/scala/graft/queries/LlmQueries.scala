@@ -1768,8 +1768,67 @@ object LlmQueries extends QuerySet {
       ORDER BY probe_id
     """))
 
+  /** Reference-corpus n-gram FAMILIARITY score — the LM-free stand-in
+    * for perplexity filtering (the CCNet/Gopher-style "does this text
+    * look like the curated corpus" signal): the top-200 bigrams by doc
+    * frequency over a curated subset become the reference vocabulary
+    * (driver-small, broadcast), and every doc scores the fraction of
+    * its bigram OCCURRENCES found in that vocabulary. Integer-exact
+    * end to end — no engine-variant ln/float-prob arithmetic — with a
+    * deterministic (df DESC, ngram) cutoff, so DuckDB reproduces the
+    * vocabulary and every score bit-for-bit. Distinct from q21 (surface
+    * statistics) and q22 (language ID): this is quality relative to a
+    * REFERENCE corpus, the signal that catches fluent-but-off-domain
+    * text those two pass.
+    */
+  private val q71 = Q(
+    "q71_ngram_familiarity",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val ngrams = docs.select(col("doc_id"),
+        explode(wordNgrams(wsTokens(lower(cleanAscii(col("text")))), 2)).as("ngram"))
+      // curated subset = deterministic id gate; vocabulary = top-200 by
+      // DOC frequency (array_distinct before the explode), total-order
+      // cutoff so the boundary tie breaks identically in DuckDB
+      val ref = docs.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id"), explode(array_distinct(
+          wordNgrams(wsTokens(lower(cleanAscii(col("text")))), 2))).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram")).limit(200)
+      ngrams
+        .join(broadcast(ref.select(col("ngram"), lit(1L).as("__hit"))),
+          Seq("ngram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_familiar"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_familiar"),
+          micro(col("n_familiar") / col("n_ngrams")).as("familiarity_micro"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+              string_split_regex(trim(lower(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0),
+      ng AS (SELECT doc_id,
+              unnest(list_transform(range(1, CAST(len(w) AS INT)),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS ngram
+            FROM toks),
+      refng AS (SELECT DISTINCT doc_id, ngram FROM ng WHERE doc_id % 10 < 3),
+      ref AS (SELECT ngram FROM (
+              SELECT ngram, count(*) AS df FROM refng GROUP BY ngram
+              ORDER BY df DESC, ngram LIMIT 200) r),
+      sc AS (SELECT ng.doc_id, count(*) AS n_ngrams,
+              CAST(sum(CASE WHEN ref.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_familiar
+            FROM ng LEFT JOIN ref ON ref.ngram = ng.ngram
+            GROUP BY ng.doc_id)
+      SELECT doc_id, n_ngrams, n_familiar,
+        CAST(floor((n_familiar / n_ngrams) * 1000000.0) AS BIGINT) AS familiarity_micro
+      FROM sc ORDER BY doc_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65, q66, q67, q69, q70)
+      q45, q48, q65, q66, q67, q69, q70, q71)
 }

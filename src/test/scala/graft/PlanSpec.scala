@@ -163,6 +163,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"expected partial WindowGroupLimit before the exchange:\n$p")
   }
 
+  test("q71 familiarity joins the reference vocabulary by broadcast") {
+    val q = SparkEntry.queries("q71_ngram_familiarity")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the vocabulary is top-K — driver-small by construction — so the
+    // corpus-side ngram stream must never sort-merge against it
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge on ngram:\n$p")
+  }
+
   test("jaccard shingle table is shared via ReusedExchange, not a cache") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
