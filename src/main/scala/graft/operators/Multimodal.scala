@@ -118,4 +118,38 @@ object Multimodal {
       .withColumn("meta", map(lit("src"), lit("synthetic")))
       .repartition(col("modality"))
   }
+
+  /** Media NEAR-duplicate candidate pairs — the multimodal member of
+    * the dedup family: decode each item's feature vector per partition
+    * ([[extractFeatures]]; a perceptual hash or embedding behind the
+    * real codec), LSH-bucket the vectors on fixed random hyperplanes
+    * (Similarity.lshBucket — sign bits, reproducible), and compare ONLY
+    * within (modality, bucket) — an equi-join, never an all-pairs scan,
+    * exactly the shape the text near-dup operators use. Survivors are
+    * exact-cosine checked inside the bucket. Near-identical media land
+    * in the same bucket with high probability (more planes → fewer
+    * false candidates, more missed borderline pairs — tune with a
+    * recall gate like q44 if ship/no-ship matters).
+    */
+  def mediaNearDupPairs(
+      media: DataFrame,
+      planes: Seq[Seq[Double]],
+      minCosine: Double = 0.995,
+      decoder: Decoder = new FakeDecoder()): DataFrame = {
+    val feats = extractFeatures(media, decoder)
+      .select(col("media_id"), col("modality"),
+        transform(col("feature"), x => x.cast("double")).as("fv"))
+      .withColumn("bucket", graft.operators.Similarity.lshBucket(col("fv"), planes))
+    val a = feats.alias("a")
+    val b = feats.alias("b")
+    a.join(b,
+        col("a.modality") === col("b.modality") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.media_id") < col("b.media_id"))
+      .withColumn("cosine",
+        graft.operators.Similarity.cosine(col("a.fv"), col("b.fv")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.modality").as("modality"), col("cosine"))
+  }
 }

@@ -48,4 +48,37 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .getAs[Array[Byte]]("frame_bytes")
     assert(f3(0) === (768 % 256).toByte)
   }
+
+  test("media near-dup pairs: bucketed equi-join finds planted near-copies only") {
+    // histogram features only separate SKEWED byte distributions —
+    // pseudo-random streams all histogram near-uniform and rightly read
+    // as near-dups of each other — so the fixture uses concentrated
+    // patterns: img3 = img1 with ONE byte changed (cosine ~0.9999,
+    // histogram strongly bucket-0 so the 1-count delta cannot flip an
+    // LSH sign); img4 lives in a different histogram bucket entirely
+    val withDup = Multimodal.asMediaTable(
+      Seq(
+        ("img1", "image", Array.fill(64)(0.toByte)),
+        ("img3", "image", Array.tabulate(64)(i =>
+          if (i == 0) 1.toByte else 0.toByte)),
+        ("img4", "image", Array.fill(64)(3.toByte)),
+        ("aud1", "audio", Array.fill(32)(5.toByte)),
+        ("aud2", "audio", Array.fill(32)(5.toByte)),
+        ("vid1", "video", Array.tabulate(1024)(i => (i % 256).toByte))).toDS())
+    // fixed hyperplanes over the 8-dim histogram space
+    val planes = Seq(
+      Seq(1.0, -1.0, 0.5, -0.5, 0.25, -0.25, 0.125, -0.125),
+      Seq(-0.3, 0.7, -0.9, 0.2, 0.6, -0.4, 0.1, -0.8))
+    val pairs = Multimodal.mediaNearDupPairs(withDup, planes, minCosine = 0.99)
+    val got = pairs.select("media_a", "media_b")
+      .as[(String, String)].collect().toSet
+    // exact audio copy pairs; the one-byte image near-copy pairs; the
+    // distinct image never does, and modalities never cross
+    assert(got === Set(("aud1", "aud2"), ("img1", "img3")), s"got $got")
+    // the candidate join is an equi-join on (modality, bucket), not a
+    // cartesian comparison
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"media near-dup must bucket, not compare all pairs:\n$plan")
+  }
 }
