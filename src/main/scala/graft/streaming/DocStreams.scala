@@ -87,9 +87,13 @@ object DocStreams {
   final case class BandState(entries: List[(Long, Long)])
 
   /** One near-dup flag: `doc_id` matched `matched_id` in bucket
-    * (band, key) at hamming ≤ k.
+    * (band, key) at hamming ≤ k. Carries the flagged doc's event time
+    * so downstream monitoring (e.g. a windowed dup-rate over a file
+    * sink — the storage-decoupled pattern, since this operator cannot
+    * chain under a stateful agg directly) can window on it.
     */
-  final case class NearDupFlag(doc_id: Long, matched_id: Long, band: Int, hamming: Int)
+  final case class NearDupFlag(
+      ts: Timestamp, doc_id: Long, matched_id: Long, band: Int, hamming: Int)
 
   /** Streaming near-dup detection: simhash each arriving doc, route it
     * to its 4 LSH buckets, and compare only against the recent hashes
@@ -136,12 +140,12 @@ object DocStreams {
             val sorted = rows.toSeq.sortBy { case (ts, id, _, _, _) => (ts.getTime, id) }
             var entries = state.getOption.map(_.entries).getOrElse(Nil)
             val flags = Seq.newBuilder[NearDupFlag]
-            sorted.foreach { case (_, id, sim, band, _) =>
+            sorted.foreach { case (ts, id, sim, band, _) =>
               entries.reverseIterator
                 .map { case (mid, msim) =>
                   (mid, java.lang.Long.bitCount(sim ^ msim)) }
                 .find(_._2 <= maxHamming)
-                .foreach { case (mid, h) => flags += NearDupFlag(id, mid, band, h) }
+                .foreach { case (mid, h) => flags += NearDupFlag(ts, id, mid, band, h) }
               entries = (entries :+ (id, sim)).takeRight(maxPerBand)
             }
             state.update(BandState(entries))

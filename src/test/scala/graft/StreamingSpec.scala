@@ -241,6 +241,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch(w0 + 1200) === ((3L, 0L)), s"got $batch")
   }
 
+  test("stateful detector monitoring decouples via a file sink: two queries, one truth") {
+    // nearDupFlags cannot chain under a stateful aggregation (its
+    // state-time emissions can trail the global watermark — Spark's
+    // correctness check refuses the plan), so its production monitoring
+    // shape is TWO queries decoupled by storage: detector → file sink;
+    // a second streaming query windows over the sink. This spec proves
+    // that round trip end to end.
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_flag_sink")
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      Doc(ts(0), 1L, base),
+      Doc(ts(1), 2L, base + " extra1 extra2"),
+      Doc(ts(2), 3L, (100 to 140).map(i => s"other$i").mkString(" ")),
+      Doc(ts(12), 4L, base)) // second window
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(docs)
+    // query 1: detector → parquet sink
+    val q1 = DocStreams.nearDupFlags(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/flags")
+      .option("checkpointLocation", s"$dir/ckpt1")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination()
+    // query 2: windowed dup counts over the sink — a plain streaming
+    // source now, so the windowed agg chains without any caveat
+    val q2 = spark.readStream
+      .schema(spark.read.parquet(s"$dir/flags").schema)
+      .parquet(s"$dir/flags")
+      .withWatermark("ts", "0 seconds")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_dup"))
+      .writeStream.format("memory").queryName("graft_flag_monitor")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val got = spark.table("graft_flag_monitor")
+      .select(unix_timestamp(col("window.start")).as("w"), col("n_dup"))
+      .as[(Long, Long)].collect().toMap
+    val w0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    // window 1 closed (watermark reached 10:12): doc 2 flagged against 1
+    assert(got.get(w0) === Some(1L), s"got $got")
+    // and the sink holds the same flags the direct-read spec sees
+    val sunk = spark.read.parquet(s"$dir/flags")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sunk === Set(2L, 4L), s"got $sunk")
+  }
+
   test("nearDupFlags refuses maxHamming beyond the pigeonhole guarantee") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc
