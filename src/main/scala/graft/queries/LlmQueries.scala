@@ -1827,8 +1827,101 @@ object LlmQueries extends QuerySet {
       FROM sc ORDER BY doc_id
     """))
 
+  /** The COMPOSED pretraining-data pipeline, one oracled gate — the
+    * "switch your whole pipeline to this library" statement: raw
+    * arrivals (with planted exact dups) → min-id dedup → quality gate →
+    * decontamination vs an eval set (≥3 shared distinct shingles) →
+    * stratified mixing sample, with the funnel count after every stage
+    * and the sampled id-sum pinning exact final membership. Staged as
+    * FLAGS on the dedup representatives so the whole funnel is ONE
+    * declarative plan (one dedup shuffle, one broadcast contamination
+    * join, one final aggregate) — no per-stage materialization, no
+    * driver loop; the individually-gated operators (q30, q36, q25, q26)
+    * prove each stage alone, this proves they compose.
+    */
+  private val q73 = Q(
+    "q73_pipeline_funnel",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val both = d.select(col("doc_id").as("id"), col("text"), col("lang"))
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("id"), col("text"), col("lang")))
+      val reps = both
+        .groupBy(graft.operators.Dedup.contentHash(col("text")).as("__h"))
+        // identical texts within a digest group: first(text) is
+        // deterministic; min(id)/min(lang) pin the representative
+        .agg(count(lit(1)).as("__dups"), min(col("id")).as("id"),
+          first(col("text")).as("text"), min(col("lang")).as("lang"))
+        // fan out the heavy shingling off the tiny scan (q25's lesson)
+        .repartition(s.sparkContext.defaultParallelism)
+      val ev = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id"), col("text"))
+      val contam = graft.operators.Dedup.contaminationReport(
+          reps, ev, "id", "text", n = 3, minShared = 3)
+        .select(col("train_id").as("id"), lit(true).as("__ct"))
+      reps.join(contam, Seq("id"), "left")
+        .select(col("id"), col("__dups"),
+          (tokenCount(col("text")) >= lit(30)).as("__q"),
+          coalesce(col("__ct"), lit(false)).as("__c"),
+          (graft.operators.Sampling.hashBucket(col("id"), 1000) <
+            when(col("lang") === "en", 500L).when(col("lang") === "de", 250L)
+              .when(col("lang") === "zh", 100L).otherwise(-1L)).as("__s"))
+        .agg(
+          sum(col("__dups")).as("n_total"),
+          count(lit(1)).as("n_after_dedup"),
+          sum(when(col("__q"), 1L).otherwise(0L)).as("n_after_quality"),
+          sum(when(col("__q") && !col("__c"), 1L).otherwise(0L)).as("n_after_decontam"),
+          sum(when(col("__q") && !col("__c") && col("__s"), 1L).otherwise(0L)).as("n_sampled"),
+          coalesce(sum(when(col("__q") && !col("__c") && col("__s"), col("id"))), lit(0L))
+            .as("sampled_id_sum"))
+    },
+    Some(s"""
+      WITH both_docs AS (
+        SELECT doc_id AS id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS id, text, lang FROM documents WHERE doc_id % 10 = 0),
+      reps AS (
+        SELECT min(id) AS id, any_value(text) AS text, min(lang) AS lang,
+               count(*) AS dups
+        FROM both_docs GROUP BY md5(text)),
+      trc AS (SELECT id, lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) AS text
+            FROM reps),
+      trt AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM trc
+              WHERE length(trim(text)) > 0),
+      trs AS (SELECT DISTINCT id, x FROM (
+                SELECT id, ${rollSql("s")} AS x FROM (
+                  SELECT id, unnest(list_transform(range(1, CAST(len(w) AS INT) - 1),
+                    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS s
+                  FROM trt) a) b),
+      ev AS (SELECT doc_id AS id,
+              lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) AS text
+            FROM documents WHERE doc_id % 50 = 0),
+      evt AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM ev
+              WHERE length(trim(text)) > 0),
+      evs AS (SELECT DISTINCT x FROM (
+                SELECT ${rollSql("s")} AS x FROM (
+                  SELECT unnest(list_transform(range(1, CAST(len(w) AS INT) - 1),
+                    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS s
+                  FROM evt) a) b),
+      contam AS (SELECT t.id FROM trs t JOIN evs e ON t.x = e.x
+                 GROUP BY t.id HAVING count(DISTINCT t.x) >= 3),
+      flags AS (SELECT r.id, r.dups,
+                 (len(string_split_regex(trim(r.text), '\\s+')) >= 30) AS q,
+                 (c.id IS NOT NULL) AS ct,
+                 (((((r.id % 1000000007) * 2654435761) % 1000000007) % 1000 + 1000) % 1000 <
+                   CASE r.lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100 ELSE -1 END) AS sm
+               FROM reps r LEFT JOIN contam c ON c.id = r.id)
+      SELECT CAST(sum(dups) AS BIGINT) AS n_total,
+             count(*) AS n_after_dedup,
+             CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+             CAST(sum(CASE WHEN q AND NOT ct THEN 1 ELSE 0 END) AS BIGINT) AS n_after_decontam,
+             CAST(sum(CASE WHEN q AND NOT ct AND sm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             CAST(coalesce(sum(CASE WHEN q AND NOT ct AND sm THEN id END), 0) AS BIGINT) AS sampled_id_sum
+      FROM flags
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65, q66, q67, q69, q70, q71)
+      q45, q48, q65, q66, q67, q69, q70, q71, q73)
 }

@@ -152,6 +152,48 @@ object VcfQueries extends QuerySet {
     (s, dir) => annotateProjection(wide(s, dir)),
     Some(annotateOracle))
 
+  /** Per-sample QC summary — the first table a geneticist pulls after
+    * annotate (the reference's notebooks assemble it by hand from the
+    * long matrix): per sample, call counts by zygosity class, the
+    * het/hom ratio (the classic contamination/quality flag — inflated
+    * het rates mean sample mixture), and the missing-genotype count.
+    * One partial-aggregated shuffle over the annotated long table;
+    * hom-ref rows retained (dropHomRef=false) so the denominator is the
+    * full call matrix minus the stack-dropped fully-missing calls.
+    */
+  private val q72 = Q(
+    "q72_sample_qc",
+    (s, dir) =>
+      VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+        .groupBy("sample_id")
+        .agg(
+          count(lit(1)).as("n_calls"),
+          sum(when(col("zygosity").isin("het-ref", "het-alt"), 1L)
+            .otherwise(0L)).as("n_het"),
+          sum(when(col("zygosity") === "hom-alt", 1L).otherwise(0L)).as("n_hom_alt"),
+          sum(when(col("zygosity") === "hom-ref", 1L).otherwise(0L)).as("n_hom_ref"),
+          sum(when(col("zygosity").isin("het-miss", "hom-miss"), 1L)
+            .otherwise(0L)).as("n_miss"))
+        .select(col("sample_id"), col("n_calls"), col("n_het"),
+          col("n_hom_alt"), col("n_hom_ref"), col("n_miss"),
+          micro(col("n_het") / greatest(col("n_hom_alt"), lit(1L)))
+            .as("het_hom_micro"))
+        .orderBy("sample_id"),
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes
+      SELECT sample_id,
+        count(*) AS n_calls,
+        CAST(sum(CASE WHEN zygosity IN ('het-ref', 'het-alt') THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+        CAST(sum(CASE WHEN zygosity = 'hom-alt' THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_alt,
+        CAST(sum(CASE WHEN zygosity = 'hom-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_ref,
+        CAST(sum(CASE WHEN zygosity IN ('het-miss', 'hom-miss') THEN 1 ELSE 0 END) AS BIGINT) AS n_miss,
+        ${microSql("""sum(CASE WHEN zygosity IN ('het-ref', 'het-alt') THEN 1 ELSE 0 END)
+           / greatest(sum(CASE WHEN zygosity = 'hom-alt' THEN 1 ELSE 0 END), 1)""")} AS het_hom_micro
+      FROM ann GROUP BY sample_id ORDER BY sample_id
+    """))
+
   /** FORMAT subfield extraction used numerically (sum of DP per chrom). */
   private val q16 = Q(
     "q16_format_fields",
@@ -457,5 +499,6 @@ object VcfQueries extends QuerySet {
     """))
 
   val all: Seq[Q] =
-    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64, q68)
+    Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
+      q68, q72)
 }
