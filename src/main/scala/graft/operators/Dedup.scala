@@ -103,7 +103,12 @@ object Dedup {
     * are candidates. One shuffle to group by (band index, band key) —
     * the classic sub-quadratic near-dup path at corpus scale.
     */
-  def minhashLshPairs(
+  /** (id, band, key) MinHash LSH band rows — the unit record of a
+    * persistable near-dup index (land it bucketed by (band, key) for
+    * shuffle-free probing; see [[incrementalMinhashCandidates]]) and
+    * the self-join input of [[minhashLshPairs]].
+    */
+  def minhashBands(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int,
       maxDocFreq: Option[Int] = None): DataFrame = {
@@ -123,17 +128,48 @@ object Dedup {
         min((col("sh") * MinhashA.head + MinhashB.head) % HashMod).as("m0"),
         MinhashA.indices.tail.map(j =>
           min((col("sh") * MinhashA(j) + MinhashB(j)) % HashMod).as(s"m$j")): _*)
-    val banded = sig.select(
+    sig.select(
       col("id"),
       posexplode(array((0 until bands).map(b =>
         concat_ws("_", (0 until rows).map(r =>
           col(s"m${b * rows + r}")): _*)): _*))
         .as(Seq("band", "key")))
+  }
+
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val banded = minhashBands(df, idCol, textCol, n, bands, maxDocFreq)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Cross-batch incremental NEAR-dup candidates — the minhash twin of
+    * [[incrementalExactBloom]]: an arriving batch's band rows probe a
+    * PERSISTED band index (`indexBands`: (id, band, key), e.g. a table
+    * previously landed from [[minhashBands]]), yielding
+    * (index_id, batch_id) candidate pairs. The index never recomputes
+    * signatures and never moves: broadcast the (small) batch bands, or
+    * — when the batch outgrows broadcast — land the index `bucketBy
+    * (n, band, key)` so only the batch side shuffles into the index's
+    * layout (one-sided exchange, spec-proven). Upsert = append the
+    * batch's own [[minhashBands]] rows after flagging.
+    */
+  def incrementalMinhashCandidates(
+      indexBands: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, bands: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val probe = minhashBands(batch, idCol, textCol, n, bands, maxDocFreq)
+    indexBands.as("ix")
+      .join(probe.as("pb"),
+        col("ix.band") === col("pb.band") && col("ix.key") === col("pb.key"))
+      .select(col("ix.id").as("index_id"), col("pb.id").as("batch_id"))
       .distinct()
   }
 

@@ -1920,8 +1920,33 @@ object LlmQueries extends QuerySet {
       FROM flags
     """))
 
+  /** Cross-batch incremental MINHASH near-dup — q39's exact-dedup
+    * pattern lifted to near-dups: the original corpus's band rows are
+    * the persisted index, the planted near-dup batch probes it, and
+    * candidates are exactly the cross-batch (index, batch) pairs — the
+    * index never recomputes signatures. Land the index bucketed by
+    * (band, key) at scale and only the batch side shuffles
+    * (DedupSimilaritySpec proves the one-sided exchange).
+    */
+  private val q74 = Q(
+    "q74_incremental_minhash",
+    (s, dir) => {
+      val d2 = docs2(s, dir)
+      val index = graft.operators.Dedup.minhashBands(
+        d2.filter(col("id") <= 1000000L), "id", "text", n = 3, bands = 4)
+      graft.operators.Dedup.incrementalMinhashCandidates(
+          index, d2.filter(col("id") > 1000000L), "id", "text", n = 3, bands = 4)
+        .orderBy("index_id", "batch_id")
+    },
+    Some(s"""
+      WITH $docs2Sql, $shxSql, $mhCandSql
+      SELECT id_a AS index_id, id_b AS batch_id FROM cand
+      WHERE id_a <= 1000000 AND id_b > 1000000
+      ORDER BY index_id, batch_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65, q66, q67, q69, q70, q71, q73)
+      q45, q48, q65, q66, q67, q69, q70, q71, q73, q74)
 }

@@ -348,6 +348,48 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"residual ivf+pq recall $residual fell below raw composed recall $ivfpq")
   }
 
+  test("incremental minhash probe of a bucketed band index shuffles only the batch") {
+    import scala.jdk.CollectionConverters._
+    val table = "g_mh_band_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = java.nio.file.Paths.get(s"/tmp/graft-test-warehouse/$table")
+    if (java.nio.file.Files.exists(wh))
+      java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    val mk = (id: Long, tail: String) =>
+      (id, (1 to 30).map(i => s"w$i").mkString(" ") + " " + tail)
+    val corpus = Seq(mk(1L, "alpha"), mk(2L, "beta"), (3L, "totally different text here okay")).toDF("id", "text")
+    // the persisted index: band rows landed bucketed on the join keys
+    Dedup.minhashBands(corpus, "id", "text", n = 3, bands = 4)
+      .write.mode("overwrite").bucketBy(4, "band", "key")
+      .format("parquet").saveAsTable(table)
+    val batch = Seq(mk(10L, "alpha zz"), (11L, "unrelated batch doc entirely")).toDF("id", "text")
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thr)
+    spark.conf.set(thr, "-1") // force the at-scale (non-broadcast) shape
+    try {
+      val cand = Dedup.incrementalMinhashCandidates(
+        spark.table(table), batch, "id", "text", n = 3, bands = 4)
+      val got = cand.as[(Long, Long)].collect().toSet
+      // near-dup of doc 1 flags; the unrelated batch doc doesn't
+      assert(got.contains((1L, 10L)), s"got $got")
+      assert(!got.exists(_._2 == 11L), s"got $got")
+      // and the plain-DataFrame path agrees
+      val plain = Dedup.incrementalMinhashCandidates(
+        Dedup.minhashBands(corpus, "id", "text", n = 3, bands = 4),
+        batch, "id", "text", n = 3, bands = 4)
+        .as[(Long, Long)].collect().toSet
+      assert(got === plain)
+      // ONE-SIDED exchange: the bucketed index side reads in place, only
+      // the probe (and the final distinct) shuffle
+      val plan = cand.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator.find(l =>
+        l.contains("FileScan") && l.contains(table)).getOrElse("")
+      assert(scanLine.contains("Bucketed: true"),
+        s"index scan is not bucketed:\n$plan")
+    } finally spark.conf.set(thr, old)
+  }
+
   test("kmeansTrain converges: objective non-increasing, early stop, centroids frozen") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
