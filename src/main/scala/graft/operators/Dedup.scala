@@ -98,11 +98,6 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash + LSH candidate pairs: signature of 16 permutation-mins,
-    * split into `bands` bands of 16/bands rows; docs sharing any band key
-    * are candidates. One shuffle to group by (band index, band key) —
-    * the classic sub-quadratic near-dup path at corpus scale.
-    */
   /** (id, band, key) MinHash LSH band rows — the unit record of a
     * persistable near-dup index (land it bucketed by (band, key) for
     * shuffle-free probing; see [[incrementalMinhashCandidates]]) and
@@ -136,6 +131,11 @@ object Dedup {
         .as(Seq("band", "key")))
   }
 
+  /** MinHash + LSH candidate pairs: signature of 16 permutation-mins,
+    * split into `bands` bands of 16/bands rows; docs sharing any band key
+    * are candidates. One shuffle to group by (band index, band key) —
+    * the classic sub-quadratic near-dup path at corpus scale.
+    */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int,
@@ -159,13 +159,20 @@ object Dedup {
     * (n, band, key)` so only the batch side shuffles into the index's
     * layout (one-sided exchange, spec-proven). Upsert = append the
     * batch's own [[minhashBands]] rows after flagging.
+    *
+    * No `maxDocFreq` here on purpose: a doc-frequency cap computed over
+    * the (small) batch disagrees with one computed over the corpus the
+    * index saw, and signatures built from DIFFERENT surviving shingle
+    * sets produce different band keys — true near-dups silently stop
+    * matching. If boilerplate capping is needed, filter the shingles
+    * consistently (same corpus-level shingle blocklist) on BOTH the
+    * indexed and probing sides before signature computation.
     */
   def incrementalMinhashCandidates(
       indexBands: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
-      n: Int, bands: Int,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    val probe = minhashBands(batch, idCol, textCol, n, bands, maxDocFreq)
+      n: Int, bands: Int): DataFrame = {
+    val probe = minhashBands(batch, idCol, textCol, n, bands)
     indexBands.as("ix")
       .join(probe.as("pb"),
         col("ix.band") === col("pb.band") && col("ix.key") === col("pb.key"))

@@ -136,10 +136,20 @@ object Multimodal {
       planes: Seq[Seq[Double]],
       minCosine: Double = 0.995,
       decoder: Decoder = new FakeDecoder()): DataFrame = {
+    val dim = planes.head.length
+    require(planes.forall(_.length == dim), "planes must share one dimension")
     val feats = extractFeatures(media, decoder)
       .select(col("media_id"), col("modality"),
         transform(col("feature"), x => x.cast("double")).as("fv"))
-      .withColumn("bucket", graft.operators.Similarity.lshBucket(col("fv"), planes))
+      // a feature whose length disagrees with the planes would dot to
+      // null → every row lands in bucket 0 → silent per-modality
+      // all-pairs comparison; fail loudly instead
+      .withColumn("bucket",
+        when(size(col("fv")) === dim,
+          graft.operators.Similarity.lshBucket(col("fv"), planes))
+          .otherwise(raise_error(concat(
+            lit(s"mediaNearDupPairs: feature dim != plane dim $dim for media_id="),
+            col("media_id")))))
     val a = feats.alias("a")
     val b = feats.alias("b")
     a.join(b,
@@ -148,7 +158,10 @@ object Multimodal {
           col("a.media_id") < col("b.media_id"))
       .withColumn("cosine",
         graft.operators.Similarity.cosine(col("a.fv"), col("b.fv")))
-      .filter(col("cosine") >= minCosine)
+      // zero-norm features (empty/degenerate media) cosine to NaN, and
+      // Spark ranks NaN above every double — without the isnan guard an
+      // empty item passes `>= minCosine` against anything in its bucket
+      .filter(!isnan(col("cosine")) && col("cosine") >= minCosine)
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         col("a.modality").as("modality"), col("cosine"))
   }

@@ -33,17 +33,27 @@ object Sampling {
     pmod(pmod(pmod(id, lit(HashPrime)) * lit(HashMult), lit(HashPrime)),
       lit(buckets.toLong))
 
+  /** The per-stratum keep decision as a Column — the ONE definition of
+    * the gate, shared by [[stratified]] and pipelines that stage it as
+    * a flag (q73's funnel): `hashBucket(id) < rate(stratum)·buckets`,
+    * unlisted strata always false.
+    */
+  def stratifiedFlag(
+      stratum: Column, id: Column,
+      rates: Map[String, Double], buckets: Int = 1000): Column = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), s"rates must be in [0,1]: $rates")
+    val threshold: Column = rates.foldLeft(lit(-1L)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(math.round(r * buckets))).otherwise(acc)
+    }
+    hashBucket(id, buckets) < threshold
+  }
+
   /** Keep a deterministic `rates(stratum)` fraction of each stratum
     * (unlisted strata are dropped). Rates are in [0,1], resolved at
     * 1/`buckets` granularity.
     */
   def stratified(
       df: DataFrame, stratumCol: String, idCol: String,
-      rates: Map[String, Double], buckets: Int = 1000): DataFrame = {
-    require(rates.values.forall(r => r >= 0 && r <= 1), s"rates must be in [0,1]: $rates")
-    val threshold: Column = rates.foldLeft(lit(-1L)) { case (acc, (stratum, r)) =>
-      when(col(stratumCol) === stratum, lit(math.round(r * buckets))).otherwise(acc)
-    }
-    df.filter(hashBucket(col(idCol), buckets) < threshold)
-  }
+      rates: Map[String, Double], buckets: Int = 1000): DataFrame =
+    df.filter(stratifiedFlag(col(stratumCol), col(idCol), rates, buckets))
 }

@@ -186,7 +186,7 @@ object Similarity {
     */
   def ivfQuantError(
       vecs: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "v",
+      vecCol: String = "v",
       centIdCol: String = "cid", centVecCol: String = "cv"): Double = {
     val cents = collectCents(centroids, centIdCol, centVecCol)
     require(cents.nonEmpty, "ivfQuantError needs at least one centroid")
@@ -196,10 +196,14 @@ object Similarity {
           .reduceLeft((a, b) => least(a, b))
         vecs.select(mind.as("qe")).agg(sum(col("qe"))).collect()(0)
       } else {
+        // group per PHYSICAL row (unique synthetic id), not per idCol:
+        // duplicate or null vec ids must each contribute their own min
+        // term, exactly as the inline path (which never reads an id)
         val centsDf = centroids.select(col(centVecCol).as("__cv"))
-        vecs.crossJoin(broadcast(centsDf))
-          .select(col(idCol), l2sq(col(vecCol), col("__cv")).as("__d"))
-          .groupBy(idCol).agg(min(col("__d")).as("qe"))
+        vecs.select(monotonically_increasing_id().as("__rid"), col(vecCol))
+          .crossJoin(broadcast(centsDf))
+          .select(col("__rid"), l2sq(col(vecCol), col("__cv")).as("__d"))
+          .groupBy(col("__rid")).agg(min(col("__d")).as("qe"))
           .agg(sum(col("qe"))).collect()(0)
       }
     if (summed.isNullAt(0)) 0.0 else summed.getDouble(0)
@@ -235,7 +239,7 @@ object Similarity {
     require(cents.nonEmpty, "kmeansTrain needs at least one seed centroid")
     var cdf = freeze(cents)
     val hist = scala.collection.mutable.ListBuffer(
-      ivfQuantError(vecs, cdf, idCol, vecCol, centIdCol, centVecCol))
+      ivfQuantError(vecs, cdf, vecCol, centIdCol, centVecCol))
     var best = cdf
     var bestErr = hist.head
     var it = 0
@@ -246,7 +250,7 @@ object Similarity {
       // empty cells keep their previous centroid — k never shrinks
       cents = cents.map { case (cid, cv) => cid -> learned.getOrElse(cid, cv) }
       cdf = freeze(cents)
-      val err = ivfQuantError(vecs, cdf, idCol, vecCol, centIdCol, centVecCol)
+      val err = ivfQuantError(vecs, cdf, vecCol, centIdCol, centVecCol)
       if (err < bestErr) { best = cdf; bestErr = err }
       // decimal-rounded means can drift the objective by ~1e-6/dim, so
       // "no meaningful improvement" is the stop, not strict decrease

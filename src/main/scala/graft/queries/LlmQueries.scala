@@ -1849,9 +1849,12 @@ object LlmQueries extends QuerySet {
       val reps = both
         .groupBy(graft.operators.Dedup.contentHash(col("text")).as("__h"))
         // identical texts within a digest group: first(text) is
-        // deterministic; min(id)/min(lang) pin the representative
+        // deterministic; the representative is the min-id DOC, so its
+        // lang comes from that same row (min_by) — independent min(id)/
+        // min(lang) could stitch id from one doc and lang from another,
+        // mis-stratifying the sample stage
         .agg(count(lit(1)).as("__dups"), min(col("id")).as("id"),
-          first(col("text")).as("text"), min(col("lang")).as("lang"))
+          first(col("text")).as("text"), min_by(col("lang"), col("id")).as("lang"))
         // fan out the heavy shingling off the tiny scan (q25's lesson)
         .repartition(s.sparkContext.defaultParallelism)
       val ev = d.filter(col("doc_id") % 50 === 0)
@@ -1863,9 +1866,8 @@ object LlmQueries extends QuerySet {
         .select(col("id"), col("__dups"),
           (tokenCount(col("text")) >= lit(30)).as("__q"),
           coalesce(col("__ct"), lit(false)).as("__c"),
-          (graft.operators.Sampling.hashBucket(col("id"), 1000) <
-            when(col("lang") === "en", 500L).when(col("lang") === "de", 250L)
-              .when(col("lang") === "zh", 100L).otherwise(-1L)).as("__s"))
+          graft.operators.Sampling.stratifiedFlag(col("lang"), col("id"),
+            Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1)).as("__s"))
         .agg(
           sum(col("__dups")).as("n_total"),
           count(lit(1)).as("n_after_dedup"),
@@ -1881,7 +1883,7 @@ object LlmQueries extends QuerySet {
         UNION ALL
         SELECT doc_id + 1000000 AS id, text, lang FROM documents WHERE doc_id % 10 = 0),
       reps AS (
-        SELECT min(id) AS id, any_value(text) AS text, min(lang) AS lang,
+        SELECT min(id) AS id, any_value(text) AS text, arg_min(lang, id) AS lang,
                count(*) AS dups
         FROM both_docs GROUP BY md5(text)),
       trc AS (SELECT id, lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) AS text

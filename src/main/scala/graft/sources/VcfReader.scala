@@ -225,15 +225,6 @@ object VcfReader {
       .partitionBy("chrom")
       .parquet(outPath)
 
-  /** Bucketed-table landing variant: materializes `pos_bucket` and
-    * `bucketBy(n, chrom, pos_bucket)` so repeated site-keyed work over
-    * the landed table — aggregation or a self/fact join keyed on
-    * (chrom, pos_bucket, …) — plans ZERO exchanges: the table's bucket
-    * layout already satisfies the clustered distribution (the SURVEY §4
-    * co-location promise; mechanism proven generically in
-    * BucketedJoinSpec). Use over [[toParquet]] when the table is read
-    * many times by site.
-    */
   /** The one definition of the bucketed landing layout, shared by the
     * overwrite and append paths so the spec cannot drift between them.
     */
@@ -247,6 +238,15 @@ object VcfReader {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bucketed-table landing variant: materializes `pos_bucket` and
+    * `bucketBy(n, chrom, pos_bucket)` so repeated site-keyed work over
+    * the landed table — aggregation or a self/fact join keyed on
+    * (chrom, pos_bucket, …) — plans ZERO exchanges: the table's bucket
+    * layout already satisfies the clustered distribution (the SURVEY §4
+    * co-location promise; mechanism proven generically in
+    * BucketedJoinSpec). Use over [[toParquet]] when the table is read
+    * many times by site.
+    */
   def toBucketedTable(spark: SparkSession, vcfPath: String, table: String,
       buckets: Int = 128): Unit =
     landBucketed(spark, vcfPath, table, buckets, "overwrite")

@@ -58,6 +58,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // LSH sign); img4 lives in a different histogram bucket entirely
     val withDup = Multimodal.asMediaTable(
       Seq(
+        ("img0", "image", Array.empty[Byte]), // zero-norm feature: NaN cosine, must never pair
         ("img1", "image", Array.fill(64)(0.toByte)),
         ("img3", "image", Array.tabulate(64)(i =>
           if (i == 0) 1.toByte else 0.toByte)),
