@@ -477,6 +477,26 @@ object Dedup {
     bos.toByteArray
   }
 
+  /** Serialized Bloom filter over a band index's (band, key) rows
+    * (hashed to longs) — the broadcastable probe for STREAMING
+    * corpus-near-dup flagging (DocStreams.corpusNearDupStream), the
+    * minhash twin of [[shingleBloom]]. No false negatives: a doc truly
+    * sharing a band with the indexed corpus ALWAYS flags; false
+    * positives over-flag at the fpp rate (the exact candidate check
+    * stays in the batch layer, [[incrementalMinhashCandidates]]).
+    */
+  def bandKeyBloom(
+      indexBands: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bf = indexBands
+      .select(xxhash64(col("band"), col("key")).as("h"))
+      .distinct()
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (e.g. label,
     * LSH bucket): join on the block, cosine in-line, threshold filter.
     */

@@ -334,6 +334,45 @@ object DocStreams {
     rateRollup(arrivals, dupDocs, windowDur)
   }
 
+  /** Streaming CORPUS-near-dup flagging — the minhash twin of
+    * [[decontaminateStream]], pointed at a persisted near-dup band
+    * index (Dedup.minhashBands / the q74 layout): each arriving doc's
+    * 16-min signature (native one-pass kernel) splits into the batch
+    * operator's EXACT band keys, and the keys probe a broadcast Bloom
+    * over the indexed corpus's (band, key) rows (Dedup.bandKeyBloom).
+    * Fully STATELESS — zero state store, streams at scan speed.
+    *
+    * Guarantee direction: the Bloom has NO false negatives, so a doc
+    * truly sharing a band with the indexed corpus ALWAYS flags — a
+    * corpus near-dup cannot slip through unflagged; false positives
+    * over-flag at the fpp rate, and the batch layer's exact candidate
+    * join (Dedup.incrementalMinhashCandidates) remains the audit.
+    * Docs with no shingles (shorter than the shingle width) carry a
+    * null signature and flag false.
+    */
+  def corpusNearDupStream(
+      docs: DataFrame, indexBloom: Array[Byte], bands: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    require(bands > 0 && MinhashA.size % bands == 0,
+      s"bands must divide the signature size ${MinhashA.size}, got $bands")
+    val rows = MinhashA.size / bands
+    def hit(b: Int): org.apache.spark.sql.Column = {
+      val key = concat_ws("_", (0 until rows).map(r =>
+        element_at(col("__sig"), b * rows + r + 1)): _*)
+      Bridge.column(BloomFilterMightContain(
+        Literal.create(indexBloom, BinaryType),
+        Bridge.expression(xxhash64(lit(b), key))))
+    }
+    docs
+      .withColumn("__sig", minhashSignature(shingleHashes(col("text"), 3)))
+      .withColumn("corpus_neardup",
+        col("__sig").isNotNull && (0 until bands).map(hit).reduce(_ || _))
+      .drop("__sig")
+  }
+
   /** Streaming train/eval decontamination: each arriving doc's shingle
     * hashes probe a BROADCAST Bloom built over the eval corpus's
     * shingles (Dedup.shingleBloom); docs with ≥ `minShared` hits are

@@ -295,6 +295,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(sunk === Set(2L, 4L), s"got $sunk")
   }
 
+  test("streaming corpus-near-dup flags agree with the batch index probe") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, (100 to 140).map(i => s"other$i").mkString(" "))).toDF("id", "text")
+    val indexBands = Dedup.minhashBands(corpus, "id", "text", n = 3, bands = 4)
+    val bloom = Dedup.bandKeyBloom(indexBands, expectedItems = 1000)
+    val batch = Seq(
+      Doc(ts(0), 10L, base + " tail1 tail2"),   // near-dup of corpus doc 1
+      Doc(ts(1), 11L, (300 to 340).map(i => s"fresh$i").mkString(" ")), // novel
+      Doc(ts(2), 12L, "tiny"))                  // no shingles → null sig → false
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(batch)
+    val q = DocStreams.corpusNearDupStream(mem.toDF(), bloom)
+      .writeStream.format("memory").queryName("graft_corpusdup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val flagged = spark.table("graft_corpusdup_test")
+      .filter(col("corpus_neardup")).select("doc_id").as[Long].collect().toSet
+    assert(flagged === Set(10L), s"got $flagged")
+    // no false negatives by construction: every batch doc the EXACT
+    // index probe finds a candidate for must be stream-flagged
+    val exact = Dedup.incrementalMinhashCandidates(
+        indexBands, batch.map(d => (d.doc_id, d.text)).toDF("id", "text"),
+        "id", "text", n = 3, bands = 4)
+      .select("batch_id").as[Long].collect().toSet
+    assert(exact.subsetOf(flagged), s"stream missed exact candidates: $exact vs $flagged")
+  }
+
   test("nearDupFlags refuses maxHamming beyond the pigeonhole guarantee") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc
