@@ -409,6 +409,39 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(assigned.select(countDistinct(col("cell"))).head().getLong(0) <= 8)
   }
 
+  test("big-nlist fallbacks (>256 centroids) agree with hand-computed truth") {
+    // above InlineCentroidLimit ivfAssign switches to broadcast-join +
+    // window and ivfQuantError to broadcast-join + per-row min — paths
+    // a production-nlist (1024) IVF training run lives on; neither was
+    // exercised by the ≤8-centroid gate data
+    val k = 300
+    val dim = 4
+    val cents = (0 until k).map(c =>
+      (c.toLong, Seq.tabulate(dim)(d => (c * 7 % 101) + d * 0.25))).toDF("cid", "cv")
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(dim)(d => (i * 13 % 101) + d * 0.5))).toDF("vec_id", "v")
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    val centArr = (0 until k).map(c => Seq.tabulate(dim)(d => (c * 7 % 101) + d * 0.25))
+    val expected = (0 until 40).map { i =>
+      val v = Seq.tabulate(dim)(d => (i * 13 % 101) + d * 0.5)
+      val best = centArr.zipWithIndex.map { case (cv, c) => (l2(v, cv), c.toLong) }.min
+      (i.toLong, best)
+    }
+    val got = Similarity.ivfAssign(vecs, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    expected.foreach { case (id, (_, cell)) =>
+      assert(got(id) === cell, s"vec $id assigned ${got(id)}, expected $cell")
+    }
+    val gotErr = Similarity.ivfQuantError(vecs, cents)
+    val expErr = expected.map(_._2._1).sum
+    assert(math.abs(gotErr - expErr) < 1e-9, s"quant error $gotErr vs $expErr")
+    // and the convergence loop runs end to end on the fallback paths
+    val (trained, hist) = Similarity.kmeansTrain(vecs, cents, maxIters = 1)
+    assert(trained.count() === k)
+    assert(hist.head === gotErr && hist.last <= hist.head + 1e-3, s"got $hist")
+  }
+
   test("pqTrainStepResidual monotonically reduces the quantization objective") {
     // the Lloyd guarantee: assignment and mean steps each minimize
     // Σ min_k ‖(v−c[cell])−r_k‖², so every training step must not
