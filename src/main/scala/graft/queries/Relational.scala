@@ -365,6 +365,47 @@ object Relational extends QuerySet {
       GROUP BY event_type ORDER BY event_type
     """))
 
+  /** Batch sessionization, oracle-locked (the operator itself shipped
+    * r1 with a stream-equals-batch spec; this pins its boundary
+    * semantics against an independent DuckDB recomputation): 30-min
+    * inactivity gap, summarized per user so the output is integer-only
+    * — session boundaries, event counts, and second-floored durations
+    * are all deterministic regardless of tie order (tied timestamps
+    * always share a session: their lag diff is 0).
+    */
+  private val q75 = Q(
+    "q75_sessionize",
+    (s, dir) =>
+      graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapSeconds = 1800)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          sum(unix_timestamp(col("session_end")) -
+            unix_timestamp(col("session_start"))).as("sum_dur_s"))
+        .orderBy("user_id"),
+    Some(s"""
+      WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+      lagged AS (SELECT user_id, ts_s,
+              CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL THEN 1
+                   WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800 THEN 1
+                   ELSE 0 END AS new_s
+            FROM e),
+      sess AS (SELECT user_id, ts_s,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM lagged),
+      agg AS (SELECT user_id, session_seq, count(*) AS n_events,
+              max(ts_s) - min(ts_s) AS dur_s
+            FROM sess GROUP BY user_id, session_seq)
+      SELECT user_id, count(*) AS n_sessions,
+        CAST(sum(n_events) AS BIGINT) AS n_events,
+        CAST(max(n_events) AS BIGINT) AS max_session_events,
+        CAST(sum(dur_s) AS BIGINT) AS sum_dur_s
+      FROM agg GROUP BY user_id ORDER BY user_id
+    """))
+
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51, q52)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
+      q52, q75)
 }
