@@ -79,6 +79,23 @@ object TextFunctions {
   def minhashSignature(shingles: Column): Column =
     graft.expressions.StringExprs.minhashSig(shingles, MinhashA, MinhashB, HashMod)
 
+  /** The ONE definition of signature → LSH band-key strings (band b =
+    * `"_"`-joined mins of its signature slice), shared by every minhash
+    * consumer of a [[minhashSignature]] array — streaming near-dup,
+    * corpus-near-dup probing — so the "EXACT batch band keys" guarantee
+    * cannot drift between call sites. Dedup.minhashBands builds the
+    * identical strings from its aggregated min columns (asserted by the
+    * streaming specs' candidates-agree checks).
+    */
+  def sigBandKeys(sig: Column, bands: Int): Seq[Column] = {
+    require(bands > 0 && MinhashA.size % bands == 0,
+      s"bands must divide the signature size ${MinhashA.size}, got $bands")
+    val rows = MinhashA.size / bands
+    (0 until bands).map(b =>
+      concat_ws("_", (0 until rows).map(r =>
+        element_at(sig, b * rows + r + 1)): _*))
+  }
+
   /** 32-bit SimHash over token hashes: bit b of the result is set when
     * the b-th bit majority over token hashes is positive. Backed by a
     * native one-pass codegen kernel (Simhash32Expr) — the HOF

@@ -89,9 +89,13 @@ object Similarity {
     } else {
       // big-nlist fallback: broadcast join + per-vector top-1; Spark's
       // partial WindowGroupLimit reduces to one row per vector BEFORE
-      // the exchange, so the shuffle moves ~|vecs| rows, not |vecs|×k
-      val w = Window.partitionBy(idCol).orderBy(col("__d").asc, col(centIdCol).asc)
-      vecs.crossJoin(broadcast(centroids))
+      // the exchange, so the shuffle moves ~|vecs| rows, not |vecs|×k.
+      // The window partitions on a synthetic per-ROW id, not idCol:
+      // duplicate (or null) vec ids must each keep their own assignment
+      // row, exactly as the inline path emits one row per input row
+      val w = Window.partitionBy(col("__rid")).orderBy(col("__d").asc, col(centIdCol).asc)
+      vecs.select(monotonically_increasing_id().as("__rid"), col(idCol), col(vecCol))
+        .crossJoin(broadcast(centroids))
         .withColumn("__d", l2sq(col(vecCol), col(centVecCol)))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)

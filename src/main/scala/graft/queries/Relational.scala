@@ -385,14 +385,15 @@ object Relational extends QuerySet {
             unix_timestamp(col("session_start"))).as("sum_dur_s"))
         .orderBy("user_id"),
     Some(s"""
-      WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
-      lagged AS (SELECT user_id, ts_s,
-              CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL THEN 1
-                   WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800 THEN 1
+      WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+              CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+      lagged AS (SELECT user_id, ts_ms, ts_s,
+              CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL THEN 1
+                   WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 1800000 THEN 1
                    ELSE 0 END AS new_s
             FROM e),
       sess AS (SELECT user_id, ts_s,
-              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
                 ROWS UNBOUNDED PRECEDING) AS session_seq
             FROM lagged),
       agg AS (SELECT user_id, session_seq, count(*) AS n_events,

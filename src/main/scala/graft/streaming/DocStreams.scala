@@ -189,18 +189,13 @@ object DocStreams {
       bands: Int = 4,
       horizonSeconds: Long = 3600L): Dataset[MinhashFlag] = {
     import graft.functions.TextFunctions._
-    require(bands > 0 && MinhashA.size % bands == 0,
-      s"bands must divide the signature size ${MinhashA.size}, got $bands")
-    val rows = MinhashA.size / bands
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val banded = docs
       .withColumn("__sig", minhashSignature(shingleHashes(col("text"), 3)))
       .filter(col("__sig").isNotNull) // shingle-less docs have no signature
       .select(col("ts"), col("doc_id"),
-        posexplode(array((0 until bands).map(b =>
-          concat_ws("_", (0 until rows).map(r =>
-            element_at(col("__sig"), b * rows + r + 1)): _*)): _*))
+        posexplode(array(sigBandKeys(col("__sig"), bands): _*))
           .as(Seq("band", "key")))
     banded.withWatermark("ts", s"$horizonSeconds seconds")
       .as[(Timestamp, Long, Int, String)]
@@ -351,25 +346,28 @@ object DocStreams {
     * null signature and flag false.
     */
   def corpusNearDupStream(
-      docs: DataFrame, indexBloom: Array[Byte], bands: Int = 4): DataFrame = {
+      docs: DataFrame, indexBloom: Array[Byte],
+      n: Int = 3, bands: Int = 4): DataFrame = {
     import graft.functions.TextFunctions._
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.BinaryType
-    require(bands > 0 && MinhashA.size % bands == 0,
-      s"bands must divide the signature size ${MinhashA.size}, got $bands")
-    val rows = MinhashA.size / bands
-    def hit(b: Int): org.apache.spark.sql.Column = {
-      val key = concat_ws("_", (0 until rows).map(r =>
-        element_at(col("__sig"), b * rows + r + 1)): _*)
-      Bridge.column(BloomFilterMightContain(
-        Literal.create(indexBloom, BinaryType),
-        Bridge.expression(xxhash64(lit(b), key))))
+    // `n` and `bands` MUST match the values the probed index was built
+    // with (Dedup.minhashBands) — different shingle widths or banding
+    // produce disjoint key spaces and every probe would miss
+    val keyHashes = sigBandKeys(col("__sig"), bands).zipWithIndex.map {
+      case (key, b) => xxhash64(lit(b), key)
     }
+    // ONE BloomFilterMightContain instance (inside the filter lambda):
+    // per-band instances would each deserialize their own copy of the
+    // corpus bloom on every executor — bands× the memory for a filter
+    // sized to a 100 TB corpus's key set (decontaminateStream precedent)
+    val hits = size(filter(array(keyHashes: _*), h =>
+      Bridge.column(BloomFilterMightContain(
+        Literal.create(indexBloom, BinaryType), Bridge.expression(h)))))
     docs
-      .withColumn("__sig", minhashSignature(shingleHashes(col("text"), 3)))
-      .withColumn("corpus_neardup",
-        col("__sig").isNotNull && (0 until bands).map(hit).reduce(_ || _))
+      .withColumn("__sig", minhashSignature(shingleHashes(col("text"), n)))
+      .withColumn("corpus_neardup", col("__sig").isNotNull && hits > 0)
       .drop("__sig")
   }
 

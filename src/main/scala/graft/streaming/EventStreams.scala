@@ -93,14 +93,18 @@ object EventStreams {
 
   /** Batch-mode sessionization with identical semantics (window lag +
     * cumulative session ids) — the oracle for the stateful stream and
-    * the shape used in backfills. One shuffle on user_id.
+    * the shape used in backfills. One shuffle on user_id. The gap
+    * compares MILLISECOND timestamps exactly as the stream's
+    * `t - s.last <= gapMs` does: a floored-second comparison would
+    * merge sessions the stream splits when the gap is crossed by a
+    * sub-second margin.
     */
   def sessionizeBatch(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val newSession = when(
-      unix_timestamp(col("ts")) -
-        unix_timestamp(lag("ts", 1).over(byUser)) > gapSeconds, 1)
+      unix_millis(col("ts")) -
+        unix_millis(lag("ts", 1).over(byUser)) > gapSeconds * 1000L, 1)
       .otherwise(0)
     events
       .withColumn("new_s", coalesce(newSession, lit(1)))

@@ -433,6 +433,11 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     expected.foreach { case (id, (_, cell)) =>
       assert(got(id) === cell, s"vec $id assigned ${got(id)}, expected $cell")
     }
+    // duplicate vec ids each keep their own assignment row (the window
+    // partitions per physical row, not per id — a per-id window would
+    // silently collapse them and corrupt kmeansStep's means)
+    val dup = vecs.unionAll(vecs.limit(5))
+    assert(Similarity.ivfAssign(dup, cents).count() === 45)
     val gotErr = Similarity.ivfQuantError(vecs, cents)
     val expErr = expected.map(_._2._1).sum
     assert(math.abs(gotErr - expErr) < 1e-9, s"quant error $gotErr vs $expErr")
