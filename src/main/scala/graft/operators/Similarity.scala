@@ -623,6 +623,36 @@ object Similarity {
       .select("probe_id", "cand_id", "rnk", "adc")
   }
 
+  /** End-to-end trained IVF+PQ index build — the one-call production
+    * recipe composing the trained pieces in order: [[kmeansTrain]] the
+    * coarse quantizer from `seeds` to convergence, [[ivfAssign]] the
+    * corpus, seed ([[seedResidualBooks]]) and Lloyd-train
+    * ([[pqTrainStepResidual]]) the residual codebooks, then
+    * [[pqEncodeResidual]] the corpus. Returns
+    * (centroids, residual books, encoded corpus) — everything search
+    * needs: probes go through [[ivfAssignTopN]] + [[pqAdcTopKResidual]].
+    * Every stage is the individually-gated operator; this is only the
+    * composition. Train on a SAMPLE at 100 TB (centroids and books are
+    * driver-small either way); only the final encode scans the corpus.
+    */
+  def ivfPqBuild(
+      vecs: DataFrame, seeds: DataFrame, bookSeeds: DataFrame, m: Int,
+      kmeansIters: Int = 5, pqIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv")
+      : (DataFrame, Seq[Seq[Seq[Double]]], DataFrame) = {
+    val (cents, _) = kmeansTrain(vecs, seeds, kmeansIters,
+      idCol = idCol, vecCol = vecCol, centIdCol = centIdCol, centVecCol = centVecCol)
+    val asg = ivfAssign(vecs, cents, idCol, vecCol, centIdCol, centVecCol)
+    var books = seedResidualBooks(bookSeeds, cents, m,
+      idCol, vecCol, centIdCol, centVecCol)
+    for (_ <- 0 until pqIters)
+      books = pqTrainStepResidual(asg, cents, books,
+        idCol, vecCol, centIdCol, centVecCol)
+    (cents, books, pqEncodeResidual(asg, cents, books,
+      idCol, vecCol, centIdCol, centVecCol))
+  }
+
   /** IVF+PQ composed search — the standard billion-vector production
     * layout: IVF bounds the SCAN (only the probe's `nprobe` cells of
     * the corpus are touched), PQ bounds the MEMORY (M code bytes per

@@ -447,6 +447,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hist.head === gotErr && hist.last <= hist.head + 1e-3, s"got $hist")
   }
 
+  test("ivfPqBuild: the one-call recipe yields a searchable trained index") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val seeds = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val bookSeeds = e.filter(col("vec_id").between(200, 207))
+    val (cents, books, codes) =
+      Similarity.ivfPqBuild(e, seeds, bookSeeds, m = 4, kmeansIters = 3, pqIters = 2)
+    // shape: every corpus vector encoded, carrying its cell + M codes
+    assert(codes.columns.toSeq === Seq("vec_id", "cell", "code_0", "code_1", "code_2", "code_3"))
+    assert(codes.count() === e.count())
+    // the trained books quantize residuals no worse than the seeds
+    val asg = Similarity.ivfAssign(e, cents)
+    val seedBooks = Similarity.seedResidualBooks(bookSeeds, cents, m = 4)
+    assert(Similarity.pqResidualQuantError(asg, cents, books) <=
+      Similarity.pqResidualQuantError(asg, cents, seedBooks) + 1e-3)
+    // and the index is searchable end to end with nonzero recall
+    val probes = Similarity.ivfAssignTopN(e.filter(col("vec_id") < 5), cents, nprobe = 2)
+    val got = Similarity.pqAdcTopKResidual(codes, probes, cents, books, k = 5)
+    val brute = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 5,
+        vecCol = "v")
+      .select("probe_id", "cand_id")
+    val hits = brute.join(got.select("probe_id", "cand_id"), Seq("probe_id", "cand_id")).count()
+    assert(got.groupBy("probe_id").count().count() === 5, "every probe searched")
+    assert(hits > 0, "trained index found none of the true neighbors")
+  }
+
   test("pqTrainStepResidual monotonically reduces the quantization objective") {
     // the Lloyd guarantee: assignment and mean steps each minimize
     // Σ min_k ‖(v−c[cell])−r_k‖², so every training step must not
