@@ -249,8 +249,11 @@ object Similarity {
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
+      // kmeansCentroids emits fixed (cid, cv) names — re-alias to the
+      // caller's names so non-default centIdCol/centVecCol resolve
       val learned = collect(kmeansCentroids(
-        kmeansStep(vecs, cdf, idCol, vecCol, centIdCol, centVecCol))).toMap
+        kmeansStep(vecs, cdf, idCol, vecCol, centIdCol, centVecCol))
+        .select(col("cid").as(centIdCol), col("cv").as(centVecCol))).toMap
       // empty cells keep their previous centroid — k never shrinks
       cents = cents.map { case (cid, cv) => cid -> learned.getOrElse(cid, cv) }
       cdf = freeze(cents)
@@ -426,35 +429,91 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
 
+  /** The shifted codebooks as a broadcastable (cell, __bm, __bk, __bcw)
+    * frame — the big-nlist twin of [[shiftedBooks]]' literal map.
+    * nlist × M × K rows of sub-dim codewords: driver-small relative to
+    * any corpus (a few MB even at nlist 65536, M 8, K 256), so it always
+    * broadcasts. Above [[InlineCentroidLimit]] cells, the residual
+    * family equi-joins this on `cell` instead of inlining a when-chain
+    * whose generated code grows as nlist × M × K (the exact
+    * codegen/constant-pool blowup the limit exists to prevent in
+    * [[ivfAssign]]).
+    */
+  private def shiftedBookDf(
+      spark: org.apache.spark.sql.SparkSession,
+      sb: Map[Long, Seq[Seq[Seq[Double]]]]): DataFrame = {
+    import spark.implicits._
+    sb.toSeq.sortBy(_._1).flatMap { case (cid, books) =>
+      books.zipWithIndex.flatMap { case (bk, mi) =>
+        bk.zipWithIndex.map { case (cw, k) => (cid, mi, k, cw) }
+      }
+    }.toDF("cell", "__bm", "__bk", "__bcw")
+  }
+
+  /** Per joined (vector row × codeword row) subspace distance:
+    * ‖v[sub m] − shifted codeword‖², with the subspace picked by the
+    * codeword row's own `__bm`. Same fold (and bits) as the inline
+    * path's `l2sq(subVec(v, mi, sub), literal)`; `slice` with a column
+    * start stays codegen'd.
+    */
+  private def joinedSubDist(vecCol: String, sub: Int): Column =
+    graft.expressions.VectorExprs.l2sq(
+      slice(col(vecCol), col("__bm") * sub + 1, lit(sub)), col("__bcw"))
+
   /** RESIDUAL PQ encoding: vectors (already carrying their [[ivfAssign]]
-    * `cell`) encode against their cell's shifted codebooks — one narrow
-    * projection, a `when`-chain over cells of inlined argmins. The codes
+    * `cell`) encode against their cell's shifted codebooks. The codes
     * approximate `v ≈ c[cell] + r[code]`, the layout every production
     * IVF+PQ index uses because residuals cluster far tighter than raw
     * vectors (quantization error drops at the same M×K budget).
+    *
+    * Up to `inlineLimit` cells this is one narrow projection — a
+    * `when`-chain over cells of inlined argmins, zero shuffle. Above it
+    * (production nlist ≥ 1024) the shifted codewords become a BROADCAST
+    * (cell, m, k, codeword) frame equi-joined on `cell`, and the
+    * per-subspace argmin a grouped `min` over (d, k) structs — the same
+    * lexicographic distance-then-k tiebreak as the inline `least`, and
+    * the same fallback shape as [[ivfAssign]]'s. One bounded exchange
+    * (the per-row argmin aggregation, pre-reduced map-side); the corpus
+    * never shuffles before the join.
     */
   def pqEncodeResidual(
       vecsWithCell: DataFrame, centroids: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
       idCol: String = "vec_id", vecCol: String = "v",
-      centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
+      centIdCol: String = "cid", centVecCol: String = "cv",
+      inlineLimit: Int = InlineCentroidLimit): DataFrame = {
     val cents = collectCents(centroids, centIdCol, centVecCol)
     require(cents.nonEmpty, "pqEncodeResidual needs at least one centroid")
     val sb = shiftedBooks(cents, codebooks)
     val m = codebooks.length
     val sub = codebooks.head.head.length
-    val codeCols = (0 until m).map { mi =>
-      def argmin(cid: Long): Column =
-        sb(cid)(mi).zipWithIndex.map { case (cw, k) =>
-          struct(l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)).as("d"),
-            lit(k).as("k"))
-        }.reduceLeft((a, b) => least(a, b)).getField("k")
-      cents.tail.foldLeft(
-        when(col("cell") === cents.head._1, argmin(cents.head._1))) {
-        case (w, (cid, _)) => w.when(col("cell") === cid, argmin(cid))
-      }.as(s"code_$mi")
+    if (cents.length <= inlineLimit) {
+      val codeCols = (0 until m).map { mi =>
+        def argmin(cid: Long): Column =
+          sb(cid)(mi).zipWithIndex.map { case (cw, k) =>
+            struct(l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)).as("d"),
+              lit(k).as("k"))
+          }.reduceLeft((a, b) => least(a, b)).getField("k")
+        cents.tail.foldLeft(
+          when(col("cell") === cents.head._1, argmin(cents.head._1))) {
+          case (w, (cid, _)) => w.when(col("cell") === cid, argmin(cid))
+        }.as(s"code_$mi")
+      }
+      vecsWithCell.select(col(idCol) +: col("cell") +: codeCols: _*)
+    } else {
+      val aggs = (0 until m).map(mi =>
+        min(when(col("__bm") === mi, struct(col("__d"), col("__bk"))))
+          .getField("__bk").as(s"code_$mi"))
+      vecsWithCell
+        .select(monotonically_increasing_id().as("__rid"),
+          col(idCol), col("cell"), col(vecCol))
+        .join(broadcast(shiftedBookDf(vecsWithCell.sparkSession, sb)), "cell")
+        .withColumn("__d", joinedSubDist(vecCol, sub))
+        .groupBy(col("__rid"), col(idCol), col("cell"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col(idCol) +: col("cell") +:
+          (0 until m).map(mi => col(s"code_$mi")): _*)
     }
-    vecsWithCell.select(col(idCol) +: col("cell") +: codeCols: _*)
   }
 
   /** One Lloyd iteration over RESIDUAL PQ codebooks, all subspaces in a
@@ -474,41 +533,72 @@ object Similarity {
       vecsWithCell: DataFrame, centroids: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
       idCol: String = "vec_id", vecCol: String = "v",
-      centIdCol: String = "cid", centVecCol: String = "cv"): Seq[Seq[Seq[Double]]] = {
+      centIdCol: String = "cid", centVecCol: String = "cv",
+      inlineLimit: Int = InlineCentroidLimit): Seq[Seq[Seq[Double]]] = {
     import graft.queries.QueryUtil.{avg6, dec}
     val cents = collectCents(centroids, centIdCol, centVecCol)
     require(cents.nonEmpty, "pqTrainStepResidual needs at least one centroid")
     val sb = shiftedBooks(cents, codebooks)
     val m = codebooks.length
     val sub = codebooks.head.head.length
-    val codeCols = (0 until m).map { mi =>
-      def argmin(cid: Long): Column =
-        sb(cid)(mi).zipWithIndex.map { case (cw, k) =>
-          struct(l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)).as("d"),
-            lit(k).as("k"))
-        }.reduceLeft((a, b) => least(a, b)).getField("k")
-      cents.tail.foldLeft(
-        when(col("cell") === cents.head._1, argmin(cents.head._1))) {
-        case (w, (cid, _)) => w.when(col("cell") === cid, argmin(cid))
-      }.as(s"__c$mi")
-    }
-    // residual component at exploded position __p: x − centroid[cell][p]
-    val centComp = cents.tail.foldLeft(
-      when(col("cell") === cents.head._1,
-        element_at(typedLit(cents.head._2), col("__p") + 1))) {
-      case (w, (cid, cv)) =>
-        w.when(col("cell") === cid, element_at(typedLit(cv), col("__p") + 1))
-    }
     val mCol = (col("__p") / sub).cast("int")
-    val learned = vecsWithCell
-      .select(col(vecCol) +: col("cell") +: codeCols: _*)
-      .select(col("cell"),
-        posexplode(col(vecCol)).as(Seq("__p", "__x")),
-        array((0 until m).map(mi => col(s"__c$mi")): _*).as("__codes"))
-      .select(mCol.as("m"),
-        element_at(col("__codes"), mCol + 1).as("k"),
-        (col("__p") % sub + 1).as("dim"),
-        (col("__x") - centComp).as("__r"))
+    // both branches produce the same (m, k, dim, __r) residual rows —
+    // inline via when-chains of literals, big-nlist via the broadcast
+    // shifted-codeword frame (argmin as a grouped min over (d, k)
+    // structs, one bounded per-row exchange) plus a broadcast centroid
+    // join for the `x − c[cell][p]` component; the grouped decimal mean
+    // below is shared, so trained books are bit-identical across paths
+    val residRows = if (cents.length <= inlineLimit) {
+      val codeCols = (0 until m).map { mi =>
+        def argmin(cid: Long): Column =
+          sb(cid)(mi).zipWithIndex.map { case (cw, k) =>
+            struct(l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)).as("d"),
+              lit(k).as("k"))
+          }.reduceLeft((a, b) => least(a, b)).getField("k")
+        cents.tail.foldLeft(
+          when(col("cell") === cents.head._1, argmin(cents.head._1))) {
+          case (w, (cid, _)) => w.when(col("cell") === cid, argmin(cid))
+        }.as(s"__c$mi")
+      }
+      // residual component at exploded position __p: x − centroid[cell][p]
+      val centComp = cents.tail.foldLeft(
+        when(col("cell") === cents.head._1,
+          element_at(typedLit(cents.head._2), col("__p") + 1))) {
+        case (w, (cid, cv)) =>
+          w.when(col("cell") === cid, element_at(typedLit(cv), col("__p") + 1))
+      }
+      vecsWithCell
+        .select(col(vecCol) +: col("cell") +: codeCols: _*)
+        .select(col("cell"),
+          posexplode(col(vecCol)).as(Seq("__p", "__x")),
+          array((0 until m).map(mi => col(s"__c$mi")): _*).as("__codes"))
+        .select(mCol.as("m"),
+          element_at(col("__codes"), mCol + 1).as("k"),
+          (col("__p") % sub + 1).as("dim"),
+          (col("__x") - centComp).as("__r"))
+    } else {
+      val aggs = (0 until m).map(mi =>
+        min(when(col("__bm") === mi, struct(col("__d"), col("__bk"))))
+          .getField("__bk").as(s"__c$mi"))
+      val centDf = centroids.select(col(centIdCol).cast("long").as("cell"),
+        col(centVecCol).cast("array<double>").as("__ccv"))
+      vecsWithCell
+        .select(monotonically_increasing_id().as("__rid"),
+          col("cell"), col(vecCol))
+        .join(broadcast(shiftedBookDf(vecsWithCell.sparkSession, sb)), "cell")
+        .withColumn("__d", joinedSubDist(vecCol, sub))
+        .groupBy(col("__rid"), col("cell"), col(vecCol))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("cell"),
+          posexplode(col(vecCol)).as(Seq("__p", "__x")),
+          array((0 until m).map(mi => col(s"__c$mi")): _*).as("__codes"))
+        .join(broadcast(centDf), "cell")
+        .select(mCol.as("m"),
+          element_at(col("__codes"), mCol + 1).as("k"),
+          (col("__p") % sub + 1).as("dim"),
+          (col("__x") - element_at(col("__ccv"), col("__p") + 1)).as("__r"))
+    }
+    val learned = residRows
       .groupBy("m", "k", "dim")
       .agg(count(lit(1)).as("n"), sum(dec(col("__r"))).as("__s"))
       .select(col("m"), col("k"), col("dim"), avg6(col("__s"), col("n")).as("c"))
@@ -535,23 +625,43 @@ object Similarity {
       vecsWithCell: DataFrame, centroids: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
       vecCol: String = "v",
-      centIdCol: String = "cid", centVecCol: String = "cv"): Double = {
+      centIdCol: String = "cid", centVecCol: String = "cv",
+      inlineLimit: Int = InlineCentroidLimit): Double = {
     val cents = collectCents(centroids, centIdCol, centVecCol)
     require(cents.nonEmpty, "pqResidualQuantError needs at least one centroid")
     val sb = shiftedBooks(cents, codebooks)
     val m = codebooks.length
     val sub = codebooks.head.head.length
-    val dCols = (0 until m).map { mi =>
-      def mind(cid: Long): Column =
-        sb(cid)(mi).map(cw => l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)))
-          .reduceLeft((a, b) => least(a, b))
-      cents.tail.foldLeft(
-        when(col("cell") === cents.head._1, mind(cents.head._1))) {
-        case (w, (cid, _)) => w.when(col("cell") === cid, mind(cid))
+    val summed =
+      if (cents.length <= inlineLimit) {
+        val dCols = (0 until m).map { mi =>
+          def mind(cid: Long): Column =
+            sb(cid)(mi).map(cw => l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)))
+              .reduceLeft((a, b) => least(a, b))
+          cents.tail.foldLeft(
+            when(col("cell") === cents.head._1, mind(cents.head._1))) {
+            case (w, (cid, _)) => w.when(col("cell") === cid, mind(cid))
+          }
+        }
+        vecsWithCell.select(dCols.reduce(_ + _).as("qe"))
+          .agg(sum(col("qe"))).collect()(0)
+      } else {
+        // big-nlist fallback: per-(row × codeword) distances via the
+        // broadcast shifted-codeword frame, min per subspace grouped on
+        // a synthetic per-ROW id (duplicate/null ids each contribute
+        // their own term, like the inline path which never reads an id)
+        val aggs = (0 until m).map(mi =>
+          min(when(col("__bm") === mi, col("__d"))).as(s"__q$mi"))
+        vecsWithCell
+          .select(monotonically_increasing_id().as("__rid"),
+            col("cell"), col(vecCol))
+          .join(broadcast(shiftedBookDf(vecsWithCell.sparkSession, sb)), "cell")
+          .select(col("__rid"), col("__bm"), joinedSubDist(vecCol, sub).as("__d"))
+          .groupBy(col("__rid"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select((0 until m).map(mi => col(s"__q$mi")).reduce(_ + _).as("qe"))
+          .agg(sum(col("qe"))).collect()(0)
       }
-    }
-    val summed = vecsWithCell.select(dCols.reduce(_ + _).as("qe"))
-      .agg(sum(col("qe"))).collect()(0)
     if (summed.isNullAt(0)) 0.0 else summed.getDouble(0)
   }
 
@@ -594,25 +704,49 @@ object Similarity {
       codes: DataFrame, probes: DataFrame, centroids: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]], k: Int,
       idCol: String = "vec_id", vecCol: String = "v",
-      centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
+      centIdCol: String = "cid", centVecCol: String = "cv",
+      inlineLimit: Int = InlineCentroidLimit): DataFrame = {
     val cents = collectCents(centroids, centIdCol, centVecCol)
     require(cents.nonEmpty, "pqAdcTopKResidual needs at least one centroid")
     val sb = shiftedBooks(cents, codebooks)
     val m = codebooks.length
     val sub = codebooks.head.head.length
-    val dtCols = (0 until m).map { mi =>
-      def dt(cid: Long): Column =
-        array(sb(cid)(mi).map(cw =>
-          l2sq(subVec(col(vecCol), mi, sub), typedLit(cw))): _*)
-      cents.tail.foldLeft(
-        when(col("cell") === cents.head._1, dt(cents.head._1))) {
-        case (w, (cid, _)) => w.when(col("cell") === cid, dt(cid))
-      }.as(s"__dt$mi")
+    val nK = codebooks.head.length
+    // both branches build the same per-(probe, cell) ADC tables; above
+    // inlineLimit they come from joining the probe side (tiny) against
+    // the broadcast shifted-codeword frame and aggregating into one
+    // map<m·K + k, d> per (probe, cell) — the corpus-side lookup and
+    // everything below the broadcast is identical, so ranks match the
+    // inline path bit for bit
+    val p = if (cents.length <= inlineLimit) {
+      val dtCols = (0 until m).map { mi =>
+        def dt(cid: Long): Column =
+          array(sb(cid)(mi).map(cw =>
+            l2sq(subVec(col(vecCol), mi, sub), typedLit(cw))): _*)
+        cents.tail.foldLeft(
+          when(col("cell") === cents.head._1, dt(cents.head._1))) {
+          case (w, (cid, _)) => w.when(col("cell") === cid, dt(cid))
+        }.as(s"__dt$mi")
+      }
+      probes.select(col(idCol).as("probe_id") +: col("cell") +: dtCols: _*)
+    } else {
+      probes
+        .select(col(idCol).as("probe_id"), col("cell"), col(vecCol))
+        .join(broadcast(shiftedBookDf(probes.sparkSession, sb)), "cell")
+        .select(col("probe_id"), col("cell"),
+          (col("__bm") * nK + col("__bk")).as("__mk"),
+          joinedSubDist(vecCol, sub).as("__d"))
+        .groupBy(col("probe_id"), col("cell"))
+        .agg(map_from_entries(collect_list(struct(col("__mk"), col("__d"))))
+          .as("__dt"))
     }
-    val p = probes.select(
-      col(idCol).as("probe_id") +: col("cell") +: dtCols: _*)
-    val adc = (0 until m).map(mi =>
-      element_at(col(s"__dt$mi"), col(s"code_$mi") + 1)).reduce(_ + _)
+    val adc =
+      if (cents.length <= inlineLimit)
+        (0 until m).map(mi =>
+          element_at(col(s"__dt$mi"), col(s"code_$mi") + 1)).reduce(_ + _)
+      else
+        (0 until m).map(mi =>
+          element_at(col("__dt"), lit(mi * nK) + col(s"code_$mi"))).reduce(_ + _)
     val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("cand_id").asc)
     codes.withColumnRenamed(idCol, "cand_id")
       .join(broadcast(p), "cell")
@@ -643,7 +777,14 @@ object Similarity {
       : (DataFrame, Seq[Seq[Seq[Double]]], DataFrame) = {
     val (cents, _) = kmeansTrain(vecs, seeds, kmeansIters,
       idCol = idCol, vecCol = vecCol, centIdCol = centIdCol, centVecCol = centVecCol)
+    // the assignment is scanned by EVERY training iteration and the
+    // final encode — persisted once here so pqIters iterations cost
+    // pqIters aggregations over the cached (id, v, cell) rows, not
+    // pqIters+1 recomputations of the assignment over `vecs` (spills to
+    // disk if the corpus outgrows executor memory; it stays cached for
+    // the returned encode's consumer to materialize from)
     val asg = ivfAssign(vecs, cents, idCol, vecCol, centIdCol, centVecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var books = seedResidualBooks(bookSeeds, cents, m,
       idCol, vecCol, centIdCol, centVecCol)
     for (_ <- 0 until pqIters)

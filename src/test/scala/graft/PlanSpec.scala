@@ -163,6 +163,40 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"expected partial WindowGroupLimit before the exchange:\n$p")
   }
 
+  test("residual big-nlist fallback search: corpus unshuffled, one bounded probe exchange") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val seedBooks = Similarity.seedResidualBooks(
+      e.filter(col("vec_id").between(200, 207)), cents, m = 4)
+    val asg = Similarity.ivfAssign(e, cents)
+    // inlineLimit=0 forces the broadcast-codeword fallback — the plan
+    // the production nlist ≥ 1024 build runs on
+    val codes = Similarity.pqEncodeResidual(asg, cents, seedBooks, inlineLimit = 0)
+    val top = Similarity.pqAdcTopKResidual(
+      codes, Similarity.ivfAssignTopN(e.filter(col("vec_id") < 5), cents, nprobe = 2),
+      cents, seedBooks, k = 5, inlineLimit = 0)
+    top.collect()
+    val p = top.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // probe tables and codeword frame broadcast; the encoded corpus side
+    // must never hash-shuffle on its own keys
+    assert(p.contains("BroadcastHashJoin"), s"cell join must broadcast probes:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(cell"),
+      s"corpus must not shuffle on cell:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(cand_id"),
+      s"corpus must not shuffle on cand_id:\n$p")
+    // per-probe top-k still pre-reduces below the one probe exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial WindowGroupLimit before the exchange:\n$p")
+    // the encode side's only exchange is the per-row argmin aggregation
+    val encP = codes.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val encEx = encP.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(encEx <= 1, s"fallback encode must have ONE bounded exchange:\n$encP")
+  }
+
   test("q71 familiarity joins the reference vocabulary by broadcast") {
     val q = SparkEntry.queries("q71_ngram_familiarity")(spark, dir)
     q.collect()
