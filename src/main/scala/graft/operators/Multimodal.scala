@@ -136,6 +136,7 @@ object Multimodal {
       planes: Seq[Seq[Double]],
       minCosine: Double = 0.995,
       decoder: Decoder = new FakeDecoder()): DataFrame = {
+    require(planes.nonEmpty, "mediaNearDupPairs needs at least one hyperplane")
     val dim = planes.head.length
     require(planes.forall(_.length == dim), "planes must share one dimension")
     val feats = extractFeatures(media, decoder)
@@ -164,5 +165,68 @@ object Multimodal {
       .filter(!isnan(col("cosine")) && col("cosine") >= minCosine)
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         col("a.modality").as("modality"), col("cosine"))
+  }
+
+  /** Decoded per-item feature vectors as (media_id, fv: array<double>)
+    * — the embedding column the ANN family consumes. One decoder per
+    * partition ([[extractFeatures]]); narrow, no shuffle.
+    */
+  def mediaFeatures(
+      media: DataFrame, decoder: Decoder = new FakeDecoder()): DataFrame =
+    extractFeatures(media, decoder)
+      .select(col("media_id"),
+        transform(col("feature"), x => x.cast("double")).as("fv"))
+
+  /** Media embedding ANN INDEX — the corpus-scale rung above
+    * [[mediaNearDupPairs]]' single LSH tier, completing the multimodal
+    * dedup family's symmetry with text (exact → banded LSH → persisted
+    * index): decode features per partition, then build the TRAINED
+    * residual IVF+PQ index over them ([[Similarity.ivfPqBuild]] — coarse
+    * quantizer trained to convergence, residual codebooks Lloyd-trained,
+    * corpus encoded to M codes; nlist ≥ 1024 runs on the broadcast
+    * fallback automatically). Seeds are the lexicographically-first
+    * items' features — deterministic, driver-small. Returns
+    * (centroids, residual books, encoded corpus); search goes through
+    * [[mediaAnnTopK]].
+    */
+  def mediaAnnIndex(
+      media: DataFrame, nlist: Int, m: Int, bookK: Int,
+      kmeansIters: Int = 3, pqIters: Int = 2,
+      decoder: Decoder = new FakeDecoder())
+      : (DataFrame, Seq[Seq[Seq[Double]]], DataFrame) = {
+    require(nlist > 0 && bookK > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    val feats = mediaFeatures(media, decoder)
+    // deterministic driver-small seed draw: first items by media_id
+    // (content-addressed ids ≈ an arbitrary-but-stable sample)
+    val head = feats.orderBy("media_id").limit(math.max(nlist, bookK))
+      .collect().map(_.getSeq[Double](1))
+    require(head.length >= math.max(nlist, bookK),
+      s"mediaAnnIndex needs ≥ max(nlist=$nlist, bookK=$bookK) media items, got ${head.length}")
+    val seeds = head.take(nlist).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("cid", "cv")
+    val bookSeeds = head.take(bookK).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("media_id", "fv")
+    Similarity.ivfPqBuild(feats, seeds, bookSeeds, m,
+      kmeansIters, pqIters, idCol = "media_id", vecCol = "fv")
+  }
+
+  /** Search a [[mediaAnnIndex]]: decode the probe media, fan each probe
+    * to its `nprobe` nearest cells, and run cell-restricted residual ADC
+    * ([[Similarity.pqAdcTopKResidual]]) — the encoded corpus never
+    * re-shuffles, probes broadcast. Returns
+    * (probe_id, cand_id, rnk, adc).
+    */
+  def mediaAnnTopK(
+      codes: DataFrame, centroids: DataFrame,
+      books: Seq[Seq[Seq[Double]]],
+      probeMedia: DataFrame, k: Int, nprobe: Int = 2,
+      decoder: Decoder = new FakeDecoder()): DataFrame = {
+    val probes = Similarity.ivfAssignTopN(
+      mediaFeatures(probeMedia, decoder), centroids, nprobe,
+      idCol = "media_id", vecCol = "fv")
+    Similarity.pqAdcTopKResidual(codes, probes, centroids, books, k,
+      idCol = "media_id", vecCol = "fv")
   }
 }

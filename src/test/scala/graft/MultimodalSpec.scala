@@ -82,4 +82,56 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"media near-dup must bucket, not compare all pairs:\n$plan")
   }
+
+  test("media embedding ANN: trained ivf+pq over decoded features with a recall gate") {
+    // r6 verdict item 4: text had exact → minhash → persisted index but
+    // media stopped at one LSH tier. This routes the decoded features
+    // through the trained residual IVF+PQ recipe and gates recall@5
+    // against exact-L2 ground truth over the same features.
+    // Fixture: 8 histogram clusters (mass in buckets g, g+1), 4 variants
+    // each — within-group L2 is tiny, across groups ~48 per bucket
+    // ids ordered variant-first so the deterministic seed draw (the
+    // lexicographic head) spans every cluster, not just the first one
+    val items = for (g <- 0 until 8; v <- 0 until 4) yield (
+      f"v${v}g$g", "image",
+      Array.fill(48 + v)(g.toByte) ++ Array.fill(16 - v)(((g + 1) % 8).toByte))
+    val media = Multimodal.asMediaTable(items.toDS())
+    val (cents, books, codes) =
+      Multimodal.mediaAnnIndex(media, nlist = 4, m = 4, bookK = 8,
+        kmeansIters = 2, pqIters = 2)
+    assert(codes.count() === 32)
+    assert(codes.columns.toSeq ===
+      Seq("media_id", "cell", "code_0", "code_1", "code_2", "code_3"))
+    val probeIds = (0 until 8).map(g => s"v0g$g")
+    val probes = media.filter(col("media_id").isin(probeIds: _*))
+    val got = Multimodal.mediaAnnTopK(codes, cents, books, probes, k = 5, nprobe = 2)
+    got.collect()
+    // search is the cell-restricted broadcast equi-join — never a
+    // cartesian comparison against the whole corpus
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ANN search must restrict to cells:\n$plan")
+    // exact-L2 ground truth over the same decoded features
+    val fv = Multimodal.mediaFeatures(media).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    val truth = probeIds.map { p =>
+      p -> fv.keys.filter(_ != p).toSeq
+        .sortBy(c => (l2(fv(p), fv(c)), c)).take(5).toSet
+    }.toMap
+    val ann = got.collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = probeIds.map(p =>
+      (ann.getOrElse(p, Set.empty) intersect truth(p)).size / 5.0)
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.6, s"mean recall@5 $mean (per-probe: $recalls)")
+    // and every probe's nearest group-mates are reachable: at least 2
+    // of its 3 within-group variants appear in its top-5
+    probeIds.foreach { p =>
+      val mates = (1 until 4).map(v => s"v$v" + p.drop(2)).toSet
+      assert((ann.getOrElse(p, Set.empty) intersect mates).size >= 2,
+        s"probe $p lost its cluster: got ${ann.getOrElse(p, Set.empty)}")
+    }
+  }
 }
