@@ -263,22 +263,75 @@ object VcfReader {
       buckets: Int = 128): Unit =
     landBucketed(spark, vcfPath, table, buckets, "append")
 
+  private def landPartitionedBucketed(spark: SparkSession, vcfPath: String,
+      table: String, buckets: Int, mode: String): Unit =
+    read(spark, vcfPath)
+      .withColumn("pos_bucket", posBucket(col("pos")))
+      .write.mode(mode)
+      .partitionBy("chrom")
+      .bucketBy(buckets, "pos_bucket")
+      .sortBy("pos_bucket")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Directory-partitioned + bucketed landing: one directory per
+    * chromosome (region queries PRUNE whole chroms at planning — the
+    * [[toParquet]] layout's strength) AND `bucketBy(n, pos_bucket)`
+    * within each (bucketing on chrom itself is illegal when it is the
+    * partition column). The trade vs [[toBucketedTable]]: site-keyed
+    * (chrom, pos_bucket) aggregation keeps ONE exchange — the bucket
+    * spec alone can't witness the chrom component — in exchange for
+    * O(1-chrom) scans on region work. Pick by the dominant read:
+    * region-sliced → this; repeated whole-corpus site-keyed → bucket-only.
+    */
+  def toPartitionedBucketedTable(spark: SparkSession, vcfPath: String,
+      table: String, buckets: Int = 32): Unit =
+    landPartitionedBucketed(spark, vcfPath, table, buckets, "overwrite")
+
+  /** Append an ingest batch to a [[toPartitionedBucketedTable]] landing. */
+  def appendToPartitionedBucketedTable(spark: SparkSession, vcfPath: String,
+      table: String, buckets: Int = 32): Unit =
+    landPartitionedBucketed(spark, vcfPath, table, buckets, "append")
+
   /** Compact a bucketed landing table in place (generic — any bucketed
-    * parquet table, not just VCF landings). A bucketed write emits one
-    * file per (writer task × bucket), so B append batches leave ≥B
-    * small files per bucket; at 100 TB the scan then pays B× the
-    * file-open/footer overhead and the driver plans B× the splits.
+    * parquet table, optionally directory-partitioned; not just VCF
+    * landings). A bucketed write emits one file per (writer task ×
+    * bucket), so B append batches leave ≥B small files per bucket; at
+    * 100 TB the scan then pays B× the file-open/footer overhead and the
+    * driver plans B× the splits.
     *
     * The rewrite shuffles ONCE on the bucket columns into exactly
     * `numBuckets` partitions — `repartition(n, cols)`'s
     * pmod(murmur3, n) is the same function Spark uses for bucket-id
-    * assignment, so each reducer holds exactly one bucket and writes
-    * exactly one file — then lands under the identical bucket/sort
-    * spec and swaps via DROP + RENAME. The bucket layout is preserved
-    * bit-for-bit, so downstream zero-exchange site-keyed plans survive
-    * compaction unchanged (spec-proven). The swap is two catalog
-    * operations, not atomic: run it in the maintenance window, like
-    * any table-rewriting compaction.
+    * assignment, so each reducer holds exactly one bucket. Bucket-only
+    * tables write exactly one file per bucket; directory-partitioned
+    * tables write one file per (partition, bucket) — each reducer holds
+    * ALL rows of its bucket, and the dynamic-partition writer splits
+    * them by directory, so no per-partition iteration (and no
+    * per-partition job) is needed. The rewrite lands under the
+    * identical partition/bucket/sort spec, preserving the layout
+    * bit-for-bit, so downstream plans survive compaction unchanged
+    * (spec-proven).
+    *
+    * Swap mechanics differ by layout, because catalogs differ:
+    *
+    *  - BUCKET-ONLY tables swap by rename, crash-safe ordering:
+    *    original → `__old`, compacted → original, drop `__old`. A
+    *    failure between any two statements leaves a fully queryable
+    *    table recoverable by a single RENAME (never a window with no
+    *    table under either name).
+    *  - PARTITIONED tables never rename: a renamed managed table keeps
+    *    its per-PARTITION locations pointing at the old paths (the
+    *    catalog moves only the table directory), so a post-rename DROP
+    *    of the set-aside table deletes the partition directories the
+    *    NEW data just moved into. Instead the compacted copy is staged
+    *    to a scratch path and DYNAMIC-partition-overwrite-INSERTed into
+    *    the original — the INSERT maintains partition metadata itself,
+    *    the table stays continuously queryable, and a mid-commit
+    *    failure leaves each partition either old-fragmented or
+    *    new-compacted, both with identical rows. (Cost: the compacted
+    *    bytes are written twice — stage + insert — the price of never
+    *    renaming a partitioned table.)
     */
   def compactBucketedTable(spark: SparkSession, table: String): Unit = {
     // parse (not wrap) the name so qualified identifiers like
@@ -289,28 +342,72 @@ object VcfReader {
     val spec = meta.bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"table $table is not bucketed — nothing to compact"))
-    require(meta.partitionColumnNames.isEmpty,
-      s"compactBucketedTable handles bucket-only tables; $table is also " +
-        s"directory-partitioned on ${meta.partitionColumnNames.mkString(",")}")
     val bcols = spec.bucketColumnNames
-    val tmpIdent = ident.copy(table = s"${ident.table}__compacting")
-    val tmp = tmpIdent.quotedString
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    // read the FILES, not the table: when the repartition expressions
-    // equal the source table's own bucket spec, the planner elides the
-    // exchange as redundant (while also planning the scan un-bucketed —
-    // "Bucketed: false (disabled by query planner)"), and the write
-    // then emits one file per (scan split × bucket), compacting nothing
-    val writer = spark.read.parquet(meta.location.toString)
-      .repartition(spec.numBuckets, bcols.map(col): _*)
-      .write.mode("overwrite")
-      .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
-    val sorted = spec.sortColumnNames match {
-      case Nil => writer
-      case s => writer.sortBy(s.head, s.tail: _*)
+    val pcols = meta.partitionColumnNames
+    // read FILES at a path, not the table: when the repartition
+    // expressions equal the source table's own bucket spec, the planner
+    // elides the exchange as redundant (while also planning the scan
+    // un-bucketed — "Bucketed: false (disabled by query planner)"), and
+    // the write then emits one file per (scan split × bucket),
+    // compacting nothing. Partition-column values come from directory
+    // names; type INFERENCE is disabled (a chrom directory of "1".."22"
+    // must not come back as ints) and the strings are cast to the table
+    // schema's exact types instead
+    def readTyped(path: String): DataFrame = {
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val oldInfer = spark.conf.get(inferKey)
+      val raw = try {
+        spark.conf.set(inferKey, "false")
+        spark.read.parquet(path)
+      } finally spark.conf.set(inferKey, oldInfer)
+      raw.select(meta.schema.map { f =>
+        if (pcols.contains(f.name))
+          // a null partition value lands in the hive default dir; undo it
+          nullif(col(f.name), lit("__HIVE_DEFAULT_PARTITION__"))
+            .cast(f.dataType).as(f.name)
+        else col(f.name)
+      }: _*)
     }
-    sorted.format("parquet").saveAsTable(tmp)
-    spark.sql(s"DROP TABLE ${ident.quotedString}")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO ${ident.quotedString}")
+    def oneFilePerBucket(df: DataFrame): DataFrame =
+      df.repartition(spec.numBuckets, bcols.map(col): _*)
+    if (pcols.isEmpty) {
+      val tmpIdent = ident.copy(table = s"${ident.table}__compacting")
+      val tmp = tmpIdent.quotedString
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      val writer = oneFilePerBucket(readTyped(meta.location.toString))
+        .write.mode("overwrite")
+        .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
+      val sorted = spec.sortColumnNames match {
+        case Nil => writer
+        case s => writer.sortBy(s.head, s.tail: _*)
+      }
+      sorted.format("parquet").saveAsTable(tmp)
+      val oldIdent = ident.copy(table = s"${ident.table}__old")
+      spark.sql(s"DROP TABLE IF EXISTS ${oldIdent.quotedString}")
+      spark.sql(s"ALTER TABLE ${ident.quotedString} RENAME TO ${oldIdent.quotedString}")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO ${ident.quotedString}")
+      spark.sql(s"DROP TABLE ${oldIdent.quotedString}")
+    } else {
+      // stage a plain (partition-dir, unbucketed) copy to break the
+      // self-read, then bucket-shuffle it back INTO the table: the
+      // INSERT inherits the table's bucket/sort spec from the catalog,
+      // and with one task per bucket holding all of its rows the
+      // dynamic-partition writer emits one file per (partition, bucket)
+      val stagePath = meta.location.toString.stripSuffix("/") + "__compacting_stage"
+      val hPath = new org.apache.hadoop.fs.Path(stagePath)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val oldMode = spark.conf.get(modeKey)
+      try {
+        readTyped(meta.location.toString)
+          .write.mode("overwrite").partitionBy(pcols: _*).parquet(stagePath)
+        spark.conf.set(modeKey, "dynamic")
+        oneFilePerBucket(readTyped(stagePath))
+          .write.mode("overwrite").insertInto(ident.quotedString)
+      } finally {
+        spark.conf.set(modeKey, oldMode)
+        fs.delete(hPath, true)
+      }
+    }
   }
 }
