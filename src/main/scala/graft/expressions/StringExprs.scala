@@ -1,10 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the per-row hot paths. The builtin-HOF
@@ -27,6 +29,14 @@ object StringExprs {
   /** One-pass 32-bit simhash over an array<long> of token hashes. */
   def simhash32(tokenHashes: Column): Column =
     Bridge.column(Simhash32Expr(Bridge.expression(tokenHashes)))
+
+  /** Rolling-hash every element of an array<string> in one codegen'd
+    * pass — the kernel form of `transform(tokens, rollingHash)`, which
+    * as an array HOF is CodegenFallback (§8's banned pattern; this was
+    * its last per-row streaming instance).
+    */
+  def tokenHashes(tokens: Column): Column =
+    Bridge.column(TokenHashesExpr(Bridge.expression(tokens)))
 
   /** One-pass k-permutation minhash signature over an array<long> of
     * shingle hashes.
@@ -76,6 +86,20 @@ object StringExprs {
     }
     h
   }
+
+  /** [[rollHash]] over every element; null elements stay null (same
+    * semantics as mapping RollingHashExpr through `transform`).
+    */
+  def tokenHashesK(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) out(i) = rollHash(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Codegen'd vartype classifier (snp/mnp/ins/del/indel/ref); inputs must
@@ -121,5 +145,28 @@ case class RollingHashExpr(child: Expression)
     defineCodeGen(ctx, ev, s => s"graft.expressions.StringExprs.rollHash($s)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd element-wise rolling hash of a token array — one static
+  * call per row instead of an interpreted per-element lambda.
+  */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "token_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    StringExprs.tokenHashesK(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.StringExprs.tokenHashesK($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
     copy(child = newChild)
 }

@@ -104,6 +104,14 @@ object TextFunctions {
   def simhash32(tokenHashes: Column): Column =
     graft.expressions.StringExprs.simhash32(tokenHashes)
 
+  /** Element-wise [[rollingHash]] of a token array in ONE codegen'd
+    * call (TokenHashesExpr) — use instead of
+    * `transform(tokens, rollingHash)`, which as an array HOF evaluates
+    * interpreted per element (§8's recurring CodegenFallback lesson).
+    */
+  def tokenHashes(tokens: Column): Column =
+    graft.expressions.StringExprs.tokenHashes(tokens)
+
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

@@ -69,9 +69,11 @@ object DocStreams {
     docs
       // DISTINCT token hashes — the same set-of-tokens vote
       // Dedup.simhashTable uses, so stream and batch agree on repeated-
-      // token boilerplate; simhash32 itself is a one-pass codegen kernel
+      // token boilerplate; tokenHashes + simhash32 are one-pass codegen
+      // kernels (the transform(…, rollingHash) HOF this replaces was the
+      // per-doc stream path's last interpreted CodegenFallback)
       .withColumn("sim", simhash32(array_distinct(
-        transform(wsTokens(lower(cleanAscii(col("text")))), t => rollingHash(t)))))
+        tokenHashes(wsTokens(lower(cleanAscii(col("text"))))))))
       .select(col("*"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sim"), b * 8).bitwiseAND(0xff)

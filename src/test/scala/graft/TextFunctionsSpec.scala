@@ -78,6 +78,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r === "send to <EMAIL> now")
   }
 
+  test("tokenHashes kernel: element-for-element equal to the transform HOF, codegen'd") {
+    // the kernel replaced transform(tokens, rollingHash) on the per-doc
+    // stream path (§8's CodegenFallback lesson) — same values required,
+    // including null elements, unicode, empties
+    val df = Seq(
+      ("a", Seq("alpha", "beta", "beta", "γράμμα")),
+      ("b", Seq("", "x")),
+      ("c", Seq.empty[String])).toDF("id", "toks")
+      .union(Seq(("d", null.asInstanceOf[Seq[String]])).toDF("id", "toks"))
+      .withColumn("toks",
+        when(col("id") === "a",
+          concat(col("toks"), array(lit(null).cast("string"))))
+          .otherwise(col("toks")))
+    val both = df.select(col("id"),
+      tokenHashes(col("toks")).as("kernel"),
+      transform(col("toks"), t => rollingHash(t)).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Any](1) === r.getSeq[Any](2), s"mismatch for id=${r.getString(0)}")
+    }
+    // and the kernel stays inside WholeStageCodegen (the '*(n)' prefix),
+    // which the HOF it replaced never did (repartition keeps the local
+    // fixture from being constant-folded into a LocalTableScan)
+    val q = df.repartition(2).select(tokenHashes(col("toks")).as("h"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("token_hashes")).get
+    assert(line.trim.matches("""^\+?-?\s*\*\(\d+\).*"""), plan)
+  }
+
   test("simhash: near-dup texts land at small hamming distance") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = base + " extra1 extra2"
