@@ -28,14 +28,17 @@ object VcfWriter {
     * genotype columns follow it (`format`/`genotypes` columns are then
     * never referenced, so a sites-only frame can omit them).
     */
-  def toVcfLines(df: DataFrame, samples: Seq[String]): DataFrame = {
+  private def lineCol(samples: Seq[String]): org.apache.spark.sql.Column = {
     val fixedNames = Seq("chrom", "pos", "id", "ref", "alt", "qual", "filter",
       "info") ++ (if (samples.nonEmpty) Seq("format") else Nil)
     val fixed = fixedNames.map(c => coalesce(col(c).cast("string"), lit(".")))
     val calls = samples.map(sid =>
       coalesce(element_at(col("genotypes"), sid), lit("./.")))
-    df.select(concat_ws("\t", fixed ++ calls: _*).as("value"))
+    concat_ws("\t", fixed ++ calls: _*)
   }
+
+  def toVcfLines(df: DataFrame, samples: Seq[String]): DataFrame =
+    df.select(lineCol(samples).as("value"))
 
   /** `##key=value` lines + the `#CHROM…` column line from parsed
     * metadata. A bare `##line` (no `=`; parsed as an empty value) is
@@ -64,6 +67,34 @@ object VcfWriter {
     */
   def writeSharded(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
     toVcfLines(df, meta.samples).write.mode("overwrite").text(s"$outDir/shards")
+    writeHeader(df, meta, outDir)
+  }
+
+  /** Per-CHROMOSOME sharded emission — the region-sharded layout big
+    * callsets actually distribute as (one VCF per chromosome, the
+    * 1000-Genomes/gnomAD convention): data lines land under
+    * `outDir/shards/chrom=C/part-…`, so header.vcf + cat of one chrom
+    * directory is a valid single-chromosome VCF and every chromosome can be
+    * assembled (or bgzipped + indexed) independently, in parallel.
+    *
+    * The write REPARTITIONS on (chrom, pos bucket) — one directory per
+    * chromosome but MANY writer tasks per chromosome ([[VcfReader
+    * .toParquet]]'s anti-straggler reasoning: hashing on chrom alone
+    * would serialize a multi-TB chromosome through one task) — and
+    * sorts within each task so every shard is position-sorted
+    * internally (bgzip/tabix-friendly).
+    */
+  def writeShardedByChrom(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
+    df.repartition(col("chrom"), VcfReader.posBucket(col("pos")))
+      .sortWithinPartitions(col("pos"))
+      .select(col("chrom"), lineCol(meta.samples).as("value"))
+      .write.mode("overwrite")
+      .partitionBy("chrom")
+      .text(s"$outDir/shards")
+    writeHeader(df, meta, outDir)
+  }
+
+  private def writeHeader(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val headerPath = new Path(outDir, "header.vcf")
     val fs = headerPath.getFileSystem(conf)

@@ -141,4 +141,61 @@ class BgzfSplitSpec extends AnyFunSuite with SparkSpec {
       .filter(col("chrom") === "9" && col("pos") <= 1000)
     assert(one.count() === 7)
   }
+
+  test("headerless bgzf shard glob with a samples override splits per file") {
+    // the 100 TB arrival shape: MANY headerless bgzipped shards + one
+    // `samples` option serving every file — no per-file header fetch,
+    // and each file still splits on its own index's record voffs
+    val dir = java.nio.file.Files.createTempDirectory("graft_bgzf_glob")
+    val perFile = 300
+    val chroms = Seq("1", "2", "3")
+    chroms.foreach { c =>
+      val records = (1 to perFile).map(i =>
+        (c, i * 123 + 100, s"$c\t${i * 123 + 100}\trs${c}_$i\tA\tG\t5$i\tPASS\tDP=$i\tGT\t0/1\t1/1"))
+      val gz = dir.resolve(s"shard_$c.vcf.gz")
+      val (voffs, endVoff) =
+        BgzfFixture.writeBgzf(records.map(_._3), gz, blockLines = 5)
+      val idx = BgzfFixture.buildIndex(
+        records.zip(voffs).map { case ((ch, p, _), v) => (ch, p, v) }, endVoff)
+      BgzfFixture.writeCsi(idx, dir.resolve(s"shard_$c.vcf.gz.csi"))
+    }
+    withMaxSplit(2048) {
+      val df = spark.read.format("vcf")
+        .option("samples", "S1,S2")
+        .load(s"$dir/*.vcf.gz")
+      assert(partitions(df) > chroms.size,
+        s"expected splits within files, got ${partitions(df)} partitions for ${chroms.size} files")
+      assert(df.count() === chroms.size * perFile)
+      // every chrom present, genotypes mapped to the override names
+      val byChrom = df.groupBy("chrom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byChrom === chroms.map(_ -> perFile.toLong).toMap)
+      assert(df.filter(element_at(col("genotypes"), "S2") =!= "1/1").count() === 0)
+    }
+  }
+
+  test("many-file glob discovers per-file header samples (pooled fetch)") {
+    // the no-override path: planning fetches each file's header with the
+    // bounded thread pool; samples must resolve per file across a glob
+    val dir = java.nio.file.Files.createTempDirectory("graft_bgzf_many")
+    val chroms = Seq("1", "2", "3", "4", "5", "6")
+    val header = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2")
+    chroms.foreach { c =>
+      val records = (1 to 40).map(i =>
+        (c, i * 123 + 100, s"$c\t${i * 123 + 100}\trs${c}_$i\tA\tG\t5$i\tPASS\tDP=$i\tGT\t0/1\t1/1"))
+      val lines = header ++ records.map(_._3)
+      val gz = dir.resolve(s"many_$c.vcf.gz")
+      val (voffs, endVoff) = BgzfFixture.writeBgzf(lines, gz, blockLines = 10)
+      val idx = BgzfFixture.buildIndex(
+        records.zip(voffs.drop(header.length))
+          .map { case ((ch, p, _), v) => (ch, p, v) }, endVoff)
+      BgzfFixture.writeCsi(idx, dir.resolve(s"many_$c.vcf.gz.csi"))
+    }
+    val df = spark.read.format("vcf").load(s"$dir/*.vcf.gz")
+    assert(df.count() === chroms.size * 40)
+    assert(df.filter(element_at(col("genotypes"), "S1") =!= "0/1").count() === 0)
+    assert(df.select("chrom").distinct().count() === chroms.size)
+  }
 }
