@@ -38,6 +38,17 @@ object StringExprs {
   def tokenHashes(tokens: Column): Column =
     Bridge.column(TokenHashesExpr(Bridge.expression(tokens)))
 
+  /** Hash every n-token window of an array<string> in one codegen'd
+    * pass — the kernel form of
+    * `transform(wordNgrams(tokens, n), rollingHash)`, which ran TWO
+    * interpreted HOFs per row AND materialized every n-gram string.
+    * Window w's hash ≡ `rollingHash(concat_ws(" ", tokens[w..w+n-1]))`
+    * bit for bit (null tokens skipped like concat_ws); fewer than n
+    * tokens → empty array.
+    */
+  def ngramHashes(tokens: Column, n: Int): Column =
+    Bridge.column(NgramHashesExpr(Bridge.expression(tokens), n))
+
   /** One-pass k-permutation minhash signature over an array<long> of
     * shingle hashes.
     */
@@ -85,6 +96,47 @@ object StringExprs {
       i += Character.charCount(cp)
     }
     h
+  }
+
+  /** Rolling hash of each n-token window, joined-string semantics:
+    * contributes each kept token's codepoints with a single ' ' (32)
+    * between kept tokens — exactly [[rollHash]] of
+    * `concat_ws(" ", window)` (nulls skipped, like concat_ws).
+    */
+  def ngramHashesK(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i)) toks(i) = arr.getUTF8String(i).toString
+      i += 1
+    }
+    val out = new Array[Any](len - n + 1)
+    var w = 0
+    while (w <= len - n) {
+      var h = 0L
+      var first = true
+      var j = w
+      while (j < w + n) {
+        val t = toks(j)
+        if (t != null) {
+          if (!first) h = (h * 31 + 32) % HashMod
+          first = false
+          var k = 0
+          val m = t.length
+          while (k < m) {
+            val cp = t.codePointAt(k)
+            h = (h * 31 + cp) % HashMod
+            k += Character.charCount(cp)
+          }
+        }
+        j += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** [[rollHash]] over every element; null elements stay null (same
@@ -168,5 +220,30 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.expressions.StringExprs.tokenHashesK($a)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd n-gram window hasher — one static call per row replacing
+  * two interpreted HOFs (ngram string build + per-ngram hash) and the
+  * intermediate ngram strings themselves.
+  */
+case class NgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"ngram size must be positive, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    StringExprs.ngramHashesK(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.StringExprs.ngramHashesK($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashesExpr =
     copy(child = newChild)
 }

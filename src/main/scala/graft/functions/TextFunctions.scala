@@ -55,13 +55,16 @@ object TextFunctions {
         i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))))
 
   /** Distinct shingle hash set of a document: canonicalize → tokenize →
-    * n-gram → rolling-hash each shingle. The unit record for
-    * minhash/jaccard dedup.
+    * n-gram-hash. The unit record for minhash/jaccard dedup. Backed by
+    * the NgramHashesExpr kernel — one codegen'd pass per row; the HOF
+    * form (`transform(wordNgrams(…), rollingHash)`) ran two interpreted
+    * lambdas and materialized every n-gram string, on per-doc STREAM
+    * paths (decontaminate, corpus-near-dup, minhash near-dup) among
+    * others. Hash values are identical bit for bit (spec-pinned).
     */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(
-      wordNgrams(wsTokens(lower(cleanAscii(text))), n),
-      s => rollingHash(s)))
+    array_distinct(graft.expressions.StringExprs.ngramHashes(
+      wsTokens(lower(cleanAscii(text))), n))
 
   /** Fixed MinHash parameter banks (16 permutations of
     * h_j(x) = (a_j·x + b_j) mod 1e9+7) — shared with the DuckDB oracle.

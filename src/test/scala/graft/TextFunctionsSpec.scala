@@ -107,6 +107,47 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(line.trim.matches("""^\+?-?\s*\*\(\d+\).*"""), plan)
   }
 
+  test("ngramHashes kernel: window-for-window equal to the wordNgrams+rollingHash HOFs") {
+    import graft.expressions.StringExprs.ngramHashes
+    // the kernel replaced transform(wordNgrams(toks, n), rollingHash) —
+    // the last interpreted HOF pair on the per-doc shingle paths — and
+    // must match it bit for bit, including the skip-null concat_ws join
+    val df = Seq(
+      ("a", Seq("alpha", "beta", "gamma", "delta")),
+      ("b", Seq("x", "y")),           // exactly n for n=2, below n for n=3
+      ("c", Seq("only")),
+      ("d", Seq.empty[String]),
+      ("e", Seq("sp ace", "töken", "")) // internal space, unicode, empty token
+      ).toDF("id", "toks")
+      .union(Seq(("f", null.asInstanceOf[Seq[String]])).toDF("id", "toks"))
+      .withColumn("toks",
+        when(col("id") === "a",
+          concat(col("toks"), array(lit(null).cast("string"))))
+          .otherwise(col("toks")))
+    for (n <- Seq(1, 2, 3)) {
+      val both = df.select(col("id"),
+        ngramHashes(col("toks"), n).as("kernel"),
+        transform(wordNgrams(col("toks"), n), s => rollingHash(s)).as("hof"))
+      both.collect().foreach { r =>
+        assert(r.isNullAt(1) === r.isNullAt(2), s"null drift id=${r.getString(0)} n=$n")
+        if (!r.isNullAt(1))
+          assert(r.getSeq[Any](1) === r.getSeq[Any](2),
+            s"mismatch id=${r.getString(0)} n=$n")
+      }
+    }
+    // shingleHashes end-to-end: kernel formulation ≡ the old HOF chain
+    val texts = Seq("The quick brown fox jumps over the lazy dog",
+      "  spaced   out\ttokens\nhere  ", "", "one two", "unicode σκύλος here")
+      .toDF("text")
+    val cmp = texts.select(
+      shingleHashes(col("text"), 3).as("kernel"),
+      array_distinct(transform(
+        wordNgrams(wsTokens(lower(cleanAscii(col("text")))), 3),
+        s => rollingHash(s))).as("hof"))
+    cmp.collect().foreach(r =>
+      assert(r.getSeq[Any](0) === r.getSeq[Any](1)))
+  }
+
   test("simhash: near-dup texts land at small hamming distance") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = base + " extra1 extra2"
