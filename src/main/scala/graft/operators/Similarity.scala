@@ -507,7 +507,11 @@ object Similarity {
       vecsWithCell
         .select(monotonically_increasing_id().as("__rid"),
           col(idCol), col("cell"), col(vecCol))
-        .join(broadcast(shiftedBookDf(vecsWithCell.sparkSession, sb)), "cell")
+        // LEFT join: a row whose cell is not in the centroid set keeps
+        // its row with null codes, exactly like the inline when-chain
+        // (an inner join would silently drop it)
+        .join(broadcast(shiftedBookDf(vecsWithCell.sparkSession, sb)),
+          Seq("cell"), "left")
         .withColumn("__d", joinedSubDist(vecCol, sub))
         .groupBy(col("__rid"), col(idCol), col("cell"))
         .agg(aggs.head, aggs.tail: _*)

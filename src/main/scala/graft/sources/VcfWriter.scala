@@ -85,8 +85,11 @@ object VcfWriter {
     * internally (bgzip/tabix-friendly).
     */
   def writeShardedByChrom(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
+    // sort key leads with chrom: the partitioned text writer REQUIRES
+    // its tasks ordered by the partition column and would insert its
+    // own (unstable) sort otherwise, clobbering the pos order
     df.repartition(col("chrom"), VcfReader.posBucket(col("pos")))
-      .sortWithinPartitions(col("pos"))
+      .sortWithinPartitions(col("chrom"), col("pos"))
       .select(col("chrom"), lineCol(meta.samples).as("value"))
       .write.mode("overwrite")
       .partitionBy("chrom")

@@ -525,6 +525,14 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     val encF = Similarity.pqEncodeResidual(asg, cents, books, inlineLimit = 0)
     assert(rows(encF) === rows(encI))
 
+    // a row whose cell is unknown to the centroid set must KEEP its row
+    // (null codes) on both paths — the fallback's join may not drop it
+    val stray = asg.limit(1).withColumn("cell", lit(999L)).union(asg)
+    val strayI = Similarity.pqEncodeResidual(stray, cents, books)
+    val strayF = Similarity.pqEncodeResidual(stray, cents, books, inlineLimit = 0)
+    assert(strayI.count() === asg.count() + 1)
+    assert(rows(strayF) === rows(strayI))
+
     val trainI = Similarity.pqTrainStepResidual(asg, cents, books)
     val trainF = Similarity.pqTrainStepResidual(asg, cents, books, inlineLimit = 0)
     assert(trainF === trainI, "decimal-exact means must agree exactly")
