@@ -227,16 +227,26 @@ object Dedup {
     * before they go quadratic — candidate recall loss is documented,
     * pairs inside a dropped bucket are usually found via another band.
     */
-  def simhashNearDupPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val sim = simhashTable(df, idCol, textCol)
-    val banded = sim.select(
+  /** The ONE definition of simhash → 4×16-bit LSH band rows
+    * (id, simhash, band, key), shared by [[simhashNearDupPairs]] and
+    * the persisted cross-batch index ([[incrementalSimhashCandidates]])
+    * so band keys cannot drift between the in-corpus pair join and the
+    * incremental probe. Rows carry the full 64-bit simhash: a probe
+    * hamming-verifies candidates with a bit_count in the join
+    * projection, never revisiting corpus text.
+    */
+  def simhashBands(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashTable(df, idCol, textCol).select(
       col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffff)): _*))
         .as(Seq("band", "key")))
+
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val banded = simhashBands(df, idCol, textCol)
     val capped = maxBucket.fold(banded) { cap =>
       // window count per (band,key) rides the same hash-shuffle the
       // self-join needs; buckets over the cap are dropped entirely
@@ -251,6 +261,34 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cross-batch incremental SIMHASH near-dup —
+    * [[incrementalMinhashCandidates]]' hamming-VERIFIED twin: an
+    * arriving batch's band rows probe the corpus's persisted
+    * (id, simhash, band, key) index ([[simhashBands]]); matching
+    * (band, key) buckets yield (index_id, batch_id) candidates verified
+    * EXACTLY in the join projection (`bit_count(xor) ≤ maxHamming` —
+    * both sides carry their hash, so verification is free; minhash can
+    * only estimate). The index never recomputes hashes and never moves:
+    * land it `bucketBy(n, band, key)` and only the batch side shuffles
+    * into its layout (q74's one-sided-exchange shape). The 4×16-bit
+    * banding is pigeonhole-complete to hamming 3; wider thresholds
+    * trade recall, same as [[simhashNearDupPairs]]. Upsert = append the
+    * batch's own [[simhashBands]] rows after flagging.
+    */
+  def incrementalSimhashCandidates(
+      indexBands: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val probe = simhashBands(batch, idCol, textCol)
+    indexBands.as("ix")
+      .join(probe.as("pb"),
+        col("ix.band") === col("pb.band") && col("ix.key") === col("pb.key"))
+      .select(col("ix.id").as("index_id"), col("pb.id").as("batch_id"),
+        bit_count(col("ix.simhash").bitwiseXOR(col("pb.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

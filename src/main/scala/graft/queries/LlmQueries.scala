@@ -1947,8 +1947,42 @@ object LlmQueries extends QuerySet {
       ORDER BY index_id, batch_id
     """))
 
+  /** Cross-batch incremental SIMHASH near-dup — q74's banded-index
+    * pattern with EXACT in-join verification: the corpus's persisted
+    * (id, simhash, band, key) rows are probed by the planted batch,
+    * and every candidate's hamming distance is computed from the two
+    * stored hashes right in the join projection (no estimate, no text
+    * revisit). DuckDB rebuilds the 64-bit simhashes (q33's CTE), bands
+    * them on the unsigned HUGEINT, and replays the cross-batch join +
+    * bit_count verification.
+    */
+  private val q76 = Q(
+    "q76_incremental_simhash",
+    (s, dir) => {
+      val d2 = docs2(s, dir)
+      val index = Dedup.simhashBands(
+        d2.filter(col("id") <= 1000000L), "id", "text")
+      Dedup.incrementalSimhashCandidates(
+          index, d2.filter(col("id") > 1000000L), "id", "text", maxHamming = 6)
+        .orderBy("index_id", "batch_id")
+    },
+    Some(s"""
+      WITH $docs2Sql,
+      $simSql,
+      banded AS (SELECT id, simhash,
+                   CAST((usim >> CAST(band * 16 AS INT)) & 65535 AS BIGINT) AS key, band
+                 FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb),
+      cand AS (SELECT DISTINCT a.id AS index_id, b.id AS batch_id,
+                 bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.key = b.key
+                AND a.id <= 1000000 AND b.id > 1000000)
+      SELECT index_id, batch_id, hamming FROM cand
+      WHERE hamming <= 6 ORDER BY index_id, batch_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65, q66, q67, q69, q70, q71, q73, q74)
+      q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76)
 }

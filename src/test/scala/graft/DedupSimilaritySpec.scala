@@ -390,6 +390,47 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(thr, old)
   }
 
+  test("incremental simhash probe of a bucketed band index shuffles only the batch") {
+    import scala.jdk.CollectionConverters._
+    val table = "g_sh_band_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = java.nio.file.Paths.get(s"/tmp/graft-test-warehouse/$table")
+    if (java.nio.file.Files.exists(wh))
+      java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    val mk = (id: Long, tail: String) =>
+      (id, (1 to 30).map(i => s"w$i").mkString(" ") + " " + tail)
+    val corpus = Seq(mk(1L, "alpha"), mk(2L, "beta"),
+      (3L, "totally different text here okay")).toDF("id", "text")
+    Dedup.simhashBands(corpus, "id", "text")
+      .write.mode("overwrite").bucketBy(4, "band", "key")
+      .format("parquet").saveAsTable(table)
+    val batch = Seq(mk(10L, "alpha"), (11L, "unrelated batch doc entirely"))
+      .toDF("id", "text")
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thr)
+    spark.conf.set(thr, "-1") // force the at-scale (non-broadcast) shape
+    try {
+      val cand = Dedup.incrementalSimhashCandidates(
+        spark.table(table), batch, "id", "text", maxHamming = 3)
+      val got = cand.select("index_id", "batch_id")
+        .as[(Long, Long)].collect().toSet
+      // doc 10 is a token-identical copy of doc 1 (hamming 0); the
+      // unrelated batch doc must not flag at hamming ≤ 3
+      assert(got.contains((1L, 10L)), s"got $got")
+      assert(!got.exists(_._2 == 11L), s"got $got")
+      // hamming is exact: the (1, 10) candidate reports 0
+      assert(cand.filter(col("index_id") === 1 && col("batch_id") === 10)
+        .head().getAs[Int]("hamming") === 0)
+      // one-sided exchange: the bucketed index side reads in place
+      val plan = cand.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator.find(l =>
+        l.contains("FileScan") && l.contains(table)).getOrElse("")
+      assert(scanLine.contains("Bucketed: true"),
+        s"index scan is not bucketed:\n$plan")
+    } finally spark.conf.set(thr, old)
+  }
+
   test("kmeansTrain converges: objective non-increasing, early stop, centroids frozen") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
