@@ -351,22 +351,19 @@ object DocStreams {
       docs: DataFrame, indexBloom: Array[Byte],
       n: Int = 3, bands: Int = 4): DataFrame = {
     import graft.functions.TextFunctions._
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
-    import org.apache.spark.sql.types.BinaryType
     // `n` and `bands` MUST match the values the probed index was built
     // with (Dedup.minhashBands) — different shingle widths or banding
     // produce disjoint key spaces and every probe would miss
     val keyHashes = sigBandKeys(col("__sig"), bands).zipWithIndex.map {
       case (key, b) => xxhash64(lit(b), key)
     }
-    // ONE BloomFilterMightContain instance (inside the filter lambda):
-    // per-band instances would each deserialize their own copy of the
-    // corpus bloom on every executor — bands× the memory for a filter
-    // sized to a 100 TB corpus's key set (decontaminateStream precedent)
-    val hits = size(filter(array(keyHashes: _*), h =>
-      Bridge.column(BloomFilterMightContain(
-        Literal.create(indexBloom, BinaryType), Bridge.expression(h)))))
+    // ONE deserialized filter instance for all bands (per-band probe
+    // expressions would each hold their own copy of a filter sized to
+    // a 100 TB corpus's key set), and the whole probe is a single
+    // codegen'd pass — the previous size(filter(…)) lambda ran
+    // interpreted per element (§8's CodegenFallback pattern)
+    val hits = graft.expressions.BloomExprs.bloomHitCount(
+      indexBloom, array(keyHashes: _*))
     docs
       .withColumn("__sig", minhashSignature(shingleHashes(col("text"), n)))
       .withColumn("corpus_neardup", col("__sig").isNotNull && hits > 0)
@@ -377,8 +374,9 @@ object DocStreams {
     * hashes probe a BROADCAST Bloom built over the eval corpus's
     * shingles (Dedup.shingleBloom); docs with ≥ `minShared` hits are
     * dropped. Fully STATELESS — the eval set is a static byte-array
-    * literal, the probe a codegen'd might_contain per shingle — so the
-    * stage streams at scan speed with zero state store.
+    * literal, the probe ONE codegen'd pass over the shingle array
+    * (BloomExprs.bloomHitCount) — so the stage streams at scan speed
+    * with zero state store.
     *
     * Guarantee direction matters here: the Bloom has NO false
     * negatives, so a truly contaminated doc (≥ minShared real eval
@@ -391,12 +389,11 @@ object DocStreams {
       docs: DataFrame, evalBloom: Array[Byte],
       n: Int = 3, minShared: Int = 1): DataFrame = {
     import graft.functions.TextFunctions._
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
-    import org.apache.spark.sql.types.BinaryType
-    val hits = size(filter(shingleHashes(col("text"), n), sh =>
-      Bridge.column(BloomFilterMightContain(
-        Literal.create(evalBloom, BinaryType), Bridge.expression(sh)))))
+    // one codegen'd pass over the shingle array with one shared filter
+    // instance — the previous size(filter(…, might_contain)) lambda
+    // probed interpreted per shingle (§8's CodegenFallback pattern)
+    val hits = graft.expressions.BloomExprs.bloomHitCount(
+      evalBloom, shingleHashes(col("text"), n))
     docs.filter(hits < minShared)
   }
 
