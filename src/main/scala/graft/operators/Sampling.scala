@@ -56,4 +56,33 @@ object Sampling {
       df: DataFrame, stratumCol: String, idCol: String,
       rates: Map[String, Double], buckets: Int = 1000): DataFrame =
     df.filter(stratifiedFlag(col(stratumCol), col(idCol), rates, buckets))
+
+  /** Second mixing multiplier for [[shardShuffle]] — a different
+    * constant than [[HashMult]] so the shuffle ORDER decorrelates from
+    * the [[stratified]] sampling gate (both start from the same first
+    * mixing round). 48271 is the MINSTD generator multiplier;
+    * (p−1)·48271 ≈ 4.8e13 ≪ 2^63, exact in any engine.
+    */
+  val OrderMult = 48271L
+
+  /** Deterministic global training-order SHUFFLE — the last step of a
+    * pretraining pipeline (a model must not see the corpus in crawl
+    * order): every row gets a reproducible pseudo-random position
+    * (`shard`, `shuffle_key`) from two multiplicative-congruential
+    * mixing rounds of its id. Write `.repartition(col("shard"))
+    * .sortWithinPartitions("shuffle_key")` partitioned by shard and the
+    * training run reads shards in order — a fully shuffled sequence,
+    * bit-identical across retries, repartitioning, and engines (rand()
+    * resamples per task retry and silently reorders the corpus). ONE
+    * shuffle at any scale; distinct ids below [[HashPrime]] get
+    * distinct keys (both rounds are bijections of [0, p)), so the
+    * order admits no engine-dependent ties.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val m1 = pmod(pmod(col(idCol), lit(HashPrime)) * lit(HashMult), lit(HashPrime))
+    val m2 = pmod(m1 * lit(OrderMult), lit(HashPrime))
+    df.withColumn("shuffle_key", m2)
+      .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)).cast("int"))
+  }
 }

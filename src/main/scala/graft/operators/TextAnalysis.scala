@@ -56,6 +56,33 @@ object TextAnalysis {
   /** Document fingerprint: rolling hash of the ASCII-canonicalized text. */
   def fingerprint(text: Column): Column = rollingHash(cleanAscii(text))
 
+  /** Sliding-window token chunking — the context-length preprocessor:
+    * a doc longer than `chunk` tokens splits into windows of `chunk`
+    * tokens advancing by `stride` (overlap = chunk − stride preserves
+    * boundary context for the model). NARROW: one generator per doc
+    * (explode of the chunk-index range), token slices re-joined
+    * in-line — no shuffle, streams at scan speed, composes with
+    * pushdown. Docs at or under `chunk` tokens yield exactly one chunk
+    * (themselves).
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunk: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    import graft.functions.TextFunctions.wsTokens
+    val toks = wsTokens(col(textCol))
+    val nChunks = when(size(toks) <= chunk, lit(1))
+      .otherwise(ceil((size(toks) - chunk).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("__t"), nChunks.as("__n"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), col("__n") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__t"), col("chunk_idx") * stride + 1, lit(chunk)).as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__c")).as("n_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   // ---- PII scrubbing ---------------------------------------------------
   // Patterns stay in the RE2 ∩ java.util.regex dialect (no lookaround, no
   // backrefs) so the DuckDB oracle applies the byte-identical regex.

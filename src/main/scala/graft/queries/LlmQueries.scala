@@ -1981,8 +1981,78 @@ object LlmQueries extends QuerySet {
       WHERE hamming <= 6 ORDER BY index_id, batch_id
     """))
 
+  /** Sliding-window token chunking — the context-length preprocessor
+    * (docs over the window split with overlap so boundary context
+    * survives). Narrow generator per doc, no shuffle; DuckDB replays
+    * the window arithmetic, the list slices, and the chunk fingerprint
+    * hash. Empty-after-canonicalization docs are filtered on BOTH
+    * sides (DuckDB's split('') fabricates [''], Spark's wsTokens
+    * rightly yields []).
+    */
+  private val q77 = Q(
+    "q77_doc_chunking",
+    (s, dir) => {
+      val d2 = docs2(s, dir).filter(length(trim(col("text"))) > 0)
+      graft.operators.TextAnalysis
+        .chunkTokens(d2, "id", "text", chunk = 40, stride = 30)
+        .select(col("id"), col("chunk_idx"), col("n_tokens"),
+          graft.functions.TextFunctions.rollingHash(col("chunk_text")).as("chunk_fp"))
+        .orderBy("id", "chunk_idx")
+    },
+    Some(s"""
+      WITH $docs2Sql,
+      dt AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w
+             FROM docs2 WHERE length(trim(text)) > 0),
+      ch AS (SELECT id, w, unnest(range(0,
+               CASE WHEN len(w) <= 40 THEN 1
+                    ELSE CAST(ceil((len(w) - 40) / 30.0) AS BIGINT) + 1 END)) AS chunk_idx
+             FROM dt),
+      cw AS (SELECT id, chunk_idx,
+               w[CAST(chunk_idx * 30 + 1 AS INT):CAST(chunk_idx * 30 + 40 AS INT)] AS c
+             FROM ch)
+      SELECT id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(len(c) AS INT) AS n_tokens,
+             ${rollSql("array_to_string(c, ' ')")} AS chunk_fp
+      FROM cw ORDER BY id, chunk_idx
+    """))
+
+  /** Deterministic global training-order shuffle: two MCG mixing rounds
+    * give every row a reproducible (shard, order) position — no rand(),
+    * so retries/repartitioning/other engines reproduce the exact
+    * training sequence. The gate pins per-shard membership (count +
+    * id-sum), the key range, and the ORDER itself (first/last id by
+    * key); distinct ids get distinct keys, so no tie can flip a bit.
+    */
+  private val q78 = Q(
+    "q78_shard_shuffle",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"))
+      graft.operators.Sampling.shardShuffle(d, "id", shards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("id")).as("id_sum"),
+          min(col("shuffle_key")).as("min_key"),
+          max(col("shuffle_key")).as("max_key"),
+          min_by(col("id"), col("shuffle_key")).as("first_id"),
+          max_by(col("id"), col("shuffle_key")).as("last_id"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH sh AS (SELECT doc_id AS id,
+          (((((doc_id % 1000000007) * 2654435761) % 1000000007) * 48271) % 1000000007) AS shuffle_key
+        FROM documents)
+      SELECT CAST(shuffle_key % 8 AS INT) AS shard,
+             count(*) AS n_rows,
+             CAST(sum(id) AS BIGINT) AS id_sum,
+             min(shuffle_key) AS min_key,
+             max(shuffle_key) AS max_key,
+             arg_min(id, shuffle_key) AS first_id,
+             arg_max(id, shuffle_key) AS last_id
+      FROM sh GROUP BY 1 ORDER BY shard
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76)
+      q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78)
 }

@@ -197,6 +197,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(encEx <= 1, s"fallback encode must have ONE bounded exchange:\n$encP")
   }
 
+  test("q77 chunking and q78 shard shuffle stay narrow") {
+    // chunking: one generator per doc, no join/window, and NO hash
+    // exchange at all — the only exchanges are the fixture's
+    // round-robin fan-outs and the ordered output's range partitioning
+    val p77 = planOf("q77_doc_chunking")
+    assert(!p77.contains("Join") && !p77.contains("Window"), p77)
+    assert(!p77.contains("Exchange hashpartitioning"),
+      s"chunking itself must not shuffle:\n$p77")
+    // shard shuffle: the position assignment is a narrow projection —
+    // the single hash exchange is the gate's own per-shard aggregation
+    val p78 = planOf("q78_shard_shuffle")
+    assert(!p78.contains("Join") && !p78.contains("Window"), p78)
+    assert(p78.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"shard assignment must be narrow:\n$p78")
+  }
+
   test("q71 familiarity joins the reference vocabulary by broadcast") {
     val q = SparkEntry.queries("q71_ngram_familiarity")(spark, dir)
     q.collect()
