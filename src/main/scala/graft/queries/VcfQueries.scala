@@ -498,7 +498,111 @@ object VcfQueries extends QuerySet {
       GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  /** Genotype CONCORDANCE matrix between two samples — the standard
+    * duplicate/swap QC (two aliquots of one individual should be
+    * near-diagonal; a swapped pair lights up the off-diagonal): join
+    * the annotated long frame to itself on the site key for a fixed
+    * sample pair and count every (zygosity_a, zygosity_b) cell. The
+    * reference's notebooks assemble this by hand from the long matrix.
+    * Scale shape: both sides are filtered views of ONE annotate plan
+    * (shared via ReusedExchange), the join is site-keyed — on a
+    * toBucketedTable landing it plans with zero exchanges.
+    */
+  private val q79 = Q(
+    "q79_sample_concordance",
+    (s, dir) => {
+      val ann = VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val key = Seq("chrom", "pos", "ref", "alt")
+      val a = ann.filter(col("sample_id") === "g1")
+        .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+          col("zygosity").as("zyg_a"))
+      val b = ann.filter(col("sample_id") === "g2")
+        .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+          col("zygosity").as("zyg_b"))
+      a.join(b, key)
+        .groupBy("zyg_a", "zyg_b")
+        .agg(count(lit(1)).as("n_sites"))
+        .orderBy("zyg_a", "zyg_b")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes,
+      ca AS (SELECT chrom, pos, ref, alt, zygosity AS zyg_a
+             FROM ann WHERE sample_id = 'g1'),
+      cb AS (SELECT chrom, pos, ref, alt, zygosity AS zyg_b
+             FROM ann WHERE sample_id = 'g2')
+      SELECT zyg_a, zyg_b, count(*) AS n_sites
+      FROM ca JOIN cb USING (chrom, pos, ref, alt)
+      GROUP BY 1, 2 ORDER BY zyg_a, zyg_b
+    """))
+
+  /** Trio MENDELIAN-violation rate per chromosome — family-based QC
+    * (elevated violation rates flag sample mix-ups, contamination, or
+    * caller artifacts): treat (g1, g2, g3) as (child, mother, father),
+    * join the annotated long frame three ways on the site key, and
+    * test whether the child's alleles are explainable as one from each
+    * parent (either assignment). Sites with any missing or haploid
+    * call are excluded, as in practice. Same ReusedExchange/bucketed
+    * scale shape as q79 — ONE annotate plan read three times, the
+    * joins site-keyed.
+    */
+  private val q80 = Q(
+    "q80_trio_mendel",
+    (s, dir) => {
+      val ann = VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val key = Seq("chrom", "pos", "ref", "alt")
+      def sampleView(sid: String, p: String) =
+        ann.filter(col("sample_id") === sid)
+          .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+            col("a1").as(s"${p}_a1"), col("a2").as(s"${p}_a2"))
+      val trio = sampleView("g1", "c")
+        .join(sampleView("g2", "m"), key)
+        .join(sampleView("g3", "f"), key)
+        .filter(Seq("c_a1", "c_a2", "m_a1", "m_a2", "f_a1", "f_a2")
+          .map(c => col(c).isNotNull && col(c) =!= ".").reduce(_ && _))
+      val fromM = col("c_a1").isin(col("m_a1"), col("m_a2")) &&
+        col("c_a2").isin(col("f_a1"), col("f_a2"))
+      val fromF = col("c_a1").isin(col("f_a1"), col("f_a2")) &&
+        col("c_a2").isin(col("m_a1"), col("m_a2"))
+      trio
+        .withColumn("viol", when(!(fromM || fromF), 1L).otherwise(0L))
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_sites"),
+          sum(col("viol")).as("n_violations"),
+          micro(sum(col("viol")) / count(lit(1))).as("viol_micro"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes,
+      tv AS (
+        SELECT c.chrom,
+          c.a1 AS c_a1, c.a2 AS c_a2,
+          m.a1 AS m_a1, m.a2 AS m_a2,
+          f.a1 AS f_a1, f.a2 AS f_a2
+        FROM (SELECT * FROM ann WHERE sample_id = 'g1') c
+        JOIN (SELECT * FROM ann WHERE sample_id = 'g2') m
+          USING (chrom, pos, ref, alt)
+        JOIN (SELECT * FROM ann WHERE sample_id = 'g3') f
+          USING (chrom, pos, ref, alt)
+        WHERE c.a1 IS NOT NULL AND c.a1 <> '.' AND c.a2 IS NOT NULL AND c.a2 <> '.'
+          AND m.a1 IS NOT NULL AND m.a1 <> '.' AND m.a2 IS NOT NULL AND m.a2 <> '.'
+          AND f.a1 IS NOT NULL AND f.a1 <> '.' AND f.a2 IS NOT NULL AND f.a2 <> '.'),
+      tj AS (
+        SELECT chrom,
+          CASE WHEN NOT ((c_a1 IN (m_a1, m_a2) AND c_a2 IN (f_a1, f_a2))
+                      OR (c_a1 IN (f_a1, f_a2) AND c_a2 IN (m_a1, m_a2)))
+               THEN 1 ELSE 0 END AS viol
+        FROM tv)
+      SELECT chrom, count(*) AS n_sites,
+             CAST(sum(viol) AS BIGINT) AS n_violations,
+             ${microSql("sum(viol) * 1.0 / count(*)")} AS viol_micro
+      FROM tj GROUP BY chrom ORDER BY chrom
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
-      q68, q72)
+      q68, q72, q79, q80)
 }
