@@ -213,6 +213,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"shard assignment must be narrow:\n$p78")
   }
 
+  test("q79/q80 family QC read ONE annotate plan via ReusedExchange") {
+    // the concordance/trio joins consume two (three) filtered views of
+    // the same annotated frame — the site-window exchange must be
+    // computed once and reused, not re-derived per view
+    for (name <- Seq("q79_sample_concordance", "q80_trio_mendel")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("ReusedExchange"),
+        s"$name re-derives the annotate subtree:\n$p")
+    }
+  }
+
   test("q71 familiarity joins the reference vocabulary by broadcast") {
     val q = SparkEntry.queries("q71_ngram_familiarity")(spark, dir)
     q.collect()
