@@ -602,7 +602,51 @@ object VcfQueries extends QuerySet {
       FROM tj GROUP BY chrom ORDER BY chrom
     """))
 
+  /** Genomic RANGE join (variants × regions) — "which region does each
+    * variant fall in": synthetic intervals derived deterministically
+    * from `part`, joined to distinct variant sites through
+    * [[graft.operators.RangeJoin.pointInInterval]]'s bucket
+    * decomposition (equi-join on (chrom, bucket) + in-join range
+    * check — never a per-chrom nested loop; PlanSpec forbids the
+    * cartesian shapes). DuckDB replays the interval derivation and the
+    * range join directly.
+    */
+  private val q81 = Q(
+    "q81_region_join",
+    (s, dir) => {
+      val sites = wide(s, dir).select(col("chrom"), col("pos")).distinct()
+      val regions = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("region_id"))
+        .withColumn("chrom",
+          (lit(1) + pmod(col("region_id"), lit(22L))).cast("string"))
+        .withColumn("start",
+          (lit(1000L) + pmod(col("region_id") * 613L, lit(90000L))).cast("int"))
+        .withColumn("end",
+          (col("start") + lit(500) +
+            pmod(col("region_id"), lit(7L)).cast("int") * 800).cast("int"))
+      graft.operators.RangeJoin
+        .pointInInterval(sites, regions, bucketShift = 14)
+        .groupBy("region_id")
+        .agg(count(lit(1)).as("n_variants"),
+          min("pos").as("min_pos"), max("pos").as("max_pos"))
+        .orderBy("region_id")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      sites AS (SELECT DISTINCT regexp_replace(chrom_raw, '^chr', '') AS chrom, pos FROM v),
+      regions AS (SELECT CAST(p_partkey AS BIGINT) AS region_id,
+          CAST(1 + (p_partkey % 22) AS VARCHAR) AS chrom,
+          CAST(1000 + (p_partkey * 613) % 90000 AS INT) AS rstart,
+          CAST(1000 + (p_partkey * 613) % 90000 + 500 + (p_partkey % 7) * 800 AS INT) AS rend
+        FROM part)
+      SELECT region_id, count(*) AS n_variants,
+             min(pos) AS min_pos, max(pos) AS max_pos
+      FROM sites s JOIN regions r
+        ON s.chrom = r.chrom AND s.pos BETWEEN r.rstart AND r.rend
+      GROUP BY region_id ORDER BY region_id
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
-      q68, q72, q79, q80)
+      q68, q72, q79, q80, q81)
 }
