@@ -49,4 +49,38 @@ object RangeJoin {
       .drop(col(s"i.$chromCol"))
       .drop(col("p.__b")).drop(col("i.__b"))
   }
+
+  /** Interval-interval OVERLAP join (closed intervals; `left` carries
+    * `startCol`/`endCol`, `right` carries `rStartCol`/`rEndCol` — the
+    * caller renames so output columns cannot collide). Same bucket
+    * decomposition as [[pointInInterval]], both sides exploded; each
+    * overlapping pair is emitted EXACTLY once because only the bucket
+    * containing `max(start_l, start_r)` emits it — that bucket lies in
+    * both spans precisely when the intervals overlap (max(start) ≤
+    * min(end)), so no downstream distinct is needed (a distinct would
+    * be a second shuffle of the full pair stream).
+    */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      chromCol: String = "chrom",
+      startCol: String = "start", endCol: String = "end",
+      rStartCol: String = "r_start", rEndCol: String = "r_end",
+      bucketShift: Int = 20): DataFrame = {
+    require(bucketShift >= 0 && bucketShift < 32,
+      s"bucketShift must be in [0, 32), got $bucketShift")
+    def burst(df: DataFrame, s: String, e: String) =
+      df.withColumn("__b", explode(sequence(
+        shiftright(col(s), bucketShift), shiftright(col(e), bucketShift))))
+    val l = burst(left, startCol, endCol).alias("l")
+    val r = burst(right, rStartCol, rEndCol).alias("r")
+    l.join(r,
+        col(s"l.$chromCol") === col(s"r.$chromCol") &&
+          col("l.__b") === col("r.__b") &&
+          col(s"l.$startCol") <= col(s"r.$rEndCol") &&
+          col(s"r.$rStartCol") <= col(s"l.$endCol") &&
+          col("l.__b") === shiftright(
+            greatest(col(s"l.$startCol"), col(s"r.$rStartCol")), bucketShift))
+      .drop(col(s"r.$chromCol"))
+      .drop(col("l.__b")).drop(col("r.__b"))
+  }
 }

@@ -646,7 +646,63 @@ object VcfQueries extends QuerySet {
       GROUP BY region_id ORDER BY region_id
     """))
 
+  /** Interval-interval OVERLAP join (regions × capture targets) — the
+    * two-sided range-join rung above q81: both interval sets bucket-
+    * decompose, each overlapping pair emitted exactly once (only the
+    * max-start bucket emits — no distinct, no second shuffle of the
+    * pair stream). Gate aggregates per chrom: pair count + total
+    * overlapped bases, DuckDB replaying the derivations and a direct
+    * range join.
+    */
+  private val q82 = Q(
+    "q82_interval_overlap",
+    (s, dir) => {
+      val regions = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("region_id"))
+        .withColumn("chrom",
+          (lit(1) + pmod(col("region_id"), lit(22L))).cast("string"))
+        .withColumn("start",
+          (lit(1000L) + pmod(col("region_id") * 613L, lit(90000L))).cast("int"))
+        .withColumn("end",
+          (col("start") + lit(500) +
+            pmod(col("region_id"), lit(7L)).cast("int") * 800).cast("int"))
+      val targets = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("target_id"))
+        .withColumn("chrom",
+          (lit(1) + pmod(col("target_id"), lit(22L))).cast("string"))
+        .withColumn("r_start",
+          (lit(1000L) + pmod(col("target_id") * 389L, lit(90000L))).cast("int"))
+        .withColumn("r_end",
+          (col("r_start") + lit(200) +
+            pmod(col("target_id"), lit(5L)).cast("int") * 900).cast("int"))
+      graft.operators.RangeJoin
+        .intervalOverlap(regions, targets, bucketShift = 14)
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("end"), col("r_end")) -
+            greatest(col("start"), col("r_start")) + 1).as("overlap_bases"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH regions AS (SELECT CAST(p_partkey AS BIGINT) AS region_id,
+          CAST(1 + (p_partkey % 22) AS VARCHAR) AS chrom,
+          CAST(1000 + (p_partkey * 613) % 90000 AS INT) AS rstart,
+          CAST(1000 + (p_partkey * 613) % 90000 + 500 + (p_partkey % 7) * 800 AS INT) AS rend
+        FROM part),
+      targets AS (SELECT CAST(o_orderkey AS BIGINT) AS target_id,
+          CAST(1 + (o_orderkey % 22) AS VARCHAR) AS chrom,
+          CAST(1000 + (o_orderkey * 389) % 90000 AS INT) AS tstart,
+          CAST(1000 + (o_orderkey * 389) % 90000 + 200 + (o_orderkey % 5) * 900 AS INT) AS tend
+        FROM orders)
+      SELECT r.chrom, count(*) AS n_pairs,
+             CAST(sum(least(r.rend, t.tend) - greatest(r.rstart, t.tstart) + 1) AS BIGINT)
+               AS overlap_bases
+      FROM regions r JOIN targets t
+        ON r.chrom = t.chrom AND r.rstart <= t.tend AND t.tstart <= r.rend
+      GROUP BY r.chrom ORDER BY r.chrom
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
-      q68, q72, q79, q80, q81)
+      q68, q72, q79, q80, q81, q82)
 }

@@ -213,15 +213,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"shard assignment must be narrow:\n$p78")
   }
 
-  test("q81 range join is an equi-join on (chrom, bucket), never a nested loop") {
-    val q = SparkEntry.queries("q81_region_join")(spark, dir)
-    q.collect()
-    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // the bucket decomposition must reduce the inequality join to an
-    // equi-join — a BNLJ/cartesian here is the per-chrom quadratic scan
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"range join planned as a nested loop:\n$p")
-    assert(p.contains("Join"), p)
+  test("q81/q82 range joins are equi-joins on (chrom, bucket), never nested loops") {
+    for (name <- Seq("q81_region_join", "q82_interval_overlap")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // the bucket decomposition must reduce the inequality join to an
+      // equi-join — a BNLJ/cartesian here is the per-chrom quadratic scan
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name planned as a nested loop:\n$p")
+      assert(p.contains("Join"), p)
+    }
   }
 
   test("q79/q80 family QC read ONE annotate plan via ReusedExchange") {
