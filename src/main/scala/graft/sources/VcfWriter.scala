@@ -97,6 +97,21 @@ object VcfWriter {
     writeHeader(df, meta, outDir)
   }
 
+  /** [[writeSharded]] with BGZF-compressed shards (graft's own
+    * [[graft.sources.v2.BgzfCodec]]): each `part-*.gz` is a valid
+    * multi-member gzip stream (any gunzip reads it) built from ≤64 KiB
+    * BGZF blocks — so a sorted shard can be tabix/CSI-indexed and the
+    * engine's OWN voff-splittable scan (`format("vcf")` + sibling
+    * index) applies to the engine's own output. The emit stays fully
+    * distributed; compression is per-writer-task, streaming.
+    */
+  def writeShardedBgzf(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
+    toVcfLines(df, meta.samples).write.mode("overwrite")
+      .option("compression", classOf[graft.sources.v2.BgzfCodec].getName)
+      .text(s"$outDir/shards")
+    writeHeader(df, meta, outDir)
+  }
+
   private def writeHeader(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val headerPath = new Path(outDir, "header.vcf")

@@ -77,6 +77,52 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
     assert(line.endsWith("GT\t./.\t0/1"))
   }
 
+  test("writeShardedBgzf: shards are true BGZF and round-trip through every reader") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = VcfFixture.write().toString
+    val meta = VcfReader.metadata(spark, p)
+    val df = VcfReader.read(spark, p)
+    val out = Files.createTempDirectory("graft_vcf_bgzf").toString
+    VcfWriter.writeShardedBgzf(df, meta, out)
+
+    val shards = Files.list(Paths.get(out, "shards")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".gz")).toSeq.sortBy(_.toString)
+    assert(shards.nonEmpty)
+    // 1. every shard ends with the fixed 28-byte BGZF EOF member
+    shards.foreach { sh =>
+      val bytes = Files.readAllBytes(sh)
+      assert(bytes.length >= 28 &&
+        bytes.takeRight(28).sameElements(graft.sources.v2.BgzfOutputStream.EofMarker),
+        s"$sh does not end with the BGZF EOF marker")
+    }
+    // 2. plain gunzip reads the multi-member stream (bgzf IS gzip)
+    val viaGzip = shards.flatMap { sh =>
+      val in = new java.util.zip.GZIPInputStream(Files.newInputStream(sh))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(viaGzip.size === 7)
+    // 3. the engine's own block-exact reader walks the blocks
+    val viaBlocks = shards.flatMap { sh =>
+      val hp = new org.apache.hadoop.fs.Path(sh.toUri)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val r = new graft.sources.v2.BgzfLineReader(
+        fs.open(hp), 0L, Files.size(sh))
+      try Iterator.continually(r.readLine()).takeWhile(_ != null).toList
+      finally r.close()
+    }
+    assert(viaBlocks === viaGzip, "block-exact read drifted from gunzip")
+    // 4. the DSv2 path round-trips the rows (headerless shards + the
+    // samples override)
+    val again = VcfReader.parseLines(
+      spark.read.text(s"$out/shards").withColumnRenamed("value", "value"),
+      meta.columns, meta.samples)
+    val a = df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val b = again.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(a === b)
+  }
+
   test("writeShardedByChrom: per-chrom dirs, fan-out shards, per-chrom cat is a valid VCF") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
