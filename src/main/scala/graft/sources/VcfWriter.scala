@@ -106,10 +106,37 @@ object VcfWriter {
     * distributed; compression is per-writer-task, streaming.
     */
   def writeShardedBgzf(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
-    toVcfLines(df, meta.samples).write.mode("overwrite")
+    // each shard position-sorted (chrom runs contiguous) — the
+    // precondition for indexing it; cheap relative to the write
+    toVcfLines(df.sortWithinPartitions(col("chrom"), col("pos")), meta.samples)
+      .write.mode("overwrite")
       .option("compression", classOf[graft.sources.v2.BgzfCodec].getName)
       .text(s"$outDir/shards")
     writeHeader(df, meta, outDir)
+  }
+
+  /** Build a `.csi` sibling for every BGZF shard under `outDir/shards`
+    * — the engine indexes its own [[writeShardedBgzf]] output with no
+    * external tooling (TabixIndex.buildForBgzfVcf walks each shard's
+    * blocks), after which `format("vcf")` over the shard glob prunes
+    * `chrom`/`pos` regions AND splits large shards exactly like any
+    * tabix-indexed input. One executor task per shard; the driver never
+    * reads data bytes.
+    */
+  def indexBgzfShards(spark: org.apache.spark.sql.SparkSession, outDir: String): Unit = {
+    val dir = new Path(s"$outDir/shards")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".gz")).map(_.getPath.toString)
+    if (shards.isEmpty) return
+    spark.sparkContext
+      .parallelize(shards.toSeq, shards.length)
+      .foreach { p =>
+        val sp = new Path(p)
+        // task-side conf: default resources carry the cluster FS config
+        val tfs = sp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        graft.sources.v2.TabixIndex.indexBgzfSibling(tfs, sp)
+      }
   }
 
   private def writeHeader(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {

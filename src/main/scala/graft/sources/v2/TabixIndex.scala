@@ -330,6 +330,130 @@ object TabixIndex {
   def compressedOffset(voff: Long): Long = voff >>> 16
   def uncompressedOffset(voff: Long): Int = (voff & 0xffff).toInt
 
+  /** The SMALLEST bin fully containing [beg0, end0Ex) — standard
+    * reg2bin. A record straddling a window boundary files under the
+    * parent bin, which every overlapping query's [[reg2bins]] list
+    * includes — filing it under the deepest bin of `beg` alone would
+    * let a query that overlaps only the record's tail miss it.
+    */
+  def reg2bin(beg0: Long, end0Ex: Long, minShift: Int = 14,
+      depth: Int = 5): Int = {
+    val end = math.max(beg0, end0Ex - 1)
+    var s = minShift
+    var l = depth
+    while (l > 0) {
+      if ((beg0 >> s) == (end >> s))
+        return ((((1L << (3 * l)) - 1) / 7) + (beg0 >> s)).toInt
+      s += 3; l -= 1
+    }
+    0
+  }
+
+  /** Build an [[Index]] for one position-sorted BGZF VCF shard by
+    * walking its blocks with [[BgzfLineReader]] — the engine indexes
+    * its OWN [[graft.sources.VcfWriter.writeShardedBgzf]] output with
+    * no external tooling, after which `format("vcf")` prunes regions
+    * and splits the shard like any tabix-indexed input. Record spans
+    * are [pos-1, pos-1+len(REF)) so deletions crossing a window
+    * boundary land in the covering parent bin ([[reg2bin]]). Refuses
+    * unsorted shards loudly (an index over unsorted data silently
+    * drops rows at query time — the failure mode to never ship).
+    */
+  def buildForBgzfVcf(fs: FileSystem, dataPath: Path,
+      minShift: Int = 14, depth: Int = 5): Index = {
+    val len = fs.getFileStatus(dataPath).getLen
+    val endVoff = len << 16
+    val r = new BgzfLineReader(fs.open(dataPath), 0L, len)
+    try {
+      val refs = mutable.LinkedHashMap
+        .empty[String, mutable.LinkedHashMap[Int, mutable.ArrayBuffer[Chunk]]]
+      val seen = mutable.Set.empty[String]
+      var curChrom: String = null
+      var lastPos = -1L
+      var v0 = r.nextVoff()
+      var done = v0 == -1L
+      while (!done) {
+        val line = r.readLine()
+        if (line == null) done = true
+        else {
+          val v1 = r.nextVoff() match { case -1L => endVoff; case v => v }
+          if (line.nonEmpty && line.charAt(0) != '#') {
+            val t1 = line.indexOf('\t')
+            val t2 = line.indexOf('\t', t1 + 1)
+            val t3 = line.indexOf('\t', t2 + 1)
+            val t4 = line.indexOf('\t', t3 + 1)
+            require(t1 > 0 && t2 > t1 && t3 > t2 && t4 > t3,
+              s"$dataPath: malformed VCF line at voff $v0")
+            val chrom = line.substring(0, t1)
+            val pos = line.substring(t1 + 1, t2).toLong
+            if (chrom != curChrom) {
+              require(seen.add(chrom),
+                s"$dataPath is not sorted: chromosome $chrom appears in two runs")
+              curChrom = chrom
+              lastPos = -1L
+            }
+            require(pos >= lastPos,
+              s"$dataPath is not position-sorted at $chrom:$pos")
+            lastPos = pos
+            val refLen = math.max(1, t4 - t3 - 1)
+            val bin = reg2bin(pos - 1, pos - 1 + refLen, minShift, depth)
+            val bins = refs.getOrElseUpdate(chrom, mutable.LinkedHashMap.empty)
+            bins.get(bin) match {
+              case Some(cs) if cs.last.end == v0 =>
+                cs(cs.length - 1) = Chunk(cs.last.beg, v1)
+              case _ =>
+                bins.getOrElseUpdate(bin, mutable.ArrayBuffer.empty) += Chunk(v0, v1)
+            }
+          }
+          v0 = v1
+          if (v0 == endVoff) done = true
+        }
+      }
+      Index(refs.map { case (name, bins) =>
+        val chunks = bins.valuesIterator.flatten.toSeq
+        Ref(name, chunks.map(_.beg).min, chunks.map(_.end).max,
+          Array.empty[Long], bins.view.mapValues(_.toArray).toMap,
+          minShift, depth)
+      }.toSeq)
+    } finally r.close()
+  }
+
+  /** Write `idx` as a `.csi` at `out` (htslib CSI v1 layout — the
+    * format [[readCsi]] reads; tabix aux header, no linear index,
+    * loffset 0). Everything goes through the Hadoop filesystem of
+    * `out`, so hdfs/s3a/local all work.
+    */
+  def writeCsi(fs: FileSystem, out: Path, idx: Index,
+      minShift: Int = 14, depth: Int = 5): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit =
+      (0 until 4).foreach(b => bos.write((v >>> (8 * b)) & 0xff))
+    def i64(v: Long): Unit =
+      (0 until 8).foreach(b => bos.write(((v >>> (8 * b)) & 0xff).toInt))
+    bos.write('C'); bos.write('S'); bos.write('I'); bos.write(1)
+    i32(minShift); i32(depth)
+    val names = idx.refs.map(_.name + "\u0000").mkString.getBytes("UTF-8")
+    i32(28 + names.length) // l_aux
+    i32(2); i32(1); i32(2); i32(0); i32('#'); i32(0) // tabix-style aux
+    i32(names.length); bos.write(names)
+    i32(idx.refs.length)
+    idx.refs.foreach { r =>
+      i32(r.bins.size)
+      r.bins.toSeq.sortBy(_._1).foreach { case (bin, chunks) =>
+        i32(bin); i64(0L); i32(chunks.length)
+        chunks.foreach { c => i64(c.beg); i64(c.end) }
+      }
+    }
+    val gz = new java.util.zip.GZIPOutputStream(fs.create(out, true))
+    try gz.write(bos.toByteArray) finally gz.close()
+  }
+
+  /** [[buildForBgzfVcf]] + [[writeCsi]] to the `.csi` sibling. */
+  def indexBgzfSibling(fs: FileSystem, dataPath: Path,
+      minShift: Int = 14, depth: Int = 5): Unit =
+    writeCsi(fs, csiSibling(dataPath),
+      buildForBgzfVcf(fs, dataPath, minShift, depth), minShift, depth)
+
   /** BGZF blocks are at most 64 KiB compressed — reading this many raw
     * bytes past a block start always covers the whole block. */
   val MaxBlockSize: Long = 65536L

@@ -123,6 +123,55 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
     assert(a === b)
   }
 
+  test("indexBgzfShards: self-indexed bgzf output prunes regions and splits") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the full loop with ZERO external tooling: emit bgzf shards, index
+    // them with the engine's own CSI builder, read them back pruned +
+    // split through format("vcf")
+    // rows padded with poorly-compressing digits so each shard spans
+    // several 64 KiB BGZF blocks — split granularity is a block
+    val rows = for { c <- Seq("1", "2"); i <- 1 to 3000 } yield (
+      c, i * 137 + 100, s"rs${c}_$i", "A", "G", "50", "PASS",
+      s"DP=$i;X=" + (i * 2654435761L).toString * 8,
+      "GT", Map("S1" -> "0/1"))
+    val df = rows.toDF("chrom", "pos", "id", "ref", "alt", "qual",
+      "filter", "info", "format", "genotypes").repartition(2)
+    val meta = VcfReader.fromHeaderLines(Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"))
+    val out = Files.createTempDirectory("graft_vcf_selfidx").toString
+    VcfWriter.writeShardedBgzf(df, meta, out)
+    VcfWriter.indexBgzfShards(spark, out)
+
+    val shardDir = java.nio.file.Paths.get(out, "shards")
+    val gz = Files.list(shardDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".gz")).toSeq
+    assert(gz.nonEmpty)
+    gz.foreach(g => assert(Files.exists(shardDir.resolve(g + ".csi")),
+      s"missing csi sibling for $g"))
+
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "2048")
+    try {
+      val glob = s"$out/shards/*.gz"
+      val full = spark.read.format("vcf").option("samples", "S1").load(glob)
+      assert(full.count() === 6000)
+      // the index makes the engine's own output SPLITTABLE
+      assert(full.rdd.getNumPartitions > gz.size,
+        s"no splits within self-indexed shards: ${full.rdd.getNumPartitions}")
+      // and PRUNABLE: a locus query reads fewer partitions, right rows
+      val region = spark.read.format("vcf").option("samples", "S1").load(glob)
+        .filter(col("chrom") === "1" && col("pos").between(100, 5000))
+      assert(region.count() === 35) // i*137+100 ≤ 5000 → i ≤ 35
+      assert(region.rdd.getNumPartitions < full.rdd.getNumPartitions,
+        "region query did not prune the self-indexed shards")
+    } finally spark.conf.set(key, old)
+  }
+
   test("writeShardedByChrom: per-chrom dirs, fan-out shards, per-chrom cat is a valid VCF") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
