@@ -172,6 +172,24 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("empty bgzf shard (EOF member only) indexes and reads as zero rows") {
+    import java.nio.file.Files
+    // a writer task that receives no rows still closes its stream: the
+    // shard is the bare 28-byte EOF member; the index builder and the
+    // readers must treat it as an empty, not broken, file
+    val dir = Files.createTempDirectory("graft_bgzf_empty")
+    val f = dir.resolve("empty.vcf.gz")
+    Files.write(f, graft.sources.v2.BgzfOutputStream.EofMarker)
+    val hp = new org.apache.hadoop.fs.Path(f.toUri)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.v2.TabixIndex.indexBgzfSibling(fs, hp)
+    assert(Files.exists(dir.resolve("empty.vcf.gz.csi")))
+    val idx = graft.sources.v2.TabixIndex.readSibling(fs, hp)
+    assert(idx.exists(_.refs.isEmpty))
+    val df = spark.read.format("vcf").option("samples", "S1").load(f.toString)
+    assert(df.count() === 0)
+  }
+
   test("writeShardedByChrom: per-chrom dirs, fan-out shards, per-chrom cat is a valid VCF") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
