@@ -89,6 +89,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!texts.exists(t => t.contains("@ex.com") || t.contains("555-")))
   }
 
+  test("streaming chunking: the stateless chunkTokens streams as-is, equals batch") {
+    import graft.streaming.DocStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    // chunkTokens is a narrow generator — no state, no watermark needed;
+    // applying it to a stream must produce exactly the batch chunks
+    val docs = Seq(
+      Doc(ts(0), 1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 3 chunks at 10/8
+      Doc(ts(1), 2L, "tiny doc"),                               // 1 chunk
+      Doc(ts(2), 3L, (1 to 10).map(i => s"x$i").mkString(" "))) // exactly one window
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(docs)
+    val q = graft.operators.TextAnalysis
+      .chunkTokens(mem.toDF(), "doc_id", "text", chunk = 10, stride = 8)
+      .writeStream.format("memory").queryName("graft_chunk_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("graft_chunk_stream")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val batch = graft.operators.TextAnalysis
+      .chunkTokens(docs.toDF(), "doc_id", "text", chunk = 10, stride = 8)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamed === batch)
+    assert(streamed.keys.map(_.head).toSet === Set(1L, 2L, 3L))
+  }
+
   test("streaming near-dup flags: banded simhash state catches the late copy") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc
