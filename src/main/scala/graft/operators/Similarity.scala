@@ -75,17 +75,30 @@ object Similarity {
     // NOTE: counting/collecting the centroid side runs a (tiny) job at
     // plan-build time — the training-loop semantics callers want:
     // centroid values freeze when the assignment is built.
-    val cents = centroids
-      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
+    val cents = collectCents(centroids, centIdCol, centVecCol)
     require(cents.nonEmpty, "ivfAssign needs at least one centroid")
+    assignPlan(vecs, cents, centroids, idCol, vecCol, centIdCol, centVecCol,
+      keepDist = false)
+  }
+
+  /** The shared assignment plan behind [[ivfAssign]] and the fused
+    * training scan: inline argmin below [[InlineCentroidLimit]],
+    * broadcast-join + per-physical-row top-1 above it. `keepDist = true`
+    * additionally retains the winning squared distance as `__dist` —
+    * the WCSS term [[kmeansStepWithObjective]] folds into its
+    * aggregation so training needs no separate objective scan.
+    */
+  private def assignPlan(
+      vecs: DataFrame, cents: Seq[(Long, Seq[Double])], centroids: DataFrame,
+      idCol: String, vecCol: String, centIdCol: String, centVecCol: String,
+      keepDist: Boolean): DataFrame = {
     if (cents.length <= InlineCentroidLimit) {
       val best = cents.map { case (cid, cv) =>
         struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cid"))
       }.reduceLeft((a, b) => least(a, b))
-      vecs.select(col(idCol), col(vecCol), best.getField("cid").as("cell"))
+      val base = Seq(col(idCol), col(vecCol), best.getField("cid").as("cell"))
+      vecs.select(
+        (if (keepDist) base :+ best.getField("d").as("__dist") else base): _*)
     } else {
       // big-nlist fallback: broadcast join + per-vector top-1; Spark's
       // partial WindowGroupLimit reduces to one row per vector BEFORE
@@ -94,12 +107,14 @@ object Similarity {
       // duplicate (or null) vec ids must each keep their own assignment
       // row, exactly as the inline path emits one row per input row
       val w = Window.partitionBy(col("__rid")).orderBy(col("__d").asc, col(centIdCol).asc)
-      vecs.select(monotonically_increasing_id().as("__rid"), col(idCol), col(vecCol))
+      val top1 = vecs
+        .select(monotonically_increasing_id().as("__rid"), col(idCol), col(vecCol))
         .crossJoin(broadcast(centroids))
         .withColumn("__d", l2sq(col(vecCol), col(centVecCol)))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
+      val base = Seq(col(idCol), col(vecCol), col(centIdCol).as("cell"))
+      top1.select((if (keepDist) base :+ col("__d").as("__dist") else base): _*)
     }
   }
 
@@ -179,6 +194,35 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s("c")).as("cv"))
 
+  /** [[kmeansStep]] fused with the k-means objective — ONE corpus scan
+    * yields both. The same assignment the step aggregates over also
+    * knows each vector's winning squared distance (the WCSS term of the
+    * centroids it was assigned against); parking it on that vector's
+    * dim-1 row counts it exactly once, so
+    * `Σ qe  =  ivfQuantError(vecs, centroids)` up to double-summation
+    * order (the identity [[kmeansTrain]] uses to halve its training
+    * scans: the objective of round i's centroids falls out of round i's
+    * step scan — no separate objective pass). Output is kmeansStep's
+    * (cell, dim, n, c) plus `qe`, null off the dim-1 rows;
+    * [[kmeansCentroids]] consumes it unchanged.
+    */
+  def kmeansStepWithObjective(
+      vecs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "v",
+      centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
+    import graft.queries.QueryUtil.{avg6, dec}
+    val cents = collectCents(centroids, centIdCol, centVecCol)
+    require(cents.nonEmpty, "kmeansStepWithObjective needs at least one centroid")
+    assignPlan(vecs, cents, centroids, idCol, vecCol, centIdCol, centVecCol,
+      keepDist = true)
+      .select(col("cell"), col("__dist"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col("cell"), (col("__p") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__x"))).as("__s"),
+        sum(when(col("__p") === 0, col("__dist"))).as("qe"))
+      .select(col("cell"), col("dim"), col("n"),
+        avg6(col("__s"), col("n")).as("c"), col("qe"))
+  }
+
   /** Total IVF quantization error `Σ_v min_c ‖v − c‖²` — the k-means
     * objective. Below [[InlineCentroidLimit]] it is ONE narrow codegen
     * scan (`least` over inlined per-centroid distances, the
@@ -223,9 +267,13 @@ object Similarity {
     * objective up is recorded in the history but its centroids are not
     * adopted. A cell that captures no vectors in a round keeps its
     * previous centroid (same contract as [[pqTrainStep]]'s empty
-    * codewords) — k never silently shrinks. Each iteration costs one
-    * assignment scan + one grouped aggregation + one objective scan;
-    * nothing iterative lives on the executors.
+    * codewords) — k never silently shrinks. Each iteration costs ONE
+    * fused corpus scan ([[kmeansStepWithObjective]]): the WCSS identity
+    * means round i's scan yields both the objective of round i's
+    * centroids (history entry i) and the re-estimation that becomes
+    * round i+1's — maxIters+1 scans total where a separate
+    * [[ivfQuantError]] pass per round paid 2·maxIters+1. Nothing
+    * iterative lives on the executors.
     */
   def kmeansTrain(
       vecs: DataFrame, seeds: DataFrame,
@@ -235,35 +283,44 @@ object Similarity {
     require(maxIters >= 0 && relTol >= 0)
     val spark = vecs.sparkSession
     import spark.implicits._
-    def collect(df: DataFrame): Seq[(Long, Seq[Double])] =
-      collectCents(df, centIdCol, centVecCol)
     def freeze(cs: Seq[(Long, Seq[Double])]): DataFrame =
       cs.toDF(centIdCol, centVecCol)
-    var cents = collect(seeds)
+    var cents = collectCents(seeds, centIdCol, centVecCol)
     require(cents.nonEmpty, "kmeansTrain needs at least one seed centroid")
     var cdf = freeze(cents)
-    val hist = scala.collection.mutable.ListBuffer(
-      ivfQuantError(vecs, cdf, vecCol, centIdCol, centVecCol))
+    val hist = scala.collection.mutable.ListBuffer.empty[Double]
     var best = cdf
-    var bestErr = hist.head
+    var bestErr = Double.NaN
     var it = 0
-    var converged = false
-    while (it < maxIters && !converged) {
-      // kmeansCentroids emits fixed (cid, cv) names — re-alias to the
-      // caller's names so non-default centIdCol/centVecCol resolve
-      val learned = collect(kmeansCentroids(
-        kmeansStep(vecs, cdf, idCol, vecCol, centIdCol, centVecCol))
-        .select(col("cid").as(centIdCol), col("cv").as(centVecCol))).toMap
-      // empty cells keep their previous centroid — k never shrinks
-      cents = cents.map { case (cid, cv) => cid -> learned.getOrElse(cid, cv) }
-      cdf = freeze(cents)
-      val err = ivfQuantError(vecs, cdf, vecCol, centIdCol, centVecCol)
-      if (err < bestErr) { best = cdf; bestErr = err }
-      // decimal-rounded means can drift the objective by ~1e-6/dim, so
-      // "no meaningful improvement" is the stop, not strict decrease
-      converged = hist.last - err <= relTol * math.max(hist.last, Double.MinPositiveValue)
-      hist += err
-      it += 1
+    var stop = false
+    while (!stop) {
+      // one fused scan: objective of the CURRENT centroids + the Lloyd
+      // re-estimation under them, collected together (k×d rows,
+      // driver-small — the same rows kmeansCentroids would widen)
+      val rows = kmeansStepWithObjective(
+        vecs, cdf, idCol, vecCol, centIdCol, centVecCol)
+        .select(col("cell"), col("dim"), col("c"), col("qe")).collect()
+      val err = rows.iterator.filterNot(_.isNullAt(3)).map(_.getDouble(3)).sum
+      if (it == 0) { bestErr = err; hist += err }
+      else {
+        if (err < bestErr) { best = cdf; bestErr = err }
+        // decimal-rounded means can drift the objective by ~1e-6/dim, so
+        // "no meaningful improvement" is the stop, not strict decrease
+        stop = hist.last - err <= relTol * math.max(hist.last, Double.MinPositiveValue)
+        hist += err
+      }
+      if (it == maxIters) stop = true
+      if (!stop) {
+        // widen the step rows driver-side (sort-by-dim per cell — what
+        // kmeansCentroids does distributedly, on ≤ k×d collected rows)
+        val learned = rows.groupBy(_.getLong(0)).map { case (cell, rs) =>
+          cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        // empty cells keep their previous centroid — k never shrinks
+        cents = cents.map { case (cid, cv) => cid -> learned.getOrElse(cid, cv) }
+        cdf = freeze(cents)
+        it += 1
+      }
     }
     (best, hist.toSeq)
   }

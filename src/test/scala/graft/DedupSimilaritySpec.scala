@@ -450,6 +450,57 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(assigned.select(countDistinct(col("cell"))).head().getLong(0) <= 8)
   }
 
+  test("kmeansTrain fuses objective+step: one scan per history entry, same history") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val seeds = e.filter(col("vec_id").between(100, 103))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // corpus scans = submitted stages that read the parquet (job counts
+    // lie under AQE — each shuffle-bearing collect is ≥2 jobs)
+    val scans = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        if (s.stageInfo.rddInfos.exists(_.name.contains("FileScan")))
+          scans.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // reference = the unfused formulation (step scan + separate
+      // ivfQuantError scan per round) replayed explicitly
+      var cents = seeds.select(col("cid").cast("long"), col("cv"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      def freeze = cents.toDF("cid", "cv")
+      Thread.sleep(300)
+      scans.set(0)
+      var refHist = Seq(Similarity.ivfQuantError(e, freeze))
+      (0 until 3).foreach { _ =>
+        val learned = Similarity.kmeansCentroids(Similarity.kmeansStep(e, freeze))
+          .as[(Long, Seq[Double])].collect().toMap
+        cents = cents.map { case (cid, cv) => cid -> learned.getOrElse(cid, cv) }
+        refHist :+= Similarity.ivfQuantError(e, freeze)
+      }
+      Thread.sleep(300)
+      val refScans = scans.getAndSet(0)
+      // relTol=0 forbids early stop so exactly 3 iterations run
+      val (_, hist) = Similarity.kmeansTrain(e, seeds, maxIters = 3, relTol = 0)
+      Thread.sleep(300) // let stray stage-submit events land
+      val fusedScans = scans.get()
+      // same objective curve as the two-scan formulation, up to double-
+      // summation order (the fused WCSS sums per cell, then on the driver)
+      assert(hist.size === refHist.size, s"history $hist vs reference $refHist")
+      hist.zip(refHist).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, b), s"$hist vs $refHist")
+      }
+      // one fused corpus scan per history entry (+1 for the seed
+      // collect); the unfused replay paid one MORE scan per iteration
+      assert(refScans >= 2 * 3 + 1, s"reference replay only scanned $refScans×")
+      assert(fusedScans <= hist.size + 1,
+        s"$fusedScans corpus scans for ${hist.size} history entries — objective not fused")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("big-nlist fallbacks (>256 centroids) agree with hand-computed truth") {
     // above InlineCentroidLimit ivfAssign switches to broadcast-join +
     // window and ivfQuantError to broadcast-join + per-row min — paths
