@@ -115,9 +115,30 @@ object VcfWriter {
     writeHeader(df, meta, outDir)
   }
 
+  /** [[writeShardedByChrom]] × [[writeShardedBgzf]]: the RECOMMENDED
+    * distribution layout for big callsets — one directory per
+    * chromosome, many BGZF-compressed position-sorted shards per
+    * chromosome. Follow with [[indexBgzfShards]] (it recurses into the
+    * `chrom=C/` dirs) and the whole landing is region-prunable and
+    * voff-splittable through `format("vcf")`, while any chromosome can
+    * still be assembled independently as header + cat(dir) (a valid
+    * multi-member gzip = one bgzipped single-chrom VCF).
+    */
+  def writeShardedByChromBgzf(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
+    df.repartition(col("chrom"), VcfReader.posBucket(col("pos")))
+      .sortWithinPartitions(col("chrom"), col("pos"))
+      .select(col("chrom"), lineCol(meta.samples).as("value"))
+      .write.mode("overwrite")
+      .partitionBy("chrom")
+      .option("compression", classOf[graft.sources.v2.BgzfCodec].getName)
+      .text(s"$outDir/shards")
+    writeHeader(df, meta, outDir)
+  }
+
   /** Build a `.csi` sibling for every BGZF shard under `outDir/shards`
-    * — the engine indexes its own [[writeShardedBgzf]] output with no
-    * external tooling (TabixIndex.buildForBgzfVcf walks each shard's
+    * (recursively — the [[writeShardedByChromBgzf]] layout nests shards
+    * in `chrom=C/` dirs) — the engine indexes its own bgzf output with
+    * no external tooling (TabixIndex.buildForBgzfVcf walks each shard's
     * blocks), after which `format("vcf")` over the shard glob prunes
     * `chrom`/`pos` regions AND splits large shards exactly like any
     * tabix-indexed input. One executor task per shard; the driver never
@@ -126,8 +147,12 @@ object VcfWriter {
   def indexBgzfShards(spark: org.apache.spark.sql.SparkSession, outDir: String): Unit = {
     val dir = new Path(s"$outDir/shards")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shards = fs.listStatus(dir)
-      .filter(_.getPath.getName.endsWith(".gz")).map(_.getPath.toString)
+    val shards = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".gz")) shards += f.getPath.toString
+    }
     if (shards.isEmpty) return
     spark.sparkContext
       .parallelize(shards.toSeq, shards.length)

@@ -172,6 +172,79 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("writeShardedByChromBgzf: per-chrom bgzf landing self-indexes, prunes and splits") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the composed layout: chrom=C dirs × bgzf shards × csi siblings —
+    // rows padded so each shard spans several 64 KiB BGZF blocks
+    // positions span ~4.5 MiB so the 1 MiB posBucket fans each chrom
+    // over several writers
+    val rows = for { c <- Seq("1", "2"); i <- 1 to 3000 } yield (
+      c, i * 1500 + 100, s"rs${c}_$i", "A", "G", "50", "PASS",
+      s"DP=$i;X=" + (i * 2654435761L).toString * 20,
+      "GT", Map("S1" -> "0/1"))
+    val df = rows.toDF("chrom", "pos", "id", "ref", "alt", "qual",
+      "filter", "info", "format", "genotypes").repartition(4)
+    val meta = VcfReader.fromHeaderLines(Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"))
+    val out = Files.createTempDirectory("graft_vcf_bychrom_bgzf").toString
+    // pin AQE coalescing off so the KB fixture keeps the at-scale fan-out
+    val aqeKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val aqeOld = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      VcfWriter.writeShardedByChromBgzf(df, meta, out)
+      VcfWriter.indexBgzfShards(spark, out)
+    } finally spark.conf.set(aqeKey, aqeOld)
+
+    // layout: one dir per chrom, >1 bgzf shard per chrom (anti-straggler
+    // fan-out survives the composition), a csi sibling per shard
+    Seq("1", "2").foreach { c =>
+      val dir = java.nio.file.Paths.get(out, "shards", s"chrom=$c")
+      assert(Files.isDirectory(dir), s"missing chrom=$c dir")
+      val gz = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".gz")).toSeq
+      assert(gz.size > 1,
+        s"chrom $c landed as ${gz.size} bgzf shard(s) — per-chrom straggler is back")
+      gz.foreach(g => assert(Files.exists(dir.resolve(g + ".csi")),
+        s"missing csi sibling for chrom=$c/$g"))
+      // every shard is internally position-sorted (the index is usable)
+      gz.foreach { g =>
+        val in = new java.util.zip.GZIPInputStream(
+          Files.newInputStream(dir.resolve(g)))
+        val ps = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.split("\t")(1).toLong).toList
+        finally in.close()
+        assert(ps === ps.sorted, s"shard chrom=$c/$g is not position-sorted")
+      }
+    }
+
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "2048")
+    try {
+      val glob = s"$out/shards/*/*.gz"
+      val full = spark.read.format("vcf").option("samples", "S1").load(glob)
+      assert(full.count() === 6000)
+      // the self-built indexes make the landing SPLITTABLE…
+      val nShards = Files.list(java.nio.file.Paths.get(out, "shards"))
+        .iterator().asScala.filter(Files.isDirectory(_))
+        .flatMap(d => Files.list(d).iterator().asScala)
+        .count(_.getFileName.toString.endsWith(".gz"))
+      assert(full.rdd.getNumPartitions > nShards,
+        s"no splits within self-indexed per-chrom shards: ${full.rdd.getNumPartitions}")
+      // …and PRUNABLE: a single-chrom locus query reads fewer partitions
+      val region = spark.read.format("vcf").option("samples", "S1").load(glob)
+        .filter(col("chrom") === "1" && col("pos").between(100, 5000))
+      assert(region.count() === 3) // i*1500+100 ≤ 5000 → i ≤ 3
+      assert(region.rdd.getNumPartitions < full.rdd.getNumPartitions,
+        "region query did not prune the per-chrom self-indexed landing")
+    } finally spark.conf.set(key, old)
+  }
+
   test("empty bgzf shard (EOF member only) indexes and reads as zero rows") {
     import java.nio.file.Files
     // a writer task that receives no rows still closes its stream: the
