@@ -116,6 +116,80 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.keys.map(_.head).toSet === Set(1L, 2L, 3L))
   }
 
+  test("streaming range joins: point-in-interval and overlap stream as-is, equal batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // a stream of arriving loci/regions against a STATIC interval table
+    // (gene models, capture targets) is a stateless stream-static inner
+    // equi-join — the bucket decomposition is a narrow generator on the
+    // stream side, so RangeJoin composes on a stream UNCHANGED: no
+    // state store, no watermark, exactly-once pair emission intact
+    val targets = Seq(
+      ("1", 100L, 2000000L, "t_a"),
+      ("1", 1500000L, 3000000L, "t_b"), // straddles bucket 1
+      ("2", 100L, 500000L, "t_c"))
+      .toDF("chrom", "r_start", "r_end", "target")
+
+    val loci = Seq(
+      ("1", 500L, "v1"),            // in t_a only
+      ("1", 1600000L, "v2"),        // in t_a AND t_b
+      ("2", 400000L, "v3"),         // in t_c
+      ("2", 900000L, "v4"))         // in nothing
+    val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String)]
+    memP.addData(loci)
+    val pointQ = graft.operators.RangeJoin
+      .pointInInterval(
+        memP.toDF().toDF("chrom", "pos", "id"),
+        targets.withColumnRenamed("r_start", "start")
+          .withColumnRenamed("r_end", "end"))
+      .writeStream.format("memory").queryName("graft_stream_pii")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    pointQ.awaitTermination()
+    val streamedP = spark.table("graft_stream_pii")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val batchP = graft.operators.RangeJoin
+      .pointInInterval(
+        loci.toDF("chrom", "pos", "id"),
+        targets.withColumnRenamed("r_start", "start")
+          .withColumnRenamed("r_end", "end"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamedP === batchP)
+    assert(streamedP.keys.map(r => r(2)).toSet === Set("v1", "v2", "v3"))
+
+    val memR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long, String)]
+    memR.addData(Seq(
+      ("1", 50L, 1600010L, "r1"),       // overlaps t_a and t_b
+      ("2", 600000L, 700000L, "r2")))   // overlaps nothing
+    val ovQ = graft.operators.RangeJoin
+      .intervalOverlap(
+        memR.toDF().toDF("chrom", "start", "end", "region_id"), targets)
+      .writeStream.format("memory").queryName("graft_stream_overlap")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    ovQ.awaitTermination()
+    val streamedO = spark.table("graft_stream_overlap")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val batchO = graft.operators.RangeJoin
+      .intervalOverlap(
+        Seq(("1", 50L, 1600010L, "r1"), ("2", 600000L, 700000L, "r2"))
+          .toDF("chrom", "start", "end", "region_id"), targets)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamedO === batchO)
+    // exactly-once emission survives streaming: r1×t_a spans shared
+    // buckets but lands exactly once
+    assert(streamedO.values.forall(_ === 1))
+    assert(streamedO.keys.map(r => (r(3), r(6))).toSet ===
+      Set(("r1", "t_a"), ("r1", "t_b")))
+    // stateless: neither query ran a state store
+    Seq(pointQ, ovQ).foreach { q =>
+      val progress = q.lastProgress
+      assert(progress == null || progress.stateOperators.isEmpty,
+        s"range join unexpectedly stateful: ${progress.stateOperators}")
+    }
+  }
+
   test("streaming near-dup flags: banded simhash state catches the late copy") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc
