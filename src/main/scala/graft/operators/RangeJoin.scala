@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed genomic RANGE join (point-in-interval) — the operator
@@ -82,5 +83,60 @@ object RangeJoin {
             greatest(col(s"l.$startCol"), col(s"r.$rStartCol")), bucketShift))
       .drop(col(s"r.$chromCol"))
       .drop(col("l.__b")).drop(col("r.__b"))
+  }
+
+  /** NEAREST-feature join with a bounded search radius — the
+    * distributed `bedtools closest -d` analogue ("which gene is each
+    * intergenic variant closest to"): for every point, the same-chrom
+    * interval minimizing `dist = max(start − pos, pos − end, 0)` among
+    * those with `dist ≤ maxDist`; points with no interval in radius are
+    * dropped (an unbounded nearest cannot decompose — a point's true
+    * nearest may sit arbitrarily many buckets away, so the radius is
+    * the contract, exactly bedtools' practical `-d` usage).
+    *
+    * Shape: intervals burst over their maxDist-EXPANDED bucket span
+    * (`dist ≤ maxDist ⟺ start−maxDist ≤ pos ≤ end+maxDist`, so
+    * expansion captures every in-radius pair and, the point living in
+    * exactly ONE bucket, each pair arises exactly once); equi-join on
+    * (chrom, bucket); per-point argmin as a row_number window over a
+    * synthetic per-row id — Spark's partial WindowGroupLimit reduces
+    * each point's candidates to one BEFORE the window exchange (the
+    * [[Similarity.ivfAssign]] fallback argument). Ties beyond
+    * (dist, start, end) break arbitrarily; `dist` itself — what
+    * aggregates downstream should read — is always the true minimum.
+    * Output: point columns + `dist` + the interval's non-join columns.
+    */
+  def nearestInterval(
+      points: DataFrame, intervals: DataFrame, maxDist: Long,
+      chromCol: String = "chrom", posCol: String = "pos",
+      startCol: String = "start", endCol: String = "end",
+      bucketShift: Int = 20): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(bucketShift >= 0 && bucketShift < 32,
+      s"bucketShift must be in [0, 32), got $bucketShift")
+    val iv = intervals.withColumn("__b", explode(sequence(
+        shiftright(greatest(col(startCol) - maxDist, lit(0L)), bucketShift),
+        shiftright(col(endCol) + maxDist, bucketShift))))
+      .alias("i")
+    val p = points
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__b", shiftright(col(posCol), bucketShift))
+      .alias("p")
+    val dist = greatest(
+      (col(s"i.$startCol") - col(s"p.$posCol")).cast("long"),
+      (col(s"p.$posCol") - col(s"i.$endCol")).cast("long"), lit(0L))
+    val w = Window.partitionBy(col("__rid"))
+      .orderBy(col("__dist").asc, col(s"i.$startCol").asc, col(s"i.$endCol").asc)
+    p.join(iv,
+        col(s"p.$chromCol") === col(s"i.$chromCol") &&
+          col("p.__b") === col("i.__b"))
+      .withColumn("__dist", dist)
+      .filter(col("__dist") <= maxDist)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("dist", col("__dist"))
+      .drop(col(s"i.$chromCol"))
+      .drop(col("p.__b")).drop(col("i.__b"))
+      .drop(col("__rid")).drop(col("__rn")).drop(col("__dist"))
   }
 }

@@ -702,7 +702,59 @@ object VcfQueries extends QuerySet {
       GROUP BY r.chrom ORDER BY r.chrom
     """))
 
+  /** NEAREST-feature join (variants × regions, bounded radius) — the
+    * distributed `bedtools closest -d` rung above q81: for each variant
+    * site the closest synthetic region within 5 kb, via
+    * [[graft.operators.RangeJoin.nearestInterval]]'s expanded-bucket
+    * decomposition (radius-widened interval burst, one candidate
+    * emission per in-radius pair, per-point argmin pre-reduced by
+    * partial WindowGroupLimit). The gate aggregates `dist` only — the
+    * minimum distance is unique per site even when the winning interval
+    * ties — so the hash is insensitive to tie order. DuckDB replays the
+    * derivation with a grouped min.
+    */
+  private val q83 = Q(
+    "q83_nearest_feature",
+    (s, dir) => {
+      val sites = wide(s, dir).select(col("chrom"), col("pos")).distinct()
+      val regions = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("region_id"))
+        .withColumn("chrom",
+          (lit(1) + pmod(col("region_id"), lit(22L))).cast("string"))
+        .withColumn("start",
+          (lit(1000L) + pmod(col("region_id") * 613L, lit(90000L))).cast("int"))
+        .withColumn("end",
+          (col("start") + lit(500) +
+            pmod(col("region_id"), lit(7L)).cast("int") * 800).cast("int"))
+      graft.operators.RangeJoin
+        .nearestInterval(sites, regions, maxDist = 5000L, bucketShift = 14)
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_sites"),
+          sum(col("dist")).as("sum_dist"),
+          max(col("dist")).as("max_dist"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      sites AS (SELECT DISTINCT regexp_replace(chrom_raw, '^chr', '') AS chrom, pos FROM v),
+      regions AS (SELECT
+          CAST(1 + (p_partkey % 22) AS VARCHAR) AS chrom,
+          CAST(1000 + (p_partkey * 613) % 90000 AS INT) AS rstart,
+          CAST(1000 + (p_partkey * 613) % 90000 + 500 + (p_partkey % 7) * 800 AS INT) AS rend
+        FROM part),
+      nearest AS (
+        SELECT s.chrom, s.pos,
+               min(greatest(r.rstart - s.pos, s.pos - r.rend, 0)) AS dist
+        FROM sites s JOIN regions r ON s.chrom = r.chrom
+        WHERE greatest(r.rstart - s.pos, s.pos - r.rend, 0) <= 5000
+        GROUP BY s.chrom, s.pos)
+      SELECT chrom, count(*) AS n_sites,
+             CAST(sum(dist) AS BIGINT) AS sum_dist,
+             CAST(max(dist) AS BIGINT) AS max_dist
+      FROM nearest GROUP BY chrom ORDER BY chrom
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
-      q68, q72, q79, q80, q81, q82)
+      q68, q72, q79, q80, q81, q82, q83)
 }

@@ -213,8 +213,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"shard assignment must be narrow:\n$p78")
   }
 
-  test("q81/q82 range joins are equi-joins on (chrom, bucket), never nested loops") {
-    for (name <- Seq("q81_region_join", "q82_interval_overlap")) {
+  test("q81/q82/q83 range joins are equi-joins on (chrom, bucket), never nested loops") {
+    for (name <- Seq("q81_region_join", "q82_interval_overlap",
+        "q83_nearest_feature")) {
       val q = SparkEntry.queries(name)(spark, dir)
       q.collect()
       val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
