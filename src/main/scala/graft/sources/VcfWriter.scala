@@ -115,6 +115,33 @@ object VcfWriter {
     writeHeader(df, meta, outDir)
   }
 
+  /** [[writeSharded]] with GLOBAL (chrom, pos) order ACROSS shards:
+    * range-repartition on (chrom, pos) — shard k's last coordinate
+    * precedes shard k+1's first — then sort within each shard, so
+    * `header + cat(part-00000 … part-NNNNN)` in filename order is ONE
+    * coordinate-sorted VCF (the precondition for single-file indexing
+    * and `bcftools concat`-style consumption) while the write itself
+    * stays fully parallel. Chrom order is lexicographic (the engine's
+    * one total order for chrom strings — same as `orderBy`); the range
+    * exchange samples the data to pick balanced split points, so skewed
+    * chromosomes spread over multiple shards instead of one straggler.
+    * `bgzf = true` compresses each shard with [[graft.sources.v2
+    * .BgzfCodec]] — cat of the shards is then a valid multi-member
+    * bgzip VCF, and [[indexBgzfShards]] makes the landing splittable.
+    */
+  def writeShardedSorted(
+      df: DataFrame, meta: VcfMetadata, outDir: String,
+      numShards: Int = 0, bgzf: Boolean = false): Unit = {
+    val ranged =
+      if (numShards > 0) df.repartitionByRange(numShards, col("chrom"), col("pos"))
+      else df.repartitionByRange(col("chrom"), col("pos"))
+    val w = toVcfLines(ranged.sortWithinPartitions(col("chrom"), col("pos")),
+      meta.samples).write.mode("overwrite")
+    (if (bgzf) w.option("compression", classOf[graft.sources.v2.BgzfCodec].getName)
+     else w).text(s"$outDir/shards")
+    writeHeader(df, meta, outDir)
+  }
+
   /** [[writeShardedByChrom]] × [[writeShardedBgzf]]: the RECOMMENDED
     * distribution layout for big callsets — one directory per
     * chromosome, many BGZF-compressed position-sorted shards per

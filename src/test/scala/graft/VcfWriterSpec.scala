@@ -245,6 +245,55 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("writeShardedSorted: filename-ordered shards concatenate to ONE sorted VCF") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val rows = for { c <- Seq("1", "10", "2"); i <- 1 to 400 } yield (
+      c, i * 997 + 7, s"rs${c}_$i", "A", "G", "50", "PASS", s"DP=$i",
+      "GT", Map("S1" -> "0/1"))
+    // arrive unsorted and badly partitioned on purpose
+    val df = rows.reverse.toDF("chrom", "pos", "id", "ref", "alt", "qual",
+      "filter", "info", "format", "genotypes").repartition(7)
+    val meta = VcfReader.fromHeaderLines(Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"))
+    val out = Files.createTempDirectory("graft_vcf_sorted").toString
+    VcfWriter.writeShardedSorted(df, meta, out, numShards = 5)
+
+    val shardDir = java.nio.file.Paths.get(out, "shards")
+    val parts = Files.list(shardDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.startsWith("part-") && !f.endsWith(".crc")).toSeq.sorted
+    assert(parts.size > 1, s"one shard defeats the point: $parts")
+    // cat in FILENAME order must be globally (chrom lex, pos) sorted
+    val cat = parts.flatMap(f =>
+      Files.readAllLines(shardDir.resolve(f)).asScala)
+    val keys = cat.map { l =>
+      val a = l.split("\t"); (a(0), a(1).toLong)
+    }
+    assert(keys === keys.sortBy(identity), "concatenated shards not globally sorted")
+    assert(cat.size === 1200)
+
+    // the bgzf variant: same global order through gunzip, and the
+    // self-indexed landing still prunes
+    val out2 = Files.createTempDirectory("graft_vcf_sorted_bgzf").toString
+    VcfWriter.writeShardedSorted(df, meta, out2, numShards = 5, bgzf = true)
+    VcfWriter.indexBgzfShards(spark, out2)
+    val dir2 = java.nio.file.Paths.get(out2, "shards")
+    val gz = Files.list(dir2).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".gz")).toSeq.sorted
+    assert(gz.size > 1)
+    gz.foreach(g => assert(Files.exists(dir2.resolve(g + ".csi")),
+      s"missing csi sibling for $g"))
+    val cat2 = gz.flatMap { g =>
+      val in = new java.util.zip.GZIPInputStream(Files.newInputStream(dir2.resolve(g)))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(cat2 === cat, "bgzf emission drifted from the plain-text order")
+  }
+
   test("empty bgzf shard (EOF member only) indexes and reads as zero rows") {
     import java.nio.file.Files
     // a writer task that receives no rows still closes its stream: the
