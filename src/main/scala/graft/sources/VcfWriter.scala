@@ -169,9 +169,13 @@ object VcfWriter {
     * blocks), after which `format("vcf")` over the shard glob prunes
     * `chrom`/`pos` regions AND splits large shards exactly like any
     * tabix-indexed input. One executor task per shard; the driver never
-    * reads data bytes.
+    * reads data bytes. `minShift`/`depth` are the CSI geometry knobs
+    * (htslib defaults 14/5 cover positions to 2^(14+3·5) ≈ 512 Mb —
+    * raise depth for longer contigs, lower minShift for finer pruning
+    * at more index bytes).
     */
-  def indexBgzfShards(spark: org.apache.spark.sql.SparkSession, outDir: String): Unit = {
+  def indexBgzfShards(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      minShift: Int = 14, depth: Int = 5): Unit = {
     val dir = new Path(s"$outDir/shards")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val shards = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -187,7 +191,7 @@ object VcfWriter {
         val sp = new Path(p)
         // task-side conf: default resources carry the cluster FS config
         val tfs = sp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        graft.sources.v2.TabixIndex.indexBgzfSibling(tfs, sp)
+        graft.sources.v2.TabixIndex.indexBgzfSibling(tfs, sp, minShift, depth)
       }
   }
 

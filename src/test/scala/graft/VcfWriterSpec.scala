@@ -294,6 +294,42 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
     assert(cat2 === cat, "bgzf emission drifted from the plain-text order")
   }
 
+  test("indexBgzfShards honors custom CSI geometry (minShift/depth)") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (1 to 800).map(i => ("1", i * 997 + 7, s"rs$i", "A", "G",
+      "50", "PASS", s"DP=$i", "GT", Map("S1" -> "0/1")))
+    val df = rows.toDF("chrom", "pos", "id", "ref", "alt", "qual",
+      "filter", "info", "format", "genotypes").repartition(2)
+    val meta = VcfReader.fromHeaderLines(Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"))
+    val out = Files.createTempDirectory("graft_vcf_csigeo").toString
+    VcfWriter.writeShardedBgzf(df, meta, out)
+    // finer bins, one level deeper — the geometry a >512 Mb contig needs
+    VcfWriter.indexBgzfShards(spark, out, minShift = 12, depth = 6)
+    val shardDir = java.nio.file.Paths.get(out, "shards")
+    val gz = Files.list(shardDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".gz")).toSeq
+    gz.foreach { g =>
+      assert(Files.exists(shardDir.resolve(g + ".csi")))
+      val hp = new org.apache.hadoop.fs.Path(shardDir.resolve(g).toUri)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val idx = graft.sources.v2.TabixIndex.readSibling(fs, hp).get
+      assert(idx.refs.nonEmpty)
+      idx.refs.foreach(r => assert(r.minShift === 12 && r.depth === 6,
+        s"index geometry not honored: ${r.minShift}/${r.depth}"))
+    }
+    // and the non-default-geometry index still answers region queries
+    val region = spark.read.format("vcf").option("samples", "S1")
+      .load(s"$out/shards/*.gz")
+      .filter(col("chrom") === "1" && col("pos").between(1000, 10000))
+    assert(region.count() === rows.count { case (_, p, _, _, _, _, _, _, _, _) =>
+      p >= 1000 && p <= 10000 })
+  }
+
   test("empty bgzf shard (EOF member only) indexes and reads as zero rows") {
     import java.nio.file.Files
     // a writer task that receives no rows still closes its stream: the
