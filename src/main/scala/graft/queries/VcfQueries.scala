@@ -754,7 +754,64 @@ object VcfQueries extends QuerySet {
       FROM nearest GROUP BY chrom ORDER BY chrom
     """))
 
+  /** MERGE overlapping intervals ([[graft.operators.RangeJoin
+    * .mergeIntervals]], the `bedtools merge` analogue) — the
+    * normalization upstream of coverage math: the q81 synthetic regions
+    * collapse per chromosome via the one-window sweep (prefix-max of
+    * preceding ends → block flags → prefix-sum block ids → one
+    * aggregation; the window exchange on chrom is the ONLY shuffle —
+    * hash(chrom) already co-locates the (chrom, block) and chrom
+    * groupings below it). Tie order among identical (start, end) rows
+    * cannot change block assignment, so the gate is deterministic.
+    * DuckDB replays the identical window sweep.
+    */
+  private val q84 = Q(
+    "q84_merge_intervals",
+    (s, dir) => {
+      val regions = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("region_id"))
+        .withColumn("chrom",
+          (lit(1) + pmod(col("region_id"), lit(22L))).cast("string"))
+        .withColumn("start",
+          (lit(1000L) + pmod(col("region_id") * 613L, lit(90000L))).cast("int"))
+        .withColumn("end",
+          (col("start") + lit(500) +
+            pmod(col("region_id"), lit(7L)).cast("int") * 800).cast("int"))
+      graft.operators.RangeJoin.mergeIntervals(regions)
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("n_merged")).as("n_input"),
+          sum(col("end") - col("start") + 1).as("covered_bases"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH regions AS (SELECT
+          CAST(1 + (p_partkey % 22) AS VARCHAR) AS chrom,
+          CAST(1000 + (p_partkey * 613) % 90000 AS INT) AS rstart,
+          CAST(1000 + (p_partkey * 613) % 90000 + 500 + (p_partkey % 7) * 800 AS INT) AS rend
+        FROM part),
+      ord AS (
+        SELECT chrom, rstart, rend,
+          max(rend) OVER (PARTITION BY chrom ORDER BY rstart, rend
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM regions),
+      blk AS (
+        SELECT chrom, rstart, rend,
+          sum(CASE WHEN prev_max IS NULL OR rstart > prev_max THEN 1 ELSE 0 END)
+            OVER (PARTITION BY chrom ORDER BY rstart, rend
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+        FROM ord),
+      merged AS (
+        SELECT chrom, blk, min(rstart) AS mstart, max(rend) AS mend,
+               count(*) AS n
+        FROM blk GROUP BY chrom, blk)
+      SELECT chrom, count(*) AS n_blocks,
+             CAST(sum(n) AS BIGINT) AS n_input,
+             CAST(sum(mend - mstart + 1) AS BIGINT) AS covered_bases
+      FROM merged GROUP BY chrom ORDER BY chrom
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
-      q68, q72, q79, q80, q81, q82, q83)
+      q68, q72, q79, q80, q81, q82, q83, q84)
 }

@@ -60,6 +60,34 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got("p_near")._1 === "g_b")
   }
 
+  test("mergeIntervals: chains fuse, gaps split, slack bridges, one shuffle") {
+    val iv = Seq(
+      // chrom 1: [10,20] [15,40] [41,50] chain? 41 > 40 → new block at
+      // slack 0, fused at slack 1; [100,110] isolated
+      ("1", 10, 20), ("1", 15, 40), ("1", 41, 50), ("1", 100, 110),
+      // containment: [5,90] swallows [10,20][30,40]
+      ("2", 5, 90), ("2", 10, 20), ("2", 30, 40),
+      // identical rows: tie order can't split them
+      ("3", 7, 9), ("3", 7, 9))
+      .toDF("chrom", "start", "end").repartition(3)
+    def got(slack: Long) = RangeJoin.mergeIntervals(iv, slack = slack)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got(0L) === Set(
+      ("1", 10, 40, 2L), ("1", 41, 50, 1L), ("1", 100, 110, 1L),
+      ("2", 5, 90, 3L), ("3", 7, 9, 2L)))
+    assert(got(1L) === Set(
+      ("1", 10, 50, 3L), ("1", 100, 110, 1L),
+      ("2", 5, 90, 3L), ("3", 7, 9, 2L)))
+    // the sweep is ONE exchange: hash(chrom) serves the window AND both
+    // groupings below it
+    val plan = RangeJoin.mergeIntervals(iv).queryExecution.executedPlan
+      .toString.split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"interval merge shuffles more than once:\n$plan")
+  }
+
   test("nearestInterval: every point emits at most one row (no bucket dup)") {
     // points sprayed across bucket lines near a long interval's
     // expansion: each must emit 0 or 1 rows, never more
