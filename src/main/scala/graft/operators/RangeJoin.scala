@@ -102,18 +102,21 @@ object RangeJoin {
     * synthetic per-row id — Spark's partial WindowGroupLimit reduces
     * each point's candidates to one BEFORE the window exchange (the
     * [[Similarity.ivfAssign]] fallback argument). Ties beyond
-    * (dist, start, end) break arbitrarily; `dist` itself — what
+    * (dist, start, end) break arbitrarily; the distance itself — what
     * aggregates downstream should read — is always the true minimum.
-    * Output: point columns + `dist` + the interval's non-join columns.
+    * Output: point columns + `distCol` + the interval's non-join
+    * columns (`distCol` must not pre-exist on either input).
     */
   def nearestInterval(
       points: DataFrame, intervals: DataFrame, maxDist: Long,
       chromCol: String = "chrom", posCol: String = "pos",
       startCol: String = "start", endCol: String = "end",
-      bucketShift: Int = 20): DataFrame = {
+      bucketShift: Int = 20, distCol: String = "dist"): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     require(bucketShift >= 0 && bucketShift < 32,
       s"bucketShift must be in [0, 32), got $bucketShift")
+    require(!points.columns.contains(distCol) && !intervals.columns.contains(distCol),
+      s"output column '$distCol' already exists on an input — pass distCol to rename it")
     val iv = intervals.withColumn("__b", explode(sequence(
         shiftright(greatest(col(startCol) - maxDist, lit(0L)), bucketShift),
         shiftright(col(endCol) + maxDist, bucketShift))))
@@ -134,7 +137,7 @@ object RangeJoin {
       .filter(col("__dist") <= maxDist)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .withColumn("dist", col("__dist"))
+      .withColumn(distCol, col("__dist"))
       .drop(col(s"i.$chromCol"))
       .drop(col("p.__b")).drop(col("i.__b"))
       .drop(col("__rid")).drop(col("__rn")).drop(col("__dist"))

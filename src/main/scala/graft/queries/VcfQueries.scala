@@ -602,6 +602,29 @@ object VcfQueries extends QuerySet {
       FROM tj GROUP BY chrom ORDER BY chrom
     """))
 
+  /** Shared synthetic-interval fixture for the q81–q84 range-join
+    * family: deterministic regions derived from `part`. Single-sourced
+    * (one Spark derivation, one DuckDB CTE) so a retune cannot
+    * desynchronize a gate from its oracle or from a sibling query.
+    */
+  private def syntheticRegions(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("region_id"))
+      .withColumn("chrom",
+        (lit(1) + pmod(col("region_id"), lit(22L))).cast("string"))
+      .withColumn("start",
+        (lit(1000L) + pmod(col("region_id") * 613L, lit(90000L))).cast("int"))
+      .withColumn("end",
+        (col("start") + lit(500) +
+          pmod(col("region_id"), lit(7L)).cast("int") * 800).cast("int"))
+
+  private val regionsCteSql = """regions AS (SELECT CAST(p_partkey AS BIGINT) AS region_id,
+          CAST(1 + (p_partkey % 22) AS VARCHAR) AS chrom,
+          CAST(1000 + (p_partkey * 613) % 90000 AS INT) AS rstart,
+          CAST(1000 + (p_partkey * 613) % 90000 + 500 + (p_partkey % 7) * 800 AS INT) AS rend
+        FROM part)"""
+
   /** Genomic RANGE join (variants × regions) — "which region does each
     * variant fall in": synthetic intervals derived deterministically
     * from `part`, joined to distinct variant sites through
@@ -615,15 +638,7 @@ object VcfQueries extends QuerySet {
     "q81_region_join",
     (s, dir) => {
       val sites = wide(s, dir).select(col("chrom"), col("pos")).distinct()
-      val regions = t(s, dir, "part")
-        .select(col("p_partkey").cast("long").as("region_id"))
-        .withColumn("chrom",
-          (lit(1) + pmod(col("region_id"), lit(22L))).cast("string"))
-        .withColumn("start",
-          (lit(1000L) + pmod(col("region_id") * 613L, lit(90000L))).cast("int"))
-        .withColumn("end",
-          (col("start") + lit(500) +
-            pmod(col("region_id"), lit(7L)).cast("int") * 800).cast("int"))
+      val regions = syntheticRegions(s, dir)
       graft.operators.RangeJoin
         .pointInInterval(sites, regions, bucketShift = 14)
         .groupBy("region_id")
@@ -634,11 +649,7 @@ object VcfQueries extends QuerySet {
     Some(s"""
       WITH $duckCtes,
       sites AS (SELECT DISTINCT regexp_replace(chrom_raw, '^chr', '') AS chrom, pos FROM v),
-      regions AS (SELECT CAST(p_partkey AS BIGINT) AS region_id,
-          CAST(1 + (p_partkey % 22) AS VARCHAR) AS chrom,
-          CAST(1000 + (p_partkey * 613) % 90000 AS INT) AS rstart,
-          CAST(1000 + (p_partkey * 613) % 90000 + 500 + (p_partkey % 7) * 800 AS INT) AS rend
-        FROM part)
+      $regionsCteSql
       SELECT region_id, count(*) AS n_variants,
              min(pos) AS min_pos, max(pos) AS max_pos
       FROM sites s JOIN regions r
@@ -657,15 +668,7 @@ object VcfQueries extends QuerySet {
   private val q82 = Q(
     "q82_interval_overlap",
     (s, dir) => {
-      val regions = t(s, dir, "part")
-        .select(col("p_partkey").cast("long").as("region_id"))
-        .withColumn("chrom",
-          (lit(1) + pmod(col("region_id"), lit(22L))).cast("string"))
-        .withColumn("start",
-          (lit(1000L) + pmod(col("region_id") * 613L, lit(90000L))).cast("int"))
-        .withColumn("end",
-          (col("start") + lit(500) +
-            pmod(col("region_id"), lit(7L)).cast("int") * 800).cast("int"))
+      val regions = syntheticRegions(s, dir)
       val targets = t(s, dir, "orders")
         .select(col("o_orderkey").cast("long").as("target_id"))
         .withColumn("chrom",
@@ -684,11 +687,7 @@ object VcfQueries extends QuerySet {
         .orderBy("chrom")
     },
     Some(s"""
-      WITH regions AS (SELECT CAST(p_partkey AS BIGINT) AS region_id,
-          CAST(1 + (p_partkey % 22) AS VARCHAR) AS chrom,
-          CAST(1000 + (p_partkey * 613) % 90000 AS INT) AS rstart,
-          CAST(1000 + (p_partkey * 613) % 90000 + 500 + (p_partkey % 7) * 800 AS INT) AS rend
-        FROM part),
+      WITH $regionsCteSql,
       targets AS (SELECT CAST(o_orderkey AS BIGINT) AS target_id,
           CAST(1 + (o_orderkey % 22) AS VARCHAR) AS chrom,
           CAST(1000 + (o_orderkey * 389) % 90000 AS INT) AS tstart,
@@ -717,15 +716,7 @@ object VcfQueries extends QuerySet {
     "q83_nearest_feature",
     (s, dir) => {
       val sites = wide(s, dir).select(col("chrom"), col("pos")).distinct()
-      val regions = t(s, dir, "part")
-        .select(col("p_partkey").cast("long").as("region_id"))
-        .withColumn("chrom",
-          (lit(1) + pmod(col("region_id"), lit(22L))).cast("string"))
-        .withColumn("start",
-          (lit(1000L) + pmod(col("region_id") * 613L, lit(90000L))).cast("int"))
-        .withColumn("end",
-          (col("start") + lit(500) +
-            pmod(col("region_id"), lit(7L)).cast("int") * 800).cast("int"))
+      val regions = syntheticRegions(s, dir)
       graft.operators.RangeJoin
         .nearestInterval(sites, regions, maxDist = 5000L, bucketShift = 14)
         .groupBy("chrom")
@@ -737,11 +728,7 @@ object VcfQueries extends QuerySet {
     Some(s"""
       WITH $duckCtes,
       sites AS (SELECT DISTINCT regexp_replace(chrom_raw, '^chr', '') AS chrom, pos FROM v),
-      regions AS (SELECT
-          CAST(1 + (p_partkey % 22) AS VARCHAR) AS chrom,
-          CAST(1000 + (p_partkey * 613) % 90000 AS INT) AS rstart,
-          CAST(1000 + (p_partkey * 613) % 90000 + 500 + (p_partkey % 7) * 800 AS INT) AS rend
-        FROM part),
+      $regionsCteSql,
       nearest AS (
         SELECT s.chrom, s.pos,
                min(greatest(r.rstart - s.pos, s.pos - r.rend, 0)) AS dist
@@ -768,15 +755,7 @@ object VcfQueries extends QuerySet {
   private val q84 = Q(
     "q84_merge_intervals",
     (s, dir) => {
-      val regions = t(s, dir, "part")
-        .select(col("p_partkey").cast("long").as("region_id"))
-        .withColumn("chrom",
-          (lit(1) + pmod(col("region_id"), lit(22L))).cast("string"))
-        .withColumn("start",
-          (lit(1000L) + pmod(col("region_id") * 613L, lit(90000L))).cast("int"))
-        .withColumn("end",
-          (col("start") + lit(500) +
-            pmod(col("region_id"), lit(7L)).cast("int") * 800).cast("int"))
+      val regions = syntheticRegions(s, dir)
       graft.operators.RangeJoin.mergeIntervals(regions)
         .groupBy("chrom")
         .agg(count(lit(1)).as("n_blocks"),
@@ -785,11 +764,7 @@ object VcfQueries extends QuerySet {
         .orderBy("chrom")
     },
     Some(s"""
-      WITH regions AS (SELECT
-          CAST(1 + (p_partkey % 22) AS VARCHAR) AS chrom,
-          CAST(1000 + (p_partkey * 613) % 90000 AS INT) AS rstart,
-          CAST(1000 + (p_partkey * 613) % 90000 + 500 + (p_partkey % 7) * 800 AS INT) AS rend
-        FROM part),
+      WITH $regionsCteSql,
       ord AS (
         SELECT chrom, rstart, rend,
           max(rend) OVER (PARTITION BY chrom ORDER BY rstart, rend

@@ -84,16 +84,18 @@ object VcfWriter {
     * sorts within each task so every shard is position-sorted
     * internally (bgzip/tabix-friendly).
     */
-  def writeShardedByChrom(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
+  def writeShardedByChrom(df: DataFrame, meta: VcfMetadata, outDir: String,
+      bgzf: Boolean = false): Unit = {
     // sort key leads with chrom: the partitioned text writer REQUIRES
     // its tasks ordered by the partition column and would insert its
     // own (unstable) sort otherwise, clobbering the pos order
-    df.repartition(col("chrom"), VcfReader.posBucket(col("pos")))
+    val w = df.repartition(col("chrom"), VcfReader.posBucket(col("pos")))
       .sortWithinPartitions(col("chrom"), col("pos"))
       .select(col("chrom"), lineCol(meta.samples).as("value"))
       .write.mode("overwrite")
       .partitionBy("chrom")
-      .text(s"$outDir/shards")
+    (if (bgzf) w.option("compression", classOf[graft.sources.v2.BgzfCodec].getName)
+     else w).text(s"$outDir/shards")
     writeHeader(df, meta, outDir)
   }
 
@@ -151,16 +153,8 @@ object VcfWriter {
     * still be assembled independently as header + cat(dir) (a valid
     * multi-member gzip = one bgzipped single-chrom VCF).
     */
-  def writeShardedByChromBgzf(df: DataFrame, meta: VcfMetadata, outDir: String): Unit = {
-    df.repartition(col("chrom"), VcfReader.posBucket(col("pos")))
-      .sortWithinPartitions(col("chrom"), col("pos"))
-      .select(col("chrom"), lineCol(meta.samples).as("value"))
-      .write.mode("overwrite")
-      .partitionBy("chrom")
-      .option("compression", classOf[graft.sources.v2.BgzfCodec].getName)
-      .text(s"$outDir/shards")
-    writeHeader(df, meta, outDir)
-  }
+  def writeShardedByChromBgzf(df: DataFrame, meta: VcfMetadata, outDir: String): Unit =
+    writeShardedByChrom(df, meta, outDir, bgzf = true)
 
   /** Build a `.csi` sibling for every BGZF shard under `outDir/shards`
     * (recursively — the [[writeShardedByChromBgzf]] layout nests shards
@@ -178,11 +172,19 @@ object VcfWriter {
       minShift: Int = 14, depth: Int = 5): Unit = {
     val dir = new Path(s"$outDir/shards")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Hadoop convention: skip hidden path components ('_'/'.'-prefixed) —
+    // a crashed writer's _temporary attempt files are truncated bgzf and
+    // must not be indexed (or fail the whole indexing job)
+    def hidden(p: Path): Boolean =
+      Iterator.iterate(p)(_.getParent)
+        .takeWhile(q => q != null && q.toUri.getPath != dir.toUri.getPath)
+        .exists(q => q.getName.startsWith("_") || q.getName.startsWith("."))
     val shards = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".gz")) shards += f.getPath.toString
+      if (f.getPath.getName.endsWith(".gz") && !hidden(f.getPath))
+        shards += f.getPath.toString
     }
     if (shards.isEmpty) return
     spark.sparkContext

@@ -182,11 +182,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamedO.values.forall(_ === 1))
     assert(streamedO.keys.map(r => (r(3), r(6))).toSet ===
       Set(("r1", "t_a"), ("r1", "t_b")))
-    // stateless: neither query ran a state store
+    // stateless: neither query ran a state store (recentProgress keeps
+    // the drained batches even after AvailableNow terminates — a null
+    // lastProgress must not make this vacuous)
     Seq(pointQ, ovQ).foreach { q =>
-      val progress = q.lastProgress
-      assert(progress == null || progress.stateOperators.isEmpty,
-        s"range join unexpectedly stateful: ${progress.stateOperators}")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.nonEmpty, "no progress recorded — nothing was asserted")
+      batches.foreach(p => assert(p.stateOperators.isEmpty,
+        s"range join unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
     }
   }
 
