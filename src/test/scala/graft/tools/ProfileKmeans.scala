@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** A/B profile: the fused kmeansTrain (one kmeansStepWithObjective scan
+  * per history entry) vs an explicit replay of the unfused loop (step
+  * scan + separate ivfQuantError scan per round). Same seeds, same
+  * iteration count, early stop disabled so both do identical work. Run:
+  * `sbt "Test/runMain graft.tools.ProfileKmeans [sfDir] [iters] [k]"`.
+  */
+object ProfileKmeans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val iters = args.lift(1).map(_.toInt).getOrElse(5)
+    val k = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val seeds = e.filter(col("vec_id").between(100, 99 + k))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    def median(f: => Seq[Double]): (Double, Seq[Double]) = {
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (samples(1), samples)
+    }
+
+    val (fused, fr) = median {
+      val (_, h) = Similarity.kmeansTrain(e, seeds, maxIters = iters, relTol = 0)
+      h
+    }
+    val (unfused, ur) = median {
+      var cents = seeds.select(col("cid").cast("long"), col("cv"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      def freeze = cents.toDF("cid", "cv")
+      var hist = Seq(Similarity.ivfQuantError(e, freeze))
+      (0 until iters).foreach { _ =>
+        val learned = Similarity.kmeansCentroids(Similarity.kmeansStep(e, freeze))
+          .as[(Long, Seq[Double])].collect().toMap
+        cents = cents.map { case (cid, cv) => cid -> learned.getOrElse(cid, cv) }
+        hist :+= Similarity.ivfQuantError(e, freeze)
+      }
+      hist
+    }
+    println(f"fused   kmeansTrain ($iters iters, k=$k): $fused%7.3f s  (runs: ${fr.map(s => f"$s%.2f").mkString(", ")})")
+    println(f"unfused replay      ($iters iters, k=$k): $unfused%7.3f s  (runs: ${ur.map(s => f"$s%.2f").mkString(", ")})")
+    println(f"speedup: ${unfused / fused}%.2f x  (scans ${iters + 1} vs ${2 * iters + 1})")
+    spark.stop()
+  }
+}
