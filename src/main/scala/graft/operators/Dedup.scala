@@ -98,6 +98,32 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Pairs of documents sharing at least `minShared` DISTINCT spans of
+    * `span` consecutive tokens — the verbatim-overlap detector (long
+    * quotes, boilerplate blocks, near-verbatim mirrors) that jaccard
+    * similarity under-reports on long documents: a 40-token verbatim
+    * quote inside two 10k-token docs is jaccard ≈ 0.004, invisible to
+    * [[ngramJaccardPairs]]' threshold, but 36 shared 5-token spans
+    * here. Same equi-join-on-span-hash reduction as the shingle
+    * pipeline (never all-pairs); `maxDocFreq` caps boilerplate spans
+    * exactly as [[capDocFreq]] does for shingles.
+    */
+  def sharedSpanPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      span: Int, minShared: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    require(span >= 2, s"span must be at least 2 tokens, got $span")
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
+    val sh = shingleTable(df, idCol, textCol, span)
+    val capped = maxDocFreq.fold(sh)(capDocFreq(sh, _))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** (id, band, key) MinHash LSH band rows — the unit record of a
     * persistable near-dup index (land it bucketed by (band, key) for
     * shuffle-free probing; see [[incrementalMinhashCandidates]]) and

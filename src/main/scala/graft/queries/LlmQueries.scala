@@ -629,6 +629,32 @@ object LlmQueries extends QuerySet {
       FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
     """))
 
+  /** Verbatim shared-span pairs (Dedup.sharedSpanPairs) — the
+    * ExactSubstr-style detector for long quotes/boilerplate that
+    * jaccard under-reports on long docs: docs sharing ≥ 3 distinct
+    * 5-token spans. Same equi-join-on-hash shape as q31; the oracle
+    * replays 5-token windows with the same rolling hash.
+    */
+  private val q85 = Q(
+    "q85_shared_spans",
+    (s, dir) =>
+      Dedup.sharedSpanPairs(docs2(s, dir), "id", "text", span = 5, minShared = 3)
+        .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH $docs2Sql,
+      toks5 AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM docs2),
+      spans AS (SELECT id, unnest(list_transform(range(1, CAST(len(w) AS INT) - 3),
+          i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+               w[CAST(i AS INT) + 2] || ' ' || w[CAST(i AS INT) + 3] || ' ' ||
+               w[CAST(i AS INT) + 4])) AS s
+        FROM toks5),
+      spx AS (SELECT DISTINCT id, ${rollSql("s")} AS x FROM spans)
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      FROM spx a JOIN spx b ON a.x = b.x AND a.id < b.id
+      GROUP BY 1, 2 HAVING count(*) >= 3
+      ORDER BY id_a, id_b
+    """))
+
   /** DuckDB CTE chain `mh → bands → cand`: minhash-LSH candidate pairs
     * over `shx` (shared by q32 and q38's clustering oracle).
     */
@@ -2054,5 +2080,5 @@ object LlmQueries extends QuerySet {
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78)
+      q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85)
 }

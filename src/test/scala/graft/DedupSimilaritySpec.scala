@@ -32,6 +32,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists(p => p._1 == "d3" || p._2 == "d3"))
   }
 
+  test("sharedSpanPairs flags a planted verbatim quote jaccard misses") {
+    val quote = "to be or not to be that is the question of the hour"
+    val docs = Seq(
+      ("a", s"alpha beta gamma delta $quote epsilon zeta eta theta iota kappa"),
+      ("b", s"one two three four five six $quote seven eight nine ten eleven"),
+      ("c", "completely unrelated words that never repeat anything at all here"))
+      .toDF("id", "text")
+    val pairs = Dedup.sharedSpanPairs(docs, "id", "text", span = 5, minShared = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // the 13-token quote yields 9 shared 5-token spans for (a, b)
+    assert(pairs.keySet === Set(("a", "b")))
+    assert(pairs(("a", "b")) === 9L)
+    // jaccard at the q31 threshold misses the same pair (the quote is a
+    // small fraction of each doc's shingle set) — the span detector is
+    // not redundant with it
+    val jac = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)
+      .collect()
+    assert(jac.isEmpty, s"jaccard unexpectedly flagged: ${jac.mkString(",")}")
+  }
+
   test("minhash LSH surfaces the same near-dup candidates") {
     val pairs = Dedup.minhashLshPairs(docs, "id", "text", 3, 4)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
