@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import QueryUtil._
 
 /** Gate queries for the LLM-data-pipeline operators (SURVEY.md §2.C):
@@ -1156,9 +1156,15 @@ object LlmQueries extends QuerySet {
     * centroid by L2, cid tiebreak) — shared by q42 and q43.
     */
   /** DuckDB ordered-fold squared L2 (dim 64) — matches VectorExprs.l2sq. */
-  private def l2Sql(a: String, b: String): String =
+  private def l2Sql(a: String, b: String): String = l2DimSql(a, b, 64)
+
+  /** DuckDB ordered-fold squared L2 over the first `dim` components —
+    * the same left fold (0.0-seeded, index order) VectorExprs.l2sq
+    * runs, so IEEE bits agree.
+    */
+  private def l2DimSql(a: String, b: String, dim: Int): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          list_transform(range(1, 65),
+          list_transform(range(1, ${dim + 1}),
             i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))),
           (x, y) -> x + y)"""
 
@@ -1794,6 +1800,137 @@ object LlmQueries extends QuerySet {
       ORDER BY probe_id
     """))
 
+  /** Media embedding ANN recall@5 under the ORACLE (was spec-only): a
+    * media table derived deterministically from `documents` (bytes =
+    * the UTF-8 text, so DuckDB replays [[Multimodal.FakeDecoder]]'s
+    * dim-8 byte histogram as unicode()%8 character counts — the corpus
+    * text is ASCII, so character codes ARE bytes), indexed by
+    * [[Multimodal.mediaAnnIndex]] with ZERO training iterations —
+    * centroids = the 4 lexicographically-first items' features,
+    * codebooks = the first 8 items' residuals — and searched by
+    * [[Multimodal.mediaAnnTopK]] (nprobe=2 cell-restricted residual
+    * ADC). Training-loop replay is q70's job; what THIS gate pins
+    * hash-exact is the multimodal composition q70 can't see: per-
+    * partition decode → feature vectors → residual encode → ADC search,
+    * scored as recall@5 vs exact-L2 brute force over the same decoded
+    * features.
+    */
+  private val q86 = Q(
+    "q86_media_ann_recall",
+    (s, dir) => {
+      def mediaOf(df: DataFrame): DataFrame = df.select(
+        format_string("m%06d", col("doc_id")).as("media_id"),
+        lit("image").as("modality"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        map(lit("src"), lit("documents")).as("meta"))
+      val docs = t(s, dir, "documents")
+      val media = mediaOf(docs)
+      val (cents, books, codes) = Multimodal.mediaAnnIndex(
+        media, nlist = 4, m = 4, bookK = 8, kmeansIters = 0, pqIters = 0)
+      val probes = mediaOf(docs.filter(col("doc_id") < 5))
+      val pq5 = Multimodal.mediaAnnTopK(codes, cents, books, probes,
+          k = 5, nprobe = 2)
+        .select(col("probe_id"), col("cand_id"))
+      val e = Multimodal.mediaFeatures(media)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("d").asc, col("cand_id").asc)
+      val brute = e.select(col("media_id").as("cand_id"), col("fv").as("cv"))
+        .crossJoin(broadcast(Multimodal.mediaFeatures(probes)
+          .select(col("media_id").as("probe_id"), col("fv").as("pv"))))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .withColumn("d", Similarity.l2sq(col("cv"), col("pv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("probe_id", "cand_id")
+      val matches = brute.join(pq5, Seq("probe_id", "cand_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+      brute.select("probe_id").distinct()
+        .join(matches, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          micro(coalesce(col("n_match"), lit(0L)) / 5.0).as("recall_micro"))
+        .orderBy("probe_id")
+    },
+    Some(s"""
+      WITH dd AS (SELECT doc_id, printf('m%06d', doc_id) AS mid, text
+             FROM documents),
+      ch AS (SELECT mid, unnest(list_transform(range(1, len(text) + 1),
+               i -> unicode(substr(text, CAST(i AS INT), 1)) % 8)) AS b
+             FROM dd),
+      hc AS (SELECT mid, b, count(*) AS c FROM ch GROUP BY 1, 2),
+      dim8 AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS b),
+      e AS (SELECT dd.mid,
+               list(CAST(COALESCE(hc.c, 0) AS DOUBLE) ORDER BY dim8.b) AS v
+             FROM dd CROSS JOIN dim8
+             LEFT JOIN hc ON hc.mid = dd.mid AND hc.b = dim8.b
+             GROUP BY 1),
+      rk AS (SELECT mid, v, row_number() OVER (ORDER BY mid) - 1 AS r FROM e),
+      cent AS (SELECT r AS cid, v AS cv FROM rk WHERE r < 4),
+      asg AS (SELECT mid, v, cid AS cell FROM (
+               SELECT e.mid, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.mid
+                   ORDER BY ${l2DimSql("e.v", "c.cv", 8)} ASC, c.cid ASC) AS rn
+               FROM e CROSS JOIN cent c) x WHERE rn = 1),
+      rcw AS (SELECT s.r AS k,
+               list_transform(range(1, 9),
+                 i -> s.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS rv
+             FROM rk s
+             JOIN asg a ON a.mid = s.mid
+             JOIN cent c ON c.cid = a.cell
+             WHERE s.r < 8),
+      ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      scw AS (SELECT c.cid, ms.m, r.k,
+               list_transform(range(1, 3),
+                 j -> c.cv[CAST(ms.m * 2 + j AS INT)] + r.rv[CAST(ms.m * 2 + j AS INT)]) AS v
+             FROM cent c CROSS JOIN ms CROSS JOIN rcw r),
+      cdist AS (SELECT a.mid, s.m, s.k,
+               ${l2DimSql("list_slice(a.v, s.m * 2 + 1, s.m * 2 + 2)", "s.v", 2)} AS d
+             FROM asg a JOIN scw s ON s.cid = a.cell),
+      ccode AS (SELECT mid, m, k FROM (
+               SELECT mid, m, k,
+                 row_number() OVER (PARTITION BY mid, m ORDER BY d, k) AS rn
+               FROM cdist) x WHERE rn = 1),
+      pset AS (SELECT e.mid, e.v FROM dd JOIN e ON e.mid = dd.mid
+             WHERE dd.doc_id < 5),
+      pcell AS (SELECT probe_id, cell FROM (
+               SELECT p.mid AS probe_id, c.cid AS cell,
+                 row_number() OVER (PARTITION BY p.mid
+                   ORDER BY ${l2DimSql("p.v", "c.cv", 8)} ASC, c.cid ASC) AS rn
+               FROM pset p CROSS JOIN cent c) x WHERE rn <= 2),
+      pd AS (SELECT pc.probe_id, pc.cell, s.m, s.k,
+               ${l2DimSql("list_slice(p.v, s.m * 2 + 1, s.m * 2 + 2)", "s.v", 2)} AS d
+             FROM pcell pc
+             JOIN pset p ON p.mid = pc.probe_id
+             JOIN scw s ON s.cid = pc.cell),
+      adc AS (SELECT pd.probe_id, cc.mid AS cand_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(pd.d ORDER BY pd.m)), (x, y) -> x + y) AS adc
+             FROM ccode cc
+             JOIN asg a ON a.mid = cc.mid
+             JOIN pd ON pd.cell = a.cell AND pd.m = cc.m AND pd.k = cc.k
+             WHERE cc.mid <> pd.probe_id
+             GROUP BY pd.probe_id, cc.mid),
+      prk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) AS rnk
+             FROM adc),
+      p5 AS (SELECT probe_id, cand_id FROM prk WHERE rnk <= 5),
+      bpr AS (SELECT p.mid AS probe_id, c.mid AS cand_id,
+               ${l2DimSql("c.v", "p.v", 8)} AS d
+             FROM e c CROSS JOIN pset p
+             WHERE c.mid <> p.mid),
+      brk AS (SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY d, cand_id) AS rnk
+             FROM bpr),
+      b5 AS (SELECT probe_id, cand_id FROM brk WHERE rnk <= 5),
+      mc AS (SELECT probe_id, count(*) AS n_match
+             FROM (SELECT * FROM b5 INTERSECT SELECT * FROM p5) i GROUP BY probe_id)
+      SELECT p.probe_id,
+        CAST(COALESCE(mc.n_match, 0) AS BIGINT) AS n_match,
+        ${microSql("COALESCE(mc.n_match, 0) / 5.0")} AS recall_micro
+      FROM (SELECT DISTINCT probe_id FROM b5) p LEFT JOIN mc USING (probe_id)
+      ORDER BY probe_id
+    """))
+
   /** Reference-corpus n-gram FAMILIARITY score — the LM-free stand-in
     * for perplexity filtering (the CCNet/Gopher-style "does this text
     * look like the curated corpus" signal): the top-200 bigrams by doc
@@ -2080,5 +2217,6 @@ object LlmQueries extends QuerySet {
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
-      q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85)
+      q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
+      q86)
 }
