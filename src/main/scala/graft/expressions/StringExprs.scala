@@ -30,6 +30,12 @@ object StringExprs {
   def simhash32(tokenHashes: Column): Column =
     Bridge.column(Simhash32Expr(Bridge.expression(tokenHashes)))
 
+  /** One-pass 64-bit simhash over an array<long> of DISTINCT token
+    * hashes — bit-identical to Dedup.simhashTable's aggregation.
+    */
+  def simhash64(tokenHashes: Column): Column =
+    Bridge.column(Simhash64Expr(Bridge.expression(tokenHashes)))
+
   /** Rolling-hash every element of an array<string> in one codegen'd
     * pass — the kernel form of `transform(tokens, rollingHash)`, which
     * as an array HOF is CodegenFallback (§8's banned pattern; this was

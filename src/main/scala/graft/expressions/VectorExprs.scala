@@ -132,6 +132,44 @@ object VectorExprs {
   }
 
   /** One-pass 32-bit simhash kernel over long token hashes. */
+  /** 64-bit SimHash over DISTINCT token rolling-hashes, bit-identical
+    * to Dedup.simhashTable's aggregation: each hash x1 (already mod
+    * 1e9+7) derives x2/x3 by the 48271-MCG chain, bits 0-29 vote from
+    * x1, 30-59 from x2, 60-63 from x3, and a bit sets when its ±1 vote
+    * sum is strictly positive. Empty array → null (simhashTable's
+    * explode drops token-less docs entirely; the per-row twin must not
+    * invent an all-zeros hash for them). Null elements are skipped.
+    */
+  def simhash64K(a: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    var voted = false
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x1 = a.getLong(i)
+        val x2 = (x1 * 48271L + 11L) % 999999937L
+        val x3 = (x2 * 48271L + 11L) % 999999937L
+        voted = true
+        var b = 0
+        while (b < 64) {
+          val src = if (b < 30) x1 >> b else if (b < 60) x2 >> (b - 30) else x3 >> (b - 60)
+          votes(b) += (if ((src & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!voted) return null
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
   def simhash32K(a: ArrayData): Long = {
     val n = a.numElements()
     val votes = new Array[Int](32)
@@ -267,6 +305,41 @@ case class Simhash32Expr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.expressions.VectorExprs.simhash32K($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array of DISTINCT token rolling-hashes — the
+  * per-row codegen'd twin of Dedup.simhashTable's explode + 64-vote
+  * aggregation (which a stream cannot run statelessly). Bit-identical
+  * by construction: same x1→x2→x3 MCG bit sources, same strict-majority
+  * rule; NULL array or token-less doc → NULL, mirroring the
+  * aggregation's absent row. One pass, 64 counters, no CodegenFallback.
+  */
+case class Simhash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExprs.simhash64K(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("sh64")
+      s"""
+      java.lang.Long $r = graft.expressions.VectorExprs.simhash64K($a);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64Expr =
     copy(child = newChild)
 }
 

@@ -107,6 +107,16 @@ object TextFunctions {
   def simhash32(tokenHashes: Column): Column =
     graft.expressions.StringExprs.simhash32(tokenHashes)
 
+  /** 64-bit SimHash over DISTINCT token hashes — the per-row codegen
+    * twin of Dedup.simhashTable's 64-vote aggregation (Simhash64Expr;
+    * bit-identical, NULL for token-less docs). Feed it
+    * `array_distinct(tokenHashes(...))`: the aggregation votes once per
+    * distinct token hash, so a non-deduplicated array would skew the
+    * votes of repeated-token boilerplate.
+    */
+  def simhash64(tokenHashes: Column): Column =
+    graft.expressions.StringExprs.simhash64(tokenHashes)
+
   /** Element-wise [[rollingHash]] of a token array in ONE codegen'd
     * call (TokenHashesExpr) — use instead of
     * `transform(tokens, rollingHash)`, which as an array HOF evaluates

@@ -264,9 +264,28 @@ object Dedup {
   def simhashBands(df: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashTable(df, idCol, textCol).select(
       col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffff)): _*))
-        .as(Seq("band", "key")))
+      posexplode(simhashBandKeys(col("simhash"))).as(Seq("band", "key")))
+
+  /** THE 4×16-bit banding of a 64-bit simhash (element b = band b's
+    * key), shared by [[simhashBands]] and the streaming index probe so
+    * the key space cannot drift between index and probe.
+    */
+  private[graft] def simhashBandKeys(sim: Column): Column =
+    array((0 until 4).map(b =>
+      shiftrightunsigned(sim, b * 16).bitwiseAND(0xffff)): _*)
+
+  /** Per-ROW 64-bit simhash column — the codegen'd twin of
+    * [[simhashTable]]'s explode + 64-vote aggregation (Simhash64Expr:
+    * same MCG bit sources, same strict-majority rule, bit-identical —
+    * spec-gated), for callers that cannot aggregate: a streaming stage
+    * is stateless with this where the aggregation would need a state
+    * store. NULL for token-less docs, mirroring the aggregation's
+    * absent row.
+    */
+  def simhashOf(textCol: Column): Column = {
+    import graft.functions.TextFunctions._
+    simhash64(array_distinct(tokenHashes(wsTokens(lower(cleanAscii(textCol))))))
+  }
 
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,

@@ -370,6 +370,47 @@ object DocStreams {
       .drop("__sig")
   }
 
+  /** STREAMING probe of the persisted cross-batch SIMHASH band index —
+    * [[graft.operators.Dedup.incrementalSimhashCandidates]]' stream
+    * twin, and the hamming-VERIFIED upgrade of [[corpusNearDupStream]]'s
+    * Bloom heuristic: each arriving doc computes its 64-bit simhash
+    * per-row (Dedup.simhashOf — the codegen'd bit-identical twin of the
+    * batch aggregation, which a stream cannot run statelessly), bands
+    * it with THE banding definition (Dedup.simhashBandKeys), and
+    * equi-joins the STATIC index on (band, key) — a stream-static inner
+    * join: fully STATELESS, no state store, no watermark. Every
+    * candidate is verified EXACTLY in the join projection
+    * (`bit_count(xor) ≤ maxHamming` — both sides carry their hash, no
+    * estimate, no text revisit), so unlike the Bloom path there are no
+    * probabilistic over-flags.
+    *
+    * Emits evidence rows (ts, doc_id, index_id, band, hamming) — a doc
+    * matching one index entry in several bands emits one row per
+    * matching band (per-pair DISTINCT is a stateful aggregation, which
+    * would forfeit chainability; sinks dedupe by (doc_id, index_id),
+    * and the spec asserts the distinct pair set ≡ the batch operator's).
+    * At scale the static side is the bucketed (band, key) landing —
+    * re-scanned per micro-batch, never recomputed or re-hashed. Index
+    * REFRESH stays batch: append the accepted docs' simhashBands rows
+    * between micro-batch epochs (the q74/q76 upsert contract).
+    */
+  def simhashIndexProbeStream(
+      docs: DataFrame, indexBands: DataFrame, maxHamming: Int): DataFrame = {
+    import graft.operators.Dedup
+    val probe = docs
+      .withColumn("__sim", Dedup.simhashOf(col("text")))
+      .filter(col("__sim").isNotNull)
+      .select(col("ts"), col("doc_id"), col("__sim"),
+        posexplode(Dedup.simhashBandKeys(col("__sim"))).as(Seq("band", "key")))
+    probe.as("pb")
+      .join(indexBands.as("ix"),
+        col("ix.band") === col("pb.band") && col("ix.key") === col("pb.key"))
+      .select(col("pb.ts"), col("pb.doc_id"), col("ix.id").as("index_id"),
+        col("pb.band").as("band"),
+        bit_count(col("ix.simhash").bitwiseXOR(col("pb.__sim"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Streaming train/eval decontamination: each arriving doc's shingle
     * hashes probe a BROADCAST Bloom built over the eval corpus's
     * shingles (Dedup.shingleBloom); docs with ≥ `minShared` hits are

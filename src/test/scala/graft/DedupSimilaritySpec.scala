@@ -52,6 +52,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(jac.isEmpty, s"jaccard unexpectedly flagged: ${jac.mkString(",")}")
   }
 
+  test("simhashOf is the bit-identical per-row twin of simhashTable") {
+    val rnd = new scala.util.Random(7)
+    // randomized docs, including empty and repeated-token boilerplate
+    val fixture = (0L until 80L).map { i =>
+      val n = rnd.nextInt(30)
+      (i, (0 until n).map(_ => s"w${rnd.nextInt(25)}").mkString(" "))
+    }
+    val docs = fixture.toDF("id", "text")
+    val agg = Dedup.simhashTable(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRow = docs.select(col("id"), Dedup.simhashOf(col("text")).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    fixture.foreach { case (id, _) =>
+      assert(perRow(id) === agg.get(id),
+        s"doc $id: per-row ${perRow(id)} vs aggregation ${agg.get(id)}")
+    }
+    // token-less docs exist in the fixture and map to NULL, not 0
+    assert(fixture.exists(_._2.trim.isEmpty))
+  }
+
   test("minhash LSH surfaces the same near-dup candidates") {
     val pairs = Dedup.minhashLshPairs(docs, "id", "text", 3, 4)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet

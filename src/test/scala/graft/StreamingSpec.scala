@@ -434,6 +434,53 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(exact.subsetOf(flagged), s"stream missed exact candidates: $exact vs $flagged")
   }
 
+  test("streaming simhash index probe: hamming-verified, stateless, equals batch") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, (100 to 140).map(i => s"other$i").mkString(" "))).toDF("id", "text")
+    val indexBands = Dedup.simhashBands(corpus, "id", "text")
+    val batch = Seq(
+      Doc(ts(0), 10L, base),             // token-identical copy: hamming 0
+      Doc(ts(1), 11L, (300 to 340).map(i => s"fresh$i").mkString(" ")), // novel
+      Doc(ts(2), 12L, ""),               // token-less → null hash, no probe
+      // one appended token flips ~P(vote=0)·64 ≈ 8 bits of a 40-token
+      // doc's simhash — usually past hamming 3; whatever the batch
+      // operator decides, the stream must agree (the ≡ assert below)
+      Doc(ts(3), 13L, base + " tail1"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(batch)
+    val q = DocStreams.simhashIndexProbeStream(mem.toDF(), indexBands, maxHamming = 3)
+      .writeStream.format("memory").queryName("graft_shprobe_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val evidence = spark.table("graft_shprobe_test")
+    // distinct evidence pairs ≡ the batch operator's verified candidates
+    // (stream rows are per matching band — at-least-once per pair)
+    val streamPairs = evidence.select("index_id", "doc_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val batchPairs = Dedup.incrementalSimhashCandidates(
+        indexBands, batch.map(d => (d.doc_id, d.text)).toDF("id", "text"),
+        "id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamPairs === batchPairs, s"stream $streamPairs vs batch $batchPairs")
+    assert(streamPairs.exists { case (ix, dc, _) => ix == 1L && dc == 10L },
+      s"the planted near-copy did not flag: $streamPairs")
+    assert(!streamPairs.exists(p => p._2 == 11L || p._2 == 12L), s"got $streamPairs")
+    // stateless: the stream-static join ran no state store (recentProgress
+    // keeps drained batches after AvailableNow terminates — non-vacuous)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.nonEmpty, "no progress recorded — nothing was asserted")
+    batches.foreach(p => assert(p.stateOperators.isEmpty,
+      s"index probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
+  }
+
   test("nearDupFlags refuses maxHamming beyond the pigeonhole guarantee") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc
