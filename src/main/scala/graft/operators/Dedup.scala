@@ -508,6 +508,40 @@ object Dedup {
       .drop("__rep")
   }
 
+  /** QUALITY-AWARE representative per near-dup cluster — the retention
+    * policy upgrade over [[representatives]]' min-id election: within a
+    * cluster keep the member with the BEST score (max `scoreCol`, ties
+    * to the lowest id); singleton docs represent themselves. "Keep the
+    * best copy, not the first seen" is the policy production corpus
+    * dedup actually wants — the min-id rep discards a clean original
+    * whenever a truncated mirror happens to carry a smaller id.
+    *
+    * Shape: one left join of the scored docs against the label table
+    * (bounded by paired docs; strategy left to AQE — see
+    * [[representatives]]' broadcast caveat), then ONE window keyed by
+    * cluster — both the rank and the member count ride the same
+    * exchange (same partitioning). Never a corpus-wide sort: the window
+    * orders within clusters only. Label collisions are impossible:
+    * a component label is the min id of a PAIRED doc, and singletons
+    * are by definition unpaired.
+    */
+  def bestPerCluster(
+      docs: DataFrame, clusters: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val lab = docs
+      .join(clusters.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    val byCluster = Window.partitionBy(col("cluster"))
+    val rank = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    lab
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Train/eval decontamination: flag training docs sharing ≥ `minShared`
     * distinct n-gram shingles with any eval doc (the benchmark-leakage
     * check every training corpus needs before a run).

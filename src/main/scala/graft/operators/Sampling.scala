@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data mixing: pick a per-stratum
@@ -84,5 +85,55 @@ object Sampling {
     val m2 = pmod(m1 * lit(OrderMult), lit(HashPrime))
     df.withColumn("shuffle_key", m2)
       .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)).cast("int"))
+  }
+
+  /** TEMPERATURE-scaled corpus mixing — the standard multilingual /
+    * multi-domain rebalancing step (sampling probability ∝ n_s^α pulls
+    * head strata down and tail strata up; α = 1 is natural proportions,
+    * α → 0 is uniform): per-stratum target counts t_s =
+    * ⌊budget · n_s^α / Σ n^α⌋ from DRIVER-collected stratum counts
+    * (driver-small — the centroid-stats pattern), then each stratum
+    * keeps its t_s members of smallest mixed hash — the [[stratified]]
+    * MCG bijection, so the draw is deterministic across engines,
+    * retries, and repartitioning, and nested budgets are honored
+    * (a stratum's 100-doc draw is a superset of its 50-doc draw).
+    *
+    * ONE exchange: the per-stratum rank window keys on the stratum.
+    * Strata with t_s = 0 drop entirely.
+    *
+    * Determinism contract (§5): the default α = 0.5 computes weights
+    * with `sqrt` — correctly rounded in IEEE 754, so any engine
+    * reproduces t_s exactly. Other α use `pow`, whose last ulp is
+    * libm-variant: fine in production, but a cross-engine oracle
+    * should stick to 0.5. The weight total folds in stratum-ascending
+    * order — replays must sum in the same order.
+    */
+  def temperatureMix(
+      df: DataFrame, stratumCol: String, idCol: String,
+      budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix over an empty corpus")
+    val ws = counts.map { case (st, n) =>
+      st -> (if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha))
+    }
+    val wTot = ws.foldLeft(0.0)(_ + _._2) // stratum-ascending left fold
+    val targets = ws.map { case (st, w) =>
+      st -> math.floor(budget.toDouble * w / wTot).toLong
+    }
+    val tCol = targets.foldLeft(lit(0L)) { case (acc, (st, t)) =>
+      when(col(stratumCol) === st, lit(t)).otherwise(acc)
+    }
+    // full-bijection rank hash (no bucket mod): finest-grained
+    // deterministic order, ties impossible for distinct ids < HashPrime
+    val rh = pmod(pmod(col(idCol), lit(HashPrime)) * lit(HashMult), lit(HashPrime))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(rh.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= tCol)
+      .drop("__rn")
   }
 }

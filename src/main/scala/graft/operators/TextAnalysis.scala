@@ -83,6 +83,63 @@ object TextAnalysis {
         concat_ws(" ", col("__c")).as("chunk_text"))
   }
 
+  /** BM25 top-k retrieval over a document table for a fixed query-term
+    * list — the text-side member of the similarity-search family (the
+    * embedding side is the ANN ladder). Shape, built for the 100 TB
+    * corpus: tokens explode and filter to the |terms| query terms
+    * BEFORE the one shuffle (the corpus-scale reduction — a doc
+    * without query terms never leaves its scan partition), per-doc tf
+    * comes from ONE aggregation with |terms| conditional sums (the
+    * simhashTable vote pattern, no per-term job), df/N/avgdl are
+    * driver-small collects (|terms| longs — the centroid-stats
+    * pattern), and the final top-k is TakeOrderedAndProject (partial
+    * per-partition top-k, no global sort shuffle).
+    *
+    * Determinism contract (§5): idf is the RATIONAL Robertson form
+    * (N − df + 0.5)/(df + 0.5) — ln-idf is a one-line swap but libm's
+    * last ulp is engine-variant — and each doc's score is the integer
+    * sum of PER-TERM micro-floored scores, so summation order cannot
+    * move a hash. Ties rank by id.
+    */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val toks = df.select(col(idCol).as("id"),
+        wsTokens(lower(cleanAscii(col(textCol)))).as("__t"))
+      .withColumn("__dl", size(col("__t")))
+    val stats = toks.agg(count(lit(1)).as("n"), sum(col("__dl")).as("s")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25TopK over an empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n
+    def tfc(t: String) = s"__tf_${terms.indexOf(t)}"
+    val tf = toks
+      .select(col("id"), col("__dl"), explode(col("__t")).as("__term"))
+      .filter(col("__term").isin(terms: _*))
+      .groupBy(col("id"))
+      .agg(first(col("__dl")).as("__dl"),
+        terms.map(t => sum(when(col("__term") === t, 1L).otherwise(0L))
+          .as(tfc(t))): _*)
+    val dfRow = tf.agg(
+      sum((col(tfc(terms.head)) > 0).cast("long")),
+      terms.tail.map(t => sum((col(tfc(t)) > 0).cast("long"))): _*).head()
+    val dfs = terms.indices.map(i => terms(i) -> dfRow.getLong(i)).toMap
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    def termMicro(t: String): Column = {
+      val idf = (n - dfs(t) + 0.5) / (dfs(t) + 0.5)
+      val tfd = col(tfc(t)).cast("double")
+      val den = tfd + lit(k1) * (lit(oneMinusB) +
+        lit(b) * col("__dl").cast("double") / lit(avgdl))
+      floor(lit(idf) * (tfd * lit(k1p1)) / den * lit(1000000.0)).cast("long")
+    }
+    tf.select(col("id"),
+        terms.map(termMicro).reduce(_ + _).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+      .limit(k)
+  }
+
   // ---- PII scrubbing ---------------------------------------------------
   // Patterns stay in the RE2 ∩ java.util.regex dialect (no lookaround, no
   // backrefs) so the DuckDB oracle applies the byte-identical regex.

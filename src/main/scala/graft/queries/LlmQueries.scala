@@ -1931,6 +1931,131 @@ object LlmQueries extends QuerySet {
       ORDER BY probe_id
     """))
 
+  /** One BM25 per-term micro-score block (term index i): mirrors
+    * TextAnalysis.bm25TopK's operation order exactly — rational idf
+    * (N − df + 0.5)/(df + 0.5), then ((idf · tf·(k1+1)) / den) · 1e6,
+    * floored to BIGINT micros per term BEFORE the integer sum.
+    */
+  private def bm25TermSql(i: Int): String =
+    s"""CAST(floor((s.n - f.df$i + 0.5) / (f.df$i + 0.5) * (c.tf$i * (1.2 + 1.0))
+           / (c.tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * c.dl / s.avgdl))
+           * 1000000.0) AS BIGINT)"""
+
+  /** BM25 top-k retrieval (TextAnalysis.bm25TopK) — the text-side
+    * similarity-search gate: fixed query terms, rational idf, per-term
+    * micro-floored scores summed as integers (order-free, hash-exact),
+    * ties by id. DuckDB replays tokenization, df/N/avgdl, and the
+    * score chain operation for operation.
+    */
+  private val q87 = Q(
+    "q87_bm25_topk",
+    (s, dir) => TextAnalysis.bm25TopK(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "join", "window"), k = 10),
+    Some(s"""
+      WITH d AS (SELECT doc_id AS id,
+               CASE WHEN length(trim(lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')))) = 0
+                    THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'))), '\\s+')
+               END AS w
+             FROM documents),
+      dd AS (SELECT id, w, len(w) AS dl FROM d),
+      stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
+      cand AS (SELECT id, dl,
+               len(list_filter(w, t -> t = 'spark')) AS tf0,
+               len(list_filter(w, t -> t = 'join')) AS tf1,
+               len(list_filter(w, t -> t = 'window')) AS tf2
+             FROM dd
+             WHERE len(list_filter(w, t -> t IN ('spark', 'join', 'window'))) > 0),
+      f AS (SELECT count(*) FILTER (WHERE tf0 > 0) AS df0,
+               count(*) FILTER (WHERE tf1 > 0) AS df1,
+               count(*) FILTER (WHERE tf2 > 0) AS df2 FROM cand),
+      sc AS (SELECT c.id,
+               ${bm25TermSql(0)} + ${bm25TermSql(1)} + ${bm25TermSql(2)} AS score_micro
+             FROM cand c CROSS JOIN stats s CROSS JOIN f)
+      SELECT id, score_micro FROM sc
+      ORDER BY score_micro DESC, id ASC LIMIT 10
+    """))
+
+  /** Quality-aware dedup-cluster representative election
+    * (Dedup.bestPerCluster over q38's minhash-LSH clusters): within
+    * each near-dup cluster keep the member with the most tokens (ties
+    * to the lowest id); singletons elect themselves. Token count is the
+    * quality score precisely because it is integer-exact — the policy
+    * generalizes to any score column. DuckDB replays the recursive CC
+    * labeling and the same (score DESC, id) window.
+    */
+  private val q88 = Q(
+    "q88_best_per_cluster",
+    (s, dir) => {
+      val corpus = docs2(s, dir)
+      val pairs = Dedup.minhashLshPairs(corpus, "id", "text", n = 3, bands = 4)
+      val cc = Dedup.connectedComponents(pairs)
+      val scored = corpus.select(col("id"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      Dedup.bestPerCluster(scored, cc, "id", "n_tok")
+        .select(col("cluster"), col("id").as("rep_id"),
+          col("n_tok").as("rep_tokens"), col("n_members"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH RECURSIVE $docs2Sql, $shxSql, $mhCandSql,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      ql AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+             FROM docs2),
+      lab AS (SELECT q.id, COALESCE(cc.comp, q.id) AS cluster, q.n_tok
+              FROM ql q LEFT JOIN cc ON cc.id = q.id),
+      rep AS (SELECT cluster, id, n_tok,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY n_tok DESC, id ASC) AS rn,
+               count(*) OVER (PARTITION BY cluster) AS nm
+             FROM lab)
+      SELECT cluster, id AS rep_id, CAST(n_tok AS BIGINT) AS rep_tokens,
+        CAST(nm AS BIGINT) AS n_members
+      FROM rep WHERE rn = 1 ORDER BY cluster
+    """))
+
+  /** Temperature-scaled language mixing (Sampling.temperatureMix,
+    * α = 0.5, 200-doc budget): head languages sample down, tail
+    * languages up, per-stratum draws are the deterministic MCG-hash
+    * rank order. sqrt is IEEE-correctly-rounded so DuckDB reproduces
+    * every target count; the weight total folds in lang-ascending
+    * order on both engines.
+    */
+  private val q89 = Q(
+    "q89_temperature_mix",
+    (s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+          t(s, dir, "documents"), "lang", "doc_id", budget = 200L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang"),
+    Some("""
+      WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      wt AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+      tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(w ORDER BY lang)), (a, b) -> a + b) AS wtot FROM wt),
+      tgt AS (SELECT lang, CAST(floor(CAST(200 AS DOUBLE) * w / tot.wtot) AS BIGINT) AS t
+              FROM wt CROSS JOIN tot),
+      rnk AS (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007 ASC,
+                   doc_id ASC) AS rn
+             FROM documents)
+      SELECT r.lang, count(*) AS n_kept, CAST(sum(r.doc_id) AS BIGINT) AS id_sum
+      FROM rnk r JOIN tgt ON tgt.lang = r.lang
+      WHERE r.rn <= tgt.t
+      GROUP BY r.lang ORDER BY r.lang
+    """))
+
   /** Reference-corpus n-gram FAMILIARITY score — the LM-free stand-in
     * for perplexity filtering (the CCNet/Gopher-style "does this text
     * look like the curated corpus" signal): the top-200 bigrams by doc
@@ -2218,5 +2343,5 @@ object LlmQueries extends QuerySet {
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
-      q86)
+      q86, q87, q88, q89)
 }

@@ -71,6 +71,33 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("bestPerCluster keeps the max-score member, ties to lowest id") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (9L, 4L))
+      .toDF("id", "score")
+    val cc = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+    val out = Dedup.bestPerCluster(docs, cc, "id", "score")
+      .select("cluster", "id", "score", "n_members")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // cluster 1: scores (5,9,9) → doc 2 wins the 9-tie; singleton 9 elects
+    // itself with n_members 1
+    assert(out === Set((1L, 2L, 9L, 3L), (9L, 9L, 4L, 1L)))
+  }
+
+  test("bestPerCluster beats min-id election when the original is better") {
+    // the truncated mirror carries the SMALLER id: min-id keeps the worse
+    // copy, bestPerCluster keeps the clean original
+    val docs = Seq((1L, 10L), (2L, 80L)).toDF("id", "n_tok")
+    val cc = Dedup.connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b"))
+    val best = Dedup.bestPerCluster(docs, cc, "id", "n_tok")
+      .select("id").as[Long].collect().toSeq
+    assert(best === Seq(2L))
+    val minId = Dedup.representatives(docs, "id",
+        Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .filter(col("is_rep")).select("id").as[Long].collect().toSeq
+    assert(minId === Seq(1L), "control: min-id election keeps the mirror")
+  }
+
   test("maxIter too small for the diameter fails loudly instead of silently") {
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {

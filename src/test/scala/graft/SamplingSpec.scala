@@ -62,4 +62,64 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val plan = out.queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"stratified sampling must not shuffle:\n$plan")
   }
+
+  test("temperatureMix hits the hand-computed per-stratum targets") {
+    // corpus: en=1000, de=1000, fr=2000; α=0.5 → w=(31.62.., 31.62.., 44.72..)
+    val kept = Sampling.temperatureMix(corpus, "lang", "id", budget = 400L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val ws = Seq("de" -> 1000L, "en" -> 1000L, "fr" -> 2000L)
+      .map { case (l, n) => l -> math.sqrt(n.toDouble) }
+    val wTot = ws.foldLeft(0.0)(_ + _._2)
+    val want = ws.map { case (l, w) =>
+      l -> math.floor(400.0 * w / wTot).toLong
+    }.toMap
+    assert(kept === want, s"kept=$kept want=$want")
+    assert(kept.values.sum <= 400L)
+    // temperature pulls the head DOWN: fr has 2× the docs but < 2× the draw
+    assert(kept("fr").toDouble / kept("en") < 2.0)
+  }
+
+  test("temperatureMix α=1 is natural proportions") {
+    val kept = Sampling.temperatureMix(corpus, "lang", "id",
+      budget = 400L, alpha = 1.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept === Map("en" -> 100L, "de" -> 100L, "fr" -> 200L))
+  }
+
+  test("temperatureMix draws nest: a smaller budget is a subset") {
+    val small = Sampling.temperatureMix(corpus, "lang", "id", budget = 100L)
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.temperatureMix(corpus, "lang", "id", budget = 300L)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big),
+      s"rank order is fixed, so draws must nest: ${small -- big}")
+  }
+
+  test("temperatureMix is deterministic under repartitioning") {
+    val a = Sampling.temperatureMix(corpus, "lang", "id", budget = 250L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureMix(corpus.repartition(13), "lang", "id",
+      budget = 250L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("temperatureMix rank window is the ONE exchange in the plan") {
+    val out = Sampling.temperatureMix(corpus, "lang", "id", budget = 100L)
+    val plan = out.queryExecution.executedPlan.toString()
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n === 1, s"expected exactly the stratum-window exchange:\n$plan")
+  }
+
+  test("temperatureMix rejects bad budget and alpha") {
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(corpus, "lang", "id", budget = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(corpus, "lang", "id", budget = 10L, alpha = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(corpus, "lang", "id", budget = 10L, alpha = 0.0)
+    }
+  }
 }

@@ -194,4 +194,39 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(ham(sh("a"), sh("b")) < ham(sh("a"), sh("c")))
     assert(ham(sh("a"), sh("b")) <= 6)
   }
+
+  test("bm25TopK matches the hand-computed Robertson score chain") {
+    import graft.operators.TextAnalysis.bm25TopK
+    // N=4, avgdl=3, df(spark)=df(join)=2 over candidates → idf = 1.0 each
+    val docs = Seq(
+      (1L, "spark spark join"),    // dl=3: 2·2.2/(2+1.2·1.0)=1.375; +1·2.2/2.2=1.0
+      (2L, "spark window"),        // dl=2: 2.2/(1+1.2·0.75)=2.2/1.9
+      (3L, "other words here"),    // no query term → never a candidate
+      (4L, "join join join join") // dl=4: 4·2.2/(4+1.2·1.25)=1.6
+    ).toDF("doc_id", "text")
+    val out = bm25TopK(docs, "doc_id", "text", Seq("spark", "join"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2375000L), (4L, 1600000L), (2L, 1157894L)))
+  }
+
+  test("bm25TopK breaks score ties by ascending id and honors k") {
+    import graft.operators.TextAnalysis.bm25TopK
+    val docs = Seq((7L, "alpha beta"), (3L, "alpha beta"), (5L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = bm25TopK(docs, "doc_id", "text", Seq("alpha"), k = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(3L, 5L), s"identical docs tie by id: $out")
+    assert(out.map(_._2).distinct.size === 1)
+  }
+
+  test("bm25TopK rejects empty and duplicate term lists") {
+    import graft.operators.TextAnalysis.bm25TopK
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      bm25TopK(docs, "doc_id", "text", Seq.empty, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 5)
+    }
+  }
 }
