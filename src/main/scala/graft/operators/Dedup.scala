@@ -628,4 +628,44 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SEMANTIC dedup (SemDeDup-shape): drop a document when a LOWER-id
+    * document in its k-means cell sits at cosine ≥ `tau` — paraphrases
+    * and re-encodings that share no n-gram, the duplicates every
+    * surface-form detector (exact/minhash/simhash/spans) is blind to.
+    * Returns the kept rows with their `cell`.
+    *
+    * The cell assignment IS the scale trick (the published recipe):
+    * pairs are only formed within a cell, so the quadratic term is
+    * bounded by the largest cell, not the corpus — pick nlist so cells
+    * fit (the [[Similarity.ivfAssign]] assignment is a narrow
+    * zero-shuffle projection below InlineCentroidLimit and a broadcast
+    * join above it; either way the corpus never shuffles to be
+    * assigned). The in-cell self-join is one equi-join on `cell`; the
+    * dropped-id set is pair-bounded and drives a final anti-join
+    * (broadcastable when drops are sparse — AQE decides).
+    *
+    * Drop rule: "ANY lower-id τ-neighbor in the cell drops you" — a
+    * single join predicate, order-free and partitioning-free, unlike
+    * the paper's sequential greedy sweep (whose keep-set depends on
+    * visit order; over a chain a∼b∼c with a̸∼c the sweep keeps {a, c}
+    * while this rule keeps {a} — both are defensible dedup policies,
+    * ours is the deterministic one). Cross-cell near-dups are
+    * deliberately invisible (the SemDeDup recall trade); raise nlist
+    * recall by lowering nlist or probing neighbor cells upstream.
+    */
+  def semanticDedup(
+      vecs: DataFrame, centroids: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val asg = Similarity.ivfAssign(vecs, centroids, idCol, vecCol)
+    val a = asg.select(col("cell"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
+    val b = asg.select(col("cell"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("__id_b").as(idCol))
+      .distinct()
+    asg.join(dropped, Seq(idCol), "left_anti")
+  }
 }

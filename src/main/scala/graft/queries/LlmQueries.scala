@@ -2056,6 +2056,43 @@ object LlmQueries extends QuerySet {
       GROUP BY r.lang ORDER BY r.lang
     """))
 
+  /** Semantic dedup (Dedup.semanticDedup over the planted-near-dup
+    * embedding corpus, 8 fixed cells, τ = 0.9): per-cell kept counts +
+    * id-sums pin the exact keep-set. DuckDB replays the IVF assignment
+    * (ordered-fold L2, cid tiebreak), the in-cell cosine pairs, and the
+    * any-lower-id-neighbor drop rule. Integer-only output — the cosines
+    * stay internal, and both engines' fold orders are bit-identical
+    * (the q34/q42 pattern).
+    */
+  private val q90 = Q(
+    "q90_semantic_dedup",
+    (s, dir) => {
+      val e = emb2(s, dir)
+      val cents = e.filter(col("id").between(100, 107))
+        .select(col("id").as("cid"), col("v").as("cv"))
+      Dedup.semanticDedup(e, cents, tau = 0.9, idCol = "id", vecCol = "v")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("id")).as("id_sum"))
+        .orderBy("cell")
+    },
+    Some(s"""
+      WITH $embSql,
+      cent2 AS (SELECT id AS cid, v AS cv FROM emb2 WHERE id BETWEEN 100 AND 107),
+      asg2 AS (SELECT id, v, cell FROM (
+          SELECT e.id, e.v, c.cid AS cell,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${l2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+          FROM emb2 e CROSS JOIN cent2 c) x WHERE rn = 1),
+      drp AS (SELECT DISTINCT b.id FROM asg2 a JOIN asg2 b
+              ON a.cell = b.cell AND a.id < b.id
+              WHERE ${dotSql("a.v", "b.v")}
+                / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) >= 0.9)
+      SELECT a.cell, count(*) AS n_kept, CAST(sum(a.id) AS BIGINT) AS id_sum
+      FROM asg2 a LEFT JOIN drp ON drp.id = a.id
+      WHERE drp.id IS NULL
+      GROUP BY a.cell ORDER BY a.cell
+    """))
+
   /** Reference-corpus n-gram FAMILIARITY score — the LM-free stand-in
     * for perplexity filtering (the CCNet/Gopher-style "does this text
     * look like the curated corpus" signal): the top-200 bigrams by doc
@@ -2343,5 +2380,5 @@ object LlmQueries extends QuerySet {
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
-      q86, q87, q88, q89)
+      q86, q87, q88, q89, q90)
 }

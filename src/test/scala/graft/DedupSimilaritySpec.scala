@@ -772,4 +772,60 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(m(1L) === m(3L))
     assert(m(1L) !== m(2L))
   }
+
+  private def semDocs(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("vec_id", "v")
+
+  private val semCents = Seq(
+    (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cv")
+
+  test("semanticDedup drops the in-cell tau-neighbor with the higher id") {
+    val docs = semDocs(
+      (1L, Seq(1.0, 0.0)),     // cell 0
+      (2L, Seq(0.999, 0.02)),  // cell 0, cos(1,2) ≈ 0.9998 → dropped
+      (3L, Seq(0.75, 0.66)),   // cell 0, cos vs 1 ≈ 0.75 → kept
+      (4L, Seq(0.0, 1.0)),     // cell 1
+      (5L, Seq(0.02, 0.999)))  // cell 1, near 4 → dropped
+    val kept = Dedup.semanticDedup(docs, semCents, tau = 0.9)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(kept === Set((1L, 0L), (3L, 0L), (4L, 1L)))
+  }
+
+  test("semanticDedup chain: any lower-id neighbor drops you (not greedy)") {
+    // angles 0°, 20°, 40°: a∼b and b∼c at cos20° ≈ 0.94 ≥ τ, a vs c at
+    // cos40° ≈ 0.77 < τ. The greedy sweep would keep {a, c}; the
+    // order-free rule drops ANY doc with a lower-id τ-neighbor → {a}
+    def at(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    val docs = semDocs((1L, at(0)), (2L, at(20)), (3L, at(40)))
+    val one = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "cv")
+    val kept = Dedup.semanticDedup(docs, one, tau = 0.9)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
+  test("semanticDedup is blind across cells — the SemDeDup recall trade") {
+    // 22° and 24° straddle the 22.5° Voronoi boundary of cells at
+    // 0° and 45°: cosine 0.9994 but different cells → both survive
+    def at(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    val cents = Seq((0L, at(0)), (1L, at(45))).toDF("cid", "cv")
+    val docs = semDocs((1L, at(22)), (2L, at(24)))
+    val kept = Dedup.semanticDedup(docs, cents, tau = 0.9)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(kept === Set((1L, 0L), (2L, 1L)))
+  }
+
+  test("semanticDedup plans equi-joins only — no cartesian pair stream") {
+    val docs = semDocs((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+    val plan = Dedup.semanticDedup(docs.repartition(2), semCents, tau = 0.9)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"in-cell pairing must be an equi-join on cell:\n$plan")
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(docs, semCents, tau = 1.5)
+    }
+  }
 }
