@@ -602,6 +602,53 @@ object VcfQueries extends QuerySet {
       FROM tj GROUP BY chrom ORDER BY chrom
     """))
 
+  /** KING-robust pairwise sample kinship (VariantQc.kinshipCounts over
+    * the annotated long frame, all sample pairs): the integer evidence
+    * counts plus the micro-floored φ̂ = (N_hethet − 2·N_opp) /
+    * (N_het_a + N_het_b) per pair — one exact double division of exact
+    * integers, so the floor is engine-stable. DuckDB replays the
+    * called-diploid filter, the site-keyed self-join, and every count.
+    */
+  private val q91 = Q(
+    "q91_kinship",
+    (s, dir) => {
+      val ann = VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val k = graft.operators.VariantQc.kinshipCounts(ann)
+      val den = col("n_het_a") + col("n_het_b")
+      k.withColumn("kinship_micro",
+          when(den > 0,
+            micro((col("n_hethet") - lit(2L) * col("n_opp")).cast("double") / den)))
+        .orderBy("sample_a", "sample_b")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes,
+      g AS (SELECT chrom, pos, ref, alt, sample_id AS s,
+              (a1 <> a2) AS het,
+              CASE WHEN a1 = a2 THEN a1 END AS hom
+            FROM ann
+            WHERE a1 IS NOT NULL AND a1 <> '.'
+              AND a2 IS NOT NULL AND a2 <> '.'),
+      p AS (SELECT a.s AS sample_a, b.s AS sample_b,
+              a.het AS het_a, b.het AS het_b, a.hom AS hom_a, b.hom AS hom_b
+            FROM g a JOIN g b USING (chrom, pos, ref, alt)
+            WHERE a.s < b.s),
+      k AS (SELECT sample_a, sample_b,
+              count(*) AS n_sites,
+              CAST(sum(CASE WHEN het_a THEN 1 ELSE 0 END) AS BIGINT) AS n_het_a,
+              CAST(sum(CASE WHEN het_b THEN 1 ELSE 0 END) AS BIGINT) AS n_het_b,
+              CAST(sum(CASE WHEN het_a AND het_b THEN 1 ELSE 0 END) AS BIGINT) AS n_hethet,
+              CAST(sum(CASE WHEN hom_a IS NOT NULL AND hom_b IS NOT NULL
+                                AND hom_a <> hom_b THEN 1 ELSE 0 END) AS BIGINT) AS n_opp
+            FROM p GROUP BY sample_a, sample_b)
+      SELECT sample_a, sample_b, n_sites, n_het_a, n_het_b, n_hethet, n_opp,
+             CASE WHEN n_het_a + n_het_b > 0 THEN
+               ${microSql("(n_hethet - 2 * n_opp) * 1.0 / (n_het_a + n_het_b)")}
+             END AS kinship_micro
+      FROM k ORDER BY sample_a, sample_b
+    """))
+
   /** Shared synthetic-interval fixture for the q81–q84 range-join
     * family: deterministic regions derived from `part`. Single-sourced
     * (one Spark derivation, one DuckDB CTE) so a retune cannot
@@ -788,5 +835,5 @@ object VcfQueries extends QuerySet {
 
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
-      q68, q72, q79, q80, q81, q82, q83, q84)
+      q68, q72, q79, q80, q81, q82, q83, q84, q91)
 }

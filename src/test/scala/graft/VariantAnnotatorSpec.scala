@@ -99,4 +99,27 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(r300.getAs[Long]("hom-ref") === 1L)
     assert(r300.getAs[Long]("hom-alt") === 1L)
   }
+
+  test("kinshipCounts: hand-computed KING evidence counts per pair") {
+    import spark.implicits._
+    // (site, sample, a1, a2): x/y share 4 called sites — 1 het-het,
+    // 1 opposite-hom, 1 same-hom, 1 het-hom; site 5 drops from the
+    // (x, y) pair because x is uncalled, but stays for (y, z)
+    val ann = Seq(
+      ("1", 100L, "A", "T", "x", "A", "T"), ("1", 100L, "A", "T", "y", "A", "T"),
+      ("1", 200L, "A", "T", "x", "A", "A"), ("1", 200L, "A", "T", "y", "T", "T"),
+      ("1", 300L, "A", "T", "x", "A", "A"), ("1", 300L, "A", "T", "y", "A", "A"),
+      ("1", 400L, "A", "T", "x", "A", "T"), ("1", 400L, "A", "T", "y", "A", "A"),
+      ("1", 500L, "A", "T", "x", ".", "."), ("1", 500L, "A", "T", "y", "A", "T"),
+      ("1", 500L, "A", "T", "z", "T", "T"))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "a1", "a2")
+    val k = graft.operators.VariantQc.kinshipCounts(ann)
+      .select("sample_a", "sample_b", "n_sites", "n_het_a", "n_het_b",
+        "n_hethet", "n_opp")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(k === Set(
+      ("x", "y", 4L, 2L, 1L, 1L, 1L),
+      // y het at 500, z hom-alt: no hom-hom comparison possible
+      ("y", "z", 1L, 1L, 0L, 0L, 0L)))
+  }
 }
