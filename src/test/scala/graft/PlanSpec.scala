@@ -231,13 +231,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the concordance/trio joins consume two (three) filtered views of
     // the same annotated frame — the site-window exchange must be
     // computed once and reused, not re-derived per view
-    for (name <- Seq("q79_sample_concordance", "q80_trio_mendel")) {
+    for (name <- Seq("q79_sample_concordance", "q80_trio_mendel",
+        "q91_kinship")) {
       val q = SparkEntry.queries(name)(spark, dir)
       q.collect()
       val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
       assert(p.contains("ReusedExchange"),
         s"$name re-derives the annotate subtree:\n$p")
     }
+  }
+
+  test("q87 bm25 top-k plans as TakeOrderedAndProject, never a global sort") {
+    val q = SparkEntry.queries("q87_bm25_topk")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    // orderBy + limit must fuse: per-partition partial top-k, k rows to
+    // the driver — a Sort + GlobalLimit shape ships every candidate row
+    assert(p.contains("TakeOrderedAndProject"), s"top-k did not fuse:\n$p")
   }
 
   test("q71 familiarity joins the reference vocabulary by broadcast") {
