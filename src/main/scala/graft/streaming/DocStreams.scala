@@ -411,6 +411,38 @@ object DocStreams {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** STREAMING semantic near-dup probe — [[graft.operators.Dedup
+    * .semanticDedup]]'s drop rule with the corpus as the index (the
+    * semantic member of the q74/q76 probe family): each arriving
+    * vector is assigned to its k-means cell — a NARROW projection
+    * (ivfAssign inlines the centroids below the limit and broadcasts
+    * above it; the stream never shuffles to be assigned) — then
+    * stream-static inner equi-joins the indexed corpus assignment on
+    * `cell` with the EXACT cosine ≥ `tau` check in-join. Fully
+    * stateless: no state store, no watermark, streams at scan speed;
+    * recall is cell-bounded exactly as in batch (cross-cell near-dups
+    * invisible — the SemDeDup trade).
+    *
+    * `corpusAsg` is a batch [[graft.operators.Similarity.ivfAssign]]
+    * over the corpus with the SAME centroids (persist it bucketed on
+    * `cell` for an exchange-free static side); upsert = append the
+    * arriving batch's own assignment rows, the q74 contract.
+    */
+  def semanticProbeStream(
+      vecs: DataFrame, corpusAsg: DataFrame, centroids: DataFrame,
+      tau: Double, idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    import graft.operators.Similarity
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    Similarity.ivfAssign(vecs, centroids, idCol, vecCol).as("pb")
+      .join(corpusAsg.as("ix"), col("pb.cell") === col("ix.cell"))
+      .withColumn("cosine",
+        Similarity.cosine(col(s"pb.$vecCol"), col(s"ix.$vecCol")))
+      .filter(col("cosine") >= tau)
+      .select(col(s"pb.$idCol").as("probe_id"),
+        col(s"ix.$idCol").as("corpus_id"),
+        col("pb.cell").as("cell"), col("cosine"))
+  }
+
   /** Streaming train/eval decontamination: each arriving doc's shingle
     * hashes probe a BROADCAST Bloom built over the eval corpus's
     * shingles (Dedup.shingleBloom); docs with ≥ `minShared` hits are

@@ -481,6 +481,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"index probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
   }
 
+  test("streaming semantic probe: cell-bounded cosine flags, stateless, equals batch") {
+    import graft.streaming.DocStreams
+    import graft.operators.{Dedup, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    def at(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cv")
+    val corpus = Seq((1L, at(0)), (2L, at(30)), (3L, at(90))).toDF("vec_id", "v")
+    val corpusAsg = Similarity.ivfAssign(corpus, cents)
+    val arriving = Seq(
+      (10L, at(5)),   // cell 0: cos vs 1 ≈ 0.996, vs 2 ≈ 0.906 → both flag
+      (11L, at(88)),  // cell 1: cos vs 3 ≈ 0.999 → flags
+      (12L, at(60)))  // cell 1: cos vs 3 = 0.866 < τ → clean
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    mem.addData(arriving)
+    val q = DocStreams.semanticProbeStream(
+        mem.toDF().toDF("vec_id", "v"), corpusAsg, cents, tau = 0.9)
+      .writeStream.format("memory").queryName("graft_semprobe_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamPairs = spark.table("graft_semprobe_test")
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(streamPairs === Set((10L, 1L), (10L, 2L), (11L, 3L)),
+      s"got $streamPairs")
+    // batch twin: the SAME join run on the static frame must agree
+    val batchPairs = DocStreams.semanticProbeStream(
+        arriving.toDF("vec_id", "v"), corpusAsg, cents, tau = 0.9)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(streamPairs === batchPairs)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.nonEmpty, "no progress recorded — nothing was asserted")
+    batches.foreach(p => assert(p.stateOperators.isEmpty,
+      s"semantic probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
+  }
+
   test("nearDupFlags refuses maxHamming beyond the pigeonhole guarantee") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc
