@@ -140,6 +140,78 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Inverted-index POSTINGS for [[bm25TopKIndexed]]: one row per
+    * (term, doc) with the term frequency and the doc's token length —
+    * the index-once half of the retrieval contract ([[bm25TopK]]
+    * rescans the corpus per query; at 100 TB the index is written
+    * once — land it partitioned/bucketed by `term` so a query's
+    * predicate prunes to its posting lists — and probed forever, the
+    * q74 band-index contract for text). One explode + ONE aggregation
+    * on (term, id); dl rides the groupBy (functionally dependent on
+    * id).
+    */
+  def termPostings(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    df.select(col(idCol).as("id"),
+        wsTokens(lower(cleanAscii(col(textCol)))).as("__t"))
+      .withColumn("dl", size(col("__t")))
+      .select(col("id"), col("dl"), explode(col("__t")).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+  }
+
+  /** Corpus-level stats sidecar for [[bm25TopKIndexed]]: ONE row
+    * (n_docs, sum_dl) over ALL docs — term-less docs count toward N
+    * and avgdl exactly as in [[bm25TopK]], which is why this cannot be
+    * derived from the postings (a token-less doc has none).
+    */
+  def corpusStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(size(wsTokens(lower(cleanAscii(col(textCol))))).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
+
+  /** BM25 top-k over a PERSISTED [[termPostings]] index — score-
+    * identical to [[bm25TopK]] (same rational idf, same micro-floored
+    * per-term integer scores, same tie order; an absent posting is a
+    * tf = 0 term, whose floored score is exactly 0 on both paths) but
+    * the corpus is never rescanned: the query reads only the |terms|
+    * posting lists (the `isin` filter pushes to the index scan —
+    * spec-pinned), df(t) = the filtered slice's posting counts
+    * (driver-small, |terms| rows), and the per-doc sum is ONE
+    * aggregation on id over the slice.
+    */
+  def bm25TopKIndexed(postings: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25TopKIndexed needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val st = stats.head()
+    val n = st.getLong(0)
+    require(n > 0, "bm25TopKIndexed over an empty corpus")
+    val avgdl = st.getLong(1).toDouble / n
+    val slice = postings.filter(col("term").isin(terms: _*))
+    val dfs = slice.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    // per-posting micro score, the EXACT bm25TopK operation order:
+    // ((idf · tf·(k1+1)) / den) · 1e6, floored per term before the sum
+    val idfCol = terms.foldLeft(lit(null).cast("double")) { (acc, t) =>
+      val idf = (n - dfs.getOrElse(t, 0L) + 0.5) / (dfs.getOrElse(t, 0L) + 0.5)
+      when(col("term") === t, lit(idf)).otherwise(acc)
+    }
+    val tfd = col("tf").cast("double")
+    val den = tfd + lit(k1) * (lit(oneMinusB) +
+      lit(b) * col("dl").cast("double") / lit(avgdl))
+    slice
+      .withColumn("__s", floor(idfCol * (tfd * lit(k1p1)) / den * lit(1000000.0))
+        .cast("long"))
+      .groupBy(col("id"))
+      .agg(sum(col("__s")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+      .limit(k)
+  }
+
   // ---- PII scrubbing ---------------------------------------------------
   // Patterns stay in the RE2 ∩ java.util.regex dialect (no lookaround, no
   // backrefs) so the DuckDB oracle applies the byte-identical regex.

@@ -1941,18 +1941,10 @@ object LlmQueries extends QuerySet {
            / (c.tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * c.dl / s.avgdl))
            * 1000000.0) AS BIGINT)"""
 
-  /** BM25 top-k retrieval (TextAnalysis.bm25TopK) — the text-side
-    * similarity-search gate: fixed query terms, rational idf, per-term
-    * micro-floored scores summed as integers (order-free, hash-exact),
-    * ties by id. DuckDB replays tokenization, df/N/avgdl, and the
-    * score chain operation for operation.
+  /** Shared by q87 (direct) and q92 (indexed) — the two paths are
+    * score-identical by construction, so they answer to ONE oracle.
     */
-  private val q87 = Q(
-    "q87_bm25_topk",
-    (s, dir) => TextAnalysis.bm25TopK(
-      t(s, dir, "documents"), "doc_id", "text",
-      Seq("spark", "join", "window"), k = 10),
-    Some(s"""
+  private lazy val bm25OracleSql = s"""
       WITH d AS (SELECT doc_id AS id,
                CASE WHEN length(trim(lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')))) = 0
                     THEN []::VARCHAR[]
@@ -1975,7 +1967,37 @@ object LlmQueries extends QuerySet {
              FROM cand c CROSS JOIN stats s CROSS JOIN f)
       SELECT id, score_micro FROM sc
       ORDER BY score_micro DESC, id ASC LIMIT 10
-    """))
+    """
+
+  /** BM25 top-k retrieval (TextAnalysis.bm25TopK) — the text-side
+    * similarity-search gate: fixed query terms, rational idf, per-term
+    * micro-floored scores summed as integers (order-free, hash-exact),
+    * ties by id. DuckDB replays tokenization, df/N/avgdl, and the
+    * score chain operation for operation.
+    */
+  private val q87 = Q(
+    "q87_bm25_topk",
+    (s, dir) => TextAnalysis.bm25TopK(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "join", "window"), k = 10),
+    Some(bm25OracleSql))
+
+  /** BM25 over the PERSISTED inverted index (TextAnalysis.termPostings
+    * + corpusStats + bm25TopKIndexed): the index-once/probe-forever
+    * retrieval path — the query reads posting lists, never the corpus.
+    * Score-identical to q87 by construction, so it answers to the SAME
+    * oracle; the parquet-landing pushdown is spec-pinned.
+    */
+  private val q92 = Q(
+    "q92_bm25_indexed",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25TopKIndexed(
+        TextAnalysis.termPostings(docs, "doc_id", "text"),
+        TextAnalysis.corpusStats(docs, "doc_id", "text"),
+        Seq("spark", "join", "window"), k = 10)
+    },
+    Some(bm25OracleSql))
 
   /** Quality-aware dedup-cluster representative election
     * (Dedup.bestPerCluster over q38's minhash-LSH clusters): within
@@ -2380,5 +2402,5 @@ object LlmQueries extends QuerySet {
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
-      q86, q87, q88, q89, q90)
+      q86, q87, q88, q89, q90, q92)
 }

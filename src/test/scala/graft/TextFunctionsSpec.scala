@@ -219,6 +219,45 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_._2).distinct.size === 1)
   }
 
+  test("bm25TopKIndexed over termPostings equals the direct bm25TopK") {
+    import graft.operators.TextAnalysis._
+    // varied lengths, repeats, a term-less doc (counts toward N/avgdl
+    // on BOTH paths), and score ties
+    val docs = Seq(
+      (1L, "spark spark join"), (2L, "spark window"),
+      (3L, "other words here entirely"), (4L, "join join join join"),
+      (5L, ""), (6L, "spark spark join"))
+      .toDF("doc_id", "text")
+    // ≥3 terms: the idf CASE chain once broke only past two branches
+    val terms = Seq("spark", "join", "window")
+    val direct = bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val indexed = bm25TopKIndexed(
+        termPostings(docs, "doc_id", "text"),
+        corpusStats(docs, "doc_id", "text"), terms, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(indexed === direct, s"indexed $indexed vs direct $direct")
+    assert(direct.nonEmpty && direct.map(_._1).contains(6L))
+  }
+
+  test("bm25 indexed probe: term filter pushes down to the postings scan") {
+    import graft.operators.TextAnalysis._
+    val docs = Seq((1L, "spark join"), (2L, "window lead"), (3L, "spark"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    termPostings(docs, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val q = bm25TopKIndexed(spark.read.parquet(dir),
+      corpusStats(docs, "doc_id", "text"), Seq("spark"), k = 5)
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the whole point of the index: a query must read its posting
+    // lists, not the corpus — the term predicate reaches the scan
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(term,spark)")
+        || p.contains("In(term"),
+      s"term filter did not push down:\n$p")
+    assert(q.as[(Long, Long)].collect().map(_._1).toSet === Set(1L, 3L))
+  }
+
   test("bm25TopK rejects empty and duplicate term lists") {
     import graft.operators.TextAnalysis.bm25TopK
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
