@@ -833,7 +833,64 @@ object VcfQueries extends QuerySet {
       FROM merged GROUP BY chrom ORDER BY chrom
     """))
 
+  /** Per-region variant BURDEN — the composition gate proving the
+    * range join feeds aggregation (the "variants per gene, weighted by
+    * genotype" query burden tests start from): annotate → per-site alt
+    * dosage + carrier counts (one agg) → pointInInterval against the
+    * q81 regions → per-region sites/SNPs/dosage/carriers. One annotate
+    * exchange, one site agg, the bucket-decomposed equi-join, one
+    * region agg — every stage's shape already plan-gated individually
+    * (q13-q15, q81); this pins that they COMPOSE. DuckDB replays the
+    * dosage CASE and the direct range join.
+    */
+  private val q93 = Q(
+    "q93_region_burden",
+    (s, dir) => {
+      val ann = VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val dosage = when(col("zygosity") === "het-ref", 1L)
+        .when(col("zygosity") === "het-alt", 2L)
+        .when(col("zygosity") === "hom-alt", 2L)
+        .otherwise(0L)
+      val sites = ann
+        .groupBy("chrom", "pos", "ref", "alt")
+        .agg(sum(dosage).as("alt_dosage"),
+          sum(when(dosage > 0, 1L).otherwise(0L)).as("n_carriers"))
+        .withColumn("vartype",
+          vartype(col("ref"), element_at(split(col("alt"), ","), 1)))
+      graft.operators.RangeJoin
+        .pointInInterval(sites, syntheticRegions(s, dir), bucketShift = 14)
+        .groupBy("region_id")
+        .agg(count(lit(1)).as("n_sites"),
+          sum(when(col("vartype") === "snp", 1L).otherwise(0L)).as("n_snp"),
+          sum(col("alt_dosage")).as("alt_dosage"),
+          sum(col("n_carriers")).as("n_carriers"))
+        .orderBy("region_id")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes,
+      sb AS (SELECT chrom, pos, ref, alt,
+               CAST(sum(CASE zygosity WHEN 'het-ref' THEN 1 WHEN 'het-alt' THEN 2
+                                      WHEN 'hom-alt' THEN 2 ELSE 0 END) AS BIGINT) AS alt_dosage,
+               CAST(sum(CASE WHEN zygosity IN ('het-ref', 'het-alt', 'hom-alt')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_carriers
+             FROM ann GROUP BY 1, 2, 3, 4),
+      st AS (SELECT chrom, pos,
+               ${vartypeSql("ref", "string_split(alt, ',')[1]")} AS vartype,
+               alt_dosage, n_carriers
+             FROM sb),
+      $regionsCteSql
+      SELECT region_id, count(*) AS n_sites,
+             CAST(sum(CASE WHEN vartype = 'snp' THEN 1 ELSE 0 END) AS BIGINT) AS n_snp,
+             CAST(sum(alt_dosage) AS BIGINT) AS alt_dosage,
+             CAST(sum(n_carriers) AS BIGINT) AS n_carriers
+      FROM st s JOIN regions r
+        ON s.chrom = r.chrom AND s.pos BETWEEN r.rstart AND r.rend
+      GROUP BY region_id ORDER BY region_id
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
-      q68, q72, q79, q80, q81, q82, q83, q84, q91)
+      q68, q72, q79, q80, q81, q82, q83, q84, q91, q93)
 }
