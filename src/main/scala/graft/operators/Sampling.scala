@@ -113,6 +113,13 @@ object Sampling {
       budget: Long, alpha: Double = 0.5): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // the driver-side target table keys strata by string value and the
+    // weight fold orders by it — refuse other types up front rather
+    // than failing opaquely in the collect
+    require(df.schema(stratumCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"temperatureMix needs a string stratum column; " +
+        s"'$stratumCol' is ${df.schema(stratumCol).dataType.simpleString}")
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))

@@ -134,4 +134,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
         s"probe $p lost its cluster: got ${ann.getOrElse(p, Set.empty)}")
     }
   }
+
+  test("media features route through semanticDedup — the multimodal semantic rung") {
+    import graft.operators.Dedup
+    val fv = Multimodal.mediaFeatures(media) // (media_id, fv: 8-bucket histogram)
+    val one = Seq((0L, Seq.fill(8)(1.0))).toDF("cid", "cv")
+    // 8-dim all-positive histograms sit near-parallel (~0.998 between
+    // unrelated media); only byte-identical media reach cosine ≈ 1.0
+    val tau = 0.9999
+    val kept = Dedup.semanticDedup(fv, one, tau, idCol = "media_id", vecCol = "fv")
+      .select("media_id").as[String].collect().toSet
+    // derive the expected keep-set from exact cosines with the same rule
+    val feats = fv.collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    def cos(a: IndexedSeq[Double], b: IndexedSeq[Double]) = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = feats.keys.toSeq.sorted
+    val expected = ids.filterNot(b =>
+      ids.exists(a => a < b && cos(feats(a), feats(b)) >= tau)).toSet
+    assert(kept === expected, s"kept $kept vs derived $expected")
+    // the planted byte-identical copy is the one semantic duplicate
+    assert(kept.contains("img1") && !kept.contains("img2"))
+  }
 }
