@@ -108,9 +108,16 @@ object Sampling {
     * should stick to 0.5. The weight total folds in stratum-ascending
     * order — replays must sum in the same order.
     */
+  /** Above this stratum count the inlined target CASE chain hits the
+    * codegen-size wall (the Similarity.InlineCentroidLimit lesson);
+    * the targets become a broadcast (stratum, target) frame instead.
+    */
+  private val InlineStratumLimit = 256
+
   def temperatureMix(
       df: DataFrame, stratumCol: String, idCol: String,
-      budget: Long, alpha: Double = 0.5): DataFrame = {
+      budget: Long, alpha: Double = 0.5,
+      inlineLimit: Int = InlineStratumLimit): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     // the driver-side target table keys strata by string value and the
@@ -132,15 +139,26 @@ object Sampling {
     val targets = ws.map { case (st, w) =>
       st -> math.floor(budget.toDouble * w / wTot).toLong
     }
-    val tCol = targets.foldLeft(lit(0L)) { case (acc, (st, t)) =>
-      when(col(stratumCol) === st, lit(t)).otherwise(acc)
-    }
     // full-bijection rank hash (no bucket mod): finest-grained
     // deterministic order, ties impossible for distinct ids < HashPrime
     val rh = pmod(pmod(col(idCol), lit(HashPrime)) * lit(HashMult), lit(HashPrime))
     val w = Window.partitionBy(col(stratumCol)).orderBy(rh.asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= tCol)
-      .drop("__rn")
+    val ranked = df.withColumn("__rn", row_number().over(w))
+    if (targets.length <= inlineLimit) {
+      val tCol = targets.foldLeft(lit(0L)) { case (acc, (st, t)) =>
+        when(col(stratumCol) === st, lit(t)).otherwise(acc)
+      }
+      ranked.filter(col("__rn") <= tCol).drop("__rn")
+    } else {
+      // big-stratum fallback: the target table rides a broadcast join
+      // (driver-small by construction — it was just collected), so the
+      // plan gains no exchange and the CASE chain never materializes
+      val spark = df.sparkSession
+      import spark.implicits._
+      val tdf = targets.toSeq.toDF(stratumCol, "__t")
+      ranked.join(broadcast(tdf), Seq(stratumCol))
+        .filter(col("__rn") <= col("__t"))
+        .drop("__rn", "__t")
+    }
   }
 }

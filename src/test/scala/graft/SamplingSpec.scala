@@ -111,6 +111,22 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(n === 1, s"expected exactly the stratum-window exchange:\n$plan")
   }
 
+  test("temperatureMix broadcast fallback (forced) matches the inline path exactly") {
+    val inline = Sampling.temperatureMix(corpus, "lang", "id", budget = 250L)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    val fb = Sampling.temperatureMix(corpus, "lang", "id", budget = 250L,
+        inlineLimit = 0)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    assert(fb === inline)
+    // and the fallback plan still has only the one window exchange —
+    // the target table must ride a broadcast, not a shuffle
+    val plan = Sampling.temperatureMix(corpus, "lang", "id", budget = 100L,
+        inlineLimit = 0)
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("temperatureMix rejects bad budget and alpha") {
     intercept[IllegalArgumentException] {
       Sampling.temperatureMix(corpus, "lang", "id", budget = 0L)
