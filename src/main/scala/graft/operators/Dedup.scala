@@ -77,7 +77,43 @@ object Dedup {
       n: Int, threshold: Double,
       maxDocFreq: Option[Int] = None,
       shingleStorage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.NONE): DataFrame = {
+        org.apache.spark.storage.StorageLevel.NONE): DataFrame =
+    shinglePairCounts(df, idCol, textCol, n, maxDocFreq, shingleStorage)
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** CONTAINMENT near-dup pairs (Broder's asymmetric measure):
+    * |A∩B| / min(|A|, |B|) ≥ threshold — the detector for a SHORT doc
+    * quoted wholesale inside a LONG one, where jaccard ≈
+    * |short|/|long| sits under any usable threshold ([[sharedSpanPairs]]
+    * counts absolute shared spans; this is the normalized companion,
+    * length-scale-free). Identical
+    * equi-join-on-shingle reduction and skew caps as
+    * [[ngramJaccardPairs]] — only the final ratio differs.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxDocFreq: Option[Int] = None): DataFrame =
+    shinglePairCounts(df, idCol, textCol, n, maxDocFreq,
+        org.apache.spark.storage.StorageLevel.NONE)
+      .withColumn("containment",
+        col("c").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+
+  /** Shared pair-evidence core of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: (id_a, id_b, c = |∩|, na, nb) for every doc
+    * pair sharing ≥1 (capped) shingle — the one distinct() shuffle
+    * feeds both self-join sides and the set-size aggregation via
+    * ReusedExchange (PlanSpec pins it on the jaccard path).
+    */
+  private def shinglePairCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Option[Int],
+      shingleStorage: org.apache.spark.storage.StorageLevel): DataFrame = {
     val raw = shingleTable(df, idCol, textCol, n)
     val capped = maxDocFreq.fold(raw)(capDocFreq(raw, _))
     val sh =
@@ -92,10 +128,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Pairs of documents sharing at least `minShared` DISTINCT spans of

@@ -1999,6 +1999,34 @@ object LlmQueries extends QuerySet {
     },
     Some(bm25OracleSql))
 
+  /** Containment near-dup pairs (Dedup.containmentPairs, Broder's
+    * asymmetric measure): |∩| / min(|A|, |B|) — flags short-in-long
+    * quoting jaccard's symmetric union denominator hides. Same shingle
+    * chain as q31, different ratio; DuckDB replays both from the same
+    * CTEs, which is itself the regression check that the two measures
+    * share one evidence table.
+    */
+  private val q94 = Q(
+    "q94_containment",
+    (s, dir) =>
+      Dedup.containmentPairs(docs2(s, dir), "id", "text", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), micro(col("containment")).as("cont_micro"))
+        .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH $docs2Sql, $shxSql,
+      sizes AS (SELECT id, count(*) AS n_sh FROM shx GROUP BY id),
+      inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+                FROM shx a JOIN shx b ON a.x = b.x AND a.id < b.id
+                GROUP BY 1, 2),
+      j AS (SELECT id_a, id_b,
+              CAST(c AS DOUBLE) / least(na.n_sh, nb.n_sh) AS containment
+            FROM inter
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b)
+      SELECT id_a, id_b, ${microSql("containment")} AS cont_micro
+      FROM j WHERE containment >= 0.8 ORDER BY id_a, id_b
+    """))
+
   /** Quality-aware dedup-cluster representative election
     * (Dedup.bestPerCluster over q38's minhash-LSH clusters): within
     * each near-dup cluster keep the member with the most tokens (ties
@@ -2402,5 +2430,5 @@ object LlmQueries extends QuerySet {
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
-      q86, q87, q88, q89, q90, q92)
+      q86, q87, q88, q89, q90, q92, q94)
 }

@@ -773,6 +773,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(m(1L) !== m(2L))
   }
 
+  test("containment flags short-in-long quoting that jaccard hides") {
+    // 12-token doc quoted verbatim inside a 72-token doc: every shingle
+    // of the short doc appears in the long one → containment 1.0, while
+    // jaccard = |short| / |long-union| ≈ 0.14
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val long = (1 to 30).map(i => s"pre$i").mkString(" ") + " " + quote +
+      " " + (1 to 30).map(i => s"post$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, long),
+      (3L, (100 to 130).map(i => s"other$i").mkString(" "))).toDF("id", "text")
+    val cont = Dedup.containmentPairs(docs, "id", "text", n = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cont === Set((1L, 2L)), s"got $cont")
+    val jac = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty, s"control: jaccard must miss the quote pair, got $jac")
+  }
+
   private def semDocs(rows: (Long, Seq[Double])*) =
     rows.toSeq.toDF("vec_id", "v")
 
