@@ -131,7 +131,6 @@ object VectorExprs {
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
-  /** One-pass 32-bit simhash kernel over long token hashes. */
   /** 64-bit SimHash over DISTINCT token rolling-hashes, bit-identical
     * to Dedup.simhashTable's aggregation: each hash x1 (already mod
     * 1e9+7) derives x2/x3 by the 48271-MCG chain, bits 0-29 vote from
@@ -170,6 +169,7 @@ object VectorExprs {
     java.lang.Long.valueOf(out)
   }
 
+  /** One-pass 32-bit simhash kernel over long token hashes. */
   def simhash32K(a: ArrayData): Long = {
     val n = a.numElements()
     val votes = new Array[Int](32)

@@ -99,7 +99,8 @@ object Sampling {
     * (a stratum's 100-doc draw is a superset of its 50-doc draw).
     *
     * ONE exchange: the per-stratum rank window keys on the stratum.
-    * Strata with t_s = 0 drop entirely.
+    * Strata with t_s = 0 drop entirely; rows with a NULL stratum are
+    * excluded from the mix (explicit filter — see the inline note).
     *
     * Determinism contract (§5): the default α = 0.5 computes weights
     * with `sqrt` — correctly rounded in IEEE 754, so any engine
@@ -127,7 +128,12 @@ object Sampling {
         org.apache.spark.sql.types.StringType,
       s"temperatureMix needs a string stratum column; " +
         s"'$stratumCol' is ${df.schema(stratumCol).dataType.simpleString}")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    // NULL strata are excluded from the mix (documented drop): a null
+    // key would NPE the driver-side string sort, and both the CASE
+    // chain and the broadcast equi-join below would silently drop the
+    // rows anyway — make the drop explicit and uniform across paths.
+    val clean = df.filter(col(stratumCol).isNotNull)
+    val counts = clean.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
@@ -143,7 +149,7 @@ object Sampling {
     // deterministic order, ties impossible for distinct ids < HashPrime
     val rh = pmod(pmod(col(idCol), lit(HashPrime)) * lit(HashMult), lit(HashPrime))
     val w = Window.partitionBy(col(stratumCol)).orderBy(rh.asc, col(idCol).asc)
-    val ranked = df.withColumn("__rn", row_number().over(w))
+    val ranked = clean.withColumn("__rn", row_number().over(w))
     if (targets.length <= inlineLimit) {
       val tCol = targets.foldLeft(lit(0L)) { case (acc, (st, t)) =>
         when(col(stratumCol) === st, lit(t)).otherwise(acc)

@@ -66,7 +66,7 @@ object Similarity {
     * (codegen method size, plan bytes shipped per task) and the
     * broadcast-join path wins despite its shuffle.
     */
-  private val InlineCentroidLimit = 256
+  private[graft] val InlineCentroidLimit = 256
 
   def ivfAssign(
       vecs: DataFrame, centroids: DataFrame,

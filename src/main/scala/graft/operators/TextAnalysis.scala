@@ -90,10 +90,13 @@ object TextAnalysis {
     * BEFORE the one shuffle (the corpus-scale reduction — a doc
     * without query terms never leaves its scan partition), per-doc tf
     * comes from ONE aggregation with |terms| conditional sums (the
-    * simhashTable vote pattern, no per-term job), df/N/avgdl are
-    * driver-small collects (|terms| longs — the centroid-stats
-    * pattern), and the final top-k is TakeOrderedAndProject (partial
-    * per-partition top-k, no global sort shuffle).
+    * simhashTable vote pattern, no per-term job), N/avgdl are a
+    * driver-small one-row collect, per-term df joins the scoring plan
+    * as a broadcast ONE-row aggregate of tf itself (tf's exchange
+    * ReusedExchange-shared — no third corpus pass, and an all-miss
+    * query returns empty instead of failing a driver collect), and
+    * the final top-k is TakeOrderedAndProject (partial per-partition
+    * top-k, no global sort shuffle).
     *
     * Determinism contract (§5): idf is the RATIONAL Robertson form
     * (N − df + 0.5)/(df + 0.5) — ln-idf is a one-line swap but libm's
@@ -121,20 +124,29 @@ object TextAnalysis {
       .agg(first(col("__dl")).as("__dl"),
         terms.map(t => sum(when(col("__term") === t, 1L).otherwise(0L))
           .as(tfc(t))): _*)
-    val dfRow = tf.agg(
-      sum((col(tfc(terms.head)) > 0).cast("long")),
-      terms.tail.map(t => sum((col(tfc(t)) > 0).cast("long"))): _*).head()
-    val dfs = terms.indices.map(i => terms(i) -> dfRow.getLong(i)).toMap
+    // Per-term document frequencies ride the scoring plan as a
+    // broadcast ONE-row aggregate of tf itself: the tf exchange is
+    // ReusedExchange-shared between the scoring side and the df side,
+    // so the candidate subplan runs once, and an empty candidate set
+    // (no doc contains any query term) yields an empty result exactly
+    // like [[bm25TopKIndexed]] — no driver-side df collect to fail.
+    def dfc(t: String) = s"__df_${terms.indexOf(t)}"
+    val dfAgg = tf.agg(
+      sum((col(tfc(terms.head)) > 0).cast("long")).as(dfc(terms.head)),
+      terms.tail.map(t =>
+        sum((col(tfc(t)) > 0).cast("long")).as(dfc(t))): _*)
     val k1p1 = k1 + 1.0
     val oneMinusB = 1.0 - b
     def termMicro(t: String): Column = {
-      val idf = (n - dfs(t) + 0.5) / (dfs(t) + 0.5)
+      val dfd = col(dfc(t)).cast("double")
+      val idf = (lit(n.toDouble) - dfd + lit(0.5)) / (dfd + lit(0.5))
       val tfd = col(tfc(t)).cast("double")
       val den = tfd + lit(k1) * (lit(oneMinusB) +
         lit(b) * col("__dl").cast("double") / lit(avgdl))
-      floor(lit(idf) * (tfd * lit(k1p1)) / den * lit(1000000.0)).cast("long")
+      floor(idf * (tfd * lit(k1p1)) / den * lit(1000000.0)).cast("long")
     }
-    tf.select(col("id"),
+    tf.crossJoin(broadcast(dfAgg))
+      .select(col("id"),
         terms.map(termMicro).reduce(_ + _).as("score_micro"))
       .orderBy(col("score_micro").desc, col("id").asc)
       .limit(k)

@@ -127,6 +127,19 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("temperatureMix drops NULL strata instead of NPE-ing the driver sort") {
+    val withNulls = corpus.withColumn("lang",
+      when(col("id") % 100 === 0, lit(null: String)).otherwise(col("lang")))
+    val kept = Sampling.temperatureMix(withNulls, "lang", "id", budget = 400L)
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(kept.forall(_._2 != null))
+    // the non-null strata still hit their targets (counts shrink by the
+    // nulled-out rows, but every stratum stays populated)
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.keySet === Set("en", "de", "fr"))
+    assert(kept.length === byLang.values.sum && kept.length > 300)
+  }
+
   test("temperatureMix rejects bad budget and alpha") {
     intercept[IllegalArgumentException] {
       Sampling.temperatureMix(corpus, "lang", "id", budget = 0L)

@@ -520,6 +520,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"semantic probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
   }
 
+  test("semantic probe refuses centroid counts past the streamable inline limit") {
+    import graft.streaming.DocStreams
+    import graft.operators.Similarity
+    // ivfAssign's big-nlist fallback ranks with a per-row window —
+    // streaming-unsupported — so the probe must fail FAST with a
+    // descriptive error, not at writeStream.start()
+    val many = (0L until (Similarity.InlineCentroidLimit + 1L))
+      .map(i => (i, Seq(i.toDouble, 1.0))).toDF("cid", "cv")
+    val corpusAsg = Seq((1L, Seq(1.0, 0.0), 0L)).toDF("vec_id", "v", "cell")
+    val e = intercept[IllegalArgumentException] {
+      DocStreams.semanticProbeStream(
+        Seq((9L, Seq(1.0, 0.0))).toDF("vec_id", "v"), corpusAsg, many, tau = 0.9)
+    }
+    assert(e.getMessage.contains("streaming"), e.getMessage)
+  }
+
   test("nearDupFlags refuses maxHamming beyond the pigeonhole guarantee") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc

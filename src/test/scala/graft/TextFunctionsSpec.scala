@@ -258,6 +258,33 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(q.as[(Long, Long)].collect().map(_._1).toSet === Set(1L, 3L))
   }
 
+  test("bm25TopK: an all-miss query returns empty, like its indexed twin") {
+    import graft.operators.TextAnalysis._
+    val docs = Seq((1L, "spark join"), (2L, "window lead"))
+      .toDF("doc_id", "text")
+    // no doc contains the term: the df aggregate has no input rows —
+    // this used to NPE a driver-side getLong on the null sums
+    val direct = bm25TopK(docs, "doc_id", "text", Seq("xyzzy"), k = 5)
+      .as[(Long, Long)].collect().toSeq
+    val indexed = bm25TopKIndexed(
+        termPostings(docs, "doc_id", "text"),
+        corpusStats(docs, "doc_id", "text"), Seq("xyzzy"), k = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(direct.isEmpty && indexed.isEmpty)
+  }
+
+  test("bm25TopK scores in ONE pass over the candidates: tf exchange reused by the df side") {
+    import graft.operators.TextAnalysis.bm25TopK
+    val docs = Seq((1L, "spark join"), (2L, "spark"), (3L, "lead"))
+      .toDF("doc_id", "text").repartition(2)
+    val q = bm25TopK(docs, "doc_id", "text", Seq("spark", "join"), k = 5)
+    q.collect() // materialize so AQE finalizes the reused exchanges
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+        || p.contains("StageReuse"),
+      s"df aggregate did not reuse the tf exchange:\n$p")
+  }
+
   test("bm25TopK rejects empty and duplicate term lists") {
     import graft.operators.TextAnalysis.bm25TopK
     val docs = Seq((1L, "a")).toDF("doc_id", "text")

@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** A/B profile: the fused kmeansTrain (one kmeansStepWithObjective scan
   * per history entry) vs an explicit replay of the unfused loop (step
-  * scan + separate ivfQuantError scan per round). Same seeds, same
-  * iteration count, early stop disabled so both do identical work. Run:
+  * scan + separate ivfQuantError scan per round). relTol = 0 does NOT
+  * disable the early stop (a non-improving round still trips it), so an
+  * untimed probe run first learns how many rounds kmeansTrain actually
+  * executes on this data, and both timed sides then run exactly that
+  * many — identical work by construction. Run:
   * `sbt "Test/runMain graft.tools.ProfileKmeans [sfDir] [iters] [k]"`.
   */
 object ProfileKmeans {
@@ -38,8 +41,12 @@ object ProfileKmeans {
       (samples(1), samples)
     }
 
+    // untimed probe: how many rounds does the deterministic training
+    // actually run before maxIters or the plateau stop?
+    val rounds =
+      Similarity.kmeansTrain(e, seeds, maxIters = iters, relTol = 0)._2.length - 1
     val (fused, fr) = median {
-      val (_, h) = Similarity.kmeansTrain(e, seeds, maxIters = iters, relTol = 0)
+      val (_, h) = Similarity.kmeansTrain(e, seeds, maxIters = rounds, relTol = 0)
       h
     }
     val (unfused, ur) = median {
@@ -47,7 +54,7 @@ object ProfileKmeans {
         .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
       def freeze = cents.toDF("cid", "cv")
       var hist = Seq(Similarity.ivfQuantError(e, freeze))
-      (0 until iters).foreach { _ =>
+      (0 until rounds).foreach { _ =>
         val learned = Similarity.kmeansCentroids(Similarity.kmeansStep(e, freeze))
           .as[(Long, Seq[Double])].collect().toMap
         cents = cents.map { case (cid, cv) => cid -> learned.getOrElse(cid, cv) }
@@ -55,9 +62,11 @@ object ProfileKmeans {
       }
       hist
     }
-    println(f"fused   kmeansTrain ($iters iters, k=$k): $fused%7.3f s  (runs: ${fr.map(s => f"$s%.2f").mkString(", ")})")
-    println(f"unfused replay      ($iters iters, k=$k): $unfused%7.3f s  (runs: ${ur.map(s => f"$s%.2f").mkString(", ")})")
-    println(f"speedup: ${unfused / fused}%.2f x  (scans ${iters + 1} vs ${2 * iters + 1})")
+    if (rounds < iters)
+      println(s"note: early stop at $rounds of $iters requested rounds; both sides run $rounds")
+    println(f"fused   kmeansTrain ($rounds iters, k=$k): $fused%7.3f s  (runs: ${fr.map(s => f"$s%.2f").mkString(", ")})")
+    println(f"unfused replay      ($rounds iters, k=$k): $unfused%7.3f s  (runs: ${ur.map(s => f"$s%.2f").mkString(", ")})")
+    println(f"speedup: ${unfused / fused}%.2f x  (scans ${rounds + 1} vs ${2 * rounds + 1})")
     spark.stop()
   }
 }
