@@ -700,4 +700,63 @@ object Dedup {
       .distinct()
     asg.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Corpus snapshot DIFF — the incremental-versioning primitive: one
+    * row per id across two snapshots with
+    * status ∈ added | removed | changed | unchanged, decided by
+    * content FINGERPRINT equality ([[TextAnalysis.fingerprint]] —
+    * rolling hash of the ASCII-canonicalized text, the q23 contract),
+    * so the wide text column never crosses the join. Presence is
+    * tracked by explicit marker columns, not fingerprint nullness — a
+    * present row whose text is NULL must not read as absent (its null
+    * fingerprint compares null-safely instead).
+    *
+    * Scale shape: ONE full-outer sort-merge join on id, each side
+    * reduced to (id, 8-byte hash) at its scan. Land both snapshots
+    * bucketed by id and the join plans with ZERO exchange (spec-pinned
+    * — the q74 index contract applied to versioning); ids are assumed
+    * unique per snapshot (it is a snapshot key).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fo"), lit(true).as("__po"))
+    val nw = newDf.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fn"), lit(true).as("__pn"))
+    o.join(nw, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(col("__fo") <=> col("__fn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Per-document DUPLICATED-TEXT FRACTION (the suffix-array dedup
+    * family's doc-level metric, shingle-approximated): the share of a
+    * doc's distinct `n`-gram shingles that appear in at least one
+    * OTHER doc — 0 for fully original text, → 1 for a doc assembled
+    * from boilerplate. Complements the pair queries: no pair blowup,
+    * no threshold — a per-doc score usable as a quality filter column.
+    *
+    * Shape: the [[shingleTable]] substrate, then the doc-frequency
+    * window on the shingle hash (capDocFreq's exact pattern) and one
+    * aggregation back to the doc — three bounded exchanges of the
+    * (id, hash) table, never the text. A viral boilerplate shingle
+    * makes one window partition large but only linearly so (rows, not
+    * pairs — the q31 quadratic cannot happen here); if a corpus's hot
+    * shingle dominates a task, the groupBy-then-join formulation
+    * splits it under AQE at the cost of a fourth exchange.
+    * `dup_micro` is the exact integer ⌊10⁶·shared/total⌋ — no float
+    * crosses an engine. Docs with fewer than `n` tokens have no
+    * shingles and emit no row.
+    */
+  def dupFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    sh.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_micro", expr("n_shared * 1000000 div n_shingles"))
+  }
 }

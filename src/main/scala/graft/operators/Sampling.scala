@@ -133,38 +133,110 @@ object Sampling {
     // chain and the broadcast equi-join below would silently drop the
     // rows anyway — make the drop explicit and uniform across paths.
     val clean = df.filter(col(stratumCol).isNotNull)
-    val counts = clean.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val targets =
+      strataTargets(clean, stratumCol, count(lit(1)), budget, alpha)
+    val ranked = clean.withColumn("__rn",
+      row_number().over(mixWindow(stratumCol, idCol)))
+    filterByTarget(ranked, stratumCol, col("__rn"), targets, inlineLimit)
+  }
+
+  /** TOKEN-budget temperature mixing — [[temperatureMix]] with the
+    * budget, the stratum masses, and the per-stratum cutoff all in
+    * units of `costCol` (token counts in a training mix; any
+    * non-negative integral cost works): t_s = ⌊budget · m_s^α / Σ m^α⌋
+    * where m_s is the stratum's total cost, and each stratum keeps its
+    * docs in the deterministic MCG-hash order while the INCLUSIVE
+    * running cost stays ≤ t_s (so a stratum may undershoot by up to
+    * one doc, never overshoot). This is the budget real mixes are
+    * specified in — a doc-count target over variable-length docs can
+    * miss a token target by the length skew of whichever docs hash
+    * low.
+    *
+    * Same plan shape as [[temperatureMix]]: ONE exchange (the stratum
+    * window — the running sum rides the same sort as the rank), inline
+    * CASE targets below `inlineLimit`, broadcast target join above.
+    * Rows with a NULL stratum or NULL cost are excluded (documented
+    * drop); negative costs are refused driver-side (they would make
+    * the running sum non-monotone and the cutoff meaningless).
+    */
+  def temperatureMixTokens(
+      df: DataFrame, stratumCol: String, idCol: String, costCol: String,
+      budget: Long, alpha: Double = 0.5,
+      inlineLimit: Int = InlineStratumLimit): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(df.schema(stratumCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"temperatureMixTokens needs a string stratum column; " +
+        s"'$stratumCol' is ${df.schema(stratumCol).dataType.simpleString}")
+    val clean = df.filter(col(stratumCol).isNotNull)
+      .filter(col(costCol).isNotNull)
+    val targets = strataTargets(clean, stratumCol,
+      when(min(col(costCol).cast("long")) < 0, lit(-1L))
+        .otherwise(sum(col(costCol).cast("long"))),
+      budget, alpha)
+    val cum = clean.withColumn("__ct",
+      sum(col(costCol).cast("long")).over(mixWindow(stratumCol, idCol)))
+    filterByTarget(cum, stratumCol, col("__ct"), targets, inlineLimit)
+  }
+
+  /** Driver-side per-stratum budget targets shared by the mix family:
+    * collect each stratum's mass (doc count or token cost — always
+    * driver-small, one row per stratum), weight by mass^α with the
+    * stratum-ascending left fold both engines replay, and floor the
+    * budget split. A negative collected mass means the caller's
+    * aggregate detected invalid input (negative costs) — refused here
+    * so the error surfaces before any shuffle.
+    */
+  private def strataTargets(clean: DataFrame, stratumCol: String,
+      mass: Column, budget: Long, alpha: Double): Seq[(String, Long)] = {
+    val counts = clean.groupBy(col(stratumCol)).agg(mass.as("n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
-    require(counts.nonEmpty, "temperatureMix over an empty corpus")
+    require(counts.nonEmpty, "temperature mix over an empty corpus")
+    require(counts.forall(_._2 >= 0),
+      s"negative stratum mass (negative costs?): " +
+        counts.filter(_._2 < 0).map(_._1).mkString(", "))
     val ws = counts.map { case (st, n) =>
       st -> (if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha))
     }
     val wTot = ws.foldLeft(0.0)(_ + _._2) // stratum-ascending left fold
-    val targets = ws.map { case (st, w) =>
+    ws.map { case (st, w) =>
       st -> math.floor(budget.toDouble * w / wTot).toLong
-    }
-    // full-bijection rank hash (no bucket mod): finest-grained
-    // deterministic order, ties impossible for distinct ids < HashPrime
+    }.toSeq
+  }
+
+  /** The mix family's ONE exchange: per-stratum window ordered by the
+    * full-bijection rank hash (no bucket mod — finest-grained
+    * deterministic order, ties impossible for distinct ids below
+    * HashPrime), id-ascending tiebreak.
+    */
+  private def mixWindow(stratumCol: String, idCol: String) = {
     val rh = pmod(pmod(col(idCol), lit(HashPrime)) * lit(HashMult), lit(HashPrime))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(rh.asc, col(idCol).asc)
-    val ranked = clean.withColumn("__rn", row_number().over(w))
+    Window.partitionBy(col(stratumCol)).orderBy(rh.asc, col(idCol).asc)
+  }
+
+  /** Keep rows whose per-stratum measure (rank or running cost) stays
+    * within the stratum's target: inline CASE chain below
+    * `inlineLimit`, broadcast (stratum, target) join above — the plan
+    * gains no exchange either way.
+    */
+  private def filterByTarget(measured: DataFrame, stratumCol: String,
+      measure: Column, targets: Seq[(String, Long)],
+      inlineLimit: Int): DataFrame = {
     if (targets.length <= inlineLimit) {
       val tCol = targets.foldLeft(lit(0L)) { case (acc, (st, t)) =>
         when(col(stratumCol) === st, lit(t)).otherwise(acc)
       }
-      ranked.filter(col("__rn") <= tCol).drop("__rn")
+      measured.filter(measure <= tCol).drop("__rn", "__ct")
     } else {
-      // big-stratum fallback: the target table rides a broadcast join
-      // (driver-small by construction — it was just collected), so the
-      // plan gains no exchange and the CASE chain never materializes
-      val spark = df.sparkSession
+      val spark = measured.sparkSession
       import spark.implicits._
-      val tdf = targets.toSeq.toDF(stratumCol, "__t")
-      ranked.join(broadcast(tdf), Seq(stratumCol))
-        .filter(col("__rn") <= col("__t"))
-        .drop("__rn", "__t")
+      val tdf = targets.toDF(stratumCol, "__t")
+      measured.join(broadcast(tdf), Seq(stratumCol))
+        .filter(measure <= col("__t"))
+        .drop("__rn", "__ct", "__t")
     }
   }
 }

@@ -2027,6 +2027,112 @@ object LlmQueries extends QuerySet {
       FROM j WHERE containment >= 0.8 ORDER BY id_a, id_b
     """))
 
+  /** Corpus snapshot diff (Dedup.corpusDiff): v2 derives from the
+    * documents table with deterministic removals (id % 7 = 0), text
+    * revisions (id % 5 = 0 among survivors), and additions (id % 11 = 0
+    * cloned to id + 5000000). Per-status counts + id-sums pin the exact
+    * classification. The operator classifies by FINGERPRINT equality,
+    * the oracle by the texts themselves — their agreement is the
+    * fingerprint-faithfulness check (the q23 contract applied to
+    * versioning).
+    */
+  private val q95 = Q(
+    "q95_corpus_diff",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val v2 = d.filter(col("id") % 7 =!= 0)
+        .select(col("id"),
+          when(col("id") % 5 === 0, concat(col("text"), lit(" revision 2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(d.filter(col("id") % 11 === 0)
+          .select((col("id") + 5000000L).as("id"),
+            concat(lit("new doc "), col("id").cast("string")).as("text")))
+      Dedup.corpusDiff(d, v2, "id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        .orderBy("status")
+    },
+    Some("""
+      WITH v1 AS (SELECT doc_id AS id, text FROM documents),
+      v2 AS (
+        SELECT id,
+               CASE WHEN id % 5 = 0 THEN text || ' revision 2' ELSE text END AS text
+        FROM v1 WHERE id % 7 <> 0
+        UNION ALL
+        SELECT id + 5000000 AS id, 'new doc ' || CAST(id AS VARCHAR) AS text
+        FROM v1 WHERE id % 11 = 0),
+      d AS (SELECT COALESCE(a.id, b.id) AS id,
+              CASE WHEN a.id IS NULL THEN 'added'
+                   WHEN b.id IS NULL THEN 'removed'
+                   WHEN a.text IS NOT DISTINCT FROM b.text THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM v1 a FULL OUTER JOIN v2 b ON a.id = b.id)
+      SELECT status, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum
+      FROM d GROUP BY status ORDER BY status
+    """))
+
+  /** Per-doc duplicated-shingle fraction (Dedup.dupFraction) over the
+    * planted-near-dup corpus: the copies and their originals score high
+    * (nearly every shingle shared), originals without copies score by
+    * whatever boilerplate they share organically. dup_micro is the
+    * exact integer ⌊10⁶·shared/total⌋ — integer division on both
+    * engines, no float in the output.
+    */
+  private val q96 = Q(
+    "q96_dup_fraction",
+    (s, dir) =>
+      Dedup.dupFraction(docs2(s, dir), "id", "text", n = 3)
+        .orderBy("id"),
+    Some(s"""
+      WITH $docs2Sql, $shxSql,
+      dfq AS (SELECT x, count(*) AS df FROM shx GROUP BY x),
+      per AS (SELECT s.id, count(*) AS n_shingles,
+                SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+              FROM shx s JOIN dfq d ON d.x = s.x
+              GROUP BY s.id)
+      SELECT id, CAST(n_shingles AS BIGINT) AS n_shingles,
+             CAST(n_shared AS BIGINT) AS n_shared,
+             CAST((n_shared * 1000000) // n_shingles AS BIGINT) AS dup_micro
+      FROM per ORDER BY id
+    """))
+
+  /** TOKEN-budget temperature mixing (Sampling.temperatureMixTokens,
+    * α = 0.5, cost = n_chars, 60 000-char budget): stratum masses,
+    * weights, and cutoffs all in cost units — each language keeps docs
+    * in the MCG-hash order while its inclusive running cost stays
+    * within target. sqrt is IEEE-exact, targets replay in DuckDB via
+    * the same lang-ascending weight fold as q89, and the running-cost
+    * window is the identical (hash, id) total order.
+    */
+  private val q97 = Q(
+    "q97_token_mix",
+    (s, dir) =>
+      graft.operators.Sampling.temperatureMixTokens(
+          t(s, dir, "documents"), "lang", "doc_id", "n_chars",
+          budget = 60000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("cost_kept"))
+        .orderBy("lang"),
+    Some("""
+      WITH mass AS (SELECT lang, sum(n_chars) AS m FROM documents GROUP BY lang),
+      wt AS (SELECT lang, sqrt(CAST(m AS DOUBLE)) AS w FROM mass),
+      tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(w ORDER BY lang)), (a, b) -> a + b) AS wtot FROM wt),
+      tgt AS (SELECT lang, CAST(floor(CAST(60000 AS DOUBLE) * w / tot.wtot) AS BIGINT) AS t
+              FROM wt CROSS JOIN tot),
+      rnk AS (SELECT doc_id, lang, n_chars,
+               sum(n_chars) OVER (PARTITION BY lang
+                 ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007 ASC,
+                   doc_id ASC ROWS UNBOUNDED PRECEDING) AS ct
+             FROM documents)
+      SELECT r.lang, count(*) AS n_kept, CAST(sum(r.doc_id) AS BIGINT) AS id_sum,
+        CAST(sum(r.n_chars) AS BIGINT) AS cost_kept
+      FROM rnk r JOIN tgt ON tgt.lang = r.lang
+      WHERE r.ct <= tgt.t
+      GROUP BY r.lang ORDER BY r.lang
+    """))
+
   /** Quality-aware dedup-cluster representative election
     * (Dedup.bestPerCluster over q38's minhash-LSH clusters): within
     * each near-dup cluster keep the member with the most tokens (ties
@@ -2430,5 +2536,5 @@ object LlmQueries extends QuerySet {
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
-      q86, q87, q88, q89, q90, q92, q94)
+      q86, q87, q88, q89, q90, q92, q94, q95, q96, q97)
 }

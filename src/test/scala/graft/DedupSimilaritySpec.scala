@@ -845,4 +845,68 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       Dedup.semanticDedup(docs, semCents, tau = 1.5)
     }
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged; null text is presence, not absence") {
+    val v1 = Seq(
+      (1L, "same text"), (2L, "old text"), (3L, "going away"),
+      (4L, null.asInstanceOf[String]), (5L, "becomes null")).toDF("id", "text")
+    val v2 = Seq(
+      (1L, "same text"), (2L, "new text"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]),
+      (9L, "brand new")).toDF("id", "text")
+    val got = Dedup.corpusDiff(v1, v2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      // id 4 is PRESENT with null text on both sides: unchanged — a
+      // null fingerprint must not read as an absent row
+      4L -> "unchanged",
+      // id 5's text became null: changed (null-safe compare, not equal)
+      5L -> "changed", 9L -> "added"))
+  }
+
+  test("corpusDiff over snapshots bucketed by id plans with ZERO exchange") {
+    import scala.jdk.CollectionConverters._
+    val tables = Seq("g_diff_v1", "g_diff_v2")
+    tables.foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = java.nio.file.Paths.get(s"/tmp/graft-test-warehouse/$tbl")
+      if (java.nio.file.Files.exists(wh))
+        java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    (0L until 100L).map(i => (i, s"text $i")).toDF("id", "text")
+      .write.bucketBy(4, "id").sortBy("id")
+      .format("parquet").saveAsTable("g_diff_v1")
+    (50L until 150L).map(i => (i, if (i % 10 == 0) s"text $i v2" else s"text $i"))
+      .toDF("id", "text")
+      .write.bucketBy(4, "id").sortBy("id")
+      .format("parquet").saveAsTable("g_diff_v2")
+    val diff = Dedup.corpusDiff(
+      spark.table("g_diff_v1"), spark.table("g_diff_v2"), "id", "text")
+    val counts = diff.groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts === Map(
+      "removed" -> 50L, "added" -> 50L, "changed" -> 5L, "unchanged" -> 45L))
+    // the versioning contract at scale: both snapshots land bucketed by
+    // id, so the full-outer join plans with no Exchange at all
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed snapshot diff should not shuffle:\n$plan")
+  }
+
+  test("dupFraction: exact integer shares, short docs emit no row") {
+    val corpus = Seq(
+      (1L, "a b c d"),       // shingles {a b c, b c d}; shares "a b c" with 2
+      (2L, "a b c x"),       // shingles {a b c, b c x}
+      (3L, "p q r s t"),     // 3 shingles, none shared
+      (4L, "w1 w2 w3 w4"),   // identical twin of 5 — everything shared
+      (5L, "w1 w2 w3 w4"),
+      (6L, "too short")).toDF("id", "text")
+    val got = Dedup.dupFraction(corpus, "id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L), (3L, 3L, 0L, 0L),
+      (4L, 2L, 2L, 1000000L), (5L, 2L, 2L, 1000000L)))
+  }
 }

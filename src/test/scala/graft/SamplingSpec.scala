@@ -140,6 +140,67 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(kept.length === byLang.values.sum && kept.length > 300)
   }
 
+  test("temperatureMixTokens cuts each stratum at its inclusive cost target") {
+    // en: ids 1..4, costs 10/50/30/20 → mass 110; de: ids 5..6, costs
+    // 40/40 → mass 80. α=0.5: w=(√110, √80), budget 100 →
+    // t_en=⌊100·10.488../19.432..⌋=53, t_de=46. MCG-hash order:
+    // en id2 < id4 < id1 < id3 (cum 50, 70, …) → only id2 fits 53;
+    // de id5 < id6 (cum 40, 80) → only id5 fits 46.
+    val corpus = Seq(
+      (1L, "en", 10L), (2L, "en", 50L), (3L, "en", 30L), (4L, "en", 20L),
+      (5L, "de", 40L), (6L, "de", 40L)).toDF("id", "lang", "cost")
+    val kept = Sampling.temperatureMixTokens(corpus, "lang", "id", "cost",
+        budget = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 5L))
+  }
+
+  test("temperatureMixTokens never overshoots a stratum's cost target") {
+    val corpus = (0L until 1000L).map(i =>
+      (i, if (i % 3 == 0) "en" else "fr", 1L + i % 17)).toDF("id", "lang", "cost")
+    val budget = 2000L
+    val kept = Sampling.temperatureMixTokens(corpus, "lang", "id", "cost", budget)
+    val perStratum = kept.groupBy("lang").agg(sum("cost").as("c"))
+      .as[(String, Long)].collect().toMap
+    // recompute the targets exactly as the operator defines them
+    val masses = corpus.groupBy("lang").agg(sum("cost").as("m"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val ws = masses.map { case (st, m) => st -> math.sqrt(m.toDouble) }
+    val wTot = ws.foldLeft(0.0)(_ + _._2)
+    ws.foreach { case (st, w) =>
+      val t = math.floor(budget.toDouble * w / wTot).toLong
+      assert(perStratum(st) <= t, s"stratum $st kept ${perStratum(st)} > target $t")
+      assert(perStratum(st) > 0, s"stratum $st kept nothing")
+    }
+  }
+
+  test("temperatureMixTokens broadcast fallback (forced) matches the inline path") {
+    val corpus = (0L until 500L).map(i =>
+      (i, "s" + (i % 5), 1L + i % 7)).toDF("id", "lang", "cost")
+    val inline = Sampling.temperatureMixTokens(corpus, "lang", "id", "cost", 300L)
+      .select("id").as[Long].collect().toSet
+    val fallback = Sampling.temperatureMixTokens(corpus, "lang", "id", "cost", 300L,
+        inlineLimit = 1)
+      .select("id").as[Long].collect().toSet
+    assert(inline === fallback && inline.nonEmpty)
+  }
+
+  test("temperatureMixTokens drops null costs/strata and refuses negative costs") {
+    val withNulls = Seq(
+      (1L, "en", java.lang.Long.valueOf(5L)),
+      (2L, "en", null.asInstanceOf[java.lang.Long]),
+      (3L, null.asInstanceOf[String], java.lang.Long.valueOf(5L)),
+      (4L, "en", java.lang.Long.valueOf(5L))).toDF("id", "lang", "cost")
+    val kept = Sampling.temperatureMixTokens(withNulls, "lang", "id", "cost", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixTokens(
+        Seq((1L, "en", -5L)).toDF("id", "lang", "cost"),
+        "lang", "id", "cost", 100L)
+    }
+  }
+
   test("temperatureMix rejects bad budget and alpha") {
     intercept[IllegalArgumentException] {
       Sampling.temperatureMix(corpus, "lang", "id", budget = 0L)
