@@ -731,6 +731,28 @@ object Dedup {
           .otherwise("changed").as("status"))
   }
 
+  /** Duplicate-aware DOWNWEIGHTING — the keep-but-reweight dedup
+    * policy (train on everything, weight each doc by the inverse of
+    * its exact-dup cluster size, so a 1000-way boilerplate page
+    * contributes one page's worth of gradient): every row is kept and
+    * gains its content-hash cluster size and the exact integer weight
+    * ⌊10⁶ / size⌋. Complements [[exact]] (which keeps one
+    * representative): same [[contentHash]] clusters, opposite policy.
+    *
+    * Returns the narrow (id, cluster_size, weight_micro) SIDECAR, not
+    * the annotated corpus: the one exchange (the cluster-count window
+    * on the digest — uniformly distributed, skew-free by construction)
+    * moves only (id, 16-byte digest) rows, never the text; join the
+    * sidecar back by id where the weights are consumed (zero-exchange
+    * on an id-bucketed landing, the [[corpusDiff]] contract).
+    */
+  def dupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), contentHash(col(textCol)).as("__h"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .withColumn("weight_micro", expr("1000000 div cluster_size"))
+      .drop("__h")
+
   /** Per-document DUPLICATED-TEXT FRACTION (the suffix-array dedup
     * family's doc-level metric, shingle-approximated): the share of a
     * doc's distinct `n`-gram shingles that appear in at least one

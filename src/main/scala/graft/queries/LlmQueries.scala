@@ -2096,6 +2096,37 @@ object LlmQueries extends QuerySet {
       FROM per ORDER BY id
     """))
 
+  /** Duplicate-aware downweighting (Dedup.dupWeights) over the
+    * documents table with planted exact copies (×2 for id % 10 = 0,
+    * ×3 for id % 20 = 0): every row keeps its content-hash cluster
+    * size and the exact integer weight ⌊10⁶/size⌋. The operator
+    * clusters by md5; the oracle clusters by the text itself —
+    * agreement is the digest-faithfulness check.
+    */
+  private val q98 = Q(
+    "q98_dup_weights",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val withDups = d
+        .unionAll(d.filter(col("id") % 10 === 0)
+          .select((col("id") + 1000000L).as("id"), col("text")))
+        .unionAll(d.filter(col("id") % 20 === 0)
+          .select((col("id") + 2000000L).as("id"), col("text")))
+      Dedup.dupWeights(withDups, "id", "text").orderBy("id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS id, text FROM documents WHERE doc_id % 20 = 0),
+      w AS (SELECT id, count(*) OVER (PARTITION BY text) AS cluster_size FROM v)
+      SELECT id, CAST(cluster_size AS BIGINT) AS cluster_size,
+             CAST(1000000 // cluster_size AS BIGINT) AS weight_micro
+      FROM w ORDER BY id
+    """))
+
   /** TOKEN-budget temperature mixing (Sampling.temperatureMixTokens,
     * α = 0.5, cost = n_chars, 60 000-char budget): stratum masses,
     * weights, and cutoffs all in cost units — each language keeps docs
@@ -2536,5 +2567,5 @@ object LlmQueries extends QuerySet {
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
-      q86, q87, q88, q89, q90, q92, q94, q95, q96, q97)
+      q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98)
 }

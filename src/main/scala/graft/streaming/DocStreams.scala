@@ -485,6 +485,33 @@ object DocStreams {
   }
 
   /** Batch twin of [[ingestClean]] (keep the earliest copy per digest). */
+  /** STREAMING corpus-diff probe — [[graft.operators.Dedup.corpusDiff]]
+    * restricted to what a stream can see: each arriving doc classifies
+    * against a STATIC snapshot as added (id absent), changed
+    * (fingerprint differs — null-safe, the batch contract) or
+    * unchanged. `removed` is structurally undetectable here: a stream
+    * observes arrivals, never absences — removal detection stays with
+    * the batch diff, and this probe's output over a full replay of v2
+    * equals the batch diff MINUS its removed rows (spec-asserted).
+    *
+    * Stateless stream-static LEFT join on id: no state store, no
+    * watermark; the snapshot side reduces to (id, 8-byte fingerprint)
+    * at its scan — land it bucketed by id and only the arriving batch
+    * shuffles (the q74 one-sided-exchange contract).
+    */
+  def diffProbeStream(docs: DataFrame, snapshot: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val snap = snapshot.select(col(idCol).as("__sid"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fo"), lit(true).as("__po"))
+    docs
+      .withColumn("__fn", TextAnalysis.fingerprint(col(textCol)))
+      .join(snap, col(idCol) === col("__sid"), "left")
+      .select(col(idCol),
+        when(col("__po").isNull, "added")
+          .when(col("__fo") <=> col("__fn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   def ingestCleanBatch(docs: DataFrame, minTokens: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("digest").orderBy(col("ts"), col("doc_id"))

@@ -895,6 +895,19 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"bucketed snapshot diff should not shuffle:\n$plan")
   }
 
+  test("dupWeights: inverse-cluster-size sidecar, one narrow exchange") {
+    val out = Dedup.dupWeights(docs.repartition(2), "id", "text")
+    val got = out.as[(String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("d1", 2L, 500000L), ("d4", 2L, 500000L), // exact twins share weight
+      ("d2", 1L, 1000000L), ("d3", 1L, 1000000L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    // the sidecar is narrow: the text column must not survive into the
+    // shuffled projection
+    assert(out.columns.toSeq === Seq("id", "cluster_size", "weight_micro"))
+  }
+
   test("dupFraction: exact integer shares, short docs emit no row") {
     val corpus = Seq(
       (1L, "a b c d"),       // shingles {a b c, b c d}; shares "a b c" with 2

@@ -520,6 +520,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"semantic probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
   }
 
+  test("streaming diff probe: added/changed/unchanged, stateless, equals batch diff minus removed") {
+    import graft.streaming.DocStreams
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val arriving = Seq((1L, "same text"), (2L, "new text"), (9L, "brand new"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    mem.addData(arriving)
+    val q = DocStreams.diffProbeStream(mem.toDF().toDF("doc_id", "text"), snapshot)
+      .writeStream.format("memory").queryName("graft_diffprobe_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("graft_diffprobe_test")
+      .as[(Long, String)].collect().toSet
+    assert(streamed === Set(
+      (1L, "unchanged"), (2L, "changed"), (9L, "added")))
+    // a stream observes arrivals, never absences: over a full replay of
+    // v2 the probe equals the batch diff minus its removed rows
+    val batch = Dedup.corpusDiff(snapshot, arriving.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .filter(col("status") =!= "removed")
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.nonEmpty, "no progress recorded — nothing was asserted")
+    batches.foreach(p => assert(p.stateOperators.isEmpty,
+      s"diff probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
+  }
+
   test("semantic probe refuses centroid counts past the streamable inline limit") {
     import graft.streaming.DocStreams
     import graft.operators.Similarity
