@@ -574,6 +574,41 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** LEAKAGE-FREE train/test SPLIT — assign whole NEAR-DUP CLUSTERS to
+    * a side, never individual docs: a random doc-level split leaks
+    * when a near-copy of a test doc lands in train (the cross-split
+    * contamination q25 then has to detect after the fact; this
+    * operator prevents it by construction). Each doc carries its
+    * cluster label ([[connectedComponents]] min-id, singletons
+    * themselves — bestPerCluster's labeling), and the SPLIT decision
+    * hashes the CLUSTER label (the deterministic MCG bijection), so
+    * same cluster ⇒ same side, tautologically, and the draw is
+    * reproducible across engines/retries/partitioning.
+    * `testPermille` of the cluster-hash space goes to 'test'.
+    *
+    * Scale shape: the near-dup pair list and CC labeling are the q38
+    * machinery (banded equi-joins, label-table-only iteration); this
+    * adds one broadcast-sized join of labels onto docs and a NARROW
+    * hash projection — no new exchange class. Note the split is
+    * cluster-COUNT-balanced, not token-balanced: a giant cluster tips
+    * mass wherever it lands (cap clusters upstream, or budget with
+    * [[graft.operators.Sampling.temperatureMixTokens]] downstream).
+    */
+  def leakFreeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
+      testPermille: Int): DataFrame = {
+    require(testPermille > 0 && testPermille < 1000,
+      s"testPermille must be in (0, 1000), got $testPermille")
+    val P = 1000000007L
+    val M = 2654435761L
+    docs
+      .join(clusters.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+      .withColumn("split",
+        when(pmod(pmod(col("cluster"), lit(P)) * lit(M), lit(P)) % 1000
+          < testPermille, "test").otherwise("train"))
+  }
+
   /** Train/eval decontamination: flag training docs sharing ≥ `minShared`
     * distinct n-gram shingles with any eval doc (the benchmark-leakage
     * check every training corpus needs before a run).

@@ -2096,6 +2096,48 @@ object LlmQueries extends QuerySet {
       FROM per ORDER BY id
     """))
 
+  /** Leakage-free train/test split (Dedup.leakFreeSplit over q38's
+    * minhash-LSH clusters, 200‰ test): whole near-dup clusters assign
+    * to one side by the MCG hash of the CLUSTER label, so a test doc's
+    * near-copy can never land in train — leakage prevented by
+    * construction rather than detected after the fact (q25). Counts,
+    * id-sums, and distinct-cluster counts per side pin the exact
+    * assignment; DuckDB replays the recursive CC labeling (q88's CTEs)
+    * and the same cluster-hash draw.
+    */
+  private val q99 = Q(
+    "q99_leak_free_split",
+    (s, dir) => {
+      val corpus = docs2(s, dir)
+      val pairs = Dedup.minhashLshPairs(corpus, "id", "text", n = 3, bands = 4)
+      val cc = Dedup.connectedComponents(pairs)
+      Dedup.leakFreeSplit(corpus, cc, "id", testPermille = 200)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH RECURSIVE $docs2Sql, $shxSql, $mhCandSql,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      lab AS (SELECT d.id, COALESCE(cc.comp, d.id) AS cluster
+              FROM docs2 d LEFT JOIN cc ON cc.id = d.id),
+      sp AS (SELECT id, cluster,
+              CASE WHEN ((((cluster % 1000000007) * 2654435761) % 1000000007) % 1000) < 200
+                   THEN 'test' ELSE 'train' END AS split
+             FROM lab)
+      SELECT split, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum,
+             count(DISTINCT cluster) AS n_clusters
+      FROM sp GROUP BY split ORDER BY split
+    """))
+
   /** Duplicate-aware downweighting (Dedup.dupWeights) over the
     * documents table with planted exact copies (×2 for id % 10 = 0,
     * ×3 for id % 20 = 0): every row keeps its content-hash cluster
@@ -2567,5 +2609,5 @@ object LlmQueries extends QuerySet {
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
-      q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98)
+      q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99)
 }

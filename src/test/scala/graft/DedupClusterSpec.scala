@@ -104,4 +104,36 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
       Dedup.connectedComponents(pairs, maxIter = 2)
     }
   }
+
+  test("leakFreeSplit: near-dup clusters never straddle the split") {
+    // clusters: {1,2,3} (chain), {10,11}, singletons 20, 21
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L))
+      .map(i => (i, s"text $i")).toDF("id", "text")
+    val cc = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    val out = Dedup.leakFreeSplit(docs, cc, "id", testPermille = 500)
+      .select("id", "cluster", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 7)
+    // the whole point: one split value per cluster, tautologically
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.map(_._3).distinct.length === 1,
+        s"cluster $cl straddles the split: ${rows.mkString(",")}")
+    }
+    // labels: min-id for clustered docs, self for singletons
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(byId === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+    // deterministic across runs and partitioning
+    val again = Dedup.leakFreeSplit(docs.repartition(5), cc, "id",
+        testPermille = 500)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(again === out.map(r => (r._1, r._3)).toSet)
+    intercept[IllegalArgumentException] {
+      Dedup.leakFreeSplit(docs, cc, "id", testPermille = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.leakFreeSplit(docs, cc, "id", testPermille = 1000)
+    }
+  }
 }
