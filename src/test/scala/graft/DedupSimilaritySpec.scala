@@ -916,10 +916,14 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       (4L, "w1 w2 w3 w4"),   // identical twin of 5 — everything shared
       (5L, "w1 w2 w3 w4"),
       (6L, "too short")).toDF("id", "text")
-    val got = Dedup.dupFraction(corpus, "id", "text", n = 3)
-      .as[(Long, Long, Long, Long)].collect().toSet
+    val out = Dedup.dupFraction(corpus.repartition(2), "id", "text", n = 3)
+    val got = out.as[(Long, Long, Long, Long)].collect().toSet
     assert(got === Set(
       (1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L), (3L, 3L, 0L, 0L),
       (4L, 2L, 2L, 1000000L), (5L, 2L, 2L, 1000000L)))
+    // the documented shape: exactly three bounded exchanges of the
+    // (id, hash) table — distinct, shingle-hash window, doc agg
+    val plan = out.queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 3, plan)
   }
 }

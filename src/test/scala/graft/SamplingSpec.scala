@@ -111,6 +111,15 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(n === 1, s"expected exactly the stratum-window exchange:\n$plan")
   }
 
+  test("temperatureMixTokens running-cost window is still the ONE exchange") {
+    val priced = corpus.withColumn("cost", lit(3L) + col("id") % 5)
+    val out = Sampling.temperatureMixTokens(priced, "lang", "id", "cost",
+      budget = 500L)
+    val plan = out.queryExecution.executedPlan.toString()
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n === 1, s"expected exactly the stratum-window exchange:\n$plan")
+  }
+
   test("temperatureMix broadcast fallback (forced) matches the inline path exactly") {
     val inline = Sampling.temperatureMix(corpus, "lang", "id", budget = 250L)
       .select("id", "lang").as[(Long, String)].collect().toSet
