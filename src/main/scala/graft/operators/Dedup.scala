@@ -581,10 +581,14 @@ object Dedup {
     * operator prevents it by construction). Each doc carries its
     * cluster label ([[connectedComponents]] min-id, singletons
     * themselves — bestPerCluster's labeling), and the SPLIT decision
-    * hashes the CLUSTER label (the deterministic MCG bijection), so
-    * same cluster ⇒ same side, tautologically, and the draw is
-    * reproducible across engines/retries/partitioning.
-    * `testPermille` of the cluster-hash space goes to 'test'.
+    * hashes the CLUSTER label (two deterministic MCG mixing rounds —
+    * the second uses [[graft.operators.Sampling.SplitMult]] so the
+    * draw decorrelates from the [[graft.operators.Sampling
+    * .stratified]] sampling gate and from shardShuffle's shard
+    * assignment, which share the first round), so same cluster ⇒ same
+    * side, tautologically, and the draw is reproducible across
+    * engines/retries/partitioning. `testPermille` of the cluster-hash
+    * space goes to 'test'.
     *
     * Scale shape: the near-dup pair list and CC labeling are the q38
     * machinery (banded equi-joins, label-table-only iteration); this
@@ -598,15 +602,15 @@ object Dedup {
       testPermille: Int): DataFrame = {
     require(testPermille > 0 && testPermille < 1000,
       s"testPermille must be in (0, 1000), got $testPermille")
-    val P = 1000000007L
-    val M = 2654435761L
+    val P = Sampling.HashPrime
+    val m1 = pmod(pmod(col("cluster"), lit(P)) * lit(Sampling.HashMult), lit(P))
+    val m2 = pmod(m1 * lit(Sampling.SplitMult), lit(P))
     docs
       .join(clusters.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("comp"), col(idCol)))
       .drop("comp")
       .withColumn("split",
-        when(pmod(pmod(col("cluster"), lit(P)) * lit(M), lit(P)) % 1000
-          < testPermille, "test").otherwise("train"))
+        when(m2 % 1000 < testPermille, "test").otherwise("train"))
   }
 
   /** Train/eval decontamination: flag training docs sharing ≥ `minShared`
@@ -759,7 +763,7 @@ object Dedup {
     val nw = newDf.select(col(idCol).as("id"),
       TextAnalysis.fingerprint(col(textCol)).as("__fn"), lit(true).as("__pn"))
     o.join(nw, Seq("id"), "full_outer")
-      .select(col("id"),
+      .select(col("id").as(idCol),
         when(col("__po").isNull, "added")
           .when(col("__pn").isNull, "removed")
           .when(col("__fo") <=> col("__fn"), "unchanged")

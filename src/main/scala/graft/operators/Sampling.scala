@@ -66,6 +66,17 @@ object Sampling {
     */
   val OrderMult = 48271L
 
+  /** Second mixing multiplier for [[graft.operators.Dedup
+    * .leakFreeSplit]]'s cluster-hash draw — distinct from BOTH
+    * [[HashMult]] (so the split decorrelates from the [[stratified]]
+    * sampling gate: with one shared round, every sampled singleton
+    * cluster would land on the same side) and [[OrderMult]] (so it
+    * also decorrelates from [[shardShuffle]]'s shard assignment).
+    * 69621 is the classic MINSTD-variant multiplier;
+    * (p−1)·69621 ≈ 7.0e13 ≪ 2^63, exact in any engine.
+    */
+  val SplitMult = 69621L
+
   /** Deterministic global training-order SHUFFLE — the last step of a
     * pretraining pipeline (a model must not see the corpus in crawl
     * order): every row gets a reproducible pseudo-random position
@@ -156,8 +167,11 @@ object Sampling {
     * window — the running sum rides the same sort as the rank), inline
     * CASE targets below `inlineLimit`, broadcast target join above.
     * Rows with a NULL stratum or NULL cost are excluded (documented
-    * drop); negative costs are refused driver-side (they would make
-    * the running sum non-monotone and the cutoff meaningless).
+    * drop); the cost column must be an integral type and negative
+    * costs are refused driver-side (they would make the running sum
+    * non-monotone and the cutoff meaningless). A zero-mass stratum
+    * (target 0) drops entirely, zero-cost rows included — the
+    * explicit target > 0 clause in the cutoff.
     */
   def temperatureMixTokens(
       df: DataFrame, stratumCol: String, idCol: String, costCol: String,
@@ -169,6 +183,14 @@ object Sampling {
         org.apache.spark.sql.types.StringType,
       s"temperatureMixTokens needs a string stratum column; " +
         s"'$stratumCol' is ${df.schema(stratumCol).dataType.simpleString}")
+    // integral only: a string cost would cast('long') to NULL (skipped
+    // by the window sum but kept by the pre-cast null filter —
+    // position-dependent free rides) and a NaN double casts to 0;
+    // refuse both classes up front instead
+    require(Seq("tinyint", "smallint", "int", "bigint")
+        .contains(df.schema(costCol).dataType.simpleString),
+      s"temperatureMixTokens needs an integral cost column; " +
+        s"'$costCol' is ${df.schema(costCol).dataType.simpleString}")
     val clean = df.filter(col(stratumCol).isNotNull)
       .filter(col(costCol).isNotNull)
     val targets = strataTargets(clean, stratumCol,
@@ -220,7 +242,12 @@ object Sampling {
   /** Keep rows whose per-stratum measure (rank or running cost) stays
     * within the stratum's target: inline CASE chain below
     * `inlineLimit`, broadcast (stratum, target) join above — the plan
-    * gains no exchange either way.
+    * gains no exchange either way. A zero-target stratum drops
+    * ENTIRELY on both measures: ranks (≥ 1) exclude it naturally, but
+    * a zero-COST row's inclusive running cost can be 0 ≤ 0, so the
+    * explicit target > 0 clause is what keeps a zero-mass stratum from
+    * flooding the mix with free rows the temperature formula assigned
+    * no share.
     */
   private def filterByTarget(measured: DataFrame, stratumCol: String,
       measure: Column, targets: Seq[(String, Long)],
@@ -229,13 +256,13 @@ object Sampling {
       val tCol = targets.foldLeft(lit(0L)) { case (acc, (st, t)) =>
         when(col(stratumCol) === st, lit(t)).otherwise(acc)
       }
-      measured.filter(measure <= tCol).drop("__rn", "__ct")
+      measured.filter(measure <= tCol && tCol > 0).drop("__rn", "__ct")
     } else {
       val spark = measured.sparkSession
       import spark.implicits._
       val tdf = targets.toDF(stratumCol, "__t")
       measured.join(broadcast(tdf), Seq(stratumCol))
-        .filter(measure <= col("__t"))
+        .filter(measure <= col("__t") && col("__t") > 0)
         .drop("__rn", "__ct", "__t")
     }
   }

@@ -2098,7 +2098,8 @@ object LlmQueries extends QuerySet {
 
   /** Leakage-free train/test split (Dedup.leakFreeSplit over q38's
     * minhash-LSH clusters, 200‰ test): whole near-dup clusters assign
-    * to one side by the MCG hash of the CLUSTER label, so a test doc's
+    * to one side by a two-round MCG hash of the CLUSTER label
+    * (decorrelated from the q26 sampling gate), so a test doc's
     * near-copy can never land in train — leakage prevented by
     * construction rather than detected after the fact (q25). Counts,
     * id-sums, and distinct-cluster counts per side pin the exact
@@ -2130,7 +2131,8 @@ object LlmQueries extends QuerySet {
       lab AS (SELECT d.id, COALESCE(cc.comp, d.id) AS cluster
               FROM docs2 d LEFT JOIN cc ON cc.id = d.id),
       sp AS (SELECT id, cluster,
-              CASE WHEN ((((cluster % 1000000007) * 2654435761) % 1000000007) % 1000) < 200
+              CASE WHEN ((((((cluster % 1000000007) * 2654435761) % 1000000007)
+                          * 69621) % 1000000007) % 1000) < 200
                    THEN 'test' ELSE 'train' END AS split
              FROM lab)
       SELECT split, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum,
@@ -2202,7 +2204,7 @@ object LlmQueries extends QuerySet {
       SELECT r.lang, count(*) AS n_kept, CAST(sum(r.doc_id) AS BIGINT) AS id_sum,
         CAST(sum(r.n_chars) AS BIGINT) AS cost_kept
       FROM rnk r JOIN tgt ON tgt.lang = r.lang
-      WHERE r.ct <= tgt.t
+      WHERE r.ct <= tgt.t AND tgt.t > 0
       GROUP BY r.lang ORDER BY r.lang
     """))
 

@@ -484,7 +484,6 @@ object DocStreams {
     docs.filter(hits < minShared)
   }
 
-  /** Batch twin of [[ingestClean]] (keep the earliest copy per digest). */
   /** STREAMING corpus-diff probe — [[graft.operators.Dedup.corpusDiff]]
     * restricted to what a stream can see: each arriving doc classifies
     * against a STATIC snapshot as added (id absent), changed
@@ -512,6 +511,7 @@ object DocStreams {
           .otherwise("changed").as("status"))
   }
 
+  /** Batch twin of [[ingestClean]] (keep the earliest copy per digest). */
   def ingestCleanBatch(docs: DataFrame, minTokens: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("digest").orderBy(col("ts"), col("doc_id"))

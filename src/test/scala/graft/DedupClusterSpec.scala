@@ -136,4 +136,25 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
       Dedup.leakFreeSplit(docs, cc, "id", testPermille = 1000)
     }
   }
+
+  test("leakFreeSplit decorrelates from the stratified sampling gate") {
+    import graft.operators.Sampling
+    // singleton clusters (no pairs): with a shared hash round, every
+    // doc kept by a 20% sampling gate would land in 'test' at 200‰ —
+    // the SplitMult second round must break that correlation
+    val ids = (0L until 2000L)
+    val docs = ids.map(i => (i, s"text $i")).toDF("id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(noPairs)
+    val test = Dedup.leakFreeSplit(docs, cc, "id", testPermille = 200)
+      .filter(col("split") === "test").select("id").as[Long].collect().toSet
+    val sampled = docs
+      .filter(Sampling.stratifiedFlag(lit("x"), col("id"), Map("x" -> 0.2)))
+      .select("id").as[Long].collect().toSet
+    // both draw ~20%, but they must not draw the SAME ~20%
+    val overlap = (test & sampled).size.toDouble / sampled.size
+    assert(overlap < 0.5,
+      f"split correlates with the sampling gate: ${overlap * 100}%.0f%% overlap")
+    assert(test.nonEmpty && sampled.nonEmpty)
+  }
 }

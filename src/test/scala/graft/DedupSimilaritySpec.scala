@@ -863,6 +863,12 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       4L -> "unchanged",
       // id 5's text became null: changed (null-safe compare, not equal)
       5L -> "changed", 9L -> "added"))
+    // the caller's id column name survives into the output (the
+    // streaming twin's contract)
+    val named = Dedup.corpusDiff(
+      v1.withColumnRenamed("id", "doc_id"),
+      v2.withColumnRenamed("id", "doc_id"), "doc_id", "text")
+    assert(named.columns.toSeq === Seq("doc_id", "status"))
   }
 
   test("corpusDiff over snapshots bucketed by id plans with ZERO exchange") {

@@ -194,6 +194,24 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(inline === fallback && inline.nonEmpty)
   }
 
+  test("temperatureMixTokens: a zero-mass stratum drops entirely, zero-cost rows included") {
+    // 'junk' has only zero-cost docs: its temperature share is 0, and
+    // the rows must NOT ride free (their inclusive running cost 0 <= 0)
+    val mixed = (Seq((1L, "en", 5L), (2L, "en", 5L), (3L, "en", 5L)) ++
+      (10L until 15L).map(i => (i, "junk", 0L))).toDF("id", "lang", "cost")
+    val kept = Sampling.temperatureMixTokens(mixed, "lang", "id", "cost", 10L)
+      .select("lang").as[String].collect().toSet
+    assert(kept === Set("en"), s"zero-mass stratum leaked into the mix: $kept")
+  }
+
+  test("temperatureMixTokens refuses non-integral cost columns") {
+    val doubly = Seq((1L, "en", 5.0)).toDF("id", "lang", "cost")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixTokens(doubly, "lang", "id", "cost", 10L)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("temperatureMixTokens drops null costs/strata and refuses negative costs") {
     val withNulls = Seq(
       (1L, "en", java.lang.Long.valueOf(5L)),
