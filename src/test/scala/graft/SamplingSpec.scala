@@ -149,6 +149,17 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(kept.length === byLang.values.sum && kept.length > 300)
   }
 
+  test("temperatureMixTokens draws nest: a smaller token budget is a subset") {
+    val priced = corpus.withColumn("cost", lit(2L) + col("id") % 9)
+    val small = Sampling.temperatureMixTokens(priced, "lang", "id", "cost", 1000L)
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.temperatureMixTokens(priced, "lang", "id", "cost", 3000L)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big),
+      s"targets and the hash order are both monotone, so draws must nest: ${small -- big}")
+    assert(small.nonEmpty && big.size > small.size)
+  }
+
   test("temperatureMixTokens cuts each stratum at its inclusive cost target") {
     // en: ids 1..4, costs 10/50/30/20 → mass 110; de: ids 5..6, costs
     // 40/40 → mass 80. α=0.5: w=(√110, √80), budget 100 →
