@@ -805,16 +805,26 @@ object Dedup {
     * (id, hash) table, never the text. A viral boilerplate shingle
     * makes one window partition large but only linearly so (rows, not
     * pairs — the q31 quadratic cannot happen here); if a corpus's hot
-    * shingle dominates a task, the groupBy-then-join formulation
-    * splits it under AQE at the cost of a fourth exchange.
+    * shingle still dominates a task, `skewRobust = true` switches the
+    * doc-frequency to a groupBy-then-join (partial aggregation crushes
+    * the hot key map-side, AQE splits the skewed join) at the cost of
+    * a fourth exchange — result-identical, spec-pinned.
     * `dup_micro` is the exact integer ⌊10⁶·shared/total⌋ — no float
     * crosses an engine. Docs with fewer than `n` tokens have no
     * shingles and emit no row.
     */
   def dupFraction(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, skewRobust: Boolean = false): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n)
-    sh.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    val withDf =
+      if (skewRobust) {
+        val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        sh.join(dfreq, Seq("sh"))
+      } else {
+        sh.withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("sh"))))
+      }
+    withDf
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))

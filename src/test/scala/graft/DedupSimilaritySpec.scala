@@ -931,5 +931,10 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     // (id, hash) table — distinct, shingle-hash window, doc agg
     val plan = out.queryExecution.executedPlan.toString()
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 3, plan)
+    // the skew-robust groupBy-then-join path is result-identical
+    val robust = Dedup.dupFraction(corpus.repartition(2), "id", "text",
+        n = 3, skewRobust = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(robust === got)
   }
 }
