@@ -351,41 +351,21 @@ object Similarity {
   private def subVec(vec: Column, mi: Int, sub: Int): Column =
     slice(vec, mi * sub + 1, sub)
 
-  /** One Lloyd iteration over ALL PQ subspaces in a SINGLE corpus scan:
-    * the per-subspace nearest-codeword argmins are M inlined-literal
-    * `least` projections (the [[pqEncode]] shape), the vector then
-    * posexplodes ONCE into (subspace, codeword, dim, x) rows, and one
-    * grouped aggregation re-estimates every codeword of every subspace
-    * together. Same decimal-exact means as [[kmeansStep]] (per-dim
-    * values to decimal(18,6) before summing, one IEEE divide) so the
-    * refined books are bit-deterministic and oracle-replicable; the
-    * previous formulation ran M sequential driver jobs — M scans of the
-    * training sample per iteration. Codewords that captured no vectors
-    * keep their previous value. Iterate to taste, re-measure with the
-    * q65-style recall gate after each step.
+  /** Shared re-estimation step of every PQ Lloyd iteration: from
+    * (m, k, dim, __r) residual-component rows, decimal-exact per-codeword
+    * means (per-dim values to decimal(18,6) before summing, one IEEE
+    * divide — bit-deterministic and oracle-replicable, the [[kmeansStep]]
+    * discipline); codewords that captured no vectors keep their previous
+    * value.
     */
-  def pqTrainStep(
-      vecs: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
-      idCol: String = "vec_id", vecCol: String = "v"): Seq[Seq[Seq[Double]]] = {
+  private def booksFromResidRows(
+      residRows: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
     import graft.queries.QueryUtil.{avg6, dec}
     val m = codebooks.length
-    val sub = codebooks.head.head.length
-    val codeCols = (0 until m).map { mi =>
-      codebooks(mi).zipWithIndex.map { case (cw, k) =>
-        struct(l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)).as("d"),
-          lit(k).as("k"))
-      }.reduceLeft((a, b) => least(a, b)).getField("k").as(s"__c$mi")
-    }
-    val mCol = (col("__p") / sub).cast("int")
-    val learned = vecs
-      .select(col(vecCol) +: codeCols: _*)
-      .select(posexplode(col(vecCol)).as(Seq("__p", "__x")),
-        array((0 until m).map(mi => col(s"__c$mi")): _*).as("__codes"))
-      .select(mCol.as("m"),
-        element_at(col("__codes"), mCol + 1).as("k"),
-        (col("__p") % sub + 1).as("dim"), col("__x"))
+    val learned = residRows
       .groupBy("m", "k", "dim")
-      .agg(count(lit(1)).as("n"), sum(dec(col("__x"))).as("__s"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__r"))).as("__s"))
       .select(col("m"), col("k"), col("dim"), avg6(col("__s"), col("n")).as("c"))
       .collect()
       .groupBy(r => (r.getInt(0), r.getInt(1)))
@@ -396,6 +376,83 @@ object Similarity {
         learned.getOrElse((mi, k), old)
       }
     }
+  }
+
+  /** One Lloyd iteration over ALL PQ subspaces in a SINGLE corpus scan.
+    *
+    * The plan is LITERAL-FREE: the current books ride in as a broadcast
+    * (m, k, codeword) frame, per-subspace argmins are a grouped
+    * lexicographic `min` over (d, k) structs, and the vector posexplodes
+    * ONCE into (subspace, codeword, dim, x) rows for one grouped
+    * re-estimation — so every training iteration reuses the SAME
+    * generated code (codebook VALUES change, the plan doesn't). The
+    * previous inline formulation ([[pqTrainStepInline]], kept for the
+    * parity spec) embedded each iteration's books as `typedLit`s: every
+    * step was a fresh Catalyst analysis + Janino compile that could
+    * never hit the generated-code cache — measured as the r7 driver
+    * bench's q66/q69/q70 wall inflation (SURVEY §8 round-8). The price
+    * is one bounded exchange of the TRAINING SAMPLE per iteration
+    * (per-row argmin agg, pre-reduced map-side) — training runs on a
+    * sample at 100 TB, so cacheable plans win. Encode and search keep
+    * their inline codegen shapes ([[pqEncode]], [[pqAdcTopK]]): their
+    * books are fixed, so they compile once. Results are bit-identical
+    * to the inline step (same distance fold, same (d, k) tiebreak, same
+    * decimal means — spec-pinned).
+    */
+  def pqTrainStep(
+      vecs: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "v"): Seq[Seq[Seq[Double]]] = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bdf = codebooks.zipWithIndex.flatMap { case (bk, mi) =>
+      bk.zipWithIndex.map { case (cw, k) => (mi, k, cw) }
+    }.toDF("__bm", "__bk", "__bcw")
+    val aggs = (0 until m).map(mi =>
+      min(when(col("__bm") === mi, struct(col("__d"), col("__bk"))))
+        .getField("__bk").as(s"__c$mi"))
+    val mCol = (col("__p") / sub).cast("int")
+    val residRows = vecs
+      .select(monotonically_increasing_id().as("__rid"), col(vecCol))
+      .crossJoin(broadcast(bdf))
+      .withColumn("__d", joinedSubDist(vecCol, sub))
+      .groupBy(col("__rid"), col(vecCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(posexplode(col(vecCol)).as(Seq("__p", "__x")),
+        array((0 until m).map(mi => col(s"__c$mi")): _*).as("__codes"))
+      .select(mCol.as("m"),
+        element_at(col("__codes"), mCol + 1).as("k"),
+        (col("__p") % sub + 1).as("dim"), col("__x").as("__r"))
+    booksFromResidRows(residRows, codebooks)
+  }
+
+  /** The original inlined-literal formulation of [[pqTrainStep]] — M
+    * `least` chains over `typedLit` codewords in one narrow projection,
+    * zero pre-aggregation shuffle. Retained ONLY as the parity oracle:
+    * its plan embeds the books as literals, so a training LOOP pays a
+    * fresh Janino compile per iteration (see [[pqTrainStep]]).
+    */
+  private[graft] def pqTrainStepInline(
+      vecs: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "v"): Seq[Seq[Seq[Double]]] = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { mi =>
+      codebooks(mi).zipWithIndex.map { case (cw, k) =>
+        struct(l2sq(subVec(col(vecCol), mi, sub), typedLit(cw)).as("d"),
+          lit(k).as("k"))
+      }.reduceLeft((a, b) => least(a, b)).getField("k").as(s"__c$mi")
+    }
+    val mCol = (col("__p") / sub).cast("int")
+    val residRows = vecs
+      .select(col(vecCol) +: codeCols: _*)
+      .select(posexplode(col(vecCol)).as(Seq("__p", "__x")),
+        array((0 until m).map(mi => col(s"__c$mi")): _*).as("__codes"))
+      .select(mCol.as("m"),
+        element_at(col("__codes"), mCol + 1).as("k"),
+        (col("__p") % sub + 1).as("dim"), col("__x").as("__r"))
+    booksFromResidRows(residRows, codebooks)
   }
 
   /** PQ encoding — the 100 TB ANN memory story: each vector compresses
@@ -589,14 +646,23 @@ object Similarity {
     * decimal(18,6) before summing, one IEEE divide) so the trained books
     * are bit-deterministic and the DuckDB oracle replays every iteration.
     * Codewords that captured no vectors keep their previous value.
+    *
+    * `inlineLimit` DEFAULTS TO 0 — training always runs the broadcast
+    * shifted-codeword frame, whose plan is literal-free and therefore
+    * identical across iterations (one Janino compile for the whole
+    * training loop; the inline when-chains embed each iteration's books
+    * as literals and recompile every step — the r7 q69/q70 driver-bench
+    * wall inflation, SURVEY §8 round-8). Encode/search keep the inline
+    * default ([[InlineCentroidLimit]]): their books are fixed per index.
+    * Both branches are bit-identical (spec-pinned); pass a large
+    * `inlineLimit` to force the inline path.
     */
   def pqTrainStepResidual(
       vecsWithCell: DataFrame, centroids: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
       idCol: String = "vec_id", vecCol: String = "v",
       centIdCol: String = "cid", centVecCol: String = "cv",
-      inlineLimit: Int = InlineCentroidLimit): Seq[Seq[Seq[Double]]] = {
-    import graft.queries.QueryUtil.{avg6, dec}
+      inlineLimit: Int = 0): Seq[Seq[Seq[Double]]] = {
     val cents = collectCents(centroids, centIdCol, centVecCol)
     require(cents.nonEmpty, "pqTrainStepResidual needs at least one centroid")
     val sb = shiftedBooks(cents, codebooks)
@@ -641,8 +707,12 @@ object Similarity {
       val aggs = (0 until m).map(mi =>
         min(when(col("__bm") === mi, struct(col("__d"), col("__bk"))))
           .getField("__bk").as(s"__c$mi"))
-      val centDf = centroids.select(col(centIdCol).cast("long").as("cell"),
-        col(centVecCol).cast("array<double>").as("__ccv"))
+      // from the already-collected driver-small seq, NOT the centroids
+      // DataFrame — re-planning that would re-scan its source per
+      // iteration (and the values are already in hand)
+      val spark0 = vecsWithCell.sparkSession
+      import spark0.implicits._
+      val centDf = cents.toDF("cell", "__ccv")
       vecsWithCell
         .select(monotonically_increasing_id().as("__rid"),
           col("cell"), col(vecCol))
@@ -659,35 +729,26 @@ object Similarity {
           (col("__p") % sub + 1).as("dim"),
           (col("__x") - element_at(col("__ccv"), col("__p") + 1)).as("__r"))
     }
-    val learned = residRows
-      .groupBy("m", "k", "dim")
-      .agg(count(lit(1)).as("n"), sum(dec(col("__r"))).as("__s"))
-      .select(col("m"), col("k"), col("dim"), avg6(col("__s"), col("n")).as("c"))
-      .collect()
-      .groupBy(r => (r.getInt(0), r.getInt(1)))
-      .view.mapValues(_.map(r => r.getInt(2) -> r.getDouble(3)).sortBy(_._1).map(_._2).toSeq)
-      .toMap
-    (0 until m).map { mi =>
-      codebooks(mi).zipWithIndex.map { case (old, k) =>
-        learned.getOrElse((mi, k), old)
-      }
-    }
+    booksFromResidRows(residRows, codebooks)
   }
 
   /** Total residual quantization error `Σ_v Σ_m min_k ‖(v−c[cell])−r_k‖²`
     * under the given residual books — the Lloyd training objective,
-    * computed via shifted codewords on the ORIGINAL vectors (one narrow
-    * codegen scan, no residual materialization). The training
-    * diagnostic: each [[pqTrainStepResidual]] must not increase it
-    * (assignment and mean steps each minimize it; the decimal-rounded
-    * mean can drift it by at most ~1e-6 per dim).
+    * computed via shifted codewords on the ORIGINAL vectors (no residual
+    * materialization). The training diagnostic: each
+    * [[pqTrainStepResidual]] must not increase it (assignment and mean
+    * steps each minimize it; the decimal-rounded mean can drift it by at
+    * most ~1e-6 per dim). Like the train step, `inlineLimit` defaults to
+    * 0: the diagnostic runs inside training loops against CHANGING books,
+    * so the literal-free broadcast-frame plan (one compile, reused every
+    * iteration) beats the inline scan that recompiles per call.
     */
   def pqResidualQuantError(
       vecsWithCell: DataFrame, centroids: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
       vecCol: String = "v",
       centIdCol: String = "cid", centVecCol: String = "cv",
-      inlineLimit: Int = InlineCentroidLimit): Double = {
+      inlineLimit: Int = 0): Double = {
     val cents = collectCents(centroids, centIdCol, centVecCol)
     require(cents.nonEmpty, "pqResidualQuantError needs at least one centroid")
     val sb = shiftedBooks(cents, codebooks)

@@ -305,39 +305,61 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(books1(1)(1) === Seq(100.0, 100.0), "empty cell keeps its codeword")
   }
 
-  test("pqTrainStep runs ONE scan for all subspaces, not M driver jobs") {
+  test("pqTrainStep runs ONE corpus scan for all subspaces") {
+    // scan counting, not job counting: AQE turns every shuffle-bearing
+    // collect into ≥2 jobs, and the literal-free frame path adds a
+    // broadcast + per-row argmin exchange — the invariant that matters
+    // is that the TRAINING SAMPLE is read once per iteration (the
+    // per-subspace formulation this replaced scanned it M times)
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val books = Similarity.pqCodebooks(e.filter(col("vec_id").between(200, 207)), m = 4)
-    val group = "graft-pqtrain-jobcount"
-    spark.sparkContext.setJobGroup(group, "pqTrainStep job accounting")
-    try Similarity.pqTrainStep(e, books)
-    finally spark.sparkContext.clearJobGroup()
-    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-    // one collect → one AQE query: ≤ 2 jobs (shuffle map stage + result).
-    // The per-subspace formulation this replaced ran 4 sequential
-    // aggregations — ≥ 8 jobs and 4 scans of the training sample.
-    assert(jobs <= 2, s"pqTrainStep submitted $jobs jobs — expected one scan")
+    val scans = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        if (s.stageInfo.rddInfos.exists(_.name.contains("FileScan")))
+          scans.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(300)
+      scans.set(0)
+      Similarity.pqTrainStep(e, books)
+      Thread.sleep(300) // let stray stage-submit events land
+      assert(scans.get() <= 1,
+        s"pqTrainStep scanned the sample ${scans.get()}× — expected one scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("pqTrainStepResidual runs ONE scan for all subspaces and cells") {
+  test("pqTrainStepResidual runs ONE corpus scan for all subspaces and cells") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val cents = e.filter(col("vec_id").between(100, 107))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val books = Similarity.pqCodebooks(e.filter(col("vec_id").between(200, 207)), m = 4)
     val asg = Similarity.ivfAssign(e, cents)
-    val group = "graft-pqtrainres-jobcount"
-    spark.sparkContext.setJobGroup(group, "pqTrainStepResidual job accounting")
-    try Similarity.pqTrainStepResidual(asg, cents, books)
-    finally spark.sparkContext.clearJobGroup()
-    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-    // the per-cell shifted books are when-chains in ONE projection, so
-    // residual training costs the same single corpus scan as plain
-    // pqTrainStep, plus one driver-small centroid collect (≤2 AQE jobs
-    // for the grouped agg + 1 for the centroids; an M-scan regression
-    // would be ≥ 8)
-    assert(jobs <= 3, s"pqTrainStepResidual submitted $jobs jobs — expected one corpus scan")
+    val scans = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        if (s.stageInfo.rddInfos.exists(_.name.contains("FileScan")))
+          scans.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(300)
+      scans.set(0)
+      Similarity.pqTrainStepResidual(asg, cents, books)
+      Thread.sleep(300)
+      // one corpus scan for the residual rows + one driver-small
+      // centroid collect (cents reads the same parquet); an M-scan
+      // regression would be ≥ 5
+      assert(scans.get() <= 2,
+        s"pqTrainStepResidual scanned ${scans.get()}× — expected one corpus scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("pqAdcTopKInCells searches only the probe's cells, ranks like plain ADC within them") {
@@ -667,13 +689,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(strayI.count() === asg.count() + 1)
     assert(rows(strayF) === rows(strayI))
 
-    val trainI = Similarity.pqTrainStepResidual(asg, cents, books)
+    // training defaults to the literal-free fallback since r8; force the
+    // inline when-chain path explicitly for the comparison
+    val trainI = Similarity.pqTrainStepResidual(asg, cents, books,
+      inlineLimit = Int.MaxValue)
     val trainF = Similarity.pqTrainStepResidual(asg, cents, books, inlineLimit = 0)
     assert(trainF === trainI, "decimal-exact means must agree exactly")
 
-    val errI = Similarity.pqResidualQuantError(asg, cents, books)
+    val errI = Similarity.pqResidualQuantError(asg, cents, books,
+      inlineLimit = Int.MaxValue)
     val errF = Similarity.pqResidualQuantError(asg, cents, books, inlineLimit = 0)
     assert(math.abs(errF - errI) <= 1e-9 * math.max(1.0, errI), s"$errF vs $errI")
+
+    // the plain-PQ frame-based train step matches its inline twin too
+    val ptF = Similarity.pqTrainStep(vecs, books)
+    val ptI = Similarity.pqTrainStepInline(vecs, books)
+    assert(ptF === ptI, "plain-PQ frame path must match the inline step exactly")
 
     val probes = Similarity.ivfAssignTopN(vecs.filter(col("vec_id") < 4), cents, nprobe = 2)
     val topI = Similarity.pqAdcTopKResidual(encI, probes, cents, books, k = 3)
