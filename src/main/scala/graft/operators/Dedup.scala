@@ -779,18 +779,28 @@ object Dedup {
     * representative): same [[contentHash]] clusters, opposite policy.
     *
     * Returns the narrow (id, cluster_size, weight_micro) SIDECAR, not
-    * the annotated corpus: the one exchange (the cluster-count window
-    * on the digest — uniformly distributed, skew-free by construction)
-    * moves only (id, 16-byte digest) rows, never the text; join the
-    * sidecar back by id where the weights are consumed (zero-exchange
-    * on an id-bucketed landing, the [[corpusDiff]] contract).
+    * the annotated corpus: only (id, 16-byte digest) rows ever move,
+    * never the text; join the sidecar back by id where the weights are
+    * consumed (zero-exchange on an id-bucketed landing, the
+    * [[corpusDiff]] contract).
+    *
+    * Cluster sizes come from a groupBy-then-join, NOT a digest window:
+    * this operator's reason to exist is massively duplicated pages, so
+    * hot digests are guaranteed BY ITS USE CASE (md5 is uniform across
+    * distinct texts, not across copies of one text) — a window would
+    * funnel every copy of a viral page into a single task, while the
+    * groupBy's partial aggregation crushes the hot digest map-side and
+    * AQE's skew-join splitting handles the probe side (the
+    * [[dupFraction]] `skewRobust` shape, made the only path here —
+    * spec-pinned window-free with a planted million-copy cluster).
     */
-  def dupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), contentHash(col(textCol)).as("__h"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("__h"))))
-      .withColumn("weight_micro", expr("1000000 div cluster_size"))
-      .drop("__h")
+  def dupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = df.select(col(idCol).as("id"), contentHash(col(textCol)).as("__h"))
+    val sizes = h.groupBy(col("__h")).agg(count(lit(1)).as("cluster_size"))
+    h.join(sizes, Seq("__h"))
+      .select(col("id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_micro"))
+  }
 
   /** Per-document DUPLICATED-TEXT FRACTION (the suffix-array dedup
     * family's doc-level metric, shingle-approximated): the share of a

@@ -932,17 +932,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"bucketed snapshot diff should not shuffle:\n$plan")
   }
 
-  test("dupWeights: inverse-cluster-size sidecar, one narrow exchange") {
+  test("dupWeights: inverse-cluster-size sidecar, narrow and window-free") {
     val out = Dedup.dupWeights(docs.repartition(2), "id", "text")
     val got = out.as[(String, Long, Long)].collect().toSet
     assert(got === Set(
       ("d1", 2L, 500000L), ("d4", 2L, 500000L), // exact twins share weight
       ("d2", 1L, 1000000L), ("d3", 1L, 1000000L)))
     val plan = out.queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    // cluster sizes via groupBy-then-join — a digest window would put a
+    // whole viral cluster in one task (the operator's use case
+    // guarantees hot digests), and windows can't be split by AQE
+    assert(!plan.contains("Window"), s"digest window crept back in:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"expected map-side partial aggregation of cluster sizes:\n$plan")
     // the sidecar is narrow: the text column must not survive into the
     // shuffled projection
     assert(out.columns.toSeq === Seq("id", "cluster_size", "weight_micro"))
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"text must not cross an exchange:\n$plan")
+  }
+
+  test("dupWeights survives a planted million-copy cluster without a window") {
+    // the exact shape the operator exists for: one viral page duplicated
+    // 1e6 times next to a sliver of unique docs — md5 is uniform across
+    // DISTINCT texts only, so the viral digest is maximally hot
+    val viral = spark.range(1000000L)
+      .select(concat(lit("v"), col("id")).as("id"),
+        lit("the same viral boilerplate page").as("text"))
+    val unique = spark.range(100L)
+      .select(concat(lit("u"), col("id")).as("id"),
+        concat(lit("unique text "), col("id")).as("text"))
+    val out = Dedup.dupWeights(viral.unionAll(unique), "id", "text")
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    val byWeight = out.groupBy("cluster_size", "weight_micro").count()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(byWeight === Set(
+      (1000000L, 1L, 1000000L),  // every viral copy: weight ⌊1e6/1e6⌋ = 1
+      (1L, 1000000L, 100L)))     // every unique doc: full weight
   }
 
   test("dupFraction: exact integer shares, short docs emit no row") {
