@@ -28,11 +28,18 @@ object AsOfJoin {
       leftTime: Column, rightTime: Column,
       tiebreak: Column,
       payload: Seq[(Column, String)] = Seq.empty): DataFrame = {
-    // Unique per-row id so fully-duplicate left rows each produce their
-    // own output row (grouping by the left columns alone would collapse
-    // them — a multiplicity change an as-of join must not make).
-    val l = left.withColumn("__rid", monotonically_increasing_id())
-      .withColumn("__lk", leftKey).withColumn("__lt", leftTime)
+    // Fully-duplicate left rows must each produce their own output row
+    // (a multiplicity change an as-of join must not make), but a
+    // `monotonically_increasing_id` row tag is NONDETERMINISTIC lineage:
+    // the ids shift under AQE re-planning / partial stage retry, and the
+    // nondeterministic marking blocks pushdown through the plan. So:
+    // collapse duplicate left rows to (row, __n) counts up front (one
+    // partial-agg-crushed exchange of left keys only), join + pick once
+    // per DISTINCT row, and restore multiplicity with a posexplode of
+    // the count at the end. Every key in the plan is a real data column.
+    val grouped = left.groupBy(left.columns.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val l = grouped.withColumn("__lk", leftKey).withColumn("__lt", leftTime)
     val r = right.select(
       rightKey.as("__rk") +: rightTime.as("__rt") +: tiebreak.as("__tb") +:
         payload.map { case (c, n) => c.as(s"__p_$n") }: _*)
@@ -42,8 +49,9 @@ object AsOfJoin {
       .as("__best")
     val leftCols = left.columns.map(col) :+ col("__lt")
     joined
-      .groupBy(col("__rid") +: col("__lk") +: leftCols: _*)
+      .groupBy(col("__n") +: col("__lk") +: leftCols: _*)
       .agg(pick)
+      .withColumn("__dup", explode(array_repeat(lit(1), col("__n").cast("int"))))
       .select(left.columns.map(col) ++ Seq(
         col("__best.__rt").as("asof_time"),
         col("__best.__tb").as("asof_tiebreak")) ++

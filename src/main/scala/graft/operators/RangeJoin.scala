@@ -98,20 +98,30 @@ object RangeJoin {
     * (`dist ≤ maxDist ⟺ start−maxDist ≤ pos ≤ end+maxDist`, so
     * expansion captures every in-radius pair and, the point living in
     * exactly ONE bucket, each pair arises exactly once); equi-join on
-    * (chrom, bucket); per-point argmin as a row_number window over a
-    * synthetic per-row id — Spark's partial WindowGroupLimit reduces
-    * each point's candidates to one BEFORE the window exchange (the
-    * [[Similarity.ivfAssign]] fallback argument). Ties beyond
-    * (dist, start, end) break arbitrarily; the distance itself — what
-    * aggregates downstream should read — is always the true minimum.
-    * Output: point columns + `distCol` + the interval's non-join
-    * columns (`distCol` must not pre-exist on either input).
+    * (chrom, bucket); per-point argmin as a row_number window keyed on
+    * a DETERMINISTIC composite of the point's own columns (`idCols` if
+    * given, else every point column) — never a synthetic
+    * `monotonically_increasing_id`, whose lineage shifts under AQE
+    * re-planning / stage retry and whose nondeterministic marking
+    * blocks predicate pushdown through the plan. Spark's partial
+    * WindowGroupLimit reduces each point's candidates to one BEFORE
+    * the window exchange (the [[Similarity.ivfAssign]] fallback
+    * argument). Ties beyond (dist, start, end) break arbitrarily; the
+    * distance itself — what aggregates downstream should read — is
+    * always the true minimum. Output: point columns + `distCol` + the
+    * interval's non-join columns (`distCol` must not pre-exist on
+    * either input).
+    *
+    * Point identity caveat: rows identical on the composite key are ONE
+    * logical point (one output row). Pass `idCols` naming a unique
+    * caller key to keep duplicate payload rows distinct.
     */
   def nearestInterval(
       points: DataFrame, intervals: DataFrame, maxDist: Long,
       chromCol: String = "chrom", posCol: String = "pos",
       startCol: String = "start", endCol: String = "end",
-      bucketShift: Int = 20, distCol: String = "dist"): DataFrame = {
+      bucketShift: Int = 20, distCol: String = "dist",
+      idCols: Seq[String] = Seq.empty): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     require(bucketShift >= 0 && bucketShift < 32,
       s"bucketShift must be in [0, 32), got $bucketShift")
@@ -121,8 +131,11 @@ object RangeJoin {
         shiftright(greatest(col(startCol) - maxDist, lit(0L)), bucketShift),
         shiftright(col(endCol) + maxDist, bucketShift))))
       .alias("i")
+    val ridCols = if (idCols.nonEmpty) idCols else points.columns.toSeq
+    require(ridCols.forall(points.columns.contains),
+      s"idCols ${idCols.filterNot(points.columns.contains)} missing from points")
     val p = points
-      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__rid", struct(ridCols.map(col): _*))
       .withColumn("__b", shiftright(col(posCol), bucketShift))
       .alias("p")
     val dist = greatest(

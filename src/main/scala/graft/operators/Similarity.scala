@@ -912,8 +912,18 @@ object Similarity {
     for (_ <- 0 until pqIters)
       books = pqTrainStepResidual(asg, cents, books,
         idCol, vecCol, centIdCol, centVecCol)
-    (cents, books, pqEncodeResidual(asg, cents, books,
-      idCol, vecCol, centIdCol, centVecCol))
+    // Materialize the encoded corpus through the warm assignment cache,
+    // then RELEASE the assignment: repeated builds in one session must
+    // not accumulate cached corpora (the assignment is a build-time
+    // intermediate, not an output). The returned `codes` frame IS the
+    // persisted index — the one handle a caller holds for the life of
+    // the index and unpersists to release it.
+    val codes = pqEncodeResidual(asg, cents, books,
+      idCol, vecCol, centIdCol, centVecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    asg.unpersist(blocking = false)
+    (cents, books, codes)
   }
 
   /** IVF+PQ composed search — the standard billion-vector production

@@ -109,6 +109,7 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     require(terms.distinct == terms, s"duplicate query terms: $terms")
+    requireCanonicalTerms(terms, "bm25TopK")
     val toks = df.select(col(idCol).as("id"),
         wsTokens(lower(cleanAscii(col(textCol)))).as("__t"))
       .withColumn("__dl", size(col("__t")))
@@ -162,6 +163,22 @@ object TextAnalysis {
     * on (term, id); dl rides the groupBy (functionally dependent on
     * id).
     */
+  /** Corpus tokens are `wsTokens(lower(cleanAscii(text)))`, so a query
+    * term carrying an uppercase letter, whitespace, or a non-printable-
+    * ASCII char can NEVER match a token — the old behavior was a silent
+    * all-zero score for "Spark". Fail loudly instead: the caller owns
+    * query normalization (scoring must not second-guess whether "US"
+    * meant "us"), but an impossible term is always a bug.
+    */
+  private def requireCanonicalTerms(terms: Seq[String], op: String): Unit = {
+    val bad = terms.filterNot(t =>
+      t.nonEmpty && t.forall(c => c >= 0x21 && c <= 0x7e && !c.isUpper))
+    require(bad.isEmpty,
+      s"$op query terms must be canonical tokens (lowercase printable " +
+        s"ASCII, no whitespace — the lower(cleanAscii) tokenization " +
+        s"cannot produce anything else, so these can never match): $bad")
+  }
+
   def termPostings(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     df.select(col(idCol).as("id"),
@@ -197,6 +214,7 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "bm25TopKIndexed needs at least one query term")
     require(terms.distinct == terms, s"duplicate query terms: $terms")
+    requireCanonicalTerms(terms, "bm25TopKIndexed")
     val st = stats.head()
     val n = st.getLong(0)
     require(n > 0, "bm25TopKIndexed over an empty corpus")

@@ -20,14 +20,24 @@ object QueryUtil {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read the raw int64 and truncate to the same µs value
-    * DuckDB produces with its ns→µs cast.
+  /** events.parquet stores TIMESTAMP(NANOS). Depending on the Spark
+    * build this reads as raw int64 nanos under the
+    * `legacy.parquet.nanosAsLong` conf (older behavior) or natively as
+    * a µs-truncated TIMESTAMP_NTZ (newer behavior ignores the legacy
+    * conf) — handle BOTH by branching on the inferred type, normalizing
+    * to the same µs-truncated session-UTC TIMESTAMP either way (ns
+    * values are positive, so long-division truncation ≡ the native
+    * reader's floor; NTZ wall clock in a UTC session ≡ the epoch math).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(s, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    val raw = t(s, dir, "events")
+    val ev = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     ev
   }

@@ -187,12 +187,20 @@ object VcfWriter {
         shards += f.getPath.toString
     }
     if (shards.isEmpty) return
+    // Task-side FS from the DRIVER'S hadoopConfiguration, shipped via a
+    // broadcast SerializableConfiguration: `new Configuration()` loads
+    // only default resources, silently dropping every `spark.hadoop.*`
+    // setting (s3a/abfs credentials, endpoints, HDFS nameservices)
+    // injected through Spark conf — indexing would fail or mis-resolve
+    // the filesystem on any cluster configured that way.
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     spark.sparkContext
       .parallelize(shards.toSeq, shards.length)
       .foreach { p =>
         val sp = new Path(p)
-        // task-side conf: default resources carry the cluster FS config
-        val tfs = sp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tfs = sp.getFileSystem(confBc.value.value)
         graft.sources.v2.TabixIndex.indexBgzfSibling(tfs, sp, minShift, depth)
       }
   }

@@ -78,6 +78,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(a === b) // same multiset of rows, multiplicities included
   }
 
+  test("lastBefore plans deterministically (no synthetic row ids)") {
+    val left = Seq(("A", ts("2024-01-01 12:00:00"), "x")).toDF("k", "lt", "id")
+    val right = Seq(("A", ts("2024-01-01 10:00:00"), 1L, 100.0))
+      .toDF("k", "rt", "tb", "px")
+    val analyzed = AsOfJoin.lastBefore(
+      left, right, col("k"), col("k"), col("lt"), col("rt"),
+      tiebreak = col("tb"), payload = Seq((col("px"), "px")))
+      .queryExecution.analyzed
+    // a monotonically_increasing_id row tag shifts under AQE re-planning
+    // / stage retry and blocks pushdown; multiplicity now rides a
+    // dedupe-count + posexplode restore, all deterministic data columns
+    val nondet = analyzed.collect {
+      case p if p.expressions.exists(!_.deterministic) => p.nodeName }
+    assert(nondet.isEmpty && !analyzed.toString.contains("monotonically_increasing_id"),
+      s"lastBefore plan carries a nondeterministic expression in: $nondet")
+  }
+
   test("lastBeforeSorted widens date vs timestamp and plans one exchange") {
     val left = Seq(("A", ts("2024-03-02 00:00:00"), "x")).toDF("k", "lt", "id")
     val right = Seq(("A", java.sql.Date.valueOf("2024-03-01"), 1L, 9.0))

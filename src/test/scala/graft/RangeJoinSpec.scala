@@ -88,6 +88,27 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       s"interval merge shuffles more than once:\n$plan")
   }
 
+  test("nearestInterval: deterministic plan (no synthetic row ids), idCols honored") {
+    val points = Seq(("1", 25, "a"), ("1", 25, "b")).toDF("chrom", "pos", "id")
+    // no nondeterministic expression anywhere in the plan: under AQE
+    // re-planning or stage retry a monotonically_increasing_id window
+    // key could shift row identity; the composite-key form cannot
+    val analyzed = RangeJoin.nearestInterval(points, intervals, maxDist = 50L,
+      bucketShift = shift).queryExecution.analyzed
+    val nondet = analyzed.collect {
+      case p if p.expressions.exists(!_.deterministic) => p.nodeName }
+    assert(nondet.isEmpty && !analyzed.toString.contains("monotonically_increasing_id"),
+      s"nearestInterval plan carries a nondeterministic expression in: $nondet")
+    // default key = all point columns → the id column keeps the two
+    // same-position rows distinct; idCols=["id"] does the same explicitly
+    val byAll = RangeJoin.nearestInterval(points, intervals, maxDist = 50L,
+      bucketShift = shift).collect()
+    assert(byAll.length === 2)
+    val byId = RangeJoin.nearestInterval(points, intervals, maxDist = 50L,
+      bucketShift = shift, idCols = Seq("id")).collect()
+    assert(byId.map(_.getAs[String]("id")).sorted.toSeq === Seq("a", "b"))
+  }
+
   test("nearestInterval: every point emits at most one row (no bucket dup)") {
     // points sprayed across bucket lines near a long interval's
     // expansion: each must emit 0 or 1 rows, never more

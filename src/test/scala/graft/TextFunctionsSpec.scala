@@ -219,6 +219,21 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_._2).distinct.size === 1)
   }
 
+  test("bm25 rejects non-canonical query terms loudly (no silent zero scores)") {
+    import graft.operators.TextAnalysis._
+    val docs = Seq((1L, "spark join")).toDF("doc_id", "text")
+    // tokens are lower(cleanAscii(...)) — "Spark" can never match one;
+    // the old behavior scored it silently as an all-zero term
+    for (bad <- Seq("Spark", "two words", "café", ""))
+      intercept[IllegalArgumentException] {
+        bm25TopK(docs, "doc_id", "text", Seq(bad), k = 3)
+      }
+    intercept[IllegalArgumentException] {
+      bm25TopKIndexed(termPostings(docs, "doc_id", "text"),
+        corpusStats(docs, "doc_id", "text"), Seq("Spark"), k = 3)
+    }
+  }
+
   test("bm25TopKIndexed over termPostings equals the direct bm25TopK") {
     import graft.operators.TextAnalysis._
     // varied lengths, repeats, a term-less doc (counts toward N/avgdl
