@@ -47,7 +47,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-    val results = names.map { name =>
+    def measure(name: String): (String, (Double, Double), Int) = {
       val fn = SparkEntry.queries(name)
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -68,6 +68,43 @@ object Bench {
       val median = if (good.isEmpty) (-1.0, -1.0) else good(good.size / 2)
       (name, median, runs - good.size)
     }
+    val results = names.map(measure)
+
+    // SELF-ADJUDICATING outlier pass: three straight rounds needed a
+    // manual isolation re-measure to separate "the plan regressed" from
+    // "the host was busy / the codegen cache churned" (q62/q27 r6,
+    // q66/q69/q70 + q68 r7). Automate it: any query whose exec moved
+    // >3× against the LAST committed full artifact (the pre-run content
+    // of BENCH_FULL.json — the driver's BENCH_r{N}.json is a clipped
+    // stdout wrapper with no machine-readable exec map) re-measures at
+    // the END of the suite — same medians, warm JVM, nothing else
+    // running — and the isolation numbers ride the artifact so the
+    // verdict can adjudicate without a by-hand rerun. Floor 5
+    // exec-seconds (tiny queries swing 3× on noise alone); capped at 8
+    // re-measures to bound suite time.
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json"))
+    val isolation: Seq[(String, (Double, Double), Int)] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("0")) Seq.empty
+      else {
+        val prevExec: Map[String, Double] =
+          (try Some(new String(java.nio.file.Files.readAllBytes(fullPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+          catch { case _: Throwable => None }).toSeq.flatMap { txt =>
+            "\"exec_sec\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).toSeq.flatMap(m =>
+              "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(m.group(1))
+                .map(p => p.group(1) -> p.group(2).toDouble))
+          }.toMap
+        val moved = results.flatMap { case (name, (_, exec), _) =>
+          prevExec.get(name).collect {
+            case prev if prev > 0 && exec > 0 &&
+                math.max(prev, exec) >= 5.0 &&
+                math.max(prev, exec) / math.min(prev, exec) > 3.0 =>
+              (name, math.max(prev, exec))
+          }
+        }.sortBy(-_._2).take(8).map(_._1)
+        moved.map(measure)
+      }
     // 3-decimal doubles: ms resolution is below this host's noise floor
     // and full 9-decimal doubles doubled the line size.
     def r3(v: Double): String =
@@ -88,13 +125,12 @@ object Bench {
     // biggest expendable map (exec_sec) FIRST and the wall map + summary
     // LAST, so whatever tail survives always ends with every wall time
     // and the verdict-critical totals.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"full":"BENCH_FULL.json","exec_sec":$ex,"queries":$qs,"total":$total}"""
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json"))
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
+    val isoW = fmt(isolation.map { case (k, (w, _), _) => k -> w })
+    val isoE = fmt(isolation.map { case (k, (_, e), _) => k -> e })
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"full":"BENCH_FULL.json","isolation_wall":$isoW,"isolation_exec":$isoE,"exec_sec":$ex,"queries":$qs,"total":$total}"""
+    try java.nio.file.Files.write(fullPath,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
       System.err.println(s"BENCH_FULL.json write failed: $e") }
     println(line)
     spark.stop()
