@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,94 @@ object RangeJoin {
       .drop(col(s"i.$chromCol"))
       .drop(col("p.__b")).drop(col("i.__b"))
       .drop(col("__rid")).drop(col("__rn")).drop(col("__dist"))
+  }
+
+  /** UNBOUNDED nearest-feature join — `bedtools closest` without a
+    * radius, the common call [[nearestInterval]] deliberately refuses
+    * (a bucket decomposition cannot bound an unbounded search: the true
+    * nearest may sit arbitrarily many buckets away). Closed with a
+    * per-chromosome SORT-MERGE SWEEP instead, the [[mergeIntervals]]
+    * window pattern: union the points with the intervals keyed at their
+    * start coordinate, then over ONE (chrom)-partitioned ordering take
+    * (a) the running max-end interval among starts ≤ pos — if its end
+    * ≥ pos the point is COVERED (dist 0), else it is the true nearest
+    * LEFT neighbor (every uncovered start-≤-pos interval ends before
+    * pos) — and (b) in the reversed ordering the running min-start
+    * interval among starts ≥ pos, the nearest RIGHT neighbor; emit the
+    * nearer (ties: left, then max end / min start — deterministic, a
+    * different tie order than [[nearestInterval]]'s (dist, start, end);
+    * `dist` itself is always the true minimum). Points on a chromosome
+    * with no intervals drop, matching the bounded form's no-match rule.
+    *
+    * Cost: ONE exchange on chrom (the second window reuses the first's
+    * partitioning — opposite sort, no re-shuffle), O(points +
+    * intervals) rows, no join fan-out at all. Same per-chrom window
+    * scale note as [[mergeIntervals]]: partition work is bounded by
+    * per-chrom row counts, and a sweep is the right primitive because
+    * nearest-without-radius, like merging, cannot decompose into
+    * buckets. Interval payload + start/end columns must not collide
+    * with point columns (caller renames, the [[intervalOverlap]]
+    * contract).
+    */
+  def nearestIntervalUnbounded(
+      points: DataFrame, intervals: DataFrame,
+      chromCol: String = "chrom", posCol: String = "pos",
+      startCol: String = "start", endCol: String = "end",
+      distCol: String = "dist"): DataFrame = {
+    val ivPayload = intervals.columns.toSeq
+      .filterNot(Set(chromCol, startCol, endCol))
+    val clash = (ivPayload :+ startCol :+ endCol).filter(points.columns.contains)
+    require(clash.isEmpty,
+      s"interval columns $clash collide with point columns — rename them before the sweep")
+    require(!points.columns.contains(distCol) && !intervals.columns.contains(distCol),
+      s"output column '$distCol' already exists on an input — pass distCol to rename it")
+
+    // one unified event stream: interval rows enter at coord = start
+    // carrying themselves twice — end-major for the left pass's running
+    // max, start-major for the right pass's running min (struct
+    // comparison is field-order lexicographic)
+    val ivL = struct(col(endCol).as("e") +: col(startCol).as("s") +:
+      ivPayload.map(col): _*)
+    val ivR = struct(col(startCol).as("s") +: col(endCol).as("e") +:
+      ivPayload.map(col): _*)
+    val ptCols = points.columns.toSeq.filterNot(_ == chromCol)
+    val iv = intervals.select(
+      col(chromCol) +: col(startCol).cast("long").as("__coord") +:
+        lit(0).as("__tag") +: ivL.as("__il") +: ivR.as("__ir") +:
+        ptCols.map(c => lit(null).cast(points.schema(c).dataType).as(c)): _*)
+    val ivLType = intervals.select(ivL).schema.head.dataType
+    val ivRType = intervals.select(ivR).schema.head.dataType
+    val pt = points.select(
+      col(chromCol) +: col(posCol).cast("long").as("__coord") +:
+        lit(1).as("__tag") +: lit(null).cast(ivLType).as("__il") +:
+        lit(null).cast(ivRType).as("__ir") +: ptCols.map(col): _*)
+
+    // intervals sort before points at equal coordinate (tag asc) so a
+    // start == pos interval is visible to the covering test
+    val wl = Window.partitionBy(col(chromCol))
+      .orderBy(col("__coord").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy(col(chromCol))
+      .orderBy(col("__coord").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pos = col("__coord")
+    val covered = col("__bl").isNotNull && col("__bl.e") >= pos
+    val ld = when(col("__bl").isNotNull, (pos - col("__bl.e")).cast("long"))
+    val rd = when(col("__br").isNotNull, (col("__br.s") - pos).cast("long"))
+    val useLeft = covered ||
+      (col("__bl").isNotNull && (col("__br").isNull || ld <= rd))
+    val dist = when(covered, lit(0L)).otherwise(least(ld, rd))
+    def pick(l: Column, r: Column) = when(useLeft, l).otherwise(r)
+    iv.unionByName(pt)
+      .withColumn("__bl", max(col("__il")).over(wl))
+      .withColumn("__br", min(col("__ir")).over(wr))
+      .filter(col("__tag") === 1 &&
+        (col("__bl").isNotNull || col("__br").isNotNull))
+      .select(col(chromCol) +: ptCols.map(col) ++: Seq(
+        pick(col("__bl.s"), col("__br.s")).as(startCol),
+        pick(col("__bl.e"), col("__br.e")).as(endCol)) ++:
+        ivPayload.map(c => pick(col(s"__bl.$c"), col(s"__br.$c")).as(c)) :+
+        dist.as(distCol): _*)
   }
 
   /** MERGE overlapping (or `slack`-adjacent) intervals per chromosome —

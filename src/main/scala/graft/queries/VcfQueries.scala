@@ -365,6 +365,70 @@ object VcfQueries extends QuerySet {
       FROM ax ORDER BY k, allele_idx
     """))
 
+  /** `Number=R` / `Number=G` typed-INFO POSITIONAL ALIGNMENT
+    * ([[VcfReader.rIndex]]/[[VcfReader.gIndex]]) — the two VCF-spec
+    * cardinalities q62's `Number=A` path does not cover, hit on day one
+    * by any gnomAD/GATK sites file (AD is R, PL/GL are G): per ALT
+    * allele, read the REF and ALT slots of an R array and the hom-ref /
+    * het / hom-alt genotype slots of a G array via the spec ordering
+    * F(j,k) = k(k+1)/2 + j. The Spark side builds an extended INFO
+    * string carrying RC (R, Integer) and PL (G, Integer) lists derived
+    * from (k, n_alts), then goes through the REAL path under test —
+    * [[VcfReader.withTypedInfo]] header-declared array typing +
+    * index-helper alignment; DuckDB recomputes the aligned VALUES
+    * directly from the derivation, so the string→type→align pipeline is
+    * what the hash checks. Narrow (generator + projection, no shuffle
+    * before the ordered output), exactly q62's cost shape.
+    */
+  private val q100 = Q(
+    "q100_info_rg_align",
+    (s, dir) => {
+      import graft.sources.VcfReader.FieldDecl
+      val nAlts = size(split(col("alt"), ","))
+      // RC: one value per allele incl. REF (Number=R): (k + 7i) % 1000
+      val rc = array_join(transform(sequence(lit(0), nAlts),
+        i => ((col("k") + i * 7) % 1000).cast("string")), ",")
+      // PL: one value per diploid genotype (Number=G), count
+      // (nAlts+1)(nAlts+2)/2: (k + 3g) % 256 at 0-based genotype g
+      // Column `/` divides as double; the product is even so the cast
+      // back to int is exact
+      val nGt = ((nAlts + 1) * (nAlts + 2) / 2).cast("int")
+      val pl = array_join(transform(sequence(lit(0), nGt - 1),
+        g => ((col("k") + g * 3) % 256).cast("string")), ",")
+      val extended = wide(s, dir).filter(col("alt") =!= ".")
+        .withColumn("info",
+          concat(col("info"), lit(";RC="), rc, lit(";PL="), pl))
+      val typed = VcfReader.withTypedInfo(extended,
+        Seq(FieldDecl("RC", "R", "Integer"), FieldDecl("PL", "G", "Integer")))
+      val ai = col("ai") + 1 // 1-based ALT index from posexplode
+      typed
+        .select(col("k"), col("chrom"), col("pos"), col("ref"),
+          col("INFO_RC"), col("INFO_PL"),
+          posexplode(split(col("alt"), ",")).as(Seq("ai", "a")))
+        .select(col("k"), col("chrom"), col("pos"), col("ref"), col("a"),
+          ai.cast("int").as("allele_idx"),
+          element_at(col("INFO_RC"), VcfReader.rIndex(lit(0))).as("rc_ref"),
+          element_at(col("INFO_RC"), VcfReader.rIndex(ai)).as("rc_alt"),
+          element_at(col("INFO_PL"), VcfReader.gIndex(lit(0), lit(0))).as("pl_homref"),
+          element_at(col("INFO_PL"), VcfReader.gIndex(lit(0), ai)).as("pl_het"),
+          element_at(col("INFO_PL"), VcfReader.gIndex(ai, ai)).as("pl_homalt"))
+        .orderBy("k", "allele_idx")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      ax AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref,
+               unnest(string_split(alt, ',')) AS a,
+               unnest(range(1, CAST(len(string_split(alt, ',')) AS INT) + 1)) AS allele_idx
+             FROM v WHERE alt <> '.')
+      SELECT k, chrom, pos, ref, a, CAST(allele_idx AS INT) AS allele_idx,
+        k % 1000 AS rc_ref,
+        (k + 7 * allele_idx) % 1000 AS rc_alt,
+        k % 256 AS pl_homref,
+        (k + 3 * (allele_idx * (allele_idx + 1) // 2)) % 256 AS pl_het,
+        (k + 3 * (allele_idx * (allele_idx + 1) // 2 + allele_idx)) % 256 AS pl_homalt
+      FROM ax ORDER BY k, allele_idx
+    """))
+
   /** Write-once sharded VCF corpus for the file-path gate (q63): the
     * synthetic wide frame emitted via [[graft.sources.VcfWriter]] under
     * a derivation-hashed /tmp dir — a changed derivation auto-
@@ -788,6 +852,45 @@ object VcfQueries extends QuerySet {
       FROM nearest GROUP BY chrom ORDER BY chrom
     """))
 
+  /** UNBOUNDED nearest-feature join ([[graft.operators.RangeJoin
+    * .nearestIntervalUnbounded]]) — `bedtools closest` WITHOUT a
+    * radius, the call q83's bounded operator refuses: every variant
+    * site finds its nearest region however far away, via the per-chrom
+    * sort-merge sweep (one chrom exchange, running max-end left
+    * neighbor / min-start right neighbor, covered ⇒ dist 0) instead of
+    * a bucket decomposition that cannot bound the search. Gate
+    * aggregates dist only (tie-insensitive, the q83 rule); DuckDB
+    * replays with an unfiltered grouped min. Every site on a chrom
+    * with ≥1 region emits, so n_sites also pins the no-drop contract.
+    */
+  private val q101 = Q(
+    "q101_nearest_unbounded",
+    (s, dir) => {
+      val sites = wide(s, dir).select(col("chrom"), col("pos")).distinct()
+      val regions = syntheticRegions(s, dir)
+      graft.operators.RangeJoin
+        .nearestIntervalUnbounded(sites, regions)
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_sites"),
+          sum(col("dist")).as("sum_dist"),
+          max(col("dist")).as("max_dist"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      sites AS (SELECT DISTINCT regexp_replace(chrom_raw, '^chr', '') AS chrom, pos FROM v),
+      $regionsCteSql,
+      nearest AS (
+        SELECT s.chrom, s.pos,
+               min(greatest(r.rstart - s.pos, s.pos - r.rend, 0)) AS dist
+        FROM sites s JOIN regions r ON s.chrom = r.chrom
+        GROUP BY s.chrom, s.pos)
+      SELECT chrom, count(*) AS n_sites,
+             CAST(sum(dist) AS BIGINT) AS sum_dist,
+             CAST(max(dist) AS BIGINT) AS max_dist
+      FROM nearest GROUP BY chrom ORDER BY chrom
+    """))
+
   /** MERGE overlapping intervals ([[graft.operators.RangeJoin
     * .mergeIntervals]], the `bedtools merge` analogue) — the
     * normalization upstream of coverage math: the q81 synthetic regions
@@ -892,5 +995,5 @@ object VcfQueries extends QuerySet {
 
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
-      q68, q72, q79, q80, q81, q82, q83, q84, q91, q93)
+      q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101)
 }

@@ -89,6 +89,68 @@ object VcfReader {
     if (dedupe) projected.dropDuplicates() else projected
   }
 
+  /** COHORT MERGE — the `bcftools merge` analogue one step beyond the
+    * single-file reference surface: N single-sample (or small-cohort)
+    * VCF frames → ONE multi-sample genotypes-map frame, the matrix
+    * every cohort operator here consumes (sample concordance, trio
+    * Mendel, kinship) without hand-assembly. Site-keyed on
+    * (chrom, pos, ref, alt) — records that agree on all four merge;
+    * differing ALT representations stay separate rows (run a
+    * normalizer first; silently unifying ALTs is how merges corrupt
+    * genotype indices). A sample missing a site gets the explicit
+    * no-call `./.`, bcftools' `-missing-to-ref`-off default. Site
+    * columns (id/qual/filter/info/format) come from the LOWEST-index
+    * input carrying the site — deterministic, and the caller controls
+    * priority by input order.
+    *
+    * Scale shape: union of N scans → ONE exchange (the site-key
+    * groupBy, partial map-side agg); the output genotype map is
+    * rebuilt against the full cohort sample list (a fixed literal), so
+    * map ordering is deterministic regardless of aggregation order.
+    * Sample id sets must be disjoint (bcftools refuses duplicates
+    * without --force-samples; so do we).
+    *
+    * @param inputs (frame, its sample ids) pairs — frames in the
+    *               [[parseLines]]/DSv2 schema.
+    */
+  def mergeCohort(inputs: Seq[(DataFrame, Seq[String])]): DataFrame = {
+    require(inputs.nonEmpty, "mergeCohort needs at least one input")
+    val allSamples = inputs.flatMap(_._2)
+    require(allSamples.distinct == allSamples,
+      s"duplicate sample ids across cohort inputs: " +
+        allSamples.diff(allSamples.distinct).distinct.mkString(","))
+    val tagged = inputs.zipWithIndex.map { case ((df, _), i) =>
+      df.select(col("chrom"), col("pos"), col("ref"), col("alt"),
+        col("id"), col("qual"), col("filter"), col("info"), col("format"),
+        col("genotypes"), lit(i).as("__src"))
+    }.reduce(_ unionByName _)
+    tagged
+      .groupBy("chrom", "pos", "ref", "alt")
+      .agg(
+        min_by(struct(col("id"), col("qual"), col("filter"), col("info"),
+          col("format")), col("__src")).as("__site"),
+        // disjoint sample sets ⇒ keys collide only if ONE input carries
+        // a site twice — malformed, and map_from_entries fails loudly
+        map_from_entries(flatten(collect_list(map_entries(col("genotypes")))))
+          .as("__g"))
+      .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+        col("__site.id").as("id"), col("__site.qual").as("qual"),
+        col("__site.filter").as("filter"), col("__site.info").as("info"),
+        col("__site.format").as("format"),
+        map_from_arrays(
+          typedLit(allSamples),
+          transform(typedLit(allSamples), sid =>
+            coalesce(element_at(col("__g"), sid), lit("./.")))).as("genotypes"))
+  }
+
+  /** [[mergeCohort]] over file paths: each header is read driver-side
+    * for its sample list, each body through [[read]]. */
+  def readCohort(spark: SparkSession, paths: Seq[String]): DataFrame =
+    mergeCohort(paths.map { p =>
+      val samples = metadata(spark, p).samples
+      (read(spark, p, sampleIds = Some(samples)), samples)
+    })
+
   /** Parse raw VCF body lines (column `value`) given the header's column
     * list. Pure narrow projection — stays in WholeStageCodegen.
     */
@@ -177,6 +239,30 @@ object VcfReader {
       d.withColumn(s"INFO_${decl.id}", typed)
     }
   }
+
+  /** 1-based position of allele `allele` (0 = REF, i = ALT i) in a
+    * `Number=R` INFO/FORMAT array — the VCF-spec cardinality gnomAD/
+    * GATK headers use for per-allele counts including the reference
+    * (e.g. AD): `element_at(INFO_X, rIndex(lit(0)))` reads the REF
+    * value, `rIndex(altIdx)` the ALT's, where `altIdx` is the 1-based
+    * ALT index a `posexplode(split(alt, ','))` yields (+1). The typed
+    * array itself comes from [[withTypedInfo]]; these helpers are the
+    * positional-alignment half the reference's notebooks do by hand
+    * after a multi-allelic explode (pandasvcf.py:32's INFO passthrough
+    * upgraded to spec cardinalities).
+    */
+  def rIndex(allele: Column): Column = (allele + 1).cast("int")
+
+  /** 1-based position of the diploid genotype (j, k), j ≤ k (alleles
+    * 0 = REF, i = ALT i), in a `Number=G` array — the VCF-spec genotype
+    * ordering `F(j, k) = k(k+1)/2 + j` behind PL/GL/GP fields. For ALT
+    * i the three single-ALT genotypes sit at `gIndex(0, 0)` (hom-ref),
+    * `gIndex(0, i)` (het) and `gIndex(i, i)` (hom-alt) — the alignment
+    * a multi-allelic split (bcftools norm, GATK) applies to PL.
+    * `k(k+1)` is even, so the division is exact.
+    */
+  def gIndex(j: Column, k: Column): Column =
+    ((k * (k + 1)) / 2 + j + 1).cast("int")
 
   /** Typed FORMAT subfield columns on an annotated long frame (the
     * string columns VariantAnnotator emits per FORMAT key), cast per the

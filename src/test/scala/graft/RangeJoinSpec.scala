@@ -109,6 +109,43 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(byId.map(_.getAs[String]("id")).sorted.toSeq === Seq("a", "b"))
   }
 
+  test("nearestIntervalUnbounded: sweep matches brute force, edges + ties + one exchange") {
+    val points = Seq(
+      ("1", 3, "p_before"),   // before the first interval: nearest g_a at 7
+      ("1", 25, "p_in"),      // covered by g_a: dist 0
+      ("1", 70, "p_tie"),     // 30 left to g_a's end, 30 right to g_b/g_c: tie → LEFT (g_a)
+      ("1", 5000, "p_after"), // far past the last interval: g_c (end 130) wins over g_b (end 120)
+      ("2", 45, "p_c2"),      // 5 from g_d; chrom-1 intervals must not leak
+      ("3", 55, "p_none"))    // chromosome with no intervals: drops
+      .toDF("chrom", "pos", "id")
+    val got = RangeJoin.nearestIntervalUnbounded(points, intervals)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[String]("gene"), r.getAs[Long]("dist"))).toMap
+    assert(!got.contains("p_none"), "point on an interval-less chromosome leaked")
+    assert(got("p_before") === ("g_a", 7L))
+    assert(got("p_in") === ("g_a", 0L))
+    assert(got("p_tie") === ("g_a", 30L), "equal-distance tie must pick the left neighbor")
+    assert(got("p_after") === ("g_c", 4870L), "left neighbor must be the max-END interval")
+    assert(got("p_c2") === ("g_d", 5L))
+    // radius-free ≡ bounded where the bounded form matches at all, and
+    // every distance is the brute-force minimum
+    val bounded = RangeJoin.nearestInterval(points, intervals, maxDist = 50L,
+      bucketShift = shift).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("dist")).toMap
+    bounded.foreach { case (id, d) => assert(got(id)._2 === d,
+      s"sweep dist for $id disagrees with the bounded operator") }
+    // ONE exchange: the reversed second window reuses the chrom
+    // partitioning — only a re-sort, never a re-shuffle
+    val plan = RangeJoin.nearestIntervalUnbounded(points, intervals)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"unbounded nearest shuffles more than once:\n$plan")
+    val nondet = RangeJoin.nearestIntervalUnbounded(points, intervals)
+      .queryExecution.analyzed.collect {
+        case p if p.expressions.exists(!_.deterministic) => p.nodeName }
+    assert(nondet.isEmpty, s"nondeterministic expressions in: $nondet")
+  }
+
   test("nearestInterval: every point emits at most one row (no bucket dup)") {
     // points sprayed across bucket lines near a long interval's
     // expansion: each must emit 0 or 1 rows, never more

@@ -55,6 +55,72 @@ class VcfReaderSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("genotypes"), plan)
   }
 
+  test("mergeCohort: site-keyed union, './.' fill, lowest-input site columns") {
+    def vcf(sample: String, rows: Seq[String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cohort")
+      val p = dir.resolve(s"$sample.vcf")
+      val header = Seq("##fileformat=VCFv4.2",
+        s"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t$sample")
+      java.nio.file.Files.write(p,
+        (header ++ rows).mkString("", "\n", "\n").getBytes("UTF-8"))
+      p.toString
+    }
+    val p1 = vcf("NA1", Seq(
+      "1\t100\trsA\tA\tG\t10\tPASS\tNS=3\tGT\t0/1",
+      "1\t200\trsC\tC\tT\t11\tPASS\tNS=3\tGT\t1/1"))
+    val p2 = vcf("NA2", Seq(
+      "1\t100\trsB\tA\tG\t20\tPASS\tNS=9\tGT\t1|1",
+      "2\t300\trsD\tG\tA\t12\tPASS\tNS=9\tGT\t0/1"))
+    val p3 = vcf("NA3", Seq(
+      "1\t100\trsE\tA\tG\t30\tPASS\tNS=7\tGT\t0/0",
+      // same position, DIFFERENT alt: must stay a separate site row
+      "1\t100\trsF\tA\tC\t30\tPASS\tNS=7\tGT\t0/1"))
+    val m = VcfReader.readCohort(spark, Seq(p1, p2, p3))
+    val rows = m.collect().map(r =>
+      (r.getAs[String]("chrom"), r.getAs[Int]("pos"), r.getAs[String]("alt")) ->
+        (r.getAs[String]("id"), r.getAs[Map[String, String]]("genotypes"))).toMap
+    assert(rows.size === 4, s"expected 4 distinct sites, got $rows")
+    // shared site: all three calls present; id/qual from the FIRST input
+    assert(rows(("1", 100, "G"))._1 === "rsA")
+    assert(rows(("1", 100, "G"))._2 ===
+      Map("NA1" -> "0/1", "NA2" -> "1|1", "NA3" -> "0/0"))
+    // sites private to one input: everyone else gets the explicit no-call
+    assert(rows(("1", 200, "T"))._2 ===
+      Map("NA1" -> "1/1", "NA2" -> "./.", "NA3" -> "./."))
+    assert(rows(("2", 300, "A"))._2 ===
+      Map("NA1" -> "./.", "NA2" -> "0/1", "NA3" -> "./."))
+    // alt-mismatched record did NOT merge into the shared site
+    assert(rows(("1", 100, "C"))._1 === "rsF")
+    assert(rows(("1", 100, "C"))._2 ===
+      Map("NA1" -> "./.", "NA2" -> "./.", "NA3" -> "0/1"))
+    // duplicate sample ids refuse loudly
+    intercept[IllegalArgumentException] {
+      VcfReader.mergeCohort(Seq(
+        (VcfReader.read(spark, p1), Seq("NA1")),
+        (VcfReader.read(spark, p1), Seq("NA1"))))
+    }
+  }
+
+  test("mergeCohort composition: per-sample splits merge back to the original matrix") {
+    // split the two-sample fixture into single-sample reads, merge, and
+    // the cohort matrix must round-trip — so every cohort operator
+    // (q79/q80/q91's kinship) sees identical input either way
+    val bySample = Seq("NA1", "NA2").map(sid =>
+      (VcfReader.read(spark, path, sampleIds = Some(Seq(sid))), Seq(sid)))
+    val merged = VcfReader.mergeCohort(bySample)
+    val direct = VcfReader.read(spark, path)
+    val key = Seq("chrom", "pos", "ref", "alt")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getValuesMap[Any](df.columns)).toSet
+    assert(canon(merged) === canon(direct.select(merged.columns.map(col): _*)))
+    import graft.operators.{VariantAnnotator, VariantQc}
+    def kin(df: org.apache.spark.sql.DataFrame) =
+      VariantQc.kinshipCounts(VariantAnnotator.annotate(df,
+        VariantAnnotator.Options(dropHomRef = false)))
+        .collect().map(_.toSeq).toSet
+    assert(kin(merged) === kin(direct))
+  }
+
   test("header INFO/FORMAT declarations parse with Number and Type") {
     val m = VcfReader.metadata(spark, path)
     val info = VcfReader.infoDecls(m).map(d => d.id -> d).toMap
