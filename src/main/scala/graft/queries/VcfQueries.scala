@@ -429,6 +429,58 @@ object VcfQueries extends QuerySet {
       FROM ax ORDER BY k, allele_idx
     """))
 
+  /** COHORT MERGE oracle gate ([[VcfReader.mergeCohort]], the
+    * `bcftools merge` analogue): the synthetic matrix is min-k-deduped
+    * to unique sites (the derivation collides site keys across k, and a
+    * malformed input with a duplicated site must keep failing loudly —
+    * so the gate feeds the operator well-formed single-sample inputs),
+    * split into four single-SAMPLE frames with sample i missing the
+    * sites where (k+i) % 7 = 0, merged back, and the per-(sample, GT)
+    * call histogram is hashed — so the site-keyed union, the `./.`
+    * missing fill, and the literal-sample-list map rebuild are all
+    * value-checked. No site drops from every input ((k+i) % 7 = 0 has
+    * at most one solution in i per k), so n sums to sites × 4. DuckDB
+    * replays the dedup with a QUALIFY row_number and the fill with the
+    * same modulus.
+    */
+  private val q102 = Q(
+    "q102_cohort_merge",
+    (s, dir) => {
+      val w = wide(s, dir)
+      val sites = w.withColumn("__rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("chrom", "pos", "ref", "alt").orderBy("k")))
+        .filter(col("__rn") === 1).drop("__rn")
+      val inputs = sampleIds.zipWithIndex.map { case (sid, i) =>
+        val f = sites.filter((col("k") + lit(i)) % 7 =!= 0)
+          .select(col("chrom"), col("pos"), col("id"), col("ref"),
+            col("alt"), col("qual"), col("filt").as("filter"),
+            col("info"), col("format"),
+            map_from_arrays(array(lit(sid)),
+              array(element_at(col("genotypes"), sid))).as("genotypes"))
+        (f, Seq(sid))
+      }
+      VcfReader.mergeCohort(inputs)
+        .select(explode(col("genotypes")).as(Seq("sample_id", "call")))
+        .withColumn("gt", element_at(split(col("call"), ":"), 1))
+        .groupBy("sample_id", "gt")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("sample_id", "gt")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      ds AS (SELECT * FROM v
+             QUALIFY row_number() OVER (
+               PARTITION BY regexp_replace(chrom_raw, '^chr', ''), pos, ref, alt
+               ORDER BY k) = 1),
+      cal AS (SELECT ds.k, u.si,
+                CASE WHEN (ds.k + (u.si - 1)) % 7 = 0 THEN './.'
+                     ELSE string_split(${callSql("u.si")}, ':')[1] END AS gt
+              FROM ds CROSS JOIN (SELECT unnest([1,2,3,4]) AS si) u)
+      SELECT 'g' || CAST(si AS VARCHAR) AS sample_id, gt, count(*) AS n
+      FROM cal GROUP BY 1, 2 ORDER BY sample_id, gt
+    """))
+
   /** Write-once sharded VCF corpus for the file-path gate (q63): the
     * synthetic wide frame emitted via [[graft.sources.VcfWriter]] under
     * a derivation-hashed /tmp dir — a changed derivation auto-
@@ -995,5 +1047,5 @@ object VcfQueries extends QuerySet {
 
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
-      q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101)
+      q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102)
 }
