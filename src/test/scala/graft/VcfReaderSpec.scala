@@ -121,6 +121,47 @@ class VcfReaderSpec extends AnyFunSuite with SparkSpec {
     assert(kin(merged) === kin(direct))
   }
 
+  test("mergeCohort plans ONE exchange (site-key groupBy) and stays deterministic") {
+    val inputs = Seq("NA1", "NA2").map(sid =>
+      (VcfReader.read(spark, path, sampleIds = Some(Seq(sid))), Seq(sid)))
+    val merged = VcfReader.mergeCohort(inputs)
+    val plan = merged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"cohort merge shuffles more than once:\n$plan")
+    val nondet = merged.queryExecution.analyzed.collect {
+      case p if p.expressions.exists(!_.deterministic) => p.nodeName }
+    assert(nondet.isEmpty, s"nondeterministic expressions in: $nondet")
+  }
+
+  test("rIndex/gIndex match the VCF-spec R and G array layouts (property)") {
+    import spark.implicits._
+    import graft.sources.VcfReader.{rIndex, gIndex}
+    // R layout: [REF, ALT1, ..., ALTn] → allele a sits at a+1 (1-based).
+    // G layout (diploid): genotype (j,k), j ≤ k, sits at k(k+1)/2+j
+    // (0-based); planted arrays hold their OWN expected index so the
+    // lookup is self-checking for every (nAlts, j, k) combination
+    val rows = (1 to 4).flatMap { nAlts =>
+      val n = nAlts + 1
+      val rArr = (0 until n).map(_.toLong)
+      val gArr = (0 until n * (n + 1) / 2).map(_.toLong)
+      for (k <- 0 until n; j <- 0 to k)
+        yield (nAlts, j, k, rArr, gArr)
+    }.toDF("n_alts", "j", "k", "r_arr", "g_arr")
+    val checked = rows.select(
+      (element_at(col("r_arr"), rIndex(col("k"))) === col("k")).as("r_ok"),
+      (element_at(col("g_arr"), gIndex(col("j"), col("k"))) ===
+        (col("k") * (col("k") + 1) / 2 + col("j")).cast("long")).as("g_ok"))
+    assert(checked.filter(!col("r_ok") || !col("g_ok")).count() === 0)
+    // the canonical VCF example: biallelic PL ordering (0/0, 0/1, 1/1)
+    val tri = Seq(Tuple1(Seq(10L, 20L, 30L))).toDF("pl")
+    val got = tri.select(
+      element_at(col("pl"), gIndex(lit(0), lit(0))).as("hr"),
+      element_at(col("pl"), gIndex(lit(0), lit(1))).as("het"),
+      element_at(col("pl"), gIndex(lit(1), lit(1))).as("ha")).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((10L, 20L, 30L)))
+  }
+
   test("header INFO/FORMAT declarations parse with Number and Type") {
     val m = VcfReader.metadata(spark, path)
     val info = VcfReader.infoDecls(m).map(d => d.id -> d).toMap
