@@ -128,10 +128,18 @@ object Bench {
     val isoW = fmt(isolation.map { case (k, (w, _), _) => k -> w })
     val isoE = fmt(isolation.map { case (k, (_, e), _) => k -> e })
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"full":"BENCH_FULL.json","isolation_wall":$isoW,"isolation_exec":$isoE,"exec_sec":$ex,"queries":$qs,"total":$total}"""
-    try java.nio.file.Files.write(fullPath,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"BENCH_FULL.json write failed: $e") }
+    // Only a FULL-suite run may overwrite the committed artifact: a
+    // SPARK_GRAFT_BENCH_ONLY iteration loop would otherwise clobber the
+    // complete wall/exec maps that the next run's outlier adjudication
+    // (and the round ledger) compare against — exactly what happened to
+    // the r7 map during a single-family isolation run.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(fullPath,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH_FULL.json write failed: $e") }
+    else System.err.println(
+      s"BENCH_ONLY filter active — not overwriting $fullPath")
     println(line)
     spark.stop()
   }

@@ -33,13 +33,15 @@ object AsOfJoin {
     // `monotonically_increasing_id` row tag is NONDETERMINISTIC lineage:
     // the ids shift under AQE re-planning / partial stage retry, and the
     // nondeterministic marking blocks pushdown through the plan. So:
-    // collapse duplicate left rows to (row, __n) counts up front (one
-    // partial-agg-crushed exchange of left keys only), join + pick once
-    // per DISTINCT row, and restore multiplicity with a posexplode of
-    // the count at the end. Every key in the plan is a real data column.
-    val grouped = left.groupBy(left.columns.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-    val l = grouped.withColumn("__lk", leftKey).withColumn("__lt", leftTime)
+    // join + pick once per DISTINCT left row, then restore multiplicity
+    // by joining the ORIGINAL left back on a null-safe equality over
+    // every left column (<=> is a hash-join key, and groupBy already
+    // treats nulls as equal, so the two passes agree on row identity).
+    // Every key in the plan is a real data column; no per-row array of
+    // duplicates is ever materialized, so a billion-copy hot row costs
+    // a join fan-out, not one task's memory.
+    val l = left.dropDuplicates()
+      .withColumn("__lk", leftKey).withColumn("__lt", leftTime)
     val r = right.select(
       rightKey.as("__rk") +: rightTime.as("__rt") +: tiebreak.as("__tb") +:
         payload.map { case (c, n) => c.as(s"__p_$n") }: _*)
@@ -48,14 +50,21 @@ object AsOfJoin {
       col("__rt") +: col("__tb") +: payload.map { case (_, n) => col(s"__p_$n") }: _*))
       .as("__best")
     val leftCols = left.columns.map(col) :+ col("__lt")
-    joined
-      .groupBy(col("__n") +: col("__lk") +: leftCols: _*)
+    val picks = joined
+      .groupBy(col("__lk") +: leftCols: _*)
       .agg(pick)
-      .withColumn("__dup", explode(array_repeat(lit(1), col("__n").cast("int"))))
       .select(left.columns.map(col) ++ Seq(
         col("__best.__rt").as("asof_time"),
         col("__best.__tb").as("asof_tiebreak")) ++
         payload.map { case (_, n) => col(s"__best.__p_$n").as(n) }: _*)
+      .alias("__pick")
+    val orig = left.alias("__orig")
+    val backCond = left.columns
+      .map(c => col(s"__orig.$c") <=> col(s"__pick.$c")).reduce(_ && _)
+    orig.join(picks, backCond, "inner")
+      .select(left.columns.map(c => col(s"__orig.$c")) ++ Seq(
+        col("__pick.asof_time"), col("__pick.asof_tiebreak")) ++
+        payload.map { case (_, n) => col(s"__pick.$n") }: _*)
   }
 
   /** Same contract as [[lastBefore]], sort-based: union both sides tagged,

@@ -114,7 +114,12 @@ object RangeJoin {
     *
     * Point identity caveat: rows identical on the composite key are ONE
     * logical point (one output row). Pass `idCols` naming a unique
-    * caller key to keep duplicate payload rows distinct.
+    * caller key to keep duplicate payload rows distinct. (Unlike
+    * [[AsOfJoin.lastBefore]], which restores duplicate multiplicity
+    * with a join-back, this operator keeps distinct-point semantics by
+    * default: its inputs are genomic SITES, where byte-identical
+    * duplicate rows are a data bug, and the join-back would double the
+    * operator's exchanges for every caller to serve them.)
     */
   def nearestInterval(
       points: DataFrame, intervals: DataFrame, maxDist: Long,
@@ -195,14 +200,17 @@ object RangeJoin {
       s"interval columns $clash collide with point columns — rename them before the sweep")
     require(!points.columns.contains(distCol) && !intervals.columns.contains(distCol),
       s"output column '$distCol' already exists on an input — pass distCol to rename it")
+    val reserved = ivPayload.filter(Set("__e", "__s"))
+    require(reserved.isEmpty,
+      s"interval payload columns $reserved collide with the sweep's internal struct fields")
 
     // one unified event stream: interval rows enter at coord = start
     // carrying themselves twice — end-major for the left pass's running
     // max, start-major for the right pass's running min (struct
     // comparison is field-order lexicographic)
-    val ivL = struct(col(endCol).as("e") +: col(startCol).as("s") +:
+    val ivL = struct(col(endCol).as("__e") +: col(startCol).as("__s") +:
       ivPayload.map(col): _*)
-    val ivR = struct(col(startCol).as("s") +: col(endCol).as("e") +:
+    val ivR = struct(col(startCol).as("__s") +: col(endCol).as("__e") +:
       ivPayload.map(col): _*)
     val ptCols = points.columns.toSeq.filterNot(_ == chromCol)
     val iv = intervals.select(
@@ -225,9 +233,9 @@ object RangeJoin {
       .orderBy(col("__coord").desc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pos = col("__coord")
-    val covered = col("__bl").isNotNull && col("__bl.e") >= pos
-    val ld = when(col("__bl").isNotNull, (pos - col("__bl.e")).cast("long"))
-    val rd = when(col("__br").isNotNull, (col("__br.s") - pos).cast("long"))
+    val covered = col("__bl").isNotNull && col("__bl.__e") >= pos
+    val ld = when(col("__bl").isNotNull, (pos - col("__bl.__e")).cast("long"))
+    val rd = when(col("__br").isNotNull, (col("__br.__s") - pos).cast("long"))
     val useLeft = covered ||
       (col("__bl").isNotNull && (col("__br").isNull || ld <= rd))
     val dist = when(covered, lit(0L)).otherwise(least(ld, rd))
@@ -238,8 +246,8 @@ object RangeJoin {
       .filter(col("__tag") === 1 &&
         (col("__bl").isNotNull || col("__br").isNotNull))
       .select(col(chromCol) +: ptCols.map(col) ++: Seq(
-        pick(col("__bl.s"), col("__br.s")).as(startCol),
-        pick(col("__bl.e"), col("__br.e")).as(endCol)) ++:
+        pick(col("__bl.__s"), col("__br.__s")).as(startCol),
+        pick(col("__bl.__e"), col("__br.__e")).as(endCol)) ++:
         ivPayload.map(c => pick(col(s"__bl.$c"), col(s"__br.$c")).as(c)) :+
         dist.as(distCol): _*)
   }

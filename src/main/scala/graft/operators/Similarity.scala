@@ -352,20 +352,25 @@ object Similarity {
     slice(vec, mi * sub + 1, sub)
 
   /** Shared re-estimation step of every PQ Lloyd iteration: from
-    * (m, k, dim, __r) residual-component rows, decimal-exact per-codeword
-    * means (per-dim values to decimal(18,6) before summing, one IEEE
-    * divide — bit-deterministic and oracle-replicable, the [[kmeansStep]]
-    * discipline); codewords that captured no vectors keep their previous
-    * value.
+    * (m, k, dim, __r[, __n]) residual-component rows, decimal-exact
+    * per-codeword means (per-dim values to decimal(18,6) before
+    * summing, one IEEE divide — bit-deterministic and
+    * oracle-replicable, the [[kmeansStep]] discipline); codewords that
+    * captured no vectors keep their previous value. A `__n` column is
+    * a row MULTIPLICITY weight (the vector-dedupe paths emit one row
+    * per DISTINCT vector): decimal × integer is exact, so the weighted
+    * sum equals the per-copy sum bit for bit.
     */
   private def booksFromResidRows(
       residRows: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
     import graft.queries.QueryUtil.{avg6, dec}
     val m = codebooks.length
+    val w: Column =
+      if (residRows.columns.contains("__n")) col("__n") else lit(1L)
     val learned = residRows
       .groupBy("m", "k", "dim")
-      .agg(count(lit(1)).as("n"), sum(dec(col("__r"))).as("__s"))
+      .agg(sum(w).as("n"), sum(dec(col("__r")) * w).as("__s"))
       .select(col("m"), col("k"), col("dim"), avg6(col("__s"), col("n")).as("c"))
       .collect()
       .groupBy(r => (r.getInt(0), r.getInt(1)))
@@ -391,9 +396,10 @@ object Similarity {
     * step was a fresh Catalyst analysis + Janino compile that could
     * never hit the generated-code cache — measured as the r7 driver
     * bench's q66/q69/q70 wall inflation (SURVEY §8 round-8). The price
-    * is one bounded exchange of the TRAINING SAMPLE per iteration
-    * (per-row argmin agg, pre-reduced map-side) — training runs on a
-    * sample at 100 TB, so cacheable plans win. Encode and search keep
+    * is one bounded exchange of the TRAINING SAMPLE per iteration (a
+    * vector-value dedupe whose partitioning the argmin agg reuses,
+    * pre-reduced map-side) — training runs on a sample at 100 TB, so
+    * cacheable plans win. Encode and search keep
     * their inline codegen shapes ([[pqEncode]], [[pqAdcTopK]]): their
     * books are fixed, so they compile once. Results are bit-identical
     * to the inline step (same distance fold, same (d, k) tiebreak, same
@@ -413,17 +419,25 @@ object Similarity {
       min(when(col("__bm") === mi, struct(col("__d"), col("__bk"))))
         .getField("__bk").as(s"__c$mi"))
     val mCol = (col("__p") / sub).cast("int")
+    // Per-vector identity = the vector VALUE plus a multiplicity count,
+    // never a monotonically_increasing_id row tag: a synthetic id can
+    // shift across partial stage retries, double-counting or splitting
+    // a vector's contribution to the trained means — silent codebook
+    // corruption. The dedupe groupBy is the plan's one sample exchange
+    // (the argmin agg below reuses its partitioning), and the weighted
+    // mean (decimal × integer, exact) restores each duplicate's full
+    // influence bit for bit.
     val residRows = vecs
-      .select(monotonically_increasing_id().as("__rid"), col(vecCol))
+      .groupBy(col(vecCol)).agg(count(lit(1)).as("__n"))
       .crossJoin(broadcast(bdf))
       .withColumn("__d", joinedSubDist(vecCol, sub))
-      .groupBy(col("__rid"), col(vecCol))
+      .groupBy(col(vecCol), col("__n"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(posexplode(col(vecCol)).as(Seq("__p", "__x")),
+      .select(col("__n"), posexplode(col(vecCol)).as(Seq("__p", "__x")),
         array((0 until m).map(mi => col(s"__c$mi")): _*).as("__codes"))
       .select(mCol.as("m"),
         element_at(col("__codes"), mCol + 1).as("k"),
-        (col("__p") % sub + 1).as("dim"), col("__x").as("__r"))
+        (col("__p") % sub + 1).as("dim"), col("__x").as("__r"), col("__n"))
     booksFromResidRows(residRows, codebooks)
   }
 
@@ -669,12 +683,13 @@ object Similarity {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val mCol = (col("__p") / sub).cast("int")
-    // both branches produce the same (m, k, dim, __r) residual rows —
-    // inline via when-chains of literals, big-nlist via the broadcast
+    // both branches produce the same residual rows — inline via
+    // when-chains of literals, big-nlist via the broadcast
     // shifted-codeword frame (argmin as a grouped min over (d, k)
-    // structs, one bounded per-row exchange) plus a broadcast centroid
-    // join for the `x − c[cell][p]` component; the grouped decimal mean
-    // below is shared, so trained books are bit-identical across paths
+    // structs after a (cell, vector)-value dedupe with multiplicity
+    // counts) plus a broadcast centroid join for the `x − c[cell][p]`
+    // component; the grouped decimal mean below is shared (weighted by
+    // the counts), so trained books are bit-identical across paths
     val residRows = if (cents.length <= inlineLimit) {
       val codeCols = (0 until m).map { mi =>
         def argmin(cid: Long): Column =
@@ -713,21 +728,25 @@ object Similarity {
       val spark0 = vecsWithCell.sparkSession
       import spark0.implicits._
       val centDf = cents.toDF("cell", "__ccv")
+      // vector-value + multiplicity identity, not a synthetic row id —
+      // see pqTrainStep: retry-shifted ids silently corrupt the means.
+      // `cell` is a deterministic function of the vector, so grouping
+      // on (cell, vector) is the per-distinct-vector dedupe.
       vecsWithCell
-        .select(monotonically_increasing_id().as("__rid"),
-          col("cell"), col(vecCol))
+        .groupBy(col("cell"), col(vecCol)).agg(count(lit(1)).as("__n"))
         .join(broadcast(shiftedBookDf(vecsWithCell.sparkSession, sb)), "cell")
         .withColumn("__d", joinedSubDist(vecCol, sub))
-        .groupBy(col("__rid"), col("cell"), col(vecCol))
+        .groupBy(col("cell"), col(vecCol), col("__n"))
         .agg(aggs.head, aggs.tail: _*)
-        .select(col("cell"),
+        .select(col("cell"), col("__n"),
           posexplode(col(vecCol)).as(Seq("__p", "__x")),
           array((0 until m).map(mi => col(s"__c$mi")): _*).as("__codes"))
         .join(broadcast(centDf), "cell")
         .select(mCol.as("m"),
           element_at(col("__codes"), mCol + 1).as("k"),
           (col("__p") % sub + 1).as("dim"),
-          (col("__x") - element_at(col("__ccv"), col("__p") + 1)).as("__r"))
+          (col("__x") - element_at(col("__ccv"), col("__p") + 1)).as("__r"),
+          col("__n"))
     }
     booksFromResidRows(residRows, codebooks)
   }
@@ -768,20 +787,23 @@ object Similarity {
         vecsWithCell.select(dCols.reduce(_ + _).as("qe"))
           .agg(sum(col("qe"))).collect()(0)
       } else {
-        // big-nlist fallback: per-(row × codeword) distances via the
+        // big-nlist fallback: per-(vector × codeword) distances via the
         // broadcast shifted-codeword frame, min per subspace grouped on
-        // a synthetic per-ROW id (duplicate/null ids each contribute
-        // their own term, like the inline path which never reads an id)
+        // the vector VALUE with a multiplicity count (duplicate vectors
+        // contribute qe × count — each copy's full term, like the
+        // inline path; a synthetic row id here would shift under stage
+        // retry and drop/double terms)
         val aggs = (0 until m).map(mi =>
           min(when(col("__bm") === mi, col("__d"))).as(s"__q$mi"))
         vecsWithCell
-          .select(monotonically_increasing_id().as("__rid"),
-            col("cell"), col(vecCol))
+          .groupBy(col("cell"), col(vecCol)).agg(count(lit(1)).as("__n"))
           .join(broadcast(shiftedBookDf(vecsWithCell.sparkSession, sb)), "cell")
-          .select(col("__rid"), col("__bm"), joinedSubDist(vecCol, sub).as("__d"))
-          .groupBy(col("__rid"))
+          .select(col("cell"), col(vecCol), col("__n"), col("__bm"),
+            joinedSubDist(vecCol, sub).as("__d"))
+          .groupBy(col("cell"), col(vecCol), col("__n"))
           .agg(aggs.head, aggs.tail: _*)
-          .select((0 until m).map(mi => col(s"__q$mi")).reduce(_ + _).as("qe"))
+          .select(((0 until m).map(mi => col(s"__q$mi")).reduce(_ + _) *
+            col("__n")).as("qe"))
           .agg(sum(col("qe"))).collect()(0)
       }
     if (summed.isNullAt(0)) 0.0 else summed.getDouble(0)
@@ -895,7 +917,8 @@ object Similarity {
       vecs: DataFrame, seeds: DataFrame, bookSeeds: DataFrame, m: Int,
       kmeansIters: Int = 5, pqIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "v",
-      centIdCol: String = "cid", centVecCol: String = "cv")
+      centIdCol: String = "cid", centVecCol: String = "cv",
+      persistCodes: Boolean = true)
       : (DataFrame, Seq[Seq[Seq[Double]]], DataFrame) = {
     val (cents, _) = kmeansTrain(vecs, seeds, kmeansIters,
       idCol = idCol, vecCol = vecCol, centIdCol = centIdCol, centVecCol = centVecCol)
@@ -912,16 +935,25 @@ object Similarity {
     for (_ <- 0 until pqIters)
       books = pqTrainStepResidual(asg, cents, books,
         idCol, vecCol, centIdCol, centVecCol)
-    // Materialize the encoded corpus through the warm assignment cache,
-    // then RELEASE the assignment: repeated builds in one session must
-    // not accumulate cached corpora (the assignment is a build-time
-    // intermediate, not an output). The returned `codes` frame IS the
-    // persisted index — the one handle a caller holds for the life of
-    // the index and unpersists to release it.
-    val codes = pqEncodeResidual(asg, cents, books,
+    // Release the assignment cache either way — it is a build-time
+    // intermediate, not an output, and repeated builds in one session
+    // must not accumulate cached corpora. persistCodes=true (default):
+    // the encode materializes through the still-warm assignment and
+    // the returned `codes` frame IS the persisted index — the ONE
+    // handle a caller holds for the index's lifetime and unpersists to
+    // release (an index is built to be probed repeatedly; a throwaway
+    // build should pass false). persistCodes=false: nothing stays
+    // cached — the lazy encode recomputes the assignment once when the
+    // consumer materializes it (the narrow ivfAssign argmin, no
+    // shuffle), and the training-loop caching win is unaffected.
+    val lazyCodes = pqEncodeResidual(asg, cents, books,
       idCol, vecCol, centIdCol, centVecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    codes.count()
+    val codes = if (persistCodes) {
+      val c = lazyCodes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    } else lazyCodes
     asg.unpersist(blocking = false)
     (cents, books, codes)
   }

@@ -305,6 +305,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(books1(1)(1) === Seq(100.0, 100.0), "empty cell keeps its codeword")
   }
 
+  test("pqTrainStep weights duplicate vectors by full multiplicity") {
+    // the training path dedupes on the vector VALUE with a count (a
+    // synthetic row id would shift under stage retry and corrupt the
+    // means) — a duplicated vector must still pull the mean with every
+    // copy: (0,0) ×2 and (0.3,0.3) ×1 → mean (0.1,0.1), NOT the
+    // multiplicity-blind (0.15,0.15)
+    val seeds = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(50.0, 50.0, 50.0, 50.0))).toDF("vec_id", "v")
+    val corpus = Seq(
+      (10L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (11L, Seq(0.0, 0.0, 0.0, 0.0)),   // exact duplicate of 10
+      (12L, Seq(0.3, 0.3, 0.3, 0.3))).toDF("vec_id", "v")
+    // exact expected value = the operator's own arithmetic: decimal sum
+    // 0.3 over weight 3, ONE IEEE divide (0.3/3 is not binary 0.1)
+    val mean = 0.3 / 3
+    val books1 = Similarity.pqTrainStep(corpus, Similarity.pqCodebooks(seeds, m = 2))
+    assert(books1(0)(0) === Seq(mean, mean), s"duplicate lost its weight: ${books1(0)(0)}")
+    assert(books1(1)(0) === Seq(mean, mean))
+  }
+
+  /** Wait until an async listener counter has been STABLE for several
+    * consecutive windows — the fixed Thread.sleep it replaces raced the
+    * listener bus both ways (stray pre-reset events landing after the
+    * reset = false failure; the measured query's trailing events
+    * landing after the read = a real regression undercounted).
+    */
+  private def quiesce(c: java.util.concurrent.atomic.AtomicInteger): Unit = {
+    var last = -1
+    var stable = 0
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (stable < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val v = c.get()
+      if (v == last) stable += 1 else { stable = 0; last = v }
+    }
+  }
+
   test("pqTrainStep runs ONE corpus scan for all subspaces") {
     // scan counting, not job counting: AQE turns every shuffle-bearing
     // collect into ≥2 jobs, and the literal-free frame path adds a
@@ -324,11 +362,14 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      Thread.sleep(300)
+      quiesce(scans)
       scans.set(0)
       Similarity.pqTrainStep(e, books)
-      Thread.sleep(300) // let stray stage-submit events land
-      assert(scans.get() <= 1,
+      quiesce(scans)
+      // one FileScan stage feeds the dedupe exchange; everything after
+      // reads shuffle data (slack 1 for an AQE stage resubmission). An
+      // M-scan regression would be ≥ 4
+      assert(scans.get() <= 2,
         s"pqTrainStep scanned the sample ${scans.get()}× — expected one scan")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
@@ -350,14 +391,14 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      Thread.sleep(300)
+      quiesce(scans)
       scans.set(0)
       Similarity.pqTrainStepResidual(asg, cents, books)
-      Thread.sleep(300)
+      quiesce(scans)
       // one corpus scan for the residual rows + one driver-small
-      // centroid collect (cents reads the same parquet); an M-scan
-      // regression would be ≥ 5
-      assert(scans.get() <= 2,
+      // centroid collect (cents reads the same parquet), slack 1 for an
+      // AQE stage resubmission; an M-scan regression would be ≥ 5
+      assert(scans.get() <= 3,
         s"pqTrainStepResidual scanned ${scans.get()}× — expected one corpus scan")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
@@ -536,7 +577,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       var cents = seeds.select(col("cid").cast("long"), col("cv"))
         .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
       def freeze = cents.toDF("cid", "cv")
-      Thread.sleep(300)
+      quiesce(scans)
       scans.set(0)
       var refHist = Seq(Similarity.ivfQuantError(e, freeze))
       (0 until 3).foreach { _ =>
@@ -545,11 +586,11 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
         cents = cents.map { case (cid, cv) => cid -> learned.getOrElse(cid, cv) }
         refHist :+= Similarity.ivfQuantError(e, freeze)
       }
-      Thread.sleep(300)
+      quiesce(scans)
       val refScans = scans.getAndSet(0)
       // relTol=0 forbids early stop so exactly 3 iterations run
       val (_, hist) = Similarity.kmeansTrain(e, seeds, maxIters = 3, relTol = 0)
-      Thread.sleep(300) // let stray stage-submit events land
+      quiesce(scans)
       val fusedScans = scans.get()
       // same objective curve as the two-scan formulation, up to double-
       // summation order (the fused WCSS sums per cell, then on the driver)
