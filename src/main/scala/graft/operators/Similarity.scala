@@ -100,21 +100,28 @@ object Similarity {
       vecs.select(
         (if (keepDist) base :+ best.getField("d").as("__dist") else base): _*)
     } else {
-      // big-nlist fallback: broadcast join + per-vector top-1; Spark's
-      // partial WindowGroupLimit reduces to one row per vector BEFORE
-      // the exchange, so the shuffle moves ~|vecs| rows, not |vecs|×k.
-      // The window partitions on a synthetic per-ROW id, not idCol:
-      // duplicate (or null) vec ids must each keep their own assignment
-      // row, exactly as the inline path emits one row per input row
-      val w = Window.partitionBy(col("__rid")).orderBy(col("__d").asc, col(centIdCol).asc)
-      val top1 = vecs
-        .select(monotonically_increasing_id().as("__rid"), col(idCol), col(vecCol))
+      // big-nlist fallback: dedupe on the (id, vector) VALUE with a
+      // multiplicity count, broadcast-join the centroids, take the
+      // argmin as ONE grouped min over (d, cid) structs (same (dist,
+      // cid) tiebreak as before), and restore each duplicate row by
+      // exploding the count — one row per input row, exactly the
+      // inline path's multiset. Row identity is never a synthetic
+      // monotonically_increasing_id: a retry-shifted id can drop or
+      // double rows through the top-1 filter, and downstream TRAINING
+      // aggregations (kmeansStep means) would silently corrupt. The
+      // exchange moves ~|vecs| (id, vec) rows — never |vecs|×k — and
+      // the argmin agg reuses the dedupe's partitioning. (The count
+      // casts to int: >2^31 copies of one exact (id, vector) pair is a
+      // degenerate corpus whose group would OOM far earlier.)
+      val grouped = vecs
+        .groupBy(col(idCol), col(vecCol)).agg(count(lit(1)).as("__n"))
         .crossJoin(broadcast(centroids))
         .withColumn("__d", l2sq(col(vecCol), col(centVecCol)))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-      val base = Seq(col(idCol), col(vecCol), col(centIdCol).as("cell"))
-      top1.select((if (keepDist) base :+ col("__d").as("__dist") else base): _*)
+        .groupBy(col(idCol), col(vecCol), col("__n"))
+        .agg(min(struct(col("__d").as("d"), col(centIdCol).as("cid"))).as("__best"))
+        .withColumn("__dup", explode(array_repeat(lit(1), col("__n").cast("int"))))
+      val base = Seq(col(idCol), col(vecCol), col("__best.cid").as("cell"))
+      grouped.select((if (keepDist) base :+ col("__best.d").as("__dist") else base): _*)
     }
   }
 
@@ -244,14 +251,17 @@ object Similarity {
           .reduceLeft((a, b) => least(a, b))
         vecs.select(mind.as("qe")).agg(sum(col("qe"))).collect()(0)
       } else {
-        // group per PHYSICAL row (unique synthetic id), not per idCol:
-        // duplicate or null vec ids must each contribute their own min
-        // term, exactly as the inline path (which never reads an id)
+        // dedupe on the vector VALUE with a multiplicity count and
+        // weight each min term (duplicate vectors contribute qe × n,
+        // every copy's term, exactly as the inline per-row sum) — a
+        // synthetic row id here shifts under stage retry and silently
+        // drops or doubles objective terms
         val centsDf = centroids.select(col(centVecCol).as("__cv"))
-        vecs.select(monotonically_increasing_id().as("__rid"), col(vecCol))
+        vecs.groupBy(col(vecCol)).agg(count(lit(1)).as("__n"))
           .crossJoin(broadcast(centsDf))
-          .select(col("__rid"), l2sq(col(vecCol), col("__cv")).as("__d"))
-          .groupBy(col("__rid")).agg(min(col("__d")).as("qe"))
+          .select(col(vecCol), col("__n"), l2sq(col(vecCol), col("__cv")).as("__d"))
+          .groupBy(col(vecCol), col("__n")).agg(min(col("__d")).as("__q"))
+          .select((col("__q") * col("__n")).as("qe"))
           .agg(sum(col("qe"))).collect()(0)
       }
     if (summed.isNullAt(0)) 0.0 else summed.getDouble(0)
@@ -632,17 +642,22 @@ object Similarity {
       val aggs = (0 until m).map(mi =>
         min(when(col("__bm") === mi, struct(col("__d"), col("__bk"))))
           .getField("__bk").as(s"code_$mi"))
+      // (id, cell, vector)-value dedupe with multiplicity restore — no
+      // synthetic row id (see ivfAssign's fallback for the retry
+      // argument); duplicates re-emit as identical code rows, the
+      // inline path's exact multiset
       vecsWithCell
-        .select(monotonically_increasing_id().as("__rid"),
-          col(idCol), col("cell"), col(vecCol))
+        .groupBy(col(idCol), col("cell"), col(vecCol))
+        .agg(count(lit(1)).as("__n"))
         // LEFT join: a row whose cell is not in the centroid set keeps
         // its row with null codes, exactly like the inline when-chain
         // (an inner join would silently drop it)
         .join(broadcast(shiftedBookDf(vecsWithCell.sparkSession, sb)),
           Seq("cell"), "left")
         .withColumn("__d", joinedSubDist(vecCol, sub))
-        .groupBy(col("__rid"), col(idCol), col("cell"))
+        .groupBy(col(idCol), col("cell"), col(vecCol), col("__n"))
         .agg(aggs.head, aggs.tail: _*)
+        .withColumn("__dup", explode(array_repeat(lit(1), col("__n").cast("int"))))
         .select(col(idCol) +: col("cell") +:
           (0 until m).map(mi => col(s"code_$mi")): _*)
     }
