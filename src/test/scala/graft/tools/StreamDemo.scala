@@ -22,8 +22,9 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // QueryUtil.events handles both nanos-parquet read behaviors (raw
+    // int64 under the legacy conf vs native TIMESTAMP_NTZ)
+    val ev = graft.queries.QueryUtil.events(spark, "/root/testdata/sf0.001")
       .select("ts", "user_id", "event_type", "value").as[Event]
       .collect().toSeq
     println(s"[stream] loaded ${ev.size} real events")
