@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.VcfReader
+import graft.sources.VcfReader.FieldDecl
+
+/** Variant NORMALIZATION — the `bcftools norm` analogue upstream of
+  * site-keyed cohort work (merge, concordance, kinship, burden): a
+  * multi-allelic record and its biallelic splits never join on the same
+  * (chrom, pos, ref, alt) key, and an untrimmed `CTT>CT` never matches
+  * its parsimonious `CT>C` twin — normalization is what makes the site
+  * key canonical. Beyond the reference's surface (pandasvcf analyzes
+  * files as-is), but the step its notebooks assume upstream callers did.
+  *
+  * Two operators, both NARROW (one generator / one projection per row,
+  * zero shuffles — they stream at scan speed and compose with pushdown):
+  *
+  *  - [[splitMultiallelic]]: one output record per ALT allele, with the
+  *    genotype allele indices remapped (bcftools `norm -m-` semantics:
+  *    the split allele becomes 1, every other allele — REF or other-ALT
+  *    — becomes 0, missing `.` stays missing, phase preserved) and
+  *    header-declared `Number=A/R/G` INFO arrays positionally sliced to
+  *    the biallelic record via the spec alignment
+  *    ([[VcfReader.rIndex]]/[[VcfReader.gIndex]], VCF spec §1.4.2).
+  *  - [[trimAlleles]]: the genome-free half of left-normalization
+  *    (vt-normalize / Tan et al. 2015 steps that need no FASTA): drop
+  *    the longest shared allele SUFFIX (keeping ≥1 base on each side),
+  *    then the longest shared PREFIX (again keeping ≥1 base), advancing
+  *    POS by the prefix length. One suffix-then-prefix pass is a fixed
+  *    point: prefix removal never changes the last bases, and any
+  *    length-1 allele blocks further trimming on both ends. True
+  *    left-ALIGNMENT of indels additionally needs the reference genome
+  *    and is out of scope (documented, not stubbed).
+  *
+  * [[normalize]] composes the two — split first (trimming is per-ALT;
+  * trimming a multi-allelic record jointly would have to stop at the
+  * most conservative allele and leave the others unnormalized).
+  */
+object VariantNorm {
+
+  /** Remap one GT string for the biallelic record of 1-based ALT index
+    * `idx`: allele `idx` → "1", `.` → ".", anything else (REF or another
+    * ALT) → "0"; separator (phase) preserved; haploid calls stay
+    * haploid. String index compare, so 2-digit allele indices are exact.
+    */
+  private def remapGt(gt: Column, idx: Column): Column = {
+    val mapped = transform(split(gt, "[/|]"), p =>
+      when(p === ".", ".")
+        .when(p === idx.cast("string"), "1")
+        .otherwise("0"))
+    when(gt.contains("|"), array_join(mapped, "|"))
+      .otherwise(array_join(mapped, "/"))
+  }
+
+  /** Full call remap: the GT field is always first (VCF spec); the
+    * remaining `:`-joined FORMAT payload is carried through verbatim.
+    */
+  private def remapCall(call: Column, idx: Column): Column = {
+    val gt = substring_index(call, ":", 1)
+    concat(remapGt(gt, idx), call.substr(length(gt) + 1, length(call)))
+  }
+
+  /** Split every multi-allelic record into one biallelic record per ALT
+    * allele (bcftools `norm -m-` shape). Missing-ALT (`.`) sites are
+    * dropped (no allele to split out — same rule as annotate's stacking,
+    * variant_annotations.py:568).
+    *
+    * Output = input columns with `alt` replaced by the single allele,
+    * `genotypes` remapped per [[remapGt]], plus `allele_idx` (1-based
+    * position of this allele in the original ALT list) and `n_alts`;
+    * for each declaration in `decls`, a typed `INFO_<id>` column sliced
+    * to the biallelic record:
+    * `Number=A` → the allele's scalar; `Number=R` → `[REF, alt]` pair;
+    * `Number=G` → `[homref, het, homalt]` diploid triple (spec ordering
+    * F(j,k) = k(k+1)/2 + j); other arities pass through as
+    * [[VcfReader.withTypedInfo]] typed them. The raw `info` string is
+    * NOT rewritten — consumers read the sliced typed columns.
+    *
+    * Plan shape: one narrow generator (posexplode of the split ALT) +
+    * one projection. Zero shuffles at any scale.
+    */
+  def splitMultiallelic(df: DataFrame, decls: Seq[FieldDecl] = Nil): DataFrame = {
+    val typed = if (decls.isEmpty) df else VcfReader.withTypedInfo(df, decls)
+    val exploded = typed
+      .filter(col("alt") =!= ".")
+      .select(col("*"), posexplode(split(col("alt"), ",")).as(Seq("__ai", "__a")))
+    val idx = (col("__ai") + 1).cast("int")
+    val sliced = decls.foldLeft(exploded) { (d, decl) =>
+      val arr = col(s"INFO_${decl.id}")
+      decl.number match {
+        case "A" => d.withColumn(s"INFO_${decl.id}", try_element_at(arr, idx))
+        case "R" => d.withColumn(s"INFO_${decl.id}",
+          array(try_element_at(arr, VcfReader.rIndex(lit(0))),
+            try_element_at(arr, VcfReader.rIndex(idx))))
+        case "G" => d.withColumn(s"INFO_${decl.id}",
+          array(try_element_at(arr, VcfReader.gIndex(lit(0), lit(0))),
+            try_element_at(arr, VcfReader.gIndex(lit(0), idx)),
+            try_element_at(arr, VcfReader.gIndex(idx, idx))))
+        case _ => d
+      }
+    }
+    sliced
+      .withColumn("allele_idx", idx)
+      .withColumn("n_alts", size(split(col("alt"), ","))) // original list
+      .withColumn("alt", col("__a"))
+      .withColumn("genotypes",
+        transform_values(col("genotypes"), (_, call) => remapCall(call, idx)))
+      .drop("__ai", "__a")
+  }
+
+  /** Count-while-true left fold: the number of LEADING 1-positions of
+    * the match predicate `m(i)` over i = 1..n (n ≥ 0). One-level
+    * `aggregate` over a small int sequence with a cheap inner — the §8
+    * parity case, linear in allele length.
+    */
+  private def leadingMatches(n: Column, m: Column => Column): Column = {
+    val idxs = when(n >= 1, sequence(lit(1), n))
+      .otherwise(array().cast("array<int>"))
+    val z = struct(lit(1).as("ok"), lit(0).as("cnt"))
+    aggregate(idxs, z, (acc, i) => {
+      val ok = when(acc.getField("ok") === 1 && m(i), 1).otherwise(0)
+      struct(ok.as("ok"), (acc.getField("cnt") + ok).as("cnt"))
+    }).getField("cnt")
+  }
+
+  /** Parsimony-trim BIALLELIC records in place: `pos`/`ref`/`alt` are
+    * replaced by the trimmed representation (suffix first, then prefix,
+    * each keeping at least one base; POS advances by the prefix trim).
+    * Refuses multi-allelic rows driver-side (`require` on a cheap
+    * existence probe is the caller's job — here a comma ALT would trim
+    * as a literal string, so the operator guards per row and passes
+    * comma rows through untouched for [[splitMultiallelic]] to handle
+    * first). Narrow: one projection, zero shuffles.
+    */
+  def trimAlleles(df: DataFrame): DataFrame = {
+    val ref = col("ref")
+    val alt = col("alt")
+    val lr = length(ref)
+    val la = length(alt)
+    // longest shared suffix, capped so ≥1 base survives on each side
+    val s0 = leadingMatches(least(lr, la) - 1,
+      i => ref.substr(lr - i + 1, lit(1)) === alt.substr(la - i + 1, lit(1)))
+    // longest shared prefix of the suffix-trimmed alleles, same cap.
+    // Positions probed are < min(lr−s, la−s), so the original strings'
+    // chars are the trimmed strings' chars — no intermediate substring.
+    val trimmable = alt =!= "." && !alt.contains(",")
+    df
+      .withColumn("__s", when(trimmable, s0).otherwise(0))
+      .withColumn("__p", when(trimmable,
+        leadingMatches(least(lr - col("__s"), la - col("__s")) - 1,
+          i => ref.substr(i, lit(1)) === alt.substr(i, lit(1))))
+        .otherwise(0))
+      .withColumn("pos", (col("pos") + col("__p")).cast("int"))
+      .withColumn("ref", ref.substr(col("__p") + 1, lr - col("__s") - col("__p")))
+      .withColumn("alt", when(trimmable,
+        alt.substr(col("__p") + 1, la - col("__s") - col("__p"))).otherwise(alt))
+      .drop("__s", "__p")
+  }
+
+  /** The composed normalization: split multi-allelics, then trim each
+    * biallelic record to its parsimonious representation.
+    */
+  def normalize(df: DataFrame, decls: Seq[FieldDecl] = Nil): DataFrame =
+    trimAlleles(splitMultiallelic(df, decls))
+}

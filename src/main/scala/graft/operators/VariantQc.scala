@@ -62,4 +62,47 @@ object VariantQc {
         sum(when(col("hom_a").isNotNull && col("hom_b").isNotNull &&
           col("hom_a") =!= col("hom_b"), 1L).otherwise(0L)).as("n_opp"))
   }
+
+  /** Hardy-Weinberg equilibrium counts + chi-square per BIALLELIC site
+    * — the standard site-QC filter (HWE-violating sites flag genotyping
+    * artifacts: allele dropout, paralogous mapping, batch effects).
+    * Over called DIPLOID genotypes only (haploid and any-'.' calls
+    * excluded, multi-allelic sites excluded — classical HWE is
+    * biallelic; run [[VariantNorm.splitMultiallelic]] first if needed):
+    * n0/n1/n2 = hom-ref/het/hom-alt counts, and the 1-df chi-square in
+    * its EXACT closed form
+    *
+    *   χ² = n·D² / (A²·B²),  D = n1² − 4·n0·n2, A = 2n0+n1, B = n1+2n2
+    *
+    * (algebraically identical to Σ(obs−exp)²/exp with p̂ = A/2n: the
+    * residuals are −D/4n, D/2n, −D/4n) — every term an exact int64
+    * until ONE final division, micro-floored, so the statistic is
+    * bit-identical across engines and partitionings. Monomorphic sites
+    * (A = 0 or B = 0) define χ² = 0. Int64 is exact to ~3000 diploid
+    * samples per site (n·D² ≤ 16n⁵); biobank-width cohorts should lift
+    * the products to decimal(38,0).
+    *
+    * Shape: ONE partial-aggregated site-keyed groupBy — zero exchanges
+    * on a (chrom, pos_bucket)-bucketed landing, the §4 contract.
+    */
+  def hweBySite(
+      ann: DataFrame,
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val counted = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .groupBy(siteKey.map(col): _*)
+      .agg(
+        sum(when(col("zygosity") === "hom-ref", 1L).otherwise(0L)).as("n0"),
+        sum(when(col("zygosity") === "het-ref", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("zygosity") === "hom-alt", 1L).otherwise(0L)).as("n2"))
+    val a = lit(2L) * col("n0") + col("n1")
+    val b = col("n1") + lit(2L) * col("n2")
+    val d = col("n1") * col("n1") - lit(4L) * col("n0") * col("n2")
+    val n = col("n0") + col("n1") + col("n2")
+    counted.withColumn("hwe_micro",
+      when(a === 0L || b === 0L, 0L).otherwise(
+        floor((n * d * d).cast("double") / ((a * a) * (b * b)).cast("double")
+          * lit(1000000.0)).cast("long")))
+  }
 }

@@ -481,6 +481,169 @@ object VcfQueries extends QuerySet {
       FROM cal GROUP BY 1, 2 ORDER BY sample_id, gt
     """))
 
+  /** MULTI-ALLELIC SPLIT gate ([[graft.operators.VariantNorm
+    * .splitMultiallelic]], the `bcftools norm -m-` analogue): every
+    * site explodes to one biallelic record per ALT with the GENOTYPE
+    * allele indices remapped (split allele → 1, REF and other-ALTs → 0,
+    * `.` stays, phase preserved) and the header-declared Number=A/R/G
+    * INFO arrays positionally SLICED to the biallelic record (AF → the
+    * allele's scalar, RC → the [REF, alt] pair, PL → the
+    * [hom-ref, het, hom-alt] triple via F(j,k) = k(k+1)/2 + j — the
+    * alignment q100 gates on indices, here applied by the operator).
+    * The INFO extension mirrors q100's derivation so DuckDB recomputes
+    * the sliced VALUES by formula while Spark goes through the real
+    * string→withTypedInfo→slice path. Per-(site, allele, sample) rows;
+    * the remap is hashed call-for-call. Narrow: generator + projection,
+    * no shuffle before the ordered output.
+    */
+  private val q103 = Q(
+    "q103_split_multiallelic",
+    (s, dir) => {
+      import graft.sources.VcfReader.FieldDecl
+      import graft.operators.VariantNorm
+      val nAlts = size(split(col("alt"), ","))
+      val rc = array_join(transform(sequence(lit(0), nAlts),
+        i => ((col("k") + i * 7) % 1000).cast("string")), ",")
+      val nGt = ((nAlts + 1) * (nAlts + 2) / 2).cast("int")
+      val pl = array_join(transform(sequence(lit(0), nGt - 1),
+        g => ((col("k") + g * 3) % 256).cast("string")), ",")
+      val extended = wide(s, dir).filter(col("alt") =!= ".")
+        .withColumn("info",
+          concat(col("info"), lit(";RC="), rc, lit(";PL="), pl))
+      val bi = VariantNorm.splitMultiallelic(extended, Seq(
+        FieldDecl("AF", "A", "Float"),
+        FieldDecl("RC", "R", "Integer"),
+        FieldDecl("PL", "G", "Integer")))
+      bi.select(col("k"), col("allele_idx"), col("chrom"), col("pos"),
+          col("ref"), col("alt"),
+          micro(col("INFO_AF")).as("af_micro"),
+          element_at(col("INFO_RC"), 2).as("rc_alt"),
+          element_at(col("INFO_PL"), 2).as("pl_het"),
+          explode(col("genotypes")).as(Seq("sample_id", "call")))
+        .withColumn("gt_new", substring_index(col("call"), ":", 1))
+        .drop("call")
+        .orderBy("k", "allele_idx", "sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      ax AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref, si, call,
+               unnest(string_split(alt, ',')) AS a,
+               unnest(range(1, CAST(len(string_split(alt, ',')) AS INT) + 1)) AS allele_idx,
+               string_split(regexp_extract(info, 'AF=([0-9.,]+)', 1), ',') AS afs
+             FROM sm WHERE alt <> '.'),
+      g AS (SELECT k, CAST(allele_idx AS INT) AS allele_idx, chrom, pos, ref,
+              a AS alt, 'g' || CAST(si AS VARCHAR) AS sample_id,
+              string_split(call, ':')[1] AS gt, afs
+            FROM ax)
+      SELECT k, allele_idx, chrom, pos, ref, alt,
+        ${microSql("CAST(afs[allele_idx] AS DOUBLE)")} AS af_micro,
+        (k + 7 * allele_idx) % 1000 AS rc_alt,
+        (k + 3 * (allele_idx * (allele_idx + 1) // 2)) % 256 AS pl_het,
+        sample_id,
+        CASE WHEN contains(gt, '|')
+          THEN array_to_string(list_transform(string_split_regex(gt, '[/|]'),
+            p -> CASE WHEN p = '.' THEN '.'
+                      WHEN p = CAST(allele_idx AS VARCHAR) THEN '1'
+                      ELSE '0' END), '|')
+          ELSE array_to_string(list_transform(string_split_regex(gt, '[/|]'),
+            p -> CASE WHEN p = '.' THEN '.'
+                      WHEN p = CAST(allele_idx AS VARCHAR) THEN '1'
+                      ELSE '0' END), '/')
+        END AS gt_new
+      FROM g ORDER BY k, allele_idx, sample_id
+    """))
+
+  /** ALLELE-TRIM gate ([[graft.operators.VariantNorm.normalize]] =
+    * split + parsimony trim, the genome-free `bcftools norm` /
+    * vt-normalize steps): longest shared SUFFIX dropped first, then
+    * longest shared PREFIX (each keeping ≥1 base; POS advances by the
+    * prefix length) — `CTT>CT` becomes `CT>C`, `CAG>CAT` becomes
+    * `G>T` at pos+2, making the site key canonical for every
+    * site-keyed operator upstream of it (merge, diff, kinship,
+    * burden). The derivation plants both cases (the k%5 alts share
+    * suffixes with multi-base REFs, the k%9 `X`+'TT' alts share the
+    * REF's first base). DuckDB replays the trim with a quadratic
+    * leading-match formula (alleles are short); the re-classified
+    * vartype of the TRIMMED pair rides the hash. Narrow end to end.
+    */
+  private val q104 = Q(
+    "q104_variant_trim",
+    (s, dir) => {
+      val norm = graft.operators.VariantNorm.normalize(wide(s, dir))
+      norm.select(col("k"), col("allele_idx"), col("chrom"), col("pos"),
+          col("ref"), col("alt"),
+          vartype(col("ref"), col("alt")).as("vartype"))
+        .orderBy("k", "allele_idx")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      ax AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref,
+               unnest(string_split(alt, ',')) AS a,
+               unnest(range(1, CAST(len(string_split(alt, ',')) AS INT) + 1)) AS allele_idx
+             FROM v WHERE alt <> '.'),
+      sx AS (SELECT *, coalesce(list_sum(list_transform(
+               range(1, CAST(least(length(ref), length(a)) AS BIGINT)), i ->
+                 CASE WHEN list_min(list_transform(range(1, i + 1), j ->
+                   CASE WHEN substr(ref, length(ref) - CAST(j AS INT) + 1, 1)
+                             = substr(a, length(a) - CAST(j AS INT) + 1, 1)
+                        THEN 1 ELSE 0 END)) = 1
+                 THEN 1 ELSE 0 END)), 0) AS s
+             FROM ax),
+      px AS (SELECT *, coalesce(list_sum(list_transform(
+               range(1, CAST(least(length(ref) - s, length(a) - s) AS BIGINT)), i ->
+                 CASE WHEN list_min(list_transform(range(1, i + 1), j ->
+                   CASE WHEN substr(ref, CAST(j AS INT), 1)
+                             = substr(a, CAST(j AS INT), 1)
+                        THEN 1 ELSE 0 END)) = 1
+                 THEN 1 ELSE 0 END)), 0) AS p
+             FROM sx),
+      tx AS (SELECT k, allele_idx, chrom,
+               CAST(pos + p AS INT) AS pos,
+               substr(ref, CAST(p AS INT) + 1, CAST(length(ref) - s - p AS INT)) AS ref2,
+               substr(a, CAST(p AS INT) + 1, CAST(length(a) - s - p AS INT)) AS alt2
+             FROM px)
+      SELECT k, CAST(allele_idx AS INT) AS allele_idx, chrom, pos,
+        ref2 AS ref, alt2 AS alt,
+        ${vartypeSql("ref2", "alt2")} AS vartype
+      FROM tx ORDER BY k, allele_idx
+    """))
+
+  /** HARDY-WEINBERG site QC gate ([[graft.operators.VariantQc
+    * .hweBySite]]): per biallelic site over called diploid genotypes,
+    * the n0/n1/n2 zygosity counts and the 1-df chi-square in its exact
+    * closed form n·D²/(A²B²) — integer arithmetic to ONE final
+    * division, micro-floored, so both engines produce the identical
+    * statistic (the q91 φ̂ determinism pattern). One partial-aggregated
+    * site groupBy; zero exchanges on a site-bucketed landing.
+    */
+  private val q105 = Q(
+    "q105_hwe",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc.hweBySite(ann)
+        .orderBy("chrom", "pos", "ref", "alt")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      hw AS (SELECT chrom, pos, ref, alt,
+               CAST(sum(CASE WHEN zygosity = 'hom-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN zygosity = 'het-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN zygosity = 'hom-alt' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             FROM ann
+             WHERE multiallele = 0 AND gt2 IS NOT NULL AND gt1 <> '.' AND gt2 <> '.'
+             GROUP BY 1, 2, 3, 4)
+      SELECT chrom, pos, ref, alt, n0, n1, n2,
+        CASE WHEN 2 * n0 + n1 = 0 OR n1 + 2 * n2 = 0 THEN 0
+             ELSE CAST(floor(
+               (CAST((n0 + n1 + n2) * (n1 * n1 - 4 * n0 * n2) * (n1 * n1 - 4 * n0 * n2) AS DOUBLE)
+                / CAST((2 * n0 + n1) * (2 * n0 + n1) * (n1 + 2 * n2) * (n1 + 2 * n2) AS DOUBLE))
+               * 1000000.0) AS BIGINT) END AS hwe_micro
+      FROM hw ORDER BY chrom, pos, ref, alt
+    """))
+
   /** Write-once sharded VCF corpus for the file-path gate (q63): the
     * synthetic wide frame emitted via [[graft.sources.VcfWriter]] under
     * a derivation-hashed /tmp dir — a changed derivation auto-
@@ -1047,5 +1210,6 @@ object VcfQueries extends QuerySet {
 
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
-      q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102)
+      q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
+      q103, q104, q105)
 }

@@ -122,4 +122,36 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       // y het at 500, z hom-alt: no hom-hom comparison possible
       ("y", "z", 1L, 1L, 0L, 0L, 0L)))
   }
+
+  test("hweBySite: exact closed-form chi-square, exclusions enforced") {
+    import spark.implicits._
+    // rows: (pos, multiallele, gt1, gt2, zygosity)
+    def site(pos: Long, rows: Seq[(Int, String, String, String)]) =
+      rows.map { case (m, g1, g2, z) => ("1", pos, "A", "T", m, g1, g2, z) }
+    val ann = (
+      // perfect HWE 1:2:1 → D = 0 → chi² = 0
+      site(100L, Seq((0, "0", "0", "hom-ref"), (0, "0", "1", "het-ref"),
+        (0, "1", "0", "het-ref"), (0, "1", "1", "hom-alt"))) ++
+      // all-hom 2:0:2 → chi² = n·D²/(A²B²) = 4·256/256 = 4.0
+      site(200L, Seq((0, "0", "0", "hom-ref"), (0, "0", "0", "hom-ref"),
+        (0, "1", "1", "hom-alt"), (0, "1", "1", "hom-alt"))) ++
+      // monomorphic ref → B = 0 → defined 0
+      site(300L, Seq((0, "0", "0", "hom-ref"), (0, "0", "0", "hom-ref"))) ++
+      // excluded: multiallelic site, haploid call, half-missing call
+      site(400L, Seq((1, "1", "2", "het-alt"))) ++
+      Seq(("1", 500L, "A", "T", 0, "1", null, "het-ref"),
+        ("1", 500L, "A", "T", 0, ".", "1", "het-miss"),
+        ("1", 500L, "A", "T", 0, "0", "1", "het-ref")))
+      .toDF("chrom", "pos", "ref", "alt", "multiallele", "gt1", "gt2", "zygosity")
+    val byPos = graft.operators.VariantQc.hweBySite(ann)
+      .select("pos", "n0", "n1", "n2", "hwe_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(byPos(100L) === ((1L, 2L, 1L, 0L)))
+    assert(byPos(200L) === ((2L, 0L, 2L, 4000000L)))
+    assert(byPos(300L) === ((2L, 0L, 0L, 0L)))
+    assert(!byPos.contains(400L)) // multiallelic excluded entirely
+    // only the called diploid row counts: n = 1 het → chi² = 1·1/(1·1)
+    assert(byPos(500L) === ((0L, 1L, 0L, 1000000L)))
+  }
 }
