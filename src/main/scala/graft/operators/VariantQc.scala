@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sample-relatedness QC over the annotated long genotype frame (the
@@ -104,5 +105,174 @@ object VariantQc {
       when(a === 0L || b === 0L, 0L).otherwise(
         floor((n * d * d).cast("double") / ((a * a) * (b * b)).cast("double")
           * lit(1000000.0)).cast("long")))
+  }
+
+  /** Per-sample INBREEDING coefficient (the `plink --het` F statistic —
+    * the standard per-sample QC for consanguinity, contamination
+    * (depressed F), and genotyping batch effects): over biallelic
+    * called-diploid calls,
+    *
+    *   F = (O_hom − E_hom) / (N − E_hom) = (Σe − O_het·1) / Σe
+    *
+    * where e = per-site expected heterozygosity 2p̂q̂ = A·B/(2n²) with
+    * A = 2n0+n1 (ref alleles), B = n1+2n2 (alt alleles), n the site's
+    * called-diploid depth. No small-sample correction (plink's
+    * 2n/(2n−1) factor) — documented, and constant-free so the statistic
+    * stays a ratio of exact integers. Determinism: each site's e is
+    * micro-floored from ONE double division of exact int64 products
+    * (the [[hweBySite]] pattern), per-sample sums are then exact longs,
+    * and F is one final micro-floored division — bit-identical across
+    * engines and partitionings.
+    *
+    * Scale shape: one site-keyed groupBy of the long frame + one
+    * site-keyed join BACK to the same frame (both sides the same
+    * annotate plan — ReusedExchange; zero exchanges on a site-bucketed
+    * landing) + one tiny per-sample agg.
+    */
+  def inbreedingF(
+      ann: DataFrame,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val bi = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select(siteKey.map(col) ++ Seq(
+        col(sampleCol),
+        (col("a1") === col("a2")).as("__hom")): _*)
+    val a = lit(2L) * col("n0") + col("n1")
+    val b = col("n1") + lit(2L) * col("n2")
+    val n = col("n0") + col("n1") + col("n2")
+    val counted = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .groupBy(siteKey.map(col): _*)
+      .agg(
+        sum(when(col("zygosity") === "hom-ref", 1L).otherwise(0L)).as("n0"),
+        sum(when(col("zygosity") === "het-ref", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("zygosity") === "hom-alt", 1L).otherwise(0L)).as("n2"))
+      .withColumn("ehet_micro",
+        when(n === 0L, 0L).otherwise(
+          floor((a * b).cast("double") / (lit(2L) * n * n).cast("double")
+            * lit(1000000.0)).cast("long")))
+      .select((siteKey.map(col) :+ col("ehet_micro")): _*)
+    val perCall = bi.join(counted, siteKey)
+    val ehetSum = sum(col("ehet_micro"))
+    val obsHet = sum(when(!col("__hom"), 1L).otherwise(0L))
+    perCall
+      .groupBy(sampleCol)
+      .agg(
+        count(lit(1)).as("n_sites"),
+        sum(when(col("__hom"), 1L).otherwise(0L)).as("n_obs_hom"),
+        ehetSum.as("ehet_sum_micro"),
+        when(ehetSum === 0L, 0L).otherwise(
+          floor((ehetSum - obsHet * lit(1000000L)).cast("double")
+            / ehetSum.cast("double") * lit(1000000.0)).cast("long"))
+          .as("f_micro"))
+  }
+
+  /** Trio TRANSMISSION-DISEQUILIBRIUM counts per chromosome (Spielman
+    * et al. 1993 — the family-based association test): over biallelic
+    * sites where child/mother/father are all called diploid, count ALT
+    * transmissions from HETEROZYGOUS parents. The per-site counts are
+    * fully determined without phase: with d = child ALT dosage
+    * (gt1+gt2), h = # hom-alt parents, t = # het parents,
+    *
+    *   b = d − h   (ALT transmissions from het parents)
+    *   c = t − b   (REF transmissions from het parents)
+    *
+    * and 0 ≤ b ≤ t certifies Mendelian consistency (both-hom-ref parent
+    * with an ALT child ⇒ b > t; both-hom-alt with a het child ⇒ b < 0 —
+    * exactly the violating configurations q80 counts). McNemar's
+    * χ² = (B−C)²/(B+C) over the summed counts — integer arithmetic to
+    * ONE micro-floored division, the [[hweBySite]] determinism pattern.
+    *
+    * Scale shape: three filtered views of ONE annotate plan joined on
+    * the site key (ReusedExchange, zero exchanges on a site-bucketed
+    * landing — the q80 shape) + one per-chrom agg.
+    */
+  def tdtByChrom(
+      ann: DataFrame,
+      childId: String, motherId: String, fatherId: String,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    def view(sid: String, p: String) = ann
+      .filter(col(sampleCol) === sid &&
+        col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select(siteKey.map(col) ++ Seq(
+        (col("gt1").cast("long") + col("gt2").cast("long")).as(s"${p}_d"),
+        (col("gt1") =!= col("gt2")).as(s"${p}_het")): _*)
+    val trio = view(childId, "c")
+      .join(view(motherId, "m"), siteKey)
+      .join(view(fatherId, "f"), siteKey)
+    def homAlt(p: String) =
+      when(!col(s"${p}_het") && col(s"${p}_d") === 2L, 1L).otherwise(0L)
+    def het(p: String) = when(col(s"${p}_het"), 1L).otherwise(0L)
+    val withBc = trio
+      .withColumn("__t", het("m") + het("f"))
+      .withColumn("__b", col("c_d") - (homAlt("m") + homAlt("f")))
+      .filter(col("__b") >= 0L && col("__b") <= col("__t") && col("__t") > 0L)
+      .withColumn("__c", col("__t") - col("__b"))
+    val bSum = sum(col("__b"))
+    val cSum = sum(col("__c"))
+    withBc
+      .groupBy("chrom")
+      .agg(
+        count(lit(1)).as("n_informative"),
+        bSum.as("n_b"),
+        cSum.as("n_c"),
+        when(bSum + cSum === 0L, 0L).otherwise(
+          floor(((bSum - cSum) * (bSum - cSum)).cast("double")
+            / (bSum + cSum).cast("double") * lit(1000000.0)).cast("long"))
+          .as("tdt_micro"))
+  }
+
+  /** RUNS OF HOMOZYGOSITY per (sample, chromosome) — the autozygosity
+    * scan (`plink --homozyg` / bcftools roh shape; long runs flag
+    * consanguinity, uniparental disomy, and reference-panel sample
+    * swaps): over biallelic called-diploid calls ordered along the
+    * chromosome, maximal stretches of consecutive homozygous calls
+    * (a1 = a2, hom-ref and hom-alt both count, as in plink). A
+    * heterozygous call BREAKS the run; sites missing for the sample are
+    * simply absent from its sequence (they neither extend nor break —
+    * strict no-het policy, plink's allowed-het relaxation documented
+    * out of scope). Runs shorter than `minSites` are dropped.
+    *
+    * Shape: the classic gaps-and-islands — row_number along the
+    * per-(sample, chrom) site order, minus a second row_number over the
+    * homozygous subsequence, is constant exactly on maximal hom runs.
+    * Both windows share ONE (sample, chrom) partitioning → one exchange
+    * total (the second window re-sorts the filtered rows, never
+    * re-shuffles), then one agg on the run key. The site order includes
+    * gt as a tiebreak, and the SECOND row_number orders by the FIRST —
+    * full-duplicate rows tie in every natural column, the first
+    * row_number breaks that tie arbitrarily, and a second independent
+    * tie-break can CROSS it (rn 4/5 → rn₂ 3/2 splits a real run — found
+    * against the oracle on the testdata's duplicated keys); ordering by
+    * rn makes the island key invariant to how the first tie resolved.
+    */
+  def rohSegments(
+      ann: DataFrame,
+      minSites: Int = 3,
+      sampleCol: String = "sample_id"): DataFrame = {
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val bi = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select(col(sampleCol).as("sample_id"), col("chrom"), col("pos"),
+        col("ref"), col("alt"), col("gt"),
+        (col("a1") === col("a2")).as("__hom"))
+    val w = Window.partitionBy("sample_id", "chrom")
+      .orderBy("pos", "ref", "alt", "gt")
+    val wRn = Window.partitionBy("sample_id", "chrom").orderBy("__rn")
+    val seq = bi.withColumn("__rn", row_number().over(w))
+    val homs = seq.filter(col("__hom"))
+      .withColumn("__grp", col("__rn") - row_number().over(wRn))
+    homs
+      .groupBy("sample_id", "chrom", "__grp")
+      .agg(
+        count(lit(1)).as("n_sites"),
+        min(col("pos")).as("run_start"),
+        max(col("pos")).as("run_end"))
+      .filter(col("n_sites") >= minSites)
+      .drop("__grp")
   }
 }

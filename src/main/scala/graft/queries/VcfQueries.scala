@@ -1208,8 +1208,156 @@ object VcfQueries extends QuerySet {
       GROUP BY region_id ORDER BY region_id
     """))
 
+  /** Shared DuckDB CTE: biallelic called-diploid calls off the annotate
+    * chain — the genotype universe of the cohort-statistics gates
+    * (q106/q107/q108), mirroring VariantQc's
+    * `multiallele = 0 ∧ called(gt1) ∧ called(gt2)` filter.
+    */
+  private val duckBiallelicCte =
+    """bc AS (SELECT * FROM ann
+             WHERE multiallele = 0 AND gt2 IS NOT NULL
+               AND gt1 <> '.' AND gt2 <> '.')"""
+
+  /** Per-sample INBREEDING coefficient ([[graft.operators.VariantQc
+    * .inbreedingF]], the `plink --het` F): per-site expected
+    * heterozygosity 2p̂q̂ micro-floored from ONE exact-integer division
+    * (the q105 determinism pattern), summed exactly per sample, then
+    * F = (Σe − O_het)/Σe in one final micro-floored division. DuckDB
+    * replays the site counts, the e formula, and the per-sample fold —
+    * every intermediate exact, so the statistic hashes bit-identically.
+    * Scale: site groupBy + site-keyed join back to the SAME annotate
+    * plan (ReusedExchange) + one 4-row sample agg.
+    */
+  private val q106 = Q(
+    "q106_inbreeding",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc.inbreedingF(ann).orderBy("sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      sc AS (SELECT chrom, pos, ref, alt,
+               CAST(sum(CASE WHEN zygosity = 'hom-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN zygosity = 'het-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN zygosity = 'hom-alt' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             FROM bc GROUP BY 1, 2, 3, 4),
+      eh AS (SELECT chrom, pos, ref, alt,
+               CASE WHEN n0 + n1 + n2 = 0 THEN 0
+                    ELSE CAST(floor(CAST((2 * n0 + n1) * (n1 + 2 * n2) AS DOUBLE)
+                      / CAST(2 * (n0 + n1 + n2) * (n0 + n1 + n2) AS DOUBLE)
+                      * 1000000.0) AS BIGINT) END AS ehet_micro
+             FROM sc),
+      pc AS (SELECT b.sample_id,
+               CASE WHEN b.a1 = b.a2 THEN 1 ELSE 0 END AS hom, e.ehet_micro
+             FROM bc b JOIN eh e USING (chrom, pos, ref, alt))
+      SELECT sample_id,
+        count(*) AS n_sites,
+        CAST(sum(hom) AS BIGINT) AS n_obs_hom,
+        CAST(sum(ehet_micro) AS BIGINT) AS ehet_sum_micro,
+        CASE WHEN sum(ehet_micro) = 0 THEN 0
+             ELSE CAST(floor(
+               CAST(sum(ehet_micro) - (count(*) - sum(hom)) * 1000000 AS DOUBLE)
+               / CAST(sum(ehet_micro) AS DOUBLE) * 1000000.0) AS BIGINT)
+        END AS f_micro
+      FROM pc GROUP BY sample_id ORDER BY sample_id
+    """))
+
+  /** Trio TRANSMISSION-DISEQUILIBRIUM test per chromosome
+    * ([[graft.operators.VariantQc.tdtByChrom]], Spielman 1993): ALT
+    * transmissions from het parents derived phase-free as b = d − h,
+    * c = t − b (0 ≤ b ≤ t certifying Mendelian consistency), McNemar's
+    * (B−C)²/(B+C) micro-floored from exact integers. DuckDB replays the
+    * trio join and every count off the shared annotate chain.
+    */
+  private val q107 = Q(
+    "q107_tdt",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc.tdtByChrom(ann, "g1", "g2", "g3")
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      tv AS (SELECT c.chrom,
+               CAST(c.gt1 AS BIGINT) + CAST(c.gt2 AS BIGINT) AS c_d,
+               (m.gt1 <> m.gt2) AS m_het,
+               CAST(m.gt1 AS BIGINT) + CAST(m.gt2 AS BIGINT) AS m_d,
+               (f.gt1 <> f.gt2) AS f_het,
+               CAST(f.gt1 AS BIGINT) + CAST(f.gt2 AS BIGINT) AS f_d
+             FROM (SELECT * FROM bc WHERE sample_id = 'g1') c
+             JOIN (SELECT * FROM bc WHERE sample_id = 'g2') m
+               USING (chrom, pos, ref, alt)
+             JOIN (SELECT * FROM bc WHERE sample_id = 'g3') f
+               USING (chrom, pos, ref, alt)),
+      tb AS (SELECT chrom,
+               (CASE WHEN m_het THEN 1 ELSE 0 END
+                + CASE WHEN f_het THEN 1 ELSE 0 END) AS t,
+               c_d - (CASE WHEN NOT m_het AND m_d = 2 THEN 1 ELSE 0 END
+                    + CASE WHEN NOT f_het AND f_d = 2 THEN 1 ELSE 0 END) AS bb
+             FROM tv),
+      tc AS (SELECT chrom, t, bb, t - bb AS cc FROM tb
+             WHERE bb >= 0 AND bb <= t AND t > 0)
+      SELECT chrom, count(*) AS n_informative,
+        CAST(sum(bb) AS BIGINT) AS n_b,
+        CAST(sum(cc) AS BIGINT) AS n_c,
+        CASE WHEN sum(bb) + sum(cc) = 0 THEN 0
+             ELSE CAST(floor(
+               CAST((sum(bb) - sum(cc)) * (sum(bb) - sum(cc)) AS DOUBLE)
+               / CAST(sum(bb) + sum(cc) AS DOUBLE) * 1000000.0) AS BIGINT)
+        END AS tdt_micro
+      FROM tc GROUP BY chrom ORDER BY chrom
+    """))
+
+  /** RUNS OF HOMOZYGOSITY ([[graft.operators.VariantQc.rohSegments]],
+    * `plink --homozyg` shape): gaps-and-islands over the per-(sample,
+    * chrom) site order — two row_numbers sharing ONE partitioning (one
+    * exchange), run key = their difference, constant exactly on maximal
+    * hom stretches; het calls break runs, sample-missing sites are
+    * absent. DuckDB replays the identical double-row_number derivation;
+    * the second row_number orders by the FIRST so the island key is
+    * invariant to tie-break choices on the testdata's full-duplicate
+    * rows (an independent second tie-break can cross the first and
+    * split a real run — caught by this oracle).
+    */
+  private val q108 = Q(
+    "q108_roh",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc.rohSegments(ann, minSites = 3)
+        .orderBy("sample_id", "chrom", "run_start", "run_end", "n_sites")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      sq AS (SELECT sample_id, chrom, pos, ref, alt, gt, (a1 = a2) AS hom,
+               row_number() OVER (PARTITION BY sample_id, chrom
+                                  ORDER BY pos, ref, alt, gt) AS rn
+             FROM bc),
+      hq AS (SELECT *, rn - row_number() OVER (PARTITION BY sample_id, chrom
+                                               ORDER BY rn) AS grp
+             FROM sq WHERE hom)
+      SELECT sample_id, chrom,
+        count(*) AS n_sites,
+        min(pos) AS run_start,
+        max(pos) AS run_end
+      FROM hq GROUP BY sample_id, chrom, grp
+      HAVING count(*) >= 3
+      ORDER BY sample_id, chrom, run_start, run_end, n_sites
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
-      q103, q104, q105)
+      q103, q104, q105, q106, q107, q108)
 }

@@ -232,13 +232,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the same annotated frame — the site-window exchange must be
     // computed once and reused, not re-derived per view
     for (name <- Seq("q79_sample_concordance", "q80_trio_mendel",
-        "q91_kinship")) {
+        "q91_kinship", "q106_inbreeding", "q107_tdt")) {
       val q = SparkEntry.queries(name)(spark, dir)
       q.collect()
       val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
       assert(p.contains("ReusedExchange"),
         s"$name re-derives the annotate subtree:\n$p")
     }
+  }
+
+  test("q108 roh: both island windows and the run agg share ONE (sample, chrom) exchange") {
+    val q = SparkEntry.queries("q108_roh")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // exactly one hashpartitioning(sample_id, chrom): the second
+    // row_number re-sorts inside it and the (sample, chrom, grp) groupBy
+    // is satisfied by the subset partitioning — no further shuffle until
+    // the tiny ordered output
+    val keyed = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(sample_id"))
+    assert(keyed === 1, s"roh must shuffle once on (sample, chrom):\n$p")
+    assert(p.linesIterator.count(_.contains("Window ")) === 2, p)
   }
 
   test("q87 bm25 top-k plans as TakeOrderedAndProject, never a global sort") {

@@ -154,4 +154,100 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     // only the called diploid row counts: n = 1 het → chi² = 1·1/(1·1)
     assert(byPos(500L) === ((0L, 1L, 0L, 1000000L)))
   }
+
+  test("inbreedingF: exact micro-fixed-point F, exclusions enforced") {
+    import spark.implicits._
+    // (pos, sample, multiallele, gt1, gt2, a1, a2, zygosity)
+    val ann = Seq(
+      // site 100: x hom-ref, y het → n0=1 n1=1 n2=0 → A=3 B=1 n=2
+      //   e = A·B/(2n²) = 3/8 = 0.375 → ehet_micro = 375000
+      (100L, "x", 0, "0", "0", "A", "A", "hom-ref"),
+      (100L, "y", 0, "0", "1", "A", "T", "het-ref"),
+      // site 200: both het → n1=2 → A=2 B=2 n=2 → e = 4/8 → 500000
+      (200L, "x", 0, "0", "1", "A", "T", "het-ref"),
+      (200L, "y", 0, "1", "0", "T", "A", "het-ref"),
+      // excluded: multiallelic site, half-missing, haploid
+      (300L, "x", 1, "1", "2", "T", "C", "het-alt"),
+      (400L, "x", 0, ".", "1", ".", "T", "het-miss"),
+      (500L, "y", 0, "0", null, "A", ".", "het-miss"))
+      .map { case (p, s, m, g1, g2, a1, a2, z) =>
+        ("1", p, "A", "T", s, m, g1, g2, a1, a2, z) }
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2", "a1", "a2", "zygosity")
+    val f = graft.operators.VariantQc.inbreedingF(ann)
+      .select("sample_id", "n_sites", "n_obs_hom", "ehet_sum_micro", "f_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // x: Σe = 875000, O_het = 1 → F = (875000−1000000)/875000 ≈ −0.142857
+    assert(f("x") === ((2L, 1L, 875000L, -142858L)))
+    // y: O_het = 2 → F = (875000−2000000)/875000 ≈ −1.285714
+    assert(f("y") === ((2L, 0L, 875000L, -1285715L)))
+  }
+
+  test("tdtByChrom: phase-free b/c counts, violations and uninformative dropped") {
+    import spark.implicits._
+    // (chrom, pos, cGt, mGt, fGt); trio = (c, m, f)
+    def site(ch: String, pos: Long, c: (String, String), m: (String, String),
+        f: (String, String)) = Seq(
+      (ch, pos, "A", "T", "c", 0, c._1, c._2),
+      (ch, pos, "A", "T", "m", 0, m._1, m._2),
+      (ch, pos, "A", "T", "f", 0, f._1, f._2))
+    val ann = (
+      // chrom 1, site A: c het, m het, f hom-ref → d=1 h=0 t=1 → b=1 c=0
+      site("1", 100L, ("0", "1"), ("0", "1"), ("0", "0")) ++
+      // chrom 1, site B: c hom-ref, both parents het → t=2 b=0 c=2
+      site("1", 200L, ("0", "0"), ("0", "1"), ("1", "0")) ++
+      // chrom 1, site C: no het parent → uninformative, dropped
+      site("1", 300L, ("0", "1"), ("1", "1"), ("0", "0")) ++
+      // chrom 1, site D: Mendelian violation (hom-alt child of two
+      // hom-ref parents) → b=2 > t=0, excluded
+      site("1", 400L, ("1", "1"), ("0", "0"), ("0", "0")) ++
+      // chrom 2, site E: c hom-alt, m het, f hom-alt → d=2 h=1 t=1 → b=1 c=0
+      site("2", 500L, ("1", "1"), ("0", "1"), ("1", "1")) ++
+      // chrom 2, site F: child half-missing → trio join drops the site
+      Seq(("2", 600L, "A", "T", "c", 0, ".", "1"),
+        ("2", 600L, "A", "T", "m", 0, "0", "1"),
+        ("2", 600L, "A", "T", "f", 0, "0", "0")))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2")
+    val t = graft.operators.VariantQc.tdtByChrom(ann, "c", "m", "f")
+      .select("chrom", "n_informative", "n_b", "n_c", "tdt_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // chrom 1: B=1 C=2 → (1−2)²/3 = 0.3333…
+    assert(t("1") === ((2L, 1L, 2L, 333333L)))
+    // chrom 2: B=1 C=0 → 1/1 = 1
+    assert(t("2") === ((1L, 1L, 0L, 1000000L)))
+  }
+
+  test("rohSegments: islands break on het, survive duplicates, isolate chroms") {
+    import spark.implicits._
+    def call(ch: String, pos: Long, s: String, hom: Boolean) = {
+      val (g2, a2) = if (hom) ("0", "A") else ("1", "T")
+      (ch, pos, "A", "T", s, 0, "0", g2, if (hom) "0/0" else "0/1", "A", a2)
+    }
+    val ann = (
+      // s1 chrom 1: hom×3, het break, hom×4 → runs (100-300, 3) and
+      // (500-800, 4); s1 missing at 450 (only s2 called) — no break
+      Seq(100L, 200L, 300L).map(call("1", _, "s1", hom = true)) ++
+      Seq(call("1", 400L, "s1", hom = false)) ++
+      Seq(call("1", 450L, "s2", hom = true)) ++
+      Seq(500L, 600L, 700L, 800L).map(call("1", _, "s1", hom = true)) ++
+      // s1 chrom 2: only 2 homs → below minSites
+      Seq(900L, 950L).map(call("2", _, "s1", hom = true)) ++
+      // s2 chrom 2: full-duplicate rows inside a run (the tie-crossing
+      // regression: an island key derived from two INDEPENDENT
+      // tie-breaks can split this run)
+      Seq(call("2", 10L, "s2", hom = true), call("2", 20L, "s2", hom = true),
+        call("2", 20L, "s2", hom = true), call("2", 30L, "s2", hom = true)))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2", "gt", "a1", "a2")
+    val runs = graft.operators.VariantQc.rohSegments(ann, minSites = 3)
+      .select("sample_id", "chrom", "n_sites", "run_start", "run_end")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(runs === Set(
+      ("s1", "1", 3L, 100L, 300L),
+      ("s1", "1", 4L, 500L, 800L),
+      ("s2", "2", 4L, 10L, 30L)))
+  }
 }
