@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineExpr, DotExpr, L2SqExpr, RollingHashExpr, VartypeExpr}
+import graft.expressions.{CdcChunkHashesExpr, CosineExpr, DotExpr, L2SqExpr, RollingHashExpr, VartypeExpr}
 
 /** SparkSessionExtensions injector: registers graft's native expressions
   * as SQL functions, so pure-SQL users get them too:
@@ -37,6 +37,19 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "rolling_hash(str) takes 1 argument")
         RollingHashExpr(children.head)
+      }),
+    ("cdc_chunk_hashes",
+      new ExpressionInfo(classOf[CdcChunkHashesExpr].getName, "cdc_chunk_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "cdc_chunk_hashes(str, window, modulus) takes 3 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"cdc_chunk_hashes: $what must be an integer literal")
+        }
+        CdcChunkHashesExpr(children.head,
+          intLit(children(1), "window"), intLit(children(2), "modulus"))
       }),
     ("vec_dot",
       new ExpressionInfo(classOf[DotExpr].getName, "vec_dot"),

@@ -62,6 +62,18 @@ object StringExprs {
       mod: Long): Column =
     Bridge.column(MinhashSigExpr(Bridge.expression(shingleHashes), as, bs, mod))
 
+  /** Content-defined chunk hashes (Rabin/FastCDC-style boundaries over
+    * the [[rollHash]] polynomial): one O(L) pass maintaining the
+    * rolling hash of the last `window` codepoints, cutting AFTER any
+    * position whose window hash ≡ 0 (mod `modulus`), and emitting each
+    * chunk's [[rollHash]]. Boundaries depend only on LOCAL content, so
+    * an insertion early in a document shifts every byte yet re-syncs
+    * the chunking within ~one window — the shifted-duplicate case both
+    * exact dedup (whole-text hash) and fixed-size blocking miss.
+    */
+  def cdcChunkHashes(s: Column, window: Int, modulus: Int): Column =
+    Bridge.column(CdcChunkHashesExpr(Bridge.expression(s), window, modulus))
+
   val HashMod = 1000000007L
 
   // ---- shared scalar kernels (called from generated code) -------------
@@ -145,6 +157,53 @@ object StringExprs {
     new GenericArrayData(out)
   }
 
+  /** One-pass CDC chunker kernel (see [[cdcChunkHashes]]): window hash
+    * maintained by the true rolling update h' = (h·31 + c − c_out·31^w)
+    * mod p — each emitted window hash is bit-identical to [[rollHash]]
+    * of the window substring, and each emitted value is [[rollHash]] of
+    * the chunk substring, so an engine-portable replay needs only the
+    * public polynomial. Cuts land after codepoint i (1-based, i ≥ w)
+    * when windowHash % m == 0; the final partial chunk always emits.
+    * Empty input → empty array.
+    */
+  def cdcChunkHashesK(s: UTF8String, w: Int, m: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    // 31^w mod p, for evicting the oldest codepoint from the window
+    var pow = 1L
+    var e = 0
+    while (e < w) { pow = (pow * 31) % HashMod; e += 1 }
+    val ring = new Array[Long](w)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var hWin = 0L
+    var hChunk = 0L
+    var cpCount = 0    // codepoints since document start
+    var chunkLen = 0   // codepoints in the current chunk
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      hChunk = (hChunk * 31 + cp) % HashMod
+      chunkLen += 1
+      if (cpCount >= w) {
+        val evict = (ring(cpCount % w) * pow) % HashMod
+        hWin = ((hWin * 31 + cp - evict) % HashMod + HashMod) % HashMod
+      } else {
+        hWin = (hWin * 31 + cp) % HashMod
+      }
+      ring(cpCount % w) = cp
+      cpCount += 1
+      if (cpCount >= w && hWin % m == 0 && i < n) {
+        out += hChunk
+        hChunk = 0L
+        chunkLen = 0
+      }
+    }
+    if (chunkLen > 0) out += hChunk
+    new GenericArrayData(out.toArray)
+  }
+
   /** [[rollHash]] over every element; null elements stay null (same
     * semantics as mapping RollingHashExpr through `transform`).
     */
@@ -203,6 +262,34 @@ case class RollingHashExpr(child: Expression)
     defineCodeGen(ctx, ev, s => s"graft.expressions.StringExprs.rollHash($s)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass content-defined chunker (see
+  * [[StringExprs.cdcChunkHashesK]]) — boundaries and chunk fingerprints
+  * in a single static call per row.
+  */
+case class CdcChunkHashesExpr(child: Expression, window: Int, modulus: Int)
+    extends UnaryExpression {
+  require(window > 0, s"cdc window must be positive, got $window")
+  require(modulus > 1, s"cdc modulus must be > 1, got $modulus")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    StringExprs.cdcChunkHashesK(s.asInstanceOf[UTF8String], window, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.expressions.StringExprs.cdcChunkHashesK($s, $window, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashesExpr =
     copy(child = newChild)
 }
 

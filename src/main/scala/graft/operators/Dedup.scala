@@ -840,4 +840,50 @@ object Dedup {
         sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("dup_micro", expr("n_shared * 1000000 div n_shingles"))
   }
+
+  /** (id, chunk-hash) long table via CONTENT-DEFINED CHUNKING
+    * ([[graft.expressions.StringExprs.cdcChunkHashes]], Rabin/FastCDC
+    * family): boundaries where the rolling hash of the last `window`
+    * chars ≡ 0 (mod `modulus`) — so an edit or insertion anywhere
+    * shifts every downstream byte yet the chunking RE-SYNCS within ~one
+    * window. This is the dedup granularity between exact (whole-text
+    * hash — broken by one byte) and shingles (every n-gram — |text| rows
+    * per doc): ~|text|/modulus rows per doc, robust to shifts.
+    * Instances kept (not distinct): a chunk repeated inside one doc is
+    * still one doc's evidence only ([[cdcDupStats]] counts distinct
+    * docs per chunk).
+    */
+  def cdcChunkTable(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, modulus: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.expressions.StringExprs.cdcChunkHashes(
+        lower(cleanAscii(col(textCol))), window, modulus)).as("ch"))
+
+  /** Per-document SHIFTED-DUPLICATE stats over the CDC chunk table: for
+    * each doc, how many of its chunk instances also occur in ≥1 OTHER
+    * doc (`n_dup_chunks`), and the micro-floored fraction. Catches the
+    * copy-with-a-new-header / prepended-boilerplate duplicates that
+    * exact dedup misses structurally (any edit flips the whole-text
+    * hash) — at chunk rather than n-gram granularity, ~modulus× fewer
+    * rows than the shingle substrate.
+    *
+    * Shape: one chunk-hash groupBy (countDistinct doc — two-phase
+    * partial agg, hot boilerplate chunks crushed map-side) + one join
+    * back on the hash (each instance matches exactly ONE count row — no
+    * fan-out) + one per-doc agg. Three exchanges of (id, 8-byte hash)
+    * rows, never the text; the q30/q98 exact-dedup cost class at chunk
+    * granularity.
+    */
+  def cdcDupStats(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, modulus: Int = 32): DataFrame = {
+    val ch = cdcChunkTable(df, idCol, textCol, window, modulus)
+    val docFreq = ch.groupBy(col("ch"))
+      .agg(countDistinct(col("id")).as("__nd"))
+    ch.join(docFreq, Seq("ch"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_micro", expr("n_dup_chunks * 1000000 div n_chunks"))
+  }
 }

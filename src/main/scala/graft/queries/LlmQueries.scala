@@ -2607,9 +2607,78 @@ object LlmQueries extends QuerySet {
       FROM sh GROUP BY 1 ORDER BY shard
     """))
 
+  /** Prefix-perturbed corpus for the CDC gate: documents ∪ copies of
+    * every 7th doc with a 9-char prefix prepended — the SHIFTED
+    * duplicate (every byte moves) that whole-text hashing and
+    * fixed-size blocking both miss structurally, and the case
+    * content-defined boundaries exist to catch.
+    */
+  private def docsShifted(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("id"),
+          concat(lit("qq ww ee "), col("text")).as("text")))
+  }
+
+  private val docsShiftedSql =
+    """dsh AS (
+         SELECT doc_id AS id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 2000000 AS id, 'qq ww ee ' || text AS text
+         FROM documents WHERE doc_id % 7 = 0)"""
+
+  /** Content-defined-chunking dedup stats (Dedup.cdcDupStats over the
+    * prefix-shifted corpus): per doc, its CDC chunk count and how many
+    * chunk instances recur in ≥1 other doc. Every shifted copy shares
+    * nearly all its chunks with its original (the boundaries re-sync
+    * within ~one 8-char window of the 9-char prefix) — the evidence
+    * neither exact (q30) nor fixed blocks could produce. The oracle
+    * replays the chunker from the PUBLIC polynomial alone: window
+    * hashes via substr+rollSql, cut list per doc, chunk substrings
+    * between cuts, chunk rollSql, then the same distinct-doc-frequency
+    * fold — an independent O(L·w) reimplementation checking the O(L)
+    * rolling kernel cut-for-cut and hash-for-hash.
+    */
+  private val q109 = Q(
+    "q109_cdc_dedup",
+    (s, dir) =>
+      Dedup.cdcDupStats(docsShifted(s, dir), "id", "text",
+        window = 8, modulus = 32).orderBy("id"),
+    Some(s"""
+      WITH $docsShiftedSql,
+      ct AS (SELECT id, lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) AS t
+             FROM dsh),
+      cuts AS (SELECT id, t,
+                 list_filter(range(8, CAST(length(t) AS BIGINT)), p ->
+                   ${rollSql("substr(t, CAST(p AS INT) - 7, 8)")} % 32 = 0) AS cl
+               FROM ct),
+      ch AS (SELECT id, ${rollSql("c")} AS chash FROM (
+               SELECT id, unnest(list_transform(
+                 range(1, CAST(len(cl) AS BIGINT) + 2), j ->
+                   substr(t,
+                     CAST(CASE WHEN j = 1 THEN 1
+                          ELSE cl[CAST(j AS INT) - 1] + 1 END AS INT),
+                     CAST((CASE WHEN j <= len(cl) THEN cl[CAST(j AS INT)]
+                           ELSE length(t) END)
+                        - (CASE WHEN j = 1 THEN 1
+                           ELSE cl[CAST(j AS INT) - 1] + 1 END) + 1 AS INT)))) AS c
+               FROM cuts) u
+             WHERE length(c) > 0),
+      dfq AS (SELECT chash, count(DISTINCT id) AS nd FROM ch GROUP BY chash),
+      per AS (SELECT c.id, count(*) AS n_chunks,
+                SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+              FROM ch c JOIN dfq d ON d.chash = c.chash
+              GROUP BY c.id)
+      SELECT id, CAST(n_chunks AS BIGINT) AS n_chunks,
+             CAST(n_dup AS BIGINT) AS n_dup_chunks,
+             CAST((n_dup * 1000000) // n_chunks AS BIGINT) AS dup_micro
+      FROM per ORDER BY id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
-      q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99)
+      q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109)
 }

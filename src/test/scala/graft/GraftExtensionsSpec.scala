@@ -26,6 +26,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(agg === Seq(("ins", 1L), ("mnp", 1L), ("ref", 1L), ("snp", 1L)))
   }
 
+  test("SQL users get the CDC chunker, with loud non-literal params") {
+    val s2 = spark
+    GraftExtensions.register(s2)
+    // single chunk for a short string: just rolling_hash of the whole
+    val r = s2.sql(
+      "SELECT cdc_chunk_hashes('AB', 8, 16) AS c, rolling_hash('AB') AS h").head()
+    assert(r.getSeq[Long](0) === Seq(r.getLong(1)))
+    val err = intercept[Exception](
+      s2.sql("SELECT cdc_chunk_hashes('AB', length('AB'), 16)").collect())
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+
   test("SQL users get the vector kernels too (vec_dot/l2sq/cosine)") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -107,6 +107,58 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(line.trim.matches("""^\+?-?\s*\*\(\d+\).*"""), plan)
   }
 
+  test("cdcChunkHashes kernel: cut-for-cut equal to the direct-substring reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // quadratic reference: window hash = rollHash of the substring,
+    // cut after 1-based i ∈ [w, n−1] when hash % m == 0
+    def roll(x: String): Long =
+      x.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    def slow(s: String, w: Int, m: Int): Seq[Long] = {
+      val n = s.length
+      if (n == 0) return Seq.empty
+      val cuts = (w until n).filter(i => roll(s.substring(i - w, i)) % m == 0)
+      val starts = 0 +: cuts
+      val ends = cuts :+ n
+      starts.zip(ends).map { case (a, b) => roll(s.substring(a, b)) }
+    }
+    def fast(s: String, w: Int, m: Int): Seq[Long] =
+      graft.expressions.StringExprs
+        .cdcChunkHashesK(UTF8String.fromString(s), w, m)
+        .toLongArray().toSeq
+    val rnd = new scala.util.Random(42)
+    def randText(len: Int): String =
+      (1 to len).map(_ => "abcdefghij klmnop qrs"(rnd.nextInt(21))).mkString
+    val fixtures = Seq("", "abc", "abcdefgh", "the quick brown fox " * 10) ++
+      (1 to 20).map(_ => randText(1 + rnd.nextInt(400)))
+    for (s <- fixtures; (w, m) <- Seq((4, 4), (8, 16), (8, 32)))
+      assert(fast(s, w, m) === slow(s, w, m), s"w=$w m=$m len=${s.length}")
+  }
+
+  test("cdcChunkHashes: chunking re-syncs after a prefix insertion, codegen'd") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def chunks(s: String): Seq[Long] =
+      graft.expressions.StringExprs
+        .cdcChunkHashesK(UTF8String.fromString(s), 8, 16).toLongArray().toSeq
+    val rnd = new scala.util.Random(7)
+    val t = (1 to 400).map(_ => "abcdefghij klmnop qrs"(rnd.nextInt(21))).mkString
+    val c1 = chunks(t)
+    val c2 = chunks("xy z" + t)
+    assert(c1.length > 5, s"fixture should chunk densely, got ${c1.length}")
+    // every cut of t persists (shifted) in the prefixed text, so the
+    // chunk lists share all chunks after t's FIRST boundary — only the
+    // first chunk absorbs the shift
+    val common = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(common >= c1.length - 1, s"resync failed: $common of ${c1.length}")
+    // and the expression stays inside WholeStageCodegen
+    val df = Seq(("a", t)).toDF("id", "text").repartition(2)
+      .select(graft.expressions.StringExprs
+        .cdcChunkHashes(col("text"), 8, 16).as("h"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("cdc_chunk_hashes")).get
+    assert(line.trim.matches("""^\+?-?\s*\*\(\d+\).*"""), plan)
+  }
+
   test("ngramHashes kernel: window-for-window equal to the wordNgrams+rollingHash HOFs") {
     import graft.expressions.StringExprs.ngramHashes
     // the kernel replaced transform(wordNgrams(toks, n), rollingHash) —
