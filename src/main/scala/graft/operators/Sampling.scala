@@ -266,4 +266,70 @@ object Sampling {
         .drop("__rn", "__ct", "__t")
     }
   }
+
+  /** DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the hashed-ngram
+    * variant): score every raw document by how target-like its hashed
+    * n-gram feature distribution is,
+    *
+    *   log w(doc) = Σ_b cnt_b(doc) · ln λ_b,
+    *   λ_b = p̂_target(b) / p̂_raw(b)   (add-one smoothed)
+    *
+    * over `buckets` feature buckets (word unigrams + bigrams, the
+    * public rolling hash mod `buckets`). High-weight docs are the ones
+    * importance resampling keeps when fitting a raw crawl to a curated
+    * target (Wikipedia-like, textbook-like, …).
+    *
+    * Determinism contract (the gate pattern): λ_b's numerator and
+    * denominator are EXACT int64 products — (t_b+1)·(R+K) and
+    * (r_b+1)·(T+K) — so each bucket's ln argument is one IEEE divide
+    * of exactly-converted integers, micro-floored ONCE per bucket
+    * (`buckets` values total, not per doc); per-doc weights are then
+    * exact integer dot products. The only cross-engine wobble left is
+    * ln's final ulp — floor(1e6·ln) flips only if 1e6·ln lands within
+    * ~1 ulp of an integer, vanishing at `buckets` values per corpus.
+    * Counts lift to decimal beyond ~4·10⁹ feature instances per bucket
+    * times corpus totals (int64 product bound), documented not stubbed.
+    *
+    * Shape: one (id, bucket) groupBy of the exploded feature stream
+    * (≤ `buckets` rows per doc survive the map-side partial agg), the
+    * two bucket histograms (`buckets` rows each — driver-small by
+    * PARAMETER, like centroids/codebooks), a broadcast join of the
+    * λ table, one per-doc agg. The corpus text itself is read once and
+    * never shuffled — only (id, bucket, cnt) rows move.
+    */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 64): DataFrame = {
+    import graft.expressions.StringExprs.{ngramHashes, tokenHashes}
+    import graft.functions.TextFunctions.{cleanAscii, wsTokens}
+    val toks = wsTokens(lower(cleanAscii(col(textCol))))
+    val feats = df
+      .select(col(idCol).as("id"), isTarget.as("__tgt"),
+        explode(concat(tokenHashes(toks), ngramHashes(toks, 2))).as("fh"))
+      .select(col("id"), col("__tgt"), pmod(col("fh"), lit(buckets.toLong)).as("b"))
+    val perDoc = feats.groupBy("id", "b").agg(count(lit(1)).as("cnt"))
+    def hist(f: DataFrame) = f.groupBy("b").agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val allBuckets = spark.range(buckets).select(col("id").as("b"))
+    val tb = hist(feats.filter(col("__tgt")))
+      .withColumnRenamed("n", "tn")
+    val rb = hist(feats).withColumnRenamed("n", "rn")
+    val lam = allBuckets
+      .join(tb, Seq("b"), "left").join(rb, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("tn"), lit(0L)).as("tn"),
+        coalesce(col("rn"), lit(0L)).as("rn"))
+    val withTotals = lam.crossJoin(broadcast(
+      lam.agg(sum("tn").as("T"), sum("rn").as("R"))))
+    val k = lit(buckets.toLong)
+    val llr = withTotals.select(col("b"),
+      floor(log(
+        ((col("tn") + 1L) * (col("R") + k)).cast("double") /
+          ((col("rn") + 1L) * (col("T") + k)).cast("double"))
+        * lit(1000000.0)).cast("long").as("llr_micro"))
+    perDoc.join(broadcast(llr), Seq("b"))
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("llr_micro")).as("logw_micro"))
+  }
 }

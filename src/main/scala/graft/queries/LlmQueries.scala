@@ -2676,9 +2676,58 @@ object LlmQueries extends QuerySet {
       FROM per ORDER BY id
     """))
 
+  /** DSIR hashed-ngram importance weights (Sampling.dsirLogWeights,
+    * Xie et al. 2023): every doc scored by Σ cnt_b · ⌊10⁶·ln λ_b⌋ with
+    * λ_b the add-one-smoothed target/raw bucket ratio over 64 hashed
+    * unigram+bigram buckets — target = the 'src0' source. λ's numerator
+    * and denominator are exact int64 products, ln is taken once per
+    * BUCKET (64 values) and micro-floored there, and everything after
+    * is exact integer arithmetic — the engine-portable rendering of the
+    * paper's log-importance. DuckDB replays tokenization, both hash
+    * streams, the histograms, and the identical ln spelling.
+    */
+  private val q110 = Q(
+    "q110_dsir_weights",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.operators.Sampling
+        .dsirLogWeights(d, "doc_id", "text", col("source") === "src0")
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id AS id, source,
+             string_split_regex(trim(lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'))), '\\s+') AS w
+           FROM documents),
+      feats AS (
+        SELECT id, source, ${rollSql("g")} % 64 AS b FROM (
+          SELECT id, source, unnest(w) AS g FROM tok
+          UNION ALL
+          SELECT id, source, unnest(list_transform(
+            range(1, CAST(len(w) AS BIGINT)), q ->
+              w[CAST(q AS INT)] || ' ' || w[CAST(q AS INT) + 1])) AS g
+          FROM tok) u),
+      tb AS (SELECT b, count(*) AS tn FROM feats WHERE source = 'src0' GROUP BY b),
+      rb AS (SELECT b, count(*) AS rn FROM feats GROUP BY b),
+      lam AS (SELECT g.b, coalesce(tn, 0) AS tn, coalesce(rn, 0) AS rn
+              FROM (SELECT unnest(range(0, 64)) AS b) g
+              LEFT JOIN tb ON tb.b = g.b LEFT JOIN rb ON rb.b = g.b),
+      tot AS (SELECT sum(tn) AS tt, sum(rn) AS rr FROM lam),
+      llr AS (SELECT b,
+               CAST(floor(ln(CAST((tn + 1) * (rr + 64) AS DOUBLE)
+                             / CAST((rn + 1) * (tt + 64) AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS llr_micro
+              FROM lam, tot),
+      pd AS (SELECT id, b, count(*) AS cnt FROM feats GROUP BY id, b)
+      SELECT id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+             CAST(sum(cnt * llr_micro) AS BIGINT) AS logw_micro
+      FROM pd JOIN llr USING (b) GROUP BY id ORDER BY id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
-      q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109)
+      q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
+      q110)
 }

@@ -250,4 +250,39 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       Sampling.temperatureMix(corpus, "lang", "id", budget = 10L, alpha = 0.0)
     }
   }
+
+  test("dsirLogWeights: target-like docs outrank off-target, counts exact, partition-stable") {
+    import spark.implicits._
+    // target vocabulary {alpha..delta}, off-target {red..blue}; raw
+    // docs 10/11 are target-like, 12/13 off-target-like
+    val docs = Seq(
+      (1L, "tgt", "alpha beta gamma delta alpha beta"),
+      (2L, "tgt", "beta gamma alpha delta delta gamma"),
+      (10L, "raw", "alpha beta gamma delta"),
+      // target-attested bigrams only (beta gamma / gamma delta / delta
+      // alpha all occur in the target) — a REVERSED word order scores
+      // negative because bigram features encode order
+      (11L, "raw", "beta gamma delta alpha"),
+      (12L, "raw", "red green blue yellow"),
+      (13L, "raw", "blue yellow red green"))
+      .toDF("doc_id", "src", "text")
+    val w = Sampling.dsirLogWeights(docs, "doc_id", "text",
+      col("src") === "tgt", buckets = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // n_feats = unigrams + bigrams = 2n − 1
+    assert(w(10L)._1 === 7L)
+    assert(w(1L)._1 === 11L)
+    // target-vocabulary docs carry positive evidence, off-target negative
+    assert(w(10L)._2 > w(12L)._2,
+      s"target-like ${w(10L)} must outrank off-target ${w(12L)}")
+    assert(w(12L)._2 < 0, s"off-target doc should score negative: ${w(12L)}")
+    // per-feature normalized: same-vocab docs of different length agree in sign
+    assert(w(11L)._2 > 0)
+    // determinism: identical output under a different partitioning
+    val w2 = Sampling.dsirLogWeights(docs.repartition(7), "doc_id", "text",
+      col("src") === "tgt", buckets = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(w === w2)
+  }
 }
