@@ -226,6 +226,84 @@ object VariantQc {
           .as("tdt_micro"))
   }
 
+  /** Pairwise LINKAGE-DISEQUILIBRIUM r² between nearby biallelic sites
+    * (the unphased genotype-correlation estimator — plink `--r2`'s
+    * default): for every same-chromosome site pair within `maxDist` bp,
+    * the squared Pearson correlation of ALT-dosage vectors over samples
+    * called diploid at BOTH sites,
+    *
+    *   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    *
+    * — every term an exact int64 (dosages ∈ {0,1,2}) until ONE final
+    * micro-floored division; a zero denominator (either site
+    * monomorphic over the shared called set) defines 0. Int64-exact to
+    * ~38k samples per pair (cov² ≤ 16n⁴ < 2⁶³); lift the products to
+    * decimal(38,0) for biobank width, as with [[hweBySite]]. The
+    * substrate of LD pruning, tag-SNP selection, and the LD-decay QC
+    * curve.
+    *
+    * Scale shape: pairs are generated by the RangeJoin bucket rule,
+    * never all-pairs — the left side is emitted into buckets
+    * ⌊pos/maxDist⌋ and ⌊pos/maxDist⌋+1, the right into its own, so
+    * each in-range pair (ordered by the composite site key) arises
+    * EXACTLY once from one equi-join on (chrom, bucket); dosage vectors
+    * then attach via two site-keyed joins against the SAME genotype
+    * plan (ReusedExchange), and one aggregation on the pair key
+    * finishes. Work is pairs×samples rows — linear in sites for fixed
+    * maxDist and window density, the estimator's inherent cost; at
+    * biobank width run it on an LD-panel subset exactly as plink does.
+    */
+  def ldR2Pairs(
+      ann: DataFrame,
+      maxDist: Int,
+      sampleCol: String = "sample_id"): DataFrame = {
+    require(maxDist > 0, s"maxDist must be positive, got $maxDist")
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val g = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+        col(sampleCol).as("__s"),
+        (col("gt1").cast("long") + col("gt2").cast("long")).as("__d"))
+    val sites = g.select("chrom", "pos", "ref", "alt").distinct()
+    val bkt = (col("pos").cast("long") / lit(maxDist.toLong)).cast("long")
+    val left = sites
+      .withColumn("__bk", explode(array(bkt, bkt + 1L)))
+      .select(col("chrom"), col("__bk"), col("pos").as("pos_a"),
+        col("ref").as("ref_a"), col("alt").as("alt_a"))
+    val right = sites
+      .select(col("chrom"), bkt.as("__bk"), col("pos").as("pos_b"),
+        col("ref").as("ref_b"), col("alt").as("alt_b"))
+    val pairs = left.join(right, Seq("chrom", "__bk"))
+      .filter(col("pos_b") - col("pos_a") <= maxDist.toLong &&
+        struct(col("pos_a"), col("ref_a"), col("alt_a")) <
+          struct(col("pos_b"), col("ref_b"), col("alt_b")))
+      .drop("__bk")
+    val ga = g.select(col("chrom"), col("pos").as("pos_a"),
+      col("ref").as("ref_a"), col("alt").as("alt_a"), col("__s"),
+      col("__d").as("__x"))
+    val gb = g.select(col("chrom"), col("pos").as("pos_b"),
+      col("ref").as("ref_b"), col("alt").as("alt_b"), col("__s"),
+      col("__d").as("__y"))
+    val joined = pairs
+      .join(ga, Seq("chrom", "pos_a", "ref_a", "alt_a"))
+      .join(gb, Seq("chrom", "pos_b", "ref_b", "alt_b", "__s"))
+    val agg = joined.groupBy("chrom", "pos_a", "ref_a", "alt_a",
+        "pos_b", "ref_b", "alt_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val cov = agg("n") * col("__sxy") - col("__sx") * col("__sy")
+    val va = agg("n") * col("__sxx") - col("__sx") * col("__sx")
+    val vb = agg("n") * col("__syy") - col("__sy") * col("__sy")
+    agg.withColumn("r2_micro",
+        when(va === 0L || vb === 0L, 0L).otherwise(
+          floor((cov * cov).cast("double") / (va * vb).cast("double")
+            * lit(1000000.0)).cast("long")))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
   /** RUNS OF HOMOZYGOSITY per (sample, chromosome) — the autozygosity
     * scan (`plink --homozyg` / bcftools roh shape; long runs flag
     * consanguinity, uniparental disomy, and reference-panel sample

@@ -1356,8 +1356,80 @@ object VcfQueries extends QuerySet {
       ORDER BY sample_id, chrom, run_start, run_end, n_sites
     """))
 
+  /** LD-DECAY curve over pairwise r² ([[graft.operators.VariantQc
+    * .ldR2Pairs]], plink `--r2` unphased estimator): every
+    * same-chromosome biallelic site pair within 1 kb (RangeJoin bucket
+    * rule — exactly-once, never all-pairs), genotype-correlation r²
+    * from exact int64 sums with ONE micro-floored division per pair,
+    * then the classic decay aggregate: pair counts and r² mass per
+    * (chrom, 100 bp distance bin). The tiny output still pins every
+    * pair's r² through the sums. DuckDB replays the pair join, the
+    * dosage attach, and the identical integer formula.
+    */
+  private val q111 = Q(
+    "q111_ld_decay",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc.ldR2Pairs(ann, maxDist = 1000)
+        .groupBy(col("chrom"),
+          expr("(pos_b - pos_a) div 100").as("dist_bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("r2_micro")).as("r2_sum_micro"))
+        .orderBy("chrom", "dist_bin")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      g AS MATERIALIZED (SELECT chrom, pos, ref, alt, sample_id AS s,
+              CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT) AS d
+            FROM bc),
+      sites AS (SELECT DISTINCT chrom, pos, ref, alt FROM g),
+      pr AS (SELECT a.chrom, a.pos AS pos_a, a.ref AS ref_a, a.alt AS alt_a,
+               b.pos AS pos_b, b.ref AS ref_b, b.alt AS alt_b
+             FROM sites a JOIN sites b
+               ON a.chrom = b.chrom
+              AND b.pos - a.pos <= 1000
+              AND (a.pos, a.ref, a.alt) < (b.pos, b.ref, b.alt)),
+      -- two-way joins, each in its own MATERIALIZED CTE: inlined as one
+      -- three-way join the optimizer reorders ga⋈gb on (chrom, sample)
+      -- first — a |sites/chrom|² × samples intermediate that runs for
+      -- minutes where these two hash joins take seconds
+      j1 AS MATERIALIZED (
+            SELECT p.chrom, p.pos_a, p.ref_a, p.alt_a,
+               p.pos_b, p.ref_b, p.alt_b, ga.s, ga.d AS x
+            FROM pr p
+            JOIN g ga ON ga.chrom = p.chrom AND ga.pos = p.pos_a
+                     AND ga.ref = p.ref_a AND ga.alt = p.alt_a),
+      j AS (SELECT j1.chrom, j1.pos_a, j1.ref_a, j1.alt_a,
+               j1.pos_b, j1.ref_b, j1.alt_b, j1.x, gb.d AS y
+            FROM j1
+            JOIN g gb ON gb.chrom = j1.chrom AND gb.pos = j1.pos_b
+                     AND gb.ref = j1.ref_b AND gb.alt = j1.alt_b
+                     AND gb.s = j1.s),
+      ag AS (SELECT chrom, pos_a, ref_a, alt_a, pos_b, ref_b, alt_b,
+               count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+             FROM j GROUP BY 1, 2, 3, 4, 5, 6, 7),
+      r AS (SELECT chrom, (pos_b - pos_a) // 100 AS dist_bin,
+              CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0
+                   ELSE CAST(floor(
+                     CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                     / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+                     * 1000000.0) AS BIGINT) END AS r2m
+            FROM ag)
+      SELECT chrom, dist_bin, count(*) AS n_pairs,
+             CAST(sum(r2m) AS BIGINT) AS r2_sum_micro
+      FROM r GROUP BY 1, 2 ORDER BY chrom, dist_bin
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108)
+      q103, q104, q105, q106, q107, q108, q111)
 }

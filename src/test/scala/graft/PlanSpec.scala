@@ -241,6 +241,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q111 ld pairs are bucket equi-joins on (chrom, bucket), never nested loops") {
+    val q = SparkEntry.queries("q111_ld_decay")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"ld pair generation must stay an equi-join:\n$p")
+    // the genotype substrate is derived once and reused across the
+    // pair/dosage sides
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("q108 roh: both island windows and the run agg share ONE (sample, chrom) exchange") {
     val q = SparkEntry.queries("q108_roh")(spark, dir)
     q.collect()

@@ -220,6 +220,54 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(t("2") === ((1L, 1L, 0L, 1000000L)))
   }
 
+  test("ldR2Pairs: hand-computed r², exactly-once across buckets, boundary and missing calls") {
+    import spark.implicits._
+    // dosage vectors per site (ref A, alt T, biallelic): gt1/gt2 encode
+    // 0/1/2 ALT dosage; chrom 1 sites at 100/500/900/1001/1500/2500,
+    // chrom 2 at 150/200 with one missing call
+    def site(ch: String, pos: Long, ds: Seq[Option[Int]]) =
+      ds.zipWithIndex.map { case (d, i) =>
+        val (g1, g2) = d match {
+          case Some(0) => ("0", "0")
+          case Some(1) => ("0", "1")
+          case Some(2) => ("1", "1")
+          case _ => (".", null)
+        }
+        (ch, pos, "A", "T", s"s${i + 1}", 0, g1, g2)
+      }
+    def v(xs: Int*) = xs.map(Some(_))
+    val ann = (
+      site("1", 100L, v(0, 1, 2, 1)) ++
+      site("1", 500L, v(0, 1, 2, 0)) ++
+      site("1", 900L, v(0, 1, 2, 1)) ++   // = site 100 → r² = 1
+      site("1", 1001L, v(2, 1, 0, 1)) ++  // = 2 − site 100 → r² = 1
+      site("1", 1500L, v(1, 1, 1, 1)) ++  // monomorphic → r² = 0
+      site("1", 2500L, v(0, 0, 1, 2)) ++  // exactly 1 kb from 1500 only
+      site("2", 150L, Seq(Some(0), Some(2), Some(2), None)) ++
+      site("2", 200L, v(2, 1, 0, 1)))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2")
+    val out = graft.operators.VariantQc.ldR2Pairs(ann, maxDist = 1000)
+      .select("chrom", "pos_a", "pos_b", "n", "r2_micro")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // no duplicate pair rows (the 100–1001 pair straddles buckets 0/1)
+    assert(out.length === out.toSet.size)
+    assert(out.toSet === Set(
+      // (x=[0,1,2,1], y=[0,1,2,0]): cov²/(va·vb) = 64/88 → 727272
+      ("1", 100L, 500L, 4L, 727272L),
+      ("1", 100L, 900L, 4L, 1000000L),
+      ("1", 100L, 1001L, 4L, 1000000L),
+      ("1", 500L, 900L, 4L, 727272L),
+      ("1", 500L, 1001L, 4L, 727272L),
+      ("1", 500L, 1500L, 4L, 0L),       // dist exactly 1000 included
+      ("1", 900L, 1001L, 4L, 1000000L),
+      ("1", 900L, 1500L, 4L, 0L),
+      ("1", 1001L, 1500L, 4L, 0L),
+      ("1", 1500L, 2500L, 4L, 0L),      // the 1500-site is the mono side
+      // chrom 2: s4 missing at 150 → n = 3 shared calls; 36/48 → 750000
+      ("2", 150L, 200L, 3L, 750000L)))
+  }
+
   test("rohSegments: islands break on het, survive duplicates, isolate chroms") {
     import spark.implicits._
     def call(ch: String, pos: Long, s: String, hom: Boolean) = {
