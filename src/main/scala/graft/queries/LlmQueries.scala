@@ -2724,10 +2724,57 @@ object LlmQueries extends QuerySet {
       FROM pd JOIN llr USING (b) GROUP BY id ORDER BY id
     """))
 
+  /** CLUSTER-BALANCED embedding sampling — the diversity-sampling
+    * recipe (SemDeDup/DoReMi-adjacent: cap dominant semantic clusters,
+    * oversample the tail): IVF-assign the corpus to cells
+    * (Similarity.ivfAssign, the q42 substrate), then draw a
+    * √-temperature mix over CELLS as strata (Sampling.temperatureMix,
+    * α = 0.5) — big clusters contribute ~√ their share, rare clusters
+    * survive. Pure composition of two shipped operators; per-cell kept
+    * counts + id-sums pin the exact draw. DuckDB replays the ordered-
+    * fold assignment, the √-weight targets (stratum-ascending fold),
+    * and the MCG rank order.
+    */
+  private val q112 = Q(
+    "q112_cluster_sample",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cents = e.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = Similarity.ivfAssign(e, cents)
+        .withColumn("cell_s", col("cell").cast("string"))
+      graft.operators.Sampling
+        .temperatureMix(assigned, "cell_s", "vec_id", budget = 200L)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
+        .orderBy("cell")
+    },
+    Some(s"""
+      WITH $ivfAsgSql,
+      cnt AS (SELECT cell, count(*) AS n FROM asg GROUP BY cell),
+      wt AS (SELECT cell, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+      tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(w ORDER BY CAST(cell AS VARCHAR))), (a, b) -> a + b) AS wtot
+              FROM wt),
+      tgt AS (SELECT cell, CAST(floor(CAST(200 AS DOUBLE) * w / tot.wtot) AS BIGINT) AS t
+              FROM wt CROSS JOIN tot),
+      rnk AS (SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007 ASC,
+                   vec_id ASC) AS rn
+             FROM asg)
+      SELECT r.cell, count(*) AS n_kept, CAST(sum(r.vec_id) AS BIGINT) AS id_sum
+      FROM rnk r JOIN tgt ON tgt.cell = r.cell
+      WHERE r.rn <= tgt.t
+      GROUP BY r.cell ORDER BY r.cell
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110)
+      q110, q112)
 }

@@ -1428,8 +1428,45 @@ object VcfQueries extends QuerySet {
       FROM r GROUP BY 1, 2 ORDER BY chrom, dist_bin
     """))
 
+  /** Callset INTERSECTION report ([[VcfReader.isecSites]], `bcftools
+    * isec` analogue) over three overlapping views of the synthetic
+    * callset (even keys / third keys / high-qual): per distinct site
+    * the three presence flags and `n_sets`. One union + one site-keyed
+    * groupBy; DuckDB replays with conditional max aggregation.
+    */
+  private val q113 = Q(
+    "q113_callset_isec",
+    (s, dir) => {
+      val w = wide(s, dir).filter(col("alt") =!= ".")
+      VcfReader.isecSites(Seq(
+          w.filter(col("k") % 2 === 0),
+          w.filter(col("k") % 3 === 0),
+          w.filter(col("qual").cast("int") >= 50)))
+        .orderBy("chrom", "pos", "ref", "alt")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      u AS (
+        SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref, alt,
+               0 AS src FROM v WHERE alt <> '.' AND k % 2 = 0
+        UNION ALL
+        SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref, alt,
+               1 AS src FROM v WHERE alt <> '.' AND k % 3 = 0
+        UNION ALL
+        SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref, alt,
+               2 AS src FROM v WHERE alt <> '.' AND CAST(qual AS INT) >= 50),
+      fl AS (SELECT chrom, pos, ref, alt,
+               CAST(max(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS INT) AS in_0,
+               CAST(max(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS INT) AS in_1,
+               CAST(max(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS INT) AS in_2
+             FROM u GROUP BY 1, 2, 3, 4)
+      SELECT chrom, pos, ref, alt, in_0, in_1, in_2,
+             in_0 + in_1 + in_2 AS n_sets
+      FROM fl ORDER BY chrom, pos, ref, alt
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108, q111)
+      q103, q104, q105, q106, q107, q108, q111, q113)
 }

@@ -143,6 +143,34 @@ object VcfReader {
             coalesce(element_at(col("__g"), sid), lit("./.")))).as("genotypes"))
   }
 
+  /** CALLSET INTERSECTION flags (`bcftools isec` analogue): N callsets
+    * → one row per distinct site key carrying an `in_i` presence flag
+    * per input plus `n_sets`, the private/shared/concordance report
+    * every multi-caller comparison starts from (caller A ∩ caller B,
+    * sites private to the new batch, …). Site-keyed like
+    * [[mergeCohort]] and with the same normalization caveat: differing
+    * ALT representations are different sites — normalize first.
+    *
+    * Scale shape: union of N scans (column-pruned to the site key) →
+    * ONE site-key groupBy with map-side partial max — no joins at any
+    * N; duplicate sites within one input collapse in the same agg.
+    */
+  def isecSites(
+      callsets: Seq[DataFrame],
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    require(callsets.nonEmpty, "isecSites needs at least one callset")
+    val tagged = callsets.zipWithIndex.map { case (df, i) =>
+      df.select(siteKey.map(col) :+ lit(i).as("__src"): _*)
+    }.reduce(_ unionByName _)
+    val flags = callsets.indices.map(i =>
+      max(when(col("__src") === i, 1).otherwise(0)).cast("int").as(s"in_$i"))
+    tagged
+      .groupBy(siteKey.map(col): _*)
+      .agg(flags.head, flags.tail: _*)
+      .withColumn("n_sets",
+        callsets.indices.map(i => col(s"in_$i")).reduce(_ + _))
+  }
+
   /** [[mergeCohort]] over file paths: each header is read driver-side
     * for its sample list, each body through [[read]]. */
   def readCohort(spark: SparkSession, paths: Seq[String]): DataFrame =

@@ -134,6 +134,28 @@ class VcfReaderSpec extends AnyFunSuite with SparkSpec {
     assert(nondet.isEmpty, s"nondeterministic expressions in: $nondet")
   }
 
+  test("isecSites: presence flags, private sites, duplicate collapse, one exchange") {
+    import spark.implicits._
+    def cs(rows: (String, Int)*) =
+      rows.toSeq.toDF("chrom", "pos").select(col("chrom"), col("pos"),
+        lit("A").as("ref"), lit("T").as("alt"))
+    val a = cs(("1", 100), ("1", 200), ("1", 200), ("2", 50)) // 200 twice
+    val b = cs(("1", 100), ("1", 300))
+    val c = cs(("2", 50))
+    val out = VcfReader.isecSites(Seq(a, b, c))
+      .select("chrom", "pos", "in_0", "in_1", "in_2", "n_sets")
+      .as[(String, Long, Int, Int, Int, Int)].collect().toSet
+    assert(out === Set(
+      ("1", 100L, 1, 1, 0, 2),
+      ("1", 200L, 1, 0, 0, 1), // in-callset duplicate collapses
+      ("1", 300L, 0, 1, 0, 1),
+      ("2", 50L, 1, 0, 1, 2)))
+    val plan = VcfReader.isecSites(Seq(a, b, c)).queryExecution
+      .executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"isec must be one site-key groupBy:\n$plan")
+  }
+
   test("rIndex/gIndex match the VCF-spec R and G array layouts (property)") {
     import spark.implicits._
     import graft.sources.VcfReader.{rIndex, gIndex}
