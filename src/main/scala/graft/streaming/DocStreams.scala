@@ -411,6 +411,40 @@ object DocStreams {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** STREAMING CDC chunk probe — the SHIFTED-duplicate member of the
+    * index-probe family (q74 minhash / q76 simhash / semantic): each
+    * arriving doc is chunked by the one-pass content-defined kernel
+    * (narrow codegen explode — the stream never shuffles to be
+    * chunked) and stream-static inner joins the corpus chunk index on
+    * the chunk hash. A match means the arriving doc shares a
+    * content-defined chunk with an indexed doc — the
+    * prepended-boilerplate / copy-with-a-new-header duplicate that
+    * [[dedupStream]]'s whole-text digest misses structurally. Fully
+    * stateless: no state store, no watermark, streams at scan speed.
+    * Emits one row per (arrival, indexed doc, shared chunk hash) —
+    * at-least-once per pair, like the simhash probe's per-band rows;
+    * consumers aggregate shared fractions or dedupe pairs downstream
+    * (chainable append mode, the probe-family contract).
+    *
+    * `chunkIndex` is a batch [[graft.operators.Dedup.cdcChunkTable]]
+    * with the SAME window/modulus (persist it bucketed on `ch` for an
+    * exchange-free static side); refresh = append the accepted
+    * arrivals' own chunk rows between micro-batch epochs, the q74
+    * upsert contract.
+    */
+  def cdcProbeStream(
+      docs: DataFrame, chunkIndex: DataFrame,
+      window: Int = 8, modulus: Int = 32): DataFrame = {
+    import graft.functions.TextFunctions.cleanAscii
+    val probe = docs.select(col("ts"), col("doc_id"),
+      explode(graft.expressions.StringExprs.cdcChunkHashes(
+        lower(cleanAscii(col("text"))), window, modulus)).as("ch"))
+    probe.as("pb")
+      .join(chunkIndex.as("ix"), col("pb.ch") === col("ix.ch"))
+      .select(col("pb.ts"), col("pb.doc_id"),
+        col("ix.id").as("index_id"), col("pb.ch").as("ch"))
+  }
+
   /** STREAMING semantic near-dup probe — [[graft.operators.Dedup
     * .semanticDedup]]'s drop rule with the corpus as the index (the
     * semantic member of the q74/q76 probe family): each arriving

@@ -481,6 +481,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"index probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
   }
 
+  test("streaming cdc probe: shifted copy flags via shared chunks, stateless, equals batch") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 400).map(_ => "abcdefghij klmnop qrs"(rnd.nextInt(21))).mkString
+    val corpus = Seq(
+      (1L, base),
+      (2L, (100 to 140).map(i => s"other$i").mkString(" "))).toDF("id", "text")
+    val index = Dedup.cdcChunkTable(corpus, "id", "text", window = 8, modulus = 16)
+    val batch = Seq(
+      Doc(ts(0), 10L, "prepended header " + base), // shifted copy → flags vs 1
+      Doc(ts(1), 11L, (300 to 340).map(i => s"fresh$i").mkString(" ")), // novel
+      Doc(ts(2), 12L, ""))                         // empty → no chunks, no probe
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(batch)
+    val q = DocStreams.cdcProbeStream(mem.toDF(), index, window = 8, modulus = 16)
+      .writeStream.format("memory").queryName("graft_cdcprobe_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamPairs = spark.table("graft_cdcprobe_test")
+      .select("doc_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(streamPairs.contains((10L, 1L)),
+      s"shifted copy did not share a chunk: $streamPairs")
+    assert(!streamPairs.exists(p => p._1 == 11L || p._1 == 12L), s"got $streamPairs")
+    // batch twin: the arriving docs' chunk table joined on the index
+    val batchPairs = Dedup
+      .cdcChunkTable(batch.map(d => (d.doc_id, d.text)).toDF("id", "text"),
+        "id", "text", window = 8, modulus = 16)
+      .withColumnRenamed("id", "doc_id")
+      .join(index, "ch")
+      .select(col("doc_id"), col("id").as("index_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamPairs === batchPairs, s"stream $streamPairs vs batch $batchPairs")
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.nonEmpty, "no progress recorded — nothing was asserted")
+    batches.foreach(p => assert(p.stateOperators.isEmpty,
+      s"cdc probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
+  }
+
   test("streaming semantic probe: cell-bounded cosine flags, stateless, equals batch") {
     import graft.streaming.DocStreams
     import graft.operators.{Dedup, Similarity}
