@@ -1009,4 +1009,153 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("probe_id", "cand_id", "rnk", "adc")
   }
+
+  /** Trained PCA basis: per-dim mean, orthonormal components (rows,
+    * descending eigenvalue), and the eigenvalues — all driver-small
+    * (d + k·d + k doubles, the centroid/codebook class).
+    */
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** Distributed PCA training — the dimensionality-reduction stage in
+    * front of the ANN ladder (PCA→IVF/PQ is the classic recipe for
+    * high-d embeddings; OPQ's initialization is exactly this): ONE
+    * corpus pass accumulates the d per-dim means and the d(d+1)/2
+    * upper-triangle second moments as DECIMAL-EXACT sums (the
+    * [[kmeansStep]] pattern — aggregation order can't flip bits, so
+    * the covariance, and therefore the whole model, is bit-identical
+    * under any partitioning), then the d×d eigenproblem is solved
+    * DRIVER-SIDE by cyclic Jacobi — d is a model parameter (64–1024),
+    * never data-scale, the same driver-smallness argument as
+    * centroids/codebooks. Components are sign-normalized (largest-
+    * magnitude entry positive) so the basis is unique. Covariance is
+    * the biased (1/n) form. Like k-means/PQ training, run this on a
+    * SAMPLE at 100 TB: the moment pass's explode is d² rows per vector
+    * — a training-set cost, never a corpus cost; [[pcaProject]] is the
+    * narrow corpus-scale path.
+    */
+  def pcaTrain(
+      vecs: DataFrame, k: Int,
+      vecCol: String = "v"): PcaModel = {
+    import graft.queries.QueryUtil.dec
+    require(k > 0, s"k must be positive, got $k")
+    val moments = vecs
+      .select(posexplode(col(vecCol)).as(Seq("__i", "__xi")),
+        col(vecCol).as("__v"))
+      .select(col("__i"), col("__xi"),
+        posexplode(col("__v")).as(Seq("__j", "__xj")))
+      .filter(col("__j") >= col("__i"))
+      .groupBy("__i", "__j")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__xi"))).as("si"),
+        sum(dec(col("__xi") * col("__xj"))).as("sij"))
+      .collect()
+    require(moments.nonEmpty, "pcaTrain over an empty corpus")
+    val d = moments.map(_.getInt(0)).max + 1
+    require(k <= d, s"k=$k exceeds dimensionality d=$d")
+    val n = moments.head.getAs[Long]("n") // identical in every group
+    val mean = new Array[Double](d)
+    val cov = Array.ofDim[Double](d, d)
+    moments.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val sij = r.getDecimal(4).doubleValue()
+      if (i == j) mean(i) = r.getDecimal(3).doubleValue() / n
+      cov(i)(j) = sij / n
+    }
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = cov(i)(j) - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        j += 1
+      }
+      i += 1
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    // order by descending eigenvalue (index tiebreak), sign-normalize
+    val order = values.zipWithIndex.sortBy { case (v, ix) => (-v, ix) }.map(_._2)
+    val comps = order.take(k).map { ix =>
+      val c = vectors.map(_(ix))
+      val m = c.indices.maxBy(p => (math.abs(c(p)), -p))
+      if (c(m) < 0) c.map(x => -x) else c
+    }
+    PcaModel(mean, comps, order.take(k).map(values(_)))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — fixed
+    * sweep order and threshold, so the result is a pure function of the
+    * (decimal-exact) covariance. Returns (eigenvalues, column-eigvecs).
+    */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project vectors onto a trained PCA basis — the CORPUS-scale path:
+    * k codegen'd dot products per row against literal component vectors
+    * (one compile per index, the encode/search amortization), centering
+    * folded into a precomputed scalar offset per component
+    * (proj = ⟨x, c⟩ − ⟨μ, c⟩ — the vector never materializes x−μ).
+    * Narrow end to end: zero shuffles at any scale.
+    */
+  def pcaProject(
+      vecs: DataFrame, model: PcaModel,
+      vecCol: String = "v", outCol: String = "pv"): DataFrame = {
+    import graft.expressions.VectorExprs
+    val comps = model.components.map { c =>
+      val offset = c.zip(model.mean).map { case (ci, mi) => ci * mi }.sum
+      (c, offset)
+    }
+    vecs.withColumn(outCol, array(comps.map { case (c, off) =>
+      VectorExprs.dot(col(vecCol), typedLit(c.toSeq)) - lit(off)
+    }: _*))
+  }
 }

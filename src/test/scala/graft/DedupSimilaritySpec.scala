@@ -1036,4 +1036,65 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(robust === got)
   }
+
+  test("pcaTrain recovers planted principal directions; model is partition-stable") {
+    // 4-d data on a known 2-d subspace: u carries variance 25·Var(a),
+    // w carries Var(b) — top-2 components must recover span{u, w} with
+    // eigenvalues in that order
+    val u = Array(1.0, 1.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    val w = Array(0.0, 0.0, 1.0, -1.0).map(_ / math.sqrt(2))
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map { i =>
+      val a = 5.0 * rnd.nextGaussian()
+      val b = 1.0 * rnd.nextGaussian()
+      (i.toLong, (0 until 4).map(p => 3.0 + a * u(p) + b * w(p)).toSeq)
+    }
+    val df = rows.toDF("vec_id", "v")
+    val m = Similarity.pcaTrain(df, k = 2)
+    assert(m.eigenvalues(0) > m.eigenvalues(1) && m.eigenvalues(1) > 0)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // recovered directions align with the planted ones
+    assert(math.abs(dot(m.components(0), u)) > 0.999,
+      s"c0=${m.components(0).mkString(",")}")
+    assert(math.abs(dot(m.components(1), w)) > 0.999)
+    // orthonormal basis
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-9)
+    // mean recovered (all dims centered at u/w-weighted 3.0)
+    assert(m.mean.forall(x => math.abs(x - 3.0) < 0.5), m.mean.mkString(","))
+    // decimal-exact moments ⇒ the model is bit-identical under any
+    // partitioning
+    val m2 = Similarity.pcaTrain(df.repartition(7), k = 2)
+    assert(m.mean.toSeq === m2.mean.toSeq)
+    assert(m.eigenvalues.toSeq === m2.eigenvalues.toSeq)
+    assert(m.components.map(_.toSeq).toSeq === m2.components.map(_.toSeq).toSeq)
+  }
+
+  test("pcaProject: narrow codegen plan, variance concentrates, centering folded") {
+    val u = Array(1.0, 1.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 100).map { i =>
+      val a = 5.0 * rnd.nextGaussian()
+      (i.toLong, (0 until 4).map(p => 1.0 + a * u(p) + 0.01 * rnd.nextGaussian()).toSeq)
+    }
+    val df = rows.toDF("vec_id", "v").repartition(3)
+    val m = Similarity.pcaTrain(df, k = 2)
+    val proj = Similarity.pcaProject(df, m)
+    // projections are centered: per-component mean ≈ 0
+    val stats = proj.select(
+      avg(element_at(col("pv"), 1)).as("m1"),
+      avg(element_at(col("pv"), 1) * element_at(col("pv"), 1)).as("v1"),
+      avg(element_at(col("pv"), 2) * element_at(col("pv"), 2)).as("v2")).head()
+    assert(math.abs(stats.getDouble(0)) < 1e-6)
+    // component-1 variance ≈ its eigenvalue, and dominates component 2
+    assert(math.abs(stats.getDouble(1) - m.eigenvalues(0)) / m.eigenvalues(0) < 0.01)
+    assert(stats.getDouble(1) > 100 * stats.getDouble(2))
+    // plan: the only exchange is the fixture's own repartition — the
+    // projection adds none; the dot kernels appear codegen'd
+    val p = proj.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1,
+      s"projection must be narrow:\n$p")
+    assert(p.contains("vec_dot"), p)
+  }
 }
