@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -33,6 +33,13 @@ object VectorExprs {
 
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** One-pass pair sums over two aligned dosage arrays (see
+    * [[LdSumsExpr]]): [n, Σx, Σy, Σx², Σy², Σxy] over the positions
+    * where BOTH entries are ≥ 0 (negative = missing-call sentinel).
+    */
+  def ldSums(xs: Column, ys: Column): Column =
+    Bridge.column(LdSumsExpr(Bridge.expression(xs), Bridge.expression(ys)))
 
   // ---- scalar kernels (called from generated code) ---------------------
   // Boxed Double returns: null encodes "invalid input" (length mismatch /
@@ -169,6 +176,27 @@ object VectorExprs {
     java.lang.Long.valueOf(out)
   }
 
+  /** Kernel of [[LdSumsExpr]]: null on length mismatch; skips positions
+    * where either dosage is negative (missing sentinel).
+    */
+  def ldSumsK(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var cnt = 0L; var sx = 0L; var sy = 0L
+    var sxx = 0L; var syy = 0L; var sxy = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      if (x >= 0L && y >= 0L) {
+        cnt += 1; sx += x; sy += y
+        sxx += x * x; syy += y * y; sxy += x * y
+      }
+      i += 1
+    }
+    new GenericArrayData(Array[Any](cnt, sx, sy, sxx, syy, sxy))
+  }
+
   /** One-pass 32-bit simhash kernel over long token hashes. */
   def simhash32K(a: ArrayData): Long = {
     val n = a.numElements()
@@ -247,6 +275,45 @@ abstract class VectorBinaryExpr extends BinaryExpression {
       """
     })
   }
+}
+
+/** One-pass LD pair-sum kernel over two position-ALIGNED int64 dosage
+  * arrays (one slot per cohort sample, negative = missing call): emits
+  * [n, Σx, Σy, Σx², Σy², Σxy] as exact longs over the CO-CALLED
+  * positions — the per-pair genotype-correlation substrate without
+  * exploding pairs × samples rows. NULL on length mismatch (arrays
+  * from different cohort layouts) rather than silent truncation.
+  */
+case class LdSumsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ld_sums"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<long> inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.ldSumsK(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("ldRes")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
+        graft.expressions.VectorExprs.ldSumsK($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LdSumsExpr =
+    copy(left = l, right = r)
 }
 
 case class DotExpr(left: Expression, right: Expression) extends VectorBinaryExpr {

@@ -242,16 +242,31 @@ object VariantQc {
     * substrate of LD pruning, tag-SNP selection, and the LD-decay QC
     * curve.
     *
-    * Scale shape: pairs are generated by the RangeJoin bucket rule,
-    * never all-pairs — the left side is emitted into buckets
-    * ⌊pos/maxDist⌋ and ⌊pos/maxDist⌋+1, the right into its own, so
-    * each in-range pair (ordered by the composite site key) arises
-    * EXACTLY once from one equi-join on (chrom, bucket); dosage vectors
-    * then attach via two site-keyed joins against the SAME genotype
-    * plan (ReusedExchange), and one aggregation on the pair key
-    * finishes. Work is pairs×samples rows — linear in sites for fixed
-    * maxDist and window density, the estimator's inherent cost; at
+    * Scale shape — GENOTYPE-MATRIX ROWS, the plink/Hail layout: each
+    * site is first reduced to ONE row carrying its cohort dosage
+    * array (one slot per sample, −1 = missing; the site groupBy rides
+    * the annotate window's site partitioning — zero extra exchange),
+    * so pair generation and the statistics never touch per-sample
+    * rows. Pairs come from the RangeJoin bucket rule — the left side
+    * is emitted into buckets ⌊pos/maxDist⌋ and ⌊pos/maxDist⌋+1, the
+    * right into its own, so each in-range pair (ordered by the
+    * composite site key) arises EXACTLY once from one equi-join on
+    * (chrom, bucket) — carrying both arrays WITH them; the six pair
+    * sums are then ONE codegen kernel call per pair
+    * ([[graft.expressions.VectorExprs.ldSums]]). The first cut of
+    * this operator attached dosages by exploding pairs × samples
+    * through two site-keyed joins — 103 s of the 105-query bench at
+    * sf0.1; this shape is the same statistic at pair-row cost.
+    * Work is linear in sites for fixed maxDist and window density; at
     * biobank width run it on an LD-panel subset exactly as plink does.
+    *
+    * Duplicate (site, sample) records — including CONFLICTING ones
+    * (two different calls for one key, which the testdata's colliding
+    * derivation keys actually produce at sf0.1) — resolve to the
+    * MINIMUM dosage in a dedicated per-(site, sample) aggregation:
+    * deterministic, engine-replayable, and the statistic stays
+    * well-defined on malformed merges (normalize upstream for real
+    * callsets; [[graft.sources.VcfReader.mergeCohort]] refuses them).
     */
   def ldR2Pairs(
       ann: DataFrame,
@@ -264,44 +279,50 @@ object VariantQc {
       .select(col("chrom"), col("pos"), col("ref"), col("alt"),
         col(sampleCol).as("__s"),
         (col("gt1").cast("long") + col("gt2").cast("long")).as("__d"))
-    val sites = g.select("chrom", "pos", "ref", "alt").distinct()
+    // cohort sample list: driver-small by definition (a callset has a
+    // fixed sample panel — the centroid/codebook smallness argument)
+    val samples = g.select(col("__s")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val g2 = g.groupBy("chrom", "pos", "ref", "alt", "__s")
+      .agg(min(col("__d")).as("__d"))
+    val siteVecs = g2
+      .groupBy("chrom", "pos", "ref", "alt")
+      .agg(map_from_entries(
+        collect_list(struct(col("__s"), col("__d")))).as("__m"))
+      .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+        transform(typedLit(samples),
+          sid => coalesce(element_at(col("__m"), sid), lit(-1L))).as("__xs"))
     val bkt = (col("pos").cast("long") / lit(maxDist.toLong)).cast("long")
-    val left = sites
+    val left = siteVecs
       .withColumn("__bk", explode(array(bkt, bkt + 1L)))
       .select(col("chrom"), col("__bk"), col("pos").as("pos_a"),
-        col("ref").as("ref_a"), col("alt").as("alt_a"))
-    val right = sites
+        col("ref").as("ref_a"), col("alt").as("alt_a"),
+        col("__xs").as("__xa"))
+    val right = siteVecs
       .select(col("chrom"), bkt.as("__bk"), col("pos").as("pos_b"),
-        col("ref").as("ref_b"), col("alt").as("alt_b"))
+        col("ref").as("ref_b"), col("alt").as("alt_b"),
+        col("__xs").as("__xb"))
     val pairs = left.join(right, Seq("chrom", "__bk"))
       .filter(col("pos_b") - col("pos_a") <= maxDist.toLong &&
         struct(col("pos_a"), col("ref_a"), col("alt_a")) <
           struct(col("pos_b"), col("ref_b"), col("alt_b")))
-      .drop("__bk")
-    val ga = g.select(col("chrom"), col("pos").as("pos_a"),
-      col("ref").as("ref_a"), col("alt").as("alt_a"), col("__s"),
-      col("__d").as("__x"))
-    val gb = g.select(col("chrom"), col("pos").as("pos_b"),
-      col("ref").as("ref_b"), col("alt").as("alt_b"), col("__s"),
-      col("__d").as("__y"))
-    val joined = pairs
-      .join(ga, Seq("chrom", "pos_a", "ref_a", "alt_a"))
-      .join(gb, Seq("chrom", "pos_b", "ref_b", "alt_b", "__s"))
-    val agg = joined.groupBy("chrom", "pos_a", "ref_a", "alt_a",
-        "pos_b", "ref_b", "alt_b")
-      .agg(count(lit(1)).as("n"),
-        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
-        sum(col("__x") * col("__x")).as("__sxx"),
-        sum(col("__y") * col("__y")).as("__syy"),
-        sum(col("__x") * col("__y")).as("__sxy"))
-    val cov = agg("n") * col("__sxy") - col("__sx") * col("__sy")
-    val va = agg("n") * col("__sxx") - col("__sx") * col("__sx")
-    val vb = agg("n") * col("__syy") - col("__sy") * col("__sy")
-    agg.withColumn("r2_micro",
+      .withColumn("__sums",
+        graft.expressions.VectorExprs.ldSums(col("__xa"), col("__xb")))
+    def s(i: Int) = element_at(col("__sums"), i + 1)
+    val (n, sx, sy, sxx, syy, sxy) = (s(0), s(1), s(2), s(3), s(4), s(5))
+    val cov = n * sxy - sx * sy
+    val va = n * sxx - sx * sx
+    val vb = n * syy - sy * sy
+    pairs.select(
+        col("chrom"), col("pos_a"), col("ref_a"), col("alt_a"),
+        col("pos_b"), col("ref_b"), col("alt_b"),
+        n.as("n"),
         when(va === 0L || vb === 0L, 0L).otherwise(
           floor((cov * cov).cast("double") / (va * vb).cast("double")
-            * lit(1000000.0)).cast("long")))
-      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+            * lit(1000000.0)).cast("long")).as("r2_micro"))
+      // a pair with NO co-called sample carries no evidence — plink
+      // drops it, and so did the join-based formulation structurally
+      .filter(col("n") > 0L)
   }
 
   /** RUNS OF HOMOZYGOSITY per (sample, chromosome) — the autozygosity

@@ -1383,9 +1383,12 @@ object VcfQueries extends QuerySet {
       WITH $duckCtes,
       $duckAnnotateCtes,
       $duckBiallelicCte,
+      -- per-(site, sample) MIN dosage: duplicate records (incl. the
+      -- conflicting ones the colliding derivation keys produce at
+      -- sf0.1) resolve deterministically, mirroring the operator
       g AS MATERIALIZED (SELECT chrom, pos, ref, alt, sample_id AS s,
-              CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT) AS d
-            FROM bc),
+              min(CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT)) AS d
+            FROM bc GROUP BY 1, 2, 3, 4, 5),
       sites AS (SELECT DISTINCT chrom, pos, ref, alt FROM g),
       pr AS (SELECT a.chrom, a.pos AS pos_a, a.ref AS ref_a, a.alt AS alt_a,
                b.pos AS pos_b, b.ref AS ref_b, b.alt AS alt_b
@@ -1465,8 +1468,44 @@ object VcfQueries extends QuerySet {
       FROM fl ORDER BY chrom, pos, ref, alt
     """))
 
+  /** Genome-BIN variant density with a vartype breakdown — the
+    * sliding-window density track every genome browser and QC report
+    * draws (hypervariable windows flag mapping artifacts, deserts flag
+    * reference gaps): per (chrom, 10 kb bin), site counts and the
+    * snp/ins/del/mnp/indel split of the first ALT allele. One narrow
+    * classify + one bin-keyed groupBy with map-side partial agg.
+    */
+  private val q114 = Q(
+    "q114_variant_density",
+    (s, dir) => {
+      val w = wide(s, dir).filter(col("alt") =!= ".")
+        .select(col("chrom"), expr("pos div 10000").as("bin"),
+          vartype(col("ref"),
+            element_at(split(col("alt"), ","), 1)).as("vt"))
+      def c(t: String) =
+        sum(when(col("vt") === t, 1L).otherwise(0L)).as(s"n_$t")
+      w.groupBy("chrom", "bin")
+        .agg(count(lit(1)).as("n_sites"),
+          c("snp"), c("ins"), c("del"), c("mnp"), c("indel"))
+        .orderBy("chrom", "bin")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      b AS (SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom,
+              pos // 10000 AS bin,
+              ${vartypeSql("ref", "string_split(alt, ',')[1]")} AS vt
+            FROM v WHERE alt <> '.')
+      SELECT chrom, bin, count(*) AS n_sites,
+        CAST(sum(CASE WHEN vt = 'snp' THEN 1 ELSE 0 END) AS BIGINT) AS n_snp,
+        CAST(sum(CASE WHEN vt = 'ins' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+        CAST(sum(CASE WHEN vt = 'del' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+        CAST(sum(CASE WHEN vt = 'mnp' THEN 1 ELSE 0 END) AS BIGINT) AS n_mnp,
+        CAST(sum(CASE WHEN vt = 'indel' THEN 1 ELSE 0 END) AS BIGINT) AS n_indel
+      FROM b GROUP BY 1, 2 ORDER BY chrom, bin
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108, q111, q113)
+      q103, q104, q105, q106, q107, q108, q111, q113, q114)
 }

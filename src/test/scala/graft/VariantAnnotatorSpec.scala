@@ -244,6 +244,11 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       site("1", 1500L, v(1, 1, 1, 1)) ++  // monomorphic → r² = 0
       site("1", 2500L, v(0, 0, 1, 2)) ++  // exactly 1 kb from 1500 only
       site("2", 150L, Seq(Some(0), Some(2), Some(2), None)) ++
+      // duplicate records at 150: an identical copy (s2, dosage 2) and
+      // a CONFLICTING one (s1 dosage 2 vs 0) — both resolve to the
+      // per-(site, sample) minimum, leaving the statistics unchanged
+      Seq(("2", 150L, "A", "T", "s2", 0, "1", "1"),
+        ("2", 150L, "A", "T", "s1", 0, "1", "1")) ++
       site("2", 200L, v(2, 1, 0, 1)))
       .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
         "gt1", "gt2")
