@@ -247,9 +247,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"ld pair generation must stay an equi-join:\n$p")
-    // the genotype substrate is derived once and reused across the
-    // pair/dosage sides
-    assert(p.contains("ReusedExchange"), p)
+    // the pair statistics are ONE codegen kernel call per pair — no
+    // per-sample explosion, no dosage joins (the 103 s → 28.6 s rewrite)
+    assert(p.contains("ld_sums"), s"pair sums must use the kernel:\n$p")
+    val joins = p.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joins === 1, s"exactly the (chrom, bucket) pair join expected:\n$p")
   }
 
   test("q108 roh: both island windows and the run agg share ONE (sample, chrom) exchange") {
