@@ -406,7 +406,32 @@ object Relational extends QuerySet {
       FROM agg GROUP BY user_id ORDER BY user_id
     """))
 
+  /** Incremental distinct-user counting via MERGEABLE HLL sketches
+    * ([[graft.operators.Sketches]]): the events table split into two
+    * "batches" (event_id parity), each sketched independently, the
+    * sketch tables merged, estimates read off the merged state — the
+    * re-scan-free incremental metric a 100 TB pipeline keeps per
+    * day/partition. APPROXIMATE by design → no DuckDB hash oracle
+    * (rows-only driver check); the error/merge/size bounds live in
+    * SketchesSpec.
+    */
+  private val q115 = Q(
+    "q115_distinct_sketch",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val ev = QueryUtil.events(s, dir).select("event_id", "user_id", "event_type")
+      val b1 = Sketches.distinctSketch(
+        ev.filter(col("event_id") % 2 === 0), "user_id", Seq("event_type"))
+      val b2 = Sketches.distinctSketch(
+        ev.filter(col("event_id") % 2 === 1), "user_id", Seq("event_type"))
+      Sketches.estimateDistinct(
+          Sketches.mergeSketches(Seq(b1, b2), Seq("event_type")),
+          Seq("event_type"))
+        .orderBy("event_type")
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
-      q52, q75)
+      q52, q75, q115)
 }
