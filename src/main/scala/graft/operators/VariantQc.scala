@@ -331,6 +331,40 @@ object VariantQc {
       .filter(col("n") > 0L)
   }
 
+  /** LD PRUNING (`plink --indep-pairwise` analogue with an ORDER-FREE
+    * drop rule): drop every site that is r²-linked (≥ `r2MicroMax`) to
+    * a LOWER-keyed site within `maxDist` — the [[Dedup.semanticDedup]]
+    * rule applied to the LD graph. plink's greedy window sweep is
+    * inherently sequential (each decision depends on the previous
+    * keep-set); the any-lower-linked-neighbor rule is deterministic,
+    * engine-replayable, and fully parallel, at the cost of pruning
+    * slightly MORE aggressively on linkage chains (a site drops even
+    * when its lower-keyed neighbor also dropped — exactly q90's
+    * documented chain trade). Returns the kept site keys.
+    *
+    * Shape: [[ldR2Pairs]] (bucket equi-join + kernel) filtered to
+    * linked pairs, higher-keyed side distinct'd, one anti-join against
+    * the distinct site list.
+    */
+  def ldPrune(
+      ann: DataFrame,
+      maxDist: Int,
+      r2MicroMax: Long,
+      sampleCol: String = "sample_id"): DataFrame = {
+    require(r2MicroMax >= 0L && r2MicroMax <= 1000000L,
+      s"r2MicroMax must be a micro-fraction in [0, 1e6], got $r2MicroMax")
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val sites = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select("chrom", "pos", "ref", "alt").distinct()
+    val dropped = ldR2Pairs(ann, maxDist, sampleCol)
+      .filter(col("r2_micro") >= r2MicroMax)
+      .select(col("chrom"), col("pos_b").as("pos"),
+        col("ref_b").as("ref"), col("alt_b").as("alt"))
+      .distinct()
+    sites.join(dropped, Seq("chrom", "pos", "ref", "alt"), "left_anti")
+  }
+
   /** RUNS OF HOMOZYGOSITY per (sample, chromosome) — the autozygosity
     * scan (`plink --homozyg` / bcftools roh shape; long runs flag
     * consanguinity, uniparental disomy, and reference-panel sample

@@ -431,7 +431,34 @@ object Relational extends QuerySet {
     },
     None)
 
+  /** Full CUBE over (returnflag, linestatus) with grouping-id — q08's
+    * rollup sibling completing the grouping-sets family: all four
+    * grouping combinations plus the GROUPING() marker distinguishing
+    * a real NULL key from a subtotal row.
+    */
+  private val q116 = Q(
+    "q116_cube",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(dec("l_quantity")).as("dq"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          money(col("dq")).as("sum_qty"), col("n"), col("gid"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"), asc("gid")),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${moneySql("sum(CAST(l_quantity AS DECIMAL(18,6)))")} AS sum_qty,
+        count(*) AS n,
+        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid
+    """))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
-      q52, q75, q115)
+      q52, q75, q115, q116)
 }

@@ -1504,8 +1504,77 @@ object VcfQueries extends QuerySet {
       FROM b GROUP BY 1, 2 ORDER BY chrom, bin
     """))
 
+  /** LD pruning gate ([[graft.operators.VariantQc.ldPrune]], the
+    * `plink --indep-pairwise` analogue with q90's order-free drop
+    * rule): sites r²-linked (≥ 0.5) to a lower-keyed site within 1 kb
+    * drop; kept-set counts and pos-sums per chrom pin the exact
+    * selection. DuckDB replays the q111 pair chain, the threshold, the
+    * higher-keyed-side distinct, and the anti-join.
+    */
+  private val q117 = Q(
+    "q117_ld_prune",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc
+        .ldPrune(ann, maxDist = 1000, r2MicroMax = 500000L)
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("pos").cast("long")).as("pos_sum"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      g AS MATERIALIZED (SELECT chrom, pos, ref, alt, sample_id AS s,
+              min(CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT)) AS d
+            FROM bc GROUP BY 1, 2, 3, 4, 5),
+      sites AS (SELECT DISTINCT chrom, pos, ref, alt FROM g),
+      pr AS (SELECT a.chrom, a.pos AS pos_a, a.ref AS ref_a, a.alt AS alt_a,
+               b.pos AS pos_b, b.ref AS ref_b, b.alt AS alt_b
+             FROM sites a JOIN sites b
+               ON a.chrom = b.chrom
+              AND b.pos - a.pos <= 1000
+              AND (a.pos, a.ref, a.alt) < (b.pos, b.ref, b.alt)),
+      j1 AS MATERIALIZED (
+            SELECT p.chrom, p.pos_a, p.ref_a, p.alt_a,
+               p.pos_b, p.ref_b, p.alt_b, ga.s, ga.d AS x
+            FROM pr p
+            JOIN g ga ON ga.chrom = p.chrom AND ga.pos = p.pos_a
+                     AND ga.ref = p.ref_a AND ga.alt = p.alt_a),
+      j AS (SELECT j1.chrom, j1.pos_a, j1.ref_a, j1.alt_a,
+               j1.pos_b, j1.ref_b, j1.alt_b, j1.x, gb.d AS y
+            FROM j1
+            JOIN g gb ON gb.chrom = j1.chrom AND gb.pos = j1.pos_b
+                     AND gb.ref = j1.ref_b AND gb.alt = j1.alt_b
+                     AND gb.s = j1.s),
+      ag AS (SELECT chrom, pos_a, ref_a, alt_a, pos_b, ref_b, alt_b,
+               count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+             FROM j GROUP BY 1, 2, 3, 4, 5, 6, 7),
+      lk AS (SELECT chrom, pos_b AS pos, ref_b AS ref, alt_b AS alt FROM ag
+             WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+               AND CAST(floor(
+                     CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                     / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+                     * 1000000.0) AS BIGINT) >= 500000),
+      dropped AS (SELECT DISTINCT chrom, pos, ref, alt FROM lk),
+      kept AS (SELECT s.* FROM sites s
+               LEFT JOIN dropped d ON d.chrom = s.chrom AND d.pos = s.pos
+                                  AND d.ref = s.ref AND d.alt = s.alt
+               WHERE d.pos IS NULL)
+      SELECT chrom, count(*) AS n_kept,
+             CAST(sum(CAST(pos AS BIGINT)) AS BIGINT) AS pos_sum
+      FROM kept GROUP BY chrom ORDER BY chrom
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108, q111, q113, q114)
+      q103, q104, q105, q106, q107, q108, q111, q113, q114, q117)
 }

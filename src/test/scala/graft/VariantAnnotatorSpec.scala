@@ -273,6 +273,41 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       ("2", 150L, 200L, 3L, 750000L)))
   }
 
+  test("ldPrune: order-free drop rule, chain semantics, threshold boundary") {
+    import spark.implicits._
+    def site(ch: String, pos: Long, ds: Seq[Option[Int]]) =
+      ds.zipWithIndex.map { case (d, i) =>
+        val (g1, g2) = d match {
+          case Some(0) => ("0", "0")
+          case Some(1) => ("0", "1")
+          case Some(2) => ("1", "1")
+          case _ => (".", null)
+        }
+        (ch, pos, "A", "T", s"s${i + 1}", 0, g1, g2)
+      }
+    def v(xs: Int*) = xs.map(Some(_))
+    val ann = (
+      site("1", 100L, v(0, 1, 2, 1)) ++
+      site("1", 500L, v(0, 1, 2, 0)) ++   // r² vs 100 = 0.727
+      site("1", 900L, v(0, 1, 2, 1)) ++   // r² vs 100 = 1
+      site("1", 1001L, v(2, 1, 0, 1)) ++  // r² vs 100/900 = 1
+      site("1", 1500L, v(1, 1, 1, 1)) ++  // monomorphic, never linked
+      site("2", 150L, Seq(Some(0), Some(2), Some(2), None)) ++
+      site("2", 200L, v(2, 1, 0, 1)))     // r² vs 150 = 0.75
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2")
+    def kept(thrMicro: Long) = graft.operators.VariantQc
+      .ldPrune(ann, maxDist = 1000, r2MicroMax = thrMicro)
+      .select("chrom", "pos").as[(String, Long)].collect().toSet
+    // τ = 0.9: only the perfect-LD links drop their higher-keyed side
+    assert(kept(900000L) === Set(
+      ("1", 100L), ("1", 500L), ("1", 1500L), ("2", 150L), ("2", 200L)))
+    // τ = 0.7: 500/900/1001 all link to 100 and drop — 1001 drops even
+    // though 900 (its lower linked neighbor) also dropped: the
+    // order-free rule prunes whole chains, q90's documented trade
+    assert(kept(700000L) === Set(("1", 100L), ("1", 1500L), ("2", 150L)))
+  }
+
   test("rohSegments: islands break on het, survive duplicates, isolate chroms") {
     import spark.implicits._
     def call(ch: String, pos: Long, s: String, hom: Boolean) = {
