@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the per-row hot paths. The builtin-HOF
@@ -157,6 +157,45 @@ object StringExprs {
     new GenericArrayData(out)
   }
 
+  /** Binary twin of [[cdcChunkHashesK]]: each UNSIGNED byte is the
+    * polynomial symbol — content-defined chunking for media payloads
+    * (container headers / metadata prepends shift every byte of the
+    * stream; boundaries re-sync exactly as in the text case).
+    */
+  def cdcChunkHashesBytesK(bytes: Array[Byte], w: Int, m: Int): ArrayData = {
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    var pow = 1L
+    var e = 0
+    while (e < w) { pow = (pow * 31) % HashMod; e += 1 }
+    val ring = new Array[Long](w)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var hWin = 0L
+    var hChunk = 0L
+    var chunkLen = 0
+    var i = 0
+    while (i < n) {
+      val cp = (bytes(i) & 0xff).toLong
+      hChunk = (hChunk * 31 + cp) % HashMod
+      chunkLen += 1
+      if (i >= w) {
+        val evict = (ring(i % w) * pow) % HashMod
+        hWin = ((hWin * 31 + cp - evict) % HashMod + HashMod) % HashMod
+      } else {
+        hWin = (hWin * 31 + cp) % HashMod
+      }
+      ring(i % w) = cp
+      i += 1
+      if (i >= w && hWin % m == 0 && i < n) {
+        out += hChunk
+        hChunk = 0L
+        chunkLen = 0
+      }
+    }
+    if (chunkLen > 0) out += hChunk
+    new GenericArrayData(out.toArray)
+  }
+
   /** One-pass CDC chunker kernel (see [[cdcChunkHashes]]): window hash
     * maintained by the true rolling update h' = (h·31 + c − c_out·31^w)
     * mod p — each emitted window hash is bit-identical to [[rollHash]]
@@ -277,17 +316,24 @@ case class CdcChunkHashesExpr(child: Expression, window: Int, modulus: Int)
   override def prettyName: String = "cdc_chunk_hashes"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects string input, got ${other.simpleString}")
+      s"$prettyName expects string or binary input, got ${other.simpleString}")
   }
 
-  override protected def nullSafeEval(s: Any): Any =
-    StringExprs.cdcChunkHashesK(s.asInstanceOf[UTF8String], window, modulus)
+  private def isBinary = child.dataType == BinaryType
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(s: Any): Any =
+    if (isBinary)
+      StringExprs.cdcChunkHashesBytesK(s.asInstanceOf[Array[Byte]], window, modulus)
+    else
+      StringExprs.cdcChunkHashesK(s.asInstanceOf[UTF8String], window, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (isBinary) "cdcChunkHashesBytesK" else "cdcChunkHashesK"
     defineCodeGen(ctx, ev, s =>
-      s"graft.expressions.StringExprs.cdcChunkHashesK($s, $window, $modulus)")
+      s"graft.expressions.StringExprs.$kernel($s, $window, $modulus)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunkHashesExpr =
     copy(child = newChild)

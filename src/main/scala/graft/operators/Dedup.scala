@@ -875,8 +875,14 @@ object Dedup {
     * granularity.
     */
   def cdcDupStats(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 8, modulus: Int = 32): DataFrame = {
-    val ch = cdcChunkTable(df, idCol, textCol, window, modulus)
+      window: Int = 8, modulus: Int = 32): DataFrame =
+    cdcDupStatsFromChunks(cdcChunkTable(df, idCol, textCol, window, modulus))
+
+  /** Per-doc dup stats off any (id, ch) chunk-instance table — shared
+    * by the text path above and the binary media path
+    * ([[Multimodal.mediaCdcDupStats]]).
+    */
+  private[operators] def cdcDupStatsFromChunks(ch: DataFrame): DataFrame = {
     val docFreq = ch.groupBy(col("ch"))
       .agg(countDistinct(col("id")).as("__nd"))
     ch.join(docFreq, Seq("ch"))

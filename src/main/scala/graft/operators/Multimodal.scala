@@ -167,6 +167,26 @@ object Multimodal {
         col("a.modality").as("modality"), col("cosine"))
   }
 
+  /** BYTE-level shifted-duplicate stats over raw media payloads —
+    * [[Dedup.cdcDupStats]]'s binary twin (the CdcChunkHashesExpr kernel
+    * accepts binary directly, unsigned bytes as polynomial symbols):
+    * the SAME video/image stream wrapped in a different container or
+    * with prepended metadata shifts every byte, so whole-payload
+    * hashing misses it while the perceptual path
+    * ([[mediaNearDupPairs]]) needs a working decoder; content-defined
+    * chunks catch it from bytes alone. Per item: chunk count, chunks
+    * shared with ≥1 other item, micro-floored fraction. Same shape and
+    * cost class as the text path: chunk-hash groupBy + no-fan-out join
+    * + per-item agg, ~|bytes|/modulus rows per item.
+    */
+  def mediaCdcDupStats(
+      media: DataFrame, window: Int = 16, modulus: Int = 64,
+      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame =
+    Dedup.cdcDupStatsFromChunks(
+      media.select(col(idCol).as("id"),
+        explode(graft.expressions.StringExprs.cdcChunkHashes(
+          col(bytesCol), window, modulus)).as("ch")))
+
   /** Decoded per-item feature vectors as (media_id, fv: array<double>)
     * — the embedding column the ANN family consumes. One decoder per
     * partition ([[extractFeatures]]); narrow, no shuffle.

@@ -49,6 +49,38 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f3(0) === (768 % 256).toByte)
   }
 
+  test("mediaCdcDupStats: container-shifted payload shares chunks, binary ≡ kernel reference") {
+    val rnd = new scala.util.Random(13)
+    val stream = Array.fill(4000)(rnd.nextInt(256).toByte)
+    val other = Array.fill(4000)(rnd.nextInt(256).toByte)
+    val header = Array.fill(37)(rnd.nextInt(256).toByte)
+    val m = Multimodal.asMediaTable(Seq(
+      ("orig", "video", stream),
+      ("wrapped", "video", header ++ stream), // re-containered copy
+      ("novel", "video", other)).toDS())
+    val stats = Multimodal.mediaCdcDupStats(m)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the shifted copy shares nearly all its chunks with the original
+    val (nw, dw, fw) = stats("wrapped")
+    assert(fw > 800000L, s"wrapped copy should be mostly duplicate: $stats")
+    assert(dw >= nw - 2, s"all but the header-absorbing chunks match: $stats")
+    val (_, dn, _) = stats("novel")
+    assert(dn === 0L, s"novel payload must be clean: $stats")
+    // the binary kernel equals a direct byte-reference implementation
+    def roll(bs: Seq[Byte]) =
+      bs.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    def slow(bs: Array[Byte], w: Int, mm: Int): Seq[Long] = {
+      val n = bs.length
+      if (n == 0) return Seq.empty
+      val cuts = (w until n).filter(i => roll(bs.slice(i - w, i)) % mm == 0)
+      ((0 +: cuts) zip (cuts :+ n)).map { case (a, b) => roll(bs.slice(a, b)) }
+    }
+    val fast = graft.expressions.StringExprs
+      .cdcChunkHashesBytesK(stream, 16, 64).toLongArray().toSeq
+    assert(fast === slow(stream, 16, 64))
+  }
+
   test("media near-dup pairs: bucketed equi-join finds planted near-copies only") {
     // histogram features only separate SKEWED byte distributions —
     // pseudo-random streams all histogram near-uniform and rightly read
