@@ -1139,6 +1139,30 @@ object Similarity {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** OPQ-lite dimension ALLOCATION (Ge et al. 2013's parametric
+    * initialization, eigenvalue-interleaved): reorder a full-rank PCA
+    * basis so that consecutive components land in DIFFERENT PQ
+    * subspaces — subspace s gets components s, s+m, s+2m, … in
+    * descending-eigenvalue order. The rotation decorrelates
+    * cross-subspace structure (each rotated subspace is effectively
+    * low-dimensional → the quantizer gets the 1-d error rate), and the
+    * interleave balances per-subspace energy (PQ's fixed per-subspace
+    * codebook budget is spent worst on unbalanced variance). Feed the
+    * result to [[pcaProject]] and PQ-train in the projected space —
+    * the composition spec measures the error drop on cross-boundary
+    * correlated data.
+    */
+  def opqOrder(model: PcaModel, m: Int): PcaModel = {
+    val d = model.components.length
+    require(m > 0 && d % m == 0,
+      s"component count $d must divide into $m subspaces")
+    val sub = d / m
+    val perm = (0 until m).flatMap(si => (0 until sub).map(j => j * m + si))
+    PcaModel(model.mean,
+      perm.map(model.components).toArray,
+      perm.map(model.eigenvalues).toArray)
+  }
+
   /** Project vectors onto a trained PCA basis — the CORPUS-scale path:
     * k codegen'd dot products per row against literal component vectors
     * (one compile per index, the encode/search amortization), centering

@@ -1071,6 +1071,52 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(m.components.map(_.toSeq).toSeq === m2.components.map(_.toSeq).toSeq)
   }
 
+  test("opq: pca rotation + interleaved allocation halves pq error on cross-subspace correlation") {
+    // x = (a, b, a, b) + tiny noise: raw PQ subspaces (x0,x1) and
+    // (x2,x3) each see a FULL-RANK 2-d distribution (a, b independent)
+    // → 2-d quantizer rate; the rotation turns the support into two
+    // 1-d directions and the interleave puts one in each subspace →
+    // 1-d rate with the same codebook budget
+    val rnd = new scala.util.Random(21)
+    val rows = (1 to 300).map { i =>
+      val a = 5.0 * rnd.nextGaussian()
+      val b = 5.0 * rnd.nextGaussian()
+      (i.toLong, Seq(a, b, a, b).map(_ + 0.01 * rnd.nextGaussian()))
+    }
+    val df = rows.toDF("vec_id", "v").repartition(4)
+    def train(corpus: org.apache.spark.sql.DataFrame): Seq[Seq[Seq[Double]]] = {
+      val seeds = corpus.filter(col("vec_id") <= 4)
+      var books = Similarity.pqCodebooks(seeds, m = 2)
+      for (_ <- 1 to 5) books = Similarity.pqTrainStep(corpus, books)
+      books
+    }
+    def qerr(corpus: org.apache.spark.sql.DataFrame,
+        books: Seq[Seq[Seq[Double]]]): Double = {
+      val codes = Similarity.pqEncode(corpus, books)
+        .collect().map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2))).toMap
+      val sub = books.head.head.length
+      corpus.collect().map { r =>
+        val v = r.getSeq[Double](1)
+        books.indices.map { mi =>
+          val cw = books(mi)(codes(r.getLong(0))(mi))
+          v.slice(mi * sub, (mi + 1) * sub).zip(cw)
+            .map { case (x, c) => (x - c) * (x - c) }.sum
+        }.sum
+      }.sum
+    }
+    val rawErr = qerr(df, train(df))
+    val model = Similarity.opqOrder(Similarity.pcaTrain(df, k = 4), m = 2)
+    // interleave: subspace 0 = components (0, 2), subspace 1 = (1, 3) —
+    // each pairs one high-variance direction with one noise direction
+    assert(model.eigenvalues(0) > model.eigenvalues(1),
+      model.eigenvalues.mkString(","))
+    val proj = Similarity.pcaProject(df, model)
+      .select(col("vec_id"), col("pv").as("v"))
+    val opqErr = qerr(proj, train(proj))
+    assert(opqErr < 0.5 * rawErr,
+      s"rotation+interleave should at least halve the error: $opqErr vs $rawErr")
+  }
+
   test("pcaProject: narrow codegen plan, variance concentrates, centering folded") {
     val u = Array(1.0, 1.0, 0.0, 0.0).map(_ / math.sqrt(2))
     val rnd = new scala.util.Random(9)
