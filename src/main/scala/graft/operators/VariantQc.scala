@@ -169,6 +169,148 @@ object VariantQc {
           .as("f_micro"))
   }
 
+  /** Pairwise GENETIC-RELATIONSHIP-MATRIX entries (the GCTA/VanRaden
+    * 2008 allele-frequency-standardized estimator — J Dairy Sci 91:4414;
+    * Yang et al. 2011 GCTA): over biallelic called-diploid calls at
+    * sites polymorphic in the cohort,
+    *
+    *   G_ab = (1/N_ab) · Σ_k (x_ak − 2p_k)(x_bk − 2p_k) / (2 p_k q_k)
+    *
+    * with x the ALT dosage and p_k the cohort ALT frequency at site k.
+    * The GRM is the other half of the relatedness toolbox next to
+    * [[kinshipCounts]]: KING is robust to population structure, the GRM
+    * IS the structure (its eigenvectors are the PCA ancestry axes, its
+    * entries feed REML/BLUP heritability). Diagonal entries (a = b)
+    * are included — G_aa − 1 estimates inbreeding.
+    *
+    * Determinism: with p = b/(2n) (b ALT alleles, a = 2n−b REF alleles
+    * over n called-diploid samples at the site), the per-site summand
+    * reduces to the exact rational 2·(n·x_a − b)(n·x_b − b)/(a·b) —
+    * int64 products, micro-floored after ONE double division (the
+    * [[hweBySite]] pattern), summed exactly, then one final floored
+    * division by N_ab. Int64-exact far past any real cohort at the
+    * per-site step (|n·x − b| ≤ 2n); the per-pair sum stays exact longs.
+    * Monomorphic sites (a = 0 or b = 0) are excluded as GCTA does —
+    * the standardization divides by 2pq. Duplicate/conflicting
+    * (site, sample) records resolve to the MIN dosage first (the
+    * [[ldR2Pairs]] rule — deterministic on malformed merges).
+    *
+    * Scale shape: one per-(site, sample) min agg, one site-keyed freq
+    * agg and a site-keyed self-join — all three hash on the site key or
+    * a superset of it, the self-join's two sides are the SAME plan
+    * (ReusedExchange; zero exchanges on a site-bucketed landing) —
+    * then ONE pair-keyed agg. Per-site fan-out is S(S+1)/2 pairs:
+    * quadratic in cohort width, linear in sites — batch cohorts or an
+    * LD-pruned panel at biobank width, exactly as GCTA does.
+    */
+  def grmPairs(
+      ann: DataFrame,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val g = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select(siteKey.map(col) ++ Seq(
+        col(sampleCol).as("__s"),
+        (col("gt1").cast("long") + col("gt2").cast("long")).as("__d")): _*)
+      .groupBy((siteKey.map(col) :+ col("__s")): _*)
+      .agg(min(col("__d")).as("__d"))
+    val freq = g
+      .groupBy(siteKey.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__b"))
+      .withColumn("__a", lit(2L) * col("__n") - col("__b"))
+      .filter(col("__a") > 0L && col("__b") > 0L)
+    def side(p: String) = g.select(siteKey.map(col) ++ Seq(
+      col("__s").as(s"sample_$p"), col("__d").as(s"d_$p")): _*)
+    val za = col("__n") * col("d_a") - col("__b")
+    val zb = col("__n") * col("d_b") - col("__b")
+    val termMicro = floor(
+      (lit(2L) * za * zb).cast("double") / (col("__a") * col("__b")).cast("double")
+        * lit(1000000.0)).cast("long")
+    val pairSum = sum(termMicro)
+    side("a").join(side("b"), siteKey)
+      .filter(col("sample_a") <= col("sample_b"))
+      .join(freq, siteKey)
+      .groupBy("sample_a", "sample_b")
+      .agg(
+        count(lit(1)).as("n_sites"),
+        pairSum.as("grm_sum_micro"),
+        floor(pairSum.cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("grm_micro"))
+  }
+
+  /** Per-site HUDSON F_ST numerator/denominator between two sample
+    * cohorts (Hudson et al. 1992 as formulated in Bhatia et al. 2013,
+    * Genome Res 23:1514 — the estimator they recommend over
+    * Weir-Cockerham for its insensitivity to unequal sample sizes):
+    * per biallelic site with pop ALT counts b₁/b₂ over c₁/c₂ called
+    * alleles (p̂ᵢ = bᵢ/cᵢ),
+    *
+    *   N = (p̂₁−p̂₂)² − p̂₁q̂₁/(c₁−1) − p̂₂q̂₂/(c₂−1)
+    *   D = p̂₁q̂₂ + p̂₂q̂₁
+    *
+    * and the reported statistic is the RATIO OF SUMS Σ N_k / Σ D_k
+    * (never the mean of ratios — Bhatia's headline pitfall). Both N and
+    * D are exact rationals over int64 products; each is micro-floored
+    * after ONE double division ([[hweBySite]] determinism pattern),
+    * summed exactly per chromosome, and the final ratio is one more
+    * floored division. Sites need ≥ 2 called alleles in EACH cohort
+    * (the c−1 terms); int64-exact to ~2k diploid samples per cohort
+    * (c⁴ products), decimal(38,0) lift documented for biobank width.
+    *
+    * Scale shape: ONE site-keyed groupBy with conditional partial
+    * aggregation (no joins — both cohorts' counts come out of the same
+    * pass; zero exchanges on a site-bucketed landing) + one per-chrom
+    * agg.
+    */
+  def fstByChrom(
+      ann: DataFrame,
+      popA: Seq[String], popB: Seq[String],
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    require(popA.nonEmpty && popB.nonEmpty, "both cohorts need samples")
+    require(popA.intersect(popB).isEmpty,
+      s"cohorts overlap: ${popA.intersect(popB)}")
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val d = (col("gt1").cast("long") + col("gt2").cast("long"))
+    def inPop(p: Seq[String]) = col(sampleCol).isin(p: _*)
+    val sums = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2") &&
+        (inPop(popA) || inPop(popB)))
+      .groupBy(siteKey.map(col): _*)
+      .agg(
+        sum(when(inPop(popA), d).otherwise(0L)).as("__b1"),
+        sum(when(inPop(popA), 2L).otherwise(0L)).as("__c1"),
+        sum(when(inPop(popB), d).otherwise(0L)).as("__b2"),
+        sum(when(inPop(popB), 2L).otherwise(0L)).as("__c2"))
+      .filter(col("__c1") >= 2L && col("__c2") >= 2L)
+    val (b1, c1, b2, c2) = (col("__b1"), col("__c1"), col("__b2"), col("__c2"))
+    // N over the common denominator c1²c2²(c1−1)(c2−1); D over c1·c2.
+    val nNum = (b1 * c2 - b2 * c1) * (b1 * c2 - b2 * c1) * (c1 - 1L) * (c2 - 1L) -
+      b1 * (c1 - b1) * c2 * c2 * (c2 - 1L) -
+      b2 * (c2 - b2) * c1 * c1 * (c1 - 1L)
+    val nDen = c1 * c1 * c2 * c2 * (c1 - 1L) * (c2 - 1L)
+    val dNum = b1 * (c2 - b2) + b2 * (c1 - b1)
+    val dDen = c1 * c2
+    val perSite = sums.select(
+      col(siteKey.head),
+      floor(nNum.cast("double") / nDen.cast("double") * lit(1000000.0))
+        .cast("long").as("__nm"),
+      floor(dNum.cast("double") / dDen.cast("double") * lit(1000000.0))
+        .cast("long").as("__dm"))
+    val nSum = sum(col("__nm"))
+    val dSum = sum(col("__dm"))
+    perSite
+      .groupBy(siteKey.head)
+      .agg(
+        count(lit(1)).as("n_sites"),
+        nSum.as("num_sum_micro"),
+        dSum.as("den_sum_micro"),
+        when(dSum > 0L,
+          floor(nSum.cast("double") / dSum.cast("double") * lit(1000000.0))
+            .cast("long")).otherwise(0L).as("fst_micro"))
+  }
+
   /** Trio TRANSMISSION-DISEQUILIBRIUM counts per chromosome (Spielman
     * et al. 1993 — the family-based association test): over biallelic
     * sites where child/mother/father are all called diploid, count ALT

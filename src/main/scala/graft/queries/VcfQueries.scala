@@ -1573,8 +1573,102 @@ object VcfQueries extends QuerySet {
       FROM kept GROUP BY chrom ORDER BY chrom
     """))
 
+  /** Pairwise GRM gate ([[graft.operators.VariantQc.grmPairs]], the
+    * GCTA/VanRaden allele-frequency-standardized relationship matrix —
+    * the structure-sensitive complement of q91's KING kinship): per
+    * sample pair (diagonal included), the exact per-site-micro-floored
+    * sum and its mean. DuckDB replays the min-dosage resolution, the
+    * cohort allele frequencies, the polymorphic-site filter, and the
+    * 2(n·x_a−b)(n·x_b−b)/(a·b) standardized product exactly.
+    */
+  private val q118 = Q(
+    "q118_grm",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc.grmPairs(ann)
+        .orderBy("sample_a", "sample_b")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      g AS (SELECT chrom, pos, ref, alt, sample_id AS s,
+              min(CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT)) AS d
+            FROM bc GROUP BY 1, 2, 3, 4, 5),
+      f AS (SELECT chrom, pos, ref, alt,
+              CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS b
+            FROM g GROUP BY 1, 2, 3, 4),
+      fp AS (SELECT chrom, pos, ref, alt, n, b, 2 * n - b AS a FROM f
+             WHERE 2 * n - b > 0 AND b > 0),
+      t AS (SELECT x.s AS sample_a, y.s AS sample_b,
+              CAST(floor(
+                CAST(2 * (fp.n * x.d - fp.b) * (fp.n * y.d - fp.b) AS DOUBLE)
+                / CAST(fp.a * fp.b AS DOUBLE) * 1000000.0) AS BIGINT) AS tm
+            FROM g x JOIN g y USING (chrom, pos, ref, alt)
+            JOIN fp USING (chrom, pos, ref, alt)
+            WHERE x.s <= y.s)
+      SELECT sample_a, sample_b, count(*) AS n_sites,
+             CAST(sum(tm) AS BIGINT) AS grm_sum_micro,
+             CAST(floor(CAST(sum(tm) AS DOUBLE) / count(*)) AS BIGINT) AS grm_micro
+      FROM t GROUP BY 1, 2 ORDER BY sample_a, sample_b
+    """))
+
+  /** Hudson F_ST gate ([[graft.operators.VariantQc.fstByChrom]],
+    * Bhatia et al. 2013's recommended two-cohort differentiation
+    * estimator, ratio-of-sums form): cohorts {g1,g2} vs {g3,g4}, per
+    * chromosome the exact micro-floored N/D sums and the final ratio.
+    * DuckDB replays the per-site allele counts and both exact-rational
+    * reductions term for term.
+    */
+  private val q119 = Q(
+    "q119_fst",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc
+        .fstByChrom(ann, Seq("g1", "g2"), Seq("g3", "g4"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      sums AS (SELECT chrom, pos, ref, alt,
+          CAST(sum(CASE WHEN sample_id IN ('g1', 'g2')
+            THEN CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT) ELSE 0 END) AS BIGINT) AS b1,
+          CAST(sum(CASE WHEN sample_id IN ('g1', 'g2') THEN 2 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(CASE WHEN sample_id IN ('g3', 'g4')
+            THEN CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT) ELSE 0 END) AS BIGINT) AS b2,
+          CAST(sum(CASE WHEN sample_id IN ('g3', 'g4') THEN 2 ELSE 0 END) AS BIGINT) AS c2
+        FROM bc GROUP BY 1, 2, 3, 4),
+      fs AS (SELECT * FROM sums WHERE c1 >= 2 AND c2 >= 2),
+      nd AS (SELECT chrom,
+          CAST(floor(
+            CAST((b1 * c2 - b2 * c1) * (b1 * c2 - b2 * c1) * (c1 - 1) * (c2 - 1)
+                 - b1 * (c1 - b1) * c2 * c2 * (c2 - 1)
+                 - b2 * (c2 - b2) * c1 * c1 * (c1 - 1) AS DOUBLE)
+            / CAST(c1 * c1 * c2 * c2 * (c1 - 1) * (c2 - 1) AS DOUBLE)
+            * 1000000.0) AS BIGINT) AS nm,
+          CAST(floor(
+            CAST(b1 * (c2 - b2) + b2 * (c1 - b1) AS DOUBLE)
+            / CAST(c1 * c2 AS DOUBLE) * 1000000.0) AS BIGINT) AS dm
+        FROM fs)
+      SELECT chrom, count(*) AS n_sites,
+             CAST(sum(nm) AS BIGINT) AS num_sum_micro,
+             CAST(sum(dm) AS BIGINT) AS den_sum_micro,
+             CASE WHEN sum(dm) > 0 THEN
+               CAST(floor(CAST(sum(nm) AS DOUBLE) / CAST(sum(dm) AS DOUBLE)
+                 * 1000000.0) AS BIGINT)
+             ELSE 0 END AS fst_micro
+      FROM nd GROUP BY chrom ORDER BY chrom
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
-      q103, q104, q105, q106, q107, q108, q111, q113, q114, q117)
+      q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
+      q119)
 }

@@ -338,4 +338,68 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       ("s1", "1", 4L, 500L, 800L),
       ("s2", "2", 4L, 10L, 30L)))
   }
+
+  test("grmPairs: exact standardized products, exclusions, min-dedup") {
+    import spark.implicits._
+    def r(pos: Long, s: String, g1: String, g2: String, m: Int = 0) =
+      ("1", pos, "A", "T", s, m, g1, g2)
+    val ann = Seq(
+      // pos 100: x 0/0 (d=0), y 1/1 (d=2) → n=2, b=2, a=2
+      //   term(x,y) = 2(2·0−2)(2·2−2)/(2·2) = −2 → −2e6 micro
+      r(100L, "x", "0", "0"), r(100L, "y", "1", "1"),
+      // pos 200: both het d=1 → z-scores 0 → all terms 0
+      r(200L, "x", "0", "1"), r(200L, "y", "1", "0"),
+      // pos 300: monomorphic ref (b=0) → excluded from every pair
+      r(300L, "x", "0", "0"), r(300L, "y", "0", "0"),
+      // pos 400: y uncalled → n=1, a=0 → monomorphic, excluded
+      r(400L, "x", "1", "1"), r(400L, "y", ".", "."),
+      // pos 500: x has CONFLICTING duplicate rows (d=2 and d=1) →
+      //   min-resolves to 1; y d=0 → n=2, b=1, a=3
+      //   term(x,y) = 2(2·1−1)(2·0−1)/3 = −2/3 → floor −666667
+      //   term(x,x) = 2/3 → 666666; term(y,y) = 2/3 → 666666
+      r(500L, "x", "1", "1"), r(500L, "x", "0", "1"), r(500L, "y", "0", "0"),
+      // multiallelic excluded entirely
+      r(600L, "x", "1", "2", m = 1), r(600L, "y", "0", "1", m = 1))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2")
+    val g = graft.operators.VariantQc.grmPairs(ann)
+      .select("sample_a", "sample_b", "n_sites", "grm_sum_micro", "grm_micro")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(g === Set(
+      ("x", "x", 3L, 2666666L, 888888L),
+      ("x", "y", 3L, -2666667L, -888889L),
+      ("y", "y", 3L, 2666666L, 888888L)))
+  }
+
+  test("fstByChrom: Hudson ratio-of-sums, hand-computed sites") {
+    import spark.implicits._
+    def r(pos: Long, s: String, g1: String, g2: String) =
+      ("1", pos, "A", "T", s, 0, g1, g2)
+    val ann = Seq(
+      // pos 100: popA fixed ALT, popB fixed REF → N = D = 1
+      r(100L, "x1", "1", "1"), r(100L, "x2", "1", "1"),
+      r(100L, "y1", "0", "0"), r(100L, "y2", "0", "0"),
+      // out-of-cohort sample must be ignored
+      r(100L, "z", "0", "1"),
+      // pos 200: both pops at p = 1/2 → N = −1/6, D = 1/2
+      r(200L, "x1", "0", "1"), r(200L, "x2", "1", "0"),
+      r(200L, "y1", "0", "1"), r(200L, "y2", "0", "1"),
+      // pos 300: popB half-missing (c2 = 2): p1 = 0, p2 = 1/2 →
+      //   N = 1/4 − 1/4 = 0, D = 1/2
+      r(300L, "x1", "0", "0"), r(300L, "x2", "0", "0"),
+      r(300L, "y1", "0", "1"), r(300L, "y2", ".", "."),
+      // pos 400: popB fully uncalled → c2 = 0 < 2 → site excluded
+      r(400L, "x1", "1", "1"), r(400L, "x2", "0", "0"))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2")
+    val f = graft.operators.VariantQc
+      .fstByChrom(ann, Seq("x1", "x2"), Seq("y1", "y2"))
+      .select("chrom", "n_sites", "num_sum_micro", "den_sum_micro", "fst_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // sums: N = 1e6 − 166667 + 0; D = 1e6 + 5e5 + 5e5
+    assert(f.toSeq === Seq(("1", 3L, 833333L, 2000000L, 416666L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.VariantQc.fstByChrom(ann, Seq("x1"), Seq("x1", "y1"))
+    }
+  }
 }
