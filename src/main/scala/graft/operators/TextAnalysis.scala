@@ -83,6 +83,92 @@ object TextAnalysis {
         concat_ws(" ", col("__c")).as("chunk_text"))
   }
 
+  /** Rule thresholds for [[qualityGate]]. Ratio thresholds are
+    * MICRO-fractions (1e6 = 1.0) so every rule evaluates on exact
+    * integer cross-products — no floating point anywhere in the
+    * keep/drop decision.
+    */
+  case class QualityRules(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10,
+      minAlphaWordMicro: Long = 800000L,
+      minStopHits: Int = 2,
+      stopwords: Seq[String] = Stopwords.toMap.apply("en"),
+      maxTopWordMicro: Long = 200000L)
+
+  /** Gopher-style composite DOCUMENT QUALITY GATE (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", Appendix A — the
+    * MassiveText filter family): each document gets one boolean per
+    * rule plus the conjunction `keep` —
+    *
+    *   r_words:    word count within [minWords, maxWords]
+    *   r_mean_len: mean word length within [min, max]
+    *   r_alpha:    ≥ minAlphaWordMicro of words contain a letter
+    *   r_stop:     ≥ minStopHits DISTINCT required stopwords present
+    *   r_top_word: most frequent word covers ≤ maxTopWordMicro of the
+    *               doc (the repetition screen)
+    *
+    * Flags are returned rather than filtered so pipelines can audit
+    * per-rule kill rates before committing to a drop (the published
+    * filters were tuned exactly this way); `.filter(col("keep"))` is
+    * the production gate. The stopword list is parameterized (Gopher's
+    * is {the, be, to, of, and, that, have, with}).
+    *
+    * Determinism: every rule is an exact integer comparison
+    * (Σlen ≥ min·n beats Σlen/n ≥ min — no division), and the reported
+    * micro ratios are each ONE floored double division of exact int64
+    * (the §5 pattern). Scale shape: the per-doc scalars are one NARROW
+    * projection (pushdown-transparent, streams at scan speed); the
+    * top-word count is the §8 long-form — explode once, two partial
+    * aggregations on (id, word) then id, one join back — never a
+    * nested per-row HOF over distinct tokens (O(n²) interpreted).
+    */
+  def qualityGate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      rules: QualityRules = QualityRules()): org.apache.spark.sql.DataFrame = {
+    require(rules.minWords >= 1 && rules.maxWords >= rules.minWords,
+      s"bad word bounds: [${rules.minWords}, ${rules.maxWords}]")
+    val toks = wsTokens(col(textCol))
+    val base = df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_words"),
+      length(regexp_replace(trim(col(textCol)), "\\s+", ""))
+        .cast("long").as("__sumlen"),
+      size(filter(toks, w => w.rlike("[A-Za-z]")))
+        .cast("long").as("__alpha"),
+      size(array_intersect(wsTokens(lower(col(textCol))),
+        typedLit(rules.stopwords))).cast("long").as("stop_hits"))
+    val topWord = df
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__top"))
+    val n = col("n_words")
+    val top = coalesce(col("__top"), lit(0L))
+    def microOf(num: Column) =
+      when(n === 0L, 0L).otherwise(
+        floor(num.cast("double") / n.cast("double") * lit(1000000.0))
+          .cast("long"))
+    base.join(topWord, Seq(idCol), "left")
+      .select(
+        col(idCol), n, col("stop_hits"),
+        microOf(col("__sumlen")).as("mean_len_micro"),
+        microOf(col("__alpha")).as("alpha_micro"),
+        microOf(top).as("top_word_micro"),
+        (n >= rules.minWords.toLong && n <= rules.maxWords.toLong)
+          .as("r_words"),
+        (n > 0L && col("__sumlen") >= lit(rules.minMeanWordLen.toLong) * n &&
+          col("__sumlen") <= lit(rules.maxMeanWordLen.toLong) * n)
+          .as("r_mean_len"),
+        (n > 0L && col("__alpha") * lit(1000000L) >=
+          lit(rules.minAlphaWordMicro) * n).as("r_alpha"),
+        (col("stop_hits") >= rules.minStopHits.toLong).as("r_stop"),
+        (n > 0L && top * lit(1000000L) <= lit(rules.maxTopWordMicro) * n)
+          .as("r_top_word"))
+      .withColumn("keep",
+        col("r_words") && col("r_mean_len") && col("r_alpha") &&
+          col("r_stop") && col("r_top_word"))
+  }
+
   /** BM25 top-k retrieval over a document table for a fixed query-term
     * list — the text-side member of the similarity-search family (the
     * embedding side is the ANN ladder). Shape, built for the 100 TB

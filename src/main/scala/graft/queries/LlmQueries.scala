@@ -2771,10 +2771,68 @@ object LlmQueries extends QuerySet {
       GROUP BY r.cell ORDER BY r.cell
     """))
 
+  /** Gopher-style composite QUALITY GATE
+    * ([[graft.operators.TextAnalysis.qualityGate]], Rae et al. 2021
+    * Appendix A): per-doc rule flags + keep over word-count bounds,
+    * mean word length, alphabetic-word fraction, distinct-stopword
+    * floor, and the top-word repetition screen — every rule an exact
+    * integer comparison, the reported ratios micro-floored. Thresholds
+    * tuned so each rule discriminates on this corpus (minWords 30
+    * fails ~20%, stop ≥ 2 fails ~35%, top-word ≤ 0.12 fails ~20%).
+    * DuckDB replays tokenization, the intersect-dedup stopword count,
+    * and the unnest-groupBy top-word count.
+    */
+  private val q120 = {
+    val rules = TextAnalysis.QualityRules(
+      minWords = 30, minStopHits = 2, maxTopWordMicro = 120000L)
+    Q(
+      "q120_quality_gate",
+      (s, dir) =>
+        TextAnalysis
+          .qualityGate(t(s, dir, "documents"), "doc_id", "text", rules)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text,
+               string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        m AS (SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(w) AS BIGINT) END AS n,
+            CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS sumlen,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) END AS alpha,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+                   ['the', 'a', 'of', 'and', 'to', 'is'])) AS BIGINT) END AS stop_hits
+          FROM t),
+        tw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS topc FROM (
+                 SELECT doc_id, w2, count(*) AS c
+                 FROM (SELECT doc_id, unnest(w) AS w2 FROM t
+                       WHERE length(trim(text)) > 0) u
+                 GROUP BY doc_id, w2) g GROUP BY doc_id),
+        j AS (SELECT m.*, coalesce(tw.topc, 0) AS topc
+              FROM m LEFT JOIN tw USING (doc_id))
+        SELECT doc_id, n AS n_words, stop_hits,
+          CASE WHEN n = 0 THEN 0 ELSE CAST(floor(CAST(sumlen AS DOUBLE) / n * 1000000.0) AS BIGINT) END AS mean_len_micro,
+          CASE WHEN n = 0 THEN 0 ELSE CAST(floor(CAST(alpha AS DOUBLE) / n * 1000000.0) AS BIGINT) END AS alpha_micro,
+          CASE WHEN n = 0 THEN 0 ELSE CAST(floor(CAST(topc AS DOUBLE) / n * 1000000.0) AS BIGINT) END AS top_word_micro,
+          (n >= 30 AND n <= 100000) AS r_words,
+          (n > 0 AND sumlen >= 3 * n AND sumlen <= 10 * n) AS r_mean_len,
+          (n > 0 AND alpha * 1000000 >= 800000 * n) AS r_alpha,
+          (stop_hits >= 2) AS r_stop,
+          (n > 0 AND topc * 1000000 <= 120000 * n) AS r_top_word,
+          (n >= 30 AND n <= 100000
+            AND n > 0 AND sumlen >= 3 * n AND sumlen <= 10 * n
+            AND alpha * 1000000 >= 800000 * n
+            AND stop_hits >= 2
+            AND topc * 1000000 <= 120000 * n) AS keep
+        FROM j ORDER BY doc_id
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110, q112)
+      q110, q112, q120)
 }

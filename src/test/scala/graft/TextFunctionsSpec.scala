@@ -362,4 +362,47 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 5)
     }
   }
+
+  test("qualityGate: every rule flips on its own planted failure") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val good = "the quick brown fox of means and jumps to over a dog " +
+      "is lazy but bright stars shine above green hills every night ok"
+    val docs = Seq(
+      1L -> good,                                  // passes every rule
+      2L -> "the of and is short",                 // fails r_words only
+      3L -> good.replace("quick", "ab"),           // still passes (len in band)
+      // mean word length too long: 24-char tokens
+      4L -> (Seq.fill(30)("abcdefghijklmnopqrstuvwx").mkString(" ") +
+        " the of"),
+      // words are digits → alpha fraction 2/32 fails (and the repeated
+      // digit token trips the repetition screen too); stop still 2
+      5L -> (Seq.fill(30)("12345").mkString(" ") + " the of"),
+      // no required stopwords at all
+      6L -> Seq.tabulate(30)(i => s"w$i xx$i").mkString(" "),
+      // one word covers 28/32 > 12% → repetition screen fails
+      7L -> (Seq.fill(28)("spam").mkString(" ") + " the of and is"),
+      8L -> "")                                    // empty: everything fails
+      .toDF("doc_id", "text")
+    val rules = TextAnalysis.QualityRules(
+      minWords = 20, minStopHits = 2, maxTopWordMicro = 120000L)
+    val out = TextAnalysis.qualityGate(docs, "doc_id", "text", rules)
+      .select("doc_id", "r_words", "r_mean_len", "r_alpha", "r_stop",
+        "r_top_word", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, true, true, true, true, true, true)))
+    assert(out(2L) === ((2L, false, true, true, true, false, false)))
+    assert(out(3L)._7 === true)
+    assert(out(4L)._3 === false && out(4L)._7 === false)
+    assert(out(5L) === ((5L, true, true, false, true, false, false)))
+    assert(out(6L)._5 === false && out(6L)._7 === false)
+    assert(out(7L)._6 === false && out(7L)._7 === false)
+    assert(out(8L) === ((8L, false, false, false, false, false, false)))
+    // ratio columns: exact micro floors
+    val m = TextAnalysis.qualityGate(docs, "doc_id", "text", rules)
+      .filter($"doc_id" === 7L)
+      .select("n_words", "top_word_micro").as[(Long, Long)].head()
+    assert(m === ((32L, 875000L)))  // 28/32 = 0.875
+  }
 }
