@@ -335,6 +335,69 @@ object Similarity {
     (best, hist.toSeq)
   }
 
+  // ---- scalar (int8) quantization ------------------------------------
+
+  /** Train per-dimension INT8 scalar-quantization bounds (the SQ8
+    * compression rung BELOW the PQ family — 4× over float32 with a
+    * trivially vectorizable decode; what FAISS calls
+    * `ScalarQuantizer(QT_8bit)`): per-dim corpus min/max. Returns
+    * (mins, maxs) — driver-small by PARAMETER (2·dim doubles, the
+    * centroid/codebook class), and pure SELECTION (no arithmetic), so
+    * the bounds are exact floats identical on any engine. One explode +
+    * one partial-aggregated groupBy over the corpus; at 100 TB train on
+    * a sample exactly as with k-means seeds.
+    */
+  def sqTrain(vecs: DataFrame, vecCol: String = "v"): (Seq[Double], Seq[Double]) = {
+    val mm = vecs
+      .select(posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy("__i")
+      .agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(mm.nonEmpty, "sqTrain over an empty corpus")
+    (mm.map(_._2).toSeq, mm.map(_._3).toSeq)
+  }
+
+  /** INT8 scalar-quantize a vector column against trained bounds:
+    * code_d = clamp₂₅₅ ⌊(x − min_d)/scale_d + ½⌋ with
+    * scale_d = (max_d − min_d)/255 (a constant-dim collapses to code
+    * 0, reconstructing to min_d). Appends `code` (int64 array),
+    * `recon` (the dequantized vector) and `err` (squared L2
+    * reconstruction error via the codegen [[l2sq]] kernel — summed in
+    * index order, engine-identical doubles).
+    *
+    * Scale shape: NARROW — the bounds ride as broadcast literals, the
+    * encode is one projection (zero shuffles at any corpus size),
+    * pushdown-transparent; recon/err exist for auditing and are
+    * droppable columns, the stored artifact is (id, code) at 1/4 the
+    * vector bytes. Half-up rounding is spelled ⌊x+½⌋ explicitly —
+    * `round()`'s half-even vs half-away semantics differ across
+    * engines (§5).
+    */
+  def sqEncode(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
+    require(mins.nonEmpty && mins.length == maxs.length,
+      s"bad bounds: ${mins.length} mins vs ${maxs.length} maxs")
+    require(mins.zip(maxs).forall { case (mn, mx) => mx >= mn },
+      "max < min in sq bounds")
+    val scales = mins.zip(maxs).map { case (mn, mx) => (mx - mn) / 255.0 }
+    val minsL = typedLit(mins)
+    val scalesL = typedLit(scales)
+    val codes = transform(col(vecCol), (x, i) => {
+      val mn = element_at(minsL, i + 1)
+      val sc = element_at(scalesL, i + 1)
+      when(sc === 0.0, lit(0L)).otherwise(
+        least(lit(255L), floor((x - mn) / sc + lit(0.5)).cast("long")))
+    })
+    val recon = transform(col("code"), (c, i) =>
+      element_at(minsL, i + 1) + c.cast("double") * element_at(scalesL, i + 1))
+    vecs.select(col(idCol), col(vecCol), codes.as("code"))
+      .withColumn("recon", recon)
+      .withColumn("err",
+        graft.expressions.VectorExprs.l2sq(col(vecCol), col("recon")))
+  }
+
   // ---- product quantization ------------------------------------------
 
   /** PQ codebooks from a driver-small seed frame: codeword k of

@@ -2829,10 +2829,71 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** INT8 scalar quantization ([[Similarity.sqTrain]]/[[Similarity
+    * .sqEncode]], the SQ8 rung below the PQ ladder): per-dim corpus
+    * min/max bounds (exact float SELECTION — engine-identical), codes
+    * clamp₂₅₅⌊(x−min)/scale + ½⌋ with half-up rounding spelled
+    * explicitly (round()'s half semantics differ across engines), and
+    * the reconstruction error through the l2sq kernel. The gate pins
+    * EVERY code position via an index-weighted dot (exact integers in
+    * double) plus the micro-floored error. DuckDB recomputes the
+    * bounds, the identical scale/round/clamp chain, and the same
+    * index-ordered error sum.
+    */
+  private val q121 = Q(
+    "q121_sq8_quant",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val (mins, maxs) = Similarity.sqTrain(e, "v")
+      val wts = typedLit((1 to mins.length).map(_.toDouble))
+      Similarity.sqEncode(e, "vec_id", "v", mins, maxs)
+        .select(
+          col("vec_id"),
+          Similarity.dot(transform(col("code"), c => c.cast("double")), wts)
+            .cast("long").as("code_dot"),
+          micro(col("err")).as("err_micro"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+      u AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+      mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+      b AS (SELECT list(mn ORDER BY i) AS mins,
+                   list((mx - mn) / 255.0 ORDER BY i) AS scales FROM mm),
+      enc AS (SELECT vec_id, v, mins, scales,
+               list_transform(range(1, 65), i ->
+                 CASE WHEN scales[CAST(i AS INT)] = 0.0 THEN 0
+                 ELSE least(255, CAST(floor(
+                   (v[CAST(i AS INT)] - mins[CAST(i AS INT)])
+                   / scales[CAST(i AS INT)] + 0.5) AS BIGINT)) END) AS code
+             FROM e CROSS JOIN b),
+      rc AS (SELECT vec_id, v, code,
+               list_transform(range(1, 65), i ->
+                 mins[CAST(i AS INT)] + CAST(code[CAST(i AS INT)] AS DOUBLE)
+                   * scales[CAST(i AS INT)]) AS recon
+             FROM enc),
+      dd AS (SELECT vec_id,
+               list_transform(range(1, 65), i ->
+                 CAST(code[CAST(i AS INT)] AS DOUBLE) * CAST(i AS DOUBLE)) AS cw,
+               list_transform(range(1, 65), i ->
+                 (v[CAST(i AS INT)] - recon[CAST(i AS INT)])
+                 * (v[CAST(i AS INT)] - recon[CAST(i AS INT)])) AS sq
+             FROM rc)
+      SELECT vec_id,
+        CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cw),
+          (x, y) -> x + y) AS BIGINT) AS code_dot,
+        ${microSql("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), sq), (x, y) -> x + y)")} AS err_micro
+      FROM dd ORDER BY vec_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110, q112, q120)
+      q110, q112, q120, q121)
 }

@@ -1143,4 +1143,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"projection must be narrow:\n$p")
     assert(p.contains("vec_dot"), p)
   }
+
+  test("sq8: exact bounds, half-up codes, constant dims, narrow encode") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Seq(0.0, 10.0)),
+      (2L, Seq(1.0, 10.0)),
+      (3L, Seq(0.5, 10.0)))
+      .toDF("vec_id", "v")
+    val (mins, maxs) = Similarity.sqTrain(vecs, "v")
+    assert(mins === Seq(0.0, 10.0) && maxs === Seq(1.0, 10.0))
+    val out = Similarity.sqEncode(vecs, "vec_id", "v", mins, maxs)
+      .select("vec_id", "code", "err")
+      .as[(Long, Seq[Long], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // dim 2 is constant → code 0, reconstructs to the min exactly
+    assert(out(1L) === ((Seq(0L, 0L), 0.0)))
+    // max maps to 255 and reconstructs exactly (scale = 1/255)
+    assert(out(2L) === ((Seq(255L, 0L), 0.0)))
+    // 0.5 → 127.5 + ½ → 128 (half-up, not banker's 127); err = the
+    // exact squared gap to 128/255
+    assert(out(3L)._1 === Seq(128L, 0L))
+    val gap = 0.5 - 128.0 * (1.0 / 255.0)
+    assert(out(3L)._2 === gap * gap)
+    // encode is narrow: no exchange in the plan
+    val p = Similarity.sqEncode(vecs, "vec_id", "v", mins, maxs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sq encode must be narrow:\n$p")
+    intercept[IllegalArgumentException] {
+      Similarity.sqEncode(vecs, "vec_id", "v", mins, Seq(1.0))
+    }
+  }
 }
