@@ -51,4 +51,81 @@ object Sketches {
   def estimateDistinct(sketches: DataFrame, byCols: Seq[String]): DataFrame =
     sketches.select(byCols.map(col) :+
       expr("hll_sketch_estimate(sketch)").as("n_distinct"): _*)
+
+  // ---- heavy hitters (Misra-Gries / space-saving) ---------------------
+
+  /** Per-group MISRA-GRIES heavy-hitter summary of one batch — the
+    * frequent-items member of the mergeable-metrics layer (Misra &
+    * Gries 1982; mergeability per Agarwal et al. 2012, "Mergeable
+    * Summaries", PODS): at most `capacity` rows
+    * (byCols*, item, cnt_lo) per group, where cnt_lo is the exact count
+    * MINUS the (capacity+1)-th largest count in the group — the batch
+    * form of the streaming decrement. Guarantees, spec-asserted:
+    * cnt_lo ≤ true count ≤ cnt_lo + N_g/(capacity+1) (N_g = the
+    * group's total item count), so every item with frequency >
+    * N_g/(capacity+1) SURVIVES. Ties at the cut boundary subtract to
+    * ≤ 0 and drop — the summary is deterministic with no tie-break
+    * judgement call.
+    *
+    * Unlike the HLL sketches there is no opaque binary: the summary IS
+    * a relational table, so it lands/merges/queries with ordinary
+    * operators, and the oracle can replay it exactly (integer counts,
+    * total-ordered window).
+    *
+    * Scale shape: one partial-aggregated (group, item) count exchange;
+    * the top-(capacity+1) rank filter compiles to WindowGroupLimit
+    * (partial per-partition top-k BEFORE the window exchange — the
+    * q83 pre-reduce), so the full item distribution never funnels
+    * through one task; the boundary-count lookup is a second window on
+    * the ≤ capacity+1 surviving rows over the SAME partitioning — no
+    * new exchange.
+    */
+  def heavyHitters(
+      df: DataFrame, itemCol: String, byCols: Seq[String],
+      capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    summarize(
+      df.groupBy((byCols.map(col) :+ col(itemCol).as("item")): _*)
+        .agg(count(lit(1)).as("cnt")),
+      byCols, capacity)
+  }
+
+  /** Merge heavy-hitter summaries group-by-group: union, sum counts
+    * per item, re-summarize at the same capacity. Associative and
+    * order-independent (spec-pinned); per the mergeable-summaries
+    * theorem the merged error stays ≤ ΣN_i/(capacity+1) = N/(capacity
+    * +1) — merging loses nothing over a single pass at the same
+    * capacity. Old state ∪ new batch is the incremental update.
+    */
+  def mergeHeavyHitters(
+      tables: Seq[DataFrame], byCols: Seq[String],
+      capacity: Int): DataFrame = {
+    require(tables.nonEmpty, "mergeHeavyHitters needs at least one table")
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    summarize(
+      tables.reduce(_ unionByName _)
+        .groupBy((byCols.map(col) :+ col("item")): _*)
+        .agg(sum(col("cnt_lo")).as("cnt")),
+      byCols, capacity)
+  }
+
+  /** Shared cut: keep top-`capacity` items per group by (cnt desc,
+    * item asc), counts decremented by the (capacity+1)-th count.
+    */
+  private def summarize(
+      counts: DataFrame, byCols: Seq[String], capacity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(byCols.map(col): _*)
+      .orderBy(col("cnt").desc, col("item").asc)
+    val wAll = Window.partitionBy(byCols.map(col): _*)
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= capacity + 1)
+      .withColumn("__sub",
+        max(when(col("__rn") === capacity + 1, col("cnt")).otherwise(0L))
+          .over(wAll))
+      .filter(col("__rn") <= capacity && col("cnt") - col("__sub") > 0L)
+      .select(byCols.map(col) :+ col("item") :+
+        (col("cnt") - col("__sub")).as("cnt_lo"): _*)
+  }
 }

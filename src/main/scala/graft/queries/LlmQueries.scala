@@ -2890,10 +2890,60 @@ object LlmQueries extends QuerySet {
       FROM dd ORDER BY vec_id
     """))
 
+  /** Mergeable HEAVY-HITTER summaries
+    * ([[graft.operators.Sketches.heavyHitters]]/
+    * [[graft.operators.Sketches.mergeHeavyHitters]], Misra-Gries with
+    * the Agarwal et al. 2012 merge): per-(lang, source) top-token
+    * summaries at capacity 10 built as independent "batches", then
+    * MERGED to per-lang summaries at the same capacity — the exact
+    * incremental-state path (old summary ∪ new batch, never a
+    * re-scan). Fully relational and integer-exact, so unlike the HLL
+    * gate the oracle replays BOTH levels bit-for-bit (window cut,
+    * boundary subtraction, merge re-cut). The merged counts are lower
+    * bounds within N/(cap+1) — spec-asserted; the gate pins the exact
+    * summary rows.
+    */
+  private val q122 = Q(
+    "q122_heavy_hitters",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val tok = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"), col("source"),
+          explode(wsTokens(col("text"))).as("tok"))
+      val batches = Sketches.heavyHitters(tok, "tok", Seq("lang", "source"), 10)
+      Sketches.mergeHeavyHitters(Seq(batches), Seq("lang"), 10)
+        .orderBy("lang", "item")
+    },
+    Some(s"""
+      WITH tok AS (SELECT lang, source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS item
+           FROM documents WHERE length(trim(text)) > 0),
+      c1 AS (SELECT lang, source, item, count(*) AS cnt
+             FROM tok GROUP BY 1, 2, 3),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY lang, source
+               ORDER BY cnt DESC, item ASC) AS rn FROM c1),
+      s1 AS (SELECT *, max(CASE WHEN rn = 11 THEN cnt ELSE 0 END)
+               OVER (PARTITION BY lang, source) AS sub
+             FROM r1 WHERE rn <= 11),
+      b1 AS (SELECT lang, source, item, cnt - sub AS cnt_lo
+             FROM s1 WHERE rn <= 10 AND cnt - sub > 0),
+      c2 AS (SELECT lang, item, CAST(sum(cnt_lo) AS BIGINT) AS cnt
+             FROM b1 GROUP BY 1, 2),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY lang
+               ORDER BY cnt DESC, item ASC) AS rn FROM c2),
+      s2 AS (SELECT *, max(CASE WHEN rn = 11 THEN cnt ELSE 0 END)
+               OVER (PARTITION BY lang) AS sub
+             FROM r2 WHERE rn <= 11),
+      b2 AS (SELECT lang, item, cnt - sub AS cnt_lo
+             FROM s2 WHERE rn <= 10 AND cnt - sub > 0)
+      SELECT lang, item, cnt_lo FROM b2 ORDER BY lang, item
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110, q112, q120, q121)
+      q110, q112, q120, q121, q122)
 }

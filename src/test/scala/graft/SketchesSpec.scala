@@ -55,4 +55,58 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_hll_sketch_agg") || p.contains("partial"),
       s"sketch agg must partial-aggregate map-side:\n$p")
   }
+
+  private def items(group: String, pairs: (String, Int)*) =
+    pairs.flatMap { case (it, n) => Seq.fill(n)(group -> it) }
+
+  test("heavyHitters: batch Misra-Gries cut, hand-computed") {
+    val df = (items("g", "a" -> 10, "b" -> 6, "c" -> 4, "d" -> 3, "e" -> 1) ++
+      items("h", "x" -> 2, "y" -> 1))
+      .toDF("g", "item")
+    val hh = Sketches.heavyHitters(df, "item", Seq("g"), capacity = 3)
+      .as[(String, String, Long)].collect().toSet
+    // group g: 4th-largest count = d(3) → subtract 3: a 7, b 3, c 1
+    // group h: only 2 items ≤ capacity → exact counts survive
+    assert(hh === Set(("g", "a", 7L), ("g", "b", 3L), ("g", "c", 1L),
+      ("h", "x", 2L), ("h", "y", 1L)))
+    // boundary ties subtract to zero and drop — no tie-break judgement
+    val tied = items("t", "a" -> 5, "b" -> 2, "c" -> 2, "d" -> 2).toDF("g", "item")
+    val th = Sketches.heavyHitters(tied, "item", Seq("g"), capacity = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(th === Set(("t", "a", 3L)))
+  }
+
+  test("heavyHitters merge: lower bound + N/(C+1) error, order-free") {
+    val c = 4
+    val shard1 = items("g", "hot" -> 40, "w1" -> 9, "w2" -> 8, "w3" -> 7,
+      "w4" -> 6, "w5" -> 5).toDF("g", "item")
+    val shard2 = items("g", "hot" -> 35, "w3" -> 9, "w5" -> 8, "w6" -> 7,
+      "w7" -> 2).toDF("g", "item")
+    val s1 = Sketches.heavyHitters(shard1, "item", Seq("g"), c)
+    val s2 = Sketches.heavyHitters(shard2, "item", Seq("g"), c)
+    val merged = Sketches.mergeHeavyHitters(Seq(s1, s2), Seq("g"), c)
+      .as[(String, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    val truth = shard1.unionAll(shard2).groupBy("item").count()
+      .as[(String, Long)].collect().toMap
+    val n = truth.values.sum
+    // every reported count is a lower bound within N/(C+1) of truth
+    merged.foreach { case (it, lo) =>
+      assert(lo <= truth(it), s"$it: $lo > ${truth(it)}")
+      assert(truth(it) - lo <= n / (c + 1), s"$it: ${truth(it)} - $lo")
+    }
+    // an item with frequency > N/(C+1) must survive the merge
+    assert(merged.contains("hot") && truth("hot") > n / (c + 1))
+    // merge order cannot change the summary
+    val flipped = Sketches.mergeHeavyHitters(Seq(s2, s1), Seq("g"), c)
+      .as[(String, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(flipped === merged)
+  }
+
+  test("heavyHitters rank filter compiles to WindowGroupLimit") {
+    val df = items("g", "a" -> 3, "b" -> 2, "c" -> 1).toDF("g", "item")
+    val p = Sketches.heavyHitters(df, "item", Seq("g"), capacity = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"top-(C+1) filter must pre-reduce per partition:\n$p")
+  }
 }
