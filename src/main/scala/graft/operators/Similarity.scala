@@ -1153,7 +1153,7 @@ object Similarity {
     * sweep order and threshold, so the result is a pure function of the
     * (decimal-exact) covariance. Returns (eigenvalues, column-eigvecs).
     */
-  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+  private[operators] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)

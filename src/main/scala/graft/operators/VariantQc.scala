@@ -239,6 +239,66 @@ object VariantQc {
           .cast("long").as("grm_micro"))
   }
 
+  /** Genotype PCA — POPULATION STRUCTURE axes (the `plink --pca` /
+    * EIGENSTRAT smartpca shape, Patterson et al. 2006): eigendecompose
+    * the [[grmPairs]] relationship matrix and return each sample's
+    * top-k principal-component coordinates (eigenvector scaled by
+    * √eigenvalue) plus the eigenvalues. The PCs are the ancestry
+    * covariates every association study conditions on, and the
+    * complement of [[fstByChrom]]'s two-cohort summary when cohort
+    * labels are unknown.
+    *
+    * Scale shape: the corpus-side work IS [[grmPairs]] (site-keyed
+    * self-join + one pair agg — linear in sites); the eigenproblem is
+    * S×S, driver-side by the same smallness argument as centroids
+    * (a cohort has a fixed sample panel — and at biobank width one
+    * runs the GRM on an LD-pruned panel first, as the published
+    * pipelines do). Determinism: the matrix entries are grmPairs'
+    * micro-floored exact integers, the Jacobi sweep
+    * ([[Similarity.jacobiEigen]]) has a fixed rotation order, and each
+    * component's sign is normalized (largest-|coordinate| positive,
+    * lowest index on ties) — a pure function of the input rows
+    * regardless of partitioning. Pairs sharing NO polymorphic site get
+    * relationship 0 (no evidence).
+    */
+  def genotypePca(
+      ann: DataFrame, k: Int,
+      sampleCol: String = "sample_id"): (DataFrame, Seq[Double]) = {
+    require(k >= 1, s"k must be positive, got $k")
+    val rows = grmPairs(ann, sampleCol)
+      .select("sample_a", "sample_b", "grm_micro").collect()
+    require(rows.nonEmpty, "genotypePca over an empty cohort")
+    val samples = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val s = samples.length
+    require(k <= s, s"k=$k exceeds cohort width $s")
+    val ix = samples.zipWithIndex.toMap
+    val m = Array.ofDim[Double](s, s)
+    rows.foreach { r =>
+      val (i, j) = (ix(r.getString(0)), ix(r.getString(1)))
+      val v = r.getLong(2) / 1e6
+      m(i)(j) = v
+      m(j)(i) = v
+    }
+    val (values, vectors) = Similarity.jacobiEigen(m)
+    val order = values.zipWithIndex.sortBy { case (v, i2) => (-v, i2) }.map(_._2)
+    val top = order.take(k)
+    val comps = top.map { c =>
+      val v = vectors.map(_(c))
+      val mx = v.indices.maxBy(p => (math.abs(v(p)), -p))
+      if (v(mx) < 0) v.map(x => -x) else v
+    }
+    val evs = top.map(values(_)).toSeq
+    val spark = ann.sparkSession
+    import spark.implicits._
+    val df = samples.zipWithIndex.map { case (sid, i) =>
+      (sid, comps.zip(evs).map { case (c, ev) =>
+        c(i) * math.sqrt(math.max(ev, 0.0))
+      }.toSeq)
+    }.toSeq.toDF(sampleCol, "pcs")
+    (df, evs)
+  }
+
   /** Per-site HUDSON F_ST numerator/denominator between two sample
     * cohorts (Hudson et al. 1992 as formulated in Bhatia et al. 2013,
     * Genome Res 23:1514 — the estimator they recommend over

@@ -1666,9 +1666,30 @@ object VcfQueries extends QuerySet {
       FROM nd GROUP BY chrom ORDER BY chrom
     """))
 
+  /** Genotype PCA ([[graft.operators.VariantQc.genotypePca]], the
+    * `plink --pca` ancestry axes off the q118 GRM): rows-only gate —
+    * the eigendecomposition is not portably SQL-expressible, so the
+    * real verification is the spec's planted two-population fixture
+    * and partition-stability; this entry drives the full path (annotate
+    * → GRM → driver eigen → PC frame) end to end at both SFs.
+    */
+  private val q123 = Q(
+    "q123_genotype_pca",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val (df, _) = graft.operators.VariantQc.genotypePca(ann, k = 2)
+      df.select(col("sample_id"),
+          micro(element_at(col("pcs"), 1)).as("pc1_micro"),
+          micro(element_at(col("pcs"), 2)).as("pc2_micro"))
+        .orderBy("sample_id")
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
-      q119)
+      q119, q123)
 }

@@ -371,6 +371,35 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       ("y", "y", 3L, 2666666L, 888888L)))
   }
 
+  test("genotypePca separates planted populations, partition-stable") {
+    import spark.implicits._
+    // two populations with perfectly opposed genotypes at 10 sites:
+    // the GRM is rank 1 — ±2 blocks — so λ1 = 8, pc1 = ±0.5·√8
+    val ann = (1 to 10).flatMap { i =>
+      val (ga, gb) = if (i % 2 == 0) ("0", "1") else ("1", "0")
+      Seq("a1", "a2").map(s => ("1", i * 100L, "A", "T", s, 0, ga, ga)) ++
+        Seq("b1", "b2").map(s => ("1", i * 100L, "A", "T", s, 0, gb, gb))
+    }.toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+      "gt1", "gt2")
+    val (df, evs) = graft.operators.VariantQc.genotypePca(ann, k = 2)
+    val pcs = df.as[(String, Seq[Double])].collect().toMap
+    assert(math.abs(evs.head - 8.0) < 1e-9 && math.abs(evs(1)) < 1e-9)
+    // the two populations sit at ±0.5·√8 on PC1: same-pop coordinates
+    // agree, cross-pop are opposite (absolute sign is a convention)
+    val expect = 0.5 * math.sqrt(8.0)
+    val (pa, pb) = (pcs("a1").head, pcs("b1").head)
+    assert(math.abs(math.abs(pa) - expect) < 1e-9)
+    assert(math.abs(pcs("a2").head - pa) < 1e-9)
+    assert(math.abs(pcs("b2").head - pb) < 1e-9)
+    assert(math.abs(pb + pa) < 1e-9)
+    // partitioning cannot move a coordinate: micro-floored GRM input +
+    // fixed-order Jacobi + sign convention = pure function of the rows
+    val (df2, evs2) = graft.operators.VariantQc
+      .genotypePca(ann.repartition(7), k = 2)
+    assert(evs2 === evs)
+    assert(df2.as[(String, Seq[Double])].collect().toMap === pcs)
+  }
+
   test("fstByChrom: Hudson ratio-of-sums, hand-computed sites") {
     import spark.implicits._
     def r(pos: Long, s: String, g1: String, g2: String) =
