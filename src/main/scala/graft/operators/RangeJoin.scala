@@ -292,4 +292,45 @@ object RangeJoin {
         count(lit(1)).as("n_merged"))
       .drop("__blk")
   }
+
+  /** COVERAGE-DEPTH histogram over closed intervals — the `bedtools
+    * genomecov` analogue ("how many bases are covered by exactly d
+    * targets/reads/amplicons"), the QC summary capture-kit and
+    * amplicon designs are judged by: per (chrom, depth ≥ 1), the
+    * number of bases covered by exactly `depth` intervals.
+    *
+    * Shape: the classic ±1 EVENT SWEEP as declarative algebra — each
+    * interval emits (start, +1) and (end+1, −1), coincident events
+    * collapse in one partial-aggregated (chrom, pos) groupBy, a
+    * per-chrom prefix sum turns deltas into the depth of the segment
+    * [pos, next_pos), and one aggregation bins segment lengths by
+    * depth. Like [[mergeIntervals]] (and unlike the bucket joins) the
+    * sweep is the correct distributed shape here: depth CHAINS through
+    * every preceding event, so a bucket decomposition cannot localize
+    * it, while the window's per-chrom partitions are bounded by
+    * DISTINCT event positions (≤ 2·intervals). All arithmetic is exact
+    * int64; the zero-depth gaps and the unbounded tail after the last
+    * event carry no rows by construction (Σdeltas = 0 per chrom).
+    */
+  def coverageDepth(
+      intervals: DataFrame,
+      chromCol: String = "chrom",
+      startCol: String = "start", endCol: String = "end"): DataFrame = {
+    val ev = intervals
+      .select(col(chromCol).as("chrom"),
+        explode(array(
+          struct(col(startCol).cast("long").as("pos"), lit(1L).as("d")),
+          struct((col(endCol).cast("long") + 1L).as("pos"),
+            lit(-1L).as("d")))).as("e"))
+      .select(col("chrom"), col("e.pos").as("pos"), col("e.d").as("d"))
+      .groupBy("chrom", "pos").agg(sum(col("d")).as("__delta"))
+    val byPos = Window.partitionBy("chrom").orderBy("pos")
+    ev
+      .withColumn("depth", sum(col("__delta")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__next", lead(col("pos"), 1).over(byPos))
+      .filter(col("depth") > 0L && col("__next").isNotNull)
+      .groupBy(col("chrom"), col("depth"))
+      .agg(sum(col("__next") - col("pos")).as("n_bases"))
+  }
 }

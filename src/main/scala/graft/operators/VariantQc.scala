@@ -107,6 +107,62 @@ object VariantQc {
           * lit(1000000.0)).cast("long")))
   }
 
+  /** Composite SITE-QC GATE — the standard pre-analysis variant filter
+    * (every GWAS/burden pipeline's first step, the genomics twin of the
+    * corpus-side Gopher gate): per biallelic site, call rate, minor
+    * allele frequency, and the [[hweBySite]] chi-square, each with a
+    * rule flag and the conjunction `keep` —
+    *
+    *   r_call_rate: called-diploid samples / totalSamples ≥ min
+    *   r_maf:       min(A, B)/(A + B) ≥ min (A/B = ref/alt alleles)
+    *   r_hwe:       χ² ≤ max (HWE-violating sites flag artifacts)
+    *
+    * Flags returned, not filtered, so pipelines audit per-rule kill
+    * rates before committing (the q120 posture); `.filter(col
+    * ("keep"))` is the production gate. Determinism: every rule is an
+    * exact integer cross-product comparison (n·10⁶ ≥ min·S, min(A,B)·
+    * 10⁶ ≥ min·(A+B), χ²_micro ≤ max) — the reported ratios are the
+    * usual micro-floored single divisions. Multi-allelic and
+    * any-missing calls are excluded exactly as [[hweBySite]] does;
+    * totalSamples is caller-supplied (the cohort panel width — sites
+    * where a sample is missing entirely must still count it in the
+    * call-rate denominator, which no per-site scan can know).
+    *
+    * Shape: ONE partial-aggregated site groupBy (the hweBySite plan)
+    * plus a narrow projection — zero exchanges on a site-bucketed
+    * landing.
+    */
+  def siteQcGate(
+      ann: DataFrame,
+      totalSamples: Int,
+      minCallRateMicro: Long = 900000L,
+      minMafMicro: Long = 10000L,
+      maxHweMicro: Long = 3841000L,
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    require(totalSamples > 0, s"totalSamples must be positive: $totalSamples")
+    val h = hweBySite(ann, siteKey)
+    val n = col("n0") + col("n1") + col("n2")
+    val a = lit(2L) * col("n0") + col("n1")
+    val b = col("n1") + lit(2L) * col("n2")
+    val minAb = least(a, b)
+    h.select(
+        (siteKey.map(col) :+ col("n0") :+ col("n1") :+ col("n2") :+
+          col("hwe_micro")): _*)
+      .withColumn("call_rate_micro",
+        floor(n.cast("double") / lit(totalSamples.toDouble) * lit(1000000.0))
+          .cast("long"))
+      .withColumn("maf_micro",
+        when(a + b === 0L, 0L).otherwise(
+          floor(minAb.cast("double") / (a + b).cast("double")
+            * lit(1000000.0)).cast("long")))
+      .withColumn("r_call_rate",
+        n * lit(1000000L) >= lit(minCallRateMicro) * totalSamples.toLong)
+      .withColumn("r_maf",
+        minAb * lit(1000000L) >= lit(minMafMicro) * (a + b))
+      .withColumn("r_hwe", col("hwe_micro") <= maxHweMicro)
+      .withColumn("keep", col("r_call_rate") && col("r_maf") && col("r_hwe"))
+  }
+
   /** Per-sample INBREEDING coefficient (the `plink --het` F statistic —
     * the standard per-sample QC for consanguinity, contamination
     * (depressed F), and genotyping batch effects): over biallelic

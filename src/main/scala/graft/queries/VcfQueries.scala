@@ -1687,9 +1687,90 @@ object VcfQueries extends QuerySet {
     },
     None)
 
+  /** Composite SITE-QC gate ([[graft.operators.VariantQc.siteQcGate]]
+    * — call rate, MAF, HWE, each flagged, conjunction `keep`; the
+    * genomics twin of q120's Gopher gate): all-integer rule
+    * evaluation over the q105 counts, micro-floored report ratios.
+    * DuckDB replays the count substrate, the exact chi-square, and
+    * every integer cross-product rule.
+    */
+  private val q124 = Q(
+    "q124_site_qc",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc
+        .siteQcGate(ann, totalSamples = 4,
+          minCallRateMicro = 500000L, minMafMicro = 100000L,
+          maxHweMicro = 3841000L)
+        .orderBy("chrom", "pos", "ref", "alt")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      hw AS (SELECT chrom, pos, ref, alt,
+               CAST(sum(CASE WHEN zygosity = 'hom-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN zygosity = 'het-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN zygosity = 'hom-alt' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             FROM ann
+             WHERE multiallele = 0 AND gt2 IS NOT NULL AND gt1 <> '.' AND gt2 <> '.'
+             GROUP BY 1, 2, 3, 4),
+      hx AS (SELECT *,
+               n0 + n1 + n2 AS n, 2 * n0 + n1 AS a, n1 + 2 * n2 AS b,
+               CASE WHEN 2 * n0 + n1 = 0 OR n1 + 2 * n2 = 0 THEN 0
+                    ELSE CAST(floor(
+                      (CAST((n0 + n1 + n2) * (n1 * n1 - 4 * n0 * n2) * (n1 * n1 - 4 * n0 * n2) AS DOUBLE)
+                       / CAST((2 * n0 + n1) * (2 * n0 + n1) * (n1 + 2 * n2) * (n1 + 2 * n2) AS DOUBLE))
+                      * 1000000.0) AS BIGINT) END AS hwe_micro
+             FROM hw)
+      SELECT chrom, pos, ref, alt, n0, n1, n2, hwe_micro,
+        CAST(floor(CAST(n AS DOUBLE) / 4.0 * 1000000.0) AS BIGINT) AS call_rate_micro,
+        CASE WHEN a + b = 0 THEN 0
+             ELSE CAST(floor(CAST(least(a, b) AS DOUBLE) / (a + b) * 1000000.0) AS BIGINT) END AS maf_micro,
+        (n * 1000000 >= 500000 * 4) AS r_call_rate,
+        (least(a, b) * 1000000 >= 100000 * (a + b)) AS r_maf,
+        (hwe_micro <= 3841000) AS r_hwe,
+        (n * 1000000 >= 500000 * 4
+          AND least(a, b) * 1000000 >= 100000 * (a + b)
+          AND hwe_micro <= 3841000) AS keep
+      FROM hx ORDER BY chrom, pos, ref, alt
+    """))
+
+  /** Interval COVERAGE-DEPTH histogram
+    * ([[graft.operators.RangeJoin.coverageDepth]], the `bedtools
+    * genomecov` analogue) over the q81 synthetic regions: per
+    * (chrom, depth) the exact base count, DuckDB replaying the ±1
+    * event sweep (union deltas → windowed prefix sum → lead segment
+    * lengths) term for term.
+    */
+  private val q125 = Q(
+    "q125_coverage_depth",
+    (s, dir) =>
+      graft.operators.RangeJoin
+        .coverageDepth(syntheticRegions(s, dir), "chrom", "start", "end")
+        .orderBy("chrom", "depth"),
+    Some(s"""
+      WITH $regionsCteSql,
+      ev AS (SELECT chrom, CAST(pos AS BIGINT) AS pos,
+               CAST(sum(d) AS BIGINT) AS delta
+             FROM (SELECT chrom, rstart AS pos, 1 AS d FROM regions
+                   UNION ALL
+                   SELECT chrom, rend + 1 AS pos, -1 AS d FROM regions) e
+             GROUP BY 1, 2),
+      sw AS (SELECT chrom, pos,
+               CAST(sum(delta) OVER (PARTITION BY chrom ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth,
+               lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next_pos
+             FROM ev)
+      SELECT chrom, depth, CAST(sum(next_pos - pos) AS BIGINT) AS n_bases
+      FROM sw WHERE depth > 0 AND next_pos IS NOT NULL
+      GROUP BY 1, 2 ORDER BY chrom, depth
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
-      q119, q123)
+      q119, q123, q124, q125)
 }

@@ -156,4 +156,29 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       .groupBy("id").count().filter(col("count") > 1).collect()
     assert(out.isEmpty, s"duplicate emissions: ${out.mkString(",")}")
   }
+
+  test("coverageDepth: hand-computed histogram, adjacency, chrom isolation") {
+    import spark.implicits._
+    val iv = Seq(
+      // chrom 1: [10,19] ∪ [15,24] overlap on [15,19]; [30,30] is a
+      // 1-base island; [40,44] and [45,49] are ADJACENT (depth stays 1
+      // through the touching boundary, no spurious depth-2)
+      ("1", 10, 19), ("1", 15, 24), ("1", 30, 30),
+      ("1", 40, 44), ("1", 45, 49),
+      // chrom 2 must not leak into chrom 1's prefix sums
+      ("2", 10, 19))
+      .toDF("chrom", "start", "end")
+    val out = graft.operators.RangeJoin.coverageDepth(iv)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(
+      // chrom 1 depth 1: [10,15) 5 + [20,25) 5 + [30,31) 1 + [40,50) 10
+      ("1", 1L, 21L),
+      ("1", 2L, 5L),   // [15,20)
+      ("2", 1L, 10L)))
+    // identical-interval duplicates: depth doubles, bases don't
+    val dup = Seq(("1", 10, 19), ("1", 10, 19)).toDF("chrom", "start", "end")
+    val d2 = graft.operators.RangeJoin.coverageDepth(dup)
+      .as[(String, Long, Long)].collect().toSet
+    assert(d2 === Set(("1", 2L, 10L)))
+  }
 }
