@@ -310,4 +310,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       l.contains("FileScan parquet") || l.contains("Scan parquet"))
     assert(scans <= 1, s"shingle subtree must not be recomputed per consumer:\n$p")
   }
+
+  test("q118 grm: self-join sides share the dosage plan via ReusedExchange") {
+    val q = SparkEntry.queries("q118_grm")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"grm sides must reuse one min-dosage exchange:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"grm must stay site-keyed equi-joins:\n$p")
+  }
+
+  test("q119 fst: one conditional-sum pass, no joins anywhere") {
+    val q = SparkEntry.queries("q119_fst")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"both cohorts must come out of ONE agg:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"site counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("q120 quality gate: scalar rules narrow, top-word count partial-aggregated") {
+    val q = SparkEntry.queries("q120_quality_gate")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      s"top-word count must partial-aggregate:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  test("q125 coverage sweep: one chrom window, events partial-aggregated") {
+    val q = SparkEntry.queries("q125_coverage_depth")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_sum"),
+      s"event deltas must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join"), s"the sweep joins nothing:\n$p")
+  }
 }
