@@ -126,10 +126,60 @@ object TextAnalysis {
   def qualityGate(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String,
       rules: QualityRules = QualityRules()): org.apache.spark.sql.DataFrame = {
+    val topWord = df
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__top"))
+    qualityVerdict(
+      qualityScalars(df, idCol, textCol, rules).join(topWord, Seq(idCol), "left"),
+      Seq(col(idCol)), rules)
+  }
+
+  /** Single-PROJECTION variant of [[qualityGate]] — identical columns
+    * from one narrow select, no aggregation anywhere: the shape the
+    * STATELESS STREAMING path needs (a per-doc explode + groupBy would
+    * be a stateful operator on a stream). The top-word count folds the
+    * doc's own SORTED token array — the max run of equal adjacent
+    * tokens IS the max count — via a one-level `aggregate` lambda:
+    * interpreted (CodegenFallback), O(n log n) per doc, bounded by doc
+    * length; the batch explode shape stays preferred where aggregation
+    * is available (§8). Result-identity with [[qualityGate]] is
+    * spec-pinned. Extra columns (timestamps, payloads) pass through.
+    */
+  def qualityGateRow(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      rules: QualityRules = QualityRules()): org.apache.spark.sql.DataFrame = {
+    val passthrough = df.columns.filterNot(c => c == idCol || c == textCol)
+    qualityVerdict(
+      qualityScalars(df, idCol, textCol, rules,
+        extra = passthrough.map(col).toSeq :+
+          topWordRunCount(wsTokens(col(textCol))).as("__top")),
+      col(idCol) +: passthrough.map(col).toSeq, rules)
+  }
+
+  /** Max multiplicity of any token, computed per row as the longest
+    * run of equal adjacent elements in the sorted array.
+    */
+  private def topWordRunCount(toks: Column): Column =
+    aggregate(
+      array_sort(toks),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(acc.getField("prev").isNotNull &&
+          acc.getField("prev") === w, acc.getField("run") + 1L).otherwise(1L)
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  private def qualityScalars(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, rules: QualityRules,
+      extra: Seq[Column] = Nil): org.apache.spark.sql.DataFrame = {
     require(rules.minWords >= 1 && rules.maxWords >= rules.minWords,
       s"bad word bounds: [${rules.minWords}, ${rules.maxWords}]")
     val toks = wsTokens(col(textCol))
-    val base = df.select(
+    df.select(Seq(
       col(idCol),
       size(toks).cast("long").as("n_words"),
       length(regexp_replace(trim(col(textCol)), "\\s+", ""))
@@ -137,20 +187,21 @@ object TextAnalysis {
       size(filter(toks, w => w.rlike("[A-Za-z]")))
         .cast("long").as("__alpha"),
       size(array_intersect(wsTokens(lower(col(textCol))),
-        typedLit(rules.stopwords))).cast("long").as("stop_hits"))
-    val topWord = df
-      .select(col(idCol), explode(wsTokens(col(textCol))).as("__w"))
-      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol)).agg(max(col("__c")).as("__top"))
+        typedLit(rules.stopwords))).cast("long").as("stop_hits")) ++ extra: _*)
+  }
+
+  /** Shared rule assembly over the scalar columns + `__top`. */
+  private def qualityVerdict(scored: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[Column], rules: QualityRules): org.apache.spark.sql.DataFrame = {
     val n = col("n_words")
     val top = coalesce(col("__top"), lit(0L))
     def microOf(num: Column) =
       when(n === 0L, 0L).otherwise(
         floor(num.cast("double") / n.cast("double") * lit(1000000.0))
           .cast("long"))
-    base.join(topWord, Seq(idCol), "left")
-      .select(
-        col(idCol), n, col("stop_hits"),
+    scored
+      .select(keyCols ++ Seq(
+        n, col("stop_hits"),
         microOf(col("__sumlen")).as("mean_len_micro"),
         microOf(col("__alpha")).as("alpha_micro"),
         microOf(top).as("top_word_micro"),
@@ -163,7 +214,7 @@ object TextAnalysis {
           lit(rules.minAlphaWordMicro) * n).as("r_alpha"),
         (col("stop_hits") >= rules.minStopHits.toLong).as("r_stop"),
         (n > 0L && top * lit(1000000L) <= lit(rules.maxTopWordMicro) * n)
-          .as("r_top_word"))
+          .as("r_top_word")): _*)
       .withColumn("keep",
         col("r_words") && col("r_mean_len") && col("r_alpha") &&
           col("r_stop") && col("r_top_word"))

@@ -458,7 +458,38 @@ object Relational extends QuerySet {
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid
     """))
 
+  /** PIVOT — wide per-group reshaping (q08/q116's grouping-sets
+    * sibling, the reference's notebook `unstack` idiom at relational
+    * scale): per line-number row, one decimal-exact quantity column per
+    * return flag. Pivot VALUES are passed EXPLICITLY — the two-arg
+    * `pivot(col)` form runs a whole extra distinct-scan of the corpus
+    * just to discover the column set, and makes the output schema
+    * data-dependent (a new flag value silently widens the table) —
+    * at 100 TB both are bugs, not conveniences. With literal values
+    * the pivot compiles to ONE partial-aggregated groupBy with
+    * conditional sums, exactly the oracle's spelling.
+    */
+  private val q126 = Q(
+    "q126_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linenumber")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec("l_quantity")))
+        .select(col("l_linenumber"),
+          money(col("A")).as("qty_a"),
+          money(col("N")).as("qty_n"),
+          money(col("R")).as("qty_r"))
+        .orderBy("l_linenumber"),
+    Some(s"""
+      SELECT l_linenumber,
+        ${moneySql("sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,6)) END)")} AS qty_a,
+        ${moneySql("sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,6)) END)")} AS qty_n,
+        ${moneySql("sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,6)) END)")} AS qty_r
+      FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+    """))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
-      q52, q75, q115, q116)
+      q52, q75, q115, q116, q126)
 }

@@ -1768,9 +1768,44 @@ object VcfQueries extends QuerySet {
       GROUP BY 1, 2 ORDER BY chrom, depth
     """))
 
+  /** Site-annotation TRANSFER
+    * ([[graft.sources.VcfReader.transferSiteAnnotations]], the
+    * `bcftools annotate -a` / dbSNP-rsID path): every distinct callset
+    * site left-joined against a sites-only reference (every 3rd
+    * derivation record), id+qual transferred under the `ref_` prefix;
+    * duplicate reference sites resolve to the MIN (id, qual) struct —
+    * DuckDB replays the dedup as a row_number argmin and the left
+    * join; unmatched sites keep NULLs (never dropped).
+    */
+  private val q127 = Q(
+    "q127_annotate_sites",
+    (s, dir) => {
+      val sites = wide(s, dir).select("chrom", "pos", "ref", "alt").distinct()
+      val refdf = wide(s, dir).filter(col("k") % 3 === 0)
+        .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+          col("id"), col("qual"))
+      VcfReader.transferSiteAnnotations(sites, refdf, Seq("id", "qual"))
+        .orderBy("chrom", "pos", "ref", "alt")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      sites AS (SELECT DISTINCT regexp_replace(chrom_raw, '^chr', '') AS chrom,
+                  pos, ref, alt FROM v),
+      r0 AS (SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom,
+               pos, ref, alt, id, qual FROM v WHERE k % 3 = 0),
+      rr AS (SELECT chrom, pos, ref, alt, id AS ref_id, qual AS ref_qual,
+               row_number() OVER (PARTITION BY chrom, pos, ref, alt
+                 ORDER BY id, qual) AS rn
+             FROM r0)
+      SELECT s.chrom, s.pos, s.ref, s.alt, r.ref_id, r.ref_qual
+      FROM sites s LEFT JOIN (SELECT * FROM rr WHERE rn = 1) r
+        USING (chrom, pos, ref, alt)
+      ORDER BY chrom, pos, ref, alt
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
-      q119, q123, q124, q125)
+      q119, q123, q124, q125, q127)
 }

@@ -171,6 +171,39 @@ object VcfReader {
         callsets.indices.map(i => col(s"in_$i")).reduce(_ + _))
   }
 
+  /** Transfer annotation columns from a SITES-ONLY reference onto a
+    * callset by site key — the `bcftools annotate -a` / dbSNP-rsID
+    * path (stamp rsIDs, population AFs, clinical flags onto every
+    * matching record; the day-one use of the q68 sites-only read).
+    * Left join: unmatched callset rows keep NULL annotations and are
+    * never dropped. Duplicate reference sites — dbSNP has them — are
+    * resolved to the MINIMUM transferred-column struct per site first
+    * (deterministic, engine-replayable; a raw join would fan the
+    * callset out row-per-duplicate and make "which copy won"
+    * partitioning-dependent). Transferred columns get `prefix` so
+    * names can't collide with callset columns (refused on collision).
+    *
+    * Scale shape: one partial-aggregated groupBy on the REFERENCE
+    * (the smaller side after column pruning) + one site-keyed
+    * equi-join — zero exchanges for the callset on a site-bucketed
+    * landing, broadcastable when the reference is a pruned panel.
+    */
+  def transferSiteAnnotations(
+      callset: DataFrame, reference: DataFrame,
+      cols: Seq[String], prefix: String = "ref_",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    require(cols.nonEmpty, "transferSiteAnnotations needs columns to transfer")
+    val outNames = cols.map(prefix + _)
+    val clash = outNames.intersect(callset.columns.toSeq)
+    require(clash.isEmpty, s"transferred names collide with callset: $clash")
+    val resolved = reference
+      .groupBy(siteKey.map(col): _*)
+      .agg(min(struct(cols.map(col): _*)).as("__a"))
+      .select(siteKey.map(col) ++
+        cols.zip(outNames).map { case (c, o) => col(s"__a.$c").as(o) }: _*)
+    callset.join(resolved, siteKey, "left")
+  }
+
   /** [[mergeCohort]] over file paths: each header is read driver-side
     * for its sample list, each body through [[read]]. */
   def readCohort(spark: SparkSession, paths: Seq[String]): DataFrame =

@@ -546,6 +546,20 @@ object DocStreams {
   }
 
   /** Batch twin of [[ingestClean]] (keep the earliest copy per digest). */
+  /** Stateless streaming QUALITY-GATE probe —
+    * [[TextAnalysis.qualityGateRow]] over a document stream: per-doc
+    * Gopher rule flags + `keep` with ZERO state operators (spec-
+    * pinned), so it rides any trigger with no watermark or state
+    * store. The ingest-time twin of the q120 batch audit: route
+    * keep=false to quarantine, keep=true onward; the single-projection
+    * row variant exists exactly because the batch shape's per-doc
+    * explode + groupBy would be a stateful aggregation here.
+    */
+  def qualityGateStream(
+      docs: DataFrame,
+      rules: TextAnalysis.QualityRules = TextAnalysis.QualityRules()): DataFrame =
+    TextAnalysis.qualityGateRow(docs, "doc_id", "text", rules)
+
   def ingestCleanBatch(docs: DataFrame, minTokens: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("digest").orderBy(col("ts"), col("doc_id"))

@@ -621,4 +621,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       DocStreams.nearDupFlags(mem.toDF(), maxHamming = 4)
     }
   }
+
+  test("streaming quality gate: stateless, flag-identical to the batch gate") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val rules = TextAnalysis.QualityRules(
+      minWords = 5, minStopHits = 1, maxTopWordMicro = 400000L)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val docs = Seq(
+      Doc(t0, 1L, "the quick brown fox jumps over a lazy dog tonight"),
+      Doc(t0, 2L, "short"),                              // word floor
+      Doc(t0, 3L, "spam spam spam spam the spam spam"),  // repetition
+      Doc(t0, 4L, ""))                                   // empty
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(docs)
+    val q = DocStreams.qualityGateStream(mem.toDF(), rules)
+      .writeStream.format("memory").queryName("graft_qgate_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cols = Seq("doc_id", "n_words", "stop_hits", "mean_len_micro",
+      "alpha_micro", "top_word_micro", "r_words", "r_mean_len", "r_alpha",
+      "r_stop", "r_top_word", "keep")
+    val streamed = spark.table("graft_qgate_test")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val batch = TextAnalysis.qualityGate(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", rules)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(streamed === batch, s"stream $streamed vs batch $batch")
+    assert(streamed.count(_.last == true) === 1) // only doc 1 survives
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.nonEmpty, "no progress recorded — nothing was asserted")
+    batches.foreach(p => assert(p.stateOperators.isEmpty,
+      s"quality gate unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
+  }
 }
