@@ -109,6 +109,72 @@ object Sketches {
       byCols, capacity)
   }
 
+  // ---- histograms (mergeable quantiles) -------------------------------
+
+  /** Per-group fixed-width HISTOGRAM of a non-negative value column —
+    * the QUANTILE member of the mergeable-metrics layer: at most
+    * range/binWidth rows (byCols*, bin, cnt) per group, bin =
+    * value DIV binWidth (exact integer division — no floats in the
+    * binning). Histograms are the one summary here that merges
+    * LOSSLESSLY (counts add): the merged estimate is IDENTICAL to the
+    * single-pass estimate, not merely within a bound — spec-pinned.
+    * Quantile error is bounded by the bin: the true q-quantile lies in
+    * [est, est + binWidth). One partial-aggregated groupBy.
+    */
+  def histogramSketch(
+      df: DataFrame, valueCol: String, byCols: Seq[String],
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    df.groupBy(byCols.map(col) :+
+        expr(s"CAST($valueCol AS BIGINT) DIV $binWidth").as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram tables group-by-group: union + per-bin sum.
+    * Exact — any merge tree lands on the same table as one pass over
+    * the union. Old state ∪ new batch is the incremental update.
+    */
+  def mergeHistograms(tables: Seq[DataFrame], byCols: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "mergeHistograms needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy(byCols.map(col) :+ col("bin"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Read quantile ESTIMATES off a histogram table: for each group and
+    * each requested micro-quantile q, the LOWER EDGE of the bin holding
+    * the ⌈q·n⌉-th value (rank arithmetic exact integers — ⌈q·n⌉ =
+    * (q·n + 999999) DIV 10⁶ — so the pick is engine-identical).
+    * Returns (byCols*, q_micro, n, est); the true quantile lies in
+    * [est, est + binWidth). One window cumsum + one agg per group,
+    * both on the group partitioning.
+    */
+  def histogramQuantiles(
+      hist: DataFrame, byCols: Seq[String],
+      qMicros: Seq[Long], binWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(qMicros.nonEmpty &&
+      qMicros.forall(q => q >= 1L && q <= 1000000L),
+      s"quantiles must be micro-fractions in [1, 1e6]: $qMicros")
+    val w = Window.partitionBy(byCols.map(col): _*).orderBy(col("bin"))
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("cnt")).over(
+        Window.partitionBy(byCols.map(col): _*)))
+    val qDf = cum.withColumn("q_micro", explode(typedLit(qMicros)))
+    // ⌈q·n⌉ in exact integer arithmetic — q·n reaches 1e18 at a 1e12
+    // count, past double's 2^53 mantissa, so DIV not floor(/)
+    val target = expr("(q_micro * __n + 999999) DIV 1000000")
+    qDf
+      .groupBy(byCols.map(col) :+ col("q_micro"): _*)
+      .agg(
+        max(col("__n")).as("n"),
+        (min(when(col("__cum") >= target, col("bin")))
+          * binWidth).as("est"))
+  }
+
   /** Shared cut: keep top-`capacity` items per group by (cnt desc,
     * item asc), counts decremented by the (capacity+1)-th count.
     */

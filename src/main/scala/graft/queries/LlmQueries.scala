@@ -2940,10 +2940,58 @@ object LlmQueries extends QuerySet {
       SELECT lang, item, cnt_lo FROM b2 ORDER BY lang, item
     """))
 
+  /** Mergeable HISTOGRAM quantiles
+    * ([[graft.operators.Sketches.histogramSketch]]/mergeHistograms/
+    * histogramQuantiles): per-(lang, source) token-count histograms at
+    * bin width 8 built as independent batches, merged LOSSLESSLY to
+    * per-lang tables (histogram merge is exact — spec-pinned identity
+    * with the single pass), then p50/p90/p99 read off with exact
+    * integer rank arithmetic (⌈q·n⌉ via DIV — q·n overflows double's
+    * mantissa at real counts). True quantile ∈ [est, est+8). DuckDB
+    * replays binning, merge, cumsum, and the rank pick bit-for-bit.
+    */
+  private val q128 = Q(
+    "q128_token_histogram",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val tc = t(s, dir, "documents").select(
+        col("lang"), col("source"),
+        tokenCount(col("text")).cast("long").as("v"))
+      val batches = Sketches.histogramSketch(tc, "v", Seq("lang", "source"), 8L)
+      val merged = Sketches.mergeHistograms(Seq(batches), Seq("lang"))
+      Sketches
+        .histogramQuantiles(merged, Seq("lang"),
+          Seq(500000L, 900000L, 990000L), 8L)
+        .orderBy("lang", "q_micro")
+    },
+    Some(s"""
+      WITH tc AS (SELECT lang, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             END AS v
+           FROM documents),
+      h1 AS (SELECT lang, source, v // 8 AS bin, count(*) AS cnt
+             FROM tc GROUP BY 1, 2, 3),
+      hm AS (SELECT lang, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+             FROM h1 GROUP BY 1, 2),
+      cum AS (SELECT lang, bin, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+               CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+             FROM hm),
+      qq AS (SELECT lang, bin, c, n,
+               CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS q_micro
+             FROM cum)
+      SELECT lang, q_micro, max(n) AS n,
+        CAST(min(CASE WHEN c >= (q_micro * n + 999999) // 1000000
+                      THEN bin END) * 8 AS BIGINT) AS est
+      FROM qq GROUP BY 1, 2 ORDER BY lang, q_micro
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110, q112, q120, q121, q122)
+      q110, q112, q120, q121, q122, q128)
 }

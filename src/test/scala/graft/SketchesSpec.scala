@@ -102,6 +102,42 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(flipped === merged)
   }
 
+  test("histogram sketch: lossless merge, bin-bounded quantiles, hand case") {
+    val w = 10L
+    val vals1 = Seq(0L, 3L, 9L, 10L, 25L, 25L, 99L)
+    val vals2 = Seq(5L, 30L, 31L, 99L, 100L)
+    def df(vs: Seq[Long]) = vs.map(("g", _)).toDF("g", "v")
+    val h1 = Sketches.histogramSketch(df(vals1), "v", Seq("g"), w)
+    val h2 = Sketches.histogramSketch(df(vals2), "v", Seq("g"), w)
+    // hand case: vals1 bins 0:{0,3,9}, 1:{10}, 2:{25,25}, 9:{99}
+    assert(h1.as[(String, Long, Long)].collect().toSet ===
+      Set(("g", 0L, 3L), ("g", 1L, 1L), ("g", 2L, 2L), ("g", 9L, 1L)))
+    // merge is LOSSLESS: merged table == single pass over the union
+    val merged = Sketches.mergeHistograms(Seq(h1, h2), Seq("g"))
+    val direct = Sketches.histogramSketch(df(vals1 ++ vals2), "v", Seq("g"), w)
+    assert(merged.as[(String, Long, Long)].collect().toSet ===
+      direct.as[(String, Long, Long)].collect().toSet)
+    // quantile estimates: lower bin edge; truth within [est, est + w)
+    val qs = Seq(500000L, 900000L, 1000000L)
+    val est = Sketches.histogramQuantiles(merged, Seq("g"), qs, w)
+      .select("q_micro", "n", "est")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val sorted = (vals1 ++ vals2).sorted
+    qs.foreach { q =>
+      val (n, e) = est(q)
+      assert(n === sorted.length.toLong)
+      val truth = sorted(((q * n + 999999L) / 1000000L).toInt - 1)
+      assert(e <= truth && truth < e + w, s"q=$q est=$e truth=$truth")
+    }
+    // p50 of 12 values → rank 6 → value 25 → bin 2 → est 20
+    assert(est(500000L)._2 === 20L)
+    assert(est(1000000L)._2 === 100L)
+    intercept[IllegalArgumentException] {
+      Sketches.histogramQuantiles(merged, Seq("g"), Seq(0L), w)
+    }
+  }
+
   test("heavyHitters rank filter compiles to WindowGroupLimit") {
     val df = items("g", "a" -> 3, "b" -> 2, "c" -> 1).toDF("g", "item")
     val p = Sketches.heavyHitters(df, "item", Seq("g"), capacity = 2)
