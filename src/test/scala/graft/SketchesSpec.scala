@@ -145,4 +145,45 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"top-(C+1) filter must pre-reduce per partition:\n$p")
   }
+
+  test("histogram maintenance across real micro-batches equals one pass") {
+    // the incremental-state claim exercised END TO END: each streaming
+    // micro-batch contributes its own histogram rows to a state table,
+    // and the merged state equals the single-pass histogram — the
+    // pattern a 100 TB pipeline runs in foreachBatch against a landing
+    import graft.streaming.DocStreams.Doc
+    import graft.functions.TextFunctions.tokenCount
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def doc(id: Long, n: Int) = Doc(t0, id, Seq.fill(n)("w").mkString(" "))
+    val wave1 = Seq(doc(1L, 3), doc(2L, 9), doc(3L, 12))
+    val wave2 = Seq(doc(4L, 4), doc(5L, 40))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val state = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    var batches = 0
+    val q = mem.toDF()
+      .select(lit("all").as("g"), tokenCount(col("text")).cast("long").as("v"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += 1
+        state ++= Sketches.histogramSketch(b, "v", Seq("g"), 4L)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        ()
+      }
+      .start()
+    mem.addData(wave1); q.processAllAvailable()
+    mem.addData(wave2); q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val merged = Sketches
+      .mergeHistograms(Seq(state.toSeq.toDF("g", "bin", "cnt")), Seq("g"))
+      .as[(String, Long, Long)].collect().toSet
+    val direct = Sketches
+      .histogramSketch(
+        (wave1 ++ wave2).map(d => ("all", d.text.split(" ").length.toLong))
+          .toDF("g", "v"),
+        "v", Seq("g"), 4L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged === direct, s"merged $merged vs single-pass $direct")
+  }
 }
