@@ -841,6 +841,53 @@ object Dedup {
       .withColumn("dup_micro", expr("n_shared * 1000000 div n_shingles"))
   }
 
+  /** LINE-LEVEL BOILERPLATE removal — the CCNet/RefinedWeb/MassiveText
+    * sub-document dedup step the whole-doc strategies can't express:
+    * a line occurring in MORE THAN `maxDocs` distinct documents
+    * (nav bars, cookie banners, subscribe footers) is deleted from
+    * every document; document-unique prose is untouched. Returns
+    * (idCol, textCol) with each document reassembled from its
+    * surviving lines IN ORIGINAL ORDER (a doc whose every line is
+    * boilerplate comes back as the empty string, not dropped — the
+    * caller decides its fate, usually via the q120 word-count rule).
+    *
+    * Scale shape: lines explode once; the line doc-frequency table is
+    * built on a 64-bit line hash (rows stay narrow — never the line
+    * text; 2⁻⁶⁴ collision odds documented) via distinct (id, hash)
+    * pairs then ONE partial-aggregated count — the skewRobust
+    * groupBy-then-join shape from [[dupFraction]], mandatory here
+    * because boilerplate lines are hot BY DEFINITION (the q98
+    * lesson); reassembly is one groupBy with an array_sort over
+    * (position, line) structs — deterministic regardless of
+    * partitioning.
+    */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocs: Long, sep: String = "\n"): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__idx", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    val dfreq = lines.select(col("__id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val kept = lines.join(dfreq, Seq("__h")).filter(col("__df") <= maxDocs)
+    kept
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__idx"), col("__line")))),
+          s => s.getField("__line")),
+        sep).as(textCol))
+      .withColumnRenamed("__id", idCol)
+      .unionByName(
+        // all-boilerplate docs: reassembled group is absent — restore
+        // them empty via an anti-join on the surviving ids
+        df.select(col(idCol)).distinct()
+          .join(kept.select(col("__id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .withColumn(textCol, lit("")))
+  }
+
   /** (id, chunk-hash) long table via CONTENT-DEFINED CHUNKING
     * ([[graft.expressions.StringExprs.cdcChunkHashes]], Rabin/FastCDC
     * family): boundaries where the rolling hash of the last `window`

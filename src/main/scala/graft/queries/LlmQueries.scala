@@ -2988,10 +2988,54 @@ object LlmQueries extends QuerySet {
       FROM qq GROUP BY 1, 2 ORDER BY lang, q_micro
     """))
 
+  /** LINE-LEVEL boilerplate removal
+    * ([[graft.operators.Dedup.dropBoilerplateLines]], the CCNet/
+    * RefinedWeb sub-document dedup step): footer lines are PLANTED
+    * deterministically (every even doc gets a universal subscribe
+    * footer → doc-frequency 250, dropped at maxDocs 40; every 5th doc
+    * gets one of three promo variants → df ≈ 33 each, kept), so both
+    * the deletion and the survival threshold are observable while the
+    * reassembled text stays hash-exact. DuckDB replays the plant, the
+    * distinct-doc line frequency, the > threshold cut, and the
+    * order-preserving reassembly.
+    */
+  private val q129 = Q(
+    "q129_line_dedup",
+    (s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nsubscribe to our newsletter")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("\npromo "), (col("doc_id") % 3).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      Dedup.dropBoilerplateLines(planted, "doc_id", "text", maxDocs = 40L)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH planted AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || 'subscribe to our newsletter' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || 'promo ' || CAST(doc_id % 3 AS VARCHAR)
+               ELSE '' END AS text
+        FROM documents),
+      l AS (SELECT doc_id, generate_subscripts(ls, 1) AS idx, unnest(ls) AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM planted) t),
+      dfq AS (SELECT line, count(DISTINCT doc_id) AS dfc FROM l GROUP BY line),
+      kept AS (SELECT l.* FROM l JOIN dfq USING (line) WHERE dfc <= 40),
+      re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+             FROM kept GROUP BY doc_id)
+      SELECT p.doc_id, coalesce(re.text, '') AS text
+      FROM planted p LEFT JOIN re USING (doc_id)
+      ORDER BY doc_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110, q112, q120, q121, q122, q128)
+      q110, q112, q120, q121, q122, q128, q129)
 }

@@ -57,4 +57,35 @@ class CorpusCleanSpec extends AnyFunSuite with SparkSpec {
     assert(row.getLong(2) === expectedKept)
     assert(expectedTotal > expectedDedup && expectedDedup >= expectedKept)
   }
+
+  test("dropBoilerplateLines: hot lines deleted, order kept, empties restored") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val footer = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"alpha body one\n$footer\nalpha body two"),
+      (2L, s"$footer\nbeta body"),
+      (3L, s"gamma body\n$footer"),
+      (4L, footer),                       // all-boilerplate → empty
+      (5L, "delta body\ndelta extra"),    // untouched
+      // a line shared by exactly maxDocs docs SURVIVES (> not >=)
+      (6L, "rare shared line\nzeta body"),
+      (7L, "rare shared line\neta body"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(docs, "doc_id", "text", maxDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "alpha body one\nalpha body two")
+    assert(out(2L) === "beta body")
+    assert(out(3L) === "gamma body")
+    assert(out(4L) === "")
+    assert(out(5L) === "delta body\ndelta extra")
+    assert(out(6L) === "rare shared line\nzeta body")
+    assert(out(7L) === "rare shared line\neta body")
+    assert(out.size === 7)
+    // a repeated line INSIDE one doc is one doc's evidence, not many
+    val selfRep = Seq((1L, "x\nx\nx\nbody"), (2L, "other")).toDF("doc_id", "text")
+    val o2 = Dedup.dropBoilerplateLines(selfRep, "doc_id", "text", maxDocs = 1)
+      .as[(Long, String)].collect().toMap
+    assert(o2(1L) === "x\nx\nx\nbody")
+  }
 }
