@@ -293,6 +293,59 @@ object RangeJoin {
       .drop("__blk")
   }
 
+  /** Coordinate LIFTOVER — the UCSC liftOver / CrossMap analogue: map
+    * each point (chromCol, posCol, …) through a CHAIN of alignment
+    * blocks (chromCol, startCol, endCol → dstChromCol, dstStartCol,
+    * strandCol) into target coordinates. A point inside a block's
+    * closed source interval maps to
+    * `dst_start + (pos − start)` on '+' blocks and
+    * `dst_start + (end − pos)` on '−' blocks (the strand flip);
+    * points no block covers survive with NULL target columns and
+    * `mapped = false` — remap pipelines need the unmapped rows (they
+    * are the QC output), so this is ONE bucketed LEFT equi-join, not
+    * an inner join plus a second anti-join pass over the corpus.
+    *
+    * Contract: chain blocks must be source-disjoint per chromosome
+    * (the chain-file invariant) — overlapping blocks would duplicate
+    * points. Scale shape: chain files are bounded by genome size, not
+    * corpus size (~thousands of blocks), so the exploded chain
+    * BROADCASTS and the point side — the 100 TB side — never
+    * shuffles and keeps its partitioning.
+    */
+  def liftover(
+      points: DataFrame, chain: DataFrame,
+      chromCol: String = "chrom", posCol: String = "pos",
+      startCol: String = "start", endCol: String = "end",
+      dstChromCol: String = "dst_chrom", dstStartCol: String = "dst_start",
+      strandCol: String = "strand",
+      bucketShift: Int = 20): DataFrame = {
+    require(bucketShift >= 0 && bucketShift < 32,
+      s"bucketShift must be in [0, 32), got $bucketShift")
+    val iv = chain.withColumn("__b",
+      explode(sequence(
+        shiftright(col(startCol), bucketShift),
+        shiftright(col(endCol), bucketShift))))
+      .alias("i")
+    val p = points
+      .withColumn("__b", shiftright(col(posCol), bucketShift))
+      .alias("p")
+    p.join(broadcast(iv),
+        col(s"p.$chromCol") === col(s"i.$chromCol") &&
+          col("p.__b") === col("i.__b") &&
+          col(s"p.$posCol").between(col(s"i.$startCol"), col(s"i.$endCol")),
+        "left")
+      .withColumn("new_chrom", col(s"i.$dstChromCol"))
+      .withColumn("new_pos",
+        when(col(s"i.$strandCol") === "+",
+          col(s"i.$dstStartCol") + (col(s"p.$posCol") - col(s"i.$startCol")))
+          .when(col(s"i.$strandCol") === "-",
+            col(s"i.$dstStartCol") + (col(s"i.$endCol") - col(s"p.$posCol"))))
+      .withColumn("mapped", col("new_pos").isNotNull)
+      .select(col("p.*") +: Seq(col("new_chrom"), col("new_pos"),
+        col("mapped")): _*)
+      .drop("__b")
+  }
+
   /** COVERAGE-DEPTH histogram over closed intervals — the `bedtools
     * genomecov` analogue ("how many bases are covered by exactly d
     * targets/reads/amplicons"), the QC summary capture-kit and

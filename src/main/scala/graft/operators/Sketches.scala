@@ -109,6 +109,97 @@ object Sketches {
       byCols, capacity)
   }
 
+  // ---- count-min (mergeable frequencies) ------------------------------
+
+  /** Per-group COUNT-MIN sketch of one batch — the FREQUENCY member of
+    * the mergeable-metrics layer (Cormode & Muthukrishnan 2005, "An
+    * improved data stream summary: the count-min sketch"): a
+    * depth × width grid of counters stored TALL as (byCols*, r, c, cnt)
+    * with absent cells implicit zeros — at most depth·width rows per
+    * group regardless of item cardinality. Row r hashes the item text
+    * through the shared rolling hash, then the fixed affine bank
+    * h_r(x) = ((a_r·x + b_r) mod 1e9+7) mod width — the MinHash
+    * parameter bank, so ONE set of pinned constants serves every
+    * engine-portable oracle. Counters ADD, so the merge is LOSSLESS
+    * (any merge tree ≡ the single pass over the union — same algebra
+    * as the histogram sketch, spec-pinned); the estimate read off the
+    * grid is an UPPER bound on the true count (collisions only inflate
+    * — spec-pinned), within ε·N with probability 1−δ at
+    * width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+    *
+    * Scale shape: one partial-aggregated groupBy — the explode fans
+    * each occurrence to `depth` cell rows, but map-side partial
+    * aggregation collapses them to ≤ depth·width rows per group per
+    * task BEFORE the exchange, so the shuffle carries the grid, never
+    * the item stream. That bound (parameters, not data) is what lets a
+    * 100 TB corpus's token-frequency state live in kilobytes and keep
+    * absorbing batches without ever re-scanning history.
+    */
+  def cmsSketch(
+      df: DataFrame, itemCol: String, byCols: Seq[String],
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    import graft.functions.TextFunctions.MinhashA
+    require(depth >= 1 && depth <= MinhashA.size,
+      s"depth must be in [1, ${MinhashA.size}] (the hash bank size), got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.select(byCols.map(col) :+ cmsCells(col(itemCol), depth, width): _*)
+      .select(byCols.map(col) :+ posexplode(col("__cells")).as(Seq("r", "c")): _*)
+      .groupBy(byCols.map(col) :+ col("r") :+ col("c"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge count-min tables group-by-group: union + per-cell sum.
+    * Exact — counters add, so old state ∪ new batch is the incremental
+    * update and any merge tree lands on the same grid.
+    */
+  def mergeCms(tables: Seq[DataFrame], byCols: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "mergeCms needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy(byCols.map(col) :+ col("r") :+ col("c"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-query a count-min table for a probe set: for each probe row
+    * (byCols*, itemCol) the estimate min_r cell(r, h_r(item)), absent
+    * cells read as 0. The grid is bounded by PARAMETERS
+    * (groups · depth · width rows), so it broadcasts — the probe side
+    * never shuffles, whatever its size.
+    */
+  def cmsEstimate(
+      sketch: DataFrame, probes: DataFrame, itemCol: String,
+      byCols: Seq[String], depth: Int = 4, width: Int = 64): DataFrame = {
+    val cells = probes
+      .select((byCols.map(col) :+ col(itemCol) :+
+        cmsCells(col(itemCol), depth, width)): _*)
+      .select(byCols.map(col) :+ col(itemCol) :+
+        posexplode(col("__cells")).as(Seq("r", "c")): _*)
+    cells
+      .join(broadcast(sketch), byCols ++ Seq("r", "c"), "left")
+      .groupBy(byCols.map(col) :+ col(itemCol): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** The one definition of an item's depth cell columns, shared by the
+    * build and probe sides so the hash spelling cannot drift.
+    *
+    * The affine bank alone is DEGENERATE here: for short items the
+    * rolling hash x is small, a_r·x + b_r never reaches 1e9+7, the
+    * mod p is inert, and (a_r·x + b_r) mod w depends only on x mod w
+    * — so all depth rows collide TOGETHER and depth buys nothing. The
+    * Knuth-multiplier wrap after the affine step forces the mod p to
+    * act (inner < p, inner·2654435761 < 2^63 — no overflow), mixing
+    * the low bits per row. Caught by the exact-recovery spec.
+    */
+  private def cmsCells(item: org.apache.spark.sql.Column, depth: Int,
+      width: Int): org.apache.spark.sql.Column = {
+    import graft.functions.TextFunctions.{rollingHash, MinhashA, MinhashB, HashMod}
+    val x = rollingHash(item)
+    array((0 until depth).map { r =>
+      val inner = (x * MinhashA(r) + MinhashB(r)) % HashMod
+      (inner * 2654435761L % HashMod % width).cast("int")
+    }: _*).as("__cells")
+  }
+
   // ---- histograms (mergeable quantiles) -------------------------------
 
   /** Per-group fixed-width HISTOGRAM of a non-negative value column —

@@ -3032,10 +3032,80 @@ object LlmQueries extends QuerySet {
       ORDER BY doc_id
     """))
 
+  /** Mergeable COUNT-MIN frequency sketches
+    * ([[graft.operators.Sketches.cmsSketch]]/mergeCms/cmsEstimate,
+    * Cormode & Muthukrishnan 2005): per-(lang, source) token grids
+    * built as independent batches, merged LOSSLESSLY to per-lang grids
+    * (counters add — the merge ≡ one pass, spec-pinned), then
+    * point-queried for a fixed probe vocabulary NEXT TO the exact
+    * counts — est ≥ exact by construction, and width 64 is small
+    * enough that real collisions make the overestimate visible while
+    * staying hash-exact (the grid is deterministic integers). DuckDB
+    * replays the rolling hash, the affine hash bank (the shared
+    * MinHash constants), the grid build, and the min-of-rows read.
+    */
+  private val q130 = {
+    val probeToks =
+      Seq("the", "of", "and", "der", "und", "le", "la", "el")
+    def cellSql(r: Int) =
+      s"((x * ${MinhashA(r)} + ${MinhashB(r)}) % 1000000007) " +
+        "* 2654435761 % 1000000007 % 64"
+    val cmsArmsSql = (0 until 4).map(r =>
+      s"SELECT lang, $r AS r, ${cellSql(r)} AS c FROM hx")
+      .mkString("\n        UNION ALL ")
+    val probeArmsSql = (0 until 4).map(r =>
+      s"SELECT lang, tok, $r AS r, ${cellSql(r)} AS c FROM px")
+      .mkString("\n        UNION ALL ")
+    Q(
+      "q130_cms_freq",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val tok = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("lang"), col("source"),
+            explode(wsTokens(col("text"))).as("tok"))
+        val batches = Sketches.cmsSketch(tok, "tok", Seq("lang", "source"))
+        val merged = Sketches.mergeCms(Seq(batches), Seq("lang"))
+        val probes = t(s, dir, "documents").select(col("lang")).distinct()
+          .select(col("lang"), explode(typedLit(probeToks)).as("tok"))
+        val exact = tok.filter(col("tok").isin(probeToks: _*))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("__exact"))
+        Sketches.cmsEstimate(merged, probes, "tok", Seq("lang"))
+          .join(exact, Seq("lang", "tok"), "left")
+          .select(col("lang"), col("tok"), col("est"),
+            coalesce(col("__exact"), lit(0L)).as("exact"))
+          .orderBy("lang", "tok")
+      },
+      Some(s"""
+        WITH tok AS (SELECT lang,
+               unnest(string_split_regex(trim(text), '\\s+')) AS item
+             FROM documents WHERE length(trim(text)) > 0),
+        hx AS (SELECT lang, item, ${rollSql("item")} AS x FROM tok),
+        cells AS (
+          $cmsArmsSql),
+        grid AS (SELECT lang, r, c, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+        pt AS (SELECT unnest([${inList(probeToks)}]) AS tok),
+        px AS (SELECT lang, tok, ${rollSql("tok")} AS x
+               FROM (SELECT DISTINCT lang FROM documents) dl CROSS JOIN pt),
+        pc AS (
+          $probeArmsSql),
+        est AS (SELECT p.lang, p.tok, min(coalesce(g.cnt, 0)) AS est
+                FROM pc p LEFT JOIN grid g
+                  ON g.lang = p.lang AND g.r = p.r AND g.c = p.c
+                GROUP BY 1, 2),
+        ex AS (SELECT lang, item AS tok, count(*) AS exact
+               FROM tok GROUP BY 1, 2)
+        SELECT e.lang, e.tok, CAST(e.est AS BIGINT) AS est,
+               CAST(coalesce(x.exact, 0) AS BIGINT) AS exact
+        FROM est e LEFT JOIN ex x ON x.lang = e.lang AND x.tok = e.tok
+        ORDER BY e.lang, e.tok
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110, q112, q120, q121, q122, q128, q129)
+      q110, q112, q120, q121, q122, q128, q129, q130)
 }

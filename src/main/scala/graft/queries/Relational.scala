@@ -489,7 +489,53 @@ object Relational extends QuerySet {
       FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
     """))
 
+  /** MELT/UNPIVOT — q126's inverse, completing the reshaping pair
+    * (wide measure columns → long (measure, value) rows). Spark's
+    * native `unpivot` compiles to ONE Expand projection emitting
+    * |measures| rows per input row in the same scan — the UNION-ALL
+    * spelling the oracle uses re-reads the corpus once PER MEASURE,
+    * which at 100 TB is |measures| full scans for a reshape that needs
+    * zero. Decimal-exact values so the long-form sums are
+    * bit-deterministic; one partial-aggregated groupBy follows.
+    */
+  private val q131 = Q(
+    "q131_melt",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec("l_quantity").as("quantity"),
+          dec("l_extendedprice").as("extendedprice"),
+          dec("l_discount").as("discount"),
+          dec("l_tax").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"),
+            col("discount"), col("tax")),
+          "measure", "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          money(sum(col("value"))).as("sum_value"),
+          money(min(col("value"))).as("min_value"),
+          money(max(col("value"))).as("max_value"))
+        .orderBy("measure"),
+    Some(s"""
+      WITH m AS (
+        SELECT 'quantity' AS measure,
+               CAST(l_quantity AS DECIMAL(18,6)) AS value FROM lineitem
+        UNION ALL SELECT 'extendedprice',
+               CAST(l_extendedprice AS DECIMAL(18,6)) FROM lineitem
+        UNION ALL SELECT 'discount',
+               CAST(l_discount AS DECIMAL(18,6)) FROM lineitem
+        UNION ALL SELECT 'tax',
+               CAST(l_tax AS DECIMAL(18,6)) FROM lineitem)
+      SELECT measure, count(*) AS n,
+        ${moneySql("sum(value)")} AS sum_value,
+        ${moneySql("min(value)")} AS min_value,
+        ${moneySql("max(value)")} AS max_value
+      FROM m GROUP BY measure ORDER BY measure
+    """))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
-      q52, q75, q115, q116, q126)
+      q52, q75, q115, q116, q126, q131)
 }

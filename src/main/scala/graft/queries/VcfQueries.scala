@@ -1803,9 +1803,80 @@ object VcfQueries extends QuerySet {
       ORDER BY chrom, pos, ref, alt
     """))
 
+  /** Deterministic chain-block fixture for q132: one alignment block
+    * per (chrom, 1 kb slot) — the groupBy/min dedup guarantees the
+    * chain-file invariant (source-disjoint blocks per chromosome) that
+    * [[graft.operators.RangeJoin.liftover]] contracts for. Blocks
+    * cover 600 of each 1 000 bp window up to 90 599, so both mapped
+    * and unmapped sites are observable, and block_id parity exercises
+    * BOTH strand orientations.
+    */
+  private def syntheticChain(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("block_id"))
+      .withColumn("chrom",
+        (lit(1) + pmod(col("block_id"), lit(22L))).cast("string"))
+      .withColumn("slot", pmod(col("block_id") * 37L, lit(90L)))
+      .groupBy("chrom", "slot")
+      .agg(min(col("block_id")).as("block_id"))
+      .select(
+        col("chrom"),
+        (lit(1000L) + col("slot") * 1000L).cast("int").as("start"),
+        (lit(1000L) + col("slot") * 1000L + 599L).cast("int").as("end"),
+        concat(lit("lift_"), col("chrom")).as("dst_chrom"),
+        (lit(500L) + pmod(col("block_id") * 211L, lit(80000L)))
+          .cast("int").as("dst_start"),
+        when(col("block_id") % 2 === 0, lit("+")).otherwise(lit("-"))
+          .as("strand"))
+
+  /** Coordinate LIFTOVER ([[graft.operators.RangeJoin.liftover]] — the
+    * UCSC liftOver / CrossMap analogue): every distinct variant site
+    * mapped through the synthetic chain into target coordinates — '+'
+    * blocks shift, '−' blocks flip within the block — with unmapped
+    * sites SURVIVING as (NULL, mapped = false) rows, because in a real
+    * remap the unmapped set IS the QC deliverable. One bucketed
+    * broadcast LEFT equi-join: the corpus side never shuffles. DuckDB
+    * replays the chain derivation (groupBy/min dedup included), the
+    * containment join, and both strand arithmetics.
+    */
+  private val q132 = Q(
+    "q132_liftover",
+    (s, dir) => {
+      val sites = wide(s, dir).select(col("chrom"), col("pos")).distinct()
+      graft.operators.RangeJoin
+        .liftover(sites, syntheticChain(s, dir), bucketShift = 14)
+        .select(col("chrom"), col("pos"), col("new_chrom"),
+          col("new_pos").cast("long").as("new_pos"), col("mapped"))
+        .orderBy("chrom", "pos")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      sites AS (SELECT DISTINCT regexp_replace(chrom_raw, '^chr', '') AS chrom, pos FROM v),
+      cb AS (SELECT CAST(1 + (p_partkey % 22) AS VARCHAR) AS chrom,
+               (p_partkey * 37) % 90 AS slot,
+               min(p_partkey) AS block_id
+             FROM part GROUP BY 1, 2),
+      chain AS (SELECT chrom,
+               CAST(1000 + slot * 1000 AS INT) AS cstart,
+               CAST(1000 + slot * 1000 + 599 AS INT) AS cend,
+               'lift_' || chrom AS dst_chrom,
+               CAST(500 + (block_id * 211) % 80000 AS INT) AS dst_start,
+               CASE WHEN block_id % 2 = 0 THEN '+' ELSE '-' END AS strand
+             FROM cb)
+      SELECT s.chrom, s.pos, c.dst_chrom AS new_chrom,
+        CAST(CASE WHEN c.strand = '+' THEN c.dst_start + (s.pos - c.cstart)
+                  WHEN c.strand = '-' THEN c.dst_start + (c.cend - s.pos)
+             END AS BIGINT) AS new_pos,
+        (c.cstart IS NOT NULL) AS mapped
+      FROM sites s LEFT JOIN chain c
+        ON c.chrom = s.chrom AND s.pos BETWEEN c.cstart AND c.cend
+      ORDER BY s.chrom, s.pos
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
-      q119, q123, q124, q125, q127)
+      q119, q123, q124, q125, q127, q132)
 }

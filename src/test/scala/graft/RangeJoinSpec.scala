@@ -181,4 +181,47 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(d2 === Set(("1", 2L, 10L)))
   }
+
+  test("liftover: strand shift + flip, boundaries exact, unmapped survive") {
+    val chain = Seq(
+      ("1", 10, 19, "c1", 100, "+"),
+      ("1", 30, 39, "c1", 200, "-"),  // strand flip
+      ("2", 5, 40, "c2", 500, "+"))   // straddles buckets at shift 4
+      .toDF("chrom", "start", "end", "dst_chrom", "dst_start", "strand")
+    val pts = Seq(
+      ("1", 10), ("1", 19),           // '+' block boundaries
+      ("1", 30), ("1", 39),           // '-' block boundaries
+      ("1", 25),                      // in the gap → unmapped
+      ("2", 33),                      // inside the straddling block
+      ("3", 10))                      // chrom with no chain → unmapped
+      .toDF("chrom", "pos")
+    val out = graft.operators.RangeJoin.liftover(pts, chain, bucketShift = shift)
+    // every point emits EXACTLY one row — mapped or not
+    assert(out.count() === 7)
+    val m = out.collect().map(r => (r.getString(0), r.getInt(1)) ->
+      (Option(r.getString(2)), Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(m(("1", 10)) === (Some("c1"), Some(100), true))
+    assert(m(("1", 19)) === (Some("c1"), Some(109), true))
+    // '-' maps start↔end: dst_start + (end - pos)
+    assert(m(("1", 30)) === (Some("c1"), Some(209), true))
+    assert(m(("1", 39)) === (Some("c1"), Some(200), true))
+    assert(m(("1", 25)) === (None, None, false))
+    assert(m(("2", 33)) === (Some("c2"), Some(528), true))
+    assert(m(("3", 10)) === (None, None, false))
+  }
+
+  test("liftover plan: broadcast left join, point side never shuffles") {
+    val chain = Seq(("1", 10, 19, "c1", 100, "+"))
+      .toDF("chrom", "start", "end", "dst_chrom", "dst_start", "strand")
+    val pts = Seq(("1", 12)).toDF("chrom", "pos")
+    val plan = graft.operators.RangeJoin.liftover(pts, chain)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"chain must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"liftover must stay an equi-join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the corpus side must keep its partitioning:\n$plan")
+  }
 }

@@ -186,4 +186,62 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(merged === direct, s"merged $merged vs single-pass $direct")
   }
+
+  // ---- count-min ------------------------------------------------------
+
+  private def cmsItems(group: String, kv: (String, Int)*) =
+    kv.flatMap { case (item, n) => Seq.fill(n)((group, item)) }
+      .toDF("g", "item")
+
+  test("cmsSketch: estimates upper-bound exact counts, exact sans collision") {
+    val df = cmsItems("g", "aa" -> 10, "bb" -> 5, "cc" -> 1)
+    val sk = Sketches.cmsSketch(df, "item", Seq("g"))
+    val probes = Seq(("g", "aa"), ("g", "bb"), ("g", "cc"), ("g", "zz"))
+      .toDF("g", "item")
+    val est = Sketches.cmsEstimate(sk, probes, "item", Seq("g"))
+      .as[(String, String, Long)].collect()
+      .map { case (_, i, e) => i -> e }.toMap
+    // upper bound always; at 3 distinct items × width 64 no row collides
+    // in all 4 rows, so the min recovers the exact count — including the
+    // absent probe's 0
+    assert(est === Map("aa" -> 10L, "bb" -> 5L, "cc" -> 1L, "zz" -> 0L))
+  }
+
+  test("cmsSketch: forced collisions only inflate — never under-count") {
+    val kv = (0 until 40).map(i => s"it$i" -> (i + 1))
+    val df = cmsItems("g", kv: _*)
+    // width 4: 40 items in 4 columns per row — collisions guaranteed
+    val sk = Sketches.cmsSketch(df, "item", Seq("g"), depth = 4, width = 4)
+    val probes = kv.map { case (i, _) => ("g", i) }.toDF("g", "item")
+    val est = Sketches.cmsEstimate(sk, probes, "item", Seq("g"),
+        depth = 4, width = 4)
+      .as[(String, String, Long)].collect()
+      .map { case (_, i, e) => i -> e }.toMap
+    val exact = kv.toMap
+    kv.foreach { case (i, _) =>
+      assert(est(i) >= exact(i).toLong,
+        s"$i: est ${est(i)} < exact ${exact(i)}")
+    }
+    // and at least one real overestimate proves the collisions happened
+    assert(kv.exists { case (i, n) => est(i) > n.toLong },
+      s"width 4 over 40 items must collide somewhere: $est")
+  }
+
+  test("mergeCms ≡ single pass; any merge tree; grid bounded by parameters") {
+    val b1 = cmsItems("g", "aa" -> 7, "bb" -> 2)
+    val b2 = cmsItems("g", "aa" -> 3, "cc" -> 9)
+    val b3 = cmsItems("h", "aa" -> 4)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsSketch(df, "item", Seq("g"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Int, Long)].collect().toSet
+    val direct = rows(sk(b1.unionAll(b2).unionAll(b3)))
+    val flat = rows(Sketches.mergeCms(Seq(sk(b1), sk(b2), sk(b3)), Seq("g")))
+    val tree = rows(Sketches.mergeCms(
+      Seq(Sketches.mergeCms(Seq(sk(b3), sk(b2)), Seq("g")), sk(b1)), Seq("g")))
+    assert(flat === direct, "merge must be lossless vs the single pass")
+    assert(tree === direct, "merge must be associative/order-insensitive")
+    // tall grid ≤ groups × depth × width rows no matter the item stream
+    assert(direct.size <= 2 * 4 * 64)
+  }
 }
