@@ -220,6 +220,43 @@ object TextAnalysis {
           col("r_stop") && col("r_top_word"))
   }
 
+  /** DOMAIN-level quality gate — the RefinedWeb/CCNet "bad domain"
+    * layer above [[qualityGate]]'s per-document rules: aggregate each
+    * domain's (source's, site's) document fail fraction, and BLOCK
+    * every domain whose fraction exceeds `maxFailMicro` — the recipe
+    * that drops a spam site's remaining "passing" pages too, which no
+    * per-document rule can express. Returns one row per domain:
+    * (domainCol, n_docs, n_fail, fail_micro, blocked, n_kept) with
+    * n_kept the docs surviving BOTH gates (0 on blocked domains).
+    *
+    * fail_micro is exact integer arithmetic (n_fail·10⁶ DIV n_docs) —
+    * the block decision never touches floating point. Scale shape: the
+    * doc flags flow from [[qualityGate]]'s id-keyed aggregation into
+    * one id-equi-join with the (id, domain) projection, then ONE
+    * partial-aggregated groupBy(domain); the output is |domains| rows
+    * — broadcast-joinable back onto the corpus as the production drop
+    * filter (`corpus.join(broadcast(gate.filter(!blocked)), domain)`).
+    */
+  def domainQualityGate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, domainCol: String,
+      rules: QualityRules = QualityRules(),
+      maxFailMicro: Long = 500000L): org.apache.spark.sql.DataFrame = {
+    require(maxFailMicro >= 0L && maxFailMicro <= 1000000L,
+      s"maxFailMicro must be a micro-fraction in [0, 1e6], got $maxFailMicro")
+    val flags = qualityGate(df, idCol, textCol, rules)
+      .select(col(idCol), col("keep"))
+    df.select(col(idCol), col(domainCol))
+      .join(flags, Seq(idCol))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_fail"))
+      .withColumn("fail_micro",
+        expr("n_fail * 1000000 DIV n_docs"))
+      .withColumn("blocked", col("fail_micro") > maxFailMicro)
+      .withColumn("n_kept",
+        when(col("blocked"), 0L).otherwise(col("n_docs") - col("n_fail")))
+  }
+
   /** BM25 top-k retrieval over a document table for a fixed query-term
     * list — the text-side member of the similarity-search family (the
     * embedding side is the ANN ladder). Shape, built for the 100 TB

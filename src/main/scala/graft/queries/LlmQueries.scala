@@ -3102,10 +3102,67 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** DOMAIN-level quality gate
+    * ([[graft.operators.TextAnalysis.domainQualityGate]] — the
+    * RefinedWeb/CCNet bad-domain layer over q120's per-document
+    * rules): per-source document fail fractions in exact integer
+    * micro-arithmetic, sources above the 45% threshold BLOCKED — their
+    * passing pages drop too, the decision no per-doc rule expresses —
+    * and n_kept counting survivors of BOTH gates. The testdata's 20
+    * sources land on both sides of the threshold at every SF
+    * (measured: fail_micro spreads 240 000–640 000), so blocking and
+    * survival are both observable. DuckDB replays q120's rule chain
+    * plus the per-source aggregation and the integer-DIV fraction.
+    */
+  private val q133 = Q(
+    "q133_domain_gate",
+    (s, dir) =>
+      TextAnalysis.domainQualityGate(
+          t(s, dir, "documents"), "doc_id", "text", "source",
+          TextAnalysis.QualityRules(
+            minWords = 30, minStopHits = 2, maxTopWordMicro = 120000L),
+          maxFailMicro = 450000L)
+        .orderBy("source"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS w FROM documents),
+      m AS (SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE CAST(len(w) AS BIGINT) END AS n,
+          CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS sumlen,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) END AS alpha,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+                 ['the', 'a', 'of', 'and', 'to', 'is'])) AS BIGINT) END AS stop_hits
+        FROM t),
+      tw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS topc FROM (
+               SELECT doc_id, w2, count(*) AS c
+               FROM (SELECT doc_id, unnest(w) AS w2 FROM t
+                     WHERE length(trim(text)) > 0) u
+               GROUP BY doc_id, w2) g GROUP BY doc_id),
+      k AS (SELECT m.source,
+              (m.n >= 30 AND m.n <= 100000
+                AND m.n > 0 AND m.sumlen >= 3 * m.n AND m.sumlen <= 10 * m.n
+                AND m.alpha * 1000000 >= 800000 * m.n
+                AND m.stop_hits >= 2
+                AND coalesce(tw.topc, 0) * 1000000 <= 120000 * m.n) AS keep
+            FROM m LEFT JOIN tw USING (doc_id)),
+      g AS (SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+            FROM k GROUP BY source)
+      SELECT source, n_docs, n_fail,
+        n_fail * 1000000 // n_docs AS fail_micro,
+        (n_fail * 1000000 // n_docs > 450000) AS blocked,
+        CASE WHEN n_fail * 1000000 // n_docs > 450000 THEN 0
+             ELSE n_docs - n_fail END AS n_kept
+      FROM g ORDER BY source
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110, q112, q120, q121, q122, q128, q129, q130)
+      q110, q112, q120, q121, q122, q128, q129, q130, q133)
 }

@@ -535,7 +535,49 @@ object Relational extends QuerySet {
       FROM m GROUP BY measure ORDER BY measure
     """))
 
+  /** Z-ORDER layout stats ([[graft.operators.Layout]] — the Delta
+    * OPTIMIZE ZORDER / Iceberg sort-rewrite recipe): Morton-interleave
+    * (l_partkey, l_suppkey) into a z-value, assign z-contiguous
+    * file cells (fixed-width z ranges — a narrow projection + ONE
+    * partial-aggregated groupBy, no global sort, no sampled
+    * boundaries), and report the per-file min/max both dimensions a
+    * data-skipping reader prunes on. The magic-number bit spread is
+    * exact int64 shift/and/or on both engines; LayoutSpec pins the
+    * interleave bit-for-bit, the locality win over lexicographic
+    * layout, and the prune-fraction read.
+    */
+  private val q134 = Q(
+    "q134_zorder_stats",
+    (s, dir) =>
+      graft.operators.Layout.zorderStats(
+          t(s, dir, "lineitem").select(
+            (col("l_partkey") % 256L).as("x"),
+            (col("l_suppkey") % 256L).as("y")),
+          "x", "y", zShift = 10)
+        .orderBy("file_id"),
+    Some(s"""
+      WITH d AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+                 FROM lineitem),
+      a AS (SELECT x, y,
+              (x | (x << 8)) & 16711935 AS xs,
+              (y | (y << 8)) & 16711935 AS ys FROM d),
+      b AS (SELECT x, y,
+              (xs | (xs << 4)) & 252645135 AS xs,
+              (ys | (ys << 4)) & 252645135 AS ys FROM a),
+      c AS (SELECT x, y,
+              (xs | (xs << 2)) & 858993459 AS xs,
+              (ys | (ys << 2)) & 858993459 AS ys FROM b),
+      e AS (SELECT x, y,
+              (xs | (xs << 1)) & 1431655765 AS xs,
+              (ys | (ys << 1)) & 1431655765 AS ys FROM c),
+      z AS (SELECT x, y, xs | (ys << 1) AS z FROM e)
+      SELECT z >> 10 AS file_id, count(*) AS n_rows,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM z GROUP BY 1 ORDER BY 1
+    """))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
-      q52, q75, q115, q116, q126, q131)
+      q52, q75, q115, q116, q126, q131, q134)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+class LayoutSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("zValue2: hand-computed interleave — x even bits, y odd bits") {
+    val df = Seq((3L, 1L), (0L, 0L), (65535L, 0L), (0L, 65535L), (1L, 2L))
+      .toDF("x", "y")
+    val out = df.select(Layout.zValue2(col("x"), col("y"))).as[Long].collect()
+    assert(out(0) === 7L)           // spread(3)=0b101, spread(1)<<1=0b10
+    assert(out(1) === 0L)
+    assert(out(2) === 0x55555555L)  // all even bits
+    assert(out(3) === 0xAAAAAAAAL)  // all odd bits
+    assert(out(4) === 9L)           // spread(1)=1 | spread(2)<<1=8
+  }
+
+  // 64×64 grid in ROW order — the layout a naive writer would land
+  private lazy val grid =
+    spark.range(64 * 64).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+
+  test("zorder files are bounded in BOTH dims at once") {
+    // zShift 4: each file = 16 consecutive z values = one aligned 4×4
+    // block — both dimensions bounded; a row-order chunk of 16 rows
+    // spans 16 x-values (and a lexicographic layout prunes only its
+    // leading column)
+    val stats = Layout.zorderStats(grid, "x", "y", zShift = 4).collect()
+    assert(stats.length === 256)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === 16L)
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 3L, r)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 3L, r)
+    }
+  }
+
+  test("pruneFraction: a narrow x probe skips all but one block column") {
+    val stats = Layout.zorderStats(grid, "x", "y", zShift = 4)
+    // x ∈ [0,3] lies in block column 0: 16 of 256 files intersect
+    val row = Layout.pruneFraction(stats, "x", 0L, 3L).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((256L, 240L, 937500L)))
+    // and the same probe against y prunes symmetrically
+    val rowY = Layout.pruneFraction(stats, "y", 60L, 63L).collect().head
+    assert((rowY.getLong(0), rowY.getLong(1), rowY.getLong(2)) ===
+      ((256L, 240L, 937500L)))
+  }
+
+  test("zorderStats plan: one exchange, no sort, no window") {
+    val plan = Layout.zorderStats(grid, "x", "y", zShift = 4)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"stats must be one partial-agg groupBy:\n$plan")
+    assert(!plan.contains("Sort ") && !plan.contains("Window"),
+      s"fixed-width cells need no global sort:\n$plan")
+  }
+}
