@@ -332,4 +332,45 @@ object Sampling {
       .agg(sum(col("cnt")).as("n_feats"),
         sum(col("cnt") * col("llr_micro")).as("logw_micro"))
   }
+
+  /** Per-stratum SYSTEMATIC PPS sampling (probability proportional to
+    * size, Madow 1949) — the weighted draw the mixing layer needs when
+    * items differ in cost (tokens, bytes) and inclusion probability
+    * should follow weight exactly: order the stratum by the MCG hash
+    * (the engine-replayable stand-in for a random permutation), lay
+    * the items' integer weights end to end, and select at every k-th
+    * of the total mass — item i is drawn
+    * ⌈(C_i+w_i)·k/W⌉ − ⌈C_i·k/W⌉ times (C_i = exclusive prefix sum),
+    * so E[n_draws] = k·w_i/W EXACTLY, heavy items (w_i > W/k) draw
+    * multiple times (honest PPS — a with-replacement-style multiplicity,
+    * reported in `n_draws`), and the whole draw is int64 ceil-division
+    * — no floats, engine-identical, retry-stable. Returns the selected
+    * rows plus (weight, n_draws).
+    *
+    * Shape: one window exchange on the stratum key (two window steps
+    * over the SAME sort — the prefix sum reuses the total's exchange),
+    * one narrow filter. Stratum size bounds the window partition, the
+    * operator's documented scale posture (the q89/q97 mix family's).
+    */
+  def ppsSystematic(
+      df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = mixWindow(stratumCol, idCol)
+    val wAll = Window.partitionBy(col(stratumCol))
+    df.withColumn("__w", col(weightCol).cast("long"))
+      // zero-mass rows carry no selection interval; negatives are a
+      // caller bug the draw arithmetic would silently absorb
+      .filter(col("__w") > 0L)
+      .withColumn("__c", coalesce(
+        sum(col("__w")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .withColumn("n_draws",
+        expr(s"((__c + __w) * $k + __tot - 1) DIV __tot" +
+          s" - (__c * $k + __tot - 1) DIV __tot"))
+      .filter(col("n_draws") > 0L)
+      .drop("__c", "__tot")
+      .withColumnRenamed("__w", "weight")
+  }
 }

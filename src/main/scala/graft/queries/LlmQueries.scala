@@ -3159,10 +3159,46 @@ object LlmQueries extends QuerySet {
       FROM g ORDER BY source
     """))
 
+  /** Systematic PPS sampling
+    * ([[graft.operators.Sampling.ppsSystematic]], Madow 1949) — the
+    * weighted member of the mixing family: per-lang draws with
+    * inclusion probability exactly ∝ n_chars, heavy docs drawing
+    * multiple times (n_draws reported — honest PPS multiplicity),
+    * the whole draw int64 ceil-division over an MCG-ordered weight
+    * line: no floats, retry-stable, Σ n_draws = k per stratum
+    * (spec-pinned). DuckDB replays the MCG order, both window sums,
+    * and the ceil-div arithmetic.
+    */
+  private lazy val q135 = Q(
+    "q135_pps_sample",
+    (s, dir) =>
+      graft.operators.Sampling
+        .ppsSystematic(t(s, dir, "documents"), "lang", "doc_id",
+          "n_chars", k = 20)
+        .select(col("lang"), col("doc_id"), col("weight"), col("n_draws"))
+        .orderBy("lang", "doc_id"),
+    Some(s"""
+      WITH d AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w
+                 FROM documents WHERE n_chars > 0),
+      o AS (SELECT lang, doc_id, w,
+              CAST(coalesce(sum(w) OVER (PARTITION BY lang
+                ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007 ASC,
+                  doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c,
+              CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+            FROM d)
+      SELECT lang, doc_id, w AS weight,
+        CAST(((c + w) * 20 + tot - 1) // tot
+          - (c * 20 + tot - 1) // tot AS BIGINT) AS n_draws
+      FROM o
+      WHERE ((c + w) * 20 + tot - 1) // tot - (c * 20 + tot - 1) // tot > 0
+      ORDER BY lang, doc_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110, q112, q120, q121, q122, q128, q129, q130, q133)
+      q110, q112, q120, q121, q122, q128, q129, q130, q133, q135)
 }

@@ -285,4 +285,33 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(w === w2)
   }
+
+  test("ppsSystematic: Σdraws = k per stratum, heavy-item multiplicity, " +
+      "weight-proportional, deterministic") {
+    import spark.implicits._
+    // stratum a: one item holds 60% of the mass → at k=10 it must draw
+    // ≥ 5 times (its interval covers ≥ 5 grid points); zero-weight
+    // rows must vanish
+    val df = ((1L to 8L).map(i => ("a", i, 50L)) ++
+      Seq(("a", 9L, 600L), ("a", 10L, 0L)) ++
+      (11L to 15L).map(i => ("b", i, 10L)))
+      .toDF("s", "id", "w")
+    val out = Sampling.ppsSystematic(df, "s", "id", "w", k = 10)
+      .select($"s", $"id", $"weight", $"n_draws")
+      .as[(String, Long, Long, Long)].collect()
+    val byStratum = out.groupBy(_._1)
+    assert(byStratum("a").map(_._4).sum === 10L, out.toSeq)
+    assert(byStratum("b").map(_._4).sum === 10L, out.toSeq)
+    val heavy = out.find(r => r._1 == "a" && r._2 == 9L).get
+    assert(heavy._4 >= 5L, s"60% of the mass must draw >= 5 of 10: $heavy")
+    assert(!out.exists(_._2 == 10L), "zero-weight rows cannot be drawn")
+    // every uniform-weight b item draws exactly k/n = 2 times — the
+    // equal-weight degenerate case is round-robin exact
+    byStratum("b").foreach(r => assert(r._4 === 2L, r))
+    // deterministic under repartitioning
+    val out2 = Sampling.ppsSystematic(df.repartition(7), "s", "id", "w", k = 10)
+      .select($"s", $"id", $"weight", $"n_draws")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSet === out2.toSet)
+  }
 }

@@ -244,4 +244,54 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     // tall grid ≤ groups × depth × width rows no matter the item stream
     assert(direct.size <= 2 * 4 * 64)
   }
+
+  test("count-min maintenance across real micro-batches equals one pass") {
+    // same end-to-end incremental-state claim as the histogram: each
+    // micro-batch contributes grid rows in foreachBatch, merged state
+    // ≡ the single pass — frequency state a 100 TB pipeline never
+    // rebuilds by re-scanning history
+    import graft.streaming.DocStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def doc(id: Long, text: String) = Doc(t0, id, text)
+    val wave1 = Seq(doc(1L, "aa bb aa"), doc(2L, "cc aa"))
+    val wave2 = Seq(doc(3L, "bb bb zz"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val state = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Long)]()
+    var batches = 0
+    val q = mem.toDF()
+      .select(lit("all").as("g"),
+        explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("item"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += 1
+        state ++= Sketches.cmsSketch(b, "item", Seq("g"))
+          .collect().map(r =>
+            (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        ()
+      }
+      .start()
+    mem.addData(wave1); q.processAllAvailable()
+    mem.addData(wave2); q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val merged = Sketches
+      .mergeCms(Seq(state.toSeq.toDF("g", "r", "c", "cnt")), Seq("g"))
+      .as[(String, Int, Int, Long)].collect().toSet
+    val direct = Sketches
+      .cmsSketch(
+        (wave1 ++ wave2).flatMap(d => d.text.split(" ").map(("all", _)))
+          .toDF("g", "item"),
+        "item", Seq("g"))
+      .as[(String, Int, Int, Long)].collect().toSet
+    assert(merged === direct, s"merged $merged vs single-pass $direct")
+    // and the merged state still answers point queries exactly here
+    val est = Sketches.cmsEstimate(
+        merged.toSeq.toDF("g", "r", "c", "cnt"),
+        Seq(("all", "aa"), ("all", "bb"), ("all", "zz")).toDF("g", "item"),
+        "item", Seq("g"))
+      .as[(String, String, Long)].collect()
+      .map { case (_, i, e) => i -> e }.toMap
+    assert(est("aa") === 3L && est("bb") === 3L && est("zz") === 1L)
+  }
 }
