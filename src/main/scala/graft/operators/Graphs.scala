@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative GRAPH algebra beyond [[Dedup.connectedComponents]]'
+  * min-label propagation: damped PageRank as a fixed number of
+  * join-aggregate rounds — the relational rendering of the power
+  * iteration every distributed graph engine (GraphX/Pregel) runs, with
+  * the scores in MICRO fixed-point int64 so every round is exact
+  * integer arithmetic: bit-deterministic, engine-replayable, immune to
+  * float summation order. The price of integer division is a
+  * deterministic downward mass leak of < 1 per (node, round) micro —
+  * identical on every engine, so oracles replay it bit-for-bit.
+  */
+object Graphs {
+
+  /** `iters` damped-PageRank rounds over directed `edges` (src, dst).
+    * p₀ = 10⁶ per node;
+    * pᵢ₊₁(v) = (10⁶ − damp) + damp·Σ_{(u,v)∈E} (pᵢ(u) DIV out(u)) DIV 10⁶.
+    * Dangling nodes (no out-edges) contribute nothing — their mass
+    * leaks instead of redistributing (the "leaky" variant; symmetrize
+    * the edge set upstream when conservation matters). Returns
+    * (node, p) for every node of the graph.
+    *
+    * Shape per round: one src-keyed equi-join of edges × scores (both
+    * sides hash on the same key — the exchange layout is reusable
+    * round to round), one partial-aggregated groupBy(dst), one left
+    * join back onto the node set. `iters` is a compile-time plan chain
+    * (like the k-means training loop): at production scale checkpoint
+    * or persist between rounds to cut lineage, and note the scores
+    * frame is |V| rows — broadcastable for moderate graphs.
+    */
+  def pageRankMicro(
+      edges: DataFrame, iters: Int,
+      dampMicro: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
+    require(dampMicro >= 0L && dampMicro <= 1000000L,
+      s"dampMicro must be a micro-fraction in [0, 1e6], got $dampMicro")
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
+    val base = lit(1000000L - dampMicro)
+    var p = nodes.withColumn("p", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val inSum = withDeg
+        .join(p, col("src") === col("node"))
+        .select(col("dst").as("node"), expr("p DIV __outdeg").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__in"))
+      p = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (base + expr(s"$dampMicro * coalesce(__in, 0L) DIV 1000000"))
+            .as("p"))
+    }
+    p
+  }
+}

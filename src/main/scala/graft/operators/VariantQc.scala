@@ -225,6 +225,41 @@ object VariantQc {
           .as("f_micro"))
   }
 
+  /** POLYGENIC SCORE (the `plink --score` shape): per-sample
+    * Σ_k β_k · x_k over a WEIGHT PANEL — `weights` keyed by the full
+    * site key with an integer `beta_micro` effect column (published
+    * GWAS weights ship as fixed-precision decimals; micro units keep
+    * the whole score exact int64, engine-replayable, immune to float
+    * summation order). x is the biallelic ALT dosage from called
+    * diploid genotypes. Returns (sampleCol, n_sites, n_alt,
+    * score_micro); divide by n_sites downstream for plink's
+    * `--score ... sum`-vs-average variants.
+    *
+    * Scale shape: a score panel is bounded by the GWAS (10⁴–10⁶ rows),
+    * so it BROADCASTS — the cohort's call stream never shuffles for
+    * the join; the only exchange is the final per-sample aggregation,
+    * partial-aggregated. Linear in calls, unlike the pairwise
+    * relatedness operators.
+    */
+  def polygenicScore(
+      ann: DataFrame, weights: DataFrame,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select(siteKey.map(col) ++ Seq(
+        col(sampleCol),
+        ((col("gt1") === "1").cast("long") +
+          (col("gt2") === "1").cast("long")).as("__x")): _*)
+      .join(broadcast(weights), siteKey)
+      .groupBy(col(sampleCol))
+      .agg(
+        count(lit(1)).as("n_sites"),
+        sum(col("__x")).as("n_alt"),
+        sum(col("__x") * col("beta_micro")).as("score_micro"))
+  }
+
   /** Pairwise GENETIC-RELATIONSHIP-MATRIX entries (the GCTA/VanRaden
     * 2008 allele-frequency-standardized estimator — J Dairy Sci 91:4414;
     * Yang et al. 2011 GCTA): over biallelic called-diploid calls at

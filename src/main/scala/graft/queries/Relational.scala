@@ -577,7 +577,83 @@ object Relational extends QuerySet {
       FROM z GROUP BY 1 ORDER BY 1
     """))
 
+  /** RETENTION COHORT matrix — the events-side warehouse staple next
+    * to q50's windows and q73's funnel: users bucketed by first-seen
+    * day (their cohort), then distinct-user counts per (cohort_day,
+    * day_offset) cell. Exact integer day arithmetic off the epoch
+    * (the q50 spelling). Shape: one user-keyed aggregation for the
+    * cohort assignment, joined back CO-KEYED on user (the exchange is
+    * shareable), then one partial-aggregated groupBy on the matrix
+    * cell — distinct-user counting inside the cell rides the same
+    * user-key exchange as the join output.
+    */
+  private val q137 = Q(
+    "q137_retention",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"))
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+        count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+    """))
+
+  /** Integer fixed-point PAGERANK
+    * ([[graft.operators.Graphs.pageRankMicro]]): 3 damped power-
+    * iteration rounds over the symmetrized part↔supplier co-occurrence
+    * graph from lineitem — supplier rank surfaces breadth of catalog,
+    * the classic bipartite-projection ranking. Micro fixed-point int64
+    * throughout (the deterministic sub-micro mass leak of integer
+    * division is identical on both engines), so the oracle replays all
+    * three rounds bit-for-bit as unrolled CTEs.
+    */
+  private val q136 = {
+    val iterSql = (i: Int) => s"""
+      c$i AS (SELECT e.dst AS node, CAST(sum(p.p // o.outdeg) AS BIGINT) AS s
+             FROM edges e JOIN od o ON o.src = e.src
+             JOIN p${i - 1} p ON p.node = e.src GROUP BY e.dst),
+      p$i AS (SELECT n.node,
+               CAST(150000 + 850000 * coalesce(c.s, 0) // 1000000 AS BIGINT) AS p
+             FROM nodes n LEFT JOIN c$i c ON c.node = n.node)"""
+    Q(
+      "q136_pagerank",
+      (s, dir) => {
+        val pairs = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("a"),
+            (col("l_suppkey") + 1000000L).as("b"))
+          .distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        graft.operators.Graphs.pageRankMicro(edges, iters = 3)
+          .orderBy("node")
+      },
+      Some(s"""
+        WITH pairs AS (SELECT DISTINCT l_partkey AS a,
+               l_suppkey + 1000000 AS b FROM lineitem),
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes),
+        ${iterSql(1)},
+        ${iterSql(2)},
+        ${iterSql(3)}
+        SELECT node, p FROM p3 ORDER BY node
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
-      q52, q75, q115, q116, q126, q131, q134)
+      q52, q75, q115, q116, q126, q131, q134, q136, q137)
 }

@@ -1874,9 +1874,50 @@ object VcfQueries extends QuerySet {
       ORDER BY s.chrom, s.pos
     """))
 
+  /** POLYGENIC SCORE ([[graft.operators.VariantQc.polygenicScore]] —
+    * the `plink --score` shape): per-sample Σ β·dosage over a weight
+    * panel derived deterministically from the biallelic site set
+    * (every third site, β spanning negative and positive micro
+    * effects), broadcast-joined so the call stream never shuffles;
+    * the whole score exact int64. DuckDB replays the panel derivation,
+    * the dosage extraction, and the weighted fold.
+    */
+  private val q138 = Q(
+    "q138_polygenic_score",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val panel = ann.filter(col("multiallele") === 0)
+        .select(col("chrom"), col("pos"), col("ref"), col("alt"))
+        .distinct()
+        .filter(col("pos") % 3 === 0)
+        .withColumn("beta_micro",
+          ((col("pos") % 21) - lit(10)).cast("long") * 100000L)
+      graft.operators.VariantQc.polygenicScore(ann, panel)
+        .orderBy("sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      panel AS (SELECT DISTINCT chrom, pos, ref, alt,
+                 CAST(((pos % 21) - 10) AS BIGINT) * 100000 AS beta_micro
+               FROM ann WHERE multiallele = 0 AND pos % 3 = 0),
+      dos AS (SELECT b.sample_id, b.chrom, b.pos, b.ref, b.alt,
+               CAST((CASE WHEN b.gt1 = '1' THEN 1 ELSE 0 END) +
+                    (CASE WHEN b.gt2 = '1' THEN 1 ELSE 0 END) AS BIGINT) AS x
+             FROM bc b)
+      SELECT d.sample_id, count(*) AS n_sites,
+        CAST(sum(d.x) AS BIGINT) AS n_alt,
+        CAST(sum(d.x * p.beta_micro) AS BIGINT) AS score_micro
+      FROM dos d JOIN panel p USING (chrom, pos, ref, alt)
+      GROUP BY 1 ORDER BY sample_id
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
-      q119, q123, q124, q125, q127, q132)
+      q119, q123, q124, q125, q127, q132, q138)
 }

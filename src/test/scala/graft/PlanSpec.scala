@@ -348,4 +348,55 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"event deltas must partial-aggregate map-side:\n$p")
     assert(!p.contains("Join"), s"the sweep joins nothing:\n$p")
   }
+
+  test("q130 cms: grid partial-aggregated, probe joins a broadcast grid") {
+    val q = SparkEntry.queries("q130_cms_freq")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"the parameter-bounded grid must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"cell counts must partial-aggregate map-side (the exchange " +
+        s"carries the grid, never the item stream):\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  test("q131 melt is ONE Expand over one scan, not per-measure rescans") {
+    val q = SparkEntry.queries("q131_melt")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Expand"), s"unpivot must compile to Expand:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"melt must read the corpus ONCE, saw $scans scans:\n$p")
+    assert(!p.contains("Union"), s"no per-measure union of rescans:\n$p")
+  }
+
+  test("q133 domain gate: flags join co-keyed on id, one domain agg") {
+    val q = SparkEntry.queries("q133_domain_gate")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the domain aggregation must partial-aggregate:\n$p")
+  }
+
+  test("q136 pagerank: every round is equi-joins, no nested loops") {
+    val q = SparkEntry.queries("q136_pagerank")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"pagerank rounds must stay key-equi-joins:\n$p")
+    assert(p.contains("partial_sum"),
+      s"contribution sums must partial-aggregate map-side:\n$p")
+  }
+
+  test("q138 polygenic score: panel broadcasts, call stream never shuffles for the join") {
+    val q = SparkEntry.queries("q138_polygenic_score")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"the GWAS panel is bounded — it must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the call stream must not shuffle into the panel join:\n$p")
+  }
 }
