@@ -179,6 +179,30 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** INLINE point-query — the grid (parameter-bounded: ≤ depth·width
+    * rows after any merge) collected driver-side becomes a literal
+    * per-row lookup map, and the estimate ONE narrow projection:
+    * `least` over depth map lookups, absent cells 0. This is the
+    * STATELESS shape the streaming path needs (a join + groupBy(min)
+    * would be a stateful aggregation on a stream) and the §8
+    * driver-small-set inline rule (the kmeans-centroid precedent):
+    * zero shuffle, zero state, composes inside array lambdas.
+    * `grid` rows are (r, c, cnt) for ONE group.
+    */
+  def cmsEstimateCol(
+      grid: Seq[(Int, Int, Long)], item: org.apache.spark.sql.Column,
+      depth: Int = 4, width: Int = 64): org.apache.spark.sql.Column = {
+    require(grid.forall(g => g._1 >= 0 && g._1 < depth),
+      "grid rows outside [0, depth) — depth mismatch with the build")
+    val cells = cmsCells(item, depth, width)
+    (0 until depth).map { r =>
+      val m = grid.filter(_._1 == r).map { case (_, c, n) => (c, n) }.toMap
+      if (m.isEmpty) lit(0L)
+      else coalesce(
+        element_at(typedLit(m), element_at(cells, r + 1)), lit(0L))
+    }.reduce(least(_, _))
+  }
+
   /** The one definition of an item's depth cell columns, shared by the
     * build and probe sides so the hash spelling cannot drift.
     *

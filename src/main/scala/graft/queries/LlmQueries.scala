@@ -3195,10 +3195,111 @@ object LlmQueries extends QuerySet {
       ORDER BY lang, doc_id
     """))
 
+  /** MATRYOSHKA-style two-stage retrieval audit — the
+    * dimension-truncation rung of the ANN evaluation family (q44 LSH,
+    * q45 multiprobe, q48 nprobe): first stage shortlists m = 20 by
+    * cosine over the FIRST 16 of 64 dims (the cheap representation a
+    * 100 TB first pass scans — 4× less arithmetic and I/O), second
+    * stage reranks ONLY the shortlist at full dimension, recall@5
+    * measured against the full-dim brute force. The rerank join is
+    * |probes|·m rows — the corpus is touched once per stage, never
+    * quadratically at full width. Deterministic: cosine ties broken by
+    * cand_id everywhere, and both engines fold the dot products in
+    * index order so the doubles agree bit-for-bit; DuckDB replays both
+    * stages and the intersect. The measured recall is LOW (20–60%) and
+    * honestly so: the synthetic embeddings are near-isotropic, so the
+    * first 16 dims carry no preferential energy and full-dim top-5
+    * neighbors are near-ties — the audit exists exactly to expose that
+    * (Matryoshka-TRAINED embeddings concentrate energy in the prefix;
+    * random ones don't, and a pipeline should measure before
+    * truncating).
+    */
+  private lazy val q139 = {
+    // dotSql is pinned to dim 64; the truncated stage folds 16 — out-of-
+    // range list indexes would NULL the whole product silently
+    def dot16(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 17), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])),
+            (x, y) -> x + y)"""
+    val trkSql =
+      s"""spr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${dot16("c.t", "p.t")} / (sqrt(${dot16("c.t", "c.t")}) * sqrt(${dot16("p.t", "p.t")})) AS cosine
+             FROM et c CROSS JOIN (SELECT * FROM et WHERE vec_id < 5) p
+             WHERE c.vec_id <> p.vec_id),
+        srk AS (SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+               FROM spr),
+        s20 AS (SELECT probe_id, cand_id FROM srk WHERE rnk <= 20)"""
+    Q(
+      "q139_matryoshka_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        val et = e.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val shortlist = Similarity
+          .bruteForceTopK(et, et.filter(col("vec_id") < 5), k = 20)
+          .select("probe_id", "cand_id")
+        val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+        val prb = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("cosine").desc, col("cand_id").asc)
+        val rerank5 = shortlist
+          .join(cand, "cand_id").join(broadcast(prb), "probe_id")
+          .withColumn("cosine",
+            graft.expressions.VectorExprs.cosine(col("cv"), col("pv")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select("probe_id", "cand_id")
+        val brute5 = Similarity
+          .bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 5)
+          .select("probe_id", "cand_id")
+        val matches = brute5.join(rerank5, Seq("probe_id", "cand_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+        brute5.select("probe_id").distinct()
+          .join(matches, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("n_match"), lit(0L)).as("n_match"),
+            micro(coalesce(col("n_match"), lit(0L)) / 5.0).as("recall_micro"))
+          .orderBy("probe_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        et AS (SELECT vec_id, v[1:16] AS t FROM e),
+        $trkSql,
+        rr AS (SELECT s.probe_id, s.cand_id,
+                ${dotSql("ec.v", "ep.v")} / (sqrt(${dotSql("ec.v", "ec.v")}) * sqrt(${dotSql("ep.v", "ep.v")})) AS cosine
+              FROM s20 s JOIN e ec ON ec.vec_id = s.cand_id
+              JOIN e ep ON ep.vec_id = s.probe_id),
+        rrk AS (SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+               FROM rr),
+        r5 AS (SELECT probe_id, cand_id FROM rrk WHERE rnk <= 5),
+        bpr AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")}) * sqrt(${dotSql("p.v", "p.v")})) AS cosine
+               FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) p
+               WHERE c.vec_id <> p.vec_id),
+        brk AS (SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+               FROM bpr),
+        b5 AS (SELECT probe_id, cand_id FROM brk WHERE rnk <= 5),
+        mc AS (SELECT probe_id, count(*) AS n_match
+               FROM (SELECT * FROM b5 INTERSECT SELECT * FROM r5) i GROUP BY probe_id)
+        SELECT p.probe_id,
+          CAST(COALESCE(mc.n_match, 0) AS BIGINT) AS n_match,
+          ${microSql("COALESCE(mc.n_match, 0) / 5.0")} AS recall_micro
+        FROM (SELECT DISTINCT probe_id FROM b5) p LEFT JOIN mc USING (probe_id)
+        ORDER BY probe_id
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110, q112, q120, q121, q122, q128, q129, q130, q133, q135)
+      q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139)
 }

@@ -5,8 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokenCount
-import graft.operators.TextAnalysis
+import graft.functions.TextFunctions.{tokenCount, wsTokens}
+import graft.operators.{Sketches, TextAnalysis}
 
 /** Streaming ingestion cleaning for a document corpus: the
   * arrival-time twin of the batch q36 funnel. Stateless stages (quality
@@ -559,6 +559,38 @@ object DocStreams {
       docs: DataFrame,
       rules: TextAnalysis.QualityRules = TextAnalysis.QualityRules()): DataFrame =
     TextAnalysis.qualityGateRow(docs, "doc_id", "text", rules)
+
+  /** Stateless streaming NOVELTY probe against the incrementally
+    * maintained COUNT-MIN token-frequency state
+    * ([[graft.operators.Sketches.cmsSketch]]/mergeCms — the write side
+    * the micro-batch spec proves; this is the READ side at ingest):
+    * per arriving doc, how many of its tokens the corpus state
+    * estimates at ≤ `rareMax` occurrences. High novelty flags
+    * out-of-distribution ingest (new language, spam burst, encoding
+    * breakage) the moment it arrives. The grid rides in as a LITERAL
+    * map ([[graft.operators.Sketches.cmsEstimateCol]] — it is
+    * parameter-bounded), so the probe is ONE narrow projection: zero
+    * state operators, zero shuffle, any trigger (spec-pinned, with
+    * stream ≡ batch row-for-row). CMS estimates only over-count, so
+    * `n_rare` is CONSERVATIVE — a token called rare is truly rare.
+    * The one-level token lambda is interpreted but its inner
+    * expression dominates (§8 kernel-parity note) — the batch side
+    * keeps the explode + join shape where aggregation is free.
+    */
+  def cmsNoveltyStream(
+      docs: DataFrame, grid: Seq[(Int, Int, Long)], rareMax: Long,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    require(rareMax >= 0L, s"rareMax must be non-negative, got $rareMax")
+    val toks = wsTokens(col("text"))
+    val nRare = size(filter(toks, t =>
+      Sketches.cmsEstimateCol(grid, t, depth, width) <= rareMax))
+    docs.select(col("doc_id"),
+      size(toks).as("n_toks"),
+      nRare.cast("long").as("n_rare"),
+      when(size(toks) === 0, 0L).otherwise(
+        floor(nRare.cast("double") / size(toks).cast("double") * 1000000.0)
+          .cast("long")).as("novelty_micro"))
+  }
 
   def ingestCleanBatch(docs: DataFrame, minTokens: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -659,4 +659,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     batches.foreach(p => assert(p.stateOperators.isEmpty,
       s"quality gate unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
   }
+
+  test("streaming cms novelty probe: stateless, conservative, hand-checked") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    // corpus state: 'aa' seen 10×, 'bb' 2×, 'cc' 1× — the grid a
+    // pipeline maintains incrementally (write side: the micro-batch
+    // maintenance spec in SketchesSpec)
+    val corpus = (Seq.fill(10)("aa") ++ Seq.fill(2)("bb") ++ Seq("cc"))
+      .map(("all", _)).toDF("g", "item")
+    val grid = Sketches.cmsSketch(corpus, "item", Seq("g"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val docs = Seq(
+      Doc(t0, 1L, "aa aa bb"),      // all familiar at rareMax 2: aa>2, bb<=2
+      Doc(t0, 2L, "aa zz yy cc"),   // zz/yy unseen (est 0), cc rare
+      Doc(t0, 3L, ""))              // empty → 0/0
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(docs)
+    val q = DocStreams.cmsNoveltyStream(mem.toDF(), grid, rareMax = 2L)
+      .writeStream.format("memory").queryName("graft_cms_novelty_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("graft_cms_novelty_test")
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3, 1L, 333333L)), out)  // bb (2 ≤ 2) is rare
+    assert(out(2L) === ((2L, 4, 3L, 750000L)), out)  // zz, yy, cc rare
+    assert(out(3L) === ((3L, 0, 0L, 0L)), out)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.nonEmpty, "no progress recorded — nothing was asserted")
+    batches.foreach(p => assert(p.stateOperators.isEmpty,
+      s"cms novelty probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
+  }
 }
