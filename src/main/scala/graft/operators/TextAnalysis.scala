@@ -220,6 +220,39 @@ object TextAnalysis {
           col("r_stop") && col("r_top_word"))
   }
 
+  /** BPE MERGE-CANDIDATE mining — the first step of byte-pair-encoding
+    * tokenizer training ("count all adjacent symbol pairs, merge the
+    * most frequent", Sennrich et al. 2016): adjacent CHARACTER-pair
+    * frequencies within word boundaries, the exact statistic the first
+    * BPE merge maximizes. Training a tokenizer ON the corpus being
+    * assembled is a standard pipeline step; at 100 TB the pair count
+    * is the only part that touches all the data — the merge loop
+    * itself runs on this (tiny) aggregate.
+    *
+    * Shape: explode words once, derive each word's pairs with a
+    * one-level `substr` lambda (inner expression dominates — the §8
+    * kernel-parity class, not the nested-HOF trap), explode, ONE
+    * partial-aggregated count, top-k via orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, no global sort).
+    * Deterministic: (cnt desc, pair asc) total order.
+    */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    // guard 1-char words: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    // rather than returning empty, which would emit bogus truncated
+    // "pairs" — caught by the oracle's tie boundary
+    df.select(explode(wsTokens(col(textCol))).as("__w"))
+      .select(explode(when(length(col("__w")) >= 2,
+        transform(
+          sequence(lit(1), length(col("__w")) - 1),
+          i => col("__w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   /** DOMAIN-level quality gate — the RefinedWeb/CCNet "bad domain"
     * layer above [[qualityGate]]'s per-document rules: aggregate each
     * domain's (source's, site's) document fail fraction, and BLOCK

@@ -3296,10 +3296,36 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** BPE MERGE-CANDIDATE mining
+    * ([[graft.operators.TextAnalysis.bpePairCounts]], Sennrich et al.
+    * 2016) — the first byte-pair-encoding training step over the
+    * corpus being assembled: adjacent character-pair counts within
+    * word boundaries, top-20 by (cnt desc, pair asc). The pair count
+    * is the only part of tokenizer training that touches all the
+    * data; the merge loop runs on this tiny aggregate. DuckDB replays
+    * tokenization, the substr pair derivation, and the ranked cut.
+    */
+  private lazy val q140 = Q(
+    "q140_bpe_pairs",
+    (s, dir) =>
+      TextAnalysis.bpePairCounts(
+        t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism), "text", topK = 20),
+    Some(s"""
+      WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+                 FROM documents WHERE length(trim(text)) > 0),
+      p AS (SELECT unnest(list_transform(range(1, CAST(length(word) AS BIGINT)),
+               i -> substr(word, CAST(i AS INT), 2))) AS pair
+            FROM w)
+      SELECT pair, count(*) AS cnt FROM p
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
-      q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139)
+      q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
+      q140)
 }
