@@ -44,6 +44,66 @@ object Dedup {
       .filter(col("sh").isNotNull)
       .distinct()
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): per document, the DISTINCT set of per-window
+    * minimum n-gram hashes over every window of `w` consecutive
+    * shingles. The guarantee that makes it the plagiarism-detection
+    * standard: any shared TOKEN run of length ≥ w + n − 1 forces a
+    * shared fingerprint (the run contains a full window, and both
+    * docs pick the same minimum inside it) — while storing only
+    * ~2/(w+1) of the shingles, the sub-linear sketch neither minhash
+    * (fixed-size, whole-doc) nor shared-spans (stores every span)
+    * gives. The min-select variant (window min, not the robust
+    * rightmost-tie rule) keeps the selection a pure window aggregate —
+    * deterministic, position-free, engine-replayable.
+    *
+    * Shape: shingles keep their positions (posexplode — no distinct),
+    * the per-window min is ONE range-frame window over (id, pos) and
+    * the tail guard one frameless max over the SAME partition key —
+    * one exchange total; the distinct that follows is the only other
+    * shuffle. Returns (id, fp).
+    */
+  def winnowingFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(w >= 2, s"w must be >= 2 (w = 1 keeps every shingle), got $w")
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    df.select(col(idCol).as("id"),
+        posexplode(wordNgrams(wsTokens(lower(cleanAscii(col(textCol)))), n))
+          .as(Seq("pos", "s")))
+      .select(col("id"), col("pos"), rollingHash(col("s")).as("h"))
+      .withColumn("fp", min(col("h")).over(byPos.rangeBetween(0, w - 1)))
+      .withColumn("__maxp", max(col("pos")).over(Window.partitionBy("id")))
+      // truncated tail windows (< w shingles) select nothing — the
+      // guarantee is stated over full windows only
+      .filter(col("pos") <= col("__maxp") - (w - 1))
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
+
+  /** Winnowing near-dup PAIRS: docs sharing ≥ `minShared` fingerprints,
+    * by equi-join on the fingerprint — the [[sharedSpanPairs]] join
+    * shape over the sub-linear sketch. `maxDocFreq` caps viral
+    * fingerprints exactly like the shingle path.
+    */
+  def winnowingPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int, minShared: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps0 = winnowingFingerprints(df, idCol, textCol, n, w)
+      .withColumnRenamed("fp", "sh")
+    val fps = maxDocFreq.fold(fps0)(capDocFreq(fps0, _))
+    fps.as("a")
+      .join(fps.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Drop shingles appearing in more than `cap` docs — boilerplate
     * n-grams ("all rights reserved") that otherwise create a quadratic
     * join bucket: one shingle shared by a million docs is 10^12 pair

@@ -3321,11 +3321,48 @@ object LlmQueries extends QuerySet {
       GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
     """))
 
+  /** WINNOWING near-dup pairs
+    * ([[graft.operators.Dedup.winnowingPairs]], Schleimer/Wilkerson/
+    * Aiken 2003 — the MOSS fingerprinting algorithm): per-window
+    * minimum shingle hashes (n = 3, w = 4) as a ~2/(w+1)-size
+    * sub-linear sketch with the shared-run guarantee (any common token
+    * run ≥ w+n−1 = 6 forces a shared fingerprint), then the equi-join
+    * pair shape at minShared = 2 over the planted near-dup corpus.
+    * DuckDB replays positional shingling, the range-frame window min,
+    * the tail guard, and the join.
+    */
+  private lazy val q141 = Q(
+    "q141_winnowing",
+    (s, dir) =>
+      Dedup.winnowingPairs(docs2(s, dir), "id", "text",
+          n = 3, w = 4, minShared = 2)
+        .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH $docs2Sql,
+      tok AS (SELECT id, string_split_regex(trim(text), '\\s+') AS wv FROM docs2),
+      shl AS (SELECT id, list_transform(range(1, CAST(len(wv) AS INT) - 1),
+                i -> wv[CAST(i AS INT)] || ' ' || wv[CAST(i AS INT) + 1] || ' ' || wv[CAST(i AS INT) + 2]) AS sl
+              FROM tok),
+      shp AS (SELECT id, generate_subscripts(sl, 1) - 1 AS pos, unnest(sl) AS s
+              FROM shl),
+      hs AS (SELECT id, pos, ${rollSql("s")} AS h FROM shp),
+      win AS (SELECT id, pos,
+               min(h) OVER (PARTITION BY id ORDER BY pos
+                 RANGE BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               max(pos) OVER (PARTITION BY id) AS mx
+             FROM hs),
+      fps AS (SELECT DISTINCT id, fp FROM win WHERE pos <= mx - 3)
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY id_a, id_b
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140)
+      q140, q141)
 }

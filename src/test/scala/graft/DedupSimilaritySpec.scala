@@ -1175,4 +1175,39 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       Similarity.sqEncode(vecs, "vec_id", "v", mins, Seq(1.0))
     }
   }
+
+  test("winnowing: shared-run guarantee, sub-linear sketch, short-doc drop") {
+    import spark.implicits._
+    // docs 1 and 2 share a 6-token run = w + n - 1 at n=3, w=4 — the
+    // guarantee's exact boundary: they MUST share a fingerprint even
+    // though everything around the run differs
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight nine ten $run eleven"),
+      (3L, "completely different words entirely here okay then"),
+      (4L, "tiny doc"))  // < n tokens → no shingles → no fingerprints
+      .toDF("id", "text")
+    val fpRows = Dedup.winnowingFingerprints(docs, "id", "text", n = 3, w = 4)
+      .as[(Long, Long)].collect().toSet
+    val fps = fpRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(!fps.contains(4L), "sub-shingle docs fingerprint to nothing")
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      s"a shared ${4 + 3 - 1}-token run must force a shared fingerprint: " +
+        s"${fps(1L)} vs ${fps(2L)}")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "no shared runs → no shared fingerprints")
+    // sub-linear: strictly fewer fingerprints than shingles
+    val nShingles1 = 10 - 2 // 10 tokens → 8 trigrams
+    assert(fps(1L).size < nShingles1, s"sketch must compress: ${fps(1L).size}")
+    // pairs surface 1↔2 only
+    val pairs = Dedup.winnowingPairs(docs, "id", "text", 3, 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), pairs)
+    // determinism under repartitioning
+    val fps2 = Dedup.winnowingFingerprints(
+        docs.repartition(5), "id", "text", 3, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(fps2 === fpRows)
+  }
 }
