@@ -220,6 +220,42 @@ object TextAnalysis {
           col("r_stop") && col("r_top_word"))
   }
 
+  /** LINE-level LANGUAGE PURITY — the CCNet per-line language pass
+    * above document-level [[langId]]: classify every non-blank line,
+    * report the doc's majority line-language and the fraction of lines
+    * agreeing with it. A document-level classifier averages a mixed
+    * doc into whichever language dominates; the per-line pass is what
+    * catches boilerplate/quote/navigation lines in another language —
+    * route low-purity docs to line-level cleanup
+    * ([[Dedup.dropBoilerplateLines]]) instead of dropping them whole.
+    * Returns (idCol, n_lines, major_lang, purity_micro) — blank-only
+    * docs emit nothing (no lines, no verdict).
+    *
+    * Determinism: langId's fixed-profile-order tie rule per line,
+    * (count desc, lang asc) for the majority, purity as one integer
+    * DIV. Shape: one (id, lang) partial-aggregated count, then the
+    * majority window on id — rows entering the window are ≤ |langs|
+    * per doc, never the line stream.
+    */
+  def lineLangPurity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .filter(length(trim(col("__line"))) > 0)
+      .select(col(idCol), langId(col("__line")).as("__ll"))
+      .groupBy(col(idCol), col("__ll")).agg(count(lit(1)).as("__n"))
+    val maj = Window.partitionBy(col(idCol))
+      .orderBy(col("__n").desc, col("__ll").asc)
+    counts
+      .withColumn("__rn", row_number().over(maj))
+      .withColumn("__tot", sum(col("__n")).over(Window.partitionBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__tot").as("n_lines"),
+        col("__ll").as("major_lang"),
+        expr("__n * 1000000 DIV __tot").as("purity_micro"))
+  }
+
   /** BPE MERGE-CANDIDATE mining — the first step of byte-pair-encoding
     * tokenizer training ("count all adjacent symbol pairs, merge the
     * most frequent", Sennrich et al. 2016): adjacent CHARACTER-pair

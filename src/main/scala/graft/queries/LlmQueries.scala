@@ -3358,11 +3358,67 @@ object LlmQueries extends QuerySet {
       ORDER BY id_a, id_b
     """))
 
+  /** LINE-level language purity
+    * ([[graft.operators.TextAnalysis.lineLangPurity]] — the CCNet
+    * per-line language pass): foreign-language lines PLANTED
+    * deterministically (every 4th doc gets a strongly-German line,
+    * every 10th a French one) so mixed-language docs exist and purity
+    * drops are observable while staying hash-exact; per-line langid,
+    * majority line-language and agreement fraction per doc. DuckDB
+    * replays the plant, the line split, the per-line stopword argmax
+    * (q22's spelling), and the majority window.
+    */
+  private lazy val q142 = {
+    def stopLine(lang: String) =
+      s"""len(list_filter(string_split_regex(trim(lower(line)), '\\s+'),
+            t -> t IN (${inList(TextAnalysis.Stopwords.toMap.apply(lang))})))"""
+    Q(
+      "q142_line_langid",
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              lit("\nder die das und ist der die")).otherwise(lit("")),
+            when(col("doc_id") % 10 === 0,
+              lit("\nle la les et est le")).otherwise(lit(""))).as("text"))
+        TextAnalysis.lineLangPurity(planted, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH planted AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || 'der die das und ist der die' ELSE '' END ||
+            CASE WHEN doc_id % 10 = 0
+                 THEN chr(10) || 'le la les et est le' ELSE '' END AS text
+          FROM documents),
+        ls AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+               FROM planted),
+        lf AS (SELECT doc_id, line FROM ls WHERE length(trim(line)) > 0),
+        hh AS (SELECT doc_id,
+                ${stopLine("en")} AS h_en, ${stopLine("de")} AS h_de,
+                ${stopLine("fr")} AS h_fr, ${stopLine("es")} AS h_es
+              FROM lf),
+        lid AS (SELECT doc_id,
+                 CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                      WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                      WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS ll
+               FROM hh),
+        c AS (SELECT doc_id, ll, count(*) AS n FROM lid GROUP BY 1, 2),
+        r AS (SELECT doc_id, ll, n,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, ll) AS rn,
+               CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS tot
+             FROM c)
+        SELECT doc_id, tot AS n_lines, ll AS major_lang,
+          CAST(n * 1000000 // tot AS BIGINT) AS purity_micro
+        FROM r WHERE rn = 1 ORDER BY doc_id
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140, q141)
+      q140, q141, q142)
 }
