@@ -3414,11 +3414,114 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** CORPUS CARD — the per-snapshot DATASHEET a training-data pipeline
+    * publishes (Gebru et al. 2021 "Datasheets for Datasets", the
+    * composition layer over the engine's own substrates): per language,
+    * document count and corpus share, token mass, quality-gate pass
+    * rate (q120's rules), and exact-duplicate rate — every number a
+    * one-line read for the consumer deciding whether to train on the
+    * snapshot. Exact copies are PLANTED (every 9th doc) so the dup
+    * column is observably non-zero. Pure composition: qualityGate +
+    * md5 digest counts + token counts, joined doc-keyed, ONE per-lang
+    * aggregation, shares from an unbounded window over |langs| rows.
+    * DuckDB replays the plant, all three substrates, and the integer
+    * micro-rates.
+    */
+  private lazy val q143 = {
+    val rules = TextAnalysis.QualityRules(
+      minWords = 30, minStopHits = 2, maxTopWordMicro = 120000L)
+    Q(
+      "q143_corpus_card",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val raw = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+        val d = raw.select(col("doc_id"), col("lang"), col("text"))
+          .unionAll(raw.filter(col("doc_id") % 9 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+              col("text")))
+        val gate = TextAnalysis.qualityGate(d, "doc_id", "text", rules)
+          .select(col("doc_id"), col("keep"))
+        val dig = d.select(col("doc_id"), md5(col("text")).as("__dg"))
+        val flags = dig
+          .join(dig.groupBy("__dg").agg(count(lit(1)).as("__dn")), "__dg")
+          .select(col("doc_id"), (col("__dn") > 1).as("__dup"))
+        d.select(col("doc_id"), col("lang"),
+            tokenCount(col("text")).cast("long").as("__tok"))
+          .join(gate, "doc_id").join(flags, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__tok")).as("n_tokens"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("__nk"),
+            sum(when(col("__dup"), 1L).otherwise(0L)).as("__nd"))
+          .withColumn("__total",
+            sum(col("n_docs")).over(
+              Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("lang"), col("n_docs"),
+            expr("n_docs * 1000000 DIV __total").as("share_micro"),
+            col("n_tokens"),
+            expr("__nk * 1000000 DIV n_docs").as("keep_micro"),
+            expr("__nd * 1000000 DIV n_docs").as("dup_micro"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000, lang, text FROM documents WHERE doc_id % 9 = 0),
+        t AS (SELECT doc_id, lang, text,
+               string_split_regex(trim(text), '\\s+') AS w FROM d),
+        m AS (SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(w) AS BIGINT) END AS n,
+            CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS sumlen,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) END AS alpha,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+                   ['the', 'a', 'of', 'and', 'to', 'is'])) AS BIGINT) END AS stop_hits
+          FROM t),
+        tw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS topc FROM (
+                 SELECT doc_id, w2, count(*) AS c
+                 FROM (SELECT doc_id, unnest(w) AS w2 FROM t
+                       WHERE length(trim(text)) > 0) u
+                 GROUP BY doc_id, w2) g GROUP BY doc_id),
+        k AS (SELECT m.doc_id,
+                (m.n >= 30 AND m.n <= 100000
+                  AND m.n > 0 AND m.sumlen >= 3 * m.n AND m.sumlen <= 10 * m.n
+                  AND m.alpha * 1000000 >= 800000 * m.n
+                  AND m.stop_hits >= 2
+                  AND coalesce(tw.topc, 0) * 1000000 <= 120000 * m.n) AS keep
+              FROM m LEFT JOIN tw USING (doc_id)),
+        dg AS (SELECT doc_id, md5(text) AS g FROM d),
+        dn AS (SELECT g, count(*) AS c FROM dg GROUP BY g),
+        fl AS (SELECT dg.doc_id, (dn.c > 1) AS dup FROM dg JOIN dn USING (g)),
+        base AS (SELECT t.doc_id, t.lang,
+                  CASE WHEN length(trim(t.text)) = 0 THEN 0
+                       ELSE CAST(len(t.w) AS BIGINT) END AS tok
+                FROM t),
+        per AS (SELECT base.lang, count(*) AS n_docs,
+                 CAST(sum(base.tok) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+                 CAST(sum(CASE WHEN fl.dup THEN 1 ELSE 0 END) AS BIGINT) AS nd
+               FROM base JOIN k USING (doc_id) JOIN fl USING (doc_id)
+               GROUP BY base.lang),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM per)
+        SELECT lang, n_docs,
+          n_docs * 1000000 // tot.total AS share_micro,
+          n_tokens,
+          nk * 1000000 // n_docs AS keep_micro,
+          nd * 1000000 // n_docs AS dup_micro
+        FROM per, tot ORDER BY lang
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140, q141, q142)
+      q140, q141, q142, q143)
 }

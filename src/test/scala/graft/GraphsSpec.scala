@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graphs
+
+class GraphsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: a cycle is an exact fixed point at uniform 1e6") {
+    // out-degree 1 everywhere → p' = 150000 + 850000·1e6 DIV 1e6 = 1e6
+    // exactly, every round — integer arithmetic holds the fixed point
+    // with zero leak
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val p = Graphs.pageRankMicro(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(p === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L,
+      4L -> 1000000L))
+  }
+
+  test("pageRank: hand-computed two rounds with a dangling sink") {
+    // 1→3, 2→3; node 3 dangling (its mass leaks — the documented
+    // variant). Round 1: in(3) = 1e6 + 1e6 → p(3) = 150000 + 1 700 000;
+    // round 2: in(3) = 150000·2 → p(3) = 150000 + 255 000.
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val p1 = Graphs.pageRankMicro(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(p1 === Map(1L -> 150000L, 2L -> 150000L, 3L -> 1850000L))
+    val p2 = Graphs.pageRankMicro(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(p2 === Map(1L -> 150000L, 2L -> 150000L, 3L -> 405000L))
+  }
+
+  test("pageRank: symmetrized graphs conserve mass up to the integer leak") {
+    val pairs = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val p = Graphs.pageRankMicro(edges, iters = 4)
+      .as[(Long, Long)].collect()
+    val n = p.length
+    val total = p.map(_._2).sum
+    // every node has out-edges: mass only leaks via DIV floors,
+    // < 1 micro per (node, round) per division step
+    assert(total <= n * 1000000L, s"total $total exceeds initial mass")
+    assert(total >= n * 1000000L - n.toLong * 4 * 2, s"leak too big: $total")
+    // determinism under repartitioning
+    val p2 = Graphs.pageRankMicro(edges.repartition(7), iters = 4)
+      .as[(Long, Long)].collect()
+    assert(p.toSet === p2.toSet)
+  }
+}

@@ -210,6 +210,34 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(m(("3", 10)) === (None, None, false))
   }
 
+  test("liftover roundtrip: the inverse chain restores every mapped point") {
+    val chain = Seq(
+      ("1", 10, 19, "c1", 100, "+"),
+      ("1", 30, 39, "c1", 200, "-"))
+      .toDF("chrom", "start", "end", "dst_chrom", "dst_start", "strand")
+    // the algebraic inverse: '+' blocks swap src/dst; '-' blocks stay
+    // '-' with src = the reversed image interval
+    val inverse = Seq(
+      ("c1", 100, 109, "1", 10, "+"),
+      ("c1", 200, 209, "1", 30, "-"))
+      .toDF("chrom", "start", "end", "dst_chrom", "dst_start", "strand")
+    val pts = (10 to 19).map(("1", _)) ++ (30 to 39).map(("1", _))
+    val once = graft.operators.RangeJoin
+      .liftover(pts.toDF("chrom", "pos"), chain, bucketShift = shift)
+      .select(col("new_chrom").as("chrom"), col("new_pos").as("pos"),
+        col("chrom").as("orig_chrom"), col("pos").as("orig_pos"))
+    val back = graft.operators.RangeJoin
+      .liftover(once, inverse, bucketShift = shift)
+      .select("orig_chrom", "orig_pos", "new_chrom", "new_pos", "mapped")
+      .collect()
+    assert(back.length === 20)
+    back.foreach { r =>
+      assert(r.getBoolean(4), s"roundtrip must map: $r")
+      assert(r.getString(2) === r.getString(0) && r.getInt(3) === r.getInt(1),
+        s"roundtrip must restore the original site: $r")
+    }
+  }
+
   test("liftover plan: broadcast left join, point side never shuffles") {
     val chain = Seq(("1", 10, 19, "c1", 100, "+"))
       .toDF("chrom", "start", "end", "dst_chrom", "dst_start", "strand")
