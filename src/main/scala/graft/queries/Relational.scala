@@ -653,7 +653,110 @@ object Relational extends QuerySet {
       """))
   }
 
+  /** SCD TYPE-2 dimension build — the warehouse transform that turns a
+    * CHANGE LOG into a versioned dimension (valid_from / valid_to /
+    * is_current), i.e. the table q09's as-of join consumes: per key,
+    * order the changes, each row valid until the second before its
+    * successor, open-ended on the latest. ONE window exchange on the
+    * key; version, valid_to, and is_current all ride the same
+    * (key, time) sort. Exact epoch-second integers; the tiebreak on
+    * event_id makes same-timestamp changes deterministic (and the
+    * sort key is the SAME truncated seconds the output carries — a
+    * finer sort key than the emitted one would let two engines order
+    * sub-second ties differently).
+    */
+  private val q144 = Q(
+    "q144_scd2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_timestamp(ts)").as("ts_s"), col("value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_s").asc, col("event_id").asc)
+      ev.withColumn("version", row_number().over(w))
+        .withColumn("valid_from", col("ts_s"))
+        .withColumn("valid_to", lead(col("ts_s"), 1).over(w) - 1)
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("user_id", "version", "event_id", "valid_from", "valid_to",
+          "is_current", "value")
+        .orderBy("user_id", "version")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+           FROM events WHERE event_type = 'purchase')
+      SELECT user_id,
+        row_number() OVER w AS version, event_id, ts_s AS valid_from,
+        lead(ts_s) OVER w - 1 AS valid_to,
+        (lead(ts_s) OVER w IS NULL) AS is_current, value
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+      ORDER BY user_id, version
+    """))
+
+  /** Robust METRIC-ANOMALY flagging — median/MAD over per-day event
+    * counts, the monitoring pass a pipeline runs over its own ingest
+    * metrics (mean/stddev break on the very outliers being hunted;
+    * median and median-absolute-deviation don't). All EXACT integer
+    * arithmetic: the median is the rank-⌈n/2⌉ element under a total
+    * order ((value, day) — deterministic through ties), MAD the same
+    * over |n − med|, flag = dev > 3·MAD. Shape: one partial-agg
+    * (type, day) count, then two rank windows + two broadcast-size
+    * joins all partitioned on event_type — |types| × |days| rows ever
+    * enter a window.
+    */
+  private val q145 = Q(
+    "q145_anomaly_days",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy("event_type")
+      def rankPick(df: org.apache.spark.sql.DataFrame, valueCol: String,
+          outCol: String) =
+        df.withColumn("__rn", row_number().over(
+            Window.partitionBy("event_type")
+              .orderBy(col(valueCol).asc, col("day").asc)))
+          .withColumn("__cnt", count(lit(1)).over(wAll))
+          .filter(col("__rn") === expr("(__cnt + 1) DIV 2"))
+          .select(col("event_type"), col(valueCol).as(outCol))
+      val med = rankPick(daily, "n", "med")
+      val dev = daily.join(med, "event_type")
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = rankPick(dev, "dev", "mad")
+      dev.join(mad, "event_type")
+        .withColumn("flag", col("dev") > col("mad") * 3)
+        .select("event_type", "day", "n", "med", "mad", "dev", "flag")
+        .orderBy("event_type", "day")
+    },
+    Some(s"""
+      WITH daily AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY n, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+             FROM daily),
+      med AS (SELECT event_type, n AS med FROM r1 WHERE rn = (cnt + 1) // 2),
+      dv AS (SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS dev
+             FROM daily d JOIN med m USING (event_type)),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY dev, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+             FROM dv),
+      mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+      SELECT d.event_type, d.day, d.n, d.med, a.mad, d.dev,
+        (d.dev > a.mad * 3) AS flag
+      FROM dv d JOIN mad a USING (event_type)
+      ORDER BY d.event_type, d.day
+    """))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
-      q52, q75, q115, q116, q126, q131, q134, q136, q137)
+      q52, q75, q115, q116, q126, q131, q134, q136, q137, q144, q145)
 }
