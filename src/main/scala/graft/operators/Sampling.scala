@@ -359,8 +359,10 @@ object Sampling {
     val w = mixWindow(stratumCol, idCol)
     val wAll = Window.partitionBy(col(stratumCol))
     df.withColumn("__w", col(weightCol).cast("long"))
-      // zero-mass rows carry no selection interval; negatives are a
-      // caller bug the draw arithmetic would silently absorb
+      // non-positive weights carry no selection interval and are
+      // DROPPED (zero mass can't be drawn; a negative weight would
+      // corrupt the running prefix, so it is excluded rather than
+      // absorbed — callers wanting loud failure validate upstream)
       .filter(col("__w") > 0L)
       .withColumn("__c", coalesce(
         sum(col("__w")).over(w.rowsBetween(Window.unboundedPreceding, -1)),

@@ -390,6 +390,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"contribution sums must partial-aggregate map-side:\n$p")
   }
 
+  test("q141 winnowing: window sketch then equi-join, no nested loops") {
+    val q = SparkEntry.queries("q141_winnowing")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Window"), s"the per-window min is a window aggregate:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"pairs must come from the fingerprint equi-join:\n$p")
+  }
+
+  test("q137/q144/q145 event transforms: partial-aggregated, no nested loops") {
+    Seq("q137_retention", "q144_scd2", "q145_anomaly_days").foreach { name =>
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"$name must stay key-equi everything:\n$p")
+    }
+  }
+
   test("q138 polygenic score: panel broadcasts, call stream never shuffles for the join") {
     val q = SparkEntry.queries("q138_polygenic_score")(spark, dir)
     q.collect()
