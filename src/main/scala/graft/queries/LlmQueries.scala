@@ -3517,11 +3517,79 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** Batch NOVELTY audit through the count-min state — the ORACLED
+    * twin of [[graft.streaming.DocStreams.cmsNoveltyStream]] (the
+    * probe is a stateless projection, so the SAME function serves
+    * batch and stream — called here on a batch frame): the reference
+    * grid is built from the src0 slice (the "corpus so far"), every
+    * doc scores its rare-token fraction against it. Closes the CMS
+    * write+read loop under the hash oracle: q130 pins the grid and
+    * point reads, this pins the inlined literal-map read path and the
+    * per-doc fold. DuckDB replays grid, per-(doc, token) min-read,
+    * occurrence-weighted rare counts, and the micro-floored fraction.
+    */
+  private lazy val q146 = {
+    def cellSql(r: Int) =
+      s"((x * ${MinhashA(r)} + ${MinhashB(r)}) % 1000000007) " +
+        "* 2654435761 % 1000000007 % 64"
+    val gridArms = (0 until 4).map(r =>
+      s"SELECT $r AS r, ${cellSql(r)} AS c FROM hx")
+      .mkString("\n        UNION ALL ")
+    val probeArms = (0 until 4).map(r =>
+      s"SELECT doc_id, item, $r AS r, ${cellSql(r)} AS c FROM dix")
+      .mkString("\n        UNION ALL ")
+    Q(
+      "q146_cms_novelty",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val docs = t(s, dir, "documents")
+        val refToks = docs.filter(col("source") === "src0")
+          .select(explode(wsTokens(col("text"))).as("tok"))
+        val grid = Sketches.cmsSketch(refToks, "tok", Seq.empty)
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+        graft.streaming.DocStreams
+          .cmsNoveltyStream(docs.select(col("doc_id"), col("text")),
+            grid, rareMax = 1L)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH rt AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS item
+               FROM documents WHERE source = 'src0' AND length(trim(text)) > 0),
+        hx AS (SELECT item, ${rollSql("item")} AS x FROM rt),
+        cells AS (
+          $gridArms),
+        grid AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        dt AS (SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS item
+               FROM documents WHERE length(trim(text)) > 0),
+        tc AS (SELECT doc_id, item, count(*) AS occ FROM dt GROUP BY 1, 2),
+        dix AS (SELECT DISTINCT doc_id, item, ${rollSql("item")} AS x FROM dt),
+        pc AS (
+          $probeArms),
+        est AS (SELECT p.doc_id, p.item, min(coalesce(g.cnt, 0)) AS est
+                FROM pc p LEFT JOIN grid g ON g.r = p.r AND g.c = p.c
+                GROUP BY 1, 2),
+        per AS (SELECT t.doc_id,
+                 CAST(sum(t.occ) AS BIGINT) AS n_toks,
+                 CAST(sum(CASE WHEN e.est <= 1 THEN t.occ ELSE 0 END) AS BIGINT) AS n_rare
+               FROM tc t JOIN est e ON e.doc_id = t.doc_id AND e.item = t.item
+               GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(coalesce(per.n_toks, 0) AS INT) AS n_toks,
+          CAST(coalesce(per.n_rare, 0) AS BIGINT) AS n_rare,
+          CASE WHEN coalesce(per.n_toks, 0) = 0 THEN 0
+               ELSE ${microSql("CAST(per.n_rare AS DOUBLE) / per.n_toks")}
+          END AS novelty_micro
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY d.doc_id
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140, q141, q142, q143)
+      q140, q141, q142, q143, q146)
 }
