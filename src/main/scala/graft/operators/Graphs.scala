@@ -26,32 +26,57 @@ object Graphs {
     * Shape per round: one src-keyed equi-join of edges × scores (both
     * sides hash on the same key — the exchange layout is reusable
     * round to round), one partial-aggregated groupBy(dst), one left
-    * join back onto the node set. `iters` is a compile-time plan chain
-    * (like the k-means training loop): at production scale checkpoint
-    * or persist between rounds to cut lineage, and note the scores
-    * frame is |V| rows — broadcastable for moderate graphs.
+    * join back onto the node set. Each round deepens the plan chain
+    * (like the k-means training loop), so past `cutEvery` rounds the
+    * at-scale posture is ENFORCED, not advisory: the node set and the
+    * degree-joined edge table are materialized once, and the score
+    * table's lineage is cut every `cutEvery` rounds — localCheckpoint
+    * by default, or the checkpoint DIRECTORY with `reliable = true`
+    * (requires sparkContext.setCheckpointDir; survives executor loss
+    * — the [[Dedup.connectedComponents]] contract). Runs of
+    * ≤ `cutEvery` rounds keep the pure declarative chain (the oracled
+    * q136 path: no materialization, plan-gated). Note the scores frame
+    * is |V| rows — broadcastable for moderate graphs.
     */
   def pageRankMicro(
       edges: DataFrame, iters: Int,
-      dampMicro: Long = 850000L): DataFrame = {
-    require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
+      dampMicro: Long = 850000L,
+      cutEvery: Int = 4,
+      reliable: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
     require(dampMicro >= 0L && dampMicro <= 1000000L,
       s"dampMicro must be a micro-fraction in [0, 1e6], got $dampMicro")
-    val nodes = edges.select(col("src").as("node"))
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
+    require(!reliable ||
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable = true needs spark.sparkContext.setCheckpointDir(...)")
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val deep = iters > cutEvery
+    val nodes0 = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct()
-    val withDeg = edges
+    val withDeg0 = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
+    // deep runs re-read these every round — materialize once so the
+    // edge scan and degree aggregation don't recompute per iteration
+    val nodes = if (deep) cp(nodes0) else nodes0
+    val withDeg = if (deep) cp(withDeg0) else withDeg0
     val base = lit(1000000L - dampMicro)
     var p = nodes.withColumn("p", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inSum = withDeg
         .join(p, col("src") === col("node"))
         .select(col("dst").as("node"), expr("p DIV __outdeg").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__in"))
-      p = nodes.join(inSum, Seq("node"), "left")
+      val next = nodes.join(inSum, Seq("node"), "left")
         .select(col("node"),
           (base + expr(s"$dampMicro * coalesce(__in, 0L) DIV 1000000"))
             .as("p"))
+      // cut mid-run only: the FINAL round stays lazy so the caller's
+      // downstream plan composes with it (prior checkpoint blocks are
+      // released by the ContextCleaner as references drop — the
+      // connectedComponents storage contract: ~2 rounds of |V| rows)
+      p = if (deep && i % cutEvery == 0 && i < iters) cp(next) else next
     }
     p
   }

@@ -21,13 +21,30 @@ object Layout {
 
   /** Morton z-value of two 16-bit dimension keys: bits of `x` on even
     * positions, bits of `y` on odd. Inputs must lie in [0, 65536) —
-    * normalize upstream (mod, bucket, or rank); the require is on the
-    * caller because a Column can't be range-checked at plan time.
+    * normalize upstream (mod, bucket, or rank). A Column can't be
+    * range-checked at plan time, so the check rides the row: an
+    * out-of-range dimension RAISES rather than silently aliasing into
+    * another file cell (a negative long would set high bits straight
+    * through the spread masks; ≥ 2^16 would collide with its low 16
+    * bits — either corrupts min/max pruning stats invisibly).
     * The classic magic-number spread: 4 shift-and steps per operand,
     * one narrow projection — scan-speed at any scale.
     */
   def zValue2(x: Column, y: Column): Column =
-    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+    spread16(ranged(x)).bitwiseOR(shiftleft(spread16(ranged(y)), 1))
+
+  /** Row-level range gate: pass [0, 65536) through, raise otherwise.
+    * One comparison per dimension on the valid path — the error branch
+    * never executes for in-contract data, so the oracle SQL replays
+    * the unguarded arithmetic unchanged.
+    */
+  private def ranged(c: Column): Column = {
+    val v = c.cast("long")
+    when(v >= 0L && v < 65536L, v).otherwise(
+      raise_error(concat(
+        lit("zValue2: dimension value "), v.cast("string"),
+        lit(" outside [0, 65536) — normalize upstream"))).cast("long"))
+  }
 
   /** Spread the low 16 bits of `c` to the even positions of a 32-bit
     * value: 0b1111 → 0b01010101.
@@ -78,9 +95,15 @@ object Layout {
     require(lo <= hi, s"empty probe interval [$lo, $hi]")
     stats.agg(
       count(lit(1)).as("n_files"),
-      sum(when(col(s"max_$dim") < lo || col(s"min_$dim") > hi, 1L)
-        .otherwise(0L)).as("n_skipped"))
+      // sum over zero rows is NULL — an empty stats frame must read as
+      // 0 skipped, same as the division guard below
+      coalesce(
+        sum(when(col(s"max_$dim") < lo || col(s"min_$dim") > hi, 1L)
+          .otherwise(0L)), lit(0L)).as("n_skipped"))
       .select(col("n_files"), col("n_skipped"),
-        expr("n_skipped * 1000000 DIV n_files").as("skip_micro"))
+        // an empty stats frame has nothing to prune: 0/0 is defined as
+        // 0 skipped rather than a NULL (or an ANSI divide error)
+        expr("CASE WHEN n_files = 0 THEN 0L" +
+          " ELSE n_skipped * 1000000 DIV n_files END").as("skip_micro"))
   }
 }

@@ -368,9 +368,21 @@ object Sampling {
         sum(col("__w")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("__tot", sum(col("__w")).over(wAll))
+      // overflow gate: the largest intermediate is __tot·k + __tot − 1
+      // (at __c + __w = __tot), and the non-ANSI int64 multiply WRAPS
+      // silently past 2^63 — token/byte weights reach there at
+      // W ≈ 1e14 with k ≈ 1e5. __tot is per-stratum, so the bound is
+      // checkable exactly where the product happens: raise on the row
+      // rather than return wrong draws. Strata below
+      // Long.MaxValue/(k+1) total mass (≈ 9.2e18/(k+1)) replay the
+      // unguarded arithmetic unchanged.
       .withColumn("n_draws",
-        expr(s"((__c + __w) * $k + __tot - 1) DIV __tot" +
-          s" - (__c * $k + __tot - 1) DIV __tot"))
+        expr(s"CASE WHEN __tot > ${Long.MaxValue / (k + 1)}L THEN" +
+          " CAST(raise_error(CONCAT('ppsSystematic: stratum total weight '," +
+          s" __tot, ' times k = $k overflows int64 — reduce k or split" +
+          " the stratum')) AS BIGINT)" +
+          s" ELSE ((__c + __w) * $k + __tot - 1) DIV __tot" +
+          s" - (__c * $k + __tot - 1) DIV __tot END"))
       .filter(col("n_draws") > 0L)
       .drop("__c", "__tot")
       .withColumnRenamed("__w", "weight")

@@ -194,6 +194,14 @@ object Sketches {
       depth: Int = 4, width: Int = 64): org.apache.spark.sql.Column = {
     require(grid.forall(g => g._1 >= 0 && g._1 < depth),
       "grid rows outside [0, depth) — depth mismatch with the build")
+    // a width mismatch is as silent-wrong as a depth mismatch: probe
+    // cells land in [0, width), miss every grid column built at the
+    // other width, coalesce to 0, and the estimate quietly loses its
+    // upper-bound guarantee — fail loudly instead
+    require(grid.forall(g => g._2 >= 0 && g._2 < width),
+      "grid columns outside [0, width) — width mismatch with the build")
+    require(grid.forall(_._3 >= 0L),
+      "negative grid counter — corrupted sketch state")
     val cells = cmsCells(item, depth, width)
     (0 until depth).map { r =>
       val m = grid.filter(_._1 == r).map { case (_, c, n) => (c, n) }.toMap
@@ -201,6 +209,30 @@ object Sketches {
       else coalesce(
         element_at(typedLit(m), element_at(cells, r + 1)), lit(0L))
     }.reduce(least(_, _))
+  }
+
+  /** INLINE heavy-hitter membership — the Misra-Gries read path in the
+    * shape the streaming layer needs (the [[cmsEstimateCol]] /
+    * kmeans-centroid precedent): a [[heavyHitters]]/[[mergeHeavyHitters]]
+    * summary is parameter-bounded (≤ capacity rows per group), so ONE
+    * group's summary collected driver-side becomes a literal lookup map
+    * and membership is one narrow projection — zero shuffle, zero
+    * state, composes inside array lambdas. Returns the item's cnt_lo
+    * lower bound, 0 when absent. MG counts are lower bounds, so a
+    * nonzero read GUARANTEES the item is frequent (≥ cnt_lo true
+    * occurrences) — the conservative direction for hot-key routing
+    * (CMS errs the other way: over-counts, never under).
+    * `summary` rows are (item, cnt_lo) for ONE group.
+    */
+  def mgCountCol(
+      summary: Seq[(String, Long)],
+      item: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    require(summary.forall(_._2 > 0L),
+      "non-positive cnt_lo — not a Misra-Gries summary (the cut drops them)")
+    require(summary.map(_._1).distinct.size == summary.size,
+      "duplicate items — not a single group's summary")
+    if (summary.isEmpty) lit(0L)
+    else coalesce(element_at(typedLit(summary.toMap), item), lit(0L))
   }
 
   /** The one definition of an item's depth cell columns, shared by the

@@ -3585,11 +3585,65 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** Batch HOT-TOKEN audit through the Misra-Gries state — the ORACLED
+    * twin of [[graft.streaming.DocStreams.mgHotStream]] (the probe is a
+    * stateless projection, so the SAME function serves batch and
+    * stream — called here on a batch frame): the reference summary is
+    * built from the src0 slice at capacity 10
+    * ([[graft.operators.Sketches.heavyHitters]] — the q122 write side),
+    * every doc scores the fraction of its token occurrences the
+    * summary GUARANTEES frequent (MG counts are lower bounds — the
+    * conservative complement of q146's CMS rarity read). Closes the
+    * MG write+read loop under the hash oracle: q122 pins the summary
+    * rows and the merge; this pins the inlined literal-map read path
+    * and the per-doc occurrence fold. DuckDB replays the capacity cut,
+    * the membership probe, and the micro-floored fraction.
+    */
+  private lazy val q147 = Q(
+    "q147_mg_hot",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val docs = t(s, dir, "documents")
+      val refToks = docs.filter(col("source") === "src0")
+        .select(explode(wsTokens(col("text"))).as("tok"))
+      val summary = Sketches.heavyHitters(refToks, "tok", Seq.empty, 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.streaming.DocStreams
+        .mgHotStream(docs.select(col("doc_id"), col("text")), summary)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS item
+             FROM documents WHERE source = 'src0' AND length(trim(text)) > 0),
+      c1 AS (SELECT item, count(*) AS cnt FROM tok GROUP BY 1),
+      r1 AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, item ASC) AS rn
+             FROM c1),
+      s1 AS (SELECT *, max(CASE WHEN rn = 11 THEN cnt ELSE 0 END) OVER () AS sub
+             FROM r1 WHERE rn <= 11),
+      hh AS (SELECT item FROM s1 WHERE rn <= 10 AND cnt - sub > 0),
+      dt AS (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS item
+             FROM documents WHERE length(trim(text)) > 0),
+      per AS (SELECT dt.doc_id, count(*) AS n_toks,
+               CAST(sum(CASE WHEN hh.item IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hot
+             FROM dt LEFT JOIN hh USING (item) GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(coalesce(per.n_toks, 0) AS INT) AS n_toks,
+        CAST(coalesce(per.n_hot, 0) AS BIGINT) AS n_hot,
+        CASE WHEN coalesce(per.n_toks, 0) = 0 THEN 0
+             ELSE CAST(floor(CAST(per.n_hot AS DOUBLE) / per.n_toks
+               * 1000000.0) AS BIGINT)
+        END AS hot_micro
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY d.doc_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140, q141, q142, q143, q146)
+      q140, q141, q142, q143, q146, q147)
 }

@@ -592,6 +592,39 @@ object DocStreams {
           .cast("long")).as("novelty_micro"))
   }
 
+  /** Stateless streaming HOT-TOKEN probe against the incrementally
+    * maintained MISRA-GRIES heavy-hitter state
+    * ([[graft.operators.Sketches.heavyHitters]]/mergeHeavyHitters — the
+    * write side the q122 gate pins; this is the READ side at ingest):
+    * per arriving doc, how many of its token occurrences the summary
+    * GUARANTEES frequent (cnt_lo ≥ `minLo` — MG counts are lower
+    * bounds, so every flagged occurrence is truly hot). High hot
+    * fraction flags boilerplate/template bursts the moment they
+    * arrive — the frequency complement of [[cmsNoveltyStream]]'s
+    * rarity probe, conservative in the OPPOSITE direction (novelty
+    * over-flags nothing rare; hotness under-flags nothing cold). The
+    * summary rides in as a literal map
+    * ([[graft.operators.Sketches.mgCountCol]] — parameter-bounded at
+    * ≤ capacity rows), so the probe is ONE narrow projection: zero
+    * state operators, zero shuffle, any trigger; stream ≡ batch
+    * row-for-row (spec-pinned), and the SAME function serves the
+    * oracled batch audit (q147).
+    */
+  def mgHotStream(
+      docs: DataFrame, summary: Seq[(String, Long)],
+      minLo: Long = 1L): DataFrame = {
+    require(minLo >= 1L, s"minLo must be >= 1, got $minLo")
+    val toks = wsTokens(col("text"))
+    val nHot = size(filter(toks, t =>
+      Sketches.mgCountCol(summary, t) >= minLo))
+    docs.select(col("doc_id"),
+      size(toks).as("n_toks"),
+      nHot.cast("long").as("n_hot"),
+      when(size(toks) === 0, 0L).otherwise(
+        floor(nHot.cast("double") / size(toks).cast("double") * 1000000.0)
+          .cast("long")).as("hot_micro"))
+  }
+
   def ingestCleanBatch(docs: DataFrame, minTokens: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("digest").orderBy(col("ts"), col("doc_id"))

@@ -47,4 +47,18 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect()
     assert(p.toSet === p2.toSet)
   }
+
+  test("pageRank: deep runs cut lineage without changing a single score") {
+    // iters = 9 crosses the cutEvery = 4 default twice (rounds 4 and
+    // 8): the checkpointed path must be value-identical to the pure
+    // declarative chain (cutEvery = 100 → never cuts)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (1L, 4L))
+    val edges = pairs.toDF("src", "dst")
+    val cut = Graphs.pageRankMicro(edges, iters = 9)
+      .as[(Long, Long)].collect().toSet
+    val pure = Graphs.pageRankMicro(edges, iters = 9, cutEvery = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(cut === pure)
+  }
 }

@@ -50,6 +50,30 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       ((256L, 240L, 937500L)))
   }
 
+  test("zValue2: out-of-range dimensions RAISE instead of aliasing") {
+    // a negative long sets high bits straight through the spread masks
+    // and 65536 aliases with 0 — both used to corrupt pruning stats
+    // silently; now the row raises
+    for (bad <- Seq(-1L, 65536L, 1L << 40)) {
+      val e = intercept[Exception] {
+        Seq((bad, 1L)).toDF("x", "y")
+          .select(Layout.zValue2(col("x"), col("y"))).collect()
+      }
+      assert(e.getMessage.contains("65536"), s"for $bad: ${e.getMessage}")
+    }
+    // boundary values still pass
+    val ok = Seq((0L, 65535L)).toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y"))).as[Long].collect()
+    assert(ok.head === 0xAAAAAAAAL)
+  }
+
+  test("pruneFraction: empty stats frame yields a defined 0, not NULL") {
+    val empty = Layout.zorderStats(grid.filter(lit(false)), "x", "y", 4)
+    val row = Layout.pruneFraction(empty, "x", 0L, 3L).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((0L, 0L, 0L)))
+  }
+
   test("zorderStats plan: one exchange, no sort, no window") {
     val plan = Layout.zorderStats(grid, "x", "y", zShift = 4)
       .queryExecution.executedPlan.toString.split("== Initial Plan ==").head

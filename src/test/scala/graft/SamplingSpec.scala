@@ -314,4 +314,24 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     assert(out.toSet === out2.toSet)
   }
+
+  test("ppsSystematic: stratum mass past the int64 product bound RAISES " +
+      "instead of wrapping") {
+    import spark.implicits._
+    // byte-weight scale: two 5e17 items at k=10 put __tot·k at 1e19 —
+    // past 2^63, where the non-ANSI multiply used to wrap silently and
+    // return wrong draws; now the row raises with the operator's name
+    val hot = Seq(("a", 1L, 500000000000000000L),
+      ("a", 2L, 500000000000000000L)).toDF("s", "id", "w")
+    val e = intercept[Exception] {
+      Sampling.ppsSystematic(hot, "s", "id", "w", k = 10).collect()
+    }
+    assert(e.getMessage.contains("ppsSystematic"), e.getMessage)
+    // just inside the bound the draw is exact: W = 8e17 < 2^63/(k+1)
+    val ok = Seq(("a", 1L, 400000000000000000L),
+      ("a", 2L, 400000000000000000L)).toDF("s", "id", "w")
+    val draws = Sampling.ppsSystematic(ok, "s", "id", "w", k = 10)
+      .select($"n_draws").as[Long].collect()
+    assert(draws.sum === 10L && draws.forall(_ === 5L), draws.toSeq)
+  }
 }

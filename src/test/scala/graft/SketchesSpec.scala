@@ -294,4 +294,29 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .map { case (_, i, e) => i -> e }.toMap
     assert(est("aa") === 3L && est("bb") === 3L && est("zz") === 1L)
   }
+
+  test("cmsEstimateCol: a grid built at another width (or corrupted) " +
+      "fails loudly instead of under-counting") {
+    // width mismatch: columns from a width-64 build probed at width 4
+    // would miss every cell and read 0 — the upper-bound guarantee
+    // silently inverted; the require rejects it
+    val wide = Seq((0, 37, 5L), (1, 61, 5L))
+    intercept[IllegalArgumentException] {
+      Sketches.cmsEstimateCol(wide, lit("aa"), depth = 2, width = 4)
+    }
+    // negative counters are corrupted state, not a valid sketch
+    intercept[IllegalArgumentException] {
+      Sketches.cmsEstimateCol(Seq((0, 1, -3L)), lit("aa"),
+        depth = 2, width = 4)
+    }
+    // an in-range grid at the matching width still reads exactly
+    val df = cmsItems("g", "aa" -> 6)
+    val grid = Sketches.cmsSketch(df, "item", Seq("g"), depth = 4, width = 64)
+      .select(col("r"), col("c"), col("cnt"))
+      .as[(Int, Int, Long)].collect().toSeq
+    val est = df.limit(1)
+      .select(Sketches.cmsEstimateCol(grid, col("item")).as("est"))
+      .as[Long].collect().head
+    assert(est === 6L)
+  }
 }
