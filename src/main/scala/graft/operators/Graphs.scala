@@ -80,4 +80,56 @@ object Graphs {
     }
     p
   }
+
+  /** TRIANGLE counting per pivot node — the clustering-coefficient /
+    * community-density primitive, in the degree-ordered-orientation
+    * shape every distributed implementation uses (Cohen 2009,
+    * "Graph Twiddling in a MapReduce World"; Suri & Vassilvitskii
+    * 2011): orient each undirected edge from its (degree, id)-smaller
+    * endpoint to the larger, enumerate wedges only at each edge's
+    * SMALLEST vertex, and close them against the oriented edge set.
+    * Every triangle is counted exactly once — at its ≺-minimal vertex
+    * — and the per-node wedge fan-out is bounded by O(√m) regardless
+    * of raw degree: a viral hub with degree 10⁶ generates NO wedges
+    * at itself (all its edges point INTO it), which is the difference
+    * between this plan and a quadratic blowup at 100 TB. Returns
+    * (node, n_tri) for pivot nodes of ≥ 1 triangle.
+    *
+    * Shape: one distinct + one degree agg + three equi-joins (wedge
+    * join on the pivot key, closing join on the oriented pair) + one
+    * count — no cartesian, no window, AQE free to broadcast the
+    * degree side. Input edges may be directed/duplicated/looped; they
+    * are canonicalized first.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // orient by the total order ≺ = (degree, id): s ≺ t
+    val ori = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val o1 = ori.select(col("s"), col("t").as("a"), col("dt").as("da"))
+    val o2 = ori.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val wedges = o1.join(o2,
+      o1("s") === o2("s") &&
+        (col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))))
+      .select(o1("s").as("s"), col("a"), col("b"))
+    wedges
+      .join(ori.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
+      .groupBy(col("s").as("node")).agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -3639,11 +3639,100 @@ object LlmQueries extends QuerySet {
       ORDER BY d.doc_id
     """))
 
+  /** MEDIA corpus card — the multimodal twin of q143's text datasheet
+    * (the documentation artifact a media-corpus release ships): per
+    * MODALITY, item/byte volume, exact-duplicate payload fraction
+    * (whole-payload digest — the media rung below
+    * [[graft.operators.Multimodal.mediaCdcDupStats]]' shifted-byte
+    * detector), and decoded-dimension totals from the per-partition
+    * decoder ([[graft.operators.Multimodal.extractFeatures]] — one
+    * decoder per partition, the real mapInPandas-shaped plumbing).
+    * The media table derives deterministically from `documents`
+    * (bytes = UTF-8 text, modality = doc_id mod 3, a dup slice
+    * unioned in like q143), so DuckDB replays the
+    * [[graft.operators.Multimodal.FakeDecoder]] hash fold
+    * character-by-character (ASCII corpus: unicode() IS the byte) and
+    * the card is hash-exact — decode plumbing under the oracle, not
+    * just spec'd. All integer sums; fraction micro-floored by DIV.
+    * Scale shape: one narrow decode projection + one digest groupBy +
+    * one per-modality agg — no corpus shuffle beyond the digest count.
+    */
+  private lazy val q148 = Q(
+    "q148_media_card",
+    (s, dir) => {
+      val raw = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val d = raw.select(col("doc_id"), col("text"))
+        .unionAll(raw.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val media = d.select(
+        format_string("m%07d", col("doc_id")).as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3).cast("int") + 1).as("modality"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        map(lit("src"), lit("documents")).as("meta"))
+      val feats = Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("modality"), col("bytes"),
+          col("width"), col("height"),
+          coalesce(col("n_frames"), lit(0)).as("frames"),
+          md5(col("bytes")).as("__dg"))
+      val dupFlags = feats
+        .join(feats.groupBy("modality", "__dg")
+          .agg(count(lit(1)).as("__dn")), Seq("modality", "__dg"))
+      dupFlags.groupBy("modality")
+        .agg(count(lit(1)).as("n_items"),
+          sum(length(col("bytes"))).as("n_bytes"),
+          sum(when(col("__dn") > 1, 1L).otherwise(0L)).as("n_dup"),
+          sum(col("width").cast("long")).as("sum_width"),
+          sum(col("height").cast("long")).as("sum_height"),
+          sum(col("frames").cast("long")).as("sum_frames"))
+        .withColumn("dup_micro", expr("n_dup * 1000000 DIV n_items"))
+        .select("modality", "n_items", "n_bytes", "n_dup", "dup_micro",
+          "sum_width", "sum_height", "sum_frames")
+        .orderBy("modality")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0),
+      m AS (SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             text,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(range(1, strlen(text) + 1),
+                 i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS h
+           FROM d),
+      feat AS (SELECT doc_id, modality, text,
+               16 + h % 1024 AS w,
+               16 + (h // 1024) % 1024 AS hgt,
+               CASE WHEN modality = 'video' THEN 1 + h % 32 ELSE 0 END AS frames
+             FROM m),
+      dg AS (SELECT modality, md5(text) AS g, count(*) AS c
+             FROM feat GROUP BY 1, 2),
+      fl AS (SELECT f.modality, f.text, f.w, f.hgt, f.frames,
+               (dg.c > 1) AS dup
+             FROM feat f JOIN dg
+               ON dg.modality = f.modality AND dg.g = md5(f.text))
+      SELECT modality,
+        count(*) AS n_items,
+        CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000 // count(*) AS dup_micro,
+        CAST(sum(w) AS BIGINT) AS sum_width,
+        CAST(sum(hgt) AS BIGINT) AS sum_height,
+        CAST(sum(frames) AS BIGINT) AS sum_frames
+      FROM fl GROUP BY modality ORDER BY modality
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140, q141, q142, q143, q146, q147)
+      q140, q141, q142, q143, q146, q147, q148)
 }

@@ -61,4 +61,29 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(cut === pure)
   }
+
+  test("triangles: K4 has 4, each counted once at its ≺-min pivot; " +
+      "squares have none; dirty edges canonicalize") {
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles. All degrees equal (3), so
+    // ≺ falls back to id — pivots are the two smallest vertices of
+    // each triangle's id-min: {1,2,3}→1, {1,2,4}→1, {1,3,4}→1,
+    // {2,3,4}→2
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    // dirty input: duplicates, reversed copies, a self-loop
+    val edges = (k4 ++ k4.map(_.swap) ++ Seq((3L, 3L), (1L, 2L)))
+      .toDF("src", "dst")
+    val tri = Graphs.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(tri === Map(1L -> 3L, 2L -> 1L), tri)
+    assert(tri.values.sum === 4L)
+    // a 4-cycle (square) is triangle-free
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graphs.triangleCounts(sq).count() === 0L)
+    // a star (viral hub) is triangle-free AND generates zero wedges at
+    // the hub: all oriented edges point INTO the high-degree center
+    val star = (1L to 20L).map(i => (100L, i)).toDF("src", "dst")
+    assert(Graphs.triangleCounts(star).count() === 0L)
+  }
 }

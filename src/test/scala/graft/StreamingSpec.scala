@@ -695,4 +695,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     batches.foreach(p => assert(p.stateOperators.isEmpty,
       s"cms novelty probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
   }
+
+  test("streaming mg hot-token probe: stateless, hand-checked, " +
+      "stream ≡ batch") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    // corpus state: MG summary at capacity 2 over a 3-item stream —
+    // 'aa' (10) and 'bb' (5) survive minus the boundary count 1
+    val corpus = (Seq.fill(10)("aa") ++ Seq.fill(5)("bb") ++ Seq("cc"))
+      .toDF("item")
+    val summary = Sketches.heavyHitters(corpus, "item", Seq.empty, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(summary.toSet === Set(("aa", 9L), ("bb", 4L)), summary)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val docs = Seq(
+      Doc(t0, 1L, "aa aa bb zz"),   // 3 of 4 occurrences hot
+      Doc(t0, 2L, "cc zz"),         // cc was cut — guaranteed-hot only
+      Doc(t0, 3L, ""))              // empty → 0/0
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(docs)
+    val q = DocStreams.mgHotStream(mem.toDF(), summary)
+      .writeStream.format("memory").queryName("graft_mg_hot_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("graft_mg_hot_test")
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4, 3L, 750000L)), out)
+    assert(out(2L) === ((2L, 2, 0L, 0L)), out)
+    assert(out(3L) === ((3L, 0, 0L, 0L)), out)
+    // stream ≡ batch: the same function over a batch frame (q147's path)
+    val batch = DocStreams.mgHotStream(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), summary)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(batch === out)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.nonEmpty, "no progress recorded — nothing was asserted")
+    batches.foreach(p => assert(p.stateOperators.isEmpty,
+      s"mg hot probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
+  }
 }
