@@ -333,6 +333,72 @@ object Sampling {
         sum(col("cnt") * col("llr_micro")).as("logw_micro"))
   }
 
+  /** EPOCH-CAPPED token-budget WATERFILL — the mixing-layer allocation
+    * problem upstream of [[temperatureMix]]'s draw: given per-source
+    * token counts n_i and per-source REPEAT CAPS c_i (max epochs, micro
+    * fixed-point — data quality decides how often a source may be
+    * re-seen before it hurts), spend a total budget B by raising one
+    * common water level t (epochs) until Σ n_i·min(t, c_i) meets B:
+    * every source repeats at the same rate until its own cap stops it.
+    * This is the standard repeat-capped allocation a pretraining mix
+    * computes before any sampling happens.
+    *
+    * The level is found EXACTLY in one window pass over the strata
+    * sorted by cap: with cappedBefore_j = Σ_{c_i < seg} c_i·n_i
+    * (decimal-exact — the product overflows int64 at real token
+    * volumes) and remTok_j = Σ_{i≥j} n_i, the segment candidate is
+    * t_j = (B·10⁶ − cappedBefore_j) DIV remTok_j (exact integral
+    * divide), valid iff c_{j-1} ≤ t_j < c_j; if no segment holds, the
+    * budget covers every cap and t = max c_i. All integer/decimal
+    * arithmetic — bit-deterministic, engine-replayable. Returns
+    * (stratum, n_tokens, cap_micro, epochs_micro = min(t, c_i),
+    * alloc_tokens = n_i·epochs_micro DIV 10⁶); Σ alloc ≤ B, short of
+    * it by at most remTok (the level's integer floor) + one DIV floor
+    * per stratum. Non-positive token counts or caps can receive no
+    * allocation and are dropped.
+    *
+    * Shape: the strata frame is parameter-small (sources, not rows),
+    * so the single-partition window and the broadcast of the 1-row
+    * level are driver-small by PARAMETER — the kmeans-centroid rule.
+    */
+  def epochWaterfill(
+      strata: DataFrame, stratumCol: String, tokensCol: String,
+      capMicroCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0L, s"budget must be >= 0, got $budgetTokens")
+    require(budgetTokens <= Long.MaxValue / 1000000L,
+      "budgetTokens * 1e6 must fit int64 — pass coarser token units")
+    val w = Window.orderBy(col("__c").asc, col(stratumCol).asc)
+    val bMicro = java.math.BigDecimal.valueOf(budgetTokens)
+      .multiply(java.math.BigDecimal.valueOf(1000000L))
+    val base = strata.select(col(stratumCol),
+        col(tokensCol).cast("long").as("__n"),
+        col(capMicroCol).cast("long").as("__c"))
+      .filter(col("__n") > 0L && col("__c") > 0L)
+    val cand = base
+      .withColumn("__cm", col("__c").cast("decimal(38,0)") * col("__n"))
+      .withColumn("__cappedBefore", coalesce(
+        sum(col("__cm")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("__remTok", sum(col("__n")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__t",
+        expr(s"CAST((CAST('$bMicro' AS DECIMAL(38,0)) - __cappedBefore)" +
+          " DIV __remTok AS BIGINT)"))
+      .withColumn("__lo", coalesce(lag(col("__c"), 1).over(w), lit(0L)))
+      .withColumn("__ok",
+        col("__lo") <= col("__t") && col("__t") < col("__c"))
+    val lvl = cand.agg(
+        min(when(col("__ok"), col("__t"))).as("__tv"),
+        max(col("__c")).as("__cmax"))
+      .select(coalesce(col("__tv"), col("__cmax")).as("__lvl"))
+    base.crossJoin(broadcast(lvl))
+      .select(col(stratumCol),
+        col("__n").as("n_tokens"), col("__c").as("cap_micro"),
+        least(col("__c"), col("__lvl")).as("epochs_micro"),
+        expr("CAST(CAST(__n AS DECIMAL(38,0))" +
+          " * least(__c, __lvl) DIV 1000000 AS BIGINT)").as("alloc_tokens"))
+  }
+
   /** Per-stratum SYSTEMATIC PPS sampling (probability proportional to
     * size, Madow 1949) — the weighted draw the mixing layer needs when
     * items differ in cost (tokens, bytes) and inclusion probability

@@ -3728,11 +3728,66 @@ object LlmQueries extends QuerySet {
       FROM fl GROUP BY modality ORDER BY modality
     """))
 
+  /** EPOCH-CAPPED budget waterfill
+    * ([[graft.operators.Sampling.epochWaterfill]]) — the allocation
+    * step upstream of the q89/q97 temperature draws: per-source token
+    * counts, per-source repeat caps (1–3 epochs cycling by source
+    * index — quality decides how often a source may be re-seen), and
+    * a budget of 1.8× the corpus, solved for the one common water
+    * level t where Σ n_i·min(t, c_i) meets the budget. Low-cap
+    * sources pin at their cap; the rest all repeat at exactly t.
+    * Everything integer/decimal-exact (level found by exact integral
+    * division over decimal prefix sums — int64 would wrap at real
+    * token volumes), so DuckDB replays the segment search and the
+    * floored allocations bit-for-bit via HUGEINT.
+    */
+  private lazy val q150 = Q(
+    "q150_budget_waterfill",
+    (s, dir) => {
+      val tc = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .withColumn("cap_micro",
+          lit(1000000L) +
+            expr("CAST(substr(source, 4) AS INT) % 5") * lit(500000L))
+      val total = tc.agg(sum("n_tokens")).collect()(0).getLong(0)
+      graft.operators.Sampling
+        .epochWaterfill(tc, "source", "n_tokens", "cap_micro",
+          total * 9L / 5L)
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH tc AS (SELECT source,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+               AS BIGINT) AS n,
+             1000000 + (CAST(substr(source, 4) AS INT) % 5) * 500000 AS c
+           FROM documents GROUP BY source),
+      b AS (SELECT CAST(sum(n) AS BIGINT) * 9 // 5 AS bt FROM tc),
+      o AS (SELECT tc.*,
+             coalesce(sum(CAST(c AS HUGEINT) * n) OVER (ORDER BY c, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             sum(n) OVER (ORDER BY c, source
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem,
+             coalesce(lag(c) OVER (ORDER BY c, source), 0) AS lo
+           FROM tc),
+      cand AS (SELECT o.*,
+               CAST((CAST(b.bt AS HUGEINT) * 1000000 - cb) // rem AS BIGINT) AS t
+             FROM o, b),
+      lvl AS (SELECT coalesce(min(CASE WHEN lo <= t AND t < c THEN t END),
+               max(c)) AS lv FROM cand)
+      SELECT tc.source, tc.n AS n_tokens, CAST(tc.c AS BIGINT) AS cap_micro,
+        CAST(least(tc.c, lvl.lv) AS BIGINT) AS epochs_micro,
+        CAST(CAST(tc.n AS HUGEINT) * least(tc.c, lvl.lv) // 1000000
+          AS BIGINT) AS alloc_tokens
+      FROM tc, lvl ORDER BY source
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140, q141, q142, q143, q146, q147, q148)
+      q140, q141, q142, q143, q146, q147, q148, q150)
 }

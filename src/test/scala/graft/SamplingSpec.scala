@@ -315,6 +315,39 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSet === out2.toSet)
   }
 
+  test("epochWaterfill: hand-computed level per segment, exact-budget hit, " +
+      "all-capped overflow case, degenerate rows dropped") {
+    import spark.implicits._
+    // A: 100 tok cap 3.0; B: 200 tok cap 1.0; C: 700 tok cap 2.0
+    // (plus a zero-token and a zero-cap row that can't be allocated)
+    val strata = Seq(
+      ("A", 100L, 3000000L), ("B", 200L, 1000000L), ("C", 700L, 2000000L),
+      ("Z0", 0L, 2000000L), ("Zc", 50L, 0L)).toDF("src", "n", "c")
+    def run(b: Long) = Sampling
+      .epochWaterfill(strata, "src", "n", "c", b)
+      .select($"src", $"epochs_micro", $"alloc_tokens")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // budget 1000 = exactly one epoch of everything: level t = 1.0
+    // lands on B's cap boundary (valid in the SECOND segment: B capped,
+    // remTok = 800, t = (1e9 - 2e8)/800 = 1e6)
+    val r1000 = run(1000L)
+    assert(r1000 === Map("A" -> ((1000000L, 100L)),
+      "B" -> ((1000000L, 200L)), "C" -> ((1000000L, 700L))), r1000)
+    // budget 1500: t = (1.5e9 - 2e8)/800 = 1 625 000 — B pinned at its
+    // cap, A and C repeat at 1.625 epochs; floors make Σ = 1499 ≤ 1500
+    val r1500 = run(1500L)
+    assert(r1500 === Map("A" -> ((1625000L, 162L)),
+      "B" -> ((1000000L, 200L)), "C" -> ((1625000L, 1137L))), r1500)
+    assert(r1500.values.map(_._2).sum === 1499L)
+    // budget 5000 exceeds every cap (max spend 1900): everything pins
+    val r5000 = run(5000L)
+    assert(r5000 === Map("A" -> ((3000000L, 300L)),
+      "B" -> ((1000000L, 200L)), "C" -> ((2000000L, 1400L))), r5000)
+    // zero budget: level 0, zero allocations
+    assert(run(0L).values.forall(_ === ((0L, 0L))))
+  }
+
   test("ppsSystematic: stratum mass past the int64 product bound RAISES " +
       "instead of wrapping") {
     import spark.implicits._
