@@ -485,6 +485,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: each input ranking contributes
+    * 1/(kConst + rank) per (query, candidate), summed across rankings,
+    * re-ranked by the fused score. Rank positions, not raw scores, so
+    * incommensurable rankers (BM25 micros vs cosine vs ADC distances)
+    * fuse without calibration — the reason every BM25 + dense-vector
+    * hybrid stack ships exactly this. Scores in MICRO fixed point
+    * (1e6 DIV (kConst + rnk)): integer sums are order-free, so the
+    * fusion is bit-deterministic and engine-replayable.
+    *
+    * Each ranking frame carries (qid, id, rnk); a candidate absent
+    * from a ranking contributes 0 (the standard convention). Ties in
+    * the fused score break by id. Shape: one union of the (already
+    * top-k-bounded) rankings, one partial-aggregated groupBy
+    * (qid, id), one per-qid window that compiles to WindowGroupLimit
+    * — the inputs are k·|rankings| rows per query, never the corpus,
+    * so fusion cost is independent of corpus size by construction.
+    */
+  def rrfFuse(rankings: Seq[org.apache.spark.sql.DataFrame],
+      kConst: Int = 60, topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kConst >= 1, s"kConst must be >= 1, got $kConst")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val scored = rankings.map(_.select(col("qid"), col("id"),
+        expr(s"1000000 DIV ($kConst + rnk)").as("__s")))
+      .reduce(_ unionAll _)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf_micro").desc, col("id").asc)
+    scored.groupBy("qid", "id").agg(sum(col("__s")).as("rrf_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+  }
+
   // ---- PII scrubbing ---------------------------------------------------
   // Patterns stay in the RE2 ∩ java.util.regex dialect (no lookaround, no
   // backrefs) so the DuckDB oracle applies the byte-identical regex.

@@ -1941,11 +1941,10 @@ object LlmQueries extends QuerySet {
            / (c.tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * c.dl / s.avgdl))
            * 1000000.0) AS BIGINT)"""
 
-  /** Shared by q87 (direct) and q92 (indexed) — the two paths are
-    * score-identical by construction, so they answer to ONE oracle.
+  /** The bm25 scoring CTE chain (ends at `sc`: (id, score_micro)) —
+    * shared by the q87/q92 oracle and q151's sparse fusion arm.
     */
-  private lazy val bm25OracleSql = s"""
-      WITH d AS (SELECT doc_id AS id,
+  private lazy val bm25CoreCtes = s"""d AS (SELECT doc_id AS id,
                CASE WHEN length(trim(lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')))) = 0
                     THEN []::VARCHAR[]
                     ELSE string_split_regex(trim(lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'))), '\\s+')
@@ -1964,7 +1963,13 @@ object LlmQueries extends QuerySet {
                count(*) FILTER (WHERE tf2 > 0) AS df2 FROM cand),
       sc AS (SELECT c.id,
                ${bm25TermSql(0)} + ${bm25TermSql(1)} + ${bm25TermSql(2)} AS score_micro
-             FROM cand c CROSS JOIN stats s CROSS JOIN f)
+             FROM cand c CROSS JOIN stats s CROSS JOIN f)"""
+
+  /** Shared by q87 (direct) and q92 (indexed) — the two paths are
+    * score-identical by construction, so they answer to ONE oracle.
+    */
+  private lazy val bm25OracleSql = s"""
+      WITH $bm25CoreCtes
       SELECT id, score_micro FROM sc
       ORDER BY score_micro DESC, id ASC LIMIT 10
     """
@@ -3783,11 +3788,69 @@ object LlmQueries extends QuerySet {
       FROM tc, lvl ORDER BY source
     """))
 
+  /** HYBRID retrieval by RECIPROCAL-RANK FUSION
+    * ([[graft.operators.TextAnalysis.rrfFuse]], Cormack et al. 2009) —
+    * the combiner every BM25 + dense-vector stack ships: the sparse
+    * arm is q87's BM25 top-20 (rank by micro score, ties by id), the
+    * dense arm a brute-force cosine top-20 over the embedding table,
+    * fused as Σ 10⁶ DIV (60 + rank) per candidate and re-ranked. Rank
+    * positions, not raw scores, so the incommensurable scales need no
+    * calibration; integer fused scores make the gate hash-exact.
+    * DuckDB replays BOTH arms (the shared bm25 CTE chain + the q40
+    * cosine chain) and the fusion arithmetic. Fusion cost is bounded
+    * by k·|rankers| rows per query — independent of corpus size.
+    */
+  private lazy val q151 = Q(
+    "q151_rrf_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = TextAnalysis.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "join", "window"), k = 20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("id").asc)))
+        .select(lit(0).as("qid"), col("id"), col("rnk"))
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val dense = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 20)
+        .select(lit(0).as("qid"), col("cand_id").as("id"), col("rnk"))
+      TextAnalysis.rrfFuse(Seq(sparse, dense), kConst = 60, topK = 10)
+        .orderBy("rnk")
+    },
+    Some(s"""
+      WITH $bm25CoreCtes,
+      sp AS (SELECT id, rnk FROM (
+               SELECT id, row_number() OVER (
+                 ORDER BY score_micro DESC, id) AS rnk FROM sc) x
+             WHERE rnk <= 20),
+      e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+      pr AS (SELECT c.vec_id AS id,
+               ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")})
+                 * sqrt(${dotSql("p.v", "p.v")})) AS cosine
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id = 0) p
+             WHERE c.vec_id <> p.vec_id),
+      de AS (SELECT id, rnk FROM (
+               SELECT id, row_number() OVER (
+                 ORDER BY cosine DESC, id) AS rnk FROM pr) x
+             WHERE rnk <= 20),
+      u AS (SELECT id, 1000000 // (60 + rnk) AS s FROM sp
+            UNION ALL SELECT id, 1000000 // (60 + rnk) FROM de),
+      f2 AS (SELECT id, CAST(sum(s) AS BIGINT) AS rrf_micro
+             FROM u GROUP BY id),
+      r AS (SELECT CAST(0 AS INT) AS qid, id, rrf_micro,
+             row_number() OVER (ORDER BY rrf_micro DESC, id) AS rnk
+           FROM f2)
+      SELECT qid, id, rrf_micro, rnk FROM r WHERE rnk <= 10 ORDER BY rnk
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140, q141, q142, q143, q146, q147, q148, q150)
+      q140, q141, q142, q143, q146, q147, q148, q150, q151)
 }

@@ -405,4 +405,29 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .select("n_words", "top_word_micro").as[(Long, Long)].head()
     assert(m === ((32L, 875000L)))  // 28/32 = 0.875
   }
+
+  test("rrfFuse: hand-computed fusion, per-query isolation, absent-" +
+      "candidate convention, id tiebreak") {
+    // query 1: ranker A ranks (10, 11, 12); ranker B ranks (11, 10);
+    // doc 12 appears ONLY in A (absent = contributes 0 from B).
+    // kConst = 60 → scores: 10: 1e6/61 + 1e6/62 = 16393 + 16129 = 32522
+    //                        11: 1e6/62 + 1e6/61 = 32522 (exact TIE → id)
+    //                        12: 1e6/63 = 15873
+    // query 2 must not leak into query 1's window.
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 99L, 1))
+      .toDF("qid", "id", "rnk")
+    val b = Seq((1L, 11L, 1), (1L, 10L, 2), (2L, 98L, 1))
+      .toDF("qid", "id", "rnk")
+    val out = graft.operators.TextAnalysis
+      .rrfFuse(Seq(a, b), kConst = 60, topK = 2)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
+    assert(out((1L, 1)) === ((10L, 32522L)), out)  // tie broken by id
+    assert(out((1L, 2)) === ((11L, 32522L)), out)
+    // query 2: 98 and 99 both hold rank 1 in their one ranking — an
+    // exact cross-ranker tie, broken by id
+    assert(out((2L, 1)) === ((98L, 16393L)), out)
+    assert(out((2L, 2)) === ((99L, 16393L)), out)
+    assert(out.size === 4)  // topK = 2 cut doc 12
+  }
 }
