@@ -82,6 +82,46 @@ object Layout {
         min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
   }
 
+  /** The EQUAL-ROW-COUNT variant of [[zorderStats]] — the production
+    * landing shape when file-size uniformity matters more than
+    * replayable assignment: same Morton curve, but file boundaries
+    * come from `repartitionByRange`'s reservoir sample over the
+    * z-value instead of fixed-width cells, so a skewed dimension
+    * can't crowd one cell (each output partition ≈ |df| / nFiles rows,
+    * and `.write` after this repartition lands exactly one file per
+    * range). Returns the per-file audit stats (file_id = the range
+    * partition id): row count, z range, min/max of both dimensions.
+    * Files are Z-CONTIGUOUS — their z ranges never overlap
+    * (spec-pinned), so both dimensions stay bounded per file and a
+    * data-skipping reader prunes on either.
+    *
+    * Determinism story, spec-pinned: the range sampler's seed derives
+    * from the input partition index, so the SAME input (data AND
+    * partitioning) yields the SAME boundaries run over run — the
+    * layout is reproducible for a fixed landing. It is NOT invariant
+    * under input repartitioning (a different partitioning resamples
+    * different rows), which is why the fixed-width [[zorderStats]]
+    * remains the engine-replayable oracle path and THIS is the
+    * spec-gated production path — the trade documented at
+    * [[zorderStats]].
+    *
+    * Shape: one narrow z projection, one range exchange (the write's
+    * own repartition — the stats agg adds only an nFiles-row
+    * exchange on top of per-partition partial aggregation).
+    */
+  def zorderEqualRowStats(
+      df: DataFrame, xCol: String, yCol: String, nFiles: Int): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    df.withColumn("__z", zValue2(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("__z"))
+      .withColumn("file_id", spark_partition_id())
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__z")).as("min_z"), max(col("__z")).as("max_z"),
+        min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+  }
+
   /** How much a one-dimension predicate could SKIP under this layout:
     * the fraction (in micro) of files whose [min, max] range on
     * `dimCol` ("x" or "y") misses the probe interval entirely. The

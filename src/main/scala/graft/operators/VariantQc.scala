@@ -390,6 +390,78 @@ object VariantQc {
     (df, evs)
   }
 
+  /** Project NEW samples onto an EXISTING cohort's PC axes — the
+    * EIGENSTRAT `lsqproject` / "project onto the 1000G PCs" step every
+    * association pipeline runs when fresh samples arrive and the
+    * ancestry axes must NOT move (re-running [[genotypePca]] on the
+    * union would let the new samples bend the axes toward themselves —
+    * the projection-bias direction Patterson et al. warn about; here
+    * the reference axes are frozen). Allele frequencies come from the
+    * REFERENCE cohort only, sites restricted to reference-polymorphic
+    * ones, so a new sample is scored against the reference's
+    * standardization exactly. Coordinates via the spectral identity
+    * x_c = Σᵢ K(x,i)·p_i(c) / λ_c with K the cross-relationship row
+    * computed by the [[grmPairs]] kernel (same min-dosage resolution,
+    * same micro-floored per-site terms): a reference sample re-entered
+    * as "new" recovers its own coordinate exactly (KU = λU —
+    * spec-pinned). Components with λ_c ≈ 0 carry no variance and
+    * project to 0 rather than dividing by noise.
+    *
+    * Scale shape: reference PCA as [[genotypePca]]; the new-side cost
+    * is one site-keyed equi-join of new dosages × reference dosages ×
+    * the frequency frame (all hash on the site key) + one pair agg +
+    * one broadcast join against the S·k PC rows — new samples never
+    * shuffle against each other, so arrival batches scale linearly.
+    */
+  def projectOntoPcs(
+      refAnn: DataFrame, newAnn: DataFrame, k: Int,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    val (pcsDf, evs) = genotypePca(refAnn, k, sampleCol)
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    def dosage(ann: DataFrame) = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select(siteKey.map(col) ++ Seq(
+        col(sampleCol).as("__s"),
+        (col("gt1").cast("long") + col("gt2").cast("long")).as("__d")): _*)
+      .groupBy((siteKey.map(col) :+ col("__s")): _*)
+      .agg(min(col("__d")).as("__d"))
+    val gRef = dosage(refAnn)
+    val freq = gRef
+      .groupBy(siteKey.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__b"))
+      .withColumn("__a", lit(2L) * col("__n") - col("__b"))
+      .filter(col("__a") > 0L && col("__b") > 0L)
+    val za = col("__n") * col("d_a") - col("__b")
+    val zb = col("__n") * col("d_b") - col("__b")
+    val termMicro = floor(
+      (lit(2L) * za * zb).cast("double") / (col("__a") * col("__b")).cast("double")
+        * lit(1000000.0)).cast("long")
+    val pairSum = sum(termMicro)
+    val cross = dosage(newAnn)
+      .select(siteKey.map(col) ++ Seq(
+        col("__s").as("sample_new"), col("__d").as("d_a")): _*)
+      .join(gRef.select(siteKey.map(col) ++ Seq(
+        col("__s").as("sample_ref"), col("__d").as("d_b")): _*), siteKey)
+      .join(freq, siteKey)
+      .groupBy("sample_new", "sample_ref")
+      .agg(floor(pairSum.cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("grm_micro"))
+    val refPcs = pcsDf.select(col(sampleCol).as("sample_ref"),
+      posexplode(col("pcs")).as(Seq("c", "p")))
+    val evSafe = evs.map(ev => if (ev > 1e-9) ev else 0.0)
+    cross.join(broadcast(refPcs), "sample_ref")
+      .groupBy(col("sample_new"), col("c"))
+      .agg(sum(col("grm_micro").cast("double") / 1e6 * col("p")).as("__kp"))
+      .withColumn("__ev", element_at(typedLit(evSafe), col("c") + 1))
+      .withColumn("__x",
+        when(col("__ev") > 0.0, col("__kp") / col("__ev")).otherwise(lit(0.0)))
+      .groupBy(col("sample_new").as(sampleCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("c"), col("__x")))),
+        s => s.getField("__x")).as("pcs"))
+  }
+
   /** Per-site HUDSON F_ST numerator/denominator between two sample
     * cohorts (Hudson et al. 1992 as formulated in Bhatia et al. 2013,
     * Genome Res 23:1514 — the estimator they recommend over

@@ -1687,6 +1687,33 @@ object VcfQueries extends QuerySet {
     },
     None)
 
+  /** PC PROJECTION of held-out samples
+    * ([[graft.operators.VariantQc.projectOntoPcs]] — the EIGENSTRAT
+    * "project onto reference PCs" step; axes frozen on the g1–g3
+    * reference, g4 arrives as the new sample and is scored against the
+    * REFERENCE's allele frequencies). Rows-only like q123 (driver
+    * eigen is not portably SQL-expressible); the real verification is
+    * the spec's exact-recovery spectral identity. This entry drives
+    * annotate → reference PCA → cross-GRM → projection end to end at
+    * both SFs.
+    */
+  private val q152 = Q(
+    "q152_pca_project",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc
+        .projectOntoPcs(
+          ann.filter(col("sample_id") =!= "g4"),
+          ann.filter(col("sample_id") === "g4"), k = 2)
+        .select(col("sample_id"),
+          micro(element_at(col("pcs"), 1)).as("pc1_micro"),
+          micro(element_at(col("pcs"), 2)).as("pc2_micro"))
+        .orderBy("sample_id")
+    },
+    None)
+
   /** Composite SITE-QC gate ([[graft.operators.VariantQc.siteQcGate]]
     * — call rate, MAF, HWE, each flagged, conjunction `keep`; the
     * genomics twin of q120's Gopher gate): all-integer rule
@@ -1919,5 +1946,5 @@ object VcfQueries extends QuerySet {
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
-      q119, q123, q124, q125, q127, q132, q138)
+      q119, q123, q124, q125, q127, q132, q138, q152)
 }

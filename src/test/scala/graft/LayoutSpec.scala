@@ -74,6 +74,37 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       ((0L, 0L, 0L)))
   }
 
+  test("zorderEqualRowStats: balanced z-contiguous files, bounded both " +
+      "dims, reproducible boundaries on a fixed landing") {
+    // SKEWED input — 80% of rows crowd x ∈ [0, 8): fixed-width cells
+    // would pile those into a handful of files; range boundaries adapt
+    val skewed = spark.range(4096).select(
+      when(col("id") % 5 < 4, col("id") % 8)
+        .otherwise(col("id") % 64).as("x"),
+      (col("id") / 64).cast("long").as("y"))
+    val stats = Layout.zorderEqualRowStats(skewed, "x", "y", nFiles = 16)
+      .collect()
+    assert(stats.length === 16)
+    // balance: every file within 2× of the ideal 256 rows despite skew
+    stats.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      assert(n >= 128L && n <= 512L, s"file imbalance: $r")
+    }
+    // z-contiguity: file z-ranges never overlap → both dims bounded
+    val byZ = stats.sortBy(_.getAs[Long]("min_z"))
+    byZ.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_z") <= b.getAs[Long]("min_z"),
+          s"overlapping z ranges: $a / $b")
+      case _ =>
+    }
+    // reproducibility: the SAME landing (data + partitioning) samples
+    // the same boundaries — identical stats run over run
+    val again = Layout.zorderEqualRowStats(skewed, "x", "y", nFiles = 16)
+      .collect()
+    assert(stats.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
+
   test("zorderStats plan: one exchange, no sort, no window") {
     val plan = Layout.zorderStats(grid, "x", "y", zShift = 4)
       .queryExecution.executedPlan.toString.split("== Initial Plan ==").head

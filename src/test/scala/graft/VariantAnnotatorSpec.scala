@@ -400,6 +400,35 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(df2.as[(String, Seq[Double])].collect().toMap === pcs)
   }
 
+  test("projectOntoPcs: a reference sample re-entered recovers its own " +
+      "coordinate; new samples land on their population's side; " +
+      "zero-variance components project to 0") {
+    import spark.implicits._
+    // the q123 planted-population fixture: two populations, opposed
+    // genotypes, GRM rank 1 (λ1 = 8, λ2 = 0)
+    val ref = (1 to 10).flatMap { i =>
+      val (ga, gb) = if (i % 2 == 0) ("0", "1") else ("1", "0")
+      Seq("a1", "a2").map(s => ("1", i * 100L, "A", "T", s, 0, ga, ga)) ++
+        Seq("b1", "b2").map(s => ("1", i * 100L, "A", "T", s, 0, gb, gb))
+    }.toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+      "gt1", "gt2")
+    // new arrivals: n_a carries a1's exact genotypes, n_b carries b1's
+    val nw = ref.filter($"sample_id".isin("a1", "b1"))
+      .withColumn("sample_id",
+        when($"sample_id" === "a1", "n_a").otherwise("n_b"))
+    val (pcsDf, _) = graft.operators.VariantQc.genotypePca(ref, k = 2)
+    val refPcs = pcsDf.as[(String, Seq[Double])].collect().toMap
+    val proj = graft.operators.VariantQc.projectOntoPcs(ref, nw, k = 2)
+      .as[(String, Seq[Double])].collect().toMap
+    // spectral identity: K(n_a, ·) IS a1's matrix row → exact recovery
+    assert(math.abs(proj("n_a").head - refPcs("a1").head) < 1e-6, proj)
+    assert(math.abs(proj("n_b").head - refPcs("b1").head) < 1e-6, proj)
+    // opposite populations, frozen axes
+    assert(proj("n_a").head * proj("n_b").head < 0.0, proj)
+    // λ2 = 0: no variance to project onto — defined 0, not a divide
+    assert(proj("n_a")(1) === 0.0 && proj("n_b")(1) === 0.0, proj)
+  }
+
   test("fstByChrom: Hudson ratio-of-sums, hand-computed sites") {
     import spark.implicits._
     def r(pos: Long, s: String, g1: String, g2: String) =
