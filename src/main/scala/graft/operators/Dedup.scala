@@ -999,4 +999,51 @@ object Dedup {
         sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
       .withColumn("dup_micro", expr("n_dup_chunks * 1000000 div n_chunks"))
   }
+
+  /** Edit-distance-1 pairs over a VOCABULARY by DELETION hashing — the
+    * SymSpell decomposition (Garbe's symmetric-delete algorithm; same
+    * family as Norvig's spelling corrector, inverted): every item
+    * emits itself plus its |t| single-deletion variants as bucket
+    * keys, and any two items within ONE edit (insert, delete,
+    * substitute) provably share a key — a deletion of one IS the
+    * other (insert/delete), or both delete position i to the same
+    * string (substitute). The all-pairs O(V²) scan becomes a bucket
+    * equi-join; survivors are verified with EXACT levenshtein
+    * in-bucket, which kills the false candidates key-sharing admits
+    * (e.g. "ab"/"ba" share both deletions but sit at distance 2 —
+    * counterexample spec-planted). The typo-clustering primitive of
+    * vocabulary normalization: fold rare misspellings into their
+    * frequent neighbor before token statistics.
+    *
+    * Returns (item_a, item_b, n_a, n_b) with a < b and occurrence
+    * counts so the caller folds toward the frequent form. Items
+    * longer than `maxLen` are EXCLUDED (each item fans out to
+    * ≤ maxLen + 1 keys — the bound that keys the join input to
+    * O(V·maxLen), not O(corpus)); distance-1 neighbors of an excluded
+    * item are not reported, the documented trade.
+    *
+    * Shape: one vocab groupBy (partial-agg crushes the token stream
+    * map-side), one explode bounded by maxLen + 1 keys/item, one
+    * bucket equi-join on the deletion key + distinct — deletion
+    * buckets are tiny (items within 1 edit of one string), never a
+    * skew risk like shingle buckets; levenshtein runs only on
+    * deduped candidates.
+    */
+  def deletionNeighborPairs(
+      df: DataFrame, itemCol: String, maxLen: Int = 32): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val items = df.select(col(itemCol).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .filter(length(col("item")) >= 1 && length(col("item")) <= maxLen)
+    val keyed = items.select(col("item"), col("n"),
+      explode(expr("array_distinct(concat(array(item), " +
+        "transform(sequence(1, length(item)), i -> " +
+        "concat(substr(item, 1, i - 1), substr(item, i + 1)))))")).as("k"))
+    keyed.select(col("k"), col("item").as("item_a"), col("n").as("n_a"))
+      .join(keyed.select(col("k"), col("item").as("item_b"),
+        col("n").as("n_b")), Seq("k"))
+      .filter(col("item_a") < col("item_b"))
+      .select("item_a", "item_b", "n_a", "n_b").distinct()
+      .filter(levenshtein(col("item_a"), col("item_b")) === 1)
+  }
 }

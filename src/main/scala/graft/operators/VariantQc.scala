@@ -107,6 +107,39 @@ object VariantQc {
           * lit(1000000.0)).cast("long")))
   }
 
+  /** Windowed NUCLEOTIDE DIVERSITY π — `vcftools --window-pi`'s
+    * statistic, the population-genetics density signal (diversity dips
+    * flag selective sweeps, spikes flag balancing selection or mapping
+    * artifacts): per polymorphic biallelic site with b ALT alleles of
+    * c called, π = 2·b·(c−b)/(c·(c−1)) — the probability two randomly
+    * drawn alleles differ (the unbiased heterozygosity estimator) —
+    * micro-floored per site after ONE double division over exact int64
+    * products (the [[hweBySite]] determinism pattern), then summed
+    * EXACTLY per fixed window of `windowSize` bases. Monomorphic sites
+    * carry π = 0 and are excluded (vcftools' variant-sites
+    * convention); `n_sites` counts the polymorphic sites per window.
+    *
+    * Shape: the [[hweBySite]] count substrate (one partial-aggregated
+    * site groupBy, zero exchanges on a site-bucketed landing) + one
+    * (chrom, bin) partial agg — the bin is a prefix of the site key's
+    * order, so a range-partitioned landing keeps this exchange-free
+    * too.
+    */
+  def windowPi(ann: DataFrame, windowSize: Long = 1000L): DataFrame = {
+    require(windowSize >= 1L, s"windowSize must be >= 1, got $windowSize")
+    val b = col("n1") + lit(2L) * col("n2")
+    val c = lit(2L) * (col("n0") + col("n1") + col("n2"))
+    hweBySite(ann)
+      .withColumn("__b", b).withColumn("__c", c)
+      .filter(col("__b") > 0L && col("__b") < col("__c"))
+      .withColumn("__pi", floor(
+        (lit(2L) * col("__b") * (col("__c") - col("__b"))).cast("double")
+          / (col("__c") * (col("__c") - lit(1L))).cast("double")
+          * lit(1000000.0)).cast("long"))
+      .groupBy(col("chrom"), expr(s"pos DIV $windowSize").as("bin"))
+      .agg(count(lit(1)).as("n_sites"), sum(col("__pi")).as("pi_sum_micro"))
+  }
+
   /** Composite SITE-QC GATE — the standard pre-analysis variant filter
     * (every GWAS/burden pipeline's first step, the genomics twin of the
     * corpus-side Gopher gate): per biallelic site, call rate, minor

@@ -3846,11 +3846,62 @@ object LlmQueries extends QuerySet {
       SELECT qid, id, rrf_micro, rnk FROM r WHERE rnk <= 10 ORDER BY rnk
     """))
 
+  /** TYPO-NEIGHBOR vocabulary pairs by SymSpell deletion hashing
+    * ([[graft.operators.Dedup.deletionNeighborPairs]]): every vocab
+    * item emits its single-deletion variants as bucket keys, edit-
+    * distance-1 pairs provably share a key, exact levenshtein verifies
+    * in-bucket — O(V·maxLen) join input instead of the O(V²) scan.
+    * The vocabulary-normalization primitive (fold misspellings into
+    * their frequent neighbor before token statistics). The synthetic
+    * vocabulary has no natural distance-1 collisions, so a typo slice
+    * is PLANTED deterministically (docs with doc_id ≡ 0 mod 11
+    * re-emit their tokens with a trailing 'x') — the gate must find
+    * exactly the planted insertions plus any true neighbors, not
+    * vacuously agree on empty. DuckDB replays the corruption, the
+    * deletion-key generation, the bucket join, and its own
+    * levenshtein verify.
+    */
+  private lazy val q153 = Q(
+    "q153_typo_pairs",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(wsTokens(lower(col("text")))).as("tok"))
+      val toks = base.select("tok").unionAll(
+        base.filter(col("doc_id") % 11 === 0)
+          .select(concat(col("tok"), lit("x")).as("tok")))
+      Dedup.deletionNeighborPairs(toks, "tok")
+        .orderBy("item_a", "item_b")
+    },
+    Some(s"""
+      WITH b0 AS (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS item
+             FROM documents WHERE length(trim(text)) > 0),
+      tok AS (SELECT item FROM b0
+              UNION ALL
+              SELECT item || 'x' FROM b0 WHERE doc_id % 11 = 0),
+      it AS (SELECT item, count(*) AS n FROM tok
+             WHERE length(item) BETWEEN 1 AND 32 GROUP BY 1),
+      keys AS (SELECT item, n,
+               unnest(list_distinct(list_prepend(item,
+                 list_transform(range(1, length(item) + 1),
+                   i -> substr(item, 1, CAST(i AS INT) - 1)
+                     || substr(item, CAST(i AS INT) + 1))))) AS k
+             FROM it),
+      cand AS (SELECT DISTINCT a.item AS item_a, b.item AS item_b,
+               a.n AS n_a, b.n AS n_b
+             FROM keys a JOIN keys b ON a.k = b.k AND a.item < b.item)
+      SELECT item_a, item_b, n_a, n_b FROM cand
+      WHERE levenshtein(item_a, item_b) = 1
+      ORDER BY item_a, item_b
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140, q141, q142, q143, q146, q147, q148, q150, q151)
+      q140, q141, q142, q143, q146, q147, q148, q150, q151, q153)
 }

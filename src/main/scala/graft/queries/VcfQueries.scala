@@ -644,6 +644,46 @@ object VcfQueries extends QuerySet {
       FROM hw ORDER BY chrom, pos, ref, alt
     """))
 
+  /** Windowed NUCLEOTIDE DIVERSITY
+    * ([[graft.operators.VariantQc.windowPi]], the `vcftools
+    * --window-pi` statistic): per 1 kb window, the exact sum of
+    * micro-floored per-site π = 2·b·(c−b)/(c·(c−1)) over polymorphic
+    * biallelic sites — diversity dips flag sweeps, spikes flag
+    * artifacts. Composes the q105 count substrate; DuckDB replays the
+    * zygosity counts, the single-division per-site π, and the window
+    * sum bit-for-bit.
+    */
+  private val q154 = Q(
+    "q154_window_pi",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc.windowPi(ann, windowSize = 1000L)
+        .orderBy("chrom", "bin")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      hw AS (SELECT chrom, pos, ref, alt,
+               CAST(sum(CASE WHEN zygosity = 'hom-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN zygosity = 'het-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN zygosity = 'hom-alt' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             FROM ann
+             WHERE multiallele = 0 AND gt2 IS NOT NULL AND gt1 <> '.' AND gt2 <> '.'
+             GROUP BY 1, 2, 3, 4),
+      st AS (SELECT chrom, pos,
+               n1 + 2 * n2 AS b, 2 * (n0 + n1 + n2) AS c
+             FROM hw),
+      pi AS (SELECT chrom, pos,
+               CAST(floor(CAST(2 * b * (c - b) AS DOUBLE)
+                 / CAST(c * (c - 1) AS DOUBLE) * 1000000.0) AS BIGINT) AS p
+             FROM st WHERE b > 0 AND b < c)
+      SELECT chrom, pos // 1000 AS bin, count(*) AS n_sites,
+        CAST(sum(p) AS BIGINT) AS pi_sum_micro
+      FROM pi GROUP BY 1, 2 ORDER BY chrom, bin
+    """))
+
   /** Write-once sharded VCF corpus for the file-path gate (q63): the
     * synthetic wide frame emitted via [[graft.sources.VcfWriter]] under
     * a derivation-hashed /tmp dir — a changed derivation auto-
@@ -1946,5 +1986,5 @@ object VcfQueries extends QuerySet {
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
-      q119, q123, q124, q125, q127, q132, q138, q152)
+      q119, q123, q124, q125, q127, q132, q138, q152, q154)
 }

@@ -157,4 +157,21 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
       f"split correlates with the sampling gate: ${overlap * 100}%.0f%% overlap")
     assert(test.nonEmpty && sampled.nonEmpty)
   }
+
+  test("deletionNeighborPairs: exactly the edit-distance-1 pairs — " +
+      "insert/delete/substitute found, key-sharing distance-2 killed") {
+    // cat↔cart (insert), cat↔cut (substitute), cat↔ct / cut↔ct
+    // (delete); dog isolated; ab/ba share BOTH deletion keys yet sit
+    // at distance 2 — the verify step must kill them; cart↔cut at
+    // distance 2 share no key at all
+    val toks = Seq("cat", "cat", "cart", "cut", "ct", "dog", "ab", "ba")
+      .toDF("tok")
+    val pairs = Dedup.deletionNeighborPairs(toks, "tok")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(pairs === Set(
+      ("cart", "cat", 1L, 2L), ("cat", "ct", 2L, 1L),
+      ("cat", "cut", 2L, 1L), ("ct", "cut", 1L, 1L)), pairs)
+    // occurrence counts carried: "cat" appears twice
+    assert(pairs.find(_._1 == "cart").get._4 === 2L)
+  }
 }
