@@ -409,6 +409,43 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q149 triangles: orientation + wedge + closing are all equi-joins") {
+    val q = SparkEntry.queries("q149_triangles")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"degree-ordered triangle counting must never go all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"degree and triangle counts must partial-aggregate:\n$p")
+  }
+
+  test("q153 typo pairs: deletion-key bucket join, no all-pairs scan") {
+    val q = SparkEntry.queries("q153_typo_pairs")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"SymSpell candidates must come from the deletion-key equi-join:\n$p")
+    // the vocab groupBy crushes the token stream before key fan-out
+    assert(p.contains("partial_count"),
+      s"the vocabulary count must partial-aggregate map-side:\n$p")
+  }
+
+  test("q151 rrf fusion: bounded ranking inputs, fused window group-limits") {
+    val q = SparkEntry.queries("q151_rrf_fusion")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the dense arm's brute-force probe is crossJoin(broadcast(probes))
+    // — a BroadcastNestedLoopJoin with a BOUNDED probe side is that
+    // operator's documented shape (q40); what must never appear is an
+    // unbroadcast cartesian
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast all-pairs anywhere in the fusion plan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the fused top-k must pre-reduce per partition, not global-sort:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the sparse arm's top-20 must stay TakeOrderedAndProject:\n$p")
+  }
+
   test("q138 polygenic score: panel broadcasts, call stream never shuffles for the join") {
     val q = SparkEntry.queries("q138_polygenic_score")(spark, dir)
     q.collect()
