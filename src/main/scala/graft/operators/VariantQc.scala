@@ -445,12 +445,30 @@ object VariantQc {
     * the frequency frame (all hash on the site key) + one pair agg +
     * one broadcast join against the S·k PC rows — new samples never
     * shuffle against each other, so arrival batches scale linearly.
+    * This convenience form re-derives the reference model per call;
+    * production arrival loops should compute [[genotypePca]] ONCE and
+    * use [[projectOntoModel]] per batch (axes frozen is the point —
+    * re-running the eigen per batch pays the reference pass every
+    * time for the same answer).
     */
   def projectOntoPcs(
       refAnn: DataFrame, newAnn: DataFrame, k: Int,
       sampleCol: String = "sample_id",
       siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
     val (pcsDf, evs) = genotypePca(refAnn, k, sampleCol)
+    projectOntoModel(refAnn, pcsDf, evs, newAnn, sampleCol, siteKey)
+  }
+
+  /** [[projectOntoPcs]] with a PRECOMPUTED reference model — the
+    * production per-batch shape: (pcs, eigenvalues) from ONE
+    * [[genotypePca]] run, reused across every arrival batch.
+    */
+  def projectOntoModel(
+      refAnn: DataFrame, pcsDf: DataFrame, evs: Seq[Double],
+      newAnn: DataFrame,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    require(evs.nonEmpty, "empty eigenvalue list — not a PCA model")
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
     def dosage(ann: DataFrame) = ann
       .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))

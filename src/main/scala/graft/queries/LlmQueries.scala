@@ -3897,11 +3897,53 @@ object LlmQueries extends QuerySet {
       ORDER BY item_a, item_b
     """))
 
+  /** BPE tokenizer APPLY ([[graft.expressions.StringExprs
+    * .bpeMergedCount]] — the apply side of q140's pair mining, and the
+    * count that matters for budgets: tokens under the tokenizer the
+    * model will actually see; whitespace counts mis-budget exactly the
+    * high-merge text a tokenizer compresses most): a fixed English
+    * merge table (multi-level: t+h → th+e etc.) applied greedily
+    * lowest-rank-first per pre-token by ONE codegen'd kernel call per
+    * row, ranks riding the generated code as a reference object — a
+    * narrow scan-speed projection, zero shuffle. Per-lang report:
+    * char-floor tokens, regex pre-tokens, merged tokens, and the
+    * micro compression ratio (the synthetic corpus is ASCII across
+    * lang labels, so ratios cluster — on real multilingual data the
+    * ASCII merge table leaves non-Latin scripts at their char floor,
+    * exactly the fertility skew token budgeting must price). Rows-
+    * only: greedy
+    * iterative merging is not portably SQL-expressible (the q123
+    * precedent); BpeApplySpec's hand cases + floor/ceiling bounds are
+    * the real verification.
+    */
+  private lazy val q155 = Q(
+    "q155_bpe_apply",
+    (s, dir) => {
+      import graft.expressions.StringExprs.bpeMergedCount
+      val merges = Seq(
+        ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+        ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+        ("in", "g"), ("t", "o"), ("e", "s"), ("o", "u"), ("i", "s"))
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(bpeMergedCount(col("text"), Seq.empty).cast("long"))
+            .as("char_tokens"),
+          sum(bpeTokenCount(col("text")).cast("long")).as("pre_tokens"),
+          sum(bpeMergedCount(col("text"), merges).cast("long"))
+            .as("bpe_tokens"))
+        .withColumn("compression_micro",
+          expr("bpe_tokens * 1000000 DIV char_tokens"))
+        .orderBy("lang")
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140, q141, q142, q143, q146, q147, q148, q150, q151, q153)
+      q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155)
 }
