@@ -33,17 +33,22 @@ object Layout {
   def zValue2(x: Column, y: Column): Column =
     spread16(ranged(x)).bitwiseOR(shiftleft(spread16(ranged(y)), 1))
 
-  /** Row-level range gate: pass [0, 65536) through, raise otherwise.
-    * One comparison per dimension on the valid path — the error branch
-    * never executes for in-contract data, so the oracle SQL replays
-    * the unguarded arithmetic unchanged.
+  /** Row-level range gate: NULL passes through as NULL (an unknown
+    * dimension yields an unknown z — the pre-guard behavior; a sparse
+    * or outer-joined column must not abort the whole stats job), in-
+    * range values pass, anything else raises with the offending value
+    * in the message. One comparison per dimension on the valid path —
+    * the error branch never executes for in-contract data, so the
+    * oracle SQL replays the unguarded arithmetic unchanged.
     */
   private def ranged(c: Column): Column = {
     val v = c.cast("long")
-    when(v >= 0L && v < 65536L, v).otherwise(
-      raise_error(concat(
-        lit("zValue2: dimension value "), v.cast("string"),
-        lit(" outside [0, 65536) — normalize upstream"))).cast("long"))
+    when(v.isNull, lit(null).cast("long"))
+      .when(v >= 0L && v < 65536L, v)
+      .otherwise(
+        raise_error(concat(
+          lit("zValue2: dimension value "), v.cast("string"),
+          lit(" outside [0, 65536) — normalize upstream"))).cast("long"))
   }
 
   /** Spread the low 16 bits of `c` to the even positions of a 32-bit

@@ -365,8 +365,8 @@ object Sampling {
       strata: DataFrame, stratumCol: String, tokensCol: String,
       capMicroCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0L, s"budget must be >= 0, got $budgetTokens")
-    require(budgetTokens <= Long.MaxValue / 1000000L,
-      "budgetTokens * 1e6 must fit int64 — pass coarser token units")
+    // no upper budget bound: B·10⁶ lives only in BigDecimal /
+    // DECIMAL(38,0) arithmetic — a 15T-token budget is in-contract
     val w = Window.orderBy(col("__c").asc, col(stratumCol).asc)
     val bMicro = java.math.BigDecimal.valueOf(budgetTokens)
       .multiply(java.math.BigDecimal.valueOf(1000000L))
@@ -443,7 +443,7 @@ object Sampling {
       // Long.MaxValue/(k+1) total mass (≈ 9.2e18/(k+1)) replay the
       // unguarded arithmetic unchanged.
       .withColumn("n_draws",
-        expr(s"CASE WHEN __tot > ${Long.MaxValue / (k + 1)}L THEN" +
+        expr(s"CASE WHEN __tot > ${Long.MaxValue / (k + 1L)}L THEN" +
           " CAST(raise_error(CONCAT('ppsSystematic: stratum total weight '," +
           s" __tot, ' times k = $k overflows int64 — reduce k or split" +
           " the stratum')) AS BIGINT)" +

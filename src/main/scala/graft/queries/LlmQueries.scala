@@ -3667,9 +3667,13 @@ object LlmQueries extends QuerySet {
     (s, dir) => {
       val raw = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
+      // the dup-slice offset must be ≡ 0 mod 3 so a planted copy KEEPS
+      // its source's modality — dup detection groups per (modality,
+      // digest), and a modality-shifting offset would make the planted
+      // dups invisible to the metric they exist to exercise
       val d = raw.select(col("doc_id"), col("text"))
         .unionAll(raw.filter(col("doc_id") % 9 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 2000001L).as("doc_id"), col("text")))
       val media = d.select(
         format_string("m%07d", col("doc_id")).as("media_id"),
         element_at(typedLit(Seq("image", "audio", "video")),
@@ -3700,7 +3704,7 @@ object LlmQueries extends QuerySet {
       WITH d AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0),
+        SELECT doc_id + 2000001, text FROM documents WHERE doc_id % 9 = 0),
       m AS (SELECT doc_id,
              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -65,6 +65,14 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     val ok = Seq((0L, 65535L)).toDF("x", "y")
       .select(Layout.zValue2(col("x"), col("y"))).as[Long].collect()
     assert(ok.head === 0xAAAAAAAAL)
+    // NULL dimensions pass through as NULL z (sparse/outer-joined
+    // columns must not abort the stats job) — the pre-guard behavior
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(2L)))
+      .toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y")).as("z"))
+      .collect()
+    assert(!withNull(0).isNullAt(0))
+    assert(withNull(1).isNullAt(0))
   }
 
   test("pruneFraction: empty stats frame yields a defined 0, not NULL") {

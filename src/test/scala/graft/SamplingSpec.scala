@@ -346,6 +346,12 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       "B" -> ((1000000L, 200L)), "C" -> ((2000000L, 1400L))), r5000)
     // zero budget: level 0, zero allocations
     assert(run(0L).values.forall(_ === ((0L, 0L))))
+    // LLaMA-scale budgets are in-contract: B·1e6 lives in decimal
+    // arithmetic only (a vestigial int64 require used to reject this) —
+    // 15T tokens dwarfs every cap, so everything pins
+    val huge = run(15000000000000L)
+    assert(huge === Map("A" -> ((3000000L, 300L)),
+      "B" -> ((1000000L, 200L)), "C" -> ((2000000L, 1400L))), huge)
   }
 
   test("ppsSystematic: stratum mass past the int64 product bound RAISES " +
@@ -366,5 +372,13 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val draws = Sampling.ppsSystematic(ok, "s", "id", "w", k = 10)
       .select($"n_draws").as[Long].collect()
     assert(draws.sum === 10L && draws.forall(_ === 5L), draws.toSeq)
+    // k = Int.MaxValue: the guard threshold must be computed in LONG
+    // arithmetic (k + 1 wrapped to Int.MinValue and made it negative,
+    // raising on every stratum) — a tiny-mass stratum is safe here
+    val big = Seq(("a", 1L, 1L), ("a", 2L, 1L)).toDF("s", "id", "w")
+    val bigDraws = Sampling
+      .ppsSystematic(big, "s", "id", "w", k = Int.MaxValue)
+      .select($"n_draws").as[Long].collect()
+    assert(bigDraws.sum === Int.MaxValue.toLong, bigDraws.toSeq)
   }
 }
