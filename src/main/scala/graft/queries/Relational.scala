@@ -803,8 +803,50 @@ object Relational extends QuerySet {
       GROUP BY s ORDER BY node
     """))
 
+  /** CDC LATEST-STATE apply — materialize the current snapshot from a
+    * change log (the MERGE/upsert read path; q144's SCD2 keeps every
+    * version, this keeps the LAST): per key, the latest row under the
+    * (ts, event_id) total order plus the change count. The max-STRUCT
+    * aggregation shape (the q09 as-of core): ONE partial-aggregated
+    * groupBy — each task reduces its slice to one candidate per key
+    * map-side and the exchange carries |keys| rows, where the window
+    * spelling (row_number desc = 1) shuffles EVERY change row into the
+    * sort. At a 100 TB change log that is the difference between
+    * shuffling keys and shuffling history. Struct comparison is
+    * lexicographic by field order, so the emitted tiebreak IS the sort
+    * key — engine-identical.
+    */
+  private val q157 = Q(
+    "q157_upsert_apply",
+    (s, dir) => {
+      val ev = events(s, dir).select(
+        col("user_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("ts_s"),
+        col("event_id"), col("value"))
+      ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("ts_s"), col("event_id"), col("value"))).as("__m"))
+        .select(col("user_id"), col("event_type"), col("n_events"),
+          col("__m.ts_s").as("last_ts_s"),
+          col("__m.event_id").as("last_event_id"),
+          col("__m.value").as("last_value"))
+        .orderBy("user_id", "event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, value
+           FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts_s DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n
+           FROM e)
+      SELECT user_id, event_type, CAST(n AS BIGINT) AS n_events,
+        ts_s AS last_ts_s, event_id AS last_event_id, value AS last_value
+      FROM r WHERE rn = 1 ORDER BY user_id, event_type
+    """))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
       q52, q75, q115, q116, q126, q131, q134, q136, q137, q144, q145,
-      q149)
+      q149, q157)
 }

@@ -684,6 +684,64 @@ object VcfQueries extends QuerySet {
       FROM pi GROUP BY 1, 2 ORDER BY chrom, bin
     """))
 
+  /** Per-SAMPLE Ts/Tv — the `bcftools stats` per-sample QC twin of
+    * q60's site-level ratio: each sample counts only the biallelic
+    * SNP sites it actually CARRIES (dosage ≥ 1 over called diploid
+    * genotypes), so a sample with excess transversions (oxidative
+    * damage, contamination, batch artifacts) flags individually even
+    * when the cohort-level ratio looks clean. Exact integer counts,
+    * one micro-floored division; ONE partial-aggregated sample
+    * groupBy over the annotate frame.
+    */
+  private val q156 = Q(
+    "q156_sample_tstv",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val isTs =
+        (col("ref") === "A" && col("alt") === "G") ||
+        (col("ref") === "G" && col("alt") === "A") ||
+        (col("ref") === "C" && col("alt") === "T") ||
+        (col("ref") === "T" && col("alt") === "C")
+      ann
+        .filter(col("multiallele") === 0 &&
+          col("gt1").isNotNull && col("gt1") =!= "." &&
+          col("gt2").isNotNull && col("gt2") =!= "." &&
+          length(col("ref")) === 1 && length(col("alt")) === 1 &&
+          col("ref") =!= col("alt"))
+        .filter(col("gt1").cast("long") + col("gt2").cast("long") >= 1L)
+        .select(col("sample_id"), when(isTs, 1L).otherwise(0L).as("ts"))
+        .groupBy("sample_id")
+        .agg(sum(col("ts")).as("n_ts"), sum(lit(1L) - col("ts")).as("n_tv"))
+        .select(col("sample_id"), col("n_ts"), col("n_tv"),
+          when(col("n_tv") > 0,
+            micro(col("n_ts").cast("double") / col("n_tv"))).as("tstv_micro"))
+        .orderBy("sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      c AS (SELECT sample_id,
+              CASE WHEN (ref = 'A' AND alt = 'G') OR (ref = 'G' AND alt = 'A')
+                     OR (ref = 'C' AND alt = 'T') OR (ref = 'T' AND alt = 'C')
+                   THEN 1 ELSE 0 END AS ts
+            FROM ann
+            WHERE multiallele = 0
+              AND gt1 IS NOT NULL AND gt1 <> '.'
+              AND gt2 IS NOT NULL AND gt2 <> '.'
+              AND length(ref) = 1 AND length(alt) = 1 AND ref <> alt
+              -- TRY_CAST: DuckDB may evaluate this predicate before the
+              -- gt <> '.' filters above (no evaluation-order guarantee)
+              AND TRY_CAST(gt1 AS BIGINT) + TRY_CAST(gt2 AS BIGINT) >= 1)
+      SELECT sample_id, CAST(sum(ts) AS BIGINT) AS n_ts,
+        CAST(sum(1 - ts) AS BIGINT) AS n_tv,
+        CASE WHEN sum(1 - ts) > 0
+             THEN ${microSql("CAST(sum(ts) AS DOUBLE) / sum(1 - ts)")}
+             ELSE NULL END AS tstv_micro
+      FROM c GROUP BY sample_id ORDER BY sample_id
+    """))
+
   /** Write-once sharded VCF corpus for the file-path gate (q63): the
     * synthetic wide frame emitted via [[graft.sources.VcfWriter]] under
     * a derivation-hashed /tmp dir — a changed derivation auto-
@@ -1986,5 +2044,5 @@ object VcfQueries extends QuerySet {
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
-      q119, q123, q124, q125, q127, q132, q138, q152, q154)
+      q119, q123, q124, q125, q127, q132, q138, q152, q154, q156)
 }

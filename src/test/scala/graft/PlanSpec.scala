@@ -446,6 +446,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"the sparse arm's top-20 must stay TakeOrderedAndProject:\n$p")
   }
 
+  test("q157 upsert apply: max-struct partial agg — keys shuffle, " +
+      "history never enters a window sort") {
+    val q = SparkEntry.queries("q157_upsert_apply")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      s"the latest-state pick must reduce map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"the window spelling shuffles every change row into a sort — " +
+        s"the exchange must carry keys, not history:\n$p")
+  }
+
   test("q138 polygenic score: panel broadcasts, call stream never shuffles for the join") {
     val q = SparkEntry.queries("q138_polygenic_score")(spark, dir)
     q.collect()
