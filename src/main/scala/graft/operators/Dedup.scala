@@ -1029,6 +1029,17 @@ object Dedup {
     * skew risk like shingle buckets; levenshtein runs only on
     * deduped candidates.
     */
+  /** The ONE definition of an item's deletion-key array (itself + each
+    * single-deletion variant), shared by the batch pair join and the
+    * streaming probe so the key spelling cannot drift. `c` must be a
+    * column named resolvably in scope (the expression references it by
+    * name inside array lambdas).
+    */
+  private[graft] def deletionKeyArray(itemName: String): org.apache.spark.sql.Column =
+    expr(s"array_distinct(concat(array($itemName), " +
+      s"transform(sequence(1, length($itemName)), i -> " +
+      s"concat(substr($itemName, 1, i - 1), substr($itemName, i + 1)))))")
+
   def deletionNeighborPairs(
       df: DataFrame, itemCol: String, maxLen: Int = 32): DataFrame = {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
@@ -1036,14 +1047,28 @@ object Dedup {
       .groupBy("item").agg(count(lit(1)).as("n"))
       .filter(length(col("item")) >= 1 && length(col("item")) <= maxLen)
     val keyed = items.select(col("item"), col("n"),
-      explode(expr("array_distinct(concat(array(item), " +
-        "transform(sequence(1, length(item)), i -> " +
-        "concat(substr(item, 1, i - 1), substr(item, i + 1)))))")).as("k"))
+      explode(deletionKeyArray("item")).as("k"))
     keyed.select(col("k"), col("item").as("item_a"), col("n").as("n_a"))
       .join(keyed.select(col("k"), col("item").as("item_b"),
         col("n").as("n_b")), Seq("k"))
       .filter(col("item_a") < col("item_b"))
       .select("item_a", "item_b", "n_a", "n_b").distinct()
       .filter(levenshtein(col("item_a"), col("item_b")) === 1)
+  }
+
+  /** The batch half of the SymSpell INDEX contract: the vocabulary's
+    * deletion-key table (k, item, n) — land it bucketed by `k` and the
+    * streaming probe ([[graft.streaming.DocStreams.typoProbeStream]])
+    * joins one-sided against it, the q74/q76 persisted-index pattern
+    * for edit distance.
+    */
+  def deletionKeyIndex(
+      df: DataFrame, itemCol: String, maxLen: Int = 32): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    df.select(col(itemCol).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .filter(length(col("item")) >= 1 && length(col("item")) <= maxLen)
+      .select(explode(deletionKeyArray("item")).as("k"),
+        col("item"), col("n"))
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{tokenCount, wsTokens}
-import graft.operators.{Sketches, TextAnalysis}
+import graft.operators.{Dedup, Sketches, TextAnalysis}
 
 /** Streaming ingestion cleaning for a document corpus: the
   * arrival-time twin of the batch q36 funnel. Stateless stages (quality
@@ -623,6 +623,47 @@ object DocStreams {
       when(size(toks) === 0, 0L).otherwise(
         floor(nHot.cast("double") / size(toks).cast("double") * 1000000.0)
           .cast("long")).as("hot_micro"))
+  }
+
+  /** Stateless streaming TYPO probe against the persisted SymSpell
+    * deletion-key index ([[graft.operators.Dedup.deletionKeyIndex]] —
+    * the vocabulary's (key, item, n) table, landed bucketed by key):
+    * each arriving doc's distinct tokens generate their own deletion
+    * keys ([[graft.operators.Dedup.deletionKeyArray]] — ONE spelling
+    * shared with the batch pair join), probe the index with a
+    * stream-static equi-join, and exact levenshtein verifies the
+    * edit-distance-1 candidates in-join — flagging
+    * probable-misspelling tokens with their frequent vocabulary
+    * neighbor the moment a doc arrives (route to normalization or
+    * quarantine). The q74/q76 persisted-index pattern for EDIT
+    * distance: zero state operators (stream-static joins keep no
+    * state — spec-pinned), the index side bounded by vocabulary not
+    * corpus, candidates by deletion-bucket size. Emits
+    * (doc_id, tok, suggestion, n) rows — row-level by design; any
+    * per-doc rollup composes downstream where aggregation is
+    * available.
+    */
+  def typoProbeStream(
+      docs: DataFrame, keyIndex: DataFrame, maxLen: Int = 32): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(wsTokens(lower(col("text"))))).as("tok"))
+      .filter(length(col("tok")) >= 1 && length(col("tok")) <= maxLen)
+      .select(col("doc_id"), col("tok"),
+        explode(Dedup.deletionKeyArray("tok")).as("k"))
+      .join(keyIndex, "k")
+      .filter(col("tok") =!= col("item") &&
+        levenshtein(col("tok"), col("item")) === 1)
+      // no distinct needed — and a stream may not have one (stateful):
+      // a VERIFIED distance-1 pair shares EXACTLY one distinct key
+      // (substitution at i shares only del_i — deleting j ≠ i leaves
+      // the differing position; insert/delete shares only the shorter
+      // string itself, array_distinct collapsing the multi-way "aaa"
+      // case), so each (doc, tok, suggestion) emits once by
+      // construction — spec-pinned on exactly those shapes
+      .select(col("doc_id"), col("tok"), col("item").as("suggestion"),
+        col("n"))
   }
 
   def ingestCleanBatch(docs: DataFrame, minTokens: Int = 5): DataFrame = {

@@ -737,4 +737,55 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     batches.foreach(p => assert(p.stateOperators.isEmpty,
       s"mg hot probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
   }
+
+  test("streaming typo probe: stateless stream-static deletion-key join, " +
+      "exactly-once emission per verified pair, stream ≡ batch") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // vocabulary: 'cat' (frequent), 'cart', 'aaa' (the multi-way
+    // deletion-coincidence shape), 'dog'
+    val vocab = (Seq.fill(5)("cat") ++ Seq("cart", "aaa", "aaa", "dog"))
+      .toDF("item")
+    val index = Dedup.deletionKeyIndex(vocab, "item")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val docs = Seq(
+      // 'cut' → cat (substitution); 'cats' → cat (insertion);
+      // 'aa' → aaa shares keys {aa} ONCE despite three identical
+      // deletions of aaa; 'ba' → nothing at distance 1 in vocab;
+      // 'cat' itself is IN vocab → tok = item filtered, but 'cart'
+      // still suggests (distance 1)
+      Doc(t0, 1L, "cut cats aa ba"),
+      Doc(t0, 2L, "cat"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(docs)
+    val q = DocStreams.typoProbeStream(mem.toDF(), index)
+      .writeStream.format("memory").queryName("graft_typo_probe_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("graft_typo_probe_test")
+      .as[(Long, String, String, Long)].collect()
+    // exactly-once: no (doc, tok, suggestion) appears twice
+    assert(out.length === out.distinct.length, out.toSeq)
+    val byTok = out.groupBy(r => (r._1, r._2))
+    assert(byTok((1L, "cut")).map(_._3).toSet === Set("cat"))
+    assert(byTok((1L, "cats")).map(_._3).toSet === Set("cat"))
+    assert(byTok((1L, "aa")).map(_._3).toSet === Set("aaa"))
+    assert(!byTok.contains((1L, "ba")))
+    assert(byTok((2L, "cat")).map(_._3).toSet === Set("cart"))
+    // frequency carried for fold-toward-frequent policies
+    assert(byTok((1L, "cut")).head._4 === 5L)
+    // stream ≡ batch: the same function over a batch frame
+    val batch = DocStreams.typoProbeStream(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), index)
+      .as[(Long, String, String, Long)].collect()
+    assert(batch.sorted.toSeq === out.sorted.toSeq)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.nonEmpty, "no progress recorded — nothing was asserted")
+    batches.foreach(p => assert(p.stateOperators.isEmpty,
+      s"typo probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
+  }
 }
