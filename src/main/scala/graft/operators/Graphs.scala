@@ -101,7 +101,37 @@ object Graphs {
     * degree side. Input edges may be directed/duplicated/looped; they
     * are canonicalized first.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleList(edges)
+      .groupBy(col("s").as("node")).agg(count(lit(1)).as("n_tri"))
+
+  /** Per-EDGE triangle SUPPORT — the k-truss substrate (Cohen 2008):
+    * how many triangles each edge participates in. Support-0 edges are
+    * the bridges/noise a community-detection pass prunes first; a
+    * k-truss keeps edges with support ≥ k−2 (iterate prune →
+    * re-support to convergence, the [[Dedup.connectedComponents]]
+    * fixed-point pattern — each round is THIS operator over the
+    * surviving edge set). Same enumeration cost as [[triangleCounts]]
+    * (one triangle list, the degree-ordered O(√m) wedge bound), plus
+    * a 3-edge fan-out and one canonical-pair partial agg. Returns
+    * (u, v, support) with u < v for edges in ≥ 1 triangle.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    def pair(x: String, y: String) = struct(
+      least(col(x), col(y)).as("u"), greatest(col(x), col(y)).as("v"))
+    triangleList(edges)
+      .select(explode(array(
+        pair("s", "a"), pair("s", "b"), pair("a", "b"))).as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** The one triangle enumeration behind [[triangleCounts]] and
+    * [[edgeSupport]]: canonicalize → degree-orient → wedge at the
+    * ≺-minimal vertex → close. One row (s, a, b) per triangle, s ≺ a
+    * ≺ b in the (degree, id) order.
+    */
+  private def triangleList(edges: DataFrame): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -128,8 +158,7 @@ object Graphs {
         (col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b"))))
       .select(o1("s").as("s"), col("a"), col("b"))
-    wedges
-      .join(ori.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
-      .groupBy(col("s").as("node")).agg(count(lit(1)).as("n_tri"))
+    wedges.join(ori.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
+      .select(col("s"), col("a"), col("b"))
   }
 }

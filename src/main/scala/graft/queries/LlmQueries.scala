@@ -3943,11 +3943,64 @@ object LlmQueries extends QuerySet {
     },
     None)
 
+  /** INDEX-RESIDENT hybrid retrieval — q151's RRF with BOTH arms on
+    * persisted indexes, the shape a production hybrid stack actually
+    * runs (nothing rescans the corpus at query time): sparse = BM25
+    * over the persisted posting lists (q92's path — score-identical
+    * to q87 by construction, |terms| posting reads), dense = the
+    * LSH-bucketed ANN (q41's path — the probe scans its bucket, not
+    * the corpus), fused with the same integer RRF arithmetic. The
+    * dense arm is APPROXIMATE (bucket-restricted) — RRF degrades
+    * gracefully under ranking noise, which is exactly why hybrid
+    * stacks fuse ranks instead of scores. DuckDB replays the posting
+    * scoring, the hyperplane bucketing, and the fusion.
+    */
+  private lazy val q158 = Q(
+    "q158_rrf_indexed",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val sparse = TextAnalysis.bm25TopKIndexed(
+          TextAnalysis.termPostings(docs, "doc_id", "text"),
+          TextAnalysis.corpusStats(docs, "doc_id", "text"),
+          Seq("spark", "join", "window"), k = 20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("id").asc)))
+        .select(lit(0).as("qid"), col("id"), col("rnk"))
+      val dense = lshTopK(s, dir, k = 20)
+        .filter(col("probe_id") === 0)
+        .select(lit(0).as("qid"), col("cand_id").as("id"), col("rnk"))
+      TextAnalysis.rrfFuse(Seq(sparse, dense), kConst = 60, topK = 10)
+        .orderBy("rnk")
+    },
+    Some(s"""
+      WITH $bm25CoreCtes,
+      sp AS (SELECT id, rnk FROM (
+               SELECT id, row_number() OVER (
+                 ORDER BY score_micro DESC, id) AS rnk FROM sc) x
+             WHERE rnk <= 20),
+      e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+      $lshRankSql,
+      de AS (SELECT cand_id AS id, rnk FROM lrk
+             WHERE probe_id = 0 AND rnk <= 20),
+      u AS (SELECT id, 1000000 // (60 + rnk) AS s FROM sp
+            UNION ALL SELECT id, 1000000 // (60 + rnk) FROM de),
+      f2 AS (SELECT id, CAST(sum(s) AS BIGINT) AS rrf_micro
+             FROM u GROUP BY id),
+      r AS (SELECT CAST(0 AS INT) AS qid, id, rrf_micro,
+             row_number() OVER (ORDER BY rrf_micro DESC, id) AS rnk
+           FROM f2)
+      SELECT qid, id, rrf_micro, rnk FROM r WHERE rnk <= 10 ORDER BY rnk
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
       q45, q48, q65, q66, q67, q69, q70, q71, q73, q74, q76, q77, q78, q85,
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
-      q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155)
+      q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
+      q158)
 }

@@ -845,8 +845,57 @@ object Relational extends QuerySet {
       FROM r WHERE rn = 1 ORDER BY user_id, event_type
     """))
 
+  /** Per-EDGE triangle SUPPORT over the part co-purchase graph
+    * ([[graft.operators.Graphs.edgeSupport]] — the k-truss substrate:
+    * support-0 edges are the bridges a community pass prunes first;
+    * k-truss = iterate prune → re-support, each round this operator):
+    * the q149 enumeration (shared code — one triangle list serves
+    * both) + a 3-edge fan-out + one canonical-pair partial agg.
+    * DuckDB replays enumeration, fan-out, and counts bit-for-bit.
+    */
+  private val q159 = Q(
+    "q159_edge_support",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      graft.operators.Graphs.edgeSupport(pairs).orderBy("u", "v")
+    },
+    Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+      e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      deg AS (SELECT x, count(*) AS d FROM (
+               SELECT u AS x FROM e UNION ALL SELECT v FROM e) z
+             GROUP BY x),
+      ori AS (SELECT
+               CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS s,
+               CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS t,
+               CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                    THEN dv.d ELSE du.d END AS dt
+             FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+      w AS (SELECT o1.s, o1.t AS a, o2.t AS b
+            FROM ori o1 JOIN ori o2 ON o1.s = o2.s
+              AND ((o1.dt < o2.dt) OR (o1.dt = o2.dt AND o1.t < o2.t))),
+      tri AS (SELECT w.s, w.a, w.b FROM w
+              JOIN ori c ON c.s = w.a AND c.t = w.b),
+      ed AS (SELECT least(s, a) AS u, greatest(s, a) AS v FROM tri
+             UNION ALL SELECT least(s, b), greatest(s, b) FROM tri
+             UNION ALL SELECT least(a, b), greatest(a, b) FROM tri)
+      SELECT u, v, count(*) AS support FROM ed
+      GROUP BY u, v ORDER BY u, v
+    """))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
       q52, q75, q115, q116, q126, q131, q134, q136, q137, q144, q145,
-      q149, q157)
+      q149, q157, q159)
 }

@@ -86,4 +86,23 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
     val star = (1L to 20L).map(i => (100L, i)).toDF("src", "dst")
     assert(Graphs.triangleCounts(star).count() === 0L)
   }
+
+  test("edgeSupport: K4 edges all support 2; a bridge supports 0 (absent); " +
+      "Σ support = 3 × triangles") {
+    // K4 ∪ a pendant bridge (4,5): every K4 edge sits in exactly 2 of
+    // the 4 triangles; the bridge is in none and must not appear
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L))).toDF("src", "dst")
+    val sup = Graphs.edgeSupport(edges)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(sup.size === 6, sup)               // the 6 K4 edges only
+    assert(sup.values.forall(_ === 2L), sup)  // each in 2 triangles
+    assert(!sup.contains((4L, 5L)))
+    // bookkeeping identity: each triangle contributes 3 edge slots
+    val nTri = Graphs.triangleCounts(edges)
+      .agg(org.apache.spark.sql.functions.sum("n_tri"))
+      .collect()(0).getLong(0)
+    assert(sup.values.sum === 3L * nTri)
+  }
 }
