@@ -127,6 +127,25 @@ object Layout {
         min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
   }
 
+  /** Merge [[zorderStats]] tables cell-by-cell — the mergeable-metrics
+    * property the fixed-width layout gets FOR FREE (counts add,
+    * min/max compose; the equal-row variant can't merge — its
+    * boundaries are per-landing): per-batch stats tables union +
+    * re-aggregate to exactly the single-pass table over everything
+    * (spec-pinned identity, the histogram-sketch precedent). Old
+    * state ∪ new batch is the incremental update — a 100 TB landing
+    * keeps its pruning stats current per batch without ever
+    * re-scanning data files.
+    */
+  def mergeZorderStats(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "mergeZorderStats needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy("file_id")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("min_x")).as("min_x"), max(col("max_x")).as("max_x"),
+        min(col("min_y")).as("min_y"), max(col("max_y")).as("max_y"))
+  }
+
   /** How much a one-dimension predicate could SKIP under this layout:
     * the fraction (in micro) of files whose [min, max] range on
     * `dimCol` ("x" or "y") misses the probe interval entirely. The

@@ -140,6 +140,38 @@ object VariantQc {
       .agg(count(lit(1)).as("n_sites"), sum(col("__pi")).as("pi_sum_micro"))
   }
 
+  /** Per-sample SINGLETON counts — `plink --singletons` / the
+    * rare-variant QC signal (a sample carrying many cohort-private
+    * alleles flags contamination, population outliers, or batch
+    * artifacts; singleton density is also the input to rare-variant
+    * burden work): a singleton site has TOTAL alt dosage exactly 1
+    * across called diploid genotypes, and its one het carrier scores
+    * it. Min-dosage duplicate resolution as [[grmPairs]]. Returns
+    * (sample_id, n_singletons) for carriers of ≥ 1 singleton.
+    *
+    * Shape: one site-keyed dosage groupBy, one site agg, one
+    * site-keyed join BACK to the same dosage frame (ReusedExchange on
+    * a site-bucketed landing), one sample agg.
+    */
+  def singletonCounts(
+      ann: DataFrame,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val g = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select(siteKey.map(col) ++ Seq(
+        col(sampleCol).as("__s"),
+        (col("gt1").cast("long") + col("gt2").cast("long")).as("__d")): _*)
+      .groupBy((siteKey.map(col) :+ col("__s")): _*)
+      .agg(min(col("__d")).as("__d"))
+    val freq = g.groupBy(siteKey.map(col): _*).agg(sum(col("__d")).as("__b"))
+    g.join(freq, siteKey)
+      .filter(col("__b") === 1L && col("__d") === 1L)
+      .groupBy(col("__s").as(sampleCol))
+      .agg(count(lit(1)).as("n_singletons"))
+  }
+
   /** Composite SITE-QC GATE — the standard pre-analysis variant filter
     * (every GWAS/burden pipeline's first step, the genomics twin of the
     * corpus-side Gopher gate): per biallelic site, call rate, minor

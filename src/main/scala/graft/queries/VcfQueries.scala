@@ -742,6 +742,42 @@ object VcfQueries extends QuerySet {
       FROM c GROUP BY sample_id ORDER BY sample_id
     """))
 
+  /** Per-sample SINGLETON counts
+    * ([[graft.operators.VariantQc.singletonCounts]], `plink
+    * --singletons`): sites whose alt allele appears EXACTLY once in
+    * the cohort, scored to their one het carrier — the rare-variant
+    * QC signal (contamination and population outliers carry excess
+    * cohort-private alleles). Min-dosage duplicate resolution and
+    * exact integer counts; DuckDB replays dedup, site totals, and the
+    * carrier pick.
+    */
+  private val q160 = Q(
+    "q160_singletons",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc.singletonCounts(ann)
+        .orderBy("sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      g AS (SELECT chrom, pos, ref, alt, sample_id,
+              min(TRY_CAST(gt1 AS BIGINT) + TRY_CAST(gt2 AS BIGINT)) AS d
+            FROM ann
+            WHERE multiallele = 0
+              AND gt1 IS NOT NULL AND gt1 <> '.'
+              AND gt2 IS NOT NULL AND gt2 <> '.'
+            GROUP BY 1, 2, 3, 4, 5),
+      f AS (SELECT chrom, pos, ref, alt, CAST(sum(d) AS BIGINT) AS b
+            FROM g GROUP BY 1, 2, 3, 4)
+      SELECT g.sample_id, count(*) AS n_singletons
+      FROM g JOIN f USING (chrom, pos, ref, alt)
+      WHERE f.b = 1 AND g.d = 1
+      GROUP BY g.sample_id ORDER BY g.sample_id
+    """))
+
   /** Write-once sharded VCF corpus for the file-path gate (q63): the
     * synthetic wide frame emitted via [[graft.sources.VcfWriter]] under
     * a derivation-hashed /tmp dir — a changed derivation auto-
@@ -2044,5 +2080,6 @@ object VcfQueries extends QuerySet {
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
-      q119, q123, q124, q125, q127, q132, q138, q152, q154, q156)
+      q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
+      q160)
 }

@@ -113,6 +113,19 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(stats.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
   }
 
+  test("mergeZorderStats: batch-split stats merge EXACTLY to the " +
+      "single-pass table — the incremental pruning-stats update") {
+    val batches = Seq(
+      grid.filter(col("x") < 20), grid.filter(col("x") >= 20 && col("y") < 40),
+      grid.filter(col("x") >= 20 && col("y") >= 40))
+    val merged = Layout.mergeZorderStats(
+        batches.map(Layout.zorderStats(_, "x", "y", zShift = 4)))
+      .collect().map(_.toSeq).toSet
+    val single = Layout.zorderStats(grid, "x", "y", zShift = 4)
+      .collect().map(_.toSeq).toSet
+    assert(merged === single)
+  }
+
   test("zorderStats plan: one exchange, no sort, no window") {
     val plan = Layout.zorderStats(grid, "x", "y", zShift = 4)
       .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
