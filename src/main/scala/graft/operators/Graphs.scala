@@ -126,6 +126,49 @@ object Graphs {
       .agg(count(lit(1)).as("support"))
   }
 
+  /** k-TRUSS — the densest-community skeleton (Cohen 2008): the
+    * maximal subgraph where EVERY edge sits in ≥ k−2 triangles,
+    * computed as the standard fixed point: delete under-supported
+    * edges, re-support the survivors (deletions can cascade — an edge
+    * that was supported only by pruned triangles dies next round),
+    * repeat until stable. Each round is one [[edgeSupport]] pass over
+    * the surviving edge set + one anti-filter; lineage cut per round
+    * (localCheckpoint, or the checkpoint directory with
+    * `reliable = true` — the [[Dedup.connectedComponents]] contract),
+    * convergence count a driver action by design. Returns the
+    * surviving canonical (u, v) edges.
+    */
+  def trussEdges(
+      edges: DataFrame, k: Int, maxIter: Int = 25,
+      reliable: Boolean = false): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k = 3 keeps any triangle edge), got $k")
+    require(!reliable ||
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable = true needs spark.sparkContext.setCheckpointDir(...)")
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val minSup = (k - 2).toLong
+    var cur = cp(edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val sup = edgeSupport(
+        cur.select(col("u").as("src"), col("v").as("dst")))
+      val next = cp(cur.join(sup, Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= minSup)
+        .select("u", "v"))
+      val removed = cur.count() - next.count()
+      cur = next
+      done = removed == 0L
+      i += 1
+    }
+    require(done, s"trussEdges did not converge in $maxIter rounds")
+    cur
+  }
+
   /** The one triangle enumeration behind [[triangleCounts]] and
     * [[edgeSupport]]: canonicalize → degree-orient → wedge at the
     * ≺-minimal vertex → close. One row (s, a, b) per triangle, s ≺ a

@@ -105,4 +105,27 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getLong(0)
     assert(sup.values.sum === 3L * nTri)
   }
+
+  test("trussEdges: 4-truss keeps K4 and prunes the pendant triangle; " +
+      "cascades drain a triangle strip; 5-truss of K4 is empty") {
+    // K4 ∪ pendant triangle (4,5,6): pendant edges support 1, K4
+    // edges support 2 — at k = 4 (support ≥ 2) the pendant dies in
+    // one round and K4 survives unchanged
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("src", "dst")
+    val t4 = Graphs.trussEdges(edges, k = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(t4 === k4.toSet, t4)
+    // CASCADE: triangles (1,2,3) and (2,3,4) share edge (2,3) — round
+    // 1 prunes the support-1 edges, which orphans (2,3) (support now
+    // 0), round 2 prunes it: empty, and convergence must handle the
+    // multi-round drain
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(Graphs.trussEdges(strip, k = 4).count() === 0L)
+    // K4 edges support exactly 2 — a 5-truss (support ≥ 3) is empty
+    assert(Graphs.trussEdges(k4.toDF("src", "dst"), k = 5).count() === 0L)
+    // and k = 3 keeps every triangle edge of the pendant fixture
+    assert(Graphs.trussEdges(edges, k = 3).count() === 9L)
+  }
 }
