@@ -119,6 +119,13 @@ class VcfReaderSpec extends AnyFunSuite with SparkSpec {
         VariantAnnotator.Options(dropHomRef = false)))
         .collect().map(_.toSeq).toSet
     assert(kin(merged) === kin(direct))
+    // and the r9 windowed-diversity path composes the same way: the
+    // merged cohort's per-window π is identical to the direct read's
+    def pi(df: org.apache.spark.sql.DataFrame) =
+      VariantQc.windowPi(VariantAnnotator.annotate(df,
+          VariantAnnotator.Options(dropHomRef = false)), windowSize = 1000L)
+        .collect().map(_.toSeq).toSet
+    assert(pi(merged) === pi(direct))
   }
 
   test("mergeCohort plans ONE exchange (site-key groupBy) and stays deterministic") {
