@@ -77,6 +77,56 @@ object Sampling {
     */
   val SplitMult = 69621L
 
+  /** Fourth mixing multiplier, for [[weightedSampleWor]]'s exponential
+    * race — distinct from [[HashMult]]/[[OrderMult]]/[[SplitMult]] so
+    * the weighted draw decorrelates from the sampling gate, the shard
+    * shuffle, and the split. 16807 is the original MINSTD multiplier;
+    * (p−1)·16807 ≈ 1.7e13 ≪ 2^63, exact in any engine.
+    */
+  val WorMult = 16807L
+
+  /** Per-stratum WEIGHTED sampling WITHOUT replacement — exactly
+    * min(k, n) distinct rows per stratum with inclusion biased by
+    * weight: the Efraimidis-Spirakis 2006 exponential race (key
+    * u^(1/w), keep the top k — equivalently rank by ln(u)/w), the
+    * exactly-k complement of [[ppsSystematic]]'s with-multiplicity
+    * draw (PPS replays an item ⌈w·k/W⌉ times; a training-data draw
+    * that must not repeat rows wants THIS form). u comes from a
+    * dedicated MCG mixing round of the id ([[WorMult]] — decorrelated
+    * from the gate/shuffle/split rounds), so the draw is deterministic
+    * across engines, retries, and partitionings — no rand(). The key
+    * is MICRO-quantized after the one ln (libm's last ulp is engine-
+    * variant; the floor makes both engines agree except within one
+    * ulp of a quantization boundary — the q110 DSIR log precedent),
+    * ties broken by id. Non-positive weights can never win a race
+    * leg and are dropped.
+    *
+    * Shape: one narrow key projection + one per-stratum top-k that
+    * compiles to WindowGroupLimit (partial per-partition top-k before
+    * the stratum exchange — the q83 pre-reduce); the full stratum
+    * never funnels through one task.
+    */
+  def weightedSampleWor(
+      df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m1 = pmod(pmod(col(idCol), lit(HashPrime)) * lit(HashMult),
+      lit(HashPrime))
+    val m2 = pmod(m1 * lit(WorMult), lit(HashPrime))
+    val u = (m2 + lit(1L)).cast("double") / lit((HashPrime + 1L).toDouble)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__k").desc, col(idCol).asc)
+    df.withColumn("__w", col(weightCol).cast("long"))
+      .filter(col("__w") > 0L)
+      .withColumn("__k",
+        floor(log(u) / col("__w").cast("double") * lit(1000000.0))
+          .cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__k", "__rn")
+      .withColumnRenamed("__w", "weight")
+  }
+
   /** Deterministic global training-order SHUFFLE — the last step of a
     * pretraining pipeline (a model must not see the corpus in crawl
     * order): every row gets a reproducible pseudo-random position

@@ -3995,6 +3995,44 @@ object LlmQueries extends QuerySet {
       SELECT qid, id, rrf_micro, rnk FROM r WHERE rnk <= 10 ORDER BY rnk
     """))
 
+  /** WEIGHTED sampling WITHOUT replacement
+    * ([[graft.operators.Sampling.weightedSampleWor]], Efraimidis-
+    * Spirakis exponential race): exactly k distinct docs per language,
+    * inclusion biased by token weight — the no-repeats complement of
+    * q135's with-multiplicity PPS. Deterministic u from a dedicated
+    * MCG round; the ES key ln(u)/w micro-quantized (the q110 log
+    * precedent) with id ties. DuckDB replays hash, ln, floor, and the
+    * per-stratum top-k.
+    */
+  private lazy val q161 = Q(
+    "q161_weighted_wor",
+    (s, dir) => {
+      import graft.operators.Sampling
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("w"))
+      Sampling.weightedSampleWor(d, "lang", "doc_id", "w", k = 5)
+        .select(col("lang"), col("doc_id"), col("weight"))
+        .orderBy("lang", "doc_id")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS w
+           FROM documents),
+      f AS (SELECT * FROM d WHERE w > 0),
+      ky AS (SELECT lang, doc_id, w,
+              CAST(floor(ln(
+                CAST((doc_id % 1000000007) * 2654435761 % 1000000007
+                  * 16807 % 1000000007 + 1 AS DOUBLE) / 1000000008.0)
+                / w * 1000000.0) AS BIGINT) AS k
+            FROM f),
+      r AS (SELECT *, row_number() OVER (PARTITION BY lang
+             ORDER BY k DESC, doc_id) AS rn FROM ky)
+      SELECT lang, doc_id, CAST(w AS BIGINT) AS weight
+      FROM r WHERE rn <= 5 ORDER BY lang, doc_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4002,5 +4040,5 @@ object LlmQueries extends QuerySet {
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
-      q158)
+      q158, q161)
 }

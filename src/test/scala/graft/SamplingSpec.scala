@@ -286,6 +286,43 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(w === w2)
   }
 
+  test("weightedSampleWor: exactly min(k, n) distinct rows, weight-biased, " +
+      "deterministic, degenerate weights dropped") {
+    import spark.implicits._
+    // 50 strata, each with one weight-1e6 item and five weight-1 items:
+    // the ES race picks the heavy item with P ≈ 1 − 5e-6 per stratum
+    val df = (0 until 50).flatMap { s =>
+      (s"s$s", s * 100L + 0L, 1000000L) +:
+        (1L to 5L).map(i => (s"s$s", s * 100L + i, 1L))
+    }.toDF("st", "id", "w")
+    val picked = Sampling.weightedSampleWor(df, "st", "id", "w", k = 1)
+      .select($"st", $"id", $"weight")
+      .as[(String, Long, Long)].collect()
+    assert(picked.length === 50)                        // exactly k per stratum
+    assert(picked.map(_._1).distinct.length === 50)
+    val heavyWins = picked.count(_._3 === 1000000L)
+    assert(heavyWins >= 45, s"weight bias broken: $heavyWins/50 heavy wins")
+    // k beyond the stratum returns everything, exactly once
+    val all = Sampling.weightedSampleWor(
+        df.filter($"st" === "s0"), "st", "id", "w", k = 100)
+      .select($"st", $"id", $"weight")
+      .as[(String, Long, Long)].collect()
+    assert(all.length === 6 && all.map(_._2).distinct.length === 6)
+    // deterministic under repartitioning
+    val again = Sampling
+      .weightedSampleWor(df.repartition(7), "st", "id", "w", k = 1)
+      .select($"st", $"id", $"weight")
+      .as[(String, Long, Long)].collect()
+    assert(picked.toSet === again.toSet)
+    // zero/negative weights can never win a race leg
+    val degenerate = Seq(("a", 1L, 0L), ("a", 2L, -5L), ("a", 3L, 2L))
+      .toDF("st", "id", "w")
+    val d = Sampling.weightedSampleWor(degenerate, "st", "id", "w", k = 3)
+      .select($"st", $"id", $"weight")
+      .as[(String, Long, Long)].collect()
+    assert(d.toSeq === Seq(("a", 3L, 2L)))
+  }
+
   test("ppsSystematic: Σdraws = k per stratum, heavy-item multiplicity, " +
       "weight-proportional, deterministic") {
     import spark.implicits._
