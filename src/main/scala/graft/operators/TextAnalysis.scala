@@ -504,14 +504,32 @@ object TextAnalysis {
     * so fusion cost is independent of corpus size by construction.
     */
   def rrfFuse(rankings: Seq[org.apache.spark.sql.DataFrame],
+      kConst: Int = 60, topK: Int = 10): org.apache.spark.sql.DataFrame =
+    rrfFuseWeighted(rankings.map((_, 1000000L)), kConst, topK)
+
+  /** [[rrfFuse]] with PER-RANKER weights (micro fixed point) — the
+    * tuned form most hybrid stacks actually ship (the dense arm
+    * usually earns more or less trust than BM25 on a given corpus;
+    * weighted RRF is the standard one-knob calibration that keeps the
+    * rank-based robustness): each ranking contributes
+    * weight_micro · (10⁶ DIV (kConst + rank)) DIV 10⁶ per candidate.
+    * Integer arithmetic end to end — weights cannot introduce float
+    * drift into the fused order.
+    */
+  def rrfFuseWeighted(
+      rankings: Seq[(org.apache.spark.sql.DataFrame, Long)],
       kConst: Int = 60, topK: Int = 10): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     require(kConst >= 1, s"kConst must be >= 1, got $kConst")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val scored = rankings.map(_.select(col("qid"), col("id"),
-        expr(s"1000000 DIV ($kConst + rnk)").as("__s")))
-      .reduce(_ unionAll _)
+    require(rankings.forall(_._2 > 0L),
+      s"ranker weights must be positive micros: ${rankings.map(_._2)}")
+    val scored = rankings.map { case (r, wMicro) =>
+      r.select(col("qid"), col("id"),
+        expr(s"$wMicro * (1000000 DIV ($kConst + rnk)) DIV 1000000")
+          .as("__s"))
+    }.reduce(_ unionAll _)
     val w = Window.partitionBy("qid")
       .orderBy(col("rrf_micro").desc, col("id").asc)
     scored.groupBy("qid", "id").agg(sum(col("__s")).as("rrf_micro"))

@@ -430,4 +430,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(out((2L, 2)) === ((99L, 16393L)), out)
     assert(out.size === 4)  // topK = 2 cut doc 12
   }
+
+  test("rrfFuseWeighted: unit weights ≡ plain RRF; a 2x dense arm flips " +
+      "a close fusion the way the calibration knob should") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "id", "rnk")
+    val b = Seq((1L, 11L, 1), (1L, 10L, 3)).toDF("qid", "id", "rnk")
+    val plain = graft.operators.TextAnalysis
+      .rrfFuse(Seq(a, b), kConst = 60, topK = 2)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val unit = graft.operators.TextAnalysis
+      .rrfFuseWeighted(Seq((a, 1000000L), (b, 1000000L)), 60, 2)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(plain === unit)
+    // plain: 10 → 1e6/61 + 1e6/63 = 16393+15873 = 32266;
+    //        11 → 1e6/62 + 1e6/61 = 16129+16393 = 32522 → 11 wins.
+    // doubling ranker a: 10 → 2·16393+15873 = 48659;
+    //        11 → 2·16129+16393 = 48651 → 10 wins.
+    assert(plain.find(_._4 == 1).get._2 === 11L)
+    val boosted = graft.operators.TextAnalysis
+      .rrfFuseWeighted(Seq((a, 2000000L), (b, 1000000L)), 60, 2)
+      .as[(Long, Long, Long, Int)].collect()
+      .find(_._4 == 1).get
+    assert(boosted._2 === 10L && boosted._3 === 48659L, boosted)
+  }
 }
