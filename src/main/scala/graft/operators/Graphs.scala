@@ -169,6 +169,53 @@ object Graphs {
     cur
   }
 
+  /** k-CORE node set — the DEGREE fixed point next to [[trussEdges]]'
+    * support fixed point (Seidman 1983; the standard "peel the
+    * periphery" community-cleanup): repeatedly delete nodes with
+    * degree < k over the surviving subgraph until stable — deletions
+    * cascade exactly like the truss (a node held at degree k by a
+    * peeled neighbor dies next round). Each round is one degree agg +
+    * one semi-join of edges against surviving nodes; lineage cut per
+    * round, convergence count a driver action by design (the
+    * [[Dedup.connectedComponents]] contract). Returns the surviving
+    * (node, degree) rows — degree measured in the FINAL subgraph, the
+    * k-core's own degrees (all ≥ k).
+    */
+  def kCoreNodes(
+      edges: DataFrame, k: Int, maxIter: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!reliable ||
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable = true needs spark.sparkContext.setCheckpointDir(...)")
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    var cur = cp(edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val keep = degrees(cur).filter(col("degree") >= k.toLong)
+        .select(col("node"))
+      val next = cp(cur
+        .join(keep.select(col("node").as("u")), "u", "leftsemi")
+        .join(keep.select(col("node").as("v")), "v", "leftsemi")
+        .select("u", "v"))
+      val removed = cur.count() - next.count()
+      cur = next
+      done = removed == 0L
+      i += 1
+    }
+    require(done, s"kCoreNodes did not converge in $maxIter rounds")
+    degrees(cur)
+  }
+
   /** The one triangle enumeration behind [[triangleCounts]] and
     * [[edgeSupport]]: canonicalize → degree-orient → wedge at the
     * ≺-minimal vertex → close. One row (s, a, b) per triangle, s ≺ a

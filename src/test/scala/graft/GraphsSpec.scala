@@ -128,4 +128,22 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
     // and k = 3 keeps every triangle edge of the pendant fixture
     assert(Graphs.trussEdges(edges, k = 3).count() === 9L)
   }
+
+  test("kCoreNodes: peels the periphery with cascades; the core keeps " +
+      "its OWN degrees") {
+    // K4 with a chain 4-5-6 hanging off: 3-core peels 6 (deg 1), then
+    // 5 (deg 1 after the cascade), leaving K4 at degree 3 each — the
+    // chain requires TWO rounds, so convergence is genuinely iterative
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core3 = Graphs.kCoreNodes(edges, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core3)
+    // 1-core of the same graph keeps everyone, with SUBGRAPH degrees
+    val core1 = Graphs.kCoreNodes(edges, k = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(core1(4L) === 4L && core1(6L) === 1L && core1.size === 6)
+    // 5-core of K4 is empty (max degree 3)
+    assert(Graphs.kCoreNodes(k4.toDF("src", "dst"), k = 5).count() === 0L)
+  }
 }
