@@ -94,12 +94,20 @@ object Sampling {
     * that must not repeat rows wants THIS form). u comes from a
     * dedicated MCG mixing round of the id ([[WorMult]] — decorrelated
     * from the gate/shuffle/split rounds), so the draw is deterministic
-    * across engines, retries, and partitionings — no rand(). The key
-    * is MICRO-quantized after the one ln (libm's last ulp is engine-
-    * variant; the floor makes both engines agree except within one
-    * ulp of a quantization boundary — the q110 DSIR log precedent),
-    * ties broken by id. Non-positive weights can never win a race
-    * leg and are dropped.
+    * across engines, retries, and partitionings — no rand().
+    * Determinism of the KEY: ln(u) is micro-quantized FIRST (libm's
+    * last ulp is engine-variant; the floor makes both engines agree
+    * except within one ulp of a boundary — the q110 DSIR log
+    * precedent), and only THEN divided by the weight — one correctly-
+    * rounded IEEE divide of an exact integer by the weight value,
+    * bit-identical in any engine. Quantizing AFTER the division would
+    * shrink key resolution proportionally to w and collapse heavy
+    * strata onto the id tiebreak (caught in review — regression
+    * spec-pinned). Weights are real-valued (ES is defined on
+    * positive reals — fractional weights are in-contract, NOT
+    * truncated); non-positive weights can never win a race leg and
+    * are dropped. Ties broken by id. Output keeps the caller's
+    * columns unchanged.
     *
     * Shape: one narrow key projection + one per-stratum top-k that
     * compiles to WindowGroupLimit (partial per-partition top-k before
@@ -114,17 +122,16 @@ object Sampling {
       lit(HashPrime))
     val m2 = pmod(m1 * lit(WorMult), lit(HashPrime))
     val u = (m2 + lit(1L)).cast("double") / lit((HashPrime + 1L).toDouble)
+    val lnMicro = floor(log(u) * lit(1000000.0)).cast("long")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col("__k").desc, col(idCol).asc)
-    df.withColumn("__w", col(weightCol).cast("long"))
-      .filter(col("__w") > 0L)
-      .withColumn("__k",
-        floor(log(u) / col("__w").cast("double") * lit(1000000.0))
-          .cast("long"))
+    val cols = df.columns.map(col)
+    df.withColumn("__w", col(weightCol).cast("double"))
+      .filter(col("__w") > 0.0)
+      .withColumn("__k", lnMicro.cast("double") / col("__w"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .drop("__k", "__rn")
-      .withColumnRenamed("__w", "weight")
+      .select(cols: _*)
   }
 
   /** Deterministic global training-order SHUFFLE — the last step of a
