@@ -4000,9 +4000,12 @@ object LlmQueries extends QuerySet {
     * Spirakis exponential race): exactly k distinct docs per language,
     * inclusion biased by token weight — the no-repeats complement of
     * q135's with-multiplicity PPS. Deterministic u from a dedicated
-    * MCG round; the ES key ln(u)/w micro-quantized (the q110 log
-    * precedent) with id ties. DuckDB replays hash, ln, floor, and the
-    * per-stratum top-k.
+    * MCG round; the ES key is ln(u) micro-quantized FIRST (one exact
+    * long, the q110 log precedent) and only then divided by the
+    * weight — quantizing after the divide shrinks resolution by w and
+    * collapses heavy strata onto the id tiebreak (regression
+    * spec-pinned in SamplingSpec). DuckDB replays hash, ln, floor,
+    * the divide, and the per-stratum top-k in that exact order.
     */
   private lazy val q161 = Q(
     "q161_weighted_wor",
@@ -4012,7 +4015,7 @@ object LlmQueries extends QuerySet {
         .select(col("doc_id"), col("lang"),
           tokenCount(col("text")).cast("long").as("w"))
       Sampling.weightedSampleWor(d, "lang", "doc_id", "w", k = 5)
-        .select(col("lang"), col("doc_id"), col("weight"))
+        .select(col("lang"), col("doc_id"), col("w").as("weight"))
         .orderBy("lang", "doc_id")
     },
     Some(s"""
@@ -4025,10 +4028,11 @@ object LlmQueries extends QuerySet {
               CAST(floor(ln(
                 CAST((doc_id % 1000000007) * 2654435761 % 1000000007
                   * 16807 % 1000000007 + 1 AS DOUBLE) / 1000000008.0)
-                / w * 1000000.0) AS BIGINT) AS k
+                * 1000000.0) AS BIGINT) AS lnmicro
             FROM f),
       r AS (SELECT *, row_number() OVER (PARTITION BY lang
-             ORDER BY k DESC, doc_id) AS rn FROM ky)
+             ORDER BY CAST(lnmicro AS DOUBLE) / w DESC, doc_id) AS rn
+            FROM ky)
       SELECT lang, doc_id, CAST(w AS BIGINT) AS weight
       FROM r WHERE rn <= 5 ORDER BY lang, doc_id
     """))

@@ -296,7 +296,7 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
         (1L to 5L).map(i => (s"s$s", s * 100L + i, 1L))
     }.toDF("st", "id", "w")
     val picked = Sampling.weightedSampleWor(df, "st", "id", "w", k = 1)
-      .select($"st", $"id", $"weight")
+      .select($"st", $"id", $"w")
       .as[(String, Long, Long)].collect()
     assert(picked.length === 50)                        // exactly k per stratum
     assert(picked.map(_._1).distinct.length === 50)
@@ -305,22 +305,42 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     // k beyond the stratum returns everything, exactly once
     val all = Sampling.weightedSampleWor(
         df.filter($"st" === "s0"), "st", "id", "w", k = 100)
-      .select($"st", $"id", $"weight")
+      .select($"st", $"id", $"w")
       .as[(String, Long, Long)].collect()
     assert(all.length === 6 && all.map(_._2).distinct.length === 6)
     // deterministic under repartitioning
     val again = Sampling
       .weightedSampleWor(df.repartition(7), "st", "id", "w", k = 1)
-      .select($"st", $"id", $"weight")
+      .select($"st", $"id", $"w")
       .as[(String, Long, Long)].collect()
     assert(picked.toSet === again.toSet)
     // zero/negative weights can never win a race leg
     val degenerate = Seq(("a", 1L, 0L), ("a", 2L, -5L), ("a", 3L, 2L))
       .toDF("st", "id", "w")
     val d = Sampling.weightedSampleWor(degenerate, "st", "id", "w", k = 3)
-      .select($"st", $"id", $"weight")
+      .select($"st", $"id", $"w")
       .as[(String, Long, Long)].collect()
     assert(d.toSeq === Seq(("a", 3L, 2L)))
+    // output contract: the caller's columns, unchanged, in order
+    assert(picked.length === 50)
+    assert(Sampling.weightedSampleWor(df, "st", "id", "w", k = 1)
+      .columns.toSeq === df.columns.toSeq)
+  }
+
+  test("weightedSampleWor: ES key quantizes ln(u) BEFORE the weight " +
+      "divide (quantize-after collapses heavy strata onto the id tie)") {
+    import spark.implicits._
+    // ids 1, 11, 21, 40 at weight 1e6 all share quantize-after key
+    // floor(ln(u)/w*1e6) = -3; quantize-after would fall back to the
+    // id tiebreak and pick id 1. The correct quantize-first keys are
+    // floor(ln(u)*1e6)/w = -2.287472, -2.147711, -2.025109, -2.798302
+    // — id 21 holds the strict maximum and must win at k = 1.
+    val df = Seq(1L, 11L, 21L, 40L).map(("s", _, 1000000L))
+      .toDF("st", "id", "w")
+    val win = Sampling.weightedSampleWor(df, "st", "id", "w", k = 1)
+      .select($"id").as[Long].collect()
+    assert(win.toSeq === Seq(21L),
+      s"quantize-order regression: picked ${win.toSeq}, want Seq(21)")
   }
 
   test("ppsSystematic: Σdraws = k per stratum, heavy-item multiplicity, " +
