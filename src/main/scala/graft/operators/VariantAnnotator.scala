@@ -112,9 +112,30 @@ object VariantAnnotator {
   /** One cheap pass to learn the FORMAT vocabulary (like csv schema
     * inference; avoid at scale by passing Options.formatKeys).
     */
-  private def discoverFormatKeys(df: DataFrame): Seq[String] =
+  private val log = org.slf4j.LoggerFactory.getLogger(VariantAnnotator.getClass)
+
+  /** The discovery-scan warning text, exposed so the spec can assert
+    * the exact message users will grep their driver logs for. */
+  private[graft] val DiscoveryScanWarning: String =
+    "annotate(): no Options.formatKeys supplied — discovering FORMAT " +
+      "keys with a full distinct scan of the input. At scale, pass " +
+      "Options.formatKeys (or use the typed-header reader) to avoid " +
+      "reading the corpus twice."
+
+  /** Count of discovery-scan warnings emitted — the spec asserts the
+    * warning fires exactly on the formatKeys=None path (log4j appender
+    * capture is classloader-fragile under sbt's layered loaders). */
+  private[graft] val discoveryScanWarnings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def discoverFormatKeys(df: DataFrame): Seq[String] = {
+    // a full-corpus distinct scan — convenient in a notebook, a silent
+    // 2× read at 100 TB; say so loudly every time it happens
+    discoveryScanWarnings.incrementAndGet()
+    log.warn(DiscoveryScanWarning)
     df.select(explode(split(col("format"), ":")).as("k"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
+  }
 
   /** Long annotated frame → per-site zygosity profile; the groupBy twin
     * of the window above for aggregate-style consumers.

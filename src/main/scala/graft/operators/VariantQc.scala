@@ -80,15 +80,22 @@ object VariantQc {
     * until ONE final division, micro-floored, so the statistic is
     * bit-identical across engines and partitionings. Monomorphic sites
     * (A = 0 or B = 0) define χ² = 0. Int64 is exact to ~3000 diploid
-    * samples per site (n·D² ≤ 16n⁵); biobank-width cohorts should lift
-    * the products to decimal(38,0).
+    * samples per site (n·D² ≤ 16n⁵ must stay under 2⁶³); biobank-width
+    * cohorts pass `decimalLift = true`, which carries the products in
+    * decimal(38,0) and replaces the floored double divide with an
+    * exact integral divide — exact to ~1.4M diploid samples per site
+    * (16n⁵·10⁶ ≤ 10³⁸), at the cost of leaving whole-stage codegen's
+    * long arithmetic for decimal. The two paths agree at small width
+    * (identity spec-pinned); the default stays int64 so the q105
+    * oracle hash and small-cohort plans are unchanged.
     *
     * Shape: ONE partial-aggregated site-keyed groupBy — zero exchanges
     * on a (chrom, pos_bucket)-bucketed landing, the §4 contract.
     */
   def hweBySite(
       ann: DataFrame,
-      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      decimalLift: Boolean = false): DataFrame = {
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
     val counted = ann
       .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
@@ -101,10 +108,24 @@ object VariantQc {
     val b = col("n1") + lit(2L) * col("n2")
     val d = col("n1") * col("n1") - lit(4L) * col("n0") * col("n2")
     val n = col("n0") + col("n1") + col("n2")
-    counted.withColumn("hwe_micro",
-      when(a === 0L || b === 0L, 0L).otherwise(
-        floor((n * d * d).cast("double") / ((a * a) * (b * b)).cast("double")
-          * lit(1000000.0)).cast("long")))
+    if (decimalLift) {
+      // int64 sub-products (d ≤ 4n², a·b ≤ 4n² — safe far past the
+      // decimal ceiling); only the 5th-power composites go decimal
+      val dec = "decimal(38,0)"
+      counted
+        .withColumn("__num",
+          n.cast(dec) * d.cast(dec) * d.cast(dec) * lit(1000000L).cast(dec))
+        .withColumn("__den", a.cast(dec) * a.cast(dec) * b.cast(dec) * b.cast(dec))
+        .withColumn("hwe_micro",
+          when(a === 0L || b === 0L, 0L)
+            .otherwise(expr("__num DIV __den")))
+        .drop("__num", "__den")
+    } else {
+      counted.withColumn("hwe_micro",
+        when(a === 0L || b === 0L, 0L).otherwise(
+          floor((n * d * d).cast("double") / ((a * a) * (b * b)).cast("double")
+            * lit(1000000.0)).cast("long")))
+    }
   }
 
   /** Windowed NUCLEOTIDE DIVERSITY π — `vcftools --window-pi`'s
@@ -118,6 +139,9 @@ object VariantQc {
     * EXACTLY per fixed window of `windowSize` bases. Monomorphic sites
     * carry π = 0 and are excluded (vcftools' variant-sites
     * convention); `n_sites` counts the polymorphic sites per window.
+    * Windows follow vcftools' 1-BASED convention: bin = (pos−1) DIV
+    * windowSize, so position windowSize itself still belongs to the
+    * first window (bin 0 covers [1, windowSize]).
     *
     * Shape: the [[hweBySite]] count substrate (one partial-aggregated
     * site groupBy, zero exchanges on a site-bucketed landing) + one
@@ -136,7 +160,8 @@ object VariantQc {
         (lit(2L) * col("__b") * (col("__c") - col("__b"))).cast("double")
           / (col("__c") * (col("__c") - lit(1L))).cast("double")
           * lit(1000000.0)).cast("long"))
-      .groupBy(col("chrom"), expr(s"pos DIV $windowSize").as("bin"))
+      .groupBy(col("chrom"),
+        expr(s"(pos - 1) DIV $windowSize").as("bin"))
       .agg(count(lit(1)).as("n_sites"), sum(col("__pi")).as("pi_sum_micro"))
   }
 
@@ -420,6 +445,20 @@ object VariantQc {
   def genotypePca(
       ann: DataFrame, k: Int,
       sampleCol: String = "sample_id"): (DataFrame, Seq[Double]) = {
+    val (df, evs, _) = genotypePcaWithGrm(ann, k, sampleCol)
+    (df, evs)
+  }
+
+  /** [[genotypePca]] plus the collected (sample_a, sample_b, grm_micro)
+    * upper-triangle rows the eigen actually decomposed — the
+    * invariant-gate form (q123): callers can verify the eigen equation
+    * G·v = λ·v against the exact matrix without a second [[grmPairs]]
+    * corpus pass. Same driver-side S×S posture as [[genotypePca]].
+    */
+  def genotypePcaWithGrm(
+      ann: DataFrame, k: Int,
+      sampleCol: String = "sample_id")
+      : (DataFrame, Seq[Double], Array[(String, String, Long)]) = {
     require(k >= 1, s"k must be positive, got $k")
     val rows = grmPairs(ann, sampleCol)
       .select("sample_a", "sample_b", "grm_micro").collect()
@@ -452,7 +491,8 @@ object VariantQc {
         c(i) * math.sqrt(math.max(ev, 0.0))
       }.toSeq)
     }.toSeq.toDF(sampleCol, "pcs")
-    (df, evs)
+    (df, evs,
+      rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))))
   }
 
   /** Project NEW samples onto an EXISTING cohort's PC axes — the
@@ -819,28 +859,39 @@ object VariantQc {
     * swaps): over biallelic called-diploid calls ordered along the
     * chromosome, maximal stretches of consecutive homozygous calls
     * (a1 = a2, hom-ref and hom-alt both count, as in plink). A
-    * heterozygous call BREAKS the run; sites missing for the sample are
-    * simply absent from its sequence (they neither extend nor break —
-    * strict no-het policy, plink's allowed-het relaxation documented
-    * out of scope). Runs shorter than `minSites` are dropped.
+    * heterozygous call BREAKS the run — unless `maxHetRun` > 0, the
+    * allowed-het relaxation (plink `--homozyg-het` motivation: one
+    * genotyping error in a megabase run must not fragment it): a block
+    * of AT MOST `maxHetRun` CONSECUTIVE het calls is BRIDGED (the runs
+    * on both sides fuse; the bridged hets are reported in `n_het` when
+    * interior to the run), while a longer het block still breaks. The
+    * block-length rule keeps the segmentation order-theoretic and
+    * unique — no greedy scan state, so it stays one windowed pipeline
+    * and replays in portable SQL. Sites missing for the sample are
+    * simply absent from its sequence (they neither extend nor break).
+    * Runs shorter than `minSites` HOM calls are dropped; run bounds
+    * and n_sites always come from hom calls only (edge hets never
+    * extend a run).
     *
-    * Shape: the classic gaps-and-islands — row_number along the
-    * per-(sample, chrom) site order, minus a second row_number over the
-    * homozygous subsequence, is constant exactly on maximal hom runs.
-    * Both windows share ONE (sample, chrom) partitioning → one exchange
-    * total (the second window re-sorts the filtered rows, never
-    * re-shuffles), then one agg on the run key. The site order includes
-    * gt as a tiebreak, and the SECOND row_number orders by the FIRST —
-    * full-duplicate rows tie in every natural column, the first
-    * row_number breaks that tie arbitrarily, and a second independent
-    * tie-break can CROSS it (rn 4/5 → rn₂ 3/2 splits a real run — found
-    * against the oracle on the testdata's duplicated keys); ordering by
-    * rn makes the island key invariant to how the first tie resolved.
+    * Shape: gaps-and-islands, generalized — ONE (sample, chrom)
+    * exchange feeds every step: site row_number, a running het count
+    * (their difference is constant exactly on maximal het blocks,
+    * giving block sizes via an unordered window), a running count of
+    * BREAKER hets (block > maxHetRun) as the island key, and two
+    * one-sided running hom counts marking interior hets; then one agg
+    * on the island key. All windows share the (sample, chrom)
+    * clustering — Catalyst inserts sorts between them, never a second
+    * exchange. The site order includes gt as a tiebreak; every derived
+    * quantity depends only on the row MULTISET per (sample, chrom), so
+    * the islands are invariant to how row_number resolves the
+    * testdata's full-duplicate rows (the r5 oracle catch).
     */
   def rohSegments(
       ann: DataFrame,
       minSites: Int = 3,
-      sampleCol: String = "sample_id"): DataFrame = {
+      sampleCol: String = "sample_id",
+      maxHetRun: Int = 0): DataFrame = {
+    require(maxHetRun >= 0, s"maxHetRun must be >= 0, got $maxHetRun")
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
     val bi = ann
       .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
@@ -849,17 +900,47 @@ object VariantQc {
         (col("a1") === col("a2")).as("__hom"))
     val w = Window.partitionBy("sample_id", "chrom")
       .orderBy("pos", "ref", "alt", "gt")
-    val wRn = Window.partitionBy("sample_id", "chrom").orderBy("__rn")
-    val seq = bi.withColumn("__rn", row_number().over(w))
-    val homs = seq.filter(col("__hom"))
-      .withColumn("__grp", col("__rn") - row_number().over(wRn))
-    homs
-      .groupBy("sample_id", "chrom", "__grp")
+    val wRun = Window.partitionBy("sample_id", "chrom").orderBy("__rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val het = !col("__hom")
+    val rn = bi.withColumn("__rn", row_number().over(w))
+    // strict mode short-circuits the block machinery: every het breaks
+    // (block size is irrelevant at maxHetRun = 0), keeping the classic
+    // two-window plan
+    val flagged =
+      if (maxHetRun == 0) rn.withColumn("__breaker", het)
+      else rn
+        // het-block id: __rn − running-het-count is constant exactly on
+        // maximal consecutive-het blocks (hom rows alias the adjacent
+        // block's id but never read __bsz)
+        .withColumn("__hb",
+          col("__rn") - sum(when(het, 1L).otherwise(0L)).over(wRun))
+        .withColumn("__bsz",
+          sum(when(het, 1L).otherwise(0L)).over(
+            Window.partitionBy(col("sample_id"), col("chrom"), col("__hb"))))
+        .withColumn("__breaker", het && col("__bsz") > maxHetRun)
+    val seq = flagged.withColumn("__isl",
+      sum(when(col("__breaker"), 1L).otherwise(0L)).over(wRun))
+    val wIsl = Window
+      .partitionBy(col("sample_id"), col("chrom"), col("__isl"))
+      .orderBy(col("__rn"))
+    val homsBefore = sum(when(col("__hom"), 1L).otherwise(0L))
+      .over(wIsl.rowsBetween(Window.unboundedPreceding, -1))
+    val homsAfter = sum(when(col("__hom"), 1L).otherwise(0L))
+      .over(wIsl.rowsBetween(1, Window.unboundedFollowing))
+    val survivors = seq.filter(!col("__breaker"))
+    val interior =
+      if (maxHetRun == 0) survivors.withColumn("__interior_het", lit(false))
+      else survivors.withColumn("__interior_het",
+        het && homsBefore > 0L && homsAfter > 0L)
+    interior
+      .groupBy("sample_id", "chrom", "__isl")
       .agg(
-        count(lit(1)).as("n_sites"),
-        min(col("pos")).as("run_start"),
-        max(col("pos")).as("run_end"))
+        sum(when(col("__hom"), 1L).otherwise(0L)).as("n_sites"),
+        min(when(col("__hom"), col("pos"))).as("run_start"),
+        max(when(col("__hom"), col("pos"))).as("run_end"),
+        sum(when(col("__interior_het"), 1L).otherwise(0L)).as("n_het"))
       .filter(col("n_sites") >= minSites)
-      .drop("__grp")
+      .drop("__isl")
   }
 }

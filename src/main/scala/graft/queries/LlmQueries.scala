@@ -3910,15 +3910,17 @@ object LlmQueries extends QuerySet {
     * lowest-rank-first per pre-token by ONE codegen'd kernel call per
     * row, ranks riding the generated code as a reference object — a
     * narrow scan-speed projection, zero shuffle. Per-lang report:
-    * char-floor tokens, regex pre-tokens, merged tokens, and the
-    * micro compression ratio (the synthetic corpus is ASCII across
-    * lang labels, so ratios cluster — on real multilingual data the
-    * ASCII merge table leaves non-Latin scripts at their char floor,
-    * exactly the fertility skew token budgeting must price). Rows-
-    * only: greedy
-    * iterative merging is not portably SQL-expressible (the q123
-    * precedent); BpeApplySpec's hand cases + floor/ceiling bounds are
-    * the real verification.
+    * char-floor tokens, regex pre-tokens, and the per-doc bounds
+    * count. Greedy iterative merging is not portably SQL-expressible,
+    * but its DERIVED INVARIANTS are: the char floor (non-whitespace
+    * code points) and the regex pre-token count are recomputed
+    * independently by DuckDB (exact hash compare), and every doc's
+    * merged count must land in [pre_tokens, char_tokens] — the true-
+    * BPE floor/ceiling theorem (merging only ever shrinks, a pre-token
+    * never drops below one) — so n_docs_in_bounds must equal n_docs.
+    * A broken scanner, merge loop, or rank table flips a bound and
+    * hash-mismatches; BpeApplySpec keeps the exact hand cases and the
+    * compression-ratio reading.
     */
   private lazy val q155 = Q(
     "q155_bpe_apply",
@@ -3930,18 +3932,28 @@ object LlmQueries extends QuerySet {
         ("in", "g"), ("t", "o"), ("e", "s"), ("o", "u"), ("i", "s"))
       t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"),
+          bpeMergedCount(col("text"), Seq.empty).cast("long").as("cf"),
+          bpeTokenCount(col("text")).cast("long").as("pt"),
+          bpeMergedCount(col("text"), merges).cast("long").as("bt"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(bpeMergedCount(col("text"), Seq.empty).cast("long"))
-            .as("char_tokens"),
-          sum(bpeTokenCount(col("text")).cast("long")).as("pre_tokens"),
-          sum(bpeMergedCount(col("text"), merges).cast("long"))
-            .as("bpe_tokens"))
-        .withColumn("compression_micro",
-          expr("bpe_tokens * 1000000 DIV char_tokens"))
+          sum(col("cf")).as("char_tokens"),
+          sum(col("pt")).as("pre_tokens"),
+          sum(when(col("bt").between(col("pt"), col("cf")), 1L)
+            .otherwise(0L)).as("n_docs_in_bounds"))
         .orderBy("lang")
     },
-    None)
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')))
+          AS BIGINT) AS char_tokens,
+        CAST(sum(len(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')))
+          AS BIGINT) AS pre_tokens,
+        count(*) AS n_docs_in_bounds
+      FROM documents GROUP BY lang ORDER BY lang
+    """))
 
   /** INDEX-RESIDENT hybrid retrieval — q151's RRF with BOTH arms on
     * persisted indexes, the shape a production hybrid stack actually

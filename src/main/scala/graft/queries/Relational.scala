@@ -411,9 +411,14 @@ object Relational extends QuerySet {
     * "batches" (event_id parity), each sketched independently, the
     * sketch tables merged, estimates read off the merged state — the
     * re-scan-free incremental metric a 100 TB pipeline keeps per
-    * day/partition. APPROXIMATE by design → no DuckDB hash oracle
-    * (rows-only driver check); the error/merge/size bounds live in
-    * SketchesSpec.
+    * day/partition. APPROXIMATE by design, so the estimate itself has
+    * no portable hash oracle — instead the gate outputs a DERIVED
+    * INVARIANT: the exact per-type distinct count (DuckDB recomputes
+    * it independently) plus a boolean pinning the merged-sketch
+    * estimate within 5% of it (lgK=12 ⇒ ~1.6% standard error; sparse
+    * mode is exact at gate cardinalities). A broken sketch, merge, or
+    * estimator flips the boolean and hash-mismatches; the error/merge/
+    * size bounds stay in SketchesSpec.
     */
   private val q115 = Q(
     "q115_distinct_sketch",
@@ -424,12 +429,23 @@ object Relational extends QuerySet {
         ev.filter(col("event_id") % 2 === 0), "user_id", Seq("event_type"))
       val b2 = Sketches.distinctSketch(
         ev.filter(col("event_id") % 2 === 1), "user_id", Seq("event_type"))
-      Sketches.estimateDistinct(
-          Sketches.mergeSketches(Seq(b1, b2), Seq("event_type")),
-          Seq("event_type"))
+      val est = Sketches.estimateDistinct(
+        Sketches.mergeSketches(Seq(b1, b2), Seq("event_type")),
+        Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_distinct") - col("n_exact")) * lit(20L) <=
+            col("n_exact")).as("est_within_5pct"))
         .orderBy("event_type")
     },
-    None)
+    Some("""
+      SELECT event_type,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        TRUE AS est_within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type
+    """))
 
   /** Full CUBE over (returnflag, linestatus) with grouping-id — q08's
     * rollup sibling completing the grouping-sets family: all four

@@ -679,7 +679,7 @@ object VcfQueries extends QuerySet {
                CAST(floor(CAST(2 * b * (c - b) AS DOUBLE)
                  / CAST(c * (c - 1) AS DOUBLE) * 1000000.0) AS BIGINT) AS p
              FROM st WHERE b > 0 AND b < c)
-      SELECT chrom, pos // 1000 AS bin, count(*) AS n_sites,
+      SELECT chrom, (pos - 1) // 1000 AS bin, count(*) AS n_sites,
         CAST(sum(p) AS BIGINT) AS pi_sum_micro
       FROM pi GROUP BY 1, 2 ORDER BY chrom, bin
     """))
@@ -1484,9 +1484,71 @@ object VcfQueries extends QuerySet {
       SELECT sample_id, chrom,
         count(*) AS n_sites,
         min(pos) AS run_start,
-        max(pos) AS run_end
+        max(pos) AS run_end,
+        CAST(0 AS BIGINT) AS n_het
       FROM hq GROUP BY sample_id, chrom, grp
       HAVING count(*) >= 3
+      ORDER BY sample_id, chrom, run_start, run_end, n_sites
+    """))
+
+  /** ROH with the ALLOWED-HET relaxation ([[graft.operators.VariantQc
+    * .rohSegments]] `maxHetRun = 1`, the plink `--homozyg-het` motive:
+    * one genotyping error must not fragment a real run): het blocks of
+    * at most one consecutive call BRIDGE; longer blocks break. DuckDB
+    * replays the full generalized gaps-and-islands pipeline — site
+    * row_number, running het count → het-block id, per-block size,
+    * breaker flag, running breaker count → island key, two one-sided
+    * hom counts → interior-het flag — so every derived stage is
+    * cross-engine pinned, not just the final segments.
+    */
+  private val q162 = Q(
+    "q162_roh_het",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc
+        .rohSegments(ann, minSites = 3, maxHetRun = 1)
+        .orderBy("sample_id", "chrom", "run_start", "run_end", "n_sites")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      sq AS (SELECT sample_id, chrom, pos, (a1 = a2) AS hom,
+               row_number() OVER (PARTITION BY sample_id, chrom
+                                  ORDER BY pos, ref, alt, gt) AS rn
+             FROM bc),
+      hb AS (SELECT *,
+               rn - sum(CASE WHEN hom THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY sample_id, chrom ORDER BY rn) AS blk
+             FROM sq),
+      bs AS (SELECT *,
+               sum(CASE WHEN hom THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY sample_id, chrom, blk) AS bsz
+             FROM hb),
+      br AS (SELECT *, (NOT hom AND bsz > 1) AS breaker,
+               sum(CASE WHEN NOT hom AND bsz > 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY sample_id, chrom ORDER BY rn) AS isl
+             FROM bs),
+      nb AS (SELECT *,
+               coalesce(sum(CASE WHEN hom THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY sample_id, chrom, isl ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS homs_before,
+               coalesce(sum(CASE WHEN hom THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY sample_id, chrom, isl ORDER BY rn
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                 0) AS homs_after
+             FROM br WHERE NOT breaker)
+      SELECT sample_id, chrom,
+        CAST(sum(CASE WHEN hom THEN 1 ELSE 0 END) AS BIGINT) AS n_sites,
+        min(CASE WHEN hom THEN pos END) AS run_start,
+        max(CASE WHEN hom THEN pos END) AS run_end,
+        CAST(sum(CASE WHEN NOT hom AND homs_before > 0 AND homs_after > 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_het
+      FROM nb GROUP BY sample_id, chrom, isl
+      HAVING sum(CASE WHEN hom THEN 1 ELSE 0 END) >= 3
       ORDER BY sample_id, chrom, run_start, run_end, n_sites
     """))
 
@@ -1800,12 +1862,24 @@ object VcfQueries extends QuerySet {
       FROM nd GROUP BY chrom ORDER BY chrom
     """))
 
-  /** Genotype PCA ([[graft.operators.VariantQc.genotypePca]], the
-    * `plink --pca` ancestry axes off the q118 GRM): rows-only gate —
-    * the eigendecomposition is not portably SQL-expressible, so the
-    * real verification is the spec's planted two-population fixture
-    * and partition-stability; this entry drives the full path (annotate
-    * → GRM → driver eigen → PC frame) end to end at both SFs.
+  /** Genotype PCA ([[graft.operators.VariantQc.genotypePcaWithGrm]],
+    * the `plink --pca` ancestry axes off the q118 GRM), gated by
+    * DERIVED INVARIANTS: the eigendecomposition itself is not portably
+    * SQL-expressible, but its defining identities are — the gate
+    * outputs the cohort width (DuckDB re-derives the called-biallelic
+    * sample panel independently) plus micro-floored residuals of the
+    * spectral identities, all exactly 0 for a correct solve: pairwise
+    * score orthogonality, Σscore² = λ (the √λ scaling contract), and
+    * the eigen equation G·s = λ·s replayed against the exact grm_micro
+    * matrix the solve consumed (whose values q118's oracle hash-
+    * verifies). (Score zero-sum is NOT gated: with missing genotypes
+    * each pair averages over its own both-called site set, so the GRM
+    * is not exactly row-centered and ⊥-to-ones holds only
+    * approximately.) A wrong eigenvector, scaling, sign-flip
+    * instability,
+    * or GRM drift makes a residual non-zero and hash-mismatches; the
+    * planted two-population fixture stays in the spec. Driver-side
+    * S×S arithmetic — the documented genotypePca posture.
     */
   private val q123 = Q(
     "q123_genotype_pca",
@@ -1813,40 +1887,115 @@ object VcfQueries extends QuerySet {
       val ann = VariantAnnotator.annotate(
         wide(s, dir),
         VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
-      val (df, _) = graft.operators.VariantQc.genotypePca(ann, k = 2)
-      df.select(col("sample_id"),
-          micro(element_at(col("pcs"), 1)).as("pc1_micro"),
-          micro(element_at(col("pcs"), 2)).as("pc2_micro"))
-        .orderBy("sample_id")
+      val (df, evs, grm) =
+        graft.operators.VariantQc.genotypePcaWithGrm(ann, k = 2)
+      val scores = df.collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+      val ix = scores.map(_._1).zipWithIndex.toMap
+      val n = scores.length
+      val kk = 2
+      val g = Array.ofDim[Double](n, n)
+      grm.foreach { case (a, b, m) =>
+        g(ix(a))(ix(b)) = m / 1e6
+        g(ix(b))(ix(a)) = m / 1e6
+      }
+      val sc = scores.map(_._2)
+      val ortho = (0 until kk - 1).map { c =>
+        math.abs((0 until n).map(i => sc(i)(c) * sc(i)(c + 1)).sum)
+      }.max
+      val norms = (0 until kk)
+        .map(c => (0 until n).map(i => sc(i)(c) * sc(i)(c)).sum)
+      val lambdaGap = (0 until kk).map(c => math.abs(norms(c) - evs(c))).max
+      val resid = (0 until kk).map { c =>
+        (0 until n).map { i =>
+          val gv = (0 until n).map(j => g(i)(j) * sc(j)(c)).sum
+          math.abs(gv - evs(c) * sc(i)(c))
+        }.max
+      }.max
+      import s.implicits._
+      Seq((n.toLong, kk,
+        math.floor(ortho * 1e6).toLong,
+        math.floor(lambdaGap * 1e6).toLong,
+        math.floor(resid * 1e6).toLong,
+        norms.zip(norms.drop(1)).forall { case (a, b) => a >= b }))
+        .toDF("n_samples", "k", "ortho_micro",
+          "lambda_gap_micro", "eig_residual_micro", "norms_nonincreasing")
     },
-    None)
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes
+      SELECT CAST(count(DISTINCT sample_id) AS BIGINT) AS n_samples,
+             2 AS k,
+             CAST(0 AS BIGINT) AS ortho_micro,
+             CAST(0 AS BIGINT) AS lambda_gap_micro,
+             CAST(0 AS BIGINT) AS eig_residual_micro,
+             TRUE AS norms_nonincreasing
+      FROM cnt
+      WHERE multiallele = 0
+        AND gt1 IS NOT NULL AND gt1 <> '.'
+        AND gt2 IS NOT NULL AND gt2 <> '.'
+    """))
 
   /** PC PROJECTION of held-out samples
-    * ([[graft.operators.VariantQc.projectOntoPcs]] — the EIGENSTRAT
+    * ([[graft.operators.VariantQc.projectOntoModel]] — the EIGENSTRAT
     * "project onto reference PCs" step; axes frozen on the g1–g3
     * reference, g4 arrives as the new sample and is scored against the
-    * REFERENCE's allele frequencies). Rows-only like q123 (driver
-    * eigen is not portably SQL-expressible); the real verification is
-    * the spec's exact-recovery spectral identity. This entry drives
-    * annotate → reference PCA → cross-GRM → projection end to end at
-    * both SFs.
+    * REFERENCE's allele frequencies), gated by the projection's
+    * DEFINING INVARIANT: a reference sample re-entered as "new" must
+    * recover its own PCA coordinate exactly (KU = λU — the spectral
+    * identity the spec pins on a fixture, here replayed on real data:
+    * the cross-relationship kernel is term-for-term the grmPairs
+    * kernel, so self-projection residual micro-floors to 0). DuckDB
+    * independently re-derives the reference/new panel split; a broken
+    * cross-GRM, frequency frame, eigen scaling, or λ⁻¹ step makes the
+    * residual non-zero and hash-mismatches. This entry drives annotate
+    * → reference PCA → cross-GRM → projection (production
+    * projectOntoModel shape: ONE eigen, reused) end to end.
     */
   private val q152 = Q(
     "q152_pca_project",
     (s, dir) => {
+      import graft.operators.VariantQc
       val ann = VariantAnnotator.annotate(
         wide(s, dir),
         VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
-      graft.operators.VariantQc
-        .projectOntoPcs(
-          ann.filter(col("sample_id") =!= "g4"),
-          ann.filter(col("sample_id") === "g4"), k = 2)
-        .select(col("sample_id"),
-          micro(element_at(col("pcs"), 1)).as("pc1_micro"),
-          micro(element_at(col("pcs"), 2)).as("pc2_micro"))
-        .orderBy("sample_id")
+      val ref = ann.filter(col("sample_id") =!= "g4")
+      val (pcsDf, evs) = VariantQc.genotypePca(ref, k = 2)
+      // ONE model, ref ∪ new projected through it: ref legs gate
+      // self-recovery, the g4 leg gates the arrival path
+      val proj = VariantQc.projectOntoModel(ref, pcsDf, evs, ann)
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val scores = pcsDf.collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val selfResid = scores.keys.map { id =>
+        scores(id).zip(proj(id)).map { case (a, b) => math.abs(a - b) }.max
+      }.max
+      val newIds = proj.keySet -- scores.keySet
+      val newOk = newIds == Set("g4") && proj("g4").length == 2 &&
+        proj("g4").forall(x => !x.isNaN && !x.isInfinite)
+      import s.implicits._
+      Seq((scores.size.toLong, newIds.size.toLong, 2,
+        math.floor(selfResid * 1e6).toLong, newOk))
+        .toDF("n_ref", "n_new", "k", "self_recovery_max_micro",
+          "new_scored_ok")
     },
-    None)
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes
+      SELECT CAST(count(DISTINCT CASE WHEN sample_id <> 'g4'
+               THEN sample_id END) AS BIGINT) AS n_ref,
+             CAST(count(DISTINCT CASE WHEN sample_id = 'g4'
+               THEN sample_id END) AS BIGINT) AS n_new,
+             2 AS k,
+             CAST(0 AS BIGINT) AS self_recovery_max_micro,
+             TRUE AS new_scored_ok
+      FROM cnt
+      WHERE multiallele = 0
+        AND gt1 IS NOT NULL AND gt1 <> '.'
+        AND gt2 IS NOT NULL AND gt2 <> '.'
+    """))
 
   /** Composite SITE-QC gate ([[graft.operators.VariantQc.siteQcGate]]
     * — call rate, MAF, HWE, each flagged, conjunction `keep`; the
@@ -2076,10 +2225,170 @@ object VcfQueries extends QuerySet {
       GROUP BY 1 ORDER BY sample_id
     """))
 
+  /** FASTA-backed LEFT-ALIGNMENT ([[graft.operators.VariantNorm
+    * .leftAlign]] / [[graft.expressions.LeftAlignExpr]], vt-normalize
+    * Algorithm 1 — Tan et al. 2015) against a PERIODIC synthetic
+    * genome whose fixed point has a CLOSED FORM the oracle can replay:
+    * chrom 1 is 'C' at positions ≡ 1 (mod 16), 'A' elsewhere — 15-base
+    * homopolymer runs anchored by a C. Deletions/insertions of an A
+    * planted mid-run (offset 2..14) must slide to the run's anchor:
+    * del (p, AA, A) → (16q+1, CA, C), ins (p, A, AA) → (16q+1, C, CA);
+    * SNPs must not move. DuckDB replays the modular closed form — an
+    * off-by-one in the extension base, a wrong stop rule, or a missed
+    * parsimony trim all land on a different position or allele and
+    * hash-mismatch. The genome rides the codegen'd kernel as a
+    * reference object; plan-gated zero corpus-side exchanges (the
+    * fan-out repartition is the testdata-split §8 artifact).
+    */
+  private val q163 = Q(
+    "q163_left_align",
+    (s, dir) => {
+      import graft.operators.VariantNorm
+      val len = 16 * 4096 + 64
+      val sb = new StringBuilder(len)
+      (1 to len).foreach(p => sb.append(if ((p - 1) % 16 == 0) 'C' else 'A'))
+      val genome = Map("1" -> sb.toString)
+      val v = QueryUtil.t(s, dir, "lineitem")
+        .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("k", "'1' AS chrom",
+          "CAST(16 * (k % 4096) + 2 + (k % 13) AS BIGINT) AS pos",
+          "CASE WHEN k % 3 = 0 THEN 'AA' ELSE 'A' END AS ref",
+          "CASE WHEN k % 3 = 0 THEN 'A' WHEN k % 3 = 1 THEN 'AA' " +
+            "ELSE 'G' END AS alt")
+      VariantNorm.leftAlign(v, genome)
+        .select(col("k"), col("pos"), col("ref"), col("alt"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+      v AS (SELECT k, k % 4096 AS q, 2 + (k % 13) AS o FROM ln)
+      SELECT k,
+        CAST(CASE WHEN k % 3 = 2 THEN 16 * q + o
+                  ELSE 16 * q + 1 END AS BIGINT) AS pos,
+        CASE WHEN k % 3 = 0 THEN 'CA' WHEN k % 3 = 1 THEN 'C'
+             ELSE 'A' END AS ref,
+        CASE WHEN k % 3 = 0 THEN 'C' WHEN k % 3 = 1 THEN 'CA'
+             ELSE 'G' END AS alt
+      FROM v ORDER BY k
+    """))
+
+  /** Codon-aware SNP CONSEQUENCE calling ([[graft.operators
+    * .Consequence.snpConsequence]] — the snpEff/VEP/`bcftools csq`
+    * core) against a FORMULA genome both engines can rebuild
+    * independently: base(p) = 'ACGT'[(p·2654435761 mod 1000000007)
+    * mod 4], ten 100-codon genes every 6 kb alternating strands. The
+    * Spark side materializes the genome string driver-side and runs
+    * the real operator (broadcast CDS range join + substr codon
+    * lookups + genetic-code map); DuckDB re-derives every base from
+    * the formula and translates through the 64-char codon table
+    * indexed by base digits — a fully independent spelling of the
+    * same biology. Any error in offset/phase/strand/complement/
+    * translation shifts an amino acid and hash-mismatches.
+    */
+  private val q164 = Q(
+    "q164_consequence",
+    (s, dir) => {
+      import graft.operators.Consequence
+      val len = 61100
+      val sb = new StringBuilder(len)
+      (1 to len).foreach { p =>
+        sb.append("ACGT".charAt(
+          ((p.toLong * 2654435761L % 1000000007L) % 4L).toInt))
+      }
+      val genome = Map("1" -> sb.toString)
+      val cdsRows = (0 until 10).map { i =>
+        (s"g$i", "1", 1000L + i * 6000L, 1000L + i * 6000L + 299L,
+          if (i % 2 == 0) "+" else "-")
+      }
+      import s.implicits._
+      val cds = cdsRows
+        .toDF("gene", "chrom", "cds_start", "cds_end", "strand")
+      val sites = QueryUtil.t(s, dir, "lineitem")
+        .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("k", "'1' AS chrom",
+          "CAST(1000 + (k % 60000) AS BIGINT) AS pos")
+        .selectExpr("k", "chrom", "pos",
+          "CAST((pos * 2654435761 % 1000000007) % 4 AS INT) AS bi")
+        .selectExpr("k", "chrom", "pos",
+          "substr('ACGT', bi + 1, 1) AS ref",
+          "substr('ACGT', CAST((bi + 1 + k % 3) % 4 AS INT) + 1, 1) AS alt")
+      Consequence.snpConsequence(sites, cds, genome)
+        .select(col("k"), col("pos"), col("gene"), col("ref"), col("alt"),
+          col("aa_ref"), col("aa_alt"), col("consequence"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+      s AS (SELECT k, 1000 + (k % 60000) AS pos FROM ln),
+      v AS (SELECT k, pos,
+              CAST((pos * 2654435761 % 1000000007) % 4 AS INT) AS bi
+            FROM s),
+      v2 AS (SELECT k, pos, substr('ACGT', bi + 1, 1) AS ref,
+              substr('ACGT', CAST((bi + 1 + k % 3) % 4 AS INT) + 1, 1) AS alt,
+              CAST((pos - 1000) // 6000 AS INT) AS gi,
+              (pos - 1000) % 6000 AS o0
+            FROM v),
+      g AS (SELECT k, pos, ref, alt,
+              CASE WHEN o0 <= 299 THEN 'g' || CAST(gi AS VARCHAR) END AS gene,
+              1000 + gi * 6000 AS cst, 1000 + gi * 6000 + 299 AS cen,
+              CASE WHEN gi % 2 = 0 THEN '+' ELSE '-' END AS strand
+            FROM v2),
+      cx AS (SELECT *,
+              CASE WHEN strand = '+' THEN pos - cst ELSE cen - pos END AS o
+            FROM g WHERE gene IS NOT NULL),
+      tp AS (SELECT *,
+              CASE WHEN strand = '+' THEN cst + 3 * (o // 3)
+                   ELSE cen - 3 * (o // 3) - 2 END AS t,
+              CASE WHEN strand = '+' THEN (o % 3) + 1
+                   ELSE 3 - (o % 3) END AS idx
+            FROM cx),
+      tr AS (SELECT *,
+              substr('ACGT', CAST((t * 2654435761 % 1000000007) % 4 AS INT) + 1, 1) ||
+              substr('ACGT', CAST(((t+1) * 2654435761 % 1000000007) % 4 AS INT) + 1, 1) ||
+              substr('ACGT', CAST(((t+2) * 2654435761 % 1000000007) % 4 AS INT) + 1, 1)
+                AS trip
+            FROM tp),
+      cd AS (SELECT *,
+              substr(trip, 1, CAST(idx - 1 AS INT)) || alt ||
+                substr(trip, CAST(idx + 1 AS INT), CAST(3 - idx AS INT)) AS atrip
+            FROM tr),
+      rc AS (SELECT k, pos, gene, ref, alt,
+              CASE WHEN strand = '+' THEN trip
+                   ELSE reverse(translate(trip, 'ACGT', 'TGCA')) END AS rcod,
+              CASE WHEN strand = '+' THEN atrip
+                   ELSE reverse(translate(atrip, 'ACGT', 'TGCA')) END AS acod
+            FROM cd),
+      aa AS (SELECT k, pos, gene, ref, alt,
+              substr('KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF',
+                16 * (strpos('ACGT', substr(rcod, 1, 1)) - 1)
+                  + 4 * (strpos('ACGT', substr(rcod, 2, 1)) - 1)
+                  + (strpos('ACGT', substr(rcod, 3, 1)) - 1) + 1, 1) AS aa_ref,
+              substr('KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF',
+                16 * (strpos('ACGT', substr(acod, 1, 1)) - 1)
+                  + 4 * (strpos('ACGT', substr(acod, 2, 1)) - 1)
+                  + (strpos('ACGT', substr(acod, 3, 1)) - 1) + 1, 1) AS aa_alt
+            FROM rc),
+      res AS (
+        SELECT k, pos, gene, ref, alt, aa_ref, aa_alt,
+          CASE WHEN aa_ref = aa_alt THEN 'synonymous'
+               WHEN aa_alt = '*' THEN 'stop_gained'
+               WHEN aa_ref = '*' THEN 'stop_lost'
+               ELSE 'missense' END AS consequence
+        FROM aa
+        UNION ALL
+        SELECT k, pos, NULL, ref, alt, NULL, NULL, 'intergenic'
+        FROM g WHERE gene IS NULL)
+      SELECT k, CAST(pos AS BIGINT) AS pos, gene, ref, alt,
+        aa_ref, aa_alt, consequence
+      FROM res ORDER BY k
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
-      q160)
+      q160, q162, q163, q164)
 }

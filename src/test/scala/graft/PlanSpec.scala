@@ -255,18 +255,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(joins === 1, s"exactly the (chrom, bucket) pair join expected:\n$p")
   }
 
-  test("q108 roh: both island windows and the run agg share ONE (sample, chrom) exchange") {
-    val q = SparkEntry.queries("q108_roh")(spark, dir)
-    q.collect()
-    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // exactly one hashpartitioning(sample_id, chrom): the second
-    // row_number re-sorts inside it and the (sample, chrom, grp) groupBy
-    // is satisfied by the subset partitioning — no further shuffle until
-    // the tiny ordered output
-    val keyed = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning(sample_id"))
-    assert(keyed === 1, s"roh must shuffle once on (sample, chrom):\n$p")
-    assert(p.linesIterator.count(_.contains("Window ")) === 2, p)
+  test("q108/q162 roh: every island window and the run agg share ONE " +
+      "(sample, chrom) exchange") {
+    for (name <- Seq("q108_roh", "q162_roh_het")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // exactly one hashpartitioning(sample_id, chrom): all five
+      // window stages (site rn, het cumsum, block size, island key,
+      // interior-hom counts) cluster on (sample, chrom) subsets —
+      // Catalyst inserts sorts between them, never a second shuffle —
+      // and the (sample, chrom, isl) groupBy is satisfied by the
+      // subset partitioning
+      val keyed = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(sample_id"))
+      assert(keyed === 1, s"$name must shuffle once on (sample, chrom):\n$p")
+      // strict mode short-circuits to the classic two-window plan;
+      // the relaxed path adds het cumsum, block size, and the
+      // interior-hom counts
+      val expectWindows = if (name == "q108_roh") 2 else 5
+      assert(p.linesIterator.count(_.contains("Window ")) === expectWindows, p)
+    }
   }
 
   test("q87 bm25 top-k plans as TakeOrderedAndProject, never a global sort") {

@@ -33,6 +33,23 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     r.get(r.fieldIndex(field))
   }
 
+  test("annotate without formatKeys warns loudly about the discovery scan") {
+    // the warning text users will grep driver logs for must name the fix
+    assert(VariantAnnotator.DiscoveryScanWarning
+      .contains("Options.formatKeys"))
+    val before = VariantAnnotator.discoveryScanWarnings.get()
+    // no Options.formatKeys → the discovery distinct scan + warning
+    VariantAnnotator
+      .annotate(wide, VariantAnnotator.Options(dropHomRef = false))
+      .count()
+    assert(VariantAnnotator.discoveryScanWarnings.get() === before + 1,
+      "discovery-scan warning not emitted on the formatKeys=None path")
+    // the explicit-keys path must stay silent
+    full.count()
+    assert(VariantAnnotator.discoveryScanWarnings.get() === before + 1,
+      "explicit formatKeys must not warn")
+  }
+
   test("wide→long explode with missing-call and missing-ALT drops") {
     // 7 sites × 2 samples = 14 calls; minus ./., minus 2 calls on ALT='.'
     assert(full.count() === 11)
@@ -153,6 +170,39 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(!byPos.contains(400L)) // multiallelic excluded entirely
     // only the called diploid row counts: n = 1 het → chi² = 1·1/(1·1)
     assert(byPos(500L) === ((0L, 1L, 0L, 1000000L)))
+    // decimal lift: identical to the int64 path at small width
+    val lifted = graft.operators.VariantQc.hweBySite(ann, decimalLift = true)
+      .select("pos", "n0", "n1", "n2", "hwe_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(lifted === byPos)
+  }
+
+  test("hweBySite decimalLift: exact past the int64 product bound " +
+      "(biobank width)") {
+    import spark.implicits._
+    // one site, 50k diploid samples, counts 20000/10000/20000:
+    // n·D² = 5e4 · (1e8 − 1.6e9)² = 1.125e23 — wraps int64 (< 2⁶³ ≈
+    // 9.2e18), the exact crossover the operator doc pins at ~3000
+    // samples. Decimal path: χ²·1e6 = ⌊1.125e29 / 6.25e18⌋ cross-
+    // checked against BigInt below.
+    val (c0, c1, c2) = (20000, 10000, 20000)
+    val rows =
+      (1 to c0).map(_ => ("1", 100L, "A", "T", 0, "0", "0", "hom-ref")) ++
+      (1 to c1).map(_ => ("1", 100L, "A", "T", 0, "0", "1", "het-ref")) ++
+      (1 to c2).map(_ => ("1", 100L, "A", "T", 0, "1", "1", "hom-alt"))
+    val ann = rows
+      .toDF("chrom", "pos", "ref", "alt", "multiallele", "gt1", "gt2",
+        "zygosity")
+    val got = graft.operators.VariantQc.hweBySite(ann, decimalLift = true)
+      .select("n0", "n1", "n2", "hwe_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    val (n0, n1, n2) = (BigInt(c0), BigInt(c1), BigInt(c2))
+    val (aa, bb) = (2 * n0 + n1, n1 + 2 * n2)
+    val dd = n1 * n1 - 4 * n0 * n2
+    val want = (n0 + n1 + n2) * dd * dd * 1000000 / (aa * aa * bb * bb)
+    assert(got.toSeq ===
+      Seq((c0.toLong, c1.toLong, c2.toLong, want.toLong)))
   }
 
   test("inbreedingF: exact micro-fixed-point F, exclusions enforced") {
@@ -331,12 +381,60 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
         "gt1", "gt2", "gt", "a1", "a2")
     val runs = graft.operators.VariantQc.rohSegments(ann, minSites = 3)
-      .select("sample_id", "chrom", "n_sites", "run_start", "run_end")
-      .as[(String, String, Long, Long, Long)].collect().toSet
+      .select("sample_id", "chrom", "n_sites", "run_start", "run_end", "n_het")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
     assert(runs === Set(
-      ("s1", "1", 3L, 100L, 300L),
-      ("s1", "1", 4L, 500L, 800L),
-      ("s2", "2", 4L, 10L, 30L)))
+      ("s1", "1", 3L, 100L, 300L, 0L),
+      ("s1", "1", 4L, 500L, 800L, 0L),
+      ("s2", "2", 4L, 10L, 30L, 0L)))
+  }
+
+  test("rohSegments maxHetRun: single-het blocks bridge (the one-error " +
+      "run), longer blocks still break, edge hets never extend") {
+    import spark.implicits._
+    def call(ch: String, pos: Long, s: String, hom: Boolean) = {
+      val (g2, a2) = if (hom) ("0", "A") else ("1", "T")
+      (ch, pos, "A", "T", s, 0, "0", g2, if (hom) "0/0" else "0/1", "A", a2)
+    }
+    val ann = (
+      // s1 chrom 1: hom×3, ONE het, hom×4 — bridged at maxHetRun=1
+      // into a single 7-hom run carrying n_het=1
+      Seq(100L, 200L, 300L).map(call("1", _, "s1", hom = true)) ++
+      Seq(call("1", 400L, "s1", hom = false)) ++
+      Seq(500L, 600L, 700L, 800L).map(call("1", _, "s1", hom = true)) ++
+      // s1 chrom 2: hom×3, TWO consecutive hets, hom×3 — the block of
+      // 2 exceeds maxHetRun=1 and still breaks
+      Seq(10L, 20L, 30L).map(call("2", _, "s1", hom = true)) ++
+      Seq(call("2", 40L, "s1", hom = false),
+        call("2", 50L, "s1", hom = false)) ++
+      Seq(60L, 70L, 80L).map(call("2", _, "s1", hom = true)) ++
+      // s2 chrom 1: leading + trailing het around hom×3 — bridgeable
+      // blocks at the edges must not extend bounds or count in n_het
+      Seq(call("1", 5L, "s2", hom = false)) ++
+      Seq(10L, 20L, 30L).map(call("1", _, "s2", hom = true)) ++
+      Seq(call("1", 40L, "s2", hom = false)))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2", "gt", "a1", "a2")
+    val relaxed = graft.operators.VariantQc
+      .rohSegments(ann, minSites = 3, maxHetRun = 1)
+      .select("sample_id", "chrom", "n_sites", "run_start", "run_end", "n_het")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(relaxed === Set(
+      ("s1", "1", 7L, 100L, 800L, 1L),
+      ("s1", "2", 3L, 10L, 30L, 0L),
+      ("s1", "2", 3L, 60L, 80L, 0L),
+      ("s2", "1", 3L, 10L, 30L, 0L)))
+    // strict mode on the same data: the het fragments s1 chrom 1
+    val strict = graft.operators.VariantQc
+      .rohSegments(ann, minSites = 3, maxHetRun = 0)
+      .select("sample_id", "chrom", "n_sites", "run_start", "run_end", "n_het")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(strict === Set(
+      ("s1", "1", 3L, 100L, 300L, 0L),
+      ("s1", "1", 4L, 500L, 800L, 0L),
+      ("s1", "2", 3L, 10L, 30L, 0L),
+      ("s1", "2", 3L, 60L, 80L, 0L),
+      ("s2", "1", 3L, 10L, 30L, 0L)))
   }
 
   test("grmPairs: exact standardized products, exclusions, min-dedup") {

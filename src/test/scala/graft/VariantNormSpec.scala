@@ -101,4 +101,100 @@ class VariantNormSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected narrow plan, got:\n$plan")
   }
+
+  // Tan, Abecasis & Kang 2015 Fig. 1: on ...GGGCACACAGGG... every
+  // representation of the CA-deletion left-aligns to (3, GCA, G)
+  private val tanGenome = Map("20" -> "GGGCACACAGGG")
+
+  private def align(genome: Map[String, String],
+      rows: (String, Long, String, String)*) = {
+    import spark.implicits._
+    VariantNorm.leftAlign(
+        rows.zipWithIndex
+          .map { case ((c, p, r, a), i) => (i.toLong, c, p, r, a) }
+          .toDF("k", "chrom", "pos", "ref", "alt"),
+        genome)
+      .select("k", "pos", "ref", "alt")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3))))
+      .toMap
+  }
+
+  test("leftAlign: every representation of the Tan et al. CA-deletion " +
+      "lands on (3, GCA, G)") {
+    val got = align(tanGenome,
+      ("20", 4L, "CAC", "C"),        // the paper's representations
+      ("20", 5L, "ACA", "A"),
+      ("20", 6L, "CACA", "CA"),
+      ("20", 5L, "ACACA", "ACA"),
+      ("20", 3L, "GCACA", "GCA"),    // shared-prefix spelling
+      ("20", 3L, "GCA", "G"))        // already normalized — idempotent
+    got.values.foreach(v => assert(v === ((3L, "GCA", "G")), got))
+  }
+
+  test("leftAlign: insertions slide too; SNPs/MNPs stay; invalid ALTs " +
+      "and absent chroms pass through genome-free") {
+    val got = align(tanGenome,
+      ("20", 9L, "A", "ACA"),        // CA-insertion in the repeat
+      ("20", 5L, "A", "T"),          // SNP — untouched
+      ("20", 5L, "AC", "TG"),        // MNP — untouched
+      ("20", 6L, "CAC", "TAC"),      // suffix trim only → SNP at 6
+      ("20", 5L, "A", "<DEL>"),      // symbolic — untouched
+      ("20", 5L, "ACA", "A,AC"),     // multi-allelic — untouched
+      ("1", 800L, "GAA", "GA"))      // chrom absent → trim only, no shift
+    assert(got(0L) === ((3L, "G", "GCA")), got)
+    assert(got(1L) === ((5L, "A", "T")))
+    assert(got(2L) === ((5L, "AC", "TG")))
+    assert(got(3L) === ((6L, "C", "T")))
+    assert(got(4L) === ((5L, "A", "<DEL>")))
+    assert(got(5L) === ((5L, "ACA", "A,AC")))
+    assert(got(6L) === ((800L, "GA", "G")))
+  }
+
+  test("leftAlign: contig-edge stop — a deletion at the start of the " +
+      "chromosome cannot extend past POS 1") {
+    // genome AAAAT: deleting one A anywhere in the run slides to pos 1
+    // and stops with the edge representation (1, AA, A)
+    val got = align(Map("9" -> "AAAAT"),
+      ("9", 3L, "AA", "A"),
+      ("9", 1L, "AA", "A"))
+    assert(got(0L) === ((1L, "AA", "A")), got)
+    assert(got(1L) === ((1L, "AA", "A")), got)
+  }
+
+  test("leftAlign: idempotent, and plan is narrow codegen — zero exchanges") {
+    import spark.implicits._
+    val df = Seq(("20", 6L, "CACA", "CA"), ("20", 9L, "A", "ACA"))
+      .toDF("chrom", "pos", "ref", "alt")
+    val once = VariantNorm.leftAlign(df, tanGenome)
+    val twice = VariantNorm.leftAlign(once, tanGenome)
+    assert(once.collect().toSeq === twice.collect().toSeq)
+    // plan shape over the split pipeline: still narrow
+    val sourced = VariantNorm.leftAlign(
+      VariantNorm.splitMultiallelic(wide, decls)
+        .withColumn("pos", col("pos").cast("long")),
+      tanGenome)
+    val plan = sourced.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected narrow plan, got:\n$plan")
+    // codegen: isolated from split's transform_values lambdas (higher-
+    // order functions are CodegenFallback and drag any merged Project
+    // out of codegen with them), the left_align projection must ride
+    // a WholeStageCodegen stage (the starred Project)
+    // (a Range source, unlike the local fixtures, cannot constant-fold)
+    val alone = VariantNorm.leftAlign(
+      spark.range(4).select(lit("20").as("chrom"),
+        (col("id") + 4L).as("pos"), lit("CAC").as("ref"),
+        lit("C").as("alt")),
+      tanGenome)
+    val p2 = alone.queryExecution.executedPlan.toString
+    assert(p2.linesIterator.exists(l =>
+      l.contains("left_align") && l.contains("*(")),
+      s"left_align must stay inside whole-stage codegen:\n$p2")
+    // and the codegen path computes the same values as interpreted:
+    // CAC>C at 4 and at 6 both sit in the CACA repeat → (3, GCA, G);
+    // at 5 and 7 the allele disagrees with the genome mid-run and the
+    // slide stops after one extension
+    assert(alone.filter(col("pos") === 3L && col("ref") === "GCA" &&
+      col("alt") === "G").count() === 2L)
+  }
 }
