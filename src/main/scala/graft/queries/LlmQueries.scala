@@ -4049,6 +4049,63 @@ object LlmQueries extends QuerySet {
       FROM r WHERE rn <= 5 ORDER BY lang, doc_id
     """))
 
+  /** K-ANONYMITY over document metadata ([[graft.operators.Privacy
+    * .kAnonymize]], Sweeney 2002): the metadata side channel the q24
+    * text-PII pass cannot close — any (lang, source, length-band)
+    * combination describing fewer than k docs re-identifies them on
+    * release. Local recoding up a two-rung ladder (widen the length
+    * band ×10, then mask the source), terminal suppression; level is
+    * part of the equivalence key, so every surviving class is ≥ k rows
+    * of the SAME level. Output is the class audit report (level,
+    * quasi-tuple, suppressed, size). DuckDB replays the ladder as a
+    * window chain — a wrong promotion rule, class key, or suppression
+    * boundary moves rows across classes and hash-mismatches.
+    */
+  private lazy val q165 = Q(
+    "q165_k_anon",
+    (s, dir) => {
+      import graft.operators.Privacy
+      val docs = t(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "source", "n_chars div 100 AS lb")
+      Privacy.kAnonymize(docs, Seq("lang", "source", "lb"),
+          Seq(Map("lb" -> expr("lb div 10")),
+              Map("source" -> lit("*"))),
+          k = 10)
+        .groupBy("anon_level", "lang", "source", "lb", "suppressed")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("anon_level", "lang", "source", "lb", "suppressed")
+    },
+    Some("""
+      WITH l0 AS (SELECT doc_id, lang, source, n_chars // 100 AS lb
+                  FROM documents),
+      c0 AS (SELECT *, count(*) OVER (PARTITION BY lang, source, lb) AS c
+             FROM l0),
+      s1 AS (SELECT doc_id, lang, source,
+               CASE WHEN c < 10 THEN lb // 10 ELSE lb END AS lb,
+               CASE WHEN c < 10 THEN 1 ELSE 0 END AS lvl
+             FROM c0),
+      c1 AS (SELECT *, count(*) OVER (PARTITION BY lvl, lang, source, lb) AS c
+             FROM s1),
+      s2 AS (SELECT doc_id, lang,
+               CASE WHEN lvl = 1 AND c < 10 THEN '*' ELSE source END AS source,
+               lb,
+               CASE WHEN lvl = 1 AND c < 10 THEN 2 ELSE lvl END AS lvl
+             FROM c1),
+      c2 AS (SELECT *, count(*) OVER (PARTITION BY lvl, lang, source, lb) AS c
+             FROM s2),
+      fin AS (SELECT doc_id, lvl,
+               CASE WHEN c < 10 THEN NULL ELSE lang END AS lang,
+               CASE WHEN c < 10 THEN NULL ELSE source END AS source,
+               CASE WHEN c < 10 THEN NULL ELSE lb END AS lb,
+               (c < 10) AS suppressed
+              FROM c2)
+      SELECT CAST(lvl AS INT) AS anon_level, lang, source,
+        CAST(lb AS BIGINT) AS lb, suppressed, count(*) AS n
+      FROM fin GROUP BY 1, 2, 3, 4, 5
+      ORDER BY anon_level, lang NULLS FIRST, source NULLS FIRST,
+        lb NULLS FIRST, suppressed
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4056,5 +4113,5 @@ object LlmQueries extends QuerySet {
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
-      q158, q161)
+      q158, q161, q165)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Privacy
+
+class PrivacySpec extends AnyFunSuite with SparkSpec {
+
+  // quasi = (city, ageb); ladder: widen the age band, then mask city
+  private val ladder = Seq(
+    Map("ageb" -> expr("ageb div 10")),
+    Map("city" -> lit("*")))
+
+  private def fixture = {
+    import spark.implicits._
+    (Seq.fill(3)(("nyc", 23L)) ++          // safe at level 0
+      Seq(("nyc", 24L), ("nyc", 24L), ("nyc", 27L)) ++ // fuse at level 1 (band 2)
+      Seq(("la", 31L), ("sf", 35L), ("chi", 33L)) ++   // fuse at level 2 (*, 3)
+      Seq(("mia", 99L)))                   // unreachable → suppressed
+      .zipWithIndex.map { case ((c, a), i) => (i.toLong, c, a) }
+      .toDF("id", "city", "ageb")
+  }
+
+  test("local recoding: rows climb only as far as k requires; the " +
+      "unreachable row is suppressed") {
+    import spark.implicits._
+    val out = Privacy.kAnonymize(fixture, Seq("city", "ageb"), ladder, k = 3)
+      .select($"id", $"city", $"ageb", $"anon_level", $"suppressed")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)).orNull,
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getInt(3), r.getBoolean(4))))
+      .toMap
+    // level 0: the 3×(nyc,23) class is already safe
+    (0L to 2L).foreach(i => assert(out(i) === (("nyc", 23L, 0, false))))
+    // level 1: (nyc,24)×2 + (nyc,27) fuse into band (nyc, 2)
+    (3L to 5L).foreach(i => assert(out(i) === (("nyc", 2L, 1, false))))
+    // level 2: three singleton cities fuse into (*, 3)
+    (6L to 8L).foreach(i => assert(out(i) === (("*", 3L, 2, false))))
+    // suppressed: (mia, 99) reaches (*, 9) alone — quasi nulled
+    assert(out(9L) === ((null, -1L, 2, true)))
+  }
+
+  test("the k-anonymity invariant holds: every surviving (level, quasi) " +
+      "class has >= k rows; deterministic under repartitioning") {
+    val out = Privacy.kAnonymize(
+      fixture.repartition(7), Seq("city", "ageb"), ladder, k = 3)
+    val classes = out.filter(!col("suppressed"))
+      .groupBy("anon_level", "city", "ageb").count().collect()
+    assert(classes.nonEmpty)
+    classes.foreach(r => assert(r.getLong(3) >= 3L, r))
+    val a = Privacy.kAnonymize(fixture, Seq("city", "ageb"), ladder, k = 3)
+      .select("id", "city", "ageb", "anon_level", "suppressed")
+      .collect().map(_.toString).sorted.toSeq
+    val b = out.select("id", "city", "ageb", "anon_level", "suppressed")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("guards: k >= 1, quasi non-empty, ladder only rewrites quasi") {
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(fixture, Seq("city"), Nil, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(fixture, Nil, Nil, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(fixture, Seq("city"),
+        Seq(Map("ageb" -> lit(0L))), k = 3)
+    }
+  }
+}
