@@ -49,11 +49,25 @@ object Privacy {
     * pass through unchanged. */
   type Step = Map[String, Column]
 
+  /** K-anonymity, optionally strengthened to DISTINCT-l-DIVERSITY
+    * (Machanavajjhala et al. 2007): with `sensitive = Some(col)` and
+    * `l > 1`, a class must ALSO contain at least l distinct sensitive
+    * values — k alone fails the homogeneity attack (a class of 50 rows
+    * that all share one diagnosis re-identifies the attribute even
+    * though no row is singled out). Promotion/suppression then fires
+    * on EITHER shortfall. countDistinct is an exact two-phase
+    * aggregate, so the scale shape is unchanged.
+    */
   def kAnonymize(
       df: DataFrame, quasi: Seq[String], ladder: Seq[Step],
-      k: Int): DataFrame = {
+      k: Int, sensitive: Option[String] = None, l: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(sensitive.nonEmpty || l == 1,
+      "l-diversity (l > 1) needs a sensitive column")
     require(quasi.nonEmpty, "no quasi-identifier columns given")
+    sensitive.foreach(sc => require(!quasi.contains(sc),
+      s"sensitive column $sc cannot be a quasi-identifier"))
     ladder.foreach(step => require(
       step.keySet.subsetOf(quasi.toSet),
       s"ladder step rewrites non-quasi columns: ${step.keySet -- quasi.toSet}"))
@@ -61,12 +75,15 @@ object Privacy {
     val key = "anon_level" +: quasi
     def classCounts(cur: DataFrame): DataFrame = cur
       .groupBy(key.map(col): _*)
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c"),
+        sensitive.map(sc => countDistinct(col(sc)))
+          .getOrElse(lit(1L)).as("__d"))
+    val violating = col("__c") < k || col("__d") < l
 
     var cur = df.withColumn("anon_level", lit(0))
-    ladder.zipWithIndex.foreach { case (step, l) =>
+    ladder.zipWithIndex.foreach { case (step, lv) =>
       val joined = cur.join(classCounts(cur), key)
-      val promote = col("anon_level") === l && col("__c") < k
+      val promote = col("anon_level") === lv && violating
       val rewritten = quasi.foldLeft(joined) { (d, q) =>
         step.get(q) match {
           case Some(next) => d.withColumn(q, when(promote, next).otherwise(col(q)))
@@ -75,16 +92,15 @@ object Privacy {
       }
       cur = rewritten
         .withColumn("anon_level",
-          when(promote, lit(l + 1)).otherwise(col("anon_level")))
-        .drop("__c")
+          when(promote, lit(lv + 1)).otherwise(col("anon_level")))
+        .drop("__c", "__d")
     }
     // terminal suppression for classes the ladder could not save
     val fin = cur.join(classCounts(cur), key)
-    val suppress = col("__c") < k
     quasi.foldLeft(fin) { (d, q) =>
-        d.withColumn(q, when(suppress, lit(null)).otherwise(col(q)))
+        d.withColumn(q, when(violating, lit(null)).otherwise(col(q)))
       }
-      .withColumn("suppressed", suppress)
-      .drop("__c")
+      .withColumn("suppressed", violating)
+      .drop("__c", "__d")
   }
 }

@@ -4106,6 +4106,68 @@ object LlmQueries extends QuerySet {
         lb NULLS FIRST, suppressed
     """))
 
+  /** DISTINCT-l-DIVERSITY ([[graft.operators.Privacy.kAnonymize]] with
+    * `sensitive`/`l` — Machanavajjhala et al. 2007): q165's k gate
+    * alone fails the HOMOGENEITY attack — a class of 50 docs that all
+    * share one language still leaks the language; here every surviving
+    * (source, length-band) class must ALSO span ≥ l distinct langs, or
+    * it climbs the same ladder / suppresses. DuckDB replays distinct-
+    * per-class via the dense_rank-max trick (window COUNT(DISTINCT) is
+    * unsupported there — an independent spelling of the same count).
+    */
+  private lazy val q166 = Q(
+    "q166_l_diversity",
+    (s, dir) => {
+      import graft.operators.Privacy
+      val docs = t(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "source", "n_chars div 100 AS lb")
+      Privacy.kAnonymize(docs, Seq("source", "lb"),
+          Seq(Map("lb" -> expr("lb div 10")),
+              Map("source" -> lit("*"))),
+          k = 10, sensitive = Some("lang"), l = 3)
+        .groupBy("anon_level", "source", "lb", "suppressed")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("anon_level", "source", "lb", "suppressed")
+    },
+    Some("""
+      WITH l0 AS (SELECT doc_id, lang, source, n_chars // 100 AS lb
+                  FROM documents),
+      c0 AS (SELECT *, count(*) OVER (PARTITION BY source, lb) AS c,
+               max(dr) OVER (PARTITION BY source, lb) AS d
+             FROM (SELECT *, dense_rank() OVER (PARTITION BY source, lb
+                     ORDER BY lang) AS dr FROM l0)),
+      s1 AS (SELECT doc_id, lang, source,
+               CASE WHEN c < 10 OR d < 3 THEN lb // 10 ELSE lb END AS lb,
+               CASE WHEN c < 10 OR d < 3 THEN 1 ELSE 0 END AS lvl
+             FROM c0),
+      c1 AS (SELECT *, count(*) OVER (PARTITION BY lvl, source, lb) AS c,
+               max(dr) OVER (PARTITION BY lvl, source, lb) AS d
+             FROM (SELECT *, dense_rank() OVER (PARTITION BY lvl, source, lb
+                     ORDER BY lang) AS dr FROM s1)),
+      s2 AS (SELECT doc_id, lang,
+               CASE WHEN lvl = 1 AND (c < 10 OR d < 3) THEN '*'
+                    ELSE source END AS source,
+               lb,
+               CASE WHEN lvl = 1 AND (c < 10 OR d < 3) THEN 2
+                    ELSE lvl END AS lvl
+             FROM c1),
+      c2 AS (SELECT *, count(*) OVER (PARTITION BY lvl, source, lb) AS c,
+               max(dr) OVER (PARTITION BY lvl, source, lb) AS d
+             FROM (SELECT *, dense_rank() OVER (PARTITION BY lvl, source, lb
+                     ORDER BY lang) AS dr FROM s2)),
+      fin AS (SELECT doc_id, lang, lvl,
+               CASE WHEN c < 10 OR d < 3 THEN NULL ELSE source END AS source,
+               CASE WHEN c < 10 OR d < 3 THEN NULL ELSE lb END AS lb,
+               (c < 10 OR d < 3) AS suppressed
+              FROM c2)
+      SELECT CAST(lvl AS INT) AS anon_level, source,
+        CAST(lb AS BIGINT) AS lb, suppressed, count(*) AS n,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM fin GROUP BY 1, 2, 3, 4
+      ORDER BY anon_level, source NULLS FIRST, lb NULLS FIRST, suppressed
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4113,5 +4175,5 @@ object LlmQueries extends QuerySet {
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
-      q158, q161, q165)
+      q158, q161, q165, q166)
 }

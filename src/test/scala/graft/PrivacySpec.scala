@@ -58,6 +58,40 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     assert(a === b)
   }
 
+  test("l-diversity: a k-satisfying but homogeneous class still promotes; " +
+      "a class that stays homogeneous after the ladder is suppressed") {
+    import spark.implicits._
+    val rows = (
+      Seq.fill(3)(("nyc", "flu")) ++           // c=3 ok, d=1 < 2 → promote
+      Seq(("la", "flu"), ("la", "cold")) ++    // c=2, d=2 → safe at L0
+      Seq(("sf", "flu"), ("sf", "cold"), ("sf", "flu")) ++ // safe at L0
+      Seq(("mia", "flu"), ("mia", "flu")) ++   // d=1 → promote
+      Seq(("bos", "cold")))                    // c=1 → promote
+      .zipWithIndex.map { case ((c, s), i) => (i.toLong, c, s) }
+      .toDF("id", "city", "diag")
+    val out = Privacy.kAnonymize(rows, Seq("city"),
+        Seq(Map("city" -> lit("*"))), k = 2,
+        sensitive = Some("diag"), l = 2)
+      .select($"id", $"city", $"anon_level", $"suppressed")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)).orNull, r.getInt(2), r.getBoolean(3))))
+      .toMap
+    // the promoted rows fuse at level 1 into (*) with {flu, cold}: pass
+    Seq(0L, 1L, 2L, 8L, 9L, 10L).foreach(i =>
+      assert(out(i) === (("*", 1, false)), s"id $i: ${out(i)}"))
+    Seq(3L, 4L).foreach(i => assert(out(i) === (("la", 0, false))))
+    Seq(5L, 6L, 7L).foreach(i => assert(out(i) === (("sf", 0, false))))
+    // same data WITHOUT bos: the level-1 class is all-flu → suppressed
+    val out2 = Privacy.kAnonymize(rows.filter($"id" =!= 10L), Seq("city"),
+        Seq(Map("city" -> lit("*"))), k = 2,
+        sensitive = Some("diag"), l = 2)
+      .select($"id", $"city", $"suppressed").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)).orNull,
+        r.getBoolean(2)))).toMap
+    Seq(0L, 1L, 2L, 8L, 9L).foreach(i => assert(out2(i) === ((null, true))))
+  }
+
   test("guards: k >= 1, quasi non-empty, ladder only rewrites quasi") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymize(fixture, Seq("city"), Nil, k = 0)
@@ -68,6 +102,14 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymize(fixture, Seq("city"),
         Seq(Map("ageb" -> lit(0L))), k = 3)
+    }
+    // l > 1 needs a sensitive column, and it must not be quasi
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(fixture, Seq("city"), Nil, k = 3, l = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(fixture, Seq("city"), Nil, k = 3,
+        sensitive = Some("city"), l = 2)
     }
   }
 }
