@@ -64,6 +64,39 @@ object VariantQc {
           col("hom_a") =!= col("hom_b"), 1L).otherwise(0L)).as("n_opp"))
   }
 
+  /** RELATEDNESS PRUNING — reduce the cohort to an unrelated sample
+    * panel (the plink2 `--king-cutoff` step every GWAS/PCA pipeline
+    * runs first: related samples violate the independence assumption
+    * of association tests and bend PCA axes toward families): pairs
+    * whose KING φ̂ (micro-floored, the q91 spelling) reaches
+    * `phiMicroMin` drop their HIGHER-keyed sample — the [[ldPrune]]
+    * order-free rule: no greedy scan state, deterministic under any
+    * partitioning, whole related chains prune. plink's iterative
+    * max-degree heuristic keeps slightly more samples but is
+    * inherently sequential (documented trade, same as q117's).
+    * Returns the KEPT sample panel.
+    *
+    * Shape: [[kinshipCounts]] (the S²/2 pair agg — batch or pre-prune
+    * at biobank width, as there) + one tiny distinct + one anti-join
+    * on the sample id: the corpus-side cost IS kinshipCounts.
+    */
+  def kinshipPrune(
+      ann: DataFrame, phiMicroMin: Long,
+      sampleCol: String = "sample_id"): DataFrame = {
+    require(phiMicroMin >= -1000000L && phiMicroMin <= 1000000L,
+      s"phiMicroMin must be a micro-kinship in [-1e6, 1e6], got $phiMicroMin")
+    val den = col("n_het_a") + col("n_het_b")
+    val phiMicro = floor(
+      (col("n_hethet") - lit(2L) * col("n_opp")).cast("double") / den
+        * lit(1000000.0)).cast("long")
+    val dropped = kinshipCounts(ann, sampleCol)
+      .filter(den > 0L && phiMicro >= phiMicroMin)
+      .select(col("sample_b").as(sampleCol))
+      .distinct()
+    ann.select(col(sampleCol)).distinct()
+      .join(dropped, Seq(sampleCol), "left_anti")
+  }
+
   /** Hardy-Weinberg equilibrium counts + chi-square per BIALLELIC site
     * — the standard site-QC filter (HWE-violating sites flag genotyping
     * artifacts: allele dropout, paralogous mapping, batch effects).

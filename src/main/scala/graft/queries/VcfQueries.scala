@@ -1062,6 +1062,54 @@ object VcfQueries extends QuerySet {
       FROM k ORDER BY sample_a, sample_b
     """))
 
+  /** RELATEDNESS PRUNING ([[graft.operators.VariantQc.kinshipPrune]],
+    * the plink2 `--king-cutoff` step): cohort reduced to an unrelated
+    * panel by the order-free higher-key drop rule over q91's KING φ̂
+    * pairs. The 4-sample gate exercises the full kinship substrate +
+    * the rule; DuckDB replays pair counts, the micro φ̂, and the
+    * drop/anti-join. The synthetic cohort is mutually unrelated (all
+    * φ̂ < 0), so the gate thresholds in the NEGATIVE tail purely to
+    * make the rule fire — two pairs land above −0.1 (g1,g3 / g2,g4),
+    * so g3 and g4 must drop and exactly {g1, g2} survive.
+    */
+  private val q167 = Q(
+    "q167_kinship_prune",
+    (s, dir) => {
+      val ann = VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc.kinshipPrune(ann, phiMicroMin = -100000L)
+        .orderBy("sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes,
+      g AS (SELECT chrom, pos, ref, alt, sample_id AS s,
+              (a1 <> a2) AS het,
+              CASE WHEN a1 = a2 THEN a1 END AS hom
+            FROM ann
+            WHERE a1 IS NOT NULL AND a1 <> '.'
+              AND a2 IS NOT NULL AND a2 <> '.'),
+      p AS (SELECT a.s AS sample_a, b.s AS sample_b,
+              a.het AS het_a, b.het AS het_b, a.hom AS hom_a, b.hom AS hom_b
+            FROM g a JOIN g b USING (chrom, pos, ref, alt)
+            WHERE a.s < b.s),
+      k AS (SELECT sample_a, sample_b,
+              CAST(sum(CASE WHEN het_a THEN 1 ELSE 0 END) AS BIGINT) AS n_het_a,
+              CAST(sum(CASE WHEN het_b THEN 1 ELSE 0 END) AS BIGINT) AS n_het_b,
+              CAST(sum(CASE WHEN het_a AND het_b THEN 1 ELSE 0 END) AS BIGINT) AS n_hethet,
+              CAST(sum(CASE WHEN hom_a IS NOT NULL AND hom_b IS NOT NULL
+                                AND hom_a <> hom_b THEN 1 ELSE 0 END) AS BIGINT) AS n_opp
+            FROM p GROUP BY sample_a, sample_b),
+      dropped AS (SELECT DISTINCT sample_b AS sample_id FROM k
+            WHERE n_het_a + n_het_b > 0
+              AND ${microSql("(n_hethet - 2 * n_opp) * 1.0 / (n_het_a + n_het_b)")}
+                  >= -100000),
+      panel AS (SELECT DISTINCT sample_id FROM ann)
+      SELECT sample_id FROM panel
+      WHERE sample_id NOT IN (SELECT sample_id FROM dropped)
+      ORDER BY sample_id
+    """))
+
   /** Shared synthetic-interval fixture for the q81–q84 range-join
     * family: deterministic regions derived from `part`. Single-sourced
     * (one Spark derivation, one DuckDB CTE) so a retune cannot
@@ -2390,5 +2438,5 @@ object VcfQueries extends QuerySet {
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
-      q160, q162, q163, q164)
+      q160, q162, q163, q164, q167)
 }

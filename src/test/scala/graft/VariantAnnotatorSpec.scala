@@ -140,6 +140,32 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       ("y", "z", 1L, 1L, 0L, 0L, 0L)))
   }
 
+  test("kinshipPrune: related chains drop to their lowest-keyed member; " +
+      "unrelated samples survive") {
+    import spark.implicits._
+    // a, b, c are identical het-everywhere triplets (φ̂ = 0.5 per
+    // pair); d is hom-ref everywhere (φ̂ vs anyone = 0)
+    val ann = (1 to 5).flatMap { i =>
+      Seq(("1", i * 100L, "A", "T", "a", "A", "T"),
+        ("1", i * 100L, "A", "T", "b", "A", "T"),
+        ("1", i * 100L, "A", "T", "c", "A", "T"),
+        ("1", i * 100L, "A", "T", "d", "A", "A"))
+    }.toDF("chrom", "pos", "ref", "alt", "sample_id", "a1", "a2")
+    val kept = graft.operators.VariantQc
+      .kinshipPrune(ann, phiMicroMin = 400000L)
+      .as[String].collect().toSet
+    // order-free rule: (a,b) drops b, (a,c)/(b,c) drop c → a survives
+    // as the triplet's representative; the whole chain prunes even
+    // though plink's iterative heuristic might keep more (documented)
+    assert(kept === Set("a", "d"))
+    // threshold boundary: φ̂ = 0.5 exactly → micro 500000; a cutoff
+    // just above keeps everyone
+    val all = graft.operators.VariantQc
+      .kinshipPrune(ann, phiMicroMin = 500001L)
+      .as[String].collect().toSet
+    assert(all === Set("a", "b", "c", "d"))
+  }
+
   test("hweBySite: exact closed-form chi-square, exclusions enforced") {
     import spark.implicits._
     // rows: (pos, multiallele, gt1, gt2, zygosity)
