@@ -161,6 +161,72 @@ object VariantQc {
     }
   }
 
+  /** CASE-CONTROL ASSOCIATION per site — the COCHRAN-ARMITAGE trend
+    * test (Armitage 1955; the additive-model scan `plink --assoc`
+    * family runs genome-wide, and the population complement of q107's
+    * family-based TDT): per biallelic site with case genotype counts
+    * (r0, r1, r2), control counts (s0, s1, s2), dosage weights
+    * t = (0, 1, 2),
+    *
+    *   A = r1 + 2r2,  B = n1 + 2n2,  C = n1 + 4n2   (nᵢ = rᵢ + sᵢ)
+    *   χ²_trend = N·(N·A − R·B)² / (R·(N−R)·(N·C − B²))
+    *
+    * — the 1-df additive trend statistic, every term an exact int64
+    * product until ONE final division, micro-floored ([[hweBySite]]'s
+    * determinism pattern; sites where the variance term or a cohort is
+    * empty define 0). Int64-exact to ~3000 samples/site (N·num² ≤
+    * 4N⁵); the [[hweBySite]] decimal(38,0) lift pattern applies
+    * verbatim at biobank width. Effect DIRECTION is `trend_sign`
+    * (sign of N·A − R·B: +1 = ALT enriched in cases), so downstream
+    * meta-analysis can form signed z-scores.
+    *
+    * Shape: ONE conditional-sum site-keyed groupBy — both cohorts'
+    * counts come out of the same pass, NO joins (the q119 posture);
+    * zero exchanges on a site-bucketed landing.
+    */
+  def trendTest(
+      ann: DataFrame,
+      cases: Seq[String], controls: Seq[String],
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    require(cases.nonEmpty && controls.nonEmpty,
+      "both cohorts must be non-empty")
+    require(cases.intersect(controls).isEmpty,
+      s"cohorts overlap: ${cases.intersect(controls)}")
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val inCase = col(sampleCol).isin(cases: _*)
+    val inCtrl = col(sampleCol).isin(controls: _*)
+    val dose = col("gt1").cast("long") + col("gt2").cast("long")
+    def cnt(member: org.apache.spark.sql.Column, d: Long) =
+      sum(when(member && dose === d, 1L).otherwise(0L))
+    val counted = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2") &&
+        (inCase || inCtrl))
+      .groupBy(siteKey.map(col): _*)
+      .agg(
+        cnt(inCase, 0L).as("r0"), cnt(inCase, 1L).as("r1"),
+        cnt(inCase, 2L).as("r2"),
+        cnt(inCtrl, 0L).as("s0"), cnt(inCtrl, 1L).as("s1"),
+        cnt(inCtrl, 2L).as("s2"))
+    val rTot = col("r0") + col("r1") + col("r2")
+    val sTot = col("s0") + col("s1") + col("s2")
+    val n = rTot + sTot
+    val n1 = col("r1") + col("s1")
+    val n2 = col("r2") + col("s2")
+    val a = col("r1") + lit(2L) * col("r2")
+    val b = n1 + lit(2L) * n2
+    val c = n1 + lit(4L) * n2
+    val num = n * a - rTot * b
+    val vden = rTot * sTot * (n * c - b * b)
+    counted
+      .withColumn("trend_sign",
+        when(num > 0L, 1).when(num < 0L, -1).otherwise(0))
+      .withColumn("trend_micro",
+        when(vden === 0L, 0L).otherwise(
+          floor((n * num * num).cast("double") / vden.cast("double")
+            * lit(1000000.0)).cast("long")))
+  }
+
   /** Windowed NUCLEOTIDE DIVERSITY π — `vcftools --window-pi`'s
     * statistic, the population-genetics density signal (diversity dips
     * flag selective sweeps, spikes flag balancing selection or mapping

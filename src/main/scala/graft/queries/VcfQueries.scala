@@ -1110,6 +1110,61 @@ object VcfQueries extends QuerySet {
       ORDER BY sample_id
     """))
 
+  /** CASE-CONTROL ASSOCIATION scan ([[graft.operators.VariantQc
+    * .trendTest]], Cochran-Armitage additive trend — `plink --assoc`'s
+    * workhorse, the population complement of q107's family TDT):
+    * g1/g2 as cases vs g3/g4 as controls (the q119 split), per-site
+    * genotype count table + signed 1-df trend χ² from exact int64
+    * products and ONE micro-floored division. DuckDB replays counts,
+    * the closed form, and the sign.
+    */
+  private val q168 = Q(
+    "q168_assoc_trend",
+    (s, dir) => {
+      val ann = VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc
+        .trendTest(ann, cases = Seq("g1", "g2"), controls = Seq("g3", "g4"))
+        .orderBy("chrom", "pos", "ref", "alt")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes,
+      cc AS (SELECT chrom, pos, ref, alt,
+               CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT) AS d,
+               (sample_id IN ('g1', 'g2')) AS is_case
+             FROM ann
+             WHERE multiallele = 0
+               AND gt1 IS NOT NULL AND gt1 <> '.'
+               AND gt2 IS NOT NULL AND gt2 <> '.'),
+      k AS (SELECT chrom, pos, ref, alt,
+              CAST(sum(CASE WHEN is_case AND d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+              CAST(sum(CASE WHEN is_case AND d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+              CAST(sum(CASE WHEN is_case AND d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+              CAST(sum(CASE WHEN NOT is_case AND d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+              CAST(sum(CASE WHEN NOT is_case AND d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+              CAST(sum(CASE WHEN NOT is_case AND d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2
+            FROM cc GROUP BY 1, 2, 3, 4),
+      t AS (SELECT *,
+              r0 + r1 + r2 AS rt, s0 + s1 + s2 AS st,
+              r0 + r1 + r2 + s0 + s1 + s2 AS n,
+              r1 + 2 * r2 AS a,
+              (r1 + s1) + 2 * (r2 + s2) AS b,
+              (r1 + s1) + 4 * (r2 + s2) AS c
+            FROM k),
+      f AS (SELECT *, n * a - rt * b AS num,
+              rt * st * (n * c - b * b) AS vden
+            FROM t)
+      SELECT chrom, pos, ref, alt, r0, r1, r2, s0, s1, s2,
+        CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+             ELSE 0 END AS INT) AS trend_sign,
+        CASE WHEN vden = 0 THEN 0
+             ELSE CAST(floor(CAST(n * num * num AS DOUBLE)
+               / CAST(vden AS DOUBLE) * 1000000.0) AS BIGINT)
+        END AS trend_micro
+      FROM f ORDER BY chrom, pos, ref, alt
+    """))
+
   /** Shared synthetic-interval fixture for the q81–q84 range-join
     * family: deterministic regions derived from `part`. Single-sourced
     * (one Spark derivation, one DuckDB CTE) so a retune cannot
@@ -2438,5 +2493,5 @@ object VcfQueries extends QuerySet {
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
-      q160, q162, q163, q164, q167)
+      q160, q162, q163, q164, q167, q168)
 }

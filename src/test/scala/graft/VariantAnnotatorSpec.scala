@@ -231,6 +231,49 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       Seq((c0.toLong, c1.toLong, c2.toLong, want.toLong)))
   }
 
+  test("trendTest: Cochran-Armitage exact closed form — perfect " +
+      "separation gives chi2 = N, null and monomorphic sites define 0") {
+    import spark.implicits._
+    def site(pos: Long, calls: Seq[(String, String, String)]) =
+      calls.map { case (s, g1, g2) => ("1", pos, "A", "T", 0, s, g1, g2) }
+    val ann = (
+      // perfect separation: cases hom-alt, controls hom-ref → χ² = N = 4
+      site(100L, Seq(("g1", "1", "1"), ("g2", "1", "1"),
+        ("g3", "0", "0"), ("g4", "0", "0"))) ++
+      // all het: no trend — num = 0 AND variance term 0
+      site(200L, Seq(("g1", "0", "1"), ("g2", "0", "1"),
+        ("g3", "0", "1"), ("g4", "0", "1"))) ++
+      // reversed: ALT enriched in CONTROLS → sign −1, χ² = 4
+      site(300L, Seq(("g1", "0", "0"), ("g2", "0", "0"),
+        ("g3", "1", "1"), ("g4", "1", "1"))) ++
+      // intermediate: cases (0,1,1) vs controls (1,1,0) → χ² = 2
+      site(400L, Seq(("g1", "0", "1"), ("g2", "1", "1"),
+        ("g3", "0", "0"), ("g4", "0", "1"))) ++
+      // monomorphic ref: B = C = 0 → defined 0
+      site(500L, Seq(("g1", "0", "0"), ("g2", "0", "0"),
+        ("g3", "0", "0"), ("g4", "0", "0"))) ++
+      // uncalled/multiallelic rows are excluded, not zero-counted
+      Seq(("1", 600L, "A", "T", 0, "g1", ".", "1"),
+        ("1", 600L, "A", "T", 1, "g2", "1", "2"),
+        ("1", 600L, "A", "T", 0, "g3", "0", "1"),
+        ("1", 600L, "A", "T", 0, "g4", "0", "0")))
+      .toDF("chrom", "pos", "ref", "alt", "multiallele", "sample_id",
+        "gt1", "gt2")
+    val got = graft.operators.VariantQc
+      .trendTest(ann, cases = Seq("g1", "g2"), controls = Seq("g3", "g4"))
+      .select("pos", "trend_sign", "trend_micro")
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(100L) === ((1, 4000000L)))
+    assert(got(200L) === ((0, 0L)))
+    assert(got(300L) === ((-1, 4000000L)))
+    assert(got(400L) === ((1, 2000000L)))
+    assert(got(500L) === ((0, 0L)))
+    // site 600: only g3 (het) and g4 (hom-ref) count — one cohort
+    // empty → variance 0 → defined 0
+    assert(got(600L) === ((0, 0L)))
+  }
+
   test("inbreedingF: exact micro-fixed-point F, exclusions enforced") {
     import spark.implicits._
     // (pos, sample, multiallele, gt1, gt2, a1, a2, zygosity)
