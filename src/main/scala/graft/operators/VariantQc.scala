@@ -227,6 +227,48 @@ object VariantQc {
             * lit(1000000.0)).cast("long")))
   }
 
+  /** META-ANALYSIS across association studies — weighted STOUFFER
+    * combination (Stouffer 1949; the sample-size-weighted form METAL's
+    * `SCHEME SAMPLESIZE` popularized for GWAS, Willer et al. 2010):
+    * per site, each study contributes a SIGNED z from its trend scan
+    * (z = sign·√χ², [[trendTest]]'s trend_sign/trend_micro), and
+    *
+    *   Z = Σ wᵢ·zᵢ / √(Σ wᵢ²)
+    *
+    * — evidence pointing the same direction compounds, conflicting
+    * directions cancel (exactly what a naive χ² sum gets wrong).
+    * Determinism: zᵢ_micro = sign·⌊√(trend_micro·10⁶)⌋ is one
+    * correctly-rounded IEEE sqrt of an exact long; Σ wᵢ·zᵢ_micro is an
+    * exact int64 sum (order-free); √(Σwᵢ²) is a DRIVER-side constant
+    * (weights are per-study parameters); one final floored divide.
+    * Sites absent from a study simply contribute nothing
+    * (available-case meta, `n_studies` reports coverage).
+    *
+    * Shape: union of the studies' trend frames (each ONE site groupBy,
+    * no joins) + one site-keyed partial agg — zero extra exchanges on
+    * a site-bucketed landing.
+    */
+  def metaStouffer(
+      studies: Seq[(DataFrame, Long)],
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    require(studies.nonEmpty, "no studies to combine")
+    require(studies.forall(_._2 > 0L), "study weights must be positive")
+    val wNorm = math.sqrt(
+      studies.map { case (_, w) => w.toDouble * w.toDouble }.sum)
+    val tagged = studies.map { case (df, w) =>
+      df.select(siteKey.map(col) :+
+        (col("trend_sign").cast("long") *
+          floor(sqrt(col("trend_micro").cast("double") * lit(1000000.0)))
+            .cast("long") * lit(w)).as("__wz"): _*)
+    }.reduce(_ unionByName _)
+    tagged
+      .groupBy(siteKey.map(col): _*)
+      .agg(count(lit(1)).as("n_studies"),
+        sum(col("__wz")).as("wz_sum"))
+      .withColumn("z_micro",
+        floor(col("wz_sum").cast("double") / lit(wNorm)).cast("long"))
+  }
+
   /** Windowed NUCLEOTIDE DIVERSITY π — `vcftools --window-pi`'s
     * statistic, the population-genetics density signal (diversity dips
     * flag selective sweeps, spikes flag balancing selection or mapping

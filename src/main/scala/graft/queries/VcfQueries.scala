@@ -1165,6 +1165,74 @@ object VcfQueries extends QuerySet {
       FROM f ORDER BY chrom, pos, ref, alt
     """))
 
+  /** GWAS META-ANALYSIS ([[graft.operators.VariantQc.metaStouffer]],
+    * the METAL sample-size scheme): two association "studies" carved
+    * from the cohort — study 1 tests g1 (case) vs g3 (control),
+    * study 2 tests g2 vs g4, weights = cohort sizes — combined per
+    * site into the weighted signed Stouffer Z. Drives trendTest twice
+    * plus the union/agg combine; DuckDB replays both trend tables
+    * from one annotate chain and the exact z_micro/√Σw² arithmetic.
+    */
+  private val q169 = Q(
+    "q169_meta_stouffer",
+    (s, dir) => {
+      import graft.operators.VariantQc
+      val ann = VariantAnnotator
+        .annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val s1 = VariantQc.trendTest(ann, Seq("g1"), Seq("g3"))
+      val s2 = VariantQc.trendTest(ann, Seq("g2"), Seq("g4"))
+      VariantQc.metaStouffer(Seq((s1, 2L), (s2, 2L)))
+        .orderBy("chrom", "pos", "ref", "alt")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes,
+      cc AS (SELECT chrom, pos, ref, alt, sample_id,
+               CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT) AS d
+             FROM ann
+             WHERE multiallele = 0
+               AND gt1 IS NOT NULL AND gt1 <> '.'
+               AND gt2 IS NOT NULL AND gt2 <> '.'),
+      k AS (SELECT chrom, pos, ref, alt, study,
+              CAST(sum(CASE WHEN is_case AND d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+              CAST(sum(CASE WHEN is_case AND d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+              CAST(sum(CASE WHEN is_case AND d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+              CAST(sum(CASE WHEN NOT is_case AND d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+              CAST(sum(CASE WHEN NOT is_case AND d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+              CAST(sum(CASE WHEN NOT is_case THEN 1 ELSE 0 END) AS BIGINT) AS st
+            FROM (SELECT *, 1 AS study, (sample_id = 'g1') AS is_case
+                    FROM cc WHERE sample_id IN ('g1', 'g3')
+                  UNION ALL
+                  SELECT *, 2 AS study, (sample_id = 'g2') AS is_case
+                    FROM cc WHERE sample_id IN ('g2', 'g4'))
+            GROUP BY 1, 2, 3, 4, 5),
+      t AS (SELECT *,
+              r0 + r1 + r2 AS rt, r0 + r1 + r2 + st AS n,
+              r1 + 2 * r2 AS a,
+              (r1 + s1) + 2 * (r2 + s2) AS b,
+              (r1 + s1) + 4 * (r2 + s2) AS c
+            FROM k),
+      f AS (SELECT chrom, pos, ref, alt, study,
+              n * a - rt * b AS num,
+              rt * st * (n * c - b * b) AS vden, n
+            FROM t),
+      z AS (SELECT chrom, pos, ref, alt,
+              CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+                * CAST(floor(sqrt(
+                    CASE WHEN vden = 0 THEN 0
+                         ELSE CAST(floor(CAST(n * num * num AS DOUBLE)
+                           / CAST(vden AS DOUBLE) * 1000000.0) AS BIGINT)
+                    END * 1000000.0)) AS BIGINT)
+                * 2 AS wz
+            FROM f)
+      SELECT chrom, pos, ref, alt,
+        count(*) AS n_studies,
+        CAST(sum(wz) AS BIGINT) AS wz_sum,
+        CAST(floor(CAST(sum(wz) AS DOUBLE) / sqrt(8.0)) AS BIGINT) AS z_micro
+      FROM z GROUP BY 1, 2, 3, 4
+      ORDER BY chrom, pos, ref, alt
+    """))
+
   /** Shared synthetic-interval fixture for the q81–q84 range-join
     * family: deterministic regions derived from `part`. Single-sourced
     * (one Spark derivation, one DuckDB CTE) so a retune cannot
@@ -2493,5 +2561,5 @@ object VcfQueries extends QuerySet {
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
-      q160, q162, q163, q164, q167, q168)
+      q160, q162, q163, q164, q167, q168, q169)
 }

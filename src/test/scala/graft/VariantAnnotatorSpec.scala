@@ -274,6 +274,35 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(got(600L) === ((0, 0L)))
   }
 
+  test("metaStouffer: same-direction evidence compounds, conflicting " +
+      "directions cancel, per-study coverage reported") {
+    import spark.implicits._
+    def study(rows: (Long, Int, Long)*) = rows.toSeq
+      .map { case (p, sg, m) => ("1", p, "A", "T", sg, m) }
+      .toDF("chrom", "pos", "ref", "alt", "trend_sign", "trend_micro")
+    // site 100: both studies χ²=4 (z=2) same direction; site 200:
+    // equal-weight opposite directions → exact cancel; site 300:
+    // only study 1 covers it
+    val s1 = study((100L, 1, 4000000L), (200L, 1, 4000000L),
+      (300L, -1, 1000000L))
+    val s2 = study((100L, 1, 4000000L), (200L, -1, 4000000L))
+    val got = graft.operators.VariantQc
+      .metaStouffer(Seq((s1, 1L), (s2, 1L)))
+      .select("pos", "n_studies", "wz_sum", "z_micro")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Z = (2e6 + 2e6)/√2 → floor(4e6/1.41421356…) = 2828427
+    assert(got(100L) === ((2L, 4000000L, 2828427L)))
+    assert(got(200L) === ((2L, 0L, 0L)))
+    // single-study site: Z = −1e6/√2 → floor → −707107
+    assert(got(300L) === ((1L, -1000000L, -707107L)))
+    // weights scale the numerator: w1 = 3 triples study 1's vote
+    val w = graft.operators.VariantQc
+      .metaStouffer(Seq((s1, 3L), (s2, 1L)))
+      .select("pos", "wz_sum").as[(Long, Long)].collect().toMap
+    assert(w(200L) === 3L * 2000000L - 2000000L)
+  }
+
   test("inbreedingF: exact micro-fixed-point F, exclusions enforced") {
     import spark.implicits._
     // (pos, sample, multiallele, gt1, gt2, a1, a2, zygosity)
