@@ -241,6 +241,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q168/q169 association scans: one conditional-sum site groupBy, " +
+      "no joins; the meta's two studies share ONE annotate plan") {
+    val t = SparkEntry.queries("q168_assoc_trend")(spark, dir)
+    t.collect()
+    val pt = t.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // both cohorts' genotype tables come out of the SAME pass — a join
+    // here would double the substrate cost for a conditional sum
+    assert(!pt.contains("Join"), s"trend scan must not join:\n$pt")
+    val m = SparkEntry.queries("q169_meta_stouffer")(spark, dir)
+    m.collect()
+    val pm = m.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(pm.contains("ReusedExchange") || pm.contains("TableCacheQueryStage"),
+      s"meta's two studies must reuse the annotate subtree:\n$pm")
+  }
+
   test("q111 ld pairs are bucket equi-joins on (chrom, bucket), never nested loops") {
     val q = SparkEntry.queries("q111_ld_decay")(spark, dir)
     q.collect()
