@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -559,4 +559,89 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, EmailRx, "<EMAIL>"),
       PhoneRx, "<PHONE>")
+
+  // ---- labeling / classifier QC ---------------------------------------
+
+  /** COHEN'S KAPPA — chance-corrected agreement between two labelers
+    * (Cohen 1960): the label-QC statistic every annotation pipeline
+    * reports before trusting its labels (raw agreement flatters —
+    * two raters who both say "en" 95% of the time agree 90.5% by
+    * CHANCE), and equally the heuristic-vs-gold score for classifier
+    * audits (q170 rates the langid heuristic against the gold lang
+    * column). With N rows, D agreements, and S = Σᵥ rowᵥ·colᵥ the
+    * chance-agreement mass,
+    *
+    *   κ = (p_o − p_e)/(1 − p_e) = (N·D − S)/(N² − S)
+    *
+    * — exact int64 products to ONE micro-floored division (N² − S = 0,
+    * i.e. p_e = 1, both raters constant — defined 0). Returns ONE row
+    * (n, n_agree, pe_mass, kappa_micro).
+    *
+    * Shape: one corpus groupBy onto the |labels|² confusion matrix;
+    * every further step (marginals, join, κ) runs on that
+    * parameter-small matrix — label vocabularies are enums, not data.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val m = df
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val nd = m.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("n_agree"))
+    val s = m.groupBy("a").agg(sum(col("c")).as("ra"))
+      .join(m.groupBy("b").agg(sum(col("c")).as("cb")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("pe_mass"))
+    nd.crossJoin(s)
+      .withColumn("kappa_micro",
+        when(col("n") * col("n") - col("pe_mass") === 0L, 0L)
+          .otherwise(floor(
+            (col("n") * col("n_agree") - col("pe_mass")).cast("double")
+              / (col("n") * col("n") - col("pe_mass")).cast("double")
+              * lit(1000000.0)).cast("long")))
+  }
+
+  /** CALIBRATION REPORT — reliability bins + expected calibration
+    * error (Naeini et al. 2015's ECE, the standard audit for a
+    * quality/filter classifier): scores (micro units, [0, 10⁶]) bucket
+    * into `bins` equal-width bins; per bin the mean CONFIDENCE vs the
+    * observed ACCURACY, |gap| weighted by bin mass summing to
+    * `ece_micro` — a filter that says "0.9" should be right 90% of the
+    * time, and a miscalibrated threshold silently shifts the corpus
+    * mix. All sums exact int64, each mean ONE micro-floored division;
+    * ece from the per-bin micro gaps (exact integers), one final
+    * floored divide by N.
+    *
+    * Shape: one corpus groupBy onto ≤ `bins` rows; the ECE attach is a
+    * broadcast of the 1-row total onto the parameter-small bin table.
+    */
+  def calibrationReport(
+      df: DataFrame, scoreMicroCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val bin = least(lit(bins - 1),
+      (col(scoreMicroCol) * bins / lit(1000000L)).cast("long"))
+    val perBin = df
+      .withColumn("__b", bin)
+      .groupBy(col("__b").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(scoreMicroCol)).as("__ss"),
+        sum(col(labelCol).cast("long")).as("__sl"))
+      .withColumn("conf_micro",
+        floor(col("__ss").cast("double") / col("n").cast("double"))
+          .cast("long"))
+      .withColumn("acc_micro",
+        floor(col("__sl").cast("double") * lit(1000000.0)
+          / col("n").cast("double")).cast("long"))
+      .withColumn("gap_micro", abs(col("acc_micro") - col("conf_micro")))
+      .drop("__ss", "__sl")
+    val tot = perBin.agg(
+      sum(col("n")).as("__tn"),
+      sum(col("n") * col("gap_micro")).as("__tg"))
+    perBin.crossJoin(broadcast(tot))
+      .withColumn("ece_micro",
+        floor(col("__tg").cast("double") / col("__tn").cast("double"))
+          .cast("long"))
+      .drop("__tn", "__tg")
+  }
 }

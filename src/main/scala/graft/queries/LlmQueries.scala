@@ -4168,6 +4168,89 @@ object LlmQueries extends QuerySet {
       ORDER BY anon_level, source NULLS FIRST, lb NULLS FIRST, suppressed
     """))
 
+  /** COHEN'S KAPPA ([[graft.operators.TextAnalysis.cohenKappa]]) —
+    * chance-corrected agreement, here auditing the q22 langid
+    * HEURISTIC against the gold `lang` column (raw accuracy flatters:
+    * a majority-class corpus agrees heavily by chance). κ =
+    * (N·D − S)/(N² − S) from exact int64 confusion-matrix products,
+    * one micro-floored division. DuckDB replays the heuristic, the
+    * matrix, the marginals, and the closed form.
+    */
+  private lazy val q170 = Q(
+    "q170_kappa",
+    (s, dir) => {
+      val rated = t(s, dir, "documents")
+        .select(TextAnalysis.langId(col("text")).as("pred"),
+          col("lang").as("actual"))
+      TextAnalysis.cohenKappa(rated, "pred", "actual")
+    },
+    Some(s"""
+      WITH h AS (SELECT lang,
+              ${stopSql("en")} AS h_en, ${stopSql("de")} AS h_de,
+              ${stopSql("fr")} AS h_fr, ${stopSql("es")} AS h_es
+            FROM documents),
+      p AS (SELECT
+              CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                   WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                   WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS a,
+              lang AS b
+            FROM h),
+      m AS (SELECT a, b, count(*) AS c FROM p GROUP BY 1, 2),
+      nd AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+             FROM m),
+      sm AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS pe_mass
+             FROM (SELECT a, sum(c) AS ra FROM m GROUP BY 1) r
+             JOIN (SELECT b, sum(c) AS cb FROM m GROUP BY 1) cc
+               ON r.a = cc.b)
+      SELECT n, n_agree, pe_mass,
+        CASE WHEN n * n - pe_mass = 0 THEN 0
+             ELSE CAST(floor(CAST(n * n_agree - pe_mass AS DOUBLE)
+               / CAST(n * n - pe_mass AS DOUBLE) * 1000000.0) AS BIGINT)
+        END AS kappa_micro
+      FROM nd, sm
+    """))
+
+  /** CALIBRATION audit ([[graft.operators.TextAnalysis
+    * .calibrationReport]], ECE per Naeini et al. 2015): treats the
+    * q21 English-stopword density as a soft "is English" classifier
+    * and scores it against the gold label — per-bin confidence vs
+    * accuracy and the mass-weighted expected calibration error, the
+    * report a pipeline reads before turning any quality score into a
+    * filter threshold. Exact int64 sums; each mean one micro-floored
+    * division. DuckDB replays binning, means, gaps, and the ECE fold.
+    */
+  private lazy val q171 = Q(
+    "q171_calibration",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(micro(TextAnalysis.stopwordRatio(col("text"))).as("score_micro"),
+          (col("lang") === "en").cast("long").as("label"))
+      TextAnalysis.calibrationReport(scored, "score_micro", "label", bins = 10)
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH sc AS (SELECT
+              ${microSql(s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE CAST(${stopSql("en")} AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) END")} AS score_micro,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+            FROM documents),
+      b AS (SELECT least(9, score_micro * 10 // 1000000) AS bin,
+              score_micro, label FROM sc),
+      g AS (SELECT bin, count(*) AS n,
+              CAST(sum(score_micro) AS BIGINT) AS ss,
+              CAST(sum(label) AS BIGINT) AS sl
+            FROM b GROUP BY 1),
+      r AS (SELECT CAST(bin AS BIGINT) AS bin, n,
+              CAST(floor(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS conf_micro,
+              CAST(floor(CAST(sl AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS acc_micro
+            FROM g),
+      r2 AS (SELECT *, abs(acc_micro - conf_micro) AS gap_micro FROM r),
+      e AS (SELECT CAST(floor(CAST(sum(n * gap_micro) AS DOUBLE)
+              / CAST(sum(n) AS DOUBLE)) AS BIGINT) AS ece_micro FROM r2)
+      SELECT bin, n, conf_micro, acc_micro, gap_micro, ece_micro
+      FROM r2, e ORDER BY bin
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4175,5 +4258,5 @@ object LlmQueries extends QuerySet {
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
-      q158, q161, q165, q166)
+      q158, q161, q165, q166, q170, q171)
 }

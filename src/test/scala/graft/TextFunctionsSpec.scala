@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextFunctions._
+import graft.operators.TextAnalysis
 
 class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
@@ -452,5 +453,53 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Int)].collect()
       .find(_._4 == 1).get
     assert(boosted._2 === 10L && boosted._3 === 48659L, boosted)
+  }
+
+  test("cohenKappa: hand-computed chance correction, worse-than-chance " +
+      "negative, constant raters defined 0") {
+    import spark.implicits._
+    def expand(cells: ((String, String), Int)*) =
+      cells.flatMap { case ((a, b), c) => Seq.fill(c)((a, b)) }
+        .toDF("ra", "rb")
+    // N=50, D=35, S = 25·30 + 25·20 = 1250 → κ = 500/1250 = 0.4
+    val k1 = TextAnalysis
+      .cohenKappa(expand(("x", "x") -> 20, ("x", "y") -> 5,
+        ("y", "x") -> 10, ("y", "y") -> 15), "ra", "rb")
+      .select("n", "n_agree", "pe_mass", "kappa_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(k1 === ((50L, 35L, 1250L, 400000L)))
+    // perfect systematic disagreement → κ = −1
+    val k2 = TextAnalysis
+      .cohenKappa(expand(("x", "y") -> 10, ("y", "x") -> 10), "ra", "rb")
+      .select("kappa_micro").as[Long].head()
+    assert(k2 === -1000000L)
+    // both raters constant: p_e = 1 → defined 0, not a divide error
+    val k3 = TextAnalysis
+      .cohenKappa(expand(("x", "x") -> 7), "ra", "rb")
+      .select("kappa_micro").as[Long].head()
+    assert(k3 === 0L)
+  }
+
+  test("calibrationReport: per-bin confidence vs accuracy, mass-weighted " +
+      "ECE, top-edge score lands in the last bin") {
+    import spark.implicits._
+    val df = (
+      Seq.fill(1)((250000L, 1L)) ++ Seq.fill(3)((250000L, 0L)) ++
+      Seq.fill(4)((750000L, 1L)) ++
+      Seq((1000000L, 1L)))                 // score 1.0 → capped into bin 1
+      .toDF("score_micro", "label")
+    val bins = TextAnalysis
+      .calibrationReport(df, "score_micro", "label", bins = 2)
+      .select("bin", "n", "conf_micro", "acc_micro", "gap_micro", "ece_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // bin 0: 4 rows at 0.25 conf, 1/4 accurate → gap 0
+    assert(bins(0L) === ((0L, 4L, 250000L, 250000L, 0L, 111111L)))
+    // bin 1: 5 rows (incl. the capped 1.0), conf (4·75e4+1e6)/5 = 8e5,
+    // acc 1.0 → gap 2e5
+    assert(bins(1L)._2 === 5L && bins(1L)._3 === 800000L)
+    assert(bins(1L)._4 === 1000000L && bins(1L)._5 === 200000L)
+    // ECE = (4·0 + 5·200000)/9 = 111111 (floored)
+    assert(bins(0L)._6 === 111111L && bins(1L)._6 === 111111L)
   }
 }
