@@ -93,6 +93,22 @@ object StringExprs {
   def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeSegmentExpr(Bridge.expression(text), merges))
 
+  /** Count of Luhn-valid payment-card digit runs (maximal runs of
+    * length 13–19 passing the ISO/IEC 7812 checksum) — the validated
+    * complement of the q24 regex PII counters: a random 16-digit id
+    * fails the checksum 90% of the time, so validation cuts the
+    * false-positive mass an order of magnitude. One codegen'd scan
+    * per row, zero shuffle.
+    */
+  def luhnCardCount(text: Column): Column =
+    Bridge.column(LuhnCountExpr(Bridge.expression(text)))
+
+  /** Replace Luhn-valid card runs with `<CC>` — same scan as
+    * [[luhnCardCount]]; non-matching text returns the INPUT reference
+    * (no copy on the common no-PII path). */
+  def redactLuhnCards(text: Column): Column =
+    Bridge.column(LuhnRedactExpr(Bridge.expression(text)))
+
   val HashMod = 1000000007L
 
   // ---- shared scalar kernels (called from generated code) -------------
@@ -214,6 +230,62 @@ object StringExprs {
         .foreach(p => out += UTF8String.fromString(p)),
       (st, en) => out += UTF8String.fromString(str.substring(st, en)))
     new GenericArrayData(out.toArray)
+  }
+
+  /** Luhn checksum (ISO/IEC 7812) over a digit span — true iff the
+    * mod-10 check digit validates. */
+  private def luhnValid(str: String, st: Int, en: Int): Boolean = {
+    var sum = 0
+    var dbl = false
+    var i = en - 1
+    while (i >= st) {
+      var d = str.charAt(i) - '0'
+      if (dbl) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      dbl = !dbl
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Scan for MAXIMAL digit runs; `onRun(st, en, cardLike)` fires per
+    * run with cardLike = length ∈ [13, 19] AND Luhn-valid — the
+    * payment-card shape (PAN lengths per ISO/IEC 7812). Maximal-run
+    * semantics (not regex {13,19} greedy bites): a 25-digit run is ONE
+    * run and not card-like, which is what keeps long numeric ids from
+    * false-positives.
+    */
+  private def luhnScan(str: String, onRun: (Int, Int, Boolean) => Unit): Unit = {
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      if (isAsciiDigit(str.charAt(i))) {
+        val st = i
+        while (i < n && isAsciiDigit(str.charAt(i))) i += 1
+        val len = i - st
+        onRun(st, i, len >= 13 && len <= 19 && luhnValid(str, st, i))
+      } else i += 1
+    }
+  }
+
+  def luhnCountK(s: UTF8String): Int = {
+    val str = s.toString
+    var c = 0
+    luhnScan(str, (_, _, card) => if (card) c += 1)
+    c
+  }
+
+  def luhnRedactK(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = new java.lang.StringBuilder(str.length)
+    var last = 0
+    luhnScan(str, (st, en, card) =>
+      if (card) {
+        out.append(str, last, st).append("<CC>")
+        last = en
+      })
+    if (last == 0) s
+    else UTF8String.fromString(out.append(str, last, str.length).toString)
   }
 
   def classifyVariant(refU: UTF8String, altU: UTF8String): UTF8String = {
@@ -591,5 +663,49 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeSegmentExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd Luhn-valid payment-card COUNT ([[StringExprs.luhnCountK]]):
+  * maximal digit runs of length 13–19 passing the mod-10 checksum.
+  */
+case class LuhnCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "luhn_card_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    StringExprs.luhnCountK(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.StringExprs.luhnCountK($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnCountExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd Luhn-valid card REDACTION ([[StringExprs.luhnRedactK]]). */
+case class LuhnRedactExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "luhn_redact"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    StringExprs.luhnRedactK(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.StringExprs.luhnRedactK($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnRedactExpr =
     copy(child = newChild)
 }

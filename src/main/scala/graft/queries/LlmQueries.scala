@@ -4251,6 +4251,75 @@ object LlmQueries extends QuerySet {
       FROM r2, e ORDER BY bin
     """))
 
+  /** LUHN-VALIDATED card scrubbing ([[graft.expressions.StringExprs
+    * .luhnCardCount]]/redactLuhnCards — the checksum-gated upgrade of
+    * q24's regex PII pass): maximal digit runs of length 13–19 that
+    * pass the ISO/IEC 7812 mod-10 check count as payment cards; a
+    * random 16-digit id fails 90% of the time, so validation cuts the
+    * false-positive mass an order of magnitude. Planted: a known-valid
+    * card on doc_id%10=0, a doc_id-DERIVED 14-digit number on
+    * doc_id%10=5 whose validity is data-dependent — DuckDB must
+    * implement the checksum itself (nested list lambdas) to agree on
+    * which docs carry "cards". Redaction is pinned structurally via
+    * the redacted LENGTH (= original − Σ valid-run lengths + 4 per
+    * card); the exact strings are spec-pinned.
+    */
+  private lazy val q172 = {
+    val plantedSql =
+      """CASE WHEN doc_id % 10 = 0 THEN text || ' card 4532015112830366 ok'
+           WHEN doc_id % 10 = 5 THEN text || ' num ' ||
+             lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR), 14, '0')
+           ELSE text END"""
+    val luhnSql =
+      """len(x) BETWEEN 13 AND 19 AND
+         list_sum(list_transform(range(1, CAST(len(x) + 1 AS BIGINT)), i ->
+           CASE WHEN i % 2 = 0 THEN
+             CASE WHEN 2 * CAST(substr(x, CAST(len(x) - i + 1 AS INT), 1) AS INT) > 9
+                  THEN 2 * CAST(substr(x, CAST(len(x) - i + 1 AS INT), 1) AS INT) - 9
+                  ELSE 2 * CAST(substr(x, CAST(len(x) - i + 1 AS INT), 1) AS INT) END
+           ELSE CAST(substr(x, CAST(len(x) - i + 1 AS INT), 1) AS INT) END))
+           % 10 = 0"""
+    Q(
+      "q172_luhn_cards",
+      (s, dir) => {
+        import graft.expressions.StringExprs.{luhnCardCount, redactLuhnCards}
+        val planted = when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" card 4532015112830366 ok")))
+          .when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" num "),
+              lpad(((col("doc_id") * 7919L) % 100000000000000L).cast("string"),
+                14, "0")))
+          .otherwise(col("text"))
+        t(s, dir, "documents")
+          .select(col("lang"), luhnCardCount(planted).as("nc"),
+            length(redactLuhnCards(planted)).as("rl"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("nc") > 0, 1L).otherwise(0L)).as("n_card_docs"),
+            sum(col("nc").cast("long")).as("n_cards"),
+            sum(col("rl").cast("long")).as("sum_redacted_len"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH p AS (SELECT lang, $plantedSql AS t FROM documents),
+        r AS (SELECT lang, t,
+                list_filter(regexp_extract_all(t, '[0-9]+'),
+                  x -> $luhnSql) AS cards
+              FROM p),
+        c AS (SELECT lang,
+                len(cards) AS nc,
+                length(t) - coalesce(list_sum(
+                  list_transform(cards, x -> length(x))), 0)
+                  + 4 * len(cards) AS rl
+              FROM r)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_card_docs,
+          CAST(sum(nc) AS BIGINT) AS n_cards,
+          CAST(sum(rl) AS BIGINT) AS sum_redacted_len
+        FROM c GROUP BY lang ORDER BY lang
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4258,5 +4327,5 @@ object LlmQueries extends QuerySet {
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
-      q158, q161, q165, q166, q170, q171)
+      q158, q161, q165, q166, q170, q171, q172)
 }

@@ -455,6 +455,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(boosted._2 === 10L && boosted._3 === 48659L, boosted)
   }
 
+  test("luhn card detection: checksum gates the count, maximal runs " +
+      "defeat greedy bites, redaction cuts exactly the valid spans") {
+    import graft.expressions.StringExprs.{luhnCardCount, redactLuhnCards}
+    val df = Seq(
+      // known-valid 16-digit PAN
+      ("a", "pay 4532015112830366 now"),
+      // same digits, last flipped → checksum fails
+      ("b", "pay 4532015112830367 now"),
+      // 13 digits, invalid; and a short run that can never be a card
+      ("c", "num 1234567890123 and 555-1234"),
+      // a valid card EMBEDDED in a 26-digit run: ONE maximal run,
+      // not card-like — greedy {13,19} regex would false-positive
+      ("d", "id 45320151128303661234567890 end"),
+      // two cards in one doc
+      ("e", "4532015112830366 then 4532015112830366"),
+      ("f", "no digits at all"))
+      .toDF("id", "t")
+      .select(col("id"), luhnCardCount(col("t")).as("n"),
+        redactLuhnCards(col("t")).as("r"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    assert(df("a") === ((1, "pay <CC> now")))
+    assert(df("b") === ((0, "pay 4532015112830367 now")))
+    assert(df("c") === ((0, "num 1234567890123 and 555-1234")))
+    assert(df("d") === ((0, "id 45320151128303661234567890 end")))
+    assert(df("e") === ((2, "<CC> then <CC>")))
+    assert(df("f") === ((0, "no digits at all")))
+  }
+
   test("cohenKappa: hand-computed chance correction, worse-than-chance " +
       "negative, constant raters defined 0") {
     import spark.implicits._
