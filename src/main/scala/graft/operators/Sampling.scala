@@ -456,6 +456,72 @@ object Sampling {
           " * least(__c, __lvl) DIV 1000000 AS BIGINT)").as("alloc_tokens"))
   }
 
+  /** Fifth mixing multiplier, for [[materializeMix]]'s fractional-epoch
+    * order (L'Ecuyer 1988's 40692 MRG component — decorrelated from
+    * every other mixing round here). */
+  val MixMult = 40692L
+
+  /** MATERIALIZE a waterfill allocation into the actual TRAINING LIST
+    * — the step that turns [[epochWaterfill]]'s per-source token
+    * allocation into (stratum, id, epoch) rows a run can read: each
+    * doc of a source repeats ⌊epochs⌋ times (the full epochs), and the
+    * FRACTIONAL epoch is filled by a deterministic prefix of the
+    * source's docs in MCG-hash order — docs whose exclusive cumulative
+    * token count is below the remainder get one extra pass, so the
+    * materialized token mass per source lands within one doc of
+    * alloc_tokens, every engine/retry/partitioning agreeing on WHICH
+    * docs fill the fraction (the [[shardShuffle]] determinism
+    * argument; ties broken by id).
+    *
+    * Scale shape: the allocation frame is parameter-small (sources) →
+    * broadcast join; the per-source running token sum — the one
+    * inherently sequential piece — is the classic TWO-PHASE
+    * distributed prefix sum: docs land in `blocks` hash-order blocks,
+    * block totals partial-aggregate (one small exchange), block
+    * OFFSETS are a window over the ≤`blocks`-row per-source frame, and
+    * the doc-level cumsum windows only within (source, block) — its
+    * partitions are corpus/blocks-bounded, so no source ever funnels
+    * through one task (the skew trap a naive per-source window is).
+    * The epoch fan-out is one generator (explode of a bounded range —
+    * caps are small by policy).
+    */
+  def materializeMix(
+      docs: DataFrame, stratumCol: String, idCol: String,
+      tokensCol: String, alloc: DataFrame, blocks: Int = 1024): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    val blockWidth = (HashPrime + blocks - 1) / blocks
+    val m1 = pmod(pmod(col(idCol), lit(HashPrime)) * lit(HashMult),
+      lit(HashPrime))
+    val key = pmod(m1 * lit(MixMult), lit(HashPrime))
+    val d = docs
+      .join(broadcast(alloc.select(col(stratumCol),
+        expr("epochs_micro DIV 1000000").as("__f"),
+        col("alloc_tokens"), col("n_tokens").as("__srcTok"))), stratumCol)
+      .withColumn("__rem",
+        col("alloc_tokens") - col("__f") * col("__srcTok"))
+      .withColumn("__k", key)
+      .withColumn("__blk", (col("__k") / lit(blockWidth)).cast("long"))
+    val blockTotals = d.groupBy(col(stratumCol), col("__blk"))
+      .agg(sum(col(tokensCol).cast("long")).as("__bt"))
+      .withColumn("__boff", coalesce(
+        sum(col("__bt")).over(
+          Window.partitionBy(col(stratumCol)).orderBy(col("__blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bt")
+    val wDoc = Window.partitionBy(col(stratumCol), col("__blk"))
+      .orderBy(col("__k"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(blockTotals, Seq(stratumCol, "__blk"))
+      .withColumn("__cum",
+        col("__boff") + coalesce(sum(col(tokensCol).cast("long")).over(wDoc),
+          lit(0L)))
+      .withColumn("__e",
+        col("__f") + when(col("__cum") < col("__rem"), 1L).otherwise(0L))
+      .filter(col("__e") > 0L)
+      .select(col(stratumCol), col(idCol),
+        explode(sequence(lit(1L), col("__e"))).as("epoch"))
+  }
+
   /** Per-stratum SYSTEMATIC PPS sampling (probability proportional to
     * size, Madow 1949) — the weighted draw the mixing layer needs when
     * items differ in cost (tokens, bytes) and inclusion probability

@@ -4320,6 +4320,82 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** TRAINING-LIST MATERIALIZATION ([[graft.operators.Sampling
+    * .materializeMix]]) — the pipeline apex connecting q150 → the run:
+    * the waterfill's per-source token allocation becomes actual
+    * (source, doc, epoch) rows — ⌊epochs⌋ full passes for every doc,
+    * the fractional epoch filled by a deterministic MCG-hash-order
+    * prefix of the source (token-cumsum < remainder), so the
+    * materialized mass lands within one doc of the allocation and
+    * every engine agrees on WHICH docs fill the fraction. The
+    * operator's per-source cumsum is the two-phase distributed prefix
+    * sum (block totals + within-block windows — no source funnels
+    * through one task); DuckDB replays with a plain window cumsum,
+    * which the two-phase plan must equal exactly (equivalence also
+    * spec-pinned), plus the full q150 waterfill level search.
+    */
+  private lazy val q173 = Q(
+    "q173_mix_materialize",
+    (s, dir) => {
+      import graft.operators.Sampling
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("tok"))
+      val tc = docs.groupBy("source").agg(sum(col("tok")).as("n_tokens"))
+        .withColumn("cap_micro",
+          lit(1000000L) +
+            expr("CAST(substr(source, 4) AS INT) % 5") * lit(500000L))
+      val total = tc.agg(sum("n_tokens")).collect()(0).getLong(0)
+      val alloc = Sampling.epochWaterfill(
+        tc, "source", "n_tokens", "cap_micro", total * 9L / 5L)
+      Sampling.materializeMix(docs, "source", "doc_id", "tok", alloc)
+        .orderBy("source", "doc_id", "epoch")
+    },
+    Some(s"""
+      WITH tc AS (SELECT source,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+               AS BIGINT) AS n,
+             1000000 + (CAST(substr(source, 4) AS INT) % 5) * 500000 AS c
+           FROM documents GROUP BY source),
+      b AS (SELECT CAST(sum(n) AS BIGINT) * 9 // 5 AS bt FROM tc),
+      o AS (SELECT tc.*,
+             coalesce(sum(CAST(c AS HUGEINT) * n) OVER (ORDER BY c, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             sum(n) OVER (ORDER BY c, source
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem,
+             coalesce(lag(c) OVER (ORDER BY c, source), 0) AS lo
+           FROM tc),
+      cand AS (SELECT o.*,
+               CAST((CAST(b.bt AS HUGEINT) * 1000000 - cb) // rem AS BIGINT) AS t
+             FROM o, b),
+      lvl AS (SELECT coalesce(min(CASE WHEN lo <= t AND t < c THEN t END),
+               max(c)) AS lv FROM cand),
+      al AS (SELECT tc.source, tc.n AS src_tok,
+               least(tc.c, lvl.lv) // 1000000 AS f,
+               CAST(CAST(tc.n AS HUGEINT) * least(tc.c, lvl.lv) // 1000000
+                 AS BIGINT) AS alloc
+             FROM tc, lvl),
+      dk AS (SELECT source, doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok,
+               (doc_id % 1000000007) * 2654435761 % 1000000007
+                 * 40692 % 1000000007 AS k
+             FROM documents),
+      j AS (SELECT dk.*, al.f, al.alloc - al.f * al.src_tok AS rem
+            FROM dk JOIN al USING (source)),
+      cm AS (SELECT *, coalesce(sum(tok) OVER (PARTITION BY source
+               ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             FROM j),
+      e AS (SELECT source, doc_id,
+              f + CASE WHEN cum < rem THEN 1 ELSE 0 END AS ep
+            FROM cm)
+      SELECT source, doc_id, CAST(unnest(range(1, ep + 1)) AS BIGINT) AS epoch
+      FROM e WHERE ep > 0
+      ORDER BY source, doc_id, epoch
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4327,5 +4403,5 @@ object LlmQueries extends QuerySet {
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
-      q158, q161, q165, q166, q170, q171, q172)
+      q158, q161, q165, q166, q170, q171, q172, q173)
 }

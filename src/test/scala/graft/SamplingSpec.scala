@@ -343,6 +343,47 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       s"quantize-order regression: picked ${win.toSeq}, want Seq(21)")
   }
 
+  test("materializeMix: full epochs for everyone, a deterministic " +
+      "hash-order prefix fills the fraction, two-phase cumsum ≡ plain") {
+    import spark.implicits._
+    val docs = (
+      (1L to 3L).map(i => ("A", i, 10L)) ++      // 3 docs × 10 tokens
+      (11L to 12L).map(i => ("B", i, 5L)) ++     // 2 docs × 5 tokens
+      (21L to 24L).map(i => ("C", i, 10L)))      // 4 docs × 10 tokens
+      .toDF("source", "doc_id", "tok")
+    val alloc = Seq(
+      // A: 2.5 epochs of 30 tokens → alloc 75: f=2, rem=15 → 2 docs
+      // get a third pass (cum 0 and 10 < 15; cum 20 does not)
+      ("A", 30L, 2500000L, 75L),
+      // B: exactly 1 epoch → rem 0, nobody gets a second pass
+      ("B", 10L, 1000000L, 10L),
+      // C: half an epoch → f=0, only the 20-token hash prefix appears
+      ("C", 40L, 500000L, 20L))
+      .toDF("source", "n_tokens", "epochs_micro", "alloc_tokens")
+    val out = Sampling
+      .materializeMix(docs, "source", "doc_id", "tok", alloc)
+      .as[(String, Long, Long)].collect()
+    val perDoc = out.groupBy(r => (r._1, r._2)).view
+      .mapValues(v => v.map(_._3).sorted.toSeq).toMap
+    // A: every doc has epochs 1..2; exactly two docs also epoch 3
+    val aEpochs = (1L to 3L).map(i => perDoc(("A", i)))
+    assert(aEpochs.forall(e => e.startsWith(Seq(1L, 2L))))
+    assert(aEpochs.count(_.length == 3) === 2, aEpochs)
+    // B: exactly one epoch each
+    assert((11L to 12L).forall(i => perDoc(("B", i)) === Seq(1L)))
+    // C: exactly two of the four docs appear, with epoch 1 only
+    val cDocs = (21L to 24L).filter(i => perDoc.contains(("C", i)))
+    assert(cDocs.length === 2, cDocs)
+    cDocs.foreach(i => assert(perDoc(("C", i)) === Seq(1L)))
+    // determinism: identical under repartitioning AND under a
+    // different block count (two-phase prefix sum ≡ the plain one)
+    val again = Sampling
+      .materializeMix(docs.repartition(7), "source", "doc_id", "tok",
+        alloc, blocks = 1)
+      .as[(String, Long, Long)].collect()
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("ppsSystematic: Σdraws = k per stratum, heavy-item multiplicity, " +
       "weight-proportional, deterministic") {
     import spark.implicits._
