@@ -110,6 +110,34 @@ object Multimodal {
         expr(s"substring(bytes, CAST(frame_idx AS INT) * $frameBytes + 1, $frameBytes)")
           .as("frame_bytes"))
 
+  import org.apache.spark.sql.Column
+
+  /** CONTENT-TYPE SNIFFING by magic bytes — the trust-nothing intake
+    * check every media pipeline runs before routing to a decoder (file
+    * extensions and upstream content-type headers lie; a mislabeled
+    * blob crashes or poisons the decode stage): classify by the
+    * format's SIGNATURE prefix — JPEG FF D8 FF, PNG's 8-byte
+    * signature, GIF8, RIFF····WAVE, MP4's `ftyp` at offset 5, %PDF —
+    * else `unknown`. Pure column expression over the binary prefix
+    * (substring on BINARY is zero-copy slicing): narrow, codegen'd,
+    * pushdown-transparent — at 100 TB this is a scan-stage projection
+    * that costs a few byte compares per blob.
+    */
+  def sniffType(bytes: Column): Column = {
+    def sig(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    when(substring(bytes, 1, 3) ===
+        lit(Array(0xFF, 0xD8, 0xFF).map(_.toByte)), "jpeg")
+      .when(substring(bytes, 1, 8) ===
+        lit(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+          .map(_.toByte)), "png")
+      .when(substring(bytes, 1, 4) === lit(sig("GIF8")), "gif")
+      .when(substring(bytes, 1, 4) === lit(sig("RIFF")) &&
+        substring(bytes, 9, 4) === lit(sig("WAVE")), "wav")
+      .when(substring(bytes, 5, 4) === lit(sig("ftyp")), "mp4")
+      .when(substring(bytes, 1, 4) === lit(sig("%PDF")), "pdf")
+      .otherwise("unknown")
+  }
+
   /** Build a media table from any keyed source of raw bytes. */
   def asMediaTable(
       rows: Dataset[(String, String, Array[Byte])]): DataFrame = {

@@ -4396,6 +4396,54 @@ object LlmQueries extends QuerySet {
       ORDER BY source, doc_id, epoch
     """))
 
+  /** MEDIA CONTENT-TYPE SNIFFING ([[graft.operators.Multimodal
+    * .sniffType]], magic bytes — the trust-nothing intake check before
+    * any decoder sees a blob: extensions and upstream content-type
+    * headers lie): blobs derived from the documents text with a
+    * format SIGNATURE planted by doc_id class (JPEG/PNG/GIF/RIFF-WAVE/
+    * MP4-ftyp/PDF, one class unprefixed), sniffed back by the binary
+    * prefix checks. The planting IS the ground truth — the oracle
+    * predicts each doc's class from doc_id arithmetic, so any wrong
+    * signature, offset, or precedence order misclassifies some class
+    * wholesale and hash-mismatches. Narrow scan-stage projection.
+    */
+  private lazy val q174 = Q(
+    "q174_media_sniff",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      def sig(x: String) =
+        lit(x.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      val payload = encode(col("text"), "UTF-8")
+      val planted =
+        when(col("doc_id") % 7 === 0,
+          concat(lit(Array(0xFF, 0xD8, 0xFF).map(_.toByte)), payload))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit(Array[Byte](0x89.toByte) ++ "PNG".getBytes ++
+            Array(0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)), payload))
+        .when(col("doc_id") % 7 === 2, concat(sig("GIF89a"), payload))
+        .when(col("doc_id") % 7 === 3,
+          concat(sig("RIFF"), lit(Array[Byte](0, 0, 0, 0)), sig("WAVE"),
+            payload))
+        .when(col("doc_id") % 7 === 4,
+          concat(lit(Array[Byte](0, 0, 0, 0x18)), sig("ftypisom"), payload))
+        .when(col("doc_id") % 7 === 5, concat(sig("%PDF-1.7 "), payload))
+        .otherwise(payload)
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.sniffType(planted).as("kind"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("kind")
+    },
+    Some("""
+      WITH k AS (SELECT doc_id,
+              CASE doc_id % 7 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                   WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4'
+                   WHEN 5 THEN 'pdf' ELSE 'unknown' END AS kind
+            FROM documents)
+      SELECT kind, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM k GROUP BY kind ORDER BY kind
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4403,5 +4451,5 @@ object LlmQueries extends QuerySet {
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
-      q158, q161, q165, q166, q170, q171, q172, q173)
+      q158, q161, q165, q166, q170, q171, q172, q173, q174)
 }

@@ -190,4 +190,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // the planted byte-identical copy is the one semantic duplicate
     assert(kept.contains("img1") && !kept.contains("img2"))
   }
+
+  test("sniffType: magic-byte signatures, offset checks, truncated and " +
+      "mislabeled blobs fall to unknown") {
+    import spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def s(x: String): Array[Byte] = x.getBytes("ISO-8859-1")
+    val payload = s("payloadpayload")
+    val rows = Seq(
+      ("jpeg", b(0xFF, 0xD8, 0xFF) ++ payload),
+      ("png", b(0x89) ++ s("PNG") ++ b(0x0D, 0x0A, 0x1A, 0x0A) ++ payload),
+      ("gif", s("GIF89a") ++ payload),
+      ("wav", s("RIFF") ++ b(0, 0, 0, 0) ++ s("WAVE") ++ payload),
+      ("mp4", b(0, 0, 0, 0x18) ++ s("ftypisom") ++ payload),
+      ("pdf", s("%PDF-1.7 ") ++ payload),
+      // RIFF container that is NOT wave audio → unknown, not wav
+      ("u1", s("RIFF") ++ b(0, 0, 0, 0) ++ s("AVI ") ++ payload),
+      // truncated jpeg signature
+      ("u2", b(0xFF, 0xD8)),
+      ("u3", Array.empty[Byte]),
+      ("u4", s("plain text bytes")))
+      .toDF("id", "bytes")
+      .select(col("id"),
+        graft.operators.Multimodal.sniffType(col("bytes")).as("kind"))
+      .as[(String, String)].collect().toMap
+    assert(rows("jpeg") === "jpeg" && rows("png") === "png")
+    assert(rows("gif") === "gif" && rows("wav") === "wav")
+    assert(rows("mp4") === "mp4" && rows("pdf") === "pdf")
+    Seq("u1", "u2", "u3", "u4").foreach(u => assert(rows(u) === "unknown", u))
+  }
 }
