@@ -581,10 +581,18 @@ object TextAnalysis {
     * every further step (marginals, join, κ) runs on that
     * parameter-small matrix — label vocabularies are enums, not data.
     */
-  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val m = df
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    kappaFromMatrix(df
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** κ from an already-aggregated confusion matrix (a, b, c) — the
+    * MERGEABLE form: counts sum across batches/streams/partitions, so
+    * an incrementally maintained matrix (the [[graft.streaming
+    * .DocStreams.confusionStream]] state) reads off the same κ as a
+    * full re-scan, with no corpus pass at read time.
+    */
+  def kappaFromMatrix(m: DataFrame): DataFrame = {
     val nd = m.agg(
       sum(col("c")).as("n"),
       sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("n_agree"))

@@ -676,4 +676,38 @@ object DocStreams {
       .filter(tokenCount(col("text")) >= minTokens)
       .withColumn("text", TextAnalysis.redactPii(col("text")))
   }
+
+  /** STREAMING confusion-matrix maintenance — the label-QC state a
+    * long-running annotation/classifier pipeline keeps per micro-batch
+    * (the mergeable-metrics posture of the sketch layer): a streaming
+    * groupBy over (predicted, actual) whose counts SUM across batches,
+    * so Cohen's κ ([[graft.operators.TextAnalysis.kappaFromMatrix]])
+    * reads off the maintained state with zero re-scan — exactly the κ
+    * a full batch recount would produce (spec-pinned batch ≡ stream).
+    * Complete-mode output: the matrix is |labels|²-bounded state, the
+    * one case where complete mode is the right shape.
+    */
+  def confusionStream(rated: DataFrame,
+      predCol: String = "pred", actualCol: String = "actual"): DataFrame =
+    rated.groupBy(col(predCol).as("a"), col(actualCol).as("b"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("c"))
+
+  /** Drain a bounded rated stream through [[confusionStream]] (spec
+    * harness): returns the final matrix snapshot.
+    */
+  def runBoundedConfusion(
+      spark: SparkSession, rated: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    mem.addData(rated)
+    val q = confusionStream(mem.toDF().toDF("pred", "actual"))
+      .writeStream.format("memory").queryName("graft_confusion_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_confusion_test")
+  }
 }

@@ -622,6 +622,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming confusion matrix: incrementally maintained state " +
+      "reads off the same kappa as a batch recount") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.streaming.DocStreams
+    val rated = Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))
+    val snapshot = DocStreams.runBoundedConfusion(spark, rated)
+    // the maintained matrix IS the batch matrix
+    val m = snapshot.as[(String, String, Long)].collect().toSet
+    assert(m === Set(("x", "x", 20L), ("x", "y", 5L),
+      ("y", "x", 10L), ("y", "y", 15L)))
+    // κ off the state == κ off a full recount (the 0.4 hand case)
+    val streamK = TextAnalysis.kappaFromMatrix(snapshot)
+      .select("kappa_micro").as[Long].head()
+    val batchK = TextAnalysis
+      .cohenKappa(rated.toDF("pred", "actual"), "pred", "actual")
+      .select("kappa_micro").as[Long].head()
+    assert(streamK === 400000L && batchK === streamK)
+  }
+
   test("streaming quality gate: stateless, flag-identical to the batch gate") {
     import graft.streaming.DocStreams
     import graft.streaming.DocStreams.Doc
