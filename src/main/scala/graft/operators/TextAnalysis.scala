@@ -627,8 +627,10 @@ object TextAnalysis {
       df: DataFrame, scoreMicroCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val bin = least(lit(bins - 1),
-      (col(scoreMicroCol) * bins / lit(1000000L)).cast("long"))
+    // clamp both edges: scores are contracted to [0, 1e6] but a stray
+    // out-of-range value must land in an edge bin, not a phantom one
+    val bin = greatest(lit(0L), least(lit(bins - 1L),
+      (col(scoreMicroCol) * bins / lit(1000000L)).cast("long")))
     val perBin = df
       .withColumn("__b", bin)
       .groupBy(col("__b").as("bin"))

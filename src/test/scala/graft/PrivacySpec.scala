@@ -92,6 +92,18 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     Seq(0L, 1L, 2L, 8L, 9L).foreach(i => assert(out2(i) === ((null, true))))
   }
 
+  test("plan: each rung's count and join share the class-key exchange " +
+      "(ReusedExchange) — the corpus is not re-scanned per reference") {
+    val out = Privacy.kAnonymize(
+      fixture.repartition(4), Seq("city", "ageb"), ladder, k = 3)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // cur feeds both the per-class count agg and the join-back on the
+    // SAME key per rung: the shuffle must be computed once and reused
+    assert(p.contains("ReusedExchange"), s"rung exchange not shared:\n$p")
+  }
+
   test("guards: k >= 1, quasi non-empty, ladder only rewrites quasi") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymize(fixture, Seq("city"), Nil, k = 0)
