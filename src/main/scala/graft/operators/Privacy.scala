@@ -103,4 +103,71 @@ object Privacy {
       .withColumn("suppressed", violating)
       .drop("__c", "__d")
   }
+
+  /** Sixth and seventh mixing multipliers (L'Ecuyer 1988/1996 MRG
+    * components 40014 and 45991) — the two DP noise legs, decorrelated
+    * from every sampling round in [[Sampling]] so a pipeline that both
+    * samples and releases never reuses a stream. */
+  val DpMult1 = 40014L
+  val DpMult2 = 45991L
+
+  /** ε-DIFFERENTIALLY-PRIVATE count release (discrete Laplace / two-
+    * sided geometric mechanism — Ghosh, Roughgarden & Sundararajan
+    * 2012, the universally-optimal mechanism for counts): the third
+    * member of the privacy family. [[kAnonymize]] coarsens classes
+    * below k and l-diversity closes the homogeneity attack, but any
+    * EXACT released count still leaks membership under a differencing
+    * attack (release the histogram before and after one person's
+    * document is added and subtract). Per-cell integer noise from the
+    * discrete Laplace distribution gives ε-DP for a unit-sensitivity
+    * count: noise = G₁ − G₂ with G ~ Geometric(1 − e^(−ε)), via the
+    * inverse-CDF identity G = ⌊ln(u)/ln(α)⌋, α = e^(−ε).
+    *
+    * Determinism: u comes from MCG mixing rounds of the cell's RANK in
+    * the released histogram (row_number over the sorted cell keys) —
+    * the same no-rand() posture as every sampler here, so retries,
+    * repartitionings, and engines release the SAME noisy table (a
+    * re-run that re-drew noise would leak ε per run; fixing the draw
+    * spends the budget once). The trade-off is honest: the noise is
+    * pseudo-random from a public seed schedule, so this is the
+    * REPRODUCIBLE-RELEASE posture (the draw is fixed per release key,
+    * as a production pipeline would fix a recorded seed), not a fresh
+    * cryptographic draw. ln(u) is micro-quantized before the one IEEE
+    * divide by −ε_micro (exact long over exact long — the q110/q161
+    * precedent), so G is bit-identical in any engine; ln(α)·10⁶ is
+    * EXACTLY −ε_micro by construction (α := e^(−ε_micro/10⁶)) — no
+    * second libm call enters the denominator.
+    *
+    * Released cells are the observed groups only (cells the data does
+    * not contain are not enumerated — callers needing closed-universe
+    * release join a domain table first and get noise on its zeros).
+    * Negative noisy counts clamp to 0 (post-processing, DP-safe).
+    *
+    * Shape: one partial-aggregated groupBy over the corpus; everything
+    * after runs on the |cells| histogram — the single-partition rank
+    * window is parameter-small by construction (a released histogram
+    * IS small; the kmeans-centroid rule). */
+  def dpCountRelease(
+      df: DataFrame, keys: Seq[String], epsilonMicro: Long): DataFrame = {
+    require(keys.nonEmpty, "no release keys given")
+    require(epsilonMicro > 0L,
+      s"epsilonMicro must be positive, got $epsilonMicro")
+    val p = Sampling.HashPrime
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(keys.map(col(_).asc): _*)
+    def geom(leg: Long): Column = {
+      val m1 = pmod(pmod(col("__rk"), lit(p)) * lit(Sampling.HashMult), lit(p))
+      val m2 = pmod(m1 * lit(leg), lit(p))
+      val u = (m2 + lit(1L)).cast("double") / lit((p + 1L).toDouble)
+      val lnuMicro = floor(log(u) * lit(1000000.0)).cast("long")
+      floor(lnuMicro.cast("double") / lit((-epsilonMicro).toDouble))
+        .cast("long")
+    }
+    counts
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .select(keys.map(col) :+
+        greatest(col("__n") + geom(DpMult1) - geom(DpMult2), lit(0L))
+          .as("noisy_n"): _*)
+  }
 }

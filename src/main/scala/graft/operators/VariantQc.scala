@@ -1084,4 +1084,57 @@ object VariantQc {
       .filter(col("n_sites") >= minSites)
       .drop("__isl")
   }
+
+  /** Per-sample HET ALLELE-BALANCE QC from the AD (allelic depth)
+    * FORMAT field — the GATK hard-filter family's contamination and
+    * genotyping-error signal (GATK docs: AB for a clean ref/alt het
+    * should sit near 0.5; a sample whose hets systematically skew
+    * toward the reference is contaminated, and a site-level skew flags
+    * a mis-called genotype). For every BIALLELIC ref/alt het call
+    * (zygosity het-ref, multiallele 0 — at a multiallelic site the
+    * 2-field AD's alt depth need not be the CALLED alt, and a het-alt
+    * 1/2 call has no single balance, so both are excluded, documented
+    * GATK posture) with positive total depth:
+    *
+    *   AB = altDepth / (refDepth + altDepth)
+    *
+    * and the call is in-band iff minMicro ≤ AB·10⁶ ≤ maxMicro —
+    * evaluated as the exact integer cross-products
+    * alt·10⁶ ≥ min·(ref+alt) (never a float division; the q120/q124
+    * no-floats-in-decisions rule). Returns one row per sample:
+    * n_het (biallelic ref/alt hets), n_eval (with depth), n_ok /
+    * n_low / n_high, and ab_ok_micro = ⌊10⁶·n_ok/n_eval⌋ — the
+    * per-sample in-band fraction a cohort screens for outliers.
+    *
+    * Shape: one narrow projection off the annotate frame + ONE
+    * partial-aggregated groupBy(sample) — samples are the cohort
+    * panel, so the result is panel-sized; no joins, no windows. */
+  def hetAlleleBalance(
+      ann: DataFrame,
+      minMicro: Long = 200000L,
+      maxMicro: Long = 800000L,
+      sampleCol: String = "sample_id",
+      refDepthCol: String = "AD_0",
+      altDepthCol: String = "AD_1"): DataFrame = {
+    require(minMicro >= 0L && minMicro <= maxMicro && maxMicro <= 1000000L,
+      s"need 0 <= minMicro <= maxMicro <= 1000000, got [$minMicro, $maxMicro]")
+    val r = col(refDepthCol).cast("long")
+    val a = col(altDepthCol).cast("long")
+    val tot = r + a
+    val eval = r.isNotNull && a.isNotNull && r >= 0L && a >= 0L && tot > 0L
+    val low = a * lit(1000000L) < lit(minMicro) * tot
+    val high = a * lit(1000000L) > lit(maxMicro) * tot
+    ann
+      .filter(col("zygosity") === "het-ref" && col("multiallele") === 0)
+      .groupBy(col(sampleCol).as("sample_id"))
+      .agg(
+        count(lit(1)).as("n_het"),
+        sum(when(eval, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(eval && !low && !high, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(eval && low, 1L).otherwise(0L)).as("n_low"),
+        sum(when(eval && high, 1L).otherwise(0L)).as("n_high"))
+      .withColumn("ab_ok_micro",
+        floor(col("n_ok") * lit(1000000.0) /
+          greatest(col("n_eval"), lit(1L))).cast("long"))
+  }
 }

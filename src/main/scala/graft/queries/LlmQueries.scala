@@ -4444,6 +4444,48 @@ object LlmQueries extends QuerySet {
       FROM k GROUP BY kind ORDER BY kind
     """))
 
+  /** ε-DP COUNT RELEASE ([[graft.operators.Privacy.dpCountRelease]],
+    * discrete Laplace — Ghosh et al. 2012): the third privacy rung
+    * after q165 k-anonymity and q166 l-diversity — exact histogram
+    * counts leak membership under a differencing attack even when
+    * every class passes k, so each released (lang, source) cell gets
+    * two-sided-geometric integer noise at ε = 0.2. Noise is the
+    * difference of two geometric legs G = ⌊ln(u)/ln(α)⌋ with u from
+    * MCG rounds of the cell's rank (reproducible-release posture — a
+    * fresh draw per retry would spend ε per run); ln micro-quantized
+    * before the one exact-long IEEE divide (the q161 spelling), so
+    * DuckDB replays count, rank, both legs, and the zero clamp
+    * bit-for-bit — a wrong constant, leg order, or clamp boundary
+    * hash-mismatches.
+    */
+  private lazy val q176 = Q(
+    "q176_dp_release",
+    (s, dir) => {
+      import graft.operators.Privacy
+      Privacy.dpCountRelease(t(s, dir, "documents"),
+          Seq("lang", "source"), epsilonMicro = 200000L)
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH c AS (SELECT lang, source, count(*) AS n
+                 FROM documents GROUP BY lang, source),
+      r AS (SELECT *, row_number() OVER (ORDER BY lang, source) AS rk
+            FROM c),
+      m AS (SELECT lang, source, n,
+              (rk % 1000000007) * 2654435761 % 1000000007 AS m1
+            FROM r),
+      g AS (SELECT lang, source, n,
+              CAST(floor(CAST(CAST(floor(ln(
+                CAST(m1 * 40014 % 1000000007 + 1 AS DOUBLE) / 1000000008.0)
+                * 1000000.0) AS BIGINT) AS DOUBLE) / -200000.0) AS BIGINT) AS g1,
+              CAST(floor(CAST(CAST(floor(ln(
+                CAST(m1 * 45991 % 1000000007 + 1 AS DOUBLE) / 1000000008.0)
+                * 1000000.0) AS BIGINT) AS DOUBLE) / -200000.0) AS BIGINT) AS g2
+            FROM m)
+      SELECT lang, source, greatest(n + g1 - g2, 0) AS noisy_n
+      FROM g ORDER BY lang, source
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4451,5 +4493,5 @@ object LlmQueries extends QuerySet {
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
-      q158, q161, q165, q166, q170, q171, q172, q173, q174)
+      q158, q161, q165, q166, q170, q171, q172, q173, q174, q176)
 }

@@ -1233,6 +1233,50 @@ object VcfQueries extends QuerySet {
       ORDER BY chrom, pos, ref, alt
     """))
 
+  /** Per-sample HET ALLELE BALANCE from the AD FORMAT field
+    * ([[graft.operators.VariantQc.hetAlleleBalance]], the GATK
+    * hard-filter family's contamination signal): for every biallelic
+    * ref/alt het with positive allelic depth, AB = alt/(ref+alt) must
+    * sit in [0.2, 0.8] — a sample whose hets skew toward reference is
+    * contaminated. Band membership is the exact integer cross-product
+    * alt·10⁶ ≥ min·(ref+alt) (no float in any count); DuckDB replays
+    * the AD split, the band arithmetic, and the per-sample rollup.
+    */
+  private val q175 = Q(
+    "q175_allele_balance",
+    (s, dir) => {
+      import graft.operators.VariantQc
+      VariantQc.hetAlleleBalance(
+        VariantAnnotator.annotate(wide(s, dir),
+          VariantAnnotator.Options(splitColumns = Map("AD" -> 2),
+            dropHomRef = false, formatKeys = fmtKeys)))
+        .orderBy("sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes,
+      ab AS (SELECT sample_id,
+               CAST(string_split(ad, ',')[1] AS BIGINT) AS r,
+               CAST(string_split(ad, ',')[2] AS BIGINT) AS a
+             FROM ann WHERE zygosity = 'het-ref' AND multiallele = 0)
+      SELECT sample_id,
+        count(*) AS n_het,
+        CAST(sum(CASE WHEN r + a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+        CAST(sum(CASE WHEN r + a > 0 AND a * 1000000 >= 200000 * (r + a)
+                       AND a * 1000000 <= 800000 * (r + a)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        CAST(sum(CASE WHEN r + a > 0 AND a * 1000000 < 200000 * (r + a)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        CAST(sum(CASE WHEN r + a > 0 AND a * 1000000 > 800000 * (r + a)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        CAST(floor(
+          sum(CASE WHEN r + a > 0 AND a * 1000000 >= 200000 * (r + a)
+                    AND a * 1000000 <= 800000 * (r + a)
+              THEN 1 ELSE 0 END) * 1000000.0
+          / greatest(sum(CASE WHEN r + a > 0 THEN 1 ELSE 0 END), 1))
+          AS BIGINT) AS ab_ok_micro
+      FROM ab GROUP BY sample_id ORDER BY sample_id
+    """))
+
   /** Shared synthetic-interval fixture for the q81–q84 range-join
     * family: deterministic regions derived from `part`. Single-sourced
     * (one Spark derivation, one DuckDB CTE) so a retune cannot
@@ -2561,5 +2605,5 @@ object VcfQueries extends QuerySet {
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
-      q160, q162, q163, q164, q167, q168, q169)
+      q160, q162, q163, q164, q167, q168, q169, q175)
 }

@@ -692,6 +692,26 @@ object DocStreams {
     rated.groupBy(col(predCol).as("a"), col(actualCol).as("b"))
       .agg(count(org.apache.spark.sql.functions.lit(1)).as("c"))
 
+  /** STREAMING per-source TOKEN-MASS maintenance — the waterfill
+    * budget-DRIFT probe ([[graft.operators.Sampling.epochWaterfill]]'s
+    * streaming companion): a training mix is allocated against the
+    * per-source token masses measured at planning time, but a live
+    * ingest keeps shifting them — a source that doubles overnight
+    * silently deflates every other source's epoch share when the mix
+    * is next recomputed. Maintaining (source, n_tokens) as a streaming
+    * groupBy-sum lets the pipeline re-run the waterfill level search
+    * off the maintained state after any micro-batch — with ZERO
+    * corpus re-scan — and diff the resulting allocations against the
+    * committed mix (the drift reading; spec pins state-waterfill ≡
+    * batch-waterfill at every snapshot AND that the level actually
+    * moves as mass arrives). Complete-mode output: |sources|-bounded
+    * state, the confusion-matrix posture.
+    */
+  def sourceTokenStream(
+      docs: DataFrame, sourceCol: String = "source"): DataFrame =
+    docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+
   /** Drain a bounded rated stream through [[confusionStream]] (spec
     * harness): returns the final matrix snapshot.
     */

@@ -124,4 +124,66 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
         sensitive = Some("city"), l = 2)
     }
   }
+
+  // ---- dpCountRelease ----
+
+  /** Independent plain-Scala spelling of one geometric leg — the same
+    * arithmetic the operator builds in Catalyst. */
+  private def geomLeg(rk: Long, mult: Long, epsMicro: Long): Long = {
+    val p = 1000000007L
+    val m1 = (rk % p) * 2654435761L % p
+    val m2 = m1 * mult % p
+    val u = (m2 + 1).toDouble / 1000000008.0
+    val lnuMicro = math.floor(math.log(u) * 1000000.0).toLong
+    math.floor(lnuMicro.toDouble / (-epsMicro).toDouble).toLong
+  }
+
+  private def dpFixture = {
+    import spark.implicits._
+    (Seq.fill(12)("a") ++ Seq.fill(3)("b") ++ Seq.fill(7)("c") ++
+      Seq.fill(1)("d") ++ Seq.fill(25)("e"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "grp")
+  }
+
+  test("dpCountRelease: noisy counts equal the hand-replayed discrete " +
+      "Laplace draw per cell rank, clamped at zero") {
+    import spark.implicits._
+    val eps = 200000L
+    val out = Privacy.dpCountRelease(dpFixture, Seq("grp"), eps)
+      .orderBy("grp").as[(String, Long)].collect()
+    val exact = Map("a" -> 12L, "b" -> 3L, "c" -> 7L, "d" -> 1L, "e" -> 25L)
+    val expected = exact.keys.toSeq.sorted.zipWithIndex.map {
+      case (g, i) =>
+        val rk = i + 1L
+        val noise = geomLeg(rk, Privacy.DpMult1, eps) -
+          geomLeg(rk, Privacy.DpMult2, eps)
+        g -> math.max(exact(g) + noise, 0L)
+    }
+    assert(out.toSeq === expected)
+    // ε = 0.2 noise (std ≈ 7) must actually perturb SOME cell — a
+    // no-op noise path would pass a hash gate vacuously
+    assert(out.exists { case (g, n) => n != exact(g) },
+      s"no cell perturbed: ${out.toSeq}")
+  }
+
+  test("dpCountRelease: deterministic under repartitioning, and never " +
+      "negative") {
+    import spark.implicits._
+    val a = Privacy.dpCountRelease(dpFixture, Seq("grp"), 100000L)
+      .orderBy("grp").as[(String, Long)].collect().toSeq
+    val b = Privacy.dpCountRelease(dpFixture.repartition(7), Seq("grp"),
+      100000L).orderBy("grp").as[(String, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.forall(_._2 >= 0L))
+  }
+
+  test("dpCountRelease guards: positive epsilon, non-empty keys") {
+    intercept[IllegalArgumentException] {
+      Privacy.dpCountRelease(dpFixture, Seq("grp"), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpCountRelease(dpFixture, Nil, 100000L)
+    }
+  }
 }

@@ -809,4 +809,53 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     batches.foreach(p => assert(p.stateOperators.isEmpty,
       s"typo probe unexpectedly stateful: ${p.stateOperators.mkString(",")}"))
   }
+
+  test("streaming waterfill drift probe: allocations read off maintained " +
+      "per-source token state equal a batch recompute at every snapshot, " +
+      "and the level moves as mass arrives") {
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def doc(id: Long, src: Int, n: Int) =
+      (Doc(t0, id, Seq.fill(n)("w").mkString(" ")), s"s$src")
+    // wave 1: s1 = 30 tokens, s2 = 10; wave 2: s2 surges to 110
+    val wave1 = Seq(doc(1L, 1, 10), doc(2L, 1, 20), doc(3L, 2, 10))
+    val wave2 = Seq(doc(4L, 2, 100))
+    def waterfillOf(strata: org.apache.spark.sql.DataFrame) = Sampling
+      .epochWaterfill(
+        strata.withColumn("cap_micro", lit(5000000L)),
+        "source", "n_tokens", "cap_micro", budgetTokens = 60L)
+      .select("source", "n_tokens", "epochs_micro", "alloc_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Doc, String)]
+    val q = DocStreams.sourceTokenStream(
+        mem.toDF().select(col("_1.text").as("text"), col("_2").as("source")))
+      .writeStream.format("memory").queryName("graft_srctok_test")
+      .outputMode("complete")
+      .start()
+    mem.addData(wave1); q.processAllAvailable()
+    val snap1 = waterfillOf(spark.table("graft_srctok_test"))
+    mem.addData(wave2); q.processAllAvailable()
+    val snap2 = waterfillOf(spark.table("graft_srctok_test"))
+    q.stop()
+    // state-waterfill ≡ batch-waterfill at each snapshot (zero re-scan)
+    def batchStrata(docs: Seq[(Doc, String)]) = docs
+      .map { case (d, s) => (s, d.text.split(" ").length.toLong) }
+      .toDF("source", "tok").groupBy("source")
+      .agg(sum("tok").as("n_tokens"))
+    assert(snap1 === waterfillOf(batchStrata(wave1)))
+    assert(snap2 === waterfillOf(batchStrata(wave1 ++ wave2)))
+    // drift is OBSERVABLE: wave 1's budget (60 over 40 tokens) sits at
+    // level 1.5 epochs; s2's surge drops the level — s1's allocation
+    // must shrink between readings
+    val a1 = snap1.collect { case ("s1", _, _, a) => a }.head
+    val a2 = snap2.collect { case ("s1", _, _, a) => a }.head
+    assert(a1 > a2, s"s1 allocation did not shrink: $a1 -> $a2")
+    // the maintained state IS the per-source sum
+    assert(snap2.map(t => t._1 -> t._2).toMap ===
+      Map("s1" -> 30L, "s2" -> 110L))
+  }
 }

@@ -656,4 +656,36 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       graft.operators.VariantQc.fstByChrom(ann, Seq("x1"), Seq("x1", "y1"))
     }
   }
+
+  test("hetAlleleBalance: band boundaries exact, multiallelic and " +
+      "non-ref-alt hets excluded, zero-depth counted but unevaluated") {
+    import spark.implicits._
+    def row(s: String, zyg: String, ma: Int, r: String, a: String) =
+      (s, zyg, ma, r, a)
+    val ann = Seq(
+      // s1: boundary cases — AB exactly 0.2 and 0.8 are IN band
+      row("s1", "het-ref", 0, "8", "2"),    // AB = .2  → ok
+      row("s1", "het-ref", 0, "2", "8"),    // AB = .8  → ok
+      row("s1", "het-ref", 0, "9", "1"),    // AB = .1  → low
+      row("s1", "het-ref", 0, "1", "9"),    // AB = .9  → high
+      row("s1", "het-ref", 0, "0", "0"),    // no depth → counted, not eval
+      // excluded rows: wrong zygosity or multiallelic site
+      row("s1", "hom-alt", 0, "0", "10"),
+      row("s1", "het-alt", 0, "5", "5"),
+      row("s1", "het-ref", 1, "5", "5"),
+      // s2: all clean
+      row("s2", "het-ref", 0, "6", "6"),
+      row("s2", "het-ref", 0, "5", "7"))
+      .toDF("sample_id", "zygosity", "multiallele", "AD_0", "AD_1")
+    val out = graft.operators.VariantQc.hetAlleleBalance(ann)
+      .orderBy("sample_id")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      ("s1", 5L, 4L, 2L, 1L, 1L, 500000L),
+      ("s2", 2L, 2L, 2L, 0L, 0L, 1000000L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.VariantQc.hetAlleleBalance(ann,
+        minMicro = 900000L, maxMicro = 100000L)
+    }
+  }
 }
