@@ -45,6 +45,47 @@ object Similarity {
       .select("probe_id", "cand_id", "rnk", "cosine")
   }
 
+  /** HARD-NEGATIVE MINING for retrieval/embedding training (the
+    * DPR/ANCE data step — Karpukhin et al. 2020, Xiong et al. 2021):
+    * for each probe, the top-k most-similar candidates whose LABEL
+    * DIFFERS from the probe's — the near-miss examples a contrastive
+    * loss needs (random negatives are trivially separable; the model
+    * only learns from negatives that LOOK like positives). Same-label
+    * candidates and the probe itself are excluded BEFORE ranking, so
+    * the k slots are all true negatives.
+    *
+    * This is the exact (brute-force) form — the auditable baseline
+    * and the oracle target. At corpus scale the label filter composes
+    * unchanged into the bucketed paths (IVF cell-restricted probes
+    * [[ivfAssignTopN]] / LSH buckets): filter after the candidate
+    * join, before the per-probe top-k. Probes are parameter-small
+    * (the training batch being mined), so the broadcast side is the
+    * probe set — the [[bruteForceTopK]] shape; the per-probe top-k
+    * compiles to WindowGroupLimit (partial per-partition pre-reduce).
+    * Determinism: cosine folds in index order (VectorExprs.dot) —
+    * bit-identical doubles across engines; ties break by cand_id.
+    */
+  def hardNegatives(
+      corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      col(labelCol).as("cand_label"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      col(labelCol).as("probe_label"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(p))
+      .filter(col("cand_id") =!= col("probe_id") &&
+        col("cand_label") =!= col("probe_label"))
+      .withColumn("cosine", cosine(col("cv"), col("pv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "probe_label", "cand_id", "cand_label", "rnk",
+        "cosine")
+  }
+
   /** Squared L2 distance, deterministic ordered fold. */
   def l2sq(a: Column, b: Column): Column = graft.expressions.VectorExprs.l2sq(a, b)
 

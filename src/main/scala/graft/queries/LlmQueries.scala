@@ -4486,6 +4486,46 @@ object LlmQueries extends QuerySet {
       FROM g ORDER BY lang, source
     """))
 
+  /** HARD-NEGATIVE MINING ([[graft.operators.Similarity
+    * .hardNegatives]], DPR/ANCE): per probe, the top-k most-similar
+    * OTHER-label vectors — the near-misses a contrastive loss needs
+    * (random negatives are trivially separable). Same-label and self
+    * candidates excluded before ranking so all k slots are true
+    * negatives; cosine folds in index order (bit-identical doubles),
+    * ties by cand_id. DuckDB replays the label-filtered cross join,
+    * the fold-order dot products, and the per-probe top-k.
+    */
+  private lazy val q177 = Q(
+    "q177_hard_negatives",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"),
+          col("label"))
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 6), k = 8)
+        .select(col("probe_id"), col("probe_label"), col("cand_id"),
+          col("cand_label"), col("rnk"), micro(col("cosine")).as("cos_micro"))
+        .orderBy("probe_id", "rnk")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      pr AS (SELECT p.vec_id AS probe_id, p.label AS probe_label,
+               c.vec_id AS cand_id, c.label AS cand_label,
+               ${dotSql("c.v", "p.v")} / (sqrt(${dotSql("c.v", "c.v")})
+                 * sqrt(${dotSql("p.v", "p.v")})) AS cosine
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 6) p
+             WHERE c.vec_id <> p.vec_id AND c.label <> p.label),
+      rk AS (SELECT probe_id, probe_label, cand_id, cand_label, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cosine DESC, cand_id) AS rnk
+             FROM pr)
+      SELECT probe_id, probe_label, cand_id, cand_label, rnk,
+        ${microSql("cosine")} AS cos_micro
+      FROM rk WHERE rnk <= 8 ORDER BY probe_id, rnk
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4493,5 +4533,5 @@ object LlmQueries extends QuerySet {
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
-      q158, q161, q165, q166, q170, q171, q172, q173, q174, q176)
+      q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177)
 }

@@ -175,6 +175,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq((4L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("hardNegatives: only other-label candidates rank — the most " +
+      "similar SAME-label vector never occupies a slot") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0), 0),   // probe, label 0
+      (2L, Seq(0.99, 0.14), 0), // same label, nearest overall — excluded
+      (3L, Seq(0.9, 0.44), 1),  // hard negative (closest other-label)
+      (4L, Seq(0.0, 1.0), 1),   // easy negative
+      (5L, Seq(0.7, 0.71), 2)   // other label, middle
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity
+      .hardNegatives(vecs, vecs.filter(col("vec_id") === 1), k = 2)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(2), r.getInt(3), r.getInt(4)))
+    // top-2 negatives: 3 (label 1), then 5 (label 2); 2 never appears
+    assert(out.toSeq === Seq((3L, 1, 1), (5L, 2, 2)))
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(vecs, vecs, k = 0)
+    }
+  }
+
   test("incrementalExact: cross-batch dups dropped, in-batch keep min id, replays collapse") {
     val ingested = Seq((1L, "seen before")).toDF("id", "text")
     val batch = Seq(

@@ -93,6 +93,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q177 hard negatives broadcast the probe batch and pre-reduce " +
+      "the per-probe top-k below the exchange") {
+    val p = planOf("q177_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial WindowGroupLimit before the exchange:\n$p")
+  }
+
   test("pq ADC top-k pre-reduces below the exchange (partial WindowGroupLimit)") {
     import graft.operators.Similarity
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
