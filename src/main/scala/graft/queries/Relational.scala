@@ -625,6 +625,52 @@ object Relational extends QuerySet {
       GROUP BY 1, 2 ORDER BY cohort_day, day_offset
     """))
 
+  /** ORDERED-STEP CONVERSION FUNNEL
+    * ([[graft.operators.Funnel.orderedFunnel]]): of the users who
+    * viewed, how many LATER clicked, and later still purchased —
+    * first-touch semantics, each step's time the earliest qualifying
+    * event STRICTLY AFTER the previous step's and within the 6-hour
+    * conversion deadline (without a deadline every long-lived user
+    * eventually "converts" by accident — measured: the gate would pass
+    * vacuously at 100% on this corpus; with 6 h it reads 150→19→1 at
+    * sf0.01). Every exchange in the chain is on the user key (joins
+    * co-keyed with the aggs); DuckDB replays the per-step min-after
+    * chain, the exact-microsecond deadline, and the conversion floors.
+    */
+  private val q178 = Q(
+    "q178_event_funnel",
+    (s, dir) => {
+      import graft.operators.Funnel
+      Funnel.orderedFunnel(events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), maxGapSeconds = Some(21600L))
+        .orderBy("step_idx")
+    },
+    Some(s"""
+      WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s1 AS (SELECT e.user_id, min(e.ts) AS t1
+             FROM events e JOIN s0 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s0.t0
+               AND epoch_us(e.ts) <= epoch_us(s0.t0) + 21600000000 GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+               AND epoch_us(e.ts) <= epoch_us(s1.t1) + 21600000000 GROUP BY 1),
+      c AS (SELECT (SELECT count(*) FROM s0) AS n0,
+                   (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2)
+      SELECT * FROM (
+        SELECT 1 AS step_idx, 'view' AS step, n0 AS n_users,
+               CAST(1000000 AS BIGINT) AS conv_micro FROM c
+        UNION ALL
+        SELECT 2, 'click', n1,
+               CAST(floor(n1 * 1000000.0 / greatest(n0, 1)) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', n2,
+               CAST(floor(n2 * 1000000.0 / greatest(n1, 1)) AS BIGINT) FROM c)
+      ORDER BY step_idx
+    """))
+
   /** Integer fixed-point PAGERANK
     * ([[graft.operators.Graphs.pageRankMicro]]): 3 damped power-
     * iteration rounds over the symmetrized part↔supplier co-occurrence
@@ -913,5 +959,5 @@ object Relational extends QuerySet {
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q18, q19, q50, q51,
       q52, q75, q115, q116, q126, q131, q134, q136, q137, q144, q145,
-      q149, q157, q159)
+      q149, q157, q159, q178)
 }
