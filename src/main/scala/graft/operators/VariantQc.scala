@@ -1085,6 +1085,55 @@ object VariantQc {
       .drop("__isl")
   }
 
+  /** COMPOUND-HETEROZYGOTE detection per (sample, gene) — the
+    * recessive-disease screen clinical pipelines run after annotation
+    * (two different damaged copies of one gene, one per haplotype,
+    * knock the gene out even though neither variant is homozygous):
+    * collect a sample's het calls inside each gene interval and
+    * classify the configuration.
+    *
+    *   - `trans` — phased evidence places an alt on BOTH haplotypes
+    *     (n_hap1 ≥ 1 and n_hap2 ≥ 1): confirmed compound het. A single
+    *     phased het-alt site (1|2) qualifies by itself — its two alt
+    *     alleles are distinct variants in trans.
+    *   - `candidate` — ≥ 2 het sites but at least one is UNPHASED:
+    *     trans cannot be confirmed or excluded (the follow-up is
+    *     parental phasing; flagging these is the operator's point).
+    *   - `cis` — ≥ 2 het sites, fully phased, all alts on one
+    *     haplotype: one working copy remains, NOT compound het (the
+    *     false positive an unphased-only caller reports).
+    *   - `single` — one het site only.
+    *
+    * Haploid and half-missing calls never enter (their zygosity is
+    * het-miss, excluded with hom classes). Gene assignment reuses
+    * [[RangeJoin.pointInInterval]]'s bucket decomposition — an
+    * equi-join on (chrom, pos-bucket), never a range cross join — and
+    * the rollup is ONE partial-aggregated groupBy(sample, gene).
+    */
+  def compoundHet(
+      ann: DataFrame, genes: DataFrame,
+      geneIdCol: String = "region_id", sampleCol: String = "sample_id",
+      bucketShift: Int = 14): DataFrame = {
+    val het = ann
+      .filter(col("zygosity").isin("het-ref", "het-alt"))
+      .select(col(sampleCol).as("sample_id"), col("chrom"), col("pos"),
+        (col("phase") === "|" && col("gt1") =!= "0").as("__h1"),
+        (col("phase") === "|" && col("gt2") =!= "0").as("__h2"),
+        (col("phase") === "/").as("__unph"))
+    RangeJoin.pointInInterval(het, genes, bucketShift = bucketShift)
+      .groupBy(col("sample_id"), col(geneIdCol))
+      .agg(
+        count(lit(1)).as("n_sites"),
+        sum(when(col("__h1"), 1L).otherwise(0L)).as("n_hap1"),
+        sum(when(col("__h2"), 1L).otherwise(0L)).as("n_hap2"),
+        sum(when(col("__unph"), 1L).otherwise(0L)).as("n_unphased"))
+      .withColumn("status",
+        when(col("n_hap1") >= 1L && col("n_hap2") >= 1L, "trans")
+          .when(col("n_sites") >= 2L && col("n_unphased") >= 1L, "candidate")
+          .when(col("n_sites") >= 2L, "cis")
+          .otherwise("single"))
+  }
+
   /** Per-sample HET ALLELE-BALANCE QC from the AD (allelic depth)
     * FORMAT field — the GATK hard-filter family's contamination and
     * genotyping-error signal (GATK docs: AB for a clean ref/alt het

@@ -1277,6 +1277,61 @@ object VcfQueries extends QuerySet {
       FROM ab GROUP BY sample_id ORDER BY sample_id
     """))
 
+  /** COMPOUND-HET detection per (sample, gene)
+    * ([[graft.operators.VariantQc.compoundHet]]): the recessive-disease
+    * screen — two different het variants in one gene knock it out only
+    * in TRANS (one per haplotype). Phased calls confirm (`trans`) or
+    * clear (`cis`); any unphased het in a ≥2-site gene leaves a
+    * `candidate` for parental phasing. Gene assignment rides the q81
+    * bucket equi-join; DuckDB replays the phase classification, the
+    * interval join, and the status ladder. The corpus generator only
+    * ever phases alts onto haplotype 2 (`0|1`/`2|2`), which would
+    * leave `trans` unreachable and the gate's core branch vacuous —
+    * so the gate swaps haplotype order on pos ≡ 0 (mod 3) sites
+    * (haplotype order is ARBITRARY per phase set; the swap is a
+    * semantics-preserving relabeling both engines replay), making all
+    * four statuses observable.
+    */
+  private lazy val q179 = Q(
+    "q179_compound_het",
+    (s, dir) => {
+      import graft.operators.VariantQc
+      val ann = VariantAnnotator.annotate(wide(s, dir),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+        .withColumn("__swap", pmod(col("pos"), lit(3)) === 0)
+        .select(col("sample_id"), col("chrom"), col("pos"), col("phase"),
+          col("zygosity"),
+          when(col("__swap"), col("gt2")).otherwise(col("gt1")).as("gt1"),
+          when(col("__swap"), col("gt1")).otherwise(col("gt2")).as("gt2"))
+      VariantQc.compoundHet(ann, syntheticRegions(s, dir))
+        .orderBy("sample_id", "region_id")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes, $regionsCteSql,
+      h AS (SELECT sample_id, chrom, pos,
+              (phase = '|' AND
+                (CASE WHEN pos % 3 = 0 THEN gt2 ELSE gt1 END) <> '0') AS h1,
+              (phase = '|' AND
+                (CASE WHEN pos % 3 = 0 THEN gt1 ELSE gt2 END) <> '0') AS h2,
+              (phase = '/') AS unph
+            FROM ann WHERE zygosity IN ('het-ref', 'het-alt')),
+      j AS (SELECT h.sample_id, r.region_id, h.h1, h.h2, h.unph
+            FROM h JOIN regions r
+              ON h.chrom = r.chrom AND h.pos BETWEEN r.rstart AND r.rend),
+      g AS (SELECT sample_id, region_id,
+              count(*) AS n_sites,
+              CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hap1,
+              CAST(sum(CASE WHEN h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hap2,
+              CAST(sum(CASE WHEN unph THEN 1 ELSE 0 END) AS BIGINT) AS n_unphased
+            FROM j GROUP BY 1, 2)
+      SELECT sample_id, region_id, n_sites, n_hap1, n_hap2, n_unphased,
+        CASE WHEN n_hap1 >= 1 AND n_hap2 >= 1 THEN 'trans'
+             WHEN n_sites >= 2 AND n_unphased >= 1 THEN 'candidate'
+             WHEN n_sites >= 2 THEN 'cis'
+             ELSE 'single' END AS status
+      FROM g ORDER BY sample_id, region_id
+    """))
+
   /** Shared synthetic-interval fixture for the q81–q84 range-join
     * family: deterministic regions derived from `part`. Single-sourced
     * (one Spark derivation, one DuckDB CTE) so a retune cannot
@@ -2605,5 +2660,5 @@ object VcfQueries extends QuerySet {
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
-      q160, q162, q163, q164, q167, q168, q169, q175)
+      q160, q162, q163, q164, q167, q168, q169, q175, q179)
 }

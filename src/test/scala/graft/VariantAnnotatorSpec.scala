@@ -657,6 +657,42 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compoundHet: trans needs alts on BOTH haplotypes — cis clears, " +
+      "unphased leaves a candidate, one phased 1|2 site is trans alone") {
+    import spark.implicits._
+    def het(s: String, pos: Long, phase: String, g1: String, g2: String) =
+      (s, "1", pos, phase, g1, g2,
+        if (g1 != "0" && g2 != "0" && g1 != g2) "het-alt" else "het-ref")
+    val ann = Seq(
+      // s1 gene A (100-200): 0|1 + 1|0 → trans
+      het("s1", 110L, "|", "0", "1"), het("s1", 120L, "|", "1", "0"),
+      // s2 gene A: both alts on hap2 → cis (the unphased caller's FP)
+      het("s2", 110L, "|", "0", "1"), het("s2", 120L, "|", "0", "1"),
+      // s3 gene A: one phased + one UNPHASED → candidate
+      het("s3", 110L, "|", "0", "1"), het("s3", 120L, "/", "0", "1"),
+      // s4 gene A: single het only
+      het("s4", 110L, "|", "0", "1"),
+      // s5 gene A: ONE phased het-alt site (1|2) → trans by itself
+      het("s5", 130L, "|", "1", "2"),
+      // s1 outside any gene: never reported
+      het("s1", 900L, "|", "0", "1"),
+      // a hom call never enters
+      ("s1", "1", 115L, "|", "1", "1", "hom-alt"))
+      .toDF("sample_id", "chrom", "pos", "phase", "gt1", "gt2", "zygosity")
+    val genes = Seq((7L, "1", 100, 200)).toDF("region_id", "chrom", "start", "end")
+    val out = graft.operators.VariantQc.compoundHet(ann, genes)
+      .select("sample_id", "region_id", "n_sites", "n_hap1", "n_hap2",
+        "n_unphased", "status")
+      .as[(String, Long, Long, Long, Long, Long, String)]
+      .collect().toSet
+    assert(out === Set(
+      ("s1", 7L, 2L, 1L, 1L, 0L, "trans"),
+      ("s2", 7L, 2L, 0L, 2L, 0L, "cis"),
+      ("s3", 7L, 2L, 0L, 1L, 1L, "candidate"),
+      ("s4", 7L, 1L, 0L, 1L, 0L, "single"),
+      ("s5", 7L, 1L, 1L, 1L, 0L, "trans")))
+  }
+
   test("hetAlleleBalance: band boundaries exact, multiallelic and " +
       "non-ref-alt hets excluded, zero-depth counted but unevaluated") {
     import spark.implicits._
