@@ -654,4 +654,64 @@ object TextAnalysis {
           .cast("long"))
       .drop("__tn", "__tg")
   }
+
+  /** BIGRAM-LM PERPLEXITY scoring — the actual CCNet/Gopher filter
+    * shape (Wenzek et al. 2020 score documents under a reference LM
+    * and drop the worst tail; q71's familiar-fraction is the LM-free
+    * stand-in, THIS is the log-prob version): an add-one-smoothed
+    * bigram model is trained on a curated reference corpus and every
+    * document gets its mean negative log-likelihood
+    *
+    *   p(b | a) = (c(a,b) + 1) / (c(a,·) + V),   V = |ref vocab| + 1
+    *
+    * (the +1 in V reserves smoothing mass for unseen words). High mean
+    * NLL = off-domain/garbled — fluent-but-foreign text q120's
+    * surface rules pass. The model is PRUNED to the top `maxBigrams`
+    * by count (total-order cutoff: count desc, bigram — the KenLM
+    * prune posture); pruned and unseen bigrams score the same backoff
+    * 1/(c(a,·) + V), so pruning only flattens, never crashes.
+    *
+    * Determinism: every probability is one IEEE divide of two exact
+    * longs, and ln is micro-quantized per bigram BEFORE the sum (the
+    * q110 posture) — the per-doc sum is an order-free int64. Scale
+    * shape: the model is vocabulary-bounded and capped (broadcast
+    * both tables); the corpus side is one explode + two broadcast
+    * left joins + one partial-agg groupBy(doc) — no shuffle touches
+    * the corpus beyond the final doc rollup. Docs with < 2 tokens
+    * have no bigrams and are absent from the output (the caller's
+    * q120 word-count rule owns them).
+    */
+  def bigramLmNll(
+      docs: DataFrame, refDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBigrams: Int = 100000): DataFrame = {
+    require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
+    def toks(df: DataFrame, keep: Column*) = df.select(
+      keep :+ wsTokens(lower(cleanAscii(col(textCol)))).as("__w"): _*)
+    val refToks = toks(refDocs).select(explode(col("__w")).as("__a"))
+    val refu = refToks.groupBy("__a").agg(count(lit(1)).as("__ca"))
+    // V as a 1-row broadcast (the epochWaterfill level pattern): the
+    // vocabulary size is data, not a parameter — no driver round-trip
+    val vrow = refu.agg((count(lit(1)) + lit(1L)).as("__v"))
+    val refb = toks(refDocs)
+      .select(explode(wordNgrams(col("__w"), 2)).as("__ng"))
+      .groupBy("__ng").agg(count(lit(1)).as("__cab"))
+      .orderBy(col("__cab").desc, col("__ng")).limit(maxBigrams)
+    val pairs = toks(docs, col(idCol))
+      .select(col(idCol), explode(wordNgrams(col("__w"), 2)).as("__ng"))
+      .withColumn("__a", split(col("__ng"), " ").getItem(0))
+      .join(broadcast(refb), Seq("__ng"), "left")
+      .join(broadcast(refu), Seq("__a"), "left")
+      .crossJoin(broadcast(vrow))
+      .withColumn("__lp",
+        floor(log(
+          (coalesce(col("__cab"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("__ca"), lit(0L)) + col("__v")).cast("double"))
+          * lit(1000000.0)).cast("long"))
+    pairs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("__lp"))).as("nll_sum_micro"))
+      .withColumn("nll_mean_micro",
+        expr("nll_sum_micro DIV n_bigrams"))
+  }
 }

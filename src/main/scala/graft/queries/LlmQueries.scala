@@ -4526,6 +4526,58 @@ object LlmQueries extends QuerySet {
       FROM rk WHERE rnk <= 8 ORDER BY probe_id, rnk
     """))
 
+  /** BIGRAM-LM PERPLEXITY scoring ([[graft.operators.TextAnalysis
+    * .bigramLmNll]], CCNet — Wenzek et al. 2020): mean NLL of every
+    * doc under an add-one bigram LM trained on the curated reference
+    * slice (q71's id gate) — the log-prob upgrade of q71's familiar
+    * fraction; high mean NLL = off-domain/garbled text the surface
+    * rules pass. Model pruned to top-500 bigrams (total-order cutoff
+    * — the ref slice holds ~900 distinct bigrams at every SF, so the
+    * cap BINDS and the pruned-backoff branch is exercised); each probability one IEEE divide of exact longs, ln
+    * micro-floored per bigram before the order-free int64 sum. DuckDB
+    * retrains the model and replays every score.
+    */
+  private lazy val q180 = Q(
+    "q180_bigram_ppl",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      TextAnalysis.bigramLmNll(docs, docs.filter(col("doc_id") % 10 < 3),
+          maxBigrams = 500)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+              string_split_regex(trim(lower(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0),
+      ru AS (SELECT unnest(w) AS a FROM toks WHERE doc_id % 10 < 3),
+      refu AS (SELECT a, count(*) AS ca FROM ru GROUP BY a),
+      vv AS (SELECT count(*) + 1 AS v FROM refu),
+      rb AS (SELECT unnest(list_transform(range(1, CAST(len(w) AS INT)),
+               i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS ng
+            FROM toks WHERE doc_id % 10 < 3),
+      refb AS (SELECT ng, count(*) AS cab FROM rb GROUP BY ng
+               ORDER BY cab DESC, ng LIMIT 500),
+      dg AS (SELECT doc_id,
+              unnest(list_transform(range(1, CAST(len(w) AS INT)),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS ng
+            FROM toks),
+      p AS (SELECT d.doc_id,
+              CAST(floor(ln(
+                CAST(coalesce(refb.cab, 0) + 1 AS DOUBLE) /
+                CAST(coalesce(refu.ca, 0) + vv.v AS DOUBLE)) * 1000000.0)
+                AS BIGINT) AS lp
+            FROM dg d
+            LEFT JOIN refb ON refb.ng = d.ng
+            LEFT JOIN refu ON refu.a = string_split(d.ng, ' ')[1]
+            CROSS JOIN vv)
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(-sum(lp) AS BIGINT) AS nll_sum_micro,
+        CAST((-sum(lp)) // count(*) AS BIGINT) AS nll_mean_micro
+      FROM p GROUP BY doc_id ORDER BY doc_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4533,5 +4585,6 @@ object LlmQueries extends QuerySet {
       q86, q87, q88, q89, q90, q92, q94, q95, q96, q97, q98, q99, q109,
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
-      q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177)
+      q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
+      q180)
 }

@@ -531,4 +531,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     // ECE = (4·0 + 5·200000)/9 = 111111 (floored)
     assert(bins(0L)._6 === 111111L && bins(1L)._6 === 111111L)
   }
+
+  test("bigramLmNll: add-one bigram scores replay by hand, pruning " +
+      "flattens to the backoff, token-less docs absent") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // reference "a b a c": ca = {a:2, b:1, c:1}, V = 3 + 1 = 4;
+    // bigrams {a b, b a, a c} each once
+    val ref = Seq(0L -> "a b a c").toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> "a b x",  // "a b": (1+1)/(2+4); "b x": (0+1)/(1+4)
+      2L -> "z q",    // unseen head token: (0+1)/(0+4)
+      3L -> "solo"    // no bigrams → absent
+    ).toDF("doc_id", "text")
+    def lp(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den.toDouble) * 1e6).toLong
+    val out = TextAnalysis.bigramLmNll(docs, ref)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val s1 = -(lp(2, 6) + lp(1, 5))
+    val s2 = -lp(1, 4)
+    assert(out === Seq((1L, 2L, s1, s1 / 2), (2L, 1L, s2, s2)))
+    // maxBigrams = 1 keeps only "a b" (count ties, lexicographic
+    // total order): "a c" now scores the unseen backoff 1/(2+4)
+    val pruned = TextAnalysis
+      .bigramLmNll(Seq(4L -> "a c").toDF("doc_id", "text"), ref,
+        maxBigrams = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(pruned === Seq((4L, 1L, -lp(1, 6), -lp(1, 6))))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramLmNll(docs, ref, maxBigrams = 0)
+    }
+  }
 }
