@@ -1085,6 +1085,47 @@ object VariantQc {
       .drop("__isl")
   }
 
+  /** GENOMIC INBREEDING from runs of homozygosity — F_ROH per sample
+    * (McQuillan et al. 2008, the plink `--homozyg` summary statistic):
+    * the fraction of the surveyed genome covered by ROH segments,
+    *
+    *   F_ROH = Σ segment lengths / Σ per-chrom surveyed span,
+    *
+    * the direct genomic measure of autozygosity — preferred over the
+    * q106 site-frequency F at biobank scale because it needs no
+    * allele-frequency reference and localizes WHERE the autozygosity
+    * sits. The denominator is the data-driven surveyed span (per
+    * sample and chrom, max called-site pos − min called-site pos,
+    * summed over chroms — the span [[rohSegments]]'s site set actually
+    * covers; a fixed genome length would deflate F on sparse panels),
+    * over exactly the same biallelic fully-called site set the
+    * segment sweep uses. froh_micro is one exact integer division.
+    * Samples with no qualifying run report 0, not absent.
+    *
+    * Shape: the [[rohSegments]] windows plus TWO partial-aggregated
+    * groupBys (segments→sample, sites→sample·chrom→sample) and one
+    * panel-sized join — nothing beyond the sweep's own exchanges.
+    */
+  def frohBySample(
+      ann: DataFrame, minSites: Int = 3,
+      sampleCol: String = "sample_id", maxHetRun: Int = 0): DataFrame = {
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val segs = rohSegments(ann, minSites, sampleCol, maxHetRun)
+      .groupBy("sample_id")
+      .agg(sum(col("run_end") - col("run_start")).as("roh_bp"))
+    val span = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .groupBy(col(sampleCol).as("sample_id"), col("chrom"))
+      .agg((max(col("pos")) - min(col("pos"))).as("__sp"))
+      .groupBy("sample_id").agg(sum(col("__sp")).as("span_bp"))
+    span.join(segs, Seq("sample_id"), "left")
+      .select(col("sample_id"),
+        coalesce(col("roh_bp"), lit(0L)).as("roh_bp"),
+        col("span_bp"))
+      .withColumn("froh_micro",
+        expr("roh_bp * 1000000 DIV greatest(span_bp, 1)"))
+  }
+
   /** COMPOUND-HETEROZYGOTE detection per (sample, gene) — the
     * recessive-disease screen clinical pipelines run after annotation
     * (two different damaged copies of one gene, one per haplotype,

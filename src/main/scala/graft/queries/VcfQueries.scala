@@ -1761,6 +1761,52 @@ object VcfQueries extends QuerySet {
       ORDER BY sample_id, chrom, run_start, run_end, n_sites
     """))
 
+  /** GENOMIC INBREEDING F_ROH per sample ([[graft.operators.VariantQc
+    * .frohBySample]], McQuillan et al. 2008): ROH-covered fraction of
+    * the surveyed span — the autozygosity measure that needs no
+    * frequency reference (vs q106's site-frequency F). DuckDB replays
+    * the q108 gaps-and-islands segments, the per-chrom surveyed spans,
+    * and the one exact F division; zero-run samples report 0.
+    */
+  private val q181 = Q(
+    "q181_froh",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc.frohBySample(ann, minSites = 3)
+        .orderBy("sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      sq AS (SELECT sample_id, chrom, pos, ref, alt, gt, (a1 = a2) AS hom,
+               row_number() OVER (PARTITION BY sample_id, chrom
+                                  ORDER BY pos, ref, alt, gt) AS rn
+             FROM bc),
+      hq AS (SELECT *, rn - row_number() OVER (PARTITION BY sample_id, chrom
+                                               ORDER BY rn) AS grp
+             FROM sq WHERE hom),
+      runs AS (SELECT sample_id, chrom,
+                 min(pos) AS run_start, max(pos) AS run_end
+               FROM hq GROUP BY sample_id, chrom, grp
+               HAVING count(*) >= 3),
+      rr AS (SELECT sample_id,
+               CAST(sum(run_end - run_start) AS BIGINT) AS roh_bp
+             FROM runs GROUP BY sample_id),
+      sp AS (SELECT sample_id, CAST(sum(sp) AS BIGINT) AS span_bp FROM (
+               SELECT sample_id, chrom, max(pos) - min(pos) AS sp
+               FROM bc GROUP BY sample_id, chrom) x GROUP BY sample_id)
+      SELECT sp.sample_id,
+        CAST(coalesce(rr.roh_bp, 0) AS BIGINT) AS roh_bp,
+        sp.span_bp,
+        CAST(coalesce(rr.roh_bp, 0) * 1000000 // greatest(sp.span_bp, 1)
+          AS BIGINT) AS froh_micro
+      FROM sp LEFT JOIN rr USING (sample_id)
+      ORDER BY sample_id
+    """))
+
   /** ROH with the ALLOWED-HET relaxation ([[graft.operators.VariantQc
     * .rohSegments]] `maxHetRun = 1`, the plink `--homozyg-het` motive:
     * one genotyping error must not fragment a real run): het blocks of
@@ -2660,5 +2706,5 @@ object VcfQueries extends QuerySet {
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
-      q160, q162, q163, q164, q167, q168, q169, q175, q179)
+      q160, q162, q163, q164, q167, q168, q169, q175, q179, q181)
 }

@@ -657,6 +657,34 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("frohBySample: ROH-covered fraction of the surveyed span; " +
+      "zero-run samples report 0, not absent") {
+    import spark.implicits._
+    def call(ch: String, pos: Long, s: String, hom: Boolean) = {
+      val (g2, a2) = if (hom) ("0", "A") else ("1", "T")
+      (ch, pos, "A", "T", s, 0, "0", g2, if (hom) "0/0" else "0/1", "A", a2)
+    }
+    val ann = (
+      // s1 chrom 1: runs 100-300 and 500-800 (het at 400 breaks);
+      // surveyed span 100..800 = 700
+      Seq(100L, 200L, 300L).map(call("1", _, "s1", hom = true)) ++
+      Seq(call("1", 400L, "s1", hom = false)) ++
+      Seq(500L, 600L, 700L, 800L).map(call("1", _, "s1", hom = true)) ++
+      // s1 chrom 2: 2 homs, below minSites — span 50, no run
+      Seq(900L, 950L).map(call("2", _, "s1", hom = true)) ++
+      // s2: three hets only — span 200, zero runs
+      Seq(10L, 110L, 210L).map(call("1", _, "s2", hom = false)))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2", "gt", "a1", "a2")
+    val out = graft.operators.VariantQc.frohBySample(ann, minSites = 3)
+      .orderBy("sample_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // s1: roh = 200 + 300 = 500; span = 700 + 50 = 750 → 666666
+    assert(out === Seq(
+      ("s1", 500L, 750L, 666666L),
+      ("s2", 0L, 200L, 0L)))
+  }
+
   test("compoundHet: trans needs alts on BOTH haplotypes — cis clears, " +
       "unphased leaves a candidate, one phased 1|2 site is trans alone") {
     import spark.implicits._
