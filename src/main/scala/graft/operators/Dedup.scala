@@ -575,6 +575,37 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL component maintenance — fold a new batch of near-dup
+    * pairs into a STANDING label table without recomputing from the
+    * full pair history: the closing step of the incremental dedup loop
+    * (q74/q76 keep the minhash/simhash INDEX current and emit each
+    * batch's new pairs; this keeps the CLUSTERS current). The standing
+    * (id, comp) state is folded in as STAR edges (id ↔ comp) — a
+    * lossless summary of all prior connectivity that is NODES-sized,
+    * not pairs-sized (a viral cluster of 10⁶ members contributed up to
+    * 10⁶·banding pairs over its history but exactly 10⁶ star edges
+    * here), and stars have diameter 2, so the fixed point lands in
+    * 2–3 rounds regardless of how deep the ORIGINAL pair chains were.
+    * Labels stay canonical (comp = min node id of the merged
+    * component) because old labels are themselves member ids: min
+    * propagates through the union exactly as it would over the full
+    * history (batch ≡ incremental, spec-pinned including cross-batch
+    * bridges that merge two standing components).
+    *
+    * Self-labeled singletons pass through as self-edges and keep
+    * themselves. At 100 TB this is the difference between re-running
+    * CC over the accumulated pair log per ingest and one nodes-sized
+    * fixed point per batch.
+    */
+  def mergeComponents(
+      state: DataFrame, newPairs: DataFrame, maxIter: Int = 25,
+      reliable: Boolean = false): DataFrame = {
+    val starEdges = state.select(col("id").as("id_a"), col("comp").as("id_b"))
+    connectedComponents(
+      starEdges.unionAll(newPairs.select(col("id_a"), col("id_b"))),
+      maxIter, reliable)
+  }
+
   /** One representative per near-dup cluster: docs joined to their
     * component (docs not in any pair keep themselves), representative =
     * min id within the cluster AMONG DOCS PRESENT — docs may be a

@@ -4578,6 +4578,42 @@ object LlmQueries extends QuerySet {
       FROM p GROUP BY doc_id ORDER BY doc_id
     """))
 
+  /** INCREMENTAL COMPONENT MAINTENANCE ([[graft.operators.Dedup
+    * .mergeComponents]]): fold a new batch of near-dup pairs into the
+    * STANDING label table — the closing step of the incremental dedup
+    * loop (q74/q76 keep the index current; this keeps the clusters
+    * current) without re-running CC over the accumulated pair log.
+    * The gate plants consecutive-id chains inside blocks of 8, split
+    * into an even-edge batch (labeled first) and an odd-edge batch
+    * (merged in) — every merge must BRIDGE two standing components,
+    * so the star-edge fold is exercised, not just label carryover.
+    * The closure is arithmetically predictable (comp = 8·⌊id/8⌋), so
+    * DuckDB states the answer without any graph traversal — an
+    * independent spelling, not a replay.
+    */
+  private lazy val q182 = Q(
+    "q182_incremental_cc",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val edges = d
+        .filter(pmod(col("doc_id"), lit(8)) < 7)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      val state = Dedup.connectedComponents(
+        edges.filter(pmod(col("id_a"), lit(2)) === 0))
+      Dedup.mergeComponents(state,
+          edges.filter(pmod(col("id_a"), lit(2)) === 1))
+        .orderBy("id")
+    },
+    Some("""
+      WITH e AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+                 FROM documents a JOIN documents b
+                   ON b.doc_id = a.doc_id + 1 AND a.doc_id % 8 < 7),
+      n AS (SELECT ida AS id FROM e UNION SELECT idb FROM e)
+      SELECT id, (id // 8) * 8 AS comp FROM n ORDER BY id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4586,5 +4622,5 @@ object LlmQueries extends QuerySet {
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
-      q180)
+      q180, q182)
 }

@@ -25,6 +25,22 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(m.values.toSet === Set(2L))
   }
 
+  test("mergeComponents: incremental ≡ batch, cross-batch bridges merge " +
+      "standing components, untouched state persists") {
+    // batch 1: {1,2} and {5,6}; singleton 9 labels itself
+    val state = Dedup.connectedComponents(
+      Seq((1L, 2L), (5L, 6L), (9L, 9L)).toDF("id_a", "id_b"))
+    // batch 2: 2-5 BRIDGES the two standing components; 20-21 is new
+    val out = Dedup
+      .mergeComponents(state, Seq((2L, 5L), (20L, 21L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      9L -> 9L, 20L -> 20L, 21L -> 20L))
+    // ≡ one batch CC over the full pair history
+    val batch = comps(Seq((1L, 2L), (5L, 6L), (9L, 9L), (2L, 5L), (20L, 21L)))
+    assert(out === batch)
+  }
+
   test("representatives keeps min id per cluster and singletons themselves") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "lonely"))
       .toDF("id", "text")
