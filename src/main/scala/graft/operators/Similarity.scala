@@ -86,6 +86,71 @@ object Similarity {
         "cosine")
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE reranking (Carbonell & Goldstein
+    * 1998) — the diversity pass between retrieval and consumption
+    * (RAG context assembly, dedup of a result page): a plain top-k
+    * returns k paraphrases of the best hit; MMR greedily picks
+    *
+    *   argmax_c  λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * so each pick is relevant AND far from what is already chosen.
+    * λ = 10⁶ is plain top-k by relevance; λ = 0 is pure diversity.
+    *
+    * Input is the per-probe CANDIDATE pool from a first-stage
+    * retriever (parameter-small by contract — m ≈ tens per probe, the
+    * [[bruteForceTopK]]/IVF/LSH output), NOT the corpus: the greedy
+    * loop is k ROUNDS of candidate-pool-sized joins (each round one
+    * co-keyed join to the selected set, one partial-agg max-penalty
+    * groupBy, one per-probe WindowGroupLimit pick), so cost is
+    * O(k·|probes|·m) rows — the corpus is never touched.
+    *
+    * Determinism: scores are exact int64 (λ_micro·rel_micro −
+    * (10⁶−λ_micro)·pen_micro; penalties micro-floored cosines whose
+    * doubles fold in index order), ties break by cand_id. Round 1 has
+    * an empty penalty set and maximizes λ·rel alone (at λ = 0 that
+    * degenerates to the id tiebreak — documented, spec-pinned).
+    * Probes with fewer than k candidates return them all.
+    */
+  def mmrRerank(
+      cands: DataFrame, k: Int, lambdaMicro: Long,
+      probeCol: String = "probe_id", candCol: String = "cand_id",
+      relCol: String = "rel_micro", vecCol: String = "cv"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in [0, 1000000], got $lambdaMicro")
+    val base = cands.select(col(probeCol).as("probe_id"),
+      col(candCol).as("cand_id"), col(relCol).cast("long").as("rel_micro"),
+      col(vecCol).as("__v"))
+    val wPick = Window.partitionBy("probe_id")
+      .orderBy(col("__score").desc, col("cand_id").asc)
+    def top1(scored: DataFrame, rnk: Int): DataFrame = scored
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col("probe_id"), col("cand_id"), col("rel_micro"), col("__v"),
+        lit(rnk).as("rnk"))
+    var selected = top1(
+      base.withColumn("__score", col("rel_micro") * lit(lambdaMicro)), 1)
+    var remaining = base.join(selected.select("probe_id", "cand_id"),
+      Seq("probe_id", "cand_id"), "left_anti")
+    for (r <- 2 to k) {
+      val pen = remaining
+        .join(selected.select(col("probe_id"), col("__v").as("__sv")),
+          Seq("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(max(floor(cosine(col("__v"), col("__sv")) * lit(1000000.0))
+          .cast("long")).as("__pen"))
+      val scored = remaining.join(pen, Seq("probe_id", "cand_id"))
+        .withColumn("__score",
+          col("rel_micro") * lit(lambdaMicro) -
+            lit(1000000L - lambdaMicro) * col("__pen"))
+      val picked = top1(scored, r)
+      selected = selected.unionAll(picked)
+      remaining = remaining.join(picked.select("probe_id", "cand_id"),
+        Seq("probe_id", "cand_id"), "left_anti")
+    }
+    selected.select("probe_id", "cand_id", "rnk", "rel_micro")
+  }
+
   /** Squared L2 distance, deterministic ordered fold. */
   def l2sq(a: Column, b: Column): Column = graft.expressions.VectorExprs.l2sq(a, b)
 

@@ -4614,6 +4614,81 @@ object LlmQueries extends QuerySet {
       SELECT id, (id // 8) * 8 AS comp FROM n ORDER BY id
     """))
 
+  /** MMR DIVERSITY RERANKING ([[graft.operators.Similarity.mmrRerank]],
+    * Carbonell-Goldstein 1998): the pass between retrieval and RAG
+    * context assembly — a plain top-k returns k paraphrases of the
+    * best hit; MMR greedily picks argmax λ·rel − (1−λ)·max-sim-to-
+    * selected, so each slot is relevant AND far from what's chosen.
+    * k = 3 over a top-8 brute pool at λ = 0.7; scores exact int64,
+    * penalties micro-floored fold-order cosines, cand_id ties. DuckDB
+    * replays the greedy loop UNROLLED (the q136 PageRank posture):
+    * per round an anti-join against the selected set, the max-penalty
+    * aggregate, and the argmax pick — a wrong penalty set, score
+    * weighting, or tiebreak reorders some probe's picks and
+    * hash-mismatches.
+    */
+  private lazy val q183 = Q(
+    "q183_mmr_rerank",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pool = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 8)
+        .select(col("probe_id"), col("cand_id"),
+          micro(col("cosine")).as("rel_micro"))
+        .join(e.select(col("vec_id").as("cand_id"),
+          col("embedding").as("cv")), Seq("cand_id"))
+      Similarity.mmrRerank(pool, k = 3, lambdaMicro = 700000L)
+        .orderBy("probe_id", "rnk")
+    },
+    Some {
+      def cosSql(a: String, b: String) =
+        s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+      def round(i: Int) = s"""
+        r$i AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+                SELECT 1 FROM sel${i - 1} s
+                WHERE s.probe_id = c.probe_id AND s.cand_id = c.cand_id)),
+        pen$i AS (SELECT r.probe_id, r.cand_id,
+                max(CAST(floor(${cosSql("r.cv", "s.cv")} * 1000000.0)
+                  AS BIGINT)) AS pen
+              FROM r$i r JOIN sel${i - 1} s ON s.probe_id = r.probe_id
+              GROUP BY 1, 2),
+        p$i AS (SELECT r.*, row_number() OVER (PARTITION BY r.probe_id
+                ORDER BY r.rel_micro * 700000 - 300000 * pen.pen DESC,
+                  r.cand_id) AS pr
+              FROM r$i r JOIN pen$i pen
+                ON pen.probe_id = r.probe_id AND pen.cand_id = r.cand_id),
+        s$i AS (SELECT probe_id, cand_id, rel_micro, cv FROM p$i WHERE pr = 1),
+        sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"""
+      s"""
+      WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      bp AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ${cosSql("c.v", "p.v")} AS cosine, c.v AS cv
+             FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 3) p
+             WHERE c.vec_id <> p.vec_id),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+               ORDER BY cosine DESC, cand_id) AS rnk FROM bp),
+      cand AS (SELECT probe_id, cand_id,
+                 CAST(floor(cosine * 1000000.0) AS BIGINT) AS rel_micro, cv
+               FROM rk WHERE rnk <= 8),
+      p1 AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+               ORDER BY rel_micro * 700000 DESC, cand_id) AS pr FROM cand),
+      s1 AS (SELECT probe_id, cand_id, rel_micro, cv FROM p1 WHERE pr = 1),
+      sel1 AS (SELECT * FROM s1),
+      ${round(2)},
+      ${round(3)}
+      SELECT probe_id, cand_id, CAST(1 AS INT) AS rnk, rel_micro FROM s1
+      UNION ALL
+      SELECT probe_id, cand_id, CAST(2 AS INT), rel_micro FROM s2
+      UNION ALL
+      SELECT probe_id, cand_id, CAST(3 AS INT), rel_micro FROM s3
+      ORDER BY probe_id, rnk
+    """
+    })
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4622,5 +4697,5 @@ object LlmQueries extends QuerySet {
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
-      q180, q182)
+      q180, q182, q183)
 }

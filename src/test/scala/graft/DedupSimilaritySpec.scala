@@ -195,6 +195,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mmrRerank: a near-duplicate of the first pick loses its slot to " +
+      "a diverse candidate; λ=1e6 degrades to plain top-k") {
+    // probe-relative pool: A (rel 1.0) and B (rel .99) are IDENTICAL
+    // vectors; C (rel .5) is orthogonal
+    val pool = Seq(
+      (0L, 1L, 1000000L, Seq(1.0, 0.0)),   // A
+      (0L, 2L, 990000L, Seq(1.0, 0.0)),    // B ≡ A
+      (0L, 3L, 500000L, Seq(0.0, 1.0)))    // C ⊥ A
+      .toDF("probe_id", "cand_id", "rel_micro", "cv")
+    def picks(lam: Long) = Similarity.mmrRerank(pool, k = 3, lam)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getInt(2)))
+    // λ = .5: A first; B's sim-1.0 penalty (-500000) sinks it below C
+    assert(picks(500000L).toSeq === Seq((1L, 1), (3L, 2), (2L, 3)))
+    // λ = 1e6: zero penalty weight → plain relevance order A, B, C
+    assert(picks(1000000L).toSeq === Seq((1L, 1), (2L, 2), (3L, 3)))
+    // λ = 0: round 1 degenerates to the id tiebreak (documented)
+    assert(picks(0L).head === ((1L, 1)))
+    // a probe with fewer candidates than k returns them all, no more
+    val short = Similarity.mmrRerank(
+      pool.filter(col("cand_id") < 3), k = 3, 500000L).collect()
+    assert(short.length === 2)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(pool, k = 0, 500000L)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(pool, k = 1, 1000001L)
+    }
+  }
+
   test("incrementalExact: cross-batch dups dropped, in-batch keep min id, replays collapse") {
     val ingested = Seq((1L, "seen before")).toDF("id", "text")
     val batch = Seq(
