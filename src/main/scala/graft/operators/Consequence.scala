@@ -63,6 +63,31 @@ object Consequence {
   private def revComp(s: Column): Column =
     reverse(translate(s, "ACGT", "TGCA"))
 
+  /** Shared SNP codon arithmetic (both strands): (ref_codon, alt_codon,
+    * aa_ref, aa_alt) column bundle over the per-chrom genome string and
+    * the joined CDS columns. Factored so [[snpConsequence]] and [[csq]]
+    * compute bit-identical fields. */
+  private def snpCodon(gstr: Column, plus: Column)
+      : (Column, Column, Column, Column) = {
+    val code = typedLit(GeneticCode)
+    val off = when(plus, col("pos") - col("cds_start"))
+      .otherwise(col("cds_end") - col("pos"))
+    val ci = (off - pmod(off, lit(3L))) / 3L
+    val tripStart = when(plus, col("cds_start") + lit(3L) * ci)
+      .otherwise(col("cds_end") - lit(3L) * ci - lit(2L))
+    val refTrip = gstr.substr(tripStart.cast("int"), lit(3))
+    val idx = when(plus, pmod(off, lit(3L)) + 1L)
+      .otherwise(lit(3L) - pmod(off, lit(3L)))
+    val altTrip = concat(
+      refTrip.substr(lit(1), (idx - 1L).cast("int")),
+      col("alt"),
+      refTrip.substr((idx + 1L).cast("int"), (lit(3L) - idx).cast("int")))
+    val refCodon = when(plus, refTrip).otherwise(revComp(refTrip))
+    val altCodon = when(plus, altTrip).otherwise(revComp(altTrip))
+    (refCodon, altCodon, element_at(code, refCodon),
+      element_at(code, altCodon))
+  }
+
   /** Classify SNPs in `sites` (chrom, pos, ref, alt — 1-based,
     * left-aligned biallelic) against `cds` (gene, chrom, cds_start,
     * cds_end, strand ∈ {+,-}; CDS length a multiple of 3) and the
@@ -75,7 +100,6 @@ object Consequence {
       sites: DataFrame, cds: DataFrame,
       genome: Map[String, String]): DataFrame = {
     val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
-    val code = typedLit(GeneticCode)
     val isSnp = length(col("ref")) === 1 && length(col("alt")) === 1 &&
       col("alt").isin("A", "C", "G", "T")
     val joined = sites.join(
@@ -88,21 +112,7 @@ object Consequence {
     val off = when(plus, col("pos") - col("cds_start"))
       .otherwise(col("cds_end") - col("pos"))
     val ci = (off - pmod(off, lit(3L))) / 3L
-    val ph = pmod(off, lit(3L))
-    // forward-strand triplet holding the variant
-    val tripStart = when(plus, col("cds_start") + lit(3L) * ci)
-      .otherwise(col("cds_end") - lit(3L) * ci - lit(2L))
-    val refTrip = gstr.substr(tripStart.cast("int"), lit(3))
-    // index of the variant base within the forward triplet (1-based)
-    val idx = when(plus, ph + 1L).otherwise(lit(3L) - ph)
-    val altTrip = concat(
-      refTrip.substr(lit(1), (idx - 1L).cast("int")),
-      col("alt"),
-      refTrip.substr((idx + 1L).cast("int"), (lit(3L) - idx).cast("int")))
-    val refCodon = when(plus, refTrip).otherwise(revComp(refTrip))
-    val altCodon = when(plus, altTrip).otherwise(revComp(altTrip))
-    val aaRef = element_at(code, refCodon)
-    val aaAlt = element_at(code, altCodon)
+    val (refCodon, altCodon, aaRef, aaAlt) = snpCodon(gstr, plus)
     joined
       .withColumn("codon_index",
         when(col("gene").isNotNull && isSnp, ci.cast("long")))
@@ -115,9 +125,168 @@ object Consequence {
       .withColumn("consequence",
         when(!isSnp, lit("non_snv"))
           .when(col("gene").isNull, lit("intergenic"))
+          // codon unresolvable — chrom absent from the genome map,
+          // genome shorter than the triplet, or a non-ACGT base ('N'
+          // in real references): degrade EXPLICITLY rather than
+          // letting the NULL comparisons fall through to "missense"
+          .when(col("aa_ref").isNull || col("aa_alt").isNull,
+            lit("unresolved"))
           .when(col("aa_ref") === col("aa_alt"), lit("synonymous"))
           .when(col("aa_alt") === "*", lit("stop_gained"))
           .when(col("aa_ref") === "*", lit("stop_lost"))
           .otherwise(lit("missense")))
+  }
+
+  /** FULL consequence calling — SNPs AND INDELS AND SPLICE FLANKS: the
+    * `bcftools csq` / VEP core beyond [[snpConsequence]]'s SNP-only
+    * surface. Input indels follow the VCF normalized-anchor convention
+    * (q103/q104/q163 output: pure ins/del share their first base).
+    * Per (site, CDS-or-flank match), one label:
+    *
+    *  - SNP in CDS: synonymous / missense / stop_gained / stop_lost /
+    *    unresolved — [[snpCodon]], bit-identical to [[snpConsequence]].
+    *  - Insertion strictly between two CDS bases: `frameshift` when the
+    *    inserted length m ≢ 0 (mod 3); otherwise the ALT codon window —
+    *    the anchor's codon with the m bases spliced in at the anchor's
+    *    phase (reverse-complemented whole on '−') — is translated
+    *    codon-by-codon: any '*' ⇒ `stop_gained` (an insertion into the
+    *    terminal codon that happens to retain '*' also reads
+    *    stop_gained — documented simplification; well-formed CDS have
+    *    no interior stops), any untranslatable codon ⇒ `unresolved`,
+    *    else `inframe_insertion`.
+    *  - Deletion overlapping the CDS: the IN-CDS deleted length drives
+    *    the frame (a del running off either CDS edge shifts frame by
+    *    what it removes from the transcript): ≢ 0 (mod 3) ⇒
+    *    `frameshift`. Inframe: overlap with the START codon (transcript
+    *    5' triplet) ⇒ `start_lost`; with the TERMINAL codon ⇒
+    *    `stop_lost`; else the JUNCTION codon — the triplet spliced from
+    *    the kept bases flanking the deleted span at the anchor's phase
+    *    — translates to '*' ⇒ `stop_gained`, null ⇒ `unresolved`, else
+    *    `inframe_deletion`. (When the deletion lands on a codon
+    *    boundary the "junction codon" is an unchanged original codon —
+    *    interior stops only arise in malformed CDS models.)
+    *  - Outside the CDS but within `flank` bases: distance 1–2 ⇒
+    *    `splice_donor` on the transcript-3' side / `splice_acceptor` on
+    *    the 5' side (strand-aware), 3–`flank` ⇒ `splice_region` — the
+    *    single-interval reading of the bcftools/VEP splice windows
+    *    (with an exon-resolved gene model the same rule applies per
+    *    intron edge).
+    *  - Neither: `intergenic`; ref/alt patterns that are neither SNP
+    *    nor pure anchored indel: `complex` (run
+    *    [[VariantNorm.splitMultiallelic]]/[[VariantNorm.leftAlign]]
+    *    upstream).
+    *
+    * Scale shape: identical to [[snpConsequence]] — broadcast CDS range
+    * join (flank-widened, per-type predicate), then ONE narrow
+    * projection: every branch is substr/concat arithmetic into the
+    * per-chrom genome literal plus 64-entry map lookups; the variable-
+    * length insertion window translates via a bounded higher-order
+    * `transform` over ⌈(3+m)/3⌉ codons. Zero corpus-side shuffles,
+    * whole-stage codegen end to end.
+    */
+  def csq(
+      sites: DataFrame, cds: DataFrame, genome: Map[String, String],
+      flank: Int = 8): DataFrame = {
+    require(flank >= 2, s"flank must be >= 2 (donor window), got $flank")
+    val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
+    val code = typedLit(GeneticCode)
+    val refLen = length(col("ref")).cast("long")
+    val altLen = length(col("alt")).cast("long")
+    val isSnp = refLen === 1L && altLen === 1L
+    val isIns = refLen === 1L && altLen > 1L &&
+      substring(col("alt"), 1, 1) === col("ref")
+    val isDel = altLen === 1L && refLen > 1L &&
+      substring(col("ref"), 1, 1) === col("alt")
+    val F = lit(flank.toLong)
+    val dLo = col("pos") + 1L              // first deleted base
+    val dHi = col("pos") + refLen - 1L     // last deleted base
+    val joinCond = sites("chrom") === cds("chrom") && (
+      when(isIns, col("pos").between(col("cds_start") - F,
+          col("cds_end") + F - 1L))
+        .when(isDel, dHi >= col("cds_start") - F &&
+          dLo <= col("cds_end") + F)
+        .otherwise(col("pos").between(col("cds_start") - F,
+          col("cds_end") + F)))
+    val joined = sites.join(broadcast(cds), joinCond, "left")
+      .drop(cds("chrom"))
+    val gstr = element_at(gmap, col("chrom"))
+    val plus = col("strand") === "+"
+    val cs = col("cds_start")
+    val ce = col("cds_end")
+
+    // ---- SNP (coding) ----
+    val (_, _, aaRef, aaAlt) = snpCodon(gstr, plus)
+    val snpCoding = col("pos").between(cs, ce)
+    val snpCons = when(aaRef.isNull || aaAlt.isNull, lit("unresolved"))
+      .when(aaRef === aaAlt, lit("synonymous"))
+      .when(aaAlt === "*", lit("stop_gained"))
+      .when(aaRef === "*", lit("stop_lost"))
+      .otherwise(lit("missense"))
+
+    // ---- insertion (coding): anchor-codon window with the inserted
+    // bases spliced in after the anchor, both strands via one forward
+    // splice + whole-window revcomp ----
+    val mIns = altLen - 1L
+    val insCoding = col("pos").between(cs, ce - 1L)
+    val fsIns = when(plus, col("pos") - pmod(col("pos") - cs, lit(3L)))
+      .otherwise(col("pos") - 1L + pmod(ce - col("pos") - 1L, lit(3L)))
+    val feIns = fsIns + 2L
+    val winF = concat(
+      gstr.substr(fsIns.cast("int"), (col("pos") - fsIns + 1L).cast("int")),
+      col("alt").substr(lit(2), mIns.cast("int")),
+      gstr.substr((col("pos") + 1L).cast("int"),
+        (feIns - col("pos")).cast("int")))
+    val winT = when(plus, winF).otherwise(revComp(winF))
+    val nCod = (length(winT) / lit(3)).cast("int")
+    val insAas = transform(sequence(lit(1), nCod),
+      i => element_at(code, winT.substr(i * lit(3) - lit(2), lit(3))))
+    val insCons = when(pmod(mIns, lit(3L)) =!= 0L, lit("frameshift"))
+      .when(exists(insAas, a => a.isNull), lit("unresolved"))
+      .when(exists(insAas, a => a === "*"), lit("stop_gained"))
+      .otherwise(lit("inframe_insertion"))
+
+    // ---- deletion (coding) ----
+    val mInDel = least(dHi, ce) - greatest(dLo, cs) + 1L
+    val delCoding = dLo <= ce && dHi >= cs
+    val startLo = when(plus, cs).otherwise(ce - 2L)
+    val termLo = when(plus, ce - 2L).otherwise(cs)
+    val startHit = dLo <= startLo + 2L && dHi >= startLo
+    val termHit = dLo <= termLo + 2L && dHi >= termLo
+    val fullyIn = col("pos") >= cs && dHi <= ce
+    val phP = pmod(col("pos") - cs, lit(3L))
+    val phM = pmod(ce - dHi - 1L, lit(3L))
+    val jA = when(plus, col("pos") - phP).otherwise(col("pos") - 1L + phM)
+    val jB = when(plus, dHi + 2L - phP).otherwise(dHi + 1L + phM)
+    val junF = concat(
+      gstr.substr(jA.cast("int"), (col("pos") - jA + 1L).cast("int")),
+      gstr.substr((dHi + 1L).cast("int"), (jB - dHi).cast("int")))
+    val junAa = element_at(code, when(plus, junF).otherwise(revComp(junF)))
+    val junOk = fullyIn && jA >= cs && jB <= ce
+    val delCons = when(pmod(mInDel, lit(3L)) =!= 0L, lit("frameshift"))
+      .when(startHit, lit("start_lost"))
+      .when(termHit, lit("stop_lost"))
+      .when(junOk && junAa.isNull, lit("unresolved"))
+      .when(junOk && junAa === "*", lit("stop_gained"))
+      .otherwise(lit("inframe_deletion"))
+
+    // ---- splice flanks (strand-aware donor/acceptor) ----
+    val distL = when(isIns, cs - col("pos"))
+      .when(isDel, cs - dHi).otherwise(cs - col("pos"))
+    val distR = when(isIns, col("pos") - ce + 1L)
+      .when(isDel, dLo - ce).otherwise(col("pos") - ce)
+    val onLeft = distL > 0L
+    val dist = when(onLeft, distL).otherwise(distR)
+    val donorSide = (plus && !onLeft) || (!plus && onLeft)
+    val spliceCons = when(dist.between(1L, 2L),
+        when(donorSide, lit("splice_donor")).otherwise(lit("splice_acceptor")))
+      .when(dist.between(3L, F), lit("splice_region"))
+      .otherwise(lit("intergenic"))
+
+    joined.withColumn("consequence",
+      when(col("gene").isNull, lit("intergenic"))
+        .when(!isSnp && !isIns && !isDel, lit("complex"))
+        .when(isSnp, when(snpCoding, snpCons).otherwise(spliceCons))
+        .when(isIns, when(insCoding, insCons).otherwise(spliceCons))
+        .otherwise(when(delCoding, delCons).otherwise(spliceCons)))
   }
 }

@@ -47,10 +47,12 @@ object Funnel {
       steps.indices.map(i => count(col(s"t_$i")).as(s"n_$i")).head,
       steps.indices.map(i => count(col(s"t_$i")).as(s"n_$i")).tail: _*)
     val rows = steps.zipWithIndex.map { case (st, i) =>
+      // exact integer cross-multiplication (counts are int64, so
+      // n·10⁶ stays exact far past any user population; the double
+      // spelling would only be exact to ~9e9 users)
       val conv =
         if (i == 0) lit(1000000L)
-        else floor(col(s"n_$i") * lit(1000000.0) /
-          greatest(col(s"n_${i - 1}"), lit(1L))).cast("long")
+        else expr(s"n_$i * 1000000 DIV greatest(n_${i - 1}, 1)")
       struct(lit(i + 1).as("step_idx"), lit(st).as("step"),
         col(s"n_$i").as("n_users"), conv.as("conv_micro"))
     }

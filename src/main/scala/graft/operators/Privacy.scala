@@ -123,20 +123,27 @@ object Privacy {
     * count: noise = G₁ − G₂ with G ~ Geometric(1 − e^(−ε)), via the
     * inverse-CDF identity G = ⌊ln(u)/ln(α)⌋, α = e^(−ε).
     *
-    * Determinism: u comes from MCG mixing rounds of the cell's RANK in
-    * the released histogram (row_number over the sorted cell keys) —
+    * Determinism: u comes from MCG mixing rounds of (seed, cell RANK,
+    * leg index) — the rank is row_number over the sorted cell keys,
     * the same no-rand() posture as every sampler here, so retries,
-    * repartitionings, and engines release the SAME noisy table (a
-    * re-run that re-drew noise would leak ε per run; fixing the draw
-    * spends the budget once). The trade-off is honest: the noise is
-    * pseudo-random from a public seed schedule, so this is the
-    * REPRODUCIBLE-RELEASE posture (the draw is fixed per release key,
-    * as a production pipeline would fix a recorded seed), not a fresh
-    * cryptographic draw. ln(u) is micro-quantized before the one IEEE
-    * divide by −ε_micro (exact long over exact long — the q110/q161
-    * precedent), so G is bit-identical in any engine; ln(α)·10⁶ is
-    * EXACTLY −ε_micro by construction (α := e^(−ε_micro/10⁶)) — no
-    * second libm call enters the denominator.
+    * repartitionings, and engines release the SAME noisy table for
+    * one recorded seed (a re-run that re-drew noise would leak ε per
+    * run; fixing the draw spends the budget once). The two legs hash
+    * DISTINCT inputs (2·rank and 2·rank+1) through their own full
+    * mixing chains — not two multiples of one shared state — so they
+    * are independent draws, not correlated ones. The privacy claim is
+    * honest about the seed: with the DEFAULT (public) seed the
+    * mechanism offers reproducibility and plausible noise, NOT ε-DP —
+    * an adversary who knows the implementation recomputes and
+    * subtracts the noise exactly. ε-DP against an informed adversary
+    * requires `seed` drawn secretly once per release and kept with
+    * the release audit record, exactly as production DP pipelines
+    * record (and protect) their seeds. ln(u) is micro-quantized
+    * before the one IEEE divide by −ε_micro (exact long over exact
+    * long — the q110/q161 precedent), so G is bit-identical in any
+    * engine; ln(α)·10⁶ is EXACTLY −ε_micro by construction
+    * (α := e^(−ε_micro/10⁶)) — no second libm call enters the
+    * denominator.
     *
     * Released cells are the observed groups only (cells the data does
     * not contain are not enumerated — callers needing closed-universe
@@ -148,17 +155,22 @@ object Privacy {
     * window is parameter-small by construction (a released histogram
     * IS small; the kmeans-centroid rule). */
   def dpCountRelease(
-      df: DataFrame, keys: Seq[String], epsilonMicro: Long): DataFrame = {
+      df: DataFrame, keys: Seq[String], epsilonMicro: Long,
+      seed: Long = 0L): DataFrame = {
     require(keys.nonEmpty, "no release keys given")
     require(epsilonMicro > 0L,
       s"epsilonMicro must be positive, got $epsilonMicro")
     val p = Sampling.HashPrime
+    val seedMod = math.floorMod(seed, p)
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(keys.map(col(_).asc): _*)
-    def geom(leg: Long): Column = {
-      val m1 = pmod(pmod(col("__rk"), lit(p)) * lit(Sampling.HashMult), lit(p))
-      val m2 = pmod(m1 * lit(leg), lit(p))
+    // each leg hashes its OWN input (2·rk + leg, plus the seed)
+    // through a full mixing chain — decorrelated draws, no shared m1
+    def geom(legIx: Long, mult: Long): Column = {
+      val x0 = pmod(col("__rk") * lit(2L) + lit(legIx + seedMod), lit(p))
+      val m1 = pmod(x0 * lit(Sampling.HashMult), lit(p))
+      val m2 = pmod(m1 * lit(mult), lit(p))
       val u = (m2 + lit(1L)).cast("double") / lit((p + 1L).toDouble)
       val lnuMicro = floor(log(u) * lit(1000000.0)).cast("long")
       floor(lnuMicro.cast("double") / lit((-epsilonMicro).toDouble))
@@ -167,7 +179,7 @@ object Privacy {
     counts
       .withColumn("__rk", row_number().over(w).cast("long"))
       .select(keys.map(col) :+
-        greatest(col("__n") + geom(DpMult1) - geom(DpMult2), lit(0L))
+        greatest(col("__n") + geom(0L, DpMult1) - geom(1L, DpMult2), lit(0L))
           .as("noisy_n"): _*)
   }
 }

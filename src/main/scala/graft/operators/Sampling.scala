@@ -500,7 +500,11 @@ object Sampling {
       .withColumn("__rem",
         col("alloc_tokens") - col("__f") * col("__srcTok"))
       .withColumn("__k", key)
-      .withColumn("__blk", (col("__k") / lit(blockWidth)).cast("long"))
+      // integral DIV, not double division: the double spelling is
+      // numerically safe at today's HashPrime but the repo's
+      // no-floats-in-decisions rule keys every deterministic
+      // assignment in exact integer arithmetic
+      .withColumn("__blk", expr(s"__k DIV $blockWidth"))
     val blockTotals = d.groupBy(col(stratumCol), col("__blk"))
       .agg(sum(col(tokensCol).cast("long")).as("__bt"))
       .withColumn("__boff", coalesce(

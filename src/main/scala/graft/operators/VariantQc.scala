@@ -233,15 +233,19 @@ object VariantQc {
     * per site, each study contributes a SIGNED z from its trend scan
     * (z = sign·√χ², [[trendTest]]'s trend_sign/trend_micro), and
     *
-    *   Z = Σ wᵢ·zᵢ / √(Σ wᵢ²)
+    *   Z = Σ wᵢ·zᵢ / √(Σ wᵢ²)   (sum over the CONTRIBUTING studies)
     *
     * — evidence pointing the same direction compounds, conflicting
     * directions cancel (exactly what a naive χ² sum gets wrong).
-    * Determinism: zᵢ_micro = sign·⌊√(trend_micro·10⁶)⌋ is one
-    * correctly-rounded IEEE sqrt of an exact long; Σ wᵢ·zᵢ_micro is an
-    * exact int64 sum (order-free); √(Σwᵢ²) is a DRIVER-side constant
-    * (weights are per-study parameters); one final floored divide.
-    * Sites absent from a study simply contribute nothing
+    * The normalizer is PER SITE over the studies that actually cover
+    * it (METAL's convention): a site observed by a subset of studies
+    * is normalized by that subset's √Σwᵢ², so its Z stays a
+    * standard-normal z rather than being deflated by absent studies'
+    * weights. Determinism: zᵢ_micro = sign·⌊√(trend_micro·10⁶)⌋ is
+    * one correctly-rounded IEEE sqrt of an exact long; Σ wᵢ·zᵢ_micro
+    * and Σ wᵢ² are exact int64 sums (order-free); √(Σwᵢ²) is one
+    * correctly-rounded IEEE sqrt of an exact long; one final floored
+    * divide. Sites absent from a study simply contribute nothing
     * (available-case meta, `n_studies` reports coverage).
     *
     * Shape: union of the studies' trend frames (each ONE site groupBy,
@@ -253,20 +257,22 @@ object VariantQc {
       siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
     require(studies.nonEmpty, "no studies to combine")
     require(studies.forall(_._2 > 0L), "study weights must be positive")
-    val wNorm = math.sqrt(
-      studies.map { case (_, w) => w.toDouble * w.toDouble }.sum)
     val tagged = studies.map { case (df, w) =>
-      df.select(siteKey.map(col) :+
+      df.select(siteKey.map(col) ++ Seq(
         (col("trend_sign").cast("long") *
           floor(sqrt(col("trend_micro").cast("double") * lit(1000000.0)))
-            .cast("long") * lit(w)).as("__wz"): _*)
+            .cast("long") * lit(w)).as("__wz"),
+        lit(w * w).as("__w2")): _*)
     }.reduce(_ unionByName _)
     tagged
       .groupBy(siteKey.map(col): _*)
       .agg(count(lit(1)).as("n_studies"),
-        sum(col("__wz")).as("wz_sum"))
+        sum(col("__wz")).as("wz_sum"),
+        sum(col("__w2")).as("__w2s"))
       .withColumn("z_micro",
-        floor(col("wz_sum").cast("double") / lit(wNorm)).cast("long"))
+        floor(col("wz_sum").cast("double") /
+          sqrt(col("__w2s").cast("double"))).cast("long"))
+      .drop("__w2s")
   }
 
   /** Windowed NUCLEOTIDE DIVERSITY π — `vcftools --window-pi`'s

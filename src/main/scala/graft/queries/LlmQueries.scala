@@ -3553,7 +3553,12 @@ object LlmQueries extends QuerySet {
         val grid = Sketches.cmsSketch(refToks, "tok", Seq.empty)
           .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
         graft.streaming.DocStreams
-          .cmsNoveltyStream(docs.select(col("doc_id"), col("text")),
+          .cmsNoveltyStream(
+            docs.select(col("doc_id"), col("text"))
+              // the probe is a heavy narrow projection (per-token CMS
+              // fold); fan out past the parquet's few input splits or
+              // the whole scan runs on 2-3 cores (the q25/q27 lesson)
+              .repartition(s.sparkContext.defaultParallelism),
             grid, rareMax = 1L)
           .orderBy("doc_id")
       },
@@ -4450,9 +4455,11 @@ object LlmQueries extends QuerySet {
     * counts leak membership under a differencing attack even when
     * every class passes k, so each released (lang, source) cell gets
     * two-sided-geometric integer noise at ε = 0.2. Noise is the
-    * difference of two geometric legs G = ⌊ln(u)/ln(α)⌋ with u from
-    * MCG rounds of the cell's rank (reproducible-release posture — a
-    * fresh draw per retry would spend ε per run); ln micro-quantized
+    * difference of two geometric legs G = ⌊ln(u)/ln(α)⌋, each leg its
+    * OWN MCG chain over a distinct input (2·rank / 2·rank+1, plus the
+    * release seed — the gate runs the default public seed:
+    * reproducible-release posture; a fresh draw per retry would spend
+    * ε per run, a secret seed is what makes it DP); ln micro-quantized
     * before the one exact-long IEEE divide (the q161 spelling), so
     * DuckDB replays count, rank, both legs, and the zero clamp
     * bit-for-bit — a wrong constant, leg order, or clamp boundary
@@ -4472,14 +4479,15 @@ object LlmQueries extends QuerySet {
       r AS (SELECT *, row_number() OVER (ORDER BY lang, source) AS rk
             FROM c),
       m AS (SELECT lang, source, n,
-              (rk % 1000000007) * 2654435761 % 1000000007 AS m1
+              ((rk * 2) % 1000000007) * 2654435761 % 1000000007 AS ma,
+              ((rk * 2 + 1) % 1000000007) * 2654435761 % 1000000007 AS mb
             FROM r),
       g AS (SELECT lang, source, n,
               CAST(floor(CAST(CAST(floor(ln(
-                CAST(m1 * 40014 % 1000000007 + 1 AS DOUBLE) / 1000000008.0)
+                CAST(ma * 40014 % 1000000007 + 1 AS DOUBLE) / 1000000008.0)
                 * 1000000.0) AS BIGINT) AS DOUBLE) / -200000.0) AS BIGINT) AS g1,
               CAST(floor(CAST(CAST(floor(ln(
-                CAST(m1 * 45991 % 1000000007 + 1 AS DOUBLE) / 1000000008.0)
+                CAST(mb * 45991 % 1000000007 + 1 AS DOUBLE) / 1000000008.0)
                 * 1000000.0) AS BIGINT) AS DOUBLE) / -200000.0) AS BIGINT) AS g2
             FROM m)
       SELECT lang, source, greatest(n + g1 - g2, 0) AS noisy_n

@@ -664,10 +664,10 @@ object Relational extends QuerySet {
                CAST(1000000 AS BIGINT) AS conv_micro FROM c
         UNION ALL
         SELECT 2, 'click', n1,
-               CAST(floor(n1 * 1000000.0 / greatest(n0, 1)) AS BIGINT) FROM c
+               CAST(n1 * 1000000 // greatest(n0, 1) AS BIGINT) FROM c
         UNION ALL
         SELECT 3, 'purchase', n2,
-               CAST(floor(n2 * 1000000.0 / greatest(n1, 1)) AS BIGINT) FROM c)
+               CAST(n2 * 1000000 // greatest(n1, 1) AS BIGINT) FROM c)
       ORDER BY step_idx
     """))
 

@@ -31,6 +31,9 @@ object VcfQueries extends QuerySet {
         s"(${callSql("3")})", s"(${callSql("4")})")
       val lines = t(s, dir, "lineitem")
         .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+        // line synthesis + parse are one heavy narrow projection; fan
+        // out past the parquet's few input splits (the q25/q27 lesson)
+        .repartition(s.sparkContext.defaultParallelism)
         .selectExpr(pieces.mkString(" || chr(9) || ") + " AS value")
       val cols = Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
         "INFO", "FORMAT") ++ sampleIds
@@ -1169,9 +1172,12 @@ object VcfQueries extends QuerySet {
     * the METAL sample-size scheme): two association "studies" carved
     * from the cohort — study 1 tests g1 (case) vs g3 (control),
     * study 2 tests g2 vs g4, weights = cohort sizes — combined per
-    * site into the weighted signed Stouffer Z. Drives trendTest twice
-    * plus the union/agg combine; DuckDB replays both trend tables
-    * from one annotate chain and the exact z_micro/√Σw² arithmetic.
+    * site into the weighted signed Stouffer Z, normalized by the
+    * CONTRIBUTING studies' √Σw² per site (METAL's convention; a
+    * single-coverage site divides by its own weight, not the panel's).
+    * Drives trendTest twice plus the union/agg combine; DuckDB replays
+    * both trend tables from one annotate chain and the exact
+    * z_micro/√Σw² arithmetic.
     */
   private val q169 = Q(
     "q169_meta_stouffer",
@@ -1223,12 +1229,14 @@ object VcfQueries extends QuerySet {
                          ELSE CAST(floor(CAST(n * num * num AS DOUBLE)
                            / CAST(vden AS DOUBLE) * 1000000.0) AS BIGINT)
                     END * 1000000.0)) AS BIGINT)
-                * 2 AS wz
+                * 2 AS wz,
+              4 AS w2
             FROM f)
       SELECT chrom, pos, ref, alt,
         count(*) AS n_studies,
         CAST(sum(wz) AS BIGINT) AS wz_sum,
-        CAST(floor(CAST(sum(wz) AS DOUBLE) / sqrt(8.0)) AS BIGINT) AS z_micro
+        CAST(floor(CAST(sum(wz) AS DOUBLE)
+          / sqrt(CAST(sum(w2) AS DOUBLE))) AS BIGINT) AS z_micro
       FROM z GROUP BY 1, 2, 3, 4
       ORDER BY chrom, pos, ref, alt
     """))
@@ -2701,10 +2709,225 @@ object VcfQueries extends QuerySet {
       FROM res ORDER BY k
     """))
 
+  /** FULL consequence calling — SNPs + INDELS + SPLICE FLANKS
+    * ([[graft.operators.Consequence.csq]], the `bcftools csq` / VEP
+    * core beyond q164's SNP-only surface) over the same FORMULA genome
+    * both engines rebuild independently. Sites cluster around each
+    * gene (offset −50..349 from CDS start), five variant shapes per
+    * derivation key: 1-base insertion (frameshift in CDS), 3-base
+    * insertion (inframe; the spliced anchor-codon window translates —
+    * organically stop_gained when a '*' lands), 1-/3-base deletions
+    * (frameshift / inframe with start_lost, stop_lost, junction-codon
+    * stop_gained, edge-straddling partial overlaps), and SNPs (the
+    * q164 walk). Flank hits read strand-aware splice_donor /
+    * splice_acceptor (1–2) and splice_region (3–8). DuckDB replays
+    * EVERY branch from the formula — insertion windows, junction
+    * splices, reverse-complements, the genetic-code table — so a
+    * wrong phase, strand, window bound, or priority order
+    * hash-mismatches.
+    */
+  private val q184 = {
+    // base of the formula genome at position expression x (1-based)
+    def b(x: String) =
+      s"substr('ACGT', CAST((($x) * 2654435761 % 1000000007) % 4 AS INT) + 1, 1)"
+    // j-th inserted base for derivation key k
+    def ib(j: Int) =
+      s"substr('ACGT', CAST(((k + $j) * 2654435761 % 1000000007) % 4 AS INT) + 1, 1)"
+    // translate codon expression c through the standard code
+    def aa(c: String) =
+      s"""substr('KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF',
+            16 * (strpos('ACGT', substr($c, 1, 1)) - 1)
+              + 4 * (strpos('ACGT', substr($c, 2, 1)) - 1)
+              + (strpos('ACGT', substr($c, 3, 1)) - 1) + 1, 1)"""
+    // string of n trailing genome bases ending at position expression e
+    def tailBases(n: String, e: String) =
+      s"""CASE $n WHEN 0 THEN '' WHEN 1 THEN ${b(e)}
+           WHEN 2 THEN ${b(s"($e)-1")} || ${b(e)}
+           ELSE ${b(s"($e)-2")} || ${b(s"($e)-1")} || ${b(e)} END"""
+    // string of n leading genome bases starting at position expression s
+    def headBases(n: String, s0: String) =
+      s"""CASE $n WHEN 0 THEN '' WHEN 1 THEN ${b(s0)}
+           WHEN 2 THEN ${b(s0)} || ${b(s"($s0)+1")}
+           ELSE ${b(s0)} || ${b(s"($s0)+1")} || ${b(s"($s0)+2")} END"""
+    def rc(w: String) =
+      s"CASE WHEN strand = '+' THEN $w ELSE reverse(translate($w, 'ACGT', 'TGCA')) END"
+    Q(
+      "q184_csq_indel",
+      (s, dir) => {
+        import graft.operators.Consequence
+        val len = 61100
+        val sb = new StringBuilder(len)
+        (1 to len).foreach { p =>
+          sb.append("ACGT".charAt(
+            ((p.toLong * 2654435761L % 1000000007L) % 4L).toInt))
+        }
+        val genome = Map("1" -> sb.toString)
+        val cdsRows = (0 until 10).map { i =>
+          (s"g$i", "1", 1000L + i * 6000L, 1000L + i * 6000L + 299L,
+            if (i % 2 == 0) "+" else "-")
+        }
+        import s.implicits._
+        val cds = cdsRows
+          .toDF("gene", "chrom", "cds_start", "cds_end", "strand")
+        val sites = QueryUtil.t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("k", "k % 5 AS typ",
+            "CAST(1000 + 6000 * ((k DIV 399) % 10) + (k % 399) - 50 AS BIGINT) AS pos")
+          .selectExpr("k", "'1' AS chrom", "pos",
+            s"""CASE typ WHEN 2 THEN ${b("pos")} || ${b("pos+1")}
+                 WHEN 3 THEN ${b("pos")} || ${b("pos+1")} || ${b("pos+2")} || ${b("pos+3")}
+                 ELSE ${b("pos")} END AS ref""",
+            s"""CASE typ WHEN 0 THEN ${b("pos")} || ${ib(1)}
+                 WHEN 1 THEN ${b("pos")} || ${ib(1)} || ${ib(2)} || ${ib(3)}
+                 WHEN 4 THEN substr('ACGT',
+                   CAST((CAST((pos * 2654435761 % 1000000007) % 4 AS INT)
+                     + 1 + k % 3) % 4 AS INT) + 1, 1)
+                 ELSE ${b("pos")} END AS alt""")
+        Consequence.csq(sites, cds, genome)
+          .select(col("k"), col("pos"), col("ref"), col("alt"), col("gene"),
+            col("consequence"))
+          .orderBy("k")
+      },
+      Some(s"""
+        WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        s0 AS (SELECT k, k % 5 AS typ, (k // 399) % 10 AS g,
+                 (k % 399) - 50 AS offp FROM ln),
+        s1 AS (SELECT k, typ,
+                 CAST(1000 + 6000 * g + offp AS BIGINT) AS pos,
+                 1000 + 6000 * g AS cs, 1000 + 6000 * g + 299 AS ce,
+                 CASE WHEN g % 2 = 0 THEN '+' ELSE '-' END AS strand,
+                 'g' || CAST(g AS VARCHAR) AS gname
+               FROM s0),
+        v AS (SELECT *,
+                CASE typ WHEN 2 THEN ${b("pos")} || ${b("pos+1")}
+                  WHEN 3 THEN ${b("pos")} || ${b("pos+1")} || ${b("pos+2")} || ${b("pos+3")}
+                  ELSE ${b("pos")} END AS ref,
+                CASE typ WHEN 0 THEN ${b("pos")} || ${ib(1)}
+                  WHEN 1 THEN ${b("pos")} || ${ib(1)} || ${ib(2)} || ${ib(3)}
+                  WHEN 4 THEN substr('ACGT',
+                    CAST((CAST((pos * 2654435761 % 1000000007) % 4 AS INT)
+                      + 1 + k % 3) % 4 AS INT) + 1, 1)
+                  ELSE ${b("pos")} END AS alt,
+                CASE typ WHEN 1 THEN 3 WHEN 3 THEN 3 WHEN 4 THEN 0
+                  ELSE 1 END AS m
+              FROM s1),
+        h AS (SELECT *, pos + 1 AS dlo, pos + m AS dhi,
+                CASE WHEN typ IN (0, 1) THEN pos BETWEEN cs - 8 AND ce + 7
+                     WHEN typ IN (2, 3) THEN pos + m >= cs - 8 AND pos + 1 <= ce + 8
+                     ELSE pos BETWEEN cs - 8 AND ce + 8 END AS hit
+              FROM v),
+        sp AS (SELECT *,
+                CASE WHEN typ IN (0, 1) THEN
+                       CASE WHEN cs - pos > 0 THEN cs - pos ELSE pos - ce + 1 END
+                     WHEN typ IN (2, 3) THEN
+                       CASE WHEN cs - dhi > 0 THEN cs - dhi ELSE dlo - ce END
+                     ELSE CASE WHEN cs - pos > 0 THEN cs - pos ELSE pos - ce END
+                END AS dist,
+                CASE WHEN typ IN (2, 3) THEN cs - dhi > 0
+                     ELSE cs - pos > 0 END AS lft
+              FROM h),
+        sp2 AS (SELECT *,
+                CASE WHEN dist BETWEEN 1 AND 2 THEN
+                       CASE WHEN (strand = '+' AND NOT lft)
+                              OR (strand = '-' AND lft)
+                            THEN 'splice_donor' ELSE 'splice_acceptor' END
+                     WHEN dist BETWEEN 3 AND 8 THEN 'splice_region'
+                     ELSE 'intergenic' END AS splab
+               FROM sp),
+        -- SNPs in CDS: the q164 codon walk
+        snpc AS (SELECT k, pos, ref, alt, gname AS gene,
+                  CASE WHEN aa_ref = aa_alt THEN 'synonymous'
+                       WHEN aa_alt = '*' THEN 'stop_gained'
+                       WHEN aa_ref = '*' THEN 'stop_lost'
+                       ELSE 'missense' END AS consequence
+                 FROM (SELECT k, pos, ref, alt, gname,
+                         ${aa("rcod")} AS aa_ref, ${aa("acod")} AS aa_alt
+                       FROM (SELECT *, ${rc("trip")} AS rcod,
+                               ${rc("substr(trip, 1, CAST(idx - 1 AS INT)) || alt || substr(trip, CAST(idx + 1 AS INT), CAST(3 - idx AS INT))")} AS acod
+                             FROM (SELECT *,
+                                     ${b("t")} || ${b("t+1")} || ${b("t+2")} AS trip
+                                   FROM (SELECT *,
+                                           CASE WHEN strand = '+' THEN cs + 3 * ((pos - cs) // 3)
+                                                ELSE ce - 3 * ((ce - pos) // 3) - 2 END AS t,
+                                           CASE WHEN strand = '+' THEN ((pos - cs) % 3) + 1
+                                                ELSE 3 - ((ce - pos) % 3) END AS idx
+                                         FROM sp2
+                                         WHERE typ = 4 AND hit
+                                           AND pos BETWEEN cs AND ce) t1) t2) t3) t4),
+        snpo AS (SELECT k, pos, ref, alt,
+                  CASE WHEN hit THEN gname END AS gene,
+                  CASE WHEN hit THEN splab ELSE 'intergenic' END AS consequence
+                 FROM sp2
+                 WHERE typ = 4 AND NOT (hit AND pos BETWEEN cs AND ce)),
+        -- insertions strictly inside the CDS: frameshift or the
+        -- 6-base spliced-window walk
+        insc AS (SELECT k, pos, ref, alt, gname AS gene,
+                  CASE WHEN m % 3 <> 0 THEN 'frameshift'
+                       WHEN ${aa("substr(wint, 1, 3)")} = '*'
+                         OR ${aa("substr(wint, 4, 3)")} = '*' THEN 'stop_gained'
+                       ELSE 'inframe_insertion' END AS consequence
+                 FROM (SELECT *,
+                         CASE WHEN m = 3 THEN ${rc("win")} END AS wint
+                       FROM (SELECT *,
+                               CASE WHEN m = 3 THEN
+                                 ${tailBases("n1", "pos")} || substr(alt, 2)
+                                   || ${headBases("3 - n1", "pos + 1")}
+                               END AS win
+                             FROM (SELECT *,
+                                     CASE WHEN strand = '+' THEN ((pos - cs) % 3) + 1
+                                          ELSE 2 - ((ce - pos - 1) % 3) END AS n1
+                                   FROM sp2
+                                   WHERE typ IN (0, 1) AND hit
+                                     AND pos BETWEEN cs AND ce - 1) i1) i2) i3),
+        inso AS (SELECT k, pos, ref, alt,
+                  CASE WHEN hit THEN gname END AS gene,
+                  CASE WHEN hit THEN splab ELSE 'intergenic' END AS consequence
+                 FROM sp2
+                 WHERE typ IN (0, 1)
+                   AND NOT (hit AND pos BETWEEN cs AND ce - 1)),
+        -- deletions overlapping the CDS: in-CDS length drives frame;
+        -- start/stop overlap; junction codon for clean inframe dels
+        delc AS (SELECT k, pos, ref, alt, gname AS gene,
+                  CASE WHEN (least(dhi, ce) - greatest(dlo, cs) + 1) % 3 <> 0
+                         THEN 'frameshift'
+                       WHEN dlo <= startlo + 2 AND dhi >= startlo
+                         THEN 'start_lost'
+                       WHEN dlo <= termlo + 2 AND dhi >= termlo
+                         THEN 'stop_lost'
+                       WHEN ${aa("junt")} = '*' THEN 'stop_gained'
+                       ELSE 'inframe_deletion' END AS consequence
+                 FROM (SELECT *,
+                         CASE WHEN m = 3 AND pos >= cs AND dhi <= ce THEN
+                           ${rc(s"""(${tailBases("l1", "pos")} || ${headBases("3 - l1", "dhi + 1")})""")}
+                         END AS junt
+                       FROM (SELECT *,
+                               CASE WHEN strand = '+' THEN cs ELSE ce - 2 END AS startlo,
+                               CASE WHEN strand = '+' THEN ce - 2 ELSE cs END AS termlo,
+                               CASE WHEN m = 3 AND pos >= cs AND dhi <= ce THEN
+                                 CASE WHEN strand = '+' THEN ((pos - cs) % 3) + 1
+                                      ELSE 2 - ((ce - dhi - 1) % 3) END
+                               ELSE 0 END AS l1
+                             FROM sp2
+                             WHERE typ IN (2, 3) AND hit
+                               AND dlo <= ce AND dhi >= cs) d1) d2),
+        delo AS (SELECT k, pos, ref, alt,
+                  CASE WHEN hit THEN gname END AS gene,
+                  CASE WHEN hit THEN splab ELSE 'intergenic' END AS consequence
+                 FROM sp2
+                 WHERE typ IN (2, 3)
+                   AND NOT (hit AND dlo <= ce AND dhi >= cs)),
+        res AS (SELECT * FROM snpc UNION ALL SELECT * FROM snpo
+                UNION ALL SELECT * FROM insc UNION ALL SELECT * FROM inso
+                UNION ALL SELECT * FROM delc UNION ALL SELECT * FROM delo)
+        SELECT k, pos, ref, alt, gene, consequence FROM res ORDER BY k
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
-      q160, q162, q163, q164, q167, q168, q169, q175, q179, q181)
+      q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184)
 }

@@ -71,11 +71,167 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
     assert(got(5L)._6 === "non_snv")
   }
 
+  test("unresolvable codons degrade to 'unresolved', never silently " +
+      "missense: absent chrom and non-ACGT reference base") {
+    import spark.implicits._
+    // chrom 2 has a CDS but NO genome entry; chrom 3's genome carries
+    // an 'N' inside the codon (real references do)
+    val cds2 = Seq(("gP", "1", 3L, 14L, "+"), ("g2", "2", 3L, 14L, "+"),
+      ("g3", "3", 3L, 14L, "+"))
+      .toDF("gene", "chrom", "cds_start", "cds_end", "strand")
+    val g2 = genome + ("3" -> "GGATGNCTTGTTAATTACATCAT")
+    val sites = Seq(("2", 6L, "G", "A"), ("3", 6L, "N", "A"))
+      .toDF("chrom", "pos", "ref", "alt")
+    val got = Consequence.snpConsequence(sites, cds2, g2)
+      .select("chrom", "gene", "aa_ref", "consequence").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3)))).toMap
+    assert(got("2") === (("g2", null, "unresolved")))
+    assert(got("3") === (("g3", null, "unresolved")))
+  }
+
+  // ---- csq: full SNP + indel + splice calling ----
+
+  private def callCsq(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    val sites = rows.toSeq
+      .map { case (p, r, a) => ("1", p, r, a) }
+      .toDF("chrom", "pos", "ref", "alt")
+    Consequence.csq(sites, cds, genome)
+      .select("pos", "ref", "gene", "consequence")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).orNull) -> r.getString(3))
+      .toMap
+  }
+
+  test("csq indels, plus strand: one inserted base flips inframe to " +
+      "frameshift; a 3-base deletion stays inframe; codon-aligned " +
+      "stop insertion reads stop_gained") {
+    val got = callCsq(
+      (6L, "G", "GA"),      // 1bp ins in codon 2 → frameshift
+      (5L, "G", "GTAA"),    // ins TAA after codon 1 end → new codon * →
+                            // stop_gained
+      (4L, "T", "TCTG"),    // mid-codon 3bp ins: AT|CTG|G → ATC TGG (I W)
+      (6L, "GC", "G"),      // 1bp del → frameshift
+      (6L, "GCTT", "G"))    // del CTT → ATG G+GT TAA: junction GGT →
+                            // inframe_deletion
+    assert(got((6L, "G", "gP")) === "frameshift")
+    assert(got((5L, "G", "gP")) === "stop_gained")
+    // (5, G, GGCA) shares the (pos, ref) key with the GTAA row —
+    // re-run separately
+    val gotB = callCsq((5L, "G", "GGCA"))
+    assert(gotB((5L, "G", "gP")) === "inframe_insertion")
+    assert(got((4L, "T", "gP")) === "inframe_insertion")
+    assert(got((6L, "GC", "gP")) === "frameshift")
+    assert(got((6L, "GCTT", "gP")) === "inframe_deletion")
+  }
+
+  test("csq deletions: start_lost / stop_lost / junction stop_gained / " +
+      "edge-straddling frameshift by in-CDS length") {
+    val got = callCsq(
+      (3L, "ATGG", "A"),    // D=[4,6] overlaps start codon → start_lost
+      (11L, "TTAA", "T"),   // D=[12,14] covers the stop → stop_lost
+      (13L, "AATT", "A"))   // D=[14,16]: 1 base in-CDS → frameshift
+    assert(got((3L, "ATGG", "gP")) === "start_lost")
+    assert(got((11L, "TTAA", "gP")) === "stop_lost")
+    assert(got((13L, "AATT", "gP")) === "frameshift")
+    // the same deletions also brush gM's left flank / CDS edge —
+    // donor at distance 1, and a 2-base in-CDS frameshift
+    assert(got((11L, "TTAA", "gM")) === "splice_donor")
+    assert(got((13L, "AATT", "gM")) === "frameshift")
+    // junction stop: dedicated gene GG ATG TGG CAA TGA — deleting GGC
+    // splices T|AA → TAA at the junction
+    import spark.implicits._
+    val g2 = Map("1" -> "GGATGTGGCAATGA")
+    val cds2 = Seq(("gJ", "1", 3L, 14L, "+"))
+      .toDF("gene", "chrom", "cds_start", "cds_end", "strand")
+    val sites = Seq(("1", 6L, "TGGC", "T")).toDF("chrom", "pos", "ref", "alt")
+    val r = Consequence.csq(sites, cds2, g2)
+      .select("gene", "consequence").collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq ===
+      Seq(("gJ", "stop_gained")))
+  }
+
+  test("csq indels, minus strand: transcript-oriented codon walk " +
+      "(insertion spliced forward, whole window reverse-complemented)") {
+    val got = callCsq(
+      (19L, "A", "AG"),     // 1bp ins inside gM → frameshift
+      (20L, "T", "TTTA"),   // ins TTA between transcript codons 1|2:
+                            // revcomp(TTACAT) = ATGTAA → stop_gained
+                            // (TGGG at the same (pos, ref) key re-runs
+                            // separately below)
+      (17L, "ACAT", "A"))   // delete fwd [18,20] = transcript codon 2
+                            // exactly → inframe_deletion
+    assert(got((19L, "A", "gM")) === "frameshift")
+    assert(got((20L, "T", "gM")) === "stop_gained")
+    val gotB = callCsq((20L, "T", "TGGG"))
+    assert(gotB((20L, "T", "gM")) === "inframe_insertion")
+    assert(got((17L, "ACAT", "gM")) === "inframe_deletion")
+  }
+
+  test("csq splice flanks: strand-aware donor/acceptor at 1-2, " +
+      "splice_region at 3-8, intergenic beyond; complex passthrough") {
+    val got = callCsq(
+      (2L, "G", "A"),       // 1 base left of gP('+') → acceptor
+      (1L, "G", "A"))       // 2 bases left → acceptor
+    assert(got((2L, "G", "gP")) === "splice_acceptor")
+    assert(got((1L, "G", "gP")) === "splice_acceptor")
+    // pos 14: insertion lands between gP's end and gM's start — one
+    // row per gene, donor side for BOTH ('+' right flank, '−' left)
+    import spark.implicits._
+    val sites = Seq(("1", 14L, "A", "AC")).toDF("chrom", "pos", "ref", "alt")
+    val rows = Consequence.csq(sites, cds, genome)
+      .select("gene", "consequence").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("gP", "splice_donor"), ("gM", "splice_donor")))
+    // a coding SNP in gP is simultaneously gM's left-flank donor
+    // neighborhood (dist 2)
+    val s13 = Seq(("1", 13L, "A", "C")).toDF("chrom", "pos", "ref", "alt")
+    val r13 = Consequence.csq(s13, cds, genome)
+      .select("gene", "consequence").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(r13.contains(("gM", "splice_donor")))
+    assert(r13.exists(_._1 == "gP"))
+    // complex (neither SNP nor anchored indel) and far-intergenic
+    val gc = callCsq((5L, "GA", "TT"), (40L, "A", "C"))
+    assert(gc((5L, "GA", "gP")) === "complex")
+    assert(gc((40L, "A", null)) === "intergenic")
+  }
+
+  test("csq snp coding path matches snpConsequence bit-for-bit") {
+    import spark.implicits._
+    val sites = (3L to 23L).map(p => ("1", p, "A", "G"))
+      .toDF("chrom", "pos", "ref", "alt")
+    val a = Consequence.csq(sites, cds, genome)
+      .filter(col("pos").between(col("cds_start"), col("cds_end")))
+      .select("pos", "gene", "consequence").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    val b = Consequence.snpConsequence(sites, cds, genome)
+      .filter(col("gene").isNotNull)
+      .select("pos", "gene", "consequence").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    b.foreach { case (k, v) => assert(a(k) === v, s"at $k") }
+  }
+
   test("plan: CDS joins by broadcast, no corpus-side shuffle") {
     import spark.implicits._
     val sites = spark.range(100).select(lit("1").as("chrom"),
       (col("id") + 3L).as("pos"), lit("A").as("ref"), lit("G").as("alt"))
     val q = Consequence.snpConsequence(sites, cds, genome)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("plan: csq keeps the same shape — broadcast CDS + one narrow " +
+      "projection, no corpus-side shuffle") {
+    import spark.implicits._
+    val sites = spark.range(100).select(lit("1").as("chrom"),
+      (col("id") + 3L).as("pos"), lit("A").as("ref"), lit("AG").as("alt"))
+    val q = Consequence.csq(sites, cds, genome)
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)

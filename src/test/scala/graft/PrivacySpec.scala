@@ -129,9 +129,11 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
 
   /** Independent plain-Scala spelling of one geometric leg — the same
     * arithmetic the operator builds in Catalyst. */
-  private def geomLeg(rk: Long, mult: Long, epsMicro: Long): Long = {
+  private def geomLeg(rk: Long, legIx: Long, mult: Long, epsMicro: Long,
+      seed: Long = 0L): Long = {
     val p = 1000000007L
-    val m1 = (rk % p) * 2654435761L % p
+    val x0 = (rk * 2 + legIx + math.floorMod(seed, p)) % p
+    val m1 = x0 * 2654435761L % p
     val m2 = m1 * mult % p
     val u = (m2 + 1).toDouble / 1000000008.0
     val lnuMicro = math.floor(math.log(u) * 1000000.0).toLong
@@ -156,8 +158,8 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     val expected = exact.keys.toSeq.sorted.zipWithIndex.map {
       case (g, i) =>
         val rk = i + 1L
-        val noise = geomLeg(rk, Privacy.DpMult1, eps) -
-          geomLeg(rk, Privacy.DpMult2, eps)
+        val noise = geomLeg(rk, 0L, Privacy.DpMult1, eps) -
+          geomLeg(rk, 1L, Privacy.DpMult2, eps)
         g -> math.max(exact(g) + noise, 0L)
     }
     assert(out.toSeq === expected)
@@ -165,6 +167,29 @@ class PrivacySpec extends AnyFunSuite with SparkSpec {
     // no-op noise path would pass a hash gate vacuously
     assert(out.exists { case (g, n) => n != exact(g) },
       s"no cell perturbed: ${out.toSeq}")
+  }
+
+  test("dpCountRelease: a secret seed changes the draw (same seed → " +
+      "same release, different seed → different noise), replayable") {
+    import spark.implicits._
+    val eps = 200000L
+    def release(seed: Long) =
+      Privacy.dpCountRelease(dpFixture, Seq("grp"), eps, seed)
+        .orderBy("grp").as[(String, Long)].collect().toSeq
+    val s1a = release(123456789L)
+    val s1b = release(123456789L)
+    val s2 = release(987654321L)
+    assert(s1a === s1b)
+    assert(s1a !== s2, "two seeds produced identical noise")
+    // seeded draw replays exactly
+    val exact = Map("a" -> 12L, "b" -> 3L, "c" -> 7L, "d" -> 1L, "e" -> 25L)
+    val expected = exact.keys.toSeq.sorted.zipWithIndex.map { case (g, i) =>
+      val rk = i + 1L
+      val noise = geomLeg(rk, 0L, Privacy.DpMult1, eps, 123456789L) -
+        geomLeg(rk, 1L, Privacy.DpMult2, eps, 123456789L)
+      g -> math.max(exact(g) + noise, 0L)
+    }
+    assert(s1a === expected)
   }
 
   test("dpCountRelease: deterministic under repartitioning, and never " +

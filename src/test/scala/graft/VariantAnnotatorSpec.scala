@@ -294,8 +294,10 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     // Z = (2e6 + 2e6)/√2 → floor(4e6/1.41421356…) = 2828427
     assert(got(100L) === ((2L, 4000000L, 2828427L)))
     assert(got(200L) === ((2L, 0L, 0L)))
-    // single-study site: Z = −1e6/√2 → floor → −707107
-    assert(got(300L) === ((1L, -1000000L, -707107L)))
+    // single-study site normalizes by ITS OWN √w² (METAL's
+    // per-site-coverage convention): Z = −1e6/√1 → −1000000, not the
+    // all-studies-deflated −1e6/√2
+    assert(got(300L) === ((1L, -1000000L, -1000000L)))
     // weights scale the numerator: w1 = 3 triples study 1's vote
     val w = graft.operators.VariantQc
       .metaStouffer(Seq((s1, 3L), (s2, 1L)))
