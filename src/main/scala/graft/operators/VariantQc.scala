@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -175,8 +175,14 @@ object VariantQc {
     * product until ONE final division, micro-floored ([[hweBySite]]'s
     * determinism pattern; sites where the variance term or a cohort is
     * empty define 0). Int64-exact to ~3000 samples/site (N·num² ≤
-    * 4N⁵); the [[hweBySite]] decimal(38,0) lift pattern applies
-    * verbatim at biobank width. Effect DIRECTION is `trend_sign`
+    * 4N⁵); `decimalLift = true` is the [[hweBySite]] decimal(38,0)
+    * pattern — int64 sub-products (num ≤ 2N², R·S ≤ N²/4, N·C−B² ≤
+    * 4N² — safe far past the decimal ceiling), only the 5th-power
+    * composites go decimal, and the floored double divide becomes an
+    * exact integral DIV: exact to ~1.2M diploid samples per site
+    * (4N⁵·10⁶ ≤ 10³⁸). The two paths agree at small width
+    * (spec-pinned); the default stays int64 so the q168 oracle hash
+    * and small-cohort plans are unchanged. Effect DIRECTION is `trend_sign`
     * (sign of N·A − R·B: +1 = ALT enriched in cases), so downstream
     * meta-analysis can form signed z-scores.
     *
@@ -188,7 +194,8 @@ object VariantQc {
       ann: DataFrame,
       cases: Seq[String], controls: Seq[String],
       sampleCol: String = "sample_id",
-      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      decimalLift: Boolean = false): DataFrame = {
     require(cases.nonEmpty && controls.nonEmpty,
       "both cohorts must be non-empty")
     require(cases.intersect(controls).isEmpty,
@@ -217,14 +224,26 @@ object VariantQc {
     val b = n1 + lit(2L) * n2
     val c = n1 + lit(4L) * n2
     val num = n * a - rTot * b
-    val vden = rTot * sTot * (n * c - b * b)
-    counted
-      .withColumn("trend_sign",
-        when(num > 0L, 1).when(num < 0L, -1).otherwise(0))
-      .withColumn("trend_micro",
+    val signed = counted.withColumn("trend_sign",
+      when(num > 0L, 1).when(num < 0L, -1).otherwise(0))
+    if (decimalLift) {
+      val dec = "decimal(38,0)"
+      signed
+        .withColumn("__num", n.cast(dec) * num.cast(dec) * num.cast(dec) *
+          lit(1000000L).cast(dec))
+        .withColumn("__den", (rTot * sTot).cast(dec) *
+          (n * c - b * b).cast(dec))
+        .withColumn("trend_micro",
+          when(col("__den") === 0, 0L)
+            .otherwise(expr("__num DIV __den")))
+        .drop("__num", "__den")
+    } else {
+      val vden = rTot * sTot * (n * c - b * b)
+      signed.withColumn("trend_micro",
         when(vden === 0L, 0L).otherwise(
           floor((n * num * num).cast("double") / vden.cast("double")
             * lit(1000000.0)).cast("long")))
+    }
   }
 
   /** META-ANALYSIS across association studies — weighted STOUFFER
@@ -518,6 +537,13 @@ object VariantQc {
     * [[hweBySite]] pattern), summed exactly, then one final floored
     * division by N_ab. Int64-exact far past any real cohort at the
     * per-site step (|n·x − b| ≤ 2n); the per-pair sum stays exact longs.
+    * `decimalLift = true` replaces BOTH floored double divides with
+    * exact FLOOR division in integer/decimal arithmetic (signed
+    * numerators need the pmod-adjusted spelling — DIV truncates toward
+    * zero, floor must round toward −∞): exact to n ~ 10¹⁵ per site
+    * (8n²·10⁶ ≤ 10³⁸). The two paths agree at small width
+    * (spec-pinned); the default stays int64+double so the q118 oracle
+    * hash is unchanged.
     * Monomorphic sites (a = 0 or b = 0) are excluded as GCTA does —
     * the standardization divides by 2pq. Duplicate/conflicting
     * (site, sample) records resolve to the MIN dosage first (the
@@ -534,7 +560,8 @@ object VariantQc {
   def grmPairs(
       ann: DataFrame,
       sampleCol: String = "sample_id",
-      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      decimalLift: Boolean = false): DataFrame = {
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
     val g = ann
       .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
@@ -552,10 +579,23 @@ object VariantQc {
       col("__s").as(s"sample_$p"), col("__d").as(s"d_$p")): _*)
     val za = col("__n") * col("d_a") - col("__b")
     val zb = col("__n") * col("d_b") - col("__b")
-    val termMicro = floor(
-      (lit(2L) * za * zb).cast("double") / (col("__a") * col("__b")).cast("double")
-        * lit(1000000.0)).cast("long")
+    // signed exact floor division: DIV truncates toward zero, floor
+    // must round toward −∞ — subtract pmod first (den > 0)
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val termMicro =
+      if (decimalLift) {
+        val dec = "decimal(38,0)"
+        floorDiv((lit(2L) * za * zb).cast(dec) * lit(1000000L).cast(dec),
+          (col("__a") * col("__b")).cast(dec))
+      } else floor(
+        (lit(2L) * za * zb).cast("double") / (col("__a") * col("__b")).cast("double")
+          * lit(1000000.0)).cast("long")
     val pairSum = sum(termMicro)
+    val grmMicro =
+      if (decimalLift) floorDiv(pairSum, count(lit(1)))
+      else floor(pairSum.cast("double") / count(lit(1)).cast("double"))
+        .cast("long")
     side("a").join(side("b"), siteKey)
       .filter(col("sample_a") <= col("sample_b"))
       .join(freq, siteKey)
@@ -563,8 +603,7 @@ object VariantQc {
       .agg(
         count(lit(1)).as("n_sites"),
         pairSum.as("grm_sum_micro"),
-        floor(pairSum.cast("double") / count(lit(1)).cast("double"))
-          .cast("long").as("grm_micro"))
+        grmMicro.as("grm_micro"))
   }
 
   /** Genotype PCA — POPULATION STRUCTURE axes (the `plink --pca` /
@@ -906,7 +945,8 @@ object VariantQc {
   def ldR2Pairs(
       ann: DataFrame,
       maxDist: Int,
-      sampleCol: String = "sample_id"): DataFrame = {
+      sampleCol: String = "sample_id",
+      decimalLift: Boolean = false): DataFrame = {
     require(maxDist > 0, s"maxDist must be positive, got $maxDist")
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
     val g = ann
@@ -954,13 +994,27 @@ object VariantQc {
     val cov = n * sxy - sx * sy
     val va = n * sxx - sx * sx
     val vb = n * syy - sy * sy
+    // default: int64 products + ONE floored double divide — cov² ≤
+    // 16n⁴ wraps int64 past ~27k co-called samples; decimalLift
+    // carries the 4th-power composites in decimal(38,0) with an exact
+    // integral DIV (cov² ≥ 0, no sign adjustment needed): exact to
+    // ~15M samples (16n⁴·10⁶ ≤ 10³⁸). Identity at small width is
+    // spec-pinned; default keeps the q111/q117 oracle hashes.
+    val r2 =
+      if (decimalLift) {
+        val dec = "decimal(38,0)"
+        (((cov.cast(dec) * cov.cast(dec) * lit(1000000L).cast(dec)) -
+          pmod(cov.cast(dec) * cov.cast(dec) * lit(1000000L).cast(dec),
+            va.cast(dec) * vb.cast(dec))) /
+          (va.cast(dec) * vb.cast(dec))).cast("long")
+      } else
+        floor((cov * cov).cast("double") / (va * vb).cast("double")
+          * lit(1000000.0)).cast("long")
     pairs.select(
         col("chrom"), col("pos_a"), col("ref_a"), col("alt_a"),
         col("pos_b"), col("ref_b"), col("alt_b"),
         n.as("n"),
-        when(va === 0L || vb === 0L, 0L).otherwise(
-          floor((cov * cov).cast("double") / (va * vb).cast("double")
-            * lit(1000000.0)).cast("long")).as("r2_micro"))
+        when(va === 0L || vb === 0L, 0L).otherwise(r2).as("r2_micro"))
       // a pair with NO co-called sample carries no evidence — plink
       // drops it, and so did the join-based formulation structurally
       .filter(col("n") > 0L)

@@ -156,6 +156,85 @@ object VcfWriter {
   def writeShardedByChromBgzf(df: DataFrame, meta: VcfMetadata, outDir: String): Unit =
     writeShardedByChrom(df, meta, outDir, bgzf = true)
 
+  /** BGZF emission with the region index built DURING the write — the
+    * bgzip+tabix one-pass pipeline, fully distributed: globally
+    * (chrom, pos)-range-partitioned sorted shards ([[writeShardedSorted]]'s
+    * layout), each writer task streaming its rows through
+    * [[graft.sources.v2.BgzfOutputStream]] while recording every
+    * record's virtual offset ([[graft.sources.v2.BgzfOutputStream.voff]]
+    * — the codec owns the block boundaries, so the offsets are exact)
+    * into a [[graft.sources.v2.TabixIndex.Builder]]. When the shard
+    * closes, the SAME task writes the sibling index next to it: classic
+    * `.tbi` when the shard's positions fit tabix's fixed geometry
+    * (minShift 14 / depth 5, positions < 2^29), `.csi` otherwise —
+    * exactly htslib's escalation rule. Unlike [[indexBgzfShards]] the
+    * data is never read back: at 100 TB that second decompress-and-parse
+    * pass is the difference between "index while the bytes are hot" and
+    * doubling the job's IO.
+    *
+    * Each task writes through a hidden attempt-suffixed temp name and
+    * renames on success — a retried/speculative attempt either fully
+    * replaces the shard or leaves only `.`-prefixed litter that every
+    * consumer here ([[indexBgzfShards]], the `format("vcf")` scan,
+    * Hadoop globs) already skips.
+    */
+  def writeIndexedBgzf(
+      df: DataFrame, meta: VcfMetadata, outDir: String,
+      numShards: Int = 0, minShift: Int = 14, depth: Int = 5): Unit = {
+    import graft.sources.v2.{BgzfOutputStream, TabixIndex}
+    val spark = df.sparkSession
+    val ranged =
+      if (numShards > 0) df.repartitionByRange(numShards, col("chrom"), col("pos"))
+      else df.repartitionByRange(col("chrom"), col("pos"))
+    val rows = ranged.sortWithinPartitions(col("chrom"), col("pos"))
+      .select(col("chrom").cast("string"), col("pos").cast("long"),
+        length(col("ref")).cast("int"), lineCol(meta.samples))
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val shardsDir = s"$outDir/shards"
+    // clear a previous landing (mode.overwrite semantics of the text path)
+    val outRoot = new Path(shardsDir)
+    val rootFs = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rootFs.delete(outRoot, true)
+    rootFs.mkdirs(outRoot)
+    rows.rdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val tc = org.apache.spark.TaskContext.get
+        val dir = new Path(shardsDir)
+        val fs = dir.getFileSystem(confBc.value.value)
+        val fin = new Path(dir, f"part-${tc.partitionId}%05d.vcf.gz")
+        val tmp = new Path(dir,
+          f".part-${tc.partitionId}%05d.vcf.gz.${tc.taskAttemptId}%d.tmp")
+        val bgz = new BgzfOutputStream(fs.create(tmp, true))
+        val builder = new TabixIndex.Builder(minShift, depth, fin.toString)
+        try {
+          it.foreach { r =>
+            val v0 = bgz.voff
+            bgz.write((r.getString(3) + "\n")
+              .getBytes(StandardCharsets.UTF_8))
+            builder.record(r.getString(0), r.getLong(1),
+              math.max(1, r.getInt(2)), v0, bgz.voff)
+          }
+          bgz.finish()
+        } finally bgz.close()
+        fs.delete(fin, false)
+        require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
+        val idx = builder.build()
+        // classic .tbi iff the shard fits tabix's fixed geometry;
+        // otherwise .csi at the builder's (possibly escalated) depth —
+        // htslib's own fallback rule
+        if (minShift == 14 && depth == 5 && builder.chosenDepth == 5 &&
+            builder.maxEnd0 <= (1L << 29))
+          TabixIndex.writeTbi(fs, TabixIndex.sibling(fin), idx)
+        else
+          TabixIndex.writeCsi(fs, TabixIndex.csiSibling(fin), idx,
+            minShift, builder.chosenDepth)
+      }
+    }
+    writeHeader(df, meta, outDir)
+  }
+
   /** Build a `.csi` sibling for every BGZF shard under `outDir/shards`
     * (recursively — the [[writeShardedByChromBgzf]] layout nests shards
     * in `chrom=C/` dirs) — the engine indexes its own bgzf output with

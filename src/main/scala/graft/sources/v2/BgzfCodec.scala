@@ -62,9 +62,18 @@ final class BgzfOutputStream(out: OutputStream)
 
   private val buf = new Array[Byte](BlockPayload)
   private var n = 0
+  private var cBytes = 0L // compressed bytes flushed (block starts)
   private val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
   private val crc = new CRC32()
   private val cbuf = new Array[Byte](BlockPayload + 1024) // worst-case incompressible
+
+  /** Current VIRTUAL OFFSET — (compressed offset of the open block <<
+    * 16) | in-block byte offset, the BGZF/tabix coordinate. Captured
+    * before/after each record write, this is what lets an indexing
+    * writer record chunk voffs DURING the emit instead of re-reading
+    * the shard ([[graft.sources.VcfWriter.writeIndexedBgzf]]).
+    */
+  def voff: Long = (cBytes << 16) | n.toLong
 
   override def write(b: Int): Unit = {
     buf(n) = b.toByte
@@ -119,6 +128,7 @@ final class BgzfOutputStream(out: OutputStream)
     u32(tr, 0, crc.getValue)
     u32(tr, 4, n.toLong)
     out.write(tr)
+    cBytes += bsize
     n = 0
   }
 

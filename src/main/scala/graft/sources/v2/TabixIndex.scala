@@ -359,17 +359,110 @@ object TabixIndex {
     * unsorted shards loudly (an index over unsorted data silently
     * drops rows at query time — the failure mode to never ship).
     */
+  /** STREAMING index accumulator — feed it (chrom, pos, refLen,
+    * record-start voff, record-end voff) in file order and it builds
+    * the binning index (adjacent-chunk merge), the 2^minShift linear
+    * index, and the sortedness checks, exactly as [[buildForBgzfVcf]]
+    * derives them from a re-read. This is what lets the WRITER record
+    * the index during the emit ([[graft.sources.VcfWriter
+    * .writeIndexedBgzf]]): [[BgzfOutputStream.voff]] supplies the
+    * offsets as blocks are laid down, so the shard is never read back.
+    */
+  final class Builder(val minShift: Int = 14, val depth: Int = 5,
+      context: => String = "stream") {
+    // per ref, the record log (beg0, end0Ex, v0, v1) in file order —
+    // binning is DEFERRED to build() so the tree depth can escalate
+    // once the largest position is known (htslib keeps its in-memory
+    // index per file the same way; ~32 bytes/record)
+    private val refs = mutable.LinkedHashMap.empty[String,
+      (mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Long],
+        mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Long])]
+    private val seen = mutable.Set.empty[String]
+    private var curChrom: String = null
+    private var lastPos = -1L
+    /** Largest 0-based EXCLUSIVE record end seen — the `.tbi` vs `.csi`
+      * decision input (tabix's tree covers positions < 2^29). */
+    var maxEnd0: Long = 0L
+
+    def record(chrom: String, pos: Long, refLen: Int,
+        v0: Long, v1: Long): Unit = {
+      if (chrom != curChrom) {
+        require(seen.add(chrom),
+          s"$context is not sorted: chromosome $chrom appears in two runs")
+        curChrom = chrom
+        lastPos = -1L
+      }
+      require(pos >= lastPos,
+        s"$context is not position-sorted at $chrom:$pos")
+      lastPos = pos
+      val beg0 = pos - 1
+      val end0 = pos - 1 + math.max(1, refLen)
+      if (end0 > maxEnd0) maxEnd0 = end0
+      val (begs, ends, v0s, v1s) = refs.getOrElseUpdate(chrom,
+        (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty,
+          mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+      begs += beg0; ends += end0; v0s += v0; v1s += v1
+    }
+
+    def isEmpty: Boolean = refs.isEmpty
+
+    /** The depth actually used: the requested `depth`, escalated until
+      * the (minShift, depth) tree covers the largest end seen — the
+      * htslib rule behind its automatic `.csi` fallback. */
+    def chosenDepth: Int = {
+      var d = depth
+      while ((1L << (minShift + 3 * d)) < maxEnd0) d += 1
+      d
+    }
+
+    def build(): Index = {
+      val d = chosenDepth
+      Index(refs.map { case (name, (begs, ends, v0s, v1s)) =>
+        val bins =
+          mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Chunk]]
+        val ioff = mutable.ArrayBuffer.empty[Long] // -1 = unset
+        var i = 0
+        while (i < begs.length) {
+          val bin = reg2bin(begs(i), ends(i), minShift, d)
+          bins.get(bin) match {
+            case Some(cs) if cs.last.end == v0s(i) =>
+              cs(cs.length - 1) = Chunk(cs.last.beg, v1s(i))
+            case _ =>
+              bins.getOrElseUpdate(bin, mutable.ArrayBuffer.empty) +=
+                Chunk(v0s(i), v1s(i))
+          }
+          // linear index: first (= smallest, input is voff-ordered)
+          // record voff per 2^minShift window the record overlaps.
+          // The in-build sentinel is -1, NOT 0: voff 0 is a real
+          // offset (the first record of a shard), and using 0 as the
+          // sentinel would let the next record overwrite its slot —
+          // clipping the first record out of every region query.
+          // Unset windows serialize as the format's 0 (readers fall
+          // back to minVoff).
+          val w1 = ((ends(i) - 1) >> minShift).toInt
+          while (ioff.length <= w1) ioff += -1L
+          var w = (begs(i) >> minShift).toInt
+          while (w <= w1) {
+            if (ioff(w) == -1L) ioff(w) = v0s(i)
+            w += 1
+          }
+          i += 1
+        }
+        val chunks = bins.valuesIterator.flatten.toSeq
+        Ref(name, chunks.map(_.beg).min, chunks.map(_.end).max,
+          ioff.map(v => if (v == -1L) 0L else v).toArray,
+          bins.view.mapValues(_.toArray).toMap, minShift, d)
+      }.toSeq)
+    }
+  }
+
   def buildForBgzfVcf(fs: FileSystem, dataPath: Path,
       minShift: Int = 14, depth: Int = 5): Index = {
     val len = fs.getFileStatus(dataPath).getLen
     val endVoff = len << 16
     val r = new BgzfLineReader(fs.open(dataPath), 0L, len)
     try {
-      val refs = mutable.LinkedHashMap
-        .empty[String, mutable.LinkedHashMap[Int, mutable.ArrayBuffer[Chunk]]]
-      val seen = mutable.Set.empty[String]
-      var curChrom: String = null
-      var lastPos = -1L
+      val builder = new Builder(minShift, depth, dataPath.toString)
       var v0 = r.nextVoff()
       var done = v0 == -1L
       while (!done) {
@@ -384,38 +477,48 @@ object TabixIndex {
             val t4 = line.indexOf('\t', t3 + 1)
             require(t1 > 0 && t2 > t1 && t3 > t2 && t4 > t3,
               s"$dataPath: malformed VCF line at voff $v0")
-            val chrom = line.substring(0, t1)
-            val pos = line.substring(t1 + 1, t2).toLong
-            if (chrom != curChrom) {
-              require(seen.add(chrom),
-                s"$dataPath is not sorted: chromosome $chrom appears in two runs")
-              curChrom = chrom
-              lastPos = -1L
-            }
-            require(pos >= lastPos,
-              s"$dataPath is not position-sorted at $chrom:$pos")
-            lastPos = pos
-            val refLen = math.max(1, t4 - t3 - 1)
-            val bin = reg2bin(pos - 1, pos - 1 + refLen, minShift, depth)
-            val bins = refs.getOrElseUpdate(chrom, mutable.LinkedHashMap.empty)
-            bins.get(bin) match {
-              case Some(cs) if cs.last.end == v0 =>
-                cs(cs.length - 1) = Chunk(cs.last.beg, v1)
-              case _ =>
-                bins.getOrElseUpdate(bin, mutable.ArrayBuffer.empty) += Chunk(v0, v1)
-            }
+            builder.record(line.substring(0, t1),
+              line.substring(t1 + 1, t2).toLong, t4 - t3 - 1, v0, v1)
           }
           v0 = v1
           if (v0 == endVoff) done = true
         }
       }
-      Index(refs.map { case (name, bins) =>
-        val chunks = bins.valuesIterator.flatten.toSeq
-        Ref(name, chunks.map(_.beg).min, chunks.map(_.end).max,
-          Array.empty[Long], bins.view.mapValues(_.toArray).toMap,
-          minShift, depth)
-      }.toSeq)
+      builder.build()
     } finally r.close()
+  }
+
+  /** Write `idx` as a `.tbi` at `out` — the classic tabix format
+    * ([[read]]'s exact field layout: VCF preset aux header, binning
+    * index, 16 kb linear index). Only valid for the fixed tabix
+    * geometry (minShift 14, depth 5) and positions < 2^29 — callers
+    * outgrow that into [[writeCsi]] ([[graft.sources.VcfWriter
+    * .writeIndexedBgzf]] decides per shard, as htslib's tabix does).
+    */
+  def writeTbi(fs: FileSystem, out: Path, idx: Index): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit =
+      (0 until 4).foreach(b => bos.write((v >>> (8 * b)) & 0xff))
+    def i64(v: Long): Unit =
+      (0 until 8).foreach(b => bos.write(((v >>> (8 * b)) & 0xff).toInt))
+    bos.write('T'); bos.write('B'); bos.write('I'); bos.write(1)
+    i32(idx.refs.length)
+    i32(2); i32(1); i32(2); i32(0); i32('#'); i32(0) // VCF preset
+    val names = idx.refs.map(_.name + "\u0000").mkString.getBytes("UTF-8")
+    i32(names.length); bos.write(names)
+    idx.refs.foreach { r =>
+      require(r.minShift == 14 && r.depth == 5,
+        s"tbi requires the fixed tabix geometry, got (${r.minShift}, ${r.depth})")
+      i32(r.bins.size)
+      r.bins.toSeq.sortBy(_._1).foreach { case (bin, chunks) =>
+        i32(bin); i32(chunks.length)
+        chunks.foreach { c => i64(c.beg); i64(c.end) }
+      }
+      i32(r.ioff.length)
+      r.ioff.foreach(i64)
+    }
+    val gz = new java.util.zip.GZIPOutputStream(fs.create(out, true))
+    try gz.write(bos.toByteArray) finally gz.close()
   }
 
   /** Write `idx` as a `.csi` at `out` (htslib CSI v1 layout — the
@@ -450,9 +553,15 @@ object TabixIndex {
 
   /** [[buildForBgzfVcf]] + [[writeCsi]] to the `.csi` sibling. */
   def indexBgzfSibling(fs: FileSystem, dataPath: Path,
-      minShift: Int = 14, depth: Int = 5): Unit =
-    writeCsi(fs, csiSibling(dataPath),
-      buildForBgzfVcf(fs, dataPath, minShift, depth), minShift, depth)
+      minShift: Int = 14, depth: Int = 5): Unit = {
+    val idx = buildForBgzfVcf(fs, dataPath, minShift, depth)
+    // the builder may have escalated depth past the request to cover
+    // the file's largest position — the written geometry must match
+    // the binning actually used
+    val (ms, d) = idx.refs.headOption
+      .map(r => (r.minShift, r.depth)).getOrElse((minShift, depth))
+    writeCsi(fs, csiSibling(dataPath), idx, ms, d)
+  }
 
   /** BGZF blocks are at most 64 KiB compressed — reading this many raw
     * bytes past a block start always covers the whole block. */

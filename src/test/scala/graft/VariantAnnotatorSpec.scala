@@ -754,4 +754,107 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
         minMicro = 900000L, maxMicro = 100000L)
     }
   }
+
+  // ---- decimal lifts: trend / GRM / LD (the hweBySite pattern) ----
+
+  test("trendTest decimalLift: identity at small width; exact past the " +
+      "int64 product bound at 50k samples vs BigInt") {
+    import spark.implicits._
+    val cols = Seq("chrom", "pos", "ref", "alt", "multiallele",
+      "sample_id", "gt1", "gt2")
+    val annSmall = Seq(
+      ("1", 100L, "A", "T", 0, "c1", "1", "1"),
+      ("1", 100L, "A", "T", 0, "c2", "0", "1"),
+      ("1", 100L, "A", "T", 0, "t1", "0", "0"),
+      ("1", 100L, "A", "T", 0, "t2", "0", "1"))
+      .toDF(cols: _*)
+    def run(lift: Boolean) = graft.operators.VariantQc
+      .trendTest(annSmall, Seq("c1", "c2"), Seq("t1", "t2"),
+        decimalLift = lift)
+      .select("pos", "trend_sign", "trend_micro")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(run(true) === run(false))
+    // biobank width via duplicate call rows (trendTest counts rows):
+    // cases (10000, 5000, 10000), controls (12000, 2000, 11000) —
+    // N = 50k, N·num² ≫ 2⁶³ (asserted), the exact crossover the
+    // operator doc pins at ~3000 samples
+    val rows = Seq(
+      (10000, "c1", "0", "0"), (5000, "c1", "0", "1"),
+      (10000, "c1", "1", "1"),
+      (12000, "t1", "0", "0"), (2000, "t1", "0", "1"),
+      (11000, "t1", "1", "1"))
+      .flatMap { case (cnt, s, g1, g2) =>
+        Seq.fill(cnt)(("1", 9L, "A", "T", 0, s, g1, g2)) }
+    val got = graft.operators.VariantQc
+      .trendTest(rows.toDF(cols: _*), Seq("c1"), Seq("t1"),
+        decimalLift = true)
+      .select("trend_sign", "trend_micro").as[(Int, Long)].collect()
+    val Seq(r0, r1, r2, s0, s1, s2) =
+      Seq(10000, 5000, 10000, 12000, 2000, 11000).map(BigInt(_))
+    val (rT, sT) = (r0 + r1 + r2, s0 + s1 + s2)
+    val n = rT + sT
+    val a = r1 + 2 * r2
+    val b = (r1 + s1) + 2 * (r2 + s2)
+    val c = (r1 + s1) + 4 * (r2 + s2)
+    val num = n * a - rT * b
+    val vden = rT * sT * (n * c - b * b)
+    assert(n * num * num > BigInt(Long.MaxValue),
+      "fixture no longer exceeds the int64 bound")
+    val want = n * num * num * 1000000 / vden
+    assert(got.toSeq === Seq((num.signum, want.toLong)))
+  }
+
+  test("grmPairs decimalLift: identity at small width, and signed " +
+      "terms FLOOR toward -inf (not truncate toward zero)") {
+    import spark.implicits._
+    // one site, dosages (2,2,2,1,0,0) over s1..s6: n=6, b=7, a=5;
+    // pair (d=2, d=1): term = 2·5·(−1)·10⁶ / 35 = −285714.28… → the
+    // FLOOR is −285715 (truncation would give −285714)
+    def gt(d: Int) = d match {
+      case 2 => ("1", "1"); case 1 => ("0", "1"); case _ => ("0", "0") }
+    val ann = Seq("s1" -> 2, "s2" -> 2, "s3" -> 2, "s4" -> 1,
+      "s5" -> 0, "s6" -> 0)
+      .map { case (s, d) =>
+        val (g1, g2) = gt(d); ("1", 100L, "A", "T", 0, s, g1, g2) }
+      .toDF("chrom", "pos", "ref", "alt", "multiallele",
+        "sample_id", "gt1", "gt2")
+    def run(lift: Boolean) = graft.operators.VariantQc
+      .grmPairs(ann, decimalLift = lift)
+      .select("sample_a", "sample_b", "n_sites", "grm_sum_micro",
+        "grm_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val lifted = run(true)
+    assert(lifted === run(false))
+    assert(lifted(("s1", "s4")) === ((1L, -285715L, -285715L)))
+  }
+
+  test("ldR2Pairs decimalLift: identity, exact floor at a fraction " +
+      "boundary vs BigInt") {
+    import spark.implicits._
+    // sites x=(2,2,1,1,1,0,0), y=(2,2,1,1,0,0,0) over s1..s7:
+    // cov=28, va=28, vb=34 → r² = 784e6/952 = 823529.41… → 823529
+    def gt(d: Int) = d match {
+      case 2 => ("1", "1"); case 1 => ("0", "1"); case _ => ("0", "0") }
+    val xs = Seq(2, 2, 1, 1, 1, 0, 0)
+    val ys = Seq(2, 2, 1, 1, 0, 0, 0)
+    val ann = (xs.zipWithIndex.map { case (d, i) =>
+        val (g1, g2) = gt(d)
+        ("1", 100L, "A", "T", 0, s"s$i", g1, g2) } ++
+      ys.zipWithIndex.map { case (d, i) =>
+        val (g1, g2) = gt(d)
+        ("1", 150L, "A", "T", 0, s"s$i", g1, g2) })
+      .toDF("chrom", "pos", "ref", "alt", "multiallele",
+        "sample_id", "gt1", "gt2")
+    def run(lift: Boolean) = graft.operators.VariantQc
+      .ldR2Pairs(ann, maxDist = 1000, decimalLift = lift)
+      .select("pos_a", "pos_b", "n", "r2_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val lifted = run(true)
+    assert(lifted === run(false))
+    val (cov, va, vb) = (BigInt(28), BigInt(28), BigInt(34))
+    val want = cov * cov * 1000000 / (va * vb)
+    assert(lifted === Seq((100L, 150L, 7L, want.toLong)))
+    assert(want.toLong === 823529L)
+  }
 }

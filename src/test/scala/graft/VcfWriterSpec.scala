@@ -348,6 +348,113 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() === 0)
   }
 
+  test("writeIndexedBgzf: index recorded DURING the write — .tbi " +
+      "siblings, identical to a post-hoc re-read index, and the " +
+      "engine's own output serves a pushed region query pruned") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = for { c <- Seq("1", "2"); i <- 1 to 3000 } yield (
+      c, i * 137 + 100, s"rs${c}_$i", "A", "G", "50", "PASS",
+      s"DP=$i;X=" + (i * 2654435761L).toString * 8,
+      "GT", Map("S1" -> "0/1"))
+    val df = rows.toDF("chrom", "pos", "id", "ref", "alt", "qual",
+      "filter", "info", "format", "genotypes").repartition(3)
+    val meta = VcfReader.fromHeaderLines(Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"))
+    val out = Files.createTempDirectory("graft_vcf_inwrite").toString
+    VcfWriter.writeIndexedBgzf(df, meta, out, numShards = 4)
+
+    val shardDir = java.nio.file.Paths.get(out, "shards")
+    val gz = Files.list(shardDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".gz") && !n.startsWith(".")).toSeq
+    assert(gz.nonEmpty)
+    gz.foreach { g =>
+      assert(Files.exists(shardDir.resolve(g + ".tbi")),
+        s"missing tbi sibling for $g")
+      assert(!Files.exists(shardDir.resolve(g + ".csi")),
+        s"positions fit tabix — csi must not be emitted for $g")
+    }
+
+    // the in-write index must agree with a post-hoc re-read of the
+    // same shard: same refs, bins, chunk starts, linear index (the
+    // one legitimate difference is the LAST chunk's end voff — the
+    // re-read pins it to file length, the in-write to the last
+    // record's end)
+    import graft.sources.v2.TabixIndex
+    val hp = new org.apache.hadoop.fs.Path(
+      shardDir.resolve(gz.head).toUri)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inWrite = TabixIndex.read(fs, TabixIndex.sibling(hp))
+    val reRead = TabixIndex.buildForBgzfVcf(fs, hp)
+    assert(inWrite.refs.map(_.name) === reRead.refs.map(_.name))
+    inWrite.refs.zip(reRead.refs).foreach { case (a, b) =>
+      assert(a.ioff.toSeq === b.ioff.toSeq, s"linear index drifted on ${a.name}")
+      assert(a.bins.keySet === b.bins.keySet, s"bin set drifted on ${a.name}")
+      a.bins.keySet.foreach { bin =>
+        assert(a.bins(bin).map(_.beg).toSeq === b.bins(bin).map(_.beg).toSeq,
+          s"chunk starts drifted in bin $bin of ${a.name}")
+      }
+      assert(a.minVoff === b.minVoff)
+    }
+
+    // and the landing serves a pushed region query through the
+    // existing pruning path: fewer partitions, exact rows
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "2048")
+    try {
+      val glob = s"$out/shards/*.gz"
+      val full = spark.read.format("vcf").option("samples", "S1").load(glob)
+      assert(full.count() === 6000)
+      assert(full.rdd.getNumPartitions > gz.size,
+        s"no splits within in-write-indexed shards: ${full.rdd.getNumPartitions}")
+      val region = spark.read.format("vcf").option("samples", "S1").load(glob)
+        .filter(col("chrom") === "1" && col("pos").between(100, 5000))
+      assert(region.count() === 35) // i*137+100 ≤ 5000 → i ≤ 35
+      assert(region.rdd.getNumPartitions < full.rdd.getNumPartitions,
+        "region query did not prune the in-write-indexed shards")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("writeIndexedBgzf: positions past 2^29 escalate the sibling to " +
+      ".csi (htslib's rule), and the region path still serves them") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // chromosome longer than tabix's 2^29 ceiling (~536.9 Mb)
+    val rows = (1 to 500).map(i => (
+      "1", 600000000L + i * 1000L, s"rs$i", "A", "G", ".", "PASS",
+      s"DP=$i", "GT", Map("S1" -> "1/1")))
+    val df = rows.toDF("chrom", "pos", "id", "ref", "alt", "qual",
+      "filter", "info", "format", "genotypes")
+    val meta = VcfReader.fromHeaderLines(Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"))
+    val out = Files.createTempDirectory("graft_vcf_csi_esc").toString
+    VcfWriter.writeIndexedBgzf(df, meta, out, numShards = 2)
+    val shardDir = java.nio.file.Paths.get(out, "shards")
+    val gz = Files.list(shardDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".gz") && !n.startsWith(".")).toSeq
+    assert(gz.nonEmpty)
+    gz.foreach { g =>
+      assert(Files.exists(shardDir.resolve(g + ".csi")),
+        s"missing csi sibling for $g")
+      assert(!Files.exists(shardDir.resolve(g + ".tbi")),
+        s"tbi cannot represent pos > 2^29 in $g")
+    }
+    val glob = s"$out/shards/*.gz"
+    val region = spark.read.format("vcf").option("samples", "S1").load(glob)
+      .filter(col("chrom") === "1" &&
+        col("pos").between(600000000L, 600100000L))
+    assert(region.count() === 100)
+  }
+
   test("writeShardedByChrom: per-chrom dirs, fan-out shards, per-chrom cat is a valid VCF") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
