@@ -114,10 +114,24 @@ object Similarity {
   def mmrRerank(
       cands: DataFrame, k: Int, lambdaMicro: Long,
       probeCol: String = "probe_id", candCol: String = "cand_id",
-      relCol: String = "rel_micro", vecCol: String = "cv"): DataFrame = {
+      relCol: String = "rel_micro", vecCol: String = "cv",
+      cutEvery: Int = 8, reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
       s"lambdaMicro must be in [0, 1000000], got $lambdaMicro")
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
+    require(!reliable ||
+      cands.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable = true needs spark.sparkContext.setCheckpointDir(...)")
+    // k rounds each append joins to BOTH running frames — past
+    // `cutEvery` rounds the lineage is cut (localCheckpoint, or the
+    // checkpoint dir with reliable = true), the pageRankMicro
+    // contract: deep reranks get bounded plans instead of an
+    // analyzer blowup at k ≈ 64. Short runs keep the pure
+    // declarative chain (the oracled q183 path).
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val deep = k > cutEvery
     val base = cands.select(col(probeCol).as("probe_id"),
       col(candCol).as("cand_id"), col(relCol).cast("long").as("rel_micro"),
       col(vecCol).as("__v"))
@@ -147,6 +161,13 @@ object Similarity {
       selected = selected.unionAll(picked)
       remaining = remaining.join(picked.select("probe_id", "cand_id"),
         Seq("probe_id", "cand_id"), "left_anti")
+      // cut mid-run only — the final round stays lazy so the caller's
+      // downstream plan composes (prior checkpoint blocks released by
+      // the ContextCleaner as references drop)
+      if (deep && r % cutEvery == 0 && r < k) {
+        selected = cp(selected)
+        remaining = cp(remaining)
+      }
     }
     selected.select("probe_id", "cand_id", "rnk", "rel_micro")
   }

@@ -1287,4 +1287,50 @@ object VariantQc {
         floor(col("n_ok") * lit(1000000.0) /
           greatest(col("n_eval"), lit(1L))).cast("long"))
   }
+
+  /** [[hetAlleleBalance]] extended to MULTIALLELIC sites — the
+    * `Number=R`/`Number=.` reading of AD: instead of the fixed 2-field
+    * split (which cannot know WHICH alt a 0/2 call's depth refers to,
+    * the reason [[hetAlleleBalance]] excludes multiallelics), index the
+    * raw comma-separated AD vector by the CALLED allele indices: for
+    * any het g1/g2 (g1 ≠ g2, both called), AB = AD[g2]/(AD[g1]+AD[g2])
+    * — for 0/1 that is exactly the biallelic alt/(ref+alt) (identity
+    * with [[hetAlleleBalance]] spec-pinned on biallelic input); for
+    * 0/2 it reads the SECOND alt's depth; for a 1/2 het-alt it is the
+    * balance between the two called alts (GATK's generalized het AB).
+    * Same exact integer cross-product band test, same panel-sized
+    * one-groupBy shape; calls whose AD vector is too short or
+    * non-numeric fall out of n_eval, not into a wrong band.
+    */
+  def hetAlleleBalanceByCalledAllele(
+      ann: DataFrame,
+      minMicro: Long = 200000L,
+      maxMicro: Long = 800000L,
+      sampleCol: String = "sample_id",
+      adCol: String = "AD"): DataFrame = {
+    require(minMicro >= 0L && minMicro <= maxMicro && maxMicro <= 1000000L,
+      s"need 0 <= minMicro <= maxMicro <= 1000000, got [$minMicro, $maxMicro]")
+    val parts = split(col(adCol), ",")
+    val g1 = col("gt1").cast("int")
+    val g2 = col("gt2").cast("int")
+    val r = try_element_at(parts, g1 + 1).cast("long")
+    val a = try_element_at(parts, g2 + 1).cast("long")
+    val tot = r + a
+    val eval = r.isNotNull && a.isNotNull && r >= 0L && a >= 0L && tot > 0L
+    val low = a * lit(1000000L) < lit(minMicro) * tot
+    val high = a * lit(1000000L) > lit(maxMicro) * tot
+    ann
+      .filter(col("zygosity").isin("het-ref", "het-alt") &&
+        g1.isNotNull && g2.isNotNull && g1 =!= g2)
+      .groupBy(col(sampleCol).as("sample_id"))
+      .agg(
+        count(lit(1)).as("n_het"),
+        sum(when(eval, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(eval && !low && !high, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(eval && low, 1L).otherwise(0L)).as("n_low"),
+        sum(when(eval && high, 1L).otherwise(0L)).as("n_high"))
+      .withColumn("ab_ok_micro",
+        floor(col("n_ok") * lit(1000000.0) /
+          greatest(col("n_eval"), lit(1L))).cast("long"))
+  }
 }

@@ -224,6 +224,37 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mmrRerank deep runs: lineage cuts bound the plan, results " +
+      "unchanged") {
+    val pool = (1L to 40L).map { i =>
+      val ang = i.toDouble / 40.0 * math.Pi / 2
+      (0L, i, 1000000L - i * 7919L % 900000L,
+        Seq(math.cos(ang), math.sin(ang)))
+    }.toDF("probe_id", "cand_id", "rel_micro", "cv")
+    // results unchanged by the cuts: a depth where the pure chain is
+    // still cheap to optimize (the uncut k=32 chain takes MINUTES in
+    // the analyzer — which is exactly why the cuts exist)
+    def picks(k: Int, cutEvery: Int) =
+      Similarity.mmrRerank(pool, k, 500000L, cutEvery = cutEvery)
+        .orderBy("rnk").collect()
+        .map(r => (r.getLong(1), r.getInt(2))).toSeq
+    val cut12 = picks(12, 4)
+    assert(cut12 === picks(12, 64)) // cutEvery > k → zero cuts
+    assert(cut12.length === 12)
+    // bounded growth: with cuts every 4 rounds a k=24 run's FINAL
+    // plan stacks only the rounds since the last cut — its optimized
+    // plan must not exceed a small multiple of a 4-round run's
+    // (without cuts it grows ~exponentially with k and a k=24 chain
+    // is not even analyzable in reasonable time)
+    val plan4 = Similarity.mmrRerank(pool, k = 4, 500000L, cutEvery = 64)
+      .queryExecution.optimizedPlan.toString.length
+    val plan24 = Similarity.mmrRerank(pool, k = 24, 500000L, cutEvery = 4)
+      .queryExecution.optimizedPlan.toString.length
+    assert(plan24 < plan4.toLong * 8,
+      s"lineage cut did not bound the deep plan: $plan24 vs 4-round $plan4")
+    assert(picks(24, 4).length === 24)
+  }
+
   test("incrementalExact: cross-batch dups dropped, in-batch keep min id, replays collapse") {
     val ingested = Seq((1L, "seen before")).toDF("id", "text")
     val batch = Seq(
