@@ -4697,6 +4697,140 @@ object LlmQueries extends QuerySet {
     """
     })
 
+  /** RETRIEVAL RANKING EVALUATION ([[graft.operators.RankEval
+    * .rankingMetrics]] — the TREC/BEIR/MTEB nDCG@k / recall@k / MRR
+    * battery, the measurement side of the q41/q42/q45/q48 retrieval
+    * family): ranked lists and graded judgments derived
+    * arithmetically from the embeddings table (some judged docs
+    * deliberately NEVER retrieved — recall and IDCG must see them);
+    * per-rank discount is a micro-floored constant ⌊10⁶·ln2/ln(i+1)⌋
+    * spelled identically in both engines, so DCG/IDCG are exact int64
+    * sums and nDCG/recall/MRR single exact integer divisions. DuckDB
+    * replays dedup-max judgments, the ideal reranking window, the
+    * cutoff, and every division.
+    */
+  private lazy val q186 = Q(
+    "q186_rank_eval",
+    (s, dir) => {
+      import graft.operators.RankEval
+      val e = t(s, dir, "embeddings")
+      val ranked = e
+        .selectExpr("vec_id % 20 AS probe_id", "vec_id AS cand_id")
+        .selectExpr("probe_id", "cand_id",
+          "CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cand_id) AS INT) AS rnk")
+      val qrels = e.filter(col("vec_id") % 3 === 0)
+        .selectExpr("vec_id % 20 AS probe_id",
+          "CASE WHEN vec_id % 11 = 0 THEN vec_id + 1000000 ELSE vec_id END AS cand_id",
+          "CAST((vec_id * 7) % 4 AS INT) AS rel")
+      RankEval.rankingMetrics(ranked, qrels, k = 10)
+        .orderBy("probe_id")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id FROM embeddings),
+      rk AS (SELECT vec_id % 20 AS probe_id, vec_id AS cand_id,
+               row_number() OVER (PARTITION BY vec_id % 20
+                                  ORDER BY vec_id) AS rnk
+             FROM e),
+      qr AS (SELECT vec_id % 20 AS probe_id,
+               CASE WHEN vec_id % 11 = 0 THEN vec_id + 1000000
+                    ELSE vec_id END AS cand_id,
+               CAST((vec_id * 7) % 4 AS INT) AS rel
+             FROM e WHERE vec_id % 3 = 0),
+      gold AS (SELECT probe_id, cand_id, CAST(max(rel) AS BIGINT) AS rel
+               FROM qr GROUP BY 1, 2),
+      topk AS (SELECT probe_id, cand_id, CAST(rnk AS BIGINT) AS rnk
+               FROM rk WHERE rnk <= 10),
+      sc AS (SELECT t.probe_id,
+               count(*) AS n_ranked,
+               CAST(sum(CASE WHEN coalesce(g.rel, 0) > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits,
+               min(CASE WHEN coalesce(g.rel, 0) > 0 THEN t.rnk END) AS fh,
+               CAST(sum((CAST(power(2, coalesce(g.rel, 0)) AS BIGINT) - 1)
+                 * CAST(floor(1000000.0 * ln(2) / ln(t.rnk + 1)) AS BIGINT))
+                 AS BIGINT) AS dcg
+             FROM topk t LEFT JOIN gold g USING (probe_id, cand_id)
+             GROUP BY 1),
+      idl AS (SELECT probe_id, count(*) AS n_gold,
+               CAST(sum(CASE WHEN irnk <= 10 THEN
+                 (CAST(power(2, rel) AS BIGINT) - 1)
+                 * CAST(floor(1000000.0 * ln(2) / ln(irnk + 1)) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS idcg
+              FROM (SELECT probe_id, rel, cand_id,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY rel DESC, cand_id ASC) AS irnk
+                    FROM gold WHERE rel > 0) g2
+              GROUP BY 1)
+      SELECT probe_id,
+        coalesce(n_ranked, 0) AS n_ranked,
+        coalesce(n_gold, 0) AS n_gold,
+        coalesce(hits, 0) AS hits,
+        coalesce(hits, 0) * 1000000 // greatest(coalesce(n_gold, 0), 1)
+          AS recall_micro,
+        coalesce(1000000 // fh, 0) AS mrr_micro,
+        coalesce(dcg, 0) AS dcg_micro,
+        coalesce(idcg, 0) AS idcg_micro,
+        coalesce(dcg, 0) * 1000000 // greatest(coalesce(idcg, 0), 1)
+          AS ndcg_micro
+      FROM sc FULL JOIN idl USING (probe_id)
+      ORDER BY probe_id
+    """))
+
+  /** CORPUS DRIFT — Jensen-Shannon divergence between two snapshots'
+    * token distributions ([[graft.operators.Drift.vocabularyDrift]],
+    * Lin 1991 — the distribution-shift alarm a standing pipeline runs
+    * between crawls): src0 vs src1 of the documents table as the two
+    * "snapshots"; every log ratio is a ratio of exact int64 products
+    * (2·c₁·T₂ / (c₁·T₂+c₂·T₁)) micro-floored once per (token, side),
+    * count-weighted exact sums, two exact signed FLOOR divisions
+    * (pmod-adjusted in both engines — DuckDB's `//` truncates like
+    * Spark's DIV). DuckDB replays counts, the full-outer vocabulary
+    * join, every per-token floor, and the vocab overlap stats.
+    */
+  private lazy val q187 = Q(
+    "q187_vocab_drift",
+    (s, dir) => {
+      import graft.operators.Drift
+      val d = t(s, dir, "documents")
+      def toks(src: String) = d
+        .filter(col("source") === src && length(trim(col("text"))) > 0)
+        .select(explode(wsTokens(col("text"))).as("token"))
+      Drift.vocabularyDrift(toks("src0"), toks("src1"))
+    },
+    Some("""
+      WITH ta AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+             FROM documents WHERE source = 'src0' AND length(trim(text)) > 0),
+      tb AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+             FROM documents WHERE source = 'src1' AND length(trim(text)) > 0),
+      ca AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM ta GROUP BY 1),
+      cb AS (SELECT token, CAST(count(*) AS BIGINT) AS c2 FROM tb GROUP BY 1),
+      j AS (SELECT token, coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+            FROM ca FULL JOIN cb USING (token)),
+      tt AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+               CAST(sum(c2) AS BIGINT) AS t2 FROM j),
+      ag AS (SELECT
+               max(tt.t1) AS n_tokens_a, max(tt.t2) AS n_tokens_b,
+               CAST(sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+               CAST(sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+               CAST(sum(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS vocab_shared,
+               CAST(sum(CASE WHEN c1 > 0 THEN c1 * CAST(floor(ln(
+                 CAST(2 * c1 * tt.t2 AS DOUBLE)
+                   / CAST(c1 * tt.t2 + c2 * tt.t1 AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN c2 > 0 THEN c2 * CAST(floor(ln(
+                 CAST(2 * c2 * tt.t1 AS DOUBLE)
+                   / CAST(c1 * tt.t2 + c2 * tt.t1 AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) ELSE 0 END) AS BIGINT) AS s2
+             FROM j, tt)
+      SELECT n_tokens_a, n_tokens_b, vocab_a, vocab_b, vocab_shared,
+        (s1 - ((s1 % greatest(2 * n_tokens_a, 1) + greatest(2 * n_tokens_a, 1))
+            % greatest(2 * n_tokens_a, 1))) // greatest(2 * n_tokens_a, 1)
+        + (s2 - ((s2 % greatest(2 * n_tokens_b, 1) + greatest(2 * n_tokens_b, 1))
+            % greatest(2 * n_tokens_b, 1))) // greatest(2 * n_tokens_b, 1)
+          AS jsd_micro
+      FROM ag
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4705,5 +4839,5 @@ object LlmQueries extends QuerySet {
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
-      q180, q182, q183)
+      q180, q182, q183, q186, q187)
 }
