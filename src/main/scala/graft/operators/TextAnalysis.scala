@@ -686,18 +686,8 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text",
       maxBigrams: Int = 100000): DataFrame = {
     require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
-    def toks(df: DataFrame, keep: Column*) = df.select(
-      keep :+ wsTokens(lower(cleanAscii(col(textCol)))).as("__w"): _*)
-    val refToks = toks(refDocs).select(explode(col("__w")).as("__a"))
-    val refu = refToks.groupBy("__a").agg(count(lit(1)).as("__ca"))
-    // V as a 1-row broadcast (the epochWaterfill level pattern): the
-    // vocabulary size is data, not a parameter — no driver round-trip
-    val vrow = refu.agg((count(lit(1)) + lit(1L)).as("__v"))
-    val refb = toks(refDocs)
-      .select(explode(wordNgrams(col("__w"), 2)).as("__ng"))
-      .groupBy("__ng").agg(count(lit(1)).as("__cab"))
-      .orderBy(col("__cab").desc, col("__ng")).limit(maxBigrams)
-    val pairs = toks(docs, col(idCol))
+    val (refu, refb, vrow) = bigramModel(refDocs, textCol, maxBigrams)
+    val pairs = toks(textCol, docs, col(idCol))
       .select(col(idCol), explode(wordNgrams(col("__w"), 2)).as("__ng"))
       .withColumn("__a", split(col("__ng"), " ").getItem(0))
       .join(broadcast(refb), Seq("__ng"), "left")
@@ -713,5 +703,102 @@ object TextAnalysis {
         (-sum(col("__lp"))).as("nll_sum_micro"))
       .withColumn("nll_mean_micro",
         expr("nll_sum_micro DIV n_bigrams"))
+  }
+
+  private def toks(textCol: String, df: DataFrame, keep: Column*) =
+    df.select(keep :+ wsTokens(lower(cleanAscii(col(textCol)))).as("__w"): _*)
+
+  /** The add-one bigram model [[bigramLmNll]] trains: (unigram counts,
+    * pruned bigram counts, V as a 1-row broadcast — the epochWaterfill
+    * level pattern: vocabulary size is data, not a parameter). */
+  private def bigramModel(refDocs: DataFrame, textCol: String,
+      maxBigrams: Int): (DataFrame, DataFrame, DataFrame) = {
+    val refToks = toks(textCol, refDocs).select(explode(col("__w")).as("__a"))
+    val refu = refToks.groupBy("__a").agg(count(lit(1)).as("__ca"))
+    val vrow = refu.agg((count(lit(1)) + lit(1L)).as("__v"))
+    val refb = toks(textCol, refDocs)
+      .select(explode(wordNgrams(col("__w"), 2)).as("__ng"))
+      .groupBy("__ng").agg(count(lit(1)).as("__cab"))
+      .orderBy(col("__cab").desc, col("__ng")).limit(maxBigrams)
+    (refu, refb, vrow)
+  }
+
+  /** Third mixing multiplier for the DSIR Gumbel draw (Marsaglia 1972's
+    * 69069 — a public LCG constant distinct from every other chain in
+    * [[graft.operators.Sampling]]/[[graft.operators.Privacy]]). */
+  val DsirGumbelMult = 69069L
+
+  /** DSIR DATA SELECTION — Data Selection via Importance Resampling
+    * (Xie et al. 2023, NeurIPS): choose raw-corpus documents that look
+    * like a TARGET domain under cheap n-gram LMs — the published
+    * scalable alternative to classifier-based filtering (and the
+    * principled form of "train on data that looks like the good
+    * stuff"). Two add-one bigram models ([[bigramLmNll]]'s) are
+    * trained, one on the target reference, one on the raw reference;
+    * each document's importance is its log-likelihood RATIO
+    *
+    *   log w(x) = log p_target(x) − log p_raw(x)
+    *            = Σ_bigrams (lp_t − lp_r)
+    *
+    * and selection is Gumbel-top-n over log w + g (the
+    * sampling-without-replacement trick DSIR uses): g is a
+    * DETERMINISTIC Gumbel −ln(−ln(u)) with u from an MCG chain over
+    * (doc id, seed) — the [[Privacy.dpCountRelease]] posture: retries,
+    * repartitionings, and engines select the SAME set for a recorded
+    * seed.
+    *
+    * Determinism: both per-bigram log probs are micro-floored IEEE
+    * lns of exact-long ratios (the q180 pattern), so log w is an
+    * exact order-free int64 sum; the Gumbel is one micro-floored
+    * IEEE chain of an exact rational u. Docs with < 2 tokens carry
+    * no evidence and are absent (the q120 word-count rule owns them).
+    *
+    * Scale shape: ONE corpus pass — explode + FOUR broadcast left
+    * joins (both models' unigram/bigram tables; vocabulary-bounded
+    * and capped) + one partial-agg groupBy(doc) + a global top-n
+    * (TakeOrdered — no full sort, no single-task funnel).
+    */
+  def dsirSelect(
+      docs: DataFrame, targetRef: DataFrame, rawRef: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBigrams: Int = 100000, seed: Long = 0L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
+    val (refuT, refbT, vT) = bigramModel(targetRef, textCol, maxBigrams)
+    val (refuR, refbR, vR) = bigramModel(rawRef, textCol, maxBigrams)
+    val p = Sampling.HashPrime
+    val seedMod = math.floorMod(seed, p)
+    def lp(cab: Column, ca: Column, v: Column) =
+      floor(log((coalesce(cab, lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(ca, lit(0L)) + v).cast("double")) * lit(1000000.0))
+        .cast("long")
+    val pairs = toks(textCol, docs, col(idCol))
+      .select(col(idCol), explode(wordNgrams(col("__w"), 2)).as("__ng"))
+      .withColumn("__a", split(col("__ng"), " ").getItem(0))
+      .join(broadcast(refbT.withColumnRenamed("__cab", "__cabT")),
+        Seq("__ng"), "left")
+      .join(broadcast(refuT.withColumnRenamed("__ca", "__caT")),
+        Seq("__a"), "left")
+      .join(broadcast(refbR.withColumnRenamed("__cab", "__cabR")),
+        Seq("__ng"), "left")
+      .join(broadcast(refuR.withColumnRenamed("__ca", "__caR")),
+        Seq("__a"), "left")
+      .crossJoin(broadcast(vT.withColumnRenamed("__v", "__vT")))
+      .crossJoin(broadcast(vR.withColumnRenamed("__v", "__vR")))
+      .withColumn("__d",
+        lp(col("__cabT"), col("__caT"), col("__vT")) -
+          lp(col("__cabR"), col("__caR"), col("__vR")))
+    val m1 = pmod(pmod(col(idCol) + lit(seedMod), lit(p)) *
+      lit(Sampling.HashMult), lit(p))
+    val m2 = pmod(m1 * lit(DsirGumbelMult), lit(p))
+    val u = (m2 + lit(1L)).cast("double") / lit((p + 1L).toDouble)
+    pairs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__d")).as("logw_micro"))
+      .withColumn("gumbel_micro",
+        floor(-log(-log(u)) * lit(1000000.0)).cast("long"))
+      .withColumn("key_micro", col("logw_micro") + col("gumbel_micro"))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(n)
   }
 }

@@ -1288,6 +1288,70 @@ object VariantQc {
           greatest(col("n_eval"), lit(1L))).cast("long"))
   }
 
+  /** PER-SAMPLE CONTAMINATION estimate from hom-alt reference reads —
+    * the CHARR estimator (Lu et al. 2023, Bioinformatics — Hail/gnomAD's
+    * VerifyBamID-free contamination check): at a genuinely homozygous-
+    * ALT site a clean sample has (almost) no REF reads, so the REF
+    * read fraction there measures DNA from somebody else; averaged
+    * with the allele-frequency correction
+    *
+    *   CHARR = mean over hom-alt calls of  refAF / (1 − p)
+    *
+    * (p = cohort ALT frequency: a contaminant contributes REF reads at
+    * rate 1−p, so dividing recovers the contamination fraction).
+    * Values ≳ 2–5% flag swaps/mixing before any downstream analysis.
+    * Cohort AF comes from the SAME call set (the reference-free
+    * posture; pass a biobank AF table upstream by overriding the
+    * frequency band). Sites with p outside [afMinMicro, afMaxMicro]
+    * are excluded (extreme-AF sites carry no signal and p → 1
+    * degenerates), as are calls without positive depth.
+    *
+    * Determinism: the per-call summand refAF/(1−p) =
+    * r·2n / ((r+a)·(2n−b)) is ONE micro-floored double division of
+    * exact int64 products (the [[hweBySite]] pattern); the mean is an
+    * exact integral DIV. Shape: one site-keyed dosage agg for AF +
+    * one co-keyed join BACK to the call frame (ReusedExchange on a
+    * site-bucketed landing — the [[singletonCounts]] shape) + ONE
+    * partial-aggregated groupBy(sample); output is panel-sized.
+    */
+  def contaminationCharr(
+      ann: DataFrame,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      refDepthCol: String = "AD_0", altDepthCol: String = "AD_1",
+      afMinMicro: Long = 50000L, afMaxMicro: Long = 950000L): DataFrame = {
+    require(afMinMicro >= 0L && afMinMicro <= afMaxMicro &&
+      afMaxMicro < 1000000L,
+      s"need 0 <= afMin <= afMax < 1e6, got [$afMinMicro, $afMaxMicro]")
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val g = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select(siteKey.map(col) ++ Seq(
+        col(sampleCol).as("__s"), col("zygosity"),
+        (col("gt1").cast("long") + col("gt2").cast("long")).as("__d"),
+        col(refDepthCol).cast("long").as("__r"),
+        col(altDepthCol).cast("long").as("__a")): _*)
+    val freq = g
+      .groupBy(siteKey.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__b"))
+      .filter(col("__b") * lit(1000000L) >= lit(afMinMicro) * lit(2L) * col("__n") &&
+        col("__b") * lit(1000000L) <= lit(afMaxMicro) * lit(2L) * col("__n"))
+    val tot = col("__r") + col("__a")
+    g.filter(col("zygosity") === "hom-alt" &&
+        col("__r").isNotNull && col("__a").isNotNull &&
+        col("__r") >= 0L && col("__a") >= 0L && tot > 0L)
+      .join(freq, siteKey)
+      .withColumn("__c", floor(
+        (col("__r") * lit(2L) * col("__n")).cast("double") /
+          (tot * (lit(2L) * col("__n") - col("__b"))).cast("double")
+        * lit(1000000.0)).cast("long"))
+      .groupBy(col("__s").as("sample_id"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(col("__c")).as("charr_sum_micro"))
+      .withColumn("charr_micro",
+        expr("charr_sum_micro DIV n_sites"))
+  }
+
   /** [[hetAlleleBalance]] extended to MULTIALLELIC sites — the
     * `Number=R`/`Number=.` reading of AD: instead of the fixed 2-field
     * split (which cannot know WHICH alt a 0/2 call's depth refers to,

@@ -4831,6 +4831,79 @@ object LlmQueries extends QuerySet {
       FROM ag
     """))
 
+  /** DSIR DATA SELECTION ([[graft.operators.TextAnalysis.dsirSelect]],
+    * Xie et al. 2023 NeurIPS): choose raw docs that look like a TARGET
+    * domain under two add-one bigram LMs (q180's machinery, trained on
+    * disjoint source slices) — importance log w = Σ(lp_target − lp_raw)
+    * exact int64 per doc, Gumbel-top-n with a DETERMINISTIC
+    * −ln(−ln(u)) draw from an MCG chain over the doc id (the q176
+    * posture). DuckDB retrains BOTH models, rescoring every bigram,
+    * replays the gumbel chain and the top-n cutoff.
+    */
+  private lazy val q189 = Q(
+    "q189_dsir_select",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      TextAnalysis.dsirSelect(docs,
+          docs.filter(col("doc_id") % 10 < 3),
+          docs.filter(col("doc_id") % 10 >= 7),
+          n = 50, maxBigrams = 500)
+        .orderBy(col("key_micro").desc, col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+              string_split_regex(trim(lower(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0),
+      rut AS (SELECT unnest(w) AS a FROM toks WHERE doc_id % 10 < 3),
+      refut AS (SELECT a, count(*) AS ca FROM rut GROUP BY a),
+      vvt AS (SELECT count(*) + 1 AS v FROM refut),
+      rbt AS (SELECT unnest(list_transform(range(1, CAST(len(w) AS INT)),
+               i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS ng
+            FROM toks WHERE doc_id % 10 < 3),
+      refbt AS (SELECT ng, count(*) AS cab FROM rbt GROUP BY ng
+                ORDER BY cab DESC, ng LIMIT 500),
+      rur AS (SELECT unnest(w) AS a FROM toks WHERE doc_id % 10 >= 7),
+      refur AS (SELECT a, count(*) AS ca FROM rur GROUP BY a),
+      vvr AS (SELECT count(*) + 1 AS v FROM refur),
+      rbr AS (SELECT unnest(list_transform(range(1, CAST(len(w) AS INT)),
+               i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS ng
+            FROM toks WHERE doc_id % 10 >= 7),
+      refbr AS (SELECT ng, count(*) AS cab FROM rbr GROUP BY ng
+                ORDER BY cab DESC, ng LIMIT 500),
+      dg AS (SELECT doc_id,
+              unnest(list_transform(range(1, CAST(len(w) AS INT)),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS ng
+            FROM toks),
+      p AS (SELECT d.doc_id,
+              CAST(floor(ln(
+                CAST(coalesce(bt.cab, 0) + 1 AS DOUBLE) /
+                CAST(coalesce(ut.ca, 0) + vvt.v AS DOUBLE)) * 1000000.0)
+                AS BIGINT)
+              - CAST(floor(ln(
+                CAST(coalesce(br.cab, 0) + 1 AS DOUBLE) /
+                CAST(coalesce(ur.ca, 0) + vvr.v AS DOUBLE)) * 1000000.0)
+                AS BIGINT) AS d
+            FROM dg d
+            LEFT JOIN refbt bt ON bt.ng = d.ng
+            LEFT JOIN refut ut ON ut.a = string_split(d.ng, ' ')[1]
+            LEFT JOIN refbr br ON br.ng = d.ng
+            LEFT JOIN refur ur ON ur.a = string_split(d.ng, ' ')[1]
+            CROSS JOIN vvt CROSS JOIN vvr),
+      w AS (SELECT doc_id, count(*) AS n_bigrams,
+              CAST(sum(d) AS BIGINT) AS logw FROM p GROUP BY 1),
+      gm AS (SELECT *,
+              CAST(floor(-ln(-ln(
+                CAST((doc_id % 1000000007) * 2654435761 % 1000000007
+                  * 69069 % 1000000007 + 1 AS DOUBLE) / 1000000008.0))
+                * 1000000.0) AS BIGINT) AS g
+             FROM w)
+      SELECT doc_id, n_bigrams, logw AS logw_micro, g AS gumbel_micro,
+        logw + g AS key_micro
+      FROM gm ORDER BY key_micro DESC, doc_id LIMIT 50
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4839,5 +4912,5 @@ object LlmQueries extends QuerySet {
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
-      q180, q182, q183, q186, q187)
+      q180, q182, q183, q186, q187, q189)
 }

@@ -2924,10 +2924,60 @@ object VcfQueries extends QuerySet {
       """))
   }
 
+  /** PER-SAMPLE CONTAMINATION — the CHARR estimator
+    * ([[graft.operators.VariantQc.contaminationCharr]], Lu et al.
+    * 2023; Hail/gnomAD's VerifyBamID-free check): REF reads at
+    * genuinely hom-alt sites measure someone else's DNA; each call
+    * contributes refAF/(1−p) as ONE micro-floored division of exact
+    * int64 products (p = cohort ALT AF from the same call set,
+    * extreme-AF sites excluded), meaned per sample by exact DIV.
+    * DuckDB replays dosage AF, the band filter, every per-call
+    * division, and the rollup.
+    */
+  private val q188 = Q(
+    "q188_contamination",
+    (s, dir) => {
+      import graft.operators.VariantQc
+      VariantQc.contaminationCharr(
+        VariantAnnotator.annotate(wide(s, dir),
+          VariantAnnotator.Options(splitColumns = Map("AD" -> 2),
+            dropHomRef = false, formatKeys = fmtKeys)))
+        .orderBy("sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes, $duckAnnotateCtes,
+      g AS (SELECT chrom, pos, ref, alt, sample_id, zygosity,
+              CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT) AS d,
+              CAST(string_split(ad, ',')[1] AS BIGINT) AS r,
+              CAST(string_split(ad, ',')[2] AS BIGINT) AS a
+            FROM ann
+            WHERE multiallele = 0
+              AND gt1 IS NOT NULL AND gt1 <> '.'
+              AND gt2 IS NOT NULL AND gt2 <> '.'),
+      f AS (SELECT chrom, pos, ref, alt,
+              CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS b
+            FROM g GROUP BY 1, 2, 3, 4
+            HAVING sum(d) * 1000000 >= 50000 * 2 * count(*)
+               AND sum(d) * 1000000 <= 950000 * 2 * count(*)),
+      c AS (SELECT g.sample_id,
+              CAST(floor(CAST(g.r * 2 * f.n AS DOUBLE)
+                / CAST((g.r + g.a) * (2 * f.n - f.b) AS DOUBLE)
+                * 1000000.0) AS BIGINT) AS t
+            FROM g JOIN f USING (chrom, pos, ref, alt)
+            WHERE g.zygosity = 'hom-alt'
+              AND g.r IS NOT NULL AND g.a IS NOT NULL
+              AND g.r >= 0 AND g.a >= 0 AND g.r + g.a > 0)
+      SELECT sample_id, count(*) AS n_sites,
+        CAST(sum(t) AS BIGINT) AS charr_sum_micro,
+        CAST(sum(t) // count(*) AS BIGINT) AS charr_micro
+      FROM c GROUP BY 1 ORDER BY 1
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
-      q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184)
+      q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
+      q188)
 }

@@ -562,4 +562,64 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       TextAnalysis.bigramLmNll(docs, ref, maxBigrams = 0)
     }
   }
+
+  test("dsirSelect: log-likelihood-ratio importance + deterministic " +
+      "Gumbel top-n replay by hand; same seed same set, different " +
+      "seed may differ; target-like docs outrank raw-like ones") {
+    import spark.implicits._
+    import graft.operators.{Sampling, TextAnalysis}
+    // target ref speaks "a b", raw ref speaks "x y"
+    val target = Seq(0L -> "a b a b a c").toDF("doc_id", "text")
+    val raw = Seq(0L -> "x y x y x z").toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> "a b a",  // target-like
+      2L -> "x y x",  // raw-like
+      3L -> "a y"     // mixed
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirSelect(docs, target, raw, n = 3)
+      .select("doc_id", "n_bigrams", "logw_micro", "gumbel_micro",
+        "key_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // hand replay: target ca={a:3,b:2,c:1} V=4; bigrams {a b:2, b a:2,
+    // a c:1}; raw ca={x:3,y:2,z:1} V=4; bigrams {x y:2, y x:2, x z:1}
+    def lp(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den.toDouble) * 1e6).toLong
+    def logw(bs: (Long, Long, Long, Long)*): Long =
+      bs.map { case (ct, dt, cr, dr) => lp(ct, dt) - lp(cr, dr) }.sum
+    // doc1 "a b"+"b a": target (2+1)/(3+4), (2+1)/(2+4); raw both unseen
+    // heads (0+1)/(0+4)
+    val w1 = logw((3, 7, 1, 4), (3, 6, 1, 4))
+    // doc2 mirrors under raw
+    val w2 = logw((1, 4, 3, 7), (1, 4, 3, 6))
+    // doc3 "a y": target (0+1)/(3+4); raw (0+1)/(0+4) — head 'a' unseen
+    val w3 = logw((1, 7, 1, 4))
+    def gum(id: Long): Long = {
+      val p = Sampling.HashPrime
+      val m1 = (id % p) * Sampling.HashMult % p
+      val m2 = m1 * TextAnalysis.DsirGumbelMult % p
+      val u = (m2 + 1).toDouble / (p + 1).toDouble
+      math.floor(-math.log(-math.log(u)) * 1e6).toLong
+    }
+    val expect = Seq(
+      (1L, 2L, w1, gum(1), w1 + gum(1)),
+      (2L, 2L, w2, gum(2), w2 + gum(2)),
+      (3L, 1L, w3, gum(3), w3 + gum(3)))
+      .sortBy(t => (-t._5, t._1))
+    assert(out === expect)
+    assert(w1 > w3 && w3 > w2, s"ordering broke: $w1 $w3 $w2")
+    // n cuts the tail deterministically
+    val top1 = TextAnalysis.dsirSelect(docs, target, raw, n = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top1 === expect.take(1).map(_._1))
+    // seeded: same seed identical, and the seed perturbs only the
+    // gumbel column
+    val s1 = TextAnalysis.dsirSelect(docs, target, raw, n = 3, seed = 7L)
+      .select("doc_id", "gumbel_micro").as[(Long, Long)].collect().toSet
+    val s2 = TextAnalysis.dsirSelect(docs, target, raw, n = 3, seed = 7L)
+      .select("doc_id", "gumbel_micro").as[(Long, Long)].collect().toSet
+    assert(s1 === s2)
+    val s0 = TextAnalysis.dsirSelect(docs, target, raw, n = 3)
+      .select("doc_id", "gumbel_micro").as[(Long, Long)].collect().toSet
+    assert(s0 !== s1, "seed did not perturb the gumbel draw")
+  }
 }

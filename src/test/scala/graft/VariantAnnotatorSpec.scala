@@ -755,6 +755,36 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("contaminationCharr: hom-alt ref-read fraction over 1-AF " +
+      "replays by hand; AF band and zero-depth exclusions; clean " +
+      "hom-alts score 0") {
+    import spark.implicits._
+    val cols = Seq("chrom", "pos", "ref", "alt", "multiallele",
+      "sample_id", "gt1", "gt2", "zygosity", "AD_0", "AD_1")
+    val ann = Seq(
+      // site 100: x hom-alt AD 2,18; y het → b=3, 2n=4, p=3/4:
+      //   charr term = r·2n·10⁶/((r+a)(2n−b)) = 2·4·1e6/(20·1) = 400000
+      ("1", 100L, "A", "T", 0, "x", "1", "1", "hom-alt", "2", "18"),
+      ("1", 100L, "A", "T", 0, "y", "0", "1", "het-ref", "10", "10"),
+      // site 200: both hom-alt → p = 1 → outside [.05,.95] → excluded
+      ("1", 200L, "A", "T", 0, "x", "1", "1", "hom-alt", "5", "5"),
+      ("1", 200L, "A", "T", 0, "y", "1", "1", "hom-alt", "0", "9"),
+      // site 300: clean hom-alt (no ref reads) at p = 1/2 → term 0
+      ("1", 300L, "A", "T", 0, "x", "1", "1", "hom-alt", "0", "10"),
+      ("1", 300L, "A", "T", 0, "y", "0", "0", "hom-ref", "9", "0"),
+      // site 400: zero total depth → call not evaluated
+      ("1", 400L, "A", "T", 0, "x", "1", "1", "hom-alt", "0", "0"),
+      ("1", 400L, "A", "T", 0, "y", "0", "1", "het-ref", "4", "4"))
+      .toDF(cols: _*)
+    val got = graft.operators.VariantQc.contaminationCharr(ann)
+      .select("sample_id", "n_sites", "charr_sum_micro", "charr_micro")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("x") === ((2L, 400000L, 200000L)))
+    // y has no evaluated hom-alt call at all → absent, not zero
+    assert(!got.contains("y"))
+  }
+
   test("hetAlleleBalanceByCalledAllele: multiallelic hets index the " +
       "CALLED allele's depth (1/2 and 0/2 sites); biallelic input is " +
       "identical to hetAlleleBalance") {
