@@ -232,27 +232,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
         Seq(math.cos(ang), math.sin(ang)))
     }.toDF("probe_id", "cand_id", "rel_micro", "cv")
     // results unchanged by the cuts: a depth where the pure chain is
-    // still cheap to optimize (the uncut k=32 chain takes MINUTES in
-    // the analyzer — which is exactly why the cuts exist)
+    // still CHEAP to analyze — the uncut chain's analyzer cost grows
+    // ~exponentially with k (k=12 uncut OOMed the shared-suite JVM;
+    // k≈32 is not analyzable in reasonable time — exactly why the
+    // cuts exist)
     def picks(k: Int, cutEvery: Int) =
       Similarity.mmrRerank(pool, k, 500000L, cutEvery = cutEvery)
         .orderBy("rnk").collect()
         .map(r => (r.getLong(1), r.getInt(2))).toSeq
-    val cut12 = picks(12, 4)
-    assert(cut12 === picks(12, 64)) // cutEvery > k → zero cuts
-    assert(cut12.length === 12)
-    // bounded growth: with cuts every 4 rounds a k=24 run's FINAL
-    // plan stacks only the rounds since the last cut — its optimized
-    // plan must not exceed a small multiple of a 4-round run's
-    // (without cuts it grows ~exponentially with k and a k=24 chain
-    // is not even analyzable in reasonable time)
+    val cut6 = picks(6, 2)
+    assert(cut6 === picks(6, 64)) // cutEvery > k → zero cuts
+    assert(cut6.length === 6)
+    // bounded growth: with cuts every 4 rounds a k=12 run's FINAL
+    // plan stacks only the rounds since the last cut — it must not
+    // exceed a small multiple of an uncut 4-round plan
     val plan4 = Similarity.mmrRerank(pool, k = 4, 500000L, cutEvery = 64)
       .queryExecution.optimizedPlan.toString.length
-    val plan24 = Similarity.mmrRerank(pool, k = 24, 500000L, cutEvery = 4)
-      .queryExecution.optimizedPlan.toString.length
-    assert(plan24 < plan4.toLong * 8,
-      s"lineage cut did not bound the deep plan: $plan24 vs 4-round $plan4")
-    assert(picks(24, 4).length === 24)
+    val deep = Similarity.mmrRerank(pool, k = 12, 500000L, cutEvery = 4)
+    val plan12 = deep.queryExecution.optimizedPlan.toString.length
+    assert(plan12 < plan4.toLong * 8,
+      s"lineage cut did not bound the deep plan: $plan12 vs 4-round $plan4")
+    assert(deep.count() === 12)
   }
 
   test("incrementalExact: cross-batch dups dropped, in-batch keep min id, replays collapse") {

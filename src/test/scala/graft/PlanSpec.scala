@@ -501,4 +501,53 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the call stream must not shuffle into the panel join:\n$p")
   }
+
+  test("q189 dsir: ONE corpus pass — model tables broadcast, no " +
+      "corpus-side sort-merge, top-n stays TakeOrdered") {
+    val q = SparkEntry.queries("q189_dsir_select")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"both models' unigram/bigram tables are capped — broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle into a model join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"gumbel-top-n must not global-sort:\n$p")
+  }
+
+  test("q188 charr: AF side and call side share ONE scan substrate " +
+      "via ReusedExchange; the sample rollup pre-reduces") {
+    val q = SparkEntry.queries("q188_contamination")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"the frequency join must reuse the call-frame exchange:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the per-sample mean must reduce map-side:\n$p")
+  }
+
+  test("q186 ranking metrics: co-keyed scoring join, partial-agg " +
+      "probe rollups, the qrels window only over the judgment side") {
+    val q = SparkEntry.queries("q186_rank_eval")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-probe aggregates must pre-reduce:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scoring must stay a co-keyed equi-join:\n$p")
+  }
+
+  test("q187 vocabulary drift: token join is a full-outer equi-join, " +
+      "totals broadcast back — never a per-group window") {
+    val q = SparkEntry.queries("q187_vocab_drift")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("FullOuter") || p.contains("SortMergeJoin"),
+      s"the vocabulary union must be a full-outer join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row totals must broadcast onto the token frame:\n$p")
+    assert(!p.contains("Window"),
+      s"per-group totals must NOT be a window (single-task funnel):\n$p")
+  }
 }
