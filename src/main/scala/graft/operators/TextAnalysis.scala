@@ -723,6 +723,76 @@ object TextAnalysis {
     (refu, refb, vrow)
   }
 
+  /** BPE TOKENIZER TRAINING — the full merge loop (Sennrich et al.
+    * 2016), closing the tokenizer family: [[bpePairCounts]] mines the
+    * FIRST merge's statistic, [[graft.expressions.StringExprs
+    * .bpeSegment]]/.bpeMergedCount APPLY a trained list — this TRAINS
+    * the list. The scalable published shape: the corpus collapses to
+    * a WORD HISTOGRAM in one pass (tokenizer training only needs
+    * per-word counts), and every merge round runs on that bounded
+    * table — count adjacent-symbol pairs weighted by word frequency,
+    * merge the most frequent (ties lexicographic), rewrite the
+    * symbol strings, repeat. Words carry the classic `</w>`
+    * end-of-word marker so merges can absorb word endings.
+    *
+    * Determinism: counts are exact int64, the per-round argmax is a
+    * (count desc, pair asc) total order, and the rewrite is
+    * non-overlapping left-to-right string replace — identical
+    * semantics in any engine. The returned (rank, lhs, rhs, merged,
+    * pair_count) rows feed [[graft.expressions.StringExprs
+    * .bpeSegment]] directly as its `(left, right)` merge list.
+    *
+    * Scale shape: ONE corpus pass (token explode + partial-agg word
+    * groupBy, capped to `maxWords` by TakeOrdered); each of the
+    * `nMerges` rounds is one pair-explode + partial-agg + top-1 over
+    * the ≤`maxWords`-row table, localCheckpointed per round so round
+    * r never replays rounds 1..r−1 (the k-means/pageRank loop
+    * posture). Driver round-trips are one 1-row collect per merge —
+    * the argmax IS the training state, exactly like centroids.
+    */
+  def bpeTrainMerges(
+      docs: DataFrame, nMerges: Int,
+      textCol: String = "text", maxWords: Int = 100000): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    val spark = docs.sparkSession
+    var w = toks(textCol, docs)
+      .select(explode(col("__w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(maxWords)
+      .select(col("word"), col("cnt"),
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "),
+          lit("</w> ")).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val top = w
+        .select(explode(wordNgrams(split(trim(col("syms")), " "), 2))
+          .as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair").asc).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        val c = top(0).getLong(1)
+        val Array(l, rr) = pair.split(" ", 2)
+        val merged = l + rr
+        merges += ((r + 1, l, rr, merged, c))
+        w = w.withColumn("syms",
+            call_function("replace", col("syms"),
+              lit(" " + pair + " "), lit(" " + merged + " ")))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Third mixing multiplier for the DSIR Gumbel draw (Marsaglia 1972's
     * 69069 — a public LCG constant distinct from every other chain in
     * [[graft.operators.Sampling]]/[[graft.operators.Privacy]]). */

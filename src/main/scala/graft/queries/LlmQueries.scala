@@ -4904,6 +4904,61 @@ object LlmQueries extends QuerySet {
       FROM gm ORDER BY key_micro DESC, doc_id LIMIT 50
     """))
 
+  /** BPE TOKENIZER TRAINING ([[graft.operators.TextAnalysis
+    * .bpeTrainMerges]], Sennrich et al. 2016 — the full merge loop
+    * closing the tokenizer family: q140 mines the first merge's
+    * statistic, q142 APPLIES a trained list, this TRAINS one): corpus
+    * → word histogram in ONE pass (capped top-2000 by frequency),
+    * then 6 merge rounds over the bounded symbol table —
+    * frequency-weighted adjacent-pair counts, (count desc, pair asc)
+    * argmax, non-overlapping left-to-right rewrite, `</w>` end
+    * markers. DuckDB replays the whole walk UNROLLED (the q183
+    * posture): per round the pair explode, the weighted count, the
+    * argmax, and the rewrite — a wrong tie-break, weight, or rewrite
+    * order changes some round's merge and hash-mismatches.
+    */
+  private lazy val q190 = {
+    def round(i: Int) = s"""
+      pr$i AS (SELECT unnest(list_transform(range(1, CAST(len(sy) AS INT)),
+                 j -> sy[CAST(j AS INT)] || ' ' || sy[CAST(j AS INT) + 1]))
+                 AS pair, cnt
+               FROM (SELECT string_split(trim(syms), ' ') AS sy, cnt
+                     FROM w${i - 1})),
+      t$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM pr$i
+              GROUP BY 1 ORDER BY c DESC, pair LIMIT 1),
+      w$i AS (SELECT word, cnt,
+                replace(syms, ' ' || t$i.pair || ' ',
+                  ' ' || replace(t$i.pair, ' ', '') || ' ') AS syms
+              FROM w${i - 1}, t$i)"""
+    Q(
+      "q190_bpe_train",
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+        TextAnalysis.bpeTrainMerges(docs, nMerges = 6, maxWords = 2000)
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH toks AS (SELECT unnest(string_split_regex(trim(lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'))), '\\s+')) AS w
+               FROM documents WHERE length(trim(text)) > 0),
+        wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY 1
+               ORDER BY cnt DESC, word LIMIT 2000),
+        w0 AS (SELECT word, cnt,
+                 ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> '
+                   AS syms
+               FROM wc),
+        ${(1 to 6).map(round).mkString(",")}
+        ${(1 to 6).map(i =>
+          s"""SELECT $i AS rank, string_split(pair, ' ')[1] AS lhs,
+               string_split(pair, ' ')[2] AS rhs,
+               replace(pair, ' ', '') AS merged, c AS pair_count
+             FROM t$i""").mkString("\n        UNION ALL\n        ")}
+        ORDER BY rank
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4912,5 +4967,5 @@ object LlmQueries extends QuerySet {
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
-      q180, q182, q183, q186, q187, q189)
+      q180, q182, q183, q186, q187, q189, q190)
 }

@@ -563,6 +563,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bpeTrainMerges: the Sennrich merge walk replays by hand — " +
+      "frequency-weighted pairs, lexicographic ties, </w> absorption, " +
+      "early stop when no pairs remain") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // words: low ×3, lower ×1
+    val docs = Seq(1L -> "low low low lower").toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, nMerges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // round 1: "l o" and "o w" both count 4 → lexicographic tie →
+    // "l o"; round 2: "lo w" (4); round 3: "low </w>" (3)
+    assert(got === Seq(
+      (1, "l", "o", "lo", 4L),
+      (2, "lo", "w", "low", 4L),
+      (3, "low", "</w>", "low</w>", 3L)))
+    // early stop: a fully-merged vocabulary ends training before
+    // nMerges. Tie detail: "a </w>" sorts BEFORE "a a" ('<' < 'a'),
+    // so the end-marker pair merges first
+    val tiny = Seq(1L -> "aa aa").toDF("doc_id", "text")
+    val short = TextAnalysis.bpeTrainMerges(tiny, nMerges = 50)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(short === Seq(
+      (1, "a", "</w>", "a</w>", 2L),
+      (2, "a", "a</w>", "aa</w>", 2L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainMerges(docs, nMerges = 0)
+    }
+  }
+
   test("dsirSelect: log-likelihood-ratio importance + deterministic " +
       "Gumbel top-n replay by hand; same seed same set, different " +
       "seed may differ; target-like docs outrank raw-like ones") {
