@@ -289,4 +289,153 @@ object Consequence {
         .when(isIns, when(insCoding, insCons).otherwise(spliceCons))
         .otherwise(when(delCoding, delCons).otherwise(spliceCons)))
   }
+
+  /** EXON-RESOLVED SNP consequence calling — real multi-exon gene
+    * models (the transcript structure `bcftools csq`/VEP actually
+    * consume): a coding sequence split across exons, with INTRONS
+    * between them, codons that SPAN exon junctions, and splice sites
+    * at EVERY internal exon edge. [[snpConsequence]]/[[csq]]'s
+    * single-interval model is the one-exon special case; this is the
+    * general arithmetic.
+    *
+    * Input `exons`: one row per CDS exon — (gene, chrom, strand,
+    * exon_start, exon_end), 1-based inclusive, genome order; the
+    * concatenated exon lengths should be a multiple of 3. Coordinates
+    * work in "c-space" — the 0-based index of a genome position
+    * within the CDS read in GENOME order (c = cum_before_exon +
+    * (pos − exon_start)); the transcript offset is then o = c on '+'
+    * and o = total−1−c on '−', so ONE exon-lookup function serves
+    * both strands: each of a codon's three transcript offsets maps
+    * back through c-space to a genome position (possibly in a
+    * DIFFERENT exon — junction-spanning codons fall out of the same
+    * arithmetic), reads its base from the genome string, and '−'
+    * complements per base before assembling the transcript-order
+    * codon.
+    *
+    * Classification: coding SNPs get the [[snpConsequence]] ladder
+    * (synonymous/missense/stop_gained/stop_lost, `unresolved` for
+    * untranslatable codons); positions between exons of a gene are
+    * `intron`, refined to strand-aware `splice_donor`/
+    * `splice_acceptor` (1–2 bases from the nearest exon edge) and
+    * `splice_region` (3–`flank`); gene-span flanks use the same edge
+    * windows; everything else `intergenic`; non-SNVs pass through as
+    * `non_snv`. Nearest-edge ties (exactly mid-intron) resolve to the
+    * downstream exon's start side — deterministic, documented.
+    *
+    * Scale shape: the exon model aggregates to ONE row per gene
+    * (sorted exon array with precomputed cumulative offsets — a
+    * parameter-small broadcast), the range join is the [[csq]]
+    * broadcast, and the per-site work is a narrow projection whose
+    * only non-codegen pieces are higher-order lookups over the
+    * per-gene exon array (tens of entries — bounded per row, nothing
+    * like the §8 nested-HOF-over-corpus trap). Zero corpus-side
+    * shuffles.
+    */
+  def snpConsequenceExons(
+      sites: DataFrame, exons: DataFrame, genome: Map[String, String],
+      flank: Int = 8): DataFrame = {
+    require(flank >= 2, s"flank must be >= 2 (donor window), got $flank")
+    val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
+    val code = typedLit(GeneticCode)
+    // gene-level model: sorted exon array with cumulative c-offsets
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("gene").orderBy("exon_start")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val geneModel = exons
+      .withColumn("__len", col("exon_end") - col("exon_start") + 1L)
+      .withColumn("__cum", coalesce(sum(col("__len")).over(w), lit(0L)))
+      .groupBy(col("gene"), col("chrom").as("__gchrom"), col("strand"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("exon_start").as("s"), col("exon_end").as("e"),
+          col("__cum").as("cum")))).as("__ex"),
+        sum(col("__len")).as("__total"),
+        min(col("exon_start")).as("__gs"),
+        max(col("exon_end")).as("__ge"))
+    val F = lit(flank.toLong)
+    val joined = sites.join(
+      broadcast(geneModel),
+      sites("chrom") === col("__gchrom") &&
+        col("pos").between(col("__gs") - F, col("__ge") + F),
+      "left").drop("__gchrom")
+    val isSnp = length(col("ref")) === 1 && length(col("alt")) === 1
+    val gstr = element_at(gmap, col("chrom"))
+    val plus = col("strand") === "+"
+    val ex = col("__ex")
+    // containing exon (null outside), and c-space position
+    val inEx = try_element_at(
+      filter(ex, x => col("pos") >= x.getField("s") &&
+        col("pos") <= x.getField("e")), lit(1))
+    val c = inEx.getField("cum") + (col("pos") - inEx.getField("s"))
+    val o = when(plus, c).otherwise(col("__total") - 1L - c)
+    val ci = (o - pmod(o, lit(3L))) / 3L
+    val ph = pmod(o, lit(3L))
+    // transcript offset t (0-based) → genome base, transcript-oriented
+    def baseAt(t: Column): Column = {
+      val cT = when(plus, t).otherwise(col("__total") - 1L - t)
+      val xe = try_element_at(
+        filter(ex, x => cT >= x.getField("cum") &&
+          cT < x.getField("cum") + (x.getField("e") - x.getField("s") + 1L)),
+        lit(1))
+      val g = xe.getField("s") + (cT - xe.getField("cum"))
+      val b = gstr.substr(g.cast("int"), lit(1))
+      when(plus, b).otherwise(translate(b, "ACGT", "TGCA"))
+    }
+    val t0 = lit(3L) * ci.cast("long")
+    val b0 = baseAt(t0)
+    val b1 = baseAt(t0 + 1L)
+    val b2 = baseAt(t0 + 2L)
+    val refCodon = concat(b0, b1, b2)
+    val altBase = when(plus, col("alt")).otherwise(
+      translate(col("alt"), "ACGT", "TGCA"))
+    val altCodon = concat(
+      when(ph === 0L, altBase).otherwise(b0),
+      when(ph === 1L, altBase).otherwise(b1),
+      when(ph === 2L, altBase).otherwise(b2))
+    val aaRef = element_at(code, refCodon)
+    val aaAlt = element_at(code, altCodon)
+    val snpCons = when(aaRef.isNull || aaAlt.isNull, lit("unresolved"))
+      .when(aaRef === aaAlt, lit("synonymous"))
+      .when(aaAlt === "*", lit("stop_gained"))
+      .when(aaRef === "*", lit("stop_lost"))
+      .otherwise(lit("missense"))
+    // nearest exon edge: min over (distance, side) structs — side 0 =
+    // upstream-of-exon-start, 1 = downstream-of-exon-end; equal-dist
+    // ties pick side 0 (the downstream exon's start), deterministic
+    // edges not FACING pos (it lies on/inside/past them) must not win
+    // the min — clamp their distance to a +inf sentinel
+    def facing(d: Column): Column =
+      when(d > 0L, d).otherwise(lit(Long.MaxValue))
+    val edge = array_min(flatten(transform(ex, x => array(
+      struct(facing(x.getField("s") - col("pos")).as("d"),
+        lit(0).as("side")),
+      struct(facing(col("pos") - x.getField("e")).as("d"),
+        lit(1).as("side"))))))
+    val eDist = edge.getField("d")
+    val eSide = edge.getField("side")
+    val donorSide = (plus && eSide === 1) || (!plus && eSide === 0)
+    val spliceCons = when(eDist.between(1L, 2L),
+        when(donorSide, lit("splice_donor")).otherwise(lit("splice_acceptor")))
+      .when(eDist.between(3L, F), lit("splice_region"))
+      .when(col("pos").between(col("__gs"), col("__ge")), lit("intron"))
+      .otherwise(lit("intergenic"))
+    joined
+      .withColumn("codon_index",
+        when(col("gene").isNotNull && isSnp && inEx.isNotNull,
+          ci.cast("long")))
+      .withColumn("ref_codon",
+        when(col("gene").isNotNull && isSnp && inEx.isNotNull, refCodon))
+      .withColumn("alt_codon",
+        when(col("gene").isNotNull && isSnp && inEx.isNotNull, altCodon))
+      .withColumn("aa_ref",
+        when(col("gene").isNotNull && isSnp && inEx.isNotNull, aaRef))
+      .withColumn("aa_alt",
+        when(col("gene").isNotNull && isSnp && inEx.isNotNull, aaAlt))
+      .withColumn("consequence",
+        when(!isSnp, lit("non_snv"))
+          .when(col("gene").isNull, lit("intergenic"))
+          .when(inEx.isNotNull, snpCons)
+          .otherwise(spliceCons))
+      .drop("__ex", "__total", "__gs", "__ge")
+  }
 }

@@ -2924,6 +2924,158 @@ object VcfQueries extends QuerySet {
       """))
   }
 
+  /** EXON-RESOLVED consequence calling ([[graft.operators.Consequence
+    * .snpConsequenceExons]] — real multi-exon transcripts: introns,
+    * junction-SPANNING codons, splice sites at every internal exon
+    * edge): ten 3-exon genes (lens 100/50/150 — codon phase crosses
+    * BOTH junctions) on the q164 formula genome, strands alternating.
+    * The operator computes codons generically through per-gene exon
+    * arrays (c-space offsets + higher-order exon lookups); DuckDB
+    * replays the SAME biology through the fixture's CLOSED-FORM
+    * geometry (piecewise CASE offset maps — an independent spelling,
+    * no list ops), translating via the 64-char codon table. A wrong
+    * cumulative offset, strand flip, junction mapping, or edge
+    * attribution changes codons or labels and hash-mismatches.
+    */
+  private val q191 = {
+    def b(x: String) =
+      s"substr('ACGT', CAST((($x) * 2654435761 % 1000000007) % 4 AS INT) + 1, 1)"
+    def aa(c: String) =
+      s"""substr('KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF',
+            16 * (strpos('ACGT', substr($c, 1, 1)) - 1)
+              + 4 * (strpos('ACGT', substr($c, 2, 1)) - 1)
+              + (strpos('ACGT', substr($c, 3, 1)) - 1) + 1, 1)"""
+    // transcript offset expr → genome position through the fixed
+    // (100, 50, 150) exon geometry in c-space
+    def gpos(cb: String) =
+      s"""CASE WHEN ($cb) < 100 THEN cs + ($cb)
+           WHEN ($cb) < 150 THEN cs + 1000 + ($cb) - 100
+           ELSE cs + 2000 + ($cb) - 150 END"""
+    def tbase(i: Int) = s"""
+      , CASE WHEN strand = '+' THEN ${b(s"gp$i")}
+             ELSE translate(${b(s"gp$i")}, 'ACGT', 'TGCA') END AS tb$i"""
+    Q(
+      "q191_csq_exons",
+      (s, dir) => {
+        import graft.operators.Consequence
+        val len = 61100
+        val sb = new StringBuilder(len)
+        (1 to len).foreach { p =>
+          sb.append("ACGT".charAt(
+            ((p.toLong * 2654435761L % 1000000007L) % 4L).toInt))
+        }
+        val genome = Map("1" -> sb.toString)
+        import s.implicits._
+        val exons = (0 until 10).flatMap { i =>
+          val cs = 1000L + i * 6000L
+          val st = if (i % 2 == 0) "+" else "-"
+          Seq((s"g$i", "1", st, cs, cs + 99L),
+            (s"g$i", "1", st, cs + 1000L, cs + 1049L),
+            (s"g$i", "1", st, cs + 2000L, cs + 2149L))
+        }.toDF("gene", "chrom", "strand", "exon_start", "exon_end")
+        val sites = QueryUtil.t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("k",
+            "CAST(1000 + 6000 * ((k DIV 2300) % 10) + (k % 2300) - 60 AS BIGINT) AS pos")
+          .selectExpr("k", "'1' AS chrom", "pos",
+            b("pos") + " AS ref",
+            s"""substr('ACGT',
+              CAST((CAST((pos * 2654435761 % 1000000007) % 4 AS INT)
+                + 1 + k % 3) % 4 AS INT) + 1, 1) AS alt""")
+        Consequence.snpConsequenceExons(sites, exons, genome)
+          .select(col("k"), col("pos"), col("ref"), col("alt"), col("gene"),
+            col("ref_codon"), col("alt_codon"), col("consequence"))
+          .orderBy("k")
+      },
+      Some(s"""
+        WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        s0 AS (SELECT k, (k // 2300) % 10 AS g, (k % 2300) - 60 AS off
+               FROM ln),
+        s1 AS (SELECT k, off,
+                 CAST(1000 + 6000 * g AS BIGINT) AS cs,
+                 CAST(1000 + 6000 * g + off AS BIGINT) AS pos,
+                 CASE WHEN g % 2 = 0 THEN '+' ELSE '-' END AS strand,
+                 'g' || CAST(g AS VARCHAR) AS gname
+               FROM s0),
+        v AS (SELECT *, ${b("pos")} AS ref,
+                substr('ACGT',
+                  CAST((CAST((pos * 2654435761 % 1000000007) % 4 AS INT)
+                    + 1 + k % 3) % 4 AS INT) + 1, 1) AS alt,
+                (off BETWEEN -8 AND 2157) AS hit,
+                CASE WHEN off BETWEEN 0 AND 99 THEN off
+                     WHEN off BETWEEN 1000 AND 1049 THEN 100 + off - 1000
+                     WHEN off BETWEEN 2000 AND 2149 THEN 150 + off - 2000
+                END AS c
+              FROM s1),
+        -- coding: codon walk through the closed-form exon map
+        cw AS (SELECT *, (o // 3) AS ci, o % 3 AS ph
+               FROM (SELECT *,
+                       CASE WHEN strand = '+' THEN c ELSE 299 - c END AS o
+                     FROM v WHERE hit AND c IS NOT NULL) x),
+        cg AS (SELECT *,
+                 ${gpos("CASE WHEN strand = '+' THEN 3 * ci ELSE 299 - 3 * ci END")} AS gp0,
+                 ${gpos("CASE WHEN strand = '+' THEN 3 * ci + 1 ELSE 299 - (3 * ci + 1) END")} AS gp1,
+                 ${gpos("CASE WHEN strand = '+' THEN 3 * ci + 2 ELSE 299 - (3 * ci + 2) END")} AS gp2
+               FROM cw),
+        cb AS (SELECT * ${tbase(0)} ${tbase(1)} ${tbase(2)},
+                 CASE WHEN strand = '+' THEN alt
+                      ELSE translate(alt, 'ACGT', 'TGCA') END AS altb
+               FROM cg),
+        cc AS (SELECT k, pos, ref, alt, gname, tb0 || tb1 || tb2 AS rcod,
+                 CASE ph WHEN 0 THEN altb || tb1 || tb2
+                         WHEN 1 THEN tb0 || altb || tb2
+                         ELSE tb0 || tb1 || altb END AS acod
+               FROM cb),
+        ca AS (SELECT k, pos, ref, alt, gname, rcod, acod,
+                 ${aa("rcod")} AS aar, ${aa("acod")} AS aaa
+               FROM cc),
+        codr AS (SELECT k, pos, ref, alt, gname AS gene, rcod AS ref_codon,
+                 acod AS alt_codon,
+                 CASE WHEN aar = aaa THEN 'synonymous'
+                      WHEN aaa = '*' THEN 'stop_gained'
+                      WHEN aar = '*' THEN 'stop_lost'
+                      ELSE 'missense' END AS consequence
+               FROM ca),
+        -- non-coding hit rows: nearest facing exon edge → splice
+        -- ladder, else intron (ties impossible: region widths are odd)
+        sp AS (SELECT *,
+                CASE WHEN off < 0 THEN -off
+                     WHEN off BETWEEN 100 AND 999 THEN
+                       least(off - 99, 1000 - off)
+                     WHEN off BETWEEN 1050 AND 1999 THEN
+                       least(off - 1049, 2000 - off)
+                     ELSE off - 2149 END AS d,
+                CASE WHEN off < 0 THEN 0
+                     WHEN off BETWEEN 100 AND 999 THEN
+                       CASE WHEN off - 99 < 1000 - off THEN 1 ELSE 0 END
+                     WHEN off BETWEEN 1050 AND 1999 THEN
+                       CASE WHEN off - 1049 < 2000 - off THEN 1 ELSE 0 END
+                     ELSE 1 END AS side
+              FROM v WHERE hit AND c IS NULL),
+        splr AS (SELECT k, pos, ref, alt, gname AS gene,
+                 CAST(NULL AS VARCHAR) AS ref_codon,
+                 CAST(NULL AS VARCHAR) AS alt_codon,
+                 CASE WHEN d BETWEEN 1 AND 2 THEN
+                        CASE WHEN (strand = '+' AND side = 1)
+                               OR (strand = '-' AND side = 0)
+                             THEN 'splice_donor' ELSE 'splice_acceptor' END
+                      WHEN d BETWEEN 3 AND 8 THEN 'splice_region'
+                      WHEN off BETWEEN 0 AND 2149 THEN 'intron'
+                      ELSE 'intergenic' END AS consequence
+               FROM sp),
+        nor AS (SELECT k, pos, ref, alt, CAST(NULL AS VARCHAR) AS gene,
+                 CAST(NULL AS VARCHAR) AS ref_codon,
+                 CAST(NULL AS VARCHAR) AS alt_codon,
+                 'intergenic' AS consequence
+               FROM v WHERE NOT hit)
+        SELECT k, pos, ref, alt, gene, ref_codon, alt_codon, consequence
+        FROM (SELECT * FROM codr UNION ALL SELECT * FROM splr
+              UNION ALL SELECT * FROM nor) r
+        ORDER BY k
+      """))
+  }
+
   /** PER-SAMPLE CONTAMINATION — the CHARR estimator
     * ([[graft.operators.VariantQc.contaminationCharr]], Lu et al.
     * 2023; Hail/gnomAD's VerifyBamID-free check): REF reads at
@@ -2979,5 +3131,5 @@ object VcfQueries extends QuerySet {
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
-      q188)
+      q188, q191)
 }

@@ -214,6 +214,119 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
     b.foreach { case (k, v) => assert(a(k) === v, s"at $k") }
   }
 
+  // ---- snpConsequenceExons: multi-exon transcripts ----
+
+  /** Two-exon genes with a codon SPANNING the junction:
+    *  - gX '+' chrom 1, exons [3,7] + [12,18] (lens 5+7 = 12):
+    *    transcript ATG GCT TGT TAA, codon 1 (GCT) = genome 6,7 | 12.
+    *  - gY '−' chrom 2, exons [3,7] + [12,18]: same transcript via
+    *    per-base complement read right-to-left; codon 1 = 15,14,13.
+    *  - gZ '+' chrom 3, exons [3,5] + [30,38]: long intron for the
+    *    intron/splice ladder.
+    */
+  private val exGenome = Map(
+    "1" -> "GGATGGCCCCCTTGTTAAGG",
+    "2" -> "GGTTAACGGGGAAGCCATGG",
+    "3" -> ("GG" + "AAA" + "A" * 24 + "AAAAAAAAA" + "AA"))
+
+  private lazy val exModel = {
+    import spark.implicits._
+    Seq(
+      ("gX", "1", "+", 3L, 7L), ("gX", "1", "+", 12L, 18L),
+      ("gY", "2", "-", 3L, 7L), ("gY", "2", "-", 12L, 18L),
+      ("gZ", "3", "+", 3L, 5L), ("gZ", "3", "+", 30L, 38L))
+      .toDF("gene", "chrom", "strand", "exon_start", "exon_end")
+  }
+
+  private def callEx(rows: (String, Long, String, String)*) = {
+    import spark.implicits._
+    val sites = rows.toSeq.toDF("chrom", "pos", "ref", "alt")
+    Consequence.snpConsequenceExons(sites, exModel, exGenome)
+      .select("chrom", "pos", "gene", "codon_index", "ref_codon",
+        "alt_codon", "aa_ref", "aa_alt", "consequence")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.getString(2)).orNull,
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          Option(r.getString(4)).orNull, Option(r.getString(5)).orNull,
+          r.getString(8))))
+      .toMap
+  }
+
+  test("snpConsequenceExons: junction-spanning codons assemble from " +
+      "both exons, plus strand") {
+    val got = callEx(
+      ("1", 7L, "C", "G"),   // codon 1 GCT, middle base in exon 1 →
+                             // G(6) G(sub) T(12): GGT missense
+      ("1", 12L, "T", "A"),  // same codon, base 3 in exon 2 → GCA:
+                             // Ala = Ala → synonymous
+      ("1", 6L, "G", "A"),   // codon 1 first base → ACT missense
+      ("1", 15L, "T", "A"))  // exon 2 interior: c=8, o=8, codon 2
+                             // (TGT) phase 2 → TGA stop_gained
+    assert(got(("1", 7L)) === (("gX", 1L, "GCT", "GGT", "missense")))
+    assert(got(("1", 12L)) === (("gX", 1L, "GCT", "GCA", "synonymous")))
+    assert(got(("1", 6L)) === (("gX", 1L, "GCT", "ACT", "missense")))
+    assert(got(("1", 15L)) === (("gX", 2L, "TGT", "TGA", "stop_gained")))
+  }
+
+  test("snpConsequenceExons: minus strand reads exons right-to-left " +
+      "with per-base complement; junction codon spans backwards") {
+    val got = callEx(
+      ("2", 15L, "C", "G"),  // gY codon 1 = comp(g15,g14,g13) = GCT;
+                             // phase 0 sub comp(G)=C → CCT missense
+      ("2", 18L, "T", "A"))  // o=0: codon 0 = ATG; alt comp(A)=T at
+                             // phase 0 → TTG: M→L missense (start
+                             // disruption reads missense here — the
+                             // ladder has no start_lost for SNPs)
+    assert(got(("2", 15L)) === (("gY", 1L, "GCT", "CCT", "missense")))
+    assert(got(("2", 18L)) === (("gY", 0L, "ATG", "TTG", "missense")))
+  }
+
+  test("snpConsequenceExons: intron / per-edge splice ladder / " +
+      "intergenic / non_snv") {
+    val got = callEx(
+      ("1", 8L, "C", "A"),   // 1 past exon-1 end → '+' donor
+      ("1", 10L, "C", "A"),  // 2 before exon-2 start → acceptor
+      ("1", 9L, "C", "A"),   // 2 past exon-1 end (vs 3 to exon 2) →
+                             // donor
+      ("3", 15L, "A", "C"),  // deep intron of gZ: 10 and 15 from the
+                             // edges → intron
+      ("3", 25L, "A", "C"),  // 5 before exon-2 start → splice_region
+      ("2", 10L, "G", "C"),  // gY intron, 2 before exon-2 start: '−'
+                             // upstream-of-start = DONOR side
+      ("9", 5L, "A", "C"),   // no gene on chrom 9 → intergenic
+      ("1", 5L, "GA", "G"))  // non-SNV passthrough
+    assert(got(("1", 8L))._5 === "splice_donor")
+    assert(got(("1", 10L))._5 === "splice_acceptor")
+    assert(got(("1", 9L))._5 === "splice_donor")
+    assert(got(("3", 15L))._5 === "intron")
+    assert(got(("3", 25L))._5 === "splice_region")
+    assert(got(("2", 10L))._5 === "splice_donor")
+    assert(got(("9", 5L))._5 === "intergenic")
+    assert(got(("1", 5L))._5 === "non_snv")
+  }
+
+  test("snpConsequenceExons: a single-exon model reproduces " +
+      "snpConsequence bit-for-bit on coding SNPs") {
+    import spark.implicits._
+    val oneEx = Seq(("gP", "1", "+", 3L, 14L), ("gM", "1", "-", 15L, 23L))
+      .toDF("gene", "chrom", "strand", "exon_start", "exon_end")
+    val sites = (3L to 23L).map(p => ("1", p, "A", "G"))
+      .toDF("chrom", "pos", "ref", "alt")
+    val a = Consequence.snpConsequenceExons(sites, oneEx, genome)
+      .filter(col("aa_ref").isNotNull)
+      .select("pos", "gene", "ref_codon", "alt_codon", "consequence")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+    val b = Consequence.snpConsequence(sites, cds, genome)
+      .filter(col("aa_ref").isNotNull)
+      .select("pos", "gene", "ref_codon", "alt_codon", "consequence")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("plan: CDS joins by broadcast, no corpus-side shuffle") {
     import spark.implicits._
     val sites = spark.range(100).select(lit("1").as("chrom"),
