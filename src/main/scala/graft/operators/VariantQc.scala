@@ -942,11 +942,24 @@ object VariantQc {
     * well-defined on malformed merges (normalize upstream for real
     * callsets; [[graft.sources.VcfReader.mergeCohort]] refuses them).
     */
+  /** @param withDprime additionally emit `dprime_micro` — the
+    *   COMPOSITE D' (Weir 1996's phasing-free composite
+    *   disequilibrium, the unphased-genotype statistic plink reports
+    *   next to r²): Δ̂ = cov(X,Y)/(2n²) in allele-frequency units over
+    *   the co-called subset, normalized by the allelic bound
+    *   D'max = min(p_A·q_B, q_A·p_B) for Δ̂>0 / min(p_A·p_B, q_A·q_B)
+    *   for Δ̂<0 — which reduces to ONE exact signed FLOOR division of
+    *   int64 cross-products: 2·cov·10⁶ / min-term (the pmod-adjusted
+    *   spelling; signed, zero when either site is monomorphic in the
+    *   subset; composite D' may exceed |1| under HWE departure —
+    *   reported raw, as plink does). Default off keeps the q111/q117
+    *   plans and hashes byte-identical. */
   def ldR2Pairs(
       ann: DataFrame,
       maxDist: Int,
       sampleCol: String = "sample_id",
-      decimalLift: Boolean = false): DataFrame = {
+      decimalLift: Boolean = false,
+      withDprime: Boolean = false): DataFrame = {
     require(maxDist > 0, s"maxDist must be positive, got $maxDist")
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
     val g = ann
@@ -1010,7 +1023,7 @@ object VariantQc {
       } else
         floor((cov * cov).cast("double") / (va * vb).cast("double")
           * lit(1000000.0)).cast("long")
-    pairs.select(
+    val base = pairs.select(
         col("chrom"), col("pos_a"), col("ref_a"), col("alt_a"),
         col("pos_b"), col("ref_b"), col("alt_b"),
         n.as("n"),
@@ -1018,6 +1031,25 @@ object VariantQc {
       // a pair with NO co-called sample carries no evidence — plink
       // drops it, and so did the join-based formulation structurally
       .filter(col("n") > 0L)
+    if (!withDprime) base
+    else {
+      val twoN = lit(2L) * n
+      val dmax = when(cov > 0L, least(sx * (twoN - sy), (twoN - sx) * sy))
+        .otherwise(least(sx * sy, (twoN - sx) * (twoN - sy)))
+      pairs.select(
+          col("chrom"), col("pos_a"), col("ref_a"), col("alt_a"),
+          col("pos_b"), col("ref_b"), col("alt_b"),
+          n.as("n"),
+          when(va === 0L || vb === 0L, 0L).otherwise(r2).as("r2_micro"),
+          cov.as("__cov"), dmax.as("__dmax"))
+        .filter(col("n") > 0L)
+        .withColumn("dprime_micro",
+          when(col("__cov") === 0L || col("__dmax") === 0L, 0L)
+            .otherwise(expr(
+              "(2 * __cov * 1000000 - pmod(2 * __cov * 1000000, __dmax)) " +
+                "DIV __dmax")))
+        .drop("__cov", "__dmax")
+    }
   }
 
   /** LD PRUNING (`plink --indep-pairwise` analogue with an ORDER-FREE

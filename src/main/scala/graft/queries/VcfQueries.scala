@@ -3076,6 +3076,91 @@ object VcfQueries extends QuerySet {
       """))
   }
 
+  /** COMPOSITE D' LD decay ([[graft.operators.VariantQc.ldR2Pairs]]
+    * `withDprime` — Weir 1996's phasing-free composite
+    * disequilibrium, plink's unphased companion statistic to q111's
+    * r²): same bucket-equi-join pair substrate and per-pair dosage
+    * sums, plus the signed FLOOR division 2·cov·10⁶ / D'max with the
+    * branch-selected allelic bound. Binned rollup as q111 so the
+    * gate pins sums AND the positive/negative split. DuckDB replays
+    * the pair chain and both dmax branches with the pmod-adjusted
+    * exact floor.
+    */
+  private val q192 = Q(
+    "q192_ld_dprime",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc
+        .ldR2Pairs(ann, maxDist = 1000, withDprime = true)
+        .groupBy(col("chrom"),
+          expr("(pos_b - pos_a) div 100").as("dist_bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("r2_micro")).as("r2_sum_micro"),
+          sum(col("dprime_micro")).as("dprime_sum_micro"),
+          sum(when(col("dprime_micro") > 0L, 1L).otherwise(0L))
+            .as("n_pos"))
+        .orderBy("chrom", "dist_bin")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      g AS MATERIALIZED (SELECT chrom, pos, ref, alt, sample_id AS s,
+              min(CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT)) AS d
+            FROM bc GROUP BY 1, 2, 3, 4, 5),
+      sites AS (SELECT DISTINCT chrom, pos, ref, alt FROM g),
+      pr AS (SELECT a.chrom, a.pos AS pos_a, a.ref AS ref_a, a.alt AS alt_a,
+               b.pos AS pos_b, b.ref AS ref_b, b.alt AS alt_b
+             FROM sites a JOIN sites b
+               ON a.chrom = b.chrom
+              AND b.pos - a.pos <= 1000
+              AND (a.pos, a.ref, a.alt) < (b.pos, b.ref, b.alt)),
+      j1 AS MATERIALIZED (
+            SELECT p.chrom, p.pos_a, p.ref_a, p.alt_a,
+               p.pos_b, p.ref_b, p.alt_b, ga.s, ga.d AS x
+            FROM pr p
+            JOIN g ga ON ga.chrom = p.chrom AND ga.pos = p.pos_a
+                     AND ga.ref = p.ref_a AND ga.alt = p.alt_a),
+      j AS (SELECT j1.chrom, j1.pos_a, j1.ref_a, j1.alt_a,
+               j1.pos_b, j1.ref_b, j1.alt_b, j1.x, gb.d AS y
+            FROM j1
+            JOIN g gb ON gb.chrom = j1.chrom AND gb.pos = j1.pos_b
+                     AND gb.ref = j1.ref_b AND gb.alt = j1.alt_b
+                     AND gb.s = j1.s),
+      ag AS (SELECT chrom, pos_a, ref_a, alt_a, pos_b, ref_b, alt_b,
+               count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+             FROM j GROUP BY 1, 2, 3, 4, 5, 6, 7),
+      r AS (SELECT chrom, (pos_b - pos_a) // 100 AS dist_bin,
+              CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0
+                   ELSE CAST(floor(
+                     CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                     / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+                     * 1000000.0) AS BIGINT) END AS r2m,
+              n * sxy - sx * sy AS cov,
+              CASE WHEN n * sxy - sx * sy > 0
+                   THEN least(sx * (2 * n - sy), (2 * n - sx) * sy)
+                   ELSE least(sx * sy, (2 * n - sx) * (2 * n - sy))
+              END AS dmax
+            FROM ag),
+      r2 AS (SELECT chrom, dist_bin, r2m,
+              CASE WHEN cov = 0 OR dmax = 0 THEN 0
+                   ELSE (2 * cov * 1000000
+                     - ((2 * cov * 1000000 % dmax + dmax) % dmax)) // dmax
+              END AS dpm
+             FROM r)
+      SELECT chrom, dist_bin, count(*) AS n_pairs,
+             CAST(sum(r2m) AS BIGINT) AS r2_sum_micro,
+             CAST(sum(dpm) AS BIGINT) AS dprime_sum_micro,
+             CAST(sum(CASE WHEN dpm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM r2 GROUP BY 1, 2 ORDER BY chrom, dist_bin
+    """))
+
   /** PER-SAMPLE CONTAMINATION — the CHARR estimator
     * ([[graft.operators.VariantQc.contaminationCharr]], Lu et al.
     * 2023; Hail/gnomAD's VerifyBamID-free check): REF reads at
@@ -3131,5 +3216,5 @@ object VcfQueries extends QuerySet {
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
-      q188, q191)
+      q188, q191, q192)
 }

@@ -825,6 +825,38 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(a1 === a2)
   }
 
+  test("ldR2Pairs withDprime: composite D' replays by hand — signed " +
+      "FLOOR, both dmax branches, >1e6 without HWE, default path " +
+      "unchanged") {
+    import spark.implicits._
+    def gt(d: Int) = d match {
+      case 2 => ("1", "1"); case 1 => ("0", "1"); case _ => ("0", "0") }
+    def site(pos: Long, ds: Seq[Int]) = ds.zipWithIndex.map { case (d, i) =>
+      val (g1, g2) = gt(d); ("1", pos, "A", "T", 0, s"s$i", g1, g2) }
+    val cols = Seq("chrom", "pos", "ref", "alt", "multiallele",
+      "sample_id", "gt1", "gt2")
+    // x=(2,1,0) at 100; y=x at 150 (perfect +); z=reverse at 200
+    val ann = (site(100L, Seq(2, 1, 0)) ++ site(150L, Seq(2, 1, 0)) ++
+      site(200L, Seq(0, 1, 2))).toDF(cols: _*)
+    val out = graft.operators.VariantQc
+      .ldR2Pairs(ann, maxDist = 1000, withDprime = true)
+      .select("pos_a", "pos_b", "n", "r2_micro", "dprime_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // (100,150): cov = 3·5−9 = 6 > 0, dmax = min(3·3, 3·3) = 9:
+    // D' = 12e6/9 → 1333333 (composite exceeds 1e6 without HWE)
+    assert(out((100L, 150L)) === ((3L, 1000000L, 1333333L)))
+    // (100,200): cov = 3·1−9 = −6, negative branch dmax = 9:
+    // −12e6/9 FLOORS to −1333334 (truncation would give −1333333)
+    assert(out((100L, 200L)) === ((3L, 1000000L, -1333334L)))
+    // default path: identical columns, no dprime
+    val base = graft.operators.VariantQc.ldR2Pairs(ann, maxDist = 1000)
+    assert(!base.columns.contains("dprime_micro"))
+    val b = base.select("pos_a", "pos_b", "n", "r2_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(b === out.map { case ((a2, b2), (n2, r2, _)) => (a2, b2, n2, r2) }.toSet)
+  }
+
   // ---- decimal lifts: trend / GRM / LD (the hweBySite pattern) ----
 
   test("trendTest decimalLift: identity at small width; exact past the " +
