@@ -805,6 +805,9 @@ object TextAnalysis {
     * principled form of "train on data that looks like the good
     * stuff"). Two add-one bigram models ([[bigramLmNll]]'s) are
     * trained, one on the target reference, one on the raw reference;
+    * ([[Sampling.dsirLogWeights]] is the WEIGHT half of this pipeline
+    * with the paper's hashed-bucket features — this is the
+    * RESAMPLING half, with explicit bigram LMs and the top-n draw);
     * each document's importance is its log-likelihood RATIO
     *
     *   log w(x) = log p_target(x) − log p_raw(x)
