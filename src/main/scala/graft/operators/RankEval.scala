@@ -37,6 +37,81 @@ import org.apache.spark.sql.functions._
   */
 object RankEval {
 
+  /** BRADLEY-TERRY preference aggregation (Bradley & Terry 1952;
+    * Hunter 2004's MM iteration) — turn a corpus of PAIRWISE
+    * preference labels into per-item strength scores: the
+    * Chatbot-Arena-style leaderboard step, and the aggregation every
+    * RLHF preference-data pipeline runs over (winner, loser) labels
+    * to rank MODELS, ANNOTATORS, or POLICIES (the item set is
+    * parameter-small — the centroid class; the comparisons are the
+    * corpus). MM update p_i ← w_i / Σ_j n_ij/(p_i + p_j), scores
+    * renormalized to mean 10⁶ each round (BT is scale-free; the
+    * normalization pins the gauge).
+    *
+    * Determinism — integer fixed-point throughout (the q136 PageRank
+    * posture): per-opponent terms are n_ij·⌊10¹²/(p_i+p_j)⌋ (one
+    * integral DIV, exact int64 sums), the two scale-up divisions run
+    * in decimal(38,0) with integral DIV (wins and pair counts can be
+    * billions — int64 products would wrap), and the deterministic
+    * sub-micro floor leak is identical in any engine. Items that
+    * never win pin to score 0 (the MLE boundary — their true BT
+    * strength is 0; they still serve as opponents, and
+    * greatest(·,1) guards the all-zero pair denominators that
+    * rounding can produce).
+    *
+    * Shape: ONE corpus pass (groupBy(winner, loser) count); every MM
+    * round runs on the item-pair table (items²-bounded — tiny) with a
+    * localCheckpoint per `cutEvery` rounds. Returns (item, wins,
+    * n_comparisons, score_micro).
+    */
+  def bradleyTerryMicro(
+      comparisons: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 8, cutEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
+    val w = comparisons
+      .groupBy(col(winnerCol).as("a"), col(loserCol).as("b"))
+      .agg(count(lit(1)).as("__w"))
+    val e = w.select(col("a"), col("b"), col("__w"))
+      .unionByName(w.select(col("b").as("a"), col("a").as("b"), col("__w")))
+      .groupBy("a", "b").agg(sum(col("__w")).as("__n"))
+      .localCheckpoint()
+    val wins = e.select(col("a").as("item"))
+      .distinct()
+      .join(w.groupBy(col("a").as("item")).agg(sum(col("__w")).as("wins")),
+        Seq("item"), "left")
+      .na.fill(0L, Seq("wins"))
+      .join(e.groupBy(col("a").as("item")).agg(sum(col("__n")).as("n_comparisons")),
+        Seq("item"))
+      .localCheckpoint()
+    val dec = "decimal(38,0)"
+    var p = wins.select(col("item"), lit(1000000L).as("p"))
+    for (i <- 1 to iters) {
+      val d = e
+        .join(p.select(col("item").as("a"), col("p").as("__pa")), Seq("a"))
+        .join(p.select(col("item").as("b"), col("p").as("__pb")), Seq("b"))
+        .select(col("a"), (col("__n") *
+          expr("1000000000000 DIV greatest(__pa + __pb, 1)")).as("__t"))
+        .groupBy("a").agg(sum(col("__t")).as("__s"))
+      val q = wins.select(col("item"), col("wins"))
+        .join(d.select(col("a").as("item"), col("__s")), Seq("item"))
+        .withColumn("__p1", when(col("wins") === 0L || col("__s") <= 0L, 0L)
+          .otherwise(expr(
+            s"CAST(CAST(wins AS $dec) * 1000000000000 AS $dec) DIV __s")))
+      val tot = q.agg(sum(col("__p1")).as("__tp"),
+        count(lit(1)).as("__k"))
+      val next = q.crossJoin(broadcast(tot))
+        .select(col("item"),
+          when(col("__tp") <= 0L, lit(0L)).otherwise(expr(
+            s"CAST(CAST(__p1 AS $dec) * (__k * 1000000) AS $dec) DIV __tp"))
+            .as("p"))
+      p = if (i % cutEvery == 0 && i < iters) next.localCheckpoint() else next
+    }
+    wins.join(p, Seq("item"))
+      .select(col("item"), col("wins"), col("n_comparisons"),
+        col("p").as("score_micro"))
+  }
+
   /** discount(i)·10⁶ as an exact long: ⌊10⁶·ln(2)/ln(i+1)⌋. */
   private def discMicro(rank: org.apache.spark.sql.Column) =
     floor(lit(1000000.0) * log(lit(2.0)) / log(rank.cast("double") + 1.0))
@@ -62,7 +137,9 @@ object RankEval {
       .select(col(probeCol).as("probe_id"), col(candCol).as("cand_id"),
         col(rankCol).cast("long").as("__rnk"))
       .filter(col("__rnk") <= k.toLong)
-    val gain = expr("shiftleft(1L, CAST(__rel AS INT))") - 1L
+    // rel clamps at 20 (2^20·10⁶ per term keeps any real list in
+    // int64; a stray huge grade must not shiftleft into garbage)
+    val gain = expr("shiftleft(1L, CAST(least(__rel, 20) AS INT))") - 1L
     val scored = topk
       .join(gold, Seq("probe_id", "cand_id"), "left")
       .withColumn("__rel", coalesce(col("__rel"), lit(0L)))

@@ -4959,6 +4959,74 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** BRADLEY-TERRY preference aggregation ([[graft.operators.RankEval
+    * .bradleyTerryMicro]], Bradley-Terry 1952 / Hunter 2004 MM — the
+    * Chatbot-Arena leaderboard step and the aggregation RLHF
+    * preference pipelines run over (winner, loser) labels): pairwise
+    * outcomes derived arithmetically from the events table (7 items,
+    * skewed win rates), 3 MM rounds in integer fixed-point with
+    * per-round mean-10⁶ renormalization. DuckDB replays the rounds
+    * UNROLLED (the q136 posture) in HUGEINT — the exact twin of the
+    * operator's decimal(38,0) divisions.
+    */
+  private lazy val q193 = {
+    def round(i: Int) = s"""
+      d$i AS (SELECT e.a,
+               CAST(sum(e.n * (1000000000000 // greatest(pa.p + pb.p, 1)))
+                 AS BIGINT) AS s
+             FROM e JOIN p${i - 1} pa ON pa.item = e.a
+                    JOIN p${i - 1} pb ON pb.item = e.b
+             GROUP BY 1),
+      q$i AS (SELECT w.item,
+               CASE WHEN w.wins = 0 OR d.s <= 0 THEN 0
+                    ELSE CAST(CAST(w.wins AS HUGEINT) * 1000000000000 // d.s
+                      AS BIGINT) END AS p1
+             FROM wins w JOIN d$i d ON d.a = w.item),
+      t$i AS (SELECT CAST(sum(p1) AS HUGEINT) AS tp, count(*) AS k
+              FROM q$i),
+      p$i AS (SELECT item,
+               CASE WHEN t$i.tp <= 0 THEN 0
+                    ELSE CAST(CAST(p1 AS HUGEINT) * (k * 1000000) // tp
+                      AS BIGINT) END AS p
+             FROM q$i, t$i)"""
+    Q(
+      "q193_bradley_terry",
+      (s, dir) => {
+        import graft.operators.RankEval
+        val cmp = t(s, dir, "events")
+          .selectExpr(
+            "concat('m', CAST(user_id % 7 AS STRING)) AS winner",
+            "concat('m', CAST((user_id DIV 11) % 7 AS STRING)) AS loser")
+          .filter(col("winner") =!= col("loser"))
+        RankEval.bradleyTerryMicro(cmp, "winner", "loser", iters = 3)
+          .orderBy("item")
+      },
+      Some(s"""
+        WITH c AS (SELECT 'm' || CAST(user_id % 7 AS VARCHAR) AS w,
+                 'm' || CAST((user_id // 11) % 7 AS VARCHAR) AS l
+               FROM events
+               WHERE user_id % 7 <> (user_id // 11) % 7),
+        wd AS (SELECT w AS a, l AS b, CAST(count(*) AS BIGINT) AS wn
+               FROM c GROUP BY 1, 2),
+        e AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n
+              FROM (SELECT a, b, wn AS n FROM wd
+                    UNION ALL SELECT b, a, wn FROM wd) u
+              GROUP BY 1, 2),
+        items AS (SELECT DISTINCT a AS item FROM e),
+        wins AS (SELECT i.item, coalesce(x.wn, 0) AS wins
+                 FROM items i LEFT JOIN
+                   (SELECT a AS item, CAST(sum(wn) AS BIGINT) AS wn
+                    FROM wd GROUP BY 1) x USING (item)),
+        nc AS (SELECT a AS item, CAST(sum(n) AS BIGINT) AS n_comparisons
+               FROM e GROUP BY 1),
+        p0 AS (SELECT item, CAST(1000000 AS BIGINT) AS p FROM items),
+        ${(1 to 3).map(round).mkString(",")}
+        SELECT w.item, w.wins, nc.n_comparisons, p3.p AS score_micro
+        FROM wins w JOIN nc USING (item) JOIN p3 USING (item)
+        ORDER BY item
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -4967,5 +5035,5 @@ object LlmQueries extends QuerySet {
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
-      q180, q182, q183, q186, q187, q189, q190)
+      q180, q182, q183, q186, q187, q189, q190, q193)
 }

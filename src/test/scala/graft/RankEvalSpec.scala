@@ -61,6 +61,51 @@ class RankEvalSpec extends AnyFunSuite with SparkSpec {
     assert(r === ((1000000L, 1000000L, 1000000L)))
   }
 
+  test("bradleyTerryMicro: the MM fixed-point replays in plain Scala; " +
+      "stronger items outrank weaker; never-winners pin to 0 but " +
+      "still serve as opponents") {
+    import graft.operators.RankEval
+    // A beats B 3-1, A beats C 2-0, B-C split 2-2, D loses to A 0-2
+    val cmp = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")) ++
+      Seq.fill(2)(("A", "C")) ++ Seq.fill(2)(("B", "C")) ++
+      Seq.fill(2)(("C", "B")) ++ Seq.fill(2)(("A", "D")))
+      .toDF("winner", "loser")
+    val got = RankEval.bradleyTerryMicro(cmp, "winner", "loser", iters = 3)
+      .select("item", "wins", "n_comparisons", "score_micro")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // independent fixed-point replay
+    val wd = Map(("A", "B") -> 3L, ("B", "A") -> 1L, ("A", "C") -> 2L,
+      ("B", "C") -> 2L, ("C", "B") -> 2L, ("A", "D") -> 2L)
+    val e = (wd.toSeq ++ wd.toSeq.map { case ((a, b), n) => ((b, a), n) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val items = Seq("A", "B", "C", "D")
+    val wins = items.map(i =>
+      i -> wd.collect { case ((a, _), n) if a == i => n }.sum).toMap
+    var p = items.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val s = items.map(i => i -> e.collect {
+        case ((a, b), n) if a == i =>
+          n * (1000000000000L / math.max(p(i) + p(b), 1L))
+      }.sum).toMap
+      val q = items.map(i => i -> (if (wins(i) == 0L || s(i) <= 0L) 0L
+        else (BigInt(wins(i)) * BigInt("1000000000000") / s(i)).toLong)).toMap
+      val tp = q.values.map(BigInt(_)).sum
+      p = items.map(i => i -> (if (tp <= 0) 0L
+        else (BigInt(q(i)) * (items.size * 1000000L) / tp).toLong)).toMap
+    }
+    items.foreach { i =>
+      val nc = e.collect { case ((a, _), n) if a == i => n }.sum
+      assert(got(i) === ((wins(i), nc, p(i))), s"item $i")
+    }
+    assert(got("A")._3 > got("B")._3 && got("B")._3 > got("C")._3,
+      s"strength ordering broke: $got")
+    assert(got("D")._3 === 0L)
+    intercept[IllegalArgumentException] {
+      RankEval.bradleyTerryMicro(cmp, "winner", "loser", iters = 0)
+    }
+  }
+
   // ---- vocabulary drift ----
 
   test("vocabularyDrift: identical snapshots score 0; a disjoint " +
