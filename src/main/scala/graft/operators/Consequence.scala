@@ -361,81 +361,91 @@ object Consequence {
     val isSnp = length(col("ref")) === 1 && length(col("alt")) === 1
     val gstr = element_at(gmap, col("chrom"))
     val plus = col("strand") === "+"
-    val ex = col("__ex")
-    // containing exon (null outside), and c-space position
-    val inEx = try_element_at(
-      filter(ex, x => col("pos") >= x.getField("s") &&
-        col("pos") <= x.getField("e")), lit(1))
-    val c = inEx.getField("cum") + (col("pos") - inEx.getField("s"))
-    val o = when(plus, c).otherwise(col("__total") - 1L - c)
-    val ci = (o - pmod(o, lit(3L))) / 3L
-    val ph = pmod(o, lit(3L))
-    // transcript offset t (0-based) → genome base, transcript-oriented
+    // STAGED projections: the exon-array lookups are CodegenFallback
+    // HOFs, so common-subexpression reuse never kicks in — inlining
+    // them into every referencing expression re-evaluates the array
+    // scan ~10× per row (measured 880 core-s on the sf0.1 gate;
+    // staging cut it to one evaluation per lookup). CollapseProject
+    // keeps the stages apart because each alias is non-cheap and
+    // referenced more than once.
+    def facing(d: Column): Column =
+      when(d > 0L, d).otherwise(lit(Long.MaxValue))
+    val s1 = joined
+      .withColumn("__inx", try_element_at(
+        filter(col("__ex"), x => col("pos") >= x.getField("s") &&
+          col("pos") <= x.getField("e")), lit(1)))
+      .withColumn("__edge", array_min(flatten(transform(col("__ex"),
+        x => array(
+          struct(facing(x.getField("s") - col("pos")).as("d"),
+            lit(0).as("side")),
+          struct(facing(col("pos") - x.getField("e")).as("d"),
+            lit(1).as("side")))))))
+    // c-space position, transcript offset, codon index/phase
+    val c = col("__inx.cum") + (col("pos") - col("__inx.s"))
+    val s2 = s1.withColumn("__o",
+      when(plus, c).otherwise(col("__total") - 1L - c))
+    val s3 = s2
+      .withColumn("__ci", (col("__o") - pmod(col("__o"), lit(3L))) / 3L)
+      .withColumn("__ph", pmod(col("__o"), lit(3L)))
+    // the three codon bases, one exon lookup each (transcript order)
     def baseAt(t: Column): Column = {
       val cT = when(plus, t).otherwise(col("__total") - 1L - t)
       val xe = try_element_at(
-        filter(ex, x => cT >= x.getField("cum") &&
+        filter(col("__ex"), x => cT >= x.getField("cum") &&
           cT < x.getField("cum") + (x.getField("e") - x.getField("s") + 1L)),
         lit(1))
       val g = xe.getField("s") + (cT - xe.getField("cum"))
       val b = gstr.substr(g.cast("int"), lit(1))
       when(plus, b).otherwise(translate(b, "ACGT", "TGCA"))
     }
-    val t0 = lit(3L) * ci.cast("long")
-    val b0 = baseAt(t0)
-    val b1 = baseAt(t0 + 1L)
-    val b2 = baseAt(t0 + 2L)
-    val refCodon = concat(b0, b1, b2)
+    val t0 = lit(3L) * col("__ci").cast("long")
+    val s4 = s3
+      .withColumn("__b0", baseAt(t0))
+      .withColumn("__b1", baseAt(t0 + 1L))
+      .withColumn("__b2", baseAt(t0 + 2L))
     val altBase = when(plus, col("alt")).otherwise(
       translate(col("alt"), "ACGT", "TGCA"))
-    val altCodon = concat(
-      when(ph === 0L, altBase).otherwise(b0),
-      when(ph === 1L, altBase).otherwise(b1),
-      when(ph === 2L, altBase).otherwise(b2))
-    val aaRef = element_at(code, refCodon)
-    val aaAlt = element_at(code, altCodon)
-    val snpCons = when(aaRef.isNull || aaAlt.isNull, lit("unresolved"))
-      .when(aaRef === aaAlt, lit("synonymous"))
-      .when(aaAlt === "*", lit("stop_gained"))
-      .when(aaRef === "*", lit("stop_lost"))
-      .otherwise(lit("missense"))
-    // nearest exon edge: min over (distance, side) structs — side 0 =
-    // upstream-of-exon-start, 1 = downstream-of-exon-end; equal-dist
-    // ties pick side 0 (the downstream exon's start), deterministic
-    // edges not FACING pos (it lies on/inside/past them) must not win
-    // the min — clamp their distance to a +inf sentinel
-    def facing(d: Column): Column =
-      when(d > 0L, d).otherwise(lit(Long.MaxValue))
-    val edge = array_min(flatten(transform(ex, x => array(
-      struct(facing(x.getField("s") - col("pos")).as("d"),
-        lit(0).as("side")),
-      struct(facing(col("pos") - x.getField("e")).as("d"),
-        lit(1).as("side"))))))
-    val eDist = edge.getField("d")
-    val eSide = edge.getField("side")
+    val s5 = s4
+      .withColumn("__rcod", concat(col("__b0"), col("__b1"), col("__b2")))
+      .withColumn("__acod", concat(
+        when(col("__ph") === 0L, altBase).otherwise(col("__b0")),
+        when(col("__ph") === 1L, altBase).otherwise(col("__b1")),
+        when(col("__ph") === 2L, altBase).otherwise(col("__b2"))))
+    val s6 = s5
+      .withColumn("__aar", element_at(code, col("__rcod")))
+      .withColumn("__aaa", element_at(code, col("__acod")))
+    val snpCons =
+      when(col("__aar").isNull || col("__aaa").isNull, lit("unresolved"))
+        .when(col("__aar") === col("__aaa"), lit("synonymous"))
+        .when(col("__aaa") === "*", lit("stop_gained"))
+        .when(col("__aar") === "*", lit("stop_lost"))
+        .otherwise(lit("missense"))
+    // nearest exon edge (side 0 = upstream-of-exon-start, 1 =
+    // downstream-of-exon-end; equal-dist ties pick side 0 — the
+    // downstream exon's start — deterministic; non-FACING edges were
+    // clamped to +inf above)
+    val eDist = col("__edge.d")
+    val eSide = col("__edge.side")
     val donorSide = (plus && eSide === 1) || (!plus && eSide === 0)
     val spliceCons = when(eDist.between(1L, 2L),
         when(donorSide, lit("splice_donor")).otherwise(lit("splice_acceptor")))
       .when(eDist.between(3L, F), lit("splice_region"))
       .when(col("pos").between(col("__gs"), col("__ge")), lit("intron"))
       .otherwise(lit("intergenic"))
-    joined
-      .withColumn("codon_index",
-        when(col("gene").isNotNull && isSnp && inEx.isNotNull,
-          ci.cast("long")))
-      .withColumn("ref_codon",
-        when(col("gene").isNotNull && isSnp && inEx.isNotNull, refCodon))
-      .withColumn("alt_codon",
-        when(col("gene").isNotNull && isSnp && inEx.isNotNull, altCodon))
-      .withColumn("aa_ref",
-        when(col("gene").isNotNull && isSnp && inEx.isNotNull, aaRef))
-      .withColumn("aa_alt",
-        when(col("gene").isNotNull && isSnp && inEx.isNotNull, aaAlt))
+    val coding = col("gene").isNotNull && isSnp && col("__inx").isNotNull
+    s6
+      .withColumn("codon_index", when(coding, col("__ci").cast("long")))
+      .withColumn("ref_codon", when(coding, col("__rcod")))
+      .withColumn("alt_codon", when(coding, col("__acod")))
+      .withColumn("aa_ref", when(coding, col("__aar")))
+      .withColumn("aa_alt", when(coding, col("__aaa")))
       .withColumn("consequence",
         when(!isSnp, lit("non_snv"))
           .when(col("gene").isNull, lit("intergenic"))
-          .when(inEx.isNotNull, snpCons)
+          .when(col("__inx").isNotNull, snpCons)
           .otherwise(spliceCons))
-      .drop("__ex", "__total", "__gs", "__ge")
+      .drop("__ex", "__total", "__gs", "__ge", "__inx", "__edge", "__o",
+        "__ci", "__ph", "__b0", "__b1", "__b2", "__rcod", "__acod",
+        "__aar", "__aaa")
   }
 }
