@@ -237,12 +237,16 @@ object Consequence {
       gstr.substr((col("pos") + 1L).cast("int"),
         (feIns - col("pos")).cast("int")))
     val winT = when(plus, winF).otherwise(revComp(winF))
-    val nCod = (length(winT) / lit(3)).cast("int")
+    // the window walk is a CodegenFallback HOF and the window concat
+    // feeds every element — stage both into named columns (the §8
+    // staging rule) so they evaluate once per row, not once per
+    // reference × element
+    val nCod = (length(col("__wint")) / lit(3)).cast("int")
     val insAas = transform(sequence(lit(1), nCod),
-      i => element_at(code, winT.substr(i * lit(3) - lit(2), lit(3))))
+      i => element_at(code, col("__wint").substr(i * lit(3) - lit(2), lit(3))))
     val insCons = when(pmod(mIns, lit(3L)) =!= 0L, lit("frameshift"))
-      .when(exists(insAas, a => a.isNull), lit("unresolved"))
-      .when(exists(insAas, a => a === "*"), lit("stop_gained"))
+      .when(exists(col("__insaas"), a => a.isNull), lit("unresolved"))
+      .when(exists(col("__insaas"), a => a === "*"), lit("stop_gained"))
       .otherwise(lit("inframe_insertion"))
 
     // ---- deletion (coding) ----
@@ -282,12 +286,18 @@ object Consequence {
       .when(dist.between(3L, F), lit("splice_region"))
       .otherwise(lit("intergenic"))
 
-    joined.withColumn("consequence",
-      when(col("gene").isNull, lit("intergenic"))
-        .when(!isSnp && !isIns && !isDel, lit("complex"))
-        .when(isSnp, when(snpCoding, snpCons).otherwise(spliceCons))
-        .when(isIns, when(insCoding, insCons).otherwise(spliceCons))
-        .otherwise(when(delCoding, delCons).otherwise(spliceCons)))
+    joined
+      .withColumn("__wint",
+        when(isIns && col("gene").isNotNull && insCoding &&
+          pmod(mIns, lit(3L)) === 0L, winT))
+      .withColumn("__insaas", insAas)
+      .withColumn("consequence",
+        when(col("gene").isNull, lit("intergenic"))
+          .when(!isSnp && !isIns && !isDel, lit("complex"))
+          .when(isSnp, when(snpCoding, snpCons).otherwise(spliceCons))
+          .when(isIns, when(insCoding, insCons).otherwise(spliceCons))
+          .otherwise(when(delCoding, delCons).otherwise(spliceCons)))
+      .drop("__wint", "__insaas")
   }
 
   /** EXON-RESOLVED SNP consequence calling — real multi-exon gene
