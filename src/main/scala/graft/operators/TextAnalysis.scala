@@ -220,6 +220,114 @@ object TextAnalysis {
           col("r_stop") && col("r_top_word"))
   }
 
+  /** Gopher REPETITION SCREENS (Rae et al. 2021 Appendix A, the
+    * MassiveText "repetitious text" battery — the rules [[qualityGate]]
+    * does NOT carry): machine-generated and template text repeats
+    * STRUCTURE — whole lines, and n-grams longer than any natural
+    * phrase — that the single top-word screen cannot see. Per doc:
+    *
+    *   n_lines              non-blank trimmed lines
+    *   n_tokens             whitespace tokens
+    *   dup_line_micro       repeated line occurrences (beyond each
+    *                        line's first) / n_lines
+    *   dup_line_char_micro  characters in those repeated occurrences
+    *                        / total line characters
+    *   top{n}gram_char_micro  for each n in `topNs`: the max over
+    *                        n-grams of count·gramChars, / total token
+    *                        characters — the "fraction of characters
+    *                        in the most-covering n-gram" screen
+    *   dup{dupN}gram_char_micro  characters at token positions covered
+    *                        by ANY dupN-gram occurring ≥ 2 times /
+    *                        total token characters — overlapping
+    *                        occurrences counted once per position
+    *
+    * (Deviation noted: for the top-n-gram screen this takes the n-gram
+    * maximizing CHAR COVERAGE count·len — deterministic without a
+    * tie rule — where the paper says "most frequent n-gram"; the two
+    * differ only when a shorter gram out-counts a longer one near the
+    * threshold.) Ratios are each ONE floored double division of exact
+    * int64 counts (the §5 pattern); docs with no lines/tokens report
+    * zeros. Thresholding is the caller's (the paper drops at
+    * dup_line > 0.30, top2gram_char > 0.20, dup-ngram-char > 0.10).
+    *
+    * Scale shape: per-unit explodes (lines, tokens, n-grams) each feed
+    * partial-aggregated co-keyed groupBys on (id) or (id, unit) — hot
+    * units combine map-side; the dupN coverage join is co-keyed on
+    * (id, gram) then (id, position); no windows over doc history, no
+    * per-row O(len²) HOFs (grams come from the bounded
+    * [[graft.functions.TextFunctions.wordNgrams]] generator, evaluated
+    * once per row as the explode argument).
+    */
+  def repetitionScreens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topNs: Seq[Int] = Seq(2, 3),
+      dupN: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(topNs.nonEmpty && topNs.forall(_ >= 1),
+      s"topNs must be >= 1: $topNs")
+    require(topNs.distinct == topNs, s"duplicate topNs: $topNs")
+    require(dupN >= 2, s"dupN must be >= 2, got $dupN")
+    val id = col(idCol)
+    def microDiv(num: Column, den: Column): Column =
+      when(coalesce(den, lit(0L)) === 0L, 0L)
+        .otherwise(floor(coalesce(num, lit(0L)).cast("double") /
+          den.cast("double") * lit(1000000.0)).cast("long"))
+
+    val lineAgg = df
+      .select(id, explode(split(col(textCol), "\n")).as("__l"))
+      .withColumn("__l", trim(col("__l")))
+      .filter(length(col("__l")) > 0)
+      .groupBy(id, col("__l")).agg(count(lit(1)).as("__c"))
+      .groupBy(id).agg(
+        sum(col("__c")).as("n_lines"),
+        sum(col("__c") - 1L).as("__dupl"),
+        sum((col("__c") - 1L) * length(col("__l"))).as("__duplch"),
+        sum(col("__c") * length(col("__l"))).as("__totlch"))
+
+    val toks = df
+      .select(id, posexplode(wsTokens(col(textCol))).as(Seq("__p", "__w")))
+    val tokAgg = toks.groupBy(id).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("__w")).cast("long")).as("__totch"))
+
+    def topAgg(n: Int) = df
+      .select(id, explode(wordNgrams(wsTokens(col(textCol)), n)).as("__g"))
+      .groupBy(id, col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(id).agg(
+        max(col("__c") * (length(col("__g")) - lit(n - 1)).cast("long"))
+          .as(s"__top$n"))
+
+    val gd = df.select(id,
+      posexplode(wordNgrams(wsTokens(col(textCol)), dupN))
+        .as(Seq("__p", "__g")))
+    val dupGrams = gd.groupBy(id, col("__g")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2L)
+      .select(id, col("__g"))
+    val dupAgg = gd.join(dupGrams, Seq(idCol, "__g"))
+      .select(id,
+        explode(sequence(col("__p"), col("__p") + lit(dupN - 1))).as("__p"))
+      .distinct()
+      .join(toks, Seq(idCol, "__p"))
+      .groupBy(id).agg(sum(length(col("__w")).cast("long")).as("__dupch"))
+
+    topNs.foldLeft(
+        df.select(id)
+          .join(lineAgg, Seq(idCol), "left")
+          .join(tokAgg, Seq(idCol), "left")
+          .join(dupAgg, Seq(idCol), "left")) {
+        (acc, n) => acc.join(topAgg(n), Seq(idCol), "left")
+      }
+      .select(Seq(
+        id,
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        microDiv(col("__dupl"), col("n_lines")).as("dup_line_micro"),
+        microDiv(col("__duplch"), col("__totlch"))
+          .as("dup_line_char_micro")) ++
+        topNs.map(n => microDiv(col(s"__top$n"), col("__totch"))
+          .as(s"top${n}gram_char_micro")) :+
+        microDiv(col("__dupch"), col("__totch"))
+          .as(s"dup${dupN}gram_char_micro"): _*)
+  }
+
   /** LINE-level LANGUAGE PURITY — the CCNet per-line language pass
     * above document-level [[langId]]: classify every non-blank line,
     * report the doc's majority line-language and the fraction of lines

@@ -900,6 +900,53 @@ object VariantQc {
           .as("tdt_micro"))
   }
 
+  /** DE NOVO mutation candidates per trio — the hard-call core of the
+    * GATK PossibleDeNovo annotation and `bcftools +trio-dnm2`'s
+    * prefilter, the screen every rare-disease trio analysis runs: at
+    * biallelic sites where child, mother and father are ALL called
+    * diploid, the child is HETEROZYGOUS (ALT dosage 1) and BOTH
+    * parents are hom-ref — the one configuration a single germline
+    * de novo event produces. A hom-alt child of two hom-ref parents is
+    * a DOUBLE Mendelian impossibility (caller-artifact posture — q80's
+    * violation counter's territory), not a de novo candidate:
+    * excluded, spec-pinned. Emitted candidates feed downstream
+    * depth/GQ/allele-balance confidence gating ([[siteQc]],
+    * [[hetAlleleBalance]]) exactly as GATK tiers
+    * lowConfDeNovo/hiConfDeNovo. One row per (trio, site):
+    * (child, mother, father, siteKey...).
+    *
+    * Scale shape: the trio panel is parameter-small → ONE broadcast
+    * join tags the child view with its parents; the mother/father
+    * views then join co-keyed on (siteKey, parent id), all three views
+    * reading ONE annotate plan (ReusedExchange — the q80/q107 trio
+    * shape); the candidate filter is a narrow post-join predicate. No
+    * windows, no skew hazard: per-(site, parent) multiplicity is
+    * bounded by the trio panel.
+    */
+  def deNovoCandidates(
+      ann: DataFrame, trios: DataFrame,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val geno = ann
+      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .select(siteKey.map(col) :+ col(sampleCol).as("__s") :+
+        (col("gt1").cast("long") + col("gt2").cast("long")).as("__d"): _*)
+    val tr = trios.select(col("child"), col("mother"), col("father"))
+    val c = geno.join(broadcast(tr), col("__s") === col("child"))
+      .select(siteKey.map(col) ++ Seq(col("child"), col("mother"),
+        col("father"), col("__d").as("c_d")): _*)
+    val m = geno.select(siteKey.map(col) ++ Seq(col("__s").as("mother"),
+      col("__d").as("m_d")): _*)
+    val f = geno.select(siteKey.map(col) ++ Seq(col("__s").as("father"),
+      col("__d").as("f_d")): _*)
+    c.join(m, siteKey :+ "mother")
+      .join(f, siteKey :+ "father")
+      .filter(col("c_d") === 1L && col("m_d") === 0L && col("f_d") === 0L)
+      .select(col("child") +: col("mother") +: col("father") +:
+        siteKey.map(col): _*)
+  }
+
   /** Pairwise LINKAGE-DISEQUILIBRIUM r² between nearby biallelic sites
     * (the unphased genotype-correlation estimator — plink `--r2`'s
     * default): for every same-chromosome site pair within `maxDist` bp,

@@ -5027,6 +5027,143 @@ object LlmQueries extends QuerySet {
       """))
   }
 
+  /** CAUSAL-LM SEQUENCE PACKING ([[graft.operators.Packing
+    * .packSequences]], the GPT-2/3 "concatenate and chunk" collator —
+    * Brown et al. 2020 §2.3): the corpus token stream in seed-7
+    * deterministic shuffle order cut every 256 tokens, emitted as the
+    * sequence-assembly index (seq_id, doc, doc_off, seq_off, len) a
+    * training reader joins back to the token store. Docs span cuts, so
+    * the gate observably exercises boundary-straddling slices; the
+    * engine's TWO-PHASE distributed prefix sum (block totals + bounded
+    * windows — no global single-task sort) must equal DuckDB's plain
+    * global window cumsum EXACTLY, which is the whole point: the
+    * scalable spelling is hash-order-deterministic, so the oracle can
+    * state its output with one window. Zero-token docs excluded on
+    * both sides.
+    */
+  private lazy val q194 = Q(
+    "q194_sequence_pack",
+    (s, dir) => {
+      import graft.operators.Packing
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.packSequences(docs, "doc_id", "n_tok", 256L, seed = 7L)
+        .orderBy("seq_id", "doc_id")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS BIGINT) AS n,
+             (doc_id % 1000000007) * 2654435761 % 1000000007
+               * ${graft.operators.Packing.seedMultiplier(7L)}
+               % 1000000007 AS k
+           FROM documents),
+      o AS (SELECT doc_id, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+           FROM d WHERE n > 0),
+      e AS (SELECT doc_id, n, off,
+             CAST(unnest(generate_series(off // 256, (off + n - 1) // 256))
+               AS BIGINT) AS seq_id
+           FROM o)
+      SELECT seq_id, doc_id,
+        CAST(greatest(0, seq_id * 256 - off) AS BIGINT) AS doc_off,
+        CAST(greatest(0, off - seq_id * 256) AS BIGINT) AS seq_off,
+        CAST(least((seq_id + 1) * 256, off + n)
+          - greatest(seq_id * 256, off) AS BIGINT) AS len
+      FROM e ORDER BY seq_id, doc_id
+    """))
+
+  /** Gopher REPETITION SCREENS ([[graft.operators.TextAnalysis
+    * .repetitionScreens]], Rae et al. 2021 Appendix A — the
+    * repetitious-text battery q120's single top-word rule does not
+    * carry): duplicate-line occurrence and char fractions, max
+    * char-coverage 2-/3-grams, and position-coverage by duplicated
+    * 8-grams (overlaps counted once per position — the one screen
+    * needing the (id, gram) → (id, position) join chain). DuckDB
+    * replays lines, 1-based list-slice n-grams, the coverage DISTINCT,
+    * and every micro-floored division; zero-line/zero-token docs pin
+    * zeros through the coalesce path.
+    */
+  private lazy val q195 = Q(
+    "q195_repetition",
+    (s, dir) =>
+      TextAnalysis.repetitionScreens(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END AS w,
+             text
+           FROM documents),
+      ln AS (SELECT doc_id, trim(l) AS l FROM
+               (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM documents)
+             WHERE length(trim(l)) > 0),
+      lc AS (SELECT doc_id, l, count(*) AS c FROM ln GROUP BY 1, 2),
+      la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+               CAST(sum(c - 1) AS BIGINT) AS dupl,
+               CAST(sum((c - 1) * length(l)) AS BIGINT) AS duplch,
+               CAST(sum(c * length(l)) AS BIGINT) AS totlch
+             FROM lc GROUP BY 1),
+      p AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) + 1)) AS BIGINT) AS i
+            FROM t),
+      tk AS (SELECT doc_id, i, w[i] AS tok FROM p),
+      tt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(length(tok)) AS BIGINT) AS totch
+             FROM tk GROUP BY 1),
+      g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+             FROM p WHERE i + 1 <= len(w)),
+      t2 AS (SELECT doc_id, CAST(max(c * (length(g) - 1)) AS BIGINT) AS top2
+             FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+             GROUP BY 1),
+      g3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+             FROM p WHERE i + 2 <= len(w)),
+      t3 AS (SELECT doc_id, CAST(max(c * (length(g) - 2)) AS BIGINT) AS top3
+             FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+             GROUP BY 1),
+      g8 AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS g
+             FROM p WHERE i + 7 <= len(w)),
+      d8 AS (SELECT doc_id, g FROM
+               (SELECT doc_id, g, count(*) AS c FROM g8 GROUP BY 1, 2)
+             WHERE c >= 2),
+      cov AS (SELECT DISTINCT doc_id, cp FROM
+                (SELECT g8.doc_id, g8.i + unnest(range(0, 8)) AS cp
+                 FROM g8 JOIN d8 USING (doc_id, g))),
+      dc AS (SELECT tk.doc_id, CAST(sum(length(tk.tok)) AS BIGINT) AS dupch
+             FROM tk JOIN cov ON tk.doc_id = cov.doc_id AND tk.i = cov.cp
+             GROUP BY 1)
+      SELECT d.doc_id,
+        coalesce(la.n_lines, 0) AS n_lines,
+        coalesce(tt.n_tokens, 0) AS n_tokens,
+        CASE WHEN coalesce(la.n_lines, 0) = 0 THEN 0
+             ELSE CAST(floor(CAST(coalesce(la.dupl, 0) AS DOUBLE)
+               / la.n_lines * 1000000.0) AS BIGINT) END AS dup_line_micro,
+        CASE WHEN coalesce(la.totlch, 0) = 0 THEN 0
+             ELSE CAST(floor(CAST(coalesce(la.duplch, 0) AS DOUBLE)
+               / la.totlch * 1000000.0) AS BIGINT) END
+          AS dup_line_char_micro,
+        CASE WHEN coalesce(tt.totch, 0) = 0 THEN 0
+             ELSE CAST(floor(CAST(coalesce(t2.top2, 0) AS DOUBLE)
+               / tt.totch * 1000000.0) AS BIGINT) END AS top2gram_char_micro,
+        CASE WHEN coalesce(tt.totch, 0) = 0 THEN 0
+             ELSE CAST(floor(CAST(coalesce(t3.top3, 0) AS DOUBLE)
+               / tt.totch * 1000000.0) AS BIGINT) END AS top3gram_char_micro,
+        CASE WHEN coalesce(tt.totch, 0) = 0 THEN 0
+             ELSE CAST(floor(CAST(coalesce(dc.dupch, 0) AS DOUBLE)
+               / tt.totch * 1000000.0) AS BIGINT) END AS dup8gram_char_micro
+      FROM documents d
+      LEFT JOIN la USING (doc_id) LEFT JOIN tt USING (doc_id)
+      LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+      LEFT JOIN dc USING (doc_id)
+      ORDER BY doc_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -5035,5 +5172,5 @@ object LlmQueries extends QuerySet {
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
-      q180, q182, q183, q186, q187, q189, q190, q193)
+      q180, q182, q183, q186, q187, q189, q190, q193, q194, q195)
 }

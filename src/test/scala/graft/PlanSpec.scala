@@ -67,6 +67,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(vartypeLine.trim.matches("""^\+?-?\s*\*\(\d+\).*"""), wsc)
   }
 
+  test("q194 sequence packing: corpus windows are block-partitioned, " +
+      "block offsets broadcast, no cartesian") {
+    val p = planOf("q194_sequence_pack")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // the ≤blocks-row offsets frame joins back via broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // every corpus-sized window is partitioned by the block key; the
+    // one SinglePartition exchange feeds only the aggregated totals
+    // frame (bounded by the blocks parameter)
+    val single = p.linesIterator.count(_.contains("SinglePartition"))
+    assert(single <= 1, s"unexpected global funnel:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast"))
+    // agg on __blk + window sort on __blk + totals single-partition
+    // window + the gate's output ordering
+    assert(exchanges <= 4, s"shuffle budget exceeded:\n$p")
+  }
+
   test("q43 kmeans assign is a narrow projection: no join, no corpus shuffle") {
     val p = planOf("q43_kmeans_step")
     // centroids are inlined as literals into one least(struct…) argmin

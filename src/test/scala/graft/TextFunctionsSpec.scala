@@ -364,6 +364,39 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("repetitionScreens: hand-replayed line/ngram battery, overlap " +
+      "coverage counted once, empty doc zeros") {
+    val docs = Seq(
+      // lines: "x y"×2 + "z" → dup 1/3, dupch 3/7; toks x y x y z:
+      // top2 "x y" 2×2=4/5, top3 all-once 3/5
+      (1L, "x y\nx y\nz"),
+      // a b c d e f g h ×2 + a (17 toks): dup 8-grams cover ALL
+      // positions (pairs (0,8),(1,9) union to 0..16)
+      (2L, "a b c d e f g h a b c d e f g h a"),
+      (3L, ""),
+      // p×9: self-overlapping run — top2 coverage 8·2=16 EXCEEDS the
+      // 9 chars (the paper's count·len spelling; threshold, not a
+      // probability), dup-8-gram positional coverage stays capped at
+      // 1.0 because positions dedup
+      (4L, "p p p p p p p p p"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScreens(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out(0) === ((1L, 3L, 5L, 333333L, 428571L, 800000L, 600000L, 0L)))
+    val d2 = out(1)
+    assert(d2._2 === 1L && d2._3 === 17L)
+    assert(d2._4 === 0L, "single line: no dup lines")
+    assert(d2._6 === 235294L, "top2 'a b' 2 occurrences × 2 chars / 17")
+    assert(d2._8 === 1000000L, "dup 8-grams cover every position")
+    assert(out(2) === ((3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    val d4 = out(3)
+    assert(d4._6 === 1777777L, "overlapping top-2-gram exceeds 1e6")
+    assert(d4._7 === 2333333L)
+    assert(d4._8 === 1000000L, "overlap positions counted once")
+  }
+
   test("qualityGate: every rule flips on its own planted failure") {
     import spark.implicits._
     import graft.operators.TextAnalysis
