@@ -3210,11 +3210,79 @@ object VcfQueries extends QuerySet {
       FROM c GROUP BY 1 ORDER BY 1
     """))
 
+  /** DE NOVO candidates per trio ([[graft.operators.VariantQc
+    * .deNovoCandidates]], the GATK PossibleDeNovo / bcftools +trio-dnm2
+    * hard-call core): two trios sharing the g2/g3 parents (g1 and g4
+    * as children — a real quad family's shape), child-het +
+    * both-parents-hom-ref candidates at jointly-called biallelic
+    * sites. The synthetic panel's samples are too correlated to ever
+    * produce the configuration naturally (verified: zero rows at
+    * sf0.01), so the gate PLANTS it deterministically — parents'
+    * calls force to hom-ref wherever pos % 13 = 0, an arithmetic rule
+    * both engines replay (the q174/q184 planting posture); all four
+    * candidate/inherited/violation/missing ladders stay exercised on
+    * the un-forced 12/13 of sites. DuckDB replays the forcing CASE
+    * (before the called-filter — forcing un-misses a '.' parent
+    * exactly as the engine side does), the trio VALUES table, the
+    * three-way site+role join, and the dosage ladder; hom-alt-child
+    * double violations are excluded by the c_d = 1 predicate on both
+    * sides.
+    */
+  private val q196 = Q(
+    "q196_denovo",
+    (s, dir) => {
+      import s.implicits._
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val forced = col("sample_id").isin("g2", "g3") &&
+        pmod(col("pos").cast("long"), lit(13L)) === 0L
+      val planted = ann
+        .withColumn("gt1", when(forced, lit("0")).otherwise(col("gt1")))
+        .withColumn("gt2", when(forced, lit("0")).otherwise(col("gt2")))
+      val trios = Seq(("g1", "g2", "g3"), ("g4", "g2", "g3"))
+        .toDF("child", "mother", "father")
+      graft.operators.VariantQc.deNovoCandidates(planted, trios)
+        .orderBy("child", "chrom", "pos", "ref", "alt")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      fz AS (SELECT chrom, pos, ref, alt, sample_id, multiallele,
+               CASE WHEN sample_id IN ('g2', 'g3')
+                     AND CAST(pos AS BIGINT) % 13 = 0
+                    THEN '0' ELSE gt1 END AS gt1,
+               CASE WHEN sample_id IN ('g2', 'g3')
+                     AND CAST(pos AS BIGINT) % 13 = 0
+                    THEN '0' ELSE gt2 END AS gt2
+             FROM ann),
+      bcf AS (SELECT * FROM fz
+              WHERE multiallele = 0 AND gt2 IS NOT NULL
+                AND gt1 <> '.' AND gt2 <> '.'),
+      tr(child, mother, father) AS
+        (VALUES ('g1', 'g2', 'g3'), ('g4', 'g2', 'g3')),
+      geno AS (SELECT chrom, pos, ref, alt, sample_id,
+                 -- TRY_CAST: DuckDB may evaluate the projection before
+                 -- bcf's '.'-filter; a NULL d never passes the dosage
+                 -- predicates, so the result is identical
+                 TRY_CAST(gt1 AS BIGINT) + TRY_CAST(gt2 AS BIGINT) AS d
+               FROM bcf)
+      SELECT tr.child, tr.mother, tr.father, c.chrom, c.pos, c.ref, c.alt
+      FROM tr
+      JOIN geno c ON c.sample_id = tr.child
+      JOIN geno m ON m.sample_id = tr.mother AND m.chrom = c.chrom
+        AND m.pos = c.pos AND m.ref = c.ref AND m.alt = c.alt
+      JOIN geno f ON f.sample_id = tr.father AND f.chrom = c.chrom
+        AND f.pos = c.pos AND f.ref = c.ref AND f.alt = c.alt
+      WHERE c.d = 1 AND m.d = 0 AND f.d = 0
+      ORDER BY tr.child, c.chrom, c.pos, c.ref, c.alt
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
-      q188, q191, q192)
+      q188, q191, q192, q196)
 }

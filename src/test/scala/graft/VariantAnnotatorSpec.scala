@@ -370,6 +370,35 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(t("2") === ((1L, 1L, 0L, 1000000L)))
   }
 
+  test("deNovoCandidates: child-het + hom-ref parents only; double " +
+      "violations, inherited hets, missing and multiallelic excluded") {
+    import spark.implicits._
+    def site(pos: Long, c: (String, String), m: (String, String),
+        f: (String, String), ma: Int = 0) = Seq(
+      ("1", pos, "A", "T", "c1", ma, c._1, c._2),
+      ("1", pos, "A", "T", "mo", ma, m._1, m._2),
+      ("1", pos, "A", "T", "fa", ma, f._1, f._2))
+    val ann = (
+      // candidate: child 0/1, both parents 0/0
+      site(100L, ("0", "1"), ("0", "0"), ("0", "0")) ++
+      // inherited: mother het → not de novo
+      site(200L, ("0", "1"), ("0", "1"), ("0", "0")) ++
+      // double violation: child 1/1 of hom-ref parents → excluded
+      site(300L, ("1", "1"), ("0", "0"), ("0", "0")) ++
+      // child phased-het spelling 1|0 still dosage 1
+      site(400L, ("1", "0"), ("0", "0"), ("0", "0")) ++
+      // father missing → trio join drops the site
+      site(500L, ("0", "1"), ("0", "0"), (".", ".")) ++
+      // multiallelic flag excludes the site
+      site(600L, ("0", "1"), ("0", "0"), ("0", "0"), ma = 1))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2")
+    val trios = Seq(("c1", "mo", "fa")).toDF("child", "mother", "father")
+    val out = graft.operators.VariantQc.deNovoCandidates(ann, trios)
+      .select($"child", $"pos").as[(String, Long)].collect().sorted.toSeq
+    assert(out === Seq(("c1", 100L), ("c1", 400L)))
+  }
+
   test("ldR2Pairs: hand-computed r², exactly-once across buckets, boundary and missing calls") {
     import spark.implicits._
     // dosage vectors per site (ref A, alt T, biallelic): gt1/gt2 encode
