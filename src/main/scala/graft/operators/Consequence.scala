@@ -300,6 +300,248 @@ object Consequence {
       .drop("__wint", "__insaas")
   }
 
+  /** FULL consequence calling on MULTI-EXON transcript models — the
+    * [[csq]] × [[snpConsequenceExons]] product, closing the last
+    * compositional gap: indels against a SPLICED coding sequence.
+    * Real clinical callsets are ~10–15% indels and real transcripts
+    * are multi-exon; `bcftools csq`/VEP handle the product, so this
+    * does. Input/exon conventions as the two parents (normalized
+    * anchored indels; 1-based inclusive exons in genome order,
+    * concatenated length a multiple of 3).
+    *
+    * Semantics (all arithmetic in the [[snpConsequenceExons]] c-space
+    * — the 0-based genome-order CDS index; transcript offset o = c on
+    * '+', total−1−c on '−'):
+    *
+    *  - SNP: the [[snpConsequenceExons]] ladder (exonic → codon walk,
+    *    else intron/splice) — junction-spanning codons via per-base
+    *    exon lookups, bit-identity spec-pinned.
+    *  - Insertion: TRANSCRIBED only when the anchor and its successor
+    *    are the same exon's bases (an insertion between exons lands in
+    *    the intron and never reaches the transcript — splice ladder);
+    *    m ≢ 0 (mod 3) ⇒ `frameshift`; else the anchor CODON (assembled
+    *    per-base across junctions) with the strand-adjusted insert
+    *    spliced at the transcript slot — after phase on '+', before it
+    *    on '−' (the insert sits between transcript offsets o and o+1 /
+    *    o−1 and o respectively) — translates codon-by-codon:
+    *    '*' ⇒ `stop_gained`, untranslatable ⇒ `unresolved`, else
+    *    `inframe_insertion`.
+    *  - Deletion: the removed EXONIC bases form a contiguous c-range
+    *    [cA, cB] (a genome-contiguous span's exonic subset is
+    *    c-contiguous), and THAT length drives the frame — intronic
+    *    deleted bases never shift it, a span eating across a junction
+    *    shifts by exactly what it removes from the transcript:
+    *    ≢ 0 (mod 3) ⇒ `frameshift`; removing any of transcript offsets
+    *    0–2 ⇒ `start_lost`, any of the terminal codon ⇒ `stop_lost`;
+    *    else the JUNCTION codon — kept bases flanking the removed
+    *    o-range at its phase, each mapped back through c-space —
+    *    translates: '*' ⇒ `stop_gained`, null ⇒ `unresolved`, else
+    *    `inframe_deletion`. A deletion with NO exonic overlap takes
+    *    the splice ladder on the SPAN's facing distances.
+    *  - Splice ladder: nearest FACING exon edge (span-aware for dels),
+    *    1–2 ⇒ strand-aware donor/acceptor, 3–`flank` ⇒ splice_region,
+    *    inside the gene span ⇒ `intron`, else `intergenic`. Complex
+    *    ref/alt patterns pass through as `complex`.
+    *
+    * Scale shape: [[snpConsequenceExons]]'s — one-row-per-gene exon
+    * model broadcast (del side joins on SPAN overlap), then ONE narrow
+    * projection; every exon-array HOF (containing-exon, span edges,
+    * cA/cB, six per-base lookups) is STAGED into a guarded named
+    * column (the §8 r11 rule — CodegenFallback gets no CSE), each
+    * evaluated once per row only on the rows whose variant class needs
+    * it. Zero corpus-side shuffles.
+    */
+  def csqExons(
+      sites: DataFrame, exons: DataFrame, genome: Map[String, String],
+      flank: Int = 8): DataFrame = {
+    require(flank >= 2, s"flank must be >= 2 (donor window), got $flank")
+    val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
+    val code = typedLit(GeneticCode)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("gene").orderBy("exon_start")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val geneModel = exons
+      .withColumn("__len", col("exon_end") - col("exon_start") + 1L)
+      .withColumn("__cum", coalesce(sum(col("__len")).over(w), lit(0L)))
+      .groupBy(col("gene"), col("chrom").as("__gchrom"), col("strand"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("exon_start").as("s"), col("exon_end").as("e"),
+          col("__cum").as("cum")))).as("__ex"),
+        sum(col("__len")).as("__total"),
+        min(col("exon_start")).as("__gs"),
+        max(col("exon_end")).as("__ge"))
+    val refLen = length(col("ref")).cast("long")
+    val altLen = length(col("alt")).cast("long")
+    val isSnp = refLen === 1L && altLen === 1L &&
+      col("alt").isin("A", "C", "G", "T")
+    val isIns = refLen === 1L && altLen > 1L &&
+      substring(col("alt"), 1, 1) === col("ref")
+    val isDel = altLen === 1L && refLen > 1L &&
+      substring(col("ref"), 1, 1) === col("alt")
+    val F = lit(flank.toLong)
+    val dLo = col("pos") + 1L
+    val dHi = col("pos") + refLen - 1L
+    val joinCond = sites("chrom") === col("__gchrom") && (
+      when(isDel, dHi >= col("__gs") - F && dLo <= col("__ge") + F)
+        .otherwise(col("pos").between(col("__gs") - F, col("__ge") + F)))
+    val joined = sites.join(broadcast(geneModel), joinCond, "left")
+      .drop("__gchrom")
+    val gstr = element_at(gmap, col("chrom"))
+    val plus = col("strand") === "+"
+    val INF = lit(Long.MaxValue)
+    def facing(d: Column): Column = when(d > 0L, d).otherwise(INF)
+    def baseAt(t: Column): Column = {
+      val cT = when(plus, t).otherwise(col("__total") - 1L - t)
+      val xe = try_element_at(
+        filter(col("__ex"), x => cT >= x.getField("cum") &&
+          cT < x.getField("cum") + (x.getField("e") - x.getField("s") + 1L)),
+        lit(1))
+      val g = xe.getField("s") + (cT - xe.getField("cum"))
+      val b = gstr.substr(g.cast("int"), lit(1))
+      when(plus, b).otherwise(translate(b, "ACGT", "TGCA"))
+    }
+    val inGene = col("gene").isNotNull
+    val mIns = altLen - 1L
+    val insInframe = pmod(mIns, lit(3L)) === 0L
+
+    // ---- staged exon-array lookups (the §8 r11 staging rule) ----
+    val s1 = joined
+      // containing exon of the anchor (SNP codon walk, ins coding test)
+      .withColumn("__inx", when(inGene && (isSnp || isIns),
+        try_element_at(
+          filter(col("__ex"), x => col("pos") >= x.getField("s") &&
+            col("pos") <= x.getField("e")), lit(1))))
+      // span-aware nearest facing edge (splice ladder): dels use the
+      // deleted span's ends; insertions use the insertion POINT
+      // [pos, pos+1] — an insert right after an exon's last base sits
+      // one base into the intron (splice_donor on '+'), which the
+      // anchor alone would mis-read as deep intron; SNPs use pos
+      .withColumn("__edge", when(inGene,
+        array_min(flatten(transform(col("__ex"), x => array(
+          struct(facing(x.getField("s") -
+            when(isDel, dHi).otherwise(col("pos"))).as("d"),
+            lit(0).as("side")),
+          struct(facing(when(isDel, dLo)
+            .when(isIns, col("pos") + 1L).otherwise(col("pos")) -
+            x.getField("e")).as("d"), lit(1).as("side"))))))))
+      // deleted exonic c-range
+      .withColumn("__cA", when(inGene && isDel,
+        array_min(transform(col("__ex"), x =>
+          when(least(dHi, x.getField("e")) >= greatest(dLo, x.getField("s")),
+            x.getField("cum") + greatest(dLo - x.getField("s"), lit(0L)))
+            .otherwise(INF)))))
+      .withColumn("__cB", when(inGene && isDel,
+        array_max(transform(col("__ex"), x =>
+          when(least(dHi, x.getField("e")) >= greatest(dLo, x.getField("s")),
+            x.getField("cum") + least(dHi, x.getField("e")) - x.getField("s"))
+            .otherwise(lit(-1L))))))
+    val cAnchor = col("__inx.cum") + (col("pos") - col("__inx.s"))
+    val o = when(plus, cAnchor).otherwise(col("__total") - 1L - cAnchor)
+    val ph = pmod(o, lit(3L))
+    val t0 = o - ph
+    // pos and pos+1 in the SAME exon ⇒ the insert is transcribed
+    val insCoding = col("__inx").isNotNull && col("pos") < col("__inx.e")
+    val needCodon = inGene && col("__inx").isNotNull &&
+      (isSnp || (isIns && insCoding && insInframe))
+    val delExonic = isDel && col("__cA").isNotNull && col("__cA") =!= INF
+    val mDel = col("__cB") - col("__cA") + 1L
+    val oA = when(plus, col("__cA"))
+      .otherwise(col("__total") - 1L - col("__cB"))
+    val oB = when(plus, col("__cB"))
+      .otherwise(col("__total") - 1L - col("__cA"))
+    val startHit = oA <= 2L
+    val stopHit = oB >= col("__total") - 3L
+    val jPh = pmod(oA, lit(3L))
+    val jStart = oA - jPh
+    val needJunction = inGene && delExonic &&
+      pmod(mDel, lit(3L)) === 0L && !startHit && !stopHit
+    def junOff(i: Int): Column = {
+      val off = jStart + lit(i.toLong)
+      when(off < oA, off).otherwise(off + (oB - oA + 1L))
+    }
+    val s2 = s1
+      .withColumn("__b0", when(needCodon, baseAt(t0)))
+      .withColumn("__b1", when(needCodon, baseAt(t0 + 1L)))
+      .withColumn("__b2", when(needCodon, baseAt(t0 + 2L)))
+      .withColumn("__d0", when(needJunction, baseAt(junOff(0))))
+      .withColumn("__d1", when(needJunction, baseAt(junOff(1))))
+      .withColumn("__d2", when(needJunction, baseAt(junOff(2))))
+    val codon = concat(col("__b0"), col("__b1"), col("__b2"))
+
+    // ---- SNP ladder over the staged codon ----
+    val altBase = when(plus, col("alt"))
+      .otherwise(translate(col("alt"), "ACGT", "TGCA"))
+    val altCodon = concat(
+      when(ph === 0L, altBase).otherwise(col("__b0")),
+      when(ph === 1L, altBase).otherwise(col("__b1")),
+      when(ph === 2L, altBase).otherwise(col("__b2")))
+    val aaR = element_at(code, codon)
+    val aaA = element_at(code, altCodon)
+    val snpCons = when(aaR.isNull || aaA.isNull, lit("unresolved"))
+      .when(aaR === aaA, lit("synonymous"))
+      .when(aaA === "*", lit("stop_gained"))
+      .when(aaR === "*", lit("stop_lost"))
+      .otherwise(lit("missense"))
+
+    // ---- insertion window over the staged codon ----
+    val insT = when(plus, col("alt").substr(lit(2), mIns.cast("int")))
+      .otherwise(revComp(col("alt").substr(lit(2), mIns.cast("int"))))
+    // insert after transcript slot k of the anchor codon: k = phase on
+    // '+' (between o and o+1), phase−1 on '−' (between o−1 and o)
+    val k = when(plus, ph).otherwise(ph - 1L)
+    val win = concat(
+      codon.substr(lit(1), (k + 1L).cast("int")),
+      insT,
+      codon.substr((k + 2L).cast("int"), (lit(2L) - k).cast("int")))
+    val s3 = s2
+      .withColumn("__wint",
+        when(inGene && isIns && insCoding && insInframe, win))
+    val nCod = (length(col("__wint")) / lit(3)).cast("int")
+    val s4 = s3.withColumn("__insaas",
+      transform(sequence(lit(1), nCod), i =>
+        element_at(code, col("__wint").substr(i * lit(3) - lit(2), lit(3)))))
+    val insCons = when(!insInframe, lit("frameshift"))
+      .when(exists(col("__insaas"), a => a.isNull), lit("unresolved"))
+      .when(exists(col("__insaas"), a => a === "*"), lit("stop_gained"))
+      .otherwise(lit("inframe_insertion"))
+
+    // ---- deletion ladder ----
+    val junAa = element_at(code, concat(col("__d0"), col("__d1"), col("__d2")))
+    val delCons = when(pmod(mDel, lit(3L)) =!= 0L, lit("frameshift"))
+      .when(startHit, lit("start_lost"))
+      .when(stopHit, lit("stop_lost"))
+      .when(junAa.isNull, lit("unresolved"))
+      .when(junAa === "*", lit("stop_gained"))
+      .otherwise(lit("inframe_deletion"))
+
+    // ---- splice ladder (span-aware facing edge) ----
+    val eDist = col("__edge.d")
+    val eSide = col("__edge.side")
+    val donorSide = (plus && eSide === 1) || (!plus && eSide === 0)
+    val inSpan = when(isDel, dHi >= col("__gs") && dLo <= col("__ge"))
+      .otherwise(col("pos").between(col("__gs"), col("__ge")))
+    val spliceCons = when(eDist.between(1L, 2L),
+        when(donorSide, lit("splice_donor")).otherwise(lit("splice_acceptor")))
+      .when(eDist.between(3L, F), lit("splice_region"))
+      .when(inSpan, lit("intron"))
+      .otherwise(lit("intergenic"))
+
+    s4
+      .withColumn("consequence",
+        when(col("gene").isNull, lit("intergenic"))
+          .when(!isSnp && !isIns && !isDel, lit("complex"))
+          .when(isSnp,
+            when(col("__inx").isNotNull, snpCons).otherwise(spliceCons))
+          .when(isIns,
+            when(insCoding, insCons).otherwise(spliceCons))
+          .otherwise(
+            when(delExonic, delCons).otherwise(spliceCons)))
+      .drop("__ex", "__total", "__gs", "__ge", "__inx", "__edge",
+        "__cA", "__cB", "__b0", "__b1", "__b2", "__d0", "__d1", "__d2",
+        "__wint", "__insaas")
+  }
+
   /** EXON-RESOLVED SNP consequence calling — real multi-exon gene
     * models (the transcript structure `bcftools csq`/VEP actually
     * consume): a coding sequence split across exons, with INTRONS

@@ -97,6 +97,57 @@ object VariantQc {
       .join(dropped, Seq(sampleCol), "left_anti")
   }
 
+  /** KING RELATEDNESS-CLASS table (Manichaikul et al. 2010 Table 1;
+    * plink2 `--make-king-table`'s verdict column): classify every
+    * sample pair by the KING-robust kinship estimate into the
+    * powers-of-two degree bands, splitting first degree into
+    * parent-offspring vs full siblings by the IBS0 rate — PO pairs
+    * share an allele at EVERY site (opposite homozygotes ≈ 0, only
+    * genotyping error), sibs don't. The cohort QC read before any
+    * pedigree is trusted: duplicates flag sample swaps/contamination,
+    * unexpected PO/FS flag pedigree errors.
+    *
+    *   φ̂ micro > 353553 (1/2^1.5)  duplicate / MZ twin
+    *   φ̂ micro > 176776 (1/2^2.5)  parent_offspring when
+    *                               ibs0 < `poIbs0MicroMax`, else
+    *                               full_sib
+    *   φ̂ micro > 88388  (1/2^3.5)  second_degree
+    *   φ̂ micro > 44194  (1/2^4.5)  third_degree
+    *   else                        unrelated
+    *
+    * φ̂ and IBS0/N are each ONE micro-floored double division of exact
+    * int64 counts (the [[kinshipCounts]]/q91 spelling) and the band
+    * tests compare the FLOORED values — deterministic, engine-
+    * replayable. Pairs with zero het evidence (φ̂ undefined) are
+    * excluded, as plink does. Corpus cost IS [[kinshipCounts]] (the
+    * honest S²/2 pair aggregation — pre-prune at biobank width); the
+    * classification is a narrow projection on the panel²-bounded pair
+    * table.
+    */
+  def relatednessClasses(
+      ann: DataFrame, sampleCol: String = "sample_id",
+      poIbs0MicroMax: Long = 5000L): DataFrame = {
+    require(poIbs0MicroMax >= 0L && poIbs0MicroMax <= 1000000L,
+      s"poIbs0MicroMax must be a micro-rate in [0, 1e6], got $poIbs0MicroMax")
+    val den = col("n_het_a") + col("n_het_b")
+    kinshipCounts(ann, sampleCol)
+      .filter(den > 0L)
+      .withColumn("kinship_micro",
+        floor((col("n_hethet") - lit(2L) * col("n_opp")).cast("double")
+          / den.cast("double") * lit(1000000.0)).cast("long"))
+      .withColumn("ibs0_micro",
+        floor(col("n_opp").cast("double") / col("n_sites").cast("double")
+          * lit(1000000.0)).cast("long"))
+      .withColumn("relationship",
+        when(col("kinship_micro") > 353553L, "duplicate")
+          .when(col("kinship_micro") > 176776L,
+            when(col("ibs0_micro") < poIbs0MicroMax, "parent_offspring")
+              .otherwise("full_sib"))
+          .when(col("kinship_micro") > 88388L, "second_degree")
+          .when(col("kinship_micro") > 44194L, "third_degree")
+          .otherwise("unrelated"))
+  }
+
   /** Hardy-Weinberg equilibrium counts + chi-square per BIALLELIC site
     * — the standard site-QC filter (HWE-violating sites flag genotyping
     * artifacts: allele dropout, paralogous mapping, batch effects).

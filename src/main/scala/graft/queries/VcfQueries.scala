@@ -3278,11 +3278,351 @@ object VcfQueries extends QuerySet {
       ORDER BY tr.child, c.chrom, c.pos, c.ref, c.alt
     """))
 
+  /** FULL INDEL CONSEQUENCE on MULTI-EXON transcripts
+    * ([[graft.operators.Consequence.csqExons]] — the q184 × q191
+    * product, the last compositional gap): same ten 3-exon formula
+    * genes as q191 (lens 100/50/150, codon phase crossing both
+    * junctions, strands alternating), variant shapes by k % 7 — a
+    * modulus COPRIME to the 2300 position sweep (2300 = 2²·5²·23, the
+    * q184 planting rule) so every type lands at every offset: SNPs,
+    * insertions m ∈ 1..4 (m = 3 inframe — the window walk), an
+    * all-inframe insertion arm, deletions len ∈ 1..6 (3/6 inframe —
+    * junction-codon walk, start/stop hits, exon-edge straddles), and
+    * complex passthrough. DuckDB replays EVERYTHING closed-form over
+    * the fixed geometry: the exonic c-range of a deleted span by a
+    * 3-exon unroll, junction codons base-by-base through the
+    * piecewise offset map, the 6-char insertion window spliced at the
+    * strand-adjusted slot, span-aware facing-edge splice ladders with
+    * the struct-min tie rule, and the per-type widened join windows.
+    */
+  private val q198 = {
+    def b(x: String) =
+      s"substr('ACGT', CAST((($x) * 2654435761 % 1000000007) % 4 AS INT) + 1, 1)"
+    def ib(j: Int) = b(s"pos * 31 + $j")
+    def aa(c: String) =
+      s"""substr('KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF',
+            16 * (strpos('ACGT', substr($c, 1, 1)) - 1)
+              + 4 * (strpos('ACGT', substr($c, 2, 1)) - 1)
+              + (strpos('ACGT', substr($c, 3, 1)) - 1) + 1, 1)"""
+    def gpos(cb: String) =
+      s"""CASE WHEN ($cb) < 100 THEN cs + ($cb)
+           WHEN ($cb) < 150 THEN cs + 1000 + ($cb) - 100
+           ELSE cs + 2000 + ($cb) - 150 END"""
+    // transcript offset expr → strand-adjusted c → genome base,
+    // complemented on '−'
+    def tbaseOf(o: String) = {
+      val g = gpos(s"CASE WHEN strand = '+' THEN ($o) ELSE 299 - ($o) END")
+      s"""CASE WHEN strand = '+' THEN ${b(g)}
+           ELSE translate(${b(g)}, 'ACGT', 'TGCA') END"""
+    }
+    // span-aware facing-edge min with the engine's struct tie rule
+    // (equal distance → side 0); lo/hi are the span's off-space ends
+    def edgeSql(lo: String, hi: String) = s"""
+        CASE WHEN 0 - ($hi) > 0 THEN 0 - ($hi) ELSE 4000000000 END AS d00,
+        CASE WHEN 1000 - ($hi) > 0 THEN 1000 - ($hi) ELSE 4000000000 END AS d01,
+        CASE WHEN 2000 - ($hi) > 0 THEN 2000 - ($hi) ELSE 4000000000 END AS d02,
+        CASE WHEN ($lo) - 99 > 0 THEN ($lo) - 99 ELSE 4000000000 END AS d10,
+        CASE WHEN ($lo) - 1049 > 0 THEN ($lo) - 1049 ELSE 4000000000 END AS d11,
+        CASE WHEN ($lo) - 2149 > 0 THEN ($lo) - 2149 ELSE 4000000000 END AS d12"""
+    def ladder(inSpan: String) = s"""
+        CASE WHEN d BETWEEN 1 AND 2 THEN
+               CASE WHEN (strand = '+' AND side = 1)
+                      OR (strand = '-' AND side = 0)
+                    THEN 'splice_donor' ELSE 'splice_acceptor' END
+             WHEN d BETWEEN 3 AND 8 THEN 'splice_region'
+             WHEN $inSpan THEN 'intron'
+             ELSE 'intergenic' END"""
+    Q(
+      "q198_csq_exons_indel",
+      (s, dir) => {
+        import graft.operators.Consequence
+        val len = 61100
+        val sb = new StringBuilder(len)
+        (1 to len).foreach { p =>
+          sb.append("ACGT".charAt(
+            ((p.toLong * 2654435761L % 1000000007L) % 4L).toInt))
+        }
+        val genome = Map("1" -> sb.toString)
+        import s.implicits._
+        val exons = (0 until 10).flatMap { i =>
+          val cs = 1000L + i * 6000L
+          val st = if (i % 2 == 0) "+" else "-"
+          Seq((s"g$i", "1", st, cs, cs + 99L),
+            (s"g$i", "1", st, cs + 1000L, cs + 1049L),
+            (s"g$i", "1", st, cs + 2000L, cs + 2149L))
+        }.toDF("gene", "chrom", "strand", "exon_start", "exon_end")
+        val sites = QueryUtil.t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("k",
+            "CAST(1000 + 6000 * ((k DIV 2300) % 10) + (k % 2300) - 60 AS BIGINT) AS pos",
+            "k % 7 AS vt",
+            "1 + (k DIV 7) % 4 AS mi",
+            "1 + (k DIV 7) % 6 AS md")
+          .selectExpr("k", "'1' AS chrom", "pos",
+            s"""CASE WHEN vt IN (3, 4) THEN ${b("pos")} || ${b("pos + 1")}
+                  || CASE WHEN md >= 2 THEN ${b("pos + 2")} ELSE '' END
+                  || CASE WHEN md >= 3 THEN ${b("pos + 3")} ELSE '' END
+                  || CASE WHEN md >= 4 THEN ${b("pos + 4")} ELSE '' END
+                  || CASE WHEN md >= 5 THEN ${b("pos + 5")} ELSE '' END
+                  || CASE WHEN md >= 6 THEN ${b("pos + 6")} ELSE '' END
+                WHEN vt = 6 THEN ${b("pos")} || ${b("pos + 1")}
+                ELSE ${b("pos")} END AS ref""",
+            s"""CASE WHEN vt IN (0, 1) THEN substr('ACGT',
+                  CAST((CAST((pos * 2654435761 % 1000000007) % 4 AS INT)
+                    + 1 + k % 3) % 4 AS INT) + 1, 1)
+                WHEN vt = 2 THEN ${b("pos")} || ${ib(1)}
+                  || CASE WHEN mi >= 2 THEN ${ib(2)} ELSE '' END
+                  || CASE WHEN mi >= 3 THEN ${ib(3)} ELSE '' END
+                  || CASE WHEN mi >= 4 THEN ${ib(4)} ELSE '' END
+                WHEN vt = 5 THEN ${b("pos")} || ${ib(1)} || ${ib(2)} || ${ib(3)}
+                WHEN vt = 6 THEN 'GG'
+                ELSE ${b("pos")} END AS alt""")
+        Consequence.csqExons(sites, exons, genome)
+          .select(col("k"), col("pos"), col("ref"), col("alt"), col("gene"),
+            col("consequence"))
+          .orderBy("k")
+      },
+      Some(s"""
+        WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        s0 AS (SELECT k, (k // 2300) % 10 AS g, (k % 2300) - 60 AS off,
+                k % 7 AS vt, 1 + (k // 7) % 4 AS mi, 1 + (k // 7) % 6 AS md
+              FROM ln),
+        s1 AS (SELECT *, CAST(1000 + 6000 * g AS BIGINT) AS cs,
+                CAST(1000 + 6000 * g + off AS BIGINT) AS pos,
+                CASE WHEN g % 2 = 0 THEN '+' ELSE '-' END AS strand,
+                'g' || CAST(g AS VARCHAR) AS gname
+              FROM s0),
+        v AS (SELECT *,
+                CASE WHEN vt IN (3, 4) THEN ${b("pos")} || ${b("pos + 1")}
+                  || CASE WHEN md >= 2 THEN ${b("pos + 2")} ELSE '' END
+                  || CASE WHEN md >= 3 THEN ${b("pos + 3")} ELSE '' END
+                  || CASE WHEN md >= 4 THEN ${b("pos + 4")} ELSE '' END
+                  || CASE WHEN md >= 5 THEN ${b("pos + 5")} ELSE '' END
+                  || CASE WHEN md >= 6 THEN ${b("pos + 6")} ELSE '' END
+                WHEN vt = 6 THEN ${b("pos")} || ${b("pos + 1")}
+                ELSE ${b("pos")} END AS ref,
+                CASE WHEN vt IN (0, 1) THEN substr('ACGT',
+                  CAST((CAST((pos * 2654435761 % 1000000007) % 4 AS INT)
+                    + 1 + k % 3) % 4 AS INT) + 1, 1)
+                WHEN vt = 2 THEN ${b("pos")} || ${ib(1)}
+                  || CASE WHEN mi >= 2 THEN ${ib(2)} ELSE '' END
+                  || CASE WHEN mi >= 3 THEN ${ib(3)} ELSE '' END
+                  || CASE WHEN mi >= 4 THEN ${ib(4)} ELSE '' END
+                WHEN vt = 5 THEN ${b("pos")} || ${ib(1)} || ${ib(2)} || ${ib(3)}
+                WHEN vt = 6 THEN 'GG'
+                ELSE ${b("pos")} END AS alt,
+                off + 1 AS dlo, off + md AS dhi,
+                CASE WHEN vt IN (3, 4)
+                     THEN (off + md >= -8 AND off + 1 <= 2157)
+                     ELSE (off BETWEEN -8 AND 2157) END AS hit,
+                CASE WHEN off BETWEEN 0 AND 99 THEN off
+                     WHEN off BETWEEN 1000 AND 1049 THEN 100 + off - 1000
+                     WHEN off BETWEEN 2000 AND 2149 THEN 150 + off - 2000
+                END AS c
+              FROM s1),
+        -- ===== SNP coding (vt 0/1): the q191 codon walk =====
+        cw AS (SELECT *, (o // 3) AS ci, o % 3 AS ph
+               FROM (SELECT *,
+                       CASE WHEN strand = '+' THEN c ELSE 299 - c END AS o
+                     FROM v WHERE vt IN (0, 1) AND hit AND c IS NOT NULL) x),
+        cb AS (SELECT *,
+                 ${tbaseOf("3 * ci")} AS tb0,
+                 ${tbaseOf("3 * ci + 1")} AS tb1,
+                 ${tbaseOf("3 * ci + 2")} AS tb2,
+                 CASE WHEN strand = '+' THEN alt
+                      ELSE translate(alt, 'ACGT', 'TGCA') END AS altb
+               FROM cw),
+        ca AS (SELECT *, ${aa("rcod")} AS aar, ${aa("acod")} AS aaa FROM
+                 (SELECT *, tb0 || tb1 || tb2 AS rcod,
+                    CASE ph WHEN 0 THEN altb || tb1 || tb2
+                            WHEN 1 THEN tb0 || altb || tb2
+                            ELSE tb0 || tb1 || altb END AS acod
+                  FROM cb) y),
+        snpr AS (SELECT k, pos, ref, alt, gname AS gene,
+                 CASE WHEN aar = aaa THEN 'synonymous'
+                      WHEN aaa = '*' THEN 'stop_gained'
+                      WHEN aar = '*' THEN 'stop_lost'
+                      ELSE 'missense' END AS consequence
+               FROM ca),
+        -- ===== point splice ladder (SNP non-coding) =====
+        snsp AS (SELECT k, pos, ref, alt, gname AS gene,
+                 ${ladder("off BETWEEN 0 AND 2149")} AS consequence
+               FROM (SELECT *,
+                       least(d00, d01, d02, d10, d11, d12) AS d,
+                       CASE WHEN least(d00, d01, d02)
+                              <= least(d10, d11, d12) THEN 0 ELSE 1 END AS side
+                     FROM (SELECT *, ${edgeSql("off", "off")}
+                           FROM v WHERE vt IN (0, 1) AND hit AND c IS NULL) z) w),
+        -- ===== insertions (vt 2/5) =====
+        iv AS (SELECT *, CASE WHEN vt = 2 THEN mi ELSE 3 END AS m,
+                 (c IS NOT NULL AND NOT (off IN (99, 1049, 2149))) AS icod
+               FROM v WHERE vt IN (2, 5) AND hit),
+        ifs AS (SELECT k, pos, ref, alt, gname AS gene,
+                 'frameshift' AS consequence
+               FROM iv WHERE icod AND m % 3 <> 0),
+        iw AS (SELECT *, (o // 3) AS ci, o % 3 AS ph
+               FROM (SELECT *,
+                       CASE WHEN strand = '+' THEN c ELSE 299 - c END AS o
+                     FROM iv WHERE icod AND m % 3 = 0) x),
+        iwb AS (SELECT *,
+                 ${tbaseOf("3 * ci")} || ${tbaseOf("3 * ci + 1")}
+                   || ${tbaseOf("3 * ci + 2")} AS cod,
+                 CASE WHEN strand = '+' THEN ${ib(1)} || ${ib(2)} || ${ib(3)}
+                      ELSE reverse(translate(${ib(1)} || ${ib(2)} || ${ib(3)},
+                        'ACGT', 'TGCA')) END AS insT,
+                 CASE WHEN strand = '+' THEN ph ELSE ph - 1 END AS ks
+               FROM iw),
+        iwn AS (SELECT *, substr(win, 1, 3) AS w1, substr(win, 4, 3) AS w2
+               FROM (SELECT *,
+                       substr(cod, 1, CAST(ks + 1 AS INT)) || insT
+                         || substr(cod, CAST(ks + 2 AS INT),
+                              CAST(2 - ks AS INT)) AS win
+                     FROM iwb) y),
+        iir AS (SELECT k, pos, ref, alt, gname AS gene,
+                 CASE WHEN ${aa("w1")} = '*' OR ${aa("w2")} = '*'
+                      THEN 'stop_gained'
+                      ELSE 'inframe_insertion' END AS consequence
+               FROM iwn),
+        insp AS (SELECT k, pos, ref, alt, gname AS gene,
+                 ${ladder("off BETWEEN 0 AND 2149")} AS consequence
+               FROM (SELECT *,
+                       least(d00, d01, d02, d10, d11, d12) AS d,
+                       CASE WHEN least(d00, d01, d02)
+                              <= least(d10, d11, d12) THEN 0 ELSE 1 END AS side
+                     FROM (SELECT *, ${edgeSql("off + 1", "off")}
+                           FROM iv WHERE NOT icod) z) w),
+        -- ===== deletions (vt 3/4): exonic c-range by 3-exon unroll =====
+        dv AS (SELECT *,
+                 least(
+                   CASE WHEN least(dhi, 99) >= greatest(dlo, 0)
+                        THEN 0 + greatest(dlo - 0, 0) ELSE 4000000000 END,
+                   CASE WHEN least(dhi, 1049) >= greatest(dlo, 1000)
+                        THEN 100 + greatest(dlo - 1000, 0) ELSE 4000000000 END,
+                   CASE WHEN least(dhi, 2149) >= greatest(dlo, 2000)
+                        THEN 150 + greatest(dlo - 2000, 0) ELSE 4000000000 END)
+                   AS ca2,
+                 greatest(
+                   CASE WHEN least(dhi, 99) >= greatest(dlo, 0)
+                        THEN 0 + least(dhi, 99) - 0 ELSE -1 END,
+                   CASE WHEN least(dhi, 1049) >= greatest(dlo, 1000)
+                        THEN 100 + least(dhi, 1049) - 1000 ELSE -1 END,
+                   CASE WHEN least(dhi, 2149) >= greatest(dlo, 2000)
+                        THEN 150 + least(dhi, 2149) - 2000 ELSE -1 END) AS cb2
+               FROM v WHERE vt IN (3, 4) AND hit),
+        dx AS (SELECT *, cb2 - ca2 + 1 AS mdel,
+                 CASE WHEN strand = '+' THEN ca2 ELSE 299 - cb2 END AS oa,
+                 CASE WHEN strand = '+' THEN cb2 ELSE 299 - ca2 END AS ob
+               FROM dv WHERE ca2 <= 299),
+        dfr AS (SELECT k, pos, ref, alt, gname AS gene,
+                 CASE WHEN mdel % 3 <> 0 THEN 'frameshift'
+                      WHEN oa <= 2 THEN 'start_lost'
+                      WHEN ob >= 297 THEN 'stop_lost' END AS consequence
+               FROM dx WHERE mdel % 3 <> 0 OR oa <= 2 OR ob >= 297),
+        dj AS (SELECT *,
+                 ${tbaseOf("CASE WHEN oa - (oa % 3) < oa THEN oa - (oa % 3) ELSE oa - (oa % 3) + (ob - oa + 1) END")} AS jb0,
+                 ${tbaseOf("CASE WHEN oa - (oa % 3) + 1 < oa THEN oa - (oa % 3) + 1 ELSE oa - (oa % 3) + 1 + (ob - oa + 1) END")} AS jb1,
+                 ${tbaseOf("CASE WHEN oa - (oa % 3) + 2 < oa THEN oa - (oa % 3) + 2 ELSE oa - (oa % 3) + 2 + (ob - oa + 1) END")} AS jb2
+               FROM dx WHERE mdel % 3 = 0 AND oa > 2 AND ob < 297),
+        djr AS (SELECT k, pos, ref, alt, gname AS gene,
+                 CASE WHEN ${aa("jb0 || jb1 || jb2")} = '*'
+                      THEN 'stop_gained' ELSE 'inframe_deletion'
+                 END AS consequence
+               FROM dj),
+        dsp AS (SELECT k, pos, ref, alt, gname AS gene,
+                 ${ladder("dhi >= 0 AND dlo <= 2149")} AS consequence
+               FROM (SELECT *,
+                       least(d00, d01, d02, d10, d11, d12) AS d,
+                       CASE WHEN least(d00, d01, d02)
+                              <= least(d10, d11, d12) THEN 0 ELSE 1 END AS side
+                     FROM (SELECT *, ${edgeSql("dlo", "dhi")}
+                           FROM dv WHERE ca2 > 299) z) w),
+        -- ===== complex + misses =====
+        cxr AS (SELECT k, pos, ref, alt, gname AS gene,
+                 'complex' AS consequence
+               FROM v WHERE vt = 6 AND hit),
+        nor AS (SELECT k, pos, ref, alt, CAST(NULL AS VARCHAR) AS gene,
+                 'intergenic' AS consequence
+               FROM v WHERE NOT hit)
+        SELECT k, pos, ref, alt, gene, consequence
+        FROM (SELECT * FROM snpr UNION ALL SELECT * FROM snsp
+              UNION ALL SELECT * FROM ifs UNION ALL SELECT * FROM iir
+              UNION ALL SELECT * FROM insp
+              UNION ALL SELECT * FROM dfr UNION ALL SELECT * FROM djr
+              UNION ALL SELECT * FROM dsp
+              UNION ALL SELECT * FROM cxr UNION ALL SELECT * FROM nor) r
+        ORDER BY k
+      """))
+  }
+
+  /** KING RELATEDNESS CLASSES ([[graft.operators.VariantQc
+    * .relatednessClasses]], plink2 `--make-king-table`'s verdict
+    * column over q91's kinship substrate): the gate PLANTS a duplicate
+    * sample — g5 clones g1's calls, the sample-swap/repeated-library
+    * scenario the screen exists to catch — so the `duplicate` band is
+    * observable (φ̂ = ½ exactly) next to the cohort's natural
+    * negative-tail `unrelated` pairs; the PO/FS/2nd/3rd bands are
+    * spec-pinned on hand-built count fixtures. DuckDB replays the
+    * clone union (`* REPLACE`), the pair counts, both micro divisions,
+    * and the band CASE ladder.
+    */
+  private val q197 = Q(
+    "q197_relatedness",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val withDup = ann.unionByName(
+        ann.filter(col("sample_id") === "g1")
+          .withColumn("sample_id", lit("g5")))
+      graft.operators.VariantQc.relatednessClasses(withDup)
+        .orderBy("sample_a", "sample_b")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      au AS (SELECT * FROM ann UNION ALL
+             SELECT * REPLACE ('g5' AS sample_id) FROM ann
+             WHERE sample_id = 'g1'),
+      g AS (SELECT chrom, pos, ref, alt, sample_id AS s,
+              (a1 <> a2) AS het,
+              CASE WHEN a1 = a2 THEN a1 END AS hom
+            FROM au
+            WHERE a1 IS NOT NULL AND a1 <> '.'
+              AND a2 IS NOT NULL AND a2 <> '.'),
+      p AS (SELECT a.s AS sample_a, b.s AS sample_b,
+              a.het AS het_a, b.het AS het_b, a.hom AS hom_a, b.hom AS hom_b
+            FROM g a JOIN g b USING (chrom, pos, ref, alt)
+            WHERE a.s < b.s),
+      k AS (SELECT sample_a, sample_b,
+              count(*) AS n_sites,
+              CAST(sum(CASE WHEN het_a THEN 1 ELSE 0 END) AS BIGINT) AS n_het_a,
+              CAST(sum(CASE WHEN het_b THEN 1 ELSE 0 END) AS BIGINT) AS n_het_b,
+              CAST(sum(CASE WHEN het_a AND het_b THEN 1 ELSE 0 END) AS BIGINT) AS n_hethet,
+              CAST(sum(CASE WHEN hom_a IS NOT NULL AND hom_b IS NOT NULL
+                                AND hom_a <> hom_b THEN 1 ELSE 0 END) AS BIGINT) AS n_opp
+            FROM p GROUP BY sample_a, sample_b),
+      c AS (SELECT *,
+              ${microSql("(n_hethet - 2 * n_opp) * 1.0 / (n_het_a + n_het_b)")} AS kinship_micro,
+              ${microSql("n_opp * 1.0 / n_sites")} AS ibs0_micro
+            FROM k WHERE n_het_a + n_het_b > 0)
+      SELECT sample_a, sample_b, n_sites, n_het_a, n_het_b, n_hethet, n_opp,
+        kinship_micro, ibs0_micro,
+        CASE WHEN kinship_micro > 353553 THEN 'duplicate'
+             WHEN kinship_micro > 176776 THEN
+               CASE WHEN ibs0_micro < 5000 THEN 'parent_offspring'
+                    ELSE 'full_sib' END
+             WHEN kinship_micro > 88388 THEN 'second_degree'
+             WHEN kinship_micro > 44194 THEN 'third_degree'
+             ELSE 'unrelated' END AS relationship
+      FROM c ORDER BY sample_a, sample_b
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
-      q188, q191, q192, q196)
+      q188, q191, q192, q196, q197, q198)
 }

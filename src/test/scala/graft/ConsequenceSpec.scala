@@ -351,4 +351,150 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  // ---- csqExons: indels over multi-exon transcripts ----
+  //
+  // gene A '+', exons (11,20)+(31,44), transcript (24 bases):
+  //   ATG GCC GGT TCT AGC GAA TTT GGG  = M A G S S E F G
+  //   c 0..9 = genome 11..20, c 10..23 = genome 31..44
+  // gene B '−', exons (111,120)+(131,138), transcript (18 bases):
+  //   ATG GCC GGT TCT AGC GAA  (genome holds the complement, read
+  //   right-to-left)
+  private val ceGenome = Map("1" ->
+    ("A" * 10 + "ATGGCCGGTT" + "C" * 10 + "CTAGCGAATTTGGG" + "A" * 66 +
+      "TTCGCTAGAA" + "G" * 10 + "CCGGCCAT" + "AA"))
+
+  private lazy val ceModel = {
+    import spark.implicits._
+    Seq(
+      ("A", "1", "+", 11L, 20L), ("A", "1", "+", 31L, 44L),
+      ("B", "1", "-", 111L, 120L), ("B", "1", "-", 131L, 138L))
+      .toDF("gene", "chrom", "strand", "exon_start", "exon_end")
+  }
+
+  private def callCe(rows: (Long, Long, String, String)*) = {
+    import spark.implicits._
+    val sites = rows.toSeq
+      .map { case (id, p, r, a) => (id, "1", p, r, a) }
+      .toDF("id", "chrom", "pos", "ref", "alt")
+    Consequence.csqExons(sites, ceModel, ceGenome)
+      .select("id", "consequence")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("csqExons deletions: junction-spanning inframe, frame by EXONIC " +
+      "length only, start/stop hits, junction stop_gained, splice span") {
+    val out = callCe(
+      // deletes transcript offsets 9..11 ACROSS the junction (exonic
+      // bases 20, 31, 32 of the 14-base genome span) → inframe;
+      // junction codon = kept offsets 12..14 = AGC
+      (1L, 19L, "TTCCCCCCCCCCCT", "T"),
+      // one exonic base (16) deleted → frameshift
+      (3L, 15L, "CC", "C"),
+      // pure intronic span [23,24] → nearest facing edge 3 → region
+      (4L, 22L, "CCC", "C"),
+      // intronic ANCHOR (28), span eats 3 bases of exon 2 → inframe;
+      // junction codon T(9) + G(13←10) + C(14←11) = TGC
+      (5L, 28L, "CCCCTA", "C"),
+      // removes transcript offsets 1..3 → start_lost
+      (6L, 11L, "ATGG", "A"),
+      // removes the terminal codon's offsets 21..23 → stop_lost
+      (7L, 41L, "TGGG", "T"),
+      // removes offsets 10..15: kept junction = T(9) A(16) A(17) = TAA
+      (19L, 30L, "CCTAGCG", "C"),
+      // exon-edge-straddling del, ONE exonic base → frameshift
+      (18L, 19L, "TTC", "T"))
+    assert(out(1L) === "inframe_deletion")
+    assert(out(3L) === "frameshift")
+    assert(out(4L) === "splice_region")
+    assert(out(5L) === "inframe_deletion")
+    assert(out(6L) === "start_lost")
+    assert(out(7L) === "stop_lost")
+    assert(out(19L) === "stop_gained")
+    assert(out(18L) === "frameshift")
+  }
+
+  test("csqExons insertions: transcript-slot splice both strands, " +
+      "frameshift by m, boundary insert reads splice_donor") {
+    val out = callCe(
+      // '+' anchor c1/ph1, ins ATA → window AT|ATA|G = ATA TAG → stop
+      (8L, 12L, "T", "TATA"),
+      // same slot, ins GCC → ATG CCG = M P → inframe
+      (9L, 12L, "T", "TGCC"),
+      // m = 1 → frameshift
+      (10L, 12L, "T", "TA"),
+      // anchor on exon 1's LAST base: the insert lands one base into
+      // the intron → splice_donor on '+', NOT deep intron
+      (11L, 20L, "T", "TG"),
+      // '−' strand: anchor c4/o13/ph1, insert before the slot; ins TTA
+      // revcomps to TAA → window A|TAA|GC = ATA AGC = I S → inframe
+      (14L, 115L, "C", "CTTA"))
+    assert(out(8L) === "stop_gained")
+    assert(out(9L) === "inframe_insertion")
+    assert(out(10L) === "frameshift")
+    assert(out(11L) === "splice_donor")
+    assert(out(14L) === "inframe_insertion")
+  }
+
+  test("csqExons SNPs, splice ladder, and passthroughs; junction codon " +
+      "on '−'; bit-identity with snpConsequenceExons on SNP input") {
+    val out = callCe(
+      // '+' junction codon TCT (bases at genome 20, 31, 32), alt at
+      // phase 1 → TGT → missense
+      (2L, 31L, "C", "G"),
+      // '−' junction codon GGT (c 11,10,9 = genome 132,131,120), alt T
+      // at genome 131 complements to A → GAT → missense
+      (13L, 131L, "C", "T"),
+      // 2 bases before exon 2's start on '+' → splice_acceptor
+      (12L, 29L, "C", "A"),
+      // 1 base after exon 1's genome end on '−' → transcript-upstream
+      // side → splice_acceptor
+      (15L, 121L, "G", "A"),
+      // outside both gene spans + flanks
+      (16L, 60L, "A", "T"),
+      // neither SNP nor anchored indel
+      (17L, 25L, "CAT", "CG"),
+      // '−' frameshift deletion, one exonic base
+      (20L, 117L, "AG", "A"))
+    assert(out(2L) === "missense")
+    assert(out(13L) === "missense")
+    assert(out(12L) === "splice_acceptor")
+    assert(out(15L) === "splice_acceptor")
+    assert(out(16L) === "intergenic")
+    assert(out(17L) === "complex")
+    assert(out(20L) === "frameshift")
+
+    // SNP inputs: csqExons ≡ snpConsequenceExons label-for-label over
+    // every position of both gene regions
+    import spark.implicits._
+    val sweep = (1L to 140L).map(p => ("1", p, "A", "G"))
+      .toDF("chrom", "pos", "ref", "alt")
+    val a = Consequence.csqExons(sweep, ceModel, ceGenome)
+      .select("pos", "gene", "consequence")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).orNull,
+        r.getString(2))).sortBy(t => (t._1, Option(t._2).getOrElse("")))
+    val b = Consequence.snpConsequenceExons(sweep, ceModel, ceGenome)
+      .select("pos", "gene", "consequence")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).orNull,
+        r.getString(2))).sortBy(t => (t._1, Option(t._2).getOrElse("")))
+    assert(a === b)
+  }
+
+  test("plan: csqExons keeps the broadcast + narrow-projection shape " +
+      "(the one exchange builds the parameter-small gene model)") {
+    import spark.implicits._
+    val sites = spark.range(100).select(lit("1").as("chrom"),
+      (col("id") + 3L).as("pos"), lit("A").as("ref"), lit("AG").as("alt"))
+    val q = Consequence.csqExons(sites, ceModel, ceGenome)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the exon-model window's exchange (on gene, inside the broadcast
+    // build side) is the ONLY shuffle — nothing corpus-side
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size <= 1 &&
+      exchanges.forall(_.contains("gene")), plan)
+  }
 }

@@ -370,6 +370,58 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(t("2") === ((1L, 1L, 0L, 1000000L)))
   }
 
+  test("relatednessClasses: every KING band + the PO/FS IBS0 split, " +
+      "hand-computed kinship and ibs0") {
+    import spark.implicits._
+    // each pair lives on its own site block (only that pair called
+    // there), so per-pair counts are fully controlled
+    def rows(a: String, b: String, base: Long,
+        g: Seq[((String, String), (String, String))]) =
+      g.zipWithIndex.flatMap { case ((ga, gb), i) => Seq(
+        ("1", base + i, "A", "T", a, ga._1, ga._2),
+        ("1", base + i, "A", "T", b, gb._1, gb._2)) }
+    val het = ("A", "T"); val homR = ("A", "A"); val homA = ("T", "T")
+    val ann = (
+      // duplicate: 4 shared hets + 6 shared homs → φ = 4/8 = 0.5
+      rows("da", "db", 100L,
+        Seq.fill(4)((het, het)) ++ Seq.fill(6)((homR, homR))) ++
+      // parent-offspring: hethet 4, hets 8/8, opp 0 → φ = 0.25, ibs0 0
+      rows("pa", "pb", 200L,
+        Seq.fill(4)((het, het)) ++ Seq.fill(4)((het, homR)) ++
+        Seq.fill(4)((homR, het)) ++ Seq.fill(4)((homR, homR))) ++
+      // full sibs: hethet 6, hets 8/8, opp 1, 20 sites
+      //   → φ = (6−2)/16 = 0.25, ibs0 = 1/20 = 0.05
+      rows("fa", "fb", 300L,
+        Seq.fill(6)((het, het)) ++ Seq.fill(2)((het, homR)) ++
+        Seq.fill(2)((homR, het)) ++ Seq((homR, homA)) ++
+        Seq.fill(9)((homR, homR))) ++
+      // second degree: hethet 2, hets 8/8 → φ = 2/16 = 0.125
+      rows("sa", "sb", 400L,
+        Seq.fill(2)((het, het)) ++ Seq.fill(6)((het, homR)) ++
+        Seq.fill(6)((homR, het)) ++ Seq.fill(2)((homR, homR))) ++
+      // third degree: hethet 1, hets 8/8 → φ = 1/16 = 0.0625
+      rows("ta", "tb", 500L,
+        Seq.fill(1)((het, het)) ++ Seq.fill(7)((het, homR)) ++
+        Seq.fill(7)((homR, het)) ++ Seq.fill(1)((homR, homR))) ++
+      // unrelated: no hethet, one opposite hom → φ = −2/4 = −0.5
+      rows("ua", "ub", 600L,
+        Seq.fill(2)((het, homR)) ++ Seq.fill(2)((homR, het)) ++
+        Seq((homR, homA))))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "a1", "a2")
+    val out = graft.operators.VariantQc.relatednessClasses(ann)
+      .select($"sample_a", $"kinship_micro", $"ibs0_micro", $"relationship")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.size === 6, out)
+    assert(out("da") === ((500000L, 0L, "duplicate")))
+    assert(out("pa") === ((250000L, 0L, "parent_offspring")))
+    assert(out("fa") === ((250000L, 50000L, "full_sib")))
+    assert(out("sa") === ((125000L, 0L, "second_degree")))
+    assert(out("ta") === ((62500L, 0L, "third_degree")))
+    assert(out("ua")._3 === "unrelated")
+    assert(out("ua")._1 === -500000L)
+  }
+
   test("deNovoCandidates: child-het + hom-ref parents only; double " +
       "violations, inherited hets, missing and multiallelic excluded") {
     import spark.implicits._
