@@ -581,15 +581,23 @@ object DocStreams {
       docs: DataFrame, grid: Seq[(Int, Int, Long)], rareMax: Long,
       depth: Int = 4, width: Int = 64): DataFrame = {
     require(rareMax >= 0L, s"rareMax must be non-negative, got $rareMax")
-    val toks = wsTokens(col("text"))
-    val nRare = size(filter(toks, t =>
-      Sketches.cmsEstimateCol(grid, t, depth, width) <= rareMax))
-    docs.select(col("doc_id"),
-      size(toks).as("n_toks"),
-      nRare.cast("long").as("n_rare"),
-      when(size(toks) === 0, 0L).otherwise(
-        floor(nRare.cast("double") / size(toks).cast("double") * 1000000.0)
-          .cast("long")).as("novelty_micro"))
+    // STAGED (§8 r11 rule): the rare-token filter is a CodegenFallback
+    // HOF referenced by two output columns — inlined, each reference
+    // re-ran the full per-token CMS fold (measured 10× exec swings on
+    // the q146 gate). One stateless projection per stage; stream ≡
+    // batch unchanged.
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("__t"))
+      .withColumn("__rare", size(filter(col("__t"), t =>
+        Sketches.cmsEstimateCol(grid, t, depth, width) <= rareMax))
+        .cast("long"))
+      .select(col("doc_id"),
+        size(col("__t")).as("n_toks"),
+        col("__rare").as("n_rare"),
+        when(size(col("__t")) === 0, 0L).otherwise(
+          floor(col("__rare").cast("double") /
+            size(col("__t")).cast("double") * 1000000.0)
+            .cast("long")).as("novelty_micro"))
   }
 
   /** Stateless streaming HOT-TOKEN probe against the incrementally
@@ -614,15 +622,19 @@ object DocStreams {
       docs: DataFrame, summary: Seq[(String, Long)],
       minLo: Long = 1L): DataFrame = {
     require(minLo >= 1L, s"minLo must be >= 1, got $minLo")
-    val toks = wsTokens(col("text"))
-    val nHot = size(filter(toks, t =>
-      Sketches.mgCountCol(summary, t) >= minLo))
-    docs.select(col("doc_id"),
-      size(toks).as("n_toks"),
-      nHot.cast("long").as("n_hot"),
-      when(size(toks) === 0, 0L).otherwise(
-        floor(nHot.cast("double") / size(toks).cast("double") * 1000000.0)
-          .cast("long")).as("hot_micro"))
+    // staged like [[cmsNoveltyStream]] — the hot-token HOF is
+    // CodegenFallback and double-referenced
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("__t"))
+      .withColumn("__hot", size(filter(col("__t"), t =>
+        Sketches.mgCountCol(summary, t) >= minLo)).cast("long"))
+      .select(col("doc_id"),
+        size(col("__t")).as("n_toks"),
+        col("__hot").as("n_hot"),
+        when(size(col("__t")) === 0, 0L).otherwise(
+          floor(col("__hot").cast("double") /
+            size(col("__t")).cast("double") * 1000000.0)
+            .cast("long")).as("hot_micro"))
   }
 
   /** Stateless streaming TYPO probe against the persisted SymSpell
