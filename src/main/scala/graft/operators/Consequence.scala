@@ -300,6 +300,38 @@ object Consequence {
       .drop("__wint", "__insaas")
   }
 
+  /** PER-GENE CONSEQUENCE-CLASS BURDEN — the gnomAD-constraint-style
+    * rollup over a consequence table ([[csq]]/[[csqExons]] output; Lek
+    * et al. 2016 / Karczewski et al. 2020's observed-variant counts
+    * per functional class): how many LoF / missense / synonymous /
+    * inframe variants each gene carries. The LoF set follows LOFTEE's
+    * high-confidence classes — stop_gained, frameshift, splice_donor,
+    * splice_acceptor; start_lost/stop_lost/splice_region/intron and
+    * passthroughs count under `n_other`. This is the input table of
+    * constraint scoring (obs/exp), gene-ranking dashboards, and the
+    * denominator side of burden tests. One partial-aggregated
+    * groupBy(gene) — conditional sums combine map-side; intergenic
+    * (NULL-gene) rows are excluded.
+    */
+  def consequenceBurden(csqRows: DataFrame, geneCol: String = "gene",
+      consequenceCol: String = "consequence"): DataFrame = {
+    val c = col(consequenceCol)
+    def n(p: Column) = sum(when(p, 1L).otherwise(0L))
+    csqRows.filter(col(geneCol).isNotNull)
+      .groupBy(col(geneCol))
+      .agg(
+        count(lit(1)).as("n_total"),
+        n(c.isin("stop_gained", "frameshift", "splice_donor",
+          "splice_acceptor")).as("n_lof"),
+        n(c === "missense").as("n_missense"),
+        n(c === "synonymous").as("n_synonymous"),
+        n(c.isin("inframe_insertion", "inframe_deletion"))
+          .as("n_inframe"),
+        n(!c.isin("stop_gained", "frameshift", "splice_donor",
+          "splice_acceptor", "missense", "synonymous",
+          "inframe_insertion", "inframe_deletion")).as("n_other"))
+  }
+
   /** FULL consequence calling on MULTI-EXON transcript models — the
     * [[csq]] × [[snpConsequenceExons]] product, closing the last
     * compositional gap: indels against a SPLICED coding sequence.

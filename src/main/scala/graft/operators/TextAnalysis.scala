@@ -328,6 +328,60 @@ object TextAnalysis {
           .as(s"dup${dupN}gram_char_micro"): _*)
   }
 
+  /** CCNet PERPLEXITY BUCKETS (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets" §4.3 — the head/middle/tail
+    * split): divide each source's documents into `nBuckets` equal-mass
+    * tiers of a quality score (canonically per-doc LM perplexity —
+    * [[bigramLmNll]]'s output feeds this directly), so downstream
+    * mixing can up-weight the head and drop or down-weight the tail.
+    * Bucket 0 = lowest scores (head/best), nBuckets−1 = tail.
+    *
+    * Exactness contract: thresholds are QUANTIZED to `binWidth` — the
+    * cut lands on the first histogram bin whose cumulative mass
+    * reaches q·n/nBuckets (exact integer cross-multiplication
+    * k·cum ≥ q·n, no division), and every doc in the threshold bin
+    * goes to the LOWER bucket. Tier masses are therefore equal up to
+    * bin granularity — the price of a single-pass distributed
+    * quantile, and fully engine-replayable (no percentile
+    * interpolation semantics to match). Tighter `binWidth` → tighter
+    * tiers.
+    *
+    * Scale shape: ONE partial-aggregated (source, bin) histogram; the
+    * cumulative and threshold steps run on the HISTOGRAM (bounded by
+    * score-range/binWidth per source — never the corpus; the windows'
+    * partitions are bin-counts, not doc-counts); thresholds broadcast
+    * back; assignment is a narrow projection. The naive per-source
+    * ntile window would sort every source through one task — the q96
+    * trap.
+    */
+  def perplexityBuckets(scored: org.apache.spark.sql.DataFrame,
+      sourceCol: String, scoreCol: String, nBuckets: Int = 3,
+      binWidth: Long = 10000L): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
+    import org.apache.spark.sql.expressions.Window
+    val bin = expr(s"CAST($scoreCol AS BIGINT) DIV $binWidth")
+    val hist = scored.groupBy(col(sourceCol), bin.as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col(sourceCol)).orderBy(col("__bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col(sourceCol))))
+    val tAggs = (1 until nBuckets).map(q =>
+      min(when(col("__cum") * nBuckets >= col("__n") * q, col("__bin")))
+        .as(s"__t$q"))
+    val thresholds = cum.groupBy(col(sourceCol))
+      .agg(tAggs.head, tAggs.tail: _*)
+    scored.join(broadcast(thresholds), Seq(sourceCol))
+      .withColumn("bucket",
+        (1 until nBuckets).map(q =>
+          when(bin > col(s"__t$q"), 1).otherwise(0))
+          .reduce(_ + _))
+      .drop((1 until nBuckets).map(q => s"__t$q"): _*)
+  }
+
   /** LINE-level LANGUAGE PURITY — the CCNet per-line language pass
     * above document-level [[langId]]: classify every non-blank line,
     * report the doc's majority line-language and the fraction of lines

@@ -5164,6 +5164,78 @@ object LlmQueries extends QuerySet {
       ORDER BY doc_id
     """))
 
+  /** CCNet PERPLEXITY BUCKETS ([[graft.operators.TextAnalysis
+    * .perplexityBuckets]], Wenzek et al. 2020 §4.3 — the head/middle/
+    * tail split every CommonCrawl pipeline runs between scoring and
+    * mixing): q180's bigram-LM scores bucketed into per-source
+    * equal-mass terciles via the HISTOGRAM two-phase (exact integer
+    * cross-multiplied thresholds on bin cumulative mass — no
+    * percentile interpolation, no per-source corpus window). DuckDB
+    * retrains the model, rescores every doc, and replays the
+    * histogram, the k·cum ≥ q·n threshold rule, and the
+    * threshold-bin-goes-low assignment; unscoreable docs (< 1 bigram)
+    * are outside the split on both sides.
+    */
+  private lazy val q199 = Q(
+    "q199_ppl_buckets",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val scored = TextAnalysis.bigramLmNll(docs,
+          docs.filter(col("doc_id") % 10 < 3), maxBigrams = 500)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      TextAnalysis.perplexityBuckets(scored, "source", "nll_mean_micro",
+          nBuckets = 3, binWidth = 200000L)
+        .select(col("doc_id"), col("source"), col("nll_mean_micro"),
+          col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+              string_split_regex(trim(lower(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0),
+      ru AS (SELECT unnest(w) AS a FROM toks WHERE doc_id % 10 < 3),
+      refu AS (SELECT a, count(*) AS ca FROM ru GROUP BY a),
+      vv AS (SELECT count(*) + 1 AS v FROM refu),
+      rb AS (SELECT unnest(list_transform(range(1, CAST(len(w) AS INT)),
+               i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS ng
+            FROM toks WHERE doc_id % 10 < 3),
+      refb AS (SELECT ng, count(*) AS cab FROM rb GROUP BY ng
+               ORDER BY cab DESC, ng LIMIT 500),
+      dg AS (SELECT doc_id,
+              unnest(list_transform(range(1, CAST(len(w) AS INT)),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS ng
+            FROM toks),
+      p AS (SELECT d.doc_id,
+              CAST(floor(ln(
+                CAST(coalesce(refb.cab, 0) + 1 AS DOUBLE) /
+                CAST(coalesce(refu.ca, 0) + vv.v AS DOUBLE)) * 1000000.0)
+                AS BIGINT) AS lp
+            FROM dg d
+            LEFT JOIN refb ON refb.ng = d.ng
+            LEFT JOIN refu ON refu.a = string_split(d.ng, ' ')[1]
+            CROSS JOIN vv),
+      sc AS (SELECT doc_id,
+              CAST((-sum(lp)) // count(*) AS BIGINT) AS nll_mean_micro
+            FROM p GROUP BY doc_id),
+      j AS (SELECT sc.doc_id, d.source, sc.nll_mean_micro
+            FROM sc JOIN documents d USING (doc_id)),
+      h AS (SELECT source, nll_mean_micro // 200000 AS bin, count(*) AS c
+            FROM j GROUP BY 1, 2),
+      cm AS (SELECT *, sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+              sum(c) OVER (PARTITION BY source) AS n FROM h),
+      th AS (SELECT source,
+              min(CASE WHEN cum * 3 >= n * 1 THEN bin END) AS t1,
+              min(CASE WHEN cum * 3 >= n * 2 THEN bin END) AS t2
+            FROM cm GROUP BY source)
+      SELECT j.doc_id, j.source, j.nll_mean_micro,
+        CAST(CASE WHEN j.nll_mean_micro // 200000 > th.t1 THEN 1 ELSE 0 END
+           + CASE WHEN j.nll_mean_micro // 200000 > th.t2 THEN 1 ELSE 0 END
+          AS INT) AS bucket
+      FROM j JOIN th USING (source)
+      ORDER BY doc_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -5172,5 +5244,5 @@ object LlmQueries extends QuerySet {
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
-      q180, q182, q183, q186, q187, q189, q190, q193, q194, q195)
+      q180, q182, q183, q186, q187, q189, q190, q193, q194, q195, q199)
 }

@@ -3295,7 +3295,13 @@ object VcfQueries extends QuerySet {
     * strand-adjusted slot, span-aware facing-edge splice ladders with
     * the struct-min tie rule, and the per-type widened join windows.
     */
-  private val q198 = {
+  /** Shared fixture for q198/q200: the ten 3-exon formula genes, the
+    * k % 7 variant-shape generator, and the closed-form DuckDB replay
+    * of [[graft.operators.Consequence.csqExons]] over them (no final
+    * ORDER BY — q198 orders by k, q200 aggregates per gene).
+    */
+  private object CsqExonsGate {
+
     def b(x: String) =
       s"substr('ACGT', CAST((($x) * 2654435761 % 1000000007) % 4 AS INT) + 1, 1)"
     def ib(j: Int) = b(s"pos * 31 + $j")
@@ -3332,58 +3338,61 @@ object VcfQueries extends QuerySet {
              WHEN d BETWEEN 3 AND 8 THEN 'splice_region'
              WHEN $inSpan THEN 'intron'
              ELSE 'intergenic' END"""
-    Q(
-      "q198_csq_exons_indel",
-      (s, dir) => {
-        import graft.operators.Consequence
-        val len = 61100
-        val sb = new StringBuilder(len)
-        (1 to len).foreach { p =>
-          sb.append("ACGT".charAt(
-            ((p.toLong * 2654435761L % 1000000007L) % 4L).toInt))
-        }
-        val genome = Map("1" -> sb.toString)
-        import s.implicits._
-        val exons = (0 until 10).flatMap { i =>
-          val cs = 1000L + i * 6000L
-          val st = if (i % 2 == 0) "+" else "-"
-          Seq((s"g$i", "1", st, cs, cs + 99L),
-            (s"g$i", "1", st, cs + 1000L, cs + 1049L),
-            (s"g$i", "1", st, cs + 2000L, cs + 2149L))
-        }.toDF("gene", "chrom", "strand", "exon_start", "exon_end")
-        val sites = QueryUtil.t(s, dir, "lineitem")
-          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
-          .repartition(s.sparkContext.defaultParallelism)
-          .selectExpr("k",
-            "CAST(1000 + 6000 * ((k DIV 2300) % 10) + (k % 2300) - 60 AS BIGINT) AS pos",
-            "k % 7 AS vt",
-            "1 + (k DIV 7) % 4 AS mi",
-            "1 + (k DIV 7) % 6 AS md")
-          .selectExpr("k", "'1' AS chrom", "pos",
-            s"""CASE WHEN vt IN (3, 4) THEN ${b("pos")} || ${b("pos + 1")}
-                  || CASE WHEN md >= 2 THEN ${b("pos + 2")} ELSE '' END
-                  || CASE WHEN md >= 3 THEN ${b("pos + 3")} ELSE '' END
-                  || CASE WHEN md >= 4 THEN ${b("pos + 4")} ELSE '' END
-                  || CASE WHEN md >= 5 THEN ${b("pos + 5")} ELSE '' END
-                  || CASE WHEN md >= 6 THEN ${b("pos + 6")} ELSE '' END
-                WHEN vt = 6 THEN ${b("pos")} || ${b("pos + 1")}
-                ELSE ${b("pos")} END AS ref""",
-            s"""CASE WHEN vt IN (0, 1) THEN substr('ACGT',
-                  CAST((CAST((pos * 2654435761 % 1000000007) % 4 AS INT)
-                    + 1 + k % 3) % 4 AS INT) + 1, 1)
-                WHEN vt = 2 THEN ${b("pos")} || ${ib(1)}
-                  || CASE WHEN mi >= 2 THEN ${ib(2)} ELSE '' END
-                  || CASE WHEN mi >= 3 THEN ${ib(3)} ELSE '' END
-                  || CASE WHEN mi >= 4 THEN ${ib(4)} ELSE '' END
-                WHEN vt = 5 THEN ${b("pos")} || ${ib(1)} || ${ib(2)} || ${ib(3)}
-                WHEN vt = 6 THEN 'GG'
-                ELSE ${b("pos")} END AS alt""")
-        Consequence.csqExons(sites, exons, genome)
-          .select(col("k"), col("pos"), col("ref"), col("alt"), col("gene"),
-            col("consequence"))
-          .orderBy("k")
-      },
-      Some(s"""
+
+    lazy val genome: Map[String, String] = {
+      val len = 61100
+      val sb = new StringBuilder(len)
+      (1 to len).foreach { p =>
+        sb.append("ACGT".charAt(
+          ((p.toLong * 2654435761L % 1000000007L) % 4L).toInt))
+      }
+      Map("1" -> sb.toString)
+    }
+
+    def exons(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      (0 until 10).flatMap { i =>
+        val cs = 1000L + i * 6000L
+        val st = if (i % 2 == 0) "+" else "-"
+        Seq((s"g$i", "1", st, cs, cs + 99L),
+          (s"g$i", "1", st, cs + 1000L, cs + 1049L),
+          (s"g$i", "1", st, cs + 2000L, cs + 2149L))
+      }.toDF("gene", "chrom", "strand", "exon_start", "exon_end")
+    }
+
+    def called(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+      import graft.operators.Consequence
+      val sites = QueryUtil.t(s, dir, "lineitem")
+        .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("k",
+          "CAST(1000 + 6000 * ((k DIV 2300) % 10) + (k % 2300) - 60 AS BIGINT) AS pos",
+          "k % 7 AS vt",
+          "1 + (k DIV 7) % 4 AS mi",
+          "1 + (k DIV 7) % 6 AS md")
+        .selectExpr("k", "'1' AS chrom", "pos",
+          s"""CASE WHEN vt IN (3, 4) THEN ${b("pos")} || ${b("pos + 1")}
+                || CASE WHEN md >= 2 THEN ${b("pos + 2")} ELSE '' END
+                || CASE WHEN md >= 3 THEN ${b("pos + 3")} ELSE '' END
+                || CASE WHEN md >= 4 THEN ${b("pos + 4")} ELSE '' END
+                || CASE WHEN md >= 5 THEN ${b("pos + 5")} ELSE '' END
+                || CASE WHEN md >= 6 THEN ${b("pos + 6")} ELSE '' END
+              WHEN vt = 6 THEN ${b("pos")} || ${b("pos + 1")}
+              ELSE ${b("pos")} END AS ref""",
+          s"""CASE WHEN vt IN (0, 1) THEN substr('ACGT',
+                CAST((CAST((pos * 2654435761 % 1000000007) % 4 AS INT)
+                  + 1 + k % 3) % 4 AS INT) + 1, 1)
+              WHEN vt = 2 THEN ${b("pos")} || ${ib(1)}
+                || CASE WHEN mi >= 2 THEN ${ib(2)} ELSE '' END
+                || CASE WHEN mi >= 3 THEN ${ib(3)} ELSE '' END
+                || CASE WHEN mi >= 4 THEN ${ib(4)} ELSE '' END
+              WHEN vt = 5 THEN ${b("pos")} || ${ib(1)} || ${ib(2)} || ${ib(3)}
+              WHEN vt = 6 THEN 'GG'
+              ELSE ${b("pos")} END AS alt""")
+      Consequence.csqExons(sites, exons(s), genome)
+    }
+
+    val oracleCore: String = s"""
         WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
         s0 AS (SELECT k, (k // 2300) % 10 AS g, (k % 2300) - 60 AS off,
                 k % 7 AS vt, 1 + (k // 7) % 4 AS mi, 1 + (k // 7) % 6 AS md
@@ -3550,10 +3559,53 @@ object VcfQueries extends QuerySet {
               UNION ALL SELECT * FROM insp
               UNION ALL SELECT * FROM dfr UNION ALL SELECT * FROM djr
               UNION ALL SELECT * FROM dsp
-              UNION ALL SELECT * FROM cxr UNION ALL SELECT * FROM nor) r
-        ORDER BY k
-      """))
+              UNION ALL SELECT * FROM cxr UNION ALL SELECT * FROM nor) r"""
   }
+
+  private val q198 = Q(
+    "q198_csq_exons_indel",
+    (s, dir) =>
+      CsqExonsGate.called(s, dir)
+        .select(col("k"), col("pos"), col("ref"), col("alt"), col("gene"),
+          col("consequence"))
+        .orderBy("k"),
+    Some(CsqExonsGate.oracleCore + "\n        ORDER BY k"))
+
+  /** PER-GENE CONSEQUENCE-CLASS BURDEN ([[graft.operators.Consequence
+    * .consequenceBurden]] — the gnomAD-constraint observed-counts
+    * rollup, Karczewski et al. 2020): LOFTEE-class LoF / missense /
+    * synonymous / inframe / other per gene over the full q198 indel +
+    * exon consequence sweep. One partial-aggregated groupBy on the
+    * csqExons output; DuckDB wraps the SAME closed-form replay in the
+    * aggregation, so any drift in ANY consequence branch shifts a
+    * class count and hash-mismatches here too (a second, independent
+    * projection of the q198 walk).
+    */
+  private val q200 = Q(
+    "q200_gene_burden",
+    (s, dir) =>
+      graft.operators.Consequence
+        .consequenceBurden(CsqExonsGate.called(s, dir))
+        .orderBy("gene"),
+    Some(s"""
+      SELECT gene, count(*) AS n_total,
+        CAST(sum(CASE WHEN consequence IN ('stop_gained', 'frameshift',
+          'splice_donor', 'splice_acceptor') THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_lof,
+        CAST(sum(CASE WHEN consequence = 'missense' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_missense,
+        CAST(sum(CASE WHEN consequence = 'synonymous' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_synonymous,
+        CAST(sum(CASE WHEN consequence IN ('inframe_insertion',
+          'inframe_deletion') THEN 1 ELSE 0 END) AS BIGINT) AS n_inframe,
+        CAST(sum(CASE WHEN consequence NOT IN ('stop_gained', 'frameshift',
+          'splice_donor', 'splice_acceptor', 'missense', 'synonymous',
+          'inframe_insertion', 'inframe_deletion') THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_other
+      FROM (${CsqExonsGate.oracleCore}) core
+      WHERE gene IS NOT NULL
+      GROUP BY gene ORDER BY gene
+    """))
 
   /** KING RELATEDNESS CLASSES ([[graft.operators.VariantQc
     * .relatednessClasses]], plink2 `--make-king-table`'s verdict
@@ -3624,5 +3676,5 @@ object VcfQueries extends QuerySet {
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
-      q188, q191, q192, q196, q197, q198)
+      q188, q191, q192, q196, q197, q198, q200)
 }

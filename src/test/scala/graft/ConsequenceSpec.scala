@@ -480,6 +480,26 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
     assert(a === b)
   }
 
+  test("consequenceBurden: LOFTEE class sorting, intergenic excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      ("gA", "frameshift"), ("gA", "stop_gained"), ("gA", "splice_donor"),
+      ("gA", "splice_acceptor"), ("gA", "missense"), ("gA", "missense"),
+      ("gA", "synonymous"), ("gA", "inframe_insertion"),
+      ("gA", "inframe_deletion"), ("gA", "start_lost"), ("gA", "intron"),
+      ("gB", "stop_lost"), ("gB", "splice_region"),
+      (null.asInstanceOf[String], "intergenic"))
+      .toDF("gene", "consequence")
+    val out = Consequence.consequenceBurden(rows)
+      .select("gene", "n_total", "n_lof", "n_missense", "n_synonymous",
+        "n_inframe", "n_other")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size === 2, "NULL-gene rows must be excluded")
+    assert(out("gA") === (("gA", 11L, 4L, 2L, 1L, 2L, 2L)))
+    assert(out("gB") === (("gB", 2L, 0L, 0L, 0L, 0L, 2L)))
+  }
+
   test("plan: csqExons keeps the broadcast + narrow-projection shape " +
       "(the one exchange builds the parameter-small gene model)") {
     import spark.implicits._

@@ -397,6 +397,51 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(d4._8 === 1000000L, "overlap positions counted once")
   }
 
+  test("perplexityBuckets: exact terciles at unit bins, uneven split " +
+      "rounds up the head, threshold bin goes LOW, quantization, " +
+      "per-source independence, partitioning invariance") {
+    def mk(rows: Seq[(String, Long, Long)]) =
+      rows.toDF("source", "doc_id", "score")
+    // source A: scores 1..9 at unit bins → exact terciles
+    // source B: scores 1..10 → ceil thresholds: head 4, middle 3, tail 3
+    val rows = (1L to 9L).map(i => ("A", i, i)) ++
+      (101L to 110L).map(i => ("B", i, i - 100L))
+    val out = TextAnalysis
+      .perplexityBuckets(mk(rows), "source", "score", 3, binWidth = 1L)
+      .select($"source", $"doc_id", $"bucket")
+      .as[(String, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    (1L to 3L).foreach(i => assert(out(("A", i)) === 0, i))
+    (4L to 6L).foreach(i => assert(out(("A", i)) === 1, i))
+    (7L to 9L).foreach(i => assert(out(("A", i)) === 2, i))
+    (101L to 104L).foreach(i => assert(out(("B", i)) === 0, i))
+    (105L to 107L).foreach(i => assert(out(("B", i)) === 1, i))
+    (108L to 110L).foreach(i => assert(out(("B", i)) === 2, i))
+    // quantized: binWidth 5 over 1..10 → bins 0(1-4) 1(5-9) 2(10);
+    // t1 = bin 0, t2 = bin 1 → middle holds the 5-doc bin
+    val q = TextAnalysis
+      .perplexityBuckets(mk((1L to 10L).map(i => ("A", i, i))), "source",
+        "score", 3, binWidth = 5L)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    (1L to 4L).foreach(i => assert(q(i) === 0, i))
+    (5L to 9L).foreach(i => assert(q(i) === 1, i))
+    assert(q(10L) === 2)
+    // degenerate: one bin → everyone head
+    val one = TextAnalysis
+      .perplexityBuckets(mk(Seq(("A", 1L, 7L), ("A", 2L, 7L))), "source",
+        "score", 3, binWidth = 100L)
+      .select($"bucket").as[Int].collect()
+    assert(one.toSeq === Seq(0, 0))
+    // partitioning invariance
+    val a = TextAnalysis
+      .perplexityBuckets(mk(rows), "source", "score", 3, 1L)
+      .select($"source", $"doc_id", $"bucket").collect().map(_.toSeq).toSet
+    val b = TextAnalysis
+      .perplexityBuckets(mk(rows).repartition(7), "source", "score", 3, 1L)
+      .select($"source", $"doc_id", $"bucket").collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("qualityGate: every rule flips on its own planted failure") {
     import spark.implicits._
     import graft.operators.TextAnalysis
