@@ -293,6 +293,71 @@ object RangeJoin {
       .drop("__blk")
   }
 
+  /** SUBTRACT mask intervals from region intervals — the `bedtools
+    * subtract` analogue, the other half of mask algebra next to
+    * [[mergeIntervals]]: clip every region to the parts NO mask
+    * covers (callability masks, blacklist regions, repeat tracks).
+    * Output rows are the kept sub-intervals with the region's payload
+    * columns preserved; regions fully covered emit nothing; regions
+    * the mask never touches pass through whole.
+    *
+    * Contract: region rows must be UNIQUE on (chrom, start, end) —
+    * the per-region gap walk keys on them (normalize with
+    * [[mergeIntervals]] upstream if needed). The mask needs no
+    * normalization: it is merged internally, so the per-region
+    * overlapping mask spans are DISJOINT and the kept gaps fall out
+    * of one `lag` pass.
+    *
+    * Scale shape: mask merge = [[mergeIntervals]]'s one window; the
+    * region×mask pairing is the [[intervalOverlap]] bucket equi-join
+    * (each pair exactly once); the gap walk windows per REGION — the
+    * partition is a region's own overlap count, never a chromosome;
+    * the after-last-mask piece is one partial-aggregated groupBy on
+    * the same key; untouched regions return via one anti-join. No
+    * corpus-sized sort, no per-chrom funnel.
+    */
+  def subtractIntervals(
+      regions: DataFrame, mask: DataFrame,
+      chromCol: String = "chrom",
+      startCol: String = "start", endCol: String = "end",
+      bucketShift: Int = 20): DataFrame = {
+    val payload = regions.columns
+      .filterNot(c => c == chromCol || c == startCol || c == endCol).toSeq
+    val outCols = (Seq(chromCol, startCol, endCol) ++ payload).map(col)
+    val bm = mergeIntervals(
+        mask.select(col(chromCol), col(startCol), col(endCol)),
+        chromCol, startCol, endCol)
+      .select(col(chromCol), col(startCol).as("__bs"),
+        col(endCol).as("__be"))
+    val ov = intervalOverlap(regions, bm, chromCol, startCol, endCol,
+      "__bs", "__be", bucketShift)
+    val wR = Window
+      .partitionBy(Seq(chromCol, startCol, endCol).map(col): _*)
+      .orderBy(col("__bs"))
+    // gap BEFORE each mask span: from the previous span's end (or the
+    // region start) up to this span's start
+    val before = ov
+      .withColumn("__gs", greatest(col(startCol),
+        coalesce(lag(col("__be"), 1).over(wR) + 1L, col(startCol))))
+      .withColumn("__ge", col("__bs") - 1L)
+      .filter(col("__gs") <= col("__ge"))
+      .select(col(chromCol) +: col("__gs").as(startCol) +:
+        col("__ge").as(endCol) +: payload.map(col): _*)
+    // gap AFTER the region's last mask span
+    val after = ov
+      .groupBy((Seq(chromCol, startCol, endCol) ++ payload).map(col): _*)
+      .agg(max(col("__be")).as("__maxbe"))
+      .filter(col("__maxbe") < col(endCol))
+      .select(col(chromCol) +: (col("__maxbe") + 1L).as(startCol) +:
+        col(endCol) +: payload.map(col): _*)
+    // untouched regions pass through whole
+    val untouched = regions
+      .join(ov.select(col(chromCol), col(startCol), col(endCol)).distinct(),
+        Seq(chromCol, startCol, endCol), "left_anti")
+      .select(outCols: _*)
+    before.unionByName(after).unionByName(untouched)
+  }
+
   /** Coordinate LIFTOVER — the UCSC liftOver / CrossMap analogue: map
     * each point (chromCol, posCol, …) through a CHAIN of alignment
     * blocks (chromCol, startCol, endCol → dstChromCol, dstStartCol,

@@ -1563,6 +1563,90 @@ object VcfQueries extends QuerySet {
       FROM merged GROUP BY chrom ORDER BY chrom
     """))
 
+  /** INTERVAL SUBTRACTION ([[graft.operators.RangeJoin
+    * .subtractIntervals]], the `bedtools subtract` analogue — the
+    * mask-algebra half next to q84's merge): the merged q81 regions
+    * minus a shifted synthetic mask whose widths vary by region_id, so
+    * multi-cut, edge-clip, full-cover, and untouched regions all
+    * occur; the merged regions' `n_merged` rides through as payload
+    * and its rollup sum pins the passthrough. DuckDB replays BOTH
+    * window merges, the overlap join, the per-region lag walk, the
+    * after-last-mask aggregate, the anti-joined untouched leg, and
+    * the union.
+    */
+  private val q201 = Q(
+    "q201_interval_subtract",
+    (s, dir) => {
+      val a = graft.operators.RangeJoin.mergeIntervals(
+        syntheticRegions(s, dir).select(col("chrom"),
+          col("start").cast("long").as("start"),
+          col("end").cast("long").as("end")))
+      val mask = syntheticRegions(s, dir).select(col("chrom"),
+        (col("start") + lit(211)).cast("long").as("start"),
+        (col("start") + lit(261) +
+          pmod(col("region_id"), lit(11L)).cast("int") * lit(97))
+          .cast("long").as("end"))
+      graft.operators.RangeJoin.subtractIntervals(a, mask)
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_pieces"),
+          sum(col("end") - col("start") + 1L).as("kept_bases"),
+          sum(col("start")).as("sum_start"),
+          sum(col("n_merged")).as("payload_sum"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH $regionsCteSql,
+      aord AS (SELECT chrom, rstart, rend,
+          max(rend) OVER (PARTITION BY chrom ORDER BY rstart, rend
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM regions),
+      ablk AS (SELECT chrom, rstart, rend,
+          sum(CASE WHEN pm IS NULL OR rstart > pm THEN 1 ELSE 0 END)
+            OVER (PARTITION BY chrom ORDER BY rstart, rend
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+        FROM aord),
+      am AS (SELECT chrom, CAST(min(rstart) AS BIGINT) AS s,
+               CAST(max(rend) AS BIGINT) AS e, count(*) AS n_merged
+             FROM ablk GROUP BY chrom, blk),
+      mk AS (SELECT chrom, CAST(rstart + 211 AS BIGINT) AS ms,
+               CAST(rstart + 261 + (region_id % 11) * 97 AS BIGINT) AS me
+             FROM regions),
+      mord AS (SELECT chrom, ms, me,
+          max(me) OVER (PARTITION BY chrom ORDER BY ms, me
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM mk),
+      mblk AS (SELECT chrom, ms, me,
+          sum(CASE WHEN pm IS NULL OR ms > pm THEN 1 ELSE 0 END)
+            OVER (PARTITION BY chrom ORDER BY ms, me
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+        FROM mord),
+      mm AS (SELECT chrom, min(ms) AS bs, max(me) AS be
+             FROM mblk GROUP BY chrom, blk),
+      ov AS (SELECT am.chrom, am.s, am.e, am.n_merged, mm.bs, mm.be
+             FROM am JOIN mm ON am.chrom = mm.chrom
+               AND am.s <= mm.be AND mm.bs <= am.e),
+      bef AS (SELECT chrom, n_merged,
+               greatest(s, coalesce(lag(be) OVER (PARTITION BY chrom, s, e
+                 ORDER BY bs) + 1, s)) AS s2,
+               bs - 1 AS e2
+             FROM ov),
+      befk AS (SELECT chrom, s2, e2, n_merged FROM bef WHERE s2 <= e2),
+      aft AS (SELECT chrom, s, e, n_merged, max(be) AS mbe
+              FROM ov GROUP BY 1, 2, 3, 4),
+      aftk AS (SELECT chrom, mbe + 1 AS s2, e AS e2, n_merged
+               FROM aft WHERE mbe < e),
+      unt AS (SELECT am.chrom, am.s AS s2, am.e AS e2, am.n_merged
+              FROM am ANTI JOIN (SELECT DISTINCT chrom, s, e FROM ov) o
+                ON am.chrom = o.chrom AND am.s = o.s AND am.e = o.e),
+      pieces AS (SELECT * FROM befk UNION ALL SELECT * FROM aftk
+                 UNION ALL SELECT * FROM unt)
+      SELECT chrom, count(*) AS n_pieces,
+        CAST(sum(e2 - s2 + 1) AS BIGINT) AS kept_bases,
+        CAST(sum(s2) AS BIGINT) AS sum_start,
+        CAST(sum(n_merged) AS BIGINT) AS payload_sum
+      FROM pieces GROUP BY chrom ORDER BY chrom
+    """))
+
   /** Per-region variant BURDEN — the composition gate proving the
     * range join feeds aggregation (the "variants per gene, weighted by
     * genotype" query burden tests start from): annotate → per-site alt
@@ -3676,5 +3760,5 @@ object VcfQueries extends QuerySet {
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
-      q188, q191, q192, q196, q197, q198, q200)
+      q188, q191, q192, q196, q197, q198, q200, q201)
 }

@@ -88,6 +88,38 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       s"interval merge shuffles more than once:\n$plan")
   }
 
+  test("subtractIntervals: multi-cut, full cover, untouched, edge " +
+      "clips, adjacent masks, overlapping masks merge, payload rides") {
+    val regions = Seq(
+      ("1", 10L, 100L, "a"),   // two interior masks → three pieces
+      ("1", 200L, 300L, "b"),  // fully covered → nothing
+      ("1", 400L, 450L, "c"),  // untouched → whole
+      ("1", 500L, 600L, "d"),  // mask covers the start
+      ("1", 700L, 800L, "e"),  // mask covers the end
+      ("1", 900L, 950L, "f"),  // ADJACENT masks: no empty gap between;
+                               // the e-mask [780,900] also clips base 900
+      ("1", 1000L, 1100L, "g")) // overlapping masks must merge first
+      .toDF("chrom", "start", "end", "name")
+    val mask = Seq(
+      ("1", 20L, 30L), ("1", 50L, 60L),
+      ("1", 150L, 350L),
+      ("1", 480L, 520L),
+      ("1", 780L, 900L),
+      ("1", 905L, 910L), ("1", 911L, 920L),
+      ("1", 1010L, 1050L), ("1", 1040L, 1080L))
+      .toDF("chrom", "start", "end")
+    val out = RangeJoin.subtractIntervals(regions.repartition(3),
+        mask.repartition(2))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(out === Set(
+      ("1", 10L, 19L, "a"), ("1", 31L, 49L, "a"), ("1", 61L, 100L, "a"),
+      ("1", 400L, 450L, "c"),
+      ("1", 521L, 600L, "d"),
+      ("1", 700L, 779L, "e"),
+      ("1", 901L, 904L, "f"), ("1", 921L, 950L, "f"),
+      ("1", 1000L, 1009L, "g"), ("1", 1081L, 1100L, "g")))
+  }
+
   test("nearestInterval: deterministic plan (no synthetic row ids), idCols honored") {
     val points = Seq(("1", 25, "a"), ("1", 25, "b")).toDF("chrom", "pos", "id")
     // no nondeterministic expression anywhere in the plan: under AQE
