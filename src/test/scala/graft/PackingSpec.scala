@@ -127,6 +127,25 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     assert(a !== c, "a different seed must lay a different stream")
   }
 
+  test("packSequences property sweep: 20 seeded-random corpora match " +
+      "the plain-Scala replay exactly") {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 20).foreach { case_ =>
+      val n = 1 + rnd.nextInt(60)
+      val rows = (1 to n).map(_ =>
+        (rnd.nextLong(1000000L), rnd.nextLong(800L)))
+        .distinctBy(_._1)
+      val seqLen = 1L + rnd.nextInt(300)
+      val seed = rnd.nextLong(1000L)
+      val out = Packing
+        .packSequences(rows.toDF("doc_id", "n_tok"), "doc_id", "n_tok",
+          seqLen, seed)
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      val want = replayPack(rows, seqLen, seed).sorted
+      assert(out === want, s"case $case_ (n=$n seqLen=$seqLen seed=$seed)")
+    }
+  }
+
   test("packSequences rejects bad parameters") {
     intercept[IllegalArgumentException] {
       Packing.packSequences(seqDocs, "doc_id", "n_tok", 0L)

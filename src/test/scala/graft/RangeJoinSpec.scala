@@ -120,6 +120,64 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       ("1", 1000L, 1009L, "g"), ("1", 1081L, 1100L, "g")))
   }
 
+  test("subtractIntervals property sweep: 15 seeded-random fixtures " +
+      "match the plain-Scala complement exactly") {
+    val rnd = new scala.util.Random(20260815L)
+    // plain-Scala reference: per region, the complement of the union
+    // of mask overlaps, walked base-free over sorted merged spans
+    def reference(regions: Seq[(String, Long, Long)],
+        masks: Seq[(String, Long, Long)]): Set[(String, Long, Long)] =
+      regions.flatMap { case (c, s, e) =>
+        val spans = masks.filter(m => m._1 == c && m._2 <= e && m._3 >= s)
+          .map(m => (math.max(m._2, s), math.min(m._3, e)))
+          .sortBy(identity)
+          .foldLeft(List.empty[(Long, Long)]) {
+            case (acc @ ((ps, pe) :: rest), (ms, me)) =>
+              if (ms <= pe + 1) (ps, math.max(pe, me)) :: rest
+              else (ms, me) :: acc
+            case (Nil, m) => m :: Nil
+          }.reverse
+        var cur = s
+        val kept = scala.collection.mutable.Buffer[(String, Long, Long)]()
+        spans.foreach { case (ms, me) =>
+          if (cur < ms) kept += ((c, cur, ms - 1))
+          cur = math.max(cur, me + 1)
+        }
+        if (cur <= e) kept += ((c, cur, e))
+        kept
+      }.toSet
+    (1 to 15).foreach { case_ =>
+      // disjoint regions per chrom (unique-key contract) on 2 chroms
+      val regions = (0 until 2).flatMap { ci =>
+        var cur = 0L
+        (0 until 1 + rnd.nextInt(8)).map { _ =>
+          val s = cur + 1 + rnd.nextLong(30L)
+          val e = s + rnd.nextLong(120L)
+          cur = e
+          (s"c$ci", s, e)
+        }
+      }
+      val masks = (0 until rnd.nextInt(25)).map { _ =>
+        val s = 1 + rnd.nextLong(800L)
+        (s"c${rnd.nextInt(2)}", s, s + rnd.nextLong(60L))
+      }
+      val got =
+        if (masks.isEmpty)
+          RangeJoin.subtractIntervals(
+            regions.toDF("chrom", "start", "end"),
+            Seq(("zz", 1L, 1L)).toDF("chrom", "start", "end"))
+            .as[(String, Long, Long)].collect().toSet
+        else
+          RangeJoin.subtractIntervals(
+            regions.toDF("chrom", "start", "end"),
+            masks.toDF("chrom", "start", "end"))
+            .as[(String, Long, Long)].collect().toSet
+      val want = reference(regions,
+        if (masks.isEmpty) Seq(("zz", 1L, 1L)) else masks)
+      assert(got === want, s"case $case_: regions=$regions masks=$masks")
+    }
+  }
+
   test("nearestInterval: deterministic plan (no synthetic row ids), idCols honored") {
     val points = Seq(("1", 25, "a"), ("1", 25, "b")).toDF("chrom", "pos", "id")
     // no nondeterministic expression anywhere in the plan: under AQE
