@@ -93,7 +93,10 @@ object Packing {
     * multiplicatively and scrambles the order. Every power of
     * [[PackMult]] is coprime to the prime modulus, so each seed's
     * chain stays a bijection of [0, p) — distinct ids keep distinct
-    * keys, no engine-dependent ties.
+    * keys, no engine-dependent ties. Ids must be UNIQUE below
+    * [[Sampling.HashPrime]] (the [[Sampling.shardShuffle]] contract):
+    * duplicate ids share a key and their relative order — hence the
+    * whole downstream layout — would be partitioning-dependent.
     *
     * Scale shape: the global token offset — the one inherently
     * sequential piece — is the [[Sampling.materializeMix]] TWO-PHASE
