@@ -300,6 +300,48 @@ object Consequence {
       .drop("__wint", "__insaas")
   }
 
+  /** One-row-per-gene EXON MODEL: sorted exon array (s, e, cum) with
+    * precomputed cumulative c-offsets, total CDS length, and the gene
+    * span — the broadcast side of [[csqExons]] and
+    * [[snpConsequenceExons]], factored so both consume bit-identical
+    * models (the [[snpCodon]] precedent: a drifted copy would break
+    * the spec-pinned label parity silently).
+    */
+  private def exonGeneModel(exons: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("gene").orderBy("exon_start")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    exons
+      .withColumn("__len", col("exon_end") - col("exon_start") + 1L)
+      .withColumn("__cum", coalesce(sum(col("__len")).over(w), lit(0L)))
+      .groupBy(col("gene"), col("chrom").as("__gchrom"), col("strand"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("exon_start").as("s"), col("exon_end").as("e"),
+          col("__cum").as("cum")))).as("__ex"),
+        sum(col("__len")).as("__total"),
+        min(col("exon_start")).as("__gs"),
+        max(col("exon_end")).as("__ge"))
+  }
+
+  /** Transcript-offset → genome-base lookup through the per-gene exon
+    * array (strand-aware; '−' complements per base) — the shared
+    * per-base kernel of [[csqExons]] and [[snpConsequenceExons]].
+    * A CodegenFallback HOF: callers must STAGE each call into a named
+    * column (§8 r11 rule).
+    */
+  private def exonBaseAt(gstr: Column, plus: Column)(t: Column): Column = {
+    val cT = when(plus, t).otherwise(col("__total") - 1L - t)
+    val xe = try_element_at(
+      filter(col("__ex"), x => cT >= x.getField("cum") &&
+        cT < x.getField("cum") + (x.getField("e") - x.getField("s") + 1L)),
+      lit(1))
+    val g = xe.getField("s") + (cT - xe.getField("cum"))
+    val b = gstr.substr(g.cast("int"), lit(1))
+    when(plus, b).otherwise(translate(b, "ACGT", "TGCA"))
+  }
+
   /** PER-GENE CONSEQUENCE-CLASS BURDEN — the gnomAD-constraint-style
     * rollup over a consequence table ([[csq]]/[[csqExons]] output; Lek
     * et al. 2016 / Karczewski et al. 2020's observed-variant counts
@@ -389,24 +431,16 @@ object Consequence {
     require(flank >= 2, s"flank must be >= 2 (donor window), got $flank")
     val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
     val code = typedLit(GeneticCode)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("gene").orderBy("exon_start")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val geneModel = exons
-      .withColumn("__len", col("exon_end") - col("exon_start") + 1L)
-      .withColumn("__cum", coalesce(sum(col("__len")).over(w), lit(0L)))
-      .groupBy(col("gene"), col("chrom").as("__gchrom"), col("strand"))
-      .agg(
-        sort_array(collect_list(struct(
-          col("exon_start").as("s"), col("exon_end").as("e"),
-          col("__cum").as("cum")))).as("__ex"),
-        sum(col("__len")).as("__total"),
-        min(col("exon_start")).as("__gs"),
-        max(col("exon_end")).as("__ge"))
+    val geneModel = exonGeneModel(exons)
     val refLen = length(col("ref")).cast("long")
     val altLen = length(col("alt")).cast("long")
-    val isSnp = refLen === 1L && altLen === 1L &&
-      col("alt").isin("A", "C", "G", "T")
+    // 1→1 substitutions are SNPs regardless of alt alphabet — a
+    // non-ACGT alt ('N', IUPAC) reaches the codon walk and degrades to
+    // `unresolved` through the null amino-acid lookup, exactly as
+    // [[snpConsequenceExons]] classifies it (an ACGT gate here would
+    // silently route the same input to `complex` and break the
+    // spec-pinned label parity)
+    val isSnp = refLen === 1L && altLen === 1L
     val isIns = refLen === 1L && altLen > 1L &&
       substring(col("alt"), 1, 1) === col("ref")
     val isDel = altLen === 1L && refLen > 1L &&
@@ -423,16 +457,7 @@ object Consequence {
     val plus = col("strand") === "+"
     val INF = lit(Long.MaxValue)
     def facing(d: Column): Column = when(d > 0L, d).otherwise(INF)
-    def baseAt(t: Column): Column = {
-      val cT = when(plus, t).otherwise(col("__total") - 1L - t)
-      val xe = try_element_at(
-        filter(col("__ex"), x => cT >= x.getField("cum") &&
-          cT < x.getField("cum") + (x.getField("e") - x.getField("s") + 1L)),
-        lit(1))
-      val g = xe.getField("s") + (cT - xe.getField("cum"))
-      val b = gstr.substr(g.cast("int"), lit(1))
-      when(plus, b).otherwise(translate(b, "ACGT", "TGCA"))
-    }
+    def baseAt(t: Column): Column = exonBaseAt(gstr, plus)(t)
     val inGene = col("gene").isNotNull
     val mIns = altLen - 1L
     val insInframe = pmod(mIns, lit(3L)) === 0L
@@ -444,19 +469,6 @@ object Consequence {
         try_element_at(
           filter(col("__ex"), x => col("pos") >= x.getField("s") &&
             col("pos") <= x.getField("e")), lit(1))))
-      // span-aware nearest facing edge (splice ladder): dels use the
-      // deleted span's ends; insertions use the insertion POINT
-      // [pos, pos+1] — an insert right after an exon's last base sits
-      // one base into the intron (splice_donor on '+'), which the
-      // anchor alone would mis-read as deep intron; SNPs use pos
-      .withColumn("__edge", when(inGene,
-        array_min(flatten(transform(col("__ex"), x => array(
-          struct(facing(x.getField("s") -
-            when(isDel, dHi).otherwise(col("pos"))).as("d"),
-            lit(0).as("side")),
-          struct(facing(when(isDel, dLo)
-            .when(isIns, col("pos") + 1L).otherwise(col("pos")) -
-            x.getField("e")).as("d"), lit(1).as("side"))))))))
       // deleted exonic c-range
       .withColumn("__cA", when(inGene && isDel,
         array_min(transform(col("__ex"), x =>
@@ -468,6 +480,27 @@ object Consequence {
           when(least(dHi, x.getField("e")) >= greatest(dLo, x.getField("s")),
             x.getField("cum") + least(dHi, x.getField("e")) - x.getField("s"))
             .otherwise(lit(-1L))))))
+      // span-aware nearest facing edge (splice ladder): dels use the
+      // deleted span's ends; insertions use the insertion POINT
+      // [pos, pos+1] — an insert right after an exon's last base sits
+      // one base into the intron (splice_donor on '+'), which the
+      // anchor alone would mis-read as deep intron; SNPs use pos.
+      // Guarded to the SPLICE-LADDER rows only (coding SNPs/inserts
+      // and exonic dels never read it — evaluating the interpreted
+      // edge scan for them is exactly the cost the staging rule
+      // exists to avoid), so it stages AFTER __inx/__cA
+      .withColumn("__edge", when(inGene && (
+          (isSnp && col("__inx").isNull) ||
+          (isIns && !(col("__inx").isNotNull &&
+            col("pos") < col("__inx.e"))) ||
+          (isDel && !(col("__cA").isNotNull && col("__cA") =!= INF))),
+        array_min(flatten(transform(col("__ex"), x => array(
+          struct(facing(x.getField("s") -
+            when(isDel, dHi).otherwise(col("pos"))).as("d"),
+            lit(0).as("side")),
+          struct(facing(when(isDel, dLo)
+            .when(isIns, col("pos") + 1L).otherwise(col("pos")) -
+            x.getField("e")).as("d"), lit(1).as("side"))))))))
     val cAnchor = col("__inx.cum") + (col("pos") - col("__inx.s"))
     val o = when(plus, cAnchor).otherwise(col("__total") - 1L - cAnchor)
     val ph = pmod(o, lit(3L))
@@ -621,21 +654,7 @@ object Consequence {
     require(flank >= 2, s"flank must be >= 2 (donor window), got $flank")
     val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
     val code = typedLit(GeneticCode)
-    // gene-level model: sorted exon array with cumulative c-offsets
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("gene").orderBy("exon_start")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val geneModel = exons
-      .withColumn("__len", col("exon_end") - col("exon_start") + 1L)
-      .withColumn("__cum", coalesce(sum(col("__len")).over(w), lit(0L)))
-      .groupBy(col("gene"), col("chrom").as("__gchrom"), col("strand"))
-      .agg(
-        sort_array(collect_list(struct(
-          col("exon_start").as("s"), col("exon_end").as("e"),
-          col("__cum").as("cum")))).as("__ex"),
-        sum(col("__len")).as("__total"),
-        min(col("exon_start")).as("__gs"),
-        max(col("exon_end")).as("__ge"))
+    val geneModel = exonGeneModel(exons)
     val F = lit(flank.toLong)
     val joined = sites.join(
       broadcast(geneModel),
@@ -672,16 +691,7 @@ object Consequence {
       .withColumn("__ci", (col("__o") - pmod(col("__o"), lit(3L))) / 3L)
       .withColumn("__ph", pmod(col("__o"), lit(3L)))
     // the three codon bases, one exon lookup each (transcript order)
-    def baseAt(t: Column): Column = {
-      val cT = when(plus, t).otherwise(col("__total") - 1L - t)
-      val xe = try_element_at(
-        filter(col("__ex"), x => cT >= x.getField("cum") &&
-          cT < x.getField("cum") + (x.getField("e") - x.getField("s") + 1L)),
-        lit(1))
-      val g = xe.getField("s") + (cT - xe.getField("cum"))
-      val b = gstr.substr(g.cast("int"), lit(1))
-      when(plus, b).otherwise(translate(b, "ACGT", "TGCA"))
-    }
+    def baseAt(t: Column): Column = exonBaseAt(gstr, plus)(t)
     val t0 = lit(3L) * col("__ci").cast("long")
     val s4 = s3
       .withColumn("__b0", baseAt(t0))

@@ -321,6 +321,10 @@ object RangeJoin {
       chromCol: String = "chrom",
       startCol: String = "start", endCol: String = "end",
       bucketShift: Int = 20): DataFrame = {
+    val reserved = Seq("__bs", "__be", "__b", "__gs", "__ge", "__maxbe")
+    require(!regions.columns.exists(reserved.contains),
+      s"regions carries a reserved internal column " +
+        s"(${reserved.mkString(", ")}); rename it first")
     val payload = regions.columns
       .filterNot(c => c == chromCol || c == startCol || c == endCol).toSeq
     val outCols = (Seq(chromCol, startCol, endCol) ++ payload).map(col)

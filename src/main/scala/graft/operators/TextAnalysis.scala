@@ -360,7 +360,13 @@ object TextAnalysis {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
     import org.apache.spark.sql.expressions.Window
-    val bin = expr(s"CAST($scoreCol AS BIGINT) DIV $binWidth")
+    // FLOOR division, not DIV: Spark's DIV truncates toward zero, so a
+    // signed score column (log-prob deltas, importance weights) would
+    // get a double-width bin straddling zero AND diverge from a
+    // floor-dividing replay; pmod makes the numerator an exact
+    // multiple, so DIV is the exact floor
+    val sExpr = s"CAST($scoreCol AS BIGINT)"
+    val bin = expr(s"($sExpr - pmod($sExpr, $binWidth)) DIV $binWidth")
     val hist = scored.groupBy(col(sourceCol), bin.as("__bin"))
       .agg(count(lit(1)).as("__c"))
     val cum = hist

@@ -440,6 +440,16 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .perplexityBuckets(mk(rows).repartition(7), "source", "score", 3, 1L)
       .select($"source", $"doc_id", $"bucket").collect().map(_.toSeq).toSet
     assert(a === b)
+    // signed scores bin by FLOOR division: −150k and +150k at width
+    // 200k land in DIFFERENT bins (truncation would fuse them into a
+    // double-width bin 0) — terciles over {−3.5w, −0.5w, +0.5w} tiers
+    // cleanly
+    val neg = TextAnalysis
+      .perplexityBuckets(
+        mk(Seq(("A", 1L, -700000L), ("A", 2L, -150000L),
+          ("A", 3L, 150000L))), "source", "score", 3, 200000L)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    assert(neg === Map(1L -> 0, 2L -> 1, 3L -> 2), neg)
   }
 
   test("qualityGate: every rule flips on its own planted failure") {
