@@ -677,12 +677,16 @@ object Consequence {
       .withColumn("__inx", try_element_at(
         filter(col("__ex"), x => col("pos") >= x.getField("s") &&
           col("pos") <= x.getField("e")), lit(1)))
-      .withColumn("__edge", array_min(flatten(transform(col("__ex"),
-        x => array(
-          struct(facing(x.getField("s") - col("pos")).as("d"),
-            lit(0).as("side")),
-          struct(facing(col("pos") - x.getField("e")).as("d"),
-            lit(1).as("side")))))))
+      // splice-ladder rows only (coding rows never read the edge —
+      // the csqExons guard, applied here for parity)
+      .withColumn("__edge", when(col("gene").isNotNull &&
+          col("__inx").isNull,
+        array_min(flatten(transform(col("__ex"),
+          x => array(
+            struct(facing(x.getField("s") - col("pos")).as("d"),
+              lit(0).as("side")),
+            struct(facing(col("pos") - x.getField("e")).as("d"),
+              lit(1).as("side"))))))))
     // c-space position, transcript offset, codon index/phase
     val c = col("__inx.cum") + (col("pos") - col("__inx.s"))
     val s2 = s1.withColumn("__o",
