@@ -532,6 +532,37 @@ object VariantQc {
           .as("f_micro"))
   }
 
+  /** GENOTYPE-BASED SEX INFERENCE (`plink --check-sex`): the
+    * per-sample X-chromosome inbreeding F with plink's band
+    * classification — males are hemizygous on X, so genuine
+    * heterozygous X calls are (nearly) impossible and a male sample
+    * reads F ≈ 1, a female F ≈ 0; the mismatch against recorded sex is
+    * the classic sample-swap catch, run before anything downstream
+    * consumes the pedigree. [[inbreedingF]] restricted to `xChrom`,
+    * then bands on the micro-FLOORED F (engine-replayable):
+    * F > maleMinMicro (plink's 0.8) → `male`, F < femaleMaxMicro
+    * (plink's 0.2) → `female`, else `unknown`. PAR handling is the
+    * caller's (exclude pseudo-autosomal sites upstream, plink's
+    * `--split-x` posture); samples with NO usable X calls emit
+    * nothing — join the sample panel downstream to surface them as
+    * ambiguous. Corpus cost = [[inbreedingF]] over the X slice (the
+    * chrom filter pushes to the scan).
+    */
+  def sexCheck(
+      ann: DataFrame, xChrom: String,
+      sampleCol: String = "sample_id",
+      maleMinMicro: Long = 800000L,
+      femaleMaxMicro: Long = 200000L): DataFrame = {
+    require(femaleMaxMicro <= maleMinMicro,
+      s"need femaleMaxMicro <= maleMinMicro, got " +
+        s"$femaleMaxMicro > $maleMinMicro")
+    inbreedingF(ann.filter(col("chrom") === xChrom), sampleCol)
+      .withColumn("inferred_sex",
+        when(col("f_micro") > maleMinMicro, "male")
+          .when(col("f_micro") < femaleMaxMicro, "female")
+          .otherwise("unknown"))
+  }
+
   /** POLYGENIC SCORE (the `plink --score` shape): per-sample
     * Σ_k β_k · x_k over a WEIGHT PANEL — `weights` keyed by the full
     * site key with an integer `beta_micro` effect column (published

@@ -3754,11 +3754,89 @@ object VcfQueries extends QuerySet {
       FROM c ORDER BY sample_a, sample_b
     """))
 
+  /** SEX INFERENCE from genotypes ([[graft.operators.VariantQc
+    * .sexCheck]], `plink --check-sex`): chrom '7' stands in for X; the
+    * panel is too correlated to produce hemizygous-looking samples
+    * naturally, so the gate PLANTS male-like X genotypes — g1/g3's
+    * chrom-7 calls force homozygous (gt2/a2 := gt1/a1, zygosity
+    * recomputed — the configuration hemizygosity produces under a
+    * diploid caller), an arithmetic rewrite DuckDB replays in the
+    * same CASEs before the biallelic filter; g2/g4 keep their natural
+    * het-bearing calls, so both the `male` band and the non-male side
+    * are observable, with every F replayed through the q106
+    * arithmetic restricted to the X slice.
+    */
+  private val q202 = Q(
+    "q202_sex_check",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val forced = col("chrom") === "7" &&
+        col("sample_id").isin("g1", "g3")
+      val planted = ann
+        .withColumn("gt2", when(forced, col("gt1")).otherwise(col("gt2")))
+        .withColumn("a2", when(forced, col("a1")).otherwise(col("a2")))
+        .withColumn("zygosity", when(forced,
+            when(col("a1") === col("ref"), "hom-ref").otherwise("hom-alt"))
+          .otherwise(col("zygosity")))
+      graft.operators.VariantQc.sexCheck(planted, xChrom = "7")
+        .orderBy("sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      fz AS (SELECT chrom, pos, ref, alt, sample_id, multiallele,
+               gt1,
+               CASE WHEN chrom = '7' AND sample_id IN ('g1', 'g3')
+                    THEN gt1 ELSE gt2 END AS gt2,
+               a1,
+               CASE WHEN chrom = '7' AND sample_id IN ('g1', 'g3')
+                    THEN a1 ELSE a2 END AS a2,
+               CASE WHEN chrom = '7' AND sample_id IN ('g1', 'g3')
+                    THEN CASE WHEN a1 = ref THEN 'hom-ref'
+                              ELSE 'hom-alt' END
+                    ELSE zygosity END AS zygosity
+             FROM ann),
+      bcx AS (SELECT * FROM fz
+              WHERE chrom = '7' AND multiallele = 0 AND gt2 IS NOT NULL
+                AND gt1 <> '.' AND gt2 <> '.'),
+      sc AS (SELECT chrom, pos, ref, alt,
+               CAST(sum(CASE WHEN zygosity = 'hom-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN zygosity = 'het-ref' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN zygosity = 'hom-alt' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             FROM bcx GROUP BY 1, 2, 3, 4),
+      eh AS (SELECT chrom, pos, ref, alt,
+               CASE WHEN n0 + n1 + n2 = 0 THEN 0
+                    ELSE CAST(floor(CAST((2 * n0 + n1) * (n1 + 2 * n2) AS DOUBLE)
+                      / CAST(2 * (n0 + n1 + n2) * (n0 + n1 + n2) AS DOUBLE)
+                      * 1000000.0) AS BIGINT) END AS ehet_micro
+             FROM sc),
+      pc AS (SELECT b.sample_id,
+               CASE WHEN b.a1 = b.a2 THEN 1 ELSE 0 END AS hom, e.ehet_micro
+             FROM bcx b JOIN eh e USING (chrom, pos, ref, alt)),
+      f AS (SELECT sample_id,
+              count(*) AS n_sites,
+              CAST(sum(hom) AS BIGINT) AS n_obs_hom,
+              CAST(sum(ehet_micro) AS BIGINT) AS ehet_sum_micro,
+              CASE WHEN sum(ehet_micro) = 0 THEN 0
+                   ELSE CAST(floor(
+                     CAST(sum(ehet_micro) - (count(*) - sum(hom)) * 1000000 AS DOUBLE)
+                     / CAST(sum(ehet_micro) AS DOUBLE) * 1000000.0) AS BIGINT)
+              END AS f_micro
+            FROM pc GROUP BY sample_id)
+      SELECT sample_id, n_sites, n_obs_hom, ehet_sum_micro, f_micro,
+        CASE WHEN f_micro > 800000 THEN 'male'
+             WHEN f_micro < 200000 THEN 'female'
+             ELSE 'unknown' END AS inferred_sex
+      FROM f ORDER BY sample_id
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
-      q188, q191, q192, q196, q197, q198, q200, q201)
+      q188, q191, q192, q196, q197, q198, q200, q201, q202)
 }

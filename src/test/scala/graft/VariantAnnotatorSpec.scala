@@ -422,6 +422,35 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(out("ua")._1 === -500000L)
   }
 
+  test("sexCheck: hemizygous-looking sample reads male at F = 1, " +
+      "het-rich reads female, mid-band unknown, other chroms ignored") {
+    import spark.implicits._
+    def call(ch: String, pos: Long, s: String, het: Boolean) =
+      if (het) (ch, pos, "A", "T", s, 0, "0", "1", "A", "T", "het-ref")
+      else (ch, pos, "A", "T", s, 0, "0", "0", "A", "A", "hom-ref")
+    // X: m1 hom everywhere; f1 het everywhere; u1 het at ONE of 10
+    // sites → F ≈ 0.66, inside the unknown band
+    val ann = ((1L to 10L).flatMap(p => Seq(
+      call("X", p, "m1", het = false),
+      call("X", p, "f1", het = true),
+      call("X", p, "u1", het = p == 1L))) ++
+      // autosomal noise with the OPPOSITE pattern must not leak in
+      (1L to 10L).flatMap(p => Seq(
+        call("1", p, "m1", het = true),
+        call("1", p, "f1", het = false))))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "multiallele",
+        "gt1", "gt2", "a1", "a2", "zygosity")
+    val out = graft.operators.VariantQc.sexCheck(ann, "X")
+      .select($"sample_id", $"f_micro", $"inferred_sex")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("m1") === ((1000000L, "male")))
+    assert(out("f1")._2 === "female")
+    assert(out("f1")._1 < 200000L)
+    assert(out("u1")._2 === "unknown", out("u1"))
+    assert(out("u1")._1 > 200000L && out("u1")._1 < 800000L)
+  }
+
   test("deNovoCandidates: child-het + hom-ref parents only; double " +
       "violations, inherited hets, missing and multiallelic excluded") {
     import spark.implicits._
