@@ -736,6 +736,56 @@ object Dedup {
       .filter(col("n_shared_shingles") >= minShared)
   }
 
+  /** EVAL-SIDE DIRTINESS report (Brown et al. 2020, GPT-3 Appendix C —
+    * the complementary direction of [[contaminationReport]]): per EVAL
+    * doc, the fraction of its distinct n-gram shingles that appear
+    * ANYWHERE in the training corpus, with a clean/dirty verdict at
+    * `dirtyMinMicro` — the audit that decides which benchmark numbers
+    * to trust when decontamination could not run before training
+    * (the paper reports both clean-only and full-set scores for
+    * exactly this reason). Zero-shingle eval docs report 0 / clean.
+    * The fraction is ONE micro-floored double division of exact
+    * counts.
+    *
+    * Scale shape: the 100 TB side collapses to its DISTINCT shingle
+    * set — one partial-aggregated distinct on the uniform hash key,
+    * the ONLY corpus-sized exchange; the eval shingle table is
+    * benchmark-bounded and BROADCASTS into the probe join, whose
+    * output is bounded by eval shingles; totals and hits meet in one
+    * eval-keyed join. The train corpus is never joined row-to-row.
+    */
+  def evalDirtiness(
+      train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      n: Int, dirtyMinMicro: Long = 50000L): DataFrame = {
+    require(dirtyMinMicro >= 0L && dirtyMinMicro <= 1000000L,
+      s"dirtyMinMicro must be a micro-fraction in [0, 1e6], got $dirtyMinMicro")
+    val tr = shingleTable(train, idCol, textCol, n).select(col("sh")).distinct()
+    val ev = shingleTable(eval_, idCol, textCol, n)
+      .withColumnRenamed("id", "eval_id")
+    val hits = tr.join(broadcast(ev), "sh")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_hit"))
+    val dirty = ev.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("eval_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("dirty_micro",
+        when(col("n_shingles") === 0L, 0L).otherwise(
+          floor(col("n_hit").cast("double") /
+            col("n_shingles").cast("double") * lit(1000000.0))
+            .cast("long")))
+      .withColumn("verdict",
+        when(col("dirty_micro") >= dirtyMinMicro, "dirty")
+          .otherwise("clean"))
+    // zero-shingle eval docs (blank/short) still get a verdict row
+    eval_.select(col(idCol).as("eval_id")).distinct()
+      .join(dirty, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("dirty_micro"), lit(0L)).as("dirty_micro"),
+        coalesce(col("verdict"), lit("clean")).as("verdict"))
+  }
+
   /** Serialized Bloom filter over a doc set's distinct shingle hashes
     * (inserted as raw longs) — the broadcastable probe for STREAMING
     * decontamination (graft.streaming.DocStreams.decontaminateStream).

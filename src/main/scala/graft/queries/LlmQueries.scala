@@ -5236,6 +5236,80 @@ object LlmQueries extends QuerySet {
       ORDER BY doc_id
     """))
 
+  /** EVAL-SIDE CONTAMINATION DIRTINESS ([[graft.operators.Dedup
+    * .evalDirtiness]], GPT-3 Appendix C — q25's complementary
+    * direction: q25 flags TRAIN docs to drop, this scores every EVAL
+    * doc's n-gram overlap with the trained-on corpus to decide which
+    * benchmark numbers to trust): train plants full-text clones of
+    * HALF the eval docs (doc_id % 100 = 0), so those read dirty ≈ 10⁶
+    * while the un-cloned half carries only incidental overlap — both
+    * verdicts observable (threshold 0.99: the synthetic corpus's
+    * templated text gives even un-cloned evals ~0.55-0.65 incidental
+    * overlap, and eval doc 450 reads FULLY dirty through a planted
+    * near-duplicate — a genuine contamination the clone did not plant),
+    * and the zero-shingle ladder rides the coalesce path. DuckDB replays the 3-gram rolling-hash shingles,
+    * the distinct train set, the hit counts, the micro-floored
+    * fraction, and the verdict threshold.
+    */
+  private lazy val q203 = Q(
+    "q203_eval_dirtiness",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val ev = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id"), col("text"))
+      val train = d.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("id"), col("text"))
+        .unionAll(ev.filter(col("id") % 100 === 0)
+          .select((col("id") + 2000000L).as("id"), col("text")))
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.operators.Dedup.evalDirtiness(
+          train, ev, "id", "text", n = 3, dirtyMinMicro = 990000L)
+        .orderBy("eval_id")
+    },
+    Some(s"""
+      WITH ev AS (SELECT doc_id AS id,
+              lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) AS text
+            FROM documents WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id AS id,
+              lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) AS text
+            FROM documents WHERE doc_id % 50 <> 0
+            UNION ALL
+            SELECT id + 2000000, text FROM ev WHERE id % 100 = 0),
+      trt AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM tr
+              WHERE length(trim(text)) > 0),
+      trs AS (SELECT DISTINCT x FROM (
+                SELECT ${rollSql("s")} AS x FROM (
+                  SELECT unnest(list_transform(range(1, CAST(len(w) AS INT) - 1),
+                    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS s
+                  FROM trt) a) b),
+      evt AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM ev
+              WHERE length(trim(text)) > 0),
+      evs AS (SELECT DISTINCT id AS eval_id, x FROM (
+                SELECT id, ${rollSql("s")} AS x FROM (
+                  SELECT id, unnest(list_transform(range(1, CAST(len(w) AS INT) - 1),
+                    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS s
+                  FROM evt) a) b),
+      tot AS (SELECT eval_id, count(*) AS n_shingles FROM evs GROUP BY 1),
+      hit AS (SELECT e.eval_id, count(*) AS n_hit
+              FROM evs e JOIN trs t ON e.x = t.x GROUP BY 1),
+      sc AS (SELECT tot.eval_id, tot.n_shingles,
+               coalesce(hit.n_hit, 0) AS n_hit
+             FROM tot LEFT JOIN hit USING (eval_id))
+      SELECT e.id AS eval_id,
+        coalesce(sc.n_shingles, 0) AS n_shingles,
+        coalesce(sc.n_hit, 0) AS n_hit,
+        CASE WHEN coalesce(sc.n_shingles, 0) = 0 THEN 0
+             ELSE CAST(floor(CAST(sc.n_hit AS DOUBLE) / sc.n_shingles
+               * 1000000.0) AS BIGINT) END AS dirty_micro,
+        CASE WHEN coalesce(sc.n_shingles, 0) > 0
+              AND CAST(floor(CAST(sc.n_hit AS DOUBLE) / sc.n_shingles
+                * 1000000.0) AS BIGINT) >= 990000
+             THEN 'dirty' ELSE 'clean' END AS verdict
+      FROM (SELECT DISTINCT id FROM ev) e
+      LEFT JOIN sc ON sc.eval_id = e.id
+      ORDER BY eval_id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -5244,5 +5318,6 @@ object LlmQueries extends QuerySet {
       q110, q112, q120, q121, q122, q128, q129, q130, q133, q135, q139,
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
-      q180, q182, q183, q186, q187, q189, q190, q193, q194, q195, q199)
+      q180, q182, q183, q186, q187, q189, q190, q193, q194, q195, q199,
+      q203)
 }

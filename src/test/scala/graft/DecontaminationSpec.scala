@@ -51,6 +51,32 @@ class DecontaminationSpec extends AnyFunSuite with SparkSpec {
       maxEvalDocFreq = Some(1)).count() === 0)
   }
 
+  test("evalDirtiness: exact hit fractions, verdict threshold, " +
+      "zero-shingle doc reports clean, no-hit doc reports zero") {
+    val evals = Seq(
+      // 6 shingles, 3 hit (the first 5 tokens leak → 3-grams 1..3)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // no overlap at all
+      (2L, "one two three four five six seven eight nine"),
+      // too short for a 3-gram → zero shingles, clean by contract
+      (3L, "tiny doc"))
+      .toDF("id", "text")
+    val train = Seq(
+      (100L, "alpha beta gamma delta epsilon tail words here"),
+      (101L, "unrelated training text that matches nothing at all"))
+      .toDF("id", "text")
+    val out = Dedup
+      .evalDirtiness(train, evals, "id", "text", n = 3,
+        dirtyMinMicro = 500000L)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: 6 distinct 3-grams, hits = "alpha beta gamma",
+    // "beta gamma delta", "gamma delta epsilon" → 3/6 = 0.5 ≥ 0.5
+    assert(out(1L) === ((6L, 3L, 500000L, "dirty")))
+    assert(out(2L) === ((7L, 0L, 0L, "clean")))
+    assert(out(3L) === ((0L, 0L, 0L, "clean")))
+  }
+
   test("the probe join broadcasts the eval side — train never shuffles for it") {
     val train = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
     val plan = Dedup.contaminationReport(train, evalDocs, "id", "text", n = 3)
