@@ -50,7 +50,7 @@ object LeftAlignKernel {
   }
 
   private def invalidAlt(alt: String): Boolean =
-    alt.isEmpty || alt == "." || alt.contains(",") ||
+    alt.isEmpty || alt == "." || alt == "*" || alt.contains(",") ||
       alt.startsWith("<") || alt.contains("[") || alt.contains("]")
 
   /** The per-row kernel. Returns a 3-field struct (pos, ref, alt). */

@@ -288,10 +288,31 @@ object StringExprs {
     else UTF8String.fromString(out.append(str, last, str.length).toString)
   }
 
+  /** VCF 4.2 §5 symbolic-ALT detection: `*` (overlapping-deletion
+    * spanning allele), `<ID>` symbolic SVs (`<DEL>`, `<CN2>`,
+    * `<DUP:TANDEM>`, …), and square-bracket breakend notation
+    * (`N[chr2:321682[`, `]13:123456]T`). These are NOT base strings —
+    * every base-arithmetic kernel must pass them through unmangled.
+    */
+  def isSymbolicAlt(alt: String): Boolean =
+    alt == "*" ||
+      (alt.length >= 2 && alt.charAt(0) == '<' &&
+        alt.charAt(alt.length - 1) == '>') ||
+      alt.indexOf('[') >= 0 || alt.indexOf(']') >= 0
+
   def classifyVariant(refU: UTF8String, altU: UTF8String): UTF8String = {
+    val alt = altU.toString
+    // symbolic classes first — a breakend can share its anchor base
+    // with REF and would otherwise fall into the base-arithmetic
+    // branches (reference variant_annotations.py:130-162 has no
+    // symbolic handling; gnomAD-SV/1000G-SV callsets hit this on row 1)
+    if (alt == "*") return VartypeExpr.STAR
+    if (alt.length >= 2 && alt.charAt(0) == '<' &&
+      alt.charAt(alt.length - 1) == '>') return VartypeExpr.SV
+    if (alt.indexOf('[') >= 0 || alt.indexOf(']') >= 0)
+      return VartypeExpr.BND
     if (refU.equals(altU)) return VartypeExpr.REF
     val ref = refU.toString
-    val alt = altU.toString
     val lr = ref.length
     val la = alt.length
     if (lr == la) {
@@ -496,6 +517,9 @@ object VartypeExpr {
   val DEL = UTF8String.fromString("del")
   val INS = UTF8String.fromString("ins")
   val INDEL = UTF8String.fromString("indel")
+  val SV = UTF8String.fromString("sv")
+  val BND = UTF8String.fromString("bnd")
+  val STAR = UTF8String.fromString("star")
 }
 
 /** Codegen'd polynomial rolling hash (engine-portable fingerprint). */

@@ -66,6 +66,17 @@ object VariantFunctions {
   def vartype(ref: Column, allele: Column): Column =
     graft.expressions.StringExprs.vartype(ref, allele)
 
+  /** Column twin of [[graft.expressions.StringExprs.isSymbolicAlt]]
+    * (VCF 4.2 §5): `*` spanning allele, `<ID>` symbolic SV, or
+    * square-bracket breakend. Base-arithmetic operators (trim,
+    * left-align, consequence) use this to pass such alleles through
+    * unmangled.
+    */
+  def isSymbolicAlt(a: Column): Column =
+    a === "*" ||
+      (length(a) >= 2 && a.startsWith("<") && a.endsWith(">")) ||
+      a.contains("[") || a.contains("]")
+
   /** Zygosity of a diploid call — branch ORDER matters and mirrors
     * variant_annotations.py:64-127 exactly (hom-ref wins over missing).
     */

@@ -100,6 +100,7 @@ object Consequence {
       sites: DataFrame, cds: DataFrame,
       genome: Map[String, String]): DataFrame = {
     val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
+    val sym = graft.functions.VariantFunctions.isSymbolicAlt(col("alt"))
     val isSnp = length(col("ref")) === 1 && length(col("alt")) === 1 &&
       col("alt").isin("A", "C", "G", "T")
     val joined = sites.join(
@@ -123,7 +124,10 @@ object Consequence {
       .withColumn("aa_ref", when(col("gene").isNotNull && isSnp, aaRef))
       .withColumn("aa_alt", when(col("gene").isNotNull && isSnp, aaAlt))
       .withColumn("consequence",
-        when(!isSnp, lit("non_snv"))
+        // symbolic ALTs pass through with their own class — `*`
+        // length-1 alleles would otherwise read as mis-alphabet SNVs
+        when(sym, lit("symbolic"))
+          .when(!isSnp, lit("non_snv"))
           .when(col("gene").isNull, lit("intergenic"))
           // codon unresolvable — chrom absent from the genome map,
           // genome shorter than the triplet, or a non-ACGT base ('N'
@@ -192,10 +196,14 @@ object Consequence {
     val code = typedLit(GeneticCode)
     val refLen = length(col("ref")).cast("long")
     val altLen = length(col("alt")).cast("long")
-    val isSnp = refLen === 1L && altLen === 1L
-    val isIns = refLen === 1L && altLen > 1L &&
+    // symbolic ALTs (VCF 4.2 §5) are excluded from every base-
+    // arithmetic class — a breakend `A[chr2:123[` shares its anchor
+    // base with REF and would otherwise read as an insertion
+    val sym = graft.functions.VariantFunctions.isSymbolicAlt(col("alt"))
+    val isSnp = refLen === 1L && altLen === 1L && !sym
+    val isIns = refLen === 1L && altLen > 1L && !sym &&
       substring(col("alt"), 1, 1) === col("ref")
-    val isDel = altLen === 1L && refLen > 1L &&
+    val isDel = altLen === 1L && refLen > 1L && !sym &&
       substring(col("ref"), 1, 1) === col("alt")
     val F = lit(flank.toLong)
     val dLo = col("pos") + 1L              // first deleted base
@@ -292,7 +300,8 @@ object Consequence {
           pmod(mIns, lit(3L)) === 0L, winT))
       .withColumn("__insaas", insAas)
       .withColumn("consequence",
-        when(col("gene").isNull, lit("intergenic"))
+        when(sym, lit("symbolic"))
+          .when(col("gene").isNull, lit("intergenic"))
           .when(!isSnp && !isIns && !isDel, lit("complex"))
           .when(isSnp, when(snpCoding, snpCons).otherwise(spliceCons))
           .when(isIns, when(insCoding, insCons).otherwise(spliceCons))
@@ -439,11 +448,13 @@ object Consequence {
     // `unresolved` through the null amino-acid lookup, exactly as
     // [[snpConsequenceExons]] classifies it (an ACGT gate here would
     // silently route the same input to `complex` and break the
-    // spec-pinned label parity)
-    val isSnp = refLen === 1L && altLen === 1L
-    val isIns = refLen === 1L && altLen > 1L &&
+    // spec-pinned label parity). Symbolic ALTs (VCF 4.2 §5) are a
+    // separate pass-through class — excluded from every base class.
+    val sym = graft.functions.VariantFunctions.isSymbolicAlt(col("alt"))
+    val isSnp = refLen === 1L && altLen === 1L && !sym
+    val isIns = refLen === 1L && altLen > 1L && !sym &&
       substring(col("alt"), 1, 1) === col("ref")
-    val isDel = altLen === 1L && refLen > 1L &&
+    val isDel = altLen === 1L && refLen > 1L && !sym &&
       substring(col("ref"), 1, 1) === col("alt")
     val F = lit(flank.toLong)
     val dLo = col("pos") + 1L
@@ -594,7 +605,8 @@ object Consequence {
 
     s4
       .withColumn("consequence",
-        when(col("gene").isNull, lit("intergenic"))
+        when(sym, lit("symbolic"))
+          .when(col("gene").isNull, lit("intergenic"))
           .when(!isSnp && !isIns && !isDel, lit("complex"))
           .when(isSnp,
             when(col("__inx").isNotNull, snpCons).otherwise(spliceCons))
@@ -661,7 +673,10 @@ object Consequence {
       sites("chrom") === col("__gchrom") &&
         col("pos").between(col("__gs") - F, col("__ge") + F),
       "left").drop("__gchrom")
-    val isSnp = length(col("ref")) === 1 && length(col("alt")) === 1
+    // symbolic pass-through: a `*` spanning allele is length-1 and
+    // would otherwise walk the codon ladder to a lying "unresolved"
+    val sym = graft.functions.VariantFunctions.isSymbolicAlt(col("alt"))
+    val isSnp = length(col("ref")) === 1 && length(col("alt")) === 1 && !sym
     val gstr = element_at(gmap, col("chrom"))
     val plus = col("strand") === "+"
     // STAGED projections: the exon-array lookups are CodegenFallback
@@ -738,7 +753,8 @@ object Consequence {
       .withColumn("aa_ref", when(coding, col("__aar")))
       .withColumn("aa_alt", when(coding, col("__aaa")))
       .withColumn("consequence",
-        when(!isSnp, lit("non_snv"))
+        when(sym, lit("symbolic"))
+          .when(!isSnp, lit("non_snv"))
           .when(col("gene").isNull, lit("intergenic"))
           .when(col("__inx").isNotNull, snpCons)
           .otherwise(spliceCons))

@@ -145,7 +145,11 @@ object VariantNorm {
     // longest shared prefix of the suffix-trimmed alleles, same cap.
     // Positions probed are < min(lr−s, la−s), so the original strings'
     // chars are the trimmed strings' chars — no intermediate substring.
-    val trimmable = alt =!= "." && !alt.contains(",")
+    // symbolic ALTs (SV `<DEL>`, breakend `A[chr2:123[`, star `*`) are
+    // not base strings — a breakend sharing its anchor base with a
+    // multi-base REF would otherwise prefix-trim and shift POS
+    val trimmable = alt =!= "." && !alt.contains(",") &&
+      !graft.functions.VariantFunctions.isSymbolicAlt(alt)
     df
       .withColumn("__s", when(trimmable, s0).otherwise(0))
       .withColumn("__p", when(trimmable,

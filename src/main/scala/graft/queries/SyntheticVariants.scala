@@ -77,15 +77,45 @@ object SyntheticVariants {
 
   val sampleIds: Seq[String] = (1 to 4).map(i => s"g$i")
 
-  /** Spark side: the wide graft-VCF frame (plus k and chrom_raw). */
-  def wide(s: SparkSession, dir: String): DataFrame = {
+  /** Planted SYMBOLIC-ALT variant of [[altSql]] (VCF 4.2 §5): `<DEL>`
+    * / `<CN2>` / `<DUP:TANDEM>` symbolic SVs, both breakend
+    * orientations anchored on the row's REF base, the `*` spanning
+    * allele, and two MIXED multiallelic rows (base,SV and *,base) —
+    * interleaved with the base-allele derivation. Restricted to rows
+    * where the base derivation is single-allele non-missing
+    * (k%17≠0, k%13≠0) so planted rows never carry GT indices beyond
+    * their new allele count. Same SQL text evaluates on both engines.
+    */
+  val svAltSql: String =
+    s"""CASE
+        WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 1 THEN '<DEL>'
+        WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 2 THEN '<CN2>'
+        WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 3 THEN '<DUP:TANDEM>'
+        WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 4
+          THEN substr($refSql, 1, 1) || '[chr9:' || CAST(1000 + (k % 5000) AS VARCHAR(8)) || '['
+        WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 5
+          THEN ']13:' || CAST(2000 + (k % 7000) AS VARCHAR(8)) || ']' || substr($refSql, 1, 1)
+        WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 6 THEN '*'
+        WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 7
+          THEN substr('TGCA', CAST(1 + (k % 4) AS INT), 1) || ',<DEL>'
+        WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 8
+          THEN '*,' || substr('GTAC', CAST(1 + (k % 4) AS INT), 1)
+        ELSE ($altSql)
+      END"""
+
+  /** Spark side: the wide graft-VCF frame (plus k and chrom_raw).
+    * `altOverride` swaps the ALT derivation (e.g. [[svAltSql]]) —
+    * the DuckDB twin is [[duckCtesWith]] with the same expression.
+    */
+  def wide(s: SparkSession, dir: String,
+      altOverride: String = altSql): DataFrame = {
     val exprs = Seq(
       "k",
       s"$chromRawSql AS chrom_raw",
       s"$posSql AS pos",
       s"$idSql AS id",
       s"$refSql AS ref",
-      s"$altSql AS alt",
+      s"$altOverride AS alt",
       s"$qualSql AS qual",
       s"$filtSql AS filt",
       s"$infoSql AS info",
@@ -119,26 +149,41 @@ object SyntheticVariants {
   }
 
   /** DuckDB side: CTEs `ln` (keys), `v` (variant sites), `sm` (per-sample
-    * calls, 4 rows/site).
+    * calls, 4 rows/site). [[duckCtesWith]] swaps the ALT derivation so
+    * downstream CTE chains (e.g. [[duckAnnotateCtes]]) replay over a
+    * planted callset unchanged.
     */
-  val duckCtes: String =
+  def duckCtesWith(alt: String): String =
     s"""ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
         v AS (SELECT k, $chromRawSql AS chrom_raw, $posSql AS pos,
-                     $idSql AS id, $refSql AS ref, $altSql AS alt,
+                     $idSql AS id, $refSql AS ref, $alt AS alt,
                      $qualSql AS qual, $filtSql AS filt, $infoSql AS info
               FROM ln),
         sm AS (SELECT v.*, u.si, ${callSql("u.si")} AS call
                FROM v CROSS JOIN (SELECT unnest([1,2,3,4]) AS si) u)"""
 
+  val duckCtes: String = duckCtesWith(altSql)
+
   /** DuckDB reimplementation of VariantFunctions.vartype — the count of
     * differing characters over the allele's span, length-diff driven
     * (reference variant_annotations.py:130-162).
     */
+  /** DuckDB twin of StringExprs.isSymbolicAlt (VCF 4.2 §5): star /
+    * `<ID>` symbolic SV / square-bracket breakend.
+    */
+  def symbolicSql(a: String): String =
+    s"""(($a) = '*' OR (length($a) >= 2 AND substr($a, 1, 1) = '<'
+         AND substr($a, length($a), 1) = '>')
+         OR contains(($a), '[') OR contains(($a), ']'))"""
+
   def vartypeSql(ref: String, a: String): String = {
     def diff =
       s"""coalesce(list_sum(list_transform(range(1, CAST(length($a) AS INT) + 1),
             i -> CASE WHEN substr($ref, CAST(i AS INT), 1) <> substr($a, CAST(i AS INT), 1) THEN 1 ELSE 0 END)), 0)"""
-    s"""CASE WHEN $ref = $a THEN 'ref'
+    s"""CASE WHEN $a = '*' THEN 'star'
+         WHEN length($a) >= 2 AND substr($a, 1, 1) = '<' AND substr($a, length($a), 1) = '>' THEN 'sv'
+         WHEN contains(($a), '[') OR contains(($a), ']') THEN 'bnd'
+         WHEN $ref = $a THEN 'ref'
          WHEN length($ref) = length($a) THEN CASE WHEN $diff = 1 THEN 'snp' ELSE 'mnp' END
          WHEN length($ref) > length($a) THEN CASE WHEN $diff > 0 THEN 'indel' ELSE 'del' END
          ELSE 'ins' END"""

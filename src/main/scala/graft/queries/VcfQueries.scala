@@ -3832,11 +3832,94 @@ object VcfQueries extends QuerySet {
       FROM f ORDER BY sample_id
     """))
 
+  /** SYMBOLIC/SV-ALT NORMALIZATION gate: the planted callset
+    * ([[SyntheticVariants.svAltSql]]) interleaves `<DEL>`/`<CN2>`/
+    * `<DUP:TANDEM>` symbolic SVs, both breakend orientations (anchored
+    * on the row's REF base — the case that would prefix-trim without
+    * the guard), the `*` spanning allele, and MIXED multiallelic rows
+    * (base,SV and *,base) into the base derivation. The pipeline is
+    * the real q104 path — [[graft.operators.VariantNorm.normalize]]
+    * (split + parsimony trim) — plus the vartype kernel: symbolic
+    * alleles must come through UNMANGLED (pos/ref/alt untouched) and
+    * classify as `sv`/`bnd`/`star` while the co-resident base alleles
+    * still trim and classify exactly as q104. DuckDB replays the trim
+    * with the q104 quadratic formula behind the same symbolic guard.
+    * Narrow end to end (generator + projection, like q104).
+    */
+  private lazy val q204 = Q(
+    "q204_sv_alt_norm",
+    (s, dir) => {
+      val norm = graft.operators.VariantNorm.normalize(wide(s, dir, svAltSql))
+      norm.select(col("k"), col("allele_idx"), col("chrom"), col("pos"),
+          col("ref"), col("alt"),
+          vartype(col("ref"), col("alt")).as("vartype"))
+        .orderBy("k", "allele_idx")
+    },
+    Some(s"""
+      WITH ${duckCtesWith(svAltSql)},
+      ax AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref,
+               unnest(string_split(alt, ',')) AS a,
+               unnest(range(1, CAST(len(string_split(alt, ',')) AS INT) + 1)) AS allele_idx
+             FROM v WHERE alt <> '.'),
+      sx AS (SELECT *, CASE WHEN ${symbolicSql("a")} THEN 0 ELSE
+               coalesce(list_sum(list_transform(
+               range(1, CAST(least(length(ref), length(a)) AS BIGINT)), i ->
+                 CASE WHEN list_min(list_transform(range(1, i + 1), j ->
+                   CASE WHEN substr(ref, length(ref) - CAST(j AS INT) + 1, 1)
+                             = substr(a, length(a) - CAST(j AS INT) + 1, 1)
+                        THEN 1 ELSE 0 END)) = 1
+                 THEN 1 ELSE 0 END)), 0) END AS s
+             FROM ax),
+      px AS (SELECT *, CASE WHEN ${symbolicSql("a")} THEN 0 ELSE
+               coalesce(list_sum(list_transform(
+               range(1, CAST(least(length(ref) - s, length(a) - s) AS BIGINT)), i ->
+                 CASE WHEN list_min(list_transform(range(1, i + 1), j ->
+                   CASE WHEN substr(ref, CAST(j AS INT), 1)
+                             = substr(a, CAST(j AS INT), 1)
+                        THEN 1 ELSE 0 END)) = 1
+                 THEN 1 ELSE 0 END)), 0) END AS p
+             FROM sx),
+      tx AS (SELECT k, allele_idx, chrom,
+               CAST(pos + p AS INT) AS pos,
+               substr(ref, CAST(p AS INT) + 1, CAST(length(ref) - s - p AS INT)) AS ref2,
+               CASE WHEN ${symbolicSql("a")} THEN a ELSE
+                 substr(a, CAST(p AS INT) + 1, CAST(length(a) - s - p AS INT)) END AS alt2
+             FROM px)
+      SELECT k, CAST(allele_idx AS INT) AS allele_idx, chrom, pos,
+        ref2 AS ref, alt2 AS alt,
+        ${vartypeSql("ref2", "alt2")} AS vartype
+      FROM tx ORDER BY k, allele_idx
+    """))
+
+  /** SYMBOLIC/SV-ALT ANNOTATE gate: the full
+    * [[graft.operators.VariantAnnotator.annotate]] path (q14/q15's
+    * operator) over the planted SV callset — allele extraction maps GT
+    * indices onto symbolic allele STRINGS unmangled, zygosity stays
+    * the generic string comparison (a `*`-called genotype is an alt
+    * call), and the per-allele vartype kernel reports the new
+    * `sv`/`bnd`/`star` classes next to the base classes. Output is
+    * the (vartype1, zygosity) contingency rollup — one partial agg
+    * over the annotate projection, same shape as q14.
+    */
+  private lazy val q205 = Q(
+    "q205_sv_zygosity",
+    (s, dir) =>
+      VariantAnnotator
+        .annotate(wide(s, dir, svAltSql),
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+        .groupBy("vartype1", "zygosity").agg(count(lit(1)).as("n"))
+        .orderBy("vartype1", "zygosity"),
+    Some(s"""
+      WITH ${duckCtesWith(svAltSql)}, $duckAnnotateCtes
+      SELECT vartype1, zygosity, count(*) AS n FROM ann
+      GROUP BY vartype1, zygosity ORDER BY vartype1, zygosity
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
-      q188, q191, q192, q196, q197, q198, q200, q201, q202)
+      q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205)
 }

@@ -480,6 +480,48 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
     assert(a === b)
   }
 
+  test("symbolic ALTs (<DEL>/breakend/star) pass through as 'symbolic' " +
+      "in all four entry points — a breakend sharing its anchor base " +
+      "with REF must not read as an insertion, and a '*' must not walk " +
+      "the codon ladder to 'unresolved'") {
+    import spark.implicits._
+    val sites = Seq(
+      ("1", 5L, "G", "<DEL>"),          // inside gP CDS
+      ("1", 6L, "G", "G[chr2:321682["), // anchor == REF → fake-ins trap
+      ("1", 7L, "C", "*"),              // length-1 → fake-snp trap
+      ("1", 1L, "G", "<CN2>"),          // outside CDS: still symbolic
+      ("1", 5L, "G", "A"))              // co-resident real SNP
+      .toDF("chrom", "pos", "ref", "alt")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.select("pos", "alt", "consequence").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    for (out <- Seq(
+        Consequence.snpConsequence(sites, cds, genome),
+        Consequence.csq(sites, cds, genome))) {
+      val got = labels(out)
+      assert(got((5L, "<DEL>")) === "symbolic")
+      assert(got((6L, "G[chr2:321682[")) === "symbolic")
+      assert(got((7L, "*")) === "symbolic")
+      assert(got((1L, "<CN2>")) === "symbolic")
+      assert(got((5L, "A")) !== "symbolic") // base allele unaffected
+    }
+    val exSites = Seq(
+      ("1", 5L, "T", "<DEL>"),
+      ("1", 6L, "G", "G[chr2:321682["),
+      ("1", 13L, "T", "*"),
+      ("1", 5L, "T", "A"))
+      .toDF("chrom", "pos", "ref", "alt")
+    for (out <- Seq(
+        Consequence.snpConsequenceExons(exSites, exModel, exGenome),
+        Consequence.csqExons(exSites, exModel, exGenome))) {
+      val got = labels(out)
+      assert(got((5L, "<DEL>")) === "symbolic")
+      assert(got((6L, "G[chr2:321682[")) === "symbolic")
+      assert(got((13L, "*")) === "symbolic")
+      assert(got((5L, "A")) !== "symbolic")
+    }
+  }
+
   test("consequenceBurden: LOFTEE class sorting, intergenic excluded") {
     import spark.implicits._
     val rows = Seq(

@@ -32,6 +32,19 @@ class VariantFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(vt("TTC", ".") === "indel")
   }
 
+  test("vartype symbolic classes (VCF 4.2 §5): sv / bnd / star — " +
+      "beyond the reference, which classifies these as nonsense mnp/indel") {
+    assert(vt("A", "<DEL>") === "sv")
+    assert(vt("ACG", "<CN2>") === "sv")
+    assert(vt("T", "<DUP:TANDEM>") === "sv")
+    assert(vt("A", "A[chr2:321682[") === "bnd") // anchor shares REF base
+    assert(vt("C", "]13:123456]C") === "bnd")
+    assert(vt("AT", "*") === "star")
+    assert(vt("A", "*") === "star")
+    // a lone '<' or unclosed bracket-free string stays base-classified
+    assert(vt("A", "<A") === "ins")
+  }
+
   private def zy(ref: String, a1: String, a2: String): String =
     Seq((ref, a1, a2)).toDF("ref", "a1", "a2")
       .select(zygosity(col("ref"), col("a1"), col("a2"))).as[String].head()

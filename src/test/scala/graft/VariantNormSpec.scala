@@ -89,6 +89,29 @@ class VariantNormSpec extends AnyFunSuite with SparkSpec {
     assert(byKey(("2", 800, 2)) === ((800, "G", "GA")))   // GAA>GAAA → ins form
   }
 
+  test("trim passes symbolic ALTs through unmangled — a breakend " +
+      "sharing its anchor base with a multi-base REF must not " +
+      "prefix-trim or shift POS") {
+    import spark.implicits._
+    val sv = Seq(
+      ("1", 100, "AC", "A[chr2:321682["), // anchor base == REF[0]
+      ("1", 200, "ACG", "<DEL>"),
+      ("1", 300, "AT", "*"),
+      ("1", 400, "CT", "]13:123456]T"),   // REF suffix == breakend tail
+      ("1", 500, "CTT", "CT"))            // co-resident base allele trims
+      .toDF("chrom", "pos", "ref", "alt")
+    val got = VariantNorm.trimAlleles(sv)
+      .select("pos", "ref", "alt")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === Set(
+      (100, "AC", "A[chr2:321682["),
+      (200, "ACG", "<DEL>"),
+      (300, "AT", "*"),
+      (400, "CT", "]13:123456]T"),
+      (500, "CT", "C")))
+  }
+
   test("trim keeps at least one base on each side (identical alleles)") {
     val t = VariantNorm.trimAlleles(
       Seq(("1", 10, "AT", "AT")).toDF("chrom", "pos", "ref", "alt"))

@@ -22,6 +22,26 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
     assert(again.count() === 7)
   }
 
+  test("symbolic/SV ALT alleles round-trip the writer byte-identically " +
+      "(<DEL>, <CN2>, breakend both orientations, star, mixed list)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val p = VcfFixture.write().toString
+    val meta = VcfReader.metadata(spark, p)
+    val svAlts = Seq("<DEL>", "<CN2>", "A[chr2:321682[", "]13:123456]A",
+      "*", "C,<DEL>", "*,G")
+    val planted = VcfReader.read(spark, p)
+      .limit(svAlts.length)
+      .withColumn("__i", monotonically_increasing_id().cast("int"))
+      .withColumn("alt",
+        element_at(typedlit(svAlts), col("__i") + 1))
+      .drop("__i")
+    val lines = VcfWriter.toVcfLines(planted, meta.samples)
+    val again = VcfReader.parseLines(lines, meta.columns, meta.samples)
+    assert(again.select("alt").as[String].collect().sorted ===
+      svAlts.sorted.toArray)
+  }
+
   test("header emission is byte-faithful to the parsed metadata") {
     val meta = VcfReader.fromHeaderLines(
       VcfFixture.content.linesIterator.takeWhile(_.startsWith("#")).toSeq)
