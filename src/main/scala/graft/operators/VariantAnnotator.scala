@@ -109,6 +109,46 @@ object VariantAnnotator {
     withFields.drop("fmt", "call", "format")
   }
 
+  /** GENOTYPE-LEVEL FORMAT-PREDICATE MASKING — the `bcftools filter -e
+    * 'FMT/GQ<20 | FMT/DP<10' --set-GTs .` core, the first step of every
+    * production QC pipeline: set low-confidence CALLS to missing BEFORE
+    * any downstream QC consumes them (q72 sample QC, q91 kinship, q105
+    * HWE, q196 de novo — a masked call simply drops out of annotate's
+    * called-genotype stream).
+    *
+    * `pred` receives a typed-field accessor — `f("DP")` is the call's
+    * DP subfield as a string Column resolved through the row's OWN
+    * FORMAT layout (mixed FORMATs per file work; a key absent from the
+    * row's FORMAT yields NULL) — and returns the MASK condition.
+    * NULL predicate values keep the call (bcftools' missing-value
+    * comparison semantics). Masking replaces every allele index in the
+    * GT subfield with `.` — ploidy AND phase separator preserved
+    * (`0/1` → `./.`, `1|2` → `.|.`, haploid `1` → `.`) — and leaves
+    * every other FORMAT subfield verbatim, exactly `--set-GTs .`.
+    *
+    * Shape: ONE narrow projection — a `transform_values` over the
+    * genotypes map (the lambda is referenced once, so the §8
+    * CodegenFallback staging rule is satisfied); zero shuffles at any
+    * scale.
+    */
+  def setGtMissing(
+      df: DataFrame, pred: (String => Column) => Column): DataFrame = {
+    val fmtKeys = split(col("format"), ":")
+    df.withColumn("genotypes",
+      transform_values(col("genotypes"), (_, call) => {
+        val parts = split(call, ":")
+        def field(k: String): Column = {
+          val idx = array_position(fmtKeys, k).cast("int")
+          when(idx > 0, try_element_at(parts, idx))
+        }
+        val gt = element_at(parts, 1)
+        val maskedGt = regexp_replace(gt, "[0-9]+", ".")
+        val masked = concat(maskedGt,
+          call.substr(length(gt) + 1, length(call)))
+        when(coalesce(pred(field), lit(false)), masked).otherwise(call)
+      }))
+  }
+
   /** One cheap pass to learn the FORMAT vocabulary (like csv schema
     * inference; avoid at scale by passing Options.formatKeys).
     */

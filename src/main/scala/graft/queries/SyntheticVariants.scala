@@ -204,14 +204,14 @@ object SyntheticVariants {
     * (appended after [[duckCtes]]): long → non-missing → parts/bases →
     * alleles → annotations (+ hom_ref_counts window).
     */
-  val duckAnnotateCtes: String =
+  def duckAnnotateCtesFrom(src: String): String =
     s"""lng AS (
           SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref, alt,
                  'g' || CAST(si AS VARCHAR(4)) AS sample_id,
                  string_split(call, ':')[1] AS gt,
                  CAST(string_split(call, ':')[2] AS BIGINT) AS dp,
                  string_split(call, ':')[3] AS ad
-          FROM sm WHERE alt <> '.'),
+          FROM $src WHERE alt <> '.'),
         nm AS (SELECT * FROM lng WHERE gt NOT IN ('./.', '.|.', '.')),
         pp AS (
           SELECT *,
@@ -240,4 +240,6 @@ object SyntheticVariants {
             CAST(SUM(CASE WHEN zygosity = 'hom-ref' THEN 1 ELSE 0 END)
               OVER (PARTITION BY chrom, pos, ref, alt) AS BIGINT) AS hom_ref_counts
           FROM ann)"""
+
+  val duckAnnotateCtes: String = duckAnnotateCtesFrom("sm")
 }

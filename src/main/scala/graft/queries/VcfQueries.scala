@@ -3915,11 +3915,49 @@ object VcfQueries extends QuerySet {
       GROUP BY vartype1, zygosity ORDER BY vartype1, zygosity
     """))
 
+  /** GENOTYPE MASKING gate ([[graft.operators.VariantAnnotator
+    * .setGtMissing]] — the `bcftools filter -e 'FMT/DP<25' --set-GTs .`
+    * core): low-depth CALLS are set to missing (ploidy + phase
+    * preserved, other FORMAT subfields verbatim) BEFORE annotate, and
+    * the downstream q72-style QC rollup consumes the masked frame —
+    * masked calls drop out of the called-genotype stream, so the
+    * per-sample zygosity counts shift exactly by the masked depth
+    * band. DuckDB replays the predicate CASE on the raw call string
+    * (field resolved through the same FORMAT layout) and reruns the
+    * full annotate chain over the masked calls. Shape: ONE narrow
+    * transform_values projection ahead of the annotate plan — zero
+    * added exchanges.
+    */
+  private lazy val q206 = Q(
+    "q206_set_gt_missing",
+    (s, dir) => {
+      val masked = VariantAnnotator.setGtMissing(wide(s, dir),
+        f => f("DP").cast("int") < 25)
+      VariantAnnotator
+        .annotate(masked,
+          VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+        .groupBy("sample_id", "zygosity").agg(count(lit(1)).as("n"))
+        .orderBy("sample_id", "zygosity")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      smm AS (SELECT k, chrom_raw, pos, id, ref, alt, qual, filt, info, si,
+                CASE WHEN CAST(string_split(call, ':')[2] AS INT) < 25
+                     THEN regexp_replace(string_split(call, ':')[1], '[0-9]+', '.', 'g')
+                          || substr(call, length(string_split(call, ':')[1]) + 1)
+                     ELSE call END AS call
+              FROM sm),
+      ${duckAnnotateCtesFrom("smm")}
+      SELECT sample_id, zygosity, count(*) AS n FROM ann
+      GROUP BY sample_id, zygosity ORDER BY sample_id, zygosity
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
       q103, q104, q105, q106, q107, q108, q111, q113, q114, q117, q118,
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
-      q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205)
+      q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
+      q206)
 }

@@ -50,6 +50,36 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       "explicit formatKeys must not warn")
   }
 
+  test("setGtMissing: bcftools --set-GTs semantics — predicate fields " +
+      "resolve through the row's own FORMAT, ploidy/phase preserved, " +
+      "non-GT subfields verbatim, NULL predicate keeps the call") {
+    import spark.implicits._
+    val df = Seq(
+      // format, call — mixed layouts on purpose
+      ("GT:DP:GQ", "0/1:8:40"),   // DP 8 < 10  → mask, keep :8:40
+      ("GT:DP:GQ", "1|2:30:15"),  // GQ 15 < 20 → mask, phase kept
+      ("GT:DP:GQ", "1/1:30:40"),  // passes both → kept
+      ("GT:GQ:DP", "0/1:40:8"),   // swapped layout: DP still found
+      ("GT",       "1"),          // haploid, no DP/GQ → NULL pred → kept
+      ("GT:DP",    "./.:5"),      // already missing: mask is a no-op
+      ("GT:DP",    "0:5"))        // haploid masks to '.'
+      .zipWithIndex
+      .map { case ((fmt, c), i) => ("1", 100 + i, "A", "C", fmt, c) }
+      .toDF("chrom", "pos", "ref", "alt", "format", "call")
+      .withColumn("genotypes", map(lit("S1"), col("call")))
+    val got = VariantAnnotator.setGtMissing(df,
+        f => f("DP").cast("int") < 10 || f("GQ").cast("int") < 20)
+      .select(col("pos"), element_at(col("genotypes"), "S1"))
+      .as[(Int, String)].collect().toMap
+    assert(got(100) === "./.:8:40")
+    assert(got(101) === ".|.:30:15")
+    assert(got(102) === "1/1:30:40")
+    assert(got(103) === "./.:40:8")
+    assert(got(104) === "1")
+    assert(got(105) === "./.:5")
+    assert(got(106) === ".:5")
+  }
+
   test("wide→long explode with missing-call and missing-ALT drops") {
     // 7 sites × 2 samples = 14 calls; minus ./., minus 2 calls on ALT='.'
     assert(full.count() === 11)
