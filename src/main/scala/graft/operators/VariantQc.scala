@@ -870,7 +870,12 @@ object VariantQc {
     * summed exactly per chromosome, and the final ratio is one more
     * floored division. Sites need ≥ 2 called alleles in EACH cohort
     * (the c−1 terms); int64-exact to ~2k diploid samples per cohort
-    * (c⁴ products), decimal(38,0) lift documented for biobank width.
+    * (c⁶-order composites). `decimalLift = true` carries every product
+    * in decimal(38,0) with an exact pmod-floored integral division
+    * (valid for the SIGNED numerator because the denominator is
+    * positive) — exact to ~85k diploid samples per cohort
+    * (4c⁶·10⁶ ≤ 10³⁸ at c alleles/cohort); identity at small width is
+    * spec-pinned vs BigInt, default keeps the q119 oracle hashes.
     *
     * Scale shape: ONE site-keyed groupBy with conditional partial
     * aggregation (no joins — both cohorts' counts come out of the same
@@ -881,7 +886,57 @@ object VariantQc {
       ann: DataFrame,
       popA: Seq[String], popB: Seq[String],
       sampleCol: String = "sample_id",
-      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      decimalLift: Boolean = false): DataFrame =
+    fstRollup(
+      fstPerSite(ann, popA, popB, sampleCol, siteKey, decimalLift),
+      Seq(col(siteKey.head)))
+
+  /** WINDOWED Hudson F_ST — the per-window scan (vcftools
+    * `--fst-window-size` / the selection-scan view: F_ST peaks localize
+    * sweeps, a per-chrom number cannot): identical per-site N/D micros
+    * to [[fstByChrom]] (same estimator, same `decimalLift` posture),
+    * rolled up per (chrom, bin) with [[windowPi]]'s binning convention
+    * (`(pos − 1) DIV windowSize`) so π and F_ST windows align
+    * row-for-row in a joint diversity/differentiation scan. Ratio of
+    * sums WITHIN the window (never mean-of-ratios — Bhatia's pitfall
+    * applies per window too). Same shape: one site groupBy + one
+    * window agg; the bin is a projection of the site key, so the
+    * rollup rides the site exchange's partials.
+    */
+  def fstByWindow(
+      ann: DataFrame,
+      popA: Seq[String], popB: Seq[String],
+      windowSize: Long = 1000L,
+      sampleCol: String = "sample_id",
+      decimalLift: Boolean = false): DataFrame = {
+    require(windowSize >= 1L, s"windowSize must be >= 1, got $windowSize")
+    fstRollup(
+      fstPerSite(ann, popA, popB, sampleCol,
+        Seq("chrom", "pos", "ref", "alt"), decimalLift),
+      Seq(col("chrom"), expr(s"(pos - 1) DIV $windowSize").as("bin")))
+  }
+
+  private def fstRollup(perSite: DataFrame, keys: Seq[Column]): DataFrame = {
+    val nSum = sum(col("__nm"))
+    val dSum = sum(col("__dm"))
+    perSite
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_sites"),
+        nSum.as("num_sum_micro"),
+        dSum.as("den_sum_micro"),
+        when(dSum > 0L,
+          floor(nSum.cast("double") / dSum.cast("double") * lit(1000000.0))
+            .cast("long")).otherwise(0L).as("fst_micro"))
+  }
+
+  private def fstPerSite(
+      ann: DataFrame,
+      popA: Seq[String], popB: Seq[String],
+      sampleCol: String,
+      siteKey: Seq[String],
+      decimalLift: Boolean): DataFrame = {
     require(popA.nonEmpty && popB.nonEmpty, "both cohorts need samples")
     require(popA.intersect(popB).isEmpty,
       s"cohorts overlap: ${popA.intersect(popB)}")
@@ -906,23 +961,37 @@ object VariantQc {
     val nDen = c1 * c1 * c2 * c2 * (c1 - 1L) * (c2 - 1L)
     val dNum = b1 * (c2 - b2) + b2 * (c1 - b1)
     val dDen = c1 * c2
-    val perSite = sums.select(
-      col(siteKey.head),
-      floor(nNum.cast("double") / nDen.cast("double") * lit(1000000.0))
-        .cast("long").as("__nm"),
-      floor(dNum.cast("double") / dDen.cast("double") * lit(1000000.0))
-        .cast("long").as("__dm"))
-    val nSum = sum(col("__nm"))
-    val dSum = sum(col("__dm"))
+    val perSite =
+      if (decimalLift) {
+        // every FACTOR cast before multiplying — the int64 path wraps
+        // inside nNum itself past ~2k samples/cohort, not just at the
+        // ×10⁶ step (the ldR2Pairs lift, rebuilt from factors)
+        val dec = "decimal(38,0)"
+        def dc(x: Column) = x.cast(dec)
+        val diff = dc(b1) * dc(c2) - dc(b2) * dc(c1)
+        val nNumD = diff * diff * dc(c1 - 1L) * dc(c2 - 1L) -
+          dc(b1) * dc(c1 - b1) * dc(c2) * dc(c2) * dc(c2 - 1L) -
+          dc(b2) * dc(c2 - b2) * dc(c1) * dc(c1) * dc(c1 - 1L)
+        val nDenD = dc(c1) * dc(c1) * dc(c2) * dc(c2) *
+          dc(c1 - 1L) * dc(c2 - 1L)
+        val dNumD = dc(b1) * dc(c2 - b2) + dc(b2) * dc(c1 - b1)
+        val dDenD = dc(c1) * dc(c2)
+        val m = lit(1000000L).cast(dec)
+        // floor division for SIGNED numerators over the positive
+        // denominator: pmod ≥ 0, so (x − pmod(x, y)) / y = ⌊x/y⌋
+        def fdiv(num: Column, den: Column) =
+          ((num * m - pmod(num * m, den)) / den).cast("long")
+        sums.select(
+          siteKey.map(col) ++ Seq(
+            fdiv(nNumD, nDenD).as("__nm"),
+            fdiv(dNumD, dDenD).as("__dm")): _*)
+      } else sums.select(
+        siteKey.map(col) ++ Seq(
+          floor(nNum.cast("double") / nDen.cast("double") * lit(1000000.0))
+            .cast("long").as("__nm"),
+          floor(dNum.cast("double") / dDen.cast("double") * lit(1000000.0))
+            .cast("long").as("__dm")): _*)
     perSite
-      .groupBy(siteKey.head)
-      .agg(
-        count(lit(1)).as("n_sites"),
-        nSum.as("num_sum_micro"),
-        dSum.as("den_sum_micro"),
-        when(dSum > 0L,
-          floor(nSum.cast("double") / dSum.cast("double") * lit(1000000.0))
-            .cast("long")).otherwise(0L).as("fst_micro"))
   }
 
   /** Trio TRANSMISSION-DISEQUILIBRIUM counts per chromosome (Spielman

@@ -2270,6 +2270,60 @@ object VcfQueries extends QuerySet {
       FROM nd GROUP BY chrom ORDER BY chrom
     """))
 
+  /** WINDOWED Hudson F_ST gate ([[graft.operators.VariantQc
+    * .fstByWindow]] — vcftools `--fst-window-size`, the selection-scan
+    * view q119's per-chrom number cannot give): identical per-site N/D
+    * micros, rolled up per (chrom, bin) with q154's `(pos−1) DIV size`
+    * binning so π and F_ST windows align row-for-row; ratio of sums
+    * WITHIN each window (Bhatia's mean-of-ratios pitfall applies per
+    * window too). Same shape as q119 — one site groupBy + one window
+    * agg riding the site exchange's partials.
+    */
+  private lazy val q207 = Q(
+    "q207_fst_window",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      graft.operators.VariantQc
+        .fstByWindow(ann, Seq("g1", "g2"), Seq("g3", "g4"),
+          windowSize = 20000L)
+        .orderBy("chrom", "bin")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      $duckBiallelicCte,
+      sums AS (SELECT chrom, pos, ref, alt,
+          CAST(sum(CASE WHEN sample_id IN ('g1', 'g2')
+            THEN CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT) ELSE 0 END) AS BIGINT) AS b1,
+          CAST(sum(CASE WHEN sample_id IN ('g1', 'g2') THEN 2 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(CASE WHEN sample_id IN ('g3', 'g4')
+            THEN CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT) ELSE 0 END) AS BIGINT) AS b2,
+          CAST(sum(CASE WHEN sample_id IN ('g3', 'g4') THEN 2 ELSE 0 END) AS BIGINT) AS c2
+        FROM bc GROUP BY 1, 2, 3, 4),
+      fs AS (SELECT * FROM sums WHERE c1 >= 2 AND c2 >= 2),
+      nd AS (SELECT chrom, (pos - 1) // 20000 AS bin,
+          CAST(floor(
+            CAST((b1 * c2 - b2 * c1) * (b1 * c2 - b2 * c1) * (c1 - 1) * (c2 - 1)
+                 - b1 * (c1 - b1) * c2 * c2 * (c2 - 1)
+                 - b2 * (c2 - b2) * c1 * c1 * (c1 - 1) AS DOUBLE)
+            / CAST(c1 * c1 * c2 * c2 * (c1 - 1) * (c2 - 1) AS DOUBLE)
+            * 1000000.0) AS BIGINT) AS nm,
+          CAST(floor(
+            CAST(b1 * (c2 - b2) + b2 * (c1 - b1) AS DOUBLE)
+            / CAST(c1 * c2 AS DOUBLE) * 1000000.0) AS BIGINT) AS dm
+        FROM fs)
+      SELECT chrom, bin, count(*) AS n_sites,
+             CAST(sum(nm) AS BIGINT) AS num_sum_micro,
+             CAST(sum(dm) AS BIGINT) AS den_sum_micro,
+             CASE WHEN sum(dm) > 0 THEN
+               CAST(floor(CAST(sum(nm) AS DOUBLE) / CAST(sum(dm) AS DOUBLE)
+                 * 1000000.0) AS BIGINT)
+             ELSE 0 END AS fst_micro
+      FROM nd GROUP BY chrom, bin ORDER BY chrom, bin
+    """))
+
   /** Genotype PCA ([[graft.operators.VariantQc.genotypePcaWithGrm]],
     * the `plink --pca` ancestry axes off the q118 GRM), gated by
     * DERIVED INVARIANTS: the eigendecomposition itself is not portably
@@ -3959,5 +4013,5 @@ object VcfQueries extends QuerySet {
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
-      q206)
+      q206, q207)
 }

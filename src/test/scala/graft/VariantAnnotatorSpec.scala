@@ -1046,6 +1046,57 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((num.signum, want.toLong)))
   }
 
+  test("fstByChrom decimalLift: identity at small width; exact past " +
+      "the int64 bound at 25k diploid samples per cohort vs BigInt") {
+    import spark.implicits._
+    val cols = Seq("chrom", "pos", "ref", "alt", "multiallele",
+      "sample_id", "gt1", "gt2")
+    val annSmall = Seq(
+      ("1", 100L, "A", "T", 0, "a1", "0", "1"),
+      ("1", 100L, "A", "T", 0, "a2", "1", "1"),
+      ("1", 100L, "A", "T", 0, "b1", "0", "0"),
+      ("1", 100L, "A", "T", 0, "b2", "0", "1"),
+      ("1", 200L, "C", "G", 0, "a1", "0", "0"),
+      ("1", 200L, "C", "G", 0, "a2", "0", "1"),
+      ("1", 200L, "C", "G", 0, "b1", "1", "1"),
+      ("1", 200L, "C", "G", 0, "b2", "1", "1"))
+      .toDF(cols: _*)
+    def run(df: org.apache.spark.sql.DataFrame, lift: Boolean) =
+      graft.operators.VariantQc
+        .fstByChrom(df, Seq("a1", "a2"), Seq("b1", "b2"),
+          decimalLift = lift)
+        .select("chrom", "n_sites", "num_sum_micro", "den_sum_micro",
+          "fst_micro")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(run(annSmall, true) === run(annSmall, false))
+    // biobank width via duplicated call rows (fst counts rows):
+    // cohort A = 12000 het + 13000 hom-alt, cohort B = 20000 hom-ref
+    // + 5000 het → c = 50k alleles each, nNum ≫ 2⁶³ (asserted below)
+    val rows = Seq(
+      (12000, "a1", "0", "1"), (13000, "a2", "1", "1"),
+      (20000, "b1", "0", "0"), (5000, "b2", "0", "1"))
+      .flatMap { case (cnt, s, g1, g2) =>
+        Seq.fill(cnt)(("1", 9L, "A", "T", 0, s, g1, g2)) }
+    val got = run(rows.toDF(cols: _*), lift = true).head
+    val (b1, c1) = (BigInt(12000 + 2 * 13000), BigInt(50000))
+    val (b2, c2) = (BigInt(5000), BigInt(50000))
+    val diff = b1 * c2 - b2 * c1
+    val nNum = diff * diff * (c1 - 1) * (c2 - 1) -
+      b1 * (c1 - b1) * c2 * c2 * (c2 - 1) -
+      b2 * (c2 - b2) * c1 * c1 * (c1 - 1)
+    val nDen = c1 * c1 * c2 * c2 * (c1 - 1) * (c2 - 1)
+    val dNum = b1 * (c2 - b2) + b2 * (c1 - b1)
+    assert(nNum.abs > BigInt(Long.MaxValue),
+      "fixture no longer exceeds the int64 bound")
+    def fl(n: BigInt, d: BigInt): BigInt = {
+      val q = n * 1000000 / d
+      if (q * d > n * 1000000) q - 1 else q // BigInt / truncates toward 0
+    }
+    val nm = fl(nNum, nDen)
+    val dm = fl(dNum, c1 * c2)
+    assert(got === (("1", 1L, nm.toLong, dm.toLong, fl(nm, dm).toLong)))
+  }
+
   test("grmPairs decimalLift: identity at small width, and signed " +
       "terms FLOOR toward -inf (not truncate toward zero)") {
     import spark.implicits._
