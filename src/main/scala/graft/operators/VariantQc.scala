@@ -97,6 +97,61 @@ object VariantQc {
       .join(dropped, Seq(sampleCol), "left_anti")
   }
 
+  /** PRODUCTION KING SNP PANEL — the pre-prune every biobank-width
+    * kinship run needs before paying [[kinshipCounts]]' honest S²/2
+    * pair math per site (the r11-verdict cost knob): restrict the
+    * cohort to a pruned COMMON-SNP panel — the KING/plink2 recommended
+    * posture (Manichaikul 2010 runs on autosomal common SNPs;
+    * `plink2 --make-king` docs say prune first) —
+    *
+    *   1. biallelic SNP sites only (1-base REF/ALT, non-symbolic),
+    *   2. site MAF ≥ `mafMicroMin` over called diploid dosages
+    *      (micro-floored, engine-replayable),
+    *   3. LD-pruned via [[ldPrune]] at (`maxDist`, `r2MicroMax`),
+    *
+    * returning `ann` SEMI-JOINED to the kept panel — feed the result
+    * to [[kinshipCounts]] / [[relatednessClasses]] / [[kinshipPrune]].
+    * φ̂ is a RATIO of concordance counts, so a representative common
+    * panel preserves the degree classes while cutting the per-pair
+    * site cost by orders of magnitude (spec pins class preservation
+    * on a planted duplicate + unrelated fixture).
+    *
+    * Shape: one site-keyed MAF agg + one semi-join (co-keyed with the
+    * annotate site exchange), the q117 ldPrune substrate on the
+    * ALREADY MAF-thinned frame (the prune's pair join only sees
+    * common SNPs), one final site-keyed semi-join. No sample-pair
+    * work at all — that stays in the downstream kinship call, now on
+    * panel-width data.
+    */
+  def kinshipPanel(
+      ann: DataFrame,
+      mafMicroMin: Long = 50000L,
+      maxDist: Int = 10000,
+      r2MicroMax: Long = 200000L,
+      sampleCol: String = "sample_id"): DataFrame = {
+    require(mafMicroMin >= 0L && mafMicroMin <= 500000L,
+      s"mafMicroMin must be a micro-MAF in [0, 5e5], got $mafMicroMin")
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val snp = ann.filter(col("multiallele") === 0 &&
+      length(col("ref")) === 1 && length(col("alt")) === 1 &&
+      !graft.functions.VariantFunctions.isSymbolicAlt(col("alt")) &&
+      called("gt1") && called("gt2"))
+    val siteKey = Seq("chrom", "pos", "ref", "alt")
+    val common = snp.join(
+      snp.groupBy(siteKey.map(col): _*)
+        .agg(
+          sum(col("gt1").cast("long") + col("gt2").cast("long")).as("__b"),
+          (lit(2L) * count(lit(1))).as("__c"))
+        .filter(floor(
+          least(col("__b"), col("__c") - col("__b")).cast("double") /
+            col("__c").cast("double") * lit(1000000.0)).cast("long")
+          >= mafMicroMin)
+        .select(siteKey.map(col): _*),
+      siteKey, "left_semi")
+    ann.join(ldPrune(common, maxDist, r2MicroMax, sampleCol),
+      siteKey, "left_semi")
+  }
+
   /** KING RELATEDNESS-CLASS table (Manichaikul et al. 2010 Table 1;
     * plink2 `--make-king-table`'s verdict column): classify every
     * sample pair by the KING-robust kinship estimate into the

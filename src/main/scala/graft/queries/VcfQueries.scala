@@ -3808,6 +3808,136 @@ object VcfQueries extends QuerySet {
       FROM c ORDER BY sample_a, sample_b
     """))
 
+  /** PRODUCTION KING PANEL gate ([[graft.operators.VariantQc
+    * .kinshipPanel]] → [[graft.operators.VariantQc.relatednessClasses]]
+    * — the biobank posture: common-SNP MAF floor + LD prune BEFORE the
+    * S²/2 pair math): same planted-duplicate cohort as q197 (g5 clones
+    * g1 — φ̂ = ½ exactly, and the ratio survives any site restriction),
+    * but the pair math runs only on the kept panel; DuckDB replays the
+    * row-level MAF filter, the full q117 LD-prune chain OVER the
+    * MAF-thinned sites, the panel semi-join, and the q197 kinship +
+    * class ladder on the restricted rows. The duplicate still reads
+    * `duplicate` and the natural pairs stay `unrelated` — the class-
+    * preservation contract the spec pins pairwise vs full-site truth.
+    */
+  private lazy val q208 = Q(
+    "q208_kinship_panel",
+    (s, dir) => {
+      val ann = VariantAnnotator.annotate(
+        wide(s, dir),
+        VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
+      val withDup = ann.unionByName(
+        ann.filter(col("sample_id") === "g1")
+          .withColumn("sample_id", lit("g5")))
+      // gate geometry: the synthetic fixture's dosages are pure
+      // functions of k, so "LD" saturates ARBITRARY distances — a
+      // real-data prune window (1kb, r² ≥ 0.5) collapses the panel to
+      // the pathologically-correlated residue and every pair reads
+      // duplicate (measured during build). A short window + near-
+      // perfect-LD cutoff keeps the prune genuinely active (~9.2k of
+      // 26k common sites drop at sf0.01) while the panel stays
+      // representative: classes preserved — only the planted g5 clone
+      // reads duplicate, exactly as on the full site set.
+      val panel = graft.operators.VariantQc.kinshipPanel(
+        withDup, mafMicroMin = 100000L, maxDist = 100,
+        r2MicroMax = 990000L)
+      graft.operators.VariantQc.relatednessClasses(panel)
+        .orderBy("sample_a", "sample_b")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      au AS (SELECT * FROM ann UNION ALL
+             SELECT * REPLACE ('g5' AS sample_id) FROM ann
+             WHERE sample_id = 'g1'),
+      snp AS (SELECT * FROM au
+              WHERE multiallele = 0 AND length(ref) = 1 AND length(alt) = 1
+                AND NOT ${symbolicSql("alt")}
+                AND gt1 IS NOT NULL AND gt1 <> '.'
+                AND gt2 IS NOT NULL AND gt2 <> '.'),
+      mafs AS (SELECT chrom, pos, ref, alt,
+                 CAST(sum(CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT)) AS BIGINT) AS b,
+                 CAST(2 * count(*) AS BIGINT) AS c
+               FROM snp GROUP BY 1, 2, 3, 4),
+      common AS (SELECT chrom, pos, ref, alt FROM mafs
+                 WHERE CAST(floor(CAST(least(b, c - b) AS DOUBLE)
+                   / CAST(c AS DOUBLE) * 1000000.0) AS BIGINT) >= 100000),
+      g AS MATERIALIZED (SELECT chrom, pos, ref, alt, sample_id AS s,
+              min(CAST(gt1 AS BIGINT) + CAST(gt2 AS BIGINT)) AS d
+            FROM snp JOIN common USING (chrom, pos, ref, alt)
+            GROUP BY 1, 2, 3, 4, 5),
+      sites AS (SELECT DISTINCT chrom, pos, ref, alt FROM g),
+      pr AS (SELECT a.chrom, a.pos AS pos_a, a.ref AS ref_a, a.alt AS alt_a,
+               b.pos AS pos_b, b.ref AS ref_b, b.alt AS alt_b
+             FROM sites a JOIN sites b
+               ON a.chrom = b.chrom
+              AND b.pos - a.pos <= 100
+              AND (a.pos, a.ref, a.alt) < (b.pos, b.ref, b.alt)),
+      j1 AS MATERIALIZED (
+            SELECT p.chrom, p.pos_a, p.ref_a, p.alt_a,
+               p.pos_b, p.ref_b, p.alt_b, ga.s, ga.d AS x
+            FROM pr p
+            JOIN g ga ON ga.chrom = p.chrom AND ga.pos = p.pos_a
+                     AND ga.ref = p.ref_a AND ga.alt = p.alt_a),
+      j AS (SELECT j1.chrom, j1.pos_a, j1.ref_a, j1.alt_a,
+               j1.pos_b, j1.ref_b, j1.alt_b, j1.x, gb.d AS y
+            FROM j1
+            JOIN g gb ON gb.chrom = j1.chrom AND gb.pos = j1.pos_b
+                     AND gb.ref = j1.ref_b AND gb.alt = j1.alt_b
+                     AND gb.s = j1.s),
+      ag AS (SELECT chrom, pos_a, ref_a, alt_a, pos_b, ref_b, alt_b,
+               count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+             FROM j GROUP BY 1, 2, 3, 4, 5, 6, 7),
+      lk AS (SELECT chrom, pos_b AS pos, ref_b AS ref, alt_b AS alt FROM ag
+             WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+               AND CAST(floor(
+                     CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                     / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+                     * 1000000.0) AS BIGINT) >= 990000),
+      dropped AS (SELECT DISTINCT chrom, pos, ref, alt FROM lk),
+      kept AS (SELECT s.* FROM sites s
+               LEFT JOIN dropped d ON d.chrom = s.chrom AND d.pos = s.pos
+                                  AND d.ref = s.ref AND d.alt = s.alt
+               WHERE d.pos IS NULL),
+      pau AS (SELECT au.* FROM au JOIN kept USING (chrom, pos, ref, alt)),
+      kg AS (SELECT chrom, pos, ref, alt, sample_id AS s,
+              (a1 <> a2) AS het,
+              CASE WHEN a1 = a2 THEN a1 END AS hom
+            FROM pau
+            WHERE a1 IS NOT NULL AND a1 <> '.'
+              AND a2 IS NOT NULL AND a2 <> '.'),
+      p AS (SELECT a.s AS sample_a, b.s AS sample_b,
+              a.het AS het_a, b.het AS het_b, a.hom AS hom_a, b.hom AS hom_b
+            FROM kg a JOIN kg b USING (chrom, pos, ref, alt)
+            WHERE a.s < b.s),
+      k AS (SELECT sample_a, sample_b,
+              count(*) AS n_sites,
+              CAST(sum(CASE WHEN het_a THEN 1 ELSE 0 END) AS BIGINT) AS n_het_a,
+              CAST(sum(CASE WHEN het_b THEN 1 ELSE 0 END) AS BIGINT) AS n_het_b,
+              CAST(sum(CASE WHEN het_a AND het_b THEN 1 ELSE 0 END) AS BIGINT) AS n_hethet,
+              CAST(sum(CASE WHEN hom_a IS NOT NULL AND hom_b IS NOT NULL
+                                AND hom_a <> hom_b THEN 1 ELSE 0 END) AS BIGINT) AS n_opp
+            FROM p GROUP BY sample_a, sample_b),
+      c AS (SELECT *,
+              ${microSql("(n_hethet - 2 * n_opp) * 1.0 / (n_het_a + n_het_b)")} AS kinship_micro,
+              ${microSql("n_opp * 1.0 / n_sites")} AS ibs0_micro
+            FROM k WHERE n_het_a + n_het_b > 0)
+      SELECT sample_a, sample_b, n_sites, n_het_a, n_het_b, n_hethet, n_opp,
+        kinship_micro, ibs0_micro,
+        CASE WHEN kinship_micro > 353553 THEN 'duplicate'
+             WHEN kinship_micro > 176776 THEN
+               CASE WHEN ibs0_micro < 5000 THEN 'parent_offspring'
+                    ELSE 'full_sib' END
+             WHEN kinship_micro > 88388 THEN 'second_degree'
+             WHEN kinship_micro > 44194 THEN 'third_degree'
+             ELSE 'unrelated' END AS relationship
+      FROM c ORDER BY sample_a, sample_b
+    """))
+
   /** SEX INFERENCE from genotypes ([[graft.operators.VariantQc
     * .sexCheck]], `plink --check-sex`): chrom '7' stands in for X; the
     * panel is too correlated to produce hemizygous-looking samples
@@ -4013,5 +4143,5 @@ object VcfQueries extends QuerySet {
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
-      q206, q207)
+      q206, q207, q208)
 }

@@ -37,6 +37,75 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       (base + 2400, "view", 1L, 6.0)))
   }
 
+  test("watermark late-data drop: an event older than the watermark is " +
+      "provably excluded from the windowed aggregate, and the emitted " +
+      "window matches the documented horizon bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = EventStreams.windowedCounts(mem.toDF()) // 10-min watermark
+      .writeStream.format("memory").queryName("graft_wm_late")
+      .outputMode("append").start()
+    def hr(h: Int, m: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: window W0 = [10:00, 10:05) gets one click; a second
+    // event at 11:00 advances the watermark to 10:50 at the NEXT batch
+    mem.addData(Event(hr(10), 1L, "click", 1.0), Event(hr(11), 1L, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: a LATE click at 10:01 (41 min below the 10:50
+    // watermark) lands in the already-closed W0 — it must be DROPPED,
+    // not re-opened and not double-emitted
+    mem.addData(Event(hr(10, 1), 1L, "click", 100.0))
+    q.processAllAvailable()
+    // batch 3: push the watermark past 11:05 so W1 = [11:00, 11:05)
+    // finalizes too
+    mem.addData(Event(hr(12), 2L, "view", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_wm_late")
+      .select(unix_timestamp(col("win_start")).as("w"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val w0 = hr(10).getTime / 1000
+    val w1 = hr(11).getTime / 1000
+    // W0 emitted exactly once with the ON-TIME event only: n = 1,
+    // sum = 1.0 — the late 100.0 is provably excluded. W1 carries its
+    // single on-time click. (The 12:00 view's window is still open at
+    // stop — append mode emits nothing for it, the horizon contract.)
+    assert(got === Set((w0, "click", 1L, 1.0), (w1, "click", 1L, 2.0)))
+  }
+
+  test("watermark late-data drop, stateful sessionize: a late event " +
+      "below the watermark cannot re-open a timed-out session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("graft_sess_late")
+      .outputMode("append")
+      .start()
+    def hr(h: Int, m: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: user 1 session [10:00, 10:01]; 13:00 event (user 2)
+    // advances the watermark to 12:30 — past user 1's 10:31 timeout,
+    // closing and emitting the session
+    mem.addData(Event(hr(10), 1L, "click", 1.0),
+      Event(hr(10, 1), 1L, "click", 2.0),
+      Event(hr(13), 2L, "view", 3.0))
+    q.processAllAvailable()
+    // batch 2: a late 10:02 click for user 1 — 2.5 h below the
+    // watermark; must be dropped BEFORE the stateful operator, so the
+    // closed session is not re-opened or re-emitted
+    mem.addData(Event(hr(10, 2), 1L, "click", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("graft_sess_late")
+      .select("user_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exactly the 2-event on-time session; no 3-event or value-103
+    // variant from the late row
+    assert(closed === Set((1L, 2L, 3.0)))
+  }
+
   test("batch sessionization: gap splits sessions per user") {
     val s = EventStreams.sessionizeBatch(events.toDF(), gapSeconds = 1800)
       .orderBy("user_id", "session_start").collect()

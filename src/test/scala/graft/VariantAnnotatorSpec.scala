@@ -140,6 +140,54 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       .getAs[Long]("hom_ref_counts") === 1L)
   }
 
+  test("kinshipPanel: MAF floor drops rare sites, LD prune drops the " +
+      "higher-keyed linked twin, and the KING classes on the panel " +
+      "match full-site truth (duplicate stays duplicate, unrelated " +
+      "stays unrelated)") {
+    import spark.implicits._
+    def row(pos: Long, s: String, gt1: String, gt2: String) = {
+      val a1 = if (gt1 == "0") "A" else "T"
+      val a2 = if (gt2 == "0") "A" else "T"
+      ("1", pos, "A", "T", 0, s, gt1, gt2, a1, a2)
+    }
+    // 12 spaced signal sites: odd → d1/d2 het + u hom-ref, even →
+    // d1/d2 hom-alt + u hom-ref (opposite homs); φ̂(d1,d2) = 0.5,
+    // φ̂(d,u) < 0. Site 2000: monomorphic (MAF 0 — the floor drops
+    // it). Sites 3000/3010: identical dosage vectors 10 bp apart
+    // (r² = 1 — the prune drops 3010).
+    val rows =
+      (1 to 12).flatMap { i =>
+        val pos = i * 100L
+        if (i % 2 == 1) Seq(row(pos, "d1", "0", "1"),
+          row(pos, "d2", "0", "1"), row(pos, "u", "0", "0"))
+        else Seq(row(pos, "d1", "1", "1"),
+          row(pos, "d2", "1", "1"), row(pos, "u", "0", "0"))
+      } ++
+        Seq("d1", "d2", "u").map(s => row(2000L, s, "0", "0")) ++
+        Seq(3000L, 3010L).flatMap(p => Seq(row(p, "d1", "0", "1"),
+          row(p, "d2", "1", "1"), row(p, "u", "0", "0")))
+    val ann = rows.toDF("chrom", "pos", "ref", "alt", "multiallele",
+      "sample_id", "gt1", "gt2", "a1", "a2")
+    val panel = graft.operators.VariantQc.kinshipPanel(
+      ann, mafMicroMin = 100000L, maxDist = 50, r2MicroMax = 990000L)
+    val keptSites = panel.select("pos").distinct()
+      .as[Long].collect().toSet
+    assert(!keptSites.contains(2000L), "MAF floor must drop the rare site")
+    assert(keptSites.contains(3000L) && !keptSites.contains(3010L),
+      "LD prune must drop exactly the higher-keyed linked twin")
+    assert(keptSites.size === 13)
+    def classes(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.VariantQc.relatednessClasses(df)
+        .select("sample_a", "sample_b", "relationship")
+        .as[(String, String, String)].collect().toSet
+    val want = Set(
+      ("d1", "d2", "duplicate"),
+      ("d1", "u", "unrelated"),
+      ("d2", "u", "unrelated"))
+    assert(classes(ann) === want, "full-site truth")
+    assert(classes(panel) === want, "panel classes must match truth")
+  }
+
   test("siteSummary pivots zygosity per site") {
     val s = VariantAnnotator.siteSummary(full)
     val r300 = s.filter(col("pos") === 300).head()
