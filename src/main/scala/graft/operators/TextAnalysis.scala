@@ -1042,4 +1042,105 @@ object TextAnalysis {
       .orderBy(col("key_micro").desc, col(idCol).asc)
       .limit(n)
   }
+
+  /** INTERPOLATED KNESER-NEY BIGRAM LM SCORING — the CCNet/KenLM
+    * quality-scorer core (Wenzek et al. 2020 score every crawl doc by
+    * a clean-reference-LM perplexity, then bucket head/middle/tail;
+    * [[perplexityBuckets]]/q199 CONSUMES such scores — this PRODUCES
+    * them, completing the pair the way q25/q203 complete
+    * decontamination; Kneser & Ney 1995 / Chen & Goodman 1999 eq. 4.24
+    * at n = 2 with a single fixed discount):
+    *
+    *   P(w₂|w₁) = (max(c(w₁w₂) − D, 0) + D·N₁₊(w₁•)·P_cont(w₂)) / c(w₁)
+    *   P_cont(w₂) = N₁₊(•w₂) / B,   B = total distinct bigram types
+    *
+    * and for a context unseen in training, the continuation
+    * distribution alone: P = P_cont(w₂). Determinism: with
+    * D = `discountMicro`/10⁶, p_micro reduces to ONE micro-floored
+    * division of exact int64 products —
+    * ⌊(max(c₁₂·10⁶ − Dµ, 0)·B + Dµ·N₁₊(w₁•)·N₁₊(•w₂)) / (c(w₁)·B)⌋ —
+    * (int64-exact while c₁₂·10⁶·B ≤ 2⁶³: ~10⁹-bigram-type reference
+    * LMs with million-count bigrams; the reference LM is wiki-sized by
+    * construction, not the crawl), clamped ≥ 1 so an unseen word
+    * scores the documented floor instead of −∞, and each bigram's
+    * log-probability is ⌊ln(p_micro/10⁶)·10⁶⌋ (the q187 floored-IEEE-
+    * log convention). Per doc: n_bigrams, n_oov_ctx (bigrams whose
+    * context never occurred in training), sum_logp_micro, and
+    * avg_nll_micro = (−sum) DIV n — the score CCNet thresholds;
+    * zero-bigram docs report zeros through the coalesce ladder (the
+    * q203 contract).
+    *
+    * Scale shape: the reference LM is built with ONE train-corpus
+    * bigram exchange (groupBy (h₁,h₂) with partial aggregation over
+    * per-token rolling hashes — tokens never pair across documents);
+    * context/continuation tables derive from that pair-TYPE table
+    * (vocab-bounded), B is a 1-row broadcast. Scoring is the
+    * corpus-sized side: three equi-joins of the eval bigram stream
+    * against the vocab-bounded count tables — broadcast when the
+    * reference LM is small (the CCNet posture: wiki LM vs 100 TB
+    * crawl), shuffle equi-joins otherwise, AQE picks. No corpus×corpus
+    * pairing anywhere.
+    */
+  def knBigramScore(
+      train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String,
+      discountMicro: Long = 750000L): DataFrame = {
+    require(discountMicro >= 0L && discountMicro <= 1000000L,
+      s"discountMicro must be a micro-fraction in [0, 1e6], got $discountMicro")
+    def bigrams(df: DataFrame, withId: Boolean): DataFrame = {
+      val toks = wsTokens(lower(cleanAscii(col(textCol))))
+      val hs = transform(toks, t => rollingHash(t))
+      val pairs = when(size(hs) >= 2,
+        transform(sequence(lit(1), size(hs) - 1), i =>
+          struct(element_at(hs, i).as("h1"), element_at(hs, i + 1).as("h2"))))
+        .otherwise(array().cast("array<struct<h1:long,h2:long>>"))
+      val base = if (withId) df.select(col(idCol).as("id"), pairs.as("__p"))
+        else df.select(pairs.as("__p"))
+      base.select((if (withId) Seq(col("id")) else Nil) :+
+        explode(col("__p")).as("__b"): _*)
+        .select((if (withId) Seq(col("id")) else Nil) ++
+          Seq(col("__b.h1").as("h1"), col("__b.h2").as("h2")): _*)
+    }
+    val big = bigrams(train, withId = false)
+      .groupBy("h1", "h2").agg(count(lit(1)).as("__c12"))
+    val uni = big.groupBy("h1").agg(
+      sum(col("__c12")).as("__c1"), count(lit(1)).as("__fwd"))
+    val back = big.groupBy("h2").agg(count(lit(1)).as("__back"))
+    val bTot = big.agg(count(lit(1)).as("__B"))
+    val dm = lit(discountMicro)
+    val ev = bigrams(eval_, withId = true)
+      .join(big, Seq("h1", "h2"), "left")
+      .join(uni, Seq("h1"), "left")
+      .join(back, Seq("h2"), "left")
+      .crossJoin(broadcast(bTot))
+    val c12 = coalesce(col("__c12"), lit(0L))
+    val fwd = coalesce(col("__fwd"), lit(0L))
+    val bk = coalesce(col("__back"), lit(0L))
+    val seen = col("__c1").isNotNull
+    val pSeen = floor(
+      (greatest(c12 * lit(1000000L) - dm, lit(0L)) * col("__B") +
+        dm * fwd * bk).cast("double") /
+        (col("__c1") * col("__B")).cast("double")).cast("long")
+    val pCont = floor(bk.cast("double") / col("__B").cast("double")
+      * lit(1000000.0)).cast("long")
+    val scored = ev
+      .withColumn("__pm", greatest(when(seen, pSeen).otherwise(pCont), lit(1L)))
+      .withColumn("__logp",
+        floor(log(col("__pm").cast("double") / lit(1000000.0))
+          * lit(1000000.0)).cast("long"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(seen, 0L).otherwise(1L)).as("n_oov_ctx"),
+        sum(col("__logp")).as("sum_logp_micro"))
+    eval_.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov_ctx"), lit(0L)).as("n_oov_ctx"),
+        coalesce(col("sum_logp_micro"), lit(0L)).as("sum_logp_micro"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, 0L)
+          .otherwise(expr("(-sum_logp_micro) DIV n_bigrams"))
+          .as("avg_nll_micro"))
+  }
 }

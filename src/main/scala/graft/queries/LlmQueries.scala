@@ -5310,6 +5310,97 @@ object LlmQueries extends QuerySet {
       ORDER BY eval_id
     """))
 
+  /** KNESER-NEY BIGRAM LM SCORING gate ([[graft.operators.TextAnalysis
+    * .knBigramScore]], Wenzek 2020 / Kneser-Ney 1995 — the CCNet
+    * quality scorer whose output q199 buckets): the LM trains on the
+    * non-eval corpus half (the q203 split), eval docs score per-bigram
+    * interpolated-KN probabilities — exact int64 cross-products to ONE
+    * micro-floored division per bigram, the unseen-context branch
+    * rides the continuation distribution, unseen words clamp to the
+    * 1-micro floor, logs are the q187 floored-IEEE convention, and the
+    * avg-NLL is one integer DIV. DuckDB replays tokenization, the
+    * per-token rolling hash, all four count tables, both probability
+    * branches, the clamp, the log floor, and the zero-bigram ladder.
+    */
+  private lazy val q209 = Q(
+    "q209_kn_lm_score",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      // half the eval docs get planted OOV tokens so the unseen-word
+      // clamp AND the unseen-context continuation branch are both
+      // observable (the natural corpus shares its whole vocabulary)
+      val ev = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id"),
+          concat(col("text"), when(col("doc_id") % 100 === 0,
+            lit(" qq7x zz9y qq7x")).otherwise(lit(""))).as("text"))
+      val tr = d.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("id"), col("text"))
+      graft.operators.TextAnalysis.knBigramScore(tr, ev, "id", "text")
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH ev AS (SELECT doc_id AS id,
+              lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'))
+                || CASE WHEN doc_id % 100 = 0
+                        THEN ' qq7x zz9y qq7x' ELSE '' END AS text
+            FROM documents WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id AS id,
+              lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) AS text
+            FROM documents WHERE doc_id % 50 <> 0),
+      trt AS (SELECT list_transform(string_split_regex(trim(text), '\\s+'),
+                t -> ${rollSql("t")}) AS h
+              FROM tr WHERE length(trim(text)) > 0),
+      trb AS (SELECT unnest(list_transform(range(1, CAST(len(h) AS INT)),
+                i -> struct_pack(h1 := h[CAST(i AS INT)],
+                                 h2 := h[CAST(i AS INT) + 1]))) AS b
+              FROM trt WHERE len(h) >= 2),
+      big AS (SELECT b.h1 AS h1, b.h2 AS h2, count(*) AS c12
+              FROM trb GROUP BY 1, 2),
+      uni AS (SELECT h1, CAST(sum(c12) AS BIGINT) AS c1,
+                CAST(count(*) AS BIGINT) AS fwd FROM big GROUP BY 1),
+      bck AS (SELECT h2, CAST(count(*) AS BIGINT) AS bk FROM big GROUP BY 1),
+      bt AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM big),
+      evt AS (SELECT id, list_transform(string_split_regex(trim(text), '\\s+'),
+                t -> ${rollSql("t")}) AS h
+              FROM ev WHERE length(trim(text)) > 0),
+      evb AS (SELECT id, unnest(list_transform(range(1, CAST(len(h) AS INT)),
+                i -> struct_pack(h1 := h[CAST(i AS INT)],
+                                 h2 := h[CAST(i AS INT) + 1]))) AS b
+              FROM evt WHERE len(h) >= 2),
+      sc AS (SELECT e.id, u.c1,
+               CASE WHEN u.c1 IS NOT NULL THEN
+                 greatest(CAST(floor(
+                   CAST(greatest(coalesce(g.c12, 0) * 1000000 - 750000, 0) * bt.tb
+                        + 750000 * coalesce(u.fwd, 0) * coalesce(k.bk, 0) AS DOUBLE)
+                   / CAST(u.c1 * bt.tb AS DOUBLE)) AS BIGINT), 1)
+               ELSE
+                 greatest(CAST(floor(CAST(coalesce(k.bk, 0) AS DOUBLE)
+                   / CAST(bt.tb AS DOUBLE) * 1000000.0) AS BIGINT), 1)
+               END AS pm
+             FROM evb e
+             LEFT JOIN big g ON g.h1 = e.b.h1 AND g.h2 = e.b.h2
+             LEFT JOIN uni u ON u.h1 = e.b.h1
+             LEFT JOIN bck k ON k.h2 = e.b.h2
+             CROSS JOIN bt),
+      lg AS (SELECT id, c1,
+               CAST(floor(ln(CAST(pm AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT) AS logp
+             FROM sc),
+      agg AS (SELECT id, count(*) AS n_bigrams,
+                CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_ctx,
+                CAST(sum(logp) AS BIGINT) AS sum_logp_micro
+              FROM lg GROUP BY id)
+      SELECT e.id,
+        coalesce(a.n_bigrams, 0) AS n_bigrams,
+        coalesce(a.n_oov_ctx, 0) AS n_oov_ctx,
+        coalesce(a.sum_logp_micro, 0) AS sum_logp_micro,
+        CASE WHEN coalesce(a.n_bigrams, 0) = 0 THEN 0
+             ELSE (-a.sum_logp_micro) // a.n_bigrams END AS avg_nll_micro
+      FROM (SELECT DISTINCT id FROM ev) e
+      LEFT JOIN agg a USING (id)
+      ORDER BY id
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -5319,5 +5410,5 @@ object LlmQueries extends QuerySet {
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
       q180, q182, q183, q186, q187, q189, q190, q193, q194, q195, q199,
-      q203)
+      q203, q209)
 }

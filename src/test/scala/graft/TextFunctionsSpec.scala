@@ -651,6 +651,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("knBigramScore: interpolated Kneser-Ney probabilities replay by " +
+      "hand — seen bigram, seen-context/unseen-word clamp, unseen " +
+      "context via continuation, fully-unseen clamp, zero-bigram doc") {
+    // train: "a b a b c", "a b" → big (a,b):3 (b,a):1 (b,c):1, B = 3
+    // uni: a (c1 3, fwd 1), b (c1 2, fwd 2); back: b 1, a 1, c 1
+    val train = Seq((1L, "a b a b c"), (2L, "a b")).toDF("id", "text")
+    val eval_ = Seq((10L, "a b c z a"), (11L, "a z"), (12L, "z"))
+      .toDF("id", "text")
+    val got = graft.operators.TextAnalysis
+      .knBigramScore(train, eval_, "id", "text")
+      .select("id", "n_bigrams", "n_oov_ctx", "sum_logp_micro",
+        "avg_nll_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def lg(pm: Long): Long =
+      math.floor(math.log(pm / 1e6) * 1e6).toLong
+    // (a,b): ⌊((3e6−.75e6)·3 + .75e6·1·1)/(3·3)⌋ = ⌊7.5e6/9⌋ = 833333
+    // (b,c): ⌊((1e6−.75e6)·3 + .75e6·2·1)/(2·3)⌋ = 2.25e6/6 = 375000
+    // (c,z): unseen ctx, back(z)=0 → clamp 1
+    // (z,a): unseen ctx, back(a)=1 → ⌊1e6/3⌋ = 333333
+    val e1 = Seq(833333L, 375000L, 1L, 333333L).map(lg).sum
+    assert(got(10L) === ((4L, 2L, e1, (-e1) / 4)))
+    // (a,z): SEEN ctx a, unseen word → ⌊(0·3 + .75e6·1·0)/9⌋ = 0 → clamp 1
+    val e2 = lg(1L)
+    assert(got(11L) === ((1L, 0L, e2, -e2)))
+    // single token: no bigrams — the zero ladder
+    assert(got(12L) === ((0L, 0L, 0L, 0L)))
+  }
+
   test("bpeTrainMerges: the Sennrich merge walk replays by hand — " +
       "frequency-weighted pairs, lexicographic ties, </w> absorption, " +
       "early stop when no pairs remain") {
