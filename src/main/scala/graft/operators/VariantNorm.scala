@@ -210,4 +210,88 @@ object VariantNorm {
       df: DataFrame, genome: Map[String, String],
       decls: Seq[FieldDecl] = Nil): DataFrame =
     leftAlign(splitMultiallelic(df, decls), genome)
+
+  /** ALLELE / STRAND HARMONIZATION between two SNP panels — the
+    * GWAS-meta-analysis and panel-merge prerequisite (`bcftools
+    * +fixref` / plink `--flip` / the summary-statistics harmonization
+    * step in every two-cohort meta before q169 can combine them): two
+    * callsets genotyped on different arrays disagree on allele
+    * ORIENTATION at the same site, and combining them unharmonized
+    * silently flips effect directions. Per (chrom, pos) shared between
+    * panel A and panel B, classify:
+    *
+    *   - `match`              same REF/ALT
+    *   - `swap`               REF/ALT reversed → B's AF flips (1−af)
+    *   - `strand_flip`        B reported on the other strand
+    *                          (base-complement), same orientation
+    *   - `swap_strand_flip`   both → AF flips
+    *   - `palindromic_*`      A/T or G/C allele pairs are strand-
+    *     UNRESOLVABLE from alleles alone: resolved by allele-frequency
+    *     concordance — the orientation whose AF sits strictly closer
+    *     to A's wins (`palindromic_match` / `palindromic_swap`) —
+    *     UNLESS either panel's MAF exceeds `ambiguousMafMicroMax`
+    *     (near-0.5 frequencies can't arbitrate; the published rule is
+    *     to drop) or the two orientations tie → `ambiguous`
+    *   - `mismatch`           alleles incompatible under every
+    *                          transform (tri-allelic drift, indel vs
+    *                          SNP, symbolic) — excluded downstream
+    *
+    * and emit `af_b_harmonized` (B's AF in A's orientation — the
+    * number q169/meta consumes) next to the verdict. Palindromic
+    * detection runs FIRST: an A/T site satisfies both `match` and
+    * `swap_strand_flip` by construction, so the ladder order is the
+    * semantics (spec-pinned). Integer micro-AF arithmetic throughout.
+    *
+    * Shape: ONE site-keyed equi-join of two per-site summary frames
+    * (chrom, pos, ref, alt, af_micro) + a narrow codegen
+    * classification projection — zero additional exchanges on
+    * site-bucketed landings; panels of any relative size (no
+    * broadcast assumption — summary-stats panels are both large).
+    */
+  def harmonizeAlleles(
+      a: DataFrame, b: DataFrame,
+      ambiguousMafMicroMax: Long = 400000L): DataFrame = {
+    require(ambiguousMafMicroMax >= 0L && ambiguousMafMicroMax <= 500000L,
+      s"ambiguousMafMicroMax must be a micro-MAF in [0, 5e5], got " +
+        ambiguousMafMicroMax)
+    def comp(c: Column): Column = translate(c, "ACGT", "TGCA")
+    val pa = a.select(col("chrom"), col("pos"),
+      col("ref").as("ref_a"), col("alt").as("alt_a"),
+      col("af_micro").as("af_a"))
+    val pb = b.select(col("chrom"), col("pos"),
+      col("ref").as("ref_b"), col("alt").as("alt_b"),
+      col("af_micro").as("af_b"))
+    val (ra, aa, rb, ab) =
+      (col("ref_a"), col("alt_a"), col("ref_b"), col("alt_b"))
+    def snp(r: Column, al: Column) =
+      length(r) === 1 && length(al) === 1 &&
+        r.isin("A", "C", "G", "T") && al.isin("A", "C", "G", "T")
+    val palA = snp(ra, aa) && aa === comp(ra)          // A/T or G/C in A
+    val sameSet = (ra === rb && aa === ab)
+    val swapped = (ra === ab && aa === rb)
+    val maf = (x: Column) => least(x, lit(1000000L) - x)
+    val afFlip = lit(1000000L) - col("af_b")
+    val dKeep = abs(col("af_a") - col("af_b"))
+    val dFlip = abs(col("af_a") - afFlip)
+    val action =
+      when(!snp(ra, aa) || !snp(rb, ab), lit("mismatch"))
+        .when(palA && (sameSet || swapped),
+          when(maf(col("af_a")) > ambiguousMafMicroMax ||
+            maf(col("af_b")) > ambiguousMafMicroMax, lit("ambiguous"))
+            .when(dKeep < dFlip, lit("palindromic_match"))
+            .when(dFlip < dKeep, lit("palindromic_swap"))
+            .otherwise(lit("ambiguous")))
+        .when(sameSet, lit("match"))
+        .when(swapped, lit("swap"))
+        .when(ra === comp(rb) && aa === comp(ab), lit("strand_flip"))
+        .when(ra === comp(ab) && aa === comp(rb), lit("swap_strand_flip"))
+        .otherwise(lit("mismatch"))
+    pa.join(pb, Seq("chrom", "pos"))
+      .withColumn("action", action)
+      .withColumn("af_b_harmonized",
+        when(col("action").isin("match", "strand_flip",
+          "palindromic_match"), col("af_b"))
+          .when(col("action").isin("swap", "swap_strand_flip",
+            "palindromic_swap"), afFlip))
+  }
 }

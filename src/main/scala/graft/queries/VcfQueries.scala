@@ -4136,6 +4136,95 @@ object VcfQueries extends QuerySet {
       GROUP BY sample_id, zygosity ORDER BY sample_id, zygosity
     """))
 
+  /** ALLELE/STRAND HARMONIZATION gate ([[graft.operators.VariantNorm
+    * .harmonizeAlleles]] — `bcftools +fixref` / plink `--flip` / the
+    * summary-stats harmonization step ahead of q169 meta-analysis):
+    * two formula-derived SNP panels where panel B is panel A
+    * transformed per k%11 class — identical (match), REF/ALT reversed
+    * (swap), base-complemented (strand_flip), both (swap_strand_flip),
+    * third-allele drift and an indel (both mismatch) — crossed with
+    * k%3 allele-pair classes that make a third of the sites
+    * PALINDROMIC (alt = complement(ref)), which the classifier must
+    * resolve by AF concordance first (ladder order IS the semantics: a
+    * palindromic site satisfies both `match` and `swap_strand_flip` by
+    * construction) or declare `ambiguous` when either MAF exceeds 0.4.
+    * All eight actions + the AF-flip harmonization are observable;
+    * DuckDB replays the derivation, the full ladder, and the flip.
+    */
+  private lazy val q210 = {
+    val p = "1 + (k % 4)"
+    val refA = s"substr('ACGT', $p, 1)"
+    val altA = s"""CASE WHEN k % 3 = 0 THEN substr('TGCA', $p, 1)
+        WHEN k % 3 = 1 THEN substr('CATC', $p, 1)
+        ELSE substr('GTAG', $p, 1) END"""
+    val afA = "CAST((k * 37) % 1000001 AS BIGINT)"
+    val refB = s"""CASE WHEN k % 11 = 1 THEN ($altA)
+        WHEN k % 11 = 2 THEN translate(($refA), 'ACGT', 'TGCA')
+        WHEN k % 11 = 3 THEN translate(($altA), 'ACGT', 'TGCA')
+        ELSE ($refA) END"""
+    val altB = s"""CASE WHEN k % 11 = 1 THEN ($refA)
+        WHEN k % 11 = 2 THEN translate(($altA), 'ACGT', 'TGCA')
+        WHEN k % 11 = 3 THEN translate(($refA), 'ACGT', 'TGCA')
+        WHEN k % 11 = 4 THEN (CASE WHEN k % 3 = 1 THEN substr('GTAG', $p, 1)
+                                   ELSE substr('CATC', $p, 1) END)
+        WHEN k % 11 = 5 THEN ($altA) || 'T'
+        ELSE ($altA) END"""
+    val afB = s"CASE WHEN k % 11 = 1 OR k % 11 = 3 THEN 1000000 - ($afA) ELSE ($afA) END"
+    val chrom = "CAST(1 + (k % 22) AS VARCHAR(8))"
+    Q(
+      "q210_allele_harmonize",
+      (s, dir) => {
+        val ks = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .repartition(s.sparkContext.defaultParallelism)
+        val pa = ks.selectExpr(s"$chrom AS chrom", "CAST(k AS INT) AS pos",
+          s"$refA AS ref", s"$altA AS alt", s"$afA AS af_micro")
+        val pb = ks.selectExpr(s"$chrom AS chrom", "CAST(k AS INT) AS pos",
+          s"$refB AS ref", s"$altB AS alt", s"$afB AS af_micro")
+        graft.operators.VariantNorm.harmonizeAlleles(pa, pb)
+          .orderBy("chrom", "pos")
+      },
+      Some(s"""
+        WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        pa AS (SELECT $chrom AS chrom, CAST(k AS INT) AS pos,
+                 $refA AS ref_a, $altA AS alt_a, $afA AS af_a FROM ln),
+        pb AS (SELECT $chrom AS chrom, CAST(k AS INT) AS pos,
+                 $refB AS ref_b, $altB AS alt_b, $afB AS af_b FROM ln),
+        j AS (SELECT * FROM pa JOIN pb USING (chrom, pos)),
+        cl AS (SELECT *,
+          CASE
+            WHEN NOT (length(ref_a) = 1 AND length(alt_a) = 1
+                  AND ref_a IN ('A','C','G','T') AND alt_a IN ('A','C','G','T')
+                  AND length(ref_b) = 1 AND length(alt_b) = 1
+                  AND ref_b IN ('A','C','G','T') AND alt_b IN ('A','C','G','T'))
+              THEN 'mismatch'
+            WHEN alt_a = translate(ref_a, 'ACGT', 'TGCA')
+                 AND ((ref_a = ref_b AND alt_a = alt_b)
+                   OR (ref_a = alt_b AND alt_a = ref_b)) THEN
+              CASE WHEN least(af_a, 1000000 - af_a) > 400000
+                     OR least(af_b, 1000000 - af_b) > 400000 THEN 'ambiguous'
+                   WHEN abs(af_a - af_b) < abs(af_a - (1000000 - af_b))
+                     THEN 'palindromic_match'
+                   WHEN abs(af_a - (1000000 - af_b)) < abs(af_a - af_b)
+                     THEN 'palindromic_swap'
+                   ELSE 'ambiguous' END
+            WHEN ref_a = ref_b AND alt_a = alt_b THEN 'match'
+            WHEN ref_a = alt_b AND alt_a = ref_b THEN 'swap'
+            WHEN ref_a = translate(ref_b, 'ACGT', 'TGCA')
+                 AND alt_a = translate(alt_b, 'ACGT', 'TGCA') THEN 'strand_flip'
+            WHEN ref_a = translate(alt_b, 'ACGT', 'TGCA')
+                 AND alt_a = translate(ref_b, 'ACGT', 'TGCA') THEN 'swap_strand_flip'
+            ELSE 'mismatch' END AS action
+          FROM j)
+        SELECT chrom, pos, ref_a, alt_a, af_a, ref_b, alt_b, af_b, action,
+          CASE WHEN action IN ('match', 'strand_flip', 'palindromic_match')
+                 THEN af_b
+               WHEN action IN ('swap', 'swap_strand_flip', 'palindromic_swap')
+                 THEN 1000000 - af_b END AS af_b_harmonized
+        FROM cl ORDER BY chrom, pos
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
@@ -4143,5 +4232,5 @@ object VcfQueries extends QuerySet {
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
-      q206, q207, q208)
+      q206, q207, q208, q210)
 }

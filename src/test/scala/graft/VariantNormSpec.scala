@@ -112,6 +112,54 @@ class VariantNormSpec extends AnyFunSuite with SparkSpec {
       (500, "CT", "C")))
   }
 
+  test("harmonizeAlleles: the classification ladder by hand — " +
+      "palindromic-first order, AF-concordance resolution, the 0.4-MAF " +
+      "ambiguity rule, distance tie, AF flip, indel/symbolic mismatch") {
+    import spark.implicits._
+    def panel(rows: Seq[(Int, String, String, Long)]) =
+      rows.map { case (p, r, a, af) => ("1", p, r, a, af) }
+        .toDF("chrom", "pos", "ref", "alt", "af_micro")
+    val a = panel(Seq(
+      (1, "A", "C", 200000L),  // plain pair
+      (2, "A", "C", 200000L),
+      (3, "A", "C", 200000L),
+      (4, "A", "C", 200000L),
+      (5, "A", "T", 200000L),  // palindromic, low MAF
+      (6, "A", "T", 200000L),
+      (7, "A", "T", 450000L),  // palindromic, MAF > 0.4
+      (8, "A", "T", 500000L),  // palindromic, exact tie
+      (9, "A", "C", 200000L),  // B is an indel
+      (10, "A", "G", 200000L)))// third-allele drift
+    val b = panel(Seq(
+      (1, "A", "C", 210000L),  // match (af kept)
+      (2, "C", "A", 790000L),  // swap (af flips to 210000)
+      (3, "T", "G", 210000L),  // strand_flip of (A,C)
+      (4, "G", "T", 790000L),  // swap_strand_flip
+      (5, "A", "T", 190000L),  // same orientation closer → palindromic_match
+      (6, "A", "T", 810000L),  // flipped closer → palindromic_swap
+      (7, "A", "T", 450000L),  // ambiguous by MAF
+      (8, "A", "T", 500000L),  // |keep| = |flip| → ambiguous
+      (9, "A", "CT", 200000L), // mismatch (not a SNP)
+      (10, "A", "C", 200000L)))// mismatch (no transform fits)
+    val got = graft.operators.VariantNorm.harmonizeAlleles(a, b)
+      .select("pos", "action", "af_b_harmonized")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(1) === (("match", 210000L)))
+    assert(got(2) === (("swap", 210000L)))
+    assert(got(3) === (("strand_flip", 210000L)))
+    assert(got(4) === (("swap_strand_flip", 210000L)))
+    // pos 5 satisfies BOTH match and swap_strand_flip structurally —
+    // the palindromic branch must win and resolve by AF
+    assert(got(5) === (("palindromic_match", 190000L)))
+    assert(got(6) === (("palindromic_swap", 190000L)))
+    assert(got(7) === (("ambiguous", -1L)))
+    assert(got(8) === (("ambiguous", -1L)))
+    assert(got(9) === (("mismatch", -1L)))
+    assert(got(10) === (("mismatch", -1L)))
+  }
+
   test("trim keeps at least one base on each side (identical alleles)") {
     val t = VariantNorm.trimAlleles(
       Seq(("1", 10, "AT", "AT")).toDF("chrom", "pos", "ref", "alt"))
