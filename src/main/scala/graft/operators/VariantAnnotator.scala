@@ -149,6 +149,77 @@ object VariantAnnotator {
       }))
   }
 
+  /** INFO TAG REFILL — the `bcftools +fill-tags -- -t NS,AN,AC,AF`
+    * core: recompute the genotype-derived INFO tags from the calls
+    * actually present and REWRITE the info string, because after any
+    * subsetting/merging/masking operation (drop samples, q102 merge,
+    * [[setGtMissing]]) the stored AC/AN/AF lie — and every downstream
+    * consumer (q61 spectra, q138 PGS, site filters) reads them.
+    *
+    *   NS  samples with a non-missing GT
+    *   AN  called ALLELES (haploid calls count 1, `.` parts don't)
+    *   AC  per-ALT counts, `Number=A` comma list in allele order
+    *   AF  AC/AN, micro-floored and emitted as a fixed 6-decimal
+    *       string (built from integer digits — engine-identical, no
+    *       float formatting)
+    *
+    * Existing NS/AN/AC/AF entries are stripped wherever they sit and
+    * the recomputed block is appended in fixed order; every other
+    * INFO key rides verbatim. Missing-ALT (`.`) sites get NS/AN only
+    * (no alleles to count). Rows sharing a site key pool their
+    * samples — run after [[VariantNorm.splitMultiallelic]]/dedup if
+    * site keys can collide.
+    *
+    * Shape: one wide→long explode + TWO site-keyed partial aggs
+    * (allele-part counts, NS) + one site-keyed join back — all on the
+    * same key, so a site-bucketed landing pays zero exchanges; the
+    * rebuild is a narrow projection.
+    */
+  def fillInfoTags(
+      df: DataFrame,
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    val k = siteKey.map(col)
+    val lng = df.select(k :+
+      explode(col("genotypes")).as(Seq("__sid", "__call")): _*)
+      .withColumn("__gt", substring_index(col("__call"), ":", 1))
+    val ns = lng.groupBy(k: _*)
+      .agg(sum(when(!isMissingCall(col("__gt")), 1L).otherwise(0L)).as("__ns"))
+    val parts = lng.select(k :+
+      explode(split(col("__gt"), "[/|]")).as("__p"): _*)
+    val counts = parts
+      .groupBy(k :+ col("__p"): _*).agg(count(lit(1)).as("__c"))
+      .groupBy(k: _*)
+      .agg(
+        sum(when(col("__p") =!= ".", col("__c")).otherwise(0L)).as("__an"),
+        map_from_entries(collect_list(
+          when(col("__p") =!= ".", struct(col("__p"), col("__c")))))
+          .as("__acm"))
+    val nAlts = size(split(col("alt"), ","))
+    val acArr = transform(sequence(lit(1), nAlts),
+      i => coalesce(try_element_at(col("__acm"), i.cast("string")), lit(0L)))
+    def afStr(ac: Column): Column = {
+      val m = when(col("__an") === 0L, 0L).otherwise(
+        floor(ac.cast("double") / col("__an").cast("double")
+          * lit(1000000.0)).cast("long"))
+      concat((m / lit(1000000L)).cast("long").cast("string"), lit("."),
+        lpad((m % lit(1000000L)).cast("string"), 6, "0"))
+    }
+    val stripped = regexp_replace(
+      regexp_replace(col("info"), "(^|;)(NS|AN|AC|AF)=[^;]*", ""),
+      "^;", "")
+    val tail = concat(
+      lit("NS="), col("__ns"), lit(";AN="), col("__an"),
+      when(col("alt") =!= ".", concat(
+        lit(";AC="), array_join(acArr, ","),
+        lit(";AF="), array_join(transform(acArr, c => afStr(c)), ",")))
+        .otherwise(lit("")))
+    df.join(ns.join(counts, siteKey), siteKey)
+      .withColumn("info",
+        concat(when(stripped === "", lit("")).otherwise(concat(stripped,
+          lit(";"))), tail))
+      .drop("__ns", "__an", "__acm")
+  }
+
   /** One cheap pass to learn the FORMAT vocabulary (like csv schema
     * inference; avoid at scale by passing Options.formatKeys).
     */

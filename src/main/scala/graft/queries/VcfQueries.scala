@@ -4225,6 +4225,80 @@ object VcfQueries extends QuerySet {
       """))
   }
 
+  /** INFO TAG REFILL gate ([[graft.operators.VariantAnnotator
+    * .fillInfoTags]] — `bcftools +fill-tags -- -t NS,AN,AC,AF`): the
+    * stored INFO's NS/AF lie after any subsetting, so the operator
+    * recomputes NS (non-missing GTs), AN (called alleles — haploid 1,
+    * `.` parts skipped), per-ALT `Number=A` AC, and AF as a
+    * fixed-6-decimal string built from integer digits, strips the old
+    * entries wherever they sit, keeps every other key verbatim (the
+    * fixture's DP rides through), and appends the block in fixed
+    * order; missing-ALT sites get NS/AN only; k-colliding site keys
+    * pool samples on BOTH engines. Output = the rebuilt info string
+    * per row, hash-exact.
+    */
+  private lazy val q211 = Q(
+    "q211_fill_tags",
+    (s, dir) =>
+      VariantAnnotator.fillInfoTags(wide(s, dir))
+        .select("k", "chrom", "pos", "ref", "alt", "info")
+        .orderBy("k"),
+    Some(s"""
+      WITH $duckCtes,
+      lng AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom,
+                pos, ref, alt, si, string_split(call, ':')[1] AS gt
+              FROM sm),
+      nss AS (SELECT chrom, pos, ref, alt,
+                CAST(sum(CASE WHEN gt NOT IN ('./.', '.|.', '.') THEN 1 ELSE 0 END) AS BIGINT) AS ns
+              FROM lng GROUP BY 1, 2, 3, 4),
+      pp AS (SELECT chrom, pos, ref, alt,
+               unnest(string_split_regex(gt, '[/|]')) AS p
+             FROM lng),
+      cn AS (SELECT chrom, pos, ref, alt, p, CAST(count(*) AS BIGINT) AS c
+             FROM pp GROUP BY 1, 2, 3, 4, 5),
+      ans AS (SELECT chrom, pos, ref, alt,
+                CAST(sum(CASE WHEN p <> '.' THEN c ELSE 0 END) AS BIGINT) AS an
+              FROM cn GROUP BY 1, 2, 3, 4),
+      sites AS (SELECT DISTINCT chrom, pos, ref, alt FROM lng),
+      ax AS (SELECT s.chrom, s.pos, s.ref, s.alt,
+               unnest(range(1, CAST(len(string_split(s.alt, ',')) AS INT) + 1)) AS ai
+             FROM sites s WHERE s.alt <> '.'),
+      acj AS (SELECT ax.chrom, ax.pos, ax.ref, ax.alt, ax.ai,
+                coalesce(cn.c, 0) AS ac
+              FROM ax LEFT JOIN cn ON cn.chrom = ax.chrom AND cn.pos = ax.pos
+                AND cn.ref = ax.ref AND cn.alt = ax.alt
+                AND cn.p = CAST(ax.ai AS VARCHAR)),
+      acf AS (SELECT a.*, CASE WHEN n.an = 0 THEN 0
+                ELSE CAST(floor(CAST(a.ac AS DOUBLE) / CAST(n.an AS DOUBLE)
+                  * 1000000.0) AS BIGINT) END AS afm
+              FROM acj a JOIN ans n USING (chrom, pos, ref, alt)),
+      acs AS (SELECT chrom, pos, ref, alt,
+                string_agg(CAST(ac AS VARCHAR), ',' ORDER BY ai) AS ac_list,
+                string_agg(CAST(afm // 1000000 AS VARCHAR) || '.'
+                  || lpad(CAST(afm % 1000000 AS VARCHAR), 6, '0'),
+                  ',' ORDER BY ai) AS af_list
+              FROM acf GROUP BY 1, 2, 3, 4),
+      base AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom,
+                 pos, ref, alt,
+                 regexp_replace(regexp_replace(info,
+                   '(^|;)(NS|AN|AC|AF)=[^;]*', '', 'g'), '^;', '') AS stripped
+               FROM v)
+      SELECT b.k, b.chrom, b.pos, b.ref, b.alt,
+        (CASE WHEN b.stripped = '' THEN '' ELSE b.stripped || ';' END)
+        || 'NS=' || CAST(n.ns AS VARCHAR) || ';AN=' || CAST(a.an AS VARCHAR)
+        || CASE WHEN b.alt <> '.'
+                THEN ';AC=' || s.ac_list || ';AF=' || s.af_list
+                ELSE '' END AS info
+      FROM base b
+      JOIN nss n ON n.chrom = b.chrom AND n.pos = b.pos
+                AND n.ref = b.ref AND n.alt = b.alt
+      JOIN ans a ON a.chrom = b.chrom AND a.pos = b.pos
+                AND a.ref = b.ref AND a.alt = b.alt
+      LEFT JOIN acs s ON s.chrom = b.chrom AND s.pos = b.pos
+                AND s.ref = b.ref AND s.alt = b.alt
+      ORDER BY k
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
@@ -4232,5 +4306,5 @@ object VcfQueries extends QuerySet {
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
-      q206, q207, q208, q210)
+      q206, q207, q208, q210, q211)
 }

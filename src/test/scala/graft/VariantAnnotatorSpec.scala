@@ -80,6 +80,36 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(got(106) === ".:5")
   }
 
+  test("fillInfoTags: NS/AN/AC/AF recomputed from calls, other keys " +
+      "verbatim, haploid/missing parts counted right, and the " +
+      "mask→refill composition updates the tags the mask changed") {
+    import spark.implicits._
+    val df = Seq(
+      // site 1: S1 0/1, S2 1|1, S3 ./1, S4 ./. , S5 haploid 1
+      ("1", 100, "A", "C", "DP=7;AF=0.9;XX=z"),
+      // site 2: missing ALT → NS/AN only
+      ("1", 200, "G", ".", "NS=9;DP=3"))
+      .toDF("chrom", "pos", "ref", "alt", "info")
+      .withColumn("format", lit("GT:DP"))
+      .withColumn("genotypes", map(
+        lit("S1"), lit("0/1:30"), lit("S2"), lit("1|1:40"),
+        lit("S3"), lit("./1:50"), lit("S4"), lit("./.:5"),
+        lit("S5"), lit("1:60")))
+    val got = VariantAnnotator.fillInfoTags(df)
+      .select("pos", "info").as[(Int, String)].collect().toMap
+    // NS = 4 (./. excluded), AN = 2+2+1+1 = 6, AC = 1+2+1+1 = 5,
+    // AF = ⌊5e6/6⌋ = 833333; DP/XX verbatim, stale AF replaced
+    assert(got(100) === "DP=7;XX=z;NS=4;AN=6;AC=5;AF=0.833333")
+    assert(got(200) === "DP=3;NS=4;AN=6")
+    // composition: mask low-DP calls, then refill — S1 (DP 30 < 35)
+    // and ./.:5 drop out; AN = 2+1+1 = 4, AC = 2+1+1 = 4, AF = 1.0
+    val masked = VariantAnnotator.setGtMissing(df,
+      f => f("DP").cast("int") < 35)
+    val got2 = VariantAnnotator.fillInfoTags(masked)
+      .select("pos", "info").as[(Int, String)].collect().toMap
+    assert(got2(100) === "DP=7;XX=z;NS=3;AN=4;AC=4;AF=1.000000")
+  }
+
   test("wide→long explode with missing-call and missing-ALT drops") {
     // 7 sites × 2 samples = 14 calls; minus ./., minus 2 calls on ALT='.'
     assert(full.count() === 11)
