@@ -569,4 +569,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"),
       s"per-group totals must NOT be a window (single-task funnel):\n$p")
   }
+
+  test("r12 operators keep their contracted shapes: sv-norm narrow, " +
+      "mask narrow, harmonize one equi-join, kn-lm no nested loops") {
+    // q204 normalize over the SV callset: generator + projection, no
+    // join, no exchange before the ordered output
+    val p204 = planOf("q204_sv_alt_norm").split("== Initial Plan ==").head
+    assert(!p204.contains("Join"), s"sv normalize must not join:\n$p204")
+    // q206 masking: transform_values ahead of annotate — still exactly
+    // the annotate plan class (no extra exchange from the mask)
+    val p206 = formatted("q206_set_gt_missing")
+    assert(!p206.contains("CartesianProduct") &&
+      !p206.contains("BroadcastNestedLoopJoin"), p206)
+    // q210 harmonization: ONE equi-join, never a nested loop
+    val q210 = SparkEntry.queries("q210_allele_harmonize")(spark, dir)
+    q210.collect()
+    val p210 = q210.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p210.contains("BroadcastNestedLoopJoin") &&
+      !p210.contains("CartesianProduct"),
+      s"harmonize must stay an equi-join:\n$p210")
+    // q209 KN scoring: LM joins are hash equi-joins; the only
+    // BNLJ-class node allowed is the 1-row B-total broadcast
+    val q209 = SparkEntry.queries("q209_kn_lm_score")(spark, dir)
+    q209.collect()
+    val p209 = q209.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p209.contains("CartesianProduct"), p209)
+    assert(p209.contains("BroadcastHashJoin") ||
+      p209.contains("SortMergeJoin") || p209.contains("ShuffledHashJoin"),
+      s"kn-lm count joins must be equi-joins:\n$p209")
+  }
 }
