@@ -30,6 +30,23 @@ object ScaleUp {
     copies.repartition(16).write.mode("overwrite")
       .parquet(s"$out/lineitem.parquet")
     println(s"wrote ${factor}x lineitem (${li.count() * factor} rows) to $out")
+    // documents grows the same way (doc_id shift) so the text-corpus
+    // operators (q209 KN-LM, dedup family) get honest scale probes;
+    // the shift keeps doc_id % k class membership ONLY for classes
+    // dividing the shift — shift by a multiple of 100 so the
+    // q203/q209-style % 50 / % 100 gate splits replicate cleanly
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$src/documents.parquet"))) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val m = docs.agg(max("doc_id")).head().getLong(0)
+      val shift = ((m / 100L) + 1L) * 100L
+      val dcopies = (0 until factor).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * shift))
+      }.reduce(_ unionAll _)
+      dcopies.repartition(16).write.mode("overwrite")
+        .parquet(s"$out/documents.parquet")
+      println(s"wrote ${factor}x documents to $out (shift $shift)")
+    }
     spark.stop()
   }
 }
