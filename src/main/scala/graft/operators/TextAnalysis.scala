@@ -1087,22 +1087,32 @@ object TextAnalysis {
       discountMicro: Long = 750000L): DataFrame = {
     require(discountMicro >= 0L && discountMicro <= 1000000L,
       s"discountMicro must be a micro-fraction in [0, 1e6], got $discountMicro")
+    // the shingleTable shape: explode word 2-grams FIRST, hash at TOP
+    // LEVEL where RollingHashExpr stays codegen'd. (Two rejected
+    // formulations, both measured on sf0.1: hashing inside a
+    // `transform` HOF runs the kernel INTERPRETED per token — 16 µs a
+    // call; and an unstaged hash array re-evaluated per pair element
+    // was O(L²)/doc, 109 exec-core-s on 1.5 MB of text. This shape is
+    // the corpus-proven linear pass.) Tokens are \\s+-split, so the
+    // space-joined 2-gram splits back unambiguously.
     def bigrams(df: DataFrame, withId: Boolean): DataFrame = {
       val toks = wsTokens(lower(cleanAscii(col(textCol))))
-      val hs = transform(toks, t => rollingHash(t))
-      val pairs = when(size(hs) >= 2,
-        transform(sequence(lit(1), size(hs) - 1), i =>
-          struct(element_at(hs, i).as("h1"), element_at(hs, i + 1).as("h2"))))
-        .otherwise(array().cast("array<struct<h1:long,h2:long>>"))
-      val base = if (withId) df.select(col(idCol).as("id"), pairs.as("__p"))
-        else df.select(pairs.as("__p"))
-      base.select((if (withId) Seq(col("id")) else Nil) :+
-        explode(col("__p")).as("__b"): _*)
-        .select((if (withId) Seq(col("id")) else Nil) ++
-          Seq(col("__b.h1").as("h1"), col("__b.h2").as("h2")): _*)
+      val base = if (withId)
+        df.select(col(idCol).as("id"),
+          explode(wordNgrams(toks, 2)).as("__s"))
+      else df.select(explode(wordNgrams(toks, 2)).as("__s"))
+      base.select((if (withId) Seq(col("id")) else Nil) ++ Seq(
+        rollingHash(substring_index(col("__s"), " ", 1)).as("h1"),
+        rollingHash(substring_index(col("__s"), " ", -1)).as("h2")): _*)
     }
+    // LINEAGE CUT on the trained LM (the kinshipPanel/Graphs cutEvery
+    // precedent): big feeds FOUR consumers (the pair join, uni, back,
+    // B) — uncut, each re-reads and re-shingles the train corpus
+    // (four FileScans in the executed plan, measured). The cut table
+    // is the vocab-bounded pair-type LM — wiki-sized by construction.
     val big = bigrams(train, withId = false)
       .groupBy("h1", "h2").agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(false)
     val uni = big.groupBy("h1").agg(
       sum(col("__c12")).as("__c1"), count(lit(1)).as("__fwd"))
     val back = big.groupBy("h2").agg(count(lit(1)).as("__back"))

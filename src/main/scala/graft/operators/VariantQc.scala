@@ -148,8 +148,17 @@ object VariantQc {
           >= mafMicroMin)
         .select(siteKey.map(col): _*),
       siteKey, "left_semi")
-    ann.join(ldPrune(common, maxDist, r2MicroMax, sampleCol),
-      siteKey, "left_semi")
+    // LINEAGE CUT on the kept-panel SITE LIST (the Graphs/mmrRerank
+    // cutEvery precedent): the list feeds the final semi-join AND
+    // every downstream kinship self-join side — uncut, each consumer
+    // re-runs annotate → MAF → the whole LD prune (measured 800
+    // exec-core-s on the sf0.1 gate; cut, the chain runs once). The
+    // checkpointed frame is site KEYS only — the variant catalog
+    // (~40 GB at biobank scale), executor-memory/disk resident; for
+    // larger-than-cluster catalogs land it as a table instead.
+    val kept = ldPrune(common, maxDist, r2MicroMax, sampleCol)
+      .localCheckpoint(false)
+    ann.join(kept, siteKey, "left_semi")
   }
 
   /** KING RELATEDNESS-CLASS table (Manichaikul et al. 2010 Table 1;
