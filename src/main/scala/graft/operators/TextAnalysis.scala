@@ -1059,9 +1059,11 @@ object TextAnalysis {
     * D = `discountMicro`/10⁶, p_micro reduces to ONE micro-floored
     * division of exact int64 products —
     * ⌊(max(c₁₂·10⁶ − Dµ, 0)·B + Dµ·N₁₊(w₁•)·N₁₊(•w₂)) / (c(w₁)·B)⌋ —
-    * (int64-exact while c₁₂·10⁶·B ≤ 2⁶³: ~10⁹-bigram-type reference
-    * LMs with million-count bigrams; the reference LM is wiki-sized by
-    * construction, not the crawl), clamped ≥ 1 so an unseen word
+    * (int64-exact while c₁₂·B ≤ 9·10¹² — a 10⁹-type reference LM with
+    * bigram counts to ~9k, or a 10⁷-type LM with counts to ~900k; the
+    * reference LM is wiki-sized by construction, not the crawl —
+    * beyond that, lift the products to decimal(38,0) as the
+    * fstByChrom/ldR2Pairs pattern does), clamped ≥ 1 so an unseen word
     * scores the documented floor instead of −∞, and each bigram's
     * log-probability is ⌊ln(p_micro/10⁶)·10⁶⌋ (the q187 floored-IEEE-
     * log convention). Per doc: n_bigrams, n_oov_ctx (bigrams whose
