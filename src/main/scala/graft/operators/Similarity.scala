@@ -1372,4 +1372,72 @@ object Similarity {
       VectorExprs.dot(col(vecCol), typedLit(c.toSeq)) - lit(off)
     }: _*))
   }
+
+  /** EMBEDDING-SPACE DRIFT between two corpus snapshots — the
+    * embedding-side complement of the token-distribution JSD
+    * ([[graft.operators.Drift.vocabularyDrift]]/q187): per group
+    * (source, language, label), the COSINE between the two snapshots'
+    * centroid vectors, plus both centroid norms and member counts.
+    * A drifting encoder, an injected cluster, or a scraper regression
+    * moves a group's centroid long before per-pair near-dup rates
+    * notice; this is the standing monitor an embedding pipeline runs
+    * between snapshot builds (the drift alarm in front of ANN-index
+    * rebuilds — a moved centroid invalidates IVF cell assignments).
+    *
+    * Determinism: per-dimension sums accumulate in decimal(38,12)
+    * (the [[pcaTrain]] posture — exact, order-free under any
+    * partitioning), means are ONE decimal→double cast + ONE double
+    * division per dimension, and the per-group dot/norm folds run
+    * LEFT-TO-RIGHT over the dimension-sorted mean arrays (the q34
+    * dot-product spelling — a fixed double-add sequence both engines
+    * replay bit-for-bit); cosine is one expression over those folds,
+    * micro-floored; a zero centroid on either side reports 0 by
+    * contract.
+    *
+    * Shape: per snapshot ONE posexplode + partial-aggregated
+    * groupBy(group, dim) — the exchange carries |groups|·d rows per
+    * partition after map-side combine, never the vector corpus — then
+    * a (group, dim)-keyed join of two parameter-small centroid tables
+    * and one |groups|-row rollup. Zero corpus-side joins.
+    */
+  def centroidDrift(
+      a: DataFrame, b: DataFrame,
+      groupCol: String, vecCol: String): DataFrame = {
+    def cent(df: DataFrame, side: String) = df
+      .select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("g", "d")
+      .agg(
+        sum(col("x").cast("decimal(38,12)")).as(s"__s_$side"),
+        count(lit(1)).as(s"__n_$side"))
+    val j = cent(a, "a").join(cent(b, "b"), Seq("g", "d"))
+      .select(col("g"), col("d"),
+        (col("__s_a").cast("double") / col("__n_a").cast("double")).as("ma"),
+        (col("__s_b").cast("double") / col("__n_b").cast("double")).as("mb"),
+        col("__n_a"), col("__n_b"))
+    val folded = j.groupBy("g")
+      .agg(
+        sort_array(collect_list(struct(col("d"), col("ma"), col("mb"))))
+          .as("__v"),
+        first(col("__n_a")).as("n_a"),
+        first(col("__n_b")).as("n_b"))
+      // fixed left-to-right double folds over the d-sorted means —
+      // one aggregate HOF each, referenced once (§8 staging rule)
+      .withColumn("__dot", aggregate(col("__v"), lit(0.0),
+        (acc, e) => acc + e.getField("ma") * e.getField("mb")))
+      .withColumn("__na", aggregate(col("__v"), lit(0.0),
+        (acc, e) => acc + e.getField("ma") * e.getField("ma")))
+      .withColumn("__nb", aggregate(col("__v"), lit(0.0),
+        (acc, e) => acc + e.getField("mb") * e.getField("mb")))
+    folded.select(
+      col("g").as(groupCol), col("n_a"), col("n_b"),
+      floor(sqrt(col("__na")) * lit(1000000.0)).cast("long")
+        .as("norm_a_micro"),
+      floor(sqrt(col("__nb")) * lit(1000000.0)).cast("long")
+        .as("norm_b_micro"),
+      when(col("__na") === 0.0 || col("__nb") === 0.0, 0L)
+        .otherwise(floor(col("__dot") /
+          (sqrt(col("__na")) * sqrt(col("__nb"))) * lit(1000000.0))
+          .cast("long")).as("centroid_cos_micro"))
+  }
 }

@@ -5401,6 +5401,78 @@ object LlmQueries extends QuerySet {
       ORDER BY id
     """))
 
+  /** EMBEDDING-CENTROID DRIFT gate ([[graft.operators.Similarity
+    * .centroidDrift]] — the embedding-space complement of q187's token
+    * JSD): snapshot B plants BOTH drift modes against A — every 5th
+    * vector sign-flips (members pulling the centroid toward zero and
+    * past it) and every label ≡ 0 (mod 3) group gets a uniform +0.05
+    * component shift — so cosines below 1, near 1, and norm changes
+    * are all observable per group. Decimal-exact per-dim sums, means
+    * one cast+division, fixed left-to-right dot/norm folds over the
+    * d-sorted mean arrays (the q34 spelling), micro-floored outputs.
+    * DuckDB replays the plant, the decimal sums, and the folds.
+    */
+  private lazy val q212 = Q(
+    "q212_embedding_drift",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val flip = when(col("vec_id") % 5 === 0, lit(-1.0)).otherwise(lit(1.0))
+      val shift = when(col("label") % 3 === 0, lit(0.05)).otherwise(lit(0.0))
+      val b = e.select(col("label"),
+        transform(col("embedding"), x => x.cast("double") * flip + shift)
+          .as("v"))
+      graft.operators.Similarity.centroidDrift(a, b, "label", "v")
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH ea AS (SELECT label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      eb AS (SELECT label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)
+                * (CASE WHEN vec_id % 5 = 0 THEN -1.0 ELSE 1.0 END)
+                + (CASE WHEN label % 3 = 0 THEN 0.05 ELSE 0.0 END)) AS v
+            FROM embeddings),
+      xa AS (SELECT label AS g,
+               unnest(list_transform(range(1, 65),
+                 i -> struct_pack(d := i, x := v[CAST(i AS INT)]))) AS e
+             FROM ea),
+      ca AS (SELECT g, e.d AS d,
+               sum(CAST(e.x AS DECIMAL(38,12))) AS s_a,
+               CAST(count(*) AS BIGINT) AS n_a
+             FROM xa GROUP BY 1, 2),
+      xb AS (SELECT label AS g,
+               unnest(list_transform(range(1, 65),
+                 i -> struct_pack(d := i, x := v[CAST(i AS INT)]))) AS e
+             FROM eb),
+      cb AS (SELECT g, e.d AS d,
+               sum(CAST(e.x AS DECIMAL(38,12))) AS s_b,
+               CAST(count(*) AS BIGINT) AS n_b
+             FROM xb GROUP BY 1, 2),
+      j AS (SELECT g, d,
+              CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+              CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+              n_a, n_b
+            FROM ca JOIN cb USING (g, d)),
+      f AS (SELECT g, any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+              list(ma ORDER BY d) AS la, list(mb ORDER BY d) AS lb
+            FROM j GROUP BY g),
+      r AS (SELECT g, n_a, n_b,
+              ${dotSql("la", "lb")} AS dt,
+              ${dotSql("la", "la")} AS na,
+              ${dotSql("lb", "lb")} AS nb
+            FROM f)
+      SELECT g AS label, n_a, n_b,
+        CAST(floor(sqrt(na) * 1000000.0) AS BIGINT) AS norm_a_micro,
+        CAST(floor(sqrt(nb) * 1000000.0) AS BIGINT) AS norm_b_micro,
+        CASE WHEN na = 0.0 OR nb = 0.0 THEN 0
+             ELSE CAST(floor(dt / (sqrt(na) * sqrt(nb)) * 1000000.0) AS BIGINT)
+        END AS centroid_cos_micro
+      FROM r ORDER BY label
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -5410,5 +5482,5 @@ object LlmQueries extends QuerySet {
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
       q180, q182, q183, q186, q187, q189, q190, q193, q194, q195, q199,
-      q203, q209)
+      q203, q209, q212)
 }

@@ -1290,4 +1290,38 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(fps2 === fpRows)
   }
+
+  test("centroidDrift: hand-computed centroid cosines — identical " +
+      "snapshot reads 1.0, an orthogonal move reads 0, a sign flip " +
+      "reads -1, zero centroid reports 0 by contract, and the result " +
+      "is partition-stable") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    def snap(rows: Seq[(String, Seq[Double])]) =
+      rows.toDF("g", "v")
+    val a = snap(Seq(
+      ("same", Seq(1.0, 0.0)), ("same", Seq(3.0, 0.0)),  // centroid (2, 0)
+      ("orth", Seq(2.0, 0.0)),                           // centroid (2, 0)
+      ("flip", Seq(0.0, 4.0)),                           // centroid (0, 4)
+      ("zero", Seq(1.0, 0.0)), ("zero", Seq(-1.0, 0.0))))// centroid (0, 0)
+    val b = snap(Seq(
+      ("same", Seq(4.0, 0.0)),                           // (4, 0): cos 1
+      ("orth", Seq(0.0, 5.0)),                           // (0, 5): cos 0
+      ("flip", Seq(0.0, -2.0)),                          // (0, -2): cos -1
+      ("zero", Seq(0.0, 7.0))))                          // a-side zero → 0
+    val got = Similarity.centroidDrift(a, b, "g", "v")
+      .select("g", "n_a", "n_b", "norm_a_micro", "centroid_cos_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("same") === ((2L, 1L, 2000000L, 1000000L)))
+    assert(got("orth") === ((1L, 1L, 2000000L, 0L)))
+    assert(got("flip") === ((1L, 1L, 4000000L, -1000000L)))
+    assert(got("zero") === ((2L, 1L, 0L, 0L)))
+    val reparted = Similarity
+      .centroidDrift(a.repartition(7), b.repartition(3), "g", "v")
+      .select("g", "n_a", "n_b", "norm_a_micro", "centroid_cos_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(reparted === got, "decimal sums must be partition-stable")
+  }
 }
