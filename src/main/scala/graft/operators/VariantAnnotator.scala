@@ -220,6 +220,57 @@ object VariantAnnotator {
       .drop("__ns", "__an", "__acm")
   }
 
+  /** GENOTYPE REFINEMENT FROM LIKELIHOODS — call each sample's GT from
+    * its `Number=G` PL field (the `bcftools +tag2tag` / GATK
+    * best-genotype convention: phred-scaled likelihoods, SMALLEST is
+    * most likely, FIRST minimum wins ties): replace the GT subfield
+    * with the argmin genotype `j/k` (unphased, alleles recovered from
+    * the VCF-spec triangular index `F(j,k) = k(k+1)/2 + j` by the
+    * exact inverse k = ⌊(√(8i+1)−1)/2⌋, j = i − k(k+1)/2), leaving
+    * every other FORMAT subfield verbatim. A MISSING GT with a valid
+    * PL gets CALLED (that is the point of refinement); a call whose
+    * PL is absent, malformed, carries `.` entries, or disagrees with
+    * the site's genotype count (n+1)(n+2)/2 passes through untouched.
+    *
+    * Shape: ONE narrow transform_values projection (the
+    * [[setGtMissing]] class — the lambda is referenced once and every
+    * inner fold is bounded by the ≤(n+1)(n+2)/2-entry PL); zero
+    * shuffles at any scale.
+    */
+  def callFromPl(df: DataFrame, plKey: String = "PL"): DataFrame = {
+    val fmtKeys = split(col("format"), ":")
+    val nAlts = size(split(col("alt"), ","))
+    val nGt = ((nAlts + 1) * (nAlts + 2) / 2).cast("int")
+    df.withColumn("genotypes",
+      transform_values(col("genotypes"), (_, call) => {
+        val parts = split(call, ":")
+        val pi = array_position(fmtKeys, plKey).cast("int")
+        val pl = split(when(pi > 0, try_element_at(parts, pi)), ",")
+        // ANSI-safe parse: '.' / junk → NULL (cast would throw)
+        val ints = transform(pl,
+          x => when(x.rlike("^[0-9]+$"), x.cast("int")))
+        val valid = col("alt") =!= "." && pl.isNotNull &&
+          size(pl) === nGt && !exists(ints, x => x.isNull)
+        // first-minimum fold over (value, index)
+        val arg = aggregate(
+          sequence(lit(0), size(ints) - 1),
+          struct(lit(Int.MaxValue).as("v"), lit(-1).as("i")),
+          (acc, i) => {
+            val v = element_at(ints, i + 1)
+            when(v < acc.getField("v"),
+              struct(v.as("v"), i.as("i"))).otherwise(acc)
+          }).getField("i")
+        val kAl = floor((sqrt(arg.cast("double") * 8.0 + 1.0) - 1.0) / 2.0)
+          .cast("int")
+        val jAl = (arg - (kAl * (kAl + 1)) / 2).cast("int")
+        val gt = element_at(parts, 1)
+        val called = concat(jAl.cast("string"), lit("/"), kAl.cast("string"))
+        when(valid,
+          concat(called, call.substr(length(gt) + 1, length(call))))
+          .otherwise(call)
+      }))
+  }
+
   /** One cheap pass to learn the FORMAT vocabulary (like csv schema
     * inference; avoid at scale by passing Options.formatKeys).
     */

@@ -4299,6 +4299,63 @@ object VcfQueries extends QuerySet {
       ORDER BY k
     """))
 
+  /** GENOTYPE-FROM-PL REFINEMENT gate ([[graft.operators
+    * .VariantAnnotator.callFromPl]] — `bcftools +tag2tag`/GATK
+    * best-genotype: argmin of the phred-scaled PL, FIRST minimum on
+    * ties, triangular-index inverse to `j/k`): the fixture plants a
+    * `Number=G` PL per call — (k + 7·si + 13·i) mod 60 over the
+    * site's (n+1)(n+2)/2 genotype slots, so minima land at every slot
+    * across the corpus (all six multiallelic genotypes observed) and
+    * the mod-60 wraparound plants exact TIES that pin the first-min
+    * rule; missing-ALT sites pass through unchanged, previously
+    * MISSING calls get CALLED (the refinement contract). DuckDB
+    * replays the plant, list_position-of-min, and the slot→genotype
+    * CASE.
+    */
+  private lazy val q213 = Q(
+    "q213_call_from_pl",
+    (s, dir) => {
+      val nAlts = size(split(col("alt"), ","))
+      val nGt = ((nAlts + 1) * (nAlts + 2) / 2).cast("int")
+      val planted = wide(s, dir)
+        .withColumn("format", lit("GT:DP:AD:PL"))
+        .withColumn("genotypes",
+          transform_values(col("genotypes"), (sid, call) => {
+            val si = substring(sid, 2, 8).cast("int")
+            val pl = array_join(transform(sequence(lit(0), nGt - 1),
+              i => ((col("k") + si * 7 + i * 13) % 60).cast("string")), ",")
+            concat(call, lit(":"), pl)
+          }))
+      VariantAnnotator.callFromPl(planted)
+        .select(col("k"),
+          explode(col("genotypes")).as(Seq("sample_id", "call")))
+        .select(col("k"), col("sample_id"),
+          substring_index(col("call"), ":", 1).as("gt"))
+        .orderBy("k", "sample_id")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      pls AS (SELECT k, alt, si, call,
+               CASE WHEN alt = '.' THEN 0
+                    ELSE CAST((len(string_split(alt, ',')) + 1)
+                      * (len(string_split(alt, ',')) + 2) / 2 AS INT) END AS n_gt
+              FROM sm),
+      am AS (SELECT k, alt, si, call, n_gt,
+               CASE WHEN alt = '.' THEN -1 ELSE
+                 list_position(
+                   list_transform(range(0, n_gt),
+                     i -> (k + si * 7 + i * 13) % 60),
+                   list_min(list_transform(range(0, n_gt),
+                     i -> (k + si * 7 + i * 13) % 60))) - 1 END AS i
+             FROM pls)
+      SELECT k, 'g' || CAST(si AS VARCHAR(4)) AS sample_id,
+        CASE WHEN i < 0 THEN string_split(call, ':')[1]
+             WHEN i = 0 THEN '0/0' WHEN i = 1 THEN '0/1'
+             WHEN i = 2 THEN '1/1' WHEN i = 3 THEN '0/2'
+             WHEN i = 4 THEN '1/2' ELSE '2/2' END AS gt
+      FROM am ORDER BY k, sample_id
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
@@ -4306,5 +4363,5 @@ object VcfQueries extends QuerySet {
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
-      q206, q207, q208, q210, q211)
+      q206, q207, q208, q210, q211, q213)
 }

@@ -110,6 +110,38 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(got2(100) === "DP=7;XX=z;NS=3;AN=4;AC=4;AF=1.000000")
   }
 
+  test("callFromPl: argmin-PL genotype with first-min tie rule, " +
+      "triangular inverse, missing GT gets called, malformed/absent/" +
+      "dotted PL and missing-ALT pass through") {
+    import spark.implicits._
+    val df = Seq(
+      // (pos, alt, format, call)
+      (100, "C",   "GT:PL",    "0/0:30,0,40"),   // het wins → 0/1
+      (101, "C",   "GT:PL",    "1/1:0,0,40"),    // tie slots 0,1 → FIRST → 0/0
+      (102, "C,T", "GT:PL",    "0/0:9,8,7,6,5,4"), // slot 5 → 2/2
+      (103, "C,T", "GT:PL",    "0/0:9,8,7,6,4,5"), // slot 4 → 1/2
+      (104, "C",   "GT:PL",    "./.:50,0,60"),   // missing GT → CALLED 0/1
+      (105, "C",   "GT:PL",    "0/1:30,0"),      // short PL → untouched
+      (106, "C",   "GT:PL",    "0/1:30,.,40"),   // dotted PL → untouched
+      (107, "C",   "GT:DP",    "0/1:7"),         // no PL key → untouched
+      (108, ".",   "GT:PL",    "0/0:1,2,3"))     // missing ALT → untouched
+      .map { case (p, a, f, c) => ("1", p, "A", a, f, c) }
+      .toDF("chrom", "pos", "ref", "alt", "format", "call")
+      .withColumn("genotypes", map(lit("S1"), col("call")))
+    val got = VariantAnnotator.callFromPl(df)
+      .select(col("pos"), element_at(col("genotypes"), "S1"))
+      .as[(Int, String)].collect().toMap
+    assert(got(100) === "0/1:30,0,40")
+    assert(got(101) === "0/0:0,0,40")
+    assert(got(102) === "2/2:9,8,7,6,5,4")
+    assert(got(103) === "1/2:9,8,7,6,4,5")
+    assert(got(104) === "0/1:50,0,60")
+    assert(got(105) === "0/1:30,0")
+    assert(got(106) === "0/1:30,.,40")
+    assert(got(107) === "0/1:7")
+    assert(got(108) === "0/0:1,2,3")
+  }
+
   test("wide→long explode with missing-call and missing-ALT drops") {
     // 7 sites × 2 samples = 14 calls; minus ./., minus 2 calls on ALT='.'
     assert(full.count() === 11)
