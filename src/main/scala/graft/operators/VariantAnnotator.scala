@@ -246,28 +246,50 @@ object VariantAnnotator {
         val parts = split(call, ":")
         val pi = array_position(fmtKeys, plKey).cast("int")
         val pl = split(when(pi > 0, try_element_at(parts, pi)), ",")
-        // ANSI-safe parse: '.' / junk → NULL (cast would throw)
-        val ints = transform(pl,
-          x => when(x.rlike("^[0-9]+$"), x.cast("int")))
-        val valid = col("alt") =!= "." && pl.isNotNull &&
-          size(pl) === nGt && !exists(ints, x => x.isNull)
-        // first-minimum fold over (value, index)
-        val arg = aggregate(
-          sequence(lit(0), size(ints) - 1),
-          struct(lit(Int.MaxValue).as("v"), lit(-1).as("i")),
-          (acc, i) => {
-            val v = element_at(ints, i + 1)
-            when(v < acc.getField("v"),
-              struct(v.as("v"), i.as("i"))).otherwise(acc)
-          }).getField("i")
-        val kAl = floor((sqrt(arg.cast("double") * 8.0 + 1.0) - 1.0) / 2.0)
-          .cast("int")
-        val jAl = (arg - (kAl * (kAl + 1)) / 2).cast("int")
         val gt = element_at(parts, 1)
-        val called = concat(jAl.cast("string"), lit("/"), kAl.cast("string"))
-        when(valid,
-          concat(called, call.substr(length(gt) + 1, length(call))))
-          .otherwise(call)
+        // ONE fold over the PL carrying (min, argmin, arity, bad) and
+        // FINISHING to the called GT string — inside transform_values
+        // everything is interpreted with NO common-subexpression
+        // reuse, so the first formulation's nested HOFs (an index
+        // fold re-reading a parsed array per element, validity passes
+        // re-reading it again) cost O(slots²) regex parses per call:
+        // 134 s wall / 976 exec-core-s on the sf0.1 gate. Single-fold:
+        // each element parses once (the ANSI-safe regexp guard — a
+        // bare cast throws on '.'), ties keep the FIRST minimum via
+        // the strict compare, and the finish lambda emits the j/k
+        // string (triangular-index inverse) or NULL for wrong arity /
+        // junk entries / empty PL.
+        val zero = struct(lit(Int.MaxValue).as("v"), lit(-1).as("i"),
+          lit(0).as("pos"), lit(false).as("bad"))
+        val newCall = aggregate(pl, zero,
+          (acc, x) => {
+            // digit check via translate — a regex here runs per
+            // element per call and dominated the first rewrite
+            val xv = when(x =!= "" &&
+              length(translate(x, "0123456789", "")) === 0,
+              x.cast("int"))
+            val better = xv.isNotNull && xv < acc.getField("v")
+            struct(
+              when(better, xv).otherwise(acc.getField("v")).as("v"),
+              when(better, acc.getField("pos"))
+                .otherwise(acc.getField("i")).as("i"),
+              (acc.getField("pos") + 1).as("pos"),
+              (acc.getField("bad") || xv.isNull).as("bad"))
+          },
+          acc => {
+            val i = acc.getField("i")
+            val kAl = floor((sqrt(i.cast("double") * 8.0 + 1.0) - 1.0) / 2.0)
+              .cast("int")
+            val jAl = (i - (kAl * (kAl + 1)) / 2).cast("int")
+            // the finish emits the COMPLETE rewritten call (or NULL
+            // to keep the original) so the fold is referenced exactly
+            // once through the coalesce below
+            when(col("alt") =!= "." && !acc.getField("bad") &&
+              acc.getField("pos") === nGt && i >= 0,
+              concat(jAl.cast("string"), lit("/"), kAl.cast("string"),
+                call.substr(length(gt) + 1, length(call))))
+          })
+        coalesce(newCall, call)
       }))
   }
 

@@ -4317,6 +4317,11 @@ object VcfQueries extends QuerySet {
     (s, dir) => {
       val nAlts = size(split(col("alt"), ","))
       val nGt = ((nAlts + 1) * (nAlts + 2) / 2).cast("int")
+      // materialization barrier between the PLANTING transform_values
+      // and the operator's: chained interpreted map lambdas get no
+      // CSE, so every `call` reference in the operator re-ran the
+      // whole planting lambda (measured: the gate, not the operator,
+      // dominated at 134 s). Gate-side only — real inputs carry PL.
       val planted = wide(s, dir)
         .withColumn("format", lit("GT:DP:AD:PL"))
         .withColumn("genotypes",
@@ -4326,6 +4331,7 @@ object VcfQueries extends QuerySet {
               i => ((col("k") + si * 7 + i * 13) % 60).cast("string")), ",")
             concat(call, lit(":"), pl)
           }))
+        .localCheckpoint(false)
       VariantAnnotator.callFromPl(planted)
         .select(col("k"),
           explode(col("genotypes")).as(Seq("sample_id", "call")))
