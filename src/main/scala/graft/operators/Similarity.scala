@@ -1394,6 +1394,14 @@ object Similarity {
     * micro-floored; a zero centroid on either side reports 0 by
     * contract.
     *
+    * A group present in only ONE snapshot (appeared or vanished —
+    * itself a strong drift signal) is REPORTED, not dropped: the
+    * centroid tables meet in a FULL OUTER join, the one-sided group's
+    * counterpart count reads 0, its counterpart norm 0, and the cosine
+    * 0 by the zero-centroid contract. Ragged vector lengths within a
+    * group take the MAX per-dim member count as the group's n
+    * (deterministic, unlike first()).
+    *
     * Shape: per snapshot ONE posexplode + partial-aggregated
     * groupBy(group, dim) — the exchange carries |groups|·d rows per
     * partition after map-side combine, never the vector corpus — then
@@ -1410,17 +1418,22 @@ object Similarity {
       .agg(
         sum(col("x").cast("decimal(38,12)")).as(s"__s_$side"),
         count(lit(1)).as(s"__n_$side"))
-    val j = cent(a, "a").join(cent(b, "b"), Seq("g", "d"))
+    // full outer: one-sided groups surface with 0-count/0-norm
+    // counterparts; their missing side's mean coalesces to 0.0 so the
+    // folds stay null-free and the zero-centroid contract fires
+    val j = cent(a, "a").join(cent(b, "b"), Seq("g", "d"), "full_outer")
       .select(col("g"), col("d"),
-        (col("__s_a").cast("double") / col("__n_a").cast("double")).as("ma"),
-        (col("__s_b").cast("double") / col("__n_b").cast("double")).as("mb"),
+        coalesce(col("__s_a").cast("double") / col("__n_a").cast("double"),
+          lit(0.0)).as("ma"),
+        coalesce(col("__s_b").cast("double") / col("__n_b").cast("double"),
+          lit(0.0)).as("mb"),
         col("__n_a"), col("__n_b"))
     val folded = j.groupBy("g")
       .agg(
         sort_array(collect_list(struct(col("d"), col("ma"), col("mb"))))
           .as("__v"),
-        first(col("__n_a")).as("n_a"),
-        first(col("__n_b")).as("n_b"))
+        coalesce(max(col("__n_a")), lit(0L)).as("n_a"),
+        coalesce(max(col("__n_b")), lit(0L)).as("n_b"))
       // fixed left-to-right double folds over the d-sorted means —
       // one aggregate HOF each, referenced once (§8 staging rule)
       .withColumn("__dot", aggregate(col("__v"), lit(0.0),

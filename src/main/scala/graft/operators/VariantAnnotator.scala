@@ -126,6 +126,11 @@ object VariantAnnotator {
     * (`0/1` → `./.`, `1|2` → `.|.`, haploid `1` → `.`) — and leaves
     * every other FORMAT subfield verbatim, exactly `--set-GTs .`.
     *
+    * A record whose FORMAT does not carry GT as subfield 1 (legal —
+    * e.g. a `DP:AD` pileup record; VCF 4.2 §1.6.2 only mandates GT
+    * FIRST *if present*) passes through untouched: the rewrite would
+    * otherwise mask the digits of whatever field happens to sit first.
+    *
     * Shape: ONE narrow projection — a `transform_values` over the
     * genotypes map (the lambda is referenced once, so the §8
     * CodegenFallback staging rule is satisfied); zero shuffles at any
@@ -134,6 +139,7 @@ object VariantAnnotator {
   def setGtMissing(
       df: DataFrame, pred: (String => Column) => Column): DataFrame = {
     val fmtKeys = split(col("format"), ":")
+    val gtIsFirst = try_element_at(fmtKeys, lit(1)) === "GT"
     df.withColumn("genotypes",
       transform_values(col("genotypes"), (_, call) => {
         val parts = split(call, ":")
@@ -145,7 +151,8 @@ object VariantAnnotator {
         val maskedGt = regexp_replace(gt, "[0-9]+", ".")
         val masked = concat(maskedGt,
           call.substr(length(gt) + 1, length(call)))
-        when(coalesce(pred(field), lit(false)), masked).otherwise(call)
+        when(gtIsFirst && coalesce(pred(field), lit(false)), masked)
+          .otherwise(call)
       }))
   }
 
@@ -165,10 +172,15 @@ object VariantAnnotator {
     *
     * Existing NS/AN/AC/AF entries are stripped wherever they sit and
     * the recomputed block is appended in fixed order; every other
-    * INFO key rides verbatim. Missing-ALT (`.`) sites get NS/AN only
-    * (no alleles to count). Rows sharing a site key pool their
-    * samples — run after [[VariantNorm.splitMultiallelic]]/dedup if
-    * site keys can collide.
+    * INFO key rides verbatim. A `.` or NULL INFO is treated as EMPTY
+    * (bcftools +fill-tags still writes the tags — a bare concat would
+    * null-propagate and erase the recomputed block). Missing-ALT (`.`)
+    * sites get NS/AN only (no alleles to count). Rows whose genotypes
+    * map is empty or NULL (sites-only records) SURVIVE the refill with
+    * NS=0;AN=0 and all-zero AC/AF — the per-site aggregates join back
+    * LEFT, not inner. Rows sharing a site key pool their samples — run
+    * after [[VariantNorm.splitMultiallelic]]/dedup if site keys can
+    * collide.
     *
     * Shape: one wide→long explode + TWO site-keyed partial aggs
     * (allele-part counts, NS) + one site-keyed join back — all on the
@@ -195,25 +207,35 @@ object VariantAnnotator {
           when(col("__p") =!= ".", struct(col("__p"), col("__c")))))
           .as("__acm"))
     val nAlts = size(split(col("alt"), ","))
+    // __ns/__an coalesce to 0 below: a sites-only row (empty/NULL
+    // genotypes) has no lng rows, so the LEFT joins leave them NULL;
+    // the NULL __acm map already yields 0-AC through try_element_at.
+    val nsc = coalesce(col("__ns"), lit(0L))
+    val anc = coalesce(col("__an"), lit(0L))
     val acArr = transform(sequence(lit(1), nAlts),
       i => coalesce(try_element_at(col("__acm"), i.cast("string")), lit(0L)))
     def afStr(ac: Column): Column = {
-      val m = when(col("__an") === 0L, 0L).otherwise(
-        floor(ac.cast("double") / col("__an").cast("double")
+      val m = when(anc === 0L, 0L).otherwise(
+        floor(ac.cast("double") / anc.cast("double")
           * lit(1000000.0)).cast("long"))
       concat((m / lit(1000000L)).cast("long").cast("string"), lit("."),
         lpad((m % lit(1000000L)).cast("string"), 6, "0"))
     }
+    // '.'/NULL INFO = empty (VCF 4.2 §1.6.1 '.' = no info; bcftools
+    // +fill-tags still writes the tags — concat on a NULL info would
+    // null-propagate and erase the whole rebuilt string)
+    val base = when(col("info").isNull || col("info") === ".", lit(""))
+      .otherwise(col("info"))
     val stripped = regexp_replace(
-      regexp_replace(col("info"), "(^|;)(NS|AN|AC|AF)=[^;]*", ""),
+      regexp_replace(base, "(^|;)(NS|AN|AC|AF)=[^;]*", ""),
       "^;", "")
     val tail = concat(
-      lit("NS="), col("__ns"), lit(";AN="), col("__an"),
+      lit("NS="), nsc, lit(";AN="), anc,
       when(col("alt") =!= ".", concat(
         lit(";AC="), array_join(acArr, ","),
         lit(";AF="), array_join(transform(acArr, c => afStr(c)), ",")))
         .otherwise(lit("")))
-    df.join(ns.join(counts, siteKey), siteKey)
+    df.join(ns.join(counts, siteKey), siteKey, "left")
       .withColumn("info",
         concat(when(stripped === "", lit("")).otherwise(concat(stripped,
           lit(";"))), tail))
@@ -230,7 +252,10 @@ object VariantAnnotator {
     * every other FORMAT subfield verbatim. A MISSING GT with a valid
     * PL gets CALLED (that is the point of refinement); a call whose
     * PL is absent, malformed, carries `.` entries, or disagrees with
-    * the site's genotype count (n+1)(n+2)/2 passes through untouched.
+    * the site's genotype count (n+1)(n+2)/2 passes through untouched —
+    * as does every call on a record whose FORMAT does not carry GT as
+    * subfield 1 (a `DP:AD` record is legal; rewriting its first field
+    * would corrupt a non-GT value, the [[setGtMissing]] guard).
     *
     * Shape: ONE narrow transform_values projection (the
     * [[setGtMissing]] class — the lambda is referenced once and every
@@ -239,6 +264,7 @@ object VariantAnnotator {
     */
   def callFromPl(df: DataFrame, plKey: String = "PL"): DataFrame = {
     val fmtKeys = split(col("format"), ":")
+    val gtIsFirst = try_element_at(fmtKeys, lit(1)) === "GT"
     val nAlts = size(split(col("alt"), ","))
     val nGt = ((nAlts + 1) * (nAlts + 2) / 2).cast("int")
     df.withColumn("genotypes",
@@ -284,7 +310,7 @@ object VariantAnnotator {
             // the finish emits the COMPLETE rewritten call (or NULL
             // to keep the original) so the fold is referenced exactly
             // once through the coalesce below
-            when(col("alt") =!= "." && !acc.getField("bad") &&
+            when(gtIsFirst && col("alt") =!= "." && !acc.getField("bad") &&
               acc.getField("pos") === nGt && i >= 0,
               concat(jAl.cast("string"), lit("/"), kAl.cast("string"),
                 call.substr(length(gt) + 1, length(call))))

@@ -5420,7 +5420,10 @@ object LlmQueries extends QuerySet {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val flip = when(col("vec_id") % 5 === 0, lit(-1.0)).otherwise(lit(1.0))
       val shift = when(col("label") % 3 === 0, lit(0.05)).otherwise(lit(0.0))
-      val b = e.select(col("label"),
+      // label%7=3 groups VANISH from snapshot b — the one-sided case
+      // (appeared/vanished group) the full-outer contract reports with
+      // n_b=0 / norm_b=0 / cosine 0 instead of silently dropping
+      val b = e.filter(col("label") % 7 =!= 3).select(col("label"),
         transform(col("embedding"), x => x.cast("double") * flip + shift)
           .as("v"))
       graft.operators.Similarity.centroidDrift(a, b, "label", "v")
@@ -5434,7 +5437,7 @@ object LlmQueries extends QuerySet {
               list_transform(embedding, x -> CAST(x AS DOUBLE)
                 * (CASE WHEN vec_id % 5 = 0 THEN -1.0 ELSE 1.0 END)
                 + (CASE WHEN label % 3 = 0 THEN 0.05 ELSE 0.0 END)) AS v
-            FROM embeddings),
+            FROM embeddings WHERE label % 7 <> 3),
       xa AS (SELECT label AS g,
                unnest(list_transform(range(1, 65),
                  i -> struct_pack(d := i, x := v[CAST(i AS INT)]))) AS e
@@ -5451,12 +5454,13 @@ object LlmQueries extends QuerySet {
                sum(CAST(e.x AS DECIMAL(38,12))) AS s_b,
                CAST(count(*) AS BIGINT) AS n_b
              FROM xb GROUP BY 1, 2),
-      j AS (SELECT g, d,
-              CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
-              CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+      j AS (SELECT coalesce(ca.g, cb.g) AS g, coalesce(ca.d, cb.d) AS d,
+              coalesce(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 0.0) AS ma,
+              coalesce(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 0.0) AS mb,
               n_a, n_b
-            FROM ca JOIN cb USING (g, d)),
-      f AS (SELECT g, any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+            FROM ca FULL JOIN cb ON ca.g = cb.g AND ca.d = cb.d),
+      f AS (SELECT g, coalesce(max(n_a), 0) AS n_a,
+              coalesce(max(n_b), 0) AS n_b,
               list(ma ORDER BY d) AS la, list(mb ORDER BY d) AS lb
             FROM j GROUP BY g),
       r AS (SELECT g, n_a, n_b,

@@ -4234,20 +4234,37 @@ object VcfQueries extends QuerySet {
     * entries wherever they sit, keeps every other key verbatim (the
     * fixture's DP rides through), and appends the block in fixed
     * order; missing-ALT sites get NS/AN only; k-colliding site keys
-    * pool samples on BOTH engines. Output = the rebuilt info string
-    * per row, hash-exact.
+    * pool samples on BOTH engines. Planted edge classes: k%41 rows
+    * carry a '.' INFO (treated as empty, tags still written) and
+    * k%43 rows are SITES-ONLY (empty genotypes map — survive the
+    * refill with pooled or 0 tags through the left join). Output =
+    * the rebuilt info string per row, hash-exact.
     */
   private lazy val q211 = Q(
     "q211_fill_tags",
-    (s, dir) =>
-      VariantAnnotator.fillInfoTags(wide(s, dir))
+    (s, dir) => {
+      // planted edge classes for the bcftools +fill-tags contract:
+      // k%41 rows carry a '.' INFO (= empty — the tags must still be
+      // written, not null-propagated away) and k%43 rows are
+      // SITES-ONLY (empty genotypes map — must survive the refill
+      // with 0-tags via the left join, pooling with any k-colliding
+      // site-mates on both engines)
+      val planted = wide(s, dir)
+        .withColumn("info",
+          when(col("k") % 41 === 0, lit(".")).otherwise(col("info")))
+        .withColumn("genotypes",
+          when(col("k") % 43 === 0, typedLit(Map.empty[String, String]))
+            .otherwise(col("genotypes")))
+      VariantAnnotator.fillInfoTags(planted)
         .select("k", "chrom", "pos", "ref", "alt", "info")
-        .orderBy("k"),
+        .orderBy("k")
+    },
     Some(s"""
       WITH $duckCtes,
+      smx AS (SELECT * FROM sm WHERE k % 43 <> 0),
       lng AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom,
                 pos, ref, alt, si, string_split(call, ':')[1] AS gt
-              FROM sm),
+              FROM smx),
       nss AS (SELECT chrom, pos, ref, alt,
                 CAST(sum(CASE WHEN gt NOT IN ('./.', '.|.', '.') THEN 1 ELSE 0 END) AS BIGINT) AS ns
               FROM lng GROUP BY 1, 2, 3, 4),
@@ -4259,7 +4276,9 @@ object VcfQueries extends QuerySet {
       ans AS (SELECT chrom, pos, ref, alt,
                 CAST(sum(CASE WHEN p <> '.' THEN c ELSE 0 END) AS BIGINT) AS an
               FROM cn GROUP BY 1, 2, 3, 4),
-      sites AS (SELECT DISTINCT chrom, pos, ref, alt FROM lng),
+      sites AS (SELECT DISTINCT regexp_replace(chrom_raw, '^chr', '') AS chrom,
+                  pos, ref, alt
+                FROM v),
       ax AS (SELECT s.chrom, s.pos, s.ref, s.alt,
                unnest(range(1, CAST(len(string_split(s.alt, ',')) AS INT) + 1)) AS ai
              FROM sites s WHERE s.alt <> '.'),
@@ -4268,10 +4287,10 @@ object VcfQueries extends QuerySet {
               FROM ax LEFT JOIN cn ON cn.chrom = ax.chrom AND cn.pos = ax.pos
                 AND cn.ref = ax.ref AND cn.alt = ax.alt
                 AND cn.p = CAST(ax.ai AS VARCHAR)),
-      acf AS (SELECT a.*, CASE WHEN n.an = 0 THEN 0
+      acf AS (SELECT a.*, CASE WHEN coalesce(n.an, 0) = 0 THEN 0
                 ELSE CAST(floor(CAST(a.ac AS DOUBLE) / CAST(n.an AS DOUBLE)
                   * 1000000.0) AS BIGINT) END AS afm
-              FROM acj a JOIN ans n USING (chrom, pos, ref, alt)),
+              FROM acj a LEFT JOIN ans n USING (chrom, pos, ref, alt)),
       acs AS (SELECT chrom, pos, ref, alt,
                 string_agg(CAST(ac AS VARCHAR), ',' ORDER BY ai) AS ac_list,
                 string_agg(CAST(afm // 1000000 AS VARCHAR) || '.'
@@ -4280,19 +4299,21 @@ object VcfQueries extends QuerySet {
               FROM acf GROUP BY 1, 2, 3, 4),
       base AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom,
                  pos, ref, alt,
-                 regexp_replace(regexp_replace(info,
+                 regexp_replace(regexp_replace(
+                   CASE WHEN k % 41 = 0 THEN '' ELSE info END,
                    '(^|;)(NS|AN|AC|AF)=[^;]*', '', 'g'), '^;', '') AS stripped
                FROM v)
       SELECT b.k, b.chrom, b.pos, b.ref, b.alt,
         (CASE WHEN b.stripped = '' THEN '' ELSE b.stripped || ';' END)
-        || 'NS=' || CAST(n.ns AS VARCHAR) || ';AN=' || CAST(a.an AS VARCHAR)
+        || 'NS=' || CAST(coalesce(n.ns, 0) AS VARCHAR)
+        || ';AN=' || CAST(coalesce(a.an, 0) AS VARCHAR)
         || CASE WHEN b.alt <> '.'
                 THEN ';AC=' || s.ac_list || ';AF=' || s.af_list
                 ELSE '' END AS info
       FROM base b
-      JOIN nss n ON n.chrom = b.chrom AND n.pos = b.pos
+      LEFT JOIN nss n ON n.chrom = b.chrom AND n.pos = b.pos
                 AND n.ref = b.ref AND n.alt = b.alt
-      JOIN ans a ON a.chrom = b.chrom AND a.pos = b.pos
+      LEFT JOIN ans a ON a.chrom = b.chrom AND a.pos = b.pos
                 AND a.ref = b.ref AND a.alt = b.alt
       LEFT JOIN acs s ON s.chrom = b.chrom AND s.pos = b.pos
                 AND s.ref = b.ref AND s.alt = b.alt

@@ -1324,4 +1324,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(reparted === got, "decimal sums must be partition-stable")
   }
+
+  test("centroidDrift: one-sided groups (appeared/vanished) are " +
+      "REPORTED with 0-count/0-norm counterparts and cosine 0, not " +
+      "dropped; ragged vector lengths take the max per-dim count") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val a = Seq(
+      ("both", Seq(1.0, 0.0)),
+      ("vanished", Seq(2.0, 3.0)),
+      // ragged: one member is 1-d, one is 2-d → n = max per-dim count
+      ("ragged", Seq(5.0)), ("ragged", Seq(1.0, 1.0)))
+      .toDF("g", "v")
+    val b = Seq(
+      ("both", Seq(2.0, 0.0)),
+      ("appeared", Seq(0.0, 9.0)),
+      ("ragged", Seq(1.0, 1.0)))
+      .toDF("g", "v")
+    val got = Similarity.centroidDrift(a, b, "g", "v")
+      .select("g", "n_a", "n_b", "norm_a_micro", "norm_b_micro",
+        "centroid_cos_micro")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got.keySet === Set("both", "vanished", "appeared", "ragged"))
+    assert(got("both") === ((1L, 1L, 1000000L, 2000000L, 1000000L)))
+    // vanished: no b side → n_b 0, norm_b 0, cosine 0 by contract
+    assert(got("vanished") === ((1L, 0L, 3605551L, 0L, 0L)))
+    // appeared: no a side
+    assert(got("appeared") === ((0L, 1L, 0L, 9000000L, 0L)))
+    // ragged a: dim-0 mean (5+1)/2 = 3, dim-1 mean 1/1 = 1, n_a = 2
+    // cos((3,1),(1,1)) = 4/(√10·√2) = 0.894427…
+    assert(got("ragged") === ((2L, 1L, 3162277L, 1414213L, 894427L)))
+  }
 }

@@ -142,6 +142,52 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(got(108) === "0/0:1,2,3")
   }
 
+  test("GT-position guard: a record whose FORMAT lacks GT as subfield 1 " +
+      "(legal VCF — e.g. 'DP:AD') passes through setGtMissing AND " +
+      "callFromPl untouched instead of corrupting the first field") {
+    import spark.implicits._
+    val df = Seq(
+      // DP:AD record: first subfield is DP=5 — masking would turn the
+      // digits of DP into '.', calling from PL would overwrite DP
+      (100, "DP:AD:PL", "5:3,2:30,0,40"),
+      // control with GT first: both operators rewrite
+      (101, "GT:DP:PL", "0/0:5:30,0,40"))
+      .map { case (p, f, c) => ("1", p, "A", "C", f, c) }
+      .toDF("chrom", "pos", "ref", "alt", "format", "call")
+      .withColumn("genotypes", map(lit("S1"), col("call")))
+    val masked = VariantAnnotator.setGtMissing(df,
+        f => f("DP").cast("int") < 10)
+      .select(col("pos"), element_at(col("genotypes"), "S1"))
+      .as[(Int, String)].collect().toMap
+    assert(masked(100) === "5:3,2:30,0,40", "non-GT record must pass")
+    assert(masked(101) === "./.:5:30,0,40")
+    val called = VariantAnnotator.callFromPl(df)
+      .select(col("pos"), element_at(col("genotypes"), "S1"))
+      .as[(Int, String)].collect().toMap
+    assert(called(100) === "5:3,2:30,0,40", "non-GT record must pass")
+    assert(called(101) === "0/1:5:30,0,40")
+  }
+
+  test("fillInfoTags edge contracts: '.'/NULL INFO are empty (tags " +
+      "still written, bcftools +fill-tags), and a sites-only record " +
+      "(empty/NULL genotypes) survives with 0-tags") {
+    import spark.implicits._
+    val df = Seq(
+      (100, ".", "0/1:9"),   // '.' INFO → just the recomputed block
+      (200, null, "1/1:9"),  // NULL INFO → same (no null-propagation)
+      (300, "DP=4", null))   // sites-only: no calls at all
+      .toDF("pos", "info", "call")
+      .select(lit("1").as("chrom"), col("pos"), lit("A").as("ref"),
+        lit("C").as("alt"), col("info"), lit("GT:DP").as("format"),
+        when(col("call").isNotNull, map(lit("S1"), col("call")))
+          .otherwise(typedLit(Map.empty[String, String])).as("genotypes"))
+    val got = VariantAnnotator.fillInfoTags(df)
+      .select("pos", "info").as[(Int, String)].collect().toMap
+    assert(got(100) === "NS=1;AN=2;AC=1;AF=0.500000")
+    assert(got(200) === "NS=1;AN=2;AC=2;AF=1.000000")
+    assert(got(300) === "DP=4;NS=0;AN=0;AC=0;AF=0.000000")
+  }
+
   test("wide→long explode with missing-call and missing-ALT drops") {
     // 7 sites × 2 samples = 14 calls; minus ./., minus 2 calls on ALT='.'
     assert(full.count() === 11)
