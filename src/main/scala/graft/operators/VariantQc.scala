@@ -304,13 +304,19 @@ object VariantQc {
     * Shape: ONE conditional-sum site-keyed groupBy — both cohorts'
     * counts come out of the same pass, NO joins (the q119 posture);
     * zero exchanges on a site-bucketed landing.
+    *
+    * `dosageCol = Some("DS")` switches to the IMPUTATION-DOSAGE scan
+    * ([[trendTestDosage]] — plink2 --glm on DS with GT fallback);
+    * the default None keeps the hard-call path and its output schema
+    * byte-identical (the q168 oracle hash is unchanged).
     */
   def trendTest(
       ann: DataFrame,
       cases: Seq[String], controls: Seq[String],
       sampleCol: String = "sample_id",
       siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
-      decimalLift: Boolean = false): DataFrame = {
+      decimalLift: Boolean = false,
+      dosageCol: Option[String] = None): DataFrame = {
     require(cases.nonEmpty && controls.nonEmpty,
       "both cohorts must be non-empty")
     require(cases.intersect(controls).isEmpty,
@@ -318,6 +324,8 @@ object VariantQc {
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
     val inCase = col(sampleCol).isin(cases: _*)
     val inCtrl = col(sampleCol).isin(controls: _*)
+    if (dosageCol.isDefined)
+      return trendTestDosage(ann, inCase, inCtrl, siteKey, dosageCol.get)
     val dose = col("gt1").cast("long") + col("gt2").cast("long")
     def cnt(member: org.apache.spark.sql.Column, d: Long) =
       sum(when(member && dose === d, 1L).otherwise(0L))
@@ -359,6 +367,66 @@ object VariantQc {
           floor((n * num * num).cast("double") / vden.cast("double")
             * lit(1000000.0)).cast("long")))
     }
+  }
+
+  /** DOSAGE trend scan (the `dosageCol` mode of [[trendTest]] —
+    * plink2 `--glm` on imputed DS): the Cochran-Armitage statistic
+    * with per-individual scores generalizes to χ² = N·r² over the
+    * (dosage, case-indicator) correlation,
+    *
+    *   χ² = N·(N·Sxy − R·Sx)² / ((N·Sx2 − Sx²)·R·(N−R))
+    *
+    * (Sx/Sxy/Sx2 the total/case dosage sums and the dosage square
+    * sum; with hard-call x this reduces ALGEBRAICALLY to the count
+    * form above — spec-pinned). x is the call's MICRO dosage:
+    * [[dosageMicro]]-parsed DS with GT-hard-call fallback, rows with
+    * neither dropping out. Every sum is an exact int64/decimal fold
+    * and the statistic is ONE exact decimal(38,0) floor-division,
+    * micro-floored — engine-replayable. The micro²·N⁵-shaped
+    * composite bounds exactness to ~7.5k samples per site
+    * (4·10¹⁸·N⁵ ≤ 10³⁸); genuinely wider cohorts should pre-thin to
+    * milli-precision dosages upstream (the composite drops to
+    * 4·10¹²·N⁵ → ~190k samples) — the gate runs far inside the
+    * ceiling either way.
+    *
+    * Shape: identical to the count path — ONE conditional-sum
+    * site-keyed groupBy, no joins, zero exchanges on a site-bucketed
+    * landing.
+    */
+  private def trendTestDosage(
+      ann: DataFrame, inCase: Column, inCtrl: Column,
+      siteKey: Seq[String], ds: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val agg = ann
+      .filter(col("multiallele") === 0 && (inCase || inCtrl))
+      .select(siteKey.map(col) ++ Seq(
+        inCase.as("__case"),
+        coalesce(dosageMicro(col(ds)), gtDosageMicro).as("__x")): _*)
+      .filter(col("__x").isNotNull)
+      .groupBy(siteKey.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("__case"), 1L).otherwise(0L)).as("n_cases"),
+        sum(col("__x")).as("dose_sum_micro"),
+        sum(when(col("__case"), col("__x")).otherwise(0L))
+          .as("case_dose_sum_micro"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sx2"))
+    val n = col("n_total").cast(dec)
+    val r = col("n_cases").cast(dec)
+    val num = n * col("case_dose_sum_micro").cast(dec) -
+      r * col("dose_sum_micro").cast(dec)
+    val den = (n * col("__sx2") -
+      col("dose_sum_micro").cast(dec) * col("dose_sum_micro").cast(dec)) *
+      r * (n - r)
+    agg
+      .withColumn("trend_sign",
+        when(num > 0, 1).when(num < 0, -1).otherwise(0))
+      .withColumn("__num", n * num * num * lit(1000000L).cast(dec))
+      .withColumn("__den", den)
+      .withColumn("trend_micro",
+        when(col("__den") === 0, 0L)
+          .otherwise(expr("__num DIV __den")))
+      .drop("__sx2", "__num", "__den")
   }
 
   /** META-ANALYSIS across association studies — weighted STOUFFER
@@ -635,7 +703,11 @@ object VariantQc {
     * summation order). x is the biallelic ALT dosage from called
     * diploid genotypes. Returns (sampleCol, n_sites, n_alt,
     * score_micro); divide by n_sites downstream for plink's
-    * `--score ... sum`-vs-average variants.
+    * `--score ... sum`-vs-average variants. `dosageCol = Some("DS")`
+    * switches x to the typed imputation dosage with GT fallback
+    * (plink2 --score on DS — see the branch comment; output becomes
+    * n_sites/n_ds/dose_sum_micro/score_pico); the default None keeps
+    * this path and its output schema byte-identical (q138's hash).
     *
     * Scale shape: a score panel is bounded by the GWAS (10⁴–10⁶ rows),
     * so it BROADCASTS — the cohort's call stream never shuffles for
@@ -646,20 +718,111 @@ object VariantQc {
   def polygenicScore(
       ann: DataFrame, weights: DataFrame,
       sampleCol: String = "sample_id",
-      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      dosageCol: Option[String] = None): DataFrame = dosageCol match {
+    case None =>
+      def called(c: String) = col(c).isNotNull && col(c) =!= "."
+      ann
+        .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+        .select(siteKey.map(col) ++ Seq(
+          col(sampleCol),
+          ((col("gt1") === "1").cast("long") +
+            (col("gt2") === "1").cast("long")).as("__x")): _*)
+        .join(broadcast(weights), siteKey)
+        .groupBy(col(sampleCol))
+        .agg(
+          count(lit(1)).as("n_sites"),
+          sum(col("__x")).as("n_alt"),
+          sum(col("__x") * col("beta_micro")).as("score_micro"))
+    case Some(ds) =>
+      // IMPUTATION-DOSAGE scoring (plink2 --score on FORMAT DS — the
+      // biobank posture: UK Biobank/TOPMed callsets ship imputed
+      // dosages and production PGS runs on DS, not GT hard calls):
+      // x = the call's typed DS in MICRO units ([[dosageMicro]] —
+      // fixed-6-decimal parse, exact on both engines), falling back
+      // to the GT hard-call dosage when DS is missing/malformed
+      // (plink's dosage-certainty fallback), the row dropping out
+      // only when BOTH are unusable. Σ β_micro·x_micro is an exact
+      // int64 PICO-unit fold (order-free), so the score is
+      // engine-replayable with zero float summation. Same broadcast
+      // shape as the GT path; output adds the DS-coverage count
+      // (n_ds) and swaps n_alt/score_micro for dose_sum_micro/
+      // score_pico. NOTE: this consumes [[VariantAnnotator.annotate]]
+      // output, which drops fully-missing GT calls — a dosage-only
+      // record (GT ./. but DS present) does not reach the fold; run
+      // [[VariantAnnotator.callFromPl]] first on such callsets.
+      val dsm = dosageMicro(col(ds))
+      val gtm = gtDosageMicro
+      ann
+        .filter(col("multiallele") === 0)
+        .select(siteKey.map(col) ++ Seq(
+          col(sampleCol), dsm.as("__ds"), gtm.as("__gtm")): _*)
+        .withColumn("__x", coalesce(col("__ds"), col("__gtm")))
+        .filter(col("__x").isNotNull)
+        .join(broadcast(weights), siteKey)
+        .groupBy(col(sampleCol))
+        .agg(
+          count(lit(1)).as("n_sites"),
+          sum(when(col("__ds").isNotNull, 1L).otherwise(0L)).as("n_ds"),
+          sum(col("__x")).as("dose_sum_micro"),
+          sum(col("__x") * col("beta_micro")).as("score_pico"))
+  }
+
+  /** Typed-DS parse to MICRO units: a dosage string with ≤ 6 decimal
+    * places (how imputation pipelines write DS) parses EXACTLY via one
+    * guarded decimal cast — `1.25` → 1250000L; anything else (missing
+    * `.`, junk, >6 decimals — which would round differently across
+    * engines) yields NULL so the caller's GT fallback takes over. The
+    * rlike guard keeps the cast ANSI-safe and the whole expression
+    * codegen'd.
+    */
+  private def dosageMicro(c: Column): Column =
+    when(c.rlike("^[0-9]{1,12}(\\.[0-9]{1,6})?$"),
+      (c.cast("decimal(20,6)") * lit(1000000L)).cast("long"))
+
+  /** GT hard-call ALT dosage in MICRO units on called diploid rows
+    * (NULL otherwise) — the fallback substrate for the dosage modes;
+    * equals 10⁶·(gt1+gt2) which on the biallelic (multiallele=0)
+    * slice is the ALT-allele count.
+    */
+  private def gtDosageMicro: Column = {
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    when(called("gt1") && called("gt2"),
+      (col("gt1").cast("long") + col("gt2").cast("long")) * lit(1000000L))
+  }
+
+  /** DOSAGE-MEAN allele frequency per site (the imputed-AF convention:
+    * AF = Σ DS / 2n over the samples with a usable dosage — what
+    * `bcftools +fill-tags -- -t AF` computes when pointed at DS, and
+    * the MAF substrate association/PGS filtering should use on imputed
+    * data instead of hard-call counting): per site, the usable-sample
+    * count, the DS-sourced count, the exact micro dosage sum, and
+    * af_micro = ⌊Σx / 2n⌋ (one integer division over exact int64 —
+    * engine-replayable). Same DS-parse + GT-fallback ladder as the
+    * dosage [[polygenicScore]].
+    *
+    * Shape: ONE site-keyed partial-aggregated groupBy — zero joins,
+    * zero exchanges on a site-bucketed landing.
+    */
+  def dosageAf(
+      ann: DataFrame,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      dosageCol: String = "DS"): DataFrame = {
+    val dsm = dosageMicro(col(dosageCol))
     ann
-      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
+      .filter(col("multiallele") === 0)
       .select(siteKey.map(col) ++ Seq(
-        col(sampleCol),
-        ((col("gt1") === "1").cast("long") +
-          (col("gt2") === "1").cast("long")).as("__x")): _*)
-      .join(broadcast(weights), siteKey)
-      .groupBy(col(sampleCol))
+        dsm.as("__ds"), gtDosageMicro.as("__gtm")): _*)
+      .withColumn("__x", coalesce(col("__ds"), col("__gtm")))
+      .filter(col("__x").isNotNull)
+      .groupBy(siteKey.map(col): _*)
       .agg(
-        count(lit(1)).as("n_sites"),
-        sum(col("__x")).as("n_alt"),
-        sum(col("__x") * col("beta_micro")).as("score_micro"))
+        count(lit(1)).as("n_called"),
+        sum(when(col("__ds").isNotNull, 1L).otherwise(0L)).as("n_ds"),
+        sum(col("__x")).as("dose_sum_micro"))
+      .withColumn("af_micro",
+        expr("dose_sum_micro DIV (2 * n_called)"))
   }
 
   /** Pairwise GENETIC-RELATIONSHIP-MATRIX entries (the GCTA/VanRaden

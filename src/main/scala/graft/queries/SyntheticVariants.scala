@@ -68,12 +68,42 @@ object SyntheticVariants {
         ELSE '0'
       END"""
 
-  /** Full `GT:DP:AD` sample call for sample term `si`. */
-  def callSql(si: String): String = {
+  /** Full `GT:DP:AD` sample call for sample term `si`; `withDs` appends
+    * a planted `Number=1 Float` imputation dosage subfield (format
+    * becomes `GT:DP:AD:DS`) — a fixed-6-decimal string in [0, 2]
+    * built from integer digits so BOTH engines replay the micro value
+    * exactly, with a `.`-missing class every 37th (k+si) to exercise
+    * the GT-hard-call fallback.
+    */
+  def callSql(si: String, withDs: Boolean = false): String = {
     val g = s"k + ($si) * 31"
-    s"${gtSql(g)} || ':' || CAST(($g) % 100 AS VARCHAR(8)) || ':' || " +
+    val base = s"${gtSql(g)} || ':' || CAST(($g) % 100 AS VARCHAR(8)) || ':' || " +
       s"CAST(($g) % 50 AS VARCHAR(8)) || ',' || CAST(($g) % 30 AS VARCHAR(8))"
+    if (!withDs) base else s"$base || ':' || ${dsSql(si)}"
   }
+
+  /** Planted DS string for sample term `si`: micro value
+    * m = (k·13 + si·29) % 2000001 rendered as `d.dddddd` (integer-digit
+    * construction — the common Spark/DuckDB dialect has no integer
+    * division, so the units digit is a 3-way CASE on m's band), or `.`
+    * when (k+si) % 37 = 0. [[dsMicroSql]] is the replay of the PARSED
+    * value.
+    */
+  def dsSql(si: String): String = {
+    val m = s"((k * 13 + ($si) * 29) % 2000001)"
+    s"""CASE WHEN (k + ($si)) % 37 = 0 THEN '.' ELSE
+        (CASE WHEN $m >= 2000000 THEN '2' WHEN $m >= 1000000 THEN '1'
+              ELSE '0' END)
+        || '.' || lpad(CAST($m % 1000000 AS VARCHAR(8)), 6, '0') END"""
+  }
+
+  /** DuckDB-side replay of the planted DS *micro* value (NULL on the
+    * `.`-missing class) — what [[graft.operators.VariantQc]]'s
+    * dosage parse recovers from [[dsSql]]'s string.
+    */
+  def dsMicroSql(si: String): String =
+    s"""CASE WHEN (k + ($si)) % 37 = 0 THEN NULL
+        ELSE CAST((k * 13 + ($si) * 29) % 2000001 AS BIGINT) END"""
 
   val sampleIds: Seq[String] = (1 to 4).map(i => s"g$i")
 
@@ -108,7 +138,8 @@ object SyntheticVariants {
     * the DuckDB twin is [[duckCtesWith]] with the same expression.
     */
   def wide(s: SparkSession, dir: String,
-      altOverride: String = altSql): DataFrame = {
+      altOverride: String = altSql, withDs: Boolean = false): DataFrame = {
+    val fmt = if (withDs) "'GT:DP:AD:DS'" else "'GT:DP:AD'"
     val exprs = Seq(
       "k",
       s"$chromRawSql AS chrom_raw",
@@ -119,8 +150,8 @@ object SyntheticVariants {
       s"$qualSql AS qual",
       s"$filtSql AS filt",
       s"$infoSql AS info",
-      "'GT:DP:AD' AS format") ++
-      (1 to 4).map(i => s"${callSql(i.toString)} AS call_g$i")
+      s"$fmt AS format") ++
+      (1 to 4).map(i => s"${callSql(i.toString, withDs)} AS call_g$i")
     // The testdata files are tiny (1-3 input splits) while the derived
     // per-row work below is heavy — fan out to full parallelism BEFORE
     // the derivation projection, shuffling only the 8-byte key. Round 2
@@ -153,13 +184,13 @@ object SyntheticVariants {
     * downstream CTE chains (e.g. [[duckAnnotateCtes]]) replay over a
     * planted callset unchanged.
     */
-  def duckCtesWith(alt: String): String =
+  def duckCtesWith(alt: String, withDs: Boolean = false): String =
     s"""ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
         v AS (SELECT k, $chromRawSql AS chrom_raw, $posSql AS pos,
                      $idSql AS id, $refSql AS ref, $alt AS alt,
                      $qualSql AS qual, $filtSql AS filt, $infoSql AS info
               FROM ln),
-        sm AS (SELECT v.*, u.si, ${callSql("u.si")} AS call
+        sm AS (SELECT v.*, u.si, ${callSql("u.si", withDs)} AS call
                FROM v CROSS JOIN (SELECT unnest([1,2,3,4]) AS si) u)"""
 
   val duckCtes: String = duckCtesWith(altSql)

@@ -4383,6 +4383,147 @@ object VcfQueries extends QuerySet {
       FROM am ORDER BY k, sample_id
     """))
 
+  /** Shared DuckDB replay of the DOSAGE ELIGIBILITY ladder the three
+    * dosage gates (q214/q215/q216) consume: annotate's drops (missing
+    * ALT, missing GT) + the biallelic filter, then per call the parsed
+    * DS micro value ([[SyntheticVariants.dsMicroSql]]) with the
+    * called-diploid GT hard-call fallback — x = coalesce(ds, gt·10⁶),
+    * rows with neither dropping out (the half-missing `./1` class
+    * rides on DS alone; the `.`-DS class rides on GT alone).
+    */
+  private def duckDosageEl: String =
+    s"""lngd AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom,
+          pos, ref, alt, si, string_split(call, ':')[1] AS gt
+        FROM sm
+        WHERE alt <> '.'
+          AND string_split(call, ':')[1] NOT IN ('./.', '.|.', '.')
+          AND NOT contains(alt, ',')),
+      elx AS (SELECT k, chrom, pos, ref, alt, si, dsm,
+          coalesce(dsm, gtm) AS x
+        FROM (SELECT k, chrom, pos, ref, alt, si,
+            ${dsMicroSql("si")} AS dsm,
+            CASE WHEN len(parts) = 2 AND parts[1] <> '.' AND parts[2] <> '.'
+                 THEN (CAST(parts[1] AS BIGINT) + CAST(parts[2] AS BIGINT))
+                      * 1000000 END AS gtm
+          FROM (SELECT *, string_split_regex(gt, '[/|]') AS parts
+                FROM lngd))
+        WHERE coalesce(dsm, gtm) IS NOT NULL)"""
+
+  /** Planted-DS annotate: the wide frame with `GT:DP:AD:DS` calls,
+    * annotated with DS materialized as a typed column.
+    */
+  private def annWithDs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    VariantAnnotator.annotate(
+      wide(s, dir, withDs = true),
+      VariantAnnotator.Options(dropHomRef = false,
+        formatKeys = Some(Seq("DS"))))
+
+  /** IMPUTATION-DOSAGE POLYGENIC SCORE gate ([[graft.operators
+    * .VariantQc.polygenicScore]]'s `dosageCol` mode — plink2 --score
+    * on FORMAT DS, the biobank posture: production PGS runs on
+    * imputed dosage, not GT hard calls): the fixture plants a
+    * fixed-6-decimal DS per call (exact micro parse on both engines)
+    * with a `.`-missing class exercising the GT fallback and the
+    * `./1` half-missing class riding on DS alone; the weight panel is
+    * the site catalog with β_micro = pos%2001−1000 (signed). Output =
+    * per-sample (n_sites, n_ds, Σx_micro, Σβ·x pico) — every fold
+    * exact int64, hash-exact.
+    */
+  private lazy val q214 = Q(
+    "q214_pgs_dosage",
+    (s, dir) => {
+      val ann = annWithDs(s, dir)
+      val weights = ann.select("chrom", "pos", "ref", "alt").distinct()
+        .withColumn("beta_micro", (col("pos") % 2001 - 1000).cast("long"))
+      graft.operators.VariantQc
+        .polygenicScore(ann, weights, dosageCol = Some("DS"))
+        .orderBy("sample_id")
+    },
+    Some(s"""
+      WITH ${duckCtesWith(altSql, withDs = true)},
+      $duckDosageEl
+      SELECT 'g' || CAST(si AS VARCHAR(4)) AS sample_id,
+        CAST(count(*) AS BIGINT) AS n_sites,
+        CAST(sum(CASE WHEN dsm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ds,
+        CAST(sum(x) AS BIGINT) AS dose_sum_micro,
+        CAST(sum(x * CAST(pos % 2001 - 1000 AS BIGINT)) AS BIGINT)
+          AS score_pico
+      FROM elx GROUP BY 1 ORDER BY 1
+    """))
+
+  /** DOSAGE TREND-ASSOCIATION gate ([[graft.operators.VariantQc
+    * .trendTest]]'s `dosageCol` mode — plink2 --glm on DS): the
+    * Cochran-Armitage statistic with per-individual dosage scores,
+    * χ² = N(N·Sxy − R·Sx)² / ((N·Sx2 − Sx²)·R(N−R)), cases g1/g2 vs
+    * controls g3/g4 over the planted DS (GT fallback on the missing
+    * class). All sums exact int64/decimal; DuckDB replays in HUGEINT
+    * with the same floor division. k-colliding site keys pool on both
+    * engines.
+    */
+  private lazy val q215 = Q(
+    "q215_trend_dosage",
+    (s, dir) =>
+      graft.operators.VariantQc
+        .trendTest(annWithDs(s, dir), Seq("g1", "g2"), Seq("g3", "g4"),
+          dosageCol = Some("DS"))
+        .orderBy("chrom", "pos", "ref", "alt"),
+    Some(s"""
+      WITH ${duckCtesWith(altSql, withDs = true)},
+      $duckDosageEl,
+      ag AS (SELECT chrom, pos, ref, alt,
+          CAST(count(*) AS BIGINT) AS n_total,
+          CAST(sum(CASE WHEN si <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cases,
+          CAST(sum(x) AS BIGINT) AS dose_sum_micro,
+          CAST(sum(CASE WHEN si <= 2 THEN x ELSE 0 END) AS BIGINT)
+            AS case_dose_sum_micro,
+          sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2
+        FROM elx GROUP BY 1, 2, 3, 4),
+      st AS (SELECT *,
+          CAST(n_total AS HUGEINT) * CAST(case_dose_sum_micro AS HUGEINT)
+            - CAST(n_cases AS HUGEINT) * CAST(dose_sum_micro AS HUGEINT)
+            AS num,
+          (CAST(n_total AS HUGEINT) * sx2
+            - CAST(dose_sum_micro AS HUGEINT)
+              * CAST(dose_sum_micro AS HUGEINT))
+            * CAST(n_cases AS HUGEINT)
+            * CAST(n_total - n_cases AS HUGEINT) AS den
+        FROM ag)
+      SELECT chrom, pos, ref, alt, n_total, n_cases, dose_sum_micro,
+        case_dose_sum_micro,
+        CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+          AS trend_sign,
+        CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST((CAST(n_total AS HUGEINT) * num * num * 1000000)
+                       // den AS BIGINT) END AS trend_micro
+      FROM st ORDER BY chrom, pos, ref, alt
+    """))
+
+  /** DOSAGE-MEAN SITE AF gate ([[graft.operators.VariantQc.dosageAf]]
+    * — the imputed-AF convention AF = ΣDS/2n, what site filtering
+    * should use on imputed data instead of hard-call counting): per
+    * site the usable-call count, DS coverage, exact micro dosage sum,
+    * and af_micro = ⌊Σx/2n⌋ — one integer division, hash-exact.
+    */
+  private lazy val q216 = Q(
+    "q216_dosage_af",
+    (s, dir) =>
+      graft.operators.VariantQc.dosageAf(annWithDs(s, dir))
+        .orderBy("chrom", "pos", "ref", "alt"),
+    Some(s"""
+      WITH ${duckCtesWith(altSql, withDs = true)},
+      $duckDosageEl
+      SELECT chrom, pos, ref, alt,
+        CAST(count(*) AS BIGINT) AS n_called,
+        CAST(sum(CASE WHEN dsm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ds,
+        CAST(sum(x) AS BIGINT) AS dose_sum_micro,
+        CAST(CAST(sum(x) AS BIGINT) // (2 * count(*)) AS BIGINT)
+          AS af_micro
+      FROM elx GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
@@ -4390,5 +4531,5 @@ object VcfQueries extends QuerySet {
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
-      q206, q207, q208, q210, q211, q213)
+      q206, q207, q208, q210, q211, q213, q214, q215, q216)
 }

@@ -600,4 +600,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       p209.contains("SortMergeJoin") || p209.contains("ShuffledHashJoin"),
       s"kn-lm count joins must be equi-joins:\n$p209")
   }
+
+  test("dosage modes (q214/q215/q216): the weight panel joins by " +
+      "broadcast (the call stream never shuffles for it), the trend " +
+      "and AF scans are join-free conditional-sum groupBys") {
+    val q214 = SparkEntry.queries("q214_pgs_dosage")(spark, dir)
+    q214.collect()
+    val p214 = q214.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p214.contains("BroadcastHashJoin"),
+      s"the GWAS weight panel must broadcast:\n$p214")
+    assert(!p214.contains("SortMergeJoin") &&
+      !p214.contains("CartesianProduct"),
+      s"the cohort call stream must not shuffle for the panel:\n$p214")
+    for (name <- Seq("q215_trend_dosage", "q216_dosage_af")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+    }
+  }
 }

@@ -1202,6 +1202,98 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((num.signum, want.toLong)))
   }
 
+  // ---- imputation dosage (FORMAT DS) modes ----
+
+  test("dosage trendTest: reduces to the hard-call statistic when DS " +
+      "mirrors the genotypes, hand-computed chi2 on fractional DS, " +
+      "and the DS-parse/GT-fallback ladder") {
+    import spark.implicits._
+    val cols = Seq("chrom", "pos", "ref", "alt", "multiallele",
+      "sample_id", "gt1", "gt2", "DS")
+    // site 100: DS = exact hard-call values → must equal the count path
+    // site 200: fractional DS, hand-computed below
+    // site 300: the ladder — '.' DS → GT fallback; junk → GT fallback;
+    //           DS with missing GT counts via DS; 7-decimals DS falls
+    //           back to GT (cross-engine rounding is refused by design)
+    val ann = Seq(
+      ("1", 100L, "A", "T", 0, "c1", "1", "1", "2.000000"),
+      ("1", 100L, "A", "T", 0, "c2", "0", "1", "1.000000"),
+      ("1", 100L, "A", "T", 0, "t1", "0", "0", "0.000000"),
+      ("1", 100L, "A", "T", 0, "t2", "0", "1", "1.000000"),
+      ("1", 200L, "A", "T", 0, "c1", "0", "1", "1.5"),
+      ("1", 200L, "A", "T", 0, "c2", "0", "0", "0.5"),
+      ("1", 200L, "A", "T", 0, "t1", "0", "0", "0.25"),
+      ("1", 200L, "A", "T", 0, "t2", "0", "0", "0.25"),
+      ("1", 300L, "A", "T", 0, "c1", "1", "1", "."),
+      ("1", 300L, "A", "T", 0, "c2", "0", "1", "junk"),
+      ("1", 300L, "A", "T", 0, "t1", ".", "1", "0.500000"),
+      ("1", 300L, "A", "T", 0, "t2", "0", "0", "0.1234567"))
+      .toDF(cols: _*)
+    val got = graft.operators.VariantQc
+      .trendTest(ann, Seq("c1", "c2"), Seq("t1", "t2"),
+        dosageCol = Some("DS"))
+      .select("pos", "n_total", "dose_sum_micro", "case_dose_sum_micro",
+        "trend_sign", "trend_micro")
+      .as[(Long, Long, Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // site 100 vs the hard-call path on the same genotypes
+    val hard = graft.operators.VariantQc
+      .trendTest(ann.filter($"pos" === 100L), Seq("c1", "c2"),
+        Seq("t1", "t2"))
+      .select("trend_sign", "trend_micro").as[(Int, Long)].collect().head
+    assert((got(100L)._4, got(100L)._5) === hard,
+      "integer DS must reproduce the hard-call statistic")
+    // site 200 by hand: x = (1.5, 0.5 | 0.25, 0.25) micro,
+    // N=4 R=2 Sxy=2e6 Sx=2.5e6 Sx2=2.625e12; num = 4·2e6−2·2.5e6 = 3e6
+    // den = (4·2.625e12 − 2.5e6²)·2·2 = 17e12
+    // χ²·1e6 = 4·(3e6)²·1e6/17e12 = 2117647 (floored)
+    assert(got(200L) === ((4L, 2500000L, 2000000L, 1, 2117647L)))
+    // site 300 ladder: c1 GT 2.0, c2 GT 1.0, t1 DS 0.5 (GT missing),
+    // t2 GT 0.0 (7-decimal DS refused) → all four rows usable
+    assert(got(300L)._1 === 4L)
+    assert(got(300L)._2 === 3500000L)
+    assert(got(300L)._3 === 3000000L)
+  }
+
+  test("dosage polygenicScore and dosageAf: hand-pinned folds with " +
+      "signed betas, DS coverage counted, GT-only and DS-only rows " +
+      "both score, neither-usable rows drop") {
+    import spark.implicits._
+    val cols = Seq("chrom", "pos", "ref", "alt", "multiallele",
+      "sample_id", "gt1", "gt2", "DS")
+    val ann = Seq(
+      ("1", 100L, "A", "T", 0, "s1", "0", "1", "1.5"),      // DS 1.5
+      ("1", 200L, "C", "G", 0, "s1", "1", "1", "."),        // GT 2.0
+      ("1", 300L, "G", "A", 0, "s1", ".", ".", "0.25"),     // DS-only
+      ("1", 400L, "T", "C", 0, "s1", ".", "1", "bad"),      // dropped
+      ("1", 100L, "A", "T", 0, "s2", "0", "0", "0.5"))      // DS 0.5
+      .toDF(cols: _*)
+    val weights = Seq(
+      ("1", 100L, "A", "T", 1000000L),   // β = +1
+      ("1", 200L, "C", "G", -500000L),   // β = −0.5
+      ("1", 300L, "G", "A", 2000000L),   // β = +2
+      ("1", 400L, "T", "C", 7000000L))
+      .toDF("chrom", "pos", "ref", "alt", "beta_micro")
+    val pgs = graft.operators.VariantQc
+      .polygenicScore(ann, weights, dosageCol = Some("DS"))
+      .select("sample_id", "n_sites", "n_ds", "dose_sum_micro",
+        "score_pico")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // s1: 1.5·1 + 2.0·(−0.5) + 0.25·2 = 1.0 → 1e12 pico; 2 DS-sourced
+    assert(pgs("s1") === ((3L, 2L, 3750000L, 1000000000000L)))
+    assert(pgs("s2") === ((1L, 1L, 500000L, 500000000000L)))
+    val af = graft.operators.VariantQc.dosageAf(ann)
+      .select("pos", "n_called", "n_ds", "dose_sum_micro", "af_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // site 100: (1.5 + 0.5)/(2·2) = 0.5
+    assert(af(100L) === ((2L, 2L, 2000000L, 500000L)))
+    assert(af(200L) === ((1L, 0L, 2000000L, 1000000L)))
+    assert(af(300L) === ((1L, 1L, 250000L, 125000L)))
+    assert(af.get(400L) === None, "neither-usable site must drop")
+  }
+
   test("fstByChrom decimalLift: identity at small width; exact past " +
       "the int64 bound at 25k diploid samples per cohort vs BigInt") {
     import spark.implicits._
