@@ -762,4 +762,94 @@ object Consequence {
         "__ci", "__ph", "__b0", "__b1", "__b2", "__rcod", "__acod",
         "__aar", "__aaa")
   }
+
+  /** CONSUME VEP/snpEff annotations already IN a VCF — the `bcftools
+    * +split-vep` analogue, the inverse direction of [[csq]]: most
+    * real-world annotated callsets (gnomAD, ClinVar-matched releases,
+    * clinical pipelines) arrive with the per-transcript consequence
+    * records packed into ONE `CSQ`/`ANN` INFO string, and nothing
+    * downstream can query "missense in gene X" until it is exploded
+    * into typed long rows.
+    *
+    * Record grammar (VEP docs; snpEff ANN is the same shape):
+    * `CSQ=rec1,rec2,…` with each record `v1|v2|…|vn` POSITIONALLY
+    * matching the `Format:` declaration in the `##INFO=<ID=CSQ,…>`
+    * header line ([[vepFormatFields]] parses it — VEP's
+    * `Description="… Format: A|B|C"` and snpEff's
+    * `Description="Functional annotations: 'A | B | C'"` both).
+    * Per record: one output row, one typed column per declared field,
+    * EMPTY subfields → NULL (the VCF missing convention), records
+    * shorter than the declaration → trailing NULLs, longer → extras
+    * ignored; `csq_idx` preserves record order. Rows whose INFO
+    * carries no `infoKey` emit nothing (split-vep's long view).
+    *
+    * The subtle part is MULTI-ALLELIC alignment: a record annotates
+    * ONE ALT allele, named by its `ALLELE_NUM` field (1-based ALT
+    * index — the `--allele_number` convention VEP recommends exactly
+    * because the `Allele` field's minimal spelling is ambiguous after
+    * normalization). When the declaration carries `alleleNumField`,
+    * the row's OWN ALT list is indexed with it (a per-row element_at,
+    * NO join) and emitted as `alignedCol` — the actual ALT string the
+    * record annotates, NULL when ALLELE_NUM is absent/malformed/out
+    * of range.
+    *
+    * Shape: one regexp INFO extract + ONE posexplode + a narrow
+    * positional projection (the split is STAGED into `__parts` once —
+    * the §8 CodegenFallback staging rule; each field reads it through
+    * one `nullif(try_element_at(…))`). Zero shuffles, zero joins at
+    * any scale; transcript fan-out is bounded by the annotator's
+    * per-site record count.
+    */
+  def splitVep(
+      df: DataFrame,
+      fields: Seq[String],
+      infoKey: String = "CSQ",
+      alleleNumField: String = "ALLELE_NUM",
+      alignedCol: String = "aligned_alt"): DataFrame = {
+    require(fields.nonEmpty, "need the Format field declaration")
+    require(fields.distinct.length == fields.length,
+      s"duplicate Format fields: $fields")
+    val value = regexp_extract(col("info"),
+      "(^|;)" + java.util.regex.Pattern.quote(infoKey) + "=([^;]*)", 2)
+    val recs = df
+      .withColumn("__csq", value)
+      .filter(col("__csq").isNotNull && col("__csq") =!= "")
+      .select(col("*"),
+        posexplode(split(col("__csq"), ",")).as(Seq("csq_idx", "__rec")))
+      // stage the pipe split ONCE; limit -1 keeps trailing empties so
+      // `A|B|` still yields n parts (all-empty tails stay addressable)
+      .withColumn("__parts", split(col("__rec"), "\\|", -1))
+    val withFields = fields.zipWithIndex.foldLeft(recs) {
+      case (d, (f, i)) =>
+        d.withColumn(f,
+          nullif(try_element_at(col("__parts"), lit(i + 1)), lit("")))
+    }
+    val aligned =
+      if (!fields.contains(alleleNumField)) withFields
+      else {
+        val an = col(alleleNumField)
+        withFields.withColumn(alignedCol,
+          try_element_at(split(col("alt"), ","),
+            when(an.rlike("^[0-9]+$"), an.cast("int"))))
+      }
+    aligned.drop("__csq", "__rec", "__parts")
+  }
+
+  /** Parse the per-transcript field declaration out of a `##INFO`
+    * header line — VEP writes `Description="Consequence annotations
+    * from Ensembl VEP. Format: Allele|Consequence|IMPACT|…"`, snpEff
+    * writes `Description="Functional annotations: 'Allele | Annotation
+    * | …'"`; both are "the pipe list after the last colon of the
+    * Description", quotes and spaces trimmed.
+    */
+  def vepFormatFields(headerLine: String): Seq[String] = {
+    val desc = "Description=\"([^\"]*)\"".r.findFirstMatchIn(headerLine)
+      .map(_.group(1)).getOrElse(headerLine)
+    val tail = desc.substring(desc.lastIndexOf(':') + 1)
+    val fields = tail.trim.stripPrefix("'").stripSuffix("'")
+      .split("\\|").map(_.trim).filter(_.nonEmpty).toSeq
+    require(fields.length > 1,
+      s"no pipe-delimited Format list found in: $headerLine")
+    fields
+  }
 }

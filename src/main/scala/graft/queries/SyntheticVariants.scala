@@ -133,6 +133,48 @@ object SyntheticVariants {
         ELSE ($altSql)
       END"""
 
+  /** Planted VEP-style CSQ machinery (q217): per row up to 1 + (k%3)
+    * pipe-delimited transcript records with Format
+    * `Allele|Consequence|IMPACT|SYMBOL|ALLELE_NUM`, appended to INFO as
+    * `;CSQ=rec0[,rec1[,rec2]]` on rows with a real ALT (k%17≠0) except
+    * a no-CSQ class (k%19=0 — split-vep emits nothing for them).
+    * Classes engineered in: `&`-joined multi-consequence strings (the
+    * record split must not trip on them), an EMPTY SYMBOL every
+    * (k+j)%6=0 (→ NULL), and 1-based ALLELE_NUM cycling the row's ALT
+    * count so multiallelic rows exercise the per-allele alignment.
+    * Same SQL text on both engines.
+    */
+  val csqNAltsSql = "(CASE WHEN k % 17 <> 0 AND k % 13 = 0 THEN 2 ELSE 1 END)"
+
+  def csqConsSql(t: String): String =
+    s"""(CASE WHEN ($t) % 5 = 0 THEN 'missense_variant'
+         WHEN ($t) % 5 = 1 THEN 'stop_gained'
+         WHEN ($t) % 5 = 2 THEN 'synonymous_variant'
+         WHEN ($t) % 5 = 3 THEN 'intron_variant&splice_region_variant'
+         ELSE 'upstream_gene_variant' END)"""
+
+  def csqImpactSql(t: String): String =
+    s"""(CASE WHEN ($t) % 4 = 0 THEN 'HIGH' WHEN ($t) % 4 = 1 THEN 'MODERATE'
+         WHEN ($t) % 4 = 2 THEN 'LOW' ELSE 'MODIFIER' END)"""
+
+  def csqSymbolSql(t: String): String =
+    s"""(CASE WHEN ($t) % 6 = 0 THEN ''
+         ELSE 'G' || CAST(($t) % 50 AS VARCHAR(8)) END)"""
+
+  def csqRecSql(j: Int): String = {
+    val t = s"(k + $j)"
+    s"""substr(($altSql), 1, 1) || '|' || ${csqConsSql(t)} || '|' ||
+        ${csqImpactSql(t)} || '|' || ${csqSymbolSql(t)} || '|' ||
+        CAST(1 + ($t % $csqNAltsSql) AS VARCHAR(4))"""
+  }
+
+  val csqInfoSql: String =
+    s"""CASE WHEN k % 17 <> 0 AND k % 19 <> 0 THEN ($infoSql) || ';CSQ='
+          || ${csqRecSql(0)}
+          || (CASE WHEN k % 3 >= 1 THEN ',' || ${csqRecSql(1)} ELSE '' END)
+          || (CASE WHEN k % 3 = 2 THEN ',' || ${csqRecSql(2)} ELSE '' END)
+        ELSE ($infoSql) END"""
+
   /** Spark side: the wide graft-VCF frame (plus k and chrom_raw).
     * `altOverride` swaps the ALT derivation (e.g. [[svAltSql]]) —
     * the DuckDB twin is [[duckCtesWith]] with the same expression.

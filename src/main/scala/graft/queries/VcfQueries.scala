@@ -4524,6 +4524,55 @@ object VcfQueries extends QuerySet {
       FROM elx GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
     """))
 
+  /** SPLIT-VEP gate ([[graft.operators.Consequence.splitVep]] — the
+    * `bcftools +split-vep` analogue: consume a VCF already annotated
+    * by VEP/snpEff by exploding the packed per-transcript CSQ INFO
+    * records into typed long rows, fields positionally bound to the
+    * `Format:` declaration parsed FROM the header line
+    * ([[graft.operators.Consequence.vepFormatFields]], exercised
+    * in-gate on a literal VEP header)): the fixture plants 1+(k%3)
+    * records per annotated row with `&`-joined multi-consequence
+    * strings, an empty-SYMBOL → NULL class, a no-CSQ class (k%19 —
+    * emits nothing), and 1-based ALLELE_NUM cycling the ALT count so
+    * multiallelic rows pin the per-allele alignment (aligned_alt =
+    * the row's own ALT list indexed by the record's ALLELE_NUM — a
+    * narrow element_at, no join). DuckDB replays the record
+    * derivation per (row, j) instead of string-parsing — a drifted
+    * split/field binding hash-mismatches against the construction.
+    */
+  private lazy val q217 = Q(
+    "q217_split_vep",
+    (s, dir) => {
+      val header = "##INFO=<ID=CSQ,Number=.,Type=String," +
+        "Description=\"Consequence annotations from Ensembl VEP. " +
+        "Format: Allele|Consequence|IMPACT|SYMBOL|ALLELE_NUM\">"
+      val fields = graft.operators.Consequence.vepFormatFields(header)
+      val planted = wide(s, dir).withColumn("info", expr(csqInfoSql))
+      graft.operators.Consequence.splitVep(planted, fields)
+        .select(col("k"), col("chrom"), col("pos"), col("ref"),
+          col("alt"), col("csq_idx"), col("Allele"), col("Consequence"),
+          col("IMPACT"), col("SYMBOL"), col("ALLELE_NUM"),
+          col("aligned_alt"))
+        .orderBy("k", "csq_idx")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      recs AS (SELECT v.*, u.j FROM v
+               CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) u
+               WHERE k % 17 <> 0 AND k % 19 <> 0 AND u.j <= (k % 3))
+      SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref,
+        alt, CAST(j AS INT) AS csq_idx,
+        substr(alt, 1, 1) AS "Allele",
+        ${csqConsSql("k + j")} AS "Consequence",
+        ${csqImpactSql("k + j")} AS "IMPACT",
+        CASE WHEN (k + j) % 6 = 0 THEN NULL
+             ELSE 'G' || CAST((k + j) % 50 AS VARCHAR(8)) END AS "SYMBOL",
+        CAST(1 + ((k + j) % $csqNAltsSql) AS VARCHAR(4)) AS "ALLELE_NUM",
+        string_split(alt, ',')[1 + ((k + j) % $csqNAltsSql)]
+          AS aligned_alt
+      FROM recs ORDER BY k, csq_idx
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
@@ -4531,5 +4580,5 @@ object VcfQueries extends QuerySet {
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
-      q206, q207, q208, q210, q211, q213, q214, q215, q216)
+      q206, q207, q208, q210, q211, q213, q214, q215, q216, q217)
 }

@@ -559,4 +559,74 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges.size <= 1 &&
       exchanges.forall(_.contains("gene")), plan)
   }
+
+  // ---- split-vep (consume VEP/snpEff-annotated VCFs) ----
+
+  test("vepFormatFields: VEP 'Format:' and snpEff quoted-pipe-list " +
+      "Description forms both parse; a no-list header is refused") {
+    val vep = "##INFO=<ID=CSQ,Number=.,Type=String,Description=\"" +
+      "Consequence annotations from Ensembl VEP. Format: " +
+      "Allele|Consequence|IMPACT|SYMBOL|Gene\">"
+    assert(Consequence.vepFormatFields(vep) ===
+      Seq("Allele", "Consequence", "IMPACT", "SYMBOL", "Gene"))
+    val snpeff = "##INFO=<ID=ANN,Number=.,Type=String,Description=\"" +
+      "Functional annotations: 'Allele | Annotation | " +
+      "Annotation_Impact | Gene_Name'\">"
+    assert(Consequence.vepFormatFields(snpeff) ===
+      Seq("Allele", "Annotation", "Annotation_Impact", "Gene_Name"))
+    intercept[IllegalArgumentException] {
+      Consequence.vepFormatFields(
+        "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">")
+    }
+  }
+
+  test("splitVep: per-transcript explosion with positional field " +
+      "binding — empty fields NULL, short records pad, long records " +
+      "truncate, no-CSQ rows vanish, & consequences ride intact, " +
+      "ALLELE_NUM aligns into the row's own ALT list") {
+    import spark.implicits._
+    val fields = Seq("Allele", "Consequence", "IMPACT", "SYMBOL",
+      "ALLELE_NUM")
+    val df = Seq(
+      // two records; multiallelic — ALLELE_NUM 2 must align to 'G'
+      (100, "C,G", "DP=9;CSQ=C|missense_variant|MODERATE|BRCA2|1," +
+        "G|stop_gained&splice_region_variant|HIGH|BRCA2|2;AF=0.5"),
+      // empty SYMBOL and short record (trailing fields NULL)
+      (200, "T", "CSQ=T|synonymous_variant|LOW||1,T|intron_variant"),
+      // record LONGER than the declaration: extras ignored
+      (300, "A", "CSQ=A|missense_variant|HIGH|X|1|EXTRA|MORE"),
+      // malformed and out-of-range ALLELE_NUM → NULL aligned_alt
+      (400, "G", "CSQ=G|stop_lost|HIGH|Y|9,G|stop_lost|HIGH|Y|junk"),
+      // no CSQ at all → contributes no rows
+      (500, "A", "DP=4"))
+      .toDF("pos", "alt", "info")
+      .select(lit("1").as("chrom"), col("pos"), lit("A").as("ref"),
+        col("alt"), col("info"))
+    val got = Consequence.splitVep(df, fields)
+      .select("pos", "csq_idx", "Allele", "Consequence", "IMPACT",
+        "SYMBOL", "ALLELE_NUM", "aligned_alt")
+      .as[(Int, Int, String, String, String, String, String, String)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size === 7, got.keySet)
+    assert(got((100, 0)) === ((100, 0, "C", "missense_variant",
+      "MODERATE", "BRCA2", "1", "C")))
+    assert(got((100, 1)) === ((100, 1, "G",
+      "stop_gained&splice_region_variant", "HIGH", "BRCA2", "2", "G")))
+    assert(got((200, 0)) === ((200, 0, "T", "synonymous_variant",
+      "LOW", null, "1", "T")))
+    assert(got((200, 1)) === ((200, 1, "T", "intron_variant",
+      null, null, null, null)))
+    assert(got((300, 0)) === ((300, 0, "A", "missense_variant",
+      "HIGH", "X", "1", "A")))
+    assert(got((400, 0))._8 === null, "out-of-range ALLELE_NUM")
+    assert(got((400, 1))._8 === null, "malformed ALLELE_NUM")
+    assert(!got.keySet.exists(_._1 === 500), "no-CSQ rows must vanish")
+    // snpEff ANN key + no ALLELE_NUM declared → no aligned column
+    val ann = Consequence.splitVep(
+      Seq((1, "C", "ANN=C|missense_variant")).toDF("pos", "alt", "info"),
+      Seq("Allele", "Annotation"), infoKey = "ANN")
+    assert(!ann.columns.contains("aligned_alt"))
+    assert(ann.select("Annotation").as[String].collect() ===
+      Array("missense_variant"))
+  }
 }

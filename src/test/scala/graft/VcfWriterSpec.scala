@@ -42,6 +42,21 @@ class VcfWriterSpec extends AnyFunSuite with SparkSpec {
       svAlts.sorted.toArray)
   }
 
+  test("VEP CSQ INFO strings round-trip the writer byte-identically " +
+      "(pipes, commas, & multi-consequences ride verbatim)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val p = VcfFixture.write().toString
+    val meta = VcfReader.metadata(spark, p)
+    val csq = "DP=9;CSQ=C|missense_variant|MODERATE|BRCA2|1," +
+      "G|stop_gained&splice_region_variant|HIGH|BRCA2|2;AF=0.5"
+    val planted = VcfReader.read(spark, p).limit(1)
+      .withColumn("info", lit(csq))
+    val lines = VcfWriter.toVcfLines(planted, meta.samples)
+    val again = VcfReader.parseLines(lines, meta.columns, meta.samples)
+    assert(again.select("info").as[String].collect() === Array(csq))
+  }
+
   test("header emission is byte-faithful to the parsed metadata") {
     val meta = VcfReader.fromHeaderLines(
       VcfFixture.content.linesIterator.takeWhile(_.startsWith("#")).toSeq)
