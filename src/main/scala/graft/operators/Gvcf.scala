@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** gVCF REFERENCE-BLOCK semantics — the `<NON_REF>` + `END` INFO span
+  * model (GATK gVCF / VCF 4.2 §1.6.1 reserved END key): a banded gVCF
+  * compresses runs of reference-confident positions into ONE record
+  * covering pos..END, so "what does the callset say at locus X" is a
+  * RANGE question, not an equality — a position-equality join against
+  * a banded gVCF silently misses every covering block (the r12
+  * verdict's Missing #3). This is an END-aware site view over the
+  * q81 [[RangeJoin.pointInInterval]] substrate, not a new join.
+  *
+  * The span rule is uniform across record classes: a record covers
+  * `[pos, coalesce(END, pos + len(ref) − 1)]` — reference bands and
+  * END-carrying symbolic SVs (`<DEL>` with END, per the spec) take
+  * their declared span, plain variant rows take their REF footprint
+  * (which makes a multi-base deletion cover its whole deleted run —
+  * exactly what a locus probe inside the deletion should hit).
+  * A malformed/empty END (`END=`, `END=abc`) falls back to the
+  * footprint (digits-only regexp extract keeps the cast ANSI-safe).
+  */
+object Gvcf {
+
+  /** Add the closed coverage span: `start` = pos, `end` = the INFO
+    * END when present and numeric, else pos + len(ref) − 1. Narrow,
+    * zero shuffles.
+    */
+  def expandToSpans(
+      gvcf: DataFrame,
+      posCol: String = "pos", refCol: String = "ref",
+      infoCol: String = "info"): DataFrame =
+    gvcf
+      .withColumn("start", col(posCol))
+      .withColumn("end",
+        coalesce(
+          nullif(regexp_extract(col(infoCol), "(^|;)END=([0-9]+)", 2),
+            lit("")).cast("int"),
+          col(posCol) + length(col(refCol)) - lit(1)))
+
+  /** Which gVCF record covers each locus: `loci` (chrom, pos, …)
+    * range-joined to the banded records whose span contains the
+    * position. Rides [[RangeJoin.pointInInterval]]'s bucket
+    * decomposition — an EQUI-join on (chrom, bucket) with the exact
+    * range predicate in-join, never a nested loop; both sides shuffle
+    * once on (chrom, bucket), zero times off a (chrom, pos_bucket)
+    * bucketed landing at the same shift. Inner semantics: an
+    * uncovered locus (a gap between bands) emits nothing — left-join
+    * the probe list back downstream to surface gaps. The record's own
+    * `pos` column is dropped in favor of `start` so the probe's pos
+    * survives unambiguously.
+    */
+  def locusQuery(
+      gvcf: DataFrame, loci: DataFrame,
+      chromCol: String = "chrom", posCol: String = "pos",
+      refCol: String = "ref", infoCol: String = "info",
+      bucketShift: Int = 20): DataFrame =
+    RangeJoin.pointInInterval(
+      loci,
+      expandToSpans(gvcf, posCol, refCol, infoCol).drop(posCol),
+      chromCol = chromCol, posCol = posCol,
+      bucketShift = bucketShift)
+}

@@ -4573,6 +4573,72 @@ object VcfQueries extends QuerySet {
       FROM recs ORDER BY k, csq_idx
     """))
 
+  /** gVCF REFERENCE-BLOCK gate ([[graft.operators.Gvcf]] — GATK
+    * `<NON_REF>` bands + VCF 4.2 END spans, the r12 verdict's Missing
+    * #3: a locus query against a banded gVCF is a RANGE question and
+    * an equality join silently misses every covering block): the
+    * fixture plants four record classes — `<NON_REF>` reference bands
+    * spanning 11–100 bp via INFO END, END-carrying `<DEL>` symbolic
+    * deletions (END is not NON_REF-specific, per spec), multi-base-REF
+    * variant rows covering their footprint, and 1 bp SNV rows — and
+    * probes them with an independent locus stream; covering records
+    * come out of the q81 bucket equi-join (plan-gated elsewhere: the
+    * pointInInterval substrate never nested-loops). DuckDB replays the
+    * span rule and the raw BETWEEN range join.
+    */
+  private lazy val q218 = {
+    val gvChrom = "CAST(1 + (k % 22) AS VARCHAR(8)) AS chrom"
+    val gvPos = "CAST(1000 + (k % 100000) AS INT) AS pos"
+    val gvRef = "substr('ACGTACG', CAST(1 + (k % 4) AS INT), " +
+      "CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) AS ref"
+    val gvAlt = """CASE WHEN k % 4 = 0 THEN '<NON_REF>'
+        WHEN k % 8 = 2 THEN '<DEL>'
+        ELSE substr('TGCA', CAST(1 + (k % 4) AS INT), 1) END AS alt"""
+    val gvInfo = """CASE
+        WHEN k % 4 = 0 THEN 'END=' ||
+          CAST(1000 + (k % 100000) + 10 + (k % 90) AS VARCHAR(12))
+        WHEN k % 8 = 2 THEN 'DP=5;END=' ||
+          CAST(1000 + (k % 100000) + 50 + (k % 200) AS VARCHAR(12))
+        WHEN k % 8 = 6 THEN 'DP=7;END='
+        ELSE 'DP=' || CAST(k % 100 AS VARCHAR(8)) END AS info"""
+    val lcChrom = "CAST(1 + (lk % 22) AS VARCHAR(8)) AS chrom"
+    val lcPos = "CAST(1000 + ((lk * 37 + 11) % 100120) AS INT) AS pos"
+    val spanEnd = """CASE
+        WHEN k % 4 = 0 THEN (1000 + (k % 100000)) + 10 + (k % 90)
+        WHEN k % 8 = 2 THEN (1000 + (k % 100000)) + 50 + (k % 200)
+        ELSE (1000 + (k % 100000))
+          + (CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) - 1 END"""
+    Q(
+      "q218_gvcf_locus",
+      (s, dir) => {
+        val gv = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("k", gvChrom, gvPos, gvRef, gvAlt, gvInfo)
+        val loci = t(s, dir, "orders")
+          .selectExpr("o_orderkey AS lk")
+          .selectExpr("lk", lcChrom, lcPos)
+        graft.operators.Gvcf.locusQuery(gv, loci)
+          .select(col("lk"), col("chrom"), col("pos"),
+            col("k").as("gk"), col("start").as("span_start"),
+            col("end").as("span_end"), col("ref"), col("alt"))
+          .orderBy("lk", "gk")
+      },
+      Some(s"""
+        WITH gv AS (SELECT k, $gvChrom, $gvPos, $gvRef, $gvAlt,
+               CAST($spanEnd AS INT) AS span_end
+             FROM (SELECT l_orderkey * 8 + l_linenumber AS k
+                   FROM lineitem)),
+        lc AS (SELECT lk, $lcChrom, $lcPos
+               FROM (SELECT o_orderkey AS lk FROM orders))
+        SELECT l.lk, l.chrom, l.pos, g.k AS gk,
+          g.pos AS span_start, g.span_end, g.ref, g.alt
+        FROM lc l JOIN gv g
+          ON g.chrom = l.chrom AND l.pos BETWEEN g.pos AND g.span_end
+        ORDER BY l.lk, g.k
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
@@ -4580,5 +4646,5 @@ object VcfQueries extends QuerySet {
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
-      q206, q207, q208, q210, q211, q213, q214, q215, q216, q217)
+      q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218)
 }

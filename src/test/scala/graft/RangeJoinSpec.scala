@@ -342,4 +342,61 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"the corpus side must keep its partitioning:\n$plan")
   }
+
+  // ---- gVCF reference blocks (<NON_REF> + END spans) ----
+
+  test("Gvcf.expandToSpans: END spans when declared and numeric, REF " +
+      "footprint otherwise (multi-base deletions cover their run; " +
+      "malformed/empty END falls back)") {
+    import graft.operators.Gvcf
+    val gv = Seq(
+      ("1", 100, "A", "<NON_REF>", "END=199"),          // band
+      ("1", 300, "T", "<DEL>", "DP=3;END=450;NS=2"),    // SV span, mid-INFO
+      ("1", 500, "ACG", "A", "DP=9"),                   // footprint 500..502
+      ("1", 600, "G", "C", "DP=1"),                     // SNV 600..600
+      ("1", 700, "C", "<NON_REF>", "END="),             // empty → footprint
+      ("1", 800, "CT", "<NON_REF>", "SOMEEND=900"))     // wrong key → footprint
+      .toDF("chrom", "pos", "ref", "alt", "info")
+    val got = Gvcf.expandToSpans(gv)
+      .select("pos", "start", "end").as[(Int, Int, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(100) === ((100, 199)))
+    assert(got(300) === ((300, 450)))
+    assert(got(500) === ((500, 502)))
+    assert(got(600) === ((600, 600)))
+    assert(got(700) === ((700, 700)))
+    assert(got(800) === ((800, 801)))
+  }
+
+  test("Gvcf.locusQuery: probes hit covering bands at both closed " +
+      "edges and inside, gaps emit nothing, chrom isolates, and the " +
+      "plan is the bucket equi-join (never a nested loop)") {
+    import graft.operators.Gvcf
+    val gv = Seq(
+      ("1", 100, "A", "<NON_REF>", "END=199", "b1"),
+      ("1", 300, "ACG", "A", "DP=9", "d1"),             // 300..302
+      ("2", 100, "A", "<NON_REF>", "END=199", "b2"))
+      .toDF("chrom", "pos", "ref", "alt", "info", "rid")
+    val loci = Seq(
+      ("1", 100),   // band start edge → b1
+      ("1", 199),   // band end edge (closed) → b1
+      ("1", 150),   // inside → b1
+      ("1", 200),   // one past END → gap
+      ("1", 302),   // deletion footprint last base → d1
+      ("1", 303),   // past footprint → gap
+      ("2", 150),   // other chrom's band → b2
+      ("3", 150))   // chrom with no records → gap
+      .toDF("chrom", "pos")
+    val q = Gvcf.locusQuery(gv, loci)
+    val got = q.select("chrom", "pos", "rid")
+      .as[(String, Int, String)].collect().toSet
+    assert(got === Set(
+      ("1", 100, "b1"), ("1", 199, "b1"), ("1", 150, "b1"),
+      ("1", 302, "d1"), ("2", 150, "b2")))
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gvcf locus query must stay the bucket equi-join:\n$plan")
+  }
 }
