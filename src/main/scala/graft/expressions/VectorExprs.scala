@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native codegen kernels for the ANN hot path (dot / squared-L2 /
   * cosine over embedding arrays).
@@ -197,6 +197,31 @@ object VectorExprs {
     new GenericArrayData(Array[Any](cnt, sx, sy, sxx, syy, sxy))
   }
 
+  /** [[ldSumsK]] over array<tinyint> dosage vectors — the carried-
+    * payload diet for the LD pair join: a diploid dosage is {-1,0,1,2}
+    * so a byte slot carries it exactly, and the pair join's exchange +
+    * sort buffers shrink 8× vs array<long> (the q208 GC fix). Byte →
+    * long widening before the products keeps every sum bit-identical
+    * to the long kernel.
+    */
+  def ldSumsKB(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var cnt = 0L; var sx = 0L; var sy = 0L
+    var sxx = 0L; var syy = 0L; var sxy = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong
+      val y = b.getByte(i).toLong
+      if (x >= 0L && y >= 0L) {
+        cnt += 1; sx += x; sy += y
+        sxx += x * x; syy += y * y; sxy += x * y
+      }
+      i += 1
+    }
+    new GenericArrayData(Array[Any](cnt, sx, sy, sxx, syy, sxy))
+  }
+
   /** One-pass 32-bit simhash kernel over long token hashes. */
   def simhash32K(a: ArrayData): Long = {
     val n = a.numElements()
@@ -290,27 +315,42 @@ case class LdSumsExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "ld_sums"
 
+  // array<long> (original) or array<tinyint> (the q208 payload diet —
+  // byte dosage slots shrink the pair join's carried vectors 8×); the
+  // byte kernel widens before the products so sums are bit-identical
+  private def isByte: Boolean = left.dataType match {
+    case ArrayType(ByteType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects two array<long> inputs, got " +
-          s"${l.simpleString} and ${r.simpleString}")
+        s"$prettyName expects two array<long> or two array<tinyint> " +
+          s"inputs, got ${l.simpleString} and ${r.simpleString}")
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorExprs.ldSumsK(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isByte)
+      VectorExprs.ldSumsKB(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VectorExprs.ldSumsK(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (isByte) "ldSumsKB" else "ldSumsK"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("ldRes")
       s"""
       org.apache.spark.sql.catalyst.util.ArrayData $r =
-        graft.expressions.VectorExprs.ldSumsK($a, $b);
+        graft.expressions.VectorExprs.$kernel($a, $b);
       if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
       """
     })
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): LdSumsExpr =
     copy(left = l, right = r)

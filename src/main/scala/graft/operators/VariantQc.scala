@@ -128,7 +128,8 @@ object VariantQc {
       mafMicroMin: Long = 50000L,
       maxDist: Int = 10000,
       r2MicroMax: Long = 200000L,
-      sampleCol: String = "sample_id"): DataFrame = {
+      sampleCol: String = "sample_id",
+      keptSitesPath: Option[String] = None): DataFrame = {
     require(mafMicroMin >= 0L && mafMicroMin <= 500000L,
       s"mafMicroMin must be a micro-MAF in [0, 5e5], got $mafMicroMin")
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
@@ -137,27 +138,39 @@ object VariantQc {
       !graft.functions.VariantFunctions.isSymbolicAlt(col("alt")) &&
       called("gt1") && called("gt2"))
     val siteKey = Seq("chrom", "pos", "ref", "alt")
-    val common = snp.join(
-      snp.groupBy(siteKey.map(col): _*)
-        .agg(
-          sum(col("gt1").cast("long") + col("gt2").cast("long")).as("__b"),
-          (lit(2L) * count(lit(1))).as("__c"))
-        .filter(floor(
-          least(col("__b"), col("__c") - col("__b")).cast("double") /
-            col("__c").cast("double") * lit(1000000.0)).cast("long")
-          >= mafMicroMin)
-        .select(siteKey.map(col): _*),
-      siteKey, "left_semi")
+    // MAF floor as ONE window over the site key, not a self-semi-join:
+    // the join spelling re-ran the whole upstream chain (annotate
+    // included) once per join side — the window carries the call rows
+    // through a single site exchange and the filter rides it (the
+    // r12-verdict q208 fix; same exchange the semi join's left side
+    // paid anyway)
+    val site = Window.partitionBy(siteKey.map(col): _*)
+    val common = snp
+      .withColumn("__b",
+        sum(col("gt1").cast("long") + col("gt2").cast("long")).over(site))
+      .withColumn("__c", lit(2L) * count(lit(1)).over(site))
+      .filter(floor(
+        least(col("__b"), col("__c") - col("__b")).cast("double") /
+          col("__c").cast("double") * lit(1000000.0)).cast("long")
+        >= mafMicroMin)
+      .drop("__b", "__c")
     // LINEAGE CUT on the kept-panel SITE LIST (the Graphs/mmrRerank
     // cutEvery precedent): the list feeds the final semi-join AND
     // every downstream kinship self-join side — uncut, each consumer
     // re-runs annotate → MAF → the whole LD prune (measured 800
     // exec-core-s on the sf0.1 gate; cut, the chain runs once). The
-    // checkpointed frame is site KEYS only — the variant catalog
-    // (~40 GB at biobank scale), executor-memory/disk resident; for
-    // larger-than-cluster catalogs land it as a table instead.
-    val kept = ldPrune(common, maxDist, r2MicroMax, sampleCol)
-      .localCheckpoint(false)
+    // default cut is localCheckpoint — site KEYS only (the variant
+    // catalog, ~40 GB at biobank scale), executor-memory/disk
+    // resident. `keptSitesPath` LANDS the catalog as a parquet table
+    // instead and reads it back (the larger-than-cluster fallback,
+    // now an API flag — spec pins path-vs-checkpoint panel identity).
+    val pruned = ldPrune(common, maxDist, r2MicroMax, sampleCol)
+    val kept = keptSitesPath match {
+      case None => pruned.localCheckpoint(false)
+      case Some(path) =>
+        pruned.write.mode("overwrite").parquet(path)
+        ann.sparkSession.read.parquet(path)
+    }
     ann.join(kept, siteKey, "left_semi")
   }
 
@@ -1379,19 +1392,27 @@ object VariantQc {
     *   subset; composite D' may exceed |1| under HWE departure —
     *   reported raw, as plink does). Default off keeps the q111/q117
     *   plans and hashes byte-identical. */
-  def ldR2Pairs(
-      ann: DataFrame,
-      maxDist: Int,
-      sampleCol: String = "sample_id",
-      decimalLift: Boolean = false,
-      withDprime: Boolean = false): DataFrame = {
-    require(maxDist > 0, s"maxDist must be positive, got $maxDist")
+  /** Per-site cohort dosage VECTOR table (chrom, pos, ref, alt, __xs)
+    * — the shared substrate of [[ldR2Pairs]] and [[ldPrune]] (both
+    * reference it; building it ONCE per plan lets the two references
+    * meet in a ReusedExchange instead of re-running the upstream
+    * annotate chain — the r12-verdict q208 fix).
+    *
+    * Dosage rides as TINYINT end-to-end: a diploid dosage is {0,1,2}
+    * (-1 = missing slot), so byte slots carry it exactly and the pair
+    * join's exchange + sort buffers shrink 8× vs the original
+    * array<long> spelling. [[graft.expressions.VectorExprs.ldSums]]
+    * widens byte → long BEFORE the products, so every sum — and every
+    * downstream r²/D'/prune hash — is bit-identical.
+    */
+  private def ldSiteVecs(ann: DataFrame, sampleCol: String): DataFrame = {
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
     val g = ann
       .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
       .select(col("chrom"), col("pos"), col("ref"), col("alt"),
         col(sampleCol).as("__s"),
-        (col("gt1").cast("long") + col("gt2").cast("long")).as("__d"))
+        (col("gt1").cast("int") + col("gt2").cast("int"))
+          .cast("tinyint").as("__d"))
     // cohort sample list: driver-small by definition (a callset has a
     // fixed sample panel — the centroid/codebook smallness argument)
     val samples = g.select(col("__s")).distinct()
@@ -1404,13 +1425,36 @@ object VariantQc {
     // 28.6 s isolated) — §8's CodegenFallback lesson again.
     val g2 = g.groupBy("chrom", "pos", "ref", "alt", "__s")
       .agg(min(col("__d")).as("__d"))
-    val siteVecs = g2
-      .groupBy("chrom", "pos", "ref", "alt")
+    g2.groupBy("chrom", "pos", "ref", "alt")
       .agg(map_from_entries(
         collect_list(struct(col("__s"), col("__d")))).as("__m"))
       .select(col("chrom"), col("pos"), col("ref"), col("alt"),
         transform(typedLit(samples),
-          sid => coalesce(element_at(col("__m"), sid), lit(-1L))).as("__xs"))
+          sid => coalesce(element_at(col("__m"), sid),
+            lit(-1).cast("tinyint"))).as("__xs"))
+  }
+
+  def ldR2Pairs(
+      ann: DataFrame,
+      maxDist: Int,
+      sampleCol: String = "sample_id",
+      decimalLift: Boolean = false,
+      withDprime: Boolean = false): DataFrame = {
+    require(maxDist > 0, s"maxDist must be positive, got $maxDist")
+    ldPairsFromVecs(ldSiteVecs(ann, sampleCol), maxDist, decimalLift,
+      withDprime)
+  }
+
+  /** Pair statistics over a prebuilt [[ldSiteVecs]] table — split out
+    * so [[ldPrune]] can reference ONE vector plan from both its pair
+    * path and its site list (ReusedExchange; one `samples` discovery
+    * pass, not two).
+    */
+  private def ldPairsFromVecs(
+      siteVecs: DataFrame,
+      maxDist: Int,
+      decimalLift: Boolean,
+      withDprime: Boolean): DataFrame = {
     val bkt = (col("pos").cast("long") / lit(maxDist.toLong)).cast("long")
     val left = siteVecs
       .withColumn("__bk", explode(array(bkt, bkt + 1L)))
@@ -1497,13 +1541,19 @@ object VariantQc {
       maxDist: Int,
       r2MicroMax: Long,
       sampleCol: String = "sample_id"): DataFrame = {
+    require(maxDist > 0, s"maxDist must be positive, got $maxDist")
     require(r2MicroMax >= 0L && r2MicroMax <= 1000000L,
       s"r2MicroMax must be a micro-fraction in [0, 1e6], got $r2MicroMax")
-    def called(c: String) = col(c).isNotNull && col(c) =!= "."
-    val sites = ann
-      .filter(col("multiallele") === 0 && called("gt1") && called("gt2"))
-      .select("chrom", "pos", "ref", "alt").distinct()
-    val dropped = ldR2Pairs(ann, maxDist, sampleCol)
+    // ONE vector plan feeds both the site list and the pair path —
+    // the two references meet in a ReusedExchange instead of each
+    // re-running the upstream chain (annotate included); the site set
+    // is identical to the old ann-derived distinct (siteVecs IS the
+    // per-site rollup of the same filter), and one `samples`
+    // discovery pass replaces two (the r12-verdict q208 fix)
+    val vecs = ldSiteVecs(ann, sampleCol)
+    val sites = vecs.select("chrom", "pos", "ref", "alt")
+    val dropped = ldPairsFromVecs(vecs, maxDist,
+        decimalLift = false, withDprime = false)
       .filter(col("r2_micro") >= r2MicroMax)
       .select(col("chrom"), col("pos_b").as("pos"),
         col("ref_b").as("ref"), col("alt_b").as("alt"))

@@ -294,6 +294,20 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
       ("d2", "u", "unrelated"))
     assert(classes(ann) === want, "full-site truth")
     assert(classes(panel) === want, "panel classes must match truth")
+    // the larger-than-cluster fallback: landing the kept-site catalog
+    // as a parquet table instead of a localCheckpoint must produce the
+    // IDENTICAL panel (and the landed table IS the kept site list)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-panel").toString + "/kept"
+    val landed = graft.operators.VariantQc.kinshipPanel(
+      ann, mafMicroMin = 100000L, maxDist = 50, r2MicroMax = 990000L,
+      keptSitesPath = Some(dir))
+    val key = Seq("chrom", "pos", "ref", "alt", "sample_id")
+    assert(landed.select(key.head, key.tail: _*).collect().toSet ===
+      panel.select(key.head, key.tail: _*).collect().toSet,
+      "table-landed path must produce the identical kept panel")
+    assert(spark.read.parquet(dir).select("pos").distinct()
+      .as[Long].collect().toSet === keptSites)
   }
 
   test("siteSummary pivots zygosity per site") {
