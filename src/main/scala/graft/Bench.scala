@@ -63,6 +63,19 @@ object Bench {
     // hide inside a single reported number), and the failure count
     final case class M(name: String, wall: Double, exec: Double,
         gc: Double, spillMb: Double, spread: Double, failed: Int)
+    // Inter-run/inter-gate block hygiene (r12 verdict #7): the named
+    // in-suite variance mechanism is transient neighbor heap/block-
+    // manager state, and stale localCheckpoint blocks are the carrier
+    // — every gate that cuts lineage (kinshipPanel's kept panel, the
+    // LM tables, q213's plant) leaves MEMORY_AND_DISK blocks behind
+    // that only the async ContextCleaner would reap. Drop them
+    // SYNCHRONOUSLY after every sample, OUTSIDE the timed region, so
+    // run 2 never pays run 1's residue and gate N+1 never pays gate
+    // N's.
+    def dropResidue(): Unit =
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case _: Throwable => () }
     def measure(name: String): M = {
       val fn = SparkEntry.queries(name)
       val samples = (1 to runs).map { _ =>
@@ -75,6 +88,7 @@ object Bench {
           catch { case _: Throwable => false }
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(50) // let straggler stage-completed events drain
+        dropResidue()
         (if (ok) wall else -1.0, (execMs.get() - e0) / 1e3,
           (gcMs.get() - g0) / 1e3, (spillBytes.get() - s0) / 1048576.0)
       }
