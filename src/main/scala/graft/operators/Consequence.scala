@@ -835,6 +835,72 @@ object Consequence {
     aligned.drop("__csq", "__rec", "__parts")
   }
 
+  /** The published VEP consequence-severity ranking (the Ensembl
+    * "Variant consequences" table, most severe first) — what
+    * `bcftools +split-vep -s worst` and every clinical triage sort
+    * by. Index in this list = severity rank (0 = worst).
+    */
+  val VepSeverityOrder: Seq[String] = Seq(
+    "transcript_ablation", "splice_acceptor_variant",
+    "splice_donor_variant", "stop_gained", "frameshift_variant",
+    "stop_lost", "start_lost", "transcript_amplification",
+    "feature_elongation", "feature_truncation", "inframe_insertion",
+    "inframe_deletion", "missense_variant", "protein_altering_variant",
+    "splice_donor_5th_base_variant", "splice_region_variant",
+    "splice_donor_region_variant", "splice_polypyrimidine_tract_variant",
+    "incomplete_terminal_codon_variant", "start_retained_variant",
+    "stop_retained_variant", "synonymous_variant",
+    "coding_sequence_variant", "mature_miRNA_variant",
+    "5_prime_UTR_variant", "3_prime_UTR_variant",
+    "non_coding_transcript_exon_variant", "intron_variant",
+    "NMD_transcript_variant", "non_coding_transcript_variant",
+    "coding_transcript_variant", "upstream_gene_variant",
+    "downstream_gene_variant", "TFBS_ablation", "TFBS_amplification",
+    "TF_binding_site_variant", "regulatory_region_ablation",
+    "regulatory_region_amplification", "regulatory_region_variant",
+    "intergenic_variant", "sequence_variant")
+
+  /** WORST-CONSEQUENCE selection over [[splitVep]] long rows — the
+    * `bcftools +split-vep -s worst` mode, the record-level triage
+    * every clinical/burden pipeline runs after the explode: a variant
+    * annotated against 15 transcripts gets ONE verdict row, the
+    * transcript whose consequence ranks most severe. A record's rank
+    * is the MINIMUM over its `&`-joined consequence terms (VEP emits
+    * compound annotations like `intron_variant&splice_region_variant`
+    * — the severe member decides); terms outside the table rank past
+    * the end (never beat a known one). Ties take the LOWEST `idxCol`
+    * (VEP emits its own canonical-transcript-first ordering, so this
+    * is its tie rule); the caller must keep `idxCol` unique per key.
+    * Output: the key columns + the chosen record's payload verbatim +
+    * `severity_rank`.
+    *
+    * Shape: one narrow rank projection (the `&`-split HOF is staged
+    * into `__rank` once — §8 rule) + ONE key-grouped min_by agg
+    * (partial, combines map-side). Zero joins.
+    */
+  def worstConsequence(
+      splitRows: DataFrame,
+      keyCols: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      consequenceCol: String = "Consequence",
+      idxCol: String = "csq_idx",
+      severity: Seq[String] = VepSeverityOrder): DataFrame = {
+    require(severity.nonEmpty && severity.distinct.length == severity.length,
+      "severity order must be a non-empty list of distinct terms")
+    val rankMap = typedLit(severity.zipWithIndex.toMap)
+    val ranked = splitRows.withColumn("__rank",
+      array_min(transform(split(col(consequenceCol), "&"),
+        p => coalesce(element_at(rankMap, p), lit(severity.length)))))
+    val payload = ranked.columns.filterNot(keyCols.contains)
+    ranked
+      .groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(payload.map(col): _*),
+        struct(col("__rank"), col(idxCol))).as("__w"))
+      .select(keyCols.map(col) ++
+        payload.filterNot(_ == "__rank")
+          .map(c => col(s"__w.$c").as(c)) :+
+        col("__w.__rank").as("severity_rank"): _*)
+  }
+
   /** Parse the per-transcript field declaration out of a `##INFO`
     * header line — VEP writes `Description="Consequence annotations
     * from Ensembl VEP. Format: Allele|Consequence|IMPACT|…"`, snpEff

@@ -1155,4 +1155,104 @@ object TextAnalysis {
           .otherwise(expr("(-sum_logp_micro) DIV n_bigrams"))
           .as("avg_nll_micro"))
   }
+
+  /** Tracking query parameters every crawl-dedup canonicalizer strips
+    * (the public adblock/ClearURLs consensus set): analytics
+    * attribution params that vary per click while the landing content
+    * is identical — leaving them in splits one page into thousands of
+    * "distinct" URLs.
+    */
+  val TrackingParamRx: String =
+    "^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|spm|ref|ref_src)(=|$)"
+
+  /** URL CANONICALIZATION — the first step of every crawl pipeline's
+    * dedup (one page, thousands of spellings): lowercase scheme+host,
+    * strip `www.`-style prefixes and the scheme's default port, drop
+    * the fragment, trim trailing path slashes (bare host → `/`), drop
+    * tracking params ([[TrackingParamRx]]) and SORT the survivors
+    * (param order is transport noise). Pure anchored-regex pipeline —
+    * codegen'd, zero shuffles, and replayable verbatim in the oracle
+    * dialect. Non-absolute inputs (no `scheme://`) pass through
+    * trimmed — the caller decides whether relative URLs are junk.
+    * Userinfo (`user:pw@host`) is not special-cased: such URLs are
+    * crawler junk upstream of canonicalization.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host0 = regexp_replace(auth, "^www[0-9]*\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val pathq = regexp_replace(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path0 = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1),
+      "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    // filter+sort staged through ONE reference (the lone-'?' strip
+    // consumes the joined string once — §8 CodegenFallback rule)
+    val qstr = array_join(array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRx))), "&")
+    when(scheme === "", trim(u))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        regexp_replace(concat(lit("?"), qstr), "^\\?$", "")))
+  }
+
+  /** Unicode SCRIPT classes for [[scriptProfile]] — explicit BMP
+    * codepoint ranges (the `\x{…}` spelling both the JVM regex engine
+    * and RE2 accept, so the oracle replays the same character classes)
+    * covering the major writing systems a multilingual crawl carries.
+    * List order is the dominance tie-break.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{00C0}-\\x{024F}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}",
+    "hangul" -> "\\x{AC00}-\\x{D7AF}",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}")
+
+  /** UNICODE-SCRIPT PROFILE per document — the multilingual corpus-QC
+    * read language-ID alone cannot give (a "Russian" doc that is 40%
+    * Latin is boilerplate-wrapped or mislabeled; script mixing flags
+    * encoding mojibake and spam): per doc the character count per
+    * script class ([[ScriptRanges]]) plus digits, whitespace, and
+    * `other`, and the DOMINANT script (max count over the script
+    * classes, list order breaking ties, `none` when no script
+    * character occurs). Counts are `length − length(strip(class))` —
+    * one global regexp_replace per class, all codegen'd, zero
+    * shuffles; engine-replayable because the ranges are explicit
+    * codepoints, not engine-specific `\p{Script}` names.
+    */
+  def scriptProfile(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col("__t")
+    def classCount(range: String) =
+      (length(t) - length(regexp_replace(t, s"[$range]", ""))).cast("long")
+    val counted = ScriptRanges.foldLeft(
+      df.select(col(idCol), col(textCol).as("__t"))
+        .withColumn("n_chars", length(t).cast("long"))
+        .withColumn("n_digit", classCount("0-9"))
+        .withColumn("n_space", classCount("\\s"))) {
+      case (d, (name, range)) => d.withColumn(s"n_$name", classCount(range))
+    }
+    val scriptCols = ScriptRanges.map { case (n, _) => col(s"n_$n") }
+    val other = col("n_chars") - col("n_digit") - col("n_space") -
+      scriptCols.reduce(_ + _)
+    val best = scriptCols.reduce((a, b) => greatest(a, b))
+    val dominant = ScriptRanges.map { case (n, _) => n }
+      .foldRight(lit("none"): Column) { case (n, rest) =>
+        when(col(s"n_$n") > 0L && col(s"n_$n") === best, lit(n))
+          .otherwise(rest)
+      }
+    counted
+      .withColumn("n_other", other)
+      .withColumn("dominant_script", dominant)
+      .drop("__t")
+  }
 }

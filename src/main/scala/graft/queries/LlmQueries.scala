@@ -5477,6 +5477,162 @@ object LlmQueries extends QuerySet {
       FROM r ORDER BY label
     """))
 
+  /** URL CANONICALIZATION + canonical dedup gate
+    * ([[graft.operators.TextAnalysis.canonicalizeUrl]] — the first
+    * step of every crawl pipeline's dedup: one page, thousands of
+    * spellings): the fixture plants every decoration class on a
+    * colliding (host, path) grid — upper/lower scheme, `www.`, `:80`,
+    * mixed-case hosts, trailing slash, `#fragments`, utm tracking
+    * params, unsorted param order — and the gate reports per
+    * canonical URL the spelling-collapse count and the first raw key;
+    * DuckDB replays the entire anchored-regex chain (RE2 and Java
+    * regex agree on this dialect; list_sort = array_sort on ASCII).
+    */
+  private lazy val q220 = {
+    val host = "'Site' || CAST(k % 50 AS VARCHAR(8)) || '.Example.com'"
+    val urlSql = s"""
+      (CASE WHEN k % 4 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+      (CASE WHEN k % 5 = 0 THEN 'www.' ELSE '' END) || ($host) ||
+      (CASE WHEN k % 6 = 0 THEN ':80' ELSE '' END) ||
+      '/p/' || CAST(k % 200 AS VARCHAR(8)) ||
+      (CASE WHEN k % 3 = 0 THEN '/' ELSE '' END) ||
+      (CASE WHEN k % 7 = 0
+            THEN '?utm_source=feed&b=' || CAST(k % 9 AS VARCHAR(8)) || '&a=1'
+            WHEN k % 7 = 3
+            THEN '?a=1&b=' || CAST(k % 9 AS VARCHAR(8))
+            ELSE '' END) ||
+      (CASE WHEN k % 11 = 0 THEN '#sec' || CAST(k AS VARCHAR(12))
+            ELSE '' END)"""
+    Q(
+      "q220_url_canonical",
+      (s, dir) => {
+        val urls = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("k", s"($urlSql) AS url")
+        urls
+          .withColumn("curl", TextAnalysis.canonicalizeUrl(col("url")))
+          .groupBy("curl")
+          .agg(count(lit(1)).as("n_spellings"), min(col("k")).as("first_k"))
+          .orderBy("curl")
+      },
+      Some(s"""
+        WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        u AS (SELECT k, ($urlSql) AS url FROM ln),
+        c AS (SELECT k,
+          -- the operator's chain, verbatim in the oracle dialect
+          (CASE WHEN coalesce(regexp_extract(trim(url),
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '') = '' THEN trim(url)
+           ELSE
+            lower(regexp_extract(regexp_replace(trim(url), '#.*$$', ''),
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+            (CASE lower(regexp_extract(regexp_replace(trim(url), '#.*$$', ''),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              WHEN 'http' THEN regexp_replace(
+                regexp_replace(lower(regexp_extract(
+                  regexp_replace(trim(url), '#.*$$', ''),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^www[0-9]*\\.', ''), ':80$$', '')
+              WHEN 'https' THEN regexp_replace(
+                regexp_replace(lower(regexp_extract(
+                  regexp_replace(trim(url), '#.*$$', ''),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^www[0-9]*\\.', ''), ':443$$', '')
+              ELSE regexp_replace(lower(regexp_extract(
+                regexp_replace(trim(url), '#.*$$', ''),
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                '^www[0-9]*\\.', '') END) ||
+            (CASE WHEN regexp_replace(regexp_extract(
+                    regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                    '^([^?]*)', 1), '/+$$', '') = '' THEN '/'
+                  ELSE regexp_replace(regexp_extract(
+                    regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                    '^([^?]*)', 1), '/+$$', '') END) ||
+            regexp_replace('?' || coalesce(array_to_string(list_sort(list_filter(
+              string_split(coalesce(regexp_extract(
+                regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                '\\?(.*)$$', 1), ''), '&'),
+              p -> p <> '' AND NOT regexp_matches(p,
+                '${TextAnalysis.TrackingParamRx}'))), '&'), ''), '^\\?$$', '')
+           END) AS curl
+          FROM u)
+        SELECT curl, CAST(count(*) AS BIGINT) AS n_spellings,
+          CAST(min(k) AS BIGINT) AS first_k
+        FROM c GROUP BY curl ORDER BY curl
+      """))
+  }
+
+  /** UNICODE-SCRIPT PROFILE gate ([[graft.operators.TextAnalysis
+    * .scriptProfile]] — the multilingual corpus-QC read langId can't
+    * give: script mixing flags mojibake/spam/boilerplate-wrapped
+    * mislabels): the fixture plants two-script documents (7 writing
+    * systems crossed pairwise by k, repeat counts varying so either
+    * script can dominate, plus digits/whitespace), and DuckDB replays
+    * the per-class strip-and-diff counts with the SAME explicit
+    * codepoint ranges (RE2 and Java regex both take `\\x{…}`; the 'g'
+    * flag matches Spark's global replace) and the list-order dominance
+    * CASE.
+    */
+  private lazy val q221 = {
+    val samples =
+      Seq("hello", "привет", "λογος", "سلام", "नमस्ते", "안녕", "你好かな")
+    def sampleCase(term: String) =
+      "CASE CAST((" + term + ") % 7 AS INT) " +
+        samples.zipWithIndex.map { case (s, i) => s"WHEN $i THEN '$s'" }
+          .mkString(" ") + " END"
+    val textSql =
+      s"""repeat(${sampleCase("k")}, CAST(1 + k % 4 AS INT)) || ' ' ||
+          repeat(${sampleCase("k + 3")}, CAST(k % 3 AS INT)) || ' ' ||
+          CAST(k % 100 AS VARCHAR(8))"""
+    val outCols = Seq("n_chars", "n_digit", "n_space") ++
+      TextAnalysis.ScriptRanges.map { case (n, _) => s"n_$n" }
+    Q(
+      "q221_script_profile",
+      (s, dir) => {
+        val docs = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("k", s"($textSql) AS text")
+        TextAnalysis.scriptProfile(docs, "k", "text")
+          .select((col("k") +: outCols.map(col)) :+
+            col("n_other") :+ col("dominant_script"): _*)
+          .orderBy("k")
+      },
+      Some {
+        val counts = TextAnalysis.ScriptRanges.map { case (n, r) =>
+          s"length(text) - length(regexp_replace(text, '[$r]', '', 'g')) AS n_$n"
+        }.mkString(",\n            ")
+        val scriptNs = TextAnalysis.ScriptRanges.map { case (n, _) => s"n_$n" }
+        val best = s"greatest(${scriptNs.mkString(", ")})"
+        val dominant = scriptNs.map(n =>
+          s"WHEN $n > 0 AND $n = $best THEN '${n.stripPrefix("n_")}'")
+          .mkString("CASE ", " ", " ELSE 'none' END")
+        s"""
+        WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        d AS (SELECT k, ($textSql) AS text FROM ln),
+        c AS (SELECT k,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS n_digit,
+            length(text) - length(regexp_replace(text, '[\\s]', '', 'g'))
+              AS n_space,
+            $counts
+          FROM d)
+        SELECT k, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(n_digit AS BIGINT) AS n_digit,
+          CAST(n_space AS BIGINT) AS n_space,
+          ${scriptNs.map(n => s"CAST($n AS BIGINT) AS $n").mkString(", ")},
+          CAST(n_chars - n_digit - n_space -
+            (${scriptNs.mkString(" + ")}) AS BIGINT) AS n_other,
+          $dominant AS dominant_script
+        FROM c ORDER BY k
+        """
+      })
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -5486,5 +5642,5 @@ object LlmQueries extends QuerySet {
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
       q180, q182, q183, q186, q187, q189, q190, q193, q194, q195, q199,
-      q203, q209, q212)
+      q203, q209, q212, q220, q221)
 }

@@ -4639,6 +4639,69 @@ object VcfQueries extends QuerySet {
       """))
   }
 
+  /** WORST-CONSEQUENCE gate ([[graft.operators.Consequence
+    * .worstConsequence]] — `bcftools +split-vep -s worst`, the
+    * record-level triage after the q217 explode: one verdict row per
+    * variant, the transcript whose consequence ranks most severe by
+    * the published Ensembl order, `&`-compound records ranked by
+    * their severe member, first-record tie rule): runs over the SAME
+    * planted CSQ fixture as q217 so the two gates pin each other —
+    * the per-record replay and the argmin replay share one
+    * derivation; the severity ranks are INJECTED into the oracle from
+    * the operator's own published table (indexOf), so a reordering
+    * drifts both sides together or hash-fails.
+    */
+  private lazy val q219 = {
+    val sev = graft.operators.Consequence.VepSeverityOrder
+    val (rMis, rStop, rSyn, rSpl, rUp) = (
+      sev.indexOf("missense_variant"), sev.indexOf("stop_gained"),
+      sev.indexOf("synonymous_variant"),
+      sev.indexOf("splice_region_variant"),
+      sev.indexOf("upstream_gene_variant"))
+    Q(
+      "q219_worst_csq",
+      (s, dir) => {
+        val header = "##INFO=<ID=CSQ,Number=.,Type=String," +
+          "Description=\"Consequence annotations from Ensembl VEP. " +
+          "Format: Allele|Consequence|IMPACT|SYMBOL|ALLELE_NUM\">"
+        val fields = graft.operators.Consequence.vepFormatFields(header)
+        val planted = wide(s, dir).withColumn("info", expr(csqInfoSql))
+        val long = graft.operators.Consequence.splitVep(planted, fields)
+        graft.operators.Consequence
+          .worstConsequence(long,
+            keyCols = Seq("k", "chrom", "pos", "ref", "alt"))
+          .select(col("k"), col("chrom"), col("pos"), col("ref"),
+            col("alt"), col("csq_idx"), col("Allele"), col("Consequence"),
+            col("IMPACT"), col("SYMBOL"), col("ALLELE_NUM"),
+            col("aligned_alt"), col("severity_rank"))
+          .orderBy("k")
+      },
+      Some(s"""
+        WITH $duckCtes,
+        recs AS (SELECT v.*, u.j,
+                 CASE (k + u.j) % 5 WHEN 0 THEN $rMis WHEN 1 THEN $rStop
+                      WHEN 2 THEN $rSyn WHEN 3 THEN $rSpl
+                      ELSE $rUp END AS severity_rank
+                 FROM v CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) u
+                 WHERE k % 17 <> 0 AND k % 19 <> 0 AND u.j <= (k % 3)),
+        w AS (SELECT * FROM recs
+              QUALIFY row_number()
+                OVER (PARTITION BY k ORDER BY severity_rank, j) = 1)
+        SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom, pos,
+          ref, alt, CAST(j AS INT) AS csq_idx,
+          substr(alt, 1, 1) AS "Allele",
+          ${csqConsSql("k + j")} AS "Consequence",
+          ${csqImpactSql("k + j")} AS "IMPACT",
+          CASE WHEN (k + j) % 6 = 0 THEN NULL
+               ELSE 'G' || CAST((k + j) % 50 AS VARCHAR(8)) END AS "SYMBOL",
+          CAST(1 + ((k + j) % $csqNAltsSql) AS VARCHAR(4)) AS "ALLELE_NUM",
+          string_split(alt, ',')[1 + ((k + j) % $csqNAltsSql)]
+            AS aligned_alt,
+          CAST(severity_rank AS INT) AS severity_rank
+        FROM w ORDER BY k
+      """))
+  }
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
@@ -4646,5 +4709,6 @@ object VcfQueries extends QuerySet {
       q119, q123, q124, q125, q127, q132, q138, q152, q154, q156,
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
-      q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218)
+      q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
+      q219)
 }

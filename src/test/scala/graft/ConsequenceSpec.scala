@@ -629,4 +629,41 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
     assert(ann.select("Annotation").as[String].collect() ===
       Array("missense_variant"))
   }
+
+  test("worstConsequence: published-order argmin per key — &-compound " +
+      "records rank by their severe member, unknown terms never beat " +
+      "known ones, ties take the lowest csq_idx, payload rides verbatim") {
+    import spark.implicits._
+    val sev = Consequence.VepSeverityOrder
+    val rows = Seq(
+      // site 100: missense (idx 0) loses to stop_gained (idx 1)
+      (100, 0, "missense_variant", "GENE_A"),
+      (100, 1, "stop_gained", "GENE_B"),
+      // site 200: &-compound intron&splice_region (rank 15) beats
+      // synonymous (rank 21)
+      (200, 0, "synonymous_variant", "X"),
+      (200, 1, "intron_variant&splice_region_variant", "Y"),
+      // site 300: unknown term ranks PAST the table — intron wins
+      (300, 0, "totally_new_consequence", "N"),
+      (300, 1, "intron_variant", "I"),
+      // site 400: exact tie → lowest csq_idx
+      (400, 0, "missense_variant", "FIRST"),
+      (400, 1, "missense_variant", "SECOND"))
+      .toDF("pos", "csq_idx", "Consequence", "SYMBOL")
+      .select(lit("1").as("chrom"), col("pos"), lit("A").as("ref"),
+        lit("T").as("alt"), col("csq_idx"), col("Consequence"),
+        col("SYMBOL"))
+    val got = Consequence.worstConsequence(rows)
+      .select("pos", "csq_idx", "Consequence", "SYMBOL", "severity_rank")
+      .as[(Int, Int, String, String, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(100) === ((100, 1, "stop_gained", "GENE_B",
+      sev.indexOf("stop_gained"))))
+    assert(got(200) === ((200, 1, "intron_variant&splice_region_variant",
+      "Y", sev.indexOf("splice_region_variant"))))
+    assert(got(300) === ((300, 1, "intron_variant", "I",
+      sev.indexOf("intron_variant"))))
+    assert(got(400) === ((400, 0, "missense_variant", "FIRST",
+      sev.indexOf("missense_variant"))))
+  }
 }

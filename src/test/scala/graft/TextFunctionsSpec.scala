@@ -768,4 +768,59 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id", "gumbel_micro").as[(Long, Long)].collect().toSet
     assert(s0 !== s1, "seed did not perturb the gumbel draw")
   }
+
+  test("canonicalizeUrl: scheme/host lowercased, www + default port " +
+      "stripped, fragment dropped, trailing slash trimmed, tracking " +
+      "params removed, survivors sorted; non-absolute passes through") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "http://example.com/a/b?a=1&b=2"),
+      ("https://Example.com:443/", "https://example.com/"),
+      ("https://example.com:8443/x", "https://example.com:8443/x"),
+      ("http://www2.example.com/path///", "http://example.com/path"),
+      ("http://example.com", "http://example.com/"),
+      ("http://example.com/?gclid=abc&fbclid=z&ref=home",
+        "http://example.com/"),
+      ("http://example.com/p?z=1&a=2", "http://example.com/p?a=2&z=1"),
+      // the :80 strip is scheme-aware — https keeps a literal :80
+      ("https://example.com:80/x", "https://example.com:80/x"),
+      ("  http://example.com/x  ", "http://example.com/x"),
+      ("not a url", "not a url"),
+      ("/relative/path?utm_source=x", "/relative/path?utm_source=x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === want, s"for <$in>") }
+  }
+
+  test("scriptProfile: per-script character counts and list-order " +
+      "dominance over hand-built mixed-script docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "hello привет"),        // 5 latin, 6 cyrillic, 1 space
+      (2L, "你好 123"),             // 2 cjk, 3 digits
+      (3L, "σλσ abc"),             // tie 3 greek vs 3 latin → latin (order)
+      (4L, "!!! ???"),             // no script chars at all
+      (5L, "안녕 سلام"))            // 2 hangul, 4 arabic
+      .toDF("id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "id", "text")
+      .select("id", "n_chars", "n_latin", "n_cyrillic", "n_greek",
+        "n_cjk", "n_hangul", "n_arabic", "n_digit", "n_space", "n_other",
+        "dominant_script")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def chk(id: Long, want: Map[String, Any]): Unit =
+      want.foreach { case (c, v) =>
+        assert(got(id).getAs[Any](c) === v, s"doc $id col $c") }
+    chk(1L, Map("n_chars" -> 12L, "n_latin" -> 5L, "n_cyrillic" -> 6L,
+      "n_space" -> 1L, "n_other" -> 0L, "dominant_script" -> "cyrillic"))
+    chk(2L, Map("n_cjk" -> 2L, "n_digit" -> 3L,
+      "dominant_script" -> "cjk"))
+    chk(3L, Map("n_greek" -> 3L, "n_latin" -> 3L,
+      "dominant_script" -> "latin"))
+    chk(4L, Map("n_other" -> 6L, "dominant_script" -> "none"))
+    chk(5L, Map("n_hangul" -> 2L, "n_arabic" -> 4L,
+      "dominant_script" -> "arabic"))
+  }
 }
