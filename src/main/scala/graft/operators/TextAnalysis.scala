@@ -1255,4 +1255,39 @@ object TextAnalysis {
       .withColumn("dominant_script", dominant)
       .drop("__t")
   }
+
+  /** Classic UTF-8-read-as-Latin-1/cp1252 DOUBLE-ENCODING artifacts
+    * (the ftfy catalogue's high-frequency members): `é` mangles to
+    * `Ã©`, curly quotes/dashes to `â€`-prefixed pairs, NBSP/guillemets
+    * to `Â`-prefixed pairs. Literal substrings — counting is
+    * replace-based, no regex dialect in play.
+    */
+  val MojibakeArtifacts: Seq[String] = Seq(
+    "Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã¡", "Ã³", "Ãº", "Ã§",
+    "â€", "Â«", "Â»", "Â·", "Â°")
+
+  /** ENCODING-MOJIBAKE detection per document — the corpus-QC pass
+    * that catches double-encoded scrapes before they poison tokenizer
+    * training and dedup (a mangled `café` ≠ `café`, so near-dup misses
+    * it and BPE learns junk merges): counts [[MojibakeArtifacts]]
+    * occurrences via length-minus-replace (exact, literal, identical
+    * on any engine), reports the per-kilochar micro rate and the flag.
+    * Narrow projection, zero shuffles.
+    */
+  def mojibakeScore(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col("__t")
+    val counts = MojibakeArtifacts.map { a =>
+      (length(t) - length(regexp_replace(t,
+        java.util.regex.Pattern.quote(a), ""))) / lit(a.length)
+    }
+    df.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("mojibake_n", counts.reduce(_ + _).cast("long"))
+      .withColumn("mojibake_micro",
+        when(col("n_chars") === 0L, 0L)
+          .otherwise(expr("(mojibake_n * 1000000) DIV n_chars")))
+      .withColumn("is_mojibake", col("mojibake_n") > 0L)
+      .drop("__t")
+  }
 }

@@ -804,6 +804,57 @@ object VariantQc {
       (col("gt1").cast("long") + col("gt2").cast("long")) * lit(1000000L))
   }
 
+  /** IMPUTATION INFO SCORE per site (the MaCH/minimac `Rsq` — the
+    * quality metric every GWAS filters imputed sites on, e.g.
+    * `INFO > 0.8` before association): the ratio of the EMPIRICAL
+    * dosage variance to the variance expected under perfect binomial
+    * calls,
+    *
+    *   INFO = Var(DS) / (2·p̂·(1−p̂)),  p̂ = ΣDS / 2n
+    *
+    * — a well-imputed common site has dosages hugging 0/1/2 (ratio
+    * → 1), an uncertain one has them shrunk toward 2p (ratio → 0).
+    * With x in exact MICRO units (S = Σx, Q = Σx², U = 10⁶) the ratio
+    * reduces to the exact rational 2(nQ − S²)/(S(2nU − S)) — decimal
+    * (38,0) products and ONE floored division, engine-replayable,
+    * exact past any cohort (8·10¹⁸·n² ≤ 10³⁸ → n ≤ 3.5·10⁹).
+    * Monomorphic dosage (S = 0 or S = 2nU) defines 0, plink/minimac's
+    * convention; Var > expected (possible on real data) reports > 10⁶
+    * raw, as minimac does. Same DS-parse + GT-fallback ladder as the
+    * dosage [[polygenicScore]].
+    *
+    * Shape: ONE site-keyed partial-aggregated groupBy — zero joins,
+    * zero exchanges on a site-bucketed landing.
+    */
+  def imputationInfoScore(
+      ann: DataFrame,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      dosageCol: String = "DS"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val agg = ann
+      .filter(col("multiallele") === 0)
+      .select(siteKey.map(col) :+
+        coalesce(dosageMicro(col(dosageCol)), gtDosageMicro).as("__x"): _*)
+      .filter(col("__x").isNotNull)
+      .groupBy(siteKey.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_called"),
+        sum(col("__x")).as("dose_sum_micro"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__q"))
+    val n = col("n_called").cast(dec)
+    val s = col("dose_sum_micro").cast(dec)
+    val den = s * (n * lit(2000000L).cast(dec) - s)
+    agg
+      .withColumn("__num",
+        (n * col("__q") - s * s) * lit(2000000L).cast(dec))
+      .withColumn("__den", den)
+      .withColumn("info_micro",
+        when(col("__den") === 0, 0L)
+          .otherwise(expr("__num DIV __den")))
+      .drop("__q", "__num", "__den")
+  }
+
   /** DOSAGE-MEAN allele frequency per site (the imputed-AF convention:
     * AF = Σ DS / 2n over the samples with a usable dosage — what
     * `bcftools +fill-tags -- -t AF` computes when pointed at DS, and

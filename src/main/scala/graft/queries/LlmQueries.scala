@@ -5633,6 +5633,55 @@ object LlmQueries extends QuerySet {
       })
   }
 
+  /** ENCODING-MOJIBAKE gate ([[graft.operators.TextAnalysis
+    * .mojibakeScore]] — the corpus-QC pass that catches double-encoded
+    * scrapes before they poison tokenizer training and dedup): the
+    * fixture plants clean text, classic `Ã©`-class manglings, the
+    * `â€`-prefixed curly-quote class, and repeated artifacts (counts
+    * > 1 observable); DuckDB replays the literal length-minus-replace
+    * counting and the per-kilochar micro rate.
+    */
+  private lazy val q223 = {
+    val textSql = """
+      CASE CAST(k % 5 AS INT)
+        WHEN 0 THEN 'the cafe menu is plain ascii ' || CAST(k AS VARCHAR(12))
+        WHEN 1 THEN 'the cafÃ© menu nÃ¤chste Ã¼ber ' || CAST(k AS VARCHAR(12))
+        WHEN 2 THEN 'â€œquotedâ€ and â€“dashedâ€“ text'
+        WHEN 3 THEN 'clean unicode café naïve ' || CAST(k AS VARCHAR(12))
+        ELSE repeat('Ã©', CAST(1 + k % 4 AS INT)) || ' tail'
+      END"""
+    Q(
+      "q223_mojibake",
+      (s, dir) => {
+        val docs = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("k", s"($textSql) AS text")
+        TextAnalysis.mojibakeScore(docs, "k", "text")
+          .select("k", "n_chars", "mojibake_n", "mojibake_micro",
+            "is_mojibake")
+          .orderBy("k")
+      },
+      Some {
+        val counts = TextAnalysis.MojibakeArtifacts.map(a =>
+          s"(length(text) - length(replace(text, '$a', ''))) / ${a.length}")
+          .mkString(" + ")
+        s"""
+        WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        d AS (SELECT k, ($textSql) AS text FROM ln),
+        c AS (SELECT k, CAST(length(text) AS BIGINT) AS n_chars,
+                CAST($counts AS BIGINT) AS mojibake_n
+              FROM d)
+        SELECT k, n_chars, mojibake_n,
+          CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST((mojibake_n * 1000000) // n_chars AS BIGINT)
+          END AS mojibake_micro,
+          mojibake_n > 0 AS is_mojibake
+        FROM c ORDER BY k
+        """
+      })
+  }
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -5642,5 +5691,5 @@ object LlmQueries extends QuerySet {
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
       q180, q182, q183, q186, q187, q189, q190, q193, q194, q195, q199,
-      q203, q209, q212, q220, q221)
+      q203, q209, q212, q220, q221, q223)
 }

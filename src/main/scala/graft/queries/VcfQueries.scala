@@ -4702,6 +4702,44 @@ object VcfQueries extends QuerySet {
       """))
   }
 
+  /** IMPUTATION INFO-SCORE gate ([[graft.operators.VariantQc
+    * .imputationInfoScore]] — MaCH/minimac Rsq, the `INFO > 0.8`
+    * filter every GWAS applies to imputed sites): the planted-DS
+    * fixture's dosages are far from hard calls, so sub-1 scores are
+    * observable next to the GT-fallback rows' harder calls; DuckDB
+    * replays the exact rational 2(nQ−S²)·10⁶ // (S(2nU−S)) in
+    * HUGEINT, monomorphic-dosage sites 0 by contract, k-colliding
+    * site keys pooling identically.
+    */
+  private lazy val q222 = Q(
+    "q222_imputation_info",
+    (s, dir) =>
+      graft.operators.VariantQc.imputationInfoScore(annWithDs(s, dir))
+        .orderBy("chrom", "pos", "ref", "alt"),
+    Some(s"""
+      WITH ${duckCtesWith(altSql, withDs = true)},
+      $duckDosageEl,
+      ag AS (SELECT chrom, pos, ref, alt,
+          CAST(count(*) AS BIGINT) AS n_called,
+          CAST(sum(x) AS BIGINT) AS dose_sum_micro,
+          sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+        FROM elx GROUP BY 1, 2, 3, 4)
+      SELECT chrom, pos, ref, alt, n_called, dose_sum_micro,
+        CASE WHEN dose_sum_micro = 0
+               OR CAST(dose_sum_micro AS HUGEINT)
+                  = CAST(n_called AS HUGEINT) * 2000000
+             THEN CAST(0 AS BIGINT)
+             ELSE CAST(
+               ((CAST(n_called AS HUGEINT) * q
+                 - CAST(dose_sum_micro AS HUGEINT)
+                   * CAST(dose_sum_micro AS HUGEINT)) * 2000000)
+               // (CAST(dose_sum_micro AS HUGEINT)
+                  * (CAST(n_called AS HUGEINT) * 2000000
+                     - CAST(dose_sum_micro AS HUGEINT)))
+               AS BIGINT) END AS info_micro
+      FROM ag ORDER BY chrom, pos, ref, alt
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
@@ -4710,5 +4748,5 @@ object VcfQueries extends QuerySet {
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
-      q219)
+      q219, q222)
 }

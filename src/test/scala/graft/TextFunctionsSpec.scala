@@ -823,4 +823,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     chk(5L, Map("n_hangul" -> 2L, "n_arabic" -> 4L,
       "dominant_script" -> "arabic"))
   }
+
+  test("mojibakeScore: double-encoding artifacts counted literally — " +
+      "clean unicode reads 0, repeats count, curly-quote class via " +
+      "the â€ prefix, rate is per-char micro") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "café naïve"),          // clean real accents → 0
+      (2L, "cafÃ© Ã¼ber"),         // two artifacts
+      (3L, "Ã©Ã©Ã©"),              // repeat → 3 in 6 chars → 500000
+      (4L, "â€œxâ€"),              // “x” mangled: two â€ pairs
+      (5L, ""))                    // empty → 0/0 contract
+      .toDF("id", "text")
+    val got = TextAnalysis.mojibakeScore(docs, "id", "text")
+      .select("id", "n_chars", "mojibake_n", "mojibake_micro",
+        "is_mojibake")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((10L, 0L, 0L, false)))
+    assert(got(2L) === ((11L, 2L, 181818L, true)))
+    assert(got(3L) === ((6L, 3L, 500000L, true)))
+    assert(got(4L) === ((6L, 2L, 333333L, true)))
+    assert(got(5L) === ((0L, 0L, 0L, false)))
+  }
 }

@@ -1308,6 +1308,39 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(af.get(400L) === None, "neither-usable site must drop")
   }
 
+  test("imputationInfoScore: hand-computed MaCH Rsq — HWE hard calls " +
+      "read 1.0, shrunk dosages read var/2pq, no-het hard calls " +
+      "exceed 1 (minimac convention), monomorphic dosage defines 0") {
+    import spark.implicits._
+    val cols = Seq("chrom", "pos", "ref", "alt", "multiallele",
+      "sample_id", "gt1", "gt2", "DS")
+    val ann = Seq(
+      // site 100: HWE hard calls 0,1,1,2 → var = 2pq → Rsq = 1.0
+      ("1", 100L, "A", "T", 0, "s1", "0", "0", "0.0"),
+      ("1", 100L, "A", "T", 0, "s2", "0", "1", "1.0"),
+      ("1", 100L, "A", "T", 0, "s3", "0", "1", "1.0"),
+      ("1", 100L, "A", "T", 0, "s4", "1", "1", "2.0"),
+      // site 200: shrunk 0.5/1.0/1.5 → var (1/6) / 2pq (1/2) = 1/3
+      ("1", 200L, "C", "G", 0, "s1", "0", "0", "0.5"),
+      ("1", 200L, "C", "G", 0, "s2", "0", "1", "1.0"),
+      ("1", 200L, "C", "G", 0, "s3", "0", "1", "1.5"),
+      // site 300: hard calls 0,2 (no het) → var 1 / 2pq 0.5 = 2.0
+      ("1", 300L, "G", "A", 0, "s1", "0", "0", "0.0"),
+      ("1", 300L, "G", "A", 0, "s2", "1", "1", "2.0"),
+      // site 400: monomorphic dosage → 0 by contract
+      ("1", 400L, "T", "C", 0, "s1", "0", "0", "0.0"),
+      ("1", 400L, "T", "C", 0, "s2", "0", "0", "0.0"))
+      .toDF(cols: _*)
+    val got = graft.operators.VariantQc.imputationInfoScore(ann)
+      .select("pos", "n_called", "dose_sum_micro", "info_micro")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(100L) === ((4L, 4000000L, 1000000L)))
+    assert(got(200L) === ((3L, 3000000L, 333333L)))
+    assert(got(300L) === ((2L, 2000000L, 2000000L)))
+    assert(got(400L) === ((2L, 0L, 0L)))
+  }
+
   test("fstByChrom decimalLift: identity at small width; exact past " +
       "the int64 bound at 25k diploid samples per cohort vs BigInt") {
     import spark.implicits._
