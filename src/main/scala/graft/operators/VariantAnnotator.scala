@@ -242,6 +242,60 @@ object VariantAnnotator {
       .drop("__ns", "__an", "__acm")
   }
 
+  /** TAG REMOVAL — the `bcftools annotate -x INFO/DP,FORMAT/AD` core,
+    * the slimming pass production pipelines run before shipping a
+    * callset (a joint-called biobank VCF is mostly per-caller QC
+    * baggage; dropping it shrinks the landing by multiples):
+    *
+    *  - `infoTags`: each named key is stripped wherever it sits,
+    *    `key=value` and bare FLAG forms both; an emptied INFO becomes
+    *    `.` (as does a NULL one).
+    *  - `formatTags`: the named subfields are dropped from FORMAT and
+    *    from every call POSITIONALLY through the row's OWN layout
+    *    (mixed FORMATs work); calls carrying fewer subfields than
+    *    FORMAT declares (legal trailing drop) lose only the fields
+    *    they actually have. `GT` is not removable (it anchors every
+    *    genotype consumer; bcftools likewise refuses) — which also
+    *    guarantees no call empties out.
+    *
+    * Absent tags are a no-op. Shape: ONE narrow projection — the
+    * per-call keep-filter is a bounded index lambda referenced once
+    * (§8 staging rule); zero shuffles at any scale.
+    */
+  def removeTags(
+      df: DataFrame,
+      infoTags: Seq[String] = Seq.empty,
+      formatTags: Seq[String] = Seq.empty): DataFrame = {
+    require(!formatTags.contains("GT"), "FORMAT/GT is not removable")
+    val afterInfo =
+      if (infoTags.isEmpty) df
+      else {
+        val pat = "(^|;)(" +
+          infoTags.map(java.util.regex.Pattern.quote).mkString("|") +
+          ")(=[^;]*)?"
+        val stripped = regexp_replace(
+          regexp_replace(coalesce(col("info"), lit("")), pat, ""), "^;", "")
+        df.withColumn("__si", stripped)
+          .withColumn("info",
+            when(col("__si") === "", lit(".")).otherwise(col("__si")))
+          .drop("__si")
+      }
+    if (formatTags.isEmpty) afterInfo
+    else {
+      val fmtKeys = split(col("format"), ":")
+      afterInfo
+        .withColumn("genotypes",
+          transform_values(col("genotypes"), (_, call) =>
+            array_join(
+              filter(split(call, ":"), (_, i) =>
+                !coalesce(try_element_at(fmtKeys, i + 1), lit(""))
+                  .isin(formatTags: _*)),
+              ":")))
+        .withColumn("format",
+          array_join(filter(fmtKeys, k => !k.isin(formatTags: _*)), ":"))
+    }
+  }
+
   /** GENOTYPE REFINEMENT FROM LIKELIHOODS — call each sample's GT from
     * its `Number=G` PL field (the `bcftools +tag2tag` / GATK
     * best-genotype convention: phred-scaled likelihoods, SMALLEST is

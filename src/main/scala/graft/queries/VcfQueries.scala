@@ -4740,6 +4740,39 @@ object VcfQueries extends QuerySet {
       FROM ag ORDER BY chrom, pos, ref, alt
     """))
 
+  /** TAG-REMOVAL gate ([[graft.operators.VariantAnnotator.removeTags]]
+    * — `bcftools annotate -x INFO/DP,INFO/AF,FORMAT/DP,FORMAT/AD`, the
+    * callset-slimming pass): over the DS-planted fixture the INFO
+    * strip takes DP and the `Number=A` AF (comma lists and all) while
+    * NS rides through, and the FORMAT drop removes two mid-layout
+    * subfields positionally so `GT:DP:AD:DS` → `GT:DS` with every
+    * call rebuilt from subfields 1 and 4; DuckDB replays the global
+    * regex strip ('g' flag) and the positional rebuild.
+    */
+  private lazy val q224 = Q(
+    "q224_remove_tags",
+    (s, dir) =>
+      VariantAnnotator.removeTags(wide(s, dir, withDs = true),
+          infoTags = Seq("DP", "AF"), formatTags = Seq("DP", "AD"))
+        .select(col("k"), col("info"), col("format"),
+          explode(col("genotypes")).as(Seq("sample_id", "call")))
+        .orderBy("k", "sample_id"),
+    Some(s"""
+      WITH ${duckCtesWith(altSql, withDs = true)},
+      st AS (SELECT k, si, call,
+               regexp_replace(regexp_replace(info,
+                 '(^|;)(DP|AF)(=[^;]*)?', '', 'g'),
+                 '^;', '') AS info0
+             FROM sm)
+      SELECT k,
+        CASE WHEN info0 = '' THEN '.' ELSE info0 END AS info,
+        'GT:DS' AS format,
+        'g' || CAST(si AS VARCHAR(4)) AS sample_id,
+        string_split(call, ':')[1] || ':' || string_split(call, ':')[4]
+          AS call
+      FROM st ORDER BY k, sample_id
+    """))
+
   val all: Seq[Q] =
     Seq(q10, q11, q12, q13, q14, q15, q16, q17, q60, q61, q62, q63, q64,
       q68, q72, q79, q80, q81, q82, q83, q84, q91, q93, q100, q101, q102,
@@ -4748,5 +4781,5 @@ object VcfQueries extends QuerySet {
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
-      q219, q222)
+      q219, q222, q224)
 }

@@ -188,6 +188,37 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(got(300) === "DP=4;NS=0;AN=0;AC=0;AF=0.000000")
   }
 
+  test("removeTags: bcftools annotate -x — INFO keys stripped in " +
+      "key=value AND bare-flag form (emptied INFO → '.'), FORMAT " +
+      "subfields dropped positionally through each row's own layout, " +
+      "short calls keep only what they have, absent tags no-op, " +
+      "GT refused") {
+    import spark.implicits._
+    val df = Seq(
+      // (pos, info, format, call)
+      (100, "NS=3;DP=9;DB;AF=0.5", "GT:DP:GQ", "0/1:12:40"),
+      (200, "DP=9", "GT:GQ:DP", "1/1:40:7"),  // swapped layout
+      (300, "XX=1", "GT:DP:GQ", "0/1"),       // short call: GT only
+      (400, null, "GT", "0/0"))               // NULL info → '.'
+      .toDF("pos", "info", "format", "call")
+      .select(lit("1").as("chrom"), col("pos"), lit("A").as("ref"),
+        lit("C").as("alt"), col("info"), col("format"),
+        map(lit("S1"), col("call")).as("genotypes"))
+    val got = VariantAnnotator.removeTags(df,
+        infoTags = Seq("DP", "DB", "NOPE"), formatTags = Seq("DP", "NOPE"))
+      .select(col("pos"), col("info"), col("format"),
+        element_at(col("genotypes"), "S1"))
+      .as[(Int, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(100) === (("NS=3;AF=0.5", "GT:GQ", "0/1:40")))
+    assert(got(200) === ((".", "GT:GQ", "1/1:40")))
+    assert(got(300) === (("XX=1", "GT:GQ", "0/1")))
+    assert(got(400) === ((".", "GT", "0/0")))
+    intercept[IllegalArgumentException] {
+      VariantAnnotator.removeTags(df, formatTags = Seq("GT"))
+    }
+  }
+
   test("wide→long explode with missing-call and missing-ALT drops") {
     // 7 sites × 2 samples = 14 calls; minus ./., minus 2 calls on ALT='.'
     assert(full.count() === 11)
