@@ -1152,4 +1152,43 @@ object Dedup {
       .select(explode(deletionKeyArray("item")).as("k"),
         col("item"), col("n"))
   }
+
+  /** DEDUP YIELD REPORT — the read every dedup run ends with before
+    * anyone signs off on deleting data: per CLUSTER SIZE, how many
+    * clusters, how many documents, how much weight (tokens/bytes —
+    * the caller's `weightCol`), and what the one-survivor-per-cluster
+    * policy would REMOVE (docs and weight, keeping the
+    * min-`idCol` representative — [[connectedComponents]]' label
+    * convention, so the report matches what [[representatives]] keeps
+    * exactly). Documents absent from `clusters` are singletons (their
+    * own cluster, nothing removable) — the report always accounts for
+    * the WHOLE corpus, not just the paired part (a report that skips
+    * singletons overstates dedup yield).
+    *
+    * Shape: one id-keyed left join (clusters is the pair-derived
+    * label table) + TWO partial-aggregated groupBys (cluster, then
+    * size) — the second input is |clusters| rows. No corpus-side
+    * state beyond the label join.
+    */
+  def dedupYieldReport(
+      docs: DataFrame, clusters: DataFrame,
+      idCol: String = "id", weightCol: String = "n_tok",
+      clusterCol: String = "cluster"): DataFrame = {
+    val d = docs.select(col(idCol), col(weightCol).cast("long").as("__w"))
+    val c = clusters.select(col(idCol), col(clusterCol).as("__cl"))
+    val per = d.join(c, Seq(idCol), "left")
+      .withColumn("__c", coalesce(col("__cl"), col(idCol)))
+      .groupBy("__c")
+      .agg(
+        count(lit(1)).as("sz"),
+        sum(col("__w")).as("w"),
+        min_by(col("__w"), col(idCol)).as("__kw"))
+    per.groupBy(col("sz").as("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("w")).as("weight_total"),
+        (sum(col("sz")) - count(lit(1))).as("n_removable_docs"),
+        sum(col("w") - col("__kw")).as("weight_removable"))
+  }
 }

@@ -5682,6 +5682,56 @@ object LlmQueries extends QuerySet {
       })
   }
 
+  /** DEDUP YIELD-REPORT gate ([[graft.operators.Dedup
+    * .dedupYieldReport]] — the sign-off read before deleting data:
+    * per cluster size, clusters/docs/weight and what the
+    * one-survivor-per-cluster policy removes, keeping the min-id
+    * representative; singletons counted so the WHOLE corpus is
+    * accounted): the fixture plants exact-dup clusters of size 2 and
+    * 3 (clones at +1e6/+2e6 ids) next to the untouched singleton mass,
+    * labels = min id per text (the connectedComponents convention,
+    * replayed as a window min on both engines), weight = char count.
+    */
+  private lazy val q225 = Q(
+    "q225_dedup_yield",
+    (s, dir) => {
+      val d0 = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val corpus = d0
+        .unionAll(d0.filter(col("id") % 3 === 0)
+          .select((col("id") + 1000000L).as("id"), col("text")))
+        .unionAll(d0.filter(col("id") % 6 === 0)
+          .select((col("id") + 2000000L).as("id"), col("text")))
+      val labeled = corpus.withColumn("cluster",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("text")))
+      graft.operators.Dedup.dedupYieldReport(
+          corpus.withColumn("n_tok", length(col("text")).cast("long")),
+          labeled.select("id", "cluster"))
+        .orderBy("cluster_size")
+    },
+    Some("""
+      WITH d0 AS (SELECT doc_id AS id, text FROM documents),
+      corpus AS (
+        SELECT id, text FROM d0
+        UNION ALL SELECT id + 1000000, text FROM d0 WHERE id % 3 = 0
+        UNION ALL SELECT id + 2000000, text FROM d0 WHERE id % 6 = 0),
+      lab AS (SELECT id, length(text) AS w,
+                min(id) OVER (PARTITION BY text) AS cl
+              FROM corpus),
+      per AS (SELECT cl, CAST(count(*) AS BIGINT) AS sz,
+                CAST(sum(w) AS BIGINT) AS w,
+                CAST(arg_min(w, id) AS BIGINT) AS kw
+              FROM lab GROUP BY cl)
+      SELECT sz AS cluster_size,
+        CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(sz) AS BIGINT) AS n_docs,
+        CAST(sum(w) AS BIGINT) AS weight_total,
+        CAST(sum(sz) - count(*) AS BIGINT) AS n_removable_docs,
+        CAST(sum(w - kw) AS BIGINT) AS weight_removable
+      FROM per GROUP BY sz ORDER BY cluster_size
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -5691,5 +5741,5 @@ object LlmQueries extends QuerySet {
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
       q180, q182, q183, q186, q187, q189, q190, q193, q194, q195, q199,
-      q203, q209, q212, q220, q221, q223)
+      q203, q209, q212, q220, q221, q223, q225)
 }

@@ -190,4 +190,30 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     // occurrence counts carried: "cat" appears twice
     assert(pairs.find(_._1 == "cart").get._4 === 2L)
   }
+
+  test("dedupYieldReport: singletons counted, min-id survivor's weight " +
+      "kept, removable docs/weight per cluster-size bucket") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 20L),           // cluster A: keep 1 (w 10), drop 20
+      (3L, 5L), (4L, 7L), (5L, 9L),   // cluster B: keep 3 (w 5), drop 16
+      (6L, 100L),                     // singleton via clusters row
+      (7L, 50L))                      // singleton ABSENT from clusters
+      .toDF("id", "n_tok")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L),
+      (3L, 3L), (4L, 3L), (5L, 3L),
+      (6L, 6L))
+      .toDF("id", "cluster")
+    val got = Dedup.dedupYieldReport(docs, clusters)
+      .select("cluster_size", "n_clusters", "n_docs", "weight_total",
+        "n_removable_docs", "weight_removable")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 2L, 150L, 0L, 0L)))
+    assert(got(2L) === ((2L, 1L, 2L, 30L, 1L, 20L)))
+    assert(got(3L) === ((3L, 1L, 3L, 21L, 2L, 16L)))
+    // whole corpus accounted: docs sum across buckets = 7
+    assert(got.values.map(_._3).sum === 7L)
+  }
 }
