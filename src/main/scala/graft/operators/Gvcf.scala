@@ -61,4 +61,42 @@ object Gvcf {
       expandToSpans(gvcf, posCol, refCol, infoCol).drop(posCol),
       chromCol = chromCol, posCol = posCol,
       bucketShift = bucketShift)
+
+  /** COHORT LOCUS STATE — the GenotypeGVCFs-shaped question "what
+    * does EVERY sample say at locus X": per (locus, sample) the
+    * covering record's span/alleles plus a three-way `state` —
+    * `variant` (a covering record with a real ALT), `ref_block` (a
+    * `<NON_REF>`-only band: reference-confident), or `no_coverage`
+    * (NOTHING covers the locus for that sample — the state an inner
+    * locus join silently conflates with hom-ref, and exactly the
+    * distinction joint genotyping exists to preserve). Input is the
+    * unioned long form (one banded record per sample per span,
+    * `sampleCol` tagging the source gVCF); loci must be unique on
+    * (chrom, pos); a sample whose records overlap a locus more than
+    * once (malformed banding) emits one row per covering record.
+    *
+    * Shape: [[locusQuery]]'s bucket equi-join + a loci × sample-panel
+    * grid (the panel is parameter-small — BROADCAST; the grid is
+    * |loci|·|samples| rows, the answer's own size) + one left join
+    * back on (chrom, pos, sample). No corpus-side extra exchanges.
+    */
+  def cohortLocusState(
+      gvcf: DataFrame, loci: DataFrame,
+      sampleCol: String = "sample_id",
+      chromCol: String = "chrom", posCol: String = "pos",
+      refCol: String = "ref", infoCol: String = "info",
+      bucketShift: Int = 20): DataFrame = {
+    // the range join runs on the bare (chrom, pos) probe — any loci
+    // payload columns ride in from the grid side, never duplicated
+    val covered = locusQuery(gvcf,
+      loci.select(col(chromCol), col(posCol)), chromCol, posCol, refCol,
+      infoCol, bucketShift)
+    val samples = gvcf.select(col(sampleCol)).distinct()
+    val grid = loci.crossJoin(broadcast(samples))
+    grid.join(covered, Seq(chromCol, posCol, sampleCol), "left")
+      .withColumn("state",
+        when(col(refCol).isNull, "no_coverage")
+          .when(col("alt") === "<NON_REF>", "ref_block")
+          .otherwise("variant"))
+  }
 }

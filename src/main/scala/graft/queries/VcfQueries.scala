@@ -4781,5 +4781,86 @@ object VcfQueries extends QuerySet {
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
-      q219, q222, q224)
+      q219, q222, q224, q226)
+
+  /** COHORT LOCUS-STATE gate ([[graft.operators.Gvcf
+    * .cohortLocusState]] — the GenotypeGVCFs-shaped question "what
+    * does EVERY sample say at locus X", with the three-way verdict an
+    * inner join cannot give: `variant` / `ref_block` /
+    * `no_coverage`): the fixture shards the banded records across a
+    * 3-sample panel (each k belongs to ONE sample, so per-sample
+    * coverage is sparse and `no_coverage` is the COMMON state — the
+    * silent-conflation trap the operator exists to avoid), loci
+    * deduped to the (chrom, pos) contract with min-lk labels; DuckDB
+    * replays grid × range-join × left join with NULLS FIRST matching
+    * Spark's asc ordering.
+    */
+  private lazy val q226 = {
+    val gvChrom = "CAST(1 + (k % 22) AS VARCHAR(8)) AS chrom"
+    val gvPos = "CAST(1000 + (k % 100000) AS INT) AS pos"
+    val gvRef = "substr('ACGTACG', CAST(1 + (k % 4) AS INT), " +
+      "CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) AS ref"
+    val gvAlt = """CASE WHEN k % 4 = 0 THEN '<NON_REF>'
+        ELSE substr('TGCA', CAST(1 + (k % 4) AS INT), 1) END AS alt"""
+    val gvInfo = """CASE
+        WHEN k % 4 = 0 THEN 'END=' ||
+          CAST(1000 + (k % 100000) + 10 + (k % 90) AS VARCHAR(12))
+        ELSE 'DP=' || CAST(k % 100 AS VARCHAR(8)) END AS info"""
+    val gvSample = "'s' || CAST(k % 3 AS VARCHAR(4)) AS sample_id"
+    val gvGt = """CASE WHEN k % 4 = 0 THEN '0/0'
+        WHEN k % 9 < 5 THEN '0/1' ELSE '1/1' END AS gt"""
+    val spanEnd = """CASE
+        WHEN k % 4 = 0 THEN (1000 + (k % 100000)) + 10 + (k % 90)
+        ELSE (1000 + (k % 100000))
+          + (CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) - 1 END"""
+    val lcChrom = "CAST(1 + (lk % 22) AS VARCHAR(8)) AS chrom"
+    val lcPos = "CAST(1000 + ((lk * 37 + 11) % 100120) AS INT) AS pos"
+    Q(
+      "q226_gvcf_cohort_state",
+      (s, dir) => {
+        val gv = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("k", gvChrom, gvPos, gvRef, gvAlt, gvInfo,
+            gvSample, gvGt)
+        val loci = t(s, dir, "orders")
+          .selectExpr("o_orderkey AS lk")
+          .selectExpr("lk", lcChrom, lcPos)
+          .groupBy("chrom", "pos").agg(min(col("lk")).as("lk"))
+        graft.operators.Gvcf.cohortLocusState(gv, loci)
+          .select(col("lk"), col("chrom"), col("pos"), col("sample_id"),
+            col("k").as("gk"), col("state"), col("gt"),
+            col("start").as("span_start"), col("end").as("span_end"))
+          .orderBy("lk", "sample_id", "gk")
+      },
+      Some(s"""
+        WITH gv AS (SELECT k, $gvChrom, $gvPos, $gvRef, $gvAlt,
+               $gvSample, $gvGt,
+               CAST($spanEnd AS INT) AS span_end
+             FROM (SELECT l_orderkey * 8 + l_linenumber AS k
+                   FROM lineitem)),
+        lc0 AS (SELECT lk, $lcChrom, $lcPos
+                FROM (SELECT o_orderkey AS lk FROM orders)),
+        lc AS (SELECT chrom, pos, CAST(min(lk) AS BIGINT) AS lk
+               FROM lc0 GROUP BY chrom, pos),
+        smp AS (SELECT DISTINCT sample_id FROM gv),
+        grid AS (SELECT l.lk, l.chrom, l.pos, s.sample_id
+                 FROM lc l CROSS JOIN smp s),
+        cov AS (SELECT l.chrom, l.pos, g.sample_id, g.k,
+                  g.pos AS span_start, g.span_end, g.ref, g.alt, g.gt
+                FROM (SELECT DISTINCT chrom, pos FROM lc) l
+                JOIN gv g ON g.chrom = l.chrom
+                  AND l.pos BETWEEN g.pos AND g.span_end)
+        SELECT grid.lk, grid.chrom, grid.pos, grid.sample_id,
+          c.k AS gk,
+          CASE WHEN c.ref IS NULL THEN 'no_coverage'
+               WHEN c.alt = '<NON_REF>' THEN 'ref_block'
+               ELSE 'variant' END AS state,
+          c.gt, c.span_start, c.span_end
+        FROM grid LEFT JOIN cov c
+          ON c.chrom = grid.chrom AND c.pos = grid.pos
+          AND c.sample_id = grid.sample_id
+        ORDER BY grid.lk, grid.sample_id, gk NULLS FIRST
+      """))
+  }
 }

@@ -399,4 +399,31 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"gvcf locus query must stay the bucket equi-join:\n$plan")
   }
+
+  test("Gvcf.cohortLocusState: per (locus, sample) the three-way " +
+      "verdict — variant / ref_block / no_coverage — with the sample " +
+      "panel gridded so absent coverage is reported, not conflated") {
+    import graft.operators.Gvcf
+    val gv = Seq(
+      // sA: band over 100..199 + a variant at 150
+      ("1", 100, "A", "<NON_REF>", "END=199", "sA", "0/0"),
+      ("1", 150, "A", "T", "DP=9", "sA", "0/1"),
+      // sB: band only over 180..220
+      ("1", 180, "G", "<NON_REF>", "END=220", "sB", "0/0"))
+      .toDF("chrom", "pos", "ref", "alt", "info", "sample_id", "gt")
+    val loci = Seq(("1", 150), ("1", 210), ("1", 500))
+      .toDF("chrom", "pos")
+    val got = Gvcf.cohortLocusState(gv, loci)
+      .select("pos", "sample_id", "state", "gt")
+      .as[(Int, String, String, String)].collect().toSet
+    assert(got === Set(
+      // locus 150: sA has BOTH the band and the variant record
+      (150, "sA", "variant", "0/1"),
+      (150, "sA", "ref_block", "0/0"),
+      (150, "sB", "no_coverage", null),
+      (210, "sA", "no_coverage", null),
+      (210, "sB", "ref_block", "0/0"),
+      (500, "sA", "no_coverage", null),
+      (500, "sB", "no_coverage", null)))
+  }
 }
