@@ -621,4 +621,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains("Join"), s"$name must not join:\n$p")
     }
   }
+
+  test("split-vep family and gVCF shapes: q217/q224 are join-free " +
+      "narrow pipelines, q218 range-joins by bucket equi-join, q226's " +
+      "only nested-loop-class node is the broadcast sample-panel grid") {
+    for (name <- Seq("q217_split_vep", "q224_remove_tags")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"$name must stay join-free:\n$p")
+    }
+    val q218 = SparkEntry.queries("q218_gvcf_locus")(spark, dir)
+    q218.collect()
+    val p218 = q218.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p218.contains("BroadcastNestedLoopJoin") &&
+      !p218.contains("CartesianProduct"),
+      s"gvcf locus query must stay the bucket equi-join:\n$p218")
+    val q226 = SparkEntry.queries("q226_gvcf_cohort_state")(spark, dir)
+    q226.collect()
+    val p226 = q226.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p226.contains("CartesianProduct"), p226)
+    // the loci × sample-panel grid is the one legitimate
+    // broadcast-loop node (parameter-small panel, the q203 eval-side
+    // precedent); the coverage join itself must be a hash equi-join
+    val bnlj = p226.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the panel grid may nest-loop:\n$p226")
+    assert(p226.contains("BroadcastHashJoin") ||
+      p226.contains("SortMergeJoin") || p226.contains("ShuffledHashJoin"),
+      s"coverage must attach by equi-join:\n$p226")
+  }
 }
