@@ -855,6 +855,45 @@ object VariantQc {
       .drop("__q", "__num", "__den")
   }
 
+  /** DOSAGE↔HARD-CALL CONCORDANCE per sample — the imputation-QC
+    * swap check (the per-sample companion of [[imputationInfoScore]]'s
+    * per-site read): on calls carrying BOTH a typed DS and a called
+    * diploid GT, |DS − GT| should hug 0 for the sample's own data — a
+    * sample whose dosages systematically disagree with its hard calls
+    * was swapped/contaminated between calling and imputation (the
+    * classic post-imputation sanity pass). Per sample: compared-call
+    * count, exact Σ|DS−GT| micro, its floored mean, the count of
+    * deviations above `thresholdMicro` (default 0.5 — "the best-guess
+    * genotype disagrees"), and the floored micro discordance rate.
+    * All int64-exact, engine-replayable.
+    *
+    * Shape: ONE sample-keyed partial-aggregated groupBy — zero joins,
+    * zero exchanges beyond the |samples|-row rollup.
+    */
+  def dosageConcordance(
+      ann: DataFrame,
+      sampleCol: String = "sample_id",
+      dosageCol: String = "DS",
+      thresholdMicro: Long = 500000L): DataFrame = {
+    require(thresholdMicro >= 0L,
+      s"thresholdMicro must be >= 0, got $thresholdMicro")
+    val dev = abs(dosageMicro(col(dosageCol)) - gtDosageMicro)
+    ann
+      .filter(col("multiallele") === 0)
+      .select(col(sampleCol), dev.as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(col(sampleCol))
+      .agg(
+        count(lit(1)).as("n_compared"),
+        sum(col("__d")).as("dev_sum_micro"),
+        sum(when(col("__d") > thresholdMicro, 1L).otherwise(0L))
+          .as("n_discordant"))
+      .withColumn("mean_dev_micro",
+        expr("dev_sum_micro DIV n_compared"))
+      .withColumn("discordant_micro",
+        expr("(n_discordant * 1000000) DIV n_compared"))
+  }
+
   /** DOSAGE-MEAN allele frequency per site (the imputed-AF convention:
     * AF = Σ DS / 2n over the samples with a usable dosage — what
     * `bcftools +fill-tags -- -t AF` computes when pointed at DS, and

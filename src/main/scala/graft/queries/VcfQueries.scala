@@ -4398,7 +4398,7 @@ object VcfQueries extends QuerySet {
         WHERE alt <> '.'
           AND string_split(call, ':')[1] NOT IN ('./.', '.|.', '.')
           AND NOT contains(alt, ',')),
-      elx AS (SELECT k, chrom, pos, ref, alt, si, dsm,
+      elx AS (SELECT k, chrom, pos, ref, alt, si, dsm, gtm,
           coalesce(dsm, gtm) AS x
         FROM (SELECT k, chrom, pos, ref, alt, si,
             ${dsMicroSql("si")} AS dsm,
@@ -4781,7 +4781,40 @@ object VcfQueries extends QuerySet {
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
-      q219, q222, q224, q226)
+      q219, q222, q224, q226, q227)
+
+  /** DOSAGE↔HARD-CALL CONCORDANCE gate ([[graft.operators.VariantQc
+    * .dosageConcordance]] — the post-imputation sample-swap sanity
+    * pass: a sample whose DS systematically disagrees with its own
+    * hard calls was swapped/contaminated between calling and
+    * imputation): the planted DS is k-formula noise around the GT, so
+    * every sample shows a non-trivial deviation distribution and
+    * above-0.5 discordances are common — the rate math is fully
+    * observable; calls missing EITHER side (the `.`-DS class, the
+    * `./1` half-missing class) drop out of the comparison on both
+    * engines.
+    */
+  private lazy val q227 = Q(
+    "q227_dosage_concordance",
+    (s, dir) =>
+      graft.operators.VariantQc.dosageConcordance(annWithDs(s, dir))
+        .orderBy("sample_id"),
+    Some(s"""
+      WITH ${duckCtesWith(altSql, withDs = true)},
+      $duckDosageEl,
+      dv AS (SELECT si, abs(dsm - gtm) AS d
+             FROM elx WHERE dsm IS NOT NULL AND gtm IS NOT NULL)
+      SELECT 'g' || CAST(si AS VARCHAR(4)) AS sample_id,
+        CAST(count(*) AS BIGINT) AS n_compared,
+        CAST(sum(d) AS BIGINT) AS dev_sum_micro,
+        CAST(sum(CASE WHEN d > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_discordant,
+        CAST(CAST(sum(d) AS BIGINT) // count(*) AS BIGINT)
+          AS mean_dev_micro,
+        CAST((CAST(sum(CASE WHEN d > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000) // count(*) AS BIGINT) AS discordant_micro
+      FROM dv GROUP BY 1 ORDER BY 1
+    """))
 
   /** COHORT LOCUS-STATE gate ([[graft.operators.Gvcf
     * .cohortLocusState]] — the GenotypeGVCFs-shaped question "what

@@ -1372,6 +1372,30 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(got(400L) === ((2L, 0L, 0L)))
   }
 
+  test("dosageConcordance: per-sample |DS−GT| stats over both-present " +
+      "calls only — deviations summed exactly, the 0.5 threshold " +
+      "splits discordant, one-sided calls drop out") {
+    import spark.implicits._
+    val cols = Seq("chrom", "pos", "ref", "alt", "multiallele",
+      "sample_id", "gt1", "gt2", "DS")
+    val ann = Seq(
+      ("1", 100L, "A", "T", 0, "s1", "0", "1", "1.1"),   // dev 0.1
+      ("1", 200L, "C", "G", 0, "s1", "1", "1", "1.2"),   // dev 0.8 > 0.5
+      ("1", 300L, "G", "A", 0, "s1", "0", "0", "0.0"),   // dev 0
+      ("1", 400L, "T", "C", 0, "s1", ".", "1", "1.0"),   // GT missing → out
+      ("1", 500L, "A", "G", 0, "s1", "0", "1", "."),     // DS missing → out
+      ("1", 100L, "A", "T", 0, "s2", "0", "0", "2.0"))   // dev 2.0 > 0.5
+      .toDF(cols: _*)
+    val got = graft.operators.VariantQc.dosageConcordance(ann)
+      .select("sample_id", "n_compared", "dev_sum_micro", "n_discordant",
+        "mean_dev_micro", "discordant_micro")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // s1: devs 0.1 + 0.8 + 0 = 0.9 over 3 → mean 300000, 1/3 discordant
+    assert(got("s1") === ((3L, 900000L, 1L, 300000L, 333333L)))
+    assert(got("s2") === ((1L, 2000000L, 1L, 2000000L, 1000000L)))
+  }
+
   test("fstByChrom decimalLift: identity at small width; exact past " +
       "the int64 bound at 25k diploid samples per cohort vs BigInt") {
     import spark.implicits._
