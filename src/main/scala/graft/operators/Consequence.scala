@@ -828,9 +828,15 @@ object Consequence {
       if (!fields.contains(alleleNumField)) withFields
       else {
         val an = col(alleleNumField)
+        // index must be >= 1: VEP's documented ALLELE_NUM=0 means "the
+        // reference allele" — no ALT aligns, so it yields NULL like any
+        // non-numeric value (ElementAt throws INVALID_INDEX_OF_ZERO
+        // even via try_element_at); the {1,9} length cap keeps the
+        // ANSI int cast overflow-safe
         withFields.withColumn(alignedCol,
           try_element_at(split(col("alt"), ","),
-            when(an.rlike("^[0-9]+$"), an.cast("int"))))
+            when(an.rlike("^[0-9]{1,9}$") && an.cast("int") >= 1,
+              an.cast("int"))))
       }
     aligned.drop("__csq", "__rec", "__parts")
   }

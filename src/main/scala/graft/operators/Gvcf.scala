@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * their declared span, plain variant rows take their REF footprint
   * (which makes a multi-base deletion cover its whole deleted run —
   * exactly what a locus probe inside the deletion should hit).
-  * A malformed/empty END (`END=`, `END=abc`) falls back to the
-  * footprint (digits-only regexp extract keeps the cast ANSI-safe).
+  * A malformed/empty/partially-numeric END (`END=`, `END=abc`,
+  * `END=12abc`) falls back to the footprint (the extract is anchored
+  * to the field boundary and digits-only, keeping the cast ANSI-safe).
   */
 object Gvcf {
 
@@ -35,7 +36,12 @@ object Gvcf {
       .withColumn("start", col(posCol))
       .withColumn("end",
         coalesce(
-          nullif(regexp_extract(col(infoCol), "(^|;)END=([0-9]+)", 2),
+          // the value is anchored to the field boundary (`;` or end of
+          // INFO): a partially-numeric END like `END=12abc` must take
+          // the footprint fallback, not parse its leading digits (the
+          // r13 advisory — a truncated END below pos would otherwise
+          // yield an inverted span that silently covers nothing)
+          nullif(regexp_extract(col(infoCol), "(^|;)END=([0-9]+)(;|$)", 2),
             lit("")).cast("int"),
           col(posCol) + length(col(refCol)) - lit(1)))
 

@@ -247,16 +247,24 @@ object VariantAnnotator {
     * callset (a joint-called biobank VCF is mostly per-caller QC
     * baggage; dropping it shrinks the landing by multiples):
     *
-    *  - `infoTags`: each named key is stripped wherever it sits,
-    *    `key=value` and bare FLAG forms both; an emptied INFO becomes
-    *    `.` (as does a NULL one).
+    *  - `infoTags`: each named key is removed as a WHOLE
+    *    `;`-delimited entry, `key=value` and bare FLAG forms both —
+    *    the INFO is split on `;` and entries whose key (the text
+    *    before the first `=`) matches are dropped, so removing `DP`
+    *    can never eat a `DP4=…` entry (a regex strip with an optional
+    *    value group matched the tag as a PREFIX of longer keys and
+    *    ate the separator — DP/DP4 and DB/DBSNP coexist in standard
+    *    bcftools callsets); an emptied INFO becomes `.` (as does a
+    *    NULL one).
     *  - `formatTags`: the named subfields are dropped from FORMAT and
     *    from every call POSITIONALLY through the row's OWN layout
     *    (mixed FORMATs work); calls carrying fewer subfields than
     *    FORMAT declares (legal trailing drop) lose only the fields
     *    they actually have. `GT` is not removable (it anchors every
-    *    genotype consumer; bcftools likewise refuses) — which also
-    *    guarantees no call empties out.
+    *    genotype consumer; bcftools likewise refuses). A legal
+    *    GT-less record (e.g. FORMAT `DP:AD`) CAN empty out entirely —
+    *    emptied format/call strings land as the VCF `.` convention,
+    *    matching the INFO branch.
     *
     * Absent tags are a no-op. Shape: ONE narrow projection — the
     * per-call keep-filter is a bounded index lambda referenced once
@@ -270,11 +278,10 @@ object VariantAnnotator {
     val afterInfo =
       if (infoTags.isEmpty) df
       else {
-        val pat = "(^|;)(" +
-          infoTags.map(java.util.regex.Pattern.quote).mkString("|") +
-          ")(=[^;]*)?"
-        val stripped = regexp_replace(
-          regexp_replace(coalesce(col("info"), lit("")), pat, ""), "^;", "")
+        val stripped = array_join(
+          filter(split(coalesce(col("info"), lit("")), ";"),
+            e => !substring_index(e, "=", 1).isin(infoTags: _*)),
+          ";")
         df.withColumn("__si", stripped)
           .withColumn("info",
             when(col("__si") === "", lit(".")).otherwise(col("__si")))
@@ -283,16 +290,19 @@ object VariantAnnotator {
     if (formatTags.isEmpty) afterInfo
     else {
       val fmtKeys = split(col("format"), ":")
+      def dotIfEmpty(c: Column): Column =
+        when(c === "", lit(".")).otherwise(c)
       afterInfo
         .withColumn("genotypes",
           transform_values(col("genotypes"), (_, call) =>
-            array_join(
+            dotIfEmpty(array_join(
               filter(split(call, ":"), (_, i) =>
                 !coalesce(try_element_at(fmtKeys, i + 1), lit(""))
                   .isin(formatTags: _*)),
-              ":")))
+              ":"))))
         .withColumn("format",
-          array_join(filter(fmtKeys, k => !k.isin(formatTags: _*)), ":"))
+          dotIfEmpty(
+            array_join(filter(fmtKeys, k => !k.isin(formatTags: _*)), ":")))
     }
   }
 

@@ -116,7 +116,14 @@ object BcfReader {
   def metadata(spark: SparkSession, path: String): VcfReader.VcfMetadata = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val file = fs.globStatus(p).filter(_.isFile).head.getPath
+    // same null-safe glob handling as read(): a non-matching path must
+    // report clearly, not NPE/NoSuchElement (the r13 advisory)
+    val files = fs.globStatus(p) match {
+      case null => Array.empty[Path]
+      case sts => sts.filter(_.isFile).map(_.getPath)
+    }
+    require(files.nonEmpty, s"no BCF files match $path")
+    val file = files.head
     val in = new DataInputStream(new GZIPInputStream(
       new BufferedInputStream(fs.open(file), 1 << 16), 1 << 16))
     try VcfReader.fromHeaderLines(

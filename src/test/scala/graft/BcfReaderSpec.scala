@@ -228,6 +228,11 @@ class BcfReaderSpec extends AnyFunSuite with SparkSpec {
     val b = ann(VcfReader.read(spark, vcfPath))
     assert(a === b)
     assert(a.nonEmpty)
+    // non-matching path reports clearly (r13 advisory: was NPE/head)
+    val e = intercept[IllegalArgumentException] {
+      BcfReader.metadata(spark, "/nonexistent/nope*.bcf")
+    }
+    assert(e.getMessage.contains("no BCF files match"))
   }
 
   test("header dictionary honors explicit IDX overrides and keeps " +

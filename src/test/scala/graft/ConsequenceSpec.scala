@@ -595,8 +595,12 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
       (200, "T", "CSQ=T|synonymous_variant|LOW||1,T|intron_variant"),
       // record LONGER than the declaration: extras ignored
       (300, "A", "CSQ=A|missense_variant|HIGH|X|1|EXTRA|MORE"),
-      // malformed and out-of-range ALLELE_NUM → NULL aligned_alt
-      (400, "G", "CSQ=G|stop_lost|HIGH|Y|9,G|stop_lost|HIGH|Y|junk"),
+      // malformed, out-of-range, and ZERO ALLELE_NUM → NULL aligned_alt
+      // (VEP documents 0 = "the reference allele": no ALT aligns; the
+      // r13 advisory — ElementAt throws INVALID_INDEX_OF_ZERO even via
+      // try_element_at, so 0 must be guarded out, not passed through)
+      (400, "G", "CSQ=G|stop_lost|HIGH|Y|9,G|stop_lost|HIGH|Y|junk," +
+        "G|stop_lost|HIGH|Y|0"),
       // no CSQ at all → contributes no rows
       (500, "A", "DP=4"))
       .toDF("pos", "alt", "info")
@@ -607,7 +611,7 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
         "SYMBOL", "ALLELE_NUM", "aligned_alt")
       .as[(Int, Int, String, String, String, String, String, String)]
       .collect().map(r => (r._1, r._2) -> r).toMap
-    assert(got.size === 7, got.keySet)
+    assert(got.size === 8, got.keySet)
     assert(got((100, 0)) === ((100, 0, "C", "missense_variant",
       "MODERATE", "BRCA2", "1", "C")))
     assert(got((100, 1)) === ((100, 1, "G",
@@ -620,6 +624,7 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
       "HIGH", "X", "1", "A")))
     assert(got((400, 0))._8 === null, "out-of-range ALLELE_NUM")
     assert(got((400, 1))._8 === null, "malformed ALLELE_NUM")
+    assert(got((400, 2))._8 === null, "ALLELE_NUM=0 (reference allele)")
     assert(!got.keySet.exists(_._1 === 500), "no-CSQ rows must vanish")
     // snpEff ANN key + no ALLELE_NUM declared → no aligned column
     val ann = Consequence.splitVep(

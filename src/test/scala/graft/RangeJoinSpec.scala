@@ -355,7 +355,12 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       ("1", 500, "ACG", "A", "DP=9"),                   // footprint 500..502
       ("1", 600, "G", "C", "DP=1"),                     // SNV 600..600
       ("1", 700, "C", "<NON_REF>", "END="),             // empty → footprint
-      ("1", 800, "CT", "<NON_REF>", "SOMEEND=900"))     // wrong key → footprint
+      ("1", 800, "CT", "<NON_REF>", "SOMEEND=900"),     // wrong key → footprint
+      // partially-numeric END: the boundary-anchored extract must NOT
+      // take the leading digits (END=12 would invert the span below
+      // pos and cover nothing) — footprint fallback (r13 advisory)
+      ("1", 900, "GA", "<NON_REF>", "END=12abc;DP=3"),
+      ("1", 950, "G", "<NON_REF>", "DP=2;END=970"))     // trailing END ok
       .toDF("chrom", "pos", "ref", "alt", "info")
     val got = Gvcf.expandToSpans(gv)
       .select("pos", "start", "end").as[(Int, Int, Int)]
@@ -366,6 +371,8 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got(600) === ((600, 600)))
     assert(got(700) === ((700, 700)))
     assert(got(800) === ((800, 801)))
+    assert(got(900) === ((900, 901)))
+    assert(got(950) === ((950, 970)))
   }
 
   test("Gvcf.locusQuery: probes hit covering bands at both closed " +

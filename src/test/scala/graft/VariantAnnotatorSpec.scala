@@ -219,6 +219,31 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("removeTags: a removed key never eats a LONGER key it prefixes " +
+      "(DP vs DP4, DB vs DBSNP — the r13 advisory; a regex strip with " +
+      "an optional value group corrupted 'NS=3;DP4=1,2;DBSNP' into " +
+      "'NS=34=1,2SNP'), and a GT-less record whose subfields all drop " +
+      "empties to the VCF '.' convention, not ''") {
+    import spark.implicits._
+    val df = Seq(
+      (100, "NS=3;DP4=1,2;DBSNP;AF=0.5;DP=9;DB", "GT:DP", "0/1:7"),
+      (200, "DP4=1,2;DP=3", "DP:AD", "5:3,2"),  // legal GT-less record
+      (300, "DB;DBSNP", "GT", "0/0"))
+      .toDF("pos", "info", "format", "call")
+      .select(lit("1").as("chrom"), col("pos"), lit("A").as("ref"),
+        lit("C").as("alt"), col("info"), col("format"),
+        map(lit("S1"), col("call")).as("genotypes"))
+    val got = VariantAnnotator.removeTags(df,
+        infoTags = Seq("DP", "DB"), formatTags = Seq("DP", "AD"))
+      .select(col("pos"), col("info"), col("format"),
+        element_at(col("genotypes"), "S1"))
+      .as[(Int, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(100) === (("NS=3;DP4=1,2;DBSNP;AF=0.5", "GT", "0/1")))
+    assert(got(200) === (("DP4=1,2", ".", ".")))
+    assert(got(300) === (("DBSNP", "GT", "0/0")))
+  }
+
   test("wide→long explode with missing-call and missing-ALT drops") {
     // 7 sites × 2 samples = 14 calls; minus ./., minus 2 calls on ALT='.'
     assert(full.count() === 11)
@@ -1394,6 +1419,54 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     // s1: devs 0.1 + 0.8 + 0 = 0.9 over 3 → mean 300000, 1/3 discordant
     assert(got("s1") === ((3L, 900000L, 1L, 300000L, 333333L)))
     assert(got("s2") === ((1L, 2000000L, 1L, 2000000L, 1000000L)))
+  }
+
+  test("GP dosage rung: DS > GP > GT precedence — a parseable DS wins " +
+      "over GP, a GP triple folds EXACTLY to P(het) + 2·P(hom-alt) " +
+      "when DS is out, malformed/2-part/7-decimal GPs hand over to GT, " +
+      "and a GP-only frame (no DS column at all) rides the GP rung") {
+    import spark.implicits._
+    val cols = Seq("chrom", "pos", "ref", "alt", "multiallele",
+      "sample_id", "gt1", "gt2", "DS", "GP")
+    val ann = Seq(
+      // DS parseable → GP ignored (precedence): x = 1.5, DS-sourced
+      ("1", 100L, "A", "T", 0, "s1", "0", "0", "1.5", "0.0,0.0,1.0"),
+      // DS '.', GP folds: 0.25 + 2·0.5 = 1.25 — GT (0) must NOT win
+      ("1", 200L, "C", "G", 0, "s1", "0", "0", ".", "0.25,0.25,0.5"),
+      // DS '.', GP 7-decimal → refused → GT rung (2.0)
+      ("1", 300L, "G", "A", 0, "s1", "1", "1", ".", "0.1234567,0.1,0.1"),
+      // DS '.', GP 2-part (not a biallelic triple) → GT rung (1.0)
+      ("1", 400L, "T", "C", 0, "s1", "0", "1", ".", "0.5,0.5"),
+      // DS '.', GP '.', GT half-missing → nothing usable → drops
+      ("1", 500L, "A", "G", 0, "s1", ".", "1", ".", "."),
+      // GT missing entirely, GP alone carries the row: 1.0 + 2·0 = 1.0
+      ("1", 600L, "C", "A", 0, "s1", ".", ".", ".", "0.0,1.0,0.0"))
+      .toDF(cols: _*)
+    val af = graft.operators.VariantQc.dosageAf(ann)
+      .select("pos", "n_called", "n_ds", "dose_sum_micro", "af_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(af(100L) === ((1L, 1L, 1500000L, 750000L)))
+    assert(af(200L) === ((1L, 1L, 1250000L, 625000L)), "GP fold beats GT")
+    assert(af(300L) === ((1L, 0L, 2000000L, 1000000L)), "7-dec GP refused")
+    assert(af(400L) === ((1L, 0L, 1000000L, 500000L)), "2-part GP refused")
+    assert(af.get(500L) === None, "no rung usable → drop")
+    assert(af(600L) === ((1L, 1L, 1000000L, 500000L)), "GP-only row")
+    // GP-only FRAME: no DS column — the ladder must not resolve DS
+    val gpOnly = ann.drop("DS")
+    val af2 = graft.operators.VariantQc.dosageAf(gpOnly)
+      .select("pos", "n_ds", "dose_sum_micro")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(af2(100L) === ((1L, 2000000L)), "GP 0,0,1 → 2.0 (DS absent)")
+    assert(af2(200L) === ((1L, 1250000L)))
+    // concordance reads the typed rung too: site 200's |1.25 − 0| = 1.25
+    val conc = graft.operators.VariantQc.dosageConcordance(gpOnly)
+      .select("sample_id", "n_compared", "dev_sum_micro", "n_discordant")
+      .as[(String, Long, Long, Long)].collect().head
+    // compared rows: 100 (|2−0|=2), 200 (1.25), 300/400 GP refused → out,
+    // 500 GP missing → out, 600 GT missing → out
+    assert(conc === (("s1", 2L, 3250000L, 2L)))
   }
 
   test("fstByChrom decimalLift: identity at small width; exact past " +
