@@ -146,3 +146,115 @@ final class BgzfLineReader(in: FSDataInputStream, startBlock: Long, fileLen: Lon
     in.close()
   }
 }
+
+/** Block-aware BGZF BYTE reader — the binary twin of [[BgzfLineReader]]
+  * for record-framed formats (BCF): same one-block-at-a-time inflation
+  * with an exact virtual-offset cursor, but the unit of consumption is
+  * a caller-framed byte run (`readFully`) instead of a `\n` line. This
+  * is what makes an indexed `.bcf` SPLITTABLE: the planner bounds each
+  * partition at known record-start voffs (the sibling `.csi`'s chunk
+  * begins), the reader seeks to the range's block, skips the in-block
+  * prefix, and decodes exactly the records that START inside the range
+  * — ownership exact, no loss, no double-read (the [[BgzfLineReader]]
+  * guarantee, byte-framed).
+  */
+final class BgzfByteReader(in: FSDataInputStream, startBlock: Long,
+    fileLen: Long) {
+
+  private var blockStart = startBlock
+  private var nextBlock = startBlock
+  private var buf: Array[Byte] = Array.emptyByteArray
+  private var bufLen = 0
+  private var bufPos = 0
+  private var eof = false
+  private val inflater = new java.util.zip.Inflater(true)
+  private val cbuf = new Array[Byte](65536)
+  private val hdr = new Array[Byte](12)
+  private val trailer = new Array[Byte](8)
+
+  private def loadBlock(): Boolean = {
+    while (nextBlock < fileLen) {
+      in.seek(nextBlock)
+      in.readFully(hdr)
+      require((hdr(0) & 0xff) == 0x1f && (hdr(1) & 0xff) == 0x8b &&
+        hdr(2) == 8 && (hdr(3) & 4) != 0,
+        s"not a BGZF block at compressed offset $nextBlock")
+      val xlen = (hdr(10) & 0xff) | ((hdr(11) & 0xff) << 8)
+      val extra = new Array[Byte](xlen)
+      in.readFully(extra)
+      var bsize = -1
+      var i = 0
+      while (i + 4 <= xlen && bsize < 0) {
+        val slen = (extra(i + 2) & 0xff) | ((extra(i + 3) & 0xff) << 8)
+        if ((extra(i) & 0xff) == 66 && (extra(i + 1) & 0xff) == 67 && slen == 2)
+          bsize = ((extra(i + 4) & 0xff) | ((extra(i + 5) & 0xff) << 8)) + 1
+        i += 4 + slen
+      }
+      require(bsize > 0,
+        s"BGZF BC subfield missing at compressed offset $nextBlock")
+      val cdataLen = bsize - xlen - 20
+      in.readFully(cbuf, 0, cdataLen)
+      in.readFully(trailer)
+      val isize = (trailer(4) & 0xff) | ((trailer(5) & 0xff) << 8) |
+        ((trailer(6) & 0xff) << 16) | ((trailer(7) & 0xff) << 24)
+      blockStart = nextBlock
+      nextBlock += bsize
+      if (isize > 0) {
+        if (buf.length < isize) buf = new Array[Byte](isize)
+        inflater.reset()
+        inflater.setInput(cbuf, 0, cdataLen)
+        var off = 0
+        while (off < isize && !inflater.finished())
+          off += inflater.inflate(buf, off, isize - off)
+        bufLen = isize
+        bufPos = 0
+        return true
+      }
+    }
+    eof = true
+    false
+  }
+
+  /** Virtual offset of the next unread byte; -1 at EOF. */
+  def nextVoff(): Long = {
+    if (bufPos >= bufLen && !eof && !loadBlock()) return -1L
+    if (eof) -1L else (blockStart << 16) | bufPos.toLong
+  }
+
+  /** Discards `n` decompressed bytes (a partition's in-block prefix). */
+  def skip(n: Int): Unit = {
+    var left = n
+    while (left > 0) {
+      if (bufPos >= bufLen && !loadBlock()) return
+      val s = math.min(left, bufLen - bufPos)
+      bufPos += s
+      left -= s
+    }
+  }
+
+  /** Fills `dst[off, off+len)` across block boundaries; false when EOF
+    * lands exactly on the run's first byte (a clean end-of-records),
+    * throws when EOF truncates the run mid-way (a corrupt frame must
+    * fail loudly, never yield a short record).
+    */
+  def readFully(dst: Array[Byte], off: Int, len: Int): Boolean = {
+    var o = off
+    var left = len
+    while (left > 0) {
+      if (bufPos >= bufLen && !loadBlock()) {
+        if (left == len) return false
+        throw new java.io.EOFException(
+          s"BGZF stream truncated: needed $len bytes, got ${len - left}")
+      }
+      val s = math.min(left, bufLen - bufPos)
+      System.arraycopy(buf, bufPos, dst, o, s)
+      bufPos += s; o += s; left -= s
+    }
+    true
+  }
+
+  def close(): Unit = {
+    inflater.end()
+    in.close()
+  }
+}

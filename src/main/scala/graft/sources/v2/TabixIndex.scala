@@ -202,7 +202,17 @@ object TabixIndex {
     * depth) drives [[reg2bins]], so offsets beyond tabix's 2^29
     * position limit still prune.
     */
-  def readCsi(fs: FileSystem, csiPath: Path): Index = {
+  def readCsi(fs: FileSystem, csiPath: Path): Index =
+    readCsi(fs, csiPath, None)
+
+  /** [[readCsi]] with a CONTIG-TABLE fallback for non-tabix CSI: a
+    * `.bcf.csi` (htslib convention) carries NO names in its aux block —
+    * reference i is the BCF header's contig i — so the caller passes
+    * the decoded contig table and the refs are named from it. A
+    * tabix-style aux with names still wins when present.
+    */
+  def readCsi(fs: FileSystem, csiPath: Path,
+      contigNames: Option[IndexedSeq[String]]): Index = {
     val in = new GZIPInputStream(fs.open(csiPath), 65536)
     val bytes = try in.readAllBytes() finally in.close()
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -240,10 +250,17 @@ object TabixIndex {
     // The engine prunes BY NAME (pushed chrom vs ref names): an index
     // whose aux block carries no usable names cannot prune safely —
     // every lookup would miss and the scan would silently return zero
-    // rows for data that exists. Fail loudly, like the .tbi reader.
-    require(names.length == nRef,
-      s"$csiPath: ${names.length} sequence names in aux block for $nRef references " +
-        "(non-tabix CSI? cannot prune by chromosome name)")
+    // rows for data that exists. Fail loudly, like the .tbi reader —
+    // unless the caller supplied the format's own contig table (BCF).
+    val refNames: IndexedSeq[String] =
+      if (names.length == nRef) names.toIndexedSeq
+      else contigNames match {
+        case Some(cs) if cs.length >= nRef => cs.take(nRef)
+        case _ => throw new IllegalArgumentException(
+          s"$csiPath: ${names.length} sequence names in aux block for " +
+            s"$nRef references (non-tabix CSI? cannot prune by " +
+            "chromosome name without the caller's contig table)")
+      }
     // bins at or past the tree's real-bin count are stats pseudo-bins
     val pseudo = (((1L << (3 * (depth + 1))) - 1) / 7).toInt
     val refs = mutable.ArrayBuffer.empty[Ref]
@@ -266,7 +283,7 @@ object TabixIndex {
           }
         }
       }
-      refs += Ref(names(i), if (minV == Long.MaxValue) 0L else minV, maxV,
+      refs += Ref(refNames(i), if (minV == Long.MaxValue) 0L else minV, maxV,
         Array.empty[Long], binMap.view.mapValues(_.toArray).toMap, minShift, depth)
     }
     Index(refs.toSeq)
@@ -524,10 +541,14 @@ object TabixIndex {
   /** Write `idx` as a `.csi` at `out` (htslib CSI v1 layout — the
     * format [[readCsi]] reads; tabix aux header, no linear index,
     * loffset 0). Everything goes through the Hadoop filesystem of
-    * `out`, so hdfs/s3a/local all work.
+    * `out`, so hdfs/s3a/local all work. `tabixAux = false` writes the
+    * EMPTY aux block htslib uses for `.bcf.csi` — the reference names
+    * live in the BCF header's contig table, not the index
+    * ([[readCsi]]'s `contigNames` fallback reads that shape back).
     */
   def writeCsi(fs: FileSystem, out: Path, idx: Index,
-      minShift: Int = 14, depth: Int = 5): Unit = {
+      minShift: Int = 14, depth: Int = 5,
+      tabixAux: Boolean = true): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     def i32(v: Int): Unit =
       (0 until 4).foreach(b => bos.write((v >>> (8 * b)) & 0xff))
@@ -535,10 +556,14 @@ object TabixIndex {
       (0 until 8).foreach(b => bos.write(((v >>> (8 * b)) & 0xff).toInt))
     bos.write('C'); bos.write('S'); bos.write('I'); bos.write(1)
     i32(minShift); i32(depth)
-    val names = idx.refs.map(_.name + "\u0000").mkString.getBytes("UTF-8")
-    i32(28 + names.length) // l_aux
-    i32(2); i32(1); i32(2); i32(0); i32('#'); i32(0) // tabix-style aux
-    i32(names.length); bos.write(names)
+    if (tabixAux) {
+      val names = idx.refs.map(_.name + "\u0000").mkString.getBytes("UTF-8")
+      i32(28 + names.length) // l_aux
+      i32(2); i32(1); i32(2); i32(0); i32('#'); i32(0) // tabix-style aux
+      i32(names.length); bos.write(names)
+    } else {
+      i32(0) // l_aux -- BCF-style: contig identities come from the data
+    }
     i32(idx.refs.length)
     idx.refs.foreach { r =>
       i32(r.bins.size)
