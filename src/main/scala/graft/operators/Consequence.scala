@@ -805,10 +805,14 @@ object Consequence {
       fields: Seq[String],
       infoKey: String = "CSQ",
       alleleNumField: String = "ALLELE_NUM",
-      alignedCol: String = "aligned_alt"): DataFrame = {
+      alignedCol: String = "aligned_alt",
+      types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
+      : DataFrame = {
     require(fields.nonEmpty, "need the Format field declaration")
     require(fields.distinct.length == fields.length,
       s"duplicate Format fields: $fields")
+    require(types.keySet.subsetOf(fields.toSet),
+      s"types declared for unknown fields: ${types.keySet -- fields.toSet}")
     val value = regexp_extract(col("info"),
       "(^|;)" + java.util.regex.Pattern.quote(infoKey) + "=([^;]*)", 2)
     val recs = df
@@ -819,10 +823,19 @@ object Consequence {
       // stage the pipe split ONCE; limit -1 keeps trailing empties so
       // `A|B|` still yields n parts (all-empty tails stay addressable)
       .withColumn("__parts", split(col("__rec"), "\\|", -1))
+    // optional TYPED columns (the r13 verdict's #7 — VEP numeric
+    // fields like positions/scores otherwise need caller-side casts):
+    // a declared field gets ONE ANSI-safe try_cast on top of the same
+    // string extract; undeclared fields keep the string path verbatim,
+    // so the default (empty map) plans byte-identically
     val withFields = fields.zipWithIndex.foldLeft(recs) {
       case (d, (f, i)) =>
-        d.withColumn(f,
-          nullif(try_element_at(col("__parts"), lit(i + 1)), lit("")))
+        val raw = nullif(try_element_at(col("__parts"), lit(i + 1)),
+          lit(""))
+        d.withColumn(f, types.get(f) match {
+          case None => raw
+          case Some(t) => raw.try_cast(t) // malformed values → NULL
+        })
     }
     val aligned =
       if (!fields.contains(alleleNumField)) withFields

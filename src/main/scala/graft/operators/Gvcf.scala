@@ -105,4 +105,87 @@ object Gvcf {
           .when(col("alt") === "<NON_REF>", "ref_block")
           .otherwise("variant"))
   }
+
+  /** JOINT GENOTYPING over the cohort locus state — the GenotypeGVCFs
+    * PRODUCT ([[cohortLocusState]] gives the three-way per-sample
+    * verdict; this re-CALLS it): per (locus, sample), the covering
+    * record's `Number=G` phred likelihoods decide the genotype —
+    * `called_gt` = the argmin-PL genotype (the q213
+    * [[VariantAnnotator.callFromPl]] triangular machinery: smallest
+    * is most likely, FIRST minimum wins ties, `j/k` recovered by the
+    * exact inverse k = ⌊(√(8i+1)−1)/2⌋, j = i − k(k+1)/2) and `gq` =
+    * second-smallest − smallest (the standard genotype-quality
+    * definition) — so a banded record whose pipeline GT disagrees
+    * with its own likelihoods gets corrected at the cohort read, which
+    * is what joint genotyping exists to do. Reference bands
+    * contribute through the SAME rule (their PL is the hom-ref
+    * likelihood band over [REF, <NON_REF>]); `no_coverage` samples
+    * call `./.` with NULL gq — never conflated with hom-ref. A
+    * covered record whose PL is absent/malformed/wrong-arity keeps
+    * its own `gtCol` verbatim with NULL gq (the callFromPl
+    * passthrough contract).
+    *
+    * Shape: [[cohortLocusState]]'s plan (bucket equi-join + the
+    * answer-sized broadcast grid) + ONE narrow projection whose PL
+    * fold is a single `aggregate` referenced once (§8 staging rule —
+    * each element parses once, min/argmin/second-min carried in one
+    * pass); zero additional exchanges.
+    */
+  def jointGenotype(
+      gvcf: DataFrame, loci: DataFrame,
+      sampleCol: String = "sample_id",
+      gtCol: String = "gt", plCol: String = "pl",
+      chromCol: String = "chrom", posCol: String = "pos",
+      refCol: String = "ref", infoCol: String = "info",
+      bucketShift: Int = 20): DataFrame = {
+    val st = cohortLocusState(gvcf, loci, sampleCol, chromCol, posCol,
+      refCol, infoCol, bucketShift)
+    val nAlts = size(split(col("alt"), ","))
+    val nGt = ((nAlts + 1) * (nAlts + 2) / 2).cast("int")
+    val pl = split(col(plCol), ",")
+    val big = Int.MaxValue
+    // ONE fold carrying (min, argmin, second-min, cursor, bad) — the
+    // q213 single-pass pattern extended with the GQ gap; the finish
+    // emits the complete (called_gt, gq) struct or NULL so the fold
+    // is referenced exactly once through the coalesce below
+    val zero = struct(lit(big).as("v"), lit(-1).as("i"),
+      lit(big).as("v2"), lit(0).as("pos"), lit(false).as("bad"))
+    val folded = aggregate(pl, zero,
+      (acc, x) => {
+        val xv = when(x =!= "" &&
+          length(translate(x, "0123456789", "")) === 0,
+          x.cast("int"))
+        val better = xv.isNotNull && xv < acc.getField("v")
+        val second = xv.isNotNull && !(xv < acc.getField("v")) &&
+          xv < acc.getField("v2")
+        struct(
+          when(better, xv).otherwise(acc.getField("v")).as("v"),
+          when(better, acc.getField("pos"))
+            .otherwise(acc.getField("i")).as("i"),
+          when(better, acc.getField("v"))
+            .when(second, xv).otherwise(acc.getField("v2")).as("v2"),
+          (acc.getField("pos") + 1).as("pos"),
+          (acc.getField("bad") || xv.isNull).as("bad"))
+      },
+      acc => {
+        val i = acc.getField("i")
+        val kAl = floor((sqrt(i.cast("double") * 8.0 + 1.0) - 1.0) / 2.0)
+          .cast("int")
+        val jAl = (i - (kAl * (kAl + 1)) / 2).cast("int")
+        when(!acc.getField("bad") && acc.getField("pos") === nGt &&
+          acc.getField("pos") >= lit(2) && i >= 0,
+          struct(
+            concat(jAl.cast("string"), lit("/"), kAl.cast("string"))
+              .as("cgt"),
+            (acc.getField("v2") - acc.getField("v")).as("gq")))
+      })
+    st
+      .withColumn("__jc",
+        when(col("state") =!= "no_coverage", folded))
+      .withColumn("called_gt",
+        when(col("state") === "no_coverage", lit("./."))
+          .otherwise(coalesce(col("__jc.cgt"), col(gtCol))))
+      .withColumn("gq", col("__jc.gq"))
+      .drop("__jc")
+  }
 }

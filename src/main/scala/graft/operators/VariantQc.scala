@@ -329,7 +329,8 @@ object VariantQc {
       sampleCol: String = "sample_id",
       siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
       decimalLift: Boolean = false,
-      dosageCol: Option[String] = None): DataFrame = {
+      dosageCol: Option[String] = None,
+      gpCol: String = "GP"): DataFrame = {
     require(cases.nonEmpty && controls.nonEmpty,
       "both cohorts must be non-empty")
     require(cases.intersect(controls).isEmpty,
@@ -338,7 +339,8 @@ object VariantQc {
     val inCase = col(sampleCol).isin(cases: _*)
     val inCtrl = col(sampleCol).isin(controls: _*)
     if (dosageCol.isDefined)
-      return trendTestDosage(ann, inCase, inCtrl, siteKey, dosageCol.get)
+      return trendTestDosage(ann, inCase, inCtrl, siteKey, dosageCol.get,
+        gpCol)
     val dose = col("gt1").cast("long") + col("gt2").cast("long")
     def cnt(member: org.apache.spark.sql.Column, d: Long) =
       sum(when(member && dose === d, 1L).otherwise(0L))
@@ -408,13 +410,13 @@ object VariantQc {
     */
   private def trendTestDosage(
       ann: DataFrame, inCase: Column, inCtrl: Column,
-      siteKey: Seq[String], ds: String): DataFrame = {
+      siteKey: Seq[String], ds: String, gpCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val agg = ann
       .filter(col("multiallele") === 0 && (inCase || inCtrl))
       .select(siteKey.map(col) ++ Seq(
         inCase.as("__case"),
-        coalesce(dosageMicro(col(ds)), gtDosageMicro).as("__x")): _*)
+        dosageLadder(ann, ds, gpCol).as("__x")): _*)
       .filter(col("__x").isNotNull)
       .groupBy(siteKey.map(col): _*)
       .agg(
@@ -732,7 +734,8 @@ object VariantQc {
       ann: DataFrame, weights: DataFrame,
       sampleCol: String = "sample_id",
       siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
-      dosageCol: Option[String] = None): DataFrame = dosageCol match {
+      dosageCol: Option[String] = None,
+      gpCol: String = "GP"): DataFrame = dosageCol match {
     case None =>
       def called(c: String) = col(c).isNotNull && col(c) =!= "."
       ann
@@ -751,11 +754,14 @@ object VariantQc {
       // IMPUTATION-DOSAGE scoring (plink2 --score on FORMAT DS — the
       // biobank posture: UK Biobank/TOPMed callsets ship imputed
       // dosages and production PGS runs on DS, not GT hard calls):
-      // x = the call's typed DS in MICRO units ([[dosageMicro]] —
-      // fixed-6-decimal parse, exact on both engines), falling back
-      // to the GT hard-call dosage when DS is missing/malformed
-      // (plink's dosage-certainty fallback), the row dropping out
-      // only when BOTH are unusable. Σ β_micro·x_micro is an exact
+      // x = the call's typed dosage in MICRO units via the
+      // DS > GP > GT ladder ([[dosageMicro]] fixed-6-decimal parse;
+      // [[gpDosageMicro]] folds a GP triple to P(het) + 2·P(hom-alt)
+      // where the frame carries GP — minimac/Beagle ship GP-only
+      // callsets), falling back to the GT hard-call dosage when no
+      // typed rung parses (plink's dosage-certainty fallback), the
+      // row dropping out only when ALL are unusable. n_ds counts the
+      // typed-dosage-sourced rows (DS or GP, not GT fallback). Σ β_micro·x_micro is an exact
       // int64 PICO-unit fold (order-free), so the score is
       // engine-replayable with zero float summation. Same broadcast
       // shape as the GT path; output adds the DS-coverage count
@@ -764,7 +770,7 @@ object VariantQc {
       // output, which drops fully-missing GT calls — a dosage-only
       // record (GT ./. but DS present) does not reach the fold; run
       // [[VariantAnnotator.callFromPl]] first on such callsets.
-      val dsm = dosageMicro(col(ds))
+      val dsm = typedDosageMicro(ann, ds, gpCol)
       val gtm = gtDosageMicro
       ann
         .filter(col("multiallele") === 0)
@@ -793,6 +799,51 @@ object VariantQc {
     when(c.rlike("^[0-9]{1,12}(\\.[0-9]{1,6})?$"),
       (c.cast("decimal(20,6)") * lit(1000000L)).cast("long"))
 
+  /** Typed-GP parse to MICRO dosage units: `Number=G` genotype
+    * probabilities `P(0/0),P(0/1),P(1/1)` (how minimac/Beagle emit
+    * imputed confidence when DS is absent) reduce EXACTLY to the
+    * expected ALT dosage DS = P(het) + 2·P(hom-alt) — two micro
+    * parses ([[dosageMicro]]'s ladder: ≤ 6 decimals each, int64
+    * arithmetic, engine-replayable) and one fold. A GP that is
+    * missing (`.`), malformed, not a biallelic triple, or carries
+    * > 6 decimals yields NULL so the next fallback rung takes over —
+    * the same refusal contract as DS. Values are taken at face value
+    * (minimac emits normalized triples; no renormalization).
+    */
+  private def gpDosageMicro(c: Column): Column = {
+    val part = "[0-9]{1,12}(\\.[0-9]{1,6})?"
+    val parts = split(c, ",")
+    def micro(i: Int) =
+      (element_at(parts, i).cast("decimal(20,6)") * lit(1000000L))
+        .cast("long")
+    when(c.rlike(s"^$part,$part,$part$$"), micro(2) + lit(2L) * micro(3))
+  }
+
+  /** The typed-dosage rung stack for `df`'s own schema, PRECEDENCE
+    * DS > GP: the DS parse where the column exists, then the
+    * GP-derived dosage where that column exists. Columns absent from
+    * the frame contribute NO rung (not a NULL literal), so a DS-only
+    * frame plans exactly the pre-GP expression — every carry-over
+    * dosage-gate hash is byte-identical. NULL (no rungs or all
+    * refused) hands over to [[gtDosageMicro]] in [[dosageLadder]].
+    */
+  private def typedDosageMicro(
+      df: DataFrame, dsCol: String, gpCol: String): Column = {
+    val rungs =
+      (if (df.columns.contains(dsCol)) Seq(dosageMicro(col(dsCol)))
+       else Nil) ++
+      (if (df.columns.contains(gpCol)) Seq(gpDosageMicro(col(gpCol)))
+       else Nil)
+    if (rungs.isEmpty) lit(null).cast("long")
+    else if (rungs.length == 1) rungs.head
+    else coalesce(rungs: _*)
+  }
+
+  /** The full dosage ladder DS > GP > GT-hard-call. */
+  private def dosageLadder(
+      df: DataFrame, dsCol: String, gpCol: String): Column =
+    coalesce(typedDosageMicro(df, dsCol, gpCol), gtDosageMicro)
+
   /** GT hard-call ALT dosage in MICRO units on called diploid rows
     * (NULL otherwise) — the fallback substrate for the dosage modes;
     * equals 10⁶·(gt1+gt2) which on the biallelic (multiallele=0)
@@ -820,7 +871,7 @@ object VariantQc {
     * exact past any cohort (8·10¹⁸·n² ≤ 10³⁸ → n ≤ 3.5·10⁹).
     * Monomorphic dosage (S = 0 or S = 2nU) defines 0, plink/minimac's
     * convention; Var > expected (possible on real data) reports > 10⁶
-    * raw, as minimac does. Same DS-parse + GT-fallback ladder as the
+    * raw, as minimac does. Same DS > GP > GT dosage ladder as the
     * dosage [[polygenicScore]].
     *
     * Shape: ONE site-keyed partial-aggregated groupBy — zero joins,
@@ -830,12 +881,13 @@ object VariantQc {
       ann: DataFrame,
       sampleCol: String = "sample_id",
       siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
-      dosageCol: String = "DS"): DataFrame = {
+      dosageCol: String = "DS",
+      gpCol: String = "GP"): DataFrame = {
     val dec = "decimal(38,0)"
     val agg = ann
       .filter(col("multiallele") === 0)
       .select(siteKey.map(col) :+
-        coalesce(dosageMicro(col(dosageCol)), gtDosageMicro).as("__x"): _*)
+        dosageLadder(ann, dosageCol, gpCol).as("__x"): _*)
       .filter(col("__x").isNotNull)
       .groupBy(siteKey.map(col): _*)
       .agg(
@@ -857,8 +909,10 @@ object VariantQc {
 
   /** DOSAGE↔HARD-CALL CONCORDANCE per sample — the imputation-QC
     * swap check (the per-sample companion of [[imputationInfoScore]]'s
-    * per-site read): on calls carrying BOTH a typed DS and a called
-    * diploid GT, |DS − GT| should hug 0 for the sample's own data — a
+    * per-site read): on calls carrying BOTH a typed dosage (DS, or the
+    * [[gpDosageMicro]]-derived GP rung on GP-only callsets) and a
+    * called diploid GT, |DS − GT| should hug 0 for the sample's own
+    * data — a
     * sample whose dosages systematically disagree with its hard calls
     * was swapped/contaminated between calling and imputation (the
     * classic post-imputation sanity pass). Per sample: compared-call
@@ -874,10 +928,11 @@ object VariantQc {
       ann: DataFrame,
       sampleCol: String = "sample_id",
       dosageCol: String = "DS",
-      thresholdMicro: Long = 500000L): DataFrame = {
+      thresholdMicro: Long = 500000L,
+      gpCol: String = "GP"): DataFrame = {
     require(thresholdMicro >= 0L,
       s"thresholdMicro must be >= 0, got $thresholdMicro")
-    val dev = abs(dosageMicro(col(dosageCol)) - gtDosageMicro)
+    val dev = abs(typedDosageMicro(ann, dosageCol, gpCol) - gtDosageMicro)
     ann
       .filter(col("multiallele") === 0)
       .select(col(sampleCol), dev.as("__d"))
@@ -899,10 +954,11 @@ object VariantQc {
     * `bcftools +fill-tags -- -t AF` computes when pointed at DS, and
     * the MAF substrate association/PGS filtering should use on imputed
     * data instead of hard-call counting): per site, the usable-sample
-    * count, the DS-sourced count, the exact micro dosage sum, and
-    * af_micro = ⌊Σx / 2n⌋ (one integer division over exact int64 —
-    * engine-replayable). Same DS-parse + GT-fallback ladder as the
-    * dosage [[polygenicScore]].
+    * count, the typed-dosage-sourced count (DS or GP — the
+    * [[gpDosageMicro]] rung serves GP-only imputed callsets), the
+    * exact micro dosage sum, and af_micro = ⌊Σx / 2n⌋ (one integer
+    * division over exact int64 — engine-replayable). Same
+    * DS > GP > GT dosage ladder as the dosage [[polygenicScore]].
     *
     * Shape: ONE site-keyed partial-aggregated groupBy — zero joins,
     * zero exchanges on a site-bucketed landing.
@@ -911,8 +967,9 @@ object VariantQc {
       ann: DataFrame,
       sampleCol: String = "sample_id",
       siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
-      dosageCol: String = "DS"): DataFrame = {
-    val dsm = dosageMicro(col(dosageCol))
+      dosageCol: String = "DS",
+      gpCol: String = "GP"): DataFrame = {
+    val dsm = typedDosageMicro(ann, dosageCol, gpCol)
     ann
       .filter(col("multiallele") === 0)
       .select(siteKey.map(col) ++ Seq(

@@ -75,11 +75,13 @@ object SyntheticVariants {
     * exactly, with a `.`-missing class every 37th (k+si) to exercise
     * the GT-hard-call fallback.
     */
-  def callSql(si: String, withDs: Boolean = false): String = {
+  def callSql(si: String, withDs: Boolean = false,
+      withGp: Boolean = false): String = {
     val g = s"k + ($si) * 31"
     val base = s"${gtSql(g)} || ':' || CAST(($g) % 100 AS VARCHAR(8)) || ':' || " +
       s"CAST(($g) % 50 AS VARCHAR(8)) || ',' || CAST(($g) % 30 AS VARCHAR(8))"
-    if (!withDs) base else s"$base || ':' || ${dsSql(si)}"
+    val withDsPart = if (!withDs) base else s"$base || ':' || ${dsSql(si)}"
+    if (!withGp) withDsPart else s"$withDsPart || ':' || ${gpSql(si)}"
   }
 
   /** Planted DS string for sample term `si`: micro value
@@ -104,6 +106,37 @@ object SyntheticVariants {
   def dsMicroSql(si: String): String =
     s"""CASE WHEN (k + ($si)) % 37 = 0 THEN NULL
         ELSE CAST((k * 13 + ($si) * 29) % 2000001 AS BIGINT) END"""
+
+  /** Planted GP triple for sample term `si` — the GP-ONLY imputed
+    * callset class (minimac/Beagle outputs that ship genotype
+    * probabilities without DS, the r13 verdict's Missing #1):
+    * `P(0/0),P(0/1),P(1/1)` with the het/hom-alt micro values
+    * m1 = (k·7 + si·17) % 1000001 and m2 = (k·11 + si·23) % 1000001
+    * rendered as fixed-6-decimal strings (exact on both engines), a
+    * `.`-missing class every 37th (k+si) — same cadence as [[dsSql]]
+    * so the GT fallback is exercised — and a 7-DECIMAL REFUSAL class
+    * every 41st (the parse must hand sub-micro precision to the next
+    * rung, never round it engine-differently).
+    */
+  def gpSql(si: String): String = {
+    def p(m: String): String =
+      s"""(CASE WHEN $m >= 1000000 THEN '1' ELSE '0' END)
+          || '.' || lpad(CAST($m % 1000000 AS VARCHAR(8)), 6, '0')"""
+    val m1 = s"((k * 7 + ($si) * 17) % 1000001)"
+    val m2 = s"((k * 11 + ($si) * 23) % 1000001)"
+    s"""CASE WHEN (k + ($si)) % 37 = 0 THEN '.'
+        WHEN (k + ($si)) % 41 = 0 THEN '0.1234567,0.1,0.1'
+        ELSE '0.000000,' || ${p(m1)} || ',' || ${p(m2)} END"""
+  }
+
+  /** DuckDB-side replay of the planted GP-derived *micro* dosage
+    * DS = P(het) + 2·P(hom-alt) (NULL on the missing AND the
+    * 7-decimal refusal classes — both fall to the GT rung).
+    */
+  def gpMicroSql(si: String): String =
+    s"""CASE WHEN (k + ($si)) % 37 = 0 OR (k + ($si)) % 41 = 0 THEN NULL
+        ELSE CAST((k * 7 + ($si) * 17) % 1000001 AS BIGINT)
+             + 2 * CAST((k * 11 + ($si) * 23) % 1000001 AS BIGINT) END"""
 
   val sampleIds: Seq[String] = (1 to 4).map(i => s"g$i")
 
@@ -180,8 +213,14 @@ object SyntheticVariants {
     * the DuckDB twin is [[duckCtesWith]] with the same expression.
     */
   def wide(s: SparkSession, dir: String,
-      altOverride: String = altSql, withDs: Boolean = false): DataFrame = {
-    val fmt = if (withDs) "'GT:DP:AD:DS'" else "'GT:DP:AD'"
+      altOverride: String = altSql, withDs: Boolean = false,
+      withGp: Boolean = false): DataFrame = {
+    val fmt = (withDs, withGp) match {
+      case (true, true) => "'GT:DP:AD:DS:GP'"
+      case (true, false) => "'GT:DP:AD:DS'"
+      case (false, true) => "'GT:DP:AD:GP'"
+      case (false, false) => "'GT:DP:AD'"
+    }
     val exprs = Seq(
       "k",
       s"$chromRawSql AS chrom_raw",
@@ -193,7 +232,7 @@ object SyntheticVariants {
       s"$filtSql AS filt",
       s"$infoSql AS info",
       s"$fmt AS format") ++
-      (1 to 4).map(i => s"${callSql(i.toString, withDs)} AS call_g$i")
+      (1 to 4).map(i => s"${callSql(i.toString, withDs, withGp)} AS call_g$i")
     // The testdata files are tiny (1-3 input splits) while the derived
     // per-row work below is heavy — fan out to full parallelism BEFORE
     // the derivation projection, shuffling only the 8-byte key. Round 2
@@ -226,13 +265,14 @@ object SyntheticVariants {
     * downstream CTE chains (e.g. [[duckAnnotateCtes]]) replay over a
     * planted callset unchanged.
     */
-  def duckCtesWith(alt: String, withDs: Boolean = false): String =
+  def duckCtesWith(alt: String, withDs: Boolean = false,
+      withGp: Boolean = false): String =
     s"""ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
         v AS (SELECT k, $chromRawSql AS chrom_raw, $posSql AS pos,
                      $idSql AS id, $refSql AS ref, $alt AS alt,
                      $qualSql AS qual, $filtSql AS filt, $infoSql AS info
               FROM ln),
-        sm AS (SELECT v.*, u.si, ${callSql("u.si", withDs)} AS call
+        sm AS (SELECT v.*, u.si, ${callSql("u.si", withDs, withGp)} AS call
                FROM v CROSS JOIN (SELECT unnest([1,2,3,4]) AS si) u)"""
 
   val duckCtes: String = duckCtesWith(altSql)

@@ -4418,6 +4418,44 @@ object VcfQueries extends QuerySet {
       VariantAnnotator.Options(dropHomRef = false,
         formatKeys = Some(Seq("DS"))))
 
+  /** GP-ONLY eligibility replay (the [[duckDosageEl]] twin for the
+    * `GT:DP:AD:GP` fixture — DS absent entirely, the minimac/Beagle
+    * GP-only posture): x = coalesce(GP-derived micro dosage, GT
+    * hard-call micro) — the `./1` half-missing class rides on GP
+    * ALONE (the GP value is observably used: gtm is NULL there), the
+    * `.`-GP and 7-decimal-refusal classes ride on GT alone, rows with
+    * neither dropping out. `dsm` keeps [[duckDosageEl]]'s column name
+    * so the downstream SELECTs read identically.
+    */
+  private def duckGpDosageEl: String =
+    s"""lngd AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom,
+          pos, ref, alt, si, string_split(call, ':')[1] AS gt
+        FROM sm
+        WHERE alt <> '.'
+          AND string_split(call, ':')[1] NOT IN ('./.', '.|.', '.')
+          AND NOT contains(alt, ',')),
+      elx AS (SELECT k, chrom, pos, ref, alt, si, dsm, gtm,
+          coalesce(dsm, gtm) AS x
+        FROM (SELECT k, chrom, pos, ref, alt, si,
+            ${gpMicroSql("si")} AS dsm,
+            CASE WHEN len(parts) = 2 AND parts[1] <> '.' AND parts[2] <> '.'
+                 THEN (CAST(parts[1] AS BIGINT) + CAST(parts[2] AS BIGINT))
+                      * 1000000 END AS gtm
+          FROM (SELECT *, string_split_regex(gt, '[/|]') AS parts
+                FROM lngd))
+        WHERE coalesce(dsm, gtm) IS NOT NULL)"""
+
+  /** Planted-GP annotate: the wide frame with `GT:DP:AD:GP` calls
+    * (NO DS — the GP-only imputed callset), GP materialized as a
+    * column for the dosage ladder's [[graft.operators.VariantQc]]
+    * GP rung.
+    */
+  private def annWithGp(s: org.apache.spark.sql.SparkSession, dir: String) =
+    VariantAnnotator.annotate(
+      wide(s, dir, withGp = true),
+      VariantAnnotator.Options(dropHomRef = false,
+        formatKeys = Some(Seq("GP"))))
+
   /** IMPUTATION-DOSAGE POLYGENIC SCORE gate ([[graft.operators
     * .VariantQc.polygenicScore]]'s `dosageCol` mode — plink2 --score
     * on FORMAT DS, the biobank posture: production PGS runs on
@@ -4746,8 +4784,10 @@ object VcfQueries extends QuerySet {
     * strip takes DP and the `Number=A` AF (comma lists and all) while
     * NS rides through, and the FORMAT drop removes two mid-layout
     * subfields positionally so `GT:DP:AD:DS` → `GT:DS` with every
-    * call rebuilt from subfields 1 and 4; DuckDB replays the global
-    * regex strip ('g' flag) and the positional rebuild.
+    * call rebuilt from subfields 1 and 4; DuckDB replays the
+    * whole-entry split-filter strip (the key is the text before the
+    * first `=`, so DP never eats a DP4 entry — the r13 advisory) and
+    * the positional rebuild.
     */
   private lazy val q224 = Q(
     "q224_remove_tags",
@@ -4760,9 +4800,9 @@ object VcfQueries extends QuerySet {
     Some(s"""
       WITH ${duckCtesWith(altSql, withDs = true)},
       st AS (SELECT k, si, call,
-               regexp_replace(regexp_replace(info,
-                 '(^|;)(DP|AF)(=[^;]*)?', '', 'g'),
-                 '^;', '') AS info0
+               coalesce(array_to_string(list_filter(string_split(info, ';'),
+                 e -> string_split(e, '=')[1] NOT IN ('DP', 'AF')),
+                 ';'), '') AS info0
              FROM sm)
       SELECT k,
         CASE WHEN info0 = '' THEN '.' ELSE info0 END AS info,
@@ -4781,7 +4821,7 @@ object VcfQueries extends QuerySet {
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
-      q219, q222, q224, q226, q227)
+      q219, q222, q224, q226, q227, q228, q229, q230)
 
   /** DOSAGE↔HARD-CALL CONCORDANCE gate ([[graft.operators.VariantQc
     * .dosageConcordance]] — the post-imputation sample-swap sanity
@@ -4896,4 +4936,203 @@ object VcfQueries extends QuerySet {
         ORDER BY grid.lk, grid.sample_id, gk NULLS FIRST
       """))
   }
+
+  /** GP-ONLY DOSAGE gate ([[graft.operators.VariantQc.dosageAf]]
+    * through the GP rung of the DS > GP > GT dosage ladder — the r13
+    * verdict's Missing #1: some minimac/Beagle imputed callsets ship
+    * `Number=G` genotype probabilities WITHOUT a DS field, and the
+    * r13 ladder fell back to GT hard calls silently, discarding the
+    * imputation information): the fixture's calls are `GT:DP:AD:GP`
+    * (no DS anywhere), so every typed dosage comes from the exact
+    * GP fold DS = P(het) + 2·P(hom-alt); the `./1` half-missing GT
+    * class rides on GP ALONE (GP observably used — those rows have
+    * no GT fallback), the `.`-GP class rides on GT alone, and the
+    * 7-DECIMAL GP class pins the refusal rung (sub-micro precision
+    * hands over to GT, never rounds engine-differently). DuckDB
+    * replays the triple parse + fold + eligibility ladder
+    * ([[duckGpDosageEl]]).
+    */
+  private lazy val q228 = Q(
+    "q228_gp_dosage_af",
+    (s, dir) =>
+      graft.operators.VariantQc.dosageAf(annWithGp(s, dir))
+        .orderBy("chrom", "pos", "ref", "alt"),
+    Some(s"""
+      WITH ${duckCtesWith(altSql, withGp = true)},
+      $duckGpDosageEl
+      SELECT chrom, pos, ref, alt,
+        CAST(count(*) AS BIGINT) AS n_called,
+        CAST(sum(CASE WHEN dsm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ds,
+        CAST(sum(x) AS BIGINT) AS dose_sum_micro,
+        CAST(CAST(sum(x) AS BIGINT) // (2 * count(*)) AS BIGINT)
+          AS af_micro
+      FROM elx GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """))
+
+  /** gVCF JOINT-GENOTYPING gate ([[graft.operators.Gvcf
+    * .jointGenotype]] — the GenotypeGVCFs PRODUCT over the q226
+    * cohort locus state, the r13 verdict's Missing #4: per (locus,
+    * sample) the covering record's PL band re-CALLS the genotype —
+    * argmin-PL with the q213 first-min/triangular machinery, GQ =
+    * second-smallest − smallest — so loci where a record's pipeline
+    * GT disagrees with its own likelihoods get observably corrected
+    * at the cohort read, ref bands contribute hom-ref likelihood
+    * bands through the same rule, `no_coverage` calls `./.` and a
+    * malformed-PL class (every 7th k ≡ 5) keeps the record's own GT
+    * with NULL gq): the planted PLs are k-formula triples INDEPENDENT
+    * of the planted GT, so recall≠GT rows are common; DuckDB replays
+    * grid × range join × list-argmin + sorted-gap GQ.
+    */
+  private lazy val q229 = {
+    val gvChrom = "CAST(1 + (k % 22) AS VARCHAR(8)) AS chrom"
+    val gvPos = "CAST(1000 + (k % 100000) AS INT) AS pos"
+    val gvRef = "substr('ACGTACG', CAST(1 + (k % 4) AS INT), " +
+      "CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) AS ref"
+    val gvAlt = """CASE WHEN k % 4 = 0 THEN '<NON_REF>'
+        ELSE substr('TGCA', CAST(1 + (k % 4) AS INT), 1) END AS alt"""
+    val gvInfo = """CASE
+        WHEN k % 4 = 0 THEN 'END=' ||
+          CAST(1000 + (k % 100000) + 10 + (k % 90) AS VARCHAR(12))
+        ELSE 'DP=' || CAST(k % 100 AS VARCHAR(8)) END AS info"""
+    val gvSample = "'s' || CAST(k % 3 AS VARCHAR(4)) AS sample_id"
+    val gvGt = """CASE WHEN k % 4 = 0 THEN '0/0'
+        WHEN k % 9 < 5 THEN '0/1' ELSE '1/1' END AS gt"""
+    // PL triple: ref bands get a 0-first hom-ref band, variant rows a
+    // free-running formula (argmin independent of the planted gt);
+    // every 7th k ≡ 5 is malformed ('.') — the passthrough class
+    val gvPl = """CASE WHEN k % 7 = 5 THEN '.'
+        WHEN k % 4 = 0 THEN '0,' || CAST(k % 45 AS VARCHAR(8)) || ','
+          || CAST((k % 90) + 45 AS VARCHAR(8))
+        ELSE CAST(k % 60 AS VARCHAR(8)) || ','
+          || CAST((k + 13) % 60 AS VARCHAR(8)) || ','
+          || CAST((k + 26) % 60 AS VARCHAR(8)) END AS pl"""
+    val spanEnd = """CASE
+        WHEN k % 4 = 0 THEN (1000 + (k % 100000)) + 10 + (k % 90)
+        ELSE (1000 + (k % 100000))
+          + (CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) - 1 END"""
+    val lcChrom = "CAST(1 + (lk % 22) AS VARCHAR(8)) AS chrom"
+    val lcPos = "CAST(1000 + ((lk * 37 + 11) % 100120) AS INT) AS pos"
+    Q(
+      "q229_gvcf_joint_call",
+      (s, dir) => {
+        val gv = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("k", gvChrom, gvPos, gvRef, gvAlt, gvInfo,
+            gvSample, gvGt, gvPl)
+        val loci = t(s, dir, "orders")
+          .selectExpr("o_orderkey AS lk")
+          .selectExpr("lk", lcChrom, lcPos)
+          .groupBy("chrom", "pos").agg(min(col("lk")).as("lk"))
+        graft.operators.Gvcf.jointGenotype(gv, loci)
+          .select(col("lk"), col("chrom"), col("pos"), col("sample_id"),
+            col("k").as("gk"), col("state"), col("gt"),
+            col("called_gt"), col("gq"))
+          .orderBy("lk", "sample_id", "gk")
+      },
+      Some(s"""
+        WITH gv AS (SELECT k, $gvChrom, $gvPos, $gvRef, $gvAlt,
+               $gvSample, $gvGt, $gvPl,
+               CAST($spanEnd AS INT) AS span_end
+             FROM (SELECT l_orderkey * 8 + l_linenumber AS k
+                   FROM lineitem)),
+        lc0 AS (SELECT lk, $lcChrom, $lcPos
+                FROM (SELECT o_orderkey AS lk FROM orders)),
+        lc AS (SELECT chrom, pos, CAST(min(lk) AS BIGINT) AS lk
+               FROM lc0 GROUP BY chrom, pos),
+        smp AS (SELECT DISTINCT sample_id FROM gv),
+        grid AS (SELECT l.lk, l.chrom, l.pos, s.sample_id
+                 FROM lc l CROSS JOIN smp s),
+        cov AS (SELECT l.chrom, l.pos, g.sample_id, g.k, g.alt, g.gt,
+                  CASE WHEN g.pl = '.' THEN NULL
+                       ELSE list_transform(string_split(g.pl, ','),
+                              e -> CAST(e AS INT)) END AS pls
+                FROM (SELECT DISTINCT chrom, pos FROM lc) l
+                JOIN gv g ON g.chrom = l.chrom
+                  AND l.pos BETWEEN g.pos AND g.span_end),
+        cl AS (SELECT chrom, pos, sample_id, k, alt, gt,
+                 CASE WHEN pls IS NULL THEN NULL
+                      ELSE list_position(pls, list_min(pls)) - 1 END AS i,
+                 CASE WHEN pls IS NULL THEN NULL
+                      ELSE list_sort(pls)[2] - list_sort(pls)[1] END AS gq
+               FROM cov)
+        SELECT grid.lk, grid.chrom, grid.pos, grid.sample_id,
+          c.k AS gk,
+          CASE WHEN c.alt IS NULL THEN 'no_coverage'
+               WHEN c.alt = '<NON_REF>' THEN 'ref_block'
+               ELSE 'variant' END AS state,
+          c.gt,
+          CASE WHEN c.alt IS NULL THEN './.'
+               WHEN c.i IS NULL THEN c.gt
+               WHEN c.i = 0 THEN '0/0' WHEN c.i = 1 THEN '0/1'
+               ELSE '1/1' END AS called_gt,
+          CAST(c.gq AS INT) AS gq
+        FROM grid LEFT JOIN cl c
+          ON c.chrom = grid.chrom AND c.pos = grid.pos
+          AND c.sample_id = grid.sample_id
+        ORDER BY grid.lk, grid.sample_id, gk NULLS FIRST
+      """))
+  }
+
+  /** MULTIALLELIC-DOSAGE COMPOSITION gate (q103 [[graft.operators
+    * .VariantNorm.splitMultiallelic]] → q216 [[graft.operators
+    * .VariantQc.dosageAf]] — the r13 verdict's #6): the dosage family
+    * filters `multiallele === 0` by convention, so the PRODUCTION
+    * path for multiallelic imputed sites is split-then-dose — this
+    * gate pins that composition contract end-to-end with NO new
+    * operator code. After the split every record is biallelic (the
+    * k%13 multiallelic class now participates instead of dropping),
+    * the GT remap makes the hard-call fallback per-allele-correct,
+    * and the Number=1 DS rides each split record VERBATIM (bcftools'
+    * own carry rule for non-A/R/G FORMAT payload — a per-ALT DS would
+    * be Number=A and need slicing, documented at the operator).
+    * DuckDB replays split + remap + the dosage eligibility ladder.
+    */
+  private lazy val q230 = Q(
+    "q230_split_dosage_af",
+    (s, dir) => {
+      val bi = graft.operators.VariantNorm
+        .splitMultiallelic(wide(s, dir, withDs = true))
+      val ann = VariantAnnotator.annotate(bi,
+        VariantAnnotator.Options(dropHomRef = false,
+          formatKeys = Some(Seq("DS"))))
+      graft.operators.VariantQc.dosageAf(ann)
+        .orderBy("chrom", "pos", "ref", "alt")
+    },
+    Some(s"""
+      WITH ${duckCtesWith(altSql, withDs = true)},
+      ax AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom,
+               pos, ref, si, call,
+               unnest(string_split(alt, ',')) AS a,
+               unnest(range(1, CAST(len(string_split(alt, ',')) AS INT) + 1))
+                 AS ai
+             FROM sm WHERE alt <> '.'),
+      rg AS (SELECT k, chrom, pos, ref, a AS alt, CAST(ai AS INT) AS ai,
+               si, string_split(call, ':')[1] AS gt
+             FROM ax),
+      elx AS (SELECT chrom, pos, ref, alt, dsm, gtm,
+                coalesce(dsm, gtm) AS x
+              FROM (SELECT chrom, pos, ref, alt,
+                  ${dsMicroSql("si")} AS dsm,
+                  CASE WHEN len(parts) = 2 AND parts[1] <> '.'
+                            AND parts[2] <> '.'
+                       THEN ((CASE WHEN parts[1] = CAST(ai AS VARCHAR)
+                                   THEN 1 ELSE 0 END)
+                           + (CASE WHEN parts[2] = CAST(ai AS VARCHAR)
+                                   THEN 1 ELSE 0 END)) * CAST(1000000 AS BIGINT)
+                       END AS gtm
+                FROM (SELECT *, string_split_regex(gt, '[/|]') AS parts
+                      FROM rg
+                      WHERE gt NOT IN ('./.', '.|.', '.')))
+              WHERE coalesce(dsm, gtm) IS NOT NULL)
+      SELECT chrom, pos, ref, alt,
+        CAST(count(*) AS BIGINT) AS n_called,
+        CAST(sum(CASE WHEN dsm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ds,
+        CAST(sum(x) AS BIGINT) AS dose_sum_micro,
+        CAST(CAST(sum(x) AS BIGINT) // (2 * count(*)) AS BIGINT)
+          AS af_micro
+      FROM elx GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """))
 }

@@ -633,6 +633,26 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
     assert(!ann.columns.contains("aligned_alt"))
     assert(ann.select("Annotation").as[String].collect() ===
       Array("missense_variant"))
+    // TYPED columns (r13 verdict #7): declared fields land typed with
+    // malformed values NULL; undeclared fields keep the string path,
+    // and the string-path frame is unchanged by the default empty map
+    val typed = Consequence.splitVep(df,
+      fields,
+      types = Map(
+        "ALLELE_NUM" -> org.apache.spark.sql.types.IntegerType))
+    assert(typed.schema("ALLELE_NUM").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(typed.schema("SYMBOL").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val tAn = typed.select("pos", "csq_idx", "ALLELE_NUM")
+      .as[(Int, Int, Option[Int])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(tAn((100, 1)) === Some(2))
+    assert(tAn((400, 1)) === None, "junk ALLELE_NUM try_casts to NULL")
+    intercept[IllegalArgumentException] {
+      Consequence.splitVep(df, fields,
+        types = Map("NOPE" -> org.apache.spark.sql.types.IntegerType))
+    }
   }
 
   test("worstConsequence: published-order argmin per key — &-compound " +
