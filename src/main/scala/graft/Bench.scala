@@ -76,7 +76,49 @@ object Bench {
       try spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       catch { case _: Throwable => () }
-    def measure(name: String): M = {
+    // RESIDUE SNAPSHOTS (r13 verdict #3 — a second transient-contention
+    // carrier survives the blocking-unpersist fix in the driver
+    // environment: q154 spread 59.5 / q192 47.0 / q106 29.7 with zero
+    // spill and healthy isolated re-measures). What a gate LEAVES
+    // BEHIND is what the next gate pays for, so after every sample
+    // (outside the timed region, after dropResidue) we snapshot the
+    // suspected residue classes: (a) bytes on disk under this app's
+    // blockmgr-* local dirs (shuffle files + disk-backed blocks — the
+    // async-cleaner backlog), (b) storage memory in use (broadcast +
+    // cached blocks the executor still holds), (c) the cumulative
+    // codegen class count (cache churn → JIT/code-cache pressure),
+    // (d) post-sample JVM heap in use. The artifact carries the
+    // per-query maxima so a spread-flagged victim can be correlated
+    // against its PREDECESSORS' residue without a by-hand rerun.
+    val localDirRoots: Seq[java.io.File] =
+      spark.sparkContext.getConf.get("spark.local.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(new java.io.File(_))
+    def blockmgrBytes(): Double = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      try localDirRoots.flatMap(r => Option(r.listFiles).toSeq.flatten)
+        .filter(f => f.getName.startsWith("blockmgr-") ||
+          (f.getName.startsWith("spark-") && f.isDirectory))
+        .map(walk).sum / 1048576.0
+      catch { case _: Throwable => -1.0 }
+    }
+    def storageUsedMb(): Double =
+      try spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, rem) => max - rem }.sum / 1048576.0
+      catch { case _: Throwable => -1.0 }
+    def codegenClasses(): Long =
+      try org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount
+      catch { case _: Throwable => -1L }
+    def heapUsedMb(): Double =
+      java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / 1048576.0
+    final case class Residue(diskMb: Double, storageMb: Double,
+        codegen: Long, heapMb: Double)
+    def measure(name: String): (M, Residue) = {
       val fn = SparkEntry.queries(name)
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -92,18 +134,23 @@ object Bench {
         (if (ok) wall else -1.0, (execMs.get() - e0) / 1e3,
           (gcMs.get() - g0) / 1e3, (spillBytes.get() - s0) / 1048576.0)
       }
+      val res = Residue(blockmgrBytes(), storageUsedMb(), codegenClasses(),
+        heapUsedMb())
       // median over SUCCESSFUL runs only: a failed run's -1 sentinel
       // would sort first and bias the "median" toward the fast sample;
       // -1 is reported only when every run failed, with the failure
       // count carried separately so partial failures stay visible.
       val good = samples.filter(_._1 >= 0).sortBy(_._1)
-      if (good.isEmpty) M(name, -1.0, -1.0, -1.0, -1.0, -1.0, runs)
+      if (good.isEmpty) (M(name, -1.0, -1.0, -1.0, -1.0, -1.0, runs), res)
       else {
         val (w, e, g, s) = good(good.size / 2)
-        M(name, w, e, g, s, good.last._1 - good.head._1, runs - good.size)
+        (M(name, w, e, g, s, good.last._1 - good.head._1, runs - good.size),
+          res)
       }
     }
-    val results = names.map(measure)
+    val measured = names.map(measure)
+    val results = measured.map(_._1)
+    val residues = measured.map { case (m, r) => m.name -> r }
 
     // SELF-ADJUDICATING outlier pass: three straight rounds needed a
     // manual isolation re-measure to separate "the plan regressed" from
@@ -138,7 +185,7 @@ object Bench {
               (r.name, math.max(prev, r.exec))
           }
         }.sortBy(-_._2).take(8).map(_._1)
-        moved.map(measure)
+        moved.map(n => measure(n)._1)
       }
     // 3-decimal doubles: ms resolution is below this host's noise floor
     // and full 9-decimal doubles doubled the line size.
@@ -154,6 +201,20 @@ object Bench {
     val gc = fmt(results.filter(_.gc >= 0.1).map(r => r.name -> r.gc))
     val sp = fmt(results.filter(_.spillMb >= 1.0).map(r => r.name -> r.spillMb))
     val sprd = fmt(results.filter(_.spread >= 0.5).map(r => r.name -> r.spread))
+    // residue maps (post-sample state each query leaves for the next):
+    // disk blocks + storage memory as absolutes, codegen as the
+    // per-query class-count delta; thresholds keep the line bounded
+    val resDisk = fmt(residues.filter(_._2.diskMb >= 1.0)
+      .map { case (n, r) => n -> r.diskMb })
+    val resStor = fmt(residues.filter(_._2.storageMb >= 1.0)
+      .map { case (n, r) => n -> r.storageMb })
+    val cgCounts = residues.map(_._2.codegen)
+    val resCg = fmt(residues.indices
+      .map(i => residues(i)._1 ->
+        (cgCounts(i) - (if (i == 0) 0L else cgCounts(i - 1))).toDouble)
+      .filter(_._2 >= 20.0))
+    val resHeap = fmt(residues.filter(_._2.heapMb >= 512.0)
+      .map { case (n, r) => n -> r.heapMb })
     val fails = results.filter(_.failed > 0)
       .map(r => s"\"" + r.name + "\":" + r.failed).mkString("{", ",", "}")
     val total = r3(results.map(_.wall).filter(_ >= 0).sum)
@@ -169,7 +230,7 @@ object Bench {
     val isoW = fmt(isolation.map(r => r.name -> r.wall))
     val isoE = fmt(isolation.map(r => r.name -> r.exec))
     val isoG = fmt(isolation.map(r => r.name -> r.gc))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"full":"BENCH_FULL.json","gc_sec":$gc,"spill_mb":$sp,"wall_spread":$sprd,"isolation_wall":$isoW,"isolation_exec":$isoE,"isolation_gc":$isoG,"exec_sec":$ex,"queries":$qs,"total":$total}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"full":"BENCH_FULL.json","gc_sec":$gc,"spill_mb":$sp,"wall_spread":$sprd,"residue_disk_mb":$resDisk,"residue_storage_mb":$resStor,"residue_codegen_classes":$resCg,"residue_heap_mb":$resHeap,"isolation_wall":$isoW,"isolation_exec":$isoE,"isolation_gc":$isoG,"exec_sec":$ex,"queries":$qs,"total":$total}"""
     // Only a FULL-suite run may overwrite the committed artifact: a
     // SPARK_GRAFT_BENCH_ONLY iteration loop would otherwise clobber the
     // complete wall/exec maps that the next run's outlier adjudication
