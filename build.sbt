@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the r14 residue instrumentation showed the
+  // bench suite's post-sample heap sitting at a median 3.6 GB of the
+  // 8 GiB ceiling with the pair-substrate gates leaving 5-7 GB — GC
+  // time concentrated exactly there (own §8 advice: size old-gen so
+  // the largest exchange leaves < 50% occupancy). On a 128 GiB box,
+  // 24g drops suite GC 3-4x and wall 5-15% on the probed gates.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -654,4 +654,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       p226.contains("SortMergeJoin") || p226.contains("ShuffledHashJoin"),
       s"coverage must attach by equi-join:\n$p226")
   }
+
+  test("r14 shapes: q228 GP-dosage and q230 split-then-dose are " +
+      "join-free single-agg pipelines; q229 joint genotyping keeps " +
+      "the q226 plan (bucket equi-join coverage, only the broadcast " +
+      "sample-panel grid may nest-loop — the PL fold adds no exchange)") {
+    for (name <- Seq("q228_gp_dosage_af", "q230_split_dosage_af")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+    }
+    val q229 = SparkEntry.queries("q229_gvcf_joint_call")(spark, dir)
+    q229.collect()
+    val p229 = q229.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p229.contains("CartesianProduct"), p229)
+    val bnlj229 = p229.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj229 <= 1, s"only the panel grid may nest-loop:\n$p229")
+    assert(p229.contains("BroadcastHashJoin") ||
+      p229.contains("SortMergeJoin") || p229.contains("ShuffledHashJoin"),
+      s"coverage must attach by equi-join:\n$p229")
+  }
 }

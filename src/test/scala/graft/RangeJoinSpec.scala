@@ -433,4 +433,43 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       (500, "sA", "no_coverage", null),
       (500, "sB", "no_coverage", null)))
   }
+
+  test("Gvcf.jointGenotype: argmin-PL recall with first-min ties and " +
+      "GQ = second-min − min; a record whose GT disagrees with its own " +
+      "PL gets corrected; ref bands recall through the same rule; " +
+      "no_coverage is ./. with NULL gq; malformed/wrong-arity PL keeps " +
+      "the record's GT (passthrough)") {
+    import graft.operators.Gvcf
+    val gv = Seq(
+      // variant whose pipeline GT (0/1) disagrees with argmin (1/1):
+      // PL [30, 12, 0] → i=2 → 1/1, gq = 12 − 0 = 12
+      ("1", 100, "A", "T", "DP=9", "sA", "0/1", "30,12,0"),
+      // exact TIE at slots 0 and 1 → FIRST minimum → 0/0, gq = 0
+      ("1", 200, "C", "G", "DP=9", "sA", "0/1", "5,5,40"),
+      // ref band: hom-ref likelihood band → 0/0, gq = 18
+      ("1", 300, "G", "<NON_REF>", "END=350", "sA", "0/0", "0,18,255"),
+      // malformed PL → passthrough GT, NULL gq
+      ("1", 400, "T", "C", "DP=9", "sA", "1/1", "."),
+      // wrong arity (2 slots for a biallelic site) → passthrough
+      ("1", 500, "A", "G", "DP=9", "sA", "0/1", "7,3"),
+      // sB covers only locus 100's neighborhood via a band
+      ("1", 90, "A", "<NON_REF>", "END=120", "sB", "0/0", "0,30,200"))
+      .toDF("chrom", "pos", "ref", "alt", "info", "sample_id", "gt", "pl")
+    val loci = Seq(("1", 100), ("1", 200), ("1", 320), ("1", 400),
+      ("1", 500)).toDF("chrom", "pos")
+    val got = Gvcf.jointGenotype(gv, loci)
+      .select("pos", "sample_id", "state", "called_gt", "gq")
+      .as[(Int, String, String, String, Option[Int])].collect().toSet
+    assert(got === Set(
+      (100, "sA", "variant", "1/1", Some(12)),   // corrected vs GT 0/1
+      (100, "sB", "ref_block", "0/0", Some(30)),
+      (200, "sA", "variant", "0/0", Some(0)),    // first-min tie
+      (200, "sB", "no_coverage", "./.", None),
+      (320, "sA", "ref_block", "0/0", Some(18)),
+      (320, "sB", "no_coverage", "./.", None),
+      (400, "sA", "variant", "1/1", None),       // malformed → passthrough
+      (400, "sB", "no_coverage", "./.", None),
+      (500, "sA", "variant", "0/1", None),       // wrong arity → passthrough
+      (500, "sB", "no_coverage", "./.", None)))
+  }
 }
