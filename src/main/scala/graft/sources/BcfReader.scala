@@ -347,7 +347,7 @@ object BcfReader {
 
   // ---- record stream ----------------------------------------------------
 
-  private def recordIterator(raw: InputStream): Iterator[BcfRecord] = {
+  private[graft] def recordIterator(raw: InputStream): Iterator[BcfRecord] = {
     val in = new DataInputStream(raw)
     val hdr = readHeader(in)
     new Iterator[BcfRecord] {
@@ -380,7 +380,7 @@ object BcfReader {
     * are); ownership by start voff is exact, so concurrent ranges
     * neither lose nor double-read a record.
     */
-  private def rangeIterator(
+  private[graft] def rangeIterator(
       in: org.apache.hadoop.fs.FSDataInputStream, fileLen: Long,
       begVoff: Long, endVoffEx: Long,
       hdr: BcfHeader): Iterator[BcfRecord] = {
@@ -533,8 +533,20 @@ object BcfReader {
 
   // ---- record decode ------------------------------------------------------
 
-  private def decodeRecord(
-      b: ByteBuffer, lShared: Int, hdr: BcfHeader): BcfRecord = {
+  private[graft] def decodeRecord(
+      b: ByteBuffer, lShared: Int, hdr: BcfHeader): BcfRecord =
+    decodeRecord(b, lShared, hdr, withGenotypes = true)
+
+  /** `withGenotypes = false` skips the ENTIRE indiv block (FORMAT +
+    * per-sample values — the bulk of a wide cohort record): the DSv2
+    * scan passes it when neither `format` nor `genotypes` is in the
+    * required schema, so a sites-shaped query over a 2500-sample BCF
+    * decodes only the shared block. The skipped fields land as the
+    * sites-only shape (`.` format, empty map).
+    */
+  private[graft] def decodeRecord(
+      b: ByteBuffer, lShared: Int, hdr: BcfHeader,
+      withGenotypes: Boolean): BcfRecord = {
     val rid = b.getInt()
     val pos0 = b.getInt()
     b.getInt() // rlen — span info, not part of the text row
@@ -565,6 +577,11 @@ object BcfReader {
       else key + "=" + renderVector(t, n, b)
     }
     val info = if (infoParts.isEmpty) "." else infoParts.mkString(";")
+
+    if (!withGenotypes)
+      return BcfRecord(hdr.contigs(rid), pos0 + 1, id, ref, alt,
+        if (qualBits == FloatMissingBits) "." else renderFloatBits(qualBits),
+        filter, info, ".", Map.empty)
 
     // indiv block starts exactly at lShared
     b.position(lShared)

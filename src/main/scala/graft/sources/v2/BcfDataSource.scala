@@ -1,0 +1,417 @@
+package graft.sources.v2
+
+import java.io.{BufferedInputStream, DataInputStream}
+import java.util
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.BcfReader
+import graft.sources.BcfReader.{BcfHeader, BcfRecord}
+
+/** DataSource V2 BCF reader: `spark.read.format("bcf").load(path)` —
+  * the binary twin of [[VcfDataSource]], same FIXED 10-column schema,
+  * so the two formats are interchangeable in any downstream chain.
+  * What Catalyst gets that the column-level [[BcfReader.read]] API
+  * leaves to the caller:
+  *
+  *  - **chrom/pos pushdown** (`.filter($"chrom" === "2" && $"pos"
+  *    between (a, b))` shows up in PushedFilters): with a sibling
+  *    `.csi` the scan prunes to the region's BGZF chunks — the
+  *    [[BcfReader.readRegion]] machinery behind the declarative API —
+  *    and files whose index lacks the chromosome are skipped whole.
+  *    Pushed pos bounds are also checked against the record's FIXED
+  *    header slots (rid/pos are the first 8 bytes of the shared
+  *    block) BEFORE any string decoding, so filtered-out records cost
+  *    two int reads, not a full parse.
+  *  - **column pruning that skips DECODE work**: when neither
+  *    `format` nor `genotypes` is required, the indiv block — the
+  *    bulk of a wide cohort record — is never decoded
+  *    ([[BcfReader.decodeRecord]]'s `withGenotypes = false`), so a
+  *    sites-shaped query over a 2500-sample BCF does ~per-site work.
+  *  - **splittable full scans** via the `.csi` chunk-begin voffs
+  *    (~`spark.sql.files.maxPartitionBytes` of compressed bytes per
+  *    task), with the unindexed one-streaming-task fallback.
+  *  - [[SupportsReportStatistics]]: post-pruning compressed bytes ×
+  *    a conservative inflation, so a pruned locus read broadcast-joins
+  *    where the raw file size would force a shuffle (the
+  *    [[VcfDataSource]] contract).
+  */
+class BcfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "bcf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VcfDataSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val multi = Option(properties.get("paths")).toSeq.flatMap { s =>
+      try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(s, classOf[Array[String]]).toSeq
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          "bcf option 'paths' must be a JSON array of strings, got: " + s, e)
+      }
+    }
+    val paths = Option(properties.get("path")).toSeq ++ multi
+    new BcfTable(paths)
+  }
+}
+
+final class BcfTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"bcf(${paths.mkString(",")})"
+  override def schema(): StructType = VcfDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BcfScanBuilder(paths)
+}
+
+final class BcfScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = VcfDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition {
+      case EqualTo("chrom", _) => true
+      case EqualTo("pos", _) | GreaterThan("pos", _) |
+           GreaterThanOrEqual("pos", _) | LessThan("pos", _) |
+           LessThanOrEqual("pos", _) => true
+      case _ => false
+    }
+    pushed = supported
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new BcfScan(paths, required, pushed)
+}
+
+final class BcfScan(paths: Seq[String], required: StructType,
+    filters: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"BcfScan[${required.fieldNames.mkString(",")}] pushed=${filters.mkString(",")}"
+  override def toBatch: Batch = this
+
+  private def chromEq: Option[String] =
+    filters.collectFirst { case EqualTo("chrom", v) => v.toString }
+
+  private def posLowerInclusive: Option[Int] = {
+    val bounds = filters.collect {
+      case GreaterThan("pos", v) => v.toString.toInt + 1
+      case GreaterThanOrEqual("pos", v) => v.toString.toInt
+      case EqualTo("pos", v) => v.toString.toInt
+    }
+    if (bounds.isEmpty) None else Some(bounds.max)
+  }
+
+  private def posUpperInclusive: Option[Int] = {
+    val bounds = filters.collect {
+      case LessThan("pos", v) => v.toString.toInt - 1
+      case LessThanOrEqual("pos", v) => v.toString.toInt
+      case EqualTo("pos", v) => v.toString.toInt
+    }
+    if (bounds.isEmpty) None else Some(bounds.min)
+  }
+
+  /** Planned voff tasks per file — the [[BcfReader.planTasks]] /
+    * [[BcfReader.planRegion]] logic driven by the PUSHED predicates,
+    * shared by partition planning and [[estimateStatistics]]. One
+    * header peek + one sibling-index read per file, planning-time
+    * only; a corrupt index degrades to the unsplit scan (warn).
+    */
+  private lazy val planned: Seq[(String, Long, Long, Long, String)] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val out = mutable.ArrayBuffer.empty[(String, Long, Long, Long, String)]
+    paths.foreach { p =>
+      val fs = new Path(p).getFileSystem(conf)
+      val statuses = fs.globStatus(new Path(p)) match {
+        case null | Array() =>
+          throw new IllegalArgumentException(
+            s"[PATH_NOT_FOUND] bcf path does not exist: $p")
+        case s => s.flatMap(st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+          else Array(st))
+      }
+      statuses.filter(_.getPath.getName.endsWith(".bcf")).foreach { st =>
+        val fp = st.getPath
+        val header = {
+          val in = new DataInputStream(new GZIPInputStream(
+            new BufferedInputStream(fs.open(fp), 1 << 16), 1 << 16))
+          try BcfReader.readHeader(in) finally in.close()
+        }
+        val idx: Option[TabixIndex.Index] = {
+          val csi = TabixIndex.csiSibling(fp)
+          if (!fs.exists(csi)) None
+          else
+            try Some(TabixIndex.readCsi(fs, csi, Some(header.contigs)))
+            catch {
+              case e: Exception =>
+                BcfScanV2.log.warn(
+                  s"unusable sibling index for $fp — scanning unpruned: $e")
+                None
+            }
+        }
+        val len = st.getLen
+        idx match {
+          case Some(i) =>
+            chromEq match {
+              case Some(c) =>
+                i.ref(c) match {
+                  case None => () // chromosome absent: whole file pruned
+                  case Some(r) =>
+                    val maxPos = r.maxPos
+                    val lower0 = posLowerInclusive
+                      .map(l => math.max(0, l - 1).toLong).getOrElse(0L)
+                    val upper0Ex = math.min(maxPos,
+                      posUpperInclusive.map(_.toLong).getOrElse(maxPos))
+                    TabixIndex.regionChunks(r, lower0, upper0Ex).foreach {
+                      ch =>
+                        out += ((fp.toString, ch.beg, ch.end, len,
+                          header.text))
+                    }
+                }
+              case None =>
+                val populated = i.refs.filter(_.maxVoff > 0L)
+                if (populated.nonEmpty) {
+                  val dataBeg = populated.map(_.minVoff).min
+                  val cands = TabixIndex.splitCandidates(i)
+                  TabixIndex.subdivide(dataBeg, len << 16, cands, maxSplit)
+                    .foreach { case (b, e) =>
+                      out += ((fp.toString, b, e, len, header.text))
+                    }
+                }
+            }
+          case None =>
+            out += ((fp.toString, -1L, Long.MaxValue, len, header.text))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** BCF payloads decompress ~3-6×; report the HIGH end (the
+    * [[VcfScan]] asymmetry argument: over-reporting only forgoes a
+    * broadcast, under-reporting broadcasts something too big).
+    */
+  private val Inflation = 10L
+
+  override def estimateStatistics(): Statistics = {
+    val total = planned.iterator.map { case (_, beg, end, len, _) =>
+      if (beg < 0L) len
+      else {
+        val startC = TabixIndex.compressedOffset(beg)
+        val endC =
+          if (end == Long.MaxValue || (end >> 16) > len) len
+          else math.min(len,
+            TabixIndex.compressedOffset(end) + TabixIndex.MaxBlockSize)
+        math.max(0L, endC - startC)
+      }
+    }.sum * Inflation
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(total)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    planned.map { case (path, beg, end, len, hdr) =>
+      BcfPartition(path, beg, end, len, hdr)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BcfReaderFactory(required, filters)
+}
+
+private object BcfScanV2 {
+  val log = org.slf4j.LoggerFactory.getLogger(classOf[BcfScan])
+}
+
+/** One voff-bounded record range (`begVoff = -1` streams the whole
+  * file); the header TEXT rides along so reader tasks never re-open
+  * the leading blocks (the [[VcfPartition]] sample-list rule).
+  */
+final case class BcfPartition(path: String, begVoff: Long,
+    endVoffEx: Long, fileLen: Long, headerText: String)
+    extends InputPartition
+
+final class BcfReaderFactory(required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new BcfPartitionReader(partition.asInstanceOf[BcfPartition], required,
+      filters)
+}
+
+final class BcfPartitionReader(part: BcfPartition, required: StructType,
+    filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val hdr: BcfHeader = BcfReader.decodeHeaderText(part.headerText)
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val hPath = new Path(part.path)
+  private val fs = hPath.getFileSystem(conf)
+
+  // pre-decode chrom table in NORMALIZED form for the pushed compare
+  private val normContigs: IndexedSeq[String] =
+    hdr.contigs.map(_.stripPrefix("chr"))
+  private val chromEqNorm: Option[String] =
+    filters.collectFirst { case EqualTo("chrom", v) =>
+      v.toString.stripPrefix("chr") }
+  private val posChecks: Array[Int => Boolean] = filters.collect {
+    case EqualTo("pos", v) => val b = v.toString.toInt; (p: Int) => p == b
+    case GreaterThan("pos", v) =>
+      val b = v.toString.toInt; (p: Int) => p > b
+    case GreaterThanOrEqual("pos", v) =>
+      val b = v.toString.toInt; (p: Int) => p >= b
+    case LessThan("pos", v) => val b = v.toString.toInt; (p: Int) => p < b
+    case LessThanOrEqual("pos", v) =>
+      val b = v.toString.toInt; (p: Int) => p <= b
+  }
+
+  private val wantGenotypes =
+    required.fieldNames.contains("genotypes") ||
+      required.fieldNames.contains("format")
+
+  // streaming (unindexed) vs voff-bounded block reader
+  private val streaming = part.begVoff < 0L
+  private val dataIn: DataInputStream =
+    if (!streaming) null
+    else {
+      val in = new DataInputStream(new GZIPInputStream(
+        new BufferedInputStream(fs.open(hPath), 1 << 16), 1 << 16))
+      // skip past the header to the first record
+      BcfReader.readHeader(in)
+      in
+    }
+  private val bgzf: BgzfByteReader =
+    if (streaming) null
+    else {
+      val r = new BgzfByteReader(fs.open(hPath),
+        TabixIndex.compressedOffset(part.begVoff), part.fileLen)
+      r.skip(TabixIndex.uncompressedOffset(part.begVoff))
+      r
+    }
+
+  private val frame = new Array[Byte](8)
+  private var current: InternalRow = _
+  private var done = false
+
+  private def u32(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+      ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+
+  /** Reads the next record frame into a buffer; null at range end. */
+  private def nextFrame(): Array[Byte] = {
+    if (streaming) {
+      val ls =
+        try {
+          dataIn.readFully(frame, 0, 8); u32(frame, 0)
+        } catch { case _: java.io.EOFException => return null }
+      val li = u32(frame, 4)
+      val buf = new Array[Byte](8 + ls + li)
+      System.arraycopy(frame, 0, buf, 0, 8)
+      dataIn.readFully(buf, 8, ls + li)
+      buf
+    } else {
+      val v0 = bgzf.nextVoff()
+      if (v0 < 0L || v0 >= part.endVoffEx) return null
+      if (!bgzf.readFully(frame, 0, 8)) return null
+      val ls = u32(frame, 0)
+      val li = u32(frame, 4)
+      val buf = new Array[Byte](8 + ls + li)
+      System.arraycopy(frame, 0, buf, 0, 8)
+      if (!bgzf.readFully(buf, 8, ls + li))
+        throw new java.io.EOFException(
+          s"BCF record truncated at voff $v0")
+      buf
+    }
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    while (true) {
+      val buf = nextFrame()
+      if (buf == null) { done = true; current = null; return false }
+      // pre-parse pushed-predicate check on the FIXED slots: rid at
+      // offset 8, pos0 at 12 — two int reads before any string decode
+      val rid = u32(buf, 8)
+      val pos = u32(buf, 12) + 1
+      val chromOk = chromEqNorm.forall(c =>
+        rid >= 0 && rid < normContigs.length && normContigs(rid) == c)
+      if (chromOk && posChecks.forall(_(pos))) {
+        val bb = java.nio.ByteBuffer.wrap(buf, 8, buf.length - 8).slice()
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val rec = BcfReader.decodeRecord(bb, u32(buf, 0), hdr,
+          withGenotypes = wantGenotypes)
+        current = buildRow(rec)
+        return true
+      }
+    }
+    false
+  }
+
+  private def buildRow(r: BcfRecord): InternalRow = {
+    val values = required.fields.map { sf =>
+      sf.name match {
+        case "chrom" =>
+          UTF8String.fromString(
+            if (r.chrom_raw.startsWith("chr")) r.chrom_raw.substring(3)
+            else r.chrom_raw)
+        case "pos" => r.pos
+        case "id" => UTF8String.fromString(r.id)
+        case "ref" => UTF8String.fromString(r.ref)
+        case "alt" => UTF8String.fromString(r.alt)
+        case "qual" => UTF8String.fromString(r.qual)
+        case "filter" => UTF8String.fromString(r.filter)
+        case "info" => UTF8String.fromString(r.info)
+        case "format" => UTF8String.fromString(r.format)
+        case "genotypes" =>
+          val n = hdr.samples.length
+          val keys = new Array[AnyRef](n)
+          val vals = new Array[AnyRef](n)
+          var i = 0
+          while (i < n) {
+            keys(i) = UTF8String.fromString(hdr.samples(i))
+            vals(i) = UTF8String.fromString(
+              r.genotypes.getOrElse(hdr.samples(i), "."))
+            i += 1
+          }
+          ArrayBasedMapData(keys, vals)
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit =
+    if (streaming) dataIn.close() else bgzf.close()
+}
