@@ -353,6 +353,59 @@ object BcfWriter {
     w.result
   }
 
+  /** Synthesize a minimal BCF header for `df` when the caller has no
+    * original one (a parquet-landed cohort headed back out as `.bcf`):
+    * ONE driver-side distinct pass collects the contig set, FILTER
+    * vocabulary, INFO keys, FORMAT keys, and sample panel — the
+    * [[graft.operators.VariantAnnotator]] discovery-scan posture
+    * (convenient; at 100 TB prefer passing the real header, this is a
+    * second corpus read). Declarations land as `Number=.`,
+    * `Type=String` — legal, and IRRELEVANT to decode fidelity: the
+    * typed encoding is value-driven and self-describing, the header
+    * only has to carry the dictionary entries. All collected sets are
+    * vocabulary-bounded (contigs/keys/samples), never row-scale.
+    */
+  def synthesizeHeader(df: DataFrame): String = {
+    val parts = df.select(
+      collect_set(col("chrom")).as("contigs"),
+      collect_set(when(col("filter").isNotNull && col("filter") =!= ".",
+        split(col("filter"), ";")).otherwise(array()))
+        .as("filters"),
+      collect_set(when(col("info").isNotNull && col("info") =!= ".",
+        transform(split(col("info"), ";"),
+          e => substring_index(e, "=", 1))).otherwise(array()))
+        .as("infos"),
+      collect_set(when(col("format").isNotNull && col("format") =!= ".",
+        split(col("format"), ":")).otherwise(array()))
+        .as("formats"),
+      collect_set(map_keys(col("genotypes"))).as("samples"))
+      .collect().head
+    def flat(i: Int): Seq[String] =
+      parts.getSeq[Seq[String]](i).flatten.distinct.sorted
+    val contigs = parts.getSeq[String](0).distinct.sorted
+    val filterIds = flat(1).filterNot(_ == "PASS")
+    val infoIds = flat(2)
+    val fmtIds = flat(3)
+    val samples = flat(4)
+    (Seq("##fileformat=VCFv4.2",
+      "##FILTER=<ID=PASS,Description=\"All filters passed\">") ++
+      filterIds.map(f => s"""##FILTER=<ID=$f,Description="$f">""") ++
+      infoIds.map(k =>
+        s"""##INFO=<ID=$k,Number=.,Type=String,Description="$k">""") ++
+      fmtIds.map(k =>
+        s"""##FORMAT=<ID=$k,Number=.,Type=String,Description="$k">""") ++
+      contigs.map(c => s"##contig=<ID=$c>") :+
+      (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+        "INFO", "FORMAT") ++ samples).mkString("\t"))
+      .mkString("", "\n", "\n")
+  }
+
+  /** [[writeBcf]] with a [[synthesizeHeader]] pass first — the
+    * one-liner for frames with no original header. */
+  def writeBcfSynth(df: DataFrame, outDir: String,
+      index: Boolean = true): Unit =
+    writeBcf(df, synthesizeHeader(df), outDir, index)
+
   /** Write `df` (the [[BcfReader.read]] wide schema: chrom, pos, id,
     * ref, alt, qual, filter, info, format, genotypes MAP) as BCF
     * shards under `outDir/shards`, one self-contained `.bcf` per

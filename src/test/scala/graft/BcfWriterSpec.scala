@@ -120,4 +120,39 @@ class BcfWriterSpec extends AnyFunSuite with SparkSpec {
         "NOPE=1", ".", Seq(".", ".", "."))
     }
   }
+
+  test("synthesizeHeader: a header-less frame (the parquet-landed " +
+      "cohort case) round-trips through writeBcfSynth — the one " +
+      "discovery pass collects contigs/FILTERs/INFO/FORMAT/samples, " +
+      "and decode fidelity is value-driven so the String declarations " +
+      "do not matter") {
+    val vcfPath = {
+      val f = tmp.resolve("twin2.vcf")
+      java.nio.file.Files.write(f,
+        (BcfFixture.twinVcfLines.mkString("\n") + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+      f.toString
+    }
+    val df = VcfReader.read(spark, vcfPath)
+    val hdrText = BcfWriter.synthesizeHeader(df)
+    assert(hdrText.contains("##contig=<ID=1>") &&
+      hdrText.contains("##contig=<ID=2>"), hdrText)
+    assert(hdrText.contains("##FILTER=<ID=q10") &&
+      hdrText.contains("##FILTER=<ID=s50"), hdrText)
+    for (k <- Seq("NS", "DP", "AF", "DB", "BIGV", "NOTE"))
+      assert(hdrText.contains(s"##INFO=<ID=$k,"), s"$k missing:\n$hdrText")
+    for (k <- Seq("GT", "AD", "GQ"))
+      assert(hdrText.contains(s"##FORMAT=<ID=$k,"), s"$k missing:\n$hdrText")
+    assert(hdrText.linesIterator.toSeq.last
+      .endsWith("FORMAT\tS1\tS2\tS3"), hdrText)
+    val outDir = tmp.resolve("landing2").toString
+    BcfWriter.writeBcfSynth(
+      df.repartitionByRange(2, col("chrom"), col("pos"))
+        .sortWithinPartitions(col("chrom"), col("pos")), outDir)
+    val cols = Seq("chrom", "pos", "id", "ref", "alt", "qual", "filter",
+      "info", "format", "genotypes")
+    val back = BcfReader.read(spark, s"$outDir/shards/*.bcf")
+      .select(cols.head, cols.tail: _*).collect().toSet
+    assert(back === df.select(cols.head, cols.tail: _*).collect().toSet)
+  }
 }
