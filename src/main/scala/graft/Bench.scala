@@ -148,6 +148,9 @@ object Bench {
           res)
       }
     }
+    // codegen baseline BEFORE the loop: query 1's delta must not
+    // swallow session-setup/warmup classes
+    val cgBase = codegenClasses()
     val measured = names.map(measure)
     val results = measured.map(_._1)
     val residues = measured.map { case (m, r) => m.name -> r }
@@ -211,7 +214,7 @@ object Bench {
     val cgCounts = residues.map(_._2.codegen)
     val resCg = fmt(residues.indices
       .map(i => residues(i)._1 ->
-        (cgCounts(i) - (if (i == 0) 0L else cgCounts(i - 1))).toDouble)
+        (cgCounts(i) - (if (i == 0) cgBase else cgCounts(i - 1))).toDouble)
       .filter(_._2 >= 20.0))
     val resHeap = fmt(residues.filter(_._2.heapMb >= 512.0)
       .map { case (n, r) => n -> r.heapMb })

@@ -834,8 +834,15 @@ object VariantQc {
        else Nil) ++
       (if (df.columns.contains(gpCol)) Seq(gpDosageMicro(col(gpCol)))
        else Nil)
-    if (rungs.isEmpty) lit(null).cast("long")
-    else if (rungs.length == 1) rungs.head
+    // a dosage-mode call on a frame with NEITHER typed column is a
+    // caller error (unmaterialized DS, or a column-name typo) — the
+    // silent alternative would run GT hard calls while the caller
+    // believes they ran an imputation-dosage analysis
+    require(rungs.nonEmpty,
+      s"neither dosage column '$dsCol' nor '$gpCol' exists in the " +
+        s"frame (columns: ${df.columns.mkString(", ")}) — materialize " +
+        "one via annotate(formatKeys = ...) or name the right column")
+    if (rungs.length == 1) rungs.head
     else coalesce(rungs: _*)
   }
 

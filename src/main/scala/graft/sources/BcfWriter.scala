@@ -230,6 +230,24 @@ object BcfWriter {
     }
   }
 
+  /** Record span in bases: the INFO `END` key when present and numeric
+    * (boundary-anchored — the [[graft.operators.Gvcf]] rule) else the
+    * REF footprint; what htslib writes as `rlen` and bins the record
+    * under, so an external `bcftools view -r` against the engine's
+    * `.bcf.csi` hits an inner locus of an END-spanned record (gVCF
+    * band, symbolic `<DEL>`) exactly as it would against htslib's.
+    */
+  private[graft] def spanOf(pos: Int, ref: String, info: String): Int = {
+    val m = "(^|;)END=([0-9]+)(;|$)".r.findFirstMatchIn(
+      if (info == null) "" else info)
+    val footprint = math.max(1, ref.length)
+    m.map(_.group(2)) match {
+      case Some(e) if e.length <= 9 && e.toLong >= pos =>
+        math.max(footprint, e.toInt - pos + 1)
+      case _ => footprint
+    }
+  }
+
   /** Encode one whole record (the [[BcfReader]] decode inverse).
     * `calls` are the per-sample genotype strings in `hdr.samples`
     * order; pass Nil with `format = "."` for sites-only rows.
@@ -254,7 +272,7 @@ object BcfWriter {
       s"GT must be FORMAT's first subfield when present: '$format'")
 
     val sh = new W
-    sh.i32(rid).i32(pos - 1).i32(math.max(1, ref.length))
+    sh.i32(rid).i32(pos - 1).i32(spanOf(pos, ref, info))
     sh.f32bits(if (qual == "." || qual.isEmpty) FloatMissing
       else java.lang.Float.floatToRawIntBits(qual.toFloat))
     sh.i32((alleles.length << 16) | infoEntries.length)
@@ -442,7 +460,11 @@ object BcfWriter {
       coalesce(col("filter"), lit(".")).cast("string"),
       coalesce(col("info"), lit(".")).cast("string"),
       coalesce(col("format"), lit(".")).cast("string"),
-      col("genotypes"))
+      // a NULL map (outer-join/union debris) must encode like a
+      // sites-only row, not NPE the executor — same coalesce
+      // treatment as every other nullable column
+      coalesce(col("genotypes"),
+        map().cast("map<string,string>")).as("genotypes"))
     rows.rdd.foreachPartition { it =>
       if (it.hasNext) {
         val tc = org.apache.spark.TaskContext.get
@@ -467,10 +489,13 @@ object BcfWriter {
             if (builder != null)
               // index refs by the header's OWN contig name (the .csi
               // refs are positional against the contig table; the
-              // frame's chrom may be the normalized form)
+              // frame's chrom may be the normalized form); the binned
+              // span honors INFO END so END-spanned records (gVCF
+              // bands, symbolic SVs) are findable at inner loci
               builder.record(hdr.contigs(resolveRid(hdr, r.getString(0))),
                 r.getInt(1).toLong,
-                math.max(1, r.getString(3).length), v0, bgz.voff)
+                spanOf(r.getInt(1), r.getString(3), r.getString(7)),
+                v0, bgz.voff)
           }
           bgz.finish()
         } finally bgz.close()

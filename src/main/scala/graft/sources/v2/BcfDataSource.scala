@@ -80,10 +80,19 @@ final class BcfTable(paths: Seq[String]) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BcfScanBuilder(paths)
+    new BcfScanBuilder(paths,
+      Option(options.get("samples")).map(_.split(",").map(_.trim).toSet))
 }
 
-final class BcfScanBuilder(paths: Seq[String])
+/** @param samplesKeep `.option("samples", "s1,s2,…")` — restrict the
+  *                    genotypes map to the named samples (the
+  *                    [[VcfScanBuilder]] projection convention; here a
+  *                    keep-set over the header's own panel, applied at
+  *                    row build so unwanted per-sample strings are
+  *                    never materialized into the map).
+  */
+final class BcfScanBuilder(paths: Seq[String],
+    samplesKeep: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -106,19 +115,33 @@ final class BcfScanBuilder(paths: Seq[String])
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new BcfScan(paths, required, pushed)
+  override def build(): Scan = new BcfScan(paths, required, pushed,
+    samplesKeep)
 }
 
 final class BcfScan(paths: Seq[String], required: StructType,
-    filters: Array[Filter])
+    filters: Array[Filter], samplesKeep: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"BcfScan[${required.fieldNames.mkString(",")}] pushed=${filters.mkString(",")}"
   override def toBatch: Batch = this
 
-  private def chromEq: Option[String] =
-    filters.collectFirst { case EqualTo("chrom", v) => v.toString }
+  /** All pushed chrom equalities. The row-side check applies them
+    * verbatim against the NORMALIZED chrom (the output column), so
+    * planning can prune: more than one distinct value, or a value the
+    * normalized output can never equal (a `chr`-prefixed literal),
+    * yields zero tasks outright. */
+  private def chromEqsPlan: Array[String] =
+    filters.collect { case EqualTo("chrom", v) => v.toString }
+  private def chromEq: Option[String] = {
+    val eqs = chromEqsPlan.distinct
+    if (eqs.length == 1) Some(eqs.head) else None
+  }
+  private def chromUnsatisfiable: Boolean = {
+    val eqs = chromEqsPlan.distinct
+    eqs.length > 1 || eqs.exists(_.startsWith("chr"))
+  }
 
   private def posLowerInclusive: Option[Int] = {
     val bounds = filters.collect {
@@ -144,22 +167,31 @@ final class BcfScan(paths: Seq[String], required: StructType,
     * header peek + one sibling-index read per file, planning-time
     * only; a corrupt index degrades to the unsplit scan (warn).
     */
-  private lazy val planned: Seq[(String, Long, Long, Long, String)] = {
+  private lazy val planned: Seq[(String, Long, Long, Long, String)] =
+    if (chromUnsatisfiable) Seq.empty else {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val out = mutable.ArrayBuffer.empty[(String, Long, Long, Long, String)]
     paths.foreach { p =>
       val fs = new Path(p).getFileSystem(conf)
-      val statuses = fs.globStatus(new Path(p)) match {
+      // directories recurse (BcfWriter lands shards under outDir/shards
+      // — a load(outDir) must find them, not silently plan nothing);
+      // the .bcf extension filter drops the .csi siblings
+      def expand(st: org.apache.hadoop.fs.FileStatus)
+          : Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(expand)
+        else Seq(st)
+      val statuses = (fs.globStatus(new Path(p)) match {
         case null | Array() =>
           throw new IllegalArgumentException(
             s"[PATH_NOT_FOUND] bcf path does not exist: $p")
-        case s => s.flatMap(st =>
-          if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-          else Array(st))
-      }
-      statuses.filter(_.getPath.getName.endsWith(".bcf")).foreach { st =>
+        case s => s.toSeq.flatMap(expand)
+      }).filter(_.getPath.getName.endsWith(".bcf"))
+      require(statuses.nonEmpty,
+        s"no .bcf files under $p (shards land in <out>/shards; " +
+          "a silent empty scan would read as 'no variants')")
+      statuses.foreach { st =>
         val fp = st.getPath
         val header = {
           val in = new DataInputStream(new GZIPInputStream(
@@ -248,7 +280,7 @@ final class BcfScan(paths: Seq[String], required: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BcfReaderFactory(required, filters)
+    new BcfReaderFactory(required, filters, samplesKeep)
 }
 
 private object BcfScanV2 {
@@ -263,16 +295,17 @@ final case class BcfPartition(path: String, begVoff: Long,
     endVoffEx: Long, fileLen: Long, headerText: String)
     extends InputPartition
 
-final class BcfReaderFactory(required: StructType, filters: Array[Filter])
+final class BcfReaderFactory(required: StructType, filters: Array[Filter],
+    samplesKeep: Option[Set[String]] = None)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new BcfPartitionReader(partition.asInstanceOf[BcfPartition], required,
-      filters)
+      filters, samplesKeep)
 }
 
 final class BcfPartitionReader(part: BcfPartition, required: StructType,
-    filters: Array[Filter])
+    filters: Array[Filter], samplesKeep: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
   private val hdr: BcfHeader = BcfReader.decodeHeaderText(part.headerText)
@@ -280,12 +313,16 @@ final class BcfPartitionReader(part: BcfPartition, required: StructType,
   private val hPath = new Path(part.path)
   private val fs = hPath.getFileSystem(conf)
 
-  // pre-decode chrom table in NORMALIZED form for the pushed compare
+  // pre-decode chrom table in NORMALIZED form for the pushed compare.
+  // The pushed VALUE is compared VERBATIM (no chr-strip): the output
+  // chrom column is normalized, so `chrom === "chr2"` is correctly
+  // empty — a consumed filter must behave exactly as Spark would have
+  // evaluated it (the VcfPartitionReader rule). ALL chrom equalities
+  // apply (a conflicting pair must yield zero rows, not the first's).
   private val normContigs: IndexedSeq[String] =
     hdr.contigs.map(_.stripPrefix("chr"))
-  private val chromEqNorm: Option[String] =
-    filters.collectFirst { case EqualTo("chrom", v) =>
-      v.toString.stripPrefix("chr") }
+  private val chromEqs: Array[String] =
+    filters.collect { case EqualTo("chrom", v) => v.toString }
   private val posChecks: Array[Int => Boolean] = filters.collect {
     case EqualTo("pos", v) => val b = v.toString.toInt; (p: Int) => p == b
     case GreaterThan("pos", v) =>
@@ -300,6 +337,16 @@ final class BcfPartitionReader(part: BcfPartition, required: StructType,
   private val wantGenotypes =
     required.fieldNames.contains("genotypes") ||
       required.fieldNames.contains("format")
+
+  // invariant across rows: the projected sample panel and its UTF8String
+  // key objects (immutable — safe to share across emitted rows); only
+  // the per-row values array is allocated in the hot path
+  private val panel: IndexedSeq[String] = samplesKeep match {
+    case None => hdr.samples
+    case Some(keep) => hdr.samples.filter(keep)
+  }
+  private val panelKeys: Array[AnyRef] =
+    panel.map(s => UTF8String.fromString(s): AnyRef).toArray
 
   // streaming (unindexed) vs voff-bounded block reader
   private val streaming = part.begVoff < 0L
@@ -332,10 +379,14 @@ final class BcfPartitionReader(part: BcfPartition, required: StructType,
   /** Reads the next record frame into a buffer; null at range end. */
   private def nextFrame(): Array[Byte] = {
     if (streaming) {
-      val ls =
-        try {
-          dataIn.readFully(frame, 0, 8); u32(frame, 0)
-        } catch { case _: java.io.EOFException => return null }
+      // clean EOF = zero bytes available; ANY partial header/payload is
+      // corruption and must throw (the indexed path's truncation rule —
+      // detection must not depend on whether a .csi sibling exists)
+      val first = dataIn.read()
+      if (first < 0) return null
+      frame(0) = first.toByte
+      dataIn.readFully(frame, 1, 7)
+      val ls = u32(frame, 0)
       val li = u32(frame, 4)
       val buf = new Array[Byte](8 + ls + li)
       System.arraycopy(frame, 0, buf, 0, 8)
@@ -365,7 +416,7 @@ final class BcfPartitionReader(part: BcfPartition, required: StructType,
       // offset 8, pos0 at 12 — two int reads before any string decode
       val rid = u32(buf, 8)
       val pos = u32(buf, 12) + 1
-      val chromOk = chromEqNorm.forall(c =>
+      val chromOk = chromEqs.forall(c =>
         rid >= 0 && rid < normContigs.length && normContigs(rid) == c)
       if (chromOk && posChecks.forall(_(pos))) {
         val bb = java.nio.ByteBuffer.wrap(buf, 8, buf.length - 8).slice()
@@ -395,17 +446,15 @@ final class BcfPartitionReader(part: BcfPartition, required: StructType,
         case "info" => UTF8String.fromString(r.info)
         case "format" => UTF8String.fromString(r.format)
         case "genotypes" =>
-          val n = hdr.samples.length
-          val keys = new Array[AnyRef](n)
+          val n = panel.length
           val vals = new Array[AnyRef](n)
           var i = 0
           while (i < n) {
-            keys(i) = UTF8String.fromString(hdr.samples(i))
             vals(i) = UTF8String.fromString(
-              r.genotypes.getOrElse(hdr.samples(i), "."))
+              r.genotypes.getOrElse(panel(i), "."))
             i += 1
           }
-          ArrayBasedMapData(keys, vals)
+          ArrayBasedMapData(panelKeys, vals)
       }
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])

@@ -4,50 +4,48 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.FSDataInputStream
 
-/** Block-aware BGZF line reader: decompresses one BGZF block at a time
-  * starting from a compressed block offset, and exposes the VIRTUAL
-  * OFFSET — `(compressed block start) << 16 | (offset in decompressed
-  * block)`, the tabix coordinate system — of the read cursor before
-  * every line.
+/** Shared block machinery for the two block-aware BGZF readers:
+  * decompresses one ≤64 KiB BGZF block (a standalone gzip member whose
+  * `BC` extra subfield carries its compressed size — public BGZF spec,
+  * SAMv1.pdf §4.1) at a time starting from a compressed block offset,
+  * and exposes the VIRTUAL OFFSET — `(compressed block start) << 16 |
+  * (offset in decompressed block)`, the tabix/CSI coordinate — of the
+  * read cursor at all times.
   *
-  * This is what makes a bgzipped VCF SPLITTABLE without pos predicates:
-  * the planner hands each partition a `[begVoff, endVoffEx)` record
-  * range whose bounds are known record starts (taken from the sibling
-  * index), and the reader emits exactly the lines that START inside the
-  * range — ownership is exact, so no record is lost or read twice, the
-  * same guarantee Hadoop text splits get from line-boundary alignment.
+  * This is what makes BGZF content SPLITTABLE without predicates: the
+  * planner hands each partition a `[begVoff, endVoffEx)` record range
+  * whose bounds are known record starts (taken from the sibling
+  * index), and the reader emits exactly the units that START inside
+  * the range — ownership is exact, so nothing is lost or read twice,
+  * the same guarantee Hadoop text splits get from line-boundary
+  * alignment. The plain `GZIPInputStream` used by streaming paths
+  * cannot do this: it buffers ahead across gzip members, so the
+  * decompressed cursor's virtual offset is unrecoverable.
   *
-  * The plain `GZIPInputStream` used by the region-pruned path cannot do
-  * this: it buffers ahead across gzip members, so the decompressed
-  * cursor's virtual offset is unrecoverable. Here each 64 KiB-max block
-  * (a standalone gzip member whose `BC` extra subfield carries its
-  * compressed size — public BGZF spec, SAMv1.pdf §4.1) is inflated
-  * separately, so the cursor's voff is exact at all times. Lines are
-  * split by scanning the block buffer directly — no per-byte stream
-  * reads on the hot path.
-  *
-  * Reads are on-demand: a reader whose range ends mid-file pulls at most
-  * one record past its end voff (to finish the straddling line) and
-  * never touches the rest of the file.
+  * Reads are on-demand: a reader whose range ends mid-file pulls at
+  * most one unit past its end voff and never touches the rest of the
+  * file. Subclasses define the unit: [[BgzfLineReader]] consumes
+  * `\n`-terminated text lines (VCF), [[BgzfByteReader]] caller-framed
+  * byte runs (BCF records).
   */
-final class BgzfLineReader(in: FSDataInputStream, startBlock: Long, fileLen: Long) {
+sealed abstract class BgzfBlockStream(in: FSDataInputStream,
+    startBlock: Long, fileLen: Long) {
 
   private var blockStart = startBlock // compressed offset of the loaded block
   private var nextBlock = startBlock // compressed offset of the next block to load
-  private var buf: Array[Byte] = Array.emptyByteArray // decompressed current block
-  private var bufLen = 0
-  private var bufPos = 0
-  private var eof = false
+  protected var buf: Array[Byte] = Array.emptyByteArray // decompressed current block
+  protected var bufLen = 0
+  protected var bufPos = 0
+  protected var eof = false
   private val inflater = new java.util.zip.Inflater(true) // raw deflate
   private val cbuf = new Array[Byte](65536) // compressed payload of one block
   private val hdr = new Array[Byte](12)
   private val trailer = new Array[Byte](8)
-  private val lineBuf = new java.io.ByteArrayOutputStream(256)
 
   /** Loads the next non-empty block; false at end of file (the 28-byte
     * BGZF EOF terminator decompresses to zero bytes and is skipped).
     */
-  private def loadBlock(): Boolean = {
+  protected def loadBlock(): Boolean = {
     while (nextBlock < fileLen) {
       in.seek(nextBlock)
       // fixed gzip header: ID1 ID2 CM FLG MTIME(4) XFL OS XLEN(2)
@@ -80,8 +78,16 @@ final class BgzfLineReader(in: FSDataInputStream, startBlock: Long, fileLen: Lon
         inflater.reset()
         inflater.setInput(cbuf, 0, cdataLen)
         var off = 0
-        while (off < isize && !inflater.finished())
-          off += inflater.inflate(buf, off, isize - off)
+        while (off < isize && !inflater.finished()) {
+          val w = inflater.inflate(buf, off, isize - off)
+          // a corrupt block whose deflate stream stalls (0 bytes out,
+          // not finished, no input left to give) must fail loudly —
+          // the alternative is an infinite loop pinning an executor
+          require(w > 0 || inflater.finished(),
+            s"corrupt BGZF block at compressed offset $blockStart: " +
+              s"deflate stalled at $off of $isize declared bytes")
+          off += w
+        }
         bufLen = isize
         bufPos = 0
         return true
@@ -92,7 +98,7 @@ final class BgzfLineReader(in: FSDataInputStream, startBlock: Long, fileLen: Lon
   }
 
   /** Virtual offset of the next unread byte (= the start voff of the
-    * next line when the cursor sits on a line boundary); -1 at EOF.
+    * next unit when the cursor sits on a unit boundary); -1 at EOF.
     * Advances past exhausted blocks so the reported block is the one
     * actually holding the byte.
     */
@@ -101,8 +107,8 @@ final class BgzfLineReader(in: FSDataInputStream, startBlock: Long, fileLen: Lon
     if (eof) -1L else (blockStart << 16) | bufPos.toLong
   }
 
-  /** Discards `n` decompressed bytes (the `vSkip` partial-block prefix
-    * before a partition's first record).
+  /** Discards `n` decompressed bytes (the partial-block prefix before a
+    * partition's first unit).
     */
   def skip(n: Int): Unit = {
     var left = n
@@ -113,6 +119,21 @@ final class BgzfLineReader(in: FSDataInputStream, startBlock: Long, fileLen: Lon
       left -= s
     }
   }
+
+  def close(): Unit = {
+    inflater.end()
+    in.close()
+  }
+}
+
+/** Block-aware BGZF LINE reader — the text unit ([[BgzfBlockStream]]):
+  * lines are split by scanning the block buffer directly, no per-byte
+  * stream reads on the hot path.
+  */
+final class BgzfLineReader(in: FSDataInputStream, startBlock: Long,
+    fileLen: Long) extends BgzfBlockStream(in, startBlock, fileLen) {
+
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
 
   /** Next `\n`-terminated line (terminator consumed and dropped, a
     * trailing `\r` trimmed); null at EOF.
@@ -140,97 +161,15 @@ final class BgzfLineReader(in: FSDataInputStream, startBlock: Long, fileLen: Lon
       new String(b, 0, len, StandardCharsets.UTF_8)
     }
   }
-
-  def close(): Unit = {
-    inflater.end()
-    in.close()
-  }
 }
 
-/** Block-aware BGZF BYTE reader — the binary twin of [[BgzfLineReader]]
-  * for record-framed formats (BCF): same one-block-at-a-time inflation
-  * with an exact virtual-offset cursor, but the unit of consumption is
-  * a caller-framed byte run (`readFully`) instead of a `\n` line. This
-  * is what makes an indexed `.bcf` SPLITTABLE: the planner bounds each
-  * partition at known record-start voffs (the sibling `.csi`'s chunk
-  * begins), the reader seeks to the range's block, skips the in-block
-  * prefix, and decodes exactly the records that START inside the range
-  * — ownership exact, no loss, no double-read (the [[BgzfLineReader]]
-  * guarantee, byte-framed).
+/** Block-aware BGZF BYTE reader — the binary unit for record-framed
+  * formats (BCF): the unit of consumption is a caller-framed byte run
+  * (`readFully`) instead of a `\n` line, same exact-voff split
+  * guarantee ([[BgzfBlockStream]]).
   */
 final class BgzfByteReader(in: FSDataInputStream, startBlock: Long,
-    fileLen: Long) {
-
-  private var blockStart = startBlock
-  private var nextBlock = startBlock
-  private var buf: Array[Byte] = Array.emptyByteArray
-  private var bufLen = 0
-  private var bufPos = 0
-  private var eof = false
-  private val inflater = new java.util.zip.Inflater(true)
-  private val cbuf = new Array[Byte](65536)
-  private val hdr = new Array[Byte](12)
-  private val trailer = new Array[Byte](8)
-
-  private def loadBlock(): Boolean = {
-    while (nextBlock < fileLen) {
-      in.seek(nextBlock)
-      in.readFully(hdr)
-      require((hdr(0) & 0xff) == 0x1f && (hdr(1) & 0xff) == 0x8b &&
-        hdr(2) == 8 && (hdr(3) & 4) != 0,
-        s"not a BGZF block at compressed offset $nextBlock")
-      val xlen = (hdr(10) & 0xff) | ((hdr(11) & 0xff) << 8)
-      val extra = new Array[Byte](xlen)
-      in.readFully(extra)
-      var bsize = -1
-      var i = 0
-      while (i + 4 <= xlen && bsize < 0) {
-        val slen = (extra(i + 2) & 0xff) | ((extra(i + 3) & 0xff) << 8)
-        if ((extra(i) & 0xff) == 66 && (extra(i + 1) & 0xff) == 67 && slen == 2)
-          bsize = ((extra(i + 4) & 0xff) | ((extra(i + 5) & 0xff) << 8)) + 1
-        i += 4 + slen
-      }
-      require(bsize > 0,
-        s"BGZF BC subfield missing at compressed offset $nextBlock")
-      val cdataLen = bsize - xlen - 20
-      in.readFully(cbuf, 0, cdataLen)
-      in.readFully(trailer)
-      val isize = (trailer(4) & 0xff) | ((trailer(5) & 0xff) << 8) |
-        ((trailer(6) & 0xff) << 16) | ((trailer(7) & 0xff) << 24)
-      blockStart = nextBlock
-      nextBlock += bsize
-      if (isize > 0) {
-        if (buf.length < isize) buf = new Array[Byte](isize)
-        inflater.reset()
-        inflater.setInput(cbuf, 0, cdataLen)
-        var off = 0
-        while (off < isize && !inflater.finished())
-          off += inflater.inflate(buf, off, isize - off)
-        bufLen = isize
-        bufPos = 0
-        return true
-      }
-    }
-    eof = true
-    false
-  }
-
-  /** Virtual offset of the next unread byte; -1 at EOF. */
-  def nextVoff(): Long = {
-    if (bufPos >= bufLen && !eof && !loadBlock()) return -1L
-    if (eof) -1L else (blockStart << 16) | bufPos.toLong
-  }
-
-  /** Discards `n` decompressed bytes (a partition's in-block prefix). */
-  def skip(n: Int): Unit = {
-    var left = n
-    while (left > 0) {
-      if (bufPos >= bufLen && !loadBlock()) return
-      val s = math.min(left, bufLen - bufPos)
-      bufPos += s
-      left -= s
-    }
-  }
+    fileLen: Long) extends BgzfBlockStream(in, startBlock, fileLen) {
 
   /** Fills `dst[off, off+len)` across block boundaries; false when EOF
     * lands exactly on the run's first byte (a clean end-of-records),
@@ -251,10 +190,5 @@ final class BgzfByteReader(in: FSDataInputStream, startBlock: Long,
       bufPos += s; o += s; left -= s
     }
     true
-  }
-
-  def close(): Unit = {
-    inflater.end()
-    in.close()
   }
 }

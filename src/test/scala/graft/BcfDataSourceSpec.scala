@@ -95,7 +95,29 @@ class BcfDataSourceSpec extends AnyFunSuite with SparkSpec {
           s" vs ${ds.rdd.getNumPartitions}")
       assert(ds.filter(col("chrom") === "9").count() === 0)
       assert(ds.filter(col("chrom") === "9").rdd.getNumPartitions <= 1)
+      // a consumed filter must behave EXACTLY as Spark would evaluate
+      // it: the output chrom is normalized, so a 'chr'-prefixed literal
+      // matches nothing (the text format's semantics — the two formats
+      // must agree), and conflicting equalities yield zero rows
+      assert(ds.filter(col("chrom") === "chr2").count() === 0)
+      assert(ds.filter(col("chrom") === "1" && col("chrom") === "2")
+        .count() === 0)
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("directory loads recurse into the writeBcf shards layout, and " +
+      "a path with no .bcf files fails loudly instead of planning a " +
+      "silent empty scan") {
+    // load(outDir) — the shards live one level down
+    val viaRoot = spark.read.format("bcf")
+      .load(tmp.resolve("landing").toString)
+    assert(viaRoot.count() === 30000)
+    val empty = java.nio.file.Files.createDirectory(
+      tmp.resolve("nothing-here")).toString
+    val e = intercept[Exception] {
+      spark.read.format("bcf").load(empty).count()
+    }
+    assert(e.getMessage.contains("no .bcf files"), e.getMessage)
   }
 
   test("column pruning: a sites-shaped projection (no format/" +
@@ -113,7 +135,9 @@ class BcfDataSourceSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("unindexed .bcf degrades to the one-task streaming scan " +
-      "through the same format") {
+      "through the same format, and the 'samples' option projects " +
+      "the genotypes map like the text format's") {
+    import spark.implicits._
     val bcf = BcfFixture.buildBcf(tmp) // no .csi sibling
     val ds = spark.read.format("bcf").load(bcf)
     assert(ds.count() === 4)
@@ -121,5 +145,10 @@ class BcfDataSourceSpec extends AnyFunSuite with SparkSpec {
     // pushed pos bounds still filter (pre-parse, record header slots)
     assert(ds.filter(col("chrom") === "1" &&
       col("pos").between(150, 350)).count() === 2)
+    val proj = spark.read.format("bcf").option("samples", "S1,S3")
+      .load(bcf)
+      .filter(col("pos") === 100)
+      .select(map_keys(col("genotypes"))).as[Seq[String]].collect().head
+    assert(proj.toSet === Set("S1", "S3"))
   }
 }

@@ -155,4 +155,58 @@ class BcfWriterSpec extends AnyFunSuite with SparkSpec {
       .select(cols.head, cols.tail: _*).collect().toSet
     assert(back === df.select(cols.head, cols.tail: _*).collect().toSet)
   }
+
+  test("END-spanned records index/encode their DECLARED span (htslib's " +
+      "rlen rule): an inner locus of a gVCF band or symbolic <DEL> is " +
+      "findable through the engine's own .csi; a NULL genotypes map " +
+      "encodes like a sites-only row instead of NPE-ing the write") {
+    import spark.implicits._
+    // spanOf: END wins when valid, footprint otherwise
+    val hdr = BcfReader.decodeHeaderText(BcfFixture.headerText)
+    assert(BcfWriter.spanOf(1000, "A", "END=5000") === 4001)
+    assert(BcfWriter.spanOf(1000, "ACG", "DP=3") === 3)
+    assert(BcfWriter.spanOf(1000, "A", "END=12abc;DP=1") === 1,
+      "boundary-anchored: partially-numeric END is not a span")
+    assert(BcfWriter.spanOf(1000, "ACG", "END=999") === 3,
+      "END below pos falls back to the footprint")
+    // a written <DEL> with END is found by a probe INSIDE the deletion
+    val df = Seq(
+      ("1", 1000, ".", "A", "<DEL>", ".", "PASS", "END=5000;DP=9",
+        "GT", Map("S1" -> "0/1", "S2" -> "0/0", "S3" -> "0/0")),
+      ("1", 9000, ".", "C", "G", ".", "PASS", "DP=4",
+        "GT", null.asInstanceOf[Map[String, String]])) // NULL map row
+      .toDF("chrom", "pos", "id", "ref", "alt", "qual", "filter",
+        "info", "format", "genotypes")
+    val spanHeader = Seq(
+      "##fileformat=VCFv4.2",
+      "##FILTER=<ID=PASS,Description=\"ok\">",
+      "##INFO=<ID=END,Number=1,Type=Integer,Description=\"end\">",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">",
+      "##contig=<ID=1>",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3"
+    ).mkString("\n") + "\n"
+    val outDir = tmp.resolve("span").toString
+    BcfWriter.writeBcf(
+      df.repartitionByRange(1, col("chrom"), col("pos"))
+        .sortWithinPartitions(col("chrom"), col("pos")),
+      spanHeader, outDir)
+    val inner = BcfReader.readRegion(spark, s"$outDir/shards/*.bcf",
+      "1", 3000, 3000)
+    // the probe is strictly inside [1000, 5000]: the START-pos filter
+    // excludes it from the result by the readRegion contract, but the
+    // PLANNED chunks must cover the record (htslib binning) — assert
+    // via the covering-span query instead
+    assert(inner.count() === 0)
+    val planned = BcfReader.planRegion(spark, s"$outDir/shards/*.bcf",
+      "1", 3000, 3000)
+    assert(planned.nonEmpty,
+      "the END-spanned record's bin must cover its inner loci")
+    // the NULL-genotypes row round-trips as all-missing calls
+    val back = BcfReader.read(spark, s"$outDir/shards/*.bcf")
+      .filter(col("pos") === 9000)
+      .select(explode(col("genotypes"))).as[(String, String)]
+      .collect().toMap
+    assert(back.values.toSet === Set("."))
+  }
 }

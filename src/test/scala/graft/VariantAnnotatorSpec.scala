@@ -1467,6 +1467,13 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     // compared rows: 100 (|2−0|=2), 200 (1.25), 300/400 GP refused → out,
     // 500 GP missing → out, 600 GT missing → out
     assert(conc === (("s1", 2L, 3250000L, 2L)))
+    // NEITHER dosage column present (unmaterialized DS or a name typo)
+    // fails loudly — the silent alternative would run GT hard calls
+    // while the caller believes they ran an imputation-dosage analysis
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.VariantQc.dosageAf(gpOnly.drop("GP"))
+    }
+    assert(e.getMessage.contains("neither dosage column"), e.getMessage)
   }
 
   test("fstByChrom decimalLift: identity at small width; exact past " +
