@@ -5489,19 +5489,19 @@ object LlmQueries extends QuerySet {
     * regex agree on this dialect; list_sort = array_sort on ASCII).
     */
   private lazy val q220 = {
-    val host = "'Site' || CAST(k % 50 AS VARCHAR(8)) || '.Example.com'"
+    val host = "'Site' || CAST(k % 50 AS STRING) || '.Example.com'"
     val urlSql = s"""
       (CASE WHEN k % 4 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
       (CASE WHEN k % 5 = 0 THEN 'www.' ELSE '' END) || ($host) ||
       (CASE WHEN k % 6 = 0 THEN ':80' ELSE '' END) ||
-      '/p/' || CAST(k % 200 AS VARCHAR(8)) ||
+      '/p/' || CAST(k % 200 AS STRING) ||
       (CASE WHEN k % 3 = 0 THEN '/' ELSE '' END) ||
       (CASE WHEN k % 7 = 0
-            THEN '?utm_source=feed&b=' || CAST(k % 9 AS VARCHAR(8)) || '&a=1'
+            THEN '?utm_source=feed&b=' || CAST(k % 9 AS STRING) || '&a=1'
             WHEN k % 7 = 3
-            THEN '?a=1&b=' || CAST(k % 9 AS VARCHAR(8))
+            THEN '?a=1&b=' || CAST(k % 9 AS STRING)
             ELSE '' END) ||
-      (CASE WHEN k % 11 = 0 THEN '#sec' || CAST(k AS VARCHAR(12))
+      (CASE WHEN k % 11 = 0 THEN '#sec' || CAST(k AS STRING)
             ELSE '' END)"""
     Q(
       "q220_url_canonical",
@@ -5586,7 +5586,7 @@ object LlmQueries extends QuerySet {
     val textSql =
       s"""repeat(${sampleCase("k")}, CAST(1 + k % 4 AS INT)) || ' ' ||
           repeat(${sampleCase("k + 3")}, CAST(k % 3 AS INT)) || ' ' ||
-          CAST(k % 100 AS VARCHAR(8))"""
+          CAST(k % 100 AS STRING)"""
     val outCols = Seq("n_chars", "n_digit", "n_space") ++
       TextAnalysis.ScriptRanges.map { case (n, _) => s"n_$n" }
     Q(
@@ -5644,10 +5644,10 @@ object LlmQueries extends QuerySet {
   private lazy val q223 = {
     val textSql = """
       CASE CAST(k % 5 AS INT)
-        WHEN 0 THEN 'the cafe menu is plain ascii ' || CAST(k AS VARCHAR(12))
-        WHEN 1 THEN 'the cafÃ© menu nÃ¤chste Ã¼ber ' || CAST(k AS VARCHAR(12))
+        WHEN 0 THEN 'the cafe menu is plain ascii ' || CAST(k AS STRING)
+        WHEN 1 THEN 'the cafÃ© menu nÃ¤chste Ã¼ber ' || CAST(k AS STRING)
         WHEN 2 THEN 'â€œquotedâ€ and â€“dashedâ€“ text'
-        WHEN 3 THEN 'clean unicode café naïve ' || CAST(k AS VARCHAR(12))
+        WHEN 3 THEN 'clean unicode café naïve ' || CAST(k AS STRING)
         ELSE repeat('Ã©', CAST(1 + k % 4 AS INT)) || ' tail'
       END"""
     Q(

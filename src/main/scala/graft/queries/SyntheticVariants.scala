@@ -22,8 +22,8 @@ object SyntheticVariants {
   val refLenSql = "CASE WHEN k % 11 = 0 THEN 3 WHEN k % 7 = 3 THEN 2 ELSE 1 END"
 
   val chromRawSql: String =
-    "CASE WHEN k % 7 = 0 THEN 'chr' || CAST(1 + (k % 22) AS VARCHAR(8)) " +
-      "ELSE CAST(1 + (k % 22) AS VARCHAR(8)) END"
+    "CASE WHEN k % 7 = 0 THEN 'chr' || CAST(1 + (k % 22) AS STRING) " +
+      "ELSE CAST(1 + (k % 22) AS STRING) END"
 
   val posSql = "CAST(1000 + (k % 100000) AS INT)"
 
@@ -39,18 +39,18 @@ object SyntheticVariants {
         ELSE substr('TGCA', CAST(1 + (k % 4) AS INT), 1)
       END"""
 
-  val idSql = "'rs' || CAST(k AS VARCHAR(20))"
-  val qualSql = "CAST(k % 100 AS VARCHAR(8))"
+  val idSql = "'rs' || CAST(k AS STRING)"
+  val qualSql = "CAST(k % 100 AS STRING)"
   val filtSql = "CASE WHEN k % 2 = 0 THEN 'PASS' ELSE 'q10' END"
   /** INFO string; AF is `Number=A` (one value per ALT allele — comma
     * list on the multiallelic k%13 sites), the substrate for per-allele
     * alignment (q62).
     */
   val infoSql: String =
-    "'NS=' || CAST(k % 100 AS VARCHAR(8)) || ';DP=' || CAST(k % 1000 AS VARCHAR(8)) || " +
-      "';AF=0.' || CAST(k % 97 AS VARCHAR(8)) || " +
+    "'NS=' || CAST(k % 100 AS STRING) || ';DP=' || CAST(k % 1000 AS STRING) || " +
+      "';AF=0.' || CAST(k % 97 AS STRING) || " +
       "CASE WHEN k % 17 <> 0 AND k % 13 = 0 " +
-      "THEN ',0.' || CAST(k % 89 AS VARCHAR(8)) ELSE '' END"
+      "THEN ',0.' || CAST(k % 89 AS STRING) ELSE '' END"
 
   /** Genotype call for sample term `g` (an SQL int expression). */
   private def gtSql(g: String): String =
@@ -78,8 +78,8 @@ object SyntheticVariants {
   def callSql(si: String, withDs: Boolean = false,
       withGp: Boolean = false): String = {
     val g = s"k + ($si) * 31"
-    val base = s"${gtSql(g)} || ':' || CAST(($g) % 100 AS VARCHAR(8)) || ':' || " +
-      s"CAST(($g) % 50 AS VARCHAR(8)) || ',' || CAST(($g) % 30 AS VARCHAR(8))"
+    val base = s"${gtSql(g)} || ':' || CAST(($g) % 100 AS STRING) || ':' || " +
+      s"CAST(($g) % 50 AS STRING) || ',' || CAST(($g) % 30 AS STRING)"
     val withDsPart = if (!withDs) base else s"$base || ':' || ${dsSql(si)}"
     if (!withGp) withDsPart else s"$withDsPart || ':' || ${gpSql(si)}"
   }
@@ -96,7 +96,7 @@ object SyntheticVariants {
     s"""CASE WHEN (k + ($si)) % 37 = 0 THEN '.' ELSE
         (CASE WHEN $m >= 2000000 THEN '2' WHEN $m >= 1000000 THEN '1'
               ELSE '0' END)
-        || '.' || lpad(CAST($m % 1000000 AS VARCHAR(8)), 6, '0') END"""
+        || '.' || lpad(CAST($m % 1000000 AS STRING), 6, '0') END"""
   }
 
   /** DuckDB-side replay of the planted DS *micro* value (NULL on the
@@ -121,7 +121,7 @@ object SyntheticVariants {
   def gpSql(si: String): String = {
     def p(m: String): String =
       s"""(CASE WHEN $m >= 1000000 THEN '1' ELSE '0' END)
-          || '.' || lpad(CAST($m % 1000000 AS VARCHAR(8)), 6, '0')"""
+          || '.' || lpad(CAST($m % 1000000 AS STRING), 6, '0')"""
     val m1 = s"((k * 7 + ($si) * 17) % 1000001)"
     val m2 = s"((k * 11 + ($si) * 23) % 1000001)"
     s"""CASE WHEN (k + ($si)) % 37 = 0 THEN '.'
@@ -155,9 +155,9 @@ object SyntheticVariants {
         WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 2 THEN '<CN2>'
         WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 3 THEN '<DUP:TANDEM>'
         WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 4
-          THEN substr($refSql, 1, 1) || '[chr9:' || CAST(1000 + (k % 5000) AS VARCHAR(8)) || '['
+          THEN substr($refSql, 1, 1) || '[chr9:' || CAST(1000 + (k % 5000) AS STRING) || '['
         WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 5
-          THEN ']13:' || CAST(2000 + (k % 7000) AS VARCHAR(8)) || ']' || substr($refSql, 1, 1)
+          THEN ']13:' || CAST(2000 + (k % 7000) AS STRING) || ']' || substr($refSql, 1, 1)
         WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 6 THEN '*'
         WHEN k % 17 <> 0 AND k % 13 <> 0 AND k % 23 = 7
           THEN substr('TGCA', CAST(1 + (k % 4) AS INT), 1) || ',<DEL>'
@@ -192,13 +192,13 @@ object SyntheticVariants {
 
   def csqSymbolSql(t: String): String =
     s"""(CASE WHEN ($t) % 6 = 0 THEN ''
-         ELSE 'G' || CAST(($t) % 50 AS VARCHAR(8)) END)"""
+         ELSE 'G' || CAST(($t) % 50 AS STRING) END)"""
 
   def csqRecSql(j: Int): String = {
     val t = s"(k + $j)"
     s"""substr(($altSql), 1, 1) || '|' || ${csqConsSql(t)} || '|' ||
         ${csqImpactSql(t)} || '|' || ${csqSymbolSql(t)} || '|' ||
-        CAST(1 + ($t % $csqNAltsSql) AS VARCHAR(4))"""
+        CAST(1 + ($t % $csqNAltsSql) AS STRING)"""
   }
 
   val csqInfoSql: String =
@@ -320,7 +320,7 @@ object SyntheticVariants {
   def duckAnnotateCtesFrom(src: String): String =
     s"""lng AS (
           SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom, pos, ref, alt,
-                 'g' || CAST(si AS VARCHAR(4)) AS sample_id,
+                 'g' || CAST(si AS STRING) AS sample_id,
                  string_split(call, ':')[1] AS gt,
                  CAST(string_split(call, ':')[2] AS BIGINT) AS dp,
                  string_split(call, ':')[3] AS ad

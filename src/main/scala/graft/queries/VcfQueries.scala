@@ -24,7 +24,7 @@ object VcfQueries extends QuerySet {
     "q10_vcf_parse_lines",
     (s, dir) => {
       val pieces = Seq(
-        s"($chromRawSql)", s"CAST($posSql AS VARCHAR(12))", s"($idSql)",
+        s"($chromRawSql)", s"CAST($posSql AS STRING)", s"($idSql)",
         s"($refSql)", s"($altSql)", s"($qualSql)", s"($filtSql)",
         s"($infoSql)", "'GT:DP:AD'",
         s"(${callSql("1")})", s"(${callSql("2")})",
@@ -4170,7 +4170,7 @@ object VcfQueries extends QuerySet {
         WHEN k % 11 = 5 THEN ($altA) || 'T'
         ELSE ($altA) END"""
     val afB = s"CASE WHEN k % 11 = 1 OR k % 11 = 3 THEN 1000000 - ($afA) ELSE ($afA) END"
-    val chrom = "CAST(1 + (k % 22) AS VARCHAR(8))"
+    val chrom = "CAST(1 + (k % 22) AS STRING)"
     Q(
       "q210_allele_harmonize",
       (s, dir) => {
@@ -4375,7 +4375,7 @@ object VcfQueries extends QuerySet {
                    list_min(list_transform(range(0, n_gt),
                      i -> (k + si * 7 + i * 13) % 60))) - 1 END AS i
              FROM pls)
-      SELECT k, 'g' || CAST(si AS VARCHAR(4)) AS sample_id,
+      SELECT k, 'g' || CAST(si AS STRING) AS sample_id,
         CASE WHEN i < 0 THEN string_split(call, ':')[1]
              WHEN i = 0 THEN '0/0' WHEN i = 1 THEN '0/1'
              WHEN i = 2 THEN '1/1' WHEN i = 3 THEN '0/2'
@@ -4480,7 +4480,7 @@ object VcfQueries extends QuerySet {
     Some(s"""
       WITH ${duckCtesWith(altSql, withDs = true)},
       $duckDosageEl
-      SELECT 'g' || CAST(si AS VARCHAR(4)) AS sample_id,
+      SELECT 'g' || CAST(si AS STRING) AS sample_id,
         CAST(count(*) AS BIGINT) AS n_sites,
         CAST(sum(CASE WHEN dsm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
           AS n_ds,
@@ -4604,8 +4604,8 @@ object VcfQueries extends QuerySet {
         ${csqConsSql("k + j")} AS "Consequence",
         ${csqImpactSql("k + j")} AS "IMPACT",
         CASE WHEN (k + j) % 6 = 0 THEN NULL
-             ELSE 'G' || CAST((k + j) % 50 AS VARCHAR(8)) END AS "SYMBOL",
-        CAST(1 + ((k + j) % $csqNAltsSql) AS VARCHAR(4)) AS "ALLELE_NUM",
+             ELSE 'G' || CAST((k + j) % 50 AS STRING) END AS "SYMBOL",
+        CAST(1 + ((k + j) % $csqNAltsSql) AS STRING) AS "ALLELE_NUM",
         string_split(alt, ',')[1 + ((k + j) % $csqNAltsSql)]
           AS aligned_alt
       FROM recs ORDER BY k, csq_idx
@@ -4625,7 +4625,7 @@ object VcfQueries extends QuerySet {
     * span rule and the raw BETWEEN range join.
     */
   private lazy val q218 = {
-    val gvChrom = "CAST(1 + (k % 22) AS VARCHAR(8)) AS chrom"
+    val gvChrom = "CAST(1 + (k % 22) AS STRING) AS chrom"
     val gvPos = "CAST(1000 + (k % 100000) AS INT) AS pos"
     val gvRef = "substr('ACGTACG', CAST(1 + (k % 4) AS INT), " +
       "CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) AS ref"
@@ -4634,12 +4634,12 @@ object VcfQueries extends QuerySet {
         ELSE substr('TGCA', CAST(1 + (k % 4) AS INT), 1) END AS alt"""
     val gvInfo = """CASE
         WHEN k % 4 = 0 THEN 'END=' ||
-          CAST(1000 + (k % 100000) + 10 + (k % 90) AS VARCHAR(12))
+          CAST(1000 + (k % 100000) + 10 + (k % 90) AS STRING)
         WHEN k % 8 = 2 THEN 'DP=5;END=' ||
-          CAST(1000 + (k % 100000) + 50 + (k % 200) AS VARCHAR(12))
+          CAST(1000 + (k % 100000) + 50 + (k % 200) AS STRING)
         WHEN k % 8 = 6 THEN 'DP=7;END='
-        ELSE 'DP=' || CAST(k % 100 AS VARCHAR(8)) END AS info"""
-    val lcChrom = "CAST(1 + (lk % 22) AS VARCHAR(8)) AS chrom"
+        ELSE 'DP=' || CAST(k % 100 AS STRING) END AS info"""
+    val lcChrom = "CAST(1 + (lk % 22) AS STRING) AS chrom"
     val lcPos = "CAST(1000 + ((lk * 37 + 11) % 100120) AS INT) AS pos"
     val spanEnd = """CASE
         WHEN k % 4 = 0 THEN (1000 + (k % 100000)) + 10 + (k % 90)
@@ -4731,8 +4731,8 @@ object VcfQueries extends QuerySet {
           ${csqConsSql("k + j")} AS "Consequence",
           ${csqImpactSql("k + j")} AS "IMPACT",
           CASE WHEN (k + j) % 6 = 0 THEN NULL
-               ELSE 'G' || CAST((k + j) % 50 AS VARCHAR(8)) END AS "SYMBOL",
-          CAST(1 + ((k + j) % $csqNAltsSql) AS VARCHAR(4)) AS "ALLELE_NUM",
+               ELSE 'G' || CAST((k + j) % 50 AS STRING) END AS "SYMBOL",
+          CAST(1 + ((k + j) % $csqNAltsSql) AS STRING) AS "ALLELE_NUM",
           string_split(alt, ',')[1 + ((k + j) % $csqNAltsSql)]
             AS aligned_alt,
           CAST(severity_rank AS INT) AS severity_rank
@@ -4807,7 +4807,7 @@ object VcfQueries extends QuerySet {
       SELECT k,
         CASE WHEN info0 = '' THEN '.' ELSE info0 END AS info,
         'GT:DS' AS format,
-        'g' || CAST(si AS VARCHAR(4)) AS sample_id,
+        'g' || CAST(si AS STRING) AS sample_id,
         string_split(call, ':')[1] || ':' || string_split(call, ':')[4]
           AS call
       FROM st ORDER BY k, sample_id
@@ -4821,7 +4821,7 @@ object VcfQueries extends QuerySet {
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
-      q219, q222, q224, q226, q227, q228, q229, q230)
+      q219, q222, q224, q226, q227, q228, q229, q230, q231, q232)
 
   /** DOSAGE↔HARD-CALL CONCORDANCE gate ([[graft.operators.VariantQc
     * .dosageConcordance]] — the post-imputation sample-swap sanity
@@ -4844,7 +4844,7 @@ object VcfQueries extends QuerySet {
       $duckDosageEl,
       dv AS (SELECT si, abs(dsm - gtm) AS d
              FROM elx WHERE dsm IS NOT NULL AND gtm IS NOT NULL)
-      SELECT 'g' || CAST(si AS VARCHAR(4)) AS sample_id,
+      SELECT 'g' || CAST(si AS STRING) AS sample_id,
         CAST(count(*) AS BIGINT) AS n_compared,
         CAST(sum(d) AS BIGINT) AS dev_sum_micro,
         CAST(sum(CASE WHEN d > 500000 THEN 1 ELSE 0 END) AS BIGINT)
@@ -4869,7 +4869,7 @@ object VcfQueries extends QuerySet {
     * Spark's asc ordering.
     */
   private lazy val q226 = {
-    val gvChrom = "CAST(1 + (k % 22) AS VARCHAR(8)) AS chrom"
+    val gvChrom = "CAST(1 + (k % 22) AS STRING) AS chrom"
     val gvPos = "CAST(1000 + (k % 100000) AS INT) AS pos"
     val gvRef = "substr('ACGTACG', CAST(1 + (k % 4) AS INT), " +
       "CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) AS ref"
@@ -4877,16 +4877,16 @@ object VcfQueries extends QuerySet {
         ELSE substr('TGCA', CAST(1 + (k % 4) AS INT), 1) END AS alt"""
     val gvInfo = """CASE
         WHEN k % 4 = 0 THEN 'END=' ||
-          CAST(1000 + (k % 100000) + 10 + (k % 90) AS VARCHAR(12))
-        ELSE 'DP=' || CAST(k % 100 AS VARCHAR(8)) END AS info"""
-    val gvSample = "'s' || CAST(k % 3 AS VARCHAR(4)) AS sample_id"
+          CAST(1000 + (k % 100000) + 10 + (k % 90) AS STRING)
+        ELSE 'DP=' || CAST(k % 100 AS STRING) END AS info"""
+    val gvSample = "'s' || CAST(k % 3 AS STRING) AS sample_id"
     val gvGt = """CASE WHEN k % 4 = 0 THEN '0/0'
         WHEN k % 9 < 5 THEN '0/1' ELSE '1/1' END AS gt"""
     val spanEnd = """CASE
         WHEN k % 4 = 0 THEN (1000 + (k % 100000)) + 10 + (k % 90)
         ELSE (1000 + (k % 100000))
           + (CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) - 1 END"""
-    val lcChrom = "CAST(1 + (lk % 22) AS VARCHAR(8)) AS chrom"
+    val lcChrom = "CAST(1 + (lk % 22) AS STRING) AS chrom"
     val lcPos = "CAST(1000 + ((lk * 37 + 11) % 100120) AS INT) AS pos"
     Q(
       "q226_gvcf_cohort_state",
@@ -4985,7 +4985,7 @@ object VcfQueries extends QuerySet {
     * grid × range join × list-argmin + sorted-gap GQ.
     */
   private lazy val q229 = {
-    val gvChrom = "CAST(1 + (k % 22) AS VARCHAR(8)) AS chrom"
+    val gvChrom = "CAST(1 + (k % 22) AS STRING) AS chrom"
     val gvPos = "CAST(1000 + (k % 100000) AS INT) AS pos"
     val gvRef = "substr('ACGTACG', CAST(1 + (k % 4) AS INT), " +
       "CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) AS ref"
@@ -4993,25 +4993,25 @@ object VcfQueries extends QuerySet {
         ELSE substr('TGCA', CAST(1 + (k % 4) AS INT), 1) END AS alt"""
     val gvInfo = """CASE
         WHEN k % 4 = 0 THEN 'END=' ||
-          CAST(1000 + (k % 100000) + 10 + (k % 90) AS VARCHAR(12))
-        ELSE 'DP=' || CAST(k % 100 AS VARCHAR(8)) END AS info"""
-    val gvSample = "'s' || CAST(k % 3 AS VARCHAR(4)) AS sample_id"
+          CAST(1000 + (k % 100000) + 10 + (k % 90) AS STRING)
+        ELSE 'DP=' || CAST(k % 100 AS STRING) END AS info"""
+    val gvSample = "'s' || CAST(k % 3 AS STRING) AS sample_id"
     val gvGt = """CASE WHEN k % 4 = 0 THEN '0/0'
         WHEN k % 9 < 5 THEN '0/1' ELSE '1/1' END AS gt"""
     // PL triple: ref bands get a 0-first hom-ref band, variant rows a
     // free-running formula (argmin independent of the planted gt);
     // every 7th k ≡ 5 is malformed ('.') — the passthrough class
     val gvPl = """CASE WHEN k % 7 = 5 THEN '.'
-        WHEN k % 4 = 0 THEN '0,' || CAST(k % 45 AS VARCHAR(8)) || ','
-          || CAST((k % 90) + 45 AS VARCHAR(8))
-        ELSE CAST(k % 60 AS VARCHAR(8)) || ','
-          || CAST((k + 13) % 60 AS VARCHAR(8)) || ','
-          || CAST((k + 26) % 60 AS VARCHAR(8)) END AS pl"""
+        WHEN k % 4 = 0 THEN '0,' || CAST(k % 45 AS STRING) || ','
+          || CAST((k % 90) + 45 AS STRING)
+        ELSE CAST(k % 60 AS STRING) || ','
+          || CAST((k + 13) % 60 AS STRING) || ','
+          || CAST((k + 26) % 60 AS STRING) END AS pl"""
     val spanEnd = """CASE
         WHEN k % 4 = 0 THEN (1000 + (k % 100000)) + 10 + (k % 90)
         ELSE (1000 + (k % 100000))
           + (CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) - 1 END"""
-    val lcChrom = "CAST(1 + (lk % 22) AS VARCHAR(8)) AS chrom"
+    val lcChrom = "CAST(1 + (lk % 22) AS STRING) AS chrom"
     val lcPos = "CAST(1000 + ((lk * 37 + 11) % 100120) AS INT) AS pos"
     Q(
       "q229_gvcf_joint_call",
@@ -5135,4 +5135,210 @@ object VcfQueries extends QuerySet {
           AS af_micro
       FROM elx GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
     """))
+
+  /** HAPLOID JOINT-GENOTYPING gate ([[graft.operators.Gvcf
+    * .jointGenotype]] — the r14 verdict's Missing #1): a haploid gVCF
+    * record (male chrX/chrY) carries ONE phred likelihood per ALLELE
+    * (nAlts+1 entries, VCF 4.2 §1.6.2), not the diploid triangular
+    * (nAlts+1)(nAlts+2)/2 — before this round such records silently
+    * fell to the input-GT passthrough; now the argmin index IS the
+    * called single-allele genotype (`1`, not `1/1`), GQ from the same
+    * sorted gap. The fixture plants haploid 2-entry PLs (the k≡7 mod
+    * 10 class — ends-in-7 is odd, so it never collides with the even
+    * k%4=0 ref-band class) NEXT TO diploid triples, malformed `.`
+    * rows, and ref bands, all flowing through ONE jointGenotype call —
+    * the haploid re-call observably differs from the planted `0/1`/
+    * `1/1` input GTs while every diploid row takes the q229 path
+    * unchanged. DuckDB replays the arity dispatch by list length.
+    * Input is decimated (k%3=0) so the gate stays cheap in the bench
+    * suite; the scale evidence is q229's (same plan, one more CASE).
+    */
+  private lazy val q231 = {
+    val gvChrom = "CAST(1 + (k % 22) AS STRING) AS chrom"
+    val gvPos = "CAST(1000 + (k % 100000) AS INT) AS pos"
+    val gvRef = "substr('ACGTACG', CAST(1 + (k % 4) AS INT), " +
+      "CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) AS ref"
+    val gvAlt = """CASE WHEN k % 4 = 0 THEN '<NON_REF>'
+        ELSE substr('TGCA', CAST(1 + (k % 4) AS INT), 1) END AS alt"""
+    val gvInfo = """CASE
+        WHEN k % 4 = 0 THEN 'END=' ||
+          CAST(1000 + (k % 100000) + 10 + (k % 90) AS STRING)
+        ELSE 'DP=' || CAST(k % 100 AS STRING) END AS info"""
+    val gvSample = "'s' || CAST(k % 3 AS STRING) AS sample_id"
+    val gvGt = """CASE WHEN k % 4 = 0 THEN '0/0'
+        WHEN k % 10 = 7 THEN (CASE WHEN k % 9 < 5 THEN '0' ELSE '1' END)
+        WHEN k % 9 < 5 THEN '0/1' ELSE '1/1' END AS gt"""
+    // the k%10=7 class is HAPLOID: 2-entry PL (one per allele); the
+    // malformed class and the ref-band class keep q229's shape
+    val gvPl = """CASE WHEN k % 7 = 5 THEN '.'
+        WHEN k % 4 = 0 THEN '0,' || CAST(k % 45 AS STRING) || ','
+          || CAST((k % 90) + 45 AS STRING)
+        WHEN k % 10 = 7 THEN CAST((k * 3) % 50 AS STRING) || ','
+          || CAST((k * 5 + 7) % 50 AS STRING)
+        ELSE CAST(k % 60 AS STRING) || ','
+          || CAST((k + 13) % 60 AS STRING) || ','
+          || CAST((k + 26) % 60 AS STRING) END AS pl"""
+    val spanEnd = """CASE
+        WHEN k % 4 = 0 THEN (1000 + (k % 100000)) + 10 + (k % 90)
+        ELSE (1000 + (k % 100000))
+          + (CASE WHEN k % 11 = 0 THEN 3 ELSE 1 END) - 1 END"""
+    val lcChrom = "CAST(1 + (lk % 22) AS STRING) AS chrom"
+    val lcPos = "CAST(1000 + ((lk * 37 + 11) % 100120) AS INT) AS pos"
+    Q(
+      "q231_haploid_joint_call",
+      (s, dir) => {
+        val gv = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .where("k % 3 = 0")
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("k", gvChrom, gvPos, gvRef, gvAlt, gvInfo,
+            gvSample, gvGt, gvPl)
+        val loci = t(s, dir, "orders")
+          .selectExpr("o_orderkey AS lk")
+          .where("lk % 3 = 0")
+          .selectExpr("lk", lcChrom, lcPos)
+          .groupBy("chrom", "pos").agg(min(col("lk")).as("lk"))
+        graft.operators.Gvcf.jointGenotype(gv, loci)
+          .select(col("lk"), col("chrom"), col("pos"), col("sample_id"),
+            col("k").as("gk"), col("state"), col("gt"),
+            col("called_gt"), col("gq"))
+          .orderBy("lk", "sample_id", "gk")
+      },
+      Some(s"""
+        WITH gv AS (SELECT k, $gvChrom, $gvPos, $gvRef, $gvAlt,
+               $gvSample, $gvGt, $gvPl,
+               CAST($spanEnd AS INT) AS span_end
+             FROM (SELECT l_orderkey * 8 + l_linenumber AS k
+                   FROM lineitem)
+             WHERE k % 3 = 0),
+        lc0 AS (SELECT lk, $lcChrom, $lcPos
+                FROM (SELECT o_orderkey AS lk FROM orders
+                      WHERE o_orderkey % 3 = 0)),
+        lc AS (SELECT chrom, pos, CAST(min(lk) AS BIGINT) AS lk
+               FROM lc0 GROUP BY chrom, pos),
+        smp AS (SELECT DISTINCT sample_id FROM gv),
+        grid AS (SELECT l.lk, l.chrom, l.pos, s.sample_id
+                 FROM lc l CROSS JOIN smp s),
+        cov AS (SELECT l.chrom, l.pos, g.sample_id, g.k, g.alt, g.gt,
+                  CASE WHEN g.pl = '.' THEN NULL
+                       ELSE list_transform(string_split(g.pl, ','),
+                              e -> CAST(e AS INT)) END AS pls
+                FROM (SELECT DISTINCT chrom, pos FROM lc) l
+                JOIN gv g ON g.chrom = l.chrom
+                  AND l.pos BETWEEN g.pos AND g.span_end),
+        cl AS (SELECT chrom, pos, sample_id, k, alt, gt,
+                 CASE WHEN pls IS NULL THEN NULL
+                      ELSE list_position(pls, list_min(pls)) - 1 END AS i,
+                 CASE WHEN pls IS NULL THEN NULL
+                      ELSE len(pls) END AS np,
+                 CASE WHEN pls IS NULL THEN NULL
+                      ELSE list_sort(pls)[2] - list_sort(pls)[1] END AS gq
+               FROM cov)
+        SELECT grid.lk, grid.chrom, grid.pos, grid.sample_id,
+          c.k AS gk,
+          CASE WHEN c.alt IS NULL THEN 'no_coverage'
+               WHEN c.alt = '<NON_REF>' THEN 'ref_block'
+               ELSE 'variant' END AS state,
+          c.gt,
+          CASE WHEN c.alt IS NULL THEN './.'
+               WHEN c.i IS NULL THEN c.gt
+               WHEN c.np = 2 THEN CAST(c.i AS VARCHAR)
+               WHEN c.i = 0 THEN '0/0' WHEN c.i = 1 THEN '0/1'
+               ELSE '1/1' END AS called_gt,
+          CAST(c.gq AS INT) AS gq
+        FROM grid LEFT JOIN cl c
+          ON c.chrom = grid.chrom AND c.pos = grid.pos
+          AND c.sample_id = grid.sample_id
+        ORDER BY grid.lk, grid.sample_id, gk NULLS FIRST
+      """))
+  }
+
+  /** BANDED gVCF EMISSION gate ([[graft.operators.Gvcf.bandGvcf]] —
+    * the r14 verdict's Missing #3: the engine read/joined/joint-called
+    * banded gVCFs but could not emit one): per-position reference-
+    * confident records collapse into `<NON_REF>` `END=` bands, breaking
+    * on GQ band edges (GATK -GQB, edges [20, 60)), coverage gaps,
+    * variant interrupts, and multi-base refs; band gq = run MINIMUM.
+    * The fixture builds per-(sample, chrom) CONTIGUOUS positions with
+    * row_number, then punches gaps post-assignment, so every break
+    * class occurs; DuckDB replays the full lag/run-id/min-by banding
+    * pipeline. The Spark plan is the one-exchange window+agg reuse
+    * (pinned in RangeJoinSpec).
+    */
+  private lazy val q232 = {
+    val baseClsSeq = Seq(
+      "CASE WHEN k % 13 = 0 THEN 'T' ELSE '<NON_REF>' END AS alt",
+      "CASE WHEN k % 13 = 0 THEN '0/1' ELSE '0/0' END AS gt",
+      "CASE WHEN k % 29 = 0 THEN 'AC' " +
+        "ELSE substr('ACGT', CAST(1 + (k % 4) AS INT), 1) END AS ref",
+      "CAST((k * 11) % 100 AS INT) AS gq",
+      "CASE WHEN k % 13 = 0 THEN 'DP=' || CAST(k % 90 AS STRING) " +
+        "ELSE '.' END AS info")
+    val baseCls = baseClsSeq.mkString(", ")
+    Q(
+      "q232_gvcf_band",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey * 8 + l_linenumber AS k")
+          .selectExpr("k", "'s' || CAST(k % 2 AS STRING) AS sample_id",
+            "CAST(1 + (k % 3) AS STRING) AS chrom")
+          .selectExpr("*" +: baseClsSeq: _*)
+        val posd = base.withColumn("pos",
+          (row_number().over(Window.partitionBy("sample_id", "chrom")
+            .orderBy("k")) + 1000).cast("int"))
+          .where("(pos * 7 + k) % 17 <> 0")
+          .select("sample_id", "chrom", "pos", "ref", "alt", "gt",
+            "gq", "info")
+        graft.operators.Gvcf.bandGvcf(posd)
+          .orderBy("sample_id", "chrom", "pos")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT k, 's' || CAST(k % 2 AS VARCHAR) AS sample_id,
+                 CAST(1 + (k % 3) AS VARCHAR) AS chrom, $baseCls
+          FROM (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem)),
+        posd AS (
+          SELECT *, CAST(1000 + row_number() OVER
+                   (PARTITION BY sample_id, chrom ORDER BY k) AS INT) AS pos
+          FROM base),
+        filt AS (SELECT * FROM posd WHERE (pos * 7 + k) % 17 <> 0),
+        mk AS (
+          SELECT *,
+            (alt = '<NON_REF>' AND len(ref) = 1
+              AND gt IN ('0/0', '0|0', '0')) AS bandable,
+            CASE WHEN (alt = '<NON_REF>' AND len(ref) = 1
+                       AND gt IN ('0/0', '0|0', '0'))
+                 THEN (CASE WHEN gq >= 20 THEN 1 ELSE 0 END)
+                    + (CASE WHEN gq >= 60 THEN 1 ELSE 0 END) END AS band
+          FROM filt),
+        nr AS (
+          SELECT *, CASE WHEN NOT bandable
+                 OR NOT coalesce(lag(bandable) OVER w, false)
+                 OR pos <> lag(pos) OVER w + 1
+                 OR band <> lag(band) OVER w THEN 1 ELSE 0 END AS newrun
+          FROM mk
+          WINDOW w AS (PARTITION BY sample_id, chrom ORDER BY pos)),
+        runs AS (
+          SELECT *, sum(newrun) OVER (PARTITION BY sample_id, chrom
+            ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run
+          FROM nr),
+        agg AS (
+          SELECT sample_id, chrom, run,
+            CAST(min(pos) AS INT) AS pos, max(pos) AS run_end,
+            CAST(min(gq) AS INT) AS min_gq,
+            max(CASE WHEN bandable THEN 1 ELSE 0 END) AS is_band,
+            arg_min(ref, pos) AS f_ref, arg_min(alt, pos) AS f_alt,
+            arg_min(gt, pos) AS f_gt, CAST(arg_min(gq, pos) AS INT) AS f_gq,
+            arg_min(info, pos) AS f_info
+          FROM runs GROUP BY sample_id, chrom, run)
+        SELECT sample_id, chrom, pos, f_ref AS ref,
+          CASE WHEN is_band = 1 THEN '<NON_REF>' ELSE f_alt END AS alt,
+          CASE WHEN is_band = 1 THEN '0/0' ELSE f_gt END AS gt,
+          CASE WHEN is_band = 1 THEN min_gq ELSE f_gq END AS gq,
+          CASE WHEN is_band = 1 THEN 'END=' || CAST(run_end AS VARCHAR)
+               ELSE f_info END AS info
+        FROM agg ORDER BY sample_id, chrom, pos
+      """))
+  }
 }

@@ -438,7 +438,8 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       "GQ = second-min − min; a record whose GT disagrees with its own " +
       "PL gets corrected; ref bands recall through the same rule; " +
       "no_coverage is ./. with NULL gq; malformed/wrong-arity PL keeps " +
-      "the record's GT (passthrough)") {
+      "the record's GT (passthrough); a HAPLOID PL (nAlts+1 entries — " +
+      "male chrX/Y) re-calls the argmin ALLELE as a single-allele GT") {
     import graft.operators.Gvcf
     val gv = Seq(
       // variant whose pipeline GT (0/1) disagrees with argmin (1/1):
@@ -450,13 +451,25 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       ("1", 300, "G", "<NON_REF>", "END=350", "sA", "0/0", "0,18,255"),
       // malformed PL → passthrough GT, NULL gq
       ("1", 400, "T", "C", "DP=9", "sA", "1/1", "."),
-      // wrong arity (2 slots for a biallelic site) → passthrough
-      ("1", 500, "A", "G", "DP=9", "sA", "0/1", "7,3"),
+      // HAPLOID: 2 slots for a biallelic site = one PL per ALLELE
+      // (male chrX/Y) → argmin allele called as single-allele GT:
+      // [7, 3] → allele 1, gq = 7 − 3 = 4 (corrects the planted 0)
+      ("X", 500, "A", "G", "DP=9", "sA", "0", "7,3"),
+      // haploid multiallelic (2 ALTs → 3 allele slots, ≠ the diploid
+      // triangular 6): [9, 2, 30] → allele 1, gq = 9 − 2 = 7
+      ("X", 600, "A", "G,T", "DP=9", "sA", "2", "9,2,30"),
+      // WRONG arity (4 slots: neither triangular 3 nor haploid 2 for
+      // one ALT) → passthrough GT, NULL gq
+      ("1", 700, "C", "T", "DP=9", "sA", "0/1", "4,1,9,9"),
+      // digits-only but Int-overflowing element → malformed, NOT an
+      // ANSI CastOverflow (the r14 advisory) → passthrough
+      ("1", 800, "G", "A", "DP=9", "sA", "0/1", "0,99999999999,10"),
       // sB covers only locus 100's neighborhood via a band
       ("1", 90, "A", "<NON_REF>", "END=120", "sB", "0/0", "0,30,200"))
       .toDF("chrom", "pos", "ref", "alt", "info", "sample_id", "gt", "pl")
     val loci = Seq(("1", 100), ("1", 200), ("1", 320), ("1", 400),
-      ("1", 500)).toDF("chrom", "pos")
+      ("X", 500), ("X", 600), ("1", 700), ("1", 800))
+      .toDF("chrom", "pos")
     val got = Gvcf.jointGenotype(gv, loci)
       .select("pos", "sample_id", "state", "called_gt", "gq")
       .as[(Int, String, String, String, Option[Int])].collect().toSet
@@ -469,7 +482,71 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       (320, "sB", "no_coverage", "./.", None),
       (400, "sA", "variant", "1/1", None),       // malformed → passthrough
       (400, "sB", "no_coverage", "./.", None),
-      (500, "sA", "variant", "0/1", None),       // wrong arity → passthrough
-      (500, "sB", "no_coverage", "./.", None)))
+      (500, "sA", "variant", "1", Some(4)),      // haploid re-call
+      (500, "sB", "no_coverage", "./.", None),
+      (600, "sA", "variant", "1", Some(7)),      // haploid multiallelic
+      (600, "sB", "no_coverage", "./.", None),
+      (700, "sA", "variant", "0/1", None),       // wrong arity → passthrough
+      (700, "sB", "no_coverage", "./.", None),
+      (800, "sA", "variant", "0/1", None),       // overflow digits → passthrough
+      (800, "sB", "no_coverage", "./.", None)))
+  }
+
+  test("Gvcf.bandGvcf: reference-confident runs collapse into <NON_REF> " +
+      "END bands (GATK -GQB semantics) — a band breaks on GQ band edge, " +
+      "coverage gap, or a variant interrupt; variants/multi-base refs " +
+      "pass through verbatim; locusQuery over the banded output " +
+      "classifies every covered locus identically to the unbanded input") {
+    import graft.operators.Gvcf
+    // sample sA, chrom 1: positions 100..109 with planted classes
+    val rows = Seq(
+      // run 1: pos 100-102 hom-ref, gq in [20,60) band
+      ("sA", "1", 100, "A", "<NON_REF>", "0/0", 30, "."),
+      ("sA", "1", 101, "C", "<NON_REF>", "0/0", 25, "."),
+      ("sA", "1", 102, "G", "<NON_REF>", "0/0", 59, "."),
+      // band edge: gq 60 starts a new band (edge at 60)
+      ("sA", "1", 103, "T", "<NON_REF>", "0/0", 60, "."),
+      ("sA", "1", 104, "A", "<NON_REF>", "0/0", 99, "."),
+      // variant interrupts
+      ("sA", "1", 105, "C", "T", "0/1", 45, "DP=9"),
+      // resumes banding
+      ("sA", "1", 106, "G", "<NON_REF>", "0/0", 33, "."),
+      // GAP (107 missing)
+      ("sA", "1", 108, "T", "<NON_REF>", "0/0", 34, "."),
+      // multi-base ref: passthrough even though <NON_REF>
+      ("sA", "1", 109, "TAC", "<NON_REF>", "0/0", 50, "."),
+      // second sample: its own runs
+      ("sB", "1", 100, "A", "<NON_REF>", "0/0", 10, "."),
+      ("sB", "1", 101, "C", "<NON_REF>", "0/0", 15, "."))
+      .toDF("sample_id", "chrom", "pos", "ref", "alt", "gt", "gq", "info")
+    val banded = Gvcf.bandGvcf(rows)
+    val got = banded
+      .select("sample_id", "pos", "ref", "alt", "gt", "gq", "info")
+      .as[(String, Int, String, String, String, Int, String)]
+      .collect().toSet
+    assert(got === Set(
+      ("sA", 100, "A", "<NON_REF>", "0/0", 25, "END=102"),
+      ("sA", 103, "T", "<NON_REF>", "0/0", 60, "END=104"),
+      ("sA", 105, "C", "T", "0/1", 45, "DP=9"),
+      ("sA", 106, "G", "<NON_REF>", "0/0", 33, "END=106"),
+      ("sA", 108, "T", "<NON_REF>", "0/0", 34, "END=108"),
+      ("sA", 109, "TAC", "<NON_REF>", "0/0", 50, "."),
+      ("sB", 100, "A", "<NON_REF>", "0/0", 10, "END=101")))
+    // round-trip: every input locus classifies identically through
+    // locusQuery over banded vs unbanded (state via alt, per sample)
+    val loci = rows.select(col("chrom"), col("pos")).distinct()
+    def classify(g: org.apache.spark.sql.DataFrame) =
+      Gvcf.locusQuery(g.withColumn("sid", col("sample_id")), loci)
+        .select(col("chrom"), col("pos"), col("sid"),
+          (col("alt") === "<NON_REF>").as("refish"))
+        .as[(String, Int, String, Boolean)].collect().toSet
+    assert(classify(banded) === classify(rows))
+    // plan: the window exchange is REUSED by the run aggregation —
+    // exactly one shuffle in the whole banding plan
+    val exchanges = banded.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"bandGvcf must reuse the window partitioning, saw $exchanges")
   }
 }
