@@ -383,6 +383,33 @@ object BcfWriter {
     * only has to carry the dictionary entries. All collected sets are
     * vocabulary-bounded (contigs/keys/samples), never row-scale.
     */
+  /** Assemble the minimal synthesized header text from collected
+    * vocabulary — the tail of [[synthesizeHeader]], shared with the
+    * DSv2 write path's per-shard executor-side synthesis. All inputs
+    * are deduped + sorted here so driver- and executor-synthesized
+    * headers are deterministic for the same vocabulary.
+    */
+  private[graft] def composeHeader(
+      contigs: Seq[String], filterIdsIn: Seq[String],
+      infoIdsIn: Seq[String], fmtIdsIn: Seq[String],
+      samplesIn: Seq[String]): String = {
+    val filterIds = filterIdsIn.distinct.sorted.filterNot(_ == "PASS")
+    val infoIds = infoIdsIn.distinct.sorted
+    val fmtIds = fmtIdsIn.distinct.sorted
+    val samples = samplesIn.distinct.sorted
+    (Seq("##fileformat=VCFv4.2",
+      "##FILTER=<ID=PASS,Description=\"All filters passed\">") ++
+      filterIds.map(f => s"""##FILTER=<ID=$f,Description="$f">""") ++
+      infoIds.map(k =>
+        s"""##INFO=<ID=$k,Number=.,Type=String,Description="$k">""") ++
+      fmtIds.map(k =>
+        s"""##FORMAT=<ID=$k,Number=.,Type=String,Description="$k">""") ++
+      contigs.distinct.sorted.map(c => s"##contig=<ID=$c>") :+
+      (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+        "INFO", "FORMAT") ++ samples).mkString("\t"))
+      .mkString("", "\n", "\n")
+  }
+
   def synthesizeHeader(df: DataFrame): String = {
     val parts = df.select(
       collect_set(col("chrom")).as("contigs"),
@@ -400,22 +427,24 @@ object BcfWriter {
       .collect().head
     def flat(i: Int): Seq[String] =
       parts.getSeq[Seq[String]](i).flatten.distinct.sorted
-    val contigs = parts.getSeq[String](0).distinct.sorted
-    val filterIds = flat(1).filterNot(_ == "PASS")
-    val infoIds = flat(2)
-    val fmtIds = flat(3)
-    val samples = flat(4)
-    (Seq("##fileformat=VCFv4.2",
-      "##FILTER=<ID=PASS,Description=\"All filters passed\">") ++
-      filterIds.map(f => s"""##FILTER=<ID=$f,Description="$f">""") ++
-      infoIds.map(k =>
-        s"""##INFO=<ID=$k,Number=.,Type=String,Description="$k">""") ++
-      fmtIds.map(k =>
-        s"""##FORMAT=<ID=$k,Number=.,Type=String,Description="$k">""") ++
-      contigs.map(c => s"##contig=<ID=$c>") :+
-      (Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
-        "INFO", "FORMAT") ++ samples).mkString("\t"))
-      .mkString("", "\n", "\n")
+    composeHeader(parts.getSeq[String](0), flat(1), flat(2), flat(3),
+      flat(4))
+  }
+
+  /** `.bcf.csi` refs are POSITIONAL against the header's contig table
+    * (empty aux): reorder the builder's run-order refs into contig
+    * order, padding unseen contigs with empty refs. Shared by
+    * [[writeBcf]] and the DSv2 write path.
+    */
+  private[graft] def paddedIndex(hdr: BcfHeader,
+      builder: TabixIndex.Builder): TabixIndex.Index = {
+    val built = builder.build()
+    val byName = built.refs.map(r => r.name -> r).toMap
+    val lastSeen = hdr.contigs.lastIndexWhere(byName.contains)
+    TabixIndex.Index(hdr.contigs.take(lastSeen + 1).map { c =>
+      byName.getOrElse(c, TabixIndex.Ref(c, 0L, 0L,
+        Array.empty[Long], Map.empty, 14, builder.chosenDepth))
+    })
   }
 
   /** [[writeBcf]] with a [[synthesizeHeader]] pass first — the
@@ -471,8 +500,17 @@ object BcfWriter {
         val dir = new Path(shardsDir)
         val fs = dir.getFileSystem(confBc.value.value)
         val fin = new Path(dir, f"part-${tc.partitionId}%05d.bcf")
-        val tmp = new Path(dir,
-          f".part-${tc.partitionId}%05d.bcf.${tc.taskAttemptId}%d.tmp")
+        // COMMIT PROTOCOL (speculation-safe): shard + .csi are staged
+        // in a per-ATTEMPT dir, then committed rename-if-absent with
+        // the .csi FIRST — two racing attempts never rename over each
+        // other (first committed shard wins, the loser discards its
+        // attempt dir), and a task dying mid-commit can only leave an
+        // orphan .csi (readers key off .bcf files and ignore it),
+        // never an indexed-write shard silently missing its index
+        val attemptDir = new Path(dir,
+          f".attempt-${tc.partitionId}%05d-${tc.taskAttemptId}%d")
+        fs.mkdirs(attemptDir)
+        val tmp = new Path(attemptDir, fin.getName)
         val bgz = new BgzfOutputStream(fs.create(tmp, true))
         val builder =
           if (index) new TabixIndex.Builder(14, 5, fin.toString) else null
@@ -499,23 +537,29 @@ object BcfWriter {
           }
           bgz.finish()
         } finally bgz.close()
-        fs.delete(fin, false)
-        require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
-        if (builder != null && !builder.isEmpty) {
-          // .bcf.csi refs are POSITIONAL against the header's contig
-          // table (empty aux): reorder the builder's run-order refs
-          // into contig order, padding unseen contigs with empty refs
-          val built = builder.build()
-          val byName = built.refs.map(r => r.name -> r).toMap
-          val lastSeen = hdr.contigs.lastIndexWhere(byName.contains)
-          val padded = hdr.contigs.take(lastSeen + 1).map { c =>
-            byName.getOrElse(c, TabixIndex.Ref(c, 0L, 0L,
-              Array.empty[Long], Map.empty, 14, builder.chosenDepth))
+        val tmpCsi =
+          if (builder != null && !builder.isEmpty) {
+            val t = new Path(attemptDir,
+              TabixIndex.csiSibling(fin).getName)
+            TabixIndex.writeCsi(fs, t,
+              paddedIndex(hdr, builder), 14, builder.chosenDepth,
+              tabixAux = false)
+            t
+          } else null
+        // commit: a twin attempt's committed shard wins (rename-if-
+        // absent); .csi first so a committed shard is never index-less
+        if (!fs.exists(fin)) {
+          if (tmpCsi != null) {
+            val finCsi = TabixIndex.csiSibling(fin)
+            if (!fs.rename(tmpCsi, finCsi) && !fs.exists(finCsi))
+              throw new java.io.IOException(
+                s"commit rename $tmpCsi -> $finCsi failed")
           }
-          TabixIndex.writeCsi(fs, TabixIndex.csiSibling(fin),
-            TabixIndex.Index(padded), 14, builder.chosenDepth,
-            tabixAux = false)
+          if (!fs.rename(tmp, fin) && !fs.exists(fin))
+            throw new java.io.IOException(
+              s"commit rename $tmp -> $fin failed")
         }
+        fs.delete(attemptDir, true)
       }
     }
   }

@@ -252,10 +252,15 @@ object TabixIndex {
     // every lookup would miss and the scan would silently return zero
     // rows for data that exists. Fail loudly, like the .tbi reader —
     // unless the caller supplied the format's own contig table (BCF).
+    // the caller's contig table substitutes ONLY for the genuinely
+    // BCF-style case (no aux name table at all) — a PRESENT-but-
+    // mismatched aux table is corrupt and must fail loudly like the
+    // .tbi reader, not be silently renamed into a wrong positional
+    // mapping that mis-prunes by chromosome
     val refNames: IndexedSeq[String] =
       if (names.length == nRef) names.toIndexedSeq
       else contigNames match {
-        case Some(cs) if cs.length >= nRef => cs.take(nRef)
+        case Some(cs) if names.isEmpty && cs.length >= nRef => cs.take(nRef)
         case _ => throw new IllegalArgumentException(
           s"$csiPath: ${names.length} sequence names in aux block for " +
             s"$nRef references (non-tabix CSI? cannot prune by " +

