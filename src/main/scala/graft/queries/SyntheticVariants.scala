@@ -214,7 +214,17 @@ object SyntheticVariants {
     */
   def wide(s: SparkSession, dir: String,
       altOverride: String = altSql, withDs: Boolean = false,
-      withGp: Boolean = false): DataFrame = {
+      withGp: Boolean = false): DataFrame =
+    // under Bench the planted frame is parquet-materialized once per
+    // (ALT derivation, FORMAT shape) — see QueryUtil.substrate
+    QueryUtil.substrate(s,
+      s"wide-${(dir + altOverride).hashCode & 0x7fffffff}-$withDs-$withGp") {
+      wideBuild(s, dir, altOverride, withDs, withGp)
+    }
+
+  private def wideBuild(s: SparkSession, dir: String,
+      altOverride: String, withDs: Boolean,
+      withGp: Boolean): DataFrame = {
     val fmt = (withDs, withGp) match {
       case (true, true) => "'GT:DP:AD:DS:GP'"
       case (true, false) => "'GT:DP:AD:DS'"
