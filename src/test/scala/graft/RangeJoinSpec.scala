@@ -549,4 +549,45 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges === 1,
       s"bandGvcf must reuse the window partitioning, saw $exchanges")
   }
+
+  test("bandGvcf → BcfWriter → format(\"bcf\") read → expandToSpans: a " +
+      "banded single-sample gVCF emitted through the engine's own BCF " +
+      "writer reads back with every probed locus covered identically " +
+      "to the unbanded original (the full write-side round trip)") {
+    import graft.operators.Gvcf
+    val rows = Seq(
+      ("sA", "1", 100, "A", "<NON_REF>", "0/0", 30, "."),
+      ("sA", "1", 101, "C", "<NON_REF>", "0/0", 25, "."),
+      ("sA", "1", 102, "G", "<NON_REF>", "0/0", 59, "."),
+      ("sA", "1", 103, "T", "C", "0/1", 40, "DP=7"),
+      ("sA", "1", 104, "A", "<NON_REF>", "0/0", 80, "."),
+      ("sA", "1", 105, "C", "<NON_REF>", "0/0", 70, "."))
+      .toDF("sample_id", "chrom", "pos", "ref", "alt", "gt", "gq", "info")
+    val banded = Gvcf.bandGvcf(rows)
+    // long form → the writer's wide shape: GT:GQ per-sample call
+    val wideFrame = banded.select(
+      col("chrom"), col("pos"), lit(".").as("id"), col("ref"),
+      col("alt"), lit(".").as("qual"), lit("PASS").as("filter"),
+      col("info"), lit("GT:GQ").as("format"),
+      map(col("sample_id"),
+        concat_ws(":", col("gt"), col("gq").cast("string")))
+        .as("genotypes"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-band-emit").toString
+    graft.sources.BcfWriter.writeBcfSynth(
+      wideFrame.repartitionByRange(1, col("chrom"), col("pos"))
+        .sortWithinPartitions(col("chrom"), col("pos")),
+      out)
+    val back = spark.read.format("bcf").load(s"$out/shards")
+      .withColumn("sample_id", lit("sA"))
+    // every original locus is covered with the same ref-ish state
+    val loci = rows.select(col("chrom"), col("pos")).distinct()
+    val got = Gvcf.locusQuery(back, loci)
+      .select(col("pos"), (col("alt") === "<NON_REF>").as("refish"))
+      .as[(Int, Boolean)].collect().toSet
+    assert(got === Set((100, true), (101, true), (102, true),
+      (103, false), (104, true), (105, true)))
+    // the emitted records ARE banded: fewer bcf rows than input loci
+    assert(back.count() === 3) // band 100-102 + variant 103 + band 104-105
+  }
 }
