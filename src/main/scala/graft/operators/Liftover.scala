@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** COORDINATE LIFTOVER between genome assemblies — the
+  * `bcftools +liftover` / Picard LiftoverVcf operation (every cohort
+  * that mixes GRCh37 and GRCh38 resources runs it): map each
+  * variant's (chrom, pos) through a CHAIN of alignment blocks — the
+  * UCSC chain-file model, here a plain DataFrame so the chain lands
+  * as parquet and broadcasts like any dimension — rewriting position
+  * and, on minus-strand blocks, REVERSE-COMPLEMENTING the alleles.
+  *
+  * Chain schema (one row per ungapped alignment block):
+  * `(chrom, start, end, dst_chrom, dst_start, strand)` — a source
+  * position p in the CLOSED [start, end] maps to
+  * `dst_start + (p − start)` on `+` blocks and
+  * `dst_start + (end − p)` on `−` blocks (the block's target runs
+  * reverse, so the offset mirrors — the UCSC convention after
+  * flattening a chain's gap structure into per-block rows).
+  *
+  * Semantics:
+  *  - a variant covered by NO block emits ONE row with
+  *    `lift_status = 'unmapped'` and NULL lifted columns (never
+  *    silently dropped — the unmapped set is the QC deliverable);
+  *  - a covered variant emits one row PER covering block (UCSC main
+  *    chains are disjoint on the source, so normally exactly one;
+  *    overlapping patch/alt chains surface as explicit multi-maps for
+  *    the caller to arbitrate — dropping all but one silently would
+  *    hide the ambiguity);
+  *  - minus-strand blocks reverse-complement REF and each
+  *    comma-separated ALT (`lift_status = 'flipped'`); allele tokens
+  *    that are not pure ACGT (symbolic `<DEL>`, breakends, `.`, `*`)
+  *    ride VERBATIM — reverse-complementing a symbolic allele would
+  *    corrupt it, and flagging beats mangling.
+  *
+  * Shape: the q81 [[RangeJoin]] bucket decomposition as a LEFT join —
+  * the chain side explodes each block over its covered buckets, the
+  * variant side computes one bucket, and the equi-join on
+  * (chrom, bucket) carries the exact range predicate in-join (never a
+  * nested loop; a chain is dimension-sized, so with statistics it
+  * BROADCASTS and the variant stream never shuffles). Left semantics
+  * keep unmapped rows without a second pass. One narrow projection
+  * computes position arithmetic + the allele flip.
+  */
+object Liftover {
+
+  private def revcomp(c: Column): Column =
+    reverse(translate(c, "ACGTacgt", "TGCAtgca"))
+
+  /** Reverse-complement a single allele token when it is pure ACGT;
+    * symbolic/missing tokens ride verbatim. */
+  private def flipAllele(c: Column): Column =
+    when(c.rlike("^[ACGTacgt]+$"), revcomp(c)).otherwise(c)
+
+  def liftover(
+      vcf: DataFrame, chain: DataFrame,
+      chromCol: String = "chrom", posCol: String = "pos",
+      refCol: String = "ref", altCol: String = "alt",
+      bucketShift: Int = 20): DataFrame = {
+    require(bucketShift >= 0 && bucketShift < 32,
+      s"bucketShift must be in [0, 32), got $bucketShift")
+    val iv = chain
+      .select(col("chrom").as("__c"), col("start").as("__s"),
+        col("end").as("__e"), col("dst_chrom"), col("dst_start"),
+        col("strand"))
+      .withColumn("__b", explode(sequence(
+        shiftright(col("__s"), bucketShift),
+        shiftright(col("__e"), bucketShift))))
+    val p = vcf.withColumn("__b", shiftright(col(posCol), bucketShift))
+    val joined = p.join(iv,
+      p(chromCol) === iv("__c") && p("__b") === iv("__b") &&
+        p(posCol).between(iv("__s"), iv("__e")),
+      "left")
+    val minus = col("strand") === "-"
+    val liftedPos = when(minus, col("dst_start") + (col("__e") - col(posCol)))
+      .otherwise(col("dst_start") + (col(posCol) - col("__s")))
+    joined
+      .withColumn("lift_status",
+        when(col("__s").isNull, "unmapped")
+          .when(minus, "flipped")
+          .otherwise("lifted"))
+      .withColumn("lifted_chrom", col("dst_chrom"))
+      .withColumn("lifted_pos",
+        when(col("__s").isNotNull, liftedPos.cast("int")))
+      .withColumn("lifted_ref",
+        when(col("__s").isNull, lit(null).cast("string"))
+          .when(minus, flipAllele(col(refCol)))
+          .otherwise(col(refCol)))
+      .withColumn("lifted_alt",
+        when(col("__s").isNull, lit(null).cast("string"))
+          .when(minus, array_join(
+            transform(split(col(altCol), ","), a => flipAllele(a)), ","))
+          .otherwise(col(altCol)))
+      .drop("__b", "__c", "__s", "__e", "dst_chrom", "dst_start", "strand")
+  }
+}

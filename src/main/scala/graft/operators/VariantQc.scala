@@ -1445,6 +1445,80 @@ object VariantQc {
           .as("tdt_micro"))
   }
 
+  /** TRIO PHASING BY TRANSMISSION — the GATK PhaseByTransmission /
+    * `whatshap --ped` hard-call core, the step that turns a trio
+    * callset into haplotypes without reads: at biallelic sites the
+    * child's unphased genotype is resolved into `paternal|maternal`
+    * whenever EXACTLY ONE allele assignment is Mendelian-consistent
+    * with the parents' genotypes.
+    *
+    * Rules per site (child alleles x/y, parent allele sets F, M; a
+    * missing/uncalled parent constrains nothing):
+    *  - HOM child: trivially `x|x` — `phased`, unless a CALLED parent
+    *    lacks x entirely (a Mendelian violation → `violation`,
+    *    genotype left unphased NULL);
+    *  - HET child: assignment (pat=x, mat=y) is valid iff x ∈ F and
+    *    y ∈ M; the mirror likewise. Exactly one valid → `phased` with
+    *    that order; both valid (e.g. both parents het) → `ambiguous`
+    *    (no read-free evidence — GATK leaves these unphased too);
+    *    neither → `violation`;
+    *  - child uncalled → `uncalled`.
+    *
+    * Output: siteKey + the child's input `gt`, `phased_gt`
+    * (`pat|mat`, NULL unless `phased`), `phase_status`. The
+    * paternal-first order is this engine's pinned convention (VCF
+    * fixes none; callers needing maternal-first swap the split).
+    *
+    * Shape: three filtered views of ONE annotate plan, child LEFT
+    * JOINED to each parent on the site key (ReusedExchange; child
+    * rows with absent parents still emit) + one narrow CASE
+    * projection. Zero extra exchanges on a site-bucketed landing —
+    * the q80/tdt trio shape.
+    */
+  def phaseByTransmission(
+      ann: DataFrame,
+      childId: String, motherId: String, fatherId: String,
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    def view(sid: String, p: String) = ann
+      .filter(col(sampleCol) === sid && col("multiallele") === 0)
+      .select(siteKey.map(col) ++ Seq(
+        col("gt").as(s"${p}_gt"),
+        when(called("gt1"), col("gt1")).as(s"${p}_a1"),
+        when(called("gt2"), col("gt2")).as(s"${p}_a2")): _*)
+    val trio = view(childId, "c")
+      .join(view(motherId, "m"), siteKey, "left")
+      .join(view(fatherId, "f"), siteKey, "left")
+    def has(p: String, a: Column): Column =
+      col(s"${p}_a1") === a || col(s"${p}_a2") === a
+    def parentCalled(p: String): Column =
+      col(s"${p}_a1").isNotNull && col(s"${p}_a2").isNotNull
+    // "allele a can come from parent p": an uncalled parent
+    // constrains nothing
+    def can(p: String, a: Column): Column = !parentCalled(p) || has(p, a)
+    val x = col("c_a1"); val y = col("c_a2")
+    val childCalled = x.isNotNull && y.isNotNull
+    val aOk = can("f", x) && can("m", y) // pat=x, mat=y
+    val bOk = can("f", y) && can("m", x) // pat=y, mat=x
+    trio.select(
+      siteKey.map(col) ++ Seq(
+        col("c_gt").as("gt"),
+        when(childCalled && x === y && aOk,
+          concat(x, lit("|"), x))
+          .when(childCalled && x =!= y && aOk && !bOk,
+            concat(x, lit("|"), y))
+          .when(childCalled && x =!= y && bOk && !aOk,
+            concat(y, lit("|"), x))
+          .as("phased_gt"),
+        when(!childCalled, "uncalled")
+          .when(x === y, when(aOk, "phased").otherwise("violation"))
+          .when(aOk && bOk, "ambiguous")
+          .when(aOk || bOk, "phased")
+          .otherwise("violation")
+          .as("phase_status")): _*)
+  }
+
   /** DE NOVO mutation candidates per trio — the hard-call core of the
     * GATK PossibleDeNovo annotation and `bcftools +trio-dnm2`'s
     * prefilter, the screen every rare-disease trio analysis runs: at

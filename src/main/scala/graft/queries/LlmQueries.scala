@@ -5732,6 +5732,78 @@ object LlmQueries extends QuerySet {
       FROM per GROUP BY sz ORDER BY cluster_size
     """))
 
+  /** SEMANTIC (embedding-space) DEDUPLICATION gate — the SemDeDup
+    * recipe (Abbas et al. 2023) composed from the engine's own parts,
+    * NO new operator: [[graft.operators.Similarity.ivfAssign]] buckets
+    * the corpus by nearest planted centroid (the cluster step), then
+    * near-duplicates are WITHIN-CELL cosine pairs above a micro-floored
+    * 0.99 threshold, and the kept set follows the greedy lowest-id
+    * rule (a vector drops iff it pairs with a LOWER id — deterministic,
+    * join-replayable, the practical shortcut production SemDeDup uses
+    * instead of full connected components; the q182 incremental-CC
+    * gate covers the transitive variant). The pair join is
+    * CELL-RESTRICTED by construction — no all-pairs path exists at any
+    * scale; cells scale as the centroid count. DuckDB replays
+    * assignment (same L2 + cid tiebreak), the micro cosine threshold,
+    * and the greedy drop rule.
+    */
+  private lazy val q235 = Q(
+    "q235_semantic_dedup",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cents = e.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = Similarity.ivfAssign(e, cents)
+      val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+        col("v").as("av"))
+      val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+        col("v").as("bv"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(micro(Similarity.cosine(col("av"), col("bv")))
+          >= lit(990000L))
+      val dropped = pairs.select(col("cell"), col("b_id").as("vec_id"))
+        .distinct()
+      val stats = assigned.join(dropped, Seq("cell", "vec_id"),
+          "left_anti")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).as("kept_id_sum"))
+      assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        .join(pairs.groupBy("cell").agg(count(lit(1)).as("n_dup_pairs")),
+          Seq("cell"), "left")
+        .join(stats, Seq("cell"))
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          col("n_kept"), col("kept_id_sum"))
+        .orderBy("cell")
+    },
+    Some(s"""
+      WITH $ivfAsgSql,
+      pr AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+             FROM asg a JOIN asg b USING (cell)
+             WHERE a.vec_id < b.vec_id
+               AND ${microSql(
+                 s"${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")})"
+                   + s" * sqrt(${dotSql("b.v", "b.v")}))")} >= 990000),
+      dropped AS (SELECT DISTINCT cell, b_id AS vec_id FROM pr),
+      kept AS (SELECT g.cell, count(*) AS n_kept,
+                 CAST(sum(g.vec_id) AS BIGINT) AS kept_id_sum
+               FROM asg g LEFT JOIN dropped d
+                 ON d.cell = g.cell AND d.vec_id = g.vec_id
+               WHERE d.vec_id IS NULL GROUP BY g.cell),
+      nv AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY cell),
+      np AS (SELECT cell, count(*) AS n_dup_pairs FROM pr GROUP BY cell)
+      SELECT nv.cell, nv.n_vecs,
+        CAST(COALESCE(np.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+        kept.n_kept, kept.kept_id_sum
+      FROM nv LEFT JOIN np USING (cell) JOIN kept USING (cell)
+      ORDER BY nv.cell
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -5741,5 +5813,5 @@ object LlmQueries extends QuerySet {
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
       q180, q182, q183, q186, q187, q189, q190, q193, q194, q195, q199,
-      q203, q209, q212, q220, q221, q223, q225)
+      q203, q209, q212, q220, q221, q223, q225, q235)
 }

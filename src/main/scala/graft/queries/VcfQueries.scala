@@ -4774,7 +4774,8 @@ object VcfQueries extends QuerySet {
       q160, q162, q163, q164, q167, q168, q169, q175, q179, q181, q184,
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
-      q219, q222, q224, q226, q227, q228, q229, q230, q231, q232)
+      q219, q222, q224, q226, q227, q228, q229, q230, q231, q232,
+      q233, q234)
 
   /** DOSAGE↔HARD-CALL CONCORDANCE gate ([[graft.operators.VariantQc
     * .dosageConcordance]] — the post-imputation sample-swap sanity
@@ -5294,4 +5295,171 @@ object VcfQueries extends QuerySet {
         FROM agg ORDER BY sample_id, chrom, pos
       """))
   }
+
+  /** ASSEMBLY LIFTOVER gate ([[graft.operators.Liftover.liftover]] —
+    * `bcftools +liftover` / Picard LiftoverVcf: every cohort mixing
+    * GRCh37/GRCh38 resources runs it): variants mapped through a
+    * planted chain of alignment blocks — `+` blocks shift, `-` blocks
+    * mirror the offset AND reverse-complement the alleles (symbolic/
+    * non-ACGT tokens ride verbatim), uncovered variants emit ONE
+    * `unmapped` row (the QC deliverable, never silently dropped).
+    * The chain is decimated (ck%50) so unmapped is the COMMON class
+    * and multi-maps from overlapping planted blocks surface. DuckDB
+    * replays block join + offset arithmetic + the revcomp chain;
+    * output is the per-(status, target-chrom) rollup with position
+    * sums and allele checksums so every mapped coordinate and flipped
+    * base participates in the hash.
+    */
+  private lazy val q233 = {
+    val chChrom = "CAST(1 + (ck % 22) AS STRING) AS chrom"
+    val chStart = "CAST(1000 + ((ck * 53) % 100000) AS INT) AS start"
+    val chEnd = "CAST(1000 + ((ck * 53) % 100000) + 200 + (ck % 500) " +
+      "AS INT) AS end"
+    val chDst = "'d' || CAST(1 + (ck % 22) AS STRING) AS dst_chrom"
+    val chDstStart = "CAST(500000 + ((ck * 91) % 1000000) AS INT) AS dst_start"
+    val chStrand = "CASE WHEN ck % 3 = 0 THEN '-' ELSE '+' END AS strand"
+    Q(
+      "q233_liftover",
+      (s, dir) => {
+        val sites = wide(s, dir)
+          .select("chrom", "pos", "ref", "alt")
+        val chain = t(s, dir, "orders")
+          .selectExpr("o_orderkey AS ck").where("ck % 50 = 0")
+          .selectExpr(chChrom, chStart, chEnd, chDst, chDstStart, chStrand)
+        graft.operators.Liftover.liftover(sites, chain, bucketShift = 12)
+          .groupBy("lift_status", "lifted_chrom")
+          .agg(count(lit(1)).as("n"),
+            sum(col("pos").cast("long")).as("pos_sum"),
+            sum(col("lifted_pos").cast("long")).as("lifted_pos_sum"),
+            sum(ascii(substring(col("lifted_ref"), 1, 1)).cast("long"))
+              .as("ref_head_sum"),
+            sum(length(col("lifted_alt")).cast("long")).as("alt_len_sum"))
+          .orderBy("lift_status", "lifted_chrom")
+      },
+      Some(s"""
+        WITH $duckCtes,
+        sites AS (SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom,
+                 pos, ref, alt FROM v),
+        chain AS (SELECT $chChrom, $chStart,
+                 CAST(1000 + ((ck * 53) % 100000) + 200 + (ck % 500)
+                   AS INT) AS src_end,
+                 $chDst, $chDstStart, $chStrand
+               FROM (SELECT o_orderkey AS ck FROM orders
+                     WHERE o_orderkey % 50 = 0)),
+        j AS (SELECT s.chrom, s.pos, s.ref, s.alt, c.start, c.src_end,
+                 c.dst_chrom, c.dst_start, c.strand
+              FROM sites s LEFT JOIN chain c
+                ON c.chrom = s.chrom
+               AND s.pos BETWEEN c.start AND c.src_end),
+        l AS (SELECT *,
+                CASE WHEN start IS NULL THEN 'unmapped'
+                     WHEN strand = '-' THEN 'flipped'
+                     ELSE 'lifted' END AS lift_status,
+                CASE WHEN start IS NULL THEN NULL
+                     ELSE dst_chrom END AS lifted_chrom,
+                CASE WHEN start IS NULL THEN NULL
+                     WHEN strand = '-' THEN dst_start + (src_end - pos)
+                     ELSE dst_start + (pos - start) END AS lifted_pos,
+                CASE WHEN start IS NULL THEN NULL
+                     WHEN strand = '-' AND regexp_matches(ref, '^[ACGTacgt]+$$')
+                       THEN reverse(translate(ref, 'ACGTacgt', 'TGCAtgca'))
+                     ELSE ref END AS lifted_ref,
+                CASE WHEN start IS NULL THEN NULL
+                     WHEN strand = '-' THEN array_to_string(
+                       list_transform(string_split(alt, ','),
+                         a -> CASE WHEN regexp_matches(a, '^[ACGTacgt]+$$')
+                                   THEN reverse(translate(a,
+                                     'ACGTacgt', 'TGCAtgca'))
+                                   ELSE a END), ',')
+                     ELSE alt END AS lifted_alt
+              FROM j)
+        SELECT lift_status, lifted_chrom, count(*) AS n,
+          CAST(sum(pos) AS BIGINT) AS pos_sum,
+          CAST(sum(lifted_pos) AS BIGINT) AS lifted_pos_sum,
+          CAST(sum(ascii(substr(lifted_ref, 1, 1))) AS BIGINT)
+            AS ref_head_sum,
+          CAST(sum(len(lifted_alt)) AS BIGINT) AS alt_len_sum
+        FROM l GROUP BY 1, 2
+        ORDER BY lift_status, lifted_chrom NULLS FIRST
+      """))
+  }
+
+  /** TRIO PHASE-BY-TRANSMISSION gate ([[graft.operators.VariantQc
+    * .phaseByTransmission]] — GATK PhaseByTransmission / `whatshap
+    * --ped`'s hard-call core, the read-free trio phasing every family
+    * study runs after joint calling): the child genotype resolves to
+    * `paternal|maternal` when exactly ONE allele assignment is
+    * Mendelian-consistent — het children of informative parents phase,
+    * double-het trios stay `ambiguous`, impossible configurations
+    * report `violation`, half-calls `uncalled`; hom children phase
+    * trivially unless a called parent lacks the allele. DuckDB replays
+    * the membership CASE chain over the same annotate pivot; the
+    * rollup checksums the phased strings so allele ORDER participates
+    * in the hash (a swapped pat/mat convention fails loudly).
+    */
+  private lazy val q234 = Q(
+    "q234_phase_by_transmission",
+    (s, dir) => {
+      val ann = annStd(s, dir)
+      graft.operators.VariantQc.phaseByTransmission(ann, "g1", "g2", "g3")
+        .groupBy("chrom", "phase_status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("pos").cast("long")).as("pos_sum"),
+          sum(when(col("phased_gt").isNotNull,
+            substring(col("phased_gt"), 1, 1).cast("long") * 2L +
+              substring(col("phased_gt"), 3, 1).cast("long")))
+            .as("phase_checksum"))
+        .orderBy("chrom", "phase_status")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      $duckAnnotateCtes,
+      mc AS (SELECT chrom, pos, ref, alt, sample_id, gt,
+               CASE WHEN gt1 <> '.' THEN gt1 END AS a1,
+               CASE WHEN gt2 IS NOT NULL AND gt2 <> '.' THEN gt2 END AS a2
+             FROM ann WHERE multiallele = 0),
+      tv AS (SELECT c.chrom, c.pos, c.ref, c.alt, c.gt,
+               c.a1 AS x, c.a2 AS y,
+               m.a1 AS m1, m.a2 AS m2, f.a1 AS f1, f.a2 AS f2
+             FROM (SELECT * FROM mc WHERE sample_id = 'g1') c
+             LEFT JOIN (SELECT * FROM mc WHERE sample_id = 'g2') m
+               USING (chrom, pos, ref, alt)
+             LEFT JOIN (SELECT * FROM mc WHERE sample_id = 'g3') f
+               USING (chrom, pos, ref, alt)),
+      ph AS (SELECT *,
+               (x IS NOT NULL AND y IS NOT NULL) AS ccall,
+               (NOT (f1 IS NOT NULL AND f2 IS NOT NULL)
+                 OR f1 = x OR f2 = x) AS fx,
+               (NOT (f1 IS NOT NULL AND f2 IS NOT NULL)
+                 OR f1 = y OR f2 = y) AS fy,
+               (NOT (m1 IS NOT NULL AND m2 IS NOT NULL)
+                 OR m1 = x OR m2 = x) AS mx,
+               (NOT (m1 IS NOT NULL AND m2 IS NOT NULL)
+                 OR m1 = y OR m2 = y) AS my
+             FROM tv),
+      pg AS (SELECT chrom, pos,
+               CASE WHEN ccall AND x = y AND (fx AND my)
+                      THEN x || '|' || x
+                    WHEN ccall AND x <> y AND (fx AND my)
+                         AND NOT (fy AND mx) THEN x || '|' || y
+                    WHEN ccall AND x <> y AND (fy AND mx)
+                         AND NOT (fx AND my) THEN y || '|' || x
+               END AS phased_gt,
+               CASE WHEN NOT ccall THEN 'uncalled'
+                    WHEN x = y THEN
+                      CASE WHEN fx AND my THEN 'phased'
+                           ELSE 'violation' END
+                    WHEN (fx AND my) AND (fy AND mx) THEN 'ambiguous'
+                    WHEN (fx AND my) OR (fy AND mx) THEN 'phased'
+                    ELSE 'violation' END AS phase_status
+             FROM ph)
+      SELECT chrom, phase_status, count(*) AS n,
+        CAST(sum(pos) AS BIGINT) AS pos_sum,
+        CAST(sum(CASE WHEN phased_gt IS NOT NULL THEN
+          CAST(substr(phased_gt, 1, 1) AS BIGINT) * 2
+            + CAST(substr(phased_gt, 3, 1) AS BIGINT) END) AS BIGINT)
+          AS phase_checksum
+      FROM pg GROUP BY chrom, phase_status
+      ORDER BY chrom, phase_status
+    """))
 }

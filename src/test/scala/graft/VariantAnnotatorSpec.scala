@@ -1580,4 +1580,49 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(lifted === Seq((100L, 150L, 7L, want.toLong)))
     assert(want.toLong === 823529L)
   }
+
+  test("VariantQc.phaseByTransmission: informative trios phase pat|mat, " +
+      "double-het is ambiguous, Mendelian impossibility is violation, " +
+      "half-calls are uncalled, a MISSING parent constrains nothing, " +
+      "hom children phase trivially unless a called parent lacks the " +
+      "allele") {
+    import spark.implicits._
+    def r(pos: Int, sid: String, gt: String) = {
+      val parts = gt.split("[/|]")
+      ("1", pos, "A", "T", sid, gt, parts(0),
+        if (parts.length > 1) parts(1) else null, 0)
+    }
+    val ann = Seq(
+      // pos 1: child het, F hom-ref, M hom-alt → 0|1
+      r(1, "c", "0/1"), r(1, "m", "1/1"), r(1, "f", "0/0"),
+      // pos 2: child het, F hom-alt, M hom-ref → 1|0
+      r(2, "c", "0/1"), r(2, "m", "0/0"), r(2, "f", "1/1"),
+      // pos 3: both parents het → ambiguous
+      r(3, "c", "0/1"), r(3, "m", "0/1"), r(3, "f", "0/1"),
+      // pos 4: hom child, consistent → 1|1
+      r(4, "c", "1/1"), r(4, "m", "1/1"), r(4, "f", "0/1"),
+      // pos 5: hom child, called father LACKS the allele → violation
+      r(5, "c", "1/1"), r(5, "m", "1/1"), r(5, "f", "0/0"),
+      // pos 6: father row ABSENT; M hom-ref forces 1 paternal → 1|0
+      r(6, "c", "0/1"), r(6, "m", "0/0"),
+      // pos 7: half-called child → uncalled
+      r(7, "c", "./1"), r(7, "m", "0/0"), r(7, "f", "1/1"),
+      // pos 8: het child, NEITHER assignment possible → violation
+      r(8, "c", "0/1"), r(8, "m", "0/0"), r(8, "f", "0/0"))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "gt", "gt1",
+        "gt2", "multiallele")
+    val got = graft.operators.VariantQc
+      .phaseByTransmission(ann, "c", "m", "f")
+      .select("pos", "phased_gt", "phase_status")
+      .as[(Int, String, String)].collect().toSet
+    assert(got === Set(
+      (1, "0|1", "phased"),
+      (2, "1|0", "phased"),
+      (3, null, "ambiguous"),
+      (4, "1|1", "phased"),
+      (5, null, "violation"),
+      (6, "1|0", "phased"),
+      (7, null, "uncalled"),
+      (8, null, "violation")))
+  }
 }
