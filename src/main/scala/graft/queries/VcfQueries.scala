@@ -4775,7 +4775,7 @@ object VcfQueries extends QuerySet {
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
       q219, q222, q224, q226, q227, q228, q229, q230, q231, q232,
-      q233, q234)
+      q233, q234, q236)
 
   /** DOSAGE↔HARD-CALL CONCORDANCE gate ([[graft.operators.VariantQc
     * .dosageConcordance]] — the post-imputation sample-swap sanity
@@ -5461,5 +5461,59 @@ object VcfQueries extends QuerySet {
           AS phase_checksum
       FROM pg GROUP BY chrom, phase_status
       ORDER BY chrom, phase_status
+    """))
+
+  /** CALLSET INTERSECTION gate (`bcftools isec` — the first question
+    * anyone asks of two callsets: which sites are shared, which are
+    * private to each; NO new operator — ONE full-outer join on the
+    * site key with presence flags, the declarative Spark-first
+    * spelling of the three-way set split): callsets A and B are
+    * planted as overlapping k-class slices of the standard site
+    * fixture (k%3≠0 vs k%5≠0 — both privates and the intersection are
+    * large), the rollup reports per chrom the three class counts plus
+    * position sums so every class assignment participates in the
+    * hash. At scale this is one shuffle on the site key per side (or
+    * ZERO off a site-bucketed landing); both engines replay the same
+    * full-outer + CASE. */
+  private lazy val q236 = Q(
+    "q236_callset_isec",
+    (s, dir) => {
+      val sites = wide(s, dir).select("k", "chrom", "pos", "ref", "alt")
+      val a = sites.where("k % 3 != 0")
+        .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+          lit(1).as("in_a")).distinct()
+      val b = sites.where("k % 5 != 0")
+        .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+          lit(1).as("in_b")).distinct()
+      a.join(b, Seq("chrom", "pos", "ref", "alt"), "full_outer")
+        .withColumn("cls",
+          when(col("in_a").isNotNull && col("in_b").isNotNull, "both")
+            .when(col("in_a").isNotNull, "only_a")
+            .otherwise("only_b"))
+        .groupBy("chrom", "cls")
+        .agg(count(lit(1)).as("n"),
+          sum(col("pos").cast("long")).as("pos_sum"))
+        .orderBy("chrom", "cls")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      sites AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom,
+               pos, ref, alt FROM v),
+      a AS (SELECT DISTINCT chrom, pos, ref, alt FROM sites
+            WHERE k % 3 <> 0),
+      b AS (SELECT DISTINCT chrom, pos, ref, alt FROM sites
+            WHERE k % 5 <> 0),
+      fo AS (SELECT coalesce(a.chrom, b.chrom) AS chrom,
+               coalesce(a.pos, b.pos) AS pos,
+               CASE WHEN a.pos IS NOT NULL AND b.pos IS NOT NULL
+                      THEN 'both'
+                    WHEN a.pos IS NOT NULL THEN 'only_a'
+                    ELSE 'only_b' END AS cls
+             FROM a FULL OUTER JOIN b
+               ON a.chrom = b.chrom AND a.pos = b.pos
+              AND a.ref = b.ref AND a.alt = b.alt)
+      SELECT chrom, cls, count(*) AS n,
+        CAST(sum(pos) AS BIGINT) AS pos_sum
+      FROM fo GROUP BY chrom, cls ORDER BY chrom, cls
     """))
 }
