@@ -5804,6 +5804,65 @@ object LlmQueries extends QuerySet {
       ORDER BY nv.cell
     """))
 
+  /** INTRA-DOCUMENT PARAGRAPH DEDUP gate — boilerplate/repetition
+    * REMOVAL (the cleaning step after the repetition-SCORING family:
+    * crawled pages repeat nav blocks, cookie banners, and copied
+    * paragraphs INSIDE one document; the standard fix keeps each
+    * paragraph's FIRST occurrence in document order): pure per-row
+    * array work — split on the paragraph boundary, keep element i iff
+    * its first occurrence index is i (order-preserving dedup —
+    * `array_distinct` has no cross-engine order guarantee, so both
+    * engines spell the first-occurrence rule explicitly with
+    * position-lambda filters), rejoin. ZERO shuffles before the
+    * rollup; at 100 TB this is scan-speed narrow work. The fixture
+    * plants duplicated paragraphs by construction (a 5-part synthetic
+    * doc with two planted repeats); DuckDB replays the identical
+    * (x, i) filter.
+    */
+  private lazy val q238 = Q(
+    "q238_paragraph_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .selectExpr("doc_id", "source",
+          """concat_ws('\n\n', substr(text, 1, 40), substr(text, 20, 40),
+             substr(text, 1, 40), 'P' || CAST(doc_id % 7 AS STRING),
+             substr(text, 20, 40)) AS doc""")
+      val parts = split(col("doc"), "\n\n")
+      val kept = filter(parts,
+        (x, i) => array_position(parts, x) === i.cast("long") + 1L)
+      docs
+        .withColumn("n_before", size(parts))
+        .withColumn("clean", array_join(kept, "\n\n"))
+        .withColumn("n_after", size(kept))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_before").cast("long")).as("paras_before"),
+          sum(col("n_after").cast("long")).as("paras_after"),
+          sum(length(col("clean")).cast("long")).as("clean_len_sum"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, source,
+               concat_ws(chr(10) || chr(10),
+                 substr(text, 1, 40), substr(text, 20, 40),
+                 substr(text, 1, 40), 'P' || CAST(doc_id % 7 AS VARCHAR),
+                 substr(text, 20, 40)) AS doc
+             FROM documents),
+      sp AS (SELECT doc_id, source,
+               string_split(doc, chr(10) || chr(10)) AS parts
+             FROM d),
+      ke AS (SELECT doc_id, source, len(parts) AS n_before,
+               list_filter(parts,
+                 (x, i) -> list_position(parts, x) = i) AS kept
+             FROM sp)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_before) AS BIGINT) AS paras_before,
+        CAST(sum(len(kept)) AS BIGINT) AS paras_after,
+        CAST(sum(len(array_to_string(kept, chr(10) || chr(10))))
+          AS BIGINT) AS clean_len_sum
+      FROM ke GROUP BY source ORDER BY source
+    """))
+
   val all: Seq[Q] =
     Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q37, q46, q47,
       q30, q31, q32, q33, q34, q35, q36, q38, q39, q40, q41, q42, q43, q44,
@@ -5813,5 +5872,5 @@ object LlmQueries extends QuerySet {
       q140, q141, q142, q143, q146, q147, q148, q150, q151, q153, q155,
       q158, q161, q165, q166, q170, q171, q172, q173, q174, q176, q177,
       q180, q182, q183, q186, q187, q189, q190, q193, q194, q195, q199,
-      q203, q209, q212, q220, q221, q223, q225, q235)
+      q203, q209, q212, q220, q221, q223, q225, q235, q238)
 }

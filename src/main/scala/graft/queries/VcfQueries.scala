@@ -4775,7 +4775,7 @@ object VcfQueries extends QuerySet {
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
       q219, q222, q224, q226, q227, q228, q229, q230, q231, q232,
-      q233, q234, q236)
+      q233, q234, q236, q237)
 
   /** DOSAGE↔HARD-CALL CONCORDANCE gate ([[graft.operators.VariantQc
     * .dosageConcordance]] — the post-imputation sample-swap sanity
@@ -5515,5 +5515,69 @@ object VcfQueries extends QuerySet {
       SELECT chrom, cls, count(*) AS n,
         CAST(sum(pos) AS BIGINT) AS pos_sum
       FROM fo GROUP BY chrom, cls ORDER BY chrom, cls
+    """))
+
+  /** ANNOTATION TRANSFER gate (`bcftools annotate -a` — stamping a
+    * cohort with an external sites-table annotation (dbSNP ids, gnomAD
+    * AFs, CADD scores) is the most common enrichment step in any
+    * variant pipeline; NO new operator — the Spark-first spelling is
+    * ONE left equi-join on the site key + a narrow INFO-append
+    * projection, and the annotation table BROADCASTS as the
+    * dimension): the planted table (from `part`, deduped on the site
+    * key) matches on (chrom, pos), matched rows append `;XY=<v>` (or
+    * start a fresh INFO when the row's INFO is `.`), unmatched rows
+    * ride verbatim. The rollup checksums INFO lengths and the
+    * transferred values so every append participates in the hash.
+    */
+  private lazy val q237 = Q(
+    "q237_annotate_transfer",
+    (s, dir) => {
+      val sites = wide(s, dir)
+        .select("chrom", "pos", "ref", "alt", "info")
+      val annTab = t(s, dir, "part")
+        .selectExpr("p_partkey AS ak")
+        .selectExpr("CAST(1 + (ak % 22) AS STRING) AS chrom",
+          "CAST(1000 + ((ak * 37) % 100000) AS INT) AS pos",
+          "CAST(ak % 997 AS INT) AS xy")
+        .groupBy("chrom", "pos").agg(min(col("xy")).as("xy"))
+      sites.join(broadcast(annTab), Seq("chrom", "pos"), "left")
+        .withColumn("info2",
+          when(col("xy").isNull, col("info"))
+            .when(col("info") === "." || col("info").isNull,
+              concat(lit("XY="), col("xy").cast("string")))
+            .otherwise(concat(col("info"), lit(";XY="),
+              col("xy").cast("string"))))
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("xy").isNotNull, 1L).otherwise(0L))
+            .as("n_annotated"),
+          sum(col("xy").cast("long")).as("xy_sum"),
+          sum(length(col("info2")).cast("long")).as("info_len_sum"))
+        .orderBy("chrom")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      sites AS (SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom,
+               pos, ref, alt, info FROM v),
+      at AS (SELECT chrom, pos, min(xy) AS xy FROM (
+               SELECT CAST(1 + (ak % 22) AS VARCHAR) AS chrom,
+                 CAST(1000 + ((ak * 37) % 100000) AS INT) AS pos,
+                 CAST(ak % 997 AS INT) AS xy
+               FROM (SELECT p_partkey AS ak FROM part))
+             GROUP BY chrom, pos),
+      tr AS (SELECT s.chrom, s.pos, a.xy,
+               CASE WHEN a.xy IS NULL THEN s.info
+                    WHEN s.info = '.' OR s.info IS NULL
+                      THEN 'XY=' || CAST(a.xy AS VARCHAR)
+                    ELSE s.info || ';XY=' || CAST(a.xy AS VARCHAR)
+               END AS info2
+             FROM sites s LEFT JOIN at a
+               ON a.chrom = s.chrom AND a.pos = s.pos)
+      SELECT chrom, count(*) AS n,
+        CAST(sum(CASE WHEN xy IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_annotated,
+        CAST(sum(xy) AS BIGINT) AS xy_sum,
+        CAST(sum(len(info2)) AS BIGINT) AS info_len_sum
+      FROM tr GROUP BY chrom ORDER BY chrom
     """))
 }

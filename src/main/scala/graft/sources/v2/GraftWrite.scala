@@ -267,8 +267,15 @@ final class GraftBatchWrite(kind: String, dir: String,
     val hconf = spark.sessionState.newHadoopConf()
     val fm = GraftWrite.resolve(info.schema())
     val header = GraftWrite.readHeaderOption(info.options(), hconf)
-    val index = kind == "bcf" &&
-      Option(info.options().get("index")).forall(_.toBoolean)
+    // vcf: bgzf opt-in; index defaults ON under bgzf (a bgzf landing
+    // without its index loses splittability for no reason), OFF for
+    // plain text (tabix voffs are BGZF-only). bcf: index default ON.
+    val bgzf = kind == "vcf" &&
+      Option(info.options().get("bgzf")).exists(_.toBoolean)
+    val index =
+      if (kind == "bcf") Option(info.options().get("index"))
+        .forall(_.toBoolean)
+      else bgzf && Option(info.options().get("index")).forall(_.toBoolean)
     val p = new Path(dir)
     val fs = p.getFileSystem(hconf)
     if (truncate && fs.exists(p)) {
@@ -289,7 +296,7 @@ final class GraftBatchWrite(kind: String, dir: String,
       b.toSeq
     }
     new GraftWriterFactory(kind, dir, fm, header, index,
-      spark.sparkContext.broadcast(kv))
+      spark.sparkContext.broadcast(kv), bgzf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -310,7 +317,8 @@ final class GraftBatchWrite(kind: String, dir: String,
 
 final class GraftWriterFactory(kind: String, dir: String,
     fm: GraftWrite.FieldMap, header: Option[String], index: Boolean,
-    confKv: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]])
+    confKv: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]],
+    bgzf: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
@@ -319,7 +327,8 @@ final class GraftWriterFactory(kind: String, dir: String,
     if (kind == "bcf")
       new BcfDataWriter(dir, fm, header, index, conf, partitionId, taskId)
     else
-      new VcfDataWriter(dir, fm, header, conf, partitionId, taskId)
+      new VcfDataWriter(dir, fm, header, bgzf, index, conf, partitionId,
+        taskId)
   }
 }
 
@@ -423,19 +432,33 @@ final class BcfDataWriter(dir: String, fm: GraftWrite.FieldMap,
 /** One self-contained VCF text shard per partition (header + lines) —
   * the text twin of [[BcfDataWriter]], same option/commit semantics,
   * missing samples emitted as `./.` (the [[graft.sources.VcfWriter]]
-  * convention).
+  * convention). With `bgzf=true` the shard streams through
+  * [[BgzfOutputStream]] as `part-….vcf.gz` (a valid multi-member gzip
+  * any gunzip reads), and with `index=true` (default under bgzf;
+  * requires position-sorted partitions) the record virtual offsets
+  * are captured DURING the write and a `.tbi` sibling lands next to
+  * the shard — `.csi` when the positions exceed tabix's fixed
+  * geometry, htslib's own escalation rule — so the DSv2-written TEXT
+  * landing is voff-splittable and region-prunable through
+  * `format("vcf")` exactly like the library writer's
+  * ([[graft.sources.VcfWriter.writeIndexedBgzf]]).
   */
 final class VcfDataWriter(dir: String, fm: GraftWrite.FieldMap,
-    header: Option[String], conf: org.apache.hadoop.conf.Configuration,
+    header: Option[String], bgzf: Boolean, index: Boolean,
+    conf: org.apache.hadoop.conf.Configuration,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
   import GraftWrite._
 
   private val dirPath = new Path(dir)
   private val fs: FileSystem = dirPath.getFileSystem(conf)
-  private val fin = new Path(dirPath, f"part-$partitionId%05d-$taskId%d.vcf")
+  private val ext = if (bgzf) ".vcf.gz" else ".vcf"
+  private val fin =
+    new Path(dirPath, f"part-$partitionId%05d-$taskId%d$ext")
   private val stage = new Path(dirPath, "." + "stage-" + fin.getName)
 
   private var out: java.io.OutputStream = _
+  private var bgz: BgzfOutputStream = _
+  private var builder: TabixIndex.Builder = _
   private var samples: Seq[String] = _
   private var spool: Spool = _
   private var vocab: Vocab = _
@@ -443,7 +466,12 @@ final class VcfDataWriter(dir: String, fm: GraftWrite.FieldMap,
 
   private def openStream(headerText: String): Unit = {
     samples = samplePanel(headerText)
-    out = new java.io.BufferedOutputStream(fs.create(stage, true), 1 << 16)
+    if (bgzf) {
+      bgz = new BgzfOutputStream(fs.create(stage, true))
+      out = bgz
+      if (index) builder = new TabixIndex.Builder(14, 5, fin.toString)
+    } else
+      out = new java.io.BufferedOutputStream(fs.create(stage, true), 1 << 16)
     out.write(headerText.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -453,8 +481,12 @@ final class VcfDataWriter(dir: String, fm: GraftWrite.FieldMap,
       r.filter, r.info) ++
       (if (samples.nonEmpty) Seq(r.format) else Nil)
     val calls = samples.map(s => gmap.getOrElse(s, "./."))
+    val v0 = if (builder != null) bgz.voff else 0L
     out.write(((fixed ++ calls).mkString("\t") + "\n")
       .getBytes(StandardCharsets.UTF_8))
+    if (builder != null)
+      builder.record(r.chrom, r.pos.toLong,
+        math.max(1, r.ref.length), v0, bgz.voff)
   }
 
   override def write(row: InternalRow): Unit = {
@@ -476,9 +508,29 @@ final class VcfDataWriter(dir: String, fm: GraftWrite.FieldMap,
       openStream(vocab.header)
       try spool.replay(emit) finally { spool.delete(); spool = null }
     }
-    out.close(); out = null
+    if (bgz != null) bgz.finish()
+    out.close(); out = null; bgz = null
+    var visible = List(fin.toString)
+    if (builder != null && !builder.isEmpty) {
+      // classic .tbi iff the shard fits tabix's fixed geometry,
+      // else .csi at the escalated depth (htslib's fallback rule);
+      // index renamed BEFORE the shard — never an index-less shard
+      val idx = builder.build()
+      val finIdx =
+        if (builder.chosenDepth == 5 && builder.maxEnd0 <= (1L << 29))
+          TabixIndex.sibling(fin)
+        else TabixIndex.csiSibling(fin)
+      val stageIdx = new Path(dirPath, "." + "stage-" + finIdx.getName)
+      if (finIdx.getName.endsWith(".tbi"))
+        TabixIndex.writeTbi(fs, stageIdx, idx)
+      else TabixIndex.writeCsi(fs, stageIdx, idx, 14, builder.chosenDepth)
+      require(fs.rename(stageIdx, finIdx),
+        s"commit rename $stageIdx -> $finIdx failed")
+      visible ::= finIdx.toString
+      builder = null
+    }
     require(fs.rename(stage, fin), s"commit rename $stage -> $fin failed")
-    GraftShardCommit(Seq(fin.toString))
+    GraftShardCommit(visible)
   }
 
   override def abort(): Unit = {

@@ -141,4 +141,37 @@ class GraftWriteSpec extends AnyFunSuite with SparkSpec {
     assert(new java.io.File(dir).listFiles
       .count(_.getName.endsWith(".csi")) === 0)
   }
+
+  test("format(\"vcf\") write with bgzf+index: .vcf.gz shards with " +
+      ".tbi siblings land splittable and region-prunable through " +
+      "format(\"vcf\"), round-tripping row-identical") {
+    val dir = tmp.resolve("vcf-bgzf").toString
+    val df = cohort
+    df.repartitionByRange(2, col("chrom"), col("pos"))
+      .sortWithinPartitions(col("chrom"), col("pos"))
+      .write.format("vcf").mode("overwrite")
+      .option("header", headerText).option("bgzf", "true").save(dir)
+    val files = new java.io.File(dir).listFiles
+    assert(files.count(_.getName.endsWith(".vcf.gz")) === 2)
+    assert(files.count(f => f.getName.endsWith(".tbi") ||
+      f.getName.endsWith(".csi")) === 2,
+      files.map(_.getName).mkString(","))
+    val back = spark.read.format("vcf")
+      .load(s"$dir/*.vcf.gz")
+    assert(back.select(cols.head, cols.tail: _*).collect().toSet ===
+      df.select(cols.head, cols.tail: _*).collect().toSet)
+    // splittable: more partitions than shards at a small split size
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try {
+      val split = spark.read.format("vcf").load(s"$dir/*.vcf.gz")
+      assert(split.rdd.getNumPartitions > 2,
+        s"indexed bgzf shards must split, got ${split.rdd.getNumPartitions}")
+      assert(split.count() === 4000)
+    } finally
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    // region prune: absent chrom plans zero rows
+    assert(spark.read.format("vcf").load(s"$dir/*.vcf.gz")
+      .filter(col("chrom") === "1" && col("pos").between(1000, 1050))
+      .count() > 0)
+  }
 }

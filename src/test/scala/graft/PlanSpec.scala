@@ -678,4 +678,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       p229.contains("SortMergeJoin") || p229.contains("ShuffledHashJoin"),
       s"coverage must attach by equi-join:\n$p229")
   }
+
+  test("q233 liftover and q235 semantic dedup join on equi-keys, " +
+      "never a nested loop; q234 trio phasing reads ONE annotate plan") {
+    for (name <- Seq("q233_liftover", "q235_semantic_dedup")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.collect()
+      val pl = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!pl.contains("BroadcastNestedLoopJoin") &&
+        !pl.contains("CartesianProduct"),
+        s"$name planned as a nested loop:\n$pl")
+      assert(pl.contains("Join"), pl)
+    }
+    // the trio's three sample views must share one annotate scan
+    val q = SparkEntry.queries("q234_phase_by_transmission")(spark, dir)
+    q.collect()
+    val pl = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(pl.contains("ReusedExchange") || pl.contains("ReusedSubquery"),
+      s"trio views re-ran the annotate plan instead of reusing it:\n$pl")
+  }
 }
