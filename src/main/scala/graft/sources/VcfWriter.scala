@@ -204,8 +204,16 @@ object VcfWriter {
         val dir = new Path(shardsDir)
         val fs = dir.getFileSystem(confBc.value.value)
         val fin = new Path(dir, f"part-${tc.partitionId}%05d.vcf.gz")
-        val tmp = new Path(dir,
-          f".part-${tc.partitionId}%05d.vcf.gz.${tc.taskAttemptId}%d.tmp")
+        // COMMIT PROTOCOL (the BcfWriter.writeBcf rule): shard + index
+        // staged in a per-ATTEMPT dir, committed rename-if-absent with
+        // the index FIRST — racing speculative attempts never rename
+        // over each other, and a task dying mid-commit can only leave
+        // an orphan index (readers key off the data files), never an
+        // index-less committed shard
+        val attemptDir = new Path(dir,
+          f".attempt-${tc.partitionId}%05d-${tc.taskAttemptId}%d")
+        fs.mkdirs(attemptDir)
+        val tmp = new Path(attemptDir, fin.getName)
         val bgz = new BgzfOutputStream(fs.create(tmp, true))
         val builder = new TabixIndex.Builder(minShift, depth, fin.toString)
         try {
@@ -218,18 +226,28 @@ object VcfWriter {
           }
           bgz.finish()
         } finally bgz.close()
-        fs.delete(fin, false)
-        require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
         val idx = builder.build()
         // classic .tbi iff the shard fits tabix's fixed geometry;
         // otherwise .csi at the builder's (possibly escalated) depth —
         // htslib's own fallback rule
-        if (minShift == 14 && depth == 5 && builder.chosenDepth == 5 &&
-            builder.maxEnd0 <= (1L << 29))
-          TabixIndex.writeTbi(fs, TabixIndex.sibling(fin), idx)
-        else
-          TabixIndex.writeCsi(fs, TabixIndex.csiSibling(fin), idx,
-            minShift, builder.chosenDepth)
+        val finIdx =
+          if (minShift == 14 && depth == 5 && builder.chosenDepth == 5 &&
+              builder.maxEnd0 <= (1L << 29)) TabixIndex.sibling(fin)
+          else TabixIndex.csiSibling(fin)
+        val tmpIdx = new Path(attemptDir, finIdx.getName)
+        if (finIdx.getName.endsWith(".tbi"))
+          TabixIndex.writeTbi(fs, tmpIdx, idx)
+        else TabixIndex.writeCsi(fs, tmpIdx, idx, minShift,
+          builder.chosenDepth)
+        if (!fs.exists(fin)) {
+          if (!fs.rename(tmpIdx, finIdx) && !fs.exists(finIdx))
+            throw new java.io.IOException(
+              s"commit rename $tmpIdx -> $finIdx failed")
+          if (!fs.rename(tmp, fin) && !fs.exists(fin))
+            throw new java.io.IOException(
+              s"commit rename $tmp -> $fin failed")
+        }
+        fs.delete(attemptDir, true)
       }
     }
     writeHeader(df, meta, outDir)

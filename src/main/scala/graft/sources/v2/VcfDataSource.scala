@@ -229,7 +229,18 @@ final class VcfScan(paths: Seq[String], required: StructType, filters: Array[Fil
         case null | Array() =>
           throw new IllegalArgumentException(s"[PATH_NOT_FOUND] vcf path does not exist: $p")
         case s => s.flatMap(st =>
-          if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st))
+          if (st.isDirectory)
+            // directory expansion skips hidden names (./_ prefixes —
+            // dead writer attempts' staging litter) and index siblings
+            // (.tbi/.csi land NEXT TO DSv2-written shards; reading one
+            // as VCF text would yield binary garbage rows) — an
+            // EXPLICIT path/glob still opens anything the user names
+            fs.listStatus(st.getPath).filter { f =>
+              val n = f.getPath.getName
+              f.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+                !n.endsWith(".tbi") && !n.endsWith(".csi")
+            }
+          else Array(st))
       }
       // per-file sibling-index reads are remote IO — bounded-
       // concurrency via PlanPool, input order preserved (the r14

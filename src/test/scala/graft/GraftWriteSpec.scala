@@ -174,4 +174,25 @@ class GraftWriteSpec extends AnyFunSuite with SparkSpec {
       .filter(col("chrom") === "1" && col("pos").between(1000, 1050))
       .count() > 0)
   }
+
+  test("bare load(dir) of a DSv2-written bgzf landing skips index " +
+      "siblings and hidden staging litter (a .tbi read as VCF text " +
+      "would yield binary garbage rows)") {
+    val dir = tmp.resolve("vcf-litter").toString
+    val df = cohort.limit(300).repartition(1)
+      .sortWithinPartitions(col("chrom"), col("pos"))
+    df.write.format("vcf").mode("overwrite")
+      .option("header", headerText).option("bgzf", "true").save(dir)
+    // plant dead-attempt litter next to the shards
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".stage-part-junk.vcf"),
+      "not\ta\tvcf\n")
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".tbi")) ||
+      files.exists(_.endsWith(".csi")), files.mkString(","))
+    val back = spark.read.format("vcf").load(dir) // bare dir, no glob
+    assert(back.count() === 300)
+    assert(graft.sources.v2.VcfDataSource.lastMalformedCount
+      .forall(_ === 0L), "index/litter bytes leaked into the scan")
+  }
 }
