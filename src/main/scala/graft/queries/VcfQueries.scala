@@ -4602,14 +4602,17 @@ object VcfQueries extends QuerySet {
     Q(
       "q218_gvcf_locus",
       (s, dir) => {
-        val gv = t(s, dir, "lineitem")
+        val gv = QueryUtil.substrate(s,
+          s"gvfix-q218-${dir.hashCode & 0x7fffffff}") {
+          t(s, dir, "lineitem")
           .selectExpr("l_orderkey * 8 + l_linenumber AS k")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("k", gvChrom, gvPos, gvRef, gvAlt, gvInfo)
+        }
         val loci = t(s, dir, "orders")
           .selectExpr("o_orderkey AS lk")
           .selectExpr("lk", lcChrom, lcPos)
-        graft.operators.Gvcf.locusQuery(gv, loci)
+        graft.operators.Gvcf.locusQuery(gv, loci, bucketShift = 12)
           .select(col("lk"), col("chrom"), col("pos"),
             col("k").as("gk"), col("start").as("span_start"),
             col("end").as("span_end"), col("ref"), col("alt"))
@@ -4845,16 +4848,19 @@ object VcfQueries extends QuerySet {
     Q(
       "q226_gvcf_cohort_state",
       (s, dir) => {
-        val gv = t(s, dir, "lineitem")
+        val gv = QueryUtil.substrate(s,
+          s"gvfix-q226-${dir.hashCode & 0x7fffffff}") {
+          t(s, dir, "lineitem")
           .selectExpr("l_orderkey * 8 + l_linenumber AS k")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("k", gvChrom, gvPos, gvRef, gvAlt, gvInfo,
             gvSample, gvGt)
+        }
         val loci = t(s, dir, "orders")
           .selectExpr("o_orderkey AS lk")
           .selectExpr("lk", lcChrom, lcPos)
           .groupBy("chrom", "pos").agg(min(col("lk")).as("lk"))
-        graft.operators.Gvcf.cohortLocusState(gv, loci)
+        graft.operators.Gvcf.cohortLocusState(gv, loci, bucketShift = 12)
           .select(col("lk"), col("chrom"), col("pos"), col("sample_id"),
             col("k").as("gk"), col("state"), col("gt"),
             col("start").as("span_start"), col("end").as("span_end"))
@@ -4970,16 +4976,19 @@ object VcfQueries extends QuerySet {
     Q(
       "q229_gvcf_joint_call",
       (s, dir) => {
-        val gv = t(s, dir, "lineitem")
+        val gv = QueryUtil.substrate(s,
+          s"gvfix-q229-${dir.hashCode & 0x7fffffff}") {
+          t(s, dir, "lineitem")
           .selectExpr("l_orderkey * 8 + l_linenumber AS k")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("k", gvChrom, gvPos, gvRef, gvAlt, gvInfo,
             gvSample, gvGt, gvPl)
+        }
         val loci = t(s, dir, "orders")
           .selectExpr("o_orderkey AS lk")
           .selectExpr("lk", lcChrom, lcPos)
           .groupBy("chrom", "pos").agg(min(col("lk")).as("lk"))
-        graft.operators.Gvcf.jointGenotype(gv, loci)
+        graft.operators.Gvcf.jointGenotype(gv, loci, bucketShift = 12)
           .select(col("lk"), col("chrom"), col("pos"), col("sample_id"),
             col("k").as("gk"), col("state"), col("gt"),
             col("called_gt"), col("gq"))
@@ -5141,18 +5150,21 @@ object VcfQueries extends QuerySet {
     Q(
       "q231_haploid_joint_call",
       (s, dir) => {
-        val gv = t(s, dir, "lineitem")
+        val gv = QueryUtil.substrate(s,
+          s"gvfix-q231-${dir.hashCode & 0x7fffffff}") {
+          t(s, dir, "lineitem")
           .selectExpr("l_orderkey * 8 + l_linenumber AS k")
           .where("k % 3 = 0")
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("k", gvChrom, gvPos, gvRef, gvAlt, gvInfo,
             gvSample, gvGt, gvPl)
+        }
         val loci = t(s, dir, "orders")
           .selectExpr("o_orderkey AS lk")
           .where("lk % 3 = 0")
           .selectExpr("lk", lcChrom, lcPos)
           .groupBy("chrom", "pos").agg(min(col("lk")).as("lk"))
-        graft.operators.Gvcf.jointGenotype(gv, loci)
+        graft.operators.Gvcf.jointGenotype(gv, loci, bucketShift = 12)
           .select(col("lk"), col("chrom"), col("pos"), col("sample_id"),
             col("k").as("gk"), col("state"), col("gt"),
             col("called_gt"), col("gq"))
