@@ -255,6 +255,28 @@ object Bench {
     else System.err.println(
       s"BENCH_ONLY filter active — not overwriting $fullPath")
     println(line)
+    // LAST line: a compact result JSON guaranteed to fit the driver
+    // wrapper's bounded stdout-tail window (~4 KB — the r15 artifact's
+    // `parsed` came back null because the full line above is ~30 KB
+    // and the surviving tail started mid-map). The wall map is
+    // thresholded ADAPTIVELY until the whole line fits 3 KB: the
+    // slowest queries (the gradable signal) always survive, the
+    // omitted sub-threshold remainder is counted + summed, and the
+    // complete map lives in BENCH_FULL.json and the line above.
+    def r2(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val walls = results.map(r => r.name -> r.wall)
+    def compactAt(thr: Double): String = {
+      val kept = walls.filter(_._2 >= thr)
+      val rest = walls.filter(_._2 < thr)
+      val qmap = kept.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"full":"BENCH_FULL.json","n_queries":${walls.length},"wall_floor_sec":$thr,"omitted":{"n":${rest.length},"sum":${r2(rest.map(_._2).filter(_ >= 0).sum)}},"queries":$qmap,"total":$total}"""
+    }
+    val compact = Seq(0.0, 0.5, 1.0, 2.0, 5.0).view.map(compactAt)
+      .find(_.length <= 3000).getOrElse(compactAt(10.0))
+    println(compact)
     spark.stop()
     // drop the bench-only substrate landing
     try {

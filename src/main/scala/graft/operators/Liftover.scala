@@ -57,7 +57,9 @@ object Liftover {
       vcf: DataFrame, chain: DataFrame,
       chromCol: String = "chrom", posCol: String = "pos",
       refCol: String = "ref", altCol: String = "alt",
-      bucketShift: Int = 20): DataFrame = {
+      bucketShift: Int = 20,
+      dstGenome: Map[String, String] = Map.empty,
+      gtCols: Seq[String] = Nil): DataFrame = {
     require(bucketShift >= 0 && bucketShift < 32,
       s"bucketShift must be in [0, 32), got $bucketShift")
     val iv = chain
@@ -75,7 +77,7 @@ object Liftover {
     val minus = col("strand") === "-"
     val liftedPos = when(minus, col("dst_start") + (col("__e") - col(posCol)))
       .otherwise(col("dst_start") + (col(posCol) - col("__s")))
-    joined
+    val lifted = joined
       .withColumn("lift_status",
         when(col("__s").isNull, "unmapped")
           .when(minus, "flipped")
@@ -93,5 +95,65 @@ object Liftover {
             transform(split(col(altCol), ","), a => flipAllele(a)), ","))
           .otherwise(col(altCol)))
       .drop("__b", "__c", "__s", "__e", "dst_chrom", "dst_start", "strand")
+    if (dstGenome.isEmpty) lifted else validateRef(lifted, dstGenome, gtCols)
+  }
+
+  /** Destination-REF VALIDATION + REF⇄ALT SWAP — the Picard
+    * LiftoverVcf / `bcftools +liftover` post-step that catches the most
+    * common real artifact of a GRCh37→38 lift: the target assembly was
+    * PATCHED to carry the ALT allele, so the lifted REF no longer
+    * matches the destination genome. Per mapped row, the destination
+    * bases at `[lifted_pos, lifted_pos + len(lifted_ref))` are fetched
+    * through the codegen'd genome object ([[graft.expressions
+    * .GenomeExprs.genomeSlice]] — the LeftAlignExpr pattern, zero
+    * shuffle):
+    *  - match → status unchanged (`lifted`/`flipped`);
+    *  - the destination carries one of the ALTs → REF and that ALT are
+    *    EXCHANGED and every `gtCols` call string has its GT allele
+    *    indices 0⇄k remapped ([[graft.expressions.GenomeExprs
+    *    .gtSwap]] — Picard's genotype flip), status `swap` (or
+    *    `flipped_swap` after a minus-strand block);
+    *  - neither → `ref_mismatch`, lifted columns kept for the reject
+    *    file (Picard's MismatchedRefAllele class);
+    *  - contig absent from the (possibly partial) genome map or slice
+    *    off the contig end → unvalidated, status kept — a partial
+    *    reference under-validates, it never mis-flags.
+    * One narrow codegen'd projection; `unmapped` rows ride through.
+    */
+  private def validateRef(lifted: DataFrame,
+      dstGenome: Map[String, String], gtCols: Seq[String]): DataFrame = {
+    import graft.expressions.GenomeExprs
+    val dstRef = GenomeExprs.genomeSlice(dstGenome, col("lifted_chrom"),
+      col("lifted_pos").cast("long"), length(col("lifted_ref")).cast("int"))
+    val alts = split(col("lifted_alt"), ",")
+    // 1-based ALT index carried by the destination genome; 0 = none
+    val k = coalesce(array_position(alts, col("__dst_ref")).cast("int"),
+      lit(0))
+    val swapped = col("__k") > 0
+    val base = lifted
+      .withColumn("__dst_ref", dstRef)
+      .withColumn("__k",
+        when(col("lift_status") =!= "unmapped" &&
+          col("__dst_ref").isNotNull &&
+          col("__dst_ref") =!= col("lifted_ref"), k).otherwise(lit(0)))
+    val validated = base
+      .withColumn("lifted_alt",
+        when(swapped, array_join(transform(alts, a =>
+          when(a === col("__dst_ref"), col("lifted_ref")).otherwise(a)),
+          ","))
+          .otherwise(col("lifted_alt")))
+      .withColumn("lifted_ref",
+        when(swapped, col("__dst_ref")).otherwise(col("lifted_ref")))
+      .withColumn("lift_status",
+        when(swapped,
+          when(col("lift_status") === "flipped", "flipped_swap")
+            .otherwise("swap"))
+          .when(col("lift_status") =!= "unmapped" &&
+            col("__dst_ref").isNotNull &&
+            col("__dst_ref") =!= col("lifted_ref"), "ref_mismatch")
+          .otherwise(col("lift_status")))
+    gtCols.foldLeft(validated) { (df, g) =>
+      df.withColumn(g, GenomeExprs.gtSwap(col(g), col("__k")))
+    }.drop("__dst_ref", "__k")
   }
 }

@@ -1474,19 +1474,39 @@ object VariantQc {
     * rows with absent parents still emit) + one narrow CASE
     * projection. Zero extra exchanges on a site-bucketed landing —
     * the q80/tdt trio shape.
+    *
+    * PL-AWARE ARM (`plCol` non-null — GATK PhaseByTransmission's
+    * likelihood mode): rows the hard-call rules leave `ambiguous`
+    * (both allele assignments Mendelian-consistent — the double-het
+    * configuration, the most common informative one) are re-resolved
+    * by the max-posterior trio genotype configuration over the three
+    * samples' PLs ([[graft.expressions.GenomeExprs.trioPhasePl]] —
+    * the 27-configuration integer argmin with centi-PL transmission
+    * priors). A winner that re-calls a parent away from het (the PLs
+    * carried more information than the hard call) phases the child as
+    * `phased_pl`; a winner that keeps all three het stays
+    * `ambiguous`, and rows with missing/non-diploid PL in ANY trio
+    * member keep the hard-call result byte-identical. Other statuses
+    * (`phased`/`violation`/`uncalled`) are never touched — the PL arm
+    * only refines what hard calls cannot decide. Still one narrow
+    * codegen'd projection: the kernel runs only on the ambiguous
+    * rows' already-joined PL strings, no extra exchange.
     */
   def phaseByTransmission(
       ann: DataFrame,
       childId: String, motherId: String, fatherId: String,
       sampleCol: String = "sample_id",
-      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      plCol: String = null): DataFrame = {
     def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val withPl = plCol != null
     def view(sid: String, p: String) = ann
       .filter(col(sampleCol) === sid && col("multiallele") === 0)
       .select(siteKey.map(col) ++ Seq(
         col("gt").as(s"${p}_gt"),
         when(called("gt1"), col("gt1")).as(s"${p}_a1"),
-        when(called("gt2"), col("gt2")).as(s"${p}_a2")): _*)
+        when(called("gt2"), col("gt2")).as(s"${p}_a2")) ++
+        (if (withPl) Seq(col(plCol).as(s"${p}_pl")) else Nil): _*)
     val trio = view(childId, "c")
       .join(view(motherId, "m"), siteKey, "left")
       .join(view(fatherId, "f"), siteKey, "left")
@@ -1501,22 +1521,37 @@ object VariantQc {
     val childCalled = x.isNotNull && y.isNotNull
     val aOk = can("f", x) && can("m", y) // pat=x, mat=y
     val bOk = can("f", y) && can("m", x) // pat=y, mat=x
-    trio.select(
+    val hardGt =
+      when(childCalled && x === y && aOk,
+        concat(x, lit("|"), x))
+        .when(childCalled && x =!= y && aOk && !bOk,
+          concat(x, lit("|"), y))
+        .when(childCalled && x =!= y && bOk && !aOk,
+          concat(y, lit("|"), x))
+    val hardStatus =
+      when(!childCalled, "uncalled")
+        .when(x === y, when(aOk, "phased").otherwise("violation"))
+        .when(aOk && bOk, "ambiguous")
+        .when(aOk || bOk, "phased")
+        .otherwise("violation")
+    val base = trio.select(
       siteKey.map(col) ++ Seq(
         col("c_gt").as("gt"),
-        when(childCalled && x === y && aOk,
-          concat(x, lit("|"), x))
-          .when(childCalled && x =!= y && aOk && !bOk,
-            concat(x, lit("|"), y))
-          .when(childCalled && x =!= y && bOk && !aOk,
-            concat(y, lit("|"), x))
-          .as("phased_gt"),
-        when(!childCalled, "uncalled")
-          .when(x === y, when(aOk, "phased").otherwise("violation"))
-          .when(aOk && bOk, "ambiguous")
-          .when(aOk || bOk, "phased")
-          .otherwise("violation")
-          .as("phase_status")): _*)
+        hardGt.as("phased_gt"),
+        hardStatus.as("phase_status")) ++
+        (if (withPl) Seq(col("c_pl"), col("m_pl"), col("f_pl")) else Nil): _*)
+    if (!withPl) base
+    else {
+      val pl = graft.expressions.GenomeExprs.trioPhasePl(
+        col("c_pl"), col("m_pl"), col("f_pl"))
+      base
+        .withColumn("__pl", when(col("phase_status") === "ambiguous", pl))
+        .withColumn("phased_gt",
+          coalesce(col("__pl.phased_gt"), col("phased_gt")))
+        .withColumn("phase_status",
+          coalesce(col("__pl.phase_status"), col("phase_status")))
+        .drop("__pl", "c_pl", "m_pl", "f_pl")
+    }
   }
 
   /** DE NOVO mutation candidates per trio — the hard-call core of the

@@ -20,6 +20,15 @@ object QueryUtil {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Collision-proof cache-key digest for [[substrate]] keys: SHA-256
+    * hex (truncated to 16 chars — 64 bits, vs String.hashCode's 31,
+    * where a silent collision would serve the WRONG materialized frame
+    * to a bench gate and corrupt timings/hashes untraceably). */
+  def digest(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
   /** BENCH-ONLY substrate materialization (the r14 verdict's "shared
     * ldSiteVecs caching across gates inside one Bench process",
     * generalized to the planted-cohort substrate): under

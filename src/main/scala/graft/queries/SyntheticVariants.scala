@@ -218,7 +218,7 @@ object SyntheticVariants {
     // under Bench the planted frame is parquet-materialized once per
     // (ALT derivation, FORMAT shape) — see QueryUtil.substrate
     QueryUtil.substrate(s,
-      s"wide-${(dir + altOverride).hashCode & 0x7fffffff}-$withDs-$withGp") {
+      s"wide-${QueryUtil.digest(dir + altOverride)}-$withDs-$withGp") {
       wideBuild(s, dir, altOverride, withDs, withGp)
     }
 

@@ -28,7 +28,7 @@ object VcfQueries extends QuerySet {
     */
   private def annStd(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    QueryUtil.substrate(s, s"ann-std-${dir.hashCode & 0x7fffffff}") {
+    QueryUtil.substrate(s, s"ann-std-${QueryUtil.digest(dir)}") {
       VariantAnnotator.annotate(wide(s, dir),
         VariantAnnotator.Options(dropHomRef = false, formatKeys = fmtKeys))
     }
@@ -4603,7 +4603,7 @@ object VcfQueries extends QuerySet {
       "q218_gvcf_locus",
       (s, dir) => {
         val gv = QueryUtil.substrate(s,
-          s"gvfix-q218-${dir.hashCode & 0x7fffffff}") {
+          s"gvfix-q218-${QueryUtil.digest(dir)}") {
           t(s, dir, "lineitem")
           .selectExpr("l_orderkey * 8 + l_linenumber AS k")
           .repartition(s.sparkContext.defaultParallelism)
@@ -4849,7 +4849,7 @@ object VcfQueries extends QuerySet {
       "q226_gvcf_cohort_state",
       (s, dir) => {
         val gv = QueryUtil.substrate(s,
-          s"gvfix-q226-${dir.hashCode & 0x7fffffff}") {
+          s"gvfix-q226-${QueryUtil.digest(dir)}") {
           t(s, dir, "lineitem")
           .selectExpr("l_orderkey * 8 + l_linenumber AS k")
           .repartition(s.sparkContext.defaultParallelism)
@@ -4977,7 +4977,7 @@ object VcfQueries extends QuerySet {
       "q229_gvcf_joint_call",
       (s, dir) => {
         val gv = QueryUtil.substrate(s,
-          s"gvfix-q229-${dir.hashCode & 0x7fffffff}") {
+          s"gvfix-q229-${QueryUtil.digest(dir)}") {
           t(s, dir, "lineitem")
           .selectExpr("l_orderkey * 8 + l_linenumber AS k")
           .repartition(s.sparkContext.defaultParallelism)
@@ -5151,7 +5151,7 @@ object VcfQueries extends QuerySet {
       "q231_haploid_joint_call",
       (s, dir) => {
         val gv = QueryUtil.substrate(s,
-          s"gvfix-q231-${dir.hashCode & 0x7fffffff}") {
+          s"gvfix-q231-${QueryUtil.digest(dir)}") {
           t(s, dir, "lineitem")
           .selectExpr("l_orderkey * 8 + l_linenumber AS k")
           .where("k % 3 = 0")

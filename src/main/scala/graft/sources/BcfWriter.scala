@@ -237,13 +237,18 @@ object BcfWriter {
     * `.bcf.csi` hits an inner locus of an END-spanned record (gVCF
     * band, symbolic `<DEL>`) exactly as it would against htslib's.
     */
-  private[graft] def spanOf(pos: Int, ref: String, info: String): Int = {
+  private[graft] def spanOf(pos: Int, ref: String, info: String): Int =
+    spanOfLen(pos.toLong, ref.length, info)
+
+  /** [[spanOf]] when only the REF length is at hand (the text index
+    * builders project `length(ref)` instead of shipping the allele). */
+  private[graft] def spanOfLen(pos: Long, refLen: Int, info: String): Int = {
     val m = "(^|;)END=([0-9]+)(;|$)".r.findFirstMatchIn(
       if (info == null) "" else info)
-    val footprint = math.max(1, ref.length)
+    val footprint = math.max(1, refLen)
     m.map(_.group(2)) match {
       case Some(e) if e.length <= 9 && e.toLong >= pos =>
-        math.max(footprint, e.toInt - pos + 1)
+        math.max(footprint, (e.toLong - pos + 1).toInt)
       case _ => footprint
     }
   }

@@ -188,7 +188,8 @@ object VcfWriter {
       else df.repartitionByRange(col("chrom"), col("pos"))
     val rows = ranged.sortWithinPartitions(col("chrom"), col("pos"))
       .select(col("chrom").cast("string"), col("pos").cast("long"),
-        length(col("ref")).cast("int"), lineCol(meta.samples))
+        length(col("ref")).cast("int"), col("info").cast("string"),
+        lineCol(meta.samples))
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
@@ -219,10 +220,16 @@ object VcfWriter {
         try {
           it.foreach { r =>
             val v0 = bgz.voff
-            bgz.write((r.getString(3) + "\n")
+            bgz.write((r.getString(4) + "\n")
               .getBytes(StandardCharsets.UTF_8))
+            // END-aware span (htslib's tabix VCF preset parses INFO
+            // END=): a gVCF band's bins must cover the band interior,
+            // not just the anchor base, or external region queries
+            // left of the window silently miss the record
             builder.record(r.getString(0), r.getLong(1),
-              math.max(1, r.getInt(2)), v0, bgz.voff)
+              BcfWriter.spanOfLen(r.getLong(1), r.getInt(2),
+                if (r.isNullAt(3)) "" else r.getString(3)),
+              v0, bgz.voff)
           }
           bgz.finish()
         } finally bgz.close()

@@ -63,10 +63,14 @@ import graft.sources.{BcfReader, BcfWriter}
   */
 private[graft] object GraftWrite {
 
-  /** Resolved by-name field mapping (index, or -1 = absent). */
+  /** Resolved by-name field mapping (index, or -1 = absent).
+    * `posIsLong` records the pos column's actual type so [[extract]]
+    * dispatches getInt/getLong correctly — reading a LongType slot via
+    * `row.get(_, IntegerType)` on an UnsafeRow silently returns the
+    * low 32 bits. */
   final case class FieldMap(chrom: Int, pos: Int, id: Int, ref: Int,
       alt: Int, qual: Int, filter: Int, info: Int, format: Int,
-      genotypes: Int)
+      genotypes: Int, posIsLong: Boolean = false)
 
   def resolve(schema: StructType): FieldMap = {
     def idx(name: String, ok: DataType => Boolean, what: String): Int = {
@@ -86,7 +90,9 @@ private[graft] object GraftWrite {
       genotypes = idx("genotypes",
         t => t == MapType(StringType, StringType, true) ||
           t == MapType(StringType, StringType, false),
-        "MAP<STRING,STRING>"))
+        "MAP<STRING,STRING>"),
+      posIsLong = schema.fields.exists(f =>
+        f.name.equalsIgnoreCase("pos") && f.dataType == LongType))
     require(fm.chrom >= 0 && fm.pos >= 0 && fm.ref >= 0,
       s"vcf/bcf write needs chrom, pos, ref columns; got " +
         schema.fieldNames.mkString(", "))
@@ -103,10 +109,13 @@ private[graft] object GraftWrite {
       if (i < 0 || row.isNullAt(i)) "." else row.getUTF8String(i).toString
     require(!row.isNullAt(fm.chrom) && !row.isNullAt(fm.pos) &&
       !row.isNullAt(fm.ref), "chrom/pos/ref must be non-null")
-    val pos = row.get(fm.pos, IntegerType) match {
-      case i: java.lang.Integer => i.intValue
-      case _ => row.getLong(fm.pos).toInt
-    }
+    val pos =
+      if (fm.posIsLong) {
+        val l = row.getLong(fm.pos)
+        require(l >= Int.MinValue && l <= Int.MaxValue,
+          s"pos $l exceeds the VCF/BCF 32-bit position range")
+        l.toInt
+      } else row.getInt(fm.pos)
     val (ks, vs) =
       if (fm.genotypes < 0 || row.isNullAt(fm.genotypes))
         (Array.empty[String], Array.empty[String])
@@ -302,8 +311,11 @@ final class GraftBatchWrite(kind: String, dir: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // roll back any task-committed (already visible) shards
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // roll back any task-committed (already visible) shards — through
+    // the SESSION's Hadoop conf (a bare `new Configuration()` drops
+    // every spark.hadoop.* setting: s3a credentials, endpoints — and
+    // the deletes would be silently swallowed on object stores)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
     messages.foreach {
       case GraftShardCommit(paths) => paths.foreach { s =>
         val p = new Path(s)
@@ -463,6 +475,9 @@ final class VcfDataWriter(dir: String, fm: GraftWrite.FieldMap,
   private var spool: Spool = _
   private var vocab: Vocab = _
   private var wrote = false
+  // staged index path, tracked as a field so abort()/close() can clean
+  // it up when commit() dies between writing it and the renames
+  private var stageIdx: Path = _
 
   private def openStream(headerText: String): Unit = {
     samples = samplePanel(headerText)
@@ -485,8 +500,11 @@ final class VcfDataWriter(dir: String, fm: GraftWrite.FieldMap,
     out.write(((fixed ++ calls).mkString("\t") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     if (builder != null)
+      // END-aware span (BcfWriter.spanOf — htslib's tabix VCF preset
+      // parses INFO END=): banded-gVCF/symbolic records bin over the
+      // whole band, so external region queries inside the band hit
       builder.record(r.chrom, r.pos.toLong,
-        math.max(1, r.ref.length), v0, bgz.voff)
+        BcfWriter.spanOf(r.pos, r.ref, r.info), v0, bgz.voff)
   }
 
   override def write(row: InternalRow): Unit = {
@@ -520,12 +538,13 @@ final class VcfDataWriter(dir: String, fm: GraftWrite.FieldMap,
         if (builder.chosenDepth == 5 && builder.maxEnd0 <= (1L << 29))
           TabixIndex.sibling(fin)
         else TabixIndex.csiSibling(fin)
-      val stageIdx = new Path(dirPath, "." + "stage-" + finIdx.getName)
+      stageIdx = new Path(dirPath, "." + "stage-" + finIdx.getName)
       if (finIdx.getName.endsWith(".tbi"))
         TabixIndex.writeTbi(fs, stageIdx, idx)
       else TabixIndex.writeCsi(fs, stageIdx, idx, 14, builder.chosenDepth)
       require(fs.rename(stageIdx, finIdx),
         s"commit rename $stageIdx -> $finIdx failed")
+      stageIdx = null
       visible ::= finIdx.toString
       builder = null
     }
@@ -537,11 +556,19 @@ final class VcfDataWriter(dir: String, fm: GraftWrite.FieldMap,
     if (out != null) { try out.close() catch { case _: Exception => } }
     if (spool != null) spool.delete()
     try fs.delete(stage, false) catch { case _: Exception => }
+    if (stageIdx != null) {
+      try fs.delete(stageIdx, false) catch { case _: Exception => }
+      stageIdx = null
+    }
   }
 
   override def close(): Unit = {
     if (out != null) { try out.close() catch { case _: Exception => };
       out = null }
     if (spool != null) { spool.delete(); spool = null }
+    if (stageIdx != null) {
+      try fs.delete(stageIdx, false) catch { case _: Exception => }
+      stageIdx = null
+    }
   }
 }

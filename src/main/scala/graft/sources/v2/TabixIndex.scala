@@ -499,8 +499,22 @@ object TabixIndex {
             val t4 = line.indexOf('\t', t3 + 1)
             require(t1 > 0 && t2 > t1 && t3 > t2 && t4 > t3,
               s"$dataPath: malformed VCF line at voff $v0")
-            builder.record(line.substring(0, t1),
-              line.substring(t1 + 1, t2).toLong, t4 - t3 - 1, v0, v1)
+            // INFO is field 8 (after ALT, QUAL, FILTER) — parsed for
+            // END= so band/symbolic records bin over their full span,
+            // exactly htslib's tabix VCF preset behavior
+            val t5 = line.indexOf('\t', t4 + 1)
+            val t6 = if (t5 < 0) -1 else line.indexOf('\t', t5 + 1)
+            val t7 = if (t6 < 0) -1 else line.indexOf('\t', t6 + 1)
+            val info =
+              if (t7 < 0) ""
+              else {
+                val t8 = line.indexOf('\t', t7 + 1)
+                line.substring(t7 + 1, if (t8 < 0) line.length else t8)
+              }
+            val pos = line.substring(t1 + 1, t2).toLong
+            builder.record(line.substring(0, t1), pos,
+              graft.sources.BcfWriter.spanOfLen(pos, t4 - t3 - 1, info),
+              v0, v1)
           }
           v0 = v1
           if (v0 == endVoff) done = true

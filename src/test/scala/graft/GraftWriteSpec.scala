@@ -175,6 +175,54 @@ class GraftWriteSpec extends AnyFunSuite with SparkSpec {
       .count() > 0)
   }
 
+  test("text index builders are END-aware (htslib's tabix VCF preset): " +
+      "a gVCF band's bins cover the BAND INTERIOR, so an external " +
+      "region query left of the anchor base still hits the record — " +
+      "through the DSv2 write path AND the re-read indexer") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.v2.TabixIndex
+    val dir = tmp.resolve("vcf-bands").toString
+    // three bands on chrom 1: [1000,60000], [60001,120000], [120001,
+    // 200000] — END= spans far past the 1-base REF anchor
+    val bands = spark.createDataFrame(Seq(
+      ("1", 1000, ".", "A", "<NON_REF>", ".", ".", "END=60000"),
+      ("1", 60001, ".", "C", "<NON_REF>", ".", ".", "END=120000"),
+      ("1", 120001, ".", "G", "<NON_REF>", ".", ".", "END=200000")
+    )).toDF("chrom", "pos", "id", "ref", "alt", "qual", "filter", "info")
+    bands.repartition(1).sortWithinPartitions(col("chrom"), col("pos"))
+      .write.format("vcf").mode("overwrite")
+      .option("header", headerText).option("bgzf", "true").save(dir)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val idxFile = new java.io.File(dir).listFiles
+      .find(f => f.getName.endsWith(".tbi") || f.getName.endsWith(".csi"))
+      .getOrElse(fail("no index sibling written"))
+    val idx =
+      if (idxFile.getName.endsWith(".tbi"))
+        TabixIndex.read(fs, new Path(idxFile.getPath))
+      else TabixIndex.readCsi(fs, new Path(idxFile.getPath))
+    val ref = idx.ref("1").getOrElse(fail("chrom 1 missing from index"))
+    // window strictly INSIDE band 2 (pos 60001, END 120000): 0-based
+    // [90000, 90100) — a pos-anchored index would return no chunks
+    assert(TabixIndex.regionChunks(ref, 90000L, 90100L).nonEmpty,
+      "band interior not covered by the DSv2-written index")
+    // and inside band 3's tail
+    assert(TabixIndex.regionChunks(ref, 199000L, 199001L).nonEmpty,
+      "band tail not covered by the DSv2-written index")
+    // (no emptiness probe for off-band windows: a wide band lands in a
+    // COARSE parent bin whose chunks regionChunks rightly returns for
+    // any window under that bin — binning is conservative by design
+    // and record-level overlap is the reader's post-filter)
+    // the re-read indexer (buildForBgzfVcf) agrees: rebuild a sibling
+    // from the shard bytes and probe the same interior window
+    val shard = new java.io.File(dir).listFiles
+      .find(_.getName.endsWith(".vcf.gz")).get
+    val rebuilt = TabixIndex.buildForBgzfVcf(fs, new Path(shard.getPath))
+    val rref = rebuilt.ref("1").getOrElse(fail("rebuilt index missing 1"))
+    assert(TabixIndex.regionChunks(rref, 90000L, 90100L).nonEmpty,
+      "band interior not covered by buildForBgzfVcf")
+  }
+
   test("bare load(dir) of a DSv2-written bgzf landing skips index " +
       "siblings and hidden staging litter (a .tbi read as VCF text " +
       "would yield binary garbage rows)") {
