@@ -252,6 +252,49 @@ object Similarity {
     }
   }
 
+  /** SemDeDup within-cell near-duplicate PAIRS (Abbas et al. 2023 —
+    * the pair step of the q235 composition): over an [[ivfAssign]]ed
+    * corpus, the (a, b) id pairs (a < b) whose cosine clears
+    * `minCosMicro` (micro-floored — the engines' exact comparison
+    * convention), joined ONLY within a cell — no all-pairs path
+    * exists at any scale.
+    *
+    * `cellCap` (0 = off, the default — bit-identical to the inline
+    * q235 spelling): within-cell pairs are QUADRATIC in cell size, so
+    * ONE skewed giant cell (a near-duplicate-saturated crawl cluster,
+    * or a too-small nlist) can dominate the whole job. Production
+    * SemDeDup caps cluster size for exactly this reason; with
+    * `cellCap = c > 0` each cell is split into deterministic id-order
+    * sub-cells of at most `c` vectors (row_number over the cell, id
+    * order) and pairs are restricted to a sub-cell — bounding
+    * per-join-key work at c·(c−1)/2 at the documented cost of
+    * MISSING cross-sub-cell duplicates (the same recall trade the
+    * capped production variant makes; rows keep their `cell` so the
+    * caller sees the split). The ranking window rides the same cell
+    * hash partitioning the pair join needs — one exchange total.
+    */
+  def semDeDupPairs(
+      assigned: DataFrame, minCosMicro: Long, cellCap: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "v",
+      cellCol: String = "cell"): DataFrame = {
+    require(cellCap >= 0, s"cellCap must be >= 0, got $cellCap")
+    val withSub =
+      if (cellCap == 0) assigned.withColumn("__sub", lit(0))
+      else assigned.withColumn("__sub",
+        ((row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(cellCol)).orderBy(col(idCol))) - 1)
+          / cellCap).cast("int"))
+    val a = withSub.select(col(cellCol), col("__sub"),
+      col(idCol).as("a_id"), col(vecCol).as("av"))
+    val b = withSub.select(col(cellCol), col("__sub"),
+      col(idCol).as("b_id"), col(vecCol).as("bv"))
+    a.join(b, Seq(cellCol, "__sub"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(floor(cosine(col("av"), col("bv")) * lit(1000000.0))
+        .cast("long") >= lit(minCosMicro))
+      .select(col(cellCol), col("a_id"), col("b_id"))
+  }
+
   /** Scale path: random-hyperplane LSH bucket id (sign bits of `planes`
     * dot products packed into a long). Equal buckets → candidate set;
     * probe only its bucket instead of the corpus. Planes are fixed

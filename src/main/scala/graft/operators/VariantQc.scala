@@ -1708,6 +1708,30 @@ object VariantQc {
       withDprime)
   }
 
+  /** PUBLIC handle on the [[ldSiteVecs]] substrate so callers running
+    * SEVERAL LD statistics over one cohort (r² decay + D' + prune —
+    * the q111/q117/q192 family) can build/land the per-site dosage
+    * vector table ONCE and feed it to [[ldR2PairsOverVecs]] /
+    * [[ldPruneOverVecs]]: the vector build is the family's whole
+    * upstream (two exchanges + the cohort-panel discovery pass), and
+    * in a real deployment it is the natural thing to persist between
+    * LD runs. Bit-identical to the internal path — [[ldR2Pairs]] is
+    * exactly `ldR2PairsOverVecs(ldSiteVectors(ann), …)`.
+    */
+  def ldSiteVectors(ann: DataFrame,
+      sampleCol: String = "sample_id"): DataFrame =
+    ldSiteVecs(ann, sampleCol)
+
+  /** [[ldR2Pairs]] over a prebuilt [[ldSiteVectors]] table. */
+  def ldR2PairsOverVecs(
+      siteVecs: DataFrame,
+      maxDist: Int,
+      decimalLift: Boolean = false,
+      withDprime: Boolean = false): DataFrame = {
+    require(maxDist > 0, s"maxDist must be positive, got $maxDist")
+    ldPairsFromVecs(siteVecs, maxDist, decimalLift, withDprime)
+  }
+
   /** Pair statistics over a prebuilt [[ldSiteVecs]] table — split out
     * so [[ldPrune]] can reference ONE vector plan from both its pair
     * path and its site list (ReusedExchange; one `samples` discovery
@@ -1803,17 +1827,23 @@ object VariantQc {
       ann: DataFrame,
       maxDist: Int,
       r2MicroMax: Long,
-      sampleCol: String = "sample_id"): DataFrame = {
-    require(maxDist > 0, s"maxDist must be positive, got $maxDist")
-    require(r2MicroMax >= 0L && r2MicroMax <= 1000000L,
-      s"r2MicroMax must be a micro-fraction in [0, 1e6], got $r2MicroMax")
+      sampleCol: String = "sample_id"): DataFrame =
     // ONE vector plan feeds both the site list and the pair path —
     // the two references meet in a ReusedExchange instead of each
     // re-running the upstream chain (annotate included); the site set
     // is identical to the old ann-derived distinct (siteVecs IS the
     // per-site rollup of the same filter), and one `samples`
     // discovery pass replaces two (the r12-verdict q208 fix)
-    val vecs = ldSiteVecs(ann, sampleCol)
+    ldPruneOverVecs(ldSiteVecs(ann, sampleCol), maxDist, r2MicroMax)
+
+  /** [[ldPrune]] over a prebuilt [[ldSiteVectors]] table. */
+  def ldPruneOverVecs(
+      vecs: DataFrame,
+      maxDist: Int,
+      r2MicroMax: Long): DataFrame = {
+    require(maxDist > 0, s"maxDist must be positive, got $maxDist")
+    require(r2MicroMax >= 0L && r2MicroMax <= 1000000L,
+      s"r2MicroMax must be a micro-fraction in [0, 1e6], got $r2MicroMax")
     val sites = vecs.select("chrom", "pos", "ref", "alt")
     val dropped = ldPairsFromVecs(vecs, maxDist,
         decimalLift = false, withDprime = false)

@@ -5757,14 +5757,12 @@ object LlmQueries extends QuerySet {
       val cents = e.filter(col("vec_id").between(100, 107))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val assigned = Similarity.ivfAssign(e, cents)
-      val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
-        col("v").as("av"))
-      val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
-        col("v").as("bv"))
-      val pairs = a.join(b, Seq("cell"))
-        .filter(col("a_id") < col("b_id"))
-        .filter(micro(Similarity.cosine(col("av"), col("bv")))
-          >= lit(990000L))
+      // cellCap default 0: bit-identical to the inline spelling; the
+      // skew guard (split a giant cell into id-order sub-cells) is
+      // the operator's documented option, spec-pinned in
+      // DedupSimilaritySpec
+      val pairs = Similarity.semDeDupPairs(assigned,
+        minCosMicro = 990000L)
       val dropped = pairs.select(col("cell"), col("b_id").as("vec_id"))
         .distinct()
       val stats = assigned.join(dropped, Seq("cell", "vec_id"),

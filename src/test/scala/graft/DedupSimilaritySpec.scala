@@ -1356,4 +1356,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     // cos((3,1),(1,1)) = 4/(√10·√2) = 0.894427…
     assert(got("ragged") === ((2L, 1L, 3162277L, 1414213L, 894427L)))
   }
+
+  test("semDeDupPairs: cellCap splits an oversized cell into id-order " +
+      "sub-cells — within-sub-cell duplicate pairs survive, " +
+      "cross-boundary pairs are the documented recall cost, and " +
+      "cellCap = 0 is bit-identical to the uncapped join") {
+    // one cell of 6 near-identical vectors (all pairwise cosine ~1)
+    val vecs = (1L to 6L).map(i => (i, Seq(1.0, 0.0, i * 1e-9)))
+      .toDF("vec_id", "v")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("cid", "cv")
+    val assigned = Similarity.ivfAssign(vecs, cents)
+    val uncapped = Similarity.semDeDupPairs(assigned, 990000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 15) // 6 choose 2 — every pair
+    val explicit = Similarity.semDeDupPairs(assigned, 990000L,
+      cellCap = 0).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(explicit === uncapped)
+    // cap 3: sub-cells {1,2,3} and {4,5,6} in id order — 3 pairs each,
+    // none across the boundary
+    val capped = Similarity.semDeDupPairs(assigned, 990000L, cellCap = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)))
+  }
 }

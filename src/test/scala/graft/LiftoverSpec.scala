@@ -48,6 +48,55 @@ class LiftoverSpec extends AnyFunSuite with SparkSpec {
       ("2", 150, "lifted", "d4", Some(1050), "G", "A")))
   }
 
+  test("liftover dstGenome: destination-REF validation — match keeps " +
+      "status, ALT carried by the target swaps REF⇄ALT and flips GT " +
+      "indices, neither flags ref_mismatch, and unmapped/absent-contig " +
+      "rows ride untouched") {
+    // d1 bases at 5000.. : pos 5020 = 'T' (matches an ALT of site A
+    // → swap), 5080 = 'C' (matches REF of site B → clean), 5040 = 'A'
+    // (neither REF 'C' nor ALT 'T' of site C → ref_mismatch)
+    val d1 = "N" * 4999 + ("A" * 20) + "T" + ("A" * 59) + "C" +
+      ("A" * 100)
+    assert(d1.charAt(5020 - 1) == 'T' && d1.charAt(5080 - 1) == 'C' &&
+      d1.charAt(5040 - 1) == 'A')
+    val genome = Map("d1" -> d1) // d2/d3/d4 absent: unvalidatable
+    val vcf = Seq(
+      ("1", 120, "A", "T,G", "0/1"),  // → 5020 'T' = ALT#1 → swap, GT flip
+      ("1", 180, "C", "G", "1|1"),    // → 5080 'C' = REF → clean (d1 map)
+      ("1", 140, "C", "T", "0/1"),    // → 5040 'A' ≠ REF,∉ALT → mismatch
+      ("1", 350, "AC", "G", "0/1"),   // → d2 absent from genome → ride
+      ("1", 999, "T", "C", "0/0"))    // unmapped
+      .toDF("chrom", "pos", "ref", "alt", "gt")
+    val got = Liftover.liftover(vcf, chain, bucketShift = 4,
+        dstGenome = genome, gtCols = Seq("gt"))
+      .filter(col("lifted_chrom").isNull || col("lifted_chrom") =!= "d3")
+      .select("pos", "lift_status", "lifted_ref", "lifted_alt", "gt")
+      .as[(Int, String, String, String, String)]
+      .collect().toSet
+    assert(got === Set(
+      // swap: REF A ⇄ ALT#1 T (the target's base); GT 0/1 → 1/0
+      (120, "swap", "T", "A,G", "1/0"),
+      (180, "lifted", "C", "G", "1|1"),
+      (140, "ref_mismatch", "C", "T", "0/1"),
+      (350, "flipped", "GT", "C", "0/1"), // d2 absent → unvalidated
+      (999, "unmapped", null, null, "0/0")))
+  }
+
+  test("liftover dstGenome: a minus-strand block whose flipped REF " +
+      "mismatches but whose flipped ALT matches the target reads " +
+      "flipped_swap, alleles exchanged post-flip") {
+    // site (1, 350, ref A, alt G): '-' block → lifted_pos 9050,
+    // flipped ref 'T', flipped alt 'C'; target base at 9050 = 'C'
+    val d2 = "N" * 9049 + "C" + "A" * 60
+    val vcf = Seq(("1", 350, "A", "G", "0/1"))
+      .toDF("chrom", "pos", "ref", "alt", "gt")
+    val got = Liftover.liftover(vcf, chain, bucketShift = 4,
+        dstGenome = Map("d2" -> d2), gtCols = Seq("gt"))
+      .select("lift_status", "lifted_ref", "lifted_alt", "gt")
+      .as[(String, String, String, String)].collect().toSet
+    assert(got === Set(("flipped_swap", "C", "T", "1/0")))
+  }
+
   test("liftover: block edges are CLOSED on both ends; a '-' block " +
       "maps its start to the target end and vice versa") {
     val vcf = Seq(("1", 100, "A", "T"), ("1", 200, "C", "G"),
