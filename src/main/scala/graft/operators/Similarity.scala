@@ -270,8 +270,10 @@ object Similarity {
     * per-join-key work at c·(c−1)/2 at the documented cost of
     * MISSING cross-sub-cell duplicates (the same recall trade the
     * capped production variant makes; rows keep their `cell` so the
-    * caller sees the split). The ranking window rides the same cell
-    * hash partitioning the pair join needs — one exchange total.
+    * caller sees the split). Cost of the cap: the ranking window adds
+    * one cell-keyed exchange+sort ahead of the (cell, sub)-keyed pair
+    * join — worth it exactly when one cell's quadratic pair cost
+    * dominates, which is when you reach for the cap.
     */
   def semDeDupPairs(
       assigned: DataFrame, minCosMicro: Long, cellCap: Int = 0,

@@ -294,4 +294,119 @@ object VariantNorm {
           .when(col("action").isin("swap", "swap_strand_flip",
             "palindromic_swap"), afFlip))
   }
+
+  /** MERGE biallelic records back into MULTIALLELIC ones — the
+    * `bcftools norm -m+` inverse of [[splitMultiallelic]], the export
+    * step before handing a callset to tools that expect one record
+    * per site (and the dedup that makes a re-merged cohort's site
+    * count honest). Records sharing the EXACT (chrom, pos, ref) key
+    * merge; the combined ALT list is the lexicographically sorted
+    * distinct allele set (bcftools keeps encounter order, which is
+    * not deterministic distributed — sorted order is this engine's
+    * pinned convention, same spirit as phaseByTransmission's
+    * pat-first), and every sample's genotype indices are REMAPPED
+    * into the merged list.
+    *
+    * Per-sample merge rule (the exact inverse of the split remap):
+    * each contributing record's GT donates its non-REF calls as the
+    * record's own ALT allele (token `1`), `0` donates REF, `.` stays
+    * missing; across records the sample's allele multiset is
+    * reassembled —
+    *  - 2 non-REF donations → `j/k` (sorted; hom-alt when one record
+    *    donated twice),
+    *  - 1 → `0/j` (or `./j` when the donating record carried a
+    *    missing token — half-calls survive the round trip),
+    *  - 0 with any called record → `0/0`, none called → `./.`;
+    *  - MORE than ploidy donations (k-colliding sites pooling
+    *    inconsistent records — bcftools errors here) → `./.`,
+    *    surfaced in `n_conflict`;
+    *  - haploid in every contributing record → haploid out.
+    * Phase is NOT preserved (merged alleles come from different
+    * records; a `|` stream cannot be re-inferred — callers re-phase),
+    * and missing tokens emit FIRST (`./1` — the canonical spelling).
+    * Input contract: biallelic records (GT tokens 0/1/. — the
+    * [[splitMultiallelic]] output shape); a GT carrying an index ≥ 2
+    * marks that sample `./.` (counted in `n_conflict`, never
+    * silently misread). Missing-ALT (`.`) rows are passed over
+    * (nothing to merge — same rule as the split side drops them).
+    *
+    * Output: (chrom, pos, ref, alt, n_src, n_conflict, genotypes).
+    * Shape: one narrow per-(record, sample) projection (token counts
+    * by CHARACTER arithmetic — tokens are single-glyph by the input
+    * contract, so no interpreted HOFs), one (site, sample) agg, one
+    * site agg for the allele set, one join back, one final site agg —
+    * all on the site-key family (a site-bucketed landing pays the
+    * (site, sample) exchange only).
+    */
+  def mergeToMultiallelic(
+      df: DataFrame,
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref")): DataFrame = {
+    val k = siteKey.map(col)
+    val base = df.filter(col("alt") =!= "." && !col("alt").contains(","))
+    val lng = base
+      .select(k ++ Seq(col("alt"),
+        explode(col("genotypes")).as(Seq("__sid", "__call"))): _*)
+      .withColumn("__gt", substring_index(col("__call"), ":", 1))
+    // character arithmetic over the single-glyph token contract
+    val gt = col("__gt")
+    val nTok = (length(gt) -
+      length(translate(gt, "/|", ""))) + lit(1)
+    val dots = length(gt) - length(translate(gt, ".", ""))
+    val ones = length(gt) - length(translate(gt, "1", ""))
+    val bad = gt.rlike("[2-9]") || gt.rlike("[0-9]{2}")
+    val perCall = lng.select(k ++ Seq(
+      col("__sid"), col("alt").as("__alt"),
+      when(bad, lit(-1)).otherwise(ones).as("__n1"),
+      dots.as("__nd"),
+      (nTok > 1).as("__dip"),
+      (dots < nTok).as("__called")): _*)
+    val perSample = perCall
+      .groupBy(k :+ col("__sid"): _*)
+      .agg(
+        sum(when(col("__n1") > 0, col("__n1")).otherwise(0L)).as("__tot"),
+        min(when(col("__n1") > 0, col("__alt"))).as("__aLo"),
+        max(when(col("__n1") > 0, col("__alt"))).as("__aHi"),
+        max(col("__nd")).as("__dots"),
+        max(col("__dip")).as("__anyDip"),
+        max(col("__called")).as("__anyCalled"),
+        max(col("__n1") < 0).as("__bad"))
+    val alts = base
+      .groupBy(k: _*)
+      .agg(array_sort(collect_set(col("alt"))).as("__alts"),
+        count(lit(1)).as("n_src"))
+    val sep = lit("/")
+    val withIdx = perSample.join(alts, siteKey)
+      .withColumn("__iLo", array_position(col("__alts"), col("__aLo")))
+      .withColumn("__iHi", array_position(col("__alts"), col("__aHi")))
+    val ploidy = when(col("__anyDip"), 2).otherwise(1)
+    val conflict = col("__bad") ||
+      col("__tot") + col("__dots") > ploidy
+    val mergedGt =
+      when(!col("__anyCalled") || conflict,
+        when(col("__anyDip"), "./.").otherwise("."))
+        .when(!col("__anyDip"), // haploid throughout
+          when(col("__tot") === 1L, col("__iLo").cast("string"))
+            .when(col("__dots") > 0, ".").otherwise("0"))
+        .when(col("__tot") === 2L,
+          concat(col("__iLo").cast("string"), sep,
+            col("__iHi").cast("string")))
+        .when(col("__tot") === 1L,
+          when(col("__dots") > 0,
+            concat(lit("."), sep, col("__iLo").cast("string")))
+            .otherwise(concat(lit("0"), sep, col("__iLo").cast("string"))))
+        .when(col("__dots") > 0, concat(lit("."), sep, lit("0")))
+        .otherwise("0/0")
+    withIdx
+      .withColumn("__mgt", mergedGt)
+      .groupBy(k ++ Seq(col("__alts"), col("n_src")): _*)
+      .agg(
+        sum(when(conflict && col("__anyCalled"), 1L).otherwise(0L))
+          .as("n_conflict"),
+        map_from_entries(collect_list(
+          struct(col("__sid"), col("__mgt")))).as("genotypes"))
+      .withColumn("alt", array_join(col("__alts"), ","))
+      .drop("__alts")
+      .select(k ++ Seq(col("alt"), col("n_src"), col("n_conflict"),
+        col("genotypes")): _*)
+  }
 }

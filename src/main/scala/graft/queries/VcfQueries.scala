@@ -4815,7 +4815,7 @@ object VcfQueries extends QuerySet {
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
       q219, q222, q224, q226, q227, q228, q229, q230, q231, q232,
-      q233, q234, q236, q237, q239, q240, q241, q242)
+      q233, q234, q236, q237, q239, q240, q241, q242, q243)
 
   /** DOSAGE↔HARD-CALL CONCORDANCE gate ([[graft.operators.VariantQc
     * .dosageConcordance]] — the post-imputation sample-swap sanity
@@ -5978,8 +5978,13 @@ object VcfQueries extends QuerySet {
         // callset's own sites, so every locus has a variant cover)
         val loci = gv.filter(col("alt") =!= "<NON_REF>")
           .select("chrom", "pos").distinct()
+        // bucketShift 8 (256-position buckets): the all-variant-site
+        // locus grid is ~16× denser than q229's decimated probe grid,
+        // so shift-12 collapses to ~550 (chrom, bucket) join keys with
+        // ~500k in-bucket pairs each — the r15 bucket-degeneracy
+        // lesson; records span ≤ ~110 so they explode into ≤ 2 buckets
         val jc = graft.operators.Gvcf
-          .jointGenotype(gv, loci, bucketShift = 12)
+          .jointGenotype(gv, loci, bucketShift = 8)
           .filter(col("state") === "variant")
           // ONE call per (site, sample): the min-k covering record —
           // deterministic on both engines (overlapping same-sample
@@ -5987,17 +5992,31 @@ object VcfQueries extends QuerySet {
           .groupBy("chrom", "pos", "ref", "alt", "sample_id")
           .agg(min_by(col("called_gt"), col("k")).as("cgt"),
             min_by(col("gt"), col("k")).as("ogt"))
-        def siteInfo(gtc: String, out: String) =
-          VariantAnnotator.fillInfoTags(
-            jc.groupBy("chrom", "pos", "ref", "alt")
-              .agg(map_from_entries(collect_list(
-                struct(col("sample_id"), col(gtc)))).as("genotypes"))
-              .withColumn("info", lit(".")))
-            .select(col("chrom"), col("pos"), col("ref"), col("alt"),
-              col("info").as(out))
-        siteInfo("cgt", "info_recalled")
-          .join(siteInfo("ogt", "info_original"),
-            Seq("chrom", "pos", "ref", "alt"))
+        // BOTH genotype views (re-called / original) ride ONE
+        // fillInfoTags pass: the site pivot builds both maps in one
+        // agg, a 2-row explode tags them `r`/`o`, and `which` joins
+        // the site key — one jointGenotype run, one fill, one final
+        // pivot-back (the first cut ran the whole upstream TWICE
+        // through two fills + a join: 33.6 s -> this shape)
+        val sites = jc.groupBy("chrom", "pos", "ref", "alt")
+          .agg(
+            map_from_entries(collect_list(
+              struct(col("sample_id"), col("cgt")))).as("gr"),
+            map_from_entries(collect_list(
+              struct(col("sample_id"), col("ogt")))).as("go"))
+        val both = sites.select(
+          col("chrom"), col("pos"), col("ref"), col("alt"),
+          explode(map(lit("r"), col("gr"), lit("o"), col("go")))
+            .as(Seq("which", "genotypes")))
+          .withColumn("info", lit("."))
+        VariantAnnotator.fillInfoTags(both,
+            siteKey = Seq("chrom", "pos", "ref", "alt", "which"))
+          .groupBy("chrom", "pos", "ref", "alt")
+          .agg(
+            max(when(col("which") === "r", col("info")))
+              .as("info_recalled"),
+            max(when(col("which") === "o", col("info")))
+              .as("info_original"))
           .orderBy("chrom", "pos", "ref", "alt")
       },
       Some(s"""
@@ -6152,5 +6171,99 @@ object VcfQueries extends QuerySet {
         CAST(sum(x) AS BIGINT) AS dose_sum_micro,
         CAST(sum(x) // (2 * count(*)) AS BIGINT) AS af_micro
       FROM d GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """))
+
+  /** MULTIALLELIC MERGE-BACK gate ([[graft.operators.VariantNorm
+    * .mergeToMultiallelic]] — `bcftools norm -m+`, the inverse of the
+    * q103 split and the export step before handing a callset to
+    * one-record-per-site tools): the standard fixture SPLITS (q103's
+    * operator) and merges back — alleles land re-indexed into the
+    * sorted merged list, half-calls/hom-alts/haploids survive the
+    * round trip, phase drops to `/` (pinned), and k-colliding site
+    * keys pool records so the >ploidy-donations conflict class (the
+    * configuration bcftools errors on) is exercised and surfaced in
+    * `n_conflict`. DuckDB replays the whole inverse from the ORIGINAL
+    * multiallelic fixture — token-by-token allele donation, the
+    * per-record dot/ploidy counts, the sorted-list re-index, and the
+    * merge CASE ladder — so a wrong remap, a lost half-call, or a
+    * silent conflict swallow hash-mismatches.
+    */
+  private lazy val q243 = Q(
+    "q243_merge_multiallelic",
+    (s, dir) => {
+      import graft.operators.VariantNorm
+      val merged = VariantNorm.mergeToMultiallelic(
+        VariantNorm.splitMultiallelic(wide(s, dir)))
+      merged.select(col("chrom"), col("pos"), col("ref"), col("alt"),
+          col("n_src"), col("n_conflict"),
+          element_at(col("genotypes"), "g1").as("gt_g1"),
+          element_at(col("genotypes"), "g2").as("gt_g2"),
+          element_at(col("genotypes"), "g3").as("gt_g3"),
+          element_at(col("genotypes"), "g4").as("gt_g4"))
+        .orderBy("chrom", "pos", "ref", "alt")
+    },
+    Some(s"""
+      WITH $duckCtes,
+      vr AS (SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom,
+               pos, ref, alt FROM v WHERE alt <> '.'),
+      al AS (SELECT chrom, pos, ref,
+               list_sort(list_distinct(flatten(
+                 list(string_split(alt, ','))))) AS alts,
+               CAST(sum(len(string_split(alt, ','))) AS BIGINT) AS n_src
+             FROM vr GROUP BY 1, 2, 3),
+      src AS (SELECT k, regexp_replace(chrom_raw, '^chr', '') AS chrom,
+                pos, ref, alt, si, string_split(call, ':')[1] AS gt
+              FROM sm WHERE alt <> '.'),
+      tok AS (SELECT k, chrom, pos, ref, si, alt,
+                len(string_split_regex(gt, '[/|]')) AS ntok,
+                unnest(string_split_regex(gt, '[/|]')) AS t
+              FROM src),
+      ctb AS (SELECT *, CASE WHEN t <> '.' AND t <> '0'
+                   THEN string_split(alt, ',')[CAST(t AS INT)] END AS a,
+                CASE WHEN t = '.' THEN 1 ELSE 0 END AS isdot
+              FROM tok),
+      prc AS (SELECT chrom, pos, ref, si, k,
+                CAST(sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+                min(a) AS lo, max(a) AS hi,
+                CAST(sum(isdot) AS BIGINT) AS nd,
+                max(ntok > 1) AS dip,
+                max(isdot = 0) AS calld
+              FROM ctb GROUP BY 1, 2, 3, 4, 5),
+      pss AS (SELECT chrom, pos, ref, si,
+                CAST(sum(n1) AS BIGINT) AS tot,
+                min(lo) AS lo, max(hi) AS hi,
+                CAST(max(nd) AS BIGINT) AS dots,
+                max(dip) AS anydip, max(calld) AS anycalled
+              FROM prc GROUP BY 1, 2, 3, 4),
+      mg AS (SELECT p.chrom, p.pos, p.ref, p.si, a.alts, a.n_src,
+               (p.tot + p.dots >
+                 (CASE WHEN p.anydip THEN 2 ELSE 1 END)) AS conflict,
+               p.anycalled,
+               CASE WHEN NOT p.anycalled OR p.tot + p.dots >
+                        (CASE WHEN p.anydip THEN 2 ELSE 1 END)
+                      THEN CASE WHEN p.anydip THEN './.' ELSE '.' END
+                    WHEN NOT p.anydip THEN
+                      CASE WHEN p.tot = 1
+                             THEN CAST(list_position(a.alts, p.lo) AS VARCHAR)
+                           WHEN p.dots > 0 THEN '.' ELSE '0' END
+                    WHEN p.tot = 2 THEN
+                      CAST(list_position(a.alts, p.lo) AS VARCHAR) || '/'
+                        || CAST(list_position(a.alts, p.hi) AS VARCHAR)
+                    WHEN p.tot = 1 THEN
+                      (CASE WHEN p.dots > 0 THEN './' ELSE '0/' END)
+                        || CAST(list_position(a.alts, p.lo) AS VARCHAR)
+                    WHEN p.dots > 0 THEN './0'
+                    ELSE '0/0' END AS mgt
+             FROM pss p JOIN al a USING (chrom, pos, ref))
+      SELECT chrom, pos, ref, array_to_string(alts, ',') AS alt, n_src,
+        CAST(sum(CASE WHEN conflict AND anycalled THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_conflict,
+        max(CASE WHEN si = 1 THEN mgt END) AS gt_g1,
+        max(CASE WHEN si = 2 THEN mgt END) AS gt_g2,
+        max(CASE WHEN si = 3 THEN mgt END) AS gt_g3,
+        max(CASE WHEN si = 4 THEN mgt END) AS gt_g4
+      FROM mg GROUP BY 1, 2, 3, alts, n_src
+      ORDER BY 1, 2, 3, 4
     """))
 }

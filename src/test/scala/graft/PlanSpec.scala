@@ -699,4 +699,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(pl.contains("ReusedExchange") || pl.contains("ReusedSubquery"),
       s"trio views re-ran the annotate plan instead of reusing it:\n$pl")
   }
+
+  test("r16 gates: liftover REF-validation (q239) keeps the equi-join " +
+      "shape (the genome fetch is a narrow codegen projection, never a " +
+      "join); PL phasing (q240) keeps q234's ReusedExchange and adds " +
+      "NO exchange; BGEN dosage (q242) is join-free") {
+    for (name <- Seq("q239_liftover_swap", "q240_phase_pl")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      q.collect()
+      val pl = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!pl.contains("BroadcastNestedLoopJoin") &&
+        !pl.contains("CartesianProduct"),
+        s"$name planned as a nested loop:\n$pl")
+    }
+    val q240 = SparkEntry.queries("q240_phase_pl")(spark, dir)
+    q240.collect()
+    val p240 = q240.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p240.contains("ReusedExchange") || p240.contains("ReusedSubquery"),
+      s"q240's trio views re-ran the annotate plan:\n$p240")
+    // the PL arm must be a projection over the joined rows — same
+    // exchange count as the hard-call q234 plan
+    val q234 = SparkEntry.queries("q234_phase_by_transmission")(spark, dir)
+    q234.collect()
+    def exchanges(s: String) =
+      "(?<!Reused)Exchange".r.findAllIn(s).size
+    val p234 = q234.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(exchanges(p240) <= exchanges(p234) + 1, // +1: the pl column
+      s"PL arm added exchanges: q240=${exchanges(p240)} " +
+        s"q234=${exchanges(p234)}")
+    val q242 = SparkEntry.queries("q242_bgen_dosage")(spark, dir)
+    q242.collect()
+    val p242 = q242.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p242.contains("Join"),
+      s"bgen dosage fold must be join-free:\n$p242")
+  }
 }

@@ -268,4 +268,49 @@ class VariantNormSpec extends AnyFunSuite with SparkSpec {
     assert(alone.filter(col("pos") === 3L && col("ref") === "GCA" &&
       col("alt") === "G").count() === 2L)
   }
+
+  test("mergeToMultiallelic: split -> merge round-trips a multiallelic " +
+      "record (alleles re-indexed into the SORTED merged list), " +
+      "half-calls and hom-alts survive, phase drops to '/', haploids " +
+      "stay haploid, pooled inconsistency and index>=2 input read " +
+      "./. with n_conflict") {
+    val src = Seq(
+      // one multiallelic record: A -> T,G (merged list sorts to G,T:
+      // old index 1 (T) -> 2, old 2 (G) -> 1)
+      ("1", 100, "A", "T,G", Map(
+        "g1" -> "1/2", "g2" -> "0|1", "g3" -> "2/2", "g4" -> "./1")),
+      // haploid record
+      ("2", 50, "C", "G", Map("g1" -> "1", "g2" -> "0", "g3" -> ".",
+        "g4" -> "1")),
+      // two records sharing (chrom,pos,ref): g1 consistent het+het ->
+      // 1/2; g2 hom in BOTH -> 4 donations -> conflict
+      ("3", 10, "A", "C", Map("g1" -> "0/1", "g2" -> "1/1")),
+      ("3", 10, "A", "G", Map("g1" -> "1/0", "g2" -> "1/1")))
+      .toDF("chrom", "pos", "ref", "alt", "genotypes")
+    val multi = src.where(col("chrom") === "1")
+    val rt = VariantNorm.mergeToMultiallelic(
+      VariantNorm.splitMultiallelic(multi))
+      .select("alt", "n_src", "n_conflict", "genotypes")
+      .as[(String, Long, Long, Map[String, String])].collect().toSeq
+    assert(rt === Seq(("G,T", 2L, 0L, Map(
+      "g1" -> "1/2", "g2" -> "0/2", "g3" -> "1/1", "g4" -> "./2"))))
+    val out = VariantNorm.mergeToMultiallelic(src
+        .where(col("chrom") =!= "1"))
+      .orderBy("chrom", "pos")
+      .select("chrom", "alt", "n_src", "n_conflict", "genotypes")
+      .as[(String, String, Long, Long, Map[String, String])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("2", "G", 1L, 0L, Map("g1" -> "1", "g2" -> "0", "g3" -> ".",
+        "g4" -> "1")),
+      ("3", "C,G", 2L, 1L, Map("g1" -> "1/2", "g2" -> "./."))))
+    // index >= 2 in a claimed-biallelic input never misreads: ./. +
+    // conflict
+    val bad = Seq(("4", 5, "A", "C", Map("g1" -> "0/2")))
+      .toDF("chrom", "pos", "ref", "alt", "genotypes")
+    val b = VariantNorm.mergeToMultiallelic(bad)
+      .select("n_conflict", "genotypes")
+      .as[(Long, Map[String, String])].collect().head
+    assert(b === ((1L, Map("g1" -> "./."))))
+  }
 }
