@@ -123,6 +123,45 @@ class BgenSpec extends AnyFunSuite with SparkSpec {
     assert(sA.getAs[Long]("score_pico") === 1498038L * 1000000L)
   }
 
+  test("format(\"bgen\") DSv2: load() row-identical to the library " +
+      "reader, chrom/pos pushdown reaches the scan (block-level, " +
+      "pre-decode), sites-shaped projections skip the payload, tiny " +
+      "maxPartitionBytes splits by block offsets") {
+    val path = writeFixture("dsv2.bgen", zlib = true)
+    val lib = BgenReader.readBgen(spark, path)
+    val dsv2 = spark.read.format("bgen").load(path)
+    assert(dsv2.collect().toSet === lib.collect().toSet)
+    // pushdown: the pushed filters appear in the scan description and
+    // filtering is exact at block level
+    val filtered = spark.read.format("bgen").load(path)
+      .filter(col("chrom") === "1" && col("pos") === 2000)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=") && plan.contains("chrom"),
+      s"chrom/pos not pushed:\n$plan")
+    assert(filtered.count() === 3) // v2's 3 samples
+    assert(filtered.select("rsid").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("rs2"))
+    // sites-shaped projection (no GP/gt): payload never decoded —
+    // observable as correct variant rows without genotype columns
+    val sites = spark.read.format("bgen").load(path)
+      .select("chrom", "pos", "ref", "alt").distinct()
+    assert(sites.count() === 3)
+    // splittability: 1-byte budget → one partition per block
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      val split = spark.read.format("bgen").load(path)
+      assert(split.rdd.getNumPartitions === 3,
+        s"expected one partition per variant block, got " +
+          s"${split.rdd.getNumPartitions}")
+      assert(split.count() === 9)
+    } finally
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    // contradictory chrom equalities plan ZERO tasks
+    val none = spark.read.format("bgen").load(path)
+      .filter(col("chrom") === "1" && col("chrom") === "2")
+    assert(none.rdd.getNumPartitions === 0)
+  }
+
   test("loud failures outside the supported surface: phased data and " +
       "non-diploid ploidy refuse instead of mis-decoding") {
     // hand-patch a phased flag into a valid single-variant payload
