@@ -45,6 +45,91 @@ import org.apache.spark.sql.functions._
   */
 object Liftover {
 
+  /** Parse a UCSC CHAIN FILE (genome.ucsc.edu/goldenPath/help/chain
+    * .html — the format GRCh37→38 chains actually ship in) into the
+    * per-block frame [[liftover]] consumes. Each `chain` header
+    * (`chain score tName tSize tStrand tStart tEnd qName qSize
+    * qStrand qStart qEnd id`) is followed by alignment lines
+    * `size [dt dq]` walking cursors down both sequences; every `size`
+    * run is ONE ungapped block. Coordinates in the file are 0-based
+    * half-open, and a `-` query strand counts from the QUERY'S END —
+    * both are converted here to this engine's 1-based CLOSED source
+    * span + first-mapped-base `dst_start` convention, so
+    * `dst_start + (end − p)` on `-` blocks lands on the forward
+    * strand exactly as liftOver does (derivation in the source).
+    * `tStrand` is always `+` per the spec (violations fail loudly).
+    *
+    * The file is read DRIVER-side: a chain file is dimension-sized
+    * (tens of MB for a whole-genome lift — the same rows [[liftover]]
+    * broadcasts), and block lines are meaningless outside their
+    * header's cursor state, so a distributed line parse would need a
+    * whole-file shuffle anyway. Comment (`#`) and blank lines skipped.
+    */
+  def readChain(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    val blocks = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Int, String, Int, String)]
+    try {
+      var line = in.readLine()
+      // current chain cursor state
+      var tName: String = null; var qName: String = null
+      var qSize = 0L; var qStrand = "+"
+      var tCur = 0L; var qCur = 0L
+      var open = false
+      var lineNo = 0
+      while (line != null) {
+        lineNo += 1
+        val t = line.trim
+        if (t.isEmpty || t.startsWith("#")) ()
+        else if (t.startsWith("chain")) {
+          val f = t.split("\\s+")
+          require(f.length >= 12,
+            s"$path:$lineNo: malformed chain header '$t'")
+          require(f(4) == "+",
+            s"$path:$lineNo: tStrand must be '+' per the chain spec")
+          tName = f(2); tCur = f(5).toLong
+          qName = f(7); qSize = f(8).toLong; qStrand = f(9)
+          qCur = f(10).toLong
+          require(qStrand == "+" || qStrand == "-",
+            s"$path:$lineNo: bad qStrand '${f(9)}'")
+          open = true
+        } else {
+          require(open, s"$path:$lineNo: alignment line outside a chain")
+          val f = t.split("\\s+")
+          val size = f(0).toLong
+          require(size > 0, s"$path:$lineNo: zero-size block")
+          // 0-based half-open → 1-based closed source span; dst_start
+          // = the forward-strand position of the block base that my
+          // '+'/'−' formulas anchor on (see scaladoc derivation)
+          val start1 = tCur + 1L
+          val end1 = tCur + size
+          val dstStart =
+            if (qStrand == "+") qCur + 1L
+            else qSize - qCur - size + 1L
+          blocks += ((tName, start1.toInt, end1.toInt, qName,
+            dstStart.toInt, qStrand))
+          if (f.length >= 3) {
+            tCur += size + f(1).toLong
+            qCur += size + f(2).toLong
+          } else {
+            require(f.length == 1,
+              s"$path:$lineNo: alignment line needs 1 or 3 fields")
+            open = false // terminal line closes the chain
+          }
+        }
+        line = in.readLine()
+      }
+    } finally in.close()
+    import spark.implicits._
+    blocks.toSeq
+      .toDF("chrom", "start", "end", "dst_chrom", "dst_start", "strand")
+  }
+
   private def revcomp(c: Column): Column =
     reverse(translate(c, "ACGTacgt", "TGCAtgca"))
 

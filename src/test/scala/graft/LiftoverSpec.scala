@@ -97,6 +97,43 @@ class LiftoverSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set(("flipped_swap", "C", "T", "1/0")))
   }
 
+  test("readChain: UCSC chain-file parse — 0-based half-open cursors " +
+      "walk to 1-based closed blocks, '-' query strand converts from " +
+      "end-counted coordinates, gaps advance both cursors; liftover " +
+      "through the parsed frame lands on hand-derived positions") {
+    val chainText = Seq(
+      "# a comment",
+      "chain 1000 1 100000 + 999 1299 d1 50000 + 4999 5299 1",
+      "150 50 50",
+      "100",
+      "",
+      "chain 900 1 100000 + 2999 3099 d2 10000 - 2000 2100 2",
+      "100"
+    ).mkString("\n") + "\n"
+    val f = java.nio.file.Files.createTempFile("graft-chain", ".chain")
+    java.nio.file.Files.writeString(f, chainText)
+    val chain = Liftover.readChain(spark, f.toString)
+    val got = chain.as[(String, Int, Int, String, Int, String)]
+      .collect().toSet
+    assert(got === Set(
+      ("1", 1000, 1149, "d1", 5000, "+"),  // block 1 of chain 1
+      ("1", 1200, 1299, "d1", 5200, "+"),  // after dt=50/dq=50 gap
+      // '-' strand: dst_start = qSize − qStart − size + 1
+      ("1", 3000, 3099, "d2", 7901, "-")))
+    val vcf = Seq(
+      ("1", 1250, "A", "T"),   // block 2: 5200 + (1250 − 1200) = 5250
+      ("1", 1175, "C", "G"),   // inside the GAP → unmapped
+      ("1", 3050, "A", "G"))   // '-': 7901 + (3099 − 3050) = 7950
+      .toDF("chrom", "pos", "ref", "alt")
+    val out = Liftover.liftover(vcf, chain, bucketShift = 4)
+      .select("pos", "lift_status", "lifted_pos")
+      .as[(Int, String, Option[Int])].collect().toSet
+    assert(out === Set(
+      (1250, "lifted", Some(5250)),
+      (1175, "unmapped", None),
+      (3050, "flipped", Some(7950))))
+  }
+
   test("liftover: block edges are CLOSED on both ends; a '-' block " +
       "maps its start to the target end and vice versa") {
     val vcf = Seq(("1", 100, "A", "T"), ("1", 200, "C", "G"),
