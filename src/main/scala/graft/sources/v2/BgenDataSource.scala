@@ -287,22 +287,22 @@ final class BgenPartitionReader(part: BgenPartition, required: StructType,
   override def next(): Boolean = {
     while (current == null || sampleI >= part.samples.length) {
       if (blocksLeft <= 0) return false
-      val v = readVariantBlock(in, part.compression,
-        skipGeno = !needGeno)
+      // identifiers first, payload only for MATCHING blocks that need
+      // genotype columns — a filtered-out block costs a seek, never
+      // an inflate/bit-unpack (the pushdown payoff)
+      val ids = readVariantIds(in)
       blocksLeft -= 1
-      if (blockMatches(v)) {
-        current = v
+      val matches = blockMatches(ids)
+      val geno = readGenoPayload(in, part.compression,
+        skip = !(matches && needGeno))
+      if (matches) {
+        current = ids
         gps = if (needGeno)
-          decodeGenotypes(v.genoData, v.alleles.length,
+          decodeGenotypes(geno, ids.alleles.length,
             part.samples.length.toLong)
           else null
         sampleI = 0
-      } else {
-        // skipped before payload decode — the pushdown payoff; when
-        // genotypes were read for a non-matching block (needGeno with
-        // a mismatch), the bytes are simply dropped
-        current = null
-      }
+      } else current = null
     }
     val v = current
     val si = sampleI
