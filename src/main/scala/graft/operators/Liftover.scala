@@ -80,23 +80,41 @@ object Liftover {
       var tName: String = null; var qName: String = null
       var qSize = 0L; var qStrand = "+"
       var tCur = 0L; var qCur = 0L
+      var tEnd = 0L; var qEnd = 0L
       var open = false
       var lineNo = 0
+      // fail-loudly convention: a truncated file or a >2^31 coordinate
+      // must never parse silently into wrong/negative spans, so every
+      // narrowed coordinate is range-checked and each chain's cursor
+      // walk must land exactly on the header's tEnd/qEnd
+      def toIntChecked(v: Long, what: String): Int = {
+        require(v >= Int.MinValue && v <= Int.MaxValue,
+          s"$path:$lineNo: $what $v exceeds Int range")
+        v.toInt
+      }
       while (line != null) {
         lineNo += 1
         val t = line.trim
         if (t.isEmpty || t.startsWith("#")) ()
         else if (t.startsWith("chain")) {
+          require(!open,
+            s"$path:$lineNo: new chain header before the previous " +
+              "chain's terminal line (truncated chain)")
           val f = t.split("\\s+")
           require(f.length >= 12,
             s"$path:$lineNo: malformed chain header '$t'")
           require(f(4) == "+",
             s"$path:$lineNo: tStrand must be '+' per the chain spec")
-          tName = f(2); tCur = f(5).toLong
+          tName = f(2); tCur = f(5).toLong; tEnd = f(6).toLong
           qName = f(7); qSize = f(8).toLong; qStrand = f(9)
-          qCur = f(10).toLong
+          qCur = f(10).toLong; qEnd = f(11).toLong
           require(qStrand == "+" || qStrand == "-",
             s"$path:$lineNo: bad qStrand '${f(9)}'")
+          require(tCur >= 0 && tCur <= tEnd,
+            s"$path:$lineNo: tStart $tCur outside [0, tEnd=$tEnd]")
+          require(qCur >= 0 && qCur <= qEnd && qEnd <= qSize,
+            s"$path:$lineNo: qStart/qEnd ($qCur, $qEnd) outside " +
+              s"[0, qSize=$qSize]")
           open = true
         } else {
           require(open, s"$path:$lineNo: alignment line outside a chain")
@@ -111,19 +129,30 @@ object Liftover {
           val dstStart =
             if (qStrand == "+") qCur + 1L
             else qSize - qCur - size + 1L
-          blocks += ((tName, start1.toInt, end1.toInt, qName,
-            dstStart.toInt, qStrand))
+          blocks += ((tName, toIntChecked(start1, "block start"),
+            toIntChecked(end1, "block end"), qName,
+            toIntChecked(dstStart, "dst_start"), qStrand))
           if (f.length >= 3) {
             tCur += size + f(1).toLong
             qCur += size + f(2).toLong
+            require(tCur <= tEnd && qCur <= qEnd,
+              s"$path:$lineNo: cursor walk overruns header span " +
+                s"(tCur=$tCur/tEnd=$tEnd, qCur=$qCur/qEnd=$qEnd)")
           } else {
             require(f.length == 1,
               s"$path:$lineNo: alignment line needs 1 or 3 fields")
+            tCur += size; qCur += size
+            require(tCur == tEnd && qCur == qEnd,
+              s"$path:$lineNo: chain terminal does not land on header " +
+                s"span (tCur=$tCur/tEnd=$tEnd, qCur=$qCur/qEnd=$qEnd)")
             open = false // terminal line closes the chain
           }
         }
         line = in.readLine()
       }
+      require(!open,
+        s"$path: EOF inside an open chain (missing terminal line — " +
+          "truncated file)")
     } finally in.close()
     import spark.implicits._
     blocks.toSeq

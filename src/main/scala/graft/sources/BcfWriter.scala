@@ -246,9 +246,22 @@ object BcfWriter {
     val m = "(^|;)END=([0-9]+)(;|$)".r.findFirstMatchIn(
       if (info == null) "" else info)
     val footprint = math.max(1, refLen)
+    // END is valid up to Int.MaxValue (the tbi→csi escalation supports
+    // CSI-scale contigs to 2^31−1); the length guard only rejects
+    // values that would overflow the Long parse, and an in-range check
+    // does the rest — a 10-digit END ≥ 1e9 must still widen the span
+    // or region queries inside the band miss the record.
     m.map(_.group(2)) match {
-      case Some(e) if e.length <= 9 && e.toLong >= pos =>
+      case Some(e) if e.length <= 10 && e.toLong >= pos &&
+          e.toLong <= Int.MaxValue =>
         math.max(footprint, (e.toLong - pos + 1).toInt)
+      case Some(e) if e.length > 10 || (e.length == 10 &&
+          e.toLong > Int.MaxValue) =>
+        // beyond i32 a BCF rlen/virtual-bin cannot represent the span
+        // at all — fail loudly rather than silently bin by footprint
+        throw new IllegalArgumentException(
+          s"INFO END=$e exceeds Int.MaxValue — unrepresentable in BCF" +
+            " rlen / tbi-csi binning")
       case _ => footprint
     }
   }

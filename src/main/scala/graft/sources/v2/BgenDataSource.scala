@@ -107,8 +107,8 @@ final class BgenScanBuilder(paths: Seq[String])
 
 /** One planned block range of one file. */
 final case class BgenPartition(path: String, startOffset: Long,
-    count: Int, bytes: Long, compression: Int, samples: Seq[String],
-    confKv: Seq[(String, String)]) extends InputPartition
+    count: Int, bytes: Long, compression: Int, samples: Seq[String])
+    extends InputPartition
 
 final class BgenScan(paths: Seq[String], required: StructType,
     filters: Array[Filter])
@@ -149,12 +149,6 @@ final class BgenScan(paths: Seq[String], required: StructType,
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val kv = {
-      val it = hconf.iterator()
-      val b = mutable.ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.toSeq
-    }
     val files = mutable.ArrayBuffer.empty[Path]
     paths.foreach { p =>
       val fs = new Path(p).getFileSystem(hconf)
@@ -183,6 +177,7 @@ final class BgenScan(paths: Seq[String], required: StructType,
       val in = new java.io.BufferedInputStream(fs.open(fp), 1 << 16)
       val header = try BgenReader.readHeader(in) finally in.close()
       val raw = fs.open(fp)
+      try {
       raw.seek(header.firstVariantOffset)
       val bin = new java.io.BufferedInputStream(raw, 1 << 16)
       val counting = new java.io.FilterInputStream(bin) {
@@ -203,8 +198,8 @@ final class BgenScan(paths: Seq[String], required: StructType,
         i += 1
       }
       val fileEnd = header.firstVariantOffset + counting.count
-      bin.close()
       (fp.toString, header, offs, fileEnd)
+      } finally raw.close()
     }
     perFile.foreach { case (p, header, offs, fileEnd) =>
       var s0 = 0
@@ -214,7 +209,7 @@ final class BgenScan(paths: Seq[String], required: StructType,
         while (e < offs.length && offs(e) - offs(s0) < maxSplit) e += 1
         val endOff = if (e < offs.length) offs(e) else fileEnd
         out += BgenPartition(p, offs(s0), e - s0, endOff - offs(s0),
-          header.compression, header.samples, kv)
+          header.compression, header.samples)
         s0 = e
       }
     }
@@ -223,8 +218,19 @@ final class BgenScan(paths: Seq[String], required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = plannedParts
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new BgenReaderFactory(required, chromEq, posLo, posHi)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the Hadoop conf rides the FACTORY, serialized once per task-set
+    // broadcast — not inside every InputPartition, where hundreds of
+    // kv pairs would bloat each task payload (the readBgen rule)
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    val kv = {
+      val it = hconf.iterator()
+      val b = mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.toSeq
+    }
+    new BgenReaderFactory(required, chromEq, posLo, posHi, kv)
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = plannedParts.map {
@@ -245,21 +251,23 @@ final class BgenScan(paths: Seq[String], required: StructType,
 }
 
 final class BgenReaderFactory(required: StructType,
-    chromEq: Option[String], posLo: Option[Long], posHi: Option[Long])
+    chromEq: Option[String], posLo: Option[Long], posHi: Option[Long],
+    confKv: Seq[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new BgenPartitionReader(p.asInstanceOf[BgenPartition], required,
-      chromEq, posLo, posHi)
+      chromEq, posLo, posHi, confKv)
 }
 
 final class BgenPartitionReader(part: BgenPartition, required: StructType,
-    chromEq: Option[String], posLo: Option[Long], posHi: Option[Long])
+    chromEq: Option[String], posLo: Option[Long], posHi: Option[Long],
+    confKv: Seq[(String, String)])
     extends PartitionReader[InternalRow] {
   import BgenReader._
 
   private val conf = {
     val c = new org.apache.hadoop.conf.Configuration(false)
-    part.confKv.foreach { case (k, v) => c.set(k, v) }
+    confKv.foreach { case (k, v) => c.set(k, v) }
     c
   }
   private val in = {

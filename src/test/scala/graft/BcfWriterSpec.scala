@@ -169,6 +169,22 @@ class BcfWriterSpec extends AnyFunSuite with SparkSpec {
       "boundary-anchored: partially-numeric END is not a span")
     assert(BcfWriter.spanOf(1000, "ACG", "END=999") === 3,
       "END below pos falls back to the footprint")
+    // 10-digit END within Int range must still widen the span — CSI
+    // contigs run to 2^31−1 and a silent footprint fallback would make
+    // region queries inside the band miss the record
+    assert(BcfWriter.spanOfLen(1500000000L, 1, "END=2000000000")
+      === 500000001)
+    assert(BcfWriter.spanOfLen(2147483640L, 1, "END=2147483647")
+      === 8)
+    // beyond i32 is unrepresentable in BCF rlen — loud, not clamped
+    val eBig = intercept[IllegalArgumentException] {
+      BcfWriter.spanOfLen(1000L, 1, "END=2147483648")
+    }
+    assert(eBig.getMessage.contains("Int.MaxValue"))
+    val eHuge = intercept[IllegalArgumentException] {
+      BcfWriter.spanOfLen(1000L, 1, "END=99999999999")
+    }
+    assert(eHuge.getMessage.contains("Int.MaxValue"))
     // a written <DEL> with END is found by a probe INSIDE the deletion
     val df = Seq(
       ("1", 1000, ".", "A", "<DEL>", ".", "PASS", "END=5000;DP=9",

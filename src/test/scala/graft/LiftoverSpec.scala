@@ -134,6 +134,43 @@ class LiftoverSpec extends AnyFunSuite with SparkSpec {
       (3050, "flipped", Some(7950))))
   }
 
+  test("readChain fails loudly on structural damage: a truncated chain " +
+      "(EOF before the terminal line), a cursor walk that overruns or " +
+      "undershoots the header's tEnd/qEnd, and a header opened before " +
+      "the previous chain closed — silent wrong spans are never parsed") {
+    def parse(text: String): Unit = {
+      val f = java.nio.file.Files.createTempFile("graft-chain-bad", ".chain")
+      java.nio.file.Files.writeString(f, text)
+      try Liftover.readChain(spark, f.toString).collect()
+      finally java.nio.file.Files.delete(f)
+    }
+    // well-formed control: terminal 100-block lands exactly on tEnd/qEnd
+    parse("chain 1 1 100000 + 999 1099 d1 50000 + 4999 5099 1\n100\n")
+    // EOF inside an open chain (gapped line promises more blocks)
+    val e1 = intercept[IllegalArgumentException] {
+      parse("chain 1 1 100000 + 999 1299 d1 50000 + 4999 5299 1\n150 50 50\n")
+    }
+    assert(e1.getMessage.contains("EOF inside an open chain"))
+    // terminal line does not land on the header span
+    val e2 = intercept[IllegalArgumentException] {
+      parse("chain 1 1 100000 + 999 1099 d1 50000 + 4999 5099 1\n99\n")
+    }
+    assert(e2.getMessage.contains("does not land on header span"))
+    // mid-walk overrun of tEnd
+    val e3 = intercept[IllegalArgumentException] {
+      parse("chain 1 1 100000 + 999 1099 d1 50000 + 4999 5099 1\n" +
+        "90 50 50\n10\n")
+    }
+    assert(e3.getMessage.contains("overruns header span"))
+    // a new header while the previous chain is still open
+    val e4 = intercept[IllegalArgumentException] {
+      parse("chain 1 1 100000 + 999 1299 d1 50000 + 4999 5299 1\n" +
+        "150 50 50\n" +
+        "chain 1 1 100000 + 999 1099 d1 50000 + 4999 5099 2\n100\n")
+    }
+    assert(e4.getMessage.contains("before the previous"))
+  }
+
   test("liftover: block edges are CLOSED on both ends; a '-' block " +
       "maps its start to the target end and vice versa") {
     val vcf = Seq(("1", 100, "A", "T"), ("1", 200, "C", "G"),
