@@ -25,11 +25,20 @@ object GenomeExprs {
     * uppercased; NULL when the contig is absent from the (possibly
     * partial) map or the slice runs off the contig — callers treat
     * NULL as "unvalidatable", never as a mismatch.
+    *
+    * The [[Genome]] overload is the scale path: a broadcast handle
+    * rides the plan, the sequence ships once per executor. The `Map`
+    * overload wraps [[Genome.inline]] — closure-shipped, small maps
+    * only.
     */
-  def genomeSlice(genome: Map[String, String], chrom: Column,
+  def genomeSlice(genome: Genome, chrom: Column,
       pos1: Column, len: Column): Column =
     Bridge.column(GenomeSliceExpr(genome, Bridge.expression(chrom),
       Bridge.expression(pos1), Bridge.expression(len)))
+
+  def genomeSlice(genome: Map[String, String], chrom: Column,
+      pos1: Column, len: Column): Column =
+    genomeSlice(Genome.inline(genome), chrom, pos1, len)
 
   /** `gt_swap(call, k)` — REF⇄ALT(k) genotype remap after a liftover
     * allele swap (Picard's flipped-genotype rewrite): in the FIRST
@@ -75,11 +84,14 @@ object GenomeSliceKernel {
   }
 }
 
-/** (chrom, pos1, len) → string slice of the broadcast genome (see
-  * [[GenomeExprs.genomeSlice]]); genome as a codegen reference object
-  * (the [[LeftAlignExpr]] pattern). Nullable by design.
+/** (chrom, pos1, len) → string slice of the genome (see
+  * [[GenomeExprs.genomeSlice]]); the [[Genome]] HANDLE rides the
+  * generated code as a reference object — an inline handle carries
+  * the map, a broadcast handle carries only the broadcast id and the
+  * map resolves ONCE per stage from the executor's block manager
+  * (never a per-task multi-GB ship). Nullable by design.
   */
-case class GenomeSliceExpr(genome: Map[String, String],
+case class GenomeSliceExpr(genome: Genome,
     chrom: Expression, pos: Expression, len: Expression)
     extends TernaryExpression {
   override def first: Expression = chrom
@@ -97,16 +109,20 @@ case class GenomeSliceExpr(genome: Map[String, String],
         s"$prettyName expects (string, bigint, int), got $other")
     }
 
-  @transient private lazy val genomeRef = LeftAlignKernel.genomeMap(genome)
+  @transient private lazy val genomeRef = genome.resolve()
 
   override protected def nullSafeEval(c: Any, p: Any, l: Any): Any =
     GenomeSliceKernel.slice(c.asInstanceOf[UTF8String],
       p.asInstanceOf[Long], l.asInstanceOf[Int], genomeRef)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val gRef = ctx.addReferenceObj("genome", genomeRef, "java.util.HashMap")
+    val gRef = ctx.addReferenceObj("genome", genome,
+      "graft.expressions.Genome")
+    // resolve the broadcast once per stage instance, not per row
+    val gMap = ctx.addMutableState("java.util.HashMap", "genomeMap",
+      v => s"$v = $gRef.resolve();")
     nullSafeCodeGen(ctx, ev, (c, p, l) => s"""
-      ${ev.value} = graft.expressions.GenomeSliceKernel.slice($c, $p, $l, $gRef);
+      ${ev.value} = graft.expressions.GenomeSliceKernel.slice($c, $p, $l, $gMap);
       ${ev.isNull} = ${ev.value} == null;
     """)
   }

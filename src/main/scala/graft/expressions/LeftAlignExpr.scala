@@ -117,12 +117,16 @@ object LeftAlignKernel {
 }
 
 /** The Catalyst expression: (chrom, pos, ref, alt) →
-  * struct(pos, ref, alt) left-aligned against the broadcast genome.
+  * struct(pos, ref, alt) left-aligned against the genome. The
+  * [[Genome]] handle rides the plan; a broadcast handle resolves its
+  * map once per stage on the executor (the sequence ships per
+  * EXECUTOR through the torrent protocol, never per task).
   */
 case class LeftAlignExpr(
-    genome: Map[String, String],
+    genome: Genome,
     chrom: Expression, pos: Expression, ref: Expression, alt: Expression)
     extends QuaternaryExpression {
+
   override def first: Expression = chrom
   override def second: Expression = pos
   override def third: Expression = ref
@@ -142,7 +146,7 @@ case class LeftAlignExpr(
         s"$prettyName expects (string, bigint, string, string), got $other")
     }
 
-  @transient private lazy val genomeRef = LeftAlignKernel.genomeMap(genome)
+  @transient private lazy val genomeRef = genome.resolve()
 
   override protected def nullSafeEval(
       c: Any, p: Any, r: Any, a: Any): Any =
@@ -151,9 +155,13 @@ case class LeftAlignExpr(
       r.asInstanceOf[UTF8String], a.asInstanceOf[UTF8String], genomeRef)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val gRef = ctx.addReferenceObj("genome", genomeRef, "java.util.HashMap")
+    val gRef = ctx.addReferenceObj("genome", genome,
+      "graft.expressions.Genome")
+    // resolve the broadcast once per stage instance, not per row
+    val gMap = ctx.addMutableState("java.util.HashMap", "genomeMap",
+      v => s"$v = $gRef.resolve();")
     defineCodeGen(ctx, ev, (c, p, r, a) =>
-      s"graft.expressions.LeftAlignKernel.leftAlignK($c, $p, $r, $a, $gRef)")
+      s"graft.expressions.LeftAlignKernel.leftAlignK($c, $p, $r, $a, $gMap)")
   }
 
   override protected def withNewChildrenInternal(

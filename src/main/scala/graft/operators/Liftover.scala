@@ -173,7 +173,29 @@ object Liftover {
       refCol: String = "ref", altCol: String = "alt",
       bucketShift: Int = 20,
       dstGenome: Map[String, String] = Map.empty,
-      gtCols: Seq[String] = Nil): DataFrame = {
+      gtCols: Seq[String] = Nil): DataFrame =
+    liftoverImpl(vcf, chain, chromCol, posCol, refCol, altCol,
+      bucketShift,
+      if (dstGenome.isEmpty) null
+      else graft.expressions.Genome.inline(dstGenome), gtCols)
+
+  /** [[liftover]] validating against a [[graft.expressions.Genome]]
+    * HANDLE — the whole-genome path ([[graft.sources.FastaReader
+    * .readGenome]]'s broadcast ships the destination assembly once per
+    * executor; the `Map` overload closure-ships a small partial map). */
+  def liftover(vcf: DataFrame, chain: DataFrame,
+      dstGenome: graft.expressions.Genome,
+      gtCols: Seq[String]): DataFrame =
+    liftoverImpl(vcf, chain, "chrom", "pos", "ref", "alt", 20,
+      dstGenome, gtCols)
+
+  private def liftoverImpl(
+      vcf: DataFrame, chain: DataFrame,
+      chromCol: String, posCol: String,
+      refCol: String, altCol: String,
+      bucketShift: Int,
+      dstGenome: graft.expressions.Genome,
+      gtCols: Seq[String]): DataFrame = {
     require(bucketShift >= 0 && bucketShift < 32,
       s"bucketShift must be in [0, 32), got $bucketShift")
     val iv = chain
@@ -209,7 +231,8 @@ object Liftover {
             transform(split(col(altCol), ","), a => flipAllele(a)), ","))
           .otherwise(col(altCol)))
       .drop("__b", "__c", "__s", "__e", "dst_chrom", "dst_start", "strand")
-    if (dstGenome.isEmpty) lifted else validateRef(lifted, dstGenome, gtCols)
+    if (dstGenome == null) lifted
+    else validateRef(lifted, dstGenome, gtCols)
   }
 
   /** Destination-REF VALIDATION + REF⇄ALT SWAP — the Picard
@@ -235,7 +258,7 @@ object Liftover {
     * One narrow codegen'd projection; `unmapped` rows ride through.
     */
   private def validateRef(lifted: DataFrame,
-      dstGenome: Map[String, String], gtCols: Seq[String]): DataFrame = {
+      dstGenome: graft.expressions.Genome, gtCols: Seq[String]): DataFrame = {
     import graft.expressions.GenomeExprs
     val dstRef = GenomeExprs.genomeSlice(dstGenome, col("lifted_chrom"),
       col("lifted_pos").cast("long"), length(col("lifted_ref")).cast("int"))

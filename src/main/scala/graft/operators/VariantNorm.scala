@@ -181,12 +181,20 @@ object VariantNorm {
     * ALTs pass through untouched — run [[splitMultiallelic]] first.
     *
     * Narrow: ONE codegen'd kernel call per row, genome as a
-    * generated-code reference object — zero shuffles (plan-gated). At
-    * whole-genome scale hand per-chrom SLICES covering the variant
-    * range (shifts are bounded by the local repeat tract), not 3 GB
-    * strings.
+    * generated-code reference HANDLE — zero shuffles (plan-gated). At
+    * whole-genome scale use the [[graft.expressions.Genome]] overload
+    * with [[graft.sources.FastaReader.readGenome]]'s broadcast: the
+    * 3 GB sequence ships once per executor, tasks carry only an id.
     */
-  def leftAlign(df: DataFrame, genome: Map[String, String]): DataFrame = {
+  def leftAlign(df: DataFrame, genome: Map[String, String]): DataFrame =
+    leftAlign(df, graft.expressions.Genome.inline(genome))
+
+  /** [[leftAlign]] over a [[graft.expressions.Genome]] HANDLE — the
+    * whole-genome path: pass [[graft.sources.FastaReader.readGenome]]'s
+    * broadcast handle and the sequence ships once per executor; the
+    * `Map` overload closure-ships and is for small partial genomes. */
+  def leftAlign(df: DataFrame,
+      genome: graft.expressions.Genome): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val aligned = Bridge.column(graft.expressions.LeftAlignExpr(
       genome,
@@ -210,6 +218,10 @@ object VariantNorm {
       df: DataFrame, genome: Map[String, String],
       decls: Seq[FieldDecl] = Nil): DataFrame =
     leftAlign(splitMultiallelic(df, decls), genome)
+
+  def normalizeWithGenome(df: DataFrame,
+      genome: graft.expressions.Genome): DataFrame =
+    leftAlign(splitMultiallelic(df, Nil), genome)
 
   /** ALLELE / STRAND HARMONIZATION between two SNP panels — the
     * GWAS-meta-analysis and panel-merge prerequisite (`bcftools

@@ -4815,7 +4815,7 @@ object VcfQueries extends QuerySet {
       q188, q191, q192, q196, q197, q198, q200, q201, q202, q204, q205,
       q206, q207, q208, q210, q211, q213, q214, q215, q216, q217, q218,
       q219, q222, q224, q226, q227, q228, q229, q230, q231, q232,
-      q233, q234, q236, q237, q239, q240, q241, q242, q243)
+      q233, q234, q236, q237, q239, q240, q241, q242, q243, q244)
 
   /** DOSAGE↔HARD-CALL CONCORDANCE gate ([[graft.operators.VariantQc
     * .dosageConcordance]] — the post-imputation sample-swap sanity
@@ -6266,4 +6266,131 @@ object VcfQueries extends QuerySet {
       FROM mg GROUP BY 1, 2, 3, alts, n_src
       ORDER BY 1, 2, 3, 4
     """))
+  /** CHAIN-FILE LIFTOVER gate ([[graft.operators.Liftover.readChain]]
+    * + [[graft.operators.Liftover.liftover]] — the real-input road:
+    * q233 lifts through a frame-built chain, this gate writes an
+    * actual UCSC `.over.chain` text (gapped '+' chains and
+    * end-counted '-' chains, one pair per chrom) and drives the lift
+    * through the PARSER, so the 0-based→1-based and reversed-qStart
+    * conversions sit under a DuckDB oracle, not only a spec. The
+    * oracle re-derives every block from the same generator parameters
+    * with its own arithmetic (cursor sums written out long-hand) and
+    * replays the q233 join/status/revcomp chain — a parser
+    * off-by-one shifts a position sum and fails the hash.
+    */
+  private lazy val q244 = {
+    // oracle-side block derivation (SQL, independent of readChain):
+    // '+' chain per c: t0 = 1000+137c, q0 = 500000+91c, sizes
+    // b = 200+10c / h = 100+5c / 100 with gaps (dt,dq) = (50,30) and
+    // (40,60); '-' chain per c: t1 = 6000+211c, reversed qStart
+    // qs = 300000+17c, sizes b2 = 150+5c / 80, gap (25,35),
+    // qSize = 50000000 so dst_start = qSize - qCur - size + 1
+    val blockCtes = """
+        cs AS (SELECT CAST(x AS INT) AS c FROM generate_series(1, 22) t(x)),
+        pr AS (SELECT c, 1000 + 137*c AS t0, 500000 + 91*c AS q0,
+                      200 + 10*c AS b, 100 + 5*c AS h,
+                      6000 + 211*c AS t1, 300000 + 17*c AS qs,
+                      150 + 5*c AS b2
+               FROM cs),
+        chain AS (
+          SELECT CAST(c AS VARCHAR) AS chrom, t0+1 AS start,
+                 t0+b AS src_end, 'd' || CAST(c AS VARCHAR) AS dst_chrom,
+                 q0+1 AS dst_start, '+' AS strand FROM pr
+          UNION ALL
+          SELECT CAST(c AS VARCHAR), t0+b+50+1, t0+b+50+h,
+                 'd' || CAST(c AS VARCHAR), q0+b+30+1, '+' FROM pr
+          UNION ALL
+          SELECT CAST(c AS VARCHAR), t0+b+50+h+40+1, t0+b+50+h+40+100,
+                 'd' || CAST(c AS VARCHAR), q0+b+30+h+60+1, '+' FROM pr
+          UNION ALL
+          SELECT CAST(c AS VARCHAR), t1+1, t1+b2,
+                 'e' || CAST(c AS VARCHAR), 50000000 - qs - b2 + 1, '-'
+          FROM pr
+          UNION ALL
+          SELECT CAST(c AS VARCHAR), t1+b2+25+1, t1+b2+25+80,
+                 'e' || CAST(c AS VARCHAR), 50000000 - qs - b2 - 35 - 80 + 1,
+                 '-' FROM pr)"""
+    Q(
+      "q244_liftover_chainfile",
+      (s, dir) => {
+        // the SAME generator, emitted as chain-file text: cursor walks
+        // whose terminal line lands exactly on the header tEnd/qEnd
+        val sb = new StringBuilder
+        var id = 0
+        (1 to 22).foreach { c =>
+          val t0 = 1000 + 137 * c; val q0 = 500000 + 91 * c
+          val b = 200 + 10 * c; val h = 100 + 5 * c
+          id += 1
+          val tEnd = t0 + b + 50 + h + 40 + 100
+          val qEnd = q0 + b + 30 + h + 60 + 100
+          sb ++= s"chain 1000 $c 100000000 + $t0 $tEnd " +
+            s"d$c 200000000 + $q0 $qEnd $id\n"
+          sb ++= s"$b 50 30\n$h 40 60\n100\n\n"
+          val t1 = 6000 + 211 * c
+          val qs = 300000 + 17 * c
+          val b2 = 150 + 5 * c
+          id += 1
+          sb ++= s"chain 900 $c 100000000 + $t1 ${t1 + b2 + 25 + 80} " +
+            s"e$c 50000000 - $qs ${qs + b2 + 35 + 80} $id\n"
+          sb ++= s"$b2 25 35\n80\n\n"
+        }
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q244-chain")
+        val f = tmp.resolve("lift.over.chain")
+        java.nio.file.Files.writeString(f, sb.toString)
+        val chain = graft.operators.Liftover.readChain(s, f.toString)
+        val sites = wide(s, dir).select("chrom", "pos", "ref", "alt")
+        graft.operators.Liftover.liftover(sites, chain, bucketShift = 12)
+          .groupBy("lift_status", "lifted_chrom")
+          .agg(count(lit(1)).as("n"),
+            sum(col("pos").cast("long")).as("pos_sum"),
+            sum(col("lifted_pos").cast("long")).as("lifted_pos_sum"),
+            sum(ascii(substring(col("lifted_ref"), 1, 1)).cast("long"))
+              .as("ref_head_sum"),
+            sum(length(col("lifted_alt")).cast("long")).as("alt_len_sum"))
+          .orderBy("lift_status", "lifted_chrom")
+      },
+      Some(s"""
+        WITH $duckCtes,
+        sites AS (SELECT regexp_replace(chrom_raw, '^chr', '') AS chrom,
+                 pos, ref, alt FROM v),
+        $blockCtes,
+        j AS (SELECT s.chrom, s.pos, s.ref, s.alt, c.start, c.src_end,
+                 c.dst_chrom, c.dst_start, c.strand
+              FROM sites s LEFT JOIN chain c
+                ON c.chrom = s.chrom
+               AND s.pos BETWEEN c.start AND c.src_end),
+        l AS (SELECT *,
+                CASE WHEN start IS NULL THEN 'unmapped'
+                     WHEN strand = '-' THEN 'flipped'
+                     ELSE 'lifted' END AS lift_status,
+                CASE WHEN start IS NULL THEN NULL
+                     ELSE dst_chrom END AS lifted_chrom,
+                CASE WHEN start IS NULL THEN NULL
+                     WHEN strand = '-' THEN dst_start + (src_end - pos)
+                     ELSE dst_start + (pos - start) END AS lifted_pos,
+                CASE WHEN start IS NULL THEN NULL
+                     WHEN strand = '-' AND regexp_matches(ref, '^[ACGTacgt]+$$')
+                       THEN reverse(translate(ref, 'ACGTacgt', 'TGCAtgca'))
+                     ELSE ref END AS lifted_ref,
+                CASE WHEN start IS NULL THEN NULL
+                     WHEN strand = '-' THEN array_to_string(
+                       list_transform(string_split(alt, ','),
+                         a -> CASE WHEN regexp_matches(a, '^[ACGTacgt]+$$')
+                                   THEN reverse(translate(a,
+                                     'ACGTacgt', 'TGCAtgca'))
+                                   ELSE a END), ',')
+                     ELSE alt END AS lifted_alt
+              FROM j)
+        SELECT lift_status, lifted_chrom, count(*) AS n,
+          CAST(sum(pos) AS BIGINT) AS pos_sum,
+          CAST(sum(lifted_pos) AS BIGINT) AS lifted_pos_sum,
+          CAST(sum(ascii(substr(lifted_ref, 1, 1))) AS BIGINT)
+            AS ref_head_sum,
+          CAST(sum(len(lifted_alt)) AS BIGINT) AS alt_len_sum
+        FROM l GROUP BY 1, 2
+        ORDER BY lift_status, lifted_chrom NULLS FIRST
+      """))
+  }
 }
+

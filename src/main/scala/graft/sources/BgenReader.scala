@@ -20,13 +20,18 @@ import org.apache.spark.sql.types._
   * `polygenicScore` — the `GP` rung), so a user points the existing
   * operators at a `.bgen` and nothing downstream changes.
   *
-  * Supported surface (the UKB shape, loud failures outside it):
-  * layout 2; compression none (0) or zlib (1); unphased; diploid
-  * calls (ploidy 2; a sample's MISSING bit yields `./.` with NULL
-  * GP, never a fabricated probability); any allele count K (the
-  * K(K+1)/2 `Number=G` triangle — K > 2 rows carry
-  * `multiallele = 1`, exactly the annotate convention, so the
-  * biallelic-only dosage operators skip them by their own rule).
+  * Supported surface (loud failures outside it): layout 2;
+  * compression none (0) or zlib (1); UNPHASED and PHASED blocks;
+  * per-sample ploidy 1..63 honored (the chrX mixed-1/2 case — a
+  * sample's MISSING bit yields dotted gt with NULL GP, never a
+  * fabricated probability); any allele count K (the K(K+1)/2
+  * `Number=G` triangle — K > 2 rows carry `multiallele = 1`, exactly
+  * the annotate convention, so the biallelic-only dosage operators
+  * skip them by their own rule). Phased haplotype blocks (the UKB
+  * haplotype-release shape) decode to the real `a|b` call when every
+  * haplotype is certain and to the exact phased→genotype GP
+  * convolution for diploids — see [[decodeGenotypes]]. Only layout 1
+  * remains refused.
   *
   * Probabilities are stored as B-bit integers b with the LAST
   * genotype's value implicit ((2^B−1) − Σb). The decode emits each
@@ -177,10 +182,68 @@ object BgenReader {
     }
   }
 
-  /** A decoded per-sample call: GP as the exact fixed-6-decimal
-    * comma string (null = missing), over the layout-2 bit stream. */
+  /** The per-sample decode of one variant's layout-2 payload: `gp` =
+    * the exact fixed-6-decimal comma GP string (null = missing sample
+    * or a shape GP cannot express — see [[decodeGenotypes]]), `gt` /
+    * `gt1` / `gt2` = the annotate-convention call columns (unphased
+    * data has no hard calls — dotted gt, null tokens — while PHASED
+    * data with certain haplotypes emits the real `a|b`). */
+  final case class DecodedCalls(gp: Array[String], gt: Array[String],
+      gt1: Array[String], gt2: Array[String])
+
+  /** C(k+p−1, p) — the unphased genotype count for k alleles at
+    * ploidy p (the multiset count; diploid gives the K(K+1)/2
+    * Number=G triangle). Incremental binomial product, exact at every
+    * step, loudly bounded. */
+  private[graft] def nGenotypes(k: Int, p: Int): Int = {
+    var num = 1L
+    var i = 1
+    while (i <= p) {
+      num = num * (k - 1 + i) / i
+      require(num <= 1000000L,
+        s"bgen: genotype count overflows (K=$k, ploidy=$p)")
+      i += 1
+    }
+    num.toInt
+  }
+
+  private def microStr(sb: java.lang.StringBuilder, micro: Long): Unit = {
+    sb.append(micro / 1000000L).append('.')
+    val frac = (micro % 1000000L).toString
+    var z = 6 - frac.length
+    while (z > 0) { sb.append('0'); z -= 1 }
+    sb.append(frac)
+  }
+
+  /** Decode one variant's genotype payload — layout 2, unphased OR
+    * phased, per-sample ploidy honored (the chrX mixed-1/2 case and
+    * general 1..63).
+    *
+    * Per-sample output contract:
+    *  - UNPHASED ploidy 2 (the UKB imputed shape): GP = the K(K+1)/2
+    *    colex-ordered genotype probabilities as exact floor-micro
+    *    strings; `gt` = `./.` (BGEN carries probabilities, not hard
+    *    calls), tokens null — byte-identical to the historical
+    *    diploid-only decode.
+    *  - UNPHASED other ploidy: GP = the C(K+p−1, p) stored+implicit
+    *    vector in spec (colex) order — Number=G at that ploidy;
+    *    `gt` = p dots joined by `/`.
+    *  - PHASED (haplotype probabilities, p blocks of K−1 stored + 1
+    *    implicit each): when EVERY haplotype is certain (one allele
+    *    carries the full 2^B−1 mass — B=1 phased files, the UKB
+    *    haplotype release shape, are always certain), `gt` is the
+    *    real phased call `a|b…` with gt1/gt2 tokens (diploid);
+    *    otherwise p dots joined by `|`. GP: haploid = the K allele
+    *    probabilities; diploid = the EXACT convolution onto the
+    *    unphased colex triangle (⌊(h₁ₐh₂ᵦ + h₁ᵦh₂ₐ)·10⁶ / (2^B−1)²⌋
+    *    — what qctool's phased→genotype conversion computes, so the
+    *    GP dosage ladder works unchanged on phased input); p > 2 =
+    *    null (no Number=G convention exists — call columns still
+    *    decode).
+    *  - MISSING bit: null GP + dotted gt, never fabricated mass.
+    */
   def decodeGenotypes(geno: Array[Byte], kAlleles: Int,
-      nSamples: Long): Array[String] = {
+      nSamples: Long): DecodedCalls = {
     var p = 0
     def gu8(): Int = { val v = geno(p) & 0xff; p += 1; v }
     def gu16(): Int = gu8() | (gu8() << 8)
@@ -193,23 +256,24 @@ object BgenReader {
     require(k == kAlleles,
       s"bgen: genotype block alleles $k != variant $kAlleles")
     val pMin = gu8(); val pMax = gu8()
-    require(pMin == 2 && pMax == 2,
-      s"bgen: only diploid supported, got ploidy range [$pMin, $pMax]")
+    require(pMin >= 1 && pMax <= 63 && pMin <= pMax,
+      s"bgen: ploidy range [$pMin, $pMax] outside [1, 63]")
+    val ploidy = new Array[Int](n.toInt)
     val miss = new Array[Boolean](n.toInt)
     var i = 0
     while (i < n) {
       val pb = gu8()
-      require((pb & 0x3f) == 2,
-        s"bgen: sample $i ploidy ${pb & 0x3f} != 2")
+      ploidy(i) = pb & 0x3f
+      require(ploidy(i) >= pMin && ploidy(i) <= pMax,
+        s"bgen: sample $i ploidy ${ploidy(i)} outside [$pMin, $pMax]")
       miss(i) = (pb & 0x80) != 0
       i += 1
     }
     val phased = gu8()
-    require(phased == 0, "bgen: phased data unsupported (unphased only)")
+    require(phased == 0 || phased == 1, s"bgen: bad phased flag $phased")
     val bBits = gu8()
     require(bBits >= 1 && bBits <= 32, s"bgen: B = $bBits out of range")
     val denom = (1L << bBits) - 1L
-    val nGts = k * (k + 1) / 2 // diploid Number=G triangle
     // bit cursor over the packed little-endian probability stream
     var bitPos = 0L
     val base = p
@@ -227,37 +291,122 @@ object BgenReader {
       }
       v
     }
-    val out = new Array[String](n.toInt)
+    val gp = new Array[String](n.toInt)
+    val gt = new Array[String](n.toInt)
+    val gt1 = new Array[String](n.toInt)
+    val gt2 = new Array[String](n.toInt)
+    def dotted(pl: Int, sep: Char): String = {
+      val sb = new java.lang.StringBuilder(pl * 2)
+      var j = 0
+      while (j < pl) { if (j > 0) sb.append(sep); sb.append('.'); j += 1 }
+      sb.toString
+    }
     i = 0
     while (i < n) {
-      val bs = new Array[Long](nGts)
-      var sum = 0L
-      var j = 0
-      while (j < nGts - 1) {
-        bs(j) = readBits(); sum += bs(j); j += 1
-      }
-      bs(nGts - 1) = denom - sum
-      if (miss(i)) out(i) = null
-      else {
-        require(bs(nGts - 1) >= 0L,
-          s"bgen: sample $i probabilities exceed 2^B-1")
-        val sb = new java.lang.StringBuilder(nGts * 9)
-        j = 0
-        while (j < nGts) {
-          if (j > 0) sb.append(',')
-          val micro = bs(j) * 1000000L / denom // exact floor
-          sb.append(micro / 1000000L).append('.')
-          val frac = (micro % 1000000L).toString
-          var z = 6 - frac.length
-          while (z > 0) { sb.append('0'); z -= 1 }
-          sb.append(frac)
-          j += 1
+      val pl = ploidy(i)
+      if (phased == 0) {
+        val nGts = nGenotypes(k, pl)
+        val bs = new Array[Long](nGts)
+        var sum = 0L
+        var j = 0
+        while (j < nGts - 1) {
+          bs(j) = readBits(); sum += bs(j); j += 1
         }
-        out(i) = sb.toString
+        bs(nGts - 1) = denom - sum
+        gt(i) = dotted(pl, '/')
+        if (!miss(i)) {
+          require(bs(nGts - 1) >= 0L,
+            s"bgen: sample $i probabilities exceed 2^B-1")
+          val sb = new java.lang.StringBuilder(nGts * 9)
+          j = 0
+          while (j < nGts) {
+            if (j > 0) sb.append(',')
+            microStr(sb, bs(j) * 1000000L / denom) // exact floor
+            j += 1
+          }
+          gp(i) = sb.toString
+        }
+      } else {
+        // phased: pl haplotype blocks, K-1 stored + 1 implicit each
+        val haps = Array.ofDim[Long](pl, k)
+        var certain = !miss(i)
+        val alleleOf = new Array[Int](pl)
+        var h = 0
+        while (h < pl) {
+          var sum = 0L
+          var j = 0
+          while (j < k - 1) {
+            haps(h)(j) = readBits(); sum += haps(h)(j); j += 1
+          }
+          haps(h)(k - 1) = denom - sum
+          require(miss(i) || haps(h)(k - 1) >= 0L,
+            s"bgen: sample $i hap $h probabilities exceed 2^B-1")
+          var cj = -1
+          j = 0
+          while (j < k) { if (haps(h)(j) == denom) cj = j; j += 1 }
+          if (cj < 0) certain = false else alleleOf(h) = cj
+          h += 1
+        }
+        if (certain) {
+          val sb = new java.lang.StringBuilder(pl * 2)
+          h = 0
+          while (h < pl) {
+            if (h > 0) sb.append('|'); sb.append(alleleOf(h)); h += 1
+          }
+          gt(i) = sb.toString
+          if (pl >= 1) gt1(i) = alleleOf(0).toString
+          if (pl >= 2) gt2(i) = alleleOf(1).toString
+        } else gt(i) = dotted(pl, '|')
+        if (!miss(i)) {
+          if (pl == 1) {
+            val sb = new java.lang.StringBuilder(k * 9)
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(',')
+              microStr(sb, haps(0)(j) * 1000000L / denom)
+              j += 1
+            }
+            gp(i) = sb.toString
+          } else if (pl == 2) {
+            // exact convolution onto the unphased colex triangle
+            val sb = new java.lang.StringBuilder(k * (k + 1) / 2 * 9)
+            val exactLong = bBits <= 16 // h*h*10^6 fits a Long
+            var first = true
+            var bb = 0
+            while (bb < k) {
+              var aa = 0
+              while (aa <= bb) {
+                val micro =
+                  if (exactLong) {
+                    val num = haps(0)(aa) * haps(1)(bb) +
+                      (if (aa != bb) haps(0)(bb) * haps(1)(aa) else 0L)
+                    num * 1000000L / (denom * denom)
+                  } else {
+                    val num = java.math.BigInteger.valueOf(haps(0)(aa))
+                      .multiply(java.math.BigInteger.valueOf(haps(1)(bb)))
+                      .add(if (aa != bb)
+                        java.math.BigInteger.valueOf(haps(0)(bb))
+                          .multiply(java.math.BigInteger.valueOf(haps(1)(aa)))
+                        else java.math.BigInteger.ZERO)
+                    num.multiply(java.math.BigInteger.valueOf(1000000L))
+                      .divide(java.math.BigInteger.valueOf(denom)
+                        .multiply(java.math.BigInteger.valueOf(denom)))
+                      .longValueExact()
+                  }
+                if (!first) sb.append(',')
+                first = false
+                microStr(sb, micro)
+                aa += 1
+              }
+              bb += 1
+            }
+            gp(i) = sb.toString
+          } // pl > 2: GP stays null — no Number=G convention to emit
+        }
       }
       i += 1
     }
-    out
+    DecodedCalls(gp, gt, gt1, gt2)
   }
 
   val schema: StructType = StructType(Seq(
@@ -346,18 +495,18 @@ object BgenReader {
         val samples = samplesBc.value
         (0 until count).iterator.flatMap { _ =>
           val v = readVariantBlock(in, comp, skipGeno = false)
-          val gps = decodeGenotypes(v.genoData, v.alleles.length, nS)
+          val d = decodeGenotypes(v.genoData, v.alleles.length, nS)
           val ref = if (v.alleles.nonEmpty) v.alleles.head else "."
           val alt = if (v.alleles.length > 1)
             v.alleles.tail.mkString(",") else "."
           val ma = if (v.alleles.length > 2) 1 else 0
-          // gt is uniformly './.' (BGEN carries probabilities, not
-          // hard calls) so the dosage ladder's GT rung never fires —
-          // dosage comes from the GP rung or the row drops, exactly
-          // the imputed-data contract
+          // unphased gt is './.' (BGEN carries probabilities, not
+          // hard calls) so the dosage ladder's GT rung never fires;
+          // PHASED blocks with certain haplotypes carry the real
+          // 'a|b' call + tokens (the haplotype-release shape)
           samples.indices.iterator.map { si =>
             Row(v.chrom, v.pos.toInt, v.varId, v.rsid, ref, alt, ma,
-              samples(si), "./.", null, null, gps(si))
+              samples(si), d.gt(si), d.gt1(si), d.gt2(si), d.gp(si))
           }
         } ++ { try in.close() catch { case _: Throwable => () }
                Iterator.empty }
@@ -384,19 +533,21 @@ object BgenReader {
   }
 
   /** One variant to encode: raw B-bit probability integers per sample
-    * (nGts − 1 stored values each — the last is implicit), null slot
-    * = missing sample. */
+    * (the stored values only — the implicit-last entries are NOT
+    * passed: unphased = nGts − 1 per sample, phased = ploidy·(K−1)),
+    * null slot = missing sample. `ploidy` null means all-diploid;
+    * `phased` selects the haplotype-probability layout. */
   final case class BgenEnc(varId: String, rsid: String, chrom: String,
-      pos: Long, alleles: Seq[String], probs: Seq[Array[Long]])
+      pos: Long, alleles: Seq[String], probs: Seq[Array[Long]],
+      ploidy: Seq[Int] = null, phased: Boolean = false)
 
-  /** Write a layout-2 zlib (or raw) BGEN: header + sample block +
-    * variant blocks, B bits per probability. The exact inverse of the
-    * reader's supported surface. */
-  def writeBgen(out: OutputStream, samples: Seq[String],
-      variants: Iterator[BgenEnc], bBits: Int = 8,
-      zlib: Boolean = true): Unit = {
-    require(bBits >= 1 && bBits <= 32)
-    // sample block bytes
+  /** Header + sample block bytes for an M-variant, layout-2 file —
+    * split out of [[writeBgen]] so a streaming writer (the DSv2 bgen
+    * landing) can spool variant blocks first and prepend the header
+    * once M is known (variant blocks do not depend on M). */
+  def encodeHeaderBlock(samples: Seq[String], mVariants: Long,
+      zlib: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
     val sb = new ByteArrayOutputStream()
     val sBody = new ByteArrayOutputStream()
     samples.foreach(s => wstr16(sBody, s))
@@ -405,63 +556,92 @@ object BgenReader {
     val headerLen = 20L
     w32(out, headerLen + sb.size()) // offset to first variant block
     w32(out, headerLen)
-    // M patched by caller? No: variants is an iterator — require count
-    // up front via buffering
-    val vs = variants.toSeq
-    w32(out, vs.length.toLong)
+    w32(out, mVariants)
     w32(out, samples.length.toLong)
     out.write("bgen".getBytes(StandardCharsets.UTF_8))
     val flags = (if (zlib) 1L else 0L) | (2L << 2) | (1L << 31)
     w32(out, flags)
     out.write(sb.toByteArray)
-    vs.foreach { v =>
-      wstr16(out, v.varId); wstr16(out, v.rsid); wstr16(out, v.chrom)
-      w32(out, v.pos)
-      w16(out, v.alleles.length)
-      v.alleles.foreach(a => wstr32(out, a))
-      // genotype payload
-      val g = new ByteArrayOutputStream()
-      w32(g, samples.length.toLong)
-      w16(g, v.alleles.length)
-      g.write(2); g.write(2) // min/max ploidy
-      v.probs.foreach(p => g.write(if (p == null) 0x82 else 0x02))
-      g.write(0) // unphased
-      g.write(bBits)
-      val nGts = v.alleles.length * (v.alleles.length + 1) / 2
-      var acc = 0L; var accBits = 0
-      def push(value: Long): Unit = {
-        acc |= (value & ((1L << bBits) - 1L)) << accBits
-        accBits += bBits
-        while (accBits >= 8) {
-          g.write((acc & 0xffL).toInt); acc >>>= 8; accBits -= 8
-        }
-      }
-      v.probs.foreach { p =>
-        val stored = if (p == null) new Array[Long](nGts - 1) else p
-        require(stored.length == nGts - 1,
-          s"probs must carry nGts-1 = ${nGts - 1} values")
-        stored.foreach(push)
-      }
-      if (accBits > 0) g.write((acc & 0xffL).toInt)
-      val body = g.toByteArray
-      if (zlib) {
-        val defl = new java.util.zip.Deflater()
-        defl.setInput(body); defl.finish()
-        val buf = new Array[Byte](body.length + 64)
-        val zb = new ByteArrayOutputStream()
-        while (!defl.finished()) {
-          val n = defl.deflate(buf); zb.write(buf, 0, n)
-        }
-        defl.end()
-        val z = zb.toByteArray
-        w32(out, z.length.toLong + 4L)
-        w32(out, body.length.toLong)
-        out.write(z)
-      } else {
-        w32(out, body.length.toLong)
-        out.write(body)
+    out.toByteArray
+  }
+
+  /** One self-contained variant block (identifiers + compressed
+    * genotype payload) — the unit [[writeBgen]] emits per variant. */
+  def encodeVariantBlock(v: BgenEnc, nSamples: Int, bBits: Int,
+      zlib: Boolean): Array[Byte] = {
+    require(bBits >= 1 && bBits <= 32)
+    val out = new ByteArrayOutputStream()
+    wstr16(out, v.varId); wstr16(out, v.rsid); wstr16(out, v.chrom)
+    w32(out, v.pos)
+    w16(out, v.alleles.length)
+    v.alleles.foreach(a => wstr32(out, a))
+    // genotype payload
+    val g = new ByteArrayOutputStream()
+    w32(g, nSamples.toLong)
+    w16(g, v.alleles.length)
+    val plo =
+      if (v.ploidy == null) Seq.fill(nSamples)(2) else v.ploidy
+    require(plo.length == nSamples,
+      s"ploidy seq carries ${plo.length} entries for $nSamples samples")
+    plo.foreach(pl => require(pl >= 1 && pl <= 63,
+      s"ploidy $pl outside [1, 63]"))
+    g.write(plo.min); g.write(plo.max) // min/max ploidy
+    v.probs.zip(plo).foreach { case (pr, pl) =>
+      g.write((if (pr == null) 0x80 else 0x00) | pl)
+    }
+    g.write(if (v.phased) 1 else 0)
+    g.write(bBits)
+    val k = v.alleles.length
+    var acc = 0L; var accBits = 0
+    def push(value: Long): Unit = {
+      acc |= (value & ((1L << bBits) - 1L)) << accBits
+      accBits += bBits
+      while (accBits >= 8) {
+        g.write((acc & 0xffL).toInt); acc >>>= 8; accBits -= 8
       }
     }
+    v.probs.zip(plo).foreach { case (pr, pl) =>
+      val nStored =
+        if (v.phased) pl * (k - 1) else nGenotypes(k, pl) - 1
+      val stored = if (pr == null) new Array[Long](nStored) else pr
+      require(stored.length == nStored,
+        s"probs must carry $nStored stored values " +
+          s"(ploidy $pl, K $k, phased ${v.phased})")
+      stored.foreach(push)
+    }
+    if (accBits > 0) g.write((acc & 0xffL).toInt)
+    val body = g.toByteArray
+    if (zlib) {
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(body); defl.finish()
+      val buf = new Array[Byte](body.length + 64)
+      val zb = new ByteArrayOutputStream()
+      while (!defl.finished()) {
+        val n = defl.deflate(buf); zb.write(buf, 0, n)
+      }
+      defl.end()
+      val z = zb.toByteArray
+      w32(out, z.length.toLong + 4L)
+      w32(out, body.length.toLong)
+      out.write(z)
+    } else {
+      w32(out, body.length.toLong)
+      out.write(body)
+    }
+    out.toByteArray
+  }
+
+  /** Write a layout-2 zlib (or raw) BGEN: header + sample block +
+    * variant blocks, B bits per probability. The exact inverse of the
+    * reader's supported surface (unphased or phased, per-sample
+    * ploidy). */
+  def writeBgen(out: OutputStream, samples: Seq[String],
+      variants: Iterator[BgenEnc], bBits: Int = 8,
+      zlib: Boolean = true): Unit = {
+    val vs = variants.toSeq
+    out.write(encodeHeaderBlock(samples, vs.length.toLong, zlib))
+    vs.foreach(v =>
+      out.write(encodeVariantBlock(v, samples.length, bBits, zlib)))
     out.flush()
   }
 }

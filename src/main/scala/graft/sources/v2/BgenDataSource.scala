@@ -8,7 +8,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -70,14 +71,22 @@ class BgenDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-final class BgenTable(paths: Seq[String]) extends Table with SupportsRead {
+final class BgenTable(paths: Seq[String]) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"bgen(${paths.mkString(",")})"
   override def schema(): StructType = BgenReader.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new BgenScanBuilder(paths)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.length == 1,
+      s"bgen write needs exactly one target path, got $paths")
+    new GraftWriteBuilder("bgen", paths.head, info)
+  }
 }
 
 final class BgenScanBuilder(paths: Seq[String])
@@ -280,11 +289,11 @@ final class BgenPartitionReader(part: BgenPartition, required: StructType,
   private val fieldIdx = required.fieldNames.map(
     BgenReader.schema.fieldNames.indexOf(_))
   private val needGeno = required.fieldNames.exists(n =>
-    n == "GP" || n == "gt")
+    n == "GP" || n == "gt" || n == "gt1" || n == "gt2")
 
   private var blocksLeft = part.count
   private var current: BgenVariant = _
-  private var gps: Array[String] = _
+  private var calls: BgenReader.DecodedCalls = _
   private var sampleI = 0
   private var row: InternalRow = _
 
@@ -305,7 +314,7 @@ final class BgenPartitionReader(part: BgenPartition, required: StructType,
         skip = !(matches && needGeno))
       if (matches) {
         current = ids
-        gps = if (needGeno)
+        calls = if (needGeno)
           decodeGenotypes(geno, ids.alleles.length,
             part.samples.length.toLong)
           else null
@@ -318,7 +327,8 @@ final class BgenPartitionReader(part: BgenPartition, required: StructType,
     val ref = if (v.alleles.nonEmpty) v.alleles.head else "."
     val alt = if (v.alleles.length > 1) v.alleles.tail.mkString(",")
       else "."
-    val gp = if (gps == null) null else gps(si)
+    def utf(s: String): Any =
+      if (s == null) null else UTF8String.fromString(s)
     def full(i: Int): Any = i match {
       case 0 => UTF8String.fromString(v.chrom)
       case 1 => v.pos.toInt
@@ -328,10 +338,12 @@ final class BgenPartitionReader(part: BgenPartition, required: StructType,
       case 5 => UTF8String.fromString(alt)
       case 6 => if (v.alleles.length > 2) 1 else 0
       case 7 => UTF8String.fromString(part.samples(si))
-      case 8 => UTF8String.fromString("./.")
-      case 9 => null // gt1
-      case 10 => null // gt2
-      case 11 => if (gp == null) null else UTF8String.fromString(gp)
+      // call columns only when the payload was decoded; a pruned
+      // sites read never touches them (fieldIdx filters the slots)
+      case 8 => utf(if (calls == null) null else calls.gt(si))
+      case 9 => utf(if (calls == null) null else calls.gt1(si))
+      case 10 => utf(if (calls == null) null else calls.gt2(si))
+      case 11 => utf(if (calls == null) null else calls.gp(si))
     }
     row = new GenericInternalRow(fieldIdx.map(full))
     true

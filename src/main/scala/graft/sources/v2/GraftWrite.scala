@@ -274,7 +274,9 @@ final class GraftBatchWrite(kind: String, dir: String,
     // mapping, clear prior data for Overwrite BEFORE tasks launch
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()
-    val fm = GraftWrite.resolve(info.schema())
+    val fm =
+      if (kind == "bgen") null // BgenDataWriter resolves its own shape
+      else GraftWrite.resolve(info.schema())
     val header = GraftWrite.readHeaderOption(info.options(), hconf)
     // vcf: bgzf opt-in; index defaults ON under bgzf (a bgzf landing
     // without its index loses splittability for no reason), OFF for
@@ -288,7 +290,7 @@ final class GraftBatchWrite(kind: String, dir: String,
     val p = new Path(dir)
     val fs = p.getFileSystem(hconf)
     if (truncate && fs.exists(p)) {
-      val exts = Seq(".bcf", ".csi", ".vcf", ".vcf.gz", ".tbi")
+      val exts = Seq(".bcf", ".csi", ".vcf", ".vcf.gz", ".tbi", ".bgen")
       val it = fs.listFiles(p, true)
       val old = mutable.ArrayBuffer.empty[Path]
       while (it.hasNext) {
@@ -304,8 +306,13 @@ final class GraftBatchWrite(kind: String, dir: String,
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.toSeq
     }
+    val bgenBits = Option(info.options().get("bits"))
+      .map(_.toInt).getOrElse(8)
+    val bgenZlib = Option(info.options().get("zlib"))
+      .forall(_.toBoolean)
     new GraftWriterFactory(kind, dir, fm, header, index,
-      spark.sparkContext.broadcast(kv), bgzf)
+      spark.sparkContext.broadcast(kv), bgzf, info.schema(),
+      bgenBits, bgenZlib)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -330,13 +337,17 @@ final class GraftBatchWrite(kind: String, dir: String,
 final class GraftWriterFactory(kind: String, dir: String,
     fm: GraftWrite.FieldMap, header: Option[String], index: Boolean,
     confKv: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]],
-    bgzf: Boolean = false)
+    bgzf: Boolean = false, schema: StructType = null,
+    bgenBits: Int = 8, bgenZlib: Boolean = true)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = {
     val conf = new org.apache.hadoop.conf.Configuration(false)
     confKv.value.foreach { case (k, v) => conf.set(k, v) }
-    if (kind == "bcf")
+    if (kind == "bgen")
+      new BgenDataWriter(dir, schema, bgenBits, bgenZlib, conf,
+        partitionId, taskId)
+    else if (kind == "bcf")
       new BcfDataWriter(dir, fm, header, index, conf, partitionId, taskId)
     else
       new VcfDataWriter(dir, fm, header, bgzf, index, conf, partitionId,

@@ -162,35 +162,141 @@ class BgenSpec extends AnyFunSuite with SparkSpec {
     assert(none.rdd.getNumPartitions === 0)
   }
 
-  test("loud failures outside the supported surface: phased data and " +
-      "non-diploid ploidy refuse instead of mis-decoding") {
-    // hand-patch a phased flag into a valid single-variant payload
-    val path = writeFixture("phased.bgen", zlib = false)
-    val bytesAll = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path))
-    // uncompressed layout: find the genotype block of v1 and flip the
-    // phased byte (offset: after N(4) + K(2) + minP(1) + maxP(1) +
-    // N ploidy bytes)
-    val df = BgenReader.readBgen(spark, path) // sanity: readable
-    assert(df.count() === 9)
-    val geno = new Array[Byte](bytesAll.length)
-    System.arraycopy(bytesAll, 0, geno, 0, bytesAll.length)
-    // decodeGenotypes directly: craft a phased payload
-    val g = java.nio.ByteBuffer.allocate(64)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    g.putInt(1).putShort(2.toShort).put(2.toByte).put(2.toByte)
-      .put(2.toByte).put(1.toByte) // phased = 1
-      .put(8.toByte).put(0.toByte).put(0.toByte)
-    val e1 = intercept[IllegalArgumentException] {
-      BgenReader.decodeGenotypes(g.array(), 2, 1L)
+  test("phased blocks + per-sample ploidy: certain haplotypes read " +
+      "the real a|b call with tokens (the UKB haplotype-release " +
+      "shape), uncertain haps read dotted '|' gt with the EXACT " +
+      "phased->genotype GP convolution, a phased haploid carries the " +
+      "K allele probs, and the missing bit stays null — hand-derived " +
+      "values throughout") {
+    import BgenReader._
+    // samples: s0 certain 0|1, s1 uncertain (128/255 vs 64/255),
+    // s2 phased HAPLOID certain allele 0 (ploidy byte honored)
+    val enc = BgenEnc("v1", "rs1", "7", 5000L, Seq("A", "G"),
+      Seq(Array(255L, 0L),      // s0: hap1 P(A)=1, hap2 P(A)=0
+        Array(128L, 64L),       // s1: uncertain both haps
+        Array(255L)),           // s2: haploid, P(A)=1
+      ploidy = Seq(2, 2, 1), phased = true)
+    val encMiss = BgenEnc("v2", "rs2", "7", 6000L, Seq("A", "G"),
+      Seq(null, Array(0L, 255L), Array(0L)),
+      ploidy = Seq(2, 2, 1), phased = true)
+    val f = java.nio.file.Files.createTempFile("graft-phased", ".bgen")
+    val out = java.nio.file.Files.newOutputStream(f)
+    try writeBgen(out, Seq("s0", "s1", "s2"),
+      Iterator(enc, encMiss), bBits = 8, zlib = true)
+    finally out.close()
+    val got = readBgen(spark, f.toString)
+      .select("pos", "sample_id", "gt", "gt1", "gt2", "GP")
+      .as[(Int, String, String, Option[String], Option[String],
+        Option[String])]
+      .collect().toSet
+    assert(got === Set(
+      (5000, "s0", "0|1", Some("0"), Some("1"),
+        Some("0.000000,1.000000,0.000000")),
+      // convolution: h1=(128,127), h2=(64,191), denom 255:
+      // P00 = 128*64e6/65025 = 125982, P01 = (128*191+127*64)e6/65025
+      // = 500976, P11 = 127*191e6/65025 = 373041 (exact floors)
+      (5000, "s1", ".|.", None, None,
+        Some("0.125982,0.500976,0.373041")),
+      (5000, "s2", "0", Some("0"), None,
+        Some("1.000000,0.000000")),
+      (6000, "s0", ".|.", None, None, None), // missing bit
+      (6000, "s1", "1|0", Some("1"), Some("0"),
+        Some("0.000000,1.000000,0.000000")),
+      (6000, "s2", "1", Some("1"), None,
+        Some("0.000000,1.000000"))))
+    // DSv2 twin reads the phased file row-identically
+    val v2 = spark.read.format("bgen").load(f.toString)
+      .select("pos", "sample_id", "gt", "gt1", "gt2", "GP")
+      .as[(Int, String, String, Option[String], Option[String],
+        Option[String])]
+      .collect().toSet
+    assert(v2 === got)
+  }
+
+  test("unphased per-sample ploidy: a haploid sample's GP is the " +
+      "K-entry Number=G vector (1 stored + 1 implicit for K=2), gt " +
+      "reads '.' vs './.' by ploidy; the genotype-count combinatorics " +
+      "are exact") {
+    import BgenReader._
+    assert(nGenotypes(2, 2) === 3)
+    assert(nGenotypes(3, 2) === 6)
+    assert(nGenotypes(2, 1) === 2)
+    assert(nGenotypes(4, 3) === 20) // C(6,3)
+    val enc = BgenEnc("v1", "rs1", "X", 7000L, Seq("A", "G"),
+      Seq(Array(255L, 0L),  // diploid: stored P(AA)=1, P(AG)=0
+        Array(51L)),        // haploid: stored P(A)=51/255 = 0.2
+      ploidy = Seq(2, 1), phased = false)
+    val f = java.nio.file.Files.createTempFile("graft-chrx", ".bgen")
+    val out = java.nio.file.Files.newOutputStream(f)
+    try writeBgen(out, Seq("s0", "s1"), Iterator(enc),
+      bBits = 8, zlib = false)
+    finally out.close()
+    val got = readBgen(spark, f.toString)
+      .select("sample_id", "gt", "GP")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got === Set(
+      ("s0", "./.", Some("1.000000,0.000000,0.000000")),
+      ("s1", ".", Some("0.200000,0.800000"))))
+  }
+
+  test("format('bgen') DSv2 WRITE: the landing round-trips through " +
+      "format('bgen') read BYTE-exactly (same header, M, panel, " +
+      "blocks — single-partition write of the file-ordered frame), " +
+      "speculation litter is planted and ignored, and Overwrite " +
+      "truncates prior shards") {
+    val src = writeFixture("write-src.bgen", zlib = true)
+    val df = BgenReader.readBgen(spark, src, splits = 1)
+    val dir = tmp.resolve("dsv2-out").toString
+    df.coalesce(1).write.format("bgen").mode("append").save(dir)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bgen"))
+    assert(shards.length === 1)
+    val a = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(src))
+    val b = java.nio.file.Files.readAllBytes(shards.head.toPath)
+    assert(java.util.Arrays.equals(a, b),
+      s"DSv2-written shard (${b.length} bytes) differs from the " +
+        s"library encoder's file (${a.length} bytes)")
+    // litter: a dead attempt's staged file must be invisible to reads
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".stage-part-junk.bgen"),
+      Array[Byte](1, 2, 3))
+    val back = spark.read.format("bgen").load(dir)
+      .select("pos", "sample_id", "gt", "GP")
+      .as[(Int, String, String, Option[String])].collect().toSet
+    val orig = df.select("pos", "sample_id", "gt", "GP")
+      .as[(Int, String, String, Option[String])].collect().toSet
+    assert(back === orig)
+    // Overwrite clears the old shard (write a 1-variant frame over)
+    df.filter(col("pos") === 1000).coalesce(1)
+      .write.format("bgen").mode("overwrite").save(dir)
+    val after = spark.read.format("bgen").load(dir)
+    assert(after.count() === 3) // one variant x three samples
+    // loud: a B that micro-GP strings cannot invert uniquely
+    val e = intercept[Exception] {
+      df.coalesce(1).write.format("bgen").mode("overwrite")
+        .option("bits", "24").save(tmp.resolve("bad-bits").toString)
     }
-    assert(e1.getMessage.contains("phased"))
+    assert(e.getMessage != null)
+  }
+
+  test("loud failures narrowed to layout 1 and malformed payloads: " +
+      "ploidy 0 / 64+ and a bad phased flag refuse instead of " +
+      "mis-decoding") {
     val g2 = java.nio.ByteBuffer.allocate(64)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    g2.putInt(1).putShort(2.toShort).put(1.toByte).put(1.toByte)
+    g2.putInt(1).putShort(2.toShort).put(0.toByte).put(0.toByte)
     val e2 = intercept[IllegalArgumentException] {
       BgenReader.decodeGenotypes(g2.array(), 2, 1L)
     }
-    assert(e2.getMessage.contains("diploid"))
+    assert(e2.getMessage.contains("ploidy"))
+    val g3 = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    g3.putInt(1).putShort(2.toShort).put(2.toByte).put(2.toByte)
+      .put(2.toByte).put(7.toByte) // phased flag = 7
+    val e3 = intercept[IllegalArgumentException] {
+      BgenReader.decodeGenotypes(g3.array(), 2, 1L)
+    }
+    assert(e3.getMessage.contains("phased"))
   }
 }
