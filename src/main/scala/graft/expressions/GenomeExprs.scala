@@ -13,8 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * .Liftover]]'s destination-REF validation and [[graft.operators
   * .VariantQc.phaseByTransmission]]'s PL-aware arm. Same design rules
   * as [[LeftAlignExpr]]: ONE static call per row inside whole-stage
-  * codegen, the genome riding the generated code as a reference
-  * object — zero shuffle, scan-speed.
+  * codegen, the genome riding the generated code as a [[Genome]]
+  * HANDLE — zero shuffle, scan-speed. A broadcast handle
+  * ([[graft.sources.FastaReader.readGenome]]) ships the sequence
+  * once per executor and resolves once per stage; an inline handle
+  * closure-ships (small partial maps only — the 3 GB whole-genome
+  * map must never ride task closures).
   */
 object GenomeExprs {
 

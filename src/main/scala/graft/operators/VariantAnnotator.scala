@@ -327,60 +327,26 @@ object VariantAnnotator {
     * shuffles at any scale.
     */
   def callFromPl(df: DataFrame, plKey: String = "PL"): DataFrame = {
-    val fmtKeys = split(col("format"), ":")
-    val gtIsFirst = try_element_at(fmtKeys, lit(1)) === "GT"
-    val nAlts = size(split(col("alt"), ","))
-    val nGt = ((nAlts + 1) * (nAlts + 2) / 2).cast("int")
+    import org.apache.spark.sql.graftbridge.Bridge
+    // Per-call computation = ONE compiled kernel
+    // ([[graft.expressions.CallFromPlKernel]]): the r13-audited
+    // Column-level single-fold was semantically right but ran
+    // INTERPRETED inside transform_values (HOF bodies get no codegen
+    // and no common-subexpression reuse), allocating a struct + a
+    // handful of UTF8Strings per PL entry per call — 17 of the sf0.1
+    // gate's 20 wall seconds were GC. The kernel parses each call
+    // once with two allocations total (suffix + output), same
+    // semantics entry for entry (argmin-PL with first-minimum ties,
+    // arity = (nAlts+1)(nAlts+2)/2, digit/overflow guards mirroring
+    // the non-ANSI int cast, NULL = keep original); the map structure
+    // still flows through transform_values, whose per-entry work is
+    // now a single static call.
     df.withColumn("genotypes",
-      transform_values(col("genotypes"), (_, call) => {
-        val parts = split(call, ":")
-        val pi = array_position(fmtKeys, plKey).cast("int")
-        val pl = split(when(pi > 0, try_element_at(parts, pi)), ",")
-        val gt = element_at(parts, 1)
-        // ONE fold over the PL carrying (min, argmin, arity, bad) and
-        // FINISHING to the called GT string — inside transform_values
-        // everything is interpreted with NO common-subexpression
-        // reuse, so the first formulation's nested HOFs (an index
-        // fold re-reading a parsed array per element, validity passes
-        // re-reading it again) cost O(slots²) regex parses per call:
-        // 134 s wall / 976 exec-core-s on the sf0.1 gate. Single-fold:
-        // each element parses once (the ANSI-safe regexp guard — a
-        // bare cast throws on '.'), ties keep the FIRST minimum via
-        // the strict compare, and the finish lambda emits the j/k
-        // string (triangular-index inverse) or NULL for wrong arity /
-        // junk entries / empty PL.
-        val zero = struct(lit(Int.MaxValue).as("v"), lit(-1).as("i"),
-          lit(0).as("pos"), lit(false).as("bad"))
-        val newCall = aggregate(pl, zero,
-          (acc, x) => {
-            // digit check via translate — a regex here runs per
-            // element per call and dominated the first rewrite
-            val xv = when(x =!= "" &&
-              length(translate(x, "0123456789", "")) === 0,
-              x.cast("int"))
-            val better = xv.isNotNull && xv < acc.getField("v")
-            struct(
-              when(better, xv).otherwise(acc.getField("v")).as("v"),
-              when(better, acc.getField("pos"))
-                .otherwise(acc.getField("i")).as("i"),
-              (acc.getField("pos") + 1).as("pos"),
-              (acc.getField("bad") || xv.isNull).as("bad"))
-          },
-          acc => {
-            val i = acc.getField("i")
-            val kAl = floor((sqrt(i.cast("double") * 8.0 + 1.0) - 1.0) / 2.0)
-              .cast("int")
-            val jAl = (i - (kAl * (kAl + 1)) / 2).cast("int")
-            // the finish emits the COMPLETE rewritten call (or NULL
-            // to keep the original) so the fold is referenced exactly
-            // once through the coalesce below
-            when(gtIsFirst && col("alt") =!= "." && !acc.getField("bad") &&
-              acc.getField("pos") === nGt && i >= 0,
-              concat(jAl.cast("string"), lit("/"), kAl.cast("string"),
-                call.substr(length(gt) + 1, length(call))))
-          })
-        coalesce(newCall, call)
-      }))
+      transform_values(col("genotypes"), (_, call) =>
+        coalesce(Bridge.column(graft.expressions.CallFromPlExpr(
+          Bridge.expression(col("format")),
+          Bridge.expression(col("alt")),
+          Bridge.expression(call), plKey)), call)))
   }
 
   /** One cheap pass to learn the FORMAT vocabulary (like csv schema

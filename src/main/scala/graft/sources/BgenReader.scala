@@ -427,13 +427,23 @@ object BgenReader {
     val hconf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
-    // plan pass: header + one length-only walk collecting every
-    // variant block's byte offset (payloads seek-skipped)
+    // plan pass: header always (samples/compression); block offsets
+    // from the `.bgi` sqlite sidecar when one exists (tens of MB of
+    // index instead of a metadata pass over the whole file — the
+    // bgenix road; staleness checked against Metadata.file_size),
+    // else one length-only walk (payloads seek-skipped)
     val (header, offsets) = {
       val in = new java.io.BufferedInputStream(fs.open(p), 1 << 16)
-      try {
-        val h = readHeader(in)
-        in.close()
+      val h = try readHeader(in) finally in.close()
+      val bgi = new Path(path + ".bgi")
+      if (fs.exists(bgi)) {
+        val entries = BgiIndex.read(spark, bgi.toString,
+          fs.getFileStatus(p).getLen)
+        require(entries.length == h.mVariants,
+          s"$path.bgi indexes ${entries.length} variants, header " +
+            s"declares ${h.mVariants} — rebuild the index")
+        (h, entries.map(_.fileStart).toArray)
+      } else {
         val in2 = fs.open(p)
         try {
           in2.seek(h.firstVariantOffset)
@@ -456,7 +466,7 @@ object BgenReader {
           }
           (h, offs)
         } finally in2.close()
-      } finally in.close()
+      }
     }
     val nTasks = math.max(1, math.min(
       if (splits > 0) splits else spark.sparkContext.defaultParallelism,

@@ -180,45 +180,69 @@ final class BgenScan(paths: Seq[String], required: StructType,
       files ++= statuses.map(_.getPath)
     }
     val out = mutable.ArrayBuffer.empty[InputPartition]
-    // per-file header + offset walk on the bounded planning pool
+    // per-file planning on the bounded pool: through the `.bgi`
+    // sqlite sidecar when present (index-sized read + block-level
+    // chrom/pos PRUNING — non-matching blocks never read AT ALL, not
+    // even their identifiers), else header + offset walk
+    val cEq = chromEq; val pLo = posLo; val pHi = posHi
     val perFile = PlanPool.mapOrdered(files.toSeq) { fp =>
       val fs = fp.getFileSystem(hconf)
       val in = new java.io.BufferedInputStream(fs.open(fp), 1 << 16)
       val header = try BgenReader.readHeader(in) finally in.close()
-      val raw = fs.open(fp)
-      try {
-      raw.seek(header.firstVariantOffset)
-      val bin = new java.io.BufferedInputStream(raw, 1 << 16)
-      val counting = new java.io.FilterInputStream(bin) {
-        var count = 0L
-        override def read(): Int = {
-          val r = super.read(); if (r >= 0) count += 1; r }
-        override def read(b: Array[Byte], o: Int, l: Int): Int = {
-          val r = super.read(b, o, l); if (r > 0) count += r; r }
-        override def skip(n: Long): Long = {
-          val s = super.skip(n); count += s; s }
+      val bgi = new Path(fp.toString + ".bgi")
+      if (fs.exists(bgi)) {
+        val entries = graft.sources.BgiIndex.read(SparkSession.active,
+          bgi.toString, fs.getFileStatus(fp).getLen)
+        require(entries.length == header.mVariants,
+          s"$fp.bgi indexes ${entries.length} variants, header " +
+            s"declares ${header.mVariants} — rebuild the index")
+        // exact block-level pruning from the index alone
+        val kept = entries.filter(e =>
+          cEq.forall(_ == e.chrom) &&
+            pLo.forall(e.pos >= _) && pHi.forall(e.pos <= _))
+        (fp.toString, header,
+          kept.map(e => (e.fileStart, e.sizeBytes)), -1L)
+      } else {
+        val raw = fs.open(fp)
+        try {
+          raw.seek(header.firstVariantOffset)
+          val bin = new java.io.BufferedInputStream(raw, 1 << 16)
+          val counting = new java.io.FilterInputStream(bin) {
+            var count = 0L
+            override def read(): Int = {
+              val r = super.read(); if (r >= 0) count += 1; r }
+            override def read(b: Array[Byte], o: Int, l: Int): Int = {
+              val r = super.read(b, o, l); if (r > 0) count += r; r }
+            override def skip(n: Long): Long = {
+              val s = super.skip(n); count += s; s }
+          }
+          val blocks =
+            Seq.newBuilder[(Long, Long)]
+          var i = 0
+          while (i < header.mVariants) {
+            val start = header.firstVariantOffset + counting.count
+            BgenReader.readVariantBlock(counting, header.compression,
+              skipGeno = true)
+            val end = header.firstVariantOffset + counting.count
+            blocks += ((start, end - start))
+            i += 1
+          }
+          (fp.toString, header, blocks.result(), -1L)
+        } finally raw.close()
       }
-      val offs = new Array[Long](header.mVariants.toInt)
-      var i = 0
-      while (i < header.mVariants) {
-        offs(i) = header.firstVariantOffset + counting.count
-        BgenReader.readVariantBlock(counting, header.compression,
-          skipGeno = true)
-        i += 1
-      }
-      val fileEnd = header.firstVariantOffset + counting.count
-      (fp.toString, header, offs, fileEnd)
-      } finally raw.close()
     }
-    perFile.foreach { case (p, header, offs, fileEnd) =>
+    perFile.foreach { case (p, header, blocks, _) =>
+      // contiguous runs only (a task decodes sequentially from its
+      // start offset), split further by the byte budget
       var s0 = 0
-      while (s0 < offs.length) {
-        // extend the range until its byte budget fills
+      while (s0 < blocks.length) {
         var e = s0 + 1
-        while (e < offs.length && offs(e) - offs(s0) < maxSplit) e += 1
-        val endOff = if (e < offs.length) offs(e) else fileEnd
-        out += BgenPartition(p, offs(s0), e - s0, endOff - offs(s0),
-          header.compression, header.samples)
+        while (e < blocks.length &&
+            blocks(e)._1 == blocks(e - 1)._1 + blocks(e - 1)._2 &&
+            blocks(e)._1 - blocks(s0)._1 < maxSplit) e += 1
+        val endOff = blocks(e - 1)._1 + blocks(e - 1)._2
+        out += BgenPartition(p, blocks(s0)._1, e - s0,
+          endOff - blocks(s0)._1, header.compression, header.samples)
         s0 = e
       }
     }
