@@ -1510,12 +1510,73 @@ object VariantQc {
     val trio = view(childId, "c")
       .join(view(motherId, "m"), siteKey, "left")
       .join(view(fatherId, "f"), siteKey, "left")
+    // projection shared with [[phaseTrios]] — the two cannot drift
+    phaseProjection(trio, siteKey, withPl)
+  }
+
+  /** WHOLE-PEDIGREE PHASING — [[phaseByTransmission]] over EVERY trio
+    * of a cohort in ONE pass (the `.ped`-driven shape real family
+    * studies run: [[graft.sources.PedReader.trios]] hands the list):
+    * instead of one 3-view self-join per trio (N trios = 3N scans of
+    * the annotate plan), each call row is tagged with its (trio,
+    * role) through a BROADCAST role map — a sample parenting several
+    * children simply tags multiply — and ONE aggregation on
+    * (siteKey, child_id) pivots the three roles side by side. Same
+    * phasing semantics as [[phaseByTransmission]] column for column
+    * (the projection logic is shared), plus a `child_id` output
+    * column; sites where the CHILD has no call row emit nothing
+    * (exactly the single-trio contract — a parent-only site never
+    * fabricates a trio row).
+    *
+    * Shape: one broadcast hash join + ONE shuffle on
+    * (siteKey, child_id) — scales with cohort size, not trio count.
+    * Assumes the annotate frame is unique per (site, sample) (the
+    * reader contract); duplicate rows would collapse by max.
+    */
+  def phaseTrios(
+      ann: DataFrame,
+      trios: Seq[(String, String, String)],
+      sampleCol: String = "sample_id",
+      siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt"),
+      plCol: String = null): DataFrame = {
+    require(trios.nonEmpty, "phaseTrios needs at least one trio")
+    val spark = ann.sparkSession
+    import spark.implicits._
+    val withPl = plCol != null
+    val roles = trios.flatMap { case (c, m, f) =>
+      Seq((c, c, "c"), (m, c, "m"), (f, c, "f"))
+    }.toDF(sampleCol, "child_id", "__role")
+    def called(c: String) = col(c).isNotNull && col(c) =!= "."
+    val tagged = ann.filter(col("multiallele") === 0)
+      .join(broadcast(roles), Seq(sampleCol))
+    def pick(role: String, c: Column) =
+      max(when(col("__role") === role, c))
+    val aggs =
+      Seq(pick("c", lit(1)).as("__has_c"),
+        pick("c", col("gt")).as("c_gt")) ++
+      Seq("c", "m", "f").flatMap(p => Seq(
+        pick(p, when(called("gt1"), col("gt1"))).as(s"${p}_a1"),
+        pick(p, when(called("gt2"), col("gt2"))).as(s"${p}_a2"))) ++
+      (if (withPl) Seq("c", "m", "f").map(p =>
+        pick(p, col(plCol)).as(s"${p}_pl")) else Nil)
+    val trio = tagged
+      .groupBy((siteKey.map(col) :+ col("child_id")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("__has_c") === 1)
+      .drop("__has_c")
+    phaseProjection(trio, siteKey :+ "child_id", withPl)
+  }
+
+  /** The shared hard-call + PL-arm projection over a pivoted trio
+    * frame carrying `c_gt`, `{c,m,f}_a1/_a2` (and `_pl` when
+    * `withPl`) — factored so [[phaseByTransmission]] and
+    * [[phaseTrios]] cannot drift. */
+  private def phaseProjection(trio: DataFrame, keyCols: Seq[String],
+      withPl: Boolean): DataFrame = {
     def has(p: String, a: Column): Column =
       col(s"${p}_a1") === a || col(s"${p}_a2") === a
     def parentCalled(p: String): Column =
       col(s"${p}_a1").isNotNull && col(s"${p}_a2").isNotNull
-    // "allele a can come from parent p": an uncalled parent
-    // constrains nothing
     def can(p: String, a: Column): Column = !parentCalled(p) || has(p, a)
     val x = col("c_a1"); val y = col("c_a2")
     val childCalled = x.isNotNull && y.isNotNull
@@ -1535,11 +1596,12 @@ object VariantQc {
         .when(aOk || bOk, "phased")
         .otherwise("violation")
     val base = trio.select(
-      siteKey.map(col) ++ Seq(
+      keyCols.map(col) ++ Seq(
         col("c_gt").as("gt"),
         hardGt.as("phased_gt"),
         hardStatus.as("phase_status")) ++
-        (if (withPl) Seq(col("c_pl"), col("m_pl"), col("f_pl")) else Nil): _*)
+        (if (withPl) Seq(col("c_pl"), col("m_pl"), col("f_pl"))
+         else Nil): _*)
     if (!withPl) base
     else {
       val pl = graft.expressions.GenomeExprs.trioPhasePl(

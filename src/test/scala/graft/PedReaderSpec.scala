@@ -109,4 +109,52 @@ class PedReaderSpec extends AnyFunSuite with SparkSpec {
     assert(explicitHard.exists(r => r._1 == 2 && r._3 == "ambiguous"))
     assert(explicitPl.exists(r => r._1 == 2 && r._3 == "phased_pl"))
   }
+
+  test("phaseTrios: a whole pedigree phases in ONE pass identically " +
+      "to per-trio phaseByTransmission union (both arms), a shared " +
+      "parent tags into both trios, and a parent-only site emits no " +
+      "trio row — the single-trio contract") {
+    import graft.operators.VariantQc
+    // two families sharing the father f: trios (c1, m1, f), (c2, m2, f)
+    val ped = writePed(
+      "fam1 f 0 0 1 -9\nfam1 m1 0 0 2 -9\nfam1 c1 f m1 1 2\n" +
+        "fam1 m2 0 0 2 -9\nfam1 c2 f m2 2 2\n")
+    val trios = PedReader.trios(spark, ped)
+      .map(t => (t.child, t.mother, t.father))
+    assert(trios === Seq(("c1", "m1", "f"), ("c2", "m2", "f")))
+    def r(pos: Int, sid: String, gt: String, pl: String) = {
+      val parts = gt.split("[/|]")
+      ("1", pos, "A", "T", sid, gt, parts(0),
+        if (parts.length > 1) parts(1) else null, 0, pl)
+    }
+    val ann = Seq(
+      // pos 1: informative in fam1, double-het in fam2
+      r(1, "c1", "0/1", null), r(1, "m1", "1/1", null),
+      r(1, "f", "0/0", null),
+      r(1, "c2", "0/1", "40,0,40"), r(1, "m2", "0/1", "0,60,90"),
+      // pos 2: PARENT-ONLY site (no child rows) -> zero trio rows
+      r(2, "f", "0/1", null), r(2, "m1", "0/0", null),
+      // pos 3: c2 only, father missing that site
+      r(3, "c2", "1/1", null), r(3, "m2", "1/1", null))
+      .toDF("chrom", "pos", "ref", "alt", "sample_id", "gt", "gt1",
+        "gt2", "multiallele", "pl")
+    for (plCol <- Seq(null, "pl")) {
+      val one = VariantQc.phaseTrios(ann, trios, plCol = plCol)
+        .select("chrom", "pos", "child_id", "gt", "phased_gt",
+          "phase_status")
+        .as[(String, Int, String, String, Option[String], String)]
+        .collect().toSet
+      val union = trios.map { case (c, m, f) =>
+        VariantQc.phaseByTransmission(ann, c, m, f, plCol = plCol)
+          .withColumn("child_id", org.apache.spark.sql.functions.lit(c))
+          .select("chrom", "pos", "child_id", "gt", "phased_gt",
+            "phase_status")
+          .as[(String, Int, String, String, Option[String], String)]
+          .collect().toSet
+      }.reduce(_ ++ _)
+      assert(one === union, s"plCol=$plCol")
+      assert(!one.exists(_._2 == 2), "parent-only site leaked a row")
+      assert(one.exists(r => r._2 == 3 && r._3 == "c2"))
+    }
+  }
 }
