@@ -73,6 +73,43 @@ object GenomeExprs {
       plFather: Column): Column =
     Bridge.column(TrioPhasePlExpr(Bridge.expression(plChild),
       Bridge.expression(plMother), Bridge.expression(plFather)))
+
+  /** `snp_codon(chrom, pos, alt, strand, cds_start, cds_end)` — the
+    * [[graft.operators.Consequence.snpConsequence]] codon walk as one
+    * compiled call (see [[CsqKernel.snpCodon]]). */
+  def snpCodonStruct(genome: Genome, chrom: Column, pos: Column,
+      alt: Column, strand: Column, cs: Column, ce: Column): Column =
+    Bridge.column(SnpCodonExpr(genome,
+      Seq(chrom, pos, alt, strand, cs, ce).map(Bridge.expression)))
+
+  /** `csq_label(chrom, pos, ref, alt, strand, cds_start, cds_end)` —
+    * [[graft.operators.Consequence.csq]]'s whole post-join ladder as
+    * one compiled call (see [[CsqKernel.csqLabel]]). */
+  def csqLabel(genome: Genome, flank: Int, chrom: Column, pos: Column,
+      ref: Column, alt: Column, strand: Column, cs: Column,
+      ce: Column): Column =
+    Bridge.column(CsqLabelExpr(genome, flank,
+      Seq(chrom, pos, ref, alt, strand, cs, ce).map(Bridge.expression)))
+
+  /** `exon_snp(...)` — [[graft.operators.Consequence
+    * .snpConsequenceExons]]'s per-row walk as one compiled call (see
+    * [[ExonCsqKernel.exonSnp]]). */
+  def exonSnp(genome: Genome, flank: Int, chrom: Column, pos: Column,
+      alt: Column, strand: Column, ex: Column, total: Column,
+      gs: Column, ge: Column): Column =
+    Bridge.column(ExonSnpExpr(genome, flank,
+      Seq(chrom, pos, alt, strand, ex, total, gs, ge)
+        .map(Bridge.expression)))
+
+  /** `exon_csq_label(...)` — [[graft.operators.Consequence.csqExons]]'s
+    * whole post-join ladder as one compiled call (see
+    * [[ExonCsqKernel.exonCsqLabel]]). */
+  def exonCsqLabel(genome: Genome, flank: Int, chrom: Column,
+      pos: Column, ref: Column, alt: Column, strand: Column, ex: Column,
+      total: Column, gs: Column, ge: Column): Column =
+    Bridge.column(ExonCsqLabelExpr(genome, flank,
+      Seq(chrom, pos, ref, alt, strand, ex, total, gs, ge)
+        .map(Bridge.expression)))
 }
 
 object GenomeSliceKernel {

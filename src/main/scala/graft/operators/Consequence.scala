@@ -60,33 +60,11 @@ object Consequence {
     "AGT" -> "S", "AGC" -> "S", "AGA" -> "R", "AGG" -> "R",
     "GGT" -> "G", "GGC" -> "G", "GGA" -> "G", "GGG" -> "G")
 
-  private def revComp(s: Column): Column =
-    reverse(translate(s, "ACGT", "TGCA"))
-
-  /** Shared SNP codon arithmetic (both strands): (ref_codon, alt_codon,
-    * aa_ref, aa_alt) column bundle over the per-chrom genome string and
-    * the joined CDS columns. Factored so [[snpConsequence]] and [[csq]]
-    * compute bit-identical fields. */
-  private def snpCodon(gstr: Column, plus: Column)
-      : (Column, Column, Column, Column) = {
-    val code = typedLit(GeneticCode)
-    val off = when(plus, col("pos") - col("cds_start"))
-      .otherwise(col("cds_end") - col("pos"))
-    val ci = (off - pmod(off, lit(3L))) / 3L
-    val tripStart = when(plus, col("cds_start") + lit(3L) * ci)
-      .otherwise(col("cds_end") - lit(3L) * ci - lit(2L))
-    val refTrip = gstr.substr(tripStart.cast("int"), lit(3))
-    val idx = when(plus, pmod(off, lit(3L)) + 1L)
-      .otherwise(lit(3L) - pmod(off, lit(3L)))
-    val altTrip = concat(
-      refTrip.substr(lit(1), (idx - 1L).cast("int")),
-      col("alt"),
-      refTrip.substr((idx + 1L).cast("int"), (lit(3L) - idx).cast("int")))
-    val refCodon = when(plus, refTrip).otherwise(revComp(refTrip))
-    val altCodon = when(plus, altTrip).otherwise(revComp(altTrip))
-    (refCodon, altCodon, element_at(code, refCodon),
-      element_at(code, altCodon))
-  }
+  // The shared SNP codon arithmetic lives in
+  // graft.expressions.CsqKernel (r17: one compiled call per row; the
+  // previous Column bundle re-expanded per referencing branch with no
+  // CSE across `when` branches); CsqKernelSpec keeps the Column form
+  // verbatim as the parity reference.
 
   /** Classify SNPs in `sites` (chrom, pos, ref, alt — 1-based,
     * left-aligned biallelic) against `cds` (gene, chrom, cds_start,
@@ -99,7 +77,6 @@ object Consequence {
   def snpConsequence(
       sites: DataFrame, cds: DataFrame,
       genome: Map[String, String]): DataFrame = {
-    val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
     val sym = graft.functions.VariantFunctions.isSymbolicAlt(col("alt"))
     val isSnp = length(col("ref")) === 1 && length(col("alt")) === 1 &&
       col("alt").isin("A", "C", "G", "T")
@@ -108,21 +85,30 @@ object Consequence {
       sites("chrom") === cds("chrom") &&
         col("pos").between(col("cds_start"), col("cds_end")),
       "left").drop(cds("chrom"))
-    val gstr = element_at(gmap, col("chrom"))
     val plus = col("strand") === "+"
     val off = when(plus, col("pos") - col("cds_start"))
       .otherwise(col("cds_end") - col("pos"))
     val ci = (off - pmod(off, lit(3L))) / 3L
-    val (refCodon, altCodon, aaRef, aaAlt) = snpCodon(gstr, plus)
+    // r17: the codon walk is ONE compiled kernel call per coding-SNP
+    // row (CsqKernelSpec pins kernel ≡ the previous Column bundle
+    // field for field) — the Column spelling re-expanded the substr/
+    // revcomp/code-lookup subtrees per referencing branch with no CSE.
+    // codon_index stays a Column: it is genome-INdependent and non-null
+    // wherever (gene, SNP) holds, while the kernel struct nulls out on
+    // an absent contig.
+    val snpStruct = graft.expressions.GenomeExprs.snpCodonStruct(
+      graft.expressions.Genome.inline(genome),
+      col("chrom"), col("pos").cast("long"), col("alt"), col("strand"),
+      col("cds_start").cast("long"), col("cds_end").cast("long"))
     joined
+      .withColumn("__snp",
+        when(col("gene").isNotNull && isSnp, snpStruct))
       .withColumn("codon_index",
         when(col("gene").isNotNull && isSnp, ci.cast("long")))
-      .withColumn("ref_codon",
-        when(col("gene").isNotNull && isSnp, refCodon))
-      .withColumn("alt_codon",
-        when(col("gene").isNotNull && isSnp, altCodon))
-      .withColumn("aa_ref", when(col("gene").isNotNull && isSnp, aaRef))
-      .withColumn("aa_alt", when(col("gene").isNotNull && isSnp, aaAlt))
+      .withColumn("ref_codon", col("__snp.ref_codon"))
+      .withColumn("alt_codon", col("__snp.alt_codon"))
+      .withColumn("aa_ref", col("__snp.aa_ref"))
+      .withColumn("aa_alt", col("__snp.aa_alt"))
       .withColumn("consequence",
         // symbolic ALTs pass through with their own class — `*`
         // length-1 alleles would otherwise read as mis-alphabet SNVs
@@ -139,6 +125,7 @@ object Consequence {
           .when(col("aa_alt") === "*", lit("stop_gained"))
           .when(col("aa_ref") === "*", lit("stop_lost"))
           .otherwise(lit("missense")))
+      .drop("__snp")
   }
 
   /** FULL consequence calling — SNPs AND INDELS AND SPLICE FLANKS: the
@@ -148,7 +135,8 @@ object Consequence {
     * Per (site, CDS-or-flank match), one label:
     *
     *  - SNP in CDS: synonymous / missense / stop_gained / stop_lost /
-    *    unresolved — [[snpCodon]], bit-identical to [[snpConsequence]].
+    *    unresolved — the [[graft.expressions.CsqKernel]] codon walk,
+    *    bit-identical to [[snpConsequence]].
     *  - Insertion strictly between two CDS bases: `frameshift` when the
     *    inserted length m ≢ 0 (mod 3); otherwise the ALT codon window —
     *    the anchor's codon with the m bases spliced in at the anchor's
@@ -192,15 +180,12 @@ object Consequence {
       sites: DataFrame, cds: DataFrame, genome: Map[String, String],
       flank: Int = 8): DataFrame = {
     require(flank >= 2, s"flank must be >= 2 (donor window), got $flank")
-    val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
-    val code = typedLit(GeneticCode)
     val refLen = length(col("ref")).cast("long")
     val altLen = length(col("alt")).cast("long")
     // symbolic ALTs (VCF 4.2 §5) are excluded from every base-
     // arithmetic class — a breakend `A[chr2:123[` shares its anchor
     // base with REF and would otherwise read as an insertion
     val sym = graft.functions.VariantFunctions.isSymbolicAlt(col("alt"))
-    val isSnp = refLen === 1L && altLen === 1L && !sym
     val isIns = refLen === 1L && altLen > 1L && !sym &&
       substring(col("alt"), 1, 1) === col("ref")
     val isDel = altLen === 1L && refLen > 1L && !sym &&
@@ -217,103 +202,31 @@ object Consequence {
           col("cds_end") + F)))
     val joined = sites.join(broadcast(cds), joinCond, "left")
       .drop(cds("chrom"))
-    val gstr = element_at(gmap, col("chrom"))
-    val plus = col("strand") === "+"
-    val cs = col("cds_start")
-    val ce = col("cds_end")
-
-    // ---- SNP (coding) ----
-    val (_, _, aaRef, aaAlt) = snpCodon(gstr, plus)
-    val snpCoding = col("pos").between(cs, ce)
-    val snpCons = when(aaRef.isNull || aaAlt.isNull, lit("unresolved"))
-      .when(aaRef === aaAlt, lit("synonymous"))
-      .when(aaAlt === "*", lit("stop_gained"))
-      .when(aaRef === "*", lit("stop_lost"))
-      .otherwise(lit("missense"))
-
-    // ---- insertion (coding): anchor-codon window with the inserted
-    // bases spliced in after the anchor, both strands via one forward
-    // splice + whole-window revcomp ----
-    val mIns = altLen - 1L
-    val insCoding = col("pos").between(cs, ce - 1L)
-    val fsIns = when(plus, col("pos") - pmod(col("pos") - cs, lit(3L)))
-      .otherwise(col("pos") - 1L + pmod(ce - col("pos") - 1L, lit(3L)))
-    val feIns = fsIns + 2L
-    val winF = concat(
-      gstr.substr(fsIns.cast("int"), (col("pos") - fsIns + 1L).cast("int")),
-      col("alt").substr(lit(2), mIns.cast("int")),
-      gstr.substr((col("pos") + 1L).cast("int"),
-        (feIns - col("pos")).cast("int")))
-    val winT = when(plus, winF).otherwise(revComp(winF))
-    // the window walk is a CodegenFallback HOF and the window concat
-    // feeds every element — stage both into named columns (the §8
-    // staging rule) so they evaluate once per row, not once per
-    // reference × element
-    val nCod = (length(col("__wint")) / lit(3)).cast("int")
-    val insAas = transform(sequence(lit(1), nCod),
-      i => element_at(code, col("__wint").substr(i * lit(3) - lit(2), lit(3))))
-    val insCons = when(pmod(mIns, lit(3L)) =!= 0L, lit("frameshift"))
-      .when(exists(col("__insaas"), a => a.isNull), lit("unresolved"))
-      .when(exists(col("__insaas"), a => a === "*"), lit("stop_gained"))
-      .otherwise(lit("inframe_insertion"))
-
-    // ---- deletion (coding) ----
-    val mInDel = least(dHi, ce) - greatest(dLo, cs) + 1L
-    val delCoding = dLo <= ce && dHi >= cs
-    val startLo = when(plus, cs).otherwise(ce - 2L)
-    val termLo = when(plus, ce - 2L).otherwise(cs)
-    val startHit = dLo <= startLo + 2L && dHi >= startLo
-    val termHit = dLo <= termLo + 2L && dHi >= termLo
-    val fullyIn = col("pos") >= cs && dHi <= ce
-    val phP = pmod(col("pos") - cs, lit(3L))
-    val phM = pmod(ce - dHi - 1L, lit(3L))
-    val jA = when(plus, col("pos") - phP).otherwise(col("pos") - 1L + phM)
-    val jB = when(plus, dHi + 2L - phP).otherwise(dHi + 1L + phM)
-    val junF = concat(
-      gstr.substr(jA.cast("int"), (col("pos") - jA + 1L).cast("int")),
-      gstr.substr((dHi + 1L).cast("int"), (jB - dHi).cast("int")))
-    val junAa = element_at(code, when(plus, junF).otherwise(revComp(junF)))
-    val junOk = fullyIn && jA >= cs && jB <= ce
-    val delCons = when(pmod(mInDel, lit(3L)) =!= 0L, lit("frameshift"))
-      .when(startHit, lit("start_lost"))
-      .when(termHit, lit("stop_lost"))
-      .when(junOk && junAa.isNull, lit("unresolved"))
-      .when(junOk && junAa === "*", lit("stop_gained"))
-      .otherwise(lit("inframe_deletion"))
-
-    // ---- splice flanks (strand-aware donor/acceptor) ----
-    val distL = when(isIns, cs - col("pos"))
-      .when(isDel, cs - dHi).otherwise(cs - col("pos"))
-    val distR = when(isIns, col("pos") - ce + 1L)
-      .when(isDel, dLo - ce).otherwise(col("pos") - ce)
-    val onLeft = distL > 0L
-    val dist = when(onLeft, distL).otherwise(distR)
-    val donorSide = (plus && !onLeft) || (!plus && onLeft)
-    val spliceCons = when(dist.between(1L, 2L),
-        when(donorSide, lit("splice_donor")).otherwise(lit("splice_acceptor")))
-      .when(dist.between(3L, F), lit("splice_region"))
-      .otherwise(lit("intergenic"))
-
+    // r17: the whole post-join ladder — SNP codon walk, insertion
+    // window, deletion junction, splice flanks — is ONE compiled
+    // kernel call per (site, CDS) row (CsqKernelSpec pins kernel ≡ the
+    // previous Column ladder on an exhaustive branch sweep): the
+    // Column spelling re-expanded the codon-walk subtrees per `when`
+    // branch reference (no CSE across branches) and walked the
+    // insertion window through an interpreted HOF — ~6 codon-tree
+    // evaluations and a dozen UTF8String allocations per row.
+    val label = graft.expressions.GenomeExprs.csqLabel(
+      graft.expressions.Genome.inline(genome), flank,
+      col("chrom"), col("pos").cast("long"), col("ref"), col("alt"),
+      col("strand"), col("cds_start").cast("long"),
+      col("cds_end").cast("long"))
     joined
-      .withColumn("__wint",
-        when(isIns && col("gene").isNotNull && insCoding &&
-          pmod(mIns, lit(3L)) === 0L, winT))
-      .withColumn("__insaas", insAas)
       .withColumn("consequence",
         when(sym, lit("symbolic"))
           .when(col("gene").isNull, lit("intergenic"))
-          .when(!isSnp && !isIns && !isDel, lit("complex"))
-          .when(isSnp, when(snpCoding, snpCons).otherwise(spliceCons))
-          .when(isIns, when(insCoding, insCons).otherwise(spliceCons))
-          .otherwise(when(delCoding, delCons).otherwise(spliceCons)))
-      .drop("__wint", "__insaas")
+          .otherwise(label))
   }
 
   /** One-row-per-gene EXON MODEL: sorted exon array (s, e, cum) with
     * precomputed cumulative c-offsets, total CDS length, and the gene
     * span — the broadcast side of [[csqExons]] and
     * [[snpConsequenceExons]], factored so both consume bit-identical
-    * models (the [[snpCodon]] precedent: a drifted copy would break
+    * models (the shared-kernel precedent: a drifted copy would break
     * the spec-pinned label parity silently).
     */
   private def exonGeneModel(exons: DataFrame): DataFrame = {
@@ -334,22 +247,10 @@ object Consequence {
         max(col("exon_end")).as("__ge"))
   }
 
-  /** Transcript-offset → genome-base lookup through the per-gene exon
-    * array (strand-aware; '−' complements per base) — the shared
-    * per-base kernel of [[csqExons]] and [[snpConsequenceExons]].
-    * A CodegenFallback HOF: callers must STAGE each call into a named
-    * column (§8 r11 rule).
-    */
-  private def exonBaseAt(gstr: Column, plus: Column)(t: Column): Column = {
-    val cT = when(plus, t).otherwise(col("__total") - 1L - t)
-    val xe = try_element_at(
-      filter(col("__ex"), x => cT >= x.getField("cum") &&
-        cT < x.getField("cum") + (x.getField("e") - x.getField("s") + 1L)),
-      lit(1))
-    val g = xe.getField("s") + (cT - xe.getField("cum"))
-    val b = gstr.substr(g.cast("int"), lit(1))
-    when(plus, b).otherwise(translate(b, "ACGT", "TGCA"))
-  }
+  // The transcript-offset → genome-base exon lookup lives in
+  // graft.expressions.ExonCsqKernel (r17: compiled per-row kernels
+  // replaced the staged CodegenFallback HOF columns; the Column form
+  // is kept verbatim in ExonCsqKernelSpec as the parity reference).
 
   /** PER-GENE CONSEQUENCE-CLASS BURDEN — the gnomAD-constraint-style
     * rollup over a consequence table ([[csq]]/[[csqExons]] output; Lek
@@ -438,22 +339,15 @@ object Consequence {
       sites: DataFrame, exons: DataFrame, genome: Map[String, String],
       flank: Int = 8): DataFrame = {
     require(flank >= 2, s"flank must be >= 2 (donor window), got $flank")
-    val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
-    val code = typedLit(GeneticCode)
     val geneModel = exonGeneModel(exons)
     val refLen = length(col("ref")).cast("long")
     val altLen = length(col("alt")).cast("long")
-    // 1→1 substitutions are SNPs regardless of alt alphabet — a
-    // non-ACGT alt ('N', IUPAC) reaches the codon walk and degrades to
+    // symbolic ALTs (VCF 4.2 §5) are a separate pass-through class —
+    // excluded from every base class; 1→1 substitutions are SNPs
+    // regardless of alt alphabet (a non-ACGT alt degrades to
     // `unresolved` through the null amino-acid lookup, exactly as
-    // [[snpConsequenceExons]] classifies it (an ACGT gate here would
-    // silently route the same input to `complex` and break the
-    // spec-pinned label parity). Symbolic ALTs (VCF 4.2 §5) are a
-    // separate pass-through class — excluded from every base class.
+    // [[snpConsequenceExons]] classifies it).
     val sym = graft.functions.VariantFunctions.isSymbolicAlt(col("alt"))
-    val isSnp = refLen === 1L && altLen === 1L && !sym
-    val isIns = refLen === 1L && altLen > 1L && !sym &&
-      substring(col("alt"), 1, 1) === col("ref")
     val isDel = altLen === 1L && refLen > 1L && !sym &&
       substring(col("ref"), 1, 1) === col("alt")
     val F = lit(flank.toLong)
@@ -464,159 +358,23 @@ object Consequence {
         .otherwise(col("pos").between(col("__gs") - F, col("__ge") + F)))
     val joined = sites.join(broadcast(geneModel), joinCond, "left")
       .drop("__gchrom")
-    val gstr = element_at(gmap, col("chrom"))
-    val plus = col("strand") === "+"
-    val INF = lit(Long.MaxValue)
-    def facing(d: Column): Column = when(d > 0L, d).otherwise(INF)
-    def baseAt(t: Column): Column = exonBaseAt(gstr, plus)(t)
-    val inGene = col("gene").isNotNull
-    val mIns = altLen - 1L
-    val insInframe = pmod(mIns, lit(3L)) === 0L
-
-    // ---- staged exon-array lookups (the §8 r11 staging rule) ----
-    val s1 = joined
-      // containing exon of the anchor (SNP codon walk, ins coding test)
-      .withColumn("__inx", when(inGene && (isSnp || isIns),
-        try_element_at(
-          filter(col("__ex"), x => col("pos") >= x.getField("s") &&
-            col("pos") <= x.getField("e")), lit(1))))
-      // deleted exonic c-range
-      .withColumn("__cA", when(inGene && isDel,
-        array_min(transform(col("__ex"), x =>
-          when(least(dHi, x.getField("e")) >= greatest(dLo, x.getField("s")),
-            x.getField("cum") + greatest(dLo - x.getField("s"), lit(0L)))
-            .otherwise(INF)))))
-      .withColumn("__cB", when(inGene && isDel,
-        array_max(transform(col("__ex"), x =>
-          when(least(dHi, x.getField("e")) >= greatest(dLo, x.getField("s")),
-            x.getField("cum") + least(dHi, x.getField("e")) - x.getField("s"))
-            .otherwise(lit(-1L))))))
-      // span-aware nearest facing edge (splice ladder): dels use the
-      // deleted span's ends; insertions use the insertion POINT
-      // [pos, pos+1] — an insert right after an exon's last base sits
-      // one base into the intron (splice_donor on '+'), which the
-      // anchor alone would mis-read as deep intron; SNPs use pos.
-      // Guarded to the SPLICE-LADDER rows only (coding SNPs/inserts
-      // and exonic dels never read it — evaluating the interpreted
-      // edge scan for them is exactly the cost the staging rule
-      // exists to avoid), so it stages AFTER __inx/__cA
-      .withColumn("__edge", when(inGene && (
-          (isSnp && col("__inx").isNull) ||
-          (isIns && !(col("__inx").isNotNull &&
-            col("pos") < col("__inx.e"))) ||
-          (isDel && !(col("__cA").isNotNull && col("__cA") =!= INF))),
-        array_min(flatten(transform(col("__ex"), x => array(
-          struct(facing(x.getField("s") -
-            when(isDel, dHi).otherwise(col("pos"))).as("d"),
-            lit(0).as("side")),
-          struct(facing(when(isDel, dLo)
-            .when(isIns, col("pos") + 1L).otherwise(col("pos")) -
-            x.getField("e")).as("d"), lit(1).as("side"))))))))
-    val cAnchor = col("__inx.cum") + (col("pos") - col("__inx.s"))
-    val o = when(plus, cAnchor).otherwise(col("__total") - 1L - cAnchor)
-    val ph = pmod(o, lit(3L))
-    val t0 = o - ph
-    // pos and pos+1 in the SAME exon ⇒ the insert is transcribed
-    val insCoding = col("__inx").isNotNull && col("pos") < col("__inx.e")
-    val needCodon = inGene && col("__inx").isNotNull &&
-      (isSnp || (isIns && insCoding && insInframe))
-    val delExonic = isDel && col("__cA").isNotNull && col("__cA") =!= INF
-    val mDel = col("__cB") - col("__cA") + 1L
-    val oA = when(plus, col("__cA"))
-      .otherwise(col("__total") - 1L - col("__cB"))
-    val oB = when(plus, col("__cB"))
-      .otherwise(col("__total") - 1L - col("__cA"))
-    val startHit = oA <= 2L
-    val stopHit = oB >= col("__total") - 3L
-    val jPh = pmod(oA, lit(3L))
-    val jStart = oA - jPh
-    val needJunction = inGene && delExonic &&
-      pmod(mDel, lit(3L)) === 0L && !startHit && !stopHit
-    def junOff(i: Int): Column = {
-      val off = jStart + lit(i.toLong)
-      when(off < oA, off).otherwise(off + (oB - oA + 1L))
-    }
-    val s2 = s1
-      .withColumn("__b0", when(needCodon, baseAt(t0)))
-      .withColumn("__b1", when(needCodon, baseAt(t0 + 1L)))
-      .withColumn("__b2", when(needCodon, baseAt(t0 + 2L)))
-      .withColumn("__d0", when(needJunction, baseAt(junOff(0))))
-      .withColumn("__d1", when(needJunction, baseAt(junOff(1))))
-      .withColumn("__d2", when(needJunction, baseAt(junOff(2))))
-    val codon = concat(col("__b0"), col("__b1"), col("__b2"))
-
-    // ---- SNP ladder over the staged codon ----
-    val altBase = when(plus, col("alt"))
-      .otherwise(translate(col("alt"), "ACGT", "TGCA"))
-    val altCodon = concat(
-      when(ph === 0L, altBase).otherwise(col("__b0")),
-      when(ph === 1L, altBase).otherwise(col("__b1")),
-      when(ph === 2L, altBase).otherwise(col("__b2")))
-    val aaR = element_at(code, codon)
-    val aaA = element_at(code, altCodon)
-    val snpCons = when(aaR.isNull || aaA.isNull, lit("unresolved"))
-      .when(aaR === aaA, lit("synonymous"))
-      .when(aaA === "*", lit("stop_gained"))
-      .when(aaR === "*", lit("stop_lost"))
-      .otherwise(lit("missense"))
-
-    // ---- insertion window over the staged codon ----
-    val insT = when(plus, col("alt").substr(lit(2), mIns.cast("int")))
-      .otherwise(revComp(col("alt").substr(lit(2), mIns.cast("int"))))
-    // insert after transcript slot k of the anchor codon: k = phase on
-    // '+' (between o and o+1), phase−1 on '−' (between o−1 and o)
-    val k = when(plus, ph).otherwise(ph - 1L)
-    val win = concat(
-      codon.substr(lit(1), (k + 1L).cast("int")),
-      insT,
-      codon.substr((k + 2L).cast("int"), (lit(2L) - k).cast("int")))
-    val s3 = s2
-      .withColumn("__wint",
-        when(inGene && isIns && insCoding && insInframe, win))
-    val nCod = (length(col("__wint")) / lit(3)).cast("int")
-    val s4 = s3.withColumn("__insaas",
-      transform(sequence(lit(1), nCod), i =>
-        element_at(code, col("__wint").substr(i * lit(3) - lit(2), lit(3)))))
-    val insCons = when(!insInframe, lit("frameshift"))
-      .when(exists(col("__insaas"), a => a.isNull), lit("unresolved"))
-      .when(exists(col("__insaas"), a => a === "*"), lit("stop_gained"))
-      .otherwise(lit("inframe_insertion"))
-
-    // ---- deletion ladder ----
-    val junAa = element_at(code, concat(col("__d0"), col("__d1"), col("__d2")))
-    val delCons = when(pmod(mDel, lit(3L)) =!= 0L, lit("frameshift"))
-      .when(startHit, lit("start_lost"))
-      .when(stopHit, lit("stop_lost"))
-      .when(junAa.isNull, lit("unresolved"))
-      .when(junAa === "*", lit("stop_gained"))
-      .otherwise(lit("inframe_deletion"))
-
-    // ---- splice ladder (span-aware facing edge) ----
-    val eDist = col("__edge.d")
-    val eSide = col("__edge.side")
-    val donorSide = (plus && eSide === 1) || (!plus && eSide === 0)
-    val inSpan = when(isDel, dHi >= col("__gs") && dLo <= col("__ge"))
-      .otherwise(col("pos").between(col("__gs"), col("__ge")))
-    val spliceCons = when(eDist.between(1L, 2L),
-        when(donorSide, lit("splice_donor")).otherwise(lit("splice_acceptor")))
-      .when(eDist.between(3L, F), lit("splice_region"))
-      .when(inSpan, lit("intron"))
-      .otherwise(lit("intergenic"))
-
-    s4
+    // r17: the whole post-join ladder — containing-exon walk, c-space
+    // insertion/deletion arithmetic, per-base junction codons, facing-
+    // edge splice scan — is ONE compiled kernel call per (site, gene)
+    // row (ExonCsqKernelSpec pins kernel ≡ the previous staged-Column
+    // pipeline): the staged HOF columns each ran interpreted per row
+    // with an array scan and per-element struct allocations.
+    val label = graft.expressions.GenomeExprs.exonCsqLabel(
+      graft.expressions.Genome.inline(genome), flank,
+      col("chrom"), col("pos").cast("long"), col("ref"), col("alt"),
+      col("strand"), col("__ex"), col("__total").cast("long"),
+      col("__gs").cast("long"), col("__ge").cast("long"))
+    joined
       .withColumn("consequence",
         when(sym, lit("symbolic"))
           .when(col("gene").isNull, lit("intergenic"))
-          .when(!isSnp && !isIns && !isDel, lit("complex"))
-          .when(isSnp,
-            when(col("__inx").isNotNull, snpCons).otherwise(spliceCons))
-          .when(isIns,
-            when(insCoding, insCons).otherwise(spliceCons))
-          .otherwise(
-            when(delExonic, delCons).otherwise(spliceCons)))
-      .drop("__ex", "__total", "__gs", "__ge", "__inx", "__edge",
-        "__cA", "__cB", "__b0", "__b1", "__b2", "__d0", "__d1", "__d2",
-        "__wint", "__insaas")
+          .otherwise(label))
+      .drop("__ex", "__total", "__gs", "__ge")
   }
 
   /** EXON-RESOLVED SNP consequence calling — real multi-exon gene
@@ -664,8 +422,6 @@ object Consequence {
       sites: DataFrame, exons: DataFrame, genome: Map[String, String],
       flank: Int = 8): DataFrame = {
     require(flank >= 2, s"flank must be >= 2 (donor window), got $flank")
-    val gmap = typedLit(genome.map { case (c, s) => (c, s.toUpperCase) })
-    val code = typedLit(GeneticCode)
     val geneModel = exonGeneModel(exons)
     val F = lit(flank.toLong)
     val joined = sites.join(
@@ -677,90 +433,30 @@ object Consequence {
     // would otherwise walk the codon ladder to a lying "unresolved"
     val sym = graft.functions.VariantFunctions.isSymbolicAlt(col("alt"))
     val isSnp = length(col("ref")) === 1 && length(col("alt")) === 1 && !sym
-    val gstr = element_at(gmap, col("chrom"))
-    val plus = col("strand") === "+"
-    // STAGED projections: the exon-array lookups are CodegenFallback
-    // HOFs, so common-subexpression reuse never kicks in — inlining
-    // them into every referencing expression re-evaluates the array
-    // scan ~10× per row (measured 880 core-s on the sf0.1 gate;
-    // staging cut it to one evaluation per lookup). CollapseProject
-    // keeps the stages apart because each alias is non-cheap and
-    // referenced more than once.
-    def facing(d: Column): Column =
-      when(d > 0L, d).otherwise(lit(Long.MaxValue))
-    val s1 = joined
-      .withColumn("__inx", try_element_at(
-        filter(col("__ex"), x => col("pos") >= x.getField("s") &&
-          col("pos") <= x.getField("e")), lit(1)))
-      // splice-ladder rows only (coding rows never read the edge —
-      // the csqExons guard, applied here for parity)
-      .withColumn("__edge", when(col("gene").isNotNull &&
-          col("__inx").isNull,
-        array_min(flatten(transform(col("__ex"),
-          x => array(
-            struct(facing(x.getField("s") - col("pos")).as("d"),
-              lit(0).as("side")),
-            struct(facing(col("pos") - x.getField("e")).as("d"),
-              lit(1).as("side"))))))))
-    // c-space position, transcript offset, codon index/phase
-    val c = col("__inx.cum") + (col("pos") - col("__inx.s"))
-    val s2 = s1.withColumn("__o",
-      when(plus, c).otherwise(col("__total") - 1L - c))
-    val s3 = s2
-      .withColumn("__ci", (col("__o") - pmod(col("__o"), lit(3L))) / 3L)
-      .withColumn("__ph", pmod(col("__o"), lit(3L)))
-    // the three codon bases, one exon lookup each (transcript order)
-    def baseAt(t: Column): Column = exonBaseAt(gstr, plus)(t)
-    val t0 = lit(3L) * col("__ci").cast("long")
-    val s4 = s3
-      .withColumn("__b0", baseAt(t0))
-      .withColumn("__b1", baseAt(t0 + 1L))
-      .withColumn("__b2", baseAt(t0 + 2L))
-    val altBase = when(plus, col("alt")).otherwise(
-      translate(col("alt"), "ACGT", "TGCA"))
-    val s5 = s4
-      .withColumn("__rcod", concat(col("__b0"), col("__b1"), col("__b2")))
-      .withColumn("__acod", concat(
-        when(col("__ph") === 0L, altBase).otherwise(col("__b0")),
-        when(col("__ph") === 1L, altBase).otherwise(col("__b1")),
-        when(col("__ph") === 2L, altBase).otherwise(col("__b2"))))
-    val s6 = s5
-      .withColumn("__aar", element_at(code, col("__rcod")))
-      .withColumn("__aaa", element_at(code, col("__acod")))
-    val snpCons =
-      when(col("__aar").isNull || col("__aaa").isNull, lit("unresolved"))
-        .when(col("__aar") === col("__aaa"), lit("synonymous"))
-        .when(col("__aaa") === "*", lit("stop_gained"))
-        .when(col("__aar") === "*", lit("stop_lost"))
-        .otherwise(lit("missense"))
-    // nearest exon edge (side 0 = upstream-of-exon-start, 1 =
-    // downstream-of-exon-end; equal-dist ties pick side 0 — the
-    // downstream exon's start — deterministic; non-FACING edges were
-    // clamped to +inf above)
-    val eDist = col("__edge.d")
-    val eSide = col("__edge.side")
-    val donorSide = (plus && eSide === 1) || (!plus && eSide === 0)
-    val spliceCons = when(eDist.between(1L, 2L),
-        when(donorSide, lit("splice_donor")).otherwise(lit("splice_acceptor")))
-      .when(eDist.between(3L, F), lit("splice_region"))
-      .when(col("pos").between(col("__gs"), col("__ge")), lit("intron"))
-      .otherwise(lit("intergenic"))
-    val coding = col("gene").isNotNull && isSnp && col("__inx").isNotNull
-    s6
-      .withColumn("codon_index", when(coding, col("__ci").cast("long")))
-      .withColumn("ref_codon", when(coding, col("__rcod")))
-      .withColumn("alt_codon", when(coding, col("__acod")))
-      .withColumn("aa_ref", when(coding, col("__aar")))
-      .withColumn("aa_alt", when(coding, col("__aaa")))
+    // r17: the whole per-row walk — containing-exon filter, c-space
+    // codon assembly through per-base exon lookups, facing-edge splice
+    // scan — is ONE compiled kernel call per (site, gene) row
+    // (ExonCsqKernelSpec pins kernel ≡ the previous staged-Column
+    // pipeline field for field): the staged HOF columns each ran
+    // interpreted per row.
+    val k = graft.expressions.GenomeExprs.exonSnp(
+      graft.expressions.Genome.inline(genome), flank,
+      col("chrom"), col("pos").cast("long"), col("alt"), col("strand"),
+      col("__ex"), col("__total").cast("long"), col("__gs").cast("long"),
+      col("__ge").cast("long"))
+    joined
+      .withColumn("__k", when(col("gene").isNotNull && isSnp, k))
+      .withColumn("codon_index", col("__k.codon_index"))
+      .withColumn("ref_codon", col("__k.ref_codon"))
+      .withColumn("alt_codon", col("__k.alt_codon"))
+      .withColumn("aa_ref", col("__k.aa_ref"))
+      .withColumn("aa_alt", col("__k.aa_alt"))
       .withColumn("consequence",
         when(sym, lit("symbolic"))
           .when(!isSnp, lit("non_snv"))
           .when(col("gene").isNull, lit("intergenic"))
-          .when(col("__inx").isNotNull, snpCons)
-          .otherwise(spliceCons))
-      .drop("__ex", "__total", "__gs", "__ge", "__inx", "__edge", "__o",
-        "__ci", "__ph", "__b0", "__b1", "__b2", "__rcod", "__acod",
-        "__aar", "__aaa")
+          .otherwise(col("__k.consequence")))
+      .drop("__ex", "__total", "__gs", "__ge", "__k")
   }
 
   /** CONSUME VEP/snpEff annotations already IN a VCF — the `bcftools

@@ -101,8 +101,9 @@ object Graphs {
     * degree side. Input edges may be directed/duplicated/looped; they
     * are canonicalized first.
     */
-  def triangleCounts(edges: DataFrame): DataFrame =
-    triangleList(edges)
+  def triangleCounts(edges: DataFrame,
+      broadcastClose: Boolean = false): DataFrame =
+    triangleList(edges, broadcastClose)
       .groupBy(col("s").as("node")).agg(count(lit(1)).as("n_tri"))
 
   /** Per-EDGE triangle SUPPORT — the k-truss substrate (Cohen 2008):
@@ -116,10 +117,11 @@ object Graphs {
     * a 3-edge fan-out and one canonical-pair partial agg. Returns
     * (u, v, support) with u < v for edges in ≥ 1 triangle.
     */
-  def edgeSupport(edges: DataFrame): DataFrame = {
+  def edgeSupport(edges: DataFrame,
+      broadcastClose: Boolean = false): DataFrame = {
     def pair(x: String, y: String) = struct(
       least(col(x), col(y)).as("u"), greatest(col(x), col(y)).as("v"))
-    triangleList(edges)
+    triangleList(edges, broadcastClose)
       .select(explode(array(
         pair("s", "a"), pair("s", "b"), pair("a", "b"))).as("e"))
       .groupBy(col("e.u").as("u"), col("e.v").as("v"))
@@ -220,8 +222,23 @@ object Graphs {
     * [[edgeSupport]]: canonicalize → degree-orient → wedge at the
     * ≺-minimal vertex → close. One row (s, a, b) per triangle, s ≺ a
     * ≺ b in the (degree, id) order.
+    *
+    * r17 join strategy (guide §3.1): every equi-join here hints
+    * SHUFFLE_HASH — the wedge set is O(Σ d_out²) rows (41M at the
+    * sf0.1 co-purchase graph, 34× the edge count) and a sort-merge
+    * closing join SORTS it (measured: the close+count stage alone was
+    * 255 exec-core-s of q159's 463; hash-joining the edge set skips
+    * that sort; the build sides — oriented edges / degrees — are the
+    * SMALL, |E|/|V|-bounded sides and partition-local builds stay
+    * memory-safe at any scale because they are hash-partitioned
+    * first). `broadcastClose = true` additionally broadcasts the
+    * oriented edge set into the closing join so the wedge rows are
+    * never exchanged at all — opt-in, for graphs whose edge set fits
+    * an executor (callers document the bound; the sf0.1 gates' 1.2M
+    * oriented edges ≈ 30 MB).
     */
-  private def triangleList(edges: DataFrame): DataFrame = {
+  private def triangleList(edges: DataFrame,
+      broadcastClose: Boolean = false): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -231,8 +248,10 @@ object Graphs {
       .groupBy("x").agg(count(lit(1)).as("d"))
     // orient by the total order ≺ = (degree, id): s ≺ t
     val ori = und
-      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .join(deg.select(col("x").as("u"), col("d").as("du"))
+        .hint("shuffle_hash"), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv"))
+        .hint("shuffle_hash"), "v")
       .select(
         when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")),
@@ -243,12 +262,15 @@ object Graphs {
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
     val o1 = ori.select(col("s"), col("t").as("a"), col("dt").as("da"))
     val o2 = ori.select(col("s"), col("t").as("b"), col("dt").as("db"))
-    val wedges = o1.join(o2,
+    val wedges = o1.join(o2.hint("shuffle_hash"),
       o1("s") === o2("s") &&
         (col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b"))))
       .select(o1("s").as("s"), col("a"), col("b"))
-    wedges.join(ori.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
+    val close = ori.select(col("s").as("a"), col("t").as("b"))
+    val closeSide =
+      if (broadcastClose) broadcast(close) else close.hint("shuffle_hash")
+    wedges.join(closeSide, Seq("a", "b"))
       .select(col("s"), col("a"), col("b"))
   }
 }

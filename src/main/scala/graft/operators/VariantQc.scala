@@ -1814,10 +1814,15 @@ object VariantQc {
       .select(col("chrom"), bkt.as("__bk"), col("pos").as("pos_b"),
         col("ref").as("ref_b"), col("alt").as("alt_b"),
         col("__xs").as("__xb"))
+    // r17: the composite-site-key order spelled as plain boolean
+    // algebra — the struct(...) < struct(...) spelling built two
+    // structs per CANDIDATE pair (in-bucket candidates outnumber
+    // surviving pairs) just to compare them lexicographically
+    val keyLt = col("pos_a") < col("pos_b") ||
+      (col("pos_a") === col("pos_b") && (col("ref_a") < col("ref_b") ||
+        (col("ref_a") === col("ref_b") && col("alt_a") < col("alt_b"))))
     val pairs = left.join(right, Seq("chrom", "__bk"))
-      .filter(col("pos_b") - col("pos_a") <= maxDist.toLong &&
-        struct(col("pos_a"), col("ref_a"), col("alt_a")) <
-          struct(col("pos_b"), col("ref_b"), col("alt_b")))
+      .filter(col("pos_b") - col("pos_a") <= maxDist.toLong && keyLt)
       .withColumn("__sums",
         graft.expressions.VectorExprs.ldSums(col("__xa"), col("__xb")))
     def s(i: Int) = element_at(col("__sums"), i + 1)

@@ -60,6 +60,35 @@ object QueryUtil {
   private val substrateDone =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Total-order gate sort with the range-sampling DOUBLE-COMPUTE
+    * removed (r17 optimization): `orderBy` plans
+    * Exchange(rangepartitioning), and RangePartitioner's bound
+    * estimation is a SEPARATE job that re-executes the child plan —
+    * for a gate whose output is an expensive narrow projection with no
+    * intermediate shuffle, every expression above the last exchange
+    * evaluates TWICE per action (measured at sf0.1/8 cores: q184's
+    * consequence projection 230 s sampling + 194 s real; q103's split
+    * chain 214 s + 33 s). Staging the rows through ONE hash exchange
+    * first materializes the projection once as shuffle map output; the
+    * sampling job and the sort both READ those bytes instead of
+    * re-running the chain (shuffle map stages are shared across jobs).
+    * Same rows, same total order — only the physical path changes, and
+    * the exchanged rows are the gate's own final output (narrow), so
+    * the added shuffle is bytes-proportional at any scale while the
+    * removed recompute was CPU-proportional.
+    */
+  def sortStaged(df: DataFrame, cols: Column*): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n, cols: _*).orderBy(cols: _*)
+  }
+
+  /** Chainable spelling of [[sortStaged]] — gates replace a heavy
+    * tail's `.orderBy(a, b)` with `.sortStaged(col(a), col(b))`. */
+  implicit class SortStagedOps(private val df: DataFrame) extends AnyVal {
+    def sortStaged(cols: Column*): DataFrame =
+      QueryUtil.sortStaged(df, cols: _*)
+  }
+
   /** events.parquet stores TIMESTAMP(NANOS). Depending on the Spark
     * build this reads as raw int64 nanos under the
     * `legacy.parquet.nanosAsLong` conf (older behavior) or natively as

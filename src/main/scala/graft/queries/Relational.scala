@@ -839,7 +839,11 @@ object Relational extends QuerySet {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         .distinct()
-      graft.operators.Graphs.triangleCounts(pairs).orderBy("node")
+      // r17: the oriented co-purchase edge set is ~1.2M rows ≈ 30 MB —
+      // comfortably broadcastable — so the 41M-row wedge set is never
+      // exchanged (guide §3.1; the SMJ close sorted all 41M rows)
+      graft.operators.Graphs.triangleCounts(pairs, broadcastClose = true)
+        .orderBy("node")
     },
     Some(s"""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -926,7 +930,10 @@ object Relational extends QuerySet {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         .distinct()
-      graft.operators.Graphs.edgeSupport(pairs).orderBy("u", "v")
+      // r17: broadcast close — the q149 rationale (one shared
+      // enumeration shape)
+      graft.operators.Graphs.edgeSupport(pairs, broadcastClose = true)
+        .orderBy("u", "v")
     },
     Some(s"""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

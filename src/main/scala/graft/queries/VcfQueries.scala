@@ -164,9 +164,16 @@ object VcfQueries extends QuerySet {
       GROUP BY zygosity ORDER BY zygosity
     """))
 
-  /** Shared full-annotate projection (q15 in-memory, q63 file path). */
-  private def annotateProjection(df: org.apache.spark.sql.DataFrame) =
-    VariantAnnotator
+  /** Shared full-annotate projection (q15 in-memory, q63 file path).
+    * `staged = true` (the q63 file path) inserts one hash exchange
+    * below the final sort so the range-sampling job reads shuffle
+    * bytes instead of RE-PARSING the VCF files (measured 5.7 → 2.5 s
+    * at sf0.1); the in-memory substrate path keeps the plain sort —
+    * there its sampling re-runs only the cheap post-window segment and
+    * the extra exchange measured net-negative (2.6 → 3.7 s). */
+  private def annotateProjection(df: org.apache.spark.sql.DataFrame,
+      staged: Boolean = false) = {
+    val out = VariantAnnotator
       .annotate(df,
         VariantAnnotator.Options(
           splitColumns = Map("AD" -> 2),
@@ -179,7 +186,10 @@ object VcfQueries extends QuerySet {
         col("hom_ref_counts"),
         col("DP").cast("long").as("dp"),
         col("AD_0").as("ad_0"), col("AD_1").as("ad_1"))
-      .orderBy("chrom", "pos", "ref", "alt", "sample_id")
+    val key = Seq(col("chrom"), col("pos"), col("ref"), col("alt"),
+      col("sample_id"))
+    if (staged) out.sortStaged(key: _*) else out.orderBy(key: _*)
+  }
 
   private val annotateOracle = s"""
       WITH $duckCtes, $duckAnnotateCtes
@@ -566,7 +576,11 @@ object VcfQueries extends QuerySet {
           explode(col("genotypes")).as(Seq("sample_id", "call")))
         .withColumn("gt_new", substring_index(col("call"), ":", 1))
         .drop("call")
-        .orderBy("k", "allele_idx", "sample_id")
+        // r17: stage the split+explode chain through one hash exchange
+        // — the final sort's range-bound sampling job otherwise
+        // re-executes the whole projection (measured 214 s sampling vs
+        // 33 s real at sf0.1/8c)
+        .sortStaged(col("k"), col("allele_idx"), col("sample_id"))
     },
     Some(s"""
       WITH $duckCtes,
@@ -858,7 +872,7 @@ object VcfQueries extends QuerySet {
       val df = s.read.format("vcf")
         .option("samples", sampleIds.mkString(","))
         .load(vcfCorpusShards(s, dir))
-      annotateProjection(df)
+      annotateProjection(df, staged = true)
     },
     Some(annotateOracle))
 
@@ -1471,8 +1485,17 @@ object VcfQueries extends QuerySet {
     (s, dir) => {
       val sites = wide(s, dir).select(col("chrom"), col("pos")).distinct()
       val regions = syntheticRegions(s, dir)
+      // r17: same statistic through the per-chrom sort-merge sweep +
+      // radius filter — identical dist per site (the sweep reports the
+      // TRUE minimum; a site has a region within 5 kb iff its true
+      // nearest is ≤ 5 kb), but O(n log n) instead of the bucket
+      // decomposition's in-bucket candidate product, which on THESE
+      // dense overlapping regions (width ≤ 4.7 kb + 2×5 kb radius vs a
+      // 90 kb chrom span) evaluated ~0.7B candidate pairs — 228 of the
+      // gate's 264 exec-core-s in one 4-task stage. Oracle unchanged.
       graft.operators.RangeJoin
-        .nearestInterval(sites, regions, maxDist = 5000L, bucketShift = 14)
+        .nearestIntervalUnbounded(sites, regions)
+        .filter(col("dist") <= 5000L)
         .groupBy("chrom")
         .agg(count(lit(1)).as("n_sites"),
           sum(col("dist")).as("sum_dist"),
@@ -2765,7 +2788,9 @@ object VcfQueries extends QuerySet {
       Consequence.snpConsequence(sites, cds, genome)
         .select(col("k"), col("pos"), col("gene"), col("ref"), col("alt"),
           col("aa_ref"), col("aa_alt"), col("consequence"))
-        .orderBy("k")
+        // r17: one hash exchange below the sort — the range-sampling
+        // job otherwise runs the codon walk twice (guide §1/§2.4)
+        .sortStaged(col("k"))
     },
     Some("""
       WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
@@ -2918,7 +2943,10 @@ object VcfQueries extends QuerySet {
         Consequence.csq(sites, cds, genome)
           .select(col("k"), col("pos"), col("ref"), col("alt"), col("gene"),
             col("consequence"))
-          .orderBy("k")
+          // r17: one hash exchange below the sort — the range-sampling
+          // job otherwise runs the csq ladder twice (230 s + 194 s
+          // measured at sf0.1/8c)
+          .sortStaged(col("k"))
       },
       Some(s"""
         WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
@@ -3117,7 +3145,9 @@ object VcfQueries extends QuerySet {
         Consequence.snpConsequenceExons(sites, exons, genome)
           .select(col("k"), col("pos"), col("ref"), col("alt"), col("gene"),
             col("ref_codon"), col("alt_codon"), col("consequence"))
-          .orderBy("k")
+          // r17: one hash exchange below the sort (range-sampling
+          // double-compute, the q184 mechanism)
+          .sortStaged(col("k"))
       },
       Some(s"""
         WITH ln AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
@@ -3697,7 +3727,9 @@ object VcfQueries extends QuerySet {
       CsqExonsGate.called(s, dir)
         .select(col("k"), col("pos"), col("ref"), col("alt"), col("gene"),
           col("consequence"))
-        .orderBy("k"),
+        // r17: one hash exchange below the sort (range-sampling
+        // double-compute, the q184 mechanism)
+        .sortStaged(col("k")),
     Some(CsqExonsGate.oracleCore + "\n        ORDER BY k"))
 
   /** PER-GENE CONSEQUENCE-CLASS BURDEN ([[graft.operators.Consequence
@@ -4587,7 +4619,10 @@ object VcfQueries extends QuerySet {
           col("alt"), col("csq_idx"), col("Allele"), col("Consequence"),
           col("IMPACT"), col("SYMBOL"), col("ALLELE_NUM"),
           col("aligned_alt"))
-        .orderBy("k", "csq_idx")
+        // r17: one hash exchange below the sort — the range-sampling
+        // job otherwise runs the splitVep explode twice (34.6 s +
+        // 33.6 s measured at sf0.1/8c)
+        .sortStaged(col("k"), col("csq_idx"))
     },
     Some(s"""
       WITH $duckCtes,
@@ -5035,7 +5070,9 @@ object VcfQueries extends QuerySet {
           .select(col("lk"), col("chrom"), col("pos"), col("sample_id"),
             col("k").as("gk"), col("state"), col("gt"),
             col("called_gt"), col("gq"))
-          .orderBy("lk", "sample_id", "gk")
+          // r17: one hash exchange below the sort (range-sampling
+          // double-compute — the q184 mechanism)
+          .sortStaged(col("lk"), col("sample_id"), col("gk"))
       },
       Some(s"""
         WITH gv AS (SELECT k, $gvChrom, $gvPos, $gvRef, $gvAlt,
@@ -5211,7 +5248,9 @@ object VcfQueries extends QuerySet {
           .select(col("lk"), col("chrom"), col("pos"), col("sample_id"),
             col("k").as("gk"), col("state"), col("gt"),
             col("called_gt"), col("gq"))
-          .orderBy("lk", "sample_id", "gk")
+          // r17: one hash exchange below the sort (range-sampling
+          // double-compute — the q184 mechanism)
+          .sortStaged(col("lk"), col("sample_id"), col("gk"))
       },
       Some(s"""
         WITH gv AS (SELECT k, $gvChrom, $gvPos, $gvRef, $gvAlt,
@@ -6023,7 +6062,10 @@ object VcfQueries extends QuerySet {
               .as("info_recalled"),
             max(when(col("which") === "o", col("info")))
               .as("info_original"))
-          .orderBy("chrom", "pos", "ref", "alt")
+          // r17: one hash exchange below the sort (range-sampling
+          // double-compute — two sampling stages were 58 of the gate's
+          // 199 exec-core-s at sf0.1/8c)
+          .sortStaged(col("chrom"), col("pos"), col("ref"), col("alt"))
       },
       Some(s"""
         WITH gv AS (SELECT k, $gvChrom, $gvPos, $gvRef, $gvAlt,

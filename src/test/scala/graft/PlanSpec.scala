@@ -242,8 +242,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q81/q82/q83 range joins are equi-joins on (chrom, bucket), never nested loops") {
-    for (name <- Seq("q81_region_join", "q82_interval_overlap",
-        "q83_nearest_feature")) {
+    for (name <- Seq("q81_region_join", "q82_interval_overlap")) {
       val q = SparkEntry.queries(name)(spark, dir)
       q.collect()
       val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
@@ -253,6 +252,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"$name planned as a nested loop:\n$p")
       assert(p.contains("Join"), p)
     }
+    // q83 (r17): the nearest-within-radius statistic now rides the
+    // per-chrom sort-merge SWEEP — the bucket decomposition's
+    // in-bucket candidate product was ~0.7B pairs on this data (radius
+    // ≈ a large fraction of the chrom span). The sweep plan must have
+    // NO join at all (two chrom-partitioned windows over one union)
+    // and in particular no nested loop.
+    val q83 = SparkEntry.queries("q83_nearest_feature")(spark, dir)
+    q83.collect()
+    val p83 = q83.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p83.contains("Join"), s"q83 must be the join-free sweep:\n$p83")
+    assert(p83.contains("Window"), s"q83 sweep windows missing:\n$p83")
   }
 
   test("q79/q80 family QC read ONE annotate plan via ReusedExchange") {
