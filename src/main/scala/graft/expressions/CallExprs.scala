@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -149,4 +149,97 @@ case class CallFromPlExpr(format: Expression, alt: Expression,
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): CallFromPlExpr =
     copy(format = newFirst, alt = newSecond, call = newThird)
+}
+
+/** [[graft.operators.Gvcf.jointGenotype]]'s per-record PL argmin —
+  * (min, first-argmin, second-min, arity, malformed) in ONE compiled
+  * pass over the PL string, finishing to struct(cgt, gq) or null
+  * exactly like the previous Column `aggregate` fold (which ran
+  * interpreted per row — the q213 lesson, third body): strict-<
+  * first-minimum ties, digits-only ≤ 9-char entries (the non-ANSI
+  * overflow guard), trailing empties kept, diploid triangular
+  * inversion via the IDENTICAL double-sqrt formula, haploid
+  * nAlts+1-arity records emitting the argmin allele index, everything
+  * else (wrong arity, malformed entry, < 2 entries) null = "keep the
+  * original GT".
+  */
+object JointCallKernel {
+  def call(plU: UTF8String, altU: UTF8String): GenericInternalRow = {
+    val pl = plU.toString
+    val alt = altU.toString
+    var nAlts = 1
+    var ai = 0
+    while (ai < alt.length) { if (alt.charAt(ai) == ',') nAlts += 1; ai += 1 }
+    val nGt = (nAlts + 1) * (nAlts + 2) / 2
+    var minV = Int.MaxValue
+    var argmin = -1
+    var v2 = Int.MaxValue
+    var pos = 0
+    var bad = false
+    var es = 0
+    var done = false
+    while (!done) {
+      val ee = { val c = pl.indexOf(',', es); if (c < 0) pl.length else c }
+      var v = 0L
+      var ok = ee > es && ee - es <= 9
+      var i = es
+      while (ok && i < ee) {
+        val ch = pl.charAt(i)
+        if (ch < '0' || ch > '9') ok = false else v = v * 10 + (ch - '0')
+        i += 1
+      }
+      if (!ok) bad = true
+      else {
+        val xv = v.toInt
+        if (xv < minV) { v2 = minV; argmin = pos; minV = xv }
+        else if (xv < v2) v2 = xv
+      }
+      pos += 1
+      if (ee >= pl.length) done = true else es = ee + 1
+    }
+    if (bad || pos < 2 || argmin < 0) return null
+    val gq = v2 - minV
+    if (pos == nGt) {
+      val k = math.floor((math.sqrt(argmin * 8.0 + 1.0) - 1.0) / 2.0).toInt
+      val j = argmin - k * (k + 1) / 2
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(s"$j/$k"), gq))
+    } else if (pos == nAlts + 1 && pos != nGt) {
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(argmin.toString), gq))
+    } else null
+  }
+}
+
+/** (pl, alt) → struct(cgt, gq) or null (see [[JointCallKernel]]). */
+case class JointCallExpr(pl: Expression, alt: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = pl
+  override def right: Expression = alt
+  override def prettyName: String = "joint_call_pl"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("cgt", StringType, nullable = true),
+    StructField("gq", IntegerType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (pl.dataType, alt.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string), got $other")
+    }
+
+  override protected def nullSafeEval(p: Any, a: Any): Any =
+    JointCallKernel.call(p.asInstanceOf[UTF8String],
+      a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, a) => s"""
+      ${ev.value} = graft.expressions.JointCallKernel.call($p, $a);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JointCallExpr =
+    copy(pl = newLeft, alt = newRight)
 }

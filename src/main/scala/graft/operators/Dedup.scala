@@ -310,31 +310,20 @@ object Dedup {
     * Spark or DuckDB BIGINT. Bit 63 is set via Long.MinValue, keeping
     * the full 64-bit space (oracle converts two's-complement in HUGEINT).
     */
-  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // long form again: explode tokens, hash scalar, one aggregation with
-    // 64 conditional sums (bit votes), then assemble the bits.
-    val tok = df
-      .select(col(idCol).as("id"),
-        explode(wsTokens(lower(cleanAscii(col(textCol))))).as("t"))
-      .select(col("id"), rollingHash(col("t")).as("x1"))
-      .distinct()
-      .withColumn("x2", (col("x1") * lit(48271L) + lit(11L)) % lit(999999937L))
-      .withColumn("x3", (col("x2") * lit(48271L) + lit(11L)) % lit(999999937L))
-    def bitOf(b: Int): Column =
-      if (b < 30) shiftright(col("x1"), b).bitwiseAND(1)
-      else if (b < 60) shiftright(col("x2"), b - 30).bitwiseAND(1)
-      else shiftright(col("x3"), b - 60).bitwiseAND(1)
-    val votes = tok.groupBy("id").agg(
-      sum(when(bitOf(0) === 1, 1).otherwise(-1)).as("v0"),
-      (1 until 64).map(b =>
-        sum(when(bitOf(b) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
-    votes.select(
-      col("id"),
-      (0 until 64).map(b =>
-        when(col(s"v$b") > 0, lit(if (b == 63) Long.MinValue else 1L << b))
-          .otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _).as("simhash"))
-  }
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // r17 (guide §2.1/§4): previously an explode + distinct + 64
+    // conditional-sum aggregation — TWO exchanges, and the 64-buffer
+    // HashAggregate blew the codegen field budget so every vote ran
+    // interpreted (q35's 223-of-230 exec-core-s stage). [[simhashOf]]
+    // is the spec-pinned bit-identical per-row kernel (same bit
+    // sources, same strict-majority rule — DedupSimilaritySpec keeps
+    // the aggregation form verbatim as the parity reference), so the
+    // table is now ONE zero-exchange narrow projection. Token-less
+    // docs map to NULL and are filtered, mirroring the aggregation's
+    // absent group. Contract unchanged: one row per input row (ids
+    // are unique per the corpus contract).
+    df.select(col(idCol).as("id"), simhashOf(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys —
     * two docs within hamming ≤ 4-ish must share at least one band
@@ -542,8 +531,14 @@ object Dedup {
     require(!reliable ||
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable = true needs spark.sparkContext.setCheckpointDir(...)")
+    // r17 (guide §5.2 — the driver loop): checkpoints are LAZY and the
+    // round's convergence count is what materializes them, so each
+    // round pays ONE job instead of eager-checkpoint + count; the
+    // changed flag rides the label row itself, replacing the previous
+    // spelling's extra next⋈labels self-join. q182 wall was 9.9 s on
+    // 3.9 exec-s — pure per-job scheduling/planning overhead.
     def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
     val edges = cp(pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -556,17 +551,18 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("id")).agg(min("comp").as("__nc"))
+      // __ch ⟺ the min neighbor label beats the own label — exactly
+      // the previous "next.comp < prev.comp" (labels only decrease)
       val next = cp(labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp")))
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "__prev"), "id")
-        .filter(col("comp") < col("__prev")).count()
+          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"),
+          (coalesce(col("__nc"), col("comp")) < col("comp")).as("__ch")))
+      val changed = next.filter(col("__ch")).count()
       // the previous round's checkpoint blocks are released by Spark's
       // ContextCleaner once this reassignment drops the last reference
       // (localCheckpoint persists RDD-side; Dataset.unpersist can't reach
       // it) — storage holds at most ~2 rounds of the label table
-      labels = next
+      labels = next.drop("__ch")
       done = changed == 0
       i += 1
     }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** gVCF REFERENCE-BLOCK semantics — the `<NON_REF>` + `END` INFO span
   * model (GATK gVCF / VCF 4.2 §1.6.1 reserved END key): a banded gVCF
@@ -133,9 +134,10 @@ object Gvcf {
     *
     * Shape: [[cohortLocusState]]'s plan (bucket equi-join + the
     * answer-sized broadcast grid) + ONE narrow projection whose PL
-    * fold is a single `aggregate` referenced once (§8 staging rule —
-    * each element parses once, min/argmin/second-min carried in one
-    * pass); zero additional exchanges.
+    * fold is one compiled [[graft.expressions.JointCallKernel]] call
+    * referenced once (§8 staging rule — each element parses once,
+    * min/argmin/second-min carried in one pass); zero additional
+    * exchanges.
     */
   def jointGenotype(
       gvcf: DataFrame, loci: DataFrame,
@@ -146,58 +148,15 @@ object Gvcf {
       bucketShift: Int = 20): DataFrame = {
     val st = cohortLocusState(gvcf, loci, sampleCol, chromCol, posCol,
       refCol, infoCol, bucketShift)
-    val nAlts = size(split(col("alt"), ","))
-    val nGt = ((nAlts + 1) * (nAlts + 2) / 2).cast("int")
-    val pl = split(col(plCol), ",")
-    val big = Int.MaxValue
-    // ONE fold carrying (min, argmin, second-min, cursor, bad) — the
-    // q213 single-pass pattern extended with the GQ gap; the finish
-    // emits the complete (called_gt, gq) struct or NULL so the fold
-    // is referenced exactly once through the coalesce below
-    val zero = struct(lit(big).as("v"), lit(-1).as("i"),
-      lit(big).as("v2"), lit(0).as("pos"), lit(false).as("bad"))
-    val folded = aggregate(pl, zero,
-      (acc, x) => {
-        // digits-only AND length-capped: a digits-only element beyond
-        // Int range ('99999999999') must take the malformed-PL
-        // passthrough, not throw under the ANSI cast (9 digits <= 1e9
-        // keeps the int cast overflow-safe — the Consequence rule)
-        val xv = when(x =!= "" && length(x) <= 9 &&
-          length(translate(x, "0123456789", "")) === 0,
-          x.cast("int"))
-        val better = xv.isNotNull && xv < acc.getField("v")
-        val second = xv.isNotNull && !(xv < acc.getField("v")) &&
-          xv < acc.getField("v2")
-        struct(
-          when(better, xv).otherwise(acc.getField("v")).as("v"),
-          when(better, acc.getField("pos"))
-            .otherwise(acc.getField("i")).as("i"),
-          when(better, acc.getField("v"))
-            .when(second, xv).otherwise(acc.getField("v2")).as("v2"),
-          (acc.getField("pos") + 1).as("pos"),
-          (acc.getField("bad") || xv.isNull).as("bad"))
-      },
-      acc => {
-        val i = acc.getField("i")
-        val kAl = floor((sqrt(i.cast("double") * 8.0 + 1.0) - 1.0) / 2.0)
-          .cast("int")
-        val jAl = (i - (kAl * (kAl + 1)) / 2).cast("int")
-        val ok = !acc.getField("bad") && acc.getField("pos") >= lit(2) &&
-          i >= 0
-        val gq = (acc.getField("v2") - acc.getField("v")).as("gq")
-        // a HAPLOID record (male chrX/Y) carries one PL per ALLELE
-        // (nAlts+1 entries, VCF 4.2 §1.6.2) — the argmin IS the called
-        // allele, no triangular inversion; nAlts+1 < (nAlts+1)(nAlts+2)/2
-        // for every nAlts >= 1 so the two arities never collide
-        when(ok && acc.getField("pos") === nGt,
-          struct(
-            concat(jAl.cast("string"), lit("/"), kAl.cast("string"))
-              .as("cgt"),
-            gq))
-          .when(ok && acc.getField("pos") === nAlts + 1 &&
-            acc.getField("pos") =!= nGt,
-            struct(i.cast("string").as("cgt"), gq))
-      })
+    // ONE compiled pass carrying (min, argmin, second-min, cursor,
+    // bad) — the q213 single-pass pattern extended with the GQ gap;
+    // r17: the previous Column `aggregate` HOF ran INTERPRETED per
+    // row (CodegenFallback) — [[graft.expressions.JointCallKernel]]
+    // is the same fold as one static call, pinned fold ≡ kernel by
+    // JointCallKernelSpec over the full branch sweep
+    val folded = Bridge.column(graft.expressions.JointCallExpr(
+      Bridge.expression(col(plCol)),
+      Bridge.expression(col("alt"))))
     st
       .withColumn("__jc",
         when(col("state") =!= "no_coverage", folded))

@@ -49,11 +49,18 @@ object VariantQc {
         col(sampleCol).as("__s"),
         (col(a1Col) =!= col(a2Col)).as("__het"),
         when(col(a1Col) === col(a2Col), col(a1Col)).as("__hom")): _*)
-    def side(p: String) = g.select(siteKey.map(col) ++ Seq(
-      col("__s").as(s"sample_$p"), col("__het").as(s"het_$p"),
-      col("__hom").as(s"hom_$p")): _*)
-    side("a").join(side("b"), siteKey)
-      .filter(col("sample_a") < col("sample_b"))
+    // r17 (guide §2.1): self-join g against ITSELF — renaming the
+    // sides before the join made the two exchange inputs structurally
+    // different, so each side re-ran the whole upstream chain
+    // (annotate → panel semi-join, 4 identical 1.27M-row map stages in
+    // the q208 profile); with both children canonically equal the
+    // pair join plans ONE shuffle map stage read twice (ReusedExchange)
+    val eqKeys = siteKey.map(k => col(s"ka.$k") === col(s"kb.$k"))
+      .reduce(_ && _)
+    g.as("ka").join(g.as("kb"), eqKeys && col("ka.__s") < col("kb.__s"))
+      .select(col("ka.__s").as("sample_a"), col("kb.__s").as("sample_b"),
+        col("ka.__het").as("het_a"), col("kb.__het").as("het_b"),
+        col("ka.__hom").as("hom_a"), col("kb.__hom").as("hom_b"))
       .groupBy("sample_a", "sample_b")
       .agg(
         count(lit(1)).as("n_sites"),
@@ -1051,8 +1058,6 @@ object VariantQc {
       .agg(count(lit(1)).as("__n"), sum(col("__d")).as("__b"))
       .withColumn("__a", lit(2L) * col("__n") - col("__b"))
       .filter(col("__a") > 0L && col("__b") > 0L)
-    def side(p: String) = g.select(siteKey.map(col) ++ Seq(
-      col("__s").as(s"sample_$p"), col("__d").as(s"d_$p")): _*)
     val za = col("__n") * col("d_a") - col("__b")
     val zb = col("__n") * col("d_b") - col("__b")
     // signed exact floor division: DIV truncates toward zero, floor
@@ -1072,8 +1077,18 @@ object VariantQc {
       if (decimalLift) floorDiv(pairSum, count(lit(1)))
       else floor(pairSum.cast("double") / count(lit(1)).cast("double"))
         .cast("long")
-    side("a").join(side("b"), siteKey)
-      .filter(col("sample_a") <= col("sample_b"))
+    // r17 (guide §2.1): self-join g against ITSELF — renaming the
+    // sides before the join made the two exchange inputs structurally
+    // different, so each side re-ran the whole upstream chain
+    // (annotate → dosage agg); with both children canonically equal
+    // the pair join plans ONE shuffle map stage read twice
+    // (ReusedExchange) — the kinshipCounts fix, second body
+    val eqKeys = siteKey.map(k => col(s"ga.$k") === col(s"gb.$k"))
+      .reduce(_ && _)
+    g.as("ga").join(g.as("gb"), eqKeys && col("ga.__s") <= col("gb.__s"))
+      .select(siteKey.map(k => col(s"ga.$k").as(k)) ++ Seq(
+        col("ga.__s").as("sample_a"), col("gb.__s").as("sample_b"),
+        col("ga.__d").as("d_a"), col("gb.__d").as("d_b")): _*)
       .join(freq, siteKey)
       .groupBy("sample_a", "sample_b")
       .agg(
@@ -1821,7 +1836,11 @@ object VariantQc {
     val keyLt = col("pos_a") < col("pos_b") ||
       (col("pos_a") === col("pos_b") && (col("ref_a") < col("ref_b") ||
         (col("ref_a") === col("ref_b") && col("alt_a") < col("alt_b"))))
-    val pairs = left.join(right, Seq("chrom", "__bk"))
+    // r17 (guide §3.1): hash-join the buckets — sort-merge SORTED both
+    // sides' dosage-ARRAY payload rows per (chrom, bucket); the build
+    // side is the un-exploded vector table, hash-partitioned first, so
+    // partition-local builds stay bucket-bounded at any scale
+    val pairs = left.join(right.hint("shuffle_hash"), Seq("chrom", "__bk"))
       .filter(col("pos_b") - col("pos_a") <= maxDist.toLong && keyLt)
       .withColumn("__sums",
         graft.expressions.VectorExprs.ldSums(col("__xa"), col("__xb")))

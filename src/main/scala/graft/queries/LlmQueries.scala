@@ -5092,7 +5092,13 @@ object LlmQueries extends QuerySet {
     "q195_repetition",
     (s, dir) =>
       TextAnalysis.repetitionScreens(
-        t(s, dir, "documents"), "doc_id", "text")
+        // r17: documents.parquet is ONE small file → one scan split,
+        // and all three explode+agg passes of the screen ran as
+        // 1-TASK stages (3 × 6.6 exec-s serialized at any core
+        // count); spread the docs once so the passes parallelize
+        t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
         .orderBy("doc_id"),
     Some(s"""
       WITH t AS (SELECT doc_id,
@@ -5599,7 +5605,10 @@ object LlmQueries extends QuerySet {
         TextAnalysis.scriptProfile(docs, "k", "text")
           .select((col("k") +: outCols.map(col)) :+
             col("n_other") :+ col("dominant_script"): _*)
-          .orderBy("k")
+          // r17: one hash exchange below the sort (range-sampling
+          // double-compute — 37.8 of the gate's 74 exec-core-s at
+          // sf0.1/8c re-ran the per-script regex counts)
+          .sortStaged(col("k"))
       },
       Some {
         val counts = TextAnalysis.ScriptRanges.map { case (n, r) =>
@@ -5658,9 +5667,11 @@ object LlmQueries extends QuerySet {
           .repartition(s.sparkContext.defaultParallelism)
           .selectExpr("k", s"($textSql) AS text")
         TextAnalysis.mojibakeScore(docs, "k", "text")
-          .select("k", "n_chars", "mojibake_n", "mojibake_micro",
-            "is_mojibake")
-          .orderBy("k")
+          .select(col("k"), col("n_chars"), col("mojibake_n"),
+            col("mojibake_micro"), col("is_mojibake"))
+          // r17: one hash exchange below the sort (range-sampling
+          // double-compute — 26.6 of the gate's 52 exec-core-s)
+          .sortStaged(col("k"))
       },
       Some {
         val counts = TextAnalysis.MojibakeArtifacts.map(a =>

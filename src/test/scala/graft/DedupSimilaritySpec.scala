@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -52,6 +53,38 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(jac.isEmpty, s"jaccard unexpectedly flagged: ${jac.mkString(",")}")
   }
 
+  /** The pre-r17 explode + distinct + 64-conditional-sum aggregation,
+    * kept VERBATIM as the parity reference: Dedup.simhashTable now
+    * computes the same table through the per-row Simhash64Expr kernel
+    * (one narrow projection, zero exchanges), and this legacy form is
+    * what pins the kernel's bit sources and strict-majority rule.
+    */
+  private def legacySimhashTable(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String) = {
+    import graft.functions.TextFunctions.{cleanAscii, rollingHash, wsTokens}
+    val tok = df
+      .select(col(idCol).as("id"),
+        explode(wsTokens(lower(cleanAscii(col(textCol))))).as("t"))
+      .select(col("id"), rollingHash(col("t")).as("x1"))
+      .distinct()
+      .withColumn("x2", (col("x1") * lit(48271L) + lit(11L)) % lit(999999937L))
+      .withColumn("x3", (col("x2") * lit(48271L) + lit(11L)) % lit(999999937L))
+    def bitOf(b: Int): Column =
+      if (b < 30) shiftright(col("x1"), b).bitwiseAND(1)
+      else if (b < 60) shiftright(col("x2"), b - 30).bitwiseAND(1)
+      else shiftright(col("x3"), b - 60).bitwiseAND(1)
+    val votes = tok.groupBy("id").agg(
+      sum(when(bitOf(0) === 1, 1).otherwise(-1)).as("v0"),
+      (1 until 64).map(b =>
+        sum(when(bitOf(b) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+    votes.select(
+      col("id"),
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(if (b == 63) Long.MinValue else 1L << b))
+          .otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
   test("simhashOf is the bit-identical per-row twin of simhashTable") {
     val rnd = new scala.util.Random(7)
     // randomized docs, including empty and repeated-token boilerplate
@@ -60,7 +93,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       (i, (0 until n).map(_ => s"w${rnd.nextInt(25)}").mkString(" "))
     }
     val docs = fixture.toDF("id", "text")
-    val agg = Dedup.simhashTable(docs, "id", "text")
+    val agg = legacySimhashTable(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val perRow = docs.select(col("id"), Dedup.simhashOf(col("text")).as("sh"))
       .collect()
@@ -70,6 +103,11 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(perRow(id) === agg.get(id),
         s"doc $id: per-row ${perRow(id)} vs aggregation ${agg.get(id)}")
     }
+    // and the kernel-backed simhashTable itself equals the legacy
+    // aggregation row-for-row (absent rows for token-less docs)
+    val tbl = Dedup.simhashTable(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tbl === agg)
     // token-less docs exist in the fixture and map to NULL, not 0
     assert(fixture.exists(_._2.trim.isEmpty))
   }
