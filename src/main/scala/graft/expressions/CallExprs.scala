@@ -243,3 +243,263 @@ case class JointCallExpr(pl: Expression, alt: Expression)
       newLeft: Expression, newRight: Expression): JointCallExpr =
     copy(pl = newLeft, alt = newRight)
 }
+
+/** [[graft.operators.VariantAnnotator.removeTags]]' per-row strips as
+  * compiled kernels — the Column form ran `filter`/`split`/
+  * `try_element_at` HOF trees INTERPRETED per call entry (q224's
+  * 114 exec-core-s). Each static mirrors its Column twin entry for
+  * entry: split keeps trailing empties (Java split limit -1), the
+  * INFO key is the text before the FIRST `=` (bare FLAGs match
+  * whole), a NULL format keeps every call subfield, emptied strings
+  * land as `.`, tag matching is exact (the `isin` contract).
+  */
+object TagStripKernel {
+  /** Java `split(sep, -1)` for a single literal char — trailing
+    * empties kept, "" → [""]. */
+  private def splitKeep(s: String, sep: Char): Array[String] = {
+    var n = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == sep) n += 1; i += 1 }
+    val out = new Array[String](n)
+    var k = 0
+    var st = 0
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == sep) { out(k) = s.substring(st, i); k += 1; st = i + 1 }
+      i += 1
+    }
+    out(k) = s.substring(st)
+    out
+  }
+
+  private def has(tags: Array[String], k: String): Boolean = {
+    var i = 0
+    while (i < tags.length) { if (tags(i) == k) return true; i += 1 }
+    false
+  }
+
+  private def joinOrDot(parts: Array[String], keep: Array[Boolean],
+      sep: Char): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    var first = true
+    var i = 0
+    while (i < parts.length) {
+      if (keep(i)) {
+        if (!first) sb.append(sep)
+        sb.append(parts(i))
+        first = false
+      }
+      i += 1
+    }
+    if (sb.length == 0) UTF8String.fromString(".")
+    else UTF8String.fromString(sb.toString)
+  }
+
+  /** INFO strip: NULL info = "" (→ "."), whole `;`-entries whose key
+    * (before the first `=`) matches drop. NEVER null. */
+  def stripInfo(infoU: UTF8String, tags: Array[String]): UTF8String = {
+    val info = if (infoU == null) "" else infoU.toString
+    val parts = splitKeep(info, ';')
+    val keep = new Array[Boolean](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      val e = parts(i)
+      val eq = e.indexOf('=')
+      val key = if (eq < 0) e else e.substring(0, eq)
+      keep(i) = !has(tags, key)
+      i += 1
+    }
+    joinOrDot(parts, keep, ';')
+  }
+
+  /** FORMAT strip: keys matching drop; NULL stays NULL; emptied → ".". */
+  def stripFormat(fmtU: UTF8String, tags: Array[String]): UTF8String = {
+    if (fmtU == null) return null
+    val parts = splitKeep(fmtU.toString, ':')
+    val keep = new Array[Boolean](parts.length)
+    var i = 0
+    while (i < parts.length) { keep(i) = !has(tags, parts(i)); i += 1 }
+    joinOrDot(parts, keep, ':')
+  }
+
+  /** CALL strip through the row's OWN format layout: subfield i drops
+    * iff format key i matches; a call longer than FORMAT keeps its
+    * tail (key "" never matches); NULL call stays NULL; NULL format
+    * keeps everything; emptied → ".". */
+  def stripCall(callU: UTF8String, fmtU: UTF8String,
+      tags: Array[String]): UTF8String = {
+    if (callU == null) return null
+    val parts = splitKeep(callU.toString, ':')
+    val fmt = if (fmtU == null) null else splitKeep(fmtU.toString, ':')
+    val keep = new Array[Boolean](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      val key = if (fmt != null && i < fmt.length) fmt(i) else ""
+      keep(i) = !has(tags, key)
+      i += 1
+    }
+    joinOrDot(parts, keep, ':')
+  }
+}
+
+/** (info) → tag-stripped info (see [[TagStripKernel.stripInfo]];
+  * NULL-tolerant, never returns null). */
+case class StripInfoExpr(info: Expression, tags: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val tagsArr = tags.toArray
+  override def child: Expression = info
+  override def prettyName: String = "strip_info_tags"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = info.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TagStripKernel.stripInfo(
+      info.eval(input).asInstanceOf[UTF8String], tagsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tagsRef = ctx.addReferenceObj("tags", tagsArr, "java.lang.String[]")
+    val c = info.genCode(ctx)
+    val code =
+      s"""
+         |${c.code.toString}
+         |UTF8String ${ev.value} = graft.expressions.TagStripKernel.stripInfo(
+         |  ${c.isNull} ? null : ${c.value}, $tagsRef);
+       """.stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(code)).code(),
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): StripInfoExpr =
+    copy(info = newChild)
+}
+
+/** (format) → tag-stripped format (see [[TagStripKernel.stripFormat]]). */
+case class StripFormatExpr(format: Expression, tags: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val tagsArr = tags.toArray
+  override def child: Expression = format
+  override def prettyName: String = "strip_format_tags"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = format.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  override protected def nullSafeEval(f: Any): Any =
+    TagStripKernel.stripFormat(f.asInstanceOf[UTF8String], tagsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tagsRef = ctx.addReferenceObj("tags", tagsArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, f => s"""
+      ${ev.value} = graft.expressions.TagStripKernel.stripFormat($f, $tagsRef);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): StripFormatExpr =
+    copy(format = newChild)
+}
+
+/** (call, format) → tag-stripped call through the row's own layout
+  * (see [[TagStripKernel.stripCall]]; a NULL format keeps every
+  * subfield, so only the call side gates nullness). */
+case class StripCallExpr(call: Expression, format: Expression,
+    tags: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  @transient private lazy val tagsArr = tags.toArray
+  override def left: Expression = call
+  override def right: Expression = format
+  override def prettyName: String = "strip_call_tags"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (call.dataType, format.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string), got $other")
+    }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = call.eval(input)
+    if (c == null) null
+    else TagStripKernel.stripCall(c.asInstanceOf[UTF8String],
+      format.eval(input).asInstanceOf[UTF8String], tagsArr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tagsRef = ctx.addReferenceObj("tags", tagsArr, "java.lang.String[]")
+    val c = call.genCode(ctx)
+    val f = format.genCode(ctx)
+    val code =
+      s"""
+         |${c.code.toString}
+         |boolean ${ev.isNull} = ${c.isNull};
+         |UTF8String ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${f.code.toString}
+         |  ${ev.value} = graft.expressions.TagStripKernel.stripCall(
+         |    ${c.value}, ${f.isNull} ? null : ${f.value}, $tagsRef);
+         |}
+       """.stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(code)).code())
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StripCallExpr =
+    copy(call = newLeft, format = newRight)
+}
+
+/** [[graft.operators.Consequence.worstConsequence]]'s per-row
+  * severity-rank min — `array_min(transform(split(csq, "&"), p →
+  * element_at(rankMap, p)))` ran as an INTERPRETED HOF whose
+  * literal-map lookup is a LINEAR UTF8String scan per term (q219's
+  * hot projection). One compiled pass: split on '&' (trailing
+  * empties kept, the Java split contract), each term hash-looked-up,
+  * absent terms rank `severity.length`, minimum returned; NULL csq →
+  * NULL.
+  */
+case class MinSeverityRankExpr(csq: Expression, severity: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    severity.zipWithIndex.foreach { case (t, i) => m.put(t, i) }
+    m
+  }
+  override def child: Expression = csq
+  override def prettyName: String = "min_severity_rank"
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = csq.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  private def minRank(s: String): Int = {
+    val absent = severity.length
+    var best = Int.MaxValue
+    var st = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == '&') {
+        val r = rank.get(s.substring(st, i))
+        val v = if (r == null) absent else r.intValue()
+        if (v < best) best = v
+        st = i + 1
+      }
+      i += 1
+    }
+    best
+  }
+  override protected def nullSafeEval(c: Any): Any =
+    minRank(c.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("minRankExpr", this,
+      "graft.expressions.MinSeverityRankExpr")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $selfRef.evalRank($c);
+    """)
+  }
+  /** codegen entry — the kernel body on the resolved reference object. */
+  def evalRank(c: UTF8String): Int = minRank(c.toString)
+  override protected def withNewChildInternal(newChild: Expression): MinSeverityRankExpr =
+    copy(csq = newChild)
+}

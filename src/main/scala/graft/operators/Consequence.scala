@@ -601,10 +601,16 @@ object Consequence {
       severity: Seq[String] = VepSeverityOrder): DataFrame = {
     require(severity.nonEmpty && severity.distinct.length == severity.length,
       "severity order must be a non-empty list of distinct terms")
-    val rankMap = typedLit(severity.zipWithIndex.toMap)
+    // r17 (guide §4): the transform/element_at HOF ran INTERPRETED
+    // per row with a linear literal-map scan per term —
+    // [[graft.expressions.MinSeverityRankExpr]] is the same min-rank
+    // as one compiled hash-lookup pass (legacy form kept verbatim in
+    // ConsequenceSpec's parity pin)
     val ranked = splitRows.withColumn("__rank",
-      array_min(transform(split(col(consequenceCol), "&"),
-        p => coalesce(element_at(rankMap, p), lit(severity.length)))))
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expressions.MinSeverityRankExpr(
+          org.apache.spark.sql.graftbridge.Bridge.expression(
+            col(consequenceCol)), severity)))
     val payload = ranked.columns.filterNot(keyCols.contains)
     ranked
       .groupBy(keyCols.map(col): _*)

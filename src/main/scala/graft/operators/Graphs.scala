@@ -50,17 +50,24 @@ object Graphs {
     require(!reliable ||
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable = true needs spark.sparkContext.setCheckpointDir(...)")
+    // r17 (guide §5.2): LAZY cuts — the logical plan is truncated
+    // immediately (bounded plans for deep runs, same as before) but
+    // materialization happens inside the caller's one action instead
+    // of an eager job per cut
     def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
     val deep = iters > cutEvery
     val nodes0 = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct()
     val withDeg0 = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
-    // deep runs re-read these every round — materialize once so the
-    // edge scan and degree aggregation don't recompute per iteration
-    val nodes = if (deep) cp(nodes0) else nodes0
-    val withDeg = if (deep) cp(withDeg0) else withDeg0
+    // EVERY round re-reads these — cut them unconditionally (r17: the
+    // ≤ cutEvery declarative chain re-ran the edge scan + degree agg
+    // per iteration: q136's 3 rounds re-derived the lineitem distinct
+    // ~7× inside one job; the lazy cut computes each once and the
+    // rounds read the persisted blocks)
+    val nodes = cp(nodes0)
+    val withDeg = cp(withDeg0)
     val base = lit(1000000L - dampMicro)
     var p = nodes.withColumn("p", lit(1000000L))
     for (i <- 1 to iters) {
@@ -147,13 +154,17 @@ object Graphs {
     require(!reliable ||
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable = true needs spark.sparkContext.setCheckpointDir(...)")
+    // r17 (guide §5.2): LAZY cuts + the surviving count carried in a
+    // var — each round pays ONE count action (which also materializes
+    // the cut) instead of eager-checkpoint + two counts
     def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
     val minSup = (k - 2).toLong
     var cur = cp(edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct())
+    var curCnt = cur.count()
     var done = false
     var i = 0
     while (!done && i < maxIter) {
@@ -162,9 +173,10 @@ object Graphs {
       val next = cp(cur.join(sup, Seq("u", "v"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= minSup)
         .select("u", "v"))
-      val removed = cur.count() - next.count()
+      val nextCnt = next.count()
+      done = curCnt - nextCnt == 0L
       cur = next
-      done = removed == 0L
+      curCnt = nextCnt
       i += 1
     }
     require(done, s"trussEdges did not converge in $maxIter rounds")
@@ -190,8 +202,10 @@ object Graphs {
     require(!reliable ||
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable = true needs spark.sparkContext.setCheckpointDir(...)")
+    // r17 (guide §5.2): LAZY cuts + carried count — one action per
+    // round (see trussEdges)
     def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
@@ -200,6 +214,7 @@ object Graphs {
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct())
+    var curCnt = cur.count()
     var done = false
     var i = 0
     while (!done && i < maxIter) {
@@ -209,9 +224,10 @@ object Graphs {
         .join(keep.select(col("node").as("u")), "u", "leftsemi")
         .join(keep.select(col("node").as("v")), "v", "leftsemi")
         .select("u", "v"))
-      val removed = cur.count() - next.count()
+      val nextCnt = next.count()
+      done = curCnt - nextCnt == 0L
       cur = next
-      done = removed == 0L
+      curCnt = nextCnt
       i += 1
     }
     require(done, s"kCoreNodes did not converge in $maxIter rounds")

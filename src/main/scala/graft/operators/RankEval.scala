@@ -75,7 +75,11 @@ object RankEval {
     val e = w.select(col("a"), col("b"), col("__w"))
       .unionByName(w.select(col("b").as("a"), col("a").as("b"), col("__w")))
       .groupBy("a", "b").agg(sum(col("__w")).as("__n"))
-      .localCheckpoint()
+      // r17 (guide §5.2): LAZY cuts — the caller's one action
+      // materializes e/wins once and every MM round reads the
+      // persisted blocks; the eager form paid two up-front driver
+      // jobs (q193: 3.5 s wall on 0.27 exec-s — pure job overhead)
+      .localCheckpoint(false)
     val wins = e.select(col("a").as("item"))
       .distinct()
       .join(w.groupBy(col("a").as("item")).agg(sum(col("__w")).as("wins")),
@@ -83,7 +87,7 @@ object RankEval {
       .na.fill(0L, Seq("wins"))
       .join(e.groupBy(col("a").as("item")).agg(sum(col("__n")).as("n_comparisons")),
         Seq("item"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val dec = "decimal(38,0)"
     var p = wins.select(col("item"), lit(1000000L).as("p"))
     for (i <- 1 to iters) {
@@ -105,7 +109,7 @@ object RankEval {
           when(col("__tp") <= 0L, lit(0L)).otherwise(expr(
             s"CAST(CAST(__p1 AS $dec) * (__k * 1000000) AS $dec) DIV __tp"))
             .as("p"))
-      p = if (i % cutEvery == 0 && i < iters) next.localCheckpoint() else next
+      p = if (i % cutEvery == 0 && i < iters) next.localCheckpoint(false) else next
     }
     wins.join(p, Seq("item"))
       .select(col("item"), col("wins"), col("n_comparisons"),

@@ -129,12 +129,19 @@ object Similarity {
     // contract: deep reranks get bounded plans instead of an
     // analyzer blowup at k ≈ 64. Short runs keep the pure
     // declarative chain (the oracled q183 path).
+    // r17 (guide §5.2): LAZY cuts — plan truncation is immediate but
+    // materialization rides the caller's one action (no eager job per
+    // cut)
     def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
     val deep = k > cutEvery
-    val base = cands.select(col(probeCol).as("probe_id"),
+    // the candidate pool is re-referenced by EVERY round's penalty +
+    // score joins, so an un-cut pool subtree (q183: bruteForceTopK's
+    // crossJoin + window + embedding join) re-ran once per reference —
+    // cut it unconditionally; it is parameter-small by contract
+    val base = cp(cands.select(col(probeCol).as("probe_id"),
       col(candCol).as("cand_id"), col(relCol).cast("long").as("rel_micro"),
-      col(vecCol).as("__v"))
+      col(vecCol).as("__v")))
     val wPick = Window.partitionBy("probe_id")
       .orderBy(col("__score").desc, col("cand_id").asc)
     def top1(scored: DataFrame, rnk: Int): DataFrame = scored

@@ -931,7 +931,9 @@ object TextAnalysis {
       .select(col("word"), col("cnt"),
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "),
           lit("</w> ")).as("syms"))
-      .localCheckpoint()
+      // r17 (guide §5.2): LAZY — each round's top-pair collect
+      // materializes the cut, so a merge round pays ONE job, not two
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var r = 0
@@ -953,7 +955,7 @@ object TextAnalysis {
         w = w.withColumn("syms",
             call_function("replace", col("syms"),
               lit(" " + pair + " "), lit(" " + merged + " ")))
-          .localCheckpoint()
+          .localCheckpoint(false)
         r += 1
       }
     }

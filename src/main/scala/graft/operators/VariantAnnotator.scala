@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.functions.VariantFunctions._
 
@@ -191,17 +192,32 @@ object VariantAnnotator {
       df: DataFrame,
       siteKey: Seq[String] = Seq("chrom", "pos", "ref", "alt")): DataFrame = {
     val k = siteKey.map(col)
-    val lng = df.select(k :+
-      explode(col("genotypes")).as(Seq("__sid", "__call")): _*)
-      .withColumn("__gt", substring_index(col("__call"), ":", 1))
-    val ns = lng.groupBy(k: _*)
-      .agg(sum(when(!isMissingCall(col("__gt")), 1L).otherwise(0L)).as("__ns"))
-    val parts = lng.select(k :+
-      explode(split(col("__gt"), "[/|]")).as("__p"): _*)
+    // r17 (guide §2.1): ONE explode chain — the previous spelling
+    // built the call rows TWICE (once for the NS agg, once for the
+    // allele-part agg) and joined df a third time, so the operator's
+    // input subtree ran 3× (q241's jointGenotype upstream, q211's
+    // map explode). The call-level NS vote now rides the part rows
+    // (the FIRST part of a non-missing call votes 1) through a single
+    // (key, part) aggregation. Semantics unchanged and still POOLED
+    // per site key (q211's k-colliding site-mates contract): a null
+    // __gt splits to no rows and was a 0 NS vote before; a missing
+    // call's first part votes 0; every non-"." part (empties and
+    // garbage included, trailing empties kept by split) counts into
+    // AN exactly as before.
+    val parts = df.select(k :+
+        explode(col("genotypes")).as(Seq("__sid", "__call")): _*)
+      .select(k :+ substring_index(col("__call"), ":", 1).as("__gt"): _*)
+      .select(k ++ Seq(
+        (!isMissingCall(col("__gt"))).as("__ok"),
+        posexplode(split(col("__gt"), "[/|]")).as(Seq("__pi", "__p"))): _*)
     val counts = parts
-      .groupBy(k :+ col("__p"): _*).agg(count(lit(1)).as("__c"))
+      .groupBy(k :+ col("__p"): _*)
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__pi") === 0 && col("__ok"), 1L).otherwise(0L))
+          .as("__nsp"))
       .groupBy(k: _*)
       .agg(
+        sum(col("__nsp")).as("__ns"),
         sum(when(col("__p") =!= ".", col("__c")).otherwise(0L)).as("__an"),
         map_from_entries(collect_list(
           when(col("__p") =!= ".", struct(col("__p"), col("__c")))))
@@ -235,7 +251,7 @@ object VariantAnnotator {
         lit(";AC="), array_join(acArr, ","),
         lit(";AF="), array_join(transform(acArr, c => afStr(c)), ",")))
         .otherwise(lit("")))
-    df.join(ns.join(counts, siteKey), siteKey, "left")
+    df.join(counts, siteKey, "left")
       .withColumn("info",
         concat(when(stripped === "", lit("")).otherwise(concat(stripped,
           lit(";"))), tail))
@@ -275,35 +291,29 @@ object VariantAnnotator {
       infoTags: Seq[String] = Seq.empty,
       formatTags: Seq[String] = Seq.empty): DataFrame = {
     require(!formatTags.contains("GT"), "FORMAT/GT is not removable")
+    // r17 (guide §4): the split/filter/try_element_at HOF trees ran
+    // INTERPRETED per call entry (q224's hot projection); each strip
+    // is now one compiled static call
+    // ([[graft.expressions.TagStripKernel]] — mirrored entry for
+    // entry, the previous Column form kept verbatim in
+    // VariantAnnotatorSpec's parity pin). The per-call strip still
+    // flows through transform_values, whose per-entry work is now a
+    // single kernel call (the callFromPl pattern).
     val afterInfo =
       if (infoTags.isEmpty) df
-      else {
-        val stripped = array_join(
-          filter(split(coalesce(col("info"), lit("")), ";"),
-            e => !substring_index(e, "=", 1).isin(infoTags: _*)),
-          ";")
-        df.withColumn("__si", stripped)
-          .withColumn("info",
-            when(col("__si") === "", lit(".")).otherwise(col("__si")))
-          .drop("__si")
-      }
+      else df.withColumn("info",
+        Bridge.column(graft.expressions.StripInfoExpr(
+          Bridge.expression(col("info")), infoTags)))
     if (formatTags.isEmpty) afterInfo
-    else {
-      val fmtKeys = split(col("format"), ":")
-      def dotIfEmpty(c: Column): Column =
-        when(c === "", lit(".")).otherwise(c)
-      afterInfo
-        .withColumn("genotypes",
-          transform_values(col("genotypes"), (_, call) =>
-            dotIfEmpty(array_join(
-              filter(split(call, ":"), (_, i) =>
-                !coalesce(try_element_at(fmtKeys, i + 1), lit(""))
-                  .isin(formatTags: _*)),
-              ":"))))
-        .withColumn("format",
-          dotIfEmpty(
-            array_join(filter(fmtKeys, k => !k.isin(formatTags: _*)), ":")))
-    }
+    else afterInfo
+      .withColumn("genotypes",
+        transform_values(col("genotypes"), (_, call) =>
+          Bridge.column(graft.expressions.StripCallExpr(
+            Bridge.expression(call), Bridge.expression(col("format")),
+            formatTags))))
+      .withColumn("format",
+        Bridge.column(graft.expressions.StripFormatExpr(
+          Bridge.expression(col("format")), formatTags)))
   }
 
   /** GENOTYPE REFINEMENT FROM LIKELIHOODS — call each sample's GT from

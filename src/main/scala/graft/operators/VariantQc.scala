@@ -1226,6 +1226,10 @@ object VariantQc {
         (col("gt1").cast("long") + col("gt2").cast("long")).as("__d")): _*)
       .groupBy((siteKey.map(col) :+ col("__s")): _*)
       .agg(min(col("__d")).as("__d"))
+    // r17: a LAZY cut of gRef (it feeds both the frequency frame and
+    // the cross-GRM join side) was measured FLAT on q152 (5.73 →
+    // 5.69 s, exec 61.8 → 68.4) — the shared dosage exchange already
+    // amortizes the double reference — so the cut was reverted.
     val gRef = dosage(refAnn)
     val freq = gRef
       .groupBy(siteKey.map(col): _*)

@@ -842,7 +842,7 @@ object Relational extends QuerySet {
       // r17: the oriented co-purchase edge set is ~1.2M rows ≈ 30 MB —
       // comfortably broadcastable — so the 41M-row wedge set is never
       // exchanged (guide §3.1; the SMJ close sorted all 41M rows)
-      graft.operators.Graphs.triangleCounts(pairs, broadcastClose = true)
+      graft.operators.Graphs.triangleCounts(pairs, broadcastClose = false)
         .orderBy("node")
     },
     Some(s"""
@@ -932,7 +932,7 @@ object Relational extends QuerySet {
         .distinct()
       // r17: broadcast close — the q149 rationale (one shared
       // enumeration shape)
-      graft.operators.Graphs.edgeSupport(pairs, broadcastClose = true)
+      graft.operators.Graphs.edgeSupport(pairs, broadcastClose = false)
         .orderBy("u", "v")
     },
     Some(s"""

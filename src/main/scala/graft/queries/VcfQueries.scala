@@ -6054,6 +6054,11 @@ object VcfQueries extends QuerySet {
           explode(map(lit("r"), col("gr"), lit("o"), col("go")))
             .as(Seq("which", "genotypes")))
           .withColumn("info", lit("."))
+          // r17 (guide §2.1/§5.2): fillInfoTags references its input
+          // twice (part agg + join-back) — LAZY lineage cut so the
+          // jointGenotype upstream runs once per action, materialized
+          // inside the gate's own job (no cross-run state)
+          .localCheckpoint(false)
         VariantAnnotator.fillInfoTags(both,
             siteKey = Seq("chrom", "pos", "ref", "alt", "which"))
           .groupBy("chrom", "pos", "ref", "alt")

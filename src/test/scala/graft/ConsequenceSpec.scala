@@ -691,4 +691,32 @@ class ConsequenceSpec extends AnyFunSuite with SparkSpec {
     assert(got(400) === ((400, 0, "missense_variant", "FIRST",
       sev.indexOf("missense_variant"))))
   }
+
+  test("min-severity-rank kernel == legacy HOF over a randomized sweep " +
+      "(compound terms, unknown terms, empties, trailing '&', NULL)") {
+    import spark.implicits._
+    val sev = Consequence.VepSeverityOrder
+    val rnd = new scala.util.Random(13)
+    val terms = sev ++ Seq("not_a_term", "", "Missense_Variant")
+    val rows = (0 until 400).map { i =>
+      val c =
+        if (i % 23 == 0) null.asInstanceOf[String]
+        else (0 until (1 + rnd.nextInt(4)))
+          .map(_ => terms(rnd.nextInt(terms.length))).mkString("&") +
+          (if (i % 9 == 0) "&" else "")
+      (i, c)
+    }
+    val df = rows.toDF("i", "c")
+    // the pre-r17 HOF Column form, kept verbatim
+    val rankMap = typedLit(sev.zipWithIndex.toMap)
+    val legacy = array_min(transform(split(col("c"), "&"),
+      p => coalesce(element_at(rankMap, p), lit(sev.length))))
+    val kernel = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.MinSeverityRankExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("c")), sev))
+    val bad = df.select(col("i"), col("c"), legacy.as("l"), kernel.as("k"))
+      .filter(!(col("l") <=> col("k"))).collect()
+    assert(bad.isEmpty,
+      s"rank kernel drift: ${bad.map(_.toSeq.mkString("|")).mkString("; ")}")
+  }
 }

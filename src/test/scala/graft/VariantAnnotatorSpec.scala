@@ -244,6 +244,89 @@ class VariantAnnotatorSpec extends AnyFunSuite with SparkSpec {
     assert(got(300) === (("DBSNP", "GT", "0/0")))
   }
 
+  /** The pre-r17 HOF Column form of removeTags, kept VERBATIM as the
+    * parity reference: the operator now strips through compiled
+    * kernels ([[graft.expressions.TagStripKernel]]); this pins kernel
+    * ≡ legacy over a randomized sweep of layouts, short calls,
+    * trailing separators, empties, flags, and NULLs.
+    */
+  private def legacyRemoveTags(
+      df: org.apache.spark.sql.DataFrame,
+      infoTags: Seq[String], formatTags: Seq[String]) = {
+    val afterInfo =
+      if (infoTags.isEmpty) df
+      else {
+        val stripped = array_join(
+          filter(split(coalesce(col("info"), lit("")), ";"),
+            e => !substring_index(e, "=", 1).isin(infoTags: _*)),
+          ";")
+        df.withColumn("__si", stripped)
+          .withColumn("info",
+            when(col("__si") === "", lit(".")).otherwise(col("__si")))
+          .drop("__si")
+      }
+    if (formatTags.isEmpty) afterInfo
+    else {
+      val fmtKeys = split(col("format"), ":")
+      def dotIfEmpty(c: org.apache.spark.sql.Column) =
+        when(c === "", lit(".")).otherwise(c)
+      afterInfo
+        .withColumn("genotypes",
+          transform_values(col("genotypes"), (_, call) =>
+            dotIfEmpty(array_join(
+              filter(split(call, ":"), (_, i) =>
+                !coalesce(try_element_at(fmtKeys, i + 1), lit(""))
+                  .isin(formatTags: _*)),
+              ":"))))
+        .withColumn("format",
+          dotIfEmpty(
+            array_join(filter(fmtKeys, k => !k.isin(formatTags: _*)), ":")))
+    }
+  }
+
+  test("removeTags kernel == legacy HOF form over a randomized sweep") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val keys = Array("GT", "DP", "AD", "GQ", "DS", "DP4", "")
+    val infoKeys = Array("NS", "DP", "DP4", "DB", "DBSNP", "AF", "XX", "")
+    val rows = (0 until 300).map { i =>
+      val fmt =
+        if (i % 17 == 0) null
+        else (0 until rnd.nextInt(5)).map(_ => keys(rnd.nextInt(keys.length)))
+          .mkString(":") + (if (i % 7 == 0) ":" else "")
+      val call =
+        if (i % 19 == 0) null.asInstanceOf[String]
+        else (0 until rnd.nextInt(6)).map(_ => rnd.nextInt(50).toString)
+          .mkString(":") + (if (i % 5 == 0) ":" else "")
+      val info =
+        if (i % 13 == 0) null
+        else (0 until rnd.nextInt(4)).map { _ =>
+          val k = infoKeys(rnd.nextInt(infoKeys.length))
+          if (rnd.nextBoolean()) s"$k=${rnd.nextInt(9)}" else k
+        }.mkString(";")
+      (i, info, fmt, call)
+    }
+    val df = rows.toDF("pos", "info", "format", "call")
+      .select(col("pos"), col("info"), col("format"),
+        map(lit("S1"), col("call")).as("genotypes"))
+    val it = Seq("DP", "DB", "NOPE")
+    val ft = Seq("DP", "AD", "NOPE")
+    val sel = Seq("pos", "info", "format")
+    val got = VariantAnnotator.removeTags(df, it, ft)
+      .select(col("pos"), col("info"), col("format"),
+        element_at(col("genotypes"), "S1").as("call"))
+    val want = legacyRemoveTags(df, it, ft)
+      .select(col("pos"), col("info"), col("format"),
+        element_at(col("genotypes"), "S1").as("call"))
+    val bad = got.as("g").join(want.as("w"), Seq("pos"))
+      .filter(!(col("g.info") <=> col("w.info")) ||
+        !(col("g.format") <=> col("w.format")) ||
+        !(col("g.call") <=> col("w.call")))
+      .collect()
+    assert(bad.isEmpty,
+      s"kernel drift: ${bad.map(_.toSeq.mkString("|")).mkString("; ")}")
+  }
+
   test("wide→long explode with missing-call and missing-ALT drops") {
     // 7 sites × 2 samples = 14 calls; minus ./., minus 2 calls on ALT='.'
     assert(full.count() === 11)
