@@ -6021,6 +6021,11 @@ object VcfQueries extends QuerySet {
         // what GenotypeGVCFs does (the q229 gate probes an external
         // locus grid; the production fill-tags composition runs at the
         // callset's own sites, so every locus has a variant cover)
+        // r17: a lazy cut of loci (cohortLocusState consumes it twice)
+        // measured 12.5 → 15.3 s / exec 107 → 320 — the LogicalRDD
+        // hides stats from AQE and the downstream grid/left joins
+        // degrade; REVERTED, the ~7 exec-core-s double-computed
+        // distinct map side is the cheaper trade
         val loci = gv.filter(col("alt") =!= "<NON_REF>")
           .select("chrom", "pos").distinct()
         // bucketShift 8 (256-position buckets): the all-variant-site
