@@ -254,6 +254,17 @@ case class JointCallExpr(pl: Expression, alt: Expression)
   * land as `.`, tag matching is exact (the `isin` contract).
   */
 object TagStripKernel {
+  private val Dot = UTF8String.fromString(".")
+
+  /** Per-thread (format string → parts) memo: transform_values
+    * invokes [[stripCall]] once per genotype-map ENTRY, so an
+    * S-sample row would re-split the identical FORMAT string S times
+    * — tasks are single-threaded per partition, so a last-hit
+    * ThreadLocal is race-free and hits on every entry after a row's
+    * first. */
+  private val lastFmt =
+    new ThreadLocal[(String, Array[String])]()
+
   /** Java `split(sep, -1)` for a single literal char — trailing
     * empties kept, "" → [""]. */
   private def splitKeep(s: String, sep: Char): Array[String] = {
@@ -291,7 +302,7 @@ object TagStripKernel {
       }
       i += 1
     }
-    if (sb.length == 0) UTF8String.fromString(".")
+    if (sb.length == 0) Dot
     else UTF8String.fromString(sb.toString)
   }
 
@@ -330,7 +341,18 @@ object TagStripKernel {
       tags: Array[String]): UTF8String = {
     if (callU == null) return null
     val parts = splitKeep(callU.toString, ':')
-    val fmt = if (fmtU == null) null else splitKeep(fmtU.toString, ':')
+    val fmt =
+      if (fmtU == null) null
+      else {
+        val f = fmtU.toString
+        val hit = lastFmt.get()
+        if (hit != null && hit._1 == f) hit._2
+        else {
+          val ps = splitKeep(f, ':')
+          lastFmt.set((f, ps))
+          ps
+        }
+      }
     val keep = new Array[Boolean](parts.length)
     var i = 0
     while (i < parts.length) {

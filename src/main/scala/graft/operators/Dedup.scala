@@ -320,8 +320,12 @@ object Dedup {
     // the aggregation form verbatim as the parity reference), so the
     // table is now ONE zero-exchange narrow projection. Token-less
     // docs map to NULL and are filtered, mirroring the aggregation's
-    // absent group. Contract unchanged: one row per input row (ids
-    // are unique per the corpus contract).
+    // absent group. CONTRACT NARROWED (r17, deliberate): one row per
+    // INPUT ROW — a duplicate id now yields duplicate (id, simhash)
+    // rows where the aggregation form pooled both rows' tokens into
+    // one majority vote; ids are unique per the corpus contract
+    // (doc_id-keyed frames throughout), and a pooled-vote simhash of
+    // two different texts was never a meaningful signature anyway.
     df.select(col(idCol).as("id"), simhashOf(col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
 

@@ -65,7 +65,10 @@ object Graphs {
     // ≤ cutEvery declarative chain re-ran the edge scan + degree agg
     // per iteration: q136's 3 rounds re-derived the lineitem distinct
     // ~7× inside one job; the lazy cut computes each once and the
-    // rounds read the persisted blocks)
+    // rounds read the persisted blocks). Trade-off: localCheckpoint
+    // blocks live on executors, so short runs are now also
+    // non-recomputable after executor loss — reliable=true remains
+    // the restartable path (the connectedComponents contract).
     val nodes = cp(nodes0)
     val withDeg = cp(withDeg0)
     val base = lit(1000000L - dampMicro)

@@ -127,8 +127,12 @@ object Similarity {
     // `cutEvery` rounds the lineage is cut (localCheckpoint, or the
     // checkpoint dir with reliable = true), the pageRankMicro
     // contract: deep reranks get bounded plans instead of an
-    // analyzer blowup at k ≈ 64. Short runs keep the pure
-    // declarative chain (the oracled q183 path).
+    // analyzer blowup at k ≈ 64. r17: the candidate POOL is also cut
+    // on every run (see below) — short runs are otherwise pure
+    // declarative. localCheckpoint blocks live on executors, so any
+    // cut run is non-recomputable after executor loss; reliable=true
+    // remains the restartable path (the connectedComponents
+    // contract).
     // r17 (guide §5.2): LAZY cuts — plan truncation is immediate but
     // materialization rides the caller's one action (no eager job per
     // cut)

@@ -183,10 +183,13 @@ object VariantAnnotator {
     * after [[VariantNorm.splitMultiallelic]]/dedup if site keys can
     * collide.
     *
-    * Shape: one wide→long explode + TWO site-keyed partial aggs
-    * (allele-part counts, NS) + one site-keyed join back — all on the
-    * same key, so a site-bucketed landing pays zero exchanges; the
-    * rebuild is a narrow projection.
+    * Shape (r17): ONE explode chain + one (key, part) partial agg +
+    * one site-keyed agg + one site-keyed join back — all on the same
+    * key prefix, so a site-bucketed landing pays zero extra
+    * exchanges; the rebuild is a narrow projection. The input subtree
+    * is referenced twice (the explode chain and the join-back) —
+    * callers with an expensive upstream should cut it (q241's lazy
+    * localCheckpoint).
     */
   def fillInfoTags(
       df: DataFrame,

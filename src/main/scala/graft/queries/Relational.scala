@@ -839,9 +839,11 @@ object Relational extends QuerySet {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         .distinct()
-      // r17: the oriented co-purchase edge set is ~1.2M rows ≈ 30 MB —
-      // comfortably broadcastable — so the 41M-row wedge set is never
-      // exchanged (guide §3.1; the SMJ close sorted all 41M rows)
+      // r17 (guide §3.1): the SHUFFLED-HASH close — same-boot A/B
+      // measured it at 6.07 s / 68 exec-core-s vs 12.16 / 149.6 for
+      // the broadcast close here (and vs the original SMJ close that
+      // sorted all 41M wedge rows); broadcastClose stays opt-in for
+      // graphs where the exchange, not the probe, dominates
       graft.operators.Graphs.triangleCounts(pairs, broadcastClose = false)
         .orderBy("node")
     },
@@ -930,8 +932,8 @@ object Relational extends QuerySet {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         .distinct()
-      // r17: broadcast close — the q149 rationale (one shared
-      // enumeration shape)
+      // r17: shuffled-hash close — the q149 A/B rationale (one shared
+      // enumeration shape; measured flat here, 7.71 vs 7.77)
       graft.operators.Graphs.edgeSupport(pairs, broadcastClose = false)
         .orderBy("u", "v")
     },
