@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r18 (r17 verdict #2): without this, sbt's forked-run logger prefixes
+// every stdout line with "[info] ", so the driver wrapper's bounded
+// tail parser never saw a line starting with '{' and BENCH `parsed`
+// came back null two rounds running. StdoutOutput forwards the child's
+// stdout verbatim; Bench's final minimal JSON line is then the last
+// parseable line in the tail.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

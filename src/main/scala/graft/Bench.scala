@@ -124,6 +124,24 @@ object Bench {
     def heapUsedMb(): Double =
       java.lang.management.ManagementFactory.getMemoryMXBean
         .getHeapMemoryUsage.getUsed / 1048576.0
+    // r18 (r17 verdict #1): the r17 reclaim was gated on an ABSOLUTE
+    // `heapUsedMb() > 4096` threshold — and the r17 driver artifact's
+    // own residue_heap_mb map shows the post-sample heap parked at
+    // 3.87–4.09 GB, JUST UNDER it, so the reclaim never fired and every
+    // next gate inherited ~4 GB of old-gen debt (q103 63.8 s in-suite
+    // vs 4.8 s isolated in the same artifact; q214/q230/q208 same
+    // class, ~95 s of the suite). The reclaim is now UNCONDITIONAL and
+    // runs after EVERY sample, not once per gate: it sits outside every
+    // timed region, so it cannot touch a measurement, and a driver-side
+    // System.gc() is also what collects the weak references that let
+    // Spark's ContextCleaner actually drop stale broadcasts from
+    // storage memory. The second pass is heap-RELATIVE (no absolute
+    // thresholds left).
+    val maxHeapMb: Double = Runtime.getRuntime.maxMemory / 1048576.0
+    def reclaim(): Unit = {
+      System.gc()
+      if (heapUsedMb() > 0.25 * maxHeapMb) { Thread.sleep(100); System.gc() }
+    }
     final case class Residue(diskMb: Double, storageMb: Double,
         codegen: Long, heapMb: Double)
     def measure(name: String): (M, Residue) = {
@@ -139,22 +157,9 @@ object Bench {
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(50) // let straggler stage-completed events drain
         dropResidue()
+        reclaim() // unconditional, outside the timed region — see above
         (if (ok) wall else -1.0, (execMs.get() - e0) / 1e3,
           (gcMs.get() - g0) / 1e3, (spillBytes.get() - s0) / 1048576.0)
-      }
-      // r17 (the r16 verdict's weak #1/#2): the last residue class is
-      // plain OLD-GEN GARBAGE — the §8 ledger's "debt collects at the
-      // next big allocator". The r16 driver artifact showed a 140.9 s
-      // q213 wall_spread and a 3-9× dedup-family inflation with
-      // UNCHANGED plans; blocking unpersist (above) cannot reap
-      // garbage, only blocks. Pay the allocation debt HERE, outside
-      // every timed region, whenever the post-drop heap still holds
-      // multi-GB residue — so gate N+1's first run never amortizes
-      // gate N's allocation history. Conditional: an idle heap skips
-      // the pause, so the suite pays only when debt exists.
-      if (heapUsedMb() > 4096.0) {
-        System.gc()
-        if (heapUsedMb() > 8192.0) { Thread.sleep(100); System.gc() }
       }
       val res = Residue(blockmgrBytes(), storageUsedMb(), codegenClasses(),
         heapUsedMb())
@@ -297,7 +302,23 @@ object Bench {
     // 3 KB compact line above front-truncates mid-key. This line carries
     // only the verdict-critical scalars; the maps live in the compact
     // line and BENCH_FULL.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"n_queries":${walls.length},"full":"BENCH_FULL.json","total":$total}""")
+    val minimal = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"n_queries":${walls.length},"full":"BENCH_FULL.json","total":$total}"""
+    println(minimal)
+    // r18 (r17 verdict #2): `parsed` came back null two rounds running
+    // because sbt's forked-run logger prefixed every stdout line with
+    // "[info] " — no line in the captured tail STARTED with '{'. Two
+    // fixes: build.sbt now sets `run / outputStrategy := StdoutOutput`
+    // so the three JSON lines land on stdout verbatim (sbt's own
+    // "[success] Total time" epilogue still follows, so a tail parser
+    // must skip non-JSON lines — the minimal line above is the last
+    // parseable one); and belt-and-braces, the same minimal summary is
+    // written to a fixed sibling file of BENCH_FULL.json.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        fullPath.resolveSibling("BENCH_SUMMARY.json"),
+        (minimal + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH_SUMMARY.json write failed: $e") }
     spark.stop()
     // drop the bench-only substrate landing
     try {
