@@ -813,6 +813,36 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
 
+  /** Collect a (small-by-contract) centroid frame to the driver ONCE —
+    * the hoist for pipelines that feed the same centroids into several
+    * operators. Every operator in this family re-collects its centroid
+    * argument at plan-build time (the freeze-the-values training-loop
+    * contract), and when that argument is a SOURCE-derived frame each
+    * re-collect is a separate tiny job re-scanning the source: the
+    * r17-measured q70 gate paid ~8 such jobs (assign, 3 train steps,
+    * encode, probe assign, ADC — pure driver/scheduling wall, exec
+    * ~4 core-s). Collect here once, re-wrap with [[centroidFrame]], and
+    * every downstream plan-build collect resolves against the
+    * LocalRelation driver-side — no job, no source re-scan, identical
+    * values (this is also the freeze semantics made explicit).
+    */
+  def collectCentroids(centroids: DataFrame,
+      centIdCol: String = "cid", centVecCol: String = "cv"): Seq[(Long, Seq[Double])] =
+    collectCents(centroids, centIdCol, centVecCol)
+
+  /** Re-wrap an already-collected centroid seq as a driver-local frame
+    * (LocalRelation): the operators' internal plan-build collects and
+    * broadcast fallbacks read it without launching a job. Column types
+    * are the collected (long, array<double>) — what [[collectCentroids]]
+    * casts to and what every inline path emits.
+    */
+  def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Long, Seq[Double])],
+      centIdCol: String = "cid", centVecCol: String = "cv"): DataFrame = {
+    import spark.implicits._
+    cents.toDF(centIdCol, centVecCol)
+  }
+
   /** The shifted codebooks as a broadcastable (cell, __bm, __bk, __bcw)
     * frame — the big-nlist twin of [[shiftedBooks]]' literal map.
     * nlist × M × K rows of sub-dim codewords: driver-small relative to

@@ -1547,8 +1547,14 @@ object LlmQueries extends QuerySet {
       val e = t(s, dir, "embeddings").select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      val cents = e.filter(col("vec_id").between(100, 107))
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // hoist the centroid collect: the five centroid-consuming ops
+      // below each re-collect their centroid argument at plan-build
+      // time, and against the parquet-derived frame that was five tiny
+      // jobs re-scanning embeddings; against the LocalRelation re-wrap
+      // it is driver-side and free (same values, same freeze semantics)
+      val cents = Similarity.centroidFrame(s, Similarity.collectCentroids(
+        e.filter(col("vec_id").between(100, 107))
+          .select(col("vec_id").as("cid"), col("v").as("cv"))))
       // residual seed books: each seed's codeword is (seed − its own
       // cell centroid), the residual-space analogue of pqCodebooks
       val books = Similarity.seedResidualBooks(
@@ -1692,8 +1698,13 @@ object LlmQueries extends QuerySet {
       val e = t(s, dir, "embeddings").select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      val cents = e.filter(col("vec_id").between(100, 107))
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // hoist the centroid collect (see q69): one job instead of ~8 —
+      // assign, the three train steps, encode, probe assign and ADC
+      // each re-collect the centroid argument at plan-build time, and
+      // the LocalRelation re-wrap makes those driver-side and free
+      val cents = Similarity.centroidFrame(s, Similarity.collectCentroids(
+        e.filter(col("vec_id").between(100, 107))
+          .select(col("vec_id").as("cid"), col("v").as("cv"))))
       // seed books exactly as q69: each seed's codeword is its own
       // residual vs its cell centroid
       var books = Similarity.seedResidualBooks(

@@ -60,6 +60,38 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got("p_near")._1 === "g_b")
   }
 
+  test("nearestInterval: candidate-blowup guard fires on bucket-degenerate " +
+      "geometry, is disableable, and stays quiet on spread-out intervals") {
+    // q83's degenerate geometry in miniature: many intervals crammed into
+    // a span far smaller than one bucket (default shift 20 → 1 Mb), so
+    // every interval of the chrom shares the point's bucket and the
+    // bucket join degenerates to per-chrom all-pairs
+    val dense = (0 until 2000).map(i => ("1", 100 + i, 110 + i))
+      .toDF("chrom", "start", "end")
+    val points = Seq(("1", 105, "p")).toDF("chrom", "pos", "id")
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.nearestInterval(points, dense, maxDist = 5000L)
+    }
+    assert(ex.getMessage.contains("nearestIntervalUnbounded"),
+      s"guard message must route the caller to the sweep: ${ex.getMessage}")
+    // guard off → the same call plans and runs (the volume is intended)
+    val forced = RangeJoin.nearestInterval(points, dense, maxDist = 5000L,
+      maxCandidatesPerPoint = 0L).collect()
+    assert(forced.length === 1 && forced.head.getAs[Long]("dist") === 0L)
+    // the sweep route the guard points at computes the same true minimum
+    val swept = RangeJoin.nearestIntervalUnbounded(points, dense)
+      .filter(col("dist") <= 5000L).collect()
+    assert(swept.length === 1 && swept.head.getAs[Long]("dist") === 0L)
+    // same interval count spread over one bucket EACH stays quiet: the
+    // predicted per-point candidates are density-bounded, not n-bounded
+    val spread = (0 until 2000).map(i => ("1", i << 20, (i << 20) + 10))
+      .toDF("chrom", "start", "end")
+    val ok = RangeJoin.nearestInterval(points, spread, maxDist = 5000L)
+      .collect()
+    // nearest spread interval to pos 105 is [0, 10] → dist 95
+    assert(ok.length === 1 && ok.head.getAs[Long]("dist") === 95L)
+  }
+
   test("mergeIntervals: chains fuse, gaps split, slack bridges, one shuffle") {
     val iv = Seq(
       // chrom 1: [10,20] [15,40] [41,50] chain? 41 > 40 → new block at
