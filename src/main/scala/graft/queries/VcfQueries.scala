@@ -89,6 +89,13 @@ object VcfQueries extends QuerySet {
           col("chrom"), col("pos"), col("id"), col("ref"), col("alt"),
           col("qual"), col("filter").as("filt"), col("info"), col("format"),
           element_at(col("genotypes"), "g2").as("call_g2"))
+        // r18: sortStaged A/B'd here (the parse projection sits above
+        // the repartition exchange, so the range-sampling recompute
+        // looked like a candidate) and measured WORSE — 3.26 → 3.98 s
+        // wall, exec 63.3 → 66.7, shuffle bytes 38 → 72 MB (same boot,
+        // runs=3 medians): the parsed rows are wide strings, so the
+        // extra hash exchange costs more than the sampling pass saves.
+        // Plain orderBy kept (re-confirms the r17 EXAM verdict).
         .orderBy("chrom", "pos", "id")
     },
     Some(s"""

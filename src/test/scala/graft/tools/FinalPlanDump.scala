@@ -57,7 +57,12 @@ object FinalPlanDump {
       val full = qs.keys.toSeq.sorted.find(_.startsWith(n)).getOrElse(n)
       stages.synchronized(stages.clear())
       val df = qs(full)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
+      // execute the dataframe's OWN QueryExecution (a noop-sink write
+      // would wrap the plan in a separate write command whose execution
+      // leaves df.queryExecution un-run — isFinalPlan=false, no stage
+      // wiring). toRdd is the AdaptiveSparkPlanExec itself; one foreach
+      // action computes every row and finalizes the adaptive plan.
+      df.queryExecution.toRdd.foreach(_ => ())
       Thread.sleep(200) // drain straggler stage events
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
