@@ -39,6 +39,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in-suite exec 4x its isolated exec with identical plans). 512 MB
   // keeps compiled code resident for the whole suite on a 128 GiB box.
   "-XX:ReservedCodeCacheSize=512m",
+  // r18 second pass, MEASURED AND REVERTED: the instrumented suite
+  // showed 755 s of JIT compile time, front-loaded, so
+  // -XX:CICompilerCount=28 was tried to drain the C2 backlog the
+  // q100–q152 kernel window stacks behind. Full suite measured FLAT
+  // (359.8 s @15 threads vs 364.4 @28), and fresh targeted runs
+  // REGRESSED ~1.5× (q111 2.07→3.46 s): 28 compiler threads + 32
+  // executor threads oversubscribe the 32 vCPUs exactly when the
+  // workload is compile-heavy. The default (15 here) stays; the env
+  // override remains for future A/Bs.
+  s"-XX:CICompilerCount=${sys.env.getOrElse("SPARK_GRAFT_CI_THREADS", "15")}",
   // 24g default (was 8g): the r14 residue instrumentation showed the
   // bench suite's post-sample heap sitting at a median 3.6 GB of the
   // 8 GiB ceiling with the pair-substrate gates leaving 5-7 GB — GC

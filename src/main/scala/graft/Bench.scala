@@ -81,7 +81,8 @@ object Bench {
     // r11 verdict's variance guardrail: one contended run can no longer
     // hide inside a single reported number), and the failure count
     final case class M(name: String, wall: Double, exec: Double,
-        gc: Double, spillMb: Double, spread: Double, failed: Int)
+        gc: Double, spillMb: Double, spread: Double, failed: Int,
+        stealSec: Double = -1.0)
     // Inter-run/inter-gate block hygiene (r12 verdict #7): the named
     // in-suite variance mechanism is transient neighbor heap/block-
     // manager state, and stale localCheckpoint blocks are the carrier
@@ -135,6 +136,45 @@ object Bench {
     def heapUsedMb(): Double =
       java.lang.management.ManagementFactory.getMemoryMXBean
         .getHeapMemoryUsage.getUsed / 1048576.0
+    // r18 second-session instrumentation (guide §1 — name the late-suite
+    // mechanism before touching it): per-gate JIT compile time, code-cache
+    // and metaspace occupancy, and loaded-class count. The r18 first-pass
+    // full run showed a q100–q149 window with 2–4× exec inflation that
+    // persisted into q117's END-of-suite isolation re-measure (exec 498
+    // core-s vs 137 fresh) — these snapshots separate "C2 compile backlog /
+    // code-cache exhaustion / class-count growth" from host contention.
+    def jitCompileMs(): Long =
+      try java.lang.management.ManagementFactory.getCompilationMXBean
+        .getTotalCompilationTime
+      catch { case _: Throwable => -1L }
+    def poolUsedMb(prefix: String): Double =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getName.startsWith(prefix))
+          .map(_.getUsage.getUsed).sum / 1048576.0
+      } catch { case _: Throwable => -1.0 }
+    def loadedClasses(): Long =
+      try java.lang.management.ManagementFactory.getClassLoadingMXBean
+        .getLoadedClassCount.toLong
+      catch { case _: Throwable => -1L }
+    // HOST CPU STEAL, the exogenous mechanism this round finally names:
+    // /proc/stat's steal field counts ticks the hypervisor did not
+    // schedule this VM's vCPUs. Cumulative steal on this box reads ~1%
+    // but arrives in BURSTS — a burst landing on a gate inflates its
+    // wall AND its executorRunTime (task wall) 2–4× with an identical
+    // plan, which is exactly the shape of the r16/r17 "residue class"
+    // and this round's q117 sick runs (fresh 4-gate process, 6.2 s one
+    // boot, 19.3 s the next, steal-burst confirmed). Attributing steal
+    // per SAMPLE makes the artifact self-adjudicating: a slow wall with
+    // matching steal is the host, not the plan.
+    def stealTicks(): Long =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = line.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } catch { case _: Throwable => -1L }
     // r18 (r17 verdict #1): the r17 reclaim was gated on an ABSOLUTE
     // `heapUsedMb() > 4096` threshold — and the r17 driver artifact's
     // own residue_heap_mb map shows the post-sample heap parked at
@@ -154,7 +194,9 @@ object Bench {
       if (heapUsedMb() > 0.25 * maxHeapMb) { Thread.sleep(100); System.gc() }
     }
     final case class Residue(diskMb: Double, storageMb: Double,
-        codegen: Long, heapMb: Double)
+        codegen: Long, heapMb: Double,
+        jitMs: Long = -1L, codeCacheMb: Double = -1.0,
+        metaMb: Double = -1.0, classes: Long = -1L)
     def measure(name: String): (M, Residue) = {
       val fn = SparkEntry.queries(name)
       val samples = (1 to runs).map { _ =>
@@ -162,18 +204,23 @@ object Bench {
         val e0 = execMs.get()
         val g0 = gcMs.get()
         val s0 = spillBytes.get()
+        val st0 = stealTicks()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
         val wall = (System.nanoTime() - t0) / 1e9
+        val stealD =
+          if (st0 < 0) -1.0 else (stealTicks() - st0) / 100.0 // ticks→core-s
         Thread.sleep(50) // let straggler stage-completed events drain
         dropResidue()
         reclaim() // unconditional, outside the timed region — see above
         (if (ok) wall else -1.0, (execMs.get() - e0) / 1e3,
-          (gcMs.get() - g0) / 1e3, (spillBytes.get() - s0) / 1048576.0)
+          (gcMs.get() - g0) / 1e3, (spillBytes.get() - s0) / 1048576.0,
+          stealD)
       }
       val res = Residue(blockmgrBytes(), storageUsedMb(), codegenClasses(),
-        heapUsedMb())
+        heapUsedMb(), jitCompileMs(), poolUsedMb("CodeHeap"),
+        poolUsedMb("Metaspace"), loadedClasses())
       // median over SUCCESSFUL runs only: a failed run's -1 sentinel
       // would sort first and bias the "median" toward the fast sample;
       // -1 is reported only when every run failed, with the failure
@@ -181,9 +228,9 @@ object Bench {
       val good = samples.filter(_._1 >= 0).sortBy(_._1)
       if (good.isEmpty) (M(name, -1.0, -1.0, -1.0, -1.0, -1.0, runs), res)
       else {
-        val (w, e, g, s) = good(good.size / 2)
-        (M(name, w, e, g, s, good.last._1 - good.head._1, runs - good.size),
-          res)
+        val (w, e, g, s, st) = good(good.size / 2)
+        (M(name, w, e, g, s, good.last._1 - good.head._1, runs - good.size,
+          st), res)
       }
     }
     // codegen baseline BEFORE the loop: query 1's delta must not
@@ -242,6 +289,10 @@ object Bench {
     val gc = fmt(results.filter(_.gc >= 0.1).map(r => r.name -> r.gc))
     val sp = fmt(results.filter(_.spillMb >= 1.0).map(r => r.name -> r.spillMb))
     val sprd = fmt(results.filter(_.spread >= 0.5).map(r => r.name -> r.spread))
+    // per-query host-steal core-seconds of the MEDIAN run (≥ 0.5 — the
+    // exogenous-contention receipt; see stealTicks above)
+    val stl = fmt(results.filter(_.stealSec >= 0.5)
+      .map(r => r.name -> r.stealSec))
     // residue maps (post-sample state each query leaves for the next):
     // disk blocks + storage memory as absolutes, codegen as the
     // per-query class-count delta; thresholds keep the line bounded
@@ -256,6 +307,24 @@ object Bench {
       .filter(_._2 >= 20.0))
     val resHeap = fmt(residues.filter(_._2.heapMb >= 512.0)
       .map { case (n, r) => n -> r.heapMb })
+    // JIT/class curves: per-gate compile-time DELTA (≥ 0.2 s — where the
+    // compiler was actually busy) plus absolute code-cache / metaspace /
+    // loaded-class readings sampled sparsely (every 10th gate) so the
+    // whole-suite trajectory is reconstructable without bloating the line
+    val jitVals = residues.map(_._2.jitMs)
+    val resJit = fmt(residues.indices
+      .map(i => residues(i)._1 ->
+        (jitVals(i) - (if (i == 0) 0L else jitVals(i - 1))) / 1e3)
+      .filter(_._2 >= 0.2))
+    val resCc = fmt(residues.indices.filter(i => i % 10 == 0 ||
+        i == residues.size - 1)
+      .map(i => residues(i)._1 -> residues(i)._2.codeCacheMb))
+    val resMeta = fmt(residues.indices.filter(i => i % 10 == 0 ||
+        i == residues.size - 1)
+      .map(i => residues(i)._1 -> residues(i)._2.metaMb))
+    val resCls = fmt(residues.indices.filter(i => i % 10 == 0 ||
+        i == residues.size - 1)
+      .map(i => residues(i)._1 -> residues(i)._2.classes.toDouble))
     val fails = results.filter(_.failed > 0)
       .map(r => s"\"" + r.name + "\":" + r.failed).mkString("{", ",", "}")
     val total = r3(results.map(_.wall).filter(_ >= 0).sum)
@@ -271,7 +340,7 @@ object Bench {
     val isoW = fmt(isolation.map(r => r.name -> r.wall))
     val isoE = fmt(isolation.map(r => r.name -> r.exec))
     val isoG = fmt(isolation.map(r => r.name -> r.gc))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"full":"BENCH_FULL.json","gc_sec":$gc,"spill_mb":$sp,"wall_spread":$sprd,"residue_disk_mb":$resDisk,"residue_storage_mb":$resStor,"residue_codegen_classes":$resCg,"residue_heap_mb":$resHeap,"isolation_wall":$isoW,"isolation_exec":$isoE,"isolation_gc":$isoG,"exec_sec":$ex,"queries":$qs,"total":$total}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"full":"BENCH_FULL.json","gc_sec":$gc,"spill_mb":$sp,"wall_spread":$sprd,"steal_core_sec":$stl,"residue_disk_mb":$resDisk,"residue_storage_mb":$resStor,"residue_codegen_classes":$resCg,"residue_heap_mb":$resHeap,"residue_jit_sec":$resJit,"residue_codecache_mb":$resCc,"residue_metaspace_mb":$resMeta,"residue_classes":$resCls,"isolation_wall":$isoW,"isolation_exec":$isoE,"isolation_gc":$isoG,"exec_sec":$ex,"queries":$qs,"total":$total}"""
     // Only a FULL-suite run may overwrite the committed artifact: a
     // SPARK_GRAFT_BENCH_ONLY iteration loop would otherwise clobber the
     // complete wall/exec maps that the next run's outlier adjudication
