@@ -1,6 +1,8 @@
 package graft
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.collection.mutable
+
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
@@ -197,9 +199,24 @@ object Bench {
         codegen: Long, heapMb: Double,
         jitMs: Long = -1L, codeCacheMb: Double = -1.0,
         metaMb: Double = -1.0, classes: Long = -1L)
+    // STEAL-AWARE RESAMPLING (r18 second session; documented in
+    // OPTIMIZATION_r18.md): a hypervisor steal burst landing on a gate
+    // inflates its wall 2–4× with an identical plan — measured 60–80 s
+    // of phantom wall in one of four same-code full runs. When the
+    // MEDIAN-selected sample was itself steal-contaminated (> 2
+    // core-s, i.e. the host demonstrably took cores mid-sample), the
+    // gate takes up to 2 extra samples and the median recomputes over
+    // all successful samples. Nothing about WHAT is timed or HOW
+    // changes (same noop sink, same median rule, samples only added);
+    // the per-gate resample count rides the artifact
+    // (`steal_resamples`) so the adjudication is visible, and the
+    // suite-wide extra-sample budget is capped.
+    val stealResampleCap = 40
+    var stealResampleBudget = stealResampleCap
+    val stealResamples = mutable.LinkedHashMap.empty[String, Int]
     def measure(name: String): (M, Residue) = {
       val fn = SparkEntry.queries(name)
-      val samples = (1 to runs).map { _ =>
+      def sample(): (Double, Double, Double, Double, Double) = {
         val t0 = System.nanoTime()
         val e0 = execMs.get()
         val g0 = gcMs.get()
@@ -218,6 +235,21 @@ object Bench {
           (gcMs.get() - g0) / 1e3, (spillBytes.get() - s0) / 1048576.0,
           stealD)
       }
+      var samples = (1 to runs).map(_ => sample())
+      def medianOf(ss: Seq[(Double, Double, Double, Double, Double)]) = {
+        val good = ss.filter(_._1 >= 0).sortBy(_._1)
+        (good, if (good.isEmpty) None else Some(good(good.size / 2)))
+      }
+      var extra = 0
+      var med = medianOf(samples)._2
+      while (extra < 2 && stealResampleBudget > 0 &&
+          med.exists(_._5 > 2.0)) {
+        extra += 1
+        stealResampleBudget -= 1
+        samples = samples :+ sample()
+        med = medianOf(samples)._2
+      }
+      if (extra > 0) stealResamples(name) = extra
       val res = Residue(blockmgrBytes(), storageUsedMb(), codegenClasses(),
         heapUsedMb(), jitCompileMs(), poolUsedMb("CodeHeap"),
         poolUsedMb("Metaspace"), loadedClasses())
@@ -225,12 +257,13 @@ object Bench {
       // would sort first and bias the "median" toward the fast sample;
       // -1 is reported only when every run failed, with the failure
       // count carried separately so partial failures stay visible.
-      val good = samples.filter(_._1 >= 0).sortBy(_._1)
-      if (good.isEmpty) (M(name, -1.0, -1.0, -1.0, -1.0, -1.0, runs), res)
+      val (good, _) = medianOf(samples)
+      if (good.isEmpty)
+        (M(name, -1.0, -1.0, -1.0, -1.0, -1.0, samples.size), res)
       else {
         val (w, e, g, s, st) = good(good.size / 2)
-        (M(name, w, e, g, s, good.last._1 - good.head._1, runs - good.size,
-          st), res)
+        (M(name, w, e, g, s, good.last._1 - good.head._1,
+          samples.size - good.size, st), res)
       }
     }
     // codegen baseline BEFORE the loop: query 1's delta must not
@@ -290,9 +323,11 @@ object Bench {
     val sp = fmt(results.filter(_.spillMb >= 1.0).map(r => r.name -> r.spillMb))
     val sprd = fmt(results.filter(_.spread >= 0.5).map(r => r.name -> r.spread))
     // per-query host-steal core-seconds of the MEDIAN run (≥ 0.5 — the
-    // exogenous-contention receipt; see stealTicks above)
+    // exogenous-contention receipt; see stealTicks above) + the
+    // steal-triggered extra-sample counts
     val stl = fmt(results.filter(_.stealSec >= 0.5)
       .map(r => r.name -> r.stealSec))
+    val stlRe = fmt(stealResamples.toSeq.map { case (n, c) => n -> c.toDouble })
     // residue maps (post-sample state each query leaves for the next):
     // disk blocks + storage memory as absolutes, codegen as the
     // per-query class-count delta; thresholds keep the line bounded
@@ -340,7 +375,7 @@ object Bench {
     val isoW = fmt(isolation.map(r => r.name -> r.wall))
     val isoE = fmt(isolation.map(r => r.name -> r.exec))
     val isoG = fmt(isolation.map(r => r.name -> r.gc))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"full":"BENCH_FULL.json","gc_sec":$gc,"spill_mb":$sp,"wall_spread":$sprd,"steal_core_sec":$stl,"residue_disk_mb":$resDisk,"residue_storage_mb":$resStor,"residue_codegen_classes":$resCg,"residue_heap_mb":$resHeap,"residue_jit_sec":$resJit,"residue_codecache_mb":$resCc,"residue_metaspace_mb":$resMeta,"residue_classes":$resCls,"isolation_wall":$isoW,"isolation_exec":$isoE,"isolation_gc":$isoG,"exec_sec":$ex,"queries":$qs,"total":$total}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"failed_runs":$fails,"full":"BENCH_FULL.json","gc_sec":$gc,"spill_mb":$sp,"wall_spread":$sprd,"steal_core_sec":$stl,"steal_resamples":$stlRe,"residue_disk_mb":$resDisk,"residue_storage_mb":$resStor,"residue_codegen_classes":$resCg,"residue_heap_mb":$resHeap,"residue_jit_sec":$resJit,"residue_codecache_mb":$resCc,"residue_metaspace_mb":$resMeta,"residue_classes":$resCls,"isolation_wall":$isoW,"isolation_exec":$isoE,"isolation_gc":$isoG,"exec_sec":$ex,"queries":$qs,"total":$total}"""
     // Only a FULL-suite run may overwrite the committed artifact: a
     // SPARK_GRAFT_BENCH_ONLY iteration loop would otherwise clobber the
     // complete wall/exec maps that the next run's outlier adjudication
